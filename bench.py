@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + collect-to-count); the
+session is warmed first so JVM startup isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from kevinlang_spark.session import get_spark
+
+#: queries that represent the engine's hot paths (joins+agg, scan+filter,
+#: sort+topk, reshape, pivot); extension ops join this list as they land.
+HEADLINE = [
+    "q_revenue_by_nation",
+    "q_groupby_sum",
+    "q_filter",
+    "q_sort_take",
+    "q_melt",
+    "q_cast_pivot",
+    "q_agg_stats",
+    "q_append",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("kevinlang-bench")
+
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n in sorted(qs) if n not in HEADLINE and os.environ.get("BENCH_ALL")
+    ]
+
+    # warm-up: touch the biggest table so FS cache + codegen are hot
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,844 @@
+"""KevinFrame — the engine's DataFrame wrapper.
+
+The reference models a frame as ``(Indices, Groups, TitleTrees, [Field])``
+(src/Data/DataFrame.hs:65-72): columnar storage plus an ordered row-id view,
+grouping state carried *on* the frame, and pivot presentation state.  Spark
+DataFrames are unordered multisets with transient grouping, so the wrapper
+carries the state Spark does not:
+
+- **order**: a hidden ``__idx`` LongType column gives rows stable identity
+  (reference Indices, DataFrame.hs:66-67), and a LAZY ``order spec`` — a
+  list of (column, ascending) pairs ending in ``__idx`` — defines the
+  current row order.  ``sort`` only rewrites the spec (no job, no shuffle);
+  ``take`` compiles to ``orderBy().limit()`` (Catalyst's parallel
+  TakeOrderedAndProject); dense positions are materialized via a window
+  ONLY for the inherently positional ops (zip join, order-sensitive concat)
+  — which are presentation-scale by definition.  ``ordered=False`` skips
+  all of it: the 100 TB mode, where order-sensitive combinators raise
+  instead of sorting.
+- **groups**: ``group_cols`` (reference Groups, DataFrame.hs:68) — recorded
+  by ``groupby``, consumed by ``aggregate``; realized as ``df.groupBy`` only
+  at aggregation time so Catalyst sees one logical plan.
+- **pivot**: ``(row_fields, col_fields, value_field)`` (reference TitleTrees,
+  DataFrame.hs:42) — pure presentation state consumed by the crosstab
+  renderer.
+
+Everything else is a lazy Catalyst plan: each combinator returns a new
+wrapper over a transformed ``pyspark.sql.DataFrame``; nothing executes until
+an action.
+
+Descending-sort tie semantics (reference Combinator.hs:229-230): descending
+is the REVERSE of the ascending result, so a descending sort prepends
+``(field, desc)`` AND flips the direction of every older order component —
+reproduced exactly by the spec-flip in ``sort``.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass
+from typing import Callable, Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kevinlang_spark.errors import (
+    KevinFieldError,
+    KevinPivotError,
+    KevinTypeError,
+    KevinValueError,
+)
+from kevinlang_spark.operators import aggregators as agglib
+from kevinlang_spark.traits import (
+    NUM_MEASURE,
+    TEXT_DIM,
+    FieldTraits,
+    infer_traits_for_spark_type,
+)
+
+#: hidden order column (reference Indices, DataFrame.hs:66-67)
+IDX = "__idx"
+
+#: order spec entry: (column name, ascending?)
+OrderSpec = tuple[tuple[str, bool], ...]
+
+
+class SortOrder(enum.Enum):
+    ASCENDING = "asc"
+    DESCENDING = "desc"
+
+
+@dataclass(frozen=True)
+class PivotState:
+    """Reference TitleTrees (DataFrame.hs:42): which fields head the row/col
+    hierarchies and which single field supplies cell values."""
+
+    row_fields: tuple[str, ...]
+    col_fields: tuple[str, ...]
+    value_field: str
+
+
+def _as_name_list(names) -> list[str]:
+    """Reference VaridicParam (Combinator.hs:38-44): one name or a list;
+    anything non-string raises 'invalid field name' (Combinator.hs:74-76)."""
+    if isinstance(names, str):
+        return [names]
+    if isinstance(names, Iterable):
+        out = []
+        for n in names:
+            if not isinstance(n, str):
+                raise KevinTypeError("invalid field name")
+            out.append(n)
+        return out
+    raise KevinTypeError("invalid field name")
+
+
+class KevinFrame:
+    """Immutable combinator-algebra frame over a Spark DataFrame."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        traits: dict[str, FieldTraits] | None = None,
+        group_cols: Sequence[str] = (),
+        pivot: PivotState | None = None,
+        ordered: bool | None = None,
+        order_spec: OrderSpec = (),
+        idx_asc: bool = True,
+    ):
+        if ordered is None:
+            ordered = IDX in df.columns
+        if ordered and IDX not in df.columns:
+            raise KevinValueError(f"ordered frame requires a {IDX} column")
+        self._df = df
+        self.ordered = ordered
+        self.group_cols = tuple(group_cols)
+        self.pivot = pivot
+        #: pending lazy sort: [(col, asc), ...]; row order = spec + __idx
+        self.order_spec: OrderSpec = tuple(order_spec)
+        self.idx_asc = idx_asc
+        if traits is None:
+            traits = {
+                f.name: infer_traits_for_spark_type(f.name, f.dataType)
+                for f in df.schema.fields
+                if not f.name.startswith("__")
+            }
+        self.traits = dict(traits)
+
+    # ------------------------------------------------------------------ #
+    # construction
+    # ------------------------------------------------------------------ #
+
+    @classmethod
+    def from_df(
+        cls,
+        df: DataFrame,
+        ordered: bool = True,
+        traits: dict[str, FieldTraits] | None = None,
+    ) -> "KevinFrame":
+        """Wrap a plain Spark DataFrame.
+
+        ``ordered=True`` attaches ``__idx`` from the source's encounter order
+        via ``monotonically_increasing_id`` — fully parallel (no shuffle,
+        id = partition_id << 33 | row_in_partition), unique and
+        order-preserving for any deterministic source.  Dense 1..n numbering
+        is computed lazily only by the ops that need true positions.
+        """
+        if ordered and IDX not in df.columns:
+            df = df.withColumn(IDX, F.monotonically_increasing_id())
+        return cls(df, traits=traits, ordered=ordered)
+
+    @property
+    def df(self) -> DataFrame:
+        """The underlying Spark DataFrame including hidden columns."""
+        return self._df
+
+    def to_df(self) -> DataFrame:
+        """User-facing DataFrame: hidden columns dropped, rows in frame
+        order (a parallel range-partitioned sort, not a window)."""
+        cols = self.columns
+        if self.ordered:
+            return self._df.orderBy(*self._order_cols()).select(*cols)
+        return self._df.select(*cols)
+
+    @property
+    def columns(self) -> list[str]:
+        return [c for c in self._df.columns if not c.startswith("__")]
+
+    # ------------------------------------------------------------------ #
+    # ordering internals
+    # ------------------------------------------------------------------ #
+
+    def _order_cols(self) -> list[Column]:
+        """Effective row order: pending sort spec, then __idx."""
+        cols = []
+        for name, asc in self.order_spec:
+            c = F.col(name)
+            cols.append(c.asc_nulls_first() if asc else c.desc_nulls_last())
+        idx = F.col(IDX)
+        cols.append(idx.asc() if self.idx_asc else idx.desc())
+        return cols
+
+    def _derive(
+        self,
+        df: DataFrame,
+        *,
+        traits: dict[str, FieldTraits] | None = None,
+        group_cols: Sequence[str] | None = None,
+        pivot: PivotState | None | str = "keep",
+        ordered: bool | None = None,
+        order_spec: OrderSpec | None = None,
+        idx_asc: bool | None = None,
+    ) -> "KevinFrame":
+        return KevinFrame(
+            df,
+            traits=self.traits if traits is None else traits,
+            group_cols=self.group_cols if group_cols is None else group_cols,
+            pivot=self.pivot if pivot == "keep" else pivot,
+            ordered=self.ordered if ordered is None else ordered,
+            order_spec=self.order_spec if order_spec is None else order_spec,
+            idx_asc=self.idx_asc if idx_asc is None else idx_asc,
+        )
+
+    def _require_ordered(self, op: str) -> None:
+        if not self.ordered:
+            raise KevinValueError(
+                f"{op} requires an ordered frame; this frame was built with "
+                "ordered=False (the large-scale mode). Re-ingest with "
+                "ordered=True for order-sensitive combinators."
+            )
+
+    def _materialized(self, force: bool = False) -> "KevinFrame":
+        """Renumber ``__idx`` to dense 1..n positions under the current
+        order and clear the pending spec.  ``force=True`` renumbers even
+        when no sort is pending (the zip join needs dense 1..n on both
+        sides; raw ``monotonically_increasing_id`` values are sparse).
+
+        Uses an un-partitioned window — a single-partition sort.  Only the
+        inherently positional ops (zip join, concat) pay this; everything
+        else stays on the lazy spec.
+        """
+        if not force and not self.order_spec and self.idx_asc:
+            return self
+        df = self._df.withColumn(
+            IDX,
+            F.row_number().over(Window.orderBy(*self._order_cols())).cast("long"),
+        )
+        # dropping now-unreferenced hidden helper cols (e.g. melt's __vpos)
+        helpers = [c for c in df.columns if c.startswith("__") and c != IDX]
+        spec_cols = {n for n, _ in self.order_spec}
+        drop = [c for c in helpers if c in spec_cols]
+        return self._derive(df.drop(*drop), order_spec=(), idx_asc=True)
+
+    def _check_field(self, name: str) -> None:
+        if name not in self.columns:
+            raise KevinFieldError("no such field")
+
+    def _check_agg_kind(self, field: str, kind: str) -> None:
+        """Reference PolyParam type dispatch: numeric aggregators on a
+        non-numeric column (or concat on a numeric one) → 'invalid type'
+        (Combinator.hs:140/174/192, test/Spec.lhs:83-95)."""
+        if kind == "any":
+            return
+        dtype = self._df.schema[field].dataType
+        is_num = isinstance(dtype, T.NumericType)
+        if kind == "numeric" and not is_num:
+            raise KevinTypeError("invalid type")
+        if kind == "string" and not isinstance(dtype, T.StringType):
+            raise KevinTypeError("invalid type")
+
+    # ------------------------------------------------------------------ #
+    # projection / filter (reference Combinator.hs:46-55, 122-200)
+    # ------------------------------------------------------------------ #
+
+    def select(self, names) -> "KevinFrame":
+        """Project + reorder columns to the requested order.
+
+        Unknown names are silently dropped (can yield a column-empty frame) —
+        reference Combinator.hs:46-55.  Keeps order and groups; clears pivot.
+        """
+        wanted = [n for n in _as_name_list(names) if n in self.columns]
+        hidden = [c for c in self._df.columns if c.startswith("__")]
+        traits = {n: self.traits[n] for n in wanted if n in self.traits}
+        group_cols = tuple(g for g in self.group_cols if g in wanted)
+        return self._derive(
+            self._df.select(*wanted, *hidden),
+            traits=traits,
+            group_cols=group_cols,
+            pivot=None,
+        )
+
+    def filter(self, field, pred=None) -> "KevinFrame":
+        """Row filter.  Two surfaces:
+
+        - ``filter(col_expr)`` — a Spark Column predicate (the fast path:
+          stays in codegen, pushes down to the scan).
+        - ``filter(name, fn)`` — reference surface (Combinator.hs:123):
+          ``fn`` is applied to the named column.  If ``fn`` composes Column
+          expressions (e.g. ``lambda c: c > 500``) it stays JVM-side; a
+          genuinely opaque Python predicate should use ``filter_udf``.
+
+        NULL semantics match the reference: Empty → row dropped
+        (Combinator.hs:132/164/182 ≡ SQL NULL → not-true → dropped).
+        Unknown field → 'no such field' (Combinator.hs:199).
+        Clears groups (reference filter' rebuilds with emptyGroups).
+        Filtering never disturbs the order spec — surviving rows keep
+        their relative order, like the reference's index view.
+        """
+        if pred is None:
+            if not isinstance(field, Column):
+                raise KevinTypeError("filter(expr) requires a Column predicate")
+            cond = field
+        else:
+            if not isinstance(field, str):
+                raise KevinTypeError("invalid field name")
+            self._check_field(field)
+            cond = pred(F.col(field))
+            if not isinstance(cond, Column):
+                raise KevinTypeError(
+                    "predicate did not produce a Column expression; use "
+                    "filter_udf for opaque Python predicates"
+                )
+        return self._derive(self._df.where(cond), group_cols=())
+
+    def filter_udf(self, field: str, fn: Callable, kind: str = "double") -> "KevinFrame":
+        """Reference's arbitrary-host-predicate surface (PolyParam,
+        Combinator.hs:122-156) for predicates not expressible as Column
+        expressions.  Runs as an Arrow-batched pandas UDF (the ~10-100×
+        faster slow path), with the reference's 'inconsistent type' check
+        against the column's Spark type.
+        """
+        from pyspark.sql.functions import pandas_udf
+
+        self._check_field(field)
+        dtype = dict(self._df.dtypes)[field]
+        numeric = {"tinyint", "smallint", "int", "bigint", "float", "double", "decimal"}
+        is_num = any(dtype.startswith(n) for n in numeric)
+        if kind in ("double", "float", "int", "word") and not is_num:
+            raise KevinTypeError("inconsistent type")
+        if kind in ("str", "string") and dtype != "string":
+            raise KevinTypeError("inconsistent type")
+
+        @pandas_udf("boolean")
+        def _pred(s):
+            return s.map(lambda v: bool(fn(v)) if v is not None else False)
+
+        return self._derive(self._df.where(_pred(F.col(field))), group_cols=())
+
+    def with_column(
+        self, name: str, col: Column, traits: FieldTraits | None = None
+    ) -> "KevinFrame":
+        """Derived column (engine extension; the reference has no scalar
+        expression language — SURVEY §2.8 — so this is pure Spark surface)."""
+        out = self._df.withColumn(name, col)
+        new_traits = dict(self.traits)
+        new_traits[name] = traits or infer_traits_for_spark_type(
+            name, out.schema[name].dataType
+        )
+        return self._derive(out, traits=new_traits)
+
+    # ------------------------------------------------------------------ #
+    # grouping / aggregation (reference Combinator.hs:56-72, 202-226)
+    # ------------------------------------------------------------------ #
+
+    def groupby(self, names) -> "KevinFrame":
+        """Record grouping state on the frame (reference Combinator.hs:56-72).
+
+        Unknown key names are silently ignored (reference goes through
+        ``select``).  The frame's rows are unchanged; groups are realized at
+        ``aggregate`` time, where output groups come out ascending by key —
+        deferred exactly like Catalyst defers the physical aggregation.
+        """
+        keys = [n for n in _as_name_list(names) if n in self.columns]
+        return self._derive(self._df, group_cols=tuple(keys))
+
+    def aggregate(self, agg, field: str, alias: str | None = None) -> "KevinFrame":
+        """Grouped scalar aggregation of ONE column (reference
+        Combinator.hs:202-226): output = group-key columns + aggregated
+        column, groups ascending by key tuple, groups cleared.  No groups
+        recorded → one global row (Combinator.hs:210-212).
+
+        ``agg`` is a registry name ('sum', 'mean', 'count', 'variance', 'sd',
+        'concat', ...) or any ``(col, idx) -> Column`` callable.  All registry
+        aggregators are JVM built-ins → partial (map-side) aggregation +
+        whole-stage codegen.  The ascending-by-key output order is carried as
+        a lazy order spec — NO window, NO extra shuffle beyond the groupBy
+        itself, so this is safe at any group cardinality.
+        """
+        if field not in self.columns:
+            raise KevinFieldError("no such field")
+        fn, kind = agglib.resolve(agg)
+        self._check_agg_kind(field, kind)
+        out_name = alias or field
+
+        base = self
+        if isinstance(agg, str) and agg == "concat" and self.ordered:
+            base = self._materialized()
+        idx_col = F.col(IDX) if base.ordered else None
+        expr = fn(F.col(field), idx_col).alias(out_name)
+
+        if base.group_cols:
+            out = base._df.groupBy(*base.group_cols).agg(expr)
+            spec = tuple((k, True) for k in base.group_cols)
+        else:
+            out = base._df.agg(expr)
+            spec = ()
+        traits = {k: base.traits[k] for k in base.group_cols if k in base.traits}
+        traits[out_name] = TEXT_DIM if agg == "concat" else NUM_MEASURE
+        if base.ordered:
+            out = out.withColumn(IDX, F.monotonically_increasing_id())
+        return self._derive(
+            out,
+            traits=traits,
+            group_cols=(),
+            pivot=None,
+            order_spec=spec,
+            idx_asc=True,
+        )
+
+    def aggregate_udf(
+        self,
+        fold: Callable,
+        field: str,
+        alias: str | None = None,
+        return_type: str = "double",
+    ) -> "KevinFrame":
+        """Arbitrary host-language fold (reference PolyParam aggregate,
+        Combinator.hs:124) as an Arrow-batched grouped-agg pandas UDF.
+        ``fold`` receives the group's values as a pandas Series and returns
+        a scalar.
+        """
+        from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+        if field not in self.columns:
+            raise KevinFieldError("no such field")
+        out_name = alias or field
+
+        @pandas_udf(return_type, PandasUDFType.GROUPED_AGG)
+        def _fold(v):
+            return fold(v)
+
+        if self.group_cols:
+            out = self._df.groupBy(*self.group_cols).agg(
+                _fold(F.col(field)).alias(out_name)
+            )
+            spec = tuple((k, True) for k in self.group_cols)
+        else:
+            out = self._df.agg(_fold(F.col(field)).alias(out_name))
+            spec = ()
+        traits = {k: self.traits[k] for k in self.group_cols if k in self.traits}
+        traits[out_name] = NUM_MEASURE
+        if self.ordered:
+            out = out.withColumn(IDX, F.monotonically_increasing_id())
+        return self._derive(
+            out, traits=traits, group_cols=(), pivot=None, order_spec=spec, idx_asc=True
+        )
+
+    # ------------------------------------------------------------------ #
+    # sort / slicing (reference Combinator.hs:228-237, 293-315)
+    # ------------------------------------------------------------------ #
+
+    def sort(self, field: str, order: SortOrder = SortOrder.ASCENDING) -> "KevinFrame":
+        """Reorder rows by one column (reference Combinator.hs:228-237).
+
+        Pure metadata: rewrites the lazy order spec; no job runs.
+        Ascending is a stable sort — ties keep the current order, so the
+        current spec becomes the tiebreak.  Descending is the REVERSE of
+        the ascending result (Combinator.hs:229-230) — prepend (field desc)
+        and flip every older component.  Unknown field → frame unchanged
+        (reference fallback, Combinator.hs:237).  Keeps groups.
+        """
+        self._require_ordered("sort")
+        if field not in self.columns:
+            return self
+        if order == SortOrder.ASCENDING:
+            spec = ((field, True),) + self.order_spec
+            return self._derive(self._df, order_spec=spec)
+        spec = ((field, False),) + tuple((n, not a) for n, a in self.order_spec)
+        return self._derive(self._df, order_spec=spec, idx_asc=not self.idx_asc)
+
+    def take(self, n: int) -> "KevinFrame":
+        """First n rows of the view (reference Combinator.hs:293-295);
+        n<=0 → row-empty, n>height → all rows.
+
+        Compiles to ``orderBy(spec).limit(n)`` — Catalyst's
+        TakeOrderedAndProject: each partition computes its local top-n,
+        the driver merges; fully parallel, no global sort.
+        """
+        self._require_ordered("take")
+        if n <= 0:
+            return self._derive(self._df.where(F.lit(False)))
+        out = self._df.orderBy(*self._order_cols()).limit(n)
+        return self._derive(out)
+
+    def drop(self, n: int) -> "KevinFrame":
+        """All but the first n rows (reference Combinator.hs:297-299);
+        ``orderBy(spec).offset(n)``."""
+        self._require_ordered("drop")
+        if n <= 0:
+            return self
+        out = self._df.orderBy(*self._order_cols()).offset(n)
+        return self._derive(out)
+
+    def _nonempty_or_raise(self, op: str) -> int:
+        h = self.height()
+        if h == 0:
+            raise KevinValueError(f"{op}: empty data frame")
+        return h
+
+    def head(self) -> "KevinFrame":
+        """First row only; errors on a row-empty frame (reference uses
+        Prelude.head — see test/Spec.lhs:33)."""
+        self._require_ordered("head")
+        self._nonempty_or_raise("head")
+        return self.take(1)
+
+    def tail(self) -> "KevinFrame":
+        """All but the first row; errors on empty (Combinator.hs:313-315)."""
+        self._require_ordered("tail")
+        self._nonempty_or_raise("tail")
+        return self.drop(1)
+
+    def init(self) -> "KevinFrame":
+        """All but the last row; errors on empty (Combinator.hs:305-307)."""
+        self._require_ordered("init")
+        h = self._nonempty_or_raise("init")
+        return self.take(h - 1)
+
+    def last(self) -> "KevinFrame":
+        """Last row only; errors on empty (Combinator.hs:309-311)."""
+        self._require_ordered("last")
+        h = self._nonempty_or_raise("last")
+        return self.drop(h - 1)
+
+    # ------------------------------------------------------------------ #
+    # size (reference Combinator.hs:278-291)
+    # ------------------------------------------------------------------ #
+
+    def height(self) -> int:
+        """Visible row count; on pivot frames, the row-tree leaf count
+        (1 if the row tree is empty) — reference Combinator.hs:278-291."""
+        if self.pivot is not None:
+            if not self.pivot.row_fields:
+                return 1
+            return self._df.select(*self.pivot.row_fields).distinct().count()
+        return self._df.count()
+
+    def width(self) -> int:
+        if self.pivot is not None:
+            if not self.pivot.col_fields:
+                return 1
+            return self._df.select(*self.pivot.col_fields).distinct().count()
+        return len(self.columns)
+
+    def size(self) -> tuple[int, int]:
+        return (self.height(), self.width())
+
+    # ------------------------------------------------------------------ #
+    # combination (reference Combinator.hs:317-360)
+    # ------------------------------------------------------------------ #
+
+    def append(self, other: "KevinFrame") -> "KevinFrame":
+        """Vertical union (reference Combinator.hs:317-337): both frames must
+        have the same (name, traits) column set, order-insensitive; output
+        column order = left's; rows = left's then right's; groups cleared.
+
+        Unordered frames union with zero overhead (pure unionByName);
+        ordered frames materialize both sides' positions first so the
+        combined order is exact — a presentation-scale cost by design.
+        """
+        left_cols = {n: self.traits.get(n) for n in self.columns}
+        right_cols = {n: other.traits.get(n) for n in other.columns}
+        if left_cols != right_cols:
+            raise KevinValueError("Can't append inconsistent data frames")
+        if self.ordered and other.ordered:
+            l = self._materialized()
+            r = other._materialized()
+            lf = l._df.select(*self.columns, IDX).withColumn("__src", F.lit(0))
+            rf = r._df.select(*self.columns, IDX).withColumn("__src", F.lit(1))
+            out = lf.unionByName(rf)
+            out = out.withColumn(
+                IDX,
+                F.row_number()
+                .over(Window.orderBy(F.col("__src").asc(), F.col(IDX).asc()))
+                .cast("long"),
+            ).drop("__src")
+            return self._derive(
+                out, group_cols=(), pivot=None, order_spec=(), idx_asc=True
+            )
+        out = self._df.select(*self.columns).unionByName(other._df.select(*self.columns))
+        return self._derive(
+            out, group_cols=(), pivot=None, ordered=False, order_spec=(), idx_asc=True
+        )
+
+    def join(self, other: "KevinFrame") -> "KevinFrame":
+        """POSITIONAL (zip) join — the reference's only join
+        (Combinator.hs:339-360): requires equal heights, glues the i-th row
+        of each side, concatenates all columns, renumbers.
+
+        Spark has no native zip join for DataFrames; we realize it as
+        dense-position materialization on both sides → equi-join on
+        position.  Duplicate column names are disambiguated with a ``_r``
+        suffix (the reference allows duplicates outright; Spark would make
+        them unaddressable).
+        """
+        self._require_ordered("join")
+        other._require_ordered("join")
+        h0, h1 = self.height(), other.height()
+        if h0 != h1:
+            raise KevinValueError("Can't join inconsistent data frames")
+        l = self._materialized(force=True)._df
+        r = other._materialized(force=True)._df.withColumnRenamed(IDX, "__rn")
+        rename = {c: f"{c}_r" for c in other.columns if c in self.columns}
+        for old, new in rename.items():
+            r = r.withColumnRenamed(old, new)
+        out = l.join(r, l[IDX] == r["__rn"]).drop("__rn")
+        traits = dict(self.traits)
+        for c in other.columns:
+            traits[rename.get(c, c)] = other.traits.get(c)
+        out = out.select(*self.columns, *[rename.get(c, c) for c in other.columns], IDX)
+        return self._derive(
+            out, traits=traits, group_cols=(), pivot=None, order_spec=(), idx_asc=True
+        )
+
+    def merge(
+        self,
+        other: "KevinFrame",
+        on,
+        how: str = "inner",
+        broadcast_other: bool = False,
+    ) -> "KevinFrame":
+        """Relational join — absent in the reference (TODO:2 lists it as
+        future work) but required for real queries; pure Spark.
+
+        ``broadcast_other=True`` hints a broadcast-hash join for dimension
+        tables (no shuffle of the fact side).  Row order follows the left
+        frame (its order spec survives); 1:N joins interleave matches of
+        the same left row in right-side order nondeterministically — use an
+        unordered frame when that matters at scale.
+        """
+        r = other._df.drop(IDX) if IDX in other._df.columns else other._df
+        r = r.drop(*[c for c in r.columns if c.startswith("__")])
+        if broadcast_other:
+            r = F.broadcast(r)
+        out = self._df.join(r, on=on, how=how)
+        traits = dict(self.traits)
+        for c in other.columns:
+            if c in out.columns and c not in traits:
+                traits[c] = other.traits.get(c)
+        keeps_left_rows = how in (
+            "inner",
+            "left",
+            "leftouter",
+            "left_outer",
+            "semi",
+            "leftsemi",
+            "left_semi",
+            "anti",
+            "leftanti",
+            "left_anti",
+            "cross",
+        )
+        ordered = self.ordered and keeps_left_rows
+        if not ordered and IDX in out.columns:
+            out = out.drop(IDX)
+        return self._derive(
+            out,
+            traits=traits,
+            group_cols=(),
+            pivot=None,
+            ordered=ordered,
+            order_spec=self.order_spec if ordered else (),
+            idx_asc=self.idx_asc if ordered else True,
+        )
+
+    # ------------------------------------------------------------------ #
+    # pivot state (reference DataFrame.hs:273-283, Combinator.hs:239-267)
+    # ------------------------------------------------------------------ #
+
+    def to_pivot(self, value_field: str) -> "KevinFrame":
+        """Enter pivot form (reference DataFrame.hs:276-283): every other
+        field becomes the row title tree; the col tree starts empty."""
+        self._check_field(value_field)
+        rows = tuple(c for c in self.columns if c != value_field)
+        return self._derive(self._df, pivot=PivotState(rows, (), value_field))
+
+    def from_pivot(self) -> "KevinFrame":
+        """Leave pivot form (reference DataFrame.hs:273-274)."""
+        return self._derive(self._df, pivot=None)
+
+    def stack(self, field: str) -> "KevinFrame":
+        """Move a field from the col tree to the end of the row tree
+        (reference Combinator.hs:239-252)."""
+        if self.pivot is None:
+            raise KevinPivotError("not in pivot form")
+        if field not in self.pivot.col_fields:
+            raise KevinPivotError("unable to stack")
+        cols = tuple(c for c in self.pivot.col_fields if c != field)
+        rows = self.pivot.row_fields + (field,)
+        return self._derive(self._df, pivot=PivotState(rows, cols, self.pivot.value_field))
+
+    def unstack(self, field: str) -> "KevinFrame":
+        """Move a field from the row tree to the end of the col tree
+        (reference Combinator.hs:254-267)."""
+        if self.pivot is None:
+            raise KevinPivotError("not in pivot form")
+        if field not in self.pivot.row_fields:
+            raise KevinPivotError("unable to unstack")
+        rows = tuple(c for c in self.pivot.row_fields if c != field)
+        cols = self.pivot.col_fields + (field,)
+        return self._derive(self._df, pivot=PivotState(rows, cols, self.pivot.value_field))
+
+    # ------------------------------------------------------------------ #
+    # reshaping (melt / cast) — reference Combinator.hs:78-120, 269-276
+    # ------------------------------------------------------------------ #
+
+    def melt(self, id_fields, var_fields) -> "KevinFrame":
+        """Wide→long unpivot (reference Combinator.hs:78-120).
+
+        Output columns: ids + ``variable`` (Text/Dimension/Discrete) +
+        ``value`` (Number/Measure/Continuous) — traits per
+        Combinator.hs:116-117.  Row order is var-major (all rows of var1,
+        then var2, ...; Combinator.hs:102-107), values in frame order within
+        each variable.  Empty var list → error (test/Spec.lhs:99); empty id
+        list OK; all-unknown names → row-empty frame (test/Spec.lhs:106).
+
+        Spark-first: this is ``df.unpivot`` (Spark 3.4+), one narrow pass,
+        no shuffle.  The var-major order is carried as a lazy order spec on
+        a hidden variable-position column — no window, no renumber.
+        """
+        ids = _as_name_list(id_fields)
+        vars_ = _as_name_list(var_fields)
+        if not vars_:
+            # reference: empty var list is a dispatch error (test/Spec.lhs:99)
+            raise KevinTypeError("invalid field name")
+        ids = [n for n in ids if n in self.columns]
+        vars_ = [n for n in vars_ if n in self.columns]
+        traits = {n: self.traits[n] for n in ids if n in self.traits}
+        traits["variable"] = TEXT_DIM
+        traits["value"] = NUM_MEASURE
+        if not vars_:
+            empty = self._df.where(F.lit(False)).select(
+                *ids, *([IDX] if self.ordered else [])
+            )
+            empty = empty.withColumn("variable", F.lit(None).cast("string"))
+            empty = empty.withColumn("value", F.lit(None).cast("double"))
+            cols = [*ids, "variable", "value"] + ([IDX] if self.ordered else [])
+            return self._derive(
+                empty.select(*cols),
+                traits=traits,
+                group_cols=(),
+                pivot=None,
+                order_spec=(),
+                idx_asc=True,
+            )
+        base = self._df.select(*ids, *vars_, *([IDX] if self.ordered else []))
+        base = base.withColumns({v: F.col(v).cast("double") for v in vars_})
+        out = base.unpivot(
+            ids=[*ids] + ([IDX] if self.ordered else []),
+            values=vars_,
+            variableColumnName="variable",
+            valueColumnName="value",
+        )
+        if self.ordered:
+            # var-major order: hidden variable-position column heads the
+            # order spec (pure metadata; no job, no window)
+            pos_expr = F.when(F.col("variable") == vars_[0], F.lit(0))
+            for i, v in enumerate(vars_[1:], start=1):
+                pos_expr = pos_expr.when(F.col("variable") == v, F.lit(i))
+            out = out.withColumn("__vpos", pos_expr)
+            out = out.select(*ids, "variable", "value", IDX, "__vpos")
+            spec = (("__vpos", True),) + self.order_spec
+            return self._derive(
+                out,
+                traits=traits,
+                group_cols=(),
+                pivot=None,
+                order_spec=spec,
+            )
+        out = out.select(*ids, "variable", "value")
+        return self._derive(out, traits=traits, group_cols=(), pivot=None)
+
+    def cast(self, row_fields, col_fields, agg, value_field: str) -> "KevinFrame":
+        """Long→wide pivot with aggregation (reference Combinator.hs:269-276,
+        defined there as unstack^n ∘ toPivot ∘ aggregate ∘ groupby).
+
+        Guards per Combinator.hs:271-272: row/col overlap → error; value
+        field among row/col fields → error.  We realize the data as the
+        grouped aggregation (long form) and carry pivot state; the crosstab
+        widening happens in ``pivot_table`` / the renderer.
+        """
+        rows = _as_name_list(row_fields)
+        cols = _as_name_list(col_fields)
+        if set(rows) & set(cols):
+            raise KevinValueError("unable to cast")
+        if value_field in rows or value_field in cols:
+            raise KevinValueError("unable to cast")
+        out = self.groupby(rows + cols).aggregate(agg, value_field)
+        return out._derive(out._df, pivot=PivotState(tuple(rows), tuple(cols), value_field))
+
+    def pivot_table(self, max_distinct: int = 10000) -> DataFrame:
+        """Materialize the crosstab for a frame in pivot form:
+        ``groupBy(row_fields).pivot(col-values).agg(first(value))`` —
+        reference crosstab semantics (DataFrame.hs:128-172): each cell is
+        the value of the single row at that (row-path, col-path); NULL if
+        none.  ``max_distinct`` bounds the pivot width (at scale a pivot to
+        millions of columns is a modeling error, not a query)."""
+        if self.pivot is None:
+            raise KevinPivotError("not in pivot form")
+        rows, cols, val = (
+            list(self.pivot.row_fields),
+            list(self.pivot.col_fields),
+            self.pivot.value_field,
+        )
+        df = self._df
+        if not cols:
+            out = df.select(*rows, val)
+            if rows:
+                out = out.orderBy(*rows)
+            return out
+        key = F.concat_ws("/", *[F.col(c).cast("string") for c in cols]).alias("__ckey")
+        df = df.withColumn("__ckey", key)
+        gb = df.groupBy(*rows) if rows else df.groupBy(F.lit(1).alias("__all"))
+        out = gb.pivot("__ckey", values=None).agg(F.first(F.col(val)))
+        if rows:
+            out = out.orderBy(*rows)
+        else:
+            out = out.drop("__all")
+        return out
+
+    # ------------------------------------------------------------------ #
+    # actions / conversion
+    # ------------------------------------------------------------------ #
+
+    def collect(self):
+        return self.to_df().collect()
+
+    def to_pandas(self):
+        return self.to_df().toPandas()
+
+    def show(self, n: int = 20) -> None:
+        self.to_df().show(n, truncate=False)
+
+    def render(self, max_rows: int = 100) -> str:
+        """Reference-parity text rendering (flat table or crosstab)."""
+        from kevinlang_spark.render import render_frame
+
+        return render_frame(self, max_rows=max_rows)
+
+    def explain(self, mode: str = "formatted") -> None:
+        self.to_df().explain(mode)
+
+    def __repr__(self) -> str:
+        state = []
+        if self.order_spec:
+            state.append(f"order={list(self.order_spec)}")
+        if self.group_cols:
+            state.append(f"groups={list(self.group_cols)}")
+        if self.pivot:
+            state.append(
+                f"pivot(rows={list(self.pivot.row_fields)}, "
+                f"cols={list(self.pivot.col_fields)}, value={self.pivot.value_field})"
+            )
+        return f"KevinFrame(cols={self.columns}{', ' + ', '.join(state) if state else ''})"

@@ -1,0 +1,103 @@
+"""Aggregator semantics vs the reference library
+(/root/reference/src/Data/DataFrame/Aggregator.hs, test/Spec.lhs:83-96)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from kevinlang_spark.errors import KevinFieldError, KevinTypeError
+
+SALES = [1060, 5467, 1040, 3245, 1360, 6544, 1807, 5321, 1437, 3218, 2543, 5439, 3211]
+COSTS = [244, 545, 322, 446, 541, 321, 655, 741, 336, 437, 872, 246, 541]
+CITIES = (
+    ["hangzhou"] * 6 + ["shanghai"] * 5 + ["beijing"] * 2
+)
+
+
+def _one(kf, col):
+    rows = kf.collect()
+    assert len(rows) == 1
+    return rows[0][col]
+
+
+def test_sum(simple_frame):
+    assert _one(simple_frame.aggregate("sum", "cost"), "cost") == sum(COSTS)
+
+
+def test_mean(simple_frame):
+    got = _one(simple_frame.aggregate("mean", "cost"), "cost")
+    assert got == pytest.approx(sum(COSTS) / len(COSTS))
+
+
+def test_count_returns_float(simple_frame):
+    # Aggregator.hs:12-13 — count comes back as a RealFloat
+    got = _one(simple_frame.aggregate("count", "cost"), "cost")
+    assert isinstance(got, float)
+    assert got == 13.0
+
+
+def test_variance_is_population(simple_frame):
+    # Aggregator.hs:15-17 — mean of squared deviations, NO n-1
+    mu = sum(COSTS) / len(COSTS)
+    pop_var = sum((x - mu) ** 2 for x in COSTS) / len(COSTS)
+    got = _one(simple_frame.aggregate("variance", "cost"), "cost")
+    assert got == pytest.approx(pop_var)
+
+
+def test_sd_is_population(simple_frame):
+    mu = sum(COSTS) / len(COSTS)
+    pop_sd = math.sqrt(sum((x - mu) ** 2 for x in COSTS) / len(COSTS))
+    got = _one(simple_frame.aggregate("sd", "cost"), "cost")
+    assert got == pytest.approx(pop_sd)
+
+
+def test_concat_in_frame_order(simple_frame):
+    # Aggregator.hs:23-24 — order-sensitive string concatenation
+    got = _one(simple_frame.aggregate("concat", "city"), "city")
+    assert got == "".join(CITIES)
+
+
+def test_concat_respects_sort_order(simple_frame):
+    got = _one(simple_frame.sort("cost").aggregate("concat", "city"), "city")
+    order = [c for _, c in sorted(zip(COSTS, CITIES), key=lambda t: t[0])]
+    assert got == "".join(order)
+
+
+def test_numeric_agg_on_string_errors(simple_frame):
+    # test/Spec.lhs:88-93 — every numeric aggregator on a Text column errors
+    for agg in ("sum", "mean", "count", "variance", "sd"):
+        with pytest.raises(KevinTypeError):
+            simple_frame.aggregate(agg, "city")
+
+
+def test_concat_on_numeric_errors(simple_frame):
+    with pytest.raises(KevinTypeError):
+        simple_frame.aggregate("concat", "cost")
+
+
+def test_agg_unknown_field(simple_frame):
+    with pytest.raises(KevinFieldError):
+        simple_frame.aggregate("sum", "hehehe")
+
+
+def test_aggregate_udf_custom_fold(simple_frame):
+    # reference accepts arbitrary host folds (Combinator.hs:124);
+    # ours run as Arrow-batched grouped-agg pandas UDFs
+    out = simple_frame.groupby("city").aggregate_udf(
+        lambda s: float(s.max() - s.min()), "sale", alias="sale_range"
+    )
+    by_city = {r["city"]: r["sale_range"] for r in out.collect()}
+    assert by_city["hangzhou"] == 6544 - 1040
+    assert by_city["beijing"] == 5439 - 3211
+
+
+def test_grouped_variance(simple_frame):
+    out = simple_frame.groupby("city").aggregate("variance", "cost")
+    by_city = {r["city"]: r["cost"] for r in out.collect()}
+    bj = [246, 541]  # beijing costs
+    mu = sum(bj) / len(bj)
+    assert by_city["beijing"] == pytest.approx(
+        sum((x - mu) ** 2 for x in bj) / len(bj)
+    )

@@ -1,0 +1,162 @@
+"""Core combinator semantics against the reference's primary fixture
+(test expectations from /root/reference/test/Spec.lhs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kevinlang_spark.errors import KevinFieldError, KevinTypeError, KevinValueError
+from kevinlang_spark.frame import KevinFrame, SortOrder
+from kevinlang_spark.traits import DataInterpretation, DataRole, KType
+
+
+def test_size(simple_frame):
+    # Spec.lhs:20-22 — height 13, width 7
+    assert simple_frame.size() == (13, 7)
+
+
+def test_traits_inference(simple_frame):
+    t = simple_frame.traits
+    assert t["gender"].ktype == KType.TEXT
+    assert t["gender"].role == DataRole.DIMENSION
+    # the year name-rule (DataFrame.hs:226-228)
+    assert t["year"].role == DataRole.DIMENSION
+    assert t["year"].interp == DataInterpretation.DISCRETE
+    assert t["sale"].role == DataRole.MEASURE
+    assert t["sale"].interp == DataInterpretation.CONTINUOUS
+
+
+def test_select_reorders_and_drops_unknown(simple_frame):
+    # Combinator.hs:46-55 — unknown names silently dropped, order follows request
+    kf = simple_frame.select(["cost", "city", "nope"])
+    assert kf.columns == ["cost", "city"]
+    # selecting a single name (VaridicParam single-string case)
+    assert simple_frame.select("city").columns == ["city"]
+    # column-empty frame
+    assert simple_frame.select(["nope"]).columns == []
+
+
+def test_select_invalid_name_type(simple_frame):
+    with pytest.raises(KevinTypeError):
+        simple_frame.select([1, 2])
+
+
+def test_filter_expr_and_callable(simple_frame):
+    # Spec.lhs:72-74
+    beijing = simple_frame.filter("city", lambda c: c == "beijing")
+    assert beijing.height() == 2
+    costly = simple_frame.filter(F.col("cost") > 500)
+    assert costly.height() == 6
+    with pytest.raises(KevinFieldError):
+        simple_frame.filter("nope", lambda c: c == "x")
+
+
+def test_filter_udf_type_check(simple_frame):
+    with pytest.raises(KevinTypeError):
+        simple_frame.filter_udf("city", lambda v: v > 3, kind="double")
+    got = simple_frame.filter_udf("cost", lambda v: v > 500, kind="double")
+    assert got.height() == 6
+
+
+def test_sort_ascending_stable(simple_frame):
+    kf = simple_frame.sort("cost")
+    costs = [r["cost"] for r in kf.select("cost").collect()]
+    assert costs == sorted(costs)
+
+
+def test_sort_descending_is_reverse_of_ascending(simple_frame):
+    # Combinator.hs:229-230: descending = reverse of ascending, so ties come
+    # out in REVERSED original order.  cost 541 appears twice (rows 5 and 13,
+    # sale 1360 then 3211); descending must yield 3211 before 1360.
+    desc = simple_frame.sort("cost", SortOrder.DESCENDING)
+    rows = desc.select(["cost", "sale"]).collect()
+    asc = simple_frame.sort("cost").select(["cost", "sale"]).collect()
+    assert rows == asc[::-1]
+    sales_at_541 = [r["sale"] for r in rows if r["cost"] == 541.0]
+    assert sales_at_541 == [3211.0, 1360.0]
+
+
+def test_sort_unknown_field_noop(simple_frame):
+    kf = simple_frame.sort("nope")
+    assert kf.height() == 13
+
+
+def test_take_drop(simple_frame):
+    # Spec.lhs:27-31
+    assert simple_frame.take(3).height() == 3
+    assert simple_frame.take(0).height() == 0
+    assert simple_frame.take(99).height() == 13
+    assert simple_frame.drop(3).height() == 10
+    assert simple_frame.drop(0).height() == 13
+    assert simple_frame.drop(99).height() == 0
+
+
+def test_head_tail_init_last(simple_frame):
+    assert simple_frame.head().height() == 1
+    assert simple_frame.tail().height() == 12
+    assert simple_frame.init().height() == 12
+    assert simple_frame.last().height() == 1
+    # head/last pick the right ends
+    first = simple_frame.head().collect()[0]
+    assert first["sale"] == 1060.0
+    last = simple_frame.last().collect()[0]
+    assert last["sale"] == 3211.0
+
+
+def test_head_on_empty_errors(simple_frame):
+    empty = simple_frame.take(0)
+    for op in ("head", "tail", "init", "last"):
+        with pytest.raises(KevinValueError):
+            getattr(empty, op)()
+
+
+def test_groupby_aggregate_sum(simple_frame):
+    # groups come out ascending by key (Combinator.hs:66-72)
+    out = simple_frame.groupby("city").aggregate("sum", "sale").collect()
+    cities = [r["city"] for r in out]
+    assert cities == ["beijing", "hangzhou", "shanghai"]
+    by_city = {r["city"]: r["sale"] for r in out}
+    assert by_city["beijing"] == 5439 + 3211
+    assert by_city["hangzhou"] == 1060 + 5467 + 1040 + 3245 + 1360 + 6544
+
+
+def test_groupby_unknown_key_ignored(simple_frame):
+    out = simple_frame.groupby(["city", "nope"]).aggregate("count", "sale")
+    assert out.height() == 3
+    assert out.columns == ["city", "sale"]
+
+
+def test_aggregate_global_no_groups(simple_frame):
+    out = simple_frame.aggregate("sum", "sale").collect()
+    assert len(out) == 1
+    assert out[0]["sale"] == 41692.0
+
+
+def test_aggregate_unknown_field(simple_frame):
+    with pytest.raises(KevinFieldError):
+        simple_frame.aggregate("sum", "nope")
+
+
+def test_filter_then_groupby_pipeline(simple_frame):
+    out = (
+        simple_frame.filter("cost", lambda c: c > 500)
+        .groupby("city")
+        .aggregate("count", "sale")
+        .collect()
+    )
+    by_city = {r["city"]: r["sale"] for r in out}
+    # costs > 500: rows 2(545,hangzhou) 5(541,hangzhou) 7(655,shanghai)
+    # 8(741,shanghai) 11(872,shanghai) 13(541,beijing)
+    assert by_city == {"beijing": 1.0, "hangzhou": 2.0, "shanghai": 3.0}
+
+
+def test_unordered_mode_raises_on_order_ops(spark):
+    df = spark.range(10).withColumnRenamed("id", "x")
+    kf = KevinFrame.from_df(df, ordered=False)
+    with pytest.raises(KevinValueError):
+        kf.sort("x")
+    with pytest.raises(KevinValueError):
+        kf.take(3)
+    # order-free ops still fine
+    assert kf.filter(F.col("x") > 4).height() == 5
