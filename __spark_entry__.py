@@ -193,6 +193,305 @@ def q_revenue_by_nation(spark, sf_dir):
     return _revenue_by_nation(spark, sf_dir)
 
 
+# --------------------------------------------------------------------- #
+# TPC-H-style relational queries (beyond-reference: real join capability)
+# --------------------------------------------------------------------- #
+
+
+def q_tpch_q1(spark, sf_dir):
+    """Pricing summary report: multi-aggregate groupBy with a pushed-down
+    scan filter (the canonical partial-agg + codegen shape)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q3(spark, sf_dir):
+    """Shipping priority: 3-way join, filter both sides, top-10 by revenue."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_tpch_q5(spark, sf_dir):
+    """Local supplier volume: 6-way join with two broadcast dims."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_tpch_q6(spark, sf_dir):
+    """Forecast revenue: pure scan-filter-aggregate (pushdown showcase)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+    return out
+
+
+# --------------------------------------------------------------------- #
+# window functions (absent in reference, SURVEY §2.7 — free in Spark)
+# --------------------------------------------------------------------- #
+
+
+def q_window_rank(spark, sf_dir):
+    """Top-3 orders by totalprice within each priority (ranking window)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+    )
+
+
+def q_window_lag(spark, sf_dir):
+    """Per-customer order-to-order price delta (analytic window)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn(
+            "delta", F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2)
+        )
+        .select("o_custkey", "o_orderkey", "delta")
+    )
+
+
+# --------------------------------------------------------------------- #
+# events: time windows + sessionization
+# --------------------------------------------------------------------- #
+
+
+def q_events_hourly(spark, sf_dir):
+    """Tumbling 1h windows per event type (streaming-shaped groupBy)."""
+    from kevinlang_spark.sources.parquet import load_events
+    from kevinlang_spark.streaming.windows import tumbling_counts
+
+    return tumbling_counts(load_events(spark, sf_dir), "1 hour").select(
+        "window_start", "event_type", "n", "value_sum"
+    )
+
+
+def q_events_sessions(spark, sf_dir):
+    """Gap-based sessionization (session_window) — per-user session stats."""
+    from kevinlang_spark.sources.parquet import load_events
+    from kevinlang_spark.streaming.windows import session_counts
+
+    return session_counts(load_events(spark, sf_dir), gap="30 minutes").select(
+        "user_id", "session_start", "n_events", "value_sum"
+    )
+
+
+# --------------------------------------------------------------------- #
+# dedup / text analysis / similarity / multimodal extension ops
+# --------------------------------------------------------------------- #
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact content dedup: min doc_id per normalized-text fingerprint."""
+    from kevinlang_spark.operators.dedup import dedup_exact_by_text
+
+    return dedup_exact_by_text(_t(spark, sf_dir, "documents")).select("fp", "doc_id")
+
+
+def q_dedup_rate(spark, sf_dir):
+    """Duplication rate per source: total vs distinct fingerprints."""
+    from kevinlang_spark.operators.text import fingerprint
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("source", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("fp").alias("n_unique"),
+        )
+    )
+
+
+def q_text_stats(spark, sf_dir):
+    """Per-document token/char statistics (pure codegen expressions)."""
+    from kevinlang_spark.functions.textexpr import token_count
+
+    t = F.col("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        F.length(t).alias("len_chars"),
+        F.round(
+            F.length(F.regexp_replace(F.lower(t), "[^a-z]", ""))
+            / F.when(F.length(t) > 0, F.length(t).cast("double")),
+            4,
+        ).alias("alpha_ratio"),
+    )
+
+
+def q_tokens_by_source(spark, sf_dir):
+    """Corpus token counting grouped by source."""
+    from kevinlang_spark.functions.textexpr import token_count
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("source", token_count(F.col("text")).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").alias("total_tokens"), F.count("*").alias("n_docs"))
+    )
+
+
+def q_langid(spark, sf_dir):
+    """Heuristic language-ID distribution (marker-set intersection)."""
+    from kevinlang_spark.operators.text import lang_id
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact token-set Jaccard pairs ≥ 0.8 on a doc subset (relational
+    candidate generation — the SQL-expressible dedup twin)."""
+    from kevinlang_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return ngram_jaccard_pairs(docs, threshold=0.8)
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified (rows-only:
+    the banded hash family is engine-internal)."""
+    from kevinlang_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, threshold=0.8)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming ≤ 3, pigeonhole blocking; rows-only)."""
+    from kevinlang_spark.operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def _query_vec(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return [float(v) for v in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+
+
+def q_knn_cosine(spark, sf_dir):
+    """Exact cosine top-10 to the vec_id=0 embedding (brute-force baseline,
+    TakeOrderedAndProject merge)."""
+    from kevinlang_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, _query_vec(spark, sf_dir), k=10).select(
+        "vec_id", F.round("sim", 4).alias("sim")
+    )
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Approximate top-10 via hyperplane-LSH bucket probing (rows-only:
+    bucket membership is engine-internal)."""
+    from kevinlang_spark.operators.similarity import ann_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_topk_lsh(emb, _query_vec(spark, sf_dir), k=10).select(
+        "vec_id", F.round("sim", 4).alias("sim")
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary media column → mapInPandas feature extraction (decode stubbed
+    deterministically, so the whole pipeline is oracle-checkable)."""
+    from kevinlang_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_media_features,
+    )
+
+    media = attach_fake_media(_t(spark, sf_dir, "documents"))
+    return extract_media_features(media)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_select": q_select,
@@ -208,6 +507,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_append": q_append,
         "q_pos_join": q_pos_join,
         "q_revenue_by_nation": q_revenue_by_nation,
+        "q_tpch_q1": q_tpch_q1,
+        "q_tpch_q3": q_tpch_q3,
+        "q_tpch_q5": q_tpch_q5,
+        "q_tpch_q6": q_tpch_q6,
+        "q_window_rank": q_window_rank,
+        "q_window_lag": q_window_lag,
+        "q_events_hourly": q_events_hourly,
+        "q_events_sessions": q_events_sessions,
+        "q_dedup_exact": q_dedup_exact,
+        "q_dedup_rate": q_dedup_rate,
+        "q_text_stats": q_text_stats,
+        "q_tokens_by_source": q_tokens_by_source,
+        "q_langid": q_langid,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_minhash_pairs": q_minhash_pairs,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_knn_cosine": q_knn_cosine,
+        "q_ann_lsh": q_ann_lsh,
+        "q_multimodal_features": q_multimodal_features,
     }
 
 
@@ -275,5 +593,154 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer ON o_custkey = c_custkey "
             "JOIN nation ON c_nationkey = n_nationkey "
             "GROUP BY n_name"
+        ),
+        "q_tpch_q1": (
+            "SELECT l_returnflag, l_linestatus, "
+            "ROUND(SUM(l_quantity), 2) AS sum_qty, "
+            "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, "
+            "ROUND(AVG(l_quantity), 4) AS avg_qty, "
+            "ROUND(AVG(l_extendedprice), 4) AS avg_price, "
+            "ROUND(AVG(l_discount), 6) AS avg_disc, "
+            "COUNT(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "q_tpch_q3": (
+            "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "AND l_shipdate > TIMESTAMP '1998-01-01' "
+            "GROUP BY o_orderkey, o_orderdate "
+            "ORDER BY ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) DESC, o_orderkey "
+            "LIMIT 10"
+        ),
+        "q_tpch_q5": (
+            "SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' GROUP BY n_name"
+        ),
+        "q_tpch_q6": (
+            "SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue "
+            "FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+        ),
+        "q_window_rank": (
+            "SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM ("
+            "SELECT o_orderpriority, o_orderkey, o_totalprice, "
+            "ROW_NUMBER() OVER (PARTITION BY o_orderpriority "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders"
+            ") WHERE rk <= 3"
+        ),
+        "q_window_lag": (
+            "SELECT o_custkey, o_orderkey, "
+            "ROUND(o_totalprice - LAG(o_totalprice) OVER "
+            "(PARTITION BY o_custkey ORDER BY o_orderkey), 2) AS delta "
+            "FROM orders"
+        ),
+        "q_events_hourly": (
+            "SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start, "
+            "event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS value_sum "
+            "FROM events GROUP BY 1, event_type"
+        ),
+        "q_events_sessions": (
+            "WITH e AS (SELECT user_id, ts, value, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "s AS (SELECT *, SUM(new_s) OVER "
+            "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM e) "
+            "SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start, "
+            "COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum "
+            "FROM s GROUP BY user_id, sid"
+        ),
+        "q_dedup_exact": (
+            "SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp, "
+            "MIN(doc_id) AS doc_id FROM documents GROUP BY 1"
+        ),
+        "q_dedup_rate": (
+            "SELECT source, COUNT(*) AS n_docs, "
+            "COUNT(DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) "
+            "AS n_unique FROM documents GROUP BY source"
+        ),
+        "q_text_stats": (
+            "SELECT doc_id, "
+            "CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '')) AS INTEGER) AS n_tokens, "
+            "CAST(length(text) AS INTEGER) AS len_chars, "
+            "ROUND(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) "
+            "/ CAST(length(text) AS DOUBLE), 4) AS alpha_ratio "
+            "FROM documents"
+        ),
+        "q_tokens_by_source": (
+            "SELECT source, "
+            "CAST(SUM(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> ''))) AS BIGINT) AS total_tokens, "
+            "COUNT(*) AS n_docs FROM documents GROUP BY source"
+        ),
+        "q_langid": (
+            "WITH t AS (SELECT text, list_distinct(list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS toks "
+            "FROM documents), "
+            "s AS (SELECT "
+            "len(list_intersect(toks, ['the','and','of','is','with','for'])) AS s_en, "
+            "len(list_intersect(toks, ['der','die','und','ist','mit','für'])) AS s_de, "
+            "len(list_intersect(toks, ['el','los','las','es','con','para'])) AS s_es, "
+            "len(list_intersect(toks, ['le','les','et','est','avec','pour'])) AS s_fr, "
+            "regexp_matches(text, '[一-鿿]') AS has_cjk FROM t) "
+            "SELECT CASE WHEN has_cjk THEN 'zh' "
+            "WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und' "
+            "WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en' "
+            "WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de' "
+            "WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es' "
+            "ELSE 'fr' END AS lang_pred, COUNT(*) AS n FROM s GROUP BY 1"
+        ),
+        "q_ngram_jaccard": (
+            "WITH toks AS (SELECT doc_id AS id, unnest(list_distinct(list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS tok "
+            "FROM documents WHERE doc_id < 200), "
+            "sizes AS (SELECT id, COUNT(*) AS sz FROM toks GROUP BY id), "
+            "pairs AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter "
+            "FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2) "
+            "SELECT id_a, id_b, "
+            "ROUND(n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 4) AS jaccard "
+            "FROM pairs JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id "
+            "WHERE n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.8"
+        ),
+        "q_knn_cosine": (
+            "SELECT e.vec_id, "
+            "ROUND(list_cosine_similarity(e.embedding, q.embedding), 4) AS sim "
+            "FROM embeddings e, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0) q "
+            "ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id "
+            "LIMIT 10"
+        ),
+        "q_multimodal_features": (
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' "
+            "ELSE 'video' END AS media_type, "
+            "octet_length(encode(text)) AS n_bytes, "
+            "CAST(CASE WHEN doc_id % 3 = 0 THEN octet_length(encode(text)) % 640 + 1 "
+            "WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) % 1280 + 1 "
+            "END AS INTEGER) AS width, "
+            "CAST(CASE WHEN doc_id % 3 = 0 THEN octet_length(encode(text)) % 480 + 1 "
+            "WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) % 720 + 1 "
+            "END AS INTEGER) AS height, "
+            "CAST(CASE WHEN doc_id % 3 = 0 THEN 1 "
+            "WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) % 300 + 1 "
+            "ELSE octet_length(encode(text)) % 44100 + 1 END AS INTEGER) AS n_frames, "
+            "md5(text) AS checksum "
+            "FROM documents"
         ),
     }

@@ -30,6 +30,19 @@ HEADLINE = [
     "q_cast_pivot",
     "q_agg_stats",
     "q_append",
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_window_rank",
+    "q_events_hourly",
+    "q_events_sessions",
+    "q_dedup_exact",
+    "q_minhash_pairs",
+    "q_simhash_pairs",
+    "q_knn_cosine",
+    "q_text_stats",
+    "q_multimodal_features",
 ]
 
 

@@ -1,0 +1,46 @@
+"""Text Column expressions.
+
+Everything here compiles to Catalyst expressions (split / filter /
+transform / aggregate) — the tokenizer runs inside whole-stage codegen on
+every executor, no Python in the loop.  The token regex ``[^a-z0-9]+`` is
+deliberately ASCII-simple so the DuckDB oracle can replicate it exactly
+(``regexp_split_to_array(lower(text), '[^a-z0-9]+')``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase + strip all non-alphanumerics — canonical form for exact
+    dedup fingerprints."""
+    return F.regexp_replace(F.lower(col), "[^a-z0-9]", "")
+
+
+def tokenize(col: Column) -> Column:
+    """array<string> of lowercase tokens, empties removed."""
+    parts = F.split(F.lower(col), TOKEN_SPLIT_RE)
+    return F.filter(parts, lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokenize(col))
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """array<string> of word n-gram shingles (space-joined).
+
+    Built with sequence+transform+slice — one pass over the token array per
+    row, no explode, no shuffle.  Documents shorter than n words yield their
+    whole token string as the single shingle.
+    """
+    toks = tokenize(col)
+    k = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1)))
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )

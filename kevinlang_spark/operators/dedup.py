@@ -1,0 +1,381 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Exact dedup is a hash-groupBy; near-dup comes in three flavors —
+MinHash+LSH banding (Jaccard), SimHash (Hamming), and exact n-gram
+Jaccard for verification — plus embedding-cosine near-dup in
+``similarity.py``.  All of them follow the same scale pattern:
+
+    per-row signature (narrow, codegen)  →  candidate generation by
+    bucket shuffle (the ONLY shuffle, on short keys)  →  within-bucket
+    verification (narrow again)
+
+so the cluster cost is one shuffle of (key, id) pairs, never an O(n²)
+cross join.  Signatures use deterministic seeded hash families
+(xxhash64 base + affine permutations mod a Mersenne prime), so results
+are reproducible across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kevinlang_spark.functions.textexpr import normalize_text, tokenize, word_shingles
+
+# 31-bit Mersenne prime: a,h < 2^31 keeps a·h+b < 2^62 — no long overflow
+# under ANSI arithmetic, and 2^31 hash space is ample for minhash.
+MERSENNE = (1 << 31) - 1
+
+
+# --------------------------------------------------------------------- #
+# exact dedup
+# --------------------------------------------------------------------- #
+
+
+def dedup_exact(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Exact dedup on the given columns (all by default): hash-groupBy,
+    keeps an arbitrary representative — ``dropDuplicates``, Catalyst's
+    partial-then-final First aggregation."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def dedup_exact_by_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact content dedup with a DETERMINISTIC representative: group by
+    normalized-text fingerprint, keep the min id.  One shuffle on the
+    16-byte digest; min() does map-side partial aggregation."""
+    return (
+        df.select(F.md5(normalize_text(F.col(text_col))).alias("fp"), id_col)
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+
+
+# --------------------------------------------------------------------- #
+# MinHash + LSH
+# --------------------------------------------------------------------- #
+
+
+def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE - 1), rng.randrange(0, MERSENNE - 1))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signature(
+    text: Column, num_hashes: int = 64, shingle_n: int = 3, seed: int = 42
+) -> Column:
+    """array<bigint> MinHash signature of the word-``shingle_n``-gram set.
+
+    Base hash = xxhash64(shingle); the hash family is affine permutations
+    ``(a·h + b) mod p`` over a broadcast literal parameter array, evaluated
+    with nested higher-order functions — one expression, no UDF, no
+    shuffle.  ``pmod`` keeps residues non-negative.
+    """
+    params = _hash_params(num_hashes, seed)
+    param_arr = F.array(
+        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in params]
+    )
+    shingle_hashes = F.transform(
+        F.array_distinct(word_shingles(text, shingle_n)),
+        lambda s: F.xxhash64(s),
+    )
+    return F.when(F.size(shingle_hashes) <= 0, F.lit(None)).otherwise(
+        F.transform(
+            param_arr,
+            lambda p: F.array_min(
+                F.transform(
+                    shingle_hashes,
+                    lambda h: F.pmod(p["a"] * F.pmod(h, F.lit(MERSENNE)) + p["b"], F.lit(MERSENNE)),
+                )
+            ),
+        )
+    )
+
+
+def minhash_signatures_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig array<bigint>) with the signature MATERIALIZED behind
+    exchange barriers.
+
+    Without the barriers Catalyst's CollapseProject inlines the shingle
+    expression into all 64 permutations and the signature into every
+    band key — a ~1000× recompute that also exceeds the codegen size
+    limit (interpreted-mode evaluation).  Two cheap round-robin exchanges
+    pin the intermediates; in a production pipeline the signature table
+    would simply be written out (the standard minhash checkpoint).
+    """
+    params = _hash_params(num_hashes, seed)
+    param_arr = F.array(
+        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in params]
+    )
+    n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.array_distinct(word_shingles(F.col(text_col), shingle_n)),
+            lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE)),
+        ).alias("hs"),
+    ).repartition(n_part)
+    sig_df = hashed.select(
+        "id",
+        F.when(F.size("hs") <= 0, F.lit(None))
+        .otherwise(
+            F.transform(
+                param_arr,
+                lambda p: F.array_min(
+                    F.transform(
+                        F.col("hs"),
+                        lambda h: F.pmod(p["a"] * h + p["b"], F.lit(MERSENNE)),
+                    )
+                ),
+            )
+        )
+        .alias("sig"),
+    ).repartition(n_part)
+    return sig_df
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) via LSH banding.
+
+    Materialized signature → ``bands`` band-keys (xxhash64 of each band's
+    rows) → explode → self-join on (band index, band key).  The join
+    shuffles only (band_key, id) — bands·n short rows — and AQE handles
+    hot buckets.  Pairs are distinct-ed; verification (exact Jaccard) is a
+    separate op so callers can tune the candidate/verify trade-off.
+    """
+    rows = num_hashes // bands
+    sig_df = minhash_signatures_df(df, id_col, text_col, num_hashes, shingle_n, seed)
+    banded = sig_df.where(F.col("sig").isNotNull()).select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                F.transform(
+                                    F.slice("sig", b * rows + 1, rows),
+                                    lambda v: v.cast("string"),
+                                ),
+                            )
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs: two broadcast-able
+    joins to attach shingle sets, then array_intersect/union — no explode."""
+    shingles = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    ).repartition(max(df.sparkSession.sparkContext.defaultParallelism, 8))
+    out = (
+        pairs.join(shingles.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(shingles.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold."""
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+    )
+    return jaccard_verify(df, cands, id_col, text_col, shingle_n, threshold)
+
+
+# --------------------------------------------------------------------- #
+# SimHash
+# --------------------------------------------------------------------- #
+
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """``bits``-bit SimHash of the token multiset, as bigint.
+
+    Per bit position: majority vote of token-hash bits; assembled with a
+    single aggregate over ``sequence(0, bits-1)``.  Pure expression —
+    runs in codegen.
+    """
+    return simhash_from_hashes(F.transform(tokenize(text), lambda t: F.xxhash64(t)), bits)
+
+
+def simhash_from_hashes(hashes: Column, bits: int = 64) -> Column:
+    """SimHash from a (possibly pre-materialized) token-hash array column —
+    callers doing pair generation should materialize the array once and
+    build the hash from the stored column (see ``simhash_neardup_pairs``)."""
+    n = F.size(hashes)
+    # unrolled at plan-build time (shift amounts must be literals); each
+    # bit contributes an INDEPENDENT term and the disjoint terms are summed
+    # — chaining when(...).otherwise(acc) would double the tree per bit.
+    # Bit 63 is the (negative) sign-bit mask, added last.
+    def _ones(mask: int):
+        # single-arg lambda: a 2-arg lambda would be (element, index) to F.filter
+        return F.size(F.filter(hashes, lambda h: h.bitwiseAND(F.lit(mask)) != 0))
+
+    terms = []
+    for b in range(bits):
+        mask = (1 << b) if b < 63 else -(1 << 63)
+        ones = _ones(mask)
+        terms.append(
+            F.when((n > 0) & (ones * 2 >= n), F.lit(mask).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ ``max_hamming``.
+
+    Pigeonhole blocking: split the 64-bit hash into ``blocks`` chunks; any
+    pair within distance ``max_hamming < blocks`` must agree on ≥1 chunk →
+    self-join per chunk (shuffle on 16-bit keys), verify with bit_count(xor).
+    """
+    width = 64 // blocks
+    n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokenize(F.col(text_col)), lambda t: F.xxhash64(t)).alias("hs"),
+    ).repartition(n_part)
+    sh = hashed.select(
+        "id", simhash_from_hashes(F.col("hs")).alias("sh")
+    ).repartition(n_part)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("blk"),
+                F.shiftrightunsigned(F.col("sh"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("chunk"),
+            )
+            for b in range(blocks)
+        ]
+    )
+    chunked = sh.select("id", "sh", F.explode(chunks).alias("bc")).select(
+        "id", "sh", "bc.blk", "bc.chunk"
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------- #
+# exact n-gram Jaccard (oracle-friendly: pure relational form)
+# --------------------------------------------------------------------- #
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs with token-set Jaccard ≥ threshold, computed relationally
+    (explode distinct tokens → self-join on token → count).  Exact but
+    O(pairs-sharing-a-token) — the baseline LSH prunes; kept as the
+    SQL-expressible oracle twin and for verification at sample scale."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("tok"),
+    )
+    sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )

@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, same pattern as dedup:
+
+- **brute-force cosine top-k** — the exact baseline: per-row cosine as a
+  codegen expression + TakeOrderedAndProject.  One pass, no shuffle of
+  vectors; correct at any scale where a full scan is acceptable.
+- **LSH-bucketed ANN (random hyperplanes)** — the scale path: a
+  ``planes``-bit signature buckets vectors; a query probes its own bucket
+  plus ``probe_hamming`` neighbors, scanning only matching partitions.
+  Signatures come from deterministic seeded hyperplanes (literal arrays
+  broadcast with the plan), so bucket assignment is stable across runs.
+
+An IVF variant (k-means coarse quantizer) would slot in the same way —
+assign→bucket→probe — but the hyperplane LSH needs no training job, so
+it ships first.
+
+Embedding-cosine near-dup (all-pairs above a threshold) reuses the same
+bucketing: pairs are generated within buckets only.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kevinlang_spark.functions.vectors import cosine_similarity, dot, l2_norm
+
+
+def _query_lit(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query``.
+
+    Emits (id, sim) sorted desc with ``id`` as a deterministic tiebreak;
+    the norm of the query is folded into a constant, the row norm is one
+    aggregate over the array — everything stays in whole-stage codegen and
+    the only cross-partition work is the top-k merge.
+    """
+    qn = math.sqrt(sum(v * v for v in query))
+    if qn == 0:
+        raise ValueError("cosine_topk: query vector has zero norm")
+    q = _query_lit(query)
+    rn = l2_norm(F.col(vec_col))
+    # zero-norm rows → NULL sim (sorted last), not an ANSI divide-by-zero
+    sim = F.when(rn == 0, F.lit(None)).otherwise(
+        dot(F.col(vec_col), q) / (rn * F.lit(qn))
+    )
+    return (
+        df.select(F.col(id_col), F.round(sim, 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def hyperplane_signature(
+    vec: Column, planes: list[list[float]]
+) -> Column:
+    """int bucket id: bit i = sign(vec · plane_i)."""
+    sig = F.lit(0)
+    for i, p in enumerate(planes):
+        sig = sig + F.when(dot(vec, _query_lit(p)) >= 0, F.lit(1 << i)).otherwise(0)
+    return sig
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    query: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: scan only rows whose hyperplane bucket is within
+    ``probe_hamming`` bits of the query's bucket.
+
+    With 8 planes and 1-bit multiprobe this scans ~9/256 of the data in
+    expectation.  At cluster scale the table would be WRITTEN bucketed by
+    signature (``partitionBy("bucket")``) so probing prunes whole files —
+    here the signature is computed on the fly.
+    """
+    planes = _planes(len(query), n_planes, seed)
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query, p)) >= 0:
+            qsig |= 1 << i
+    probe = [qsig]
+    if probe_hamming >= 1:
+        probe += [qsig ^ (1 << i) for i in range(n_planes)]
+
+    bucketed = df.withColumn("__bucket", hyperplane_signature(F.col(vec_col), planes))
+    cand = bucketed.where(F.col("__bucket").isin(probe))
+    return cosine_topk(cand, query, vec_col, id_col, k)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold, candidate-generated within LSH
+    buckets (high-cosine pairs land in the same bucket with prob
+    (1 - θ/π)^planes).  The self-join shuffles (bucket, id, vec) once."""
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        dim = first["d"] if first else 0
+    planes = _planes(dim, n_planes, seed)
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round(cosine_similarity(F.col("l.v"), F.col("r.v")), 6).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )

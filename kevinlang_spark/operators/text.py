@@ -1,0 +1,118 @@
+"""Text-analysis operators for large-scale document pipelines.
+
+The reference has no text functions at all (SURVEY §2.8); these are the
+beyond-reference extension ops a 100 TB training-data pipeline needs:
+language ID, quality scoring, token counting, fingerprinting.  Every
+operator is a narrow per-row transformation built from Catalyst
+expressions — they run inside the scan stage, shuffle nothing, and scale
+linearly with partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kevinlang_spark.functions.textexpr import normalize_text, token_count, tokenize
+
+#: tiny per-language stopword marker sets (n-gram-heuristic language ID).
+#: Chosen to be unambiguous across the five testdata languages.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "with", "for"],
+    "de": ["der", "die", "und", "ist", "mit", "für"],
+    "es": ["el", "los", "las", "es", "con", "para"],
+    "fr": ["le", "les", "et", "est", "avec", "pour"],
+}
+
+ENGLISH_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "from",
+]
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-hit count per language (distinct-token intersection size)."""
+    toks = F.array_distinct(tokenize(text))
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: CJK-character presence → 'zh'; otherwise the
+    marker set with the most distinct hits; ties/no-hits → 'und'.
+
+    A deliberately simple, deterministic heuristic (fastText-class models
+    don't ship in this container) — the Spark shape (pure expression,
+    no UDF) is what matters at scale.
+    """
+    scores = lang_scores(text)
+    has_cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", "")) > 0
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # reverse order so earlier languages win exact ties deterministically
+    for lang in reversed(list(scores)):
+        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(has_cjk, F.lit("zh")).otherwise(F.when(best > 0, out).otherwise(F.lit("und")))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Deterministic quality signals (Gopher/C4-style cheap filters):
+    char/word counts, mean word length, alpha ratio, stopword ratio,
+    digit ratio."""
+    toks = tokenize(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    alpha_chars = F.length(F.regexp_replace(F.lower(text), "[^a-z]", ""))
+    digit_chars = F.length(F.regexp_replace(text, "[^0-9]", ""))
+    stop_arr = F.array(*[F.lit(s) for s in ENGLISH_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    safe_tok = F.when(n_tok > 0, n_tok.cast("double"))
+    safe_chars = F.when(n_chars > 0, n_chars.cast("double"))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "mean_word_len": F.round(
+            F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double")
+            / safe_tok,
+            4,
+        ),
+        "alpha_ratio": F.round(alpha_chars / safe_chars, 4),
+        "digit_ratio": F.round(digit_chars / safe_chars, 4),
+        "stopword_ratio": F.round(n_stop / safe_tok, 4),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score from the features — a monotone blend
+    of alpha ratio, stopword presence, and length adequacy."""
+    f = quality_features(text)
+    len_ok = F.least(f["n_tokens"].cast("double") / F.lit(20.0), F.lit(1.0))
+    stop_ok = F.least(f["stopword_ratio"] * 5.0, F.lit(1.0))
+    return F.round(
+        0.4 * F.coalesce(f["alpha_ratio"], F.lit(0.0))
+        + 0.3 * F.coalesce(stop_ok, F.lit(0.0))
+        + 0.3 * len_ok,
+        4,
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: MD5 of the normalized text.
+    Cross-engine reproducible (Spark md5 == DuckDB md5 == Python hashlib)."""
+    return F.md5(normalize_text(text))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """documents → + language/quality/token/fingerprint columns; one narrow
+    projection, no shuffle."""
+    t = F.col(text_col)
+    feats = quality_features(t)
+    return df.select(
+        "*",
+        lang_id(t).alias("lang_pred"),
+        *[v.alias(k) for k, v in feats.items() if k != "n_chars"],
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fp"),
+    )

@@ -24,6 +24,13 @@ def get_spark(
     On a real cluster, pass ``master=None`` with externally-managed deploy
     conf; locally this defaults to ``local[$SPARK_GRAFT_CPUS]``.
     """
+    # Python workers must resolve this package regardless of the driver's
+    # cwd (mapInPandas UDFs pickle module-level functions by reference)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.environ["PYTHONPATH"] = (
+        pkg_root + os.pathsep + os.environ.get("PYTHONPATH", "")
+    )
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
         master = f"local[{cpus}]"
@@ -51,10 +58,14 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # TIMESTAMP(NANOS) parquet columns (events.ts) surface as long;
+        # sources.load_events converts ns→timestamp explicitly
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # quieter local runs
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    builder = builder.config("spark.executorEnv.PYTHONPATH", pkg_root)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

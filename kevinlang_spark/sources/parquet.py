@@ -41,6 +41,20 @@ def read_parquet(
     return KevinFrame.from_df(spark.read.parquet(path), ordered=ordered)
 
 
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark reads as
+    long (with ``spark.sql.legacy.parquet.nanosAsLong``); convert to a real
+    timestamp at microsecond precision (integer division — no float
+    round-trip)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names=TPCH_TABLES
 ) -> dict[str, DataFrame]:

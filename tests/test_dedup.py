@@ -1,0 +1,114 @@
+"""Dedup extension operators: exact, MinHash+LSH, SimHash, n-gram Jaccard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kevinlang_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    """documents + exact copies + near-copies with known ids."""
+    base = docs.limit(20).select("doc_id", "text").repartition(8)
+    exact = base.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    near = base.select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token tail")).alias("text"),
+    )
+    return base.unionByName(exact).unionByName(near)
+
+
+def test_dedup_exact_by_text(docs_with_dups):
+    out = dedup.dedup_exact_by_text(docs_with_dups)
+    # 20 distinct originals + 20 near-copies (different text) = 40 groups
+    assert out.count() == 40
+    # representative is the MIN doc_id → originals win over +10000 copies
+    ids = {r["doc_id"] for r in out.collect()}
+    assert all(i < 10000 or i >= 20000 for i in ids)
+
+
+def test_minhash_finds_exact_and_near_dups(docs_with_dups):
+    pairs = dedup.minhash_dedup_pairs(docs_with_dups, threshold=0.7)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # every exact copy pair must be found (jaccard 1.0)
+    for i in range(20):
+        assert (i, i + 10000) in got, f"missing exact pair {i}"
+    # near pairs (3-token suffix on ~40+ token docs) should mostly surface
+    near_found = sum((i, i + 20000) in got for i in range(20))
+    assert near_found >= 15, f"only {near_found}/20 near pairs found"
+
+
+def test_minhash_reported_pairs_are_truly_similar(docs):
+    """Every pair the pipeline reports must have EXACT shingle-jaccard ≥
+    threshold (the corpus contains planted near-dups; verify the verifier)."""
+    sample = docs.limit(100).repartition(8)
+    pairs = dedup.minhash_dedup_pairs(sample, threshold=0.9).collect()
+    texts = {r["doc_id"]: r["text"] for r in sample.collect()}
+
+    def shingles(t, n=3):
+        toks = [w for w in __import__("re").split(r"[^a-z0-9]+", t.lower()) if w]
+        if len(toks) <= n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    for p in pairs:
+        a, b = shingles(texts[p["id_a"]]), shingles(texts[p["id_b"]])
+        j = len(a & b) / len(a | b)
+        assert j >= 0.9, f"pair ({p['id_a']},{p['id_b']}) reported {p['jaccard']} but true {j}"
+        assert p["jaccard"] == pytest.approx(j, abs=1e-3)
+
+
+def test_simhash_deterministic_and_near(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "completely different content about spark dataframes and scale"),
+        ],
+        ["doc_id", "text"],
+    )
+    sh = df.select("doc_id", dedup.simhash(F.col("text")).alias("s")).collect()
+    by_id = {r["doc_id"]: r["s"] for r in sh}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[3]
+    pairs = dedup.simhash_neardup_pairs(df, max_hamming=3)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got
+
+
+def test_ngram_jaccard_pairs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma epsilon"),
+            (3, "zeta eta theta iota"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p["id_a"], p["id_b"]) == (1, 2)
+    assert p["jaccard"] == pytest.approx(3 / 5)
+
+
+def test_lsh_shuffle_is_bounded(docs):
+    """The candidate join must shuffle band keys, not an O(n^2) cross
+    product: plan contains a SortMergeJoin/ShuffledHashJoin on band+key,
+    never CartesianProduct/BroadcastNestedLoopJoin."""
+    plan = (
+        dedup.minhash_lsh_candidates(docs.limit(200))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
