@@ -480,6 +480,113 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join: each purchase event attached to the user's latest click
+    at-or-before it (union+window, one key shuffle — merge-asof semantics,
+    matching DuckDB's native ASOF JOIN)."""
+    from kevinlang_spark.operators.joins import asof_join
+    from kevinlang_spark.sources.parquet import load_events
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(purchases, clicks, on="user_id", right_cols=["click_id"])
+    return out.select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("ts_s"), "click_id"
+    )
+
+
+def q_range_join(spark, sf_dir):
+    """Range join: count events of the same user in the 10 minutes before
+    each error event (equi key + time-range predicate → shuffled hash join,
+    never a nested loop)."""
+    from kevinlang_spark.sources.parquet import load_events
+
+    ev = load_events(spark, sf_dir)
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.col("user_id"), F.col("ts").alias("err_ts")
+    )
+    all_ev = ev.select("user_id", F.col("ts").alias("ev_ts"))
+    out = (
+        errors.join(all_ev, "user_id")
+        .where(
+            (F.col("ev_ts") >= F.col("err_ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("ev_ts") < F.col("err_ts"))
+        )
+        .groupBy("err_id")
+        .agg(F.count("*").alias("n_before"))
+    )
+    return out
+
+
+def q_rollup(spark, sf_dir):
+    """ROLLUP aggregation (subtotals + grand total) — absent in the
+    reference, native in Spark/SQL."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+def q_json_extract(spark, sf_dir):
+    """JSON scalar extraction from the events props column."""
+    from kevinlang_spark.sources.parquet import load_events
+
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.round(F.avg("k"), 4).alias("avg_k"), F.count("k").alias("n"))
+    )
+
+
+def q_median(spark, sf_dir):
+    """Median aggregator (numeric, exact) per group."""
+    orders = _kf(spark, sf_dir, "orders")
+    out = orders.groupby("o_orderstatus").aggregate(
+        "median", "o_totalprice", alias="med_price"
+    )
+    return out.to_df().select(
+        "o_orderstatus", F.round("med_price", 2).alias("med_price")
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    """INTERSECT via the engine's set ops: customers with a positive
+    balance who also placed a >400k order."""
+    cust = _kf(spark, sf_dir, "customer")
+    orders = _kf(spark, sf_dir, "orders")
+    rich = cust.filter(F.col("c_acctbal") > 0).select(["c_custkey"])
+    big = (
+        orders.filter(F.col("o_totalprice") > 400000)
+        .with_column("c_custkey", F.col("o_custkey"))
+        .select(["c_custkey"])
+    )
+    return rich.intersect(big).to_df()
+
+
+def q_date_parts(spark, sf_dir):
+    """Date/time scalar functions: order volume by year and month."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("volume"),
+        )
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary media column → mapInPandas feature extraction (decode stubbed
     deterministically, so the whole pipeline is oracle-checkable)."""
@@ -526,6 +633,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_cosine": q_knn_cosine,
         "q_ann_lsh": q_ann_lsh,
         "q_multimodal_features": q_multimodal_features,
+        "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
+        "q_rollup": q_rollup,
+        "q_json_extract": q_json_extract,
+        "q_median": q_median,
+        "q_set_ops": q_set_ops,
+        "q_date_parts": q_date_parts,
     }
 
 
@@ -742,5 +856,44 @@ def oracle_sql() -> dict[str, str]:
             "ELSE octet_length(encode(text)) % 44100 + 1 END AS INTEGER) AS n_frames, "
             "md5(text) AS checksum "
             "FROM documents"
+        ),
+        "q_asof_join": (
+            "WITH p AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'purchase'), "
+            "c AS (SELECT user_id, ts, event_id AS click_id FROM events "
+            "WHERE event_type = 'click') "
+            "SELECT p.event_id, p.user_id, "
+            "CAST(floor(epoch(p.ts)) AS BIGINT) AS ts_s, c.click_id "
+            "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"
+        ),
+        "q_range_join": (
+            "SELECT e.event_id AS err_id, COUNT(*) AS n_before FROM events e "
+            "JOIN events x ON e.user_id = x.user_id "
+            "AND x.ts >= e.ts - INTERVAL 10 MINUTE AND x.ts < e.ts "
+            "WHERE e.event_type = 'error' GROUP BY e.event_id"
+        ),
+        "q_rollup": (
+            "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty "
+            "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+        ),
+        "q_json_extract": (
+            "SELECT event_type, "
+            "ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k, "
+            "COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n "
+            "FROM events GROUP BY event_type"
+        ),
+        "q_median": (
+            "SELECT o_orderstatus, ROUND(MEDIAN(o_totalprice), 2) AS med_price "
+            "FROM orders GROUP BY o_orderstatus"
+        ),
+        "q_set_ops": (
+            "SELECT c_custkey FROM customer WHERE c_acctbal > 0 "
+            "INTERSECT "
+            "SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000"
+        ),
+        "q_date_parts": (
+            "SELECT CAST(year(o_orderdate) AS INTEGER) AS y, "
+            "CAST(month(o_orderdate) AS INTEGER) AS m, COUNT(*) AS n_orders, "
+            "ROUND(SUM(o_totalprice), 2) AS volume FROM orders GROUP BY 1, 2"
         ),
     }

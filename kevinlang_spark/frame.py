@@ -654,6 +654,29 @@ class KevinFrame:
         )
 
     # ------------------------------------------------------------------ #
+    # set operations (absent in reference — SURVEY §2.6; free in Spark)
+    # ------------------------------------------------------------------ #
+
+    def union_distinct(self, other: "KevinFrame") -> "KevinFrame":
+        """Set union (duplicates removed).  Produces an unordered frame:
+        distinct() has no meaningful row order."""
+        out = self._df.select(*self.columns).unionByName(
+            other._df.select(*self.columns)
+        ).distinct()
+        return self._derive(out, group_cols=(), pivot=None, ordered=False,
+                            order_spec=(), idx_asc=True)
+
+    def intersect(self, other: "KevinFrame") -> "KevinFrame":
+        out = self._df.select(*self.columns).intersect(other._df.select(*self.columns))
+        return self._derive(out, group_cols=(), pivot=None, ordered=False,
+                            order_spec=(), idx_asc=True)
+
+    def except_all(self, other: "KevinFrame") -> "KevinFrame":
+        out = self._df.select(*self.columns).exceptAll(other._df.select(*self.columns))
+        return self._derive(out, group_cols=(), pivot=None, ordered=False,
+                            order_spec=(), idx_asc=True)
+
+    # ------------------------------------------------------------------ #
     # pivot state (reference DataFrame.hs:273-283, Combinator.hs:239-267)
     # ------------------------------------------------------------------ #
 

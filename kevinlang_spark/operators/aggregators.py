@@ -55,6 +55,10 @@ def agg_concat(col: Column, idx: Column | None = None) -> Column:
     return F.array_join(F.transform(pairs, lambda s: s["v"]), "")
 
 
+def agg_median(col: Column, idx: Column | None = None) -> Column:
+    return F.median(col)
+
+
 def agg_min(col: Column, idx: Column | None = None) -> Column:
     return F.min(col)
 
@@ -82,6 +86,7 @@ REGISTRY: dict[str, tuple[AggFn, str]] = {
     "sd": (agg_sd, "numeric"),
     "stddev": (agg_sd, "numeric"),
     "concat": (agg_concat, "string"),
+    "median": (agg_median, "numeric"),
     "min": (agg_min, "any"),
     "max": (agg_max, "any"),
     "count_distinct": (agg_count_distinct, "any"),

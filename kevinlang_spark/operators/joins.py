@@ -1,0 +1,107 @@
+"""Join operators beyond the reference's positional zip join.
+
+The reference lists relational joins as future work (TODO:2); plain
+equi/theta joins come free with Spark (`KevinFrame.merge`).  This module
+adds the two join shapes Spark has no native operator for, each built
+scale-first:
+
+- **as-of join** (latest right row at-or-before each left row per key):
+  realized as union + window, ONE shuffle on the join key — not a range
+  join, not a per-key collect.  This is the merge-asof of time-series
+  stores, used for "attach the prevailing quote to each trade".
+- **range join** (left rows matched to right intervals): realized with
+  coarse time-bin bucketing so the physical join is an EQUI join on
+  (key, bin) with a residual range filter — Catalyst would otherwise
+  fall back to BroadcastNestedLoopJoin, which dies at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts <= left_ts`` within the same ``on`` key (backward as-of;
+    DuckDB ``ASOF JOIN`` semantics).
+
+    Implementation: tag and union both sides, then one window per key
+    ordered by (ts, side) carrying ``last(right_value, ignoreNulls)`` —
+    a single hash-partition shuffle on the key, sorted within partitions.
+    No per-key collect, no range explosion; skewed keys are split by AQE.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, right_ts)]
+    out_names = {c: f"{c}{suffix}" if c in left.columns else c for c in right_cols}
+
+    l = left.select(
+        F.lit(1).alias("__side"),
+        F.col(on).alias("__key"),
+        F.col(left_ts).alias("__ts"),
+        F.struct(*left.columns).alias("__lrow"),
+        F.lit(None).cast(
+            right.select(F.struct(*right_cols).alias("s")).schema["s"].dataType
+        ).alias("__rval"),
+    )
+    r = right.select(
+        F.lit(0).alias("__side"),
+        F.col(on).alias("__key"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(None).cast(
+            left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
+        ).alias("__lrow"),
+        F.struct(*right_cols).alias("__rval"),
+    )
+    # right rows sort before left rows at equal ts (__side 0 < 1) so an
+    # exactly-simultaneous right row IS visible to the left row (<=)
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = l.unionByName(r).withColumn(
+        "__rlast", F.last("__rval", ignorenulls=True).over(w)
+    )
+    out = unioned.where(F.col("__side") == 1).select(
+        *[F.col("__lrow")[c].alias(c) for c in left.columns],
+        *[F.col("__rlast")[c].alias(out_names[c]) for c in right_cols],
+    )
+    return out
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str | None,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Join points to intervals containing them (``start <= t < end``),
+    optionally within an equi key.
+
+    Each interval is exploded to the coarse time bins it overlaps; points
+    map to one bin — the physical join is then an EQUI join on
+    (key, bin) + residual filter, so Catalyst picks a shuffled hash join
+    instead of a nested-loop cross product.  ``bin_seconds`` trades
+    duplication (long intervals → more bins) against candidate precision.
+    """
+    p_bin = (F.unix_timestamp(F.col(point_ts)) / bin_seconds).cast("long")
+    i_lo = (F.unix_timestamp(F.col(start_ts)) / bin_seconds).cast("long")
+    i_hi = (F.unix_timestamp(F.col(end_ts)) / bin_seconds).cast("long")
+
+    p = points.withColumn("__bin", p_bin)
+    i = intervals.withColumn("__bin", F.explode(F.sequence(i_lo, i_hi)))
+    keys = ["__bin"] + ([on] if on else [])
+    cond = (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) < F.col(end_ts))
+    return p.join(i, on=keys, how="inner").where(cond).drop("__bin")

@@ -1,0 +1,133 @@
+"""As-of and range join operators (beyond-reference extension joins)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from kevinlang_spark.operators.joins import asof_join, range_join_binned
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            (1, "A", _ts("2024-01-01 10:00:05"), 100.0),
+            (2, "A", _ts("2024-01-01 10:00:20"), 101.0),
+            (3, "B", _ts("2024-01-01 10:00:10"), 50.0),
+            (4, "C", _ts("2024-01-01 10:00:10"), 7.0),
+        ],
+        ["trade_id", "sym", "ts", "px"],
+    )
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:00:00"), 99.5),
+            ("A", _ts("2024-01-01 10:00:10"), 100.5),
+            ("A", _ts("2024-01-01 10:00:20"), 100.9),  # simultaneous with trade 2
+            ("B", _ts("2024-01-01 10:00:15"), 49.9),  # AFTER trade 3
+        ],
+        ["sym", "ts", "bid"],
+    )
+
+
+def test_asof_backward_semantics(trades, quotes):
+    out = asof_join(trades, quotes, on="sym", right_cols=["bid"])
+    by_id = {r["trade_id"]: r["bid"] for r in out.collect()}
+    assert by_id[1] == 99.5  # latest quote at/before 10:00:05
+    assert by_id[2] == 100.9  # simultaneous quote IS visible (<=)
+    assert by_id[3] is None  # only quote is after the trade
+    assert by_id[4] is None  # no quotes for key C at all
+    assert out.count() == 4  # left join: every trade survives
+
+
+def test_asof_single_shuffle_no_nested_loop(trades, quotes):
+    plan = (
+        asof_join(trades, quotes, on="sym", right_cols=["bid"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    # the only join machinery is the union + window
+    assert "Window" in plan
+
+
+def test_asof_matches_duckdb(spark, sf_dir):
+    """Spark as-of (union+window) must equal DuckDB's native ASOF JOIN."""
+    import duckdb
+
+    from kevinlang_spark.sources.parquet import load_events
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    got = {
+        r["event_id"]: r["click_id"]
+        for r in asof_join(purchases, clicks, on="user_id", right_cols=["click_id"]).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = dict(
+        con.execute(
+            "WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase'), "
+            "c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type='click') "
+            "SELECT p.event_id, c.click_id FROM p ASOF LEFT JOIN c "
+            "ON p.user_id = c.user_id AND p.ts >= c.ts"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_range_join_binned(spark):
+    points = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:30:00")),
+            (2, _ts("2024-01-01 13:00:00")),
+            (3, _ts("2024-01-02 00:00:00")),
+        ],
+        ["pid", "ts"],
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("w1", _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00")),
+            ("w2", _ts("2024-01-01 10:15:00"), _ts("2024-01-01 14:00:00")),
+        ],
+        ["iv", "start", "end"],
+    )
+    out = range_join_binned(points, intervals, None, "ts", "start", "end")
+    got = {(r["pid"], r["iv"]) for r in out.collect()}
+    assert got == {(1, "w1"), (1, "w2"), (2, "w2")}
+
+
+def test_range_join_no_nested_loop(spark):
+    points = spark.range(10).select(
+        F.col("id").alias("pid"),
+        (F.lit(_ts("2024-01-01 00:00:00")) + F.make_interval(mins=F.col("id"))).alias("ts"),
+    )
+    intervals = spark.createDataFrame(
+        [("w", _ts("2024-01-01 00:00:00"), _ts("2024-01-01 00:05:00"))],
+        ["iv", "start", "end"],
+    )
+    plan = (
+        range_join_binned(points, intervals, None, "ts", "start", "end")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan

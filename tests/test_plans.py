@@ -1,0 +1,74 @@
+"""Plan-quality gates: the physical plans our 100 TB design depends on.
+
+These tests pin the properties that make the engine scale — if a future
+change silently turns a broadcast join into a shuffle, un-pushes a filter,
+or widens a scan, they fail."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from kevinlang_spark import plans
+
+
+@pytest.fixture(scope="module")
+def sf(sf_dir):
+    return sf_dir
+
+
+def test_flagship_broadcasts_all_dims(spark, sf):
+    df = entrymod.q_revenue_by_nation(spark, sf)
+    plans.assert_broadcast_join(df, at_least=3)  # orders, customer, nation
+    plans.assert_no_cartesian(df)
+    plans.assert_whole_stage_codegen(df)
+
+
+def test_flagship_prunes_lineitem_scan(spark, sf):
+    df = entrymod.q_revenue_by_nation(spark, sf)
+    # lineitem has 11 columns; the query needs 3
+    plans.assert_columns_pruned(df, "lineitem", 3)
+
+
+def test_q1_filter_pushed_to_scan(spark, sf):
+    df = entrymod.q_tpch_q1(spark, sf)
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "l_shipdate" in pushed, pushed
+
+
+def test_select_projection_reaches_scan(spark, sf):
+    df = entrymod.q_select(spark, sf)
+    plans.assert_columns_pruned(df, "lineitem", 3)
+
+
+def test_filter_pushdown_through_kevinframe(spark, sf):
+    """KevinFrame.filter predicates must reach PushedFilters — the wrapper
+    adds no barrier between Catalyst and the scan."""
+    df = entrymod.q_filter(spark, sf)
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "l_quantity" in pushed and "l_returnflag" in pushed, pushed
+
+
+def test_topk_is_take_ordered(spark, sf):
+    plan = plans.executed_plan(entrymod.q_sort_take(spark, sf))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_no_python_udfs_in_core_queries(spark, sf):
+    """Reference-surface queries must stay entirely JVM-side."""
+    for name in ("q_groupby_sum", "q_tpch_q1", "q_knn_cosine", "q_text_stats"):
+        plan = plans.executed_plan(entrymod.queries()[name](spark, sf))
+        assert "EvalPython" not in plan, f"{name} runs Python:\n{plan}"
+
+
+def test_dedup_joins_never_nested_loop(spark, sf):
+    for name in ("q_minhash_pairs", "q_simhash_pairs", "q_ngram_jaccard"):
+        plans.assert_no_cartesian(entrymod.queries()[name](spark, sf))
+
+
+def test_aggregate_output_order_needs_no_window(spark, sf):
+    """groupby+aggregate carries its ascending-key order as a lazy spec —
+    the plan must contain no Window operator."""
+    plan = plans.executed_plan(entrymod.q_groupby_sum(spark, sf))
+    assert "Window" not in plan, plan
