@@ -1,0 +1,91 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference has no streaming at all (SURVEY §2.7); this is the extension
+surface for operators that need *cross-batch state* beyond what windowed
+aggregation gives: running per-key counters, anomaly flags, cumulative
+value tracking.  State is partitioned by key (scales with the cluster),
+Arrow-batched per group, and bounded by timeouts.
+
+The same transformation runs on a batch frame via a groupBy fallback so
+tests can pin parity.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RUNNING_TOTALS_SCHEMA = "user_id bigint, n_events bigint, value_sum double"
+STATE_SCHEMA = "n bigint, s double"
+
+
+def _running_totals_fn(
+    key, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+):
+    """Accumulate (count, value-sum) per user across micro-batches."""
+    if state.exists:
+        n, s = state.get
+    else:
+        n, s = 0, 0.0
+    for pdf in pdf_iter:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+    state.update((n, s))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "value_sum": [round(s, 2)]}
+    )
+
+
+def running_totals_stream(events_stream: DataFrame) -> DataFrame:
+    """Streaming: per-user running totals with explicit GroupState.
+
+    Use with update-mode output; state lives on the executors, hash-
+    partitioned by user_id — no driver state, no collect.
+    """
+    return (
+        events_stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals_fn,
+            outputStructType=RUNNING_TOTALS_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def running_totals_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of ``running_totals_stream`` — the parity oracle."""
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )
+
+
+def run_stateful_to_memory(
+    spark,
+    parquet_dir: str,
+    query_name: str = "stateful_test",
+):
+    """Drive the stateful op over a file-source stream (availableNow) into
+    a memory sink; returns the in-memory table (latest update per key)."""
+    schema = spark.read.parquet(parquet_dir).schema
+    src = spark.readStream.schema(schema).parquet(parquet_dir)
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = running_totals_stream(src)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(query_name)

@@ -11,7 +11,11 @@ SF_SMALL = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("kevinlang-tests", shuffle_partitions=8)
+    s = get_spark(
+        "kevinlang-tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": "/tmp/kevinlang-warehouse"},
+    )
     yield s
 
 
