@@ -587,6 +587,23 @@ def q_date_parts(spark, sf_dir):
     )
 
 
+def q_emb_neardup_brute(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, brute-force baseline on a bounded
+    subset (the LSH-bucketed variant scales; this is its exact oracle twin).
+    Uniform-random vectors top out near cos 0.5, so the threshold is 0.35."""
+    from kevinlang_spark.functions.vectors import cosine_similarity
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(cosine_similarity(F.col("va"), F.col("vb")), 4))
+        .where(F.col("sim") >= 0.35)
+        .select("id_a", "id_b", "sim")
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary media column → mapInPandas feature extraction (decode stubbed
     deterministically, so the whole pipeline is oracle-checkable)."""
@@ -633,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_cosine": q_knn_cosine,
         "q_ann_lsh": q_ann_lsh,
         "q_multimodal_features": q_multimodal_features,
+        "q_emb_neardup_brute": q_emb_neardup_brute,
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
         "q_rollup": q_rollup,
@@ -856,6 +874,13 @@ def oracle_sql() -> dict[str, str]:
             "ELSE octet_length(encode(text)) % 44100 + 1 END AS INTEGER) AS n_frames, "
             "md5(text) AS checksum "
             "FROM documents"
+        ),
+        "q_emb_neardup_brute": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE a.vec_id < 300 AND b.vec_id < 300 "
+            "AND ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.35"
         ),
         "q_asof_join": (
             "WITH p AS (SELECT event_id, user_id, ts FROM events "

@@ -65,6 +65,23 @@ def test_minhash_reported_pairs_are_truly_similar(docs):
         assert p["jaccard"] == pytest.approx(j, abs=1e-3)
 
 
+def test_simhash_vectorized_matches_expression(spark, docs):
+    """The numpy pandas-UDF signature must equal the pure-expression
+    simhash bit for bit."""
+    from pyspark.sql import functions as F
+
+    sample = docs.limit(30).repartition(4)
+    expr = {
+        r["doc_id"]: r["s"]
+        for r in sample.select("doc_id", dedup.simhash(F.col("text")).alias("s")).collect()
+    }
+    vec = {
+        r["id"]: r["sh"]
+        for r in dedup.simhash_signatures_df(sample).collect()
+    }
+    assert expr == vec
+
+
 def test_simhash_deterministic_and_near(spark):
     df = spark.createDataFrame(
         [
