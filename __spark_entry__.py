@@ -587,6 +587,26 @@ def q_date_parts(spark, sf_dir):
     )
 
 
+def q_transform_zscore(spark, sf_dir):
+    """Grouped transform (reference's open 'aggregate vs transform'
+    question, Spec.lhs:119): every order tagged with its status-group mean
+    and deviation — a window aggregate, rows keep identity."""
+    orders = _kf(spark, sf_dir, "orders")
+    out = (
+        orders.groupby("o_orderstatus")
+        .transform_grouped("mean", "o_totalprice", alias="grp_mean")
+        .transform_grouped("sd", "o_totalprice", alias="grp_sd")
+    )
+    return out.to_df().select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("grp_mean", 2).alias("grp_mean"),
+        F.round(
+            (F.col("o_totalprice") - F.col("grp_mean")) / F.col("grp_sd"), 4
+        ).alias("z"),
+    )
+
+
 def q_emb_neardup_brute(spark, sf_dir):
     """Embedding-cosine near-dup pairs, brute-force baseline on a bounded
     subset (the LSH-bucketed variant scales; this is its exact oracle twin).
@@ -650,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_cosine": q_knn_cosine,
         "q_ann_lsh": q_ann_lsh,
         "q_multimodal_features": q_multimodal_features,
+        "q_transform_zscore": q_transform_zscore,
         "q_emb_neardup_brute": q_emb_neardup_brute,
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
@@ -874,6 +895,13 @@ def oracle_sql() -> dict[str, str]:
             "ELSE octet_length(encode(text)) % 44100 + 1 END AS INTEGER) AS n_frames, "
             "md5(text) AS checksum "
             "FROM documents"
+        ),
+        "q_transform_zscore": (
+            "SELECT o_orderkey, o_orderstatus, "
+            "ROUND(AVG(o_totalprice) OVER w, 2) AS grp_mean, "
+            "ROUND((o_totalprice - AVG(o_totalprice) OVER w) "
+            "/ STDDEV_POP(o_totalprice) OVER w, 4) AS z "
+            "FROM orders WINDOW w AS (PARTITION BY o_orderstatus)"
         ),
         "q_emb_neardup_brute": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "

@@ -435,6 +435,68 @@ class KevinFrame:
             out, traits=traits, group_cols=(), pivot=None, order_spec=spec, idx_asc=True
         )
 
+    def apply_grouped(self, fn, schema: str) -> "KevinFrame":
+        """Grouped-map pandas UDF (``applyInPandas``): ``fn(pdf) -> pdf``
+        receives each group as an Arrow-batched pandas DataFrame and returns
+        any number of rows with ``schema``.  The general escape hatch for
+        per-group logic no built-in expresses (reference analogue: its
+        whole UDF story is arbitrary host functions, Combinator.hs:122-124).
+
+        Output is unordered (group-map results have no defined row order).
+        """
+        if not self.group_cols:
+            raise KevinValueError("apply_grouped requires groupby() first")
+        base = self._df.select(*self.columns)
+        out = base.groupBy(*self.group_cols).applyInPandas(fn, schema=schema)
+        return KevinFrame(out, group_cols=(), pivot=None, ordered=False)
+
+    def transform_grouped(
+        self, agg, field: str, alias: str | None = None
+    ) -> "KevinFrame":
+        """Grouped TRANSFORM (reference test/Spec.lhs:119 lists
+        "aggregate v.s. transform" as an open design question — this is the
+        transform half): every row keeps its identity and gains the
+        group-level aggregate of ``field``, e.g. each row tagged with its
+        group's mean.
+
+        Realized as a window aggregate partitioned by the group keys — one
+        shuffle on the keys, rows never leave executors, order preserved.
+        """
+        window_aggs = {
+            "sum": F.sum,
+            "mean": F.avg,
+            "avg": F.avg,
+            "count": F.count,
+            "variance": F.var_pop,
+            "var": F.var_pop,
+            "sd": F.stddev_pop,
+            "stddev": F.stddev_pop,
+            "median": F.median,
+            "min": F.min,
+            "max": F.max,
+        }
+        if field not in self.columns:
+            raise KevinFieldError("no such field")
+        if not isinstance(agg, str) or agg not in window_aggs:
+            raise KevinTypeError(
+                f"transform supports {sorted(window_aggs)}; got {agg!r}"
+            )
+        _, kind = agglib.resolve(agg)
+        self._check_agg_kind(field, kind)
+        out_name = alias or f"{field}_{agg}"
+        w = (
+            Window.partitionBy(*self.group_cols)
+            if self.group_cols
+            else Window.partitionBy(F.lit(1))
+        )
+        expr = window_aggs[agg](F.col(field)).over(w)
+        if agg == "count":
+            expr = expr.cast("double")  # reference count returns float
+        out = self._df.withColumn(out_name, expr)
+        traits = dict(self.traits)
+        traits[out_name] = NUM_MEASURE
+        return self._derive(out, traits=traits)
+
     # ------------------------------------------------------------------ #
     # sort / slicing (reference Combinator.hs:228-237, 293-315)
     # ------------------------------------------------------------------ #

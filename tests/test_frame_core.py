@@ -151,6 +151,53 @@ def test_filter_then_groupby_pipeline(simple_frame):
     assert by_city == {"beijing": 1.0, "hangzhou": 2.0, "shanghai": 3.0}
 
 
+def test_transform_grouped(simple_frame):
+    # every row gains its group's aggregate; row count and order unchanged
+    out = simple_frame.groupby("city").transform_grouped("sum", "sale", alias="city_sale")
+    rows = out.collect()
+    assert len(rows) == 13
+    hz_total = 1060 + 5467 + 1040 + 3245 + 1360 + 6544
+    assert all(r["city_sale"] == hz_total for r in rows if r["city"] == "hangzhou")
+    # order preserved (first row is still the first CSV record)
+    assert rows[0]["sale"] == 1060.0
+
+
+def test_transform_grouped_global(simple_frame):
+    out = simple_frame.transform_grouped("mean", "sale", alias="m")
+    rows = out.collect()
+    assert len(rows) == 13
+    assert rows[0]["m"] == pytest.approx(41692 / 13)
+
+
+def test_apply_grouped_map(simple_frame):
+    # per-group normalization — the grouped-map escape hatch
+    def center(pdf):
+        pdf = pdf.copy()
+        pdf["sale"] = pdf["sale"] - pdf["sale"].mean()
+        return pdf[["city", "sale"]]
+
+    out = simple_frame.groupby("city").apply_grouped(center, "city string, sale double")
+    rows = out.df.collect()
+    assert len(rows) == 13
+    by_city_sum = {}
+    for r in rows:
+        by_city_sum[r["city"]] = by_city_sum.get(r["city"], 0) + r["sale"]
+    for v in by_city_sum.values():
+        assert abs(v) < 1e-6  # centered → sums to ~0 per group
+
+
+def test_apply_grouped_requires_groups(simple_frame):
+    with pytest.raises(KevinValueError):
+        simple_frame.apply_grouped(lambda p: p, "city string")
+
+
+def test_transform_grouped_type_errors(simple_frame):
+    with pytest.raises(KevinTypeError):
+        simple_frame.groupby("city").transform_grouped("sum", "city")
+    with pytest.raises(KevinTypeError):
+        simple_frame.groupby("city").transform_grouped("concat", "city")
+
+
 def test_unordered_mode_raises_on_order_ops(spark):
     df = spark.range(10).withColumnRenamed("id", "x")
     kf = KevinFrame.from_df(df, ordered=False)
