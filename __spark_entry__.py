@@ -22,12 +22,58 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from kevinlang_spark.frame import KevinFrame, SortOrder  # noqa: E402
 
 
+_ENSURED: set[str] = set()
+
+
+def _ensure(spark: SparkSession) -> None:
+    """Make an arbitrary (driver-owned) SparkSession able to run every
+    query: the nanos-timestamp legacy conf is dynamic and set here, and the
+    package is shipped to Python workers via addPyFile — workers of a
+    session created before this module was imported have neither the
+    PYTHONPATH nor the cwd to resolve ``kevinlang_spark`` for
+    module-pickled UDF closures."""
+    # session confs are PER-SESSION (newSession() shares the app id but not
+    # confs) — set unconditionally; it's a cheap local call
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # static in some deployments; load_events copes if unset
+    key = spark.sparkContext.applicationId
+    if key in _ENSURED:
+        return
+    import zipfile
+
+    pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "kevinlang_spark")
+    zpath = os.path.join("/tmp", "kevinlang_spark_pkg.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        z.write(full, rel)
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # already added in this context
+    _ENSURED.add(key)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def _kf(spark: SparkSession, sf_dir: str, name: str, ordered: bool = False) -> KevinFrame:
     return KevinFrame.from_df(_t(spark, sf_dir, name), ordered=ordered)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kevinlang_spark.sources.parquet import load_events
+
+    _ensure(spark)
+    return load_events(spark, sf_dir)
 
 
 # --------------------------------------------------------------------- #
@@ -342,20 +388,18 @@ def q_window_lag(spark, sf_dir):
 
 def q_events_hourly(spark, sf_dir):
     """Tumbling 1h windows per event type (streaming-shaped groupBy)."""
-    from kevinlang_spark.sources.parquet import load_events
     from kevinlang_spark.streaming.windows import tumbling_counts
 
-    return tumbling_counts(load_events(spark, sf_dir), "1 hour").select(
+    return tumbling_counts(_events(spark, sf_dir), "1 hour").select(
         "window_start", "event_type", "n", "value_sum"
     )
 
 
 def q_events_sessions(spark, sf_dir):
     """Gap-based sessionization (session_window) — per-user session stats."""
-    from kevinlang_spark.sources.parquet import load_events
     from kevinlang_spark.streaming.windows import session_counts
 
-    return session_counts(load_events(spark, sf_dir), gap="30 minutes").select(
+    return session_counts(_events(spark, sf_dir), gap="30 minutes").select(
         "user_id", "session_start", "n_events", "value_sum"
     )
 
@@ -485,9 +529,7 @@ def q_asof_join(spark, sf_dir):
     at-or-before it (union+window, one key shuffle — merge-asof semantics,
     matching DuckDB's native ASOF JOIN)."""
     from kevinlang_spark.operators.joins import asof_join
-    from kevinlang_spark.sources.parquet import load_events
-
-    ev = load_events(spark, sf_dir)
+    ev = _events(spark, sf_dir)
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
@@ -504,9 +546,7 @@ def q_range_join(spark, sf_dir):
     """Range join: count events of the same user in the 10 minutes before
     each error event (equi key + time-range predicate → shuffled hash join,
     never a nested loop)."""
-    from kevinlang_spark.sources.parquet import load_events
-
-    ev = load_events(spark, sf_dir)
+    ev = _events(spark, sf_dir)
     errors = ev.where(F.col("event_type") == "error").select(
         F.col("event_id").alias("err_id"), F.col("user_id"), F.col("ts").alias("err_ts")
     )
@@ -535,9 +575,7 @@ def q_rollup(spark, sf_dir):
 
 def q_json_extract(spark, sf_dir):
     """JSON scalar extraction from the events props column."""
-    from kevinlang_spark.sources.parquet import load_events
-
-    ev = load_events(spark, sf_dir)
+    ev = _events(spark, sf_dir)
     return (
         ev.select(
             "event_type",
