@@ -625,6 +625,18 @@ def q_date_parts(spark, sf_dir):
     )
 
 
+def q_ann_ivf(spark, sf_dir):
+    """Approximate top-10 via IVF (k-means coarse quantizer, nprobe cells
+    scanned; rows-only: cell assignment is engine-internal)."""
+    from kevinlang_spark.operators.similarity import ivf_index, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_index(emb, nlist=16)
+    return ivf_topk(assigned, centroids, _query_vec(spark, sf_dir), k=10, nprobe=4).select(
+        "vec_id", F.round("sim", 4).alias("sim")
+    )
+
+
 def q_transform_zscore(spark, sf_dir):
     """Grouped transform (reference's open 'aggregate vs transform'
     question, Spec.lhs:119): every order tagged with its status-group mean
@@ -708,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_cosine": q_knn_cosine,
         "q_ann_lsh": q_ann_lsh,
         "q_multimodal_features": q_multimodal_features,
+        "q_ann_ivf": q_ann_ivf,
         "q_transform_zscore": q_transform_zscore,
         "q_emb_neardup_brute": q_emb_neardup_brute,
         "q_asof_join": q_asof_join,

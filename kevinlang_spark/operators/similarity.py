@@ -111,6 +111,60 @@ def ann_topk_lsh(
     return cosine_topk(cand, query, vec_col, id_col, k)
 
 
+def ivf_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nlist: int = 16,
+    seed: int = 11,
+    max_iter: int = 10,
+):
+    """Train an IVF coarse quantizer (k-means over the vectors) and return
+    ``(assigned_df, centroids)`` where ``assigned_df`` carries a
+    ``__cell`` column and ``centroids`` is the local list of centers.
+
+    Uses ``pyspark.ml`` KMeans — distributed Lloyd iterations; the model
+    (nlist × dim floats) is tiny and lives happily on the driver, like a
+    FAISS coarse quantizer.  At warehouse scale the assigned table is
+    written ``partitionBy("__cell")`` so probes prune whole files.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = df.withColumn("__v", array_to_vector(F.col(vec_col).cast("array<double>")))
+    km = KMeans(k=nlist, seed=seed, maxIter=max_iter, featuresCol="__v", predictionCol="__cell")
+    model = km.fit(feat)
+    assigned = model.transform(feat).drop("__v")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF probe: rank cells by centroid distance to the query, scan only
+    the ``nprobe`` nearest cells, brute-force cosine within them.
+
+    Expected scan fraction ≈ nprobe/nlist; with a cell-partitioned table
+    the pruning happens at the file index.
+    """
+    import math as _m
+
+    def dist(c):
+        return sum((a - b) ** 2 for a, b in zip(c, query))
+
+    order = sorted(range(len(centroids)), key=lambda i: dist(centroids[i]))
+    probe = order[:nprobe]
+    cand = assigned.where(F.col("__cell").isin(probe))
+    return cosine_topk(cand, query, vec_col, id_col, k)
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -1,6 +1,10 @@
 from __future__ import annotations
 
 import os
+import sys
+
+# make the package importable when pytest is invoked from a foreign cwd
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest
 

@@ -93,6 +93,37 @@ def test_ann_scans_fewer_rows(emb, query_vec):
     assert biggest < total / 2
 
 
+def test_ivf_topk_recall(spark, emb, query_vec):
+    """IVF (k-means coarse quantizer): planted near-copies of the query
+    land in the query's cell; probing a few cells must surface them."""
+    import random
+
+    rng = random.Random(321)
+    planted = [
+        (20000 + i, [v + rng.gauss(0, 0.01) for v in query_vec], 0)
+        for i in range(20)
+    ]
+    extra = spark.createDataFrame(planted, ["vec_id", "embedding", "label"]).select(
+        "vec_id", F.col("embedding").cast("array<float>"), "label"
+    )
+    both = emb.unionByName(extra)
+    assigned, centroids = similarity.ivf_index(both, nlist=16)
+    got = {
+        r["vec_id"]
+        for r in similarity.ivf_topk(assigned, centroids, query_vec, k=21, nprobe=4).collect()
+    }
+    assert 0 in got
+    found = sum(1 for i in range(20) if 20000 + i in got)
+    assert found >= 18, f"IVF recall too low: {found}/20"
+
+
+def test_ivf_scans_fraction(spark, emb):
+    assigned, _ = similarity.ivf_index(emb, nlist=16)
+    sizes = [r["count"] for r in assigned.groupBy("__cell").count().collect()]
+    assert len(sizes) >= 8  # clustering actually spread the data
+    assert max(sizes) < emb.count()  # no degenerate single cell
+
+
 def test_embedding_neardup_self_duplicates(spark, emb):
     dup = emb.limit(10).select((F.col("vec_id") + 1000).alias("vec_id"), "embedding", "label")
     both = emb.limit(10).unionByName(dup)
