@@ -625,6 +625,48 @@ def q_date_parts(spark, sf_dir):
     )
 
 
+def q_quantiles(spark, sf_dir):
+    """Exact percentiles per group (Spark `percentile` ≡ SQL interpolated
+    quantile_cont)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.25), 2).alias("p25"),
+        F.round(F.percentile("l_extendedprice", 0.5), 2).alias("p50"),
+        F.round(F.percentile("l_extendedprice", 0.75), 2).alias("p75"),
+    )
+
+
+def q_tpch_q10(spark, sf_dir):
+    """Returned-item reporting: 4-way join, revenue by customer, top 20."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q_argmax(spark, sf_dir):
+    """max_by/min_by: the order id carrying each status's extreme price."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("max_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("min_order"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
 def q_ann_ivf(spark, sf_dir):
     """Approximate top-10 via IVF (k-means coarse quantizer, nprobe cells
     scanned; rows-only: cell assignment is engine-internal)."""
@@ -720,6 +762,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_cosine": q_knn_cosine,
         "q_ann_lsh": q_ann_lsh,
         "q_multimodal_features": q_multimodal_features,
+        "q_quantiles": q_quantiles,
+        "q_tpch_q10": q_tpch_q10,
+        "q_argmax": q_argmax,
         "q_ann_ivf": q_ann_ivf,
         "q_transform_zscore": q_transform_zscore,
         "q_emb_neardup_brute": q_emb_neardup_brute,
@@ -946,6 +991,30 @@ def oracle_sql() -> dict[str, str]:
             "ELSE octet_length(encode(text)) % 44100 + 1 END AS INTEGER) AS n_frames, "
             "md5(text) AS checksum "
             "FROM documents"
+        ),
+        "q_quantiles": (
+            "SELECT l_returnflag, "
+            "ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS p25, "
+            "ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50, "
+            "ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS p75 "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "q_tpch_q10": (
+            "SELECT c_custkey, c_name, n_name, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE l_returnflag = 'R' "
+            "GROUP BY c_custkey, c_name, n_name "
+            "ORDER BY revenue DESC, c_custkey LIMIT 20"
+        ),
+        "q_argmax": (
+            "SELECT o_orderstatus, "
+            "arg_max(o_orderkey, o_totalprice) AS max_order, "
+            "arg_min(o_orderkey, o_totalprice) AS min_order, "
+            "ROUND(MAX(o_totalprice), 2) AS max_price "
+            "FROM orders GROUP BY o_orderstatus"
         ),
         "q_transform_zscore": (
             "SELECT o_orderkey, o_orderstatus, "
