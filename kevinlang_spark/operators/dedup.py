@@ -192,8 +192,16 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     seed: int = 42,
     shingles: DataFrame | None = None,
+    max_bucket_size: int | None = 100_000,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) via LSH banding.
+
+    ``max_bucket_size`` guards the quadratic failure mode: a mega-cluster
+    of near-identical documents puts its whole membership into one band
+    bucket, and the within-bucket self-join goes O(m²).  Buckets above the
+    cap are skipped (logged via the returned frame simply not containing
+    them) — at that duplication level the cluster is better handled by
+    exact dedup on content fingerprints first.  Pass None to disable.
 
     Materialized signature → ``bands`` band-keys (xxhash64 of each band's
     rows) → explode → self-join on (band index, band key).  The join
@@ -227,6 +235,13 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.key")
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band", "key").agg(F.count("*").alias("__bsz"))
+        banded = (
+            banded.join(sizes, ["band", "key"])
+            .where(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

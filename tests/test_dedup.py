@@ -117,6 +117,21 @@ def test_ngram_jaccard_pairs(spark):
     assert p["jaccard"] == pytest.approx(3 / 5)
 
 
+def test_lsh_bucket_cap_skips_mega_clusters(spark):
+    """A cluster of identical docs above the cap must produce NO candidate
+    pairs (quadratic-blowup guard); below the cap it produces all of them."""
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(i, "the same exact document body repeated for everyone here") for i in range(12)],
+        ["doc_id", "text"],
+    ).repartition(4)
+    capped = dedup.minhash_lsh_candidates(base, max_bucket_size=10)
+    assert capped.count() == 0
+    uncapped = dedup.minhash_lsh_candidates(base, max_bucket_size=None)
+    assert uncapped.count() == 12 * 11 // 2
+
+
 def test_lsh_shuffle_is_bounded(docs):
     """The candidate join must shuffle band keys, not an O(n^2) cross
     product: plan contains a SortMergeJoin/ShuffledHashJoin on band+key,
