@@ -625,6 +625,29 @@ def q_date_parts(spark, sf_dir):
     )
 
 
+def q_explode_tokens(spark, sf_dir):
+    """Table-generating explode (UDTF-shape): corpus-wide token frequencies,
+    top 20 — the classic wordcount, one explode + one aggregation."""
+    from kevinlang_spark.functions.textexpr import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+
+
+def q_corr(spark, sf_dir):
+    """Pearson correlation per group (statistical aggregate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price")
+    )
+
+
 def q_quantiles(spark, sf_dir):
     """Exact percentiles per group (Spark `percentile` ≡ SQL interpolated
     quantile_cont)."""
@@ -762,6 +785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_cosine": q_knn_cosine,
         "q_ann_lsh": q_ann_lsh,
         "q_multimodal_features": q_multimodal_features,
+        "q_explode_tokens": q_explode_tokens,
+        "q_corr": q_corr,
         "q_quantiles": q_quantiles,
         "q_tpch_q10": q_tpch_q10,
         "q_argmax": q_argmax,
@@ -991,6 +1016,16 @@ def oracle_sql() -> dict[str, str]:
             "ELSE octet_length(encode(text)) % 44100 + 1 END AS INTEGER) AS n_frames, "
             "md5(text) AS checksum "
             "FROM documents"
+        ),
+        "q_explode_tokens": (
+            "SELECT tok, COUNT(*) AS n FROM ("
+            "SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '')) AS tok FROM documents) "
+            "GROUP BY tok ORDER BY n DESC, tok LIMIT 20"
+        ),
+        "q_corr": (
+            "SELECT l_returnflag, ROUND(corr(l_quantity, l_extendedprice), 6) "
+            "AS corr_qty_price FROM lineitem GROUP BY l_returnflag"
         ),
         "q_quantiles": (
             "SELECT l_returnflag, "

@@ -56,8 +56,17 @@ def main() -> None:
         n for n in sorted(qs) if n not in HEADLINE and os.environ.get("BENCH_ALL")
     ]
 
-    # warm-up: touch the biggest table so FS cache + codegen are hot
+    # warm-up: touch the biggest table (FS cache + codegen) and spin up the
+    # Python worker pool (session infra, not query work — like JVM startup)
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("long", PandasUDFType.SCALAR)
+    def _warm(x):
+        return x
+
+    spark.range(1000, numPartitions=32).select(_warm(F.col("id"))).count()
 
     timings: dict[str, float] = {}
     for name in names:

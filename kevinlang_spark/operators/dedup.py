@@ -119,6 +119,35 @@ def shingle_sets_df(
     )
 
 
+def _minhash_sig_udf(num_hashes: int, seed: int):
+    """Arrow-batched pandas UDF: token-hash array → MinHash signature in
+    one vectorized int64 numpy pass (a, h < 2^31 → a·h + b < 2^62, exact)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    params = _hash_params(num_hashes, seed)
+    a_vec = np.array([a for a, _ in params], dtype=np.int64)
+    b_vec = np.array([b for _, b in params], dtype=np.int64)
+
+    # explicit SCALAR type: `from __future__ import annotations` makes type
+    # hints strings, which defeats pandas-UDF signature inference
+    @pandas_udf("array<bigint>", PandasUDFType.SCALAR)
+    def _sig(hs):
+        out = []
+        for h in hs:
+            if h is None or len(h) == 0:
+                out.append(None)
+                continue
+            hv = np.asarray(h, dtype=np.int64)
+            # (num_hashes, n_shingles) affine permutations mod p, min per row
+            m = (a_vec[:, None] * hv[None, :] + b_vec[:, None]) % MERSENNE
+            out.append(m.min(axis=1).tolist())
+        return pd.Series(out)
+
+    return _sig
+
+
 def minhash_signatures_df(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -141,30 +170,7 @@ def minhash_signatures_df(
     production pipeline the signature table would simply be written out
     (the standard minhash checkpoint).
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
-
-    params = _hash_params(num_hashes, seed)
-    # a, h < 2^31 → a·h + b < 2^62: exact in int64, fully vectorized
-    a_vec = np.array([a for a, _ in params], dtype=np.int64)
-    b_vec = np.array([b for _, b in params], dtype=np.int64)
-
-    # explicit SCALAR type: `from __future__ import annotations` makes type
-    # hints strings, which defeats pandas-UDF signature inference
-    @pandas_udf("array<bigint>", PandasUDFType.SCALAR)
-    def _sig(hs):
-        out = []
-        for h in hs:
-            if h is None or len(h) == 0:
-                out.append(None)
-                continue
-            hv = np.asarray(h, dtype=np.int64)
-            # (num_hashes, n_shingles) affine permutations mod p, min per row
-            m = (a_vec[:, None] * hv[None, :] + b_vec[:, None]) % MERSENNE
-            out.append(m.min(axis=1).tolist())
-        return pd.Series(out)
-
+    _sig = _minhash_sig_udf(num_hashes, seed)
     if shingles is None:
         shingles = shingle_sets_df(df, id_col, text_col, shingle_n)
     hashed = shingles.select(
@@ -183,6 +189,35 @@ def minhash_signatures_df(
     return sig_df.localCheckpoint(eager=False)
 
 
+def shingle_sig_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sh, sig) — shingle sets AND MinHash signature in ONE
+    materialized frame: the full dedup pipeline needs both (sig for
+    banding, sh for exact-Jaccard verify), and storing them together costs
+    one checkpoint instead of two serial ones."""
+    sh_df = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    ).repartition(max(df.sparkSession.sparkContext.defaultParallelism, 8))
+    sig_col = _minhash_sig_udf(num_hashes, seed)
+    combined = sh_df.select(
+        "id",
+        "sh",
+        sig_col(
+            F.transform(
+                F.col("sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE))
+            )
+        ).alias("sig"),
+    )
+    return combined.localCheckpoint(eager=False)
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -192,6 +227,7 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     seed: int = 42,
     shingles: DataFrame | None = None,
+    signatures: DataFrame | None = None,
     max_bucket_size: int | None = 100_000,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) via LSH banding.
@@ -210,8 +246,12 @@ def minhash_lsh_candidates(
     separate op so callers can tune the candidate/verify trade-off.
     """
     rows = num_hashes // bands
-    sig_df = minhash_signatures_df(
-        df, id_col, text_col, num_hashes, shingle_n, seed, shingles=shingles
+    sig_df = (
+        signatures
+        if signatures is not None
+        else minhash_signatures_df(
+            df, id_col, text_col, num_hashes, shingle_n, seed, shingles=shingles
+        )
     )
     banded = sig_df.where(F.col("sig").isNotNull()).select(
         "id",
@@ -293,15 +333,16 @@ def minhash_dedup_pairs(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold.
-    One shared materialized shingle-set frame feeds signature generation
-    AND verification — the document text is tokenized exactly once."""
-    sh = shingle_sets_df(df, id_col, text_col, shingle_n)
+    ONE materialized (id, shingles, signature) frame feeds both banding
+    and verification — the text is tokenized once, checkpointed once."""
+    combined = shingle_sig_df(df, id_col, text_col, num_hashes, shingle_n)
     cands = minhash_lsh_candidates(
         df, id_col, text_col, num_hashes=num_hashes, bands=bands,
-        shingle_n=shingle_n, shingles=sh,
+        shingle_n=shingle_n, signatures=combined.select("id", "sig"),
     )
     return jaccard_verify(
-        df, cands, id_col, text_col, shingle_n, threshold, shingles=sh
+        df, cands, id_col, text_col, shingle_n, threshold,
+        shingles=combined.select("id", "sh"),
     )
 
 
