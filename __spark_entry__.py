@@ -625,6 +625,36 @@ def q_date_parts(spark, sf_dir):
     )
 
 
+def q_corpus_filter(spark, sf_dir):
+    """End-to-end training-data curation (the C4-style shape): quality
+    score + language gate + exact dedup (keep the min-id representative),
+    emitting the surviving document ids with their stats.
+
+    One narrow stats pass → one dedup groupBy → one semi join; at 100 TB
+    each stage is a single shuffle-or-less.
+    """
+    from kevinlang_spark.operators.text import fingerprint, lang_id, quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    # raw (unrounded) score: both engines then hold the IDENTICAL binary
+    # double, so the 0.5 gate and the output hash cannot diverge
+    scored = docs.select(
+        "doc_id",
+        lang_id(t).alias("lang_pred"),
+        quality_score(t, rounded=False).alias("quality"),
+        fingerprint(t).alias("fp"),
+    ).where((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en"))
+    # referenced twice (dedup groupBy + join-back): materialize once —
+    # the scoring expression tree is interpreted HOFs, not codegen
+    scored = scored.localCheckpoint(eager=False)
+    keep = scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        scored.join(keep, ["fp", "doc_id"], "inner")
+        .select("doc_id", "quality")
+    )
+
+
 def q_explode_tokens(spark, sf_dir):
     """Table-generating explode (UDTF-shape): corpus-wide token frequencies,
     top 20 — the classic wordcount, one explode + one aggregation."""
@@ -785,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_cosine": q_knn_cosine,
         "q_ann_lsh": q_ann_lsh,
         "q_multimodal_features": q_multimodal_features,
+        "q_corpus_filter": q_corpus_filter,
         "q_explode_tokens": q_explode_tokens,
         "q_corr": q_corr,
         "q_quantiles": q_quantiles,
@@ -1016,6 +1047,36 @@ def oracle_sql() -> dict[str, str]:
             "ELSE octet_length(encode(text)) % 44100 + 1 END AS INTEGER) AS n_frames, "
             "md5(text) AS checksum "
             "FROM documents"
+        ),
+        "q_corpus_filter": (
+            "WITH s AS (SELECT doc_id, text, "
+            "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks "
+            "FROM documents), "
+            "f AS (SELECT doc_id, text, len(toks) AS n_tok, "
+            "ROUND(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) "
+            "/ CAST(length(text) AS DOUBLE), 4) AS alpha_ratio, "
+            "ROUND(len(list_filter(toks, x -> list_contains(['the','a','an','and','or',"
+            "'of','to','in','is','it','that','for','on','with','as','at','by','from'], x))) "
+            "/ CAST(len(toks) AS DOUBLE), 4) AS stop_ratio, "
+            "len(list_intersect(list_distinct(toks), ['the','and','of','is','with','for'])) AS s_en, "
+            "len(list_intersect(list_distinct(toks), ['der','die','und','ist','mit','für'])) AS s_de, "
+            "len(list_intersect(list_distinct(toks), ['el','los','las','es','con','para'])) AS s_es, "
+            "len(list_intersect(list_distinct(toks), ['le','les','et','est','avec','pour'])) AS s_fr, "
+            "regexp_matches(text, '[一-鿿]') AS has_cjk, "
+            "md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp "
+            "FROM s), "
+            "q AS (SELECT doc_id, fp, "
+            "CAST(0.4 AS DOUBLE) * COALESCE(alpha_ratio, 0) "
+            "+ CAST(0.3 AS DOUBLE) * COALESCE(LEAST(stop_ratio * CAST(5 AS DOUBLE), "
+            "CAST(1 AS DOUBLE)), 0) "
+            "+ CAST(0.3 AS DOUBLE) * LEAST(n_tok / CAST(20 AS DOUBLE), "
+            "CAST(1 AS DOUBLE)) AS quality "
+            "FROM f WHERE NOT has_cjk AND greatest(s_en, s_de, s_es, s_fr) > 0 "
+            "AND s_en = greatest(s_en, s_de, s_es, s_fr)), "
+            "g AS (SELECT * FROM q WHERE quality >= 0.5), "
+            "k AS (SELECT fp, MIN(doc_id) AS doc_id FROM g GROUP BY fp) "
+            "SELECT g.doc_id, g.quality FROM g JOIN k "
+            "ON g.fp = k.fp AND g.doc_id = k.doc_id"
         ),
         "q_explode_tokens": (
             "SELECT tok, COUNT(*) AS n FROM ("

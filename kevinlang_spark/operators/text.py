@@ -84,18 +84,24 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, rounded: bool = True) -> Column:
     """Composite [0,1] quality score from the features — a monotone blend
-    of alpha ratio, stopword presence, and length adequacy."""
+    of alpha ratio, stopword presence, and length adequacy.
+
+    ``rounded=False`` returns the raw double: sums of 4dp-rounded inputs
+    land on exact decimal halves constantly, where Spark (decimal-string
+    HALF_UP) and other engines (binary rounding) disagree — cross-engine
+    comparisons should compare the raw binary value instead.
+    """
     f = quality_features(text)
     len_ok = F.least(f["n_tokens"].cast("double") / F.lit(20.0), F.lit(1.0))
     stop_ok = F.least(f["stopword_ratio"] * 5.0, F.lit(1.0))
-    return F.round(
+    raw = (
         0.4 * F.coalesce(f["alpha_ratio"], F.lit(0.0))
         + 0.3 * F.coalesce(stop_ok, F.lit(0.0))
-        + 0.3 * len_ok,
-        4,
+        + 0.3 * len_ok
     )
+    return F.round(raw, 4) if rounded else raw
 
 
 def fingerprint(text: Column) -> Column:
