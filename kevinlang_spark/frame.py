@@ -262,11 +262,24 @@ class KevinFrame:
         hidden = [c for c in self._df.columns if c.startswith("__")]
         traits = {n: self.traits[n] for n in wanted if n in self.traits}
         group_cols = tuple(g for g in self.group_cols if g in wanted)
+        # the pending order spec may reference columns being projected away
+        # (sort("cost").select(["city"])): retain them under hidden names so
+        # the order survives without a materializing window
+        spec = []
+        extra = []
+        for i, (n, asc) in enumerate(self.order_spec):
+            if n in wanted or n.startswith("__"):
+                spec.append((n, asc))
+            else:
+                h = f"__ord{i}_{n}"
+                extra.append(F.col(n).alias(h))
+                spec.append((h, asc))
         return self._derive(
-            self._df.select(*wanted, *hidden),
+            self._df.select(*wanted, *extra, *hidden),
             traits=traits,
             group_cols=group_cols,
             pivot=None,
+            order_spec=tuple(spec),
         )
 
     def filter(self, field, pred=None) -> "KevinFrame":
@@ -385,7 +398,13 @@ class KevinFrame:
             out = base._df.agg(expr)
             spec = ()
         traits = {k: base.traits[k] for k in base.group_cols if k in base.traits}
-        traits[out_name] = TEXT_DIM if agg == "concat" else NUM_MEASURE
+        # trait follows the OUTPUT dtype: min/max and custom callables can
+        # yield strings (labeling them numeric would break append's
+        # trait-equality check and the renderer)
+        out_dtype = out.schema[out_name].dataType
+        traits[out_name] = (
+            TEXT_DIM if isinstance(out_dtype, T.StringType) else NUM_MEASURE
+        )
         if base.ordered:
             out = out.withColumn(IDX, F.monotonically_increasing_id())
         return self._derive(
@@ -484,15 +503,21 @@ class KevinFrame:
         _, kind = agglib.resolve(agg)
         self._check_agg_kind(field, kind)
         out_name = alias or f"{field}_{agg}"
-        w = (
-            Window.partitionBy(*self.group_cols)
-            if self.group_cols
-            else Window.partitionBy(F.lit(1))
-        )
-        expr = window_aggs[agg](F.col(field)).over(w)
-        if agg == "count":
-            expr = expr.cast("double")  # reference count returns float
-        out = self._df.withColumn(out_name, expr)
+        if self.group_cols:
+            expr = window_aggs[agg](F.col(field)).over(
+                Window.partitionBy(*self.group_cols)
+            )
+            if agg == "count":
+                expr = expr.cast("double")  # reference count returns float
+            out = self._df.withColumn(out_name, expr)
+        else:
+            # global transform: an unpartitioned window would funnel every
+            # row through ONE task — compute the scalar with a normal
+            # aggregation and attach it via a broadcast cross join instead
+            scalar = self._df.agg(window_aggs[agg](F.col(field)).alias(out_name))
+            if agg == "count":
+                scalar = scalar.select(F.col(out_name).cast("double").alias(out_name))
+            out = self._df.crossJoin(F.broadcast(scalar))
         traits = dict(self.traits)
         traits[out_name] = NUM_MEASURE
         return self._derive(out, traits=traits)
@@ -543,36 +568,42 @@ class KevinFrame:
         out = self._df.orderBy(*self._order_cols()).offset(n)
         return self._derive(out)
 
-    def _nonempty_or_raise(self, op: str) -> int:
-        h = self.height()
-        if h == 0:
+    def _row_count(self) -> int:
+        """Underlying row count — slicing operates on ROWS even in pivot
+        form (the reference's slicing works on Indices regardless of
+        TitleTrees; only height()/width() switch to leaf counts)."""
+        return self._df.count()
+
+    def _check_nonempty(self, op: str) -> None:
+        # isEmpty reads at most one partition — head() on a huge frame
+        # must not pay a full count scan
+        if self._df.isEmpty():
             raise KevinValueError(f"{op}: empty data frame")
-        return h
 
     def head(self) -> "KevinFrame":
         """First row only; errors on a row-empty frame (reference uses
         Prelude.head — see test/Spec.lhs:33)."""
         self._require_ordered("head")
-        self._nonempty_or_raise("head")
+        self._check_nonempty("head")
         return self.take(1)
 
     def tail(self) -> "KevinFrame":
         """All but the first row; errors on empty (Combinator.hs:313-315)."""
         self._require_ordered("tail")
-        self._nonempty_or_raise("tail")
+        self._check_nonempty("tail")
         return self.drop(1)
 
     def init(self) -> "KevinFrame":
         """All but the last row; errors on empty (Combinator.hs:305-307)."""
         self._require_ordered("init")
-        h = self._nonempty_or_raise("init")
-        return self.take(h - 1)
+        self._check_nonempty("init")
+        return self.take(self._row_count() - 1)
 
     def last(self) -> "KevinFrame":
         """Last row only; errors on empty (Combinator.hs:309-311)."""
         self._require_ordered("last")
-        h = self._nonempty_or_raise("last")
-        return self.drop(h - 1)
+        self._check_nonempty("last")
+        return self.drop(self._row_count() - 1)
 
     # ------------------------------------------------------------------ #
     # size (reference Combinator.hs:278-291)
@@ -647,7 +678,7 @@ class KevinFrame:
         """
         self._require_ordered("join")
         other._require_ordered("join")
-        h0, h1 = self.height(), other.height()
+        h0, h1 = self._row_count(), other._row_count()
         if h0 != h1:
             raise KevinValueError("Can't join inconsistent data frames")
         l = self._materialized(force=True)._df
@@ -685,10 +716,32 @@ class KevinFrame:
         if broadcast_other:
             r = F.broadcast(r)
         out = self._df.join(r, on=on, how=how)
+        # disambiguate overlapping non-key names (a '_r' suffix, like the
+        # positional join) — duplicate names would make the frame
+        # unaddressable (AMBIGUOUS_REFERENCE on the next select)
+        key_names = set()
+        if isinstance(on, str):
+            key_names = {on}
+        elif isinstance(on, (list, tuple)) and all(isinstance(x, str) for x in on):
+            key_names = set(on)
+        dup = [
+            c
+            for c in other.columns
+            if c in self.columns and c not in key_names and c in out.columns
+        ]
+        if dup:
+            sel = [self._df[c] for c in self._df.columns]
+            sel += [
+                (r[c].alias(f"{c}_r") if c in dup else r[c])
+                for c in r.columns
+                if c not in key_names
+            ]
+            out = out.select(*sel)
         traits = dict(self.traits)
         for c in other.columns:
-            if c in out.columns and c not in traits:
-                traits[c] = other.traits.get(c)
+            name = f"{c}_r" if c in dup else c
+            if name in out.columns and name not in traits:
+                traits[name] = other.traits.get(c)
         keeps_left_rows = how in (
             "inner",
             "left",
@@ -818,7 +871,11 @@ class KevinFrame:
                 order_spec=(),
                 idx_asc=True,
             )
-        base = self._df.select(*ids, *vars_, *([IDX] if self.ordered else []))
+        # a pending sort may reference columns that don't survive the
+        # unpivot (the var columns themselves, or unrelated ones):
+        # materialize dense positions first so the order is baked into __idx
+        base_kf = self._materialized() if (self.ordered and self.order_spec) else self
+        base = base_kf._df.select(*ids, *vars_, *([IDX] if self.ordered else []))
         base = base.withColumns({v: F.col(v).cast("double") for v in vars_})
         out = base.unpivot(
             ids=[*ids] + ([IDX] if self.ordered else []),
@@ -834,13 +891,15 @@ class KevinFrame:
                 pos_expr = pos_expr.when(F.col("variable") == v, F.lit(i))
             out = out.withColumn("__vpos", pos_expr)
             out = out.select(*ids, "variable", "value", IDX, "__vpos")
-            spec = (("__vpos", True),) + self.order_spec
+            # base was materialized above, so its spec is empty and row
+            # order lives in __idx; var-major = (__vpos, __idx)
             return self._derive(
                 out,
                 traits=traits,
                 group_cols=(),
                 pivot=None,
-                order_spec=spec,
+                order_spec=(("__vpos", True),),
+                idx_asc=True,
             )
         out = out.select(*ids, "variable", "value")
         return self._derive(out, traits=traits, group_cols=(), pivot=None)
@@ -860,6 +919,11 @@ class KevinFrame:
             raise KevinValueError("unable to cast")
         if value_field in rows or value_field in cols:
             raise KevinValueError("unable to cast")
+        # unknown names would leave PivotState referencing columns the
+        # aggregated frame doesn't have (reference errors at unstack time
+        # with "unable to unstack"; we fail fast here)
+        for n in rows + cols + [value_field]:
+            self._check_field(n)
         out = self.groupby(rows + cols).aggregate(agg, value_field)
         return out._derive(out._df, pivot=PivotState(tuple(rows), tuple(cols), value_field))
 
@@ -883,7 +947,20 @@ class KevinFrame:
             if rows:
                 out = out.orderBy(*rows)
             return out
-        key = F.concat_ws("/", *[F.col(c).cast("string") for c in cols]).alias("__ckey")
+        if max_distinct is not None:
+            n_keys = df.select(*cols).distinct().limit(max_distinct + 1).count()
+            if n_keys > max_distinct:
+                raise KevinPivotError(
+                    f"pivot would create more than {max_distinct} columns; "
+                    "a pivot this wide is a modeling error at scale"
+                )
+        # NULL-safe, collision-safe column key: coalesce NULLs to a marker
+        # and join with a unit separator (plain concat_ws would collapse
+        # ('a', NULL) and (NULL, 'a'), and 'a/b' with ('a','b'))
+        key = F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cols],
+        ).alias("__ckey")
         df = df.withColumn("__ckey", key)
         gb = df.groupBy(*rows) if rows else df.groupBy(F.lit(1).alias("__all"))
         out = gb.pivot("__ckey", values=None).agg(F.first(F.col(val)))
