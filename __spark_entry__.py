@@ -1000,7 +1000,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents), "
             "s AS (SELECT "
             "len(list_intersect(toks, ['the','and','of','is','with','for'])) AS s_en, "
-            "len(list_intersect(toks, ['der','die','und','ist','mit','für'])) AS s_de, "
+            "len(list_intersect(toks, ['der','die','und','ist','mit','das'])) AS s_de, "
             "len(list_intersect(toks, ['el','los','las','es','con','para'])) AS s_es, "
             "len(list_intersect(toks, ['le','les','et','est','avec','pour'])) AS s_fr, "
             "regexp_matches(text, '[一-鿿]') AS has_cjk FROM t) "
@@ -1059,7 +1059,7 @@ def oracle_sql() -> dict[str, str]:
             "'of','to','in','is','it','that','for','on','with','as','at','by','from'], x))) "
             "/ CAST(len(toks) AS DOUBLE), 4) AS stop_ratio, "
             "len(list_intersect(list_distinct(toks), ['the','and','of','is','with','for'])) AS s_en, "
-            "len(list_intersect(list_distinct(toks), ['der','die','und','ist','mit','für'])) AS s_de, "
+            "len(list_intersect(list_distinct(toks), ['der','die','und','ist','mit','das'])) AS s_de, "
             "len(list_intersect(list_distinct(toks), ['el','los','las','es','con','para'])) AS s_es, "
             "len(list_intersect(list_distinct(toks), ['le','les','et','est','avec','pour'])) AS s_fr, "
             "regexp_matches(text, '[一-鿿]') AS has_cjk, "
@@ -1067,8 +1067,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM s), "
             "q AS (SELECT doc_id, fp, "
             "CAST(0.4 AS DOUBLE) * COALESCE(alpha_ratio, 0) "
-            "+ CAST(0.3 AS DOUBLE) * COALESCE(LEAST(stop_ratio * CAST(5 AS DOUBLE), "
-            "CAST(1 AS DOUBLE)), 0) "
+            "+ CAST(0.3 AS DOUBLE) * LEAST(COALESCE(stop_ratio, 0) * CAST(5 AS DOUBLE), "
+            "CAST(1 AS DOUBLE)) "
             "+ CAST(0.3 AS DOUBLE) * LEAST(n_tok / CAST(20 AS DOUBLE), "
             "CAST(1 AS DOUBLE)) AS quality "
             "FROM f WHERE NOT has_cjk AND greatest(s_en, s_de, s_es, s_fr) > 0 "

@@ -245,6 +245,14 @@ def minhash_lsh_candidates(
     hot buckets.  Pairs are distinct-ed; verification (exact Jaccard) is a
     separate op so callers can tune the candidate/verify trade-off.
     """
+    if bands <= 0 or num_hashes % bands != 0:
+        # rows=0 would key every doc into ONE bucket (full quadratic
+        # blowup); a non-divisible split would silently ignore trailing
+        # hashes
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"bands ({bands})"
+        )
     rows = num_hashes // bands
     sig_df = (
         signatures
@@ -445,6 +453,14 @@ def simhash_neardup_pairs(
     pair within distance ``max_hamming < blocks`` must agree on ≥1 chunk →
     self-join per chunk (shuffle on 16-bit keys), verify with bit_count(xor).
     """
+    if max_hamming >= blocks:
+        # pigeonhole guarantee needs max_hamming < blocks: with k >= blocks
+        # differing bits spread one-per-chunk, no chunk agrees and the pair
+        # is silently never generated
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < blocks ({blocks}) for "
+            "the pigeonhole candidate guarantee"
+        )
     width = 64 // blocks
     sh = simhash_signatures_df(df, id_col, text_col)
     chunks = F.array(

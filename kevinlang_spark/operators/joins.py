@@ -62,10 +62,16 @@ def asof_join(
         F.struct(*right_cols).alias("__rval"),
     )
     # right rows sort before left rows at equal ts (__side 0 < 1) so an
-    # exactly-simultaneous right row IS visible to the left row (<=)
+    # exactly-simultaneous right row IS visible to the left row (<=);
+    # __rval as the final key makes ties among equal-(key, ts) right rows
+    # deterministic (struct ordering) instead of partition-layout-dependent
     w = (
         Window.partitionBy("__key")
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(
+            F.col("__ts").asc(),
+            F.col("__side").asc(),
+            F.col("__rval").asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = l.unionByName(r).withColumn(
@@ -100,8 +106,12 @@ def range_join_binned(
     i_lo = (F.unix_timestamp(F.col(start_ts)) / bin_seconds).cast("long")
     i_hi = (F.unix_timestamp(F.col(end_ts)) / bin_seconds).cast("long")
 
-    p = points.withColumn("__bin", p_bin)
-    i = intervals.withColumn("__bin", F.explode(F.sequence(i_lo, i_hi)))
+    # qualified refs: the residual filter must stay unambiguous even when
+    # both frames carry same-named columns (e.g. both have a 'ts')
+    p = points.withColumn("__bin", p_bin).alias("p")
+    i = intervals.withColumn("__bin", F.explode(F.sequence(i_lo, i_hi))).alias("i")
     keys = ["__bin"] + ([on] if on else [])
-    cond = (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) < F.col(end_ts))
+    cond = (F.col(f"p.{point_ts}") >= F.col(f"i.{start_ts}")) & (
+        F.col(f"p.{point_ts}") < F.col(f"i.{end_ts}")
+    )
     return p.join(i, on=keys, how="inner").where(cond).drop("__bin")

@@ -86,15 +86,21 @@ def extract_media_features(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            # NULL payloads (failed fetches — routine in a bronze media
+            # table) yield null features, not a task-killing TypeError;
+            # bytes() materialized once per row
+            raw = [None if p is None else bytes(p) for p in pdf["payload"]]
             feats = [
-                decode(bytes(p), m)
-                for p, m in zip(pdf["payload"], pdf["media_type"])
+                {} if p is None else decode(p, m)
+                for p, m in zip(raw, pdf["media_type"])
             ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "n_bytes": pd.array(
+                        [None if p is None else len(p) for p in raw], dtype="Int64"
+                    ),
                     "width": pd.array([f.get("width") for f in feats], dtype="Int32"),
                     "height": pd.array([f.get("height") for f in feats], dtype="Int32"),
                     "n_frames": pd.array([f.get("n_frames") for f in feats], dtype="Int32"),
@@ -116,9 +122,10 @@ def sample_frames(
     identical.
     """
     feats = extract_media_features(media_df).where(F.col("media_type") == "video")
-    return feats.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
-        ).alias("frame_idx"),
-    )
+    # zero-frame/corrupt items (a real decoder returns n_frames=0) must not
+    # blow up sequence(0, -1): guard to an empty frame list
+    frames = F.when(
+        F.col("n_frames") > 0,
+        F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n)),
+    ).otherwise(F.array().cast("array<int>"))
+    return feats.select("doc_id", F.explode(frames).alias("frame_idx"))

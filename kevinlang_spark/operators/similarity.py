@@ -97,14 +97,21 @@ def ann_topk_lsh(
     signature (``partitionBy("bucket")``) so probing prunes whole files —
     here the signature is computed on the fly.
     """
+    import itertools
+
     planes = _planes(len(query), n_planes, seed)
     qsig = 0
     for i, p in enumerate(planes):
         if sum(a * b for a, b in zip(query, p)) >= 0:
             qsig |= 1 << i
+    # all buckets within probe_hamming bit flips of the query's bucket
     probe = [qsig]
-    if probe_hamming >= 1:
-        probe += [qsig ^ (1 << i) for i in range(n_planes)]
+    for n_flips in range(1, probe_hamming + 1):
+        for bits in itertools.combinations(range(n_planes), n_flips):
+            flipped = qsig
+            for b in bits:
+                flipped ^= 1 << b
+            probe.append(flipped)
 
     bucketed = df.withColumn("__bucket", hyperplane_signature(F.col(vec_col), planes))
     cand = bucketed.where(F.col("__bucket").isin(probe))
@@ -177,9 +184,16 @@ def embedding_neardup_pairs(
     """All pairs with cosine ≥ threshold, candidate-generated within LSH
     buckets (high-cosine pairs land in the same bucket with prob
     (1 - θ/π)^planes).  The self-join shuffles (bucket, id, vec) once."""
+    df = df.where(F.col(vec_col).isNotNull())
     if dim is None:
-        first = df.select(F.size(vec_col).alias("d")).first()
-        dim = first["d"] if first else 0
+        # size(NULL) is NULL → range(None) TypeError; nulls filtered above,
+        # but an all-null/empty frame still needs the guard
+        first = df.select(F.size(vec_col).alias("d")).where(F.col("d") > 0).first()
+        if first is None:
+            return df.sparkSession.createDataFrame(
+                [], "id_a bigint, id_b bigint, sim double"
+            )
+        dim = first["d"]
     planes = _planes(dim, n_planes, seed)
     b = df.select(
         F.col(id_col).alias("id"),

@@ -19,7 +19,9 @@ from kevinlang_spark.functions.textexpr import normalize_text, token_count, toke
 #: Chosen to be unambiguous across the five testdata languages.
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "is", "with", "for"],
-    "de": ["der", "die", "und", "ist", "mit", "für"],
+    # ASCII-safe markers only: the tokenizer splits on [^a-z0-9]+, so a
+    # marker containing 'ü' ('für') could never match a token
+    "de": ["der", "die", "und", "ist", "mit", "das"],
     "es": ["el", "los", "las", "es", "con", "para"],
     "fr": ["le", "les", "et", "est", "avec", "pour"],
 }
@@ -95,10 +97,14 @@ def quality_score(text: Column, rounded: bool = True) -> Column:
     """
     f = quality_features(text)
     len_ok = F.least(f["n_tokens"].cast("double") / F.lit(20.0), F.lit(1.0))
-    stop_ok = F.least(f["stopword_ratio"] * 5.0, F.lit(1.0))
+    # coalesce BEFORE least: F.least skips NULL arguments, so
+    # least(NULL, 1.0) = 1.0 would hand token-free garbage a 0.3 floor
+    stop_ok = F.least(
+        F.coalesce(f["stopword_ratio"], F.lit(0.0)) * 5.0, F.lit(1.0)
+    )
     raw = (
         0.4 * F.coalesce(f["alpha_ratio"], F.lit(0.0))
-        + 0.3 * F.coalesce(stop_ok, F.lit(0.0))
+        + 0.3 * stop_ok
         + 0.3 * len_ok
     )
     return F.round(raw, 4) if rounded else raw
