@@ -94,6 +94,13 @@ def _as_name_list(names) -> list[str]:
     raise KevinTypeError("invalid field name")
 
 
+def _q(name: str) -> "Column":
+    """Backtick-quoted column reference: user column names may contain
+    dots (legal in CSV headers and parquet), which bare F.col would parse
+    as nested-field access."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 class KevinFrame:
     """Immutable combinator-algebra frame over a Spark DataFrame."""
 
@@ -159,8 +166,8 @@ class KevinFrame:
         order (a parallel range-partitioned sort, not a window)."""
         cols = self.columns
         if self.ordered:
-            return self._df.orderBy(*self._order_cols()).select(*cols)
-        return self._df.select(*cols)
+            return self._df.orderBy(*self._order_cols()).select(*[_q(c) for c in cols])
+        return self._df.select(*[_q(c) for c in cols])
 
     @property
     def columns(self) -> list[str]:
@@ -174,7 +181,7 @@ class KevinFrame:
         """Effective row order: pending sort spec, then __idx."""
         cols = []
         for name, asc in self.order_spec:
-            c = F.col(name)
+            c = _q(name)
             cols.append(c.asc_nulls_first() if asc else c.desc_nulls_last())
         idx = F.col(IDX)
         cols.append(idx.asc() if self.idx_asc else idx.desc())
@@ -272,10 +279,10 @@ class KevinFrame:
                 spec.append((n, asc))
             else:
                 h = f"__ord{i}_{n}"
-                extra.append(F.col(n).alias(h))
+                extra.append(_q(n).alias(h))
                 spec.append((h, asc))
         return self._derive(
-            self._df.select(*wanted, *extra, *hidden),
+            self._df.select(*[_q(c) for c in wanted], *extra, *hidden),
             traits=traits,
             group_cols=group_cols,
             pivot=None,
@@ -307,7 +314,7 @@ class KevinFrame:
             if not isinstance(field, str):
                 raise KevinTypeError("invalid field name")
             self._check_field(field)
-            cond = pred(F.col(field))
+            cond = pred(_q(field))
             if not isinstance(cond, Column):
                 raise KevinTypeError(
                     "predicate did not produce a Column expression; use "
@@ -337,7 +344,7 @@ class KevinFrame:
         def _pred(s):
             return s.map(lambda v: bool(fn(v)) if v is not None else False)
 
-        return self._derive(self._df.where(_pred(F.col(field))), group_cols=())
+        return self._derive(self._df.where(_pred(_q(field))), group_cols=())
 
     def with_column(
         self, name: str, col: Column, traits: FieldTraits | None = None
@@ -389,10 +396,10 @@ class KevinFrame:
         if isinstance(agg, str) and agg == "concat" and self.ordered:
             base = self._materialized()
         idx_col = F.col(IDX) if base.ordered else None
-        expr = fn(F.col(field), idx_col).alias(out_name)
+        expr = fn(_q(field), idx_col).alias(out_name)
 
         if base.group_cols:
-            out = base._df.groupBy(*base.group_cols).agg(expr)
+            out = base._df.groupBy(*[_q(k) for k in base.group_cols]).agg(expr)
             spec = tuple((k, True) for k in base.group_cols)
         else:
             out = base._df.agg(expr)
@@ -439,12 +446,12 @@ class KevinFrame:
             return fold(v)
 
         if self.group_cols:
-            out = self._df.groupBy(*self.group_cols).agg(
-                _fold(F.col(field)).alias(out_name)
+            out = self._df.groupBy(*[_q(k) for k in self.group_cols]).agg(
+                _fold(_q(field)).alias(out_name)
             )
             spec = tuple((k, True) for k in self.group_cols)
         else:
-            out = self._df.agg(_fold(F.col(field)).alias(out_name))
+            out = self._df.agg(_fold(_q(field)).alias(out_name))
             spec = ()
         traits = {k: self.traits[k] for k in self.group_cols if k in self.traits}
         traits[out_name] = NUM_MEASURE
@@ -465,8 +472,8 @@ class KevinFrame:
         """
         if not self.group_cols:
             raise KevinValueError("apply_grouped requires groupby() first")
-        base = self._df.select(*self.columns)
-        out = base.groupBy(*self.group_cols).applyInPandas(fn, schema=schema)
+        base = self._df.select(*[_q(c) for c in self.columns])
+        out = base.groupBy(*[_q(k) for k in self.group_cols]).applyInPandas(fn, schema=schema)
         return KevinFrame(out, group_cols=(), pivot=None, ordered=False)
 
     def transform_grouped(
@@ -504,8 +511,8 @@ class KevinFrame:
         self._check_agg_kind(field, kind)
         out_name = alias or f"{field}_{agg}"
         if self.group_cols:
-            expr = window_aggs[agg](F.col(field)).over(
-                Window.partitionBy(*self.group_cols)
+            expr = window_aggs[agg](_q(field)).over(
+                Window.partitionBy(*[_q(k) for k in self.group_cols])
             )
             if agg == "count":
                 expr = expr.cast("double")  # reference count returns float
@@ -514,7 +521,7 @@ class KevinFrame:
             # global transform: an unpartitioned window would funnel every
             # row through ONE task — compute the scalar with a normal
             # aggregation and attach it via a broadcast cross join instead
-            scalar = self._df.agg(window_aggs[agg](F.col(field)).alias(out_name))
+            scalar = self._df.agg(window_aggs[agg](_q(field)).alias(out_name))
             if agg == "count":
                 scalar = scalar.select(F.col(out_name).cast("double").alias(out_name))
             out = self._df.crossJoin(F.broadcast(scalar))
@@ -615,14 +622,14 @@ class KevinFrame:
         if self.pivot is not None:
             if not self.pivot.row_fields:
                 return 1
-            return self._df.select(*self.pivot.row_fields).distinct().count()
+            return self._df.select(*[_q(c) for c in self.pivot.row_fields]).distinct().count()
         return self._df.count()
 
     def width(self) -> int:
         if self.pivot is not None:
             if not self.pivot.col_fields:
                 return 1
-            return self._df.select(*self.pivot.col_fields).distinct().count()
+            return self._df.select(*[_q(c) for c in self.pivot.col_fields]).distinct().count()
         return len(self.columns)
 
     def size(self) -> tuple[int, int]:
@@ -648,8 +655,8 @@ class KevinFrame:
         if self.ordered and other.ordered:
             l = self._materialized()
             r = other._materialized()
-            lf = l._df.select(*self.columns, IDX).withColumn("__src", F.lit(0))
-            rf = r._df.select(*self.columns, IDX).withColumn("__src", F.lit(1))
+            lf = l._df.select(*[_q(c) for c in self.columns], IDX).withColumn("__src", F.lit(0))
+            rf = r._df.select(*[_q(c) for c in self.columns], IDX).withColumn("__src", F.lit(1))
             out = lf.unionByName(rf)
             out = out.withColumn(
                 IDX,
@@ -660,7 +667,9 @@ class KevinFrame:
             return self._derive(
                 out, group_cols=(), pivot=None, order_spec=(), idx_asc=True
             )
-        out = self._df.select(*self.columns).unionByName(other._df.select(*self.columns))
+        out = self._df.select(*[_q(c) for c in self.columns]).unionByName(
+            other._df.select(*[_q(c) for c in other.columns])
+        )
         return self._derive(
             out, group_cols=(), pivot=None, ordered=False, order_spec=(), idx_asc=True
         )
@@ -690,7 +699,7 @@ class KevinFrame:
         traits = dict(self.traits)
         for c in other.columns:
             traits[rename.get(c, c)] = other.traits.get(c)
-        out = out.select(*self.columns, *[rename.get(c, c) for c in other.columns], IDX)
+        out = out.select(*[_q(c) for c in self.columns], *[_q(rename.get(c, c)) for c in other.columns], IDX)
         return self._derive(
             out, traits=traits, group_cols=(), pivot=None, order_spec=(), idx_asc=True
         )
@@ -775,19 +784,19 @@ class KevinFrame:
     def union_distinct(self, other: "KevinFrame") -> "KevinFrame":
         """Set union (duplicates removed).  Produces an unordered frame:
         distinct() has no meaningful row order."""
-        out = self._df.select(*self.columns).unionByName(
-            other._df.select(*self.columns)
+        out = self._df.select(*[_q(c) for c in self.columns]).unionByName(
+            other._df.select(*[_q(c) for c in other.columns])
         ).distinct()
         return self._derive(out, group_cols=(), pivot=None, ordered=False,
                             order_spec=(), idx_asc=True)
 
     def intersect(self, other: "KevinFrame") -> "KevinFrame":
-        out = self._df.select(*self.columns).intersect(other._df.select(*self.columns))
+        out = self._df.select(*[_q(c) for c in self.columns]).intersect(other._df.select(*[_q(c) for c in other.columns]))
         return self._derive(out, group_cols=(), pivot=None, ordered=False,
                             order_spec=(), idx_asc=True)
 
     def except_all(self, other: "KevinFrame") -> "KevinFrame":
-        out = self._df.select(*self.columns).exceptAll(other._df.select(*self.columns))
+        out = self._df.select(*[_q(c) for c in self.columns]).exceptAll(other._df.select(*[_q(c) for c in other.columns]))
         return self._derive(out, group_cols=(), pivot=None, ordered=False,
                             order_spec=(), idx_asc=True)
 
@@ -858,7 +867,7 @@ class KevinFrame:
         traits["value"] = NUM_MEASURE
         if not vars_:
             empty = self._df.where(F.lit(False)).select(
-                *ids, *([IDX] if self.ordered else [])
+                *[_q(c) for c in ids], *([IDX] if self.ordered else [])
             )
             empty = empty.withColumn("variable", F.lit(None).cast("string"))
             empty = empty.withColumn("value", F.lit(None).cast("double"))
@@ -875,11 +884,11 @@ class KevinFrame:
         # unpivot (the var columns themselves, or unrelated ones):
         # materialize dense positions first so the order is baked into __idx
         base_kf = self._materialized() if (self.ordered and self.order_spec) else self
-        base = base_kf._df.select(*ids, *vars_, *([IDX] if self.ordered else []))
-        base = base.withColumns({v: F.col(v).cast("double") for v in vars_})
+        base = base_kf._df.select(*[_q(c) for c in ids + vars_], *([IDX] if self.ordered else []))
+        base = base.withColumns({v: _q(v).cast("double") for v in vars_})
         out = base.unpivot(
-            ids=[*ids] + ([IDX] if self.ordered else []),
-            values=vars_,
+            ids=[_q(c) for c in ids] + ([F.col(IDX)] if self.ordered else []),
+            values=[_q(v).alias(v) for v in vars_],
             variableColumnName="variable",
             valueColumnName="value",
         )
@@ -890,7 +899,9 @@ class KevinFrame:
             for i, v in enumerate(vars_[1:], start=1):
                 pos_expr = pos_expr.when(F.col("variable") == v, F.lit(i))
             out = out.withColumn("__vpos", pos_expr)
-            out = out.select(*ids, "variable", "value", IDX, "__vpos")
+            out = out.select(
+                *[_q(c) for c in ids], "variable", "value", IDX, "__vpos"
+            )
             # base was materialized above, so its spec is empty and row
             # order lives in __idx; var-major = (__vpos, __idx)
             return self._derive(
@@ -901,7 +912,7 @@ class KevinFrame:
                 order_spec=(("__vpos", True),),
                 idx_asc=True,
             )
-        out = out.select(*ids, "variable", "value")
+        out = out.select(*[_q(c) for c in ids], "variable", "value")
         return self._derive(out, traits=traits, group_cols=(), pivot=None)
 
     def cast(self, row_fields, col_fields, agg, value_field: str) -> "KevinFrame":
@@ -959,7 +970,7 @@ class KevinFrame:
         # ('a', NULL) and (NULL, 'a'), and 'a/b' with ('a','b'))
         key = F.concat_ws(
             "\x1f",
-            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cols],
+            *[F.coalesce(_q(c).cast("string"), F.lit("\x00null")) for c in cols],
         ).alias("__ckey")
         df = df.withColumn("__ckey", key)
         gb = df.groupBy(*rows) if rows else df.groupBy(F.lit(1).alias("__all"))

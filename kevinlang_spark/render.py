@@ -18,6 +18,9 @@ reference's ``show``; size is bounded by ``max_rows``.
 
 from __future__ import annotations
 
+import math
+
+from kevinlang_spark.errors import KevinValueError
 from kevinlang_spark.traits import DataInterpretation, FieldTraits
 
 
@@ -36,6 +39,8 @@ def _fmt_value(v, traits: FieldTraits | None) -> str:
     if isinstance(v, bool):
         return str(v)
     if isinstance(v, float):
+        if math.isnan(v) or math.isinf(v):
+            return str(v)  # int(nan/inf) would raise
         if traits is not None and traits.interp == DataInterpretation.DISCRETE:
             return f"{v:.0f}"
         if v == int(v) and abs(v) < 1e15:
@@ -46,6 +51,30 @@ def _fmt_value(v, traits: FieldTraits | None) -> str:
         if traits is not None and traits.interp == DataInterpretation.CONTINUOUS:
             return f"{float(v)!r}"
         return str(v)
+    return str(v)
+
+
+def _fmt_header(v) -> str:
+    """Reference title-tree header formatting (DataFrame.hs:155-156):
+    numeric header values ALWAYS print 0-decimal, regardless of traits."""
+    if v is None:
+        return "empty"
+    if isinstance(v, float) and not (math.isnan(v) or math.isinf(v)):
+        return f"{v:.0f}"
+    return str(v)
+
+
+def _fmt_cell(v) -> str:
+    """Reference crosstab cell formatting: plain Scientific ``show``
+    (DataFrame.hs:91) — integral floats keep a trailing .0."""
+    if v is None:
+        return "empty"
+    if isinstance(v, float):
+        if math.isnan(v) or math.isinf(v):
+            return str(v)
+        if v == int(v) and abs(v) < 1e15:
+            return f"{v:.1f}"
+        return repr(v)
     return str(v)
 
 
@@ -98,8 +127,6 @@ def _render_pivot(kf, max_rows: int) -> str:
     rows_f = list(kf.pivot.row_fields)
     cols_f = list(kf.pivot.col_fields)
     val = kf.pivot.value_field
-    vt = kf.traits.get(val)
-
     # leaf paths, sorted — the title trees' leaf order (DataFrame.hs:266)
     def paths(fields):
         if not fields:
@@ -110,16 +137,29 @@ def _render_pivot(kf, max_rows: int) -> str:
     row_paths = paths(rows_f)
     col_paths = paths(cols_f)
 
-    # cell values keyed by (row_path, col_path)
+    # collect ONLY rows belonging to the displayed grid (an arbitrary
+    # limit() sample could miss displayed cells and falsely render 'empty')
+    from pyspark.sql import functions as F
+
+    data_df = kf.df.select(*rows_f, *cols_f, val)
+    if rows_f and len(row_paths) >= max_rows:
+        key_col = F.concat_ws("\x1f", *[F.col(f).cast("string") for f in rows_f])
+        wanted = [
+            "\x1f".join("" if v is None else str(v) for v in p) for p in row_paths
+        ]
+        data_df = data_df.where(key_col.isin(wanted))
     cells: dict[tuple, dict[tuple, object]] = {}
-    data = kf.df.select(*rows_f, *cols_f, val).limit(max_rows * max(1, len(col_paths) or 1)).collect()
-    for r in data:
+    for r in data_df.collect():
         rk = tuple(r[f] for f in rows_f)
         ck = tuple(r[f] for f in cols_f)
+        if rk in cells and ck in cells[rk]:
+            # reference: "invalid data (many values for the same index)"
+            # (DataFrame.hs:145) — never silently last-wins
+            raise KevinValueError("invalid data (many values for the same index)")
         cells.setdefault(rk, {})[ck] = r[val]
 
     def hfmt(v, field):
-        return _fmt_value(v, kf.traits.get(field))
+        return _fmt_header(v)
 
     lines: list[list[str]] = []
     row_hdr_w = len(rows_f) if rows_f else 1
@@ -142,7 +182,7 @@ def _render_pivot(kf, max_rows: int) -> str:
         body_cols = col_paths or [()]
         lines.append(
             [""] * row_hdr_w
-            + [_fmt_value(cells.get((), {}).get(cp), vt) for cp in body_cols]
+            + [_fmt_cell(cells.get((), {}).get(cp)) for cp in body_cols]
         )
     else:
         prev: tuple | None = None
@@ -153,8 +193,8 @@ def _render_pivot(kf, max_rows: int) -> str:
                 hdr.append("" if same else hfmt(rp[i], f))
             prev = rp
             if col_paths:
-                vals = [_fmt_value(cells.get(rp, {}).get(cp), vt) for cp in col_paths]
+                vals = [_fmt_cell(cells.get(rp, {}).get(cp)) for cp in col_paths]
             else:
-                vals = [_fmt_value(cells.get(rp, {}).get((), None), vt)]
+                vals = [_fmt_cell(cells.get(rp, {}).get(()))]
             lines.append(hdr + vals)
     return _show_lines(lines)

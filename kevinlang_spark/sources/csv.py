@@ -44,46 +44,51 @@ def read_csv(
     )
     cols = raw.columns
 
-    # one aggregation pass: per column — nulls, non-numeric values,
-    # non-integral numeric values
-    aggs = []
-    for c in cols:
-        col = F.col(c)
+    # one aggregation pass: per column — total, nulls, non-numeric values,
+    # non-integral numeric values.  Backtick-quoted refs: headers may
+    # contain dots, which bare F.col parses as nested-field access.
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for i, c in enumerate(cols):
+        col = F.col(f"`{c}`")
         num = col.try_cast("double")
-        aggs.append(F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__nulls"))
+        aggs.append(F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__nulls_{i}"))
         aggs.append(
             F.sum(F.when(col.isNotNull() & num.isNull(), 1).otherwise(0)).alias(
-                f"{c}__nonnum"
+                f"__nonnum_{i}"
             )
         )
         aggs.append(
             F.sum(
                 F.when(num.isNotNull() & (num != F.floor(num)), 1).otherwise(0)
-            ).alias(f"{c}__frac")
+            ).alias(f"__frac_{i}")
         )
     stats = raw.agg(*aggs).collect()[0].asDict()
+    total = stats["__total"] or 0
 
     traits: dict[str, FieldTraits] = {}
     casts = {}
-    for c in cols:
-        nulls = stats[f"{c}__nulls"] or 0
-        nonnum = stats[f"{c}__nonnum"] or 0
-        frac = stats[f"{c}__frac"] or 0
+    for i, c in enumerate(cols):
+        nulls = stats[f"__nulls_{i}"] or 0
+        nonnum = stats[f"__nonnum_{i}"] or 0
+        frac = stats[f"__frac_{i}"] or 0
+        n_numeric = total - nulls - nonnum
         if strict and nulls > 0:
             raise KevinValueError("Invalid data (possibly missing values)")
-        if nonnum == 0:
-            # all (non-null) values numeric
-            if c.lower() == "year":
+        if strict and nonnum > 0 and n_numeric > 0:
+            # mixed numeric+string column: reference's makeField hits the
+            # otherwise-guard and errors (DataFrame.hs:237-238)
+            raise KevinValueError("Invalid data (possibly missing values)")
+        if nonnum == 0 and n_numeric > 0:
+            # all (non-null) values numeric; the year rule matches the
+            # exact name only (reference DataFrame.hs:226-228)
+            if c == "year":
                 traits[c] = NUM_DIM
                 casts[c] = "bigint" if frac == 0 else "double"
             else:
                 traits[c] = NUM_MEASURE
                 casts[c] = "double"
-        elif nulls == 0 or not strict:
+        else:
             traits[c] = TEXT_DIM
-        # mixed string+number is indistinguishable from all-string here
-        # (everything is a string); the reference's "mixed" error arises
-        # only from missing values, which strict mode catches above.
 
-    df = raw.withColumns({c: F.col(c).cast(t) for c, t in casts.items()})
+    df = raw.withColumns({c: F.col(f"`{c}`").cast(t) for c, t in casts.items()})
     return KevinFrame.from_df(df, ordered=ordered, traits=traits)

@@ -28,6 +28,8 @@ def _running_totals_fn(
     key, pdf_iter: Iterable[pd.DataFrame], state: GroupState
 ):
     """Accumulate (count, value-sum) per user across micro-batches."""
+    from decimal import ROUND_HALF_UP, Decimal
+
     if state.exists:
         n, s = state.get
     else:
@@ -36,8 +38,11 @@ def _running_totals_fn(
         n += len(pdf)
         s += float(pdf["value"].sum())
     state.update((n, s))
+    # HALF_UP on the shortest decimal repr — matches F.round in the batch
+    # twin (python's round is half-even and would break parity at .xx5)
+    rounded = float(Decimal(repr(s)).quantize(Decimal("0.01"), ROUND_HALF_UP))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "value_sum": [round(s, 2)]}
+        {"user_id": [key[0]], "n_events": [n], "value_sum": [rounded]}
     )
 
 
@@ -87,5 +92,17 @@ def run_stateful_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
-    return spark.table(query_name)
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError(f"stateful stream {query_name} did not finish in 180s")
+    # update-mode memory sink appends EVERY batch's emissions; with multiple
+    # micro-batches a key appears once per batch — the row with the highest
+    # running count is the latest state
+    t = spark.table(query_name)
+    return (
+        t.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("value_sum", "n_events").alias("value_sum"),
+        )
+    )

@@ -223,17 +223,22 @@ def gen_babel(kf, spec: KevinSpec, max_rows: int = 5000) -> dict:
         enc["xOffset"] = dict(enc["color"])
     if mark.adjustment == "stack" and "y" in enc:
         enc["y"]["stack"] = "zero"
+    transform = []
     if mark.adjustment == "jitter":
-        enc["yOffset"] = {"field": None, "value": None}
-        enc.pop("yOffset")
+        # real jitter: a random calculate transform drives yOffset
+        transform.append({"calculate": "random()", "as": "__jitter"})
+        enc["yOffset"] = {"field": "__jitter", "type": "quantitative"}
         vl_mark = {"type": vl_mark, "opacity": 0.7}
 
-    return {
+    spec_out = {
         "$schema": "https://vega.github.io/schema/vega-lite/v5.json",
         "data": {"values": rows},
         "mark": vl_mark,
         "encoding": enc,
     }
+    if transform:
+        spec_out["transform"] = transform
+    return spec_out
 
 
 def with_frame(kf, *declarations, max_rows: int = 5000) -> dict:

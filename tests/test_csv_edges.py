@@ -44,12 +44,14 @@ def test_trailing_whitespace_trimmed(spark, tmp_path):
     assert kf.height() == 2
 
 
-def test_numeric_column_with_text_is_text(spark, tmp_path):
-    # a column mixing numbers and words is all-strings at the CSV level →
-    # Text/Dimension (mixed *values* can't arise from CSV; only missing
-    # values error — DataFrame.hs:224-238)
+def test_numeric_column_with_text(spark, tmp_path):
+    # mixed numbers and words: the reference's makeField hits the
+    # otherwise-guard and ERRORS (DataFrame.hs:237-238); lenient mode
+    # keeps the column as Text
     path = _write(tmp_path, "m.csv", "a\n1\nx\n2\n")
-    kf = read_csv(spark, path)
+    with pytest.raises(KevinValueError, match="Invalid data"):
+        read_csv(spark, path)
+    kf = read_csv(spark, path, strict=False)
     assert kf.traits["a"].ktype == KType.TEXT
     assert kf.traits["a"].role == DataRole.DIMENSION
 
