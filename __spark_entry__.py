@@ -41,18 +41,29 @@ def _ensure(spark: SparkSession) -> None:
     key = spark.sparkContext.applicationId
     if key in _ENSURED:
         return
+    import hashlib
     import zipfile
 
     pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "kevinlang_spark")
-    zpath = os.path.join("/tmp", "kevinlang_spark_pkg.zip")
+    # content-hashed zip name: a stale cached zip would SHADOW fresh source
+    # on workers (addPyFile targets land at sys.path[1], ahead of PYTHONPATH)
+    digest = hashlib.md5()
+    members = []
+    for root, _, files in os.walk(pkg_dir):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                full = os.path.join(root, f)
+                members.append(full)
+    for full in sorted(members):
+        digest.update(full.encode())
+        with open(full, "rb") as fh:
+            digest.update(fh.read())
+    zpath = os.path.join("/tmp", f"kevinlang_spark_pkg_{digest.hexdigest()[:12]}.zip")
     if not os.path.exists(zpath):
         with zipfile.ZipFile(zpath, "w") as z:
-            for root, _, files in os.walk(pkg_dir):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                        z.write(full, rel)
+            for full in members:
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                z.write(full, rel)
     try:
         spark.sparkContext.addPyFile(zpath)
     except Exception:
@@ -185,7 +196,14 @@ def q_agg_concat(spark, sf_dir):
 def q_sort_take(spark, sf_dir):
     """O1+O2 sort desc + take → top-k (Catalyst fuses to TakeOrderedAndProject)."""
     orders = _kf(spark, sf_dir, "orders", ordered=True)
-    out = orders.sort("o_totalprice", SortOrder.DESCENDING).take(10)
+    # pre-sort by orderkey so price ties break deterministically (the
+    # descending sort reverses the prior order → larger orderkey first),
+    # matching the oracle's explicit DESC tiebreak
+    out = (
+        orders.sort("o_orderkey")
+        .sort("o_totalprice", SortOrder.DESCENDING)
+        .take(10)
+    )
     return out.to_df().select("o_orderkey", "o_totalprice")
 
 
@@ -711,12 +729,27 @@ def q_tpch_q10(spark, sf_dir):
 
 
 def q_argmax(spark, sf_dir):
-    """max_by/min_by: the order id carrying each status's extreme price."""
+    """Arg-max/arg-min per group with DETERMINISTIC tie resolution
+    (max_by/arg_max are nondeterministic on shared extremes): window-rank
+    by (price, orderkey) and take rank 1 on both ends."""
+    from pyspark.sql import Window
+
     orders = _t(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
-        F.max_by("o_orderkey", "o_totalprice").alias("max_order"),
-        F.min_by("o_orderkey", "o_totalprice").alias("min_order"),
-        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    w_max = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    w_min = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("__rmax", F.row_number().over(w_max))
+        .withColumn("__rmin", F.row_number().over(w_min))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.max(F.when(F.col("__rmax") == 1, F.col("o_orderkey"))).alias("max_order"),
+            F.max(F.when(F.col("__rmin") == 1, F.col("o_orderkey"))).alias("min_order"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
     )
 
 
@@ -859,7 +892,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_sort_take": (
             "SELECT o_orderkey, o_totalprice FROM orders "
-            "ORDER BY o_totalprice DESC LIMIT 10"
+            "ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 10"
         ),
         "q_slice": (
             "SELECT n_nationkey, n_name FROM ("
@@ -962,7 +995,7 @@ def oracle_sql() -> dict[str, str]:
         "q_events_sessions": (
             "WITH e AS (SELECT user_id, ts, value, "
             "CASE WHEN lag(ts) OVER w IS NULL "
-            "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
+            "OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
             "s AS (SELECT *, SUM(new_s) OVER "
             "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM e) "
@@ -1106,11 +1139,16 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY revenue DESC, c_custkey LIMIT 20"
         ),
         "q_argmax": (
+            "WITH r AS (SELECT o_orderstatus, o_orderkey, o_totalprice, "
+            "ROW_NUMBER() OVER (PARTITION BY o_orderstatus "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS rmax, "
+            "ROW_NUMBER() OVER (PARTITION BY o_orderstatus "
+            "ORDER BY o_totalprice ASC, o_orderkey) AS rmin FROM orders) "
             "SELECT o_orderstatus, "
-            "arg_max(o_orderkey, o_totalprice) AS max_order, "
-            "arg_min(o_orderkey, o_totalprice) AS min_order, "
+            "MAX(CASE WHEN rmax = 1 THEN o_orderkey END) AS max_order, "
+            "MAX(CASE WHEN rmin = 1 THEN o_orderkey END) AS min_order, "
             "ROUND(MAX(o_totalprice), 2) AS max_price "
-            "FROM orders GROUP BY o_orderstatus"
+            "FROM r GROUP BY o_orderstatus"
         ),
         "q_transform_zscore": (
             "SELECT o_orderkey, o_orderstatus, "

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -48,7 +49,8 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+    m = re.search(r"sf(\d+(?:\.\d+)?)/?$", sf_dir)
+    sf = m.group(1) if m else os.path.basename(sf_dir.rstrip("/"))
     spark = get_spark("kevinlang-bench")
 
     qs = entrymod.queries()
@@ -72,9 +74,12 @@ def main() -> None:
     for name in names:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
-        n = df.count()
+        # noop sink forces FULL evaluation of every column — count() would
+        # let Catalyst prune the benchmarked projections to a footer-only
+        # scan (verified: q_text_stats under count reads ZERO columns)
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

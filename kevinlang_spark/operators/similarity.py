@@ -57,10 +57,14 @@ def cosine_topk(
     sim = F.when(rn == 0, F.lit(None)).otherwise(
         dot(F.col(vec_col), q) / (rn * F.lit(qn))
     )
+    # rank on the RAW similarity (rounding before ranking could flip
+    # membership at the k boundary vs an exact-ranking oracle); round only
+    # the emitted value
     return (
-        df.select(F.col(id_col), F.round(sim, 6).alias("sim"))
-        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        df.select(F.col(id_col), sim.alias("__rawsim"))
+        .orderBy(F.col("__rawsim").desc(), F.col(id_col).asc())
         .limit(k)
+        .select(F.col(id_col), F.round("__rawsim", 6).alias("sim"))
     )
 
 
