@@ -320,7 +320,7 @@ class KevinFrame:
                     "predicate did not produce a Column expression; use "
                     "filter_udf for opaque Python predicates"
                 )
-        return self._derive(self._df.where(cond), group_cols=())
+        return self._derive(self._df.where(cond), group_cols=(), pivot=None)
 
     def filter_udf(self, field: str, fn: Callable, kind: str = "double") -> "KevinFrame":
         """Reference's arbitrary-host-predicate surface (PolyParam,
@@ -344,7 +344,7 @@ class KevinFrame:
         def _pred(s):
             return s.map(lambda v: bool(fn(v)) if v is not None else False)
 
-        return self._derive(self._df.where(_pred(_q(field))), group_cols=())
+        return self._derive(self._df.where(_pred(_q(field))), group_cols=(), pivot=None)
 
     def with_column(
         self, name: str, col: Column, traits: FieldTraits | None = None
@@ -371,7 +371,7 @@ class KevinFrame:
         deferred exactly like Catalyst defers the physical aggregation.
         """
         keys = [n for n in _as_name_list(names) if n in self.columns]
-        return self._derive(self._df, group_cols=tuple(keys))
+        return self._derive(self._df, group_cols=tuple(keys), pivot=None)
 
     def aggregate(self, agg, field: str, alias: str | None = None) -> "KevinFrame":
         """Grouped scalar aggregation of ONE column (reference
@@ -540,17 +540,21 @@ class KevinFrame:
         Ascending is a stable sort — ties keep the current order, so the
         current spec becomes the tiebreak.  Descending is the REVERSE of
         the ascending result (Combinator.hs:229-230) — prepend (field desc)
-        and flip every older component.  Unknown field → frame unchanged
-        (reference fallback, Combinator.hs:237).  Keeps groups.
+        and flip every older component.  Unknown field → rows unchanged
+        (reference fallback, Combinator.hs:237).  Keeps groups; clears
+        pivot (the reference constructor stamps Nothing for the TitleTrees
+        on every sort, Combinator.hs:228-230 — even the unknown-field case).
         """
         self._require_ordered("sort")
         if field not in self.columns:
-            return self
+            return self._derive(self._df, pivot=None)
         if order == SortOrder.ASCENDING:
             spec = ((field, True),) + self.order_spec
-            return self._derive(self._df, order_spec=spec)
+            return self._derive(self._df, order_spec=spec, pivot=None)
         spec = ((field, False),) + tuple((n, not a) for n, a in self.order_spec)
-        return self._derive(self._df, order_spec=spec, idx_asc=not self.idx_asc)
+        return self._derive(
+            self._df, order_spec=spec, idx_asc=not self.idx_asc, pivot=None
+        )
 
     def take(self, n: int) -> "KevinFrame":
         """First n rows of the view (reference Combinator.hs:293-295);
@@ -562,18 +566,18 @@ class KevinFrame:
         """
         self._require_ordered("take")
         if n <= 0:
-            return self._derive(self._df.where(F.lit(False)))
+            return self._derive(self._df.where(F.lit(False)), pivot=None)
         out = self._df.orderBy(*self._order_cols()).limit(n)
-        return self._derive(out)
+        return self._derive(out, pivot=None)
 
     def drop(self, n: int) -> "KevinFrame":
         """All but the first n rows (reference Combinator.hs:297-299);
         ``orderBy(spec).offset(n)``."""
         self._require_ordered("drop")
         if n <= 0:
-            return self
+            return self._derive(self._df, pivot=None)
         out = self._df.orderBy(*self._order_cols()).offset(n)
-        return self._derive(out)
+        return self._derive(out, pivot=None)
 
     def _row_count(self) -> int:
         """Underlying row count — slicing operates on ROWS even in pivot
@@ -600,17 +604,39 @@ class KevinFrame:
         self._check_nonempty("tail")
         return self.drop(1)
 
+    def _last_idx(self):
+        """``__idx`` of the view's last row, found with a reverse-order
+        top-1 (TakeOrderedAndProject: per-partition top-1, tiny merge) —
+        no full count, no single-partition shuffle."""
+        rev = []
+        for name, asc in self.order_spec:
+            c = _q(name)
+            rev.append(c.desc_nulls_last() if asc else c.asc_nulls_first())
+        idx = F.col(IDX)
+        rev.append(idx.desc() if self.idx_asc else idx.asc())
+        return self._df.orderBy(*rev).select(IDX).first()[0]
+
     def init(self) -> "KevinFrame":
-        """All but the last row; errors on empty (Combinator.hs:305-307)."""
+        """All but the last row; errors on empty (Combinator.hs:305-307).
+
+        Planned as a distributed filter on the last row's unique ``__idx``
+        (one cheap reverse top-1 job) — not count-then-limit, which paid a
+        full count and funneled n-1 rows through a global limit."""
         self._require_ordered("init")
         self._check_nonempty("init")
-        return self.take(self._row_count() - 1)
+        return self._derive(
+            self._df.where(F.col(IDX) != F.lit(self._last_idx())), pivot=None
+        )
 
     def last(self) -> "KevinFrame":
-        """Last row only; errors on empty (Combinator.hs:309-311)."""
+        """Last row only; errors on empty (Combinator.hs:309-311).
+        Same single-job shape as ``init`` — an equality filter on the last
+        row's ``__idx``."""
         self._require_ordered("last")
         self._check_nonempty("last")
-        return self.drop(self._row_count() - 1)
+        return self._derive(
+            self._df.where(F.col(IDX) == F.lit(self._last_idx())), pivot=None
+        )
 
     # ------------------------------------------------------------------ #
     # size (reference Combinator.hs:278-291)
@@ -645,25 +671,30 @@ class KevinFrame:
         column order = left's; rows = left's then right's; groups cleared.
 
         Unordered frames union with zero overhead (pure unionByName);
-        ordered frames materialize both sides' positions first so the
-        combined order is exact — a presentation-scale cost by design.
+        ordered frames keep exact combined order by OFFSETTING the right
+        side's ``__idx`` past the left side's maximum — one tiny parallel
+        ``max()`` job, no global window, no single-partition sort, so an
+        ordered append of two huge frames stays fully distributed.
         """
         left_cols = {n: self.traits.get(n) for n in self.columns}
         right_cols = {n: other.traits.get(n) for n in other.columns}
         if left_cols != right_cols:
             raise KevinValueError("Can't append inconsistent data frames")
         if self.ordered and other.ordered:
+            # resolve any pending sort into __idx order on each side (no-op
+            # when no sort is pending: sparse monotonic ids already carry
+            # the row order)
             l = self._materialized()
             r = other._materialized()
-            lf = l._df.select(*[_q(c) for c in self.columns], IDX).withColumn("__src", F.lit(0))
-            rf = r._df.select(*[_q(c) for c in self.columns], IDX).withColumn("__src", F.lit(1))
+            lf = l._df.select(*[_q(c) for c in self.columns], IDX)
+            rf = r._df.select(*[_q(c) for c in self.columns], IDX)
+            # right rows must sort after every left row: shift right ids by
+            # (left max + 1); monotonic ids are >= 0 and both sides fit in
+            # int64 with room to spare
+            left_max = lf.agg(F.max(IDX)).first()[0]
+            offset = (left_max if left_max is not None else -1) + 1
+            rf = rf.withColumn(IDX, (F.col(IDX) + F.lit(offset)).cast("long"))
             out = lf.unionByName(rf)
-            out = out.withColumn(
-                IDX,
-                F.row_number()
-                .over(Window.orderBy(F.col("__src").asc(), F.col(IDX).asc()))
-                .cast("long"),
-            ).drop("__src")
             return self._derive(
                 out, group_cols=(), pivot=None, order_spec=(), idx_asc=True
             )
@@ -722,35 +753,54 @@ class KevinFrame:
         """
         r = other._df.drop(IDX) if IDX in other._df.columns else other._df
         r = r.drop(*[c for c in r.columns if c.startswith("__")])
-        if broadcast_other:
-            r = F.broadcast(r)
-        out = self._df.join(r, on=on, how=how)
-        # disambiguate overlapping non-key names (a '_r' suffix, like the
-        # positional join) — duplicate names would make the frame
-        # unaddressable (AMBIGUOUS_REFERENCE on the next select)
         key_names = set()
         if isinstance(on, str):
             key_names = {on}
         elif isinstance(on, (list, tuple)) and all(isinstance(x, str) for x in on):
             key_names = set(on)
-        dup = [
-            c
-            for c in other.columns
-            if c in self.columns and c not in key_names and c in out.columns
-        ]
-        if dup:
-            sel = [self._df[c] for c in self._df.columns]
-            sel += [
-                (r[c].alias(f"{c}_r") if c in dup else r[c])
-                for c in r.columns
-                if c not in key_names
-            ]
-            out = out.select(*sel)
+        semi_anti = how in (
+            "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti"
+        )
+        # disambiguate overlapping non-key names (a '_r' suffix, like the
+        # positional join) — duplicate names would make the frame
+        # unaddressable (AMBIGUOUS_REFERENCE on the next select).
+        # Semi/anti outputs carry no right columns at all, so they need
+        # (and must not attempt) no disambiguation.
+        rename: dict[str, str] = {}
+        if not semi_anti and key_names:
+            # string-key (USING) join: pre-rename the right side BEFORE the
+            # join so the coalesced USING key survives full/right joins
+            # (a post-join re-select of the left key attribute would NULL
+            # the key on right-only rows)
+            rename = {
+                c: f"{c}_r"
+                for c in other.columns
+                if c in self.columns and c not in key_names and c in r.columns
+            }
+            for old, new in rename.items():
+                r = r.withColumnRenamed(old, new)
+        if broadcast_other:
+            r = F.broadcast(r)
+        out = self._df.join(r, on=on, how=how)
+        if not semi_anti and not key_names:
+            # Column-expression join: both sides' attributes are present in
+            # the output (no USING coalescing), so a post-join re-select is
+            # safe — and required, since pre-renaming would unbind the
+            # user's join-condition attributes
+            dup = [c for c in other.columns if c in self.columns and c in out.columns]
+            if dup:
+                rename = {c: f"{c}_r" for c in dup}
+                sel = [self._df[c] for c in self._df.columns]
+                sel += [
+                    (r[c].alias(rename[c]) if c in dup else r[c]) for c in r.columns
+                ]
+                out = out.select(*sel)
         traits = dict(self.traits)
-        for c in other.columns:
-            name = f"{c}_r" if c in dup else c
-            if name in out.columns and name not in traits:
-                traits[name] = other.traits.get(c)
+        if not semi_anti:
+            for c in other.columns:
+                name = rename.get(c, c)
+                if name in out.columns and name not in traits:
+                    traits[name] = other.traits.get(c)
         keeps_left_rows = how in (
             "inner",
             "left",
@@ -954,12 +1004,12 @@ class KevinFrame:
         )
         df = self._df
         if not cols:
-            out = df.select(*rows, val)
+            out = df.select(*[_q(c) for c in rows], _q(val))
             if rows:
-                out = out.orderBy(*rows)
+                out = out.orderBy(*[_q(c) for c in rows])
             return out
         if max_distinct is not None:
-            n_keys = df.select(*cols).distinct().limit(max_distinct + 1).count()
+            n_keys = df.select(*[_q(c) for c in cols]).distinct().limit(max_distinct + 1).count()
             if n_keys > max_distinct:
                 raise KevinPivotError(
                     f"pivot would create more than {max_distinct} columns; "
@@ -973,10 +1023,14 @@ class KevinFrame:
             *[F.coalesce(_q(c).cast("string"), F.lit("\x00null")) for c in cols],
         ).alias("__ckey")
         df = df.withColumn("__ckey", key)
-        gb = df.groupBy(*rows) if rows else df.groupBy(F.lit(1).alias("__all"))
-        out = gb.pivot("__ckey", values=None).agg(F.first(F.col(val)))
+        gb = (
+            df.groupBy(*[_q(c) for c in rows])
+            if rows
+            else df.groupBy(F.lit(1).alias("__all"))
+        )
+        out = gb.pivot("__ckey", values=None).agg(F.first(_q(val)))
         if rows:
-            out = out.orderBy(*rows)
+            out = out.orderBy(*[_q(c) for c in rows])
         else:
             out = out.drop("__all")
         return out

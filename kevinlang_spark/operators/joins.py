@@ -41,6 +41,11 @@ def asof_join(
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
+    if not right_cols:
+        # a right frame of only (key, ts) still has a meaningful as-of
+        # answer — the matched row's timestamp; F.struct() with zero
+        # fields would raise, so carry the timestamp itself
+        right_cols = [right_ts]
     out_names = {c: f"{c}{suffix}" if c in left.columns else c for c in right_cols}
 
     l = left.select(

@@ -128,10 +128,17 @@ def _render_pivot(kf, max_rows: int) -> str:
     cols_f = list(kf.pivot.col_fields)
     val = kf.pivot.value_field
     # leaf paths, sorted — the title trees' leaf order (DataFrame.hs:266)
+    from kevinlang_spark.frame import _q
+
     def paths(fields):
         if not fields:
             return []
-        df = kf.df.select(*fields).distinct().orderBy(*fields).limit(max_rows)
+        df = (
+            kf.df.select(*[_q(f) for f in fields])
+            .distinct()
+            .orderBy(*[_q(f) for f in fields])
+            .limit(max_rows)
+        )
         return [tuple(r[f] for f in fields) for r in df.collect()]
 
     row_paths = paths(rows_f)
@@ -141,9 +148,9 @@ def _render_pivot(kf, max_rows: int) -> str:
     # limit() sample could miss displayed cells and falsely render 'empty')
     from pyspark.sql import functions as F
 
-    data_df = kf.df.select(*rows_f, *cols_f, val)
+    data_df = kf.df.select(*[_q(c) for c in (*rows_f, *cols_f, val)])
     if rows_f and len(row_paths) >= max_rows:
-        key_col = F.concat_ws("\x1f", *[F.col(f).cast("string") for f in rows_f])
+        key_col = F.concat_ws("\x1f", *[_q(f).cast("string") for f in rows_f])
         wanted = [
             "\x1f".join("" if v is None else str(v) for v in p) for p in row_paths
         ]
