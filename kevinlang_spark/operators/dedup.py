@@ -359,6 +359,22 @@ def minhash_dedup_pairs(
 # --------------------------------------------------------------------- #
 
 
+def xxhash64_token_hash(tok: Column) -> Column:
+    """Default token-hash family: Spark's built-in xxhash64 (fast, JVM)."""
+    return F.xxhash64(tok)
+
+
+def md5_token_hash(tok: Column) -> Column:
+    """Cross-engine-reproducible token-hash family: the first 15 hex chars
+    (60 bits) of md5, as a non-negative bigint.  md5 hex output is
+    identical in Spark and DuckDB, so a simhash built on this family can
+    be verified bit-for-bit by an external SQL oracle
+    (``CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)`` in DuckDB).
+    Bits 60-63 are always 0 — the sketch is effectively 60-bit, which
+    Hamming comparisons and pigeonhole blocking tolerate unchanged."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("bigint")
+
+
 def simhash(text: Column, bits: int = 64) -> Column:
     """``bits``-bit SimHash of the token multiset, as bigint.
 
@@ -398,11 +414,16 @@ def simhash_from_hashes(hashes: Column, bits: int = 64) -> Column:
 
 
 def simhash_signatures_df(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_expr=xxhash64_token_hash,
 ) -> DataFrame:
     """(id, sh bigint) SimHash signatures, materialized.
 
-    Token hashing (tokenize → xxhash64) stays JVM-side; the 64-bit
+    ``hash_expr`` picks the token-hash family (default xxhash64; pass
+    ``md5_token_hash`` for a family an external SQL engine can replicate
+    exactly).  Token hashing stays JVM-side; the 64-bit
     majority vote runs as one vectorized numpy pass per Arrow batch —
     semantically identical to ``simhash_from_hashes`` (cross-checked in
     tests) but ~10× faster than the interpreted higher-order expression.
@@ -435,7 +456,7 @@ def simhash_signatures_df(
     n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
     hashed = df.select(
         F.col(id_col).alias("id"),
-        F.transform(tokenize(F.col(text_col)), lambda t: F.xxhash64(t)).alias("hs"),
+        F.transform(tokenize(F.col(text_col)), lambda t: hash_expr(t)).alias("hs"),
     ).repartition(n_part)
     return hashed.select("id", _simhash("hs").alias("sh")).localCheckpoint(eager=False)
 
@@ -446,6 +467,7 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     blocks: int = 4,
+    hash_expr=xxhash64_token_hash,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ ``max_hamming``.
 
@@ -462,7 +484,7 @@ def simhash_neardup_pairs(
             "the pigeonhole candidate guarantee"
         )
     width = 64 // blocks
-    sh = simhash_signatures_df(df, id_col, text_col)
+    sh = simhash_signatures_df(df, id_col, text_col, hash_expr=hash_expr)
     chunks = F.array(
         *[
             F.struct(

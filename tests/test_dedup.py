@@ -144,3 +144,38 @@ def test_lsh_shuffle_is_bounded(docs):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_md5_token_hash_cross_engine_parity(spark):
+    """md5_token_hash must equal DuckDB's CAST('0x'||substr(md5(t),1,15)
+    AS BIGINT) — the property the q_simhash_pairs oracle relies on."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    words = ["hello", "world", "a", "tok123", "the", "99bottles"]
+    df = spark.createDataFrame([(w,) for w in words], "t string")
+    got = {
+        r["t"]: r["hv"]
+        for r in df.select("t", dedup.md5_token_hash(F.col("t")).alias("hv")).collect()
+    }
+    con = duckdb.connect()
+    for w in words:
+        want = con.execute(
+            "SELECT CAST('0x' || substr(md5(?), 1, 15) AS BIGINT)", [w]
+        ).fetchone()[0]
+        assert got[w] == want, w
+
+
+def test_simhash_md5_family_pairs_match_xxhash_shape(spark, docs):
+    """The md5 family plugs into the same pipeline: near-identical docs
+    still pair at low Hamming, and results are deterministic."""
+    out1 = dedup.simhash_neardup_pairs(
+        docs, max_hamming=3, hash_expr=dedup.md5_token_hash
+    )
+    rows1 = sorted((r["id_a"], r["id_b"], r["hamming"]) for r in out1.collect())
+    out2 = dedup.simhash_neardup_pairs(
+        docs, max_hamming=3, hash_expr=dedup.md5_token_hash
+    )
+    rows2 = sorted((r["id_a"], r["id_b"], r["hamming"]) for r in out2.collect())
+    assert rows1 == rows2
+    assert len(rows1) > 0
