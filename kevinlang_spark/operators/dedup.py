@@ -41,14 +41,29 @@ def dedup_exact(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     return df.dropDuplicates(cols) if cols else df.dropDuplicates()
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a narrow source so per-row heavy compute (regex, md5)
+    runs on all cores.  Only fires when the input has fewer partitions
+    than the cluster has slots — a small parquet arrives as ONE partition
+    and would serialize the whole pass; a production-scale table already
+    has ample partitions and skips the extra shuffle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        return df.repartition(target)
+    return df
+
+
 def dedup_exact_by_text(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Exact content dedup with a DETERMINISTIC representative: group by
     normalized-text fingerprint, keep the min id.  One shuffle on the
-    16-byte digest; min() does map-side partial aggregation."""
+    16-byte digest; min() does map-side partial aggregation.  The
+    fingerprint pass is spread across cores first when the source is
+    under-partitioned (see ``_spread``)."""
     return (
-        df.select(F.md5(normalize_text(F.col(text_col))).alias("fp"), id_col)
+        _spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.md5(normalize_text(F.col(text_col))).alias("fp"), id_col)
         .groupBy("fp")
         .agg(F.min(id_col).alias(id_col))
     )
@@ -196,26 +211,67 @@ def shingle_sig_df(
     num_hashes: int = 64,
     shingle_n: int = 3,
     seed: int = 42,
-) -> DataFrame:
-    """(id, sh, sig) — shingle sets AND MinHash signature in ONE
-    materialized frame: the full dedup pipeline needs both (sig for
-    banding, sh for exact-Jaccard verify), and storing them together costs
-    one checkpoint instead of two serial ones."""
-    sh_df = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
-    ).repartition(max(df.sparkSession.sparkContext.defaultParallelism, 8))
-    sig_col = _minhash_sig_udf(num_hashes, seed)
-    combined = sh_df.select(
-        "id",
-        "sh",
-        sig_col(
-            F.transform(
-                F.col("sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE))
-            )
-        ).alias("sig"),
+) -> tuple[DataFrame, DataFrame]:
+    """``(sh_df, sig_df)`` — the two inputs of the dedup pipeline, built
+    from ONE checkpointed text pass.
+
+    ``sh_df`` = (id, shh array<bigint>): 64-bit xxhash64 shingle-hash
+    sets, MATERIALIZED.  The shingle strings are never stored: Jaccard
+    verify intersects the hash values instead (set Jaccard is
+    hash-invariant up to 64-bit collisions, ~1e-14 per pair at
+    500-shingle docs), which shrinks the checkpoint and the verify joins
+    by the full text volume.
+
+    ``sig_df`` = (id, sig array<bigint>): MinHash signatures computed
+    RELATIONALLY — explode the stored hashes and take ``num_hashes``
+    min-aggregations of affine permutations over them.  Everything stays
+    in whole-stage codegen with map-side partial mins, so the groupBy
+    shuffles one 64-long row per doc per partition; no Python worker, no
+    Arrow transfer, no second checkpoint.  (The pandas-UDF variant
+    ``minhash_signatures_df`` remains for callers without a stored hash
+    table; the relational form wins when the hashes are materialized
+    anyway, as here.)  Empty documents simply produce no exploded rows —
+    equivalent to the NULL-signature filter in the UDF path."""
+    n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    # shingle hashing without building shingle STRINGS: hash each token to
+    # int64, then hash each n-token window as xxhash64 over the sliced
+    # hash array (binary, no concat_ws allocation).  Distinct shingles ↔
+    # distinct window-hashes up to 64-bit collisions; the set Jaccard the
+    # verifier computes is identical.  Mirrors word_shingles' short-doc
+    # rule: k ≤ n tokens → one window covering the whole doc.
+    toks = tokenize(F.col("__t"))
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    k = F.size(th)
+    starts = F.sequence(F.lit(1), F.greatest(k - (shingle_n - 1), F.lit(1)))
+    shh = F.when(k <= 0, F.array().cast("array<bigint>")).otherwise(
+        F.array_distinct(
+            F.transform(starts, lambda i: F.xxhash64(F.slice(th, i, shingle_n)))
+        )
     )
-    return combined.localCheckpoint(eager=False)
+    sh_df = (
+        # repartition the RAW text first: a small corpus often arrives as
+        # one parquet partition, and computing shingles before the shuffle
+        # would run the whole tokenize+hash pass in a single task
+        # (measured 4.5s of an 11s pipeline); shuffling raw rows first
+        # spreads the heavy pass across all cores
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        .repartition(n_part)
+        .select("id", shh.alias("shh"))
+        .localCheckpoint(eager=True)
+    )
+    params = _hash_params(num_hashes, seed)
+    h31 = F.pmod(F.col("h"), F.lit(MERSENNE))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * h31 + F.lit(b), F.lit(MERSENNE))).alias(f"__m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig_df = (
+        sh_df.select("id", F.explode("shh").alias("h"))
+        .groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[f"__m{i}" for i in range(num_hashes)]).alias("sig"))
+    )
+    return sh_df, sig_df
 
 
 def minhash_lsh_candidates(
@@ -228,22 +284,25 @@ def minhash_lsh_candidates(
     seed: int = 42,
     shingles: DataFrame | None = None,
     signatures: DataFrame | None = None,
-    max_bucket_size: int | None = 100_000,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) via LSH banding.
 
     ``max_bucket_size`` guards the quadratic failure mode: a mega-cluster
     of near-identical documents puts its whole membership into one band
-    bucket, and the within-bucket self-join goes O(m²).  Buckets above the
-    cap are skipped (logged via the returned frame simply not containing
-    them) — at that duplication level the cluster is better handled by
-    exact dedup on content fingerprints first.  Pass None to disable.
+    bucket, and the within-bucket pair generation goes O(m²).  Buckets
+    above the cap are skipped — at that duplication level the cluster is
+    better handled by exact dedup on content fingerprints first.  The cap
+    also bounds per-TASK work (a bucket's pairs are generated in the task
+    holding it), so keep it modest; pass None to disable.
 
     Materialized signature → ``bands`` band-keys (xxhash64 of each band's
-    rows) → explode → self-join on (band index, band key).  The join
-    shuffles only (band_key, id) — bands·n short rows — and AQE handles
-    hot buckets.  Pairs are distinct-ed; verification (exact Jaccard) is a
-    separate op so callers can tune the candidate/verify trade-off.
+    rows) → explode → groupBy (band, key) into id arrays → in-bucket pair
+    expansion as an array expression.  ONE shuffle of (band_key, id) —
+    bands·n short rows — and no join anywhere: singleton buckets (the vast
+    majority) die in the size filter before producing any row.  Pairs are
+    distinct-ed; verification (exact Jaccard) is a separate op so callers
+    can tune the candidate/verify trade-off.
     """
     if bands <= 0 or num_hashes % bands != 0:
         # rows=0 would key every doc into ONE bucket (full quadratic
@@ -283,23 +342,27 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.key")
+    buckets = banded.groupBy("band", "key").agg(F.collect_list("id").alias("ids"))
+    buckets = buckets.where(F.size("ids") >= 2)
     if max_bucket_size is not None:
-        sizes = banded.groupBy("band", "key").agg(F.count("*").alias("__bsz"))
-        banded = (
-            banded.join(sizes, ["band", "key"])
-            .where(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
+        buckets = buckets.where(F.size("ids") <= max_bucket_size)
+    # in-bucket pair expansion: ids are unique within a bucket (one row per
+    # (id, band) upstream), so sorting gives deterministic id_a < id_b
+    ids = F.array_sort("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ids) - 1),
+            lambda i: F.transform(
+                F.slice(ids, i + 1, F.size(ids) - i),
+                lambda j: F.struct(
+                    F.element_at(ids, i).alias("id_a"), j.alias("id_b")
+                ),
+            ),
         )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -313,8 +376,11 @@ def jaccard_verify(
     threshold: float = 0.8,
     shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs: two broadcast-able
-    joins to attach shingle sets, then array_intersect/union — no explode."""
+    """Exact shingle-set Jaccard for candidate pairs: two joins to attach
+    shingle sets (strings or hashes — Jaccard is representation-invariant),
+    then array_intersect/union — no explode.  The pair side is small (LSH
+    candidates, bounded by bucket caps), so AQE turns both joins into
+    broadcasts at runtime."""
     if shingles is None:
         shingles = shingle_sets_df(df, id_col, text_col, shingle_n)
     out = (
@@ -336,21 +402,29 @@ def minhash_dedup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
-    num_hashes: int = 64,
+    num_hashes: int = 32,
     bands: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold.
-    ONE materialized (id, shingles, signature) frame feeds both banding
-    and verification — the text is tokenized once, checkpointed once."""
-    combined = shingle_sig_df(df, id_col, text_col, num_hashes, shingle_n)
+    ONE materialized shingle-hash table feeds both the (codegen,
+    join-free) signature aggregation and the verification joins — the
+    text is tokenized once, checkpointed once, and only 8-byte hashes
+    flow through every shuffle.
+
+    Defaults (32 hashes, 16 bands ⇒ 2 rows/band) are sized for dedup at
+    threshold ≥ 0.8: candidate-miss probability per pair is
+    (1 − J²)¹⁶ ≤ 8e-8 at J = 0.8 and ~3e-12 at J = 0.9, so the
+    verified output equals the exact-Jaccard pair set in practice while
+    halving signature and banding cost vs the classic 64-hash setup."""
+    sh_df, sig_df = shingle_sig_df(df, id_col, text_col, num_hashes, shingle_n)
     cands = minhash_lsh_candidates(
         df, id_col, text_col, num_hashes=num_hashes, bands=bands,
-        shingle_n=shingle_n, signatures=combined.select("id", "sig"),
+        shingle_n=shingle_n, signatures=sig_df,
     )
     return jaccard_verify(
         df, cands, id_col, text_col, shingle_n, threshold,
-        shingles=combined.select("id", "sh"),
+        shingles=sh_df.select("id", F.col("shh").alias("sh")),
     )
 
 
@@ -418,15 +492,27 @@ def simhash_signatures_df(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_expr=xxhash64_token_hash,
+    hash_distinct_first: bool = False,
 ) -> DataFrame:
     """(id, sh bigint) SimHash signatures, materialized.
 
     ``hash_expr`` picks the token-hash family (default xxhash64; pass
     ``md5_token_hash`` for a family an external SQL engine can replicate
-    exactly).  Token hashing stays JVM-side; the 64-bit
-    majority vote runs as one vectorized numpy pass per Arrow batch —
-    semantically identical to ``simhash_from_hashes`` (cross-checked in
-    tests) but ~10× faster than the interpreted higher-order expression.
+    exactly).  Token hashing stays JVM-side; the 64-bit majority vote
+    runs as one vectorized numpy pass per Arrow batch — semantically
+    identical to ``simhash_from_hashes`` (cross-checked in tests) but
+    faster than both the interpreted higher-order expression and a
+    64-sum-aggregation form (measured).
+
+    ``hash_distinct_first=True`` hashes only the DISTINCT token
+    vocabulary and broadcast-joins the values back over the exploded
+    tokens — the right shape for expensive hash families (md5+conv costs
+    ~30µs/token; a corpus has ~100× fewer distinct tokens than token
+    occurrences).  Token order is irrelevant to the majority vote, so the
+    regrouped multiset is equivalent.  With this path, zero-token
+    documents produce no signature row (vs sh=0 in the array path) —
+    matching the external-oracle convention that empty docs have no
+    sketch.
     """
     import numpy as np
     import pandas as pd
@@ -454,11 +540,29 @@ def simhash_signatures_df(
         return pd.Series(out)
 
     n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
-    hashed = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(tokenize(F.col(text_col)), lambda t: hash_expr(t)).alias("hs"),
-    ).repartition(n_part)
-    return hashed.select("id", _simhash("hs").alias("sh")).localCheckpoint(eager=False)
+    # shuffle RAW rows first — the token pass must run on all cores, not
+    # in the source's (often single) input partition
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")).repartition(
+        n_part
+    )
+    if hash_distinct_first:
+        tokrows = base.select("id", F.explode(tokenize(F.col("__t"))).alias("tok"))
+        vocab = tokrows.select("tok").distinct().select(
+            "tok", hash_expr(F.col("tok")).alias("h")
+        )
+        hashed = (
+            tokrows.join(F.broadcast(vocab), "tok")
+            .groupBy("id")
+            .agg(F.collect_list("h").alias("hs"))
+        )
+    else:
+        hashed = base.select(
+            "id",
+            F.transform(tokenize(F.col("__t")), lambda t: hash_expr(t)).alias("hs"),
+        )
+    # EAGER checkpoint: the chunk-blocked pair join reads this on both
+    # self-join sides; lazy blocks would race and recompute the pass
+    return hashed.select("id", _simhash("hs").alias("sh")).localCheckpoint(eager=True)
 
 
 def simhash_neardup_pairs(
@@ -468,6 +572,7 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     blocks: int = 4,
     hash_expr=xxhash64_token_hash,
+    hash_distinct_first: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ ``max_hamming``.
 
@@ -484,7 +589,10 @@ def simhash_neardup_pairs(
             "the pigeonhole candidate guarantee"
         )
     width = 64 // blocks
-    sh = simhash_signatures_df(df, id_col, text_col, hash_expr=hash_expr)
+    sh = simhash_signatures_df(
+        df, id_col, text_col, hash_expr=hash_expr,
+        hash_distinct_first=hash_distinct_first,
+    )
     chunks = F.array(
         *[
             F.struct(
