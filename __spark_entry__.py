@@ -165,16 +165,18 @@ def q_agg_global(spark, sf_dir):
 
 
 def q_agg_stats(spark, sf_dir):
-    """G4-G7: mean / count / population variance / population sd."""
+    """G4-G7: mean / count / population variance / population sd —
+    computed in ONE groupBy via aggregate_many (one scan, one shuffle;
+    the per-statistic `aggregate` surface stays for reference parity)."""
     li = _kf(spark, sf_dir, "lineitem")
-    base = li.groupby("l_returnflag")
-    mean = base.aggregate("mean", "l_quantity", alias="avg_qty").to_df()
-    cnt = base.aggregate("count", "l_quantity", alias="n").to_df()
-    var = base.aggregate("variance", "l_discount", alias="var_disc").to_df()
-    sd = base.aggregate("sd", "l_discount", alias="sd_disc").to_df()
-    out = (
-        mean.join(cnt, "l_returnflag").join(var, "l_returnflag").join(sd, "l_returnflag")
-    )
+    out = li.groupby("l_returnflag").aggregate_many(
+        [
+            ("mean", "l_quantity", "avg_qty"),
+            ("count", "l_quantity", "n"),
+            ("variance", "l_discount", "var_disc"),
+            ("sd", "l_discount", "sd_disc"),
+        ]
+    ).to_df()
     return out.select(
         "l_returnflag",
         F.round("avg_qty", 4).alias("avg_qty"),

@@ -423,6 +423,66 @@ class KevinFrame:
             idx_asc=True,
         )
 
+    def aggregate_many(self, specs) -> "KevinFrame":
+        """Grouped aggregation of MANY columns in ONE ``groupBy`` — a
+        single shuffle computes every statistic (engine extension: the
+        reference's ``aggregate`` is one-column by design,
+        Combinator.hs:202-226, which forces one scan per statistic; at
+        scale that multiplies both the scan and the shuffle).
+
+        ``specs`` is a sequence of ``(agg, field)`` or
+        ``(agg, field, alias)`` tuples with the same per-spec semantics
+        as ``aggregate`` (registry names or callables, kind checks,
+        count→float).  Output: group keys + one column per spec, groups
+        ascending by key, groups cleared.
+        """
+        specs = list(specs)
+        if not specs:
+            raise KevinValueError("aggregate_many requires at least one spec")
+        base = self
+        if self.ordered and any(
+            isinstance(s[0], str) and s[0] == "concat" for s in specs
+        ):
+            base = self._materialized()
+        idx_col = F.col(IDX) if base.ordered else None
+
+        exprs = []
+        names = []
+        for spec in specs:
+            agg, field = spec[0], spec[1]
+            alias = spec[2] if len(spec) > 2 and spec[2] else field
+            if field not in self.columns:
+                raise KevinFieldError("no such field")
+            if alias in names or alias in base.group_cols:
+                raise KevinValueError(f"duplicate output column {alias!r}")
+            fn, kind = agglib.resolve(agg)
+            self._check_agg_kind(field, kind)
+            exprs.append(fn(_q(field), idx_col).alias(alias))
+            names.append(alias)
+
+        if base.group_cols:
+            out = base._df.groupBy(*[_q(k) for k in base.group_cols]).agg(*exprs)
+            spec_order = tuple((k, True) for k in base.group_cols)
+        else:
+            out = base._df.agg(*exprs)
+            spec_order = ()
+        traits = {k: base.traits[k] for k in base.group_cols if k in base.traits}
+        for name in names:
+            dtype = out.schema[name].dataType
+            traits[name] = (
+                TEXT_DIM if isinstance(dtype, T.StringType) else NUM_MEASURE
+            )
+        if base.ordered:
+            out = out.withColumn(IDX, F.monotonically_increasing_id())
+        return self._derive(
+            out,
+            traits=traits,
+            group_cols=(),
+            pivot=None,
+            order_spec=spec_order,
+            idx_asc=True,
+        )
+
     def aggregate_udf(
         self,
         fold: Callable,

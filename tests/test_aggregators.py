@@ -101,3 +101,70 @@ def test_grouped_variance(simple_frame):
     assert by_city["beijing"] == pytest.approx(
         sum((x - mu) ** 2 for x in bj) / len(bj)
     )
+
+
+def test_aggregate_many_matches_singles(simple_frame):
+    """aggregate_many == the per-statistic aggregates, in one shuffle."""
+    base = simple_frame.groupby("city")
+    many = base.aggregate_many(
+        [("mean", "sale", "m"), ("count", "sale", "n"), ("sd", "cost", "s")]
+    )
+    rows = {r["city"]: r for r in many.to_df().collect()}
+    mean = {r["city"]: r["m"] for r in base.aggregate("mean", "sale", alias="m").to_df().collect()}
+    cnt = {r["city"]: r["n"] for r in base.aggregate("count", "sale", alias="n").to_df().collect()}
+    sd = {r["city"]: r["s"] for r in base.aggregate("sd", "cost", alias="s").to_df().collect()}
+    for c in rows:
+        assert rows[c]["m"] == mean[c]
+        assert rows[c]["n"] == cnt[c]
+        assert rows[c]["s"] == sd[c]
+    assert list(many.columns) == ["city", "m", "n", "s"]
+
+
+def test_aggregate_many_single_exchange(simple_frame):
+    """The whole multi-statistic aggregation must plan exactly ONE
+    Exchange (one shuffle)."""
+    out = simple_frame.groupby("city").aggregate_many(
+        [("mean", "sale", "m"), ("variance", "cost", "v")]
+    )
+    # assert on the aggregation itself (out.df), not to_df(): the ordered
+    # presentation sort legitimately adds a range-partition exchange
+    df = out.df.select("city", "m", "v")
+    df.collect()  # AQE: final plan exists only after executing THIS dataset
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE prints the same exchange under both the final plan and its
+    # stage section — count distinct shuffle stages, not text occurrences
+    import re
+
+    stages = set(re.findall(r"ShuffleQueryStage (\d+)", plan))
+    assert len(stages) == 1, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_aggregate_many_global_and_errors(simple_frame):
+    import pytest
+
+    from kevinlang_spark.errors import KevinFieldError, KevinTypeError, KevinValueError
+
+    row = simple_frame.aggregate_many([("sum", "sale", "t"), ("max", "cost", "mx")])
+    got = row.to_df().collect()
+    assert len(got) == 1 and got[0]["t"] > 0
+    with pytest.raises(KevinValueError):
+        simple_frame.aggregate_many([])
+    with pytest.raises(KevinValueError):
+        simple_frame.aggregate_many([("sum", "sale", "x"), ("mean", "cost", "x")])
+    with pytest.raises(KevinFieldError):
+        simple_frame.aggregate_many([("sum", "nope")])
+    with pytest.raises(KevinTypeError):
+        simple_frame.aggregate_many([("sum", "city")])
+
+
+def test_aggregate_many_concat_ordered(simple_frame):
+    out = (
+        simple_frame.sort("sale")
+        .groupby("gender")
+        .aggregate_many([("concat", "product", "ps"), ("count", "sale", "n")])
+    )
+    rows = {r["gender"]: r for r in out.to_df().collect()}
+    # concat follows frame order (ascending sale)
+    assert rows["F"]["n"] == 7.0
+    assert len(rows["F"]["ps"]) > 0
