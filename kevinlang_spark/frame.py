@@ -326,8 +326,20 @@ class KevinFrame:
         """Reference's arbitrary-host-predicate surface (PolyParam,
         Combinator.hs:122-156) for predicates not expressible as Column
         expressions.  Runs as an Arrow-batched pandas UDF (the ~10-100×
-        faster slow path), with the reference's 'inconsistent type' check
-        against the column's Spark type.
+        faster slow path), with the reference's per-kind dispatch:
+
+        - ``'double'``/``'float'`` (filterReals, Combinator.hs:158-164):
+          numeric column required; predicate sees a float.
+        - ``'int'``/``'word'`` (filterInts, Combinator.hs:176-182):
+          numeric column required; values convert via the reference's
+          ``toBoundedInteger`` — a FRACTIONAL value (or a negative one
+          for the unsigned ``word``) has no bounded-integer form, so the
+          reference's ``fromJust`` crashes; we raise 'inconsistent type'
+          at evaluation, per value, like the reference does.
+        - ``'str'`` (PolyParam String, Combinator.hs:126-132): string
+          column required.
+
+        NULL → row dropped (all kinds; reference's ``_ -> False``).
         """
         from pyspark.sql.functions import pandas_udf
 
@@ -339,10 +351,26 @@ class KevinFrame:
             raise KevinTypeError("inconsistent type")
         if kind in ("str", "string") and dtype != "string":
             raise KevinTypeError("inconsistent type")
+        integral_dtype = dtype in ("tinyint", "smallint", "int", "bigint")
+
+        def _apply(v):
+            if v is None:
+                return False
+            if kind in ("int", "word"):
+                if not integral_dtype and v != int(v):
+                    # reference: toBoundedInteger → Nothing → fromJust crash
+                    raise KevinTypeError("inconsistent type")
+                iv = int(v)
+                if kind == "word" and iv < 0:
+                    raise KevinTypeError("inconsistent type")
+                return bool(fn(iv))
+            if kind in ("double", "float"):
+                return bool(fn(float(v)))
+            return bool(fn(v))
 
         @pandas_udf("boolean")
         def _pred(s):
-            return s.map(lambda v: bool(fn(v)) if v is not None else False)
+            return s.map(_apply)
 
         return self._derive(self._df.where(_pred(_q(field))), group_cols=(), pivot=None)
 

@@ -31,8 +31,18 @@ def read_csv(
     path: str,
     strict: bool = True,
     ordered: bool = True,
+    decimal: bool = False,
 ) -> KevinFrame:
-    """Read a CSV file into a KevinFrame with inferred traits."""
+    """Read a CSV file into a KevinFrame with inferred traits.
+
+    ``decimal=True`` ingests numeric columns as ``DecimalType(38, 18)``
+    instead of ``double`` — the engine analog of the reference's
+    arbitrary-precision ``Data.Scientific`` values
+    (reference src/Data/DataFrame.hs:76, kevin.cabal:30).  Exact decimal
+    arithmetic survives aggregation (summing currency at warehouse scale
+    accumulates no float drift) at the cost of slower arithmetic; the
+    default stays ``double`` for throughput.
+    """
     raw = (
         spark.read.option("header", True)
         .option("quote", '"')
@@ -81,12 +91,13 @@ def read_csv(
         if nonnum == 0 and n_numeric > 0:
             # all (non-null) values numeric; the year rule matches the
             # exact name only (reference DataFrame.hs:226-228)
+            num_type = "decimal(38,18)" if decimal else "double"
             if c == "year":
                 traits[c] = NUM_DIM
-                casts[c] = "bigint" if frac == 0 else "double"
+                casts[c] = "bigint" if frac == 0 else num_type
             else:
                 traits[c] = NUM_MEASURE
-                casts[c] = "double"
+                casts[c] = num_type
         else:
             traits[c] = TEXT_DIM
 

@@ -185,3 +185,88 @@ def test_pivot_table_dotted_columns(spark, tmp_path):
     assert vals["r1"]["c1"] == 1.0
     rendered = piv.render()
     assert "r1" in rendered and "c1" in rendered
+
+
+# --------------------------------------------------------------------- #
+# decimal ingestion mode (reference Data.Scientific exactness)
+# --------------------------------------------------------------------- #
+
+
+def test_decimal_mode_exact_sums(spark, tmp_path):
+    from decimal import Decimal
+
+    from kevinlang_spark.sources.csv import read_csv
+
+    p = tmp_path / "money.csv"
+    # 0.1 summed 10 times drifts in binary doubles (≠ 1.0 exactly at
+    # higher repetitions); decimals are exact
+    p.write_text("amt\n" + "0.1\n" * 100)
+    exact = read_csv(spark, str(p), decimal=True)
+    assert str(exact.df.schema["amt"].dataType) == "DecimalType(38,18)"
+    got = exact.aggregate("sum", "amt", alias="t").to_df().collect()[0]["t"]
+    assert got == Decimal("10.0")
+    dbl = read_csv(spark, str(p), decimal=False)
+    assert dict(dbl.df.dtypes)["amt"] == "double"
+    # double mode still ballpark-correct
+    dgot = dbl.aggregate("sum", "amt", alias="t").to_df().collect()[0]["t"]
+    assert abs(dgot - 10.0) < 1e-9
+
+
+def test_decimal_mode_pipeline_ops(spark, tmp_path):
+    from kevinlang_spark.sources.csv import read_csv
+
+    p = tmp_path / "dm.csv"
+    p.write_text("k,v\na,1.5\nb,2.5\na,3.5\n")
+    kf = read_csv(spark, str(p), decimal=True)
+    out = {
+        r["k"]: r["v"]
+        for r in kf.groupby("k").aggregate("sum", "v").to_df().collect()
+    }
+    assert float(out["a"]) == 5.0 and float(out["b"]) == 2.5
+
+
+# --------------------------------------------------------------------- #
+# PolyParam kind dispatch in filter_udf
+# --------------------------------------------------------------------- #
+
+
+def test_filter_udf_kind_dispatch(simple_frame):
+    import pytest
+
+    from kevinlang_spark.errors import KevinTypeError
+
+    # double predicate on numeric column: fine
+    assert simple_frame.filter_udf("cost", lambda v: v > 500).height() > 0
+    # int predicate on an integral-valued double column: fine (year casts
+    # clean); on 'cost' (integral values ingested as double) also fine
+    assert simple_frame.filter_udf("cost", lambda v: v > 500, kind="int").height() > 0
+    # string predicate on numeric column: plan-time inconsistent type
+    with pytest.raises(KevinTypeError):
+        simple_frame.filter_udf("cost", lambda v: v == "x", kind="str")
+    # numeric predicate on string column: plan-time inconsistent type
+    with pytest.raises(KevinTypeError):
+        simple_frame.filter_udf("city", lambda v: v > 1, kind="double")
+
+
+def test_filter_udf_int_on_fractional_errors(simple_frame):
+    import pytest
+
+    # 'discount' holds genuine fractions (0.8, 0.75, ...): an Int-kind
+    # predicate must fail at evaluation like the reference's
+    # toBoundedInteger/fromJust crash (Combinator.hs:176-182)
+    with pytest.raises(Exception, match="inconsistent type"):
+        simple_frame.filter_udf("discount", lambda v: v > 0, kind="int").height()
+
+
+def test_filter_udf_word_negative_errors(spark):
+    import pytest
+
+    from kevinlang_spark.frame import KevinFrame
+
+    kf = KevinFrame.from_df(
+        spark.createDataFrame([(1, -5.0), (2, 3.0)], "id int, v double")
+    )
+    with pytest.raises(Exception, match="inconsistent type"):
+        kf.filter_udf("v", lambda v: v > 0, kind="word").height()
+    # int kind tolerates negatives (signed)
+    assert kf.filter_udf("v", lambda v: v > 0, kind="int").height() == 1
