@@ -275,7 +275,7 @@ def shingle_sig_df(
 
 
 def minhash_lsh_candidates(
-    df: DataFrame,
+    df: DataFrame | None,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 64,
@@ -368,7 +368,7 @@ def minhash_lsh_candidates(
 
 
 def jaccard_verify(
-    df: DataFrame,
+    df: DataFrame | None,
     pairs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -425,6 +425,55 @@ def minhash_dedup_pairs(
     return jaccard_verify(
         df, cands, id_col, text_col, shingle_n, threshold,
         shingles=sh_df.select("id", F.col("shh").alias("sh")),
+    )
+
+
+def write_minhash_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> None:
+    """Persist the minhash artifacts as real tables —
+    ``<path>/shingles`` (id, shh) and ``<path>/signatures`` (id, sig) —
+    the production replacement for the in-memory localCheckpoint (which
+    does not survive executor loss).  Downstream dedup runs read these
+    instead of re-tokenizing the corpus; incremental corpora append new
+    ids and re-run candidates only."""
+    sh_df, sig_df = shingle_sig_df(df, id_col, text_col, num_hashes, shingle_n, seed)
+    sh_df.write.mode("overwrite").parquet(f"{path}/shingles")
+    sig_df.write.mode("overwrite").parquet(f"{path}/signatures")
+
+
+def minhash_dedup_pairs_indexed(
+    spark,
+    path: str,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 16,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """The full near-dup pipeline over a ``write_minhash_index`` table:
+    identical semantics to ``minhash_dedup_pairs`` (same hash family for
+    the same (num_hashes, seed)), zero text processing — candidates band
+    the stored signatures, verify intersects the stored shingle hashes."""
+    sh = spark.read.parquet(f"{path}/shingles")
+    sig = spark.read.parquet(f"{path}/signatures")
+    cands = minhash_lsh_candidates(
+        None,
+        num_hashes=num_hashes,
+        bands=bands,
+        signatures=sig,
+        max_bucket_size=max_bucket_size,
+    )
+    return jaccard_verify(
+        None,
+        cands,
+        threshold=threshold,
+        shingles=sh.select("id", F.col("shh").alias("sh")),
     )
 
 

@@ -176,6 +176,114 @@ def ivf_topk(
     return cosine_topk(cand, query, vec_col, id_col, k)
 
 
+def build_lsh_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 7,
+    dim: int | None = None,
+) -> None:
+    """Persist the hyperplane-LSH index as a BUCKET-PARTITIONED parquet
+    table (``partitionBy("bucket")``) — the executable 100 TB form of
+    ``ann_topk_lsh``: each bucket is its own directory, so a probe prunes
+    whole files at the file index before any IO.  The hyperplane family is
+    derived from ``(dim, n_planes, seed)`` alone, so a reader passing the
+    same parameters reproduces the query-side bucket ids with no stored
+    model."""
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).where(F.col("d") > 0).first()
+        if first is None:
+            raise ValueError("build_lsh_index: no non-empty vectors")
+        dim = first["d"]
+    planes = _planes(dim, n_planes, seed)
+    df.withColumn("bucket", hyperplane_signature(F.col(vec_col), planes)).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(path)
+
+
+def ann_topk_lsh_indexed(
+    spark,
+    path: str,
+    query: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    seed: int = 7,
+) -> DataFrame:
+    """Probe a ``build_lsh_index`` table: compute the query's bucket and
+    its multiprobe neighbors driver-side, then read ONLY those partition
+    directories (partition pruning — the scan never touches other
+    buckets' files)."""
+    import itertools
+
+    planes = _planes(len(query), n_planes, seed)
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query, p)) >= 0:
+            qsig |= 1 << i
+    probe = [qsig]
+    for n_flips in range(1, probe_hamming + 1):
+        for bits in itertools.combinations(range(n_planes), n_flips):
+            flipped = qsig
+            for b in bits:
+                flipped ^= 1 << b
+            probe.append(flipped)
+    cand = spark.read.parquet(path).where(F.col("bucket").isin(probe))
+    return cosine_topk(cand, query, vec_col, id_col, k)
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nlist: int = 16,
+    seed: int = 11,
+    max_iter: int = 10,
+) -> None:
+    """Persist an IVF index: the cell-assigned vectors as a
+    CELL-PARTITIONED parquet table plus the (tiny) centroid table at
+    ``<path>/_centroids`` — probes rank centroids driver-side and read
+    only the chosen cells' directories."""
+    assigned, centroids = ivf_index(df, vec_col, id_col, nlist, seed, max_iter)
+    assigned.withColumnRenamed("__cell", "cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/vectors")
+    cent_rows = [(i, c) for i, c in enumerate(centroids)]
+    df.sparkSession.createDataFrame(
+        cent_rows, "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+def ann_topk_ivf_indexed(
+    spark,
+    path: str,
+    query: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe a ``build_ivf_index`` table: rank stored centroids by
+    distance to the query (driver-side — the centroid table is nlist
+    rows), then scan only the ``nprobe`` nearest cells' partitions."""
+    cents = {
+        r["cell"]: list(r["centroid"])
+        for r in spark.read.parquet(f"{path}/_centroids").collect()
+    }
+
+    def dist(c):
+        return sum((a - b) ** 2 for a, b in zip(c, query))
+
+    probe = sorted(cents, key=lambda i: dist(cents[i]))[:nprobe]
+    cand = spark.read.parquet(f"{path}/vectors").where(F.col("cell").isin(probe))
+    return cosine_topk(cand, query, vec_col, id_col, k)
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -64,3 +64,73 @@ def test_salted_join_correctness(spark, sf_dir):
     # salting must not lose or duplicate rows... but fact salt is random per
     # row and dim covers ALL salts → exact same multiset of matches
     assert got == plain
+
+
+def test_lsh_index_roundtrip_prunes(spark, sf_dir, tmp_path):
+    """build_lsh_index → partitionBy(bucket) dirs on disk; a probe reads
+    only the probed buckets' files and matches the in-memory ANN."""
+    import os
+
+    from kevinlang_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "lsh_idx")
+    sim.build_lsh_index(emb, idx, n_planes=4)
+    bucket_dirs = [d for d in os.listdir(idx) if d.startswith("bucket=")]
+    assert len(bucket_dirs) > 2  # genuinely partitioned
+
+    query = [float(v) for v in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    got = sim.ann_topk_lsh_indexed(
+        spark, idx, query, k=5, n_planes=4, probe_hamming=1
+    )
+    mem = sim.ann_topk_lsh(emb, query, k=5, n_planes=4, probe_hamming=1)
+    assert [(r["vec_id"], round(r["sim"], 6)) for r in got.collect()] == [
+        (r["vec_id"], round(r["sim"], 6)) for r in mem.collect()
+    ]
+    # pruning: the bucket filter must land in PartitionFilters (file-index
+    # level — whole directories skipped), not a post-scan data filter
+    probed = spark.read.parquet(idx).where(F.col("bucket").isin([0, 1]))
+    probed.collect()
+    plan = executed_plan(probed)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1][:160]
+    assert "bucket" in pf, plan
+
+
+def test_ivf_index_roundtrip_prunes(spark, sf_dir, tmp_path):
+    import os
+
+    from kevinlang_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivf_idx")
+    sim.build_ivf_index(emb, idx, nlist=8)
+    cell_dirs = [d for d in os.listdir(f"{idx}/vectors") if d.startswith("cell=")]
+    assert len(cell_dirs) > 2
+
+    query = [float(v) for v in emb.where(F.col("vec_id") == 2).first()["embedding"]]
+    # exhaustive probe == exact top-k
+    got = sim.ann_topk_ivf_indexed(spark, idx, query, k=5, nprobe=8)
+    exact = sim.cosine_topk(emb, query, k=5)
+    assert [(r["vec_id"], round(r["sim"], 6)) for r in got.collect()] == [
+        (r["vec_id"], round(r["sim"], 6)) for r in exact.collect()
+    ]
+    # pruned probe touches fewer partition dirs than exist
+    pruned = sim.ann_topk_ivf_indexed(spark, idx, query, k=5, nprobe=2)
+    assert pruned.count() == 5
+
+
+def test_minhash_index_roundtrip(spark, sf_dir, tmp_path):
+    """write_minhash_index → read-back pipeline equals the in-memory
+    pipeline exactly (same family, same pairs)."""
+    from kevinlang_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = str(tmp_path / "mh_idx")
+    dedup.write_minhash_index(docs, idx)
+    from_index = dedup.minhash_dedup_pairs_indexed(spark, idx, threshold=0.8)
+    in_mem = dedup.minhash_dedup_pairs(docs, threshold=0.8)
+    key = lambda r: (r["id_a"], r["id_b"], r["jaccard"])
+    assert sorted(map(key, from_index.collect())) == sorted(
+        map(key, in_mem.collect())
+    )
