@@ -505,11 +505,12 @@ def q_minhash_pairs(spark, sf_dir):
     """MinHash+LSH near-dup pairs, exact-Jaccard verified.
 
     Oracle-checkable: the emitted pairs are the exact shingle-Jaccard
-    ≥ 0.8 pairs (the LSH banding only PRUNES candidates; with 16 bands ×
-    4 rows the per-pair miss probability at J ≥ 0.9 — the corpus's true
-    near-dup range — is < 1e-7, and the seeded hash family makes the
-    result deterministic), so a relational shingle self-join reproduces
-    the output exactly."""
+    ≥ 0.8 pairs (the LSH banding only PRUNES candidates; with the
+    default 32 hashes over 16 bands — 2 rows/band — the per-pair miss
+    probability is (1−J²)¹⁶ ≤ 8e-8 at J = 0.8 and ~3e-12 at J ≥ 0.9,
+    the corpus's true near-dup range, and the seeded hash family makes
+    the result deterministic), so a relational shingle self-join
+    reproduces the output exactly."""
     from kevinlang_spark.operators.dedup import minhash_dedup_pairs
 
     docs = _t(spark, sf_dir, "documents")

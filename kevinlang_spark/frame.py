@@ -208,6 +208,24 @@ class KevinFrame:
             idx_asc=self.idx_asc if idx_asc is None else idx_asc,
         )
 
+    def _stable_agg_idx(self, df: DataFrame, keys: Sequence[str]) -> DataFrame:
+        """Stamp ``__idx`` on an aggregation output DETERMINISTICALLY.
+
+        ``monotonically_increasing_id`` on a shuffle output numbers rows
+        by arrival order, which can permute between job re-executions —
+        an id captured in one job (init/last) would then select a
+        DIFFERENT row in the next.  Group keys are unique per output row,
+        so a key hash is a stable identity; it is kept non-negative so
+        ``append``'s offset arithmetic stays valid.  (The ~1e-19 chance
+        of a 62-bit collision merely makes two rows tie in an order the
+        key-based sort spec has already decided.)"""
+        if keys:
+            return df.withColumn(
+                IDX, F.pmod(F.xxhash64(*[_q(k) for k in keys]), F.lit(1 << 62))
+            )
+        # global aggregate: exactly one row
+        return df.withColumn(IDX, F.lit(0).cast("long"))
+
     def _require_ordered(self, op: str) -> None:
         if not self.ordered:
             raise KevinValueError(
@@ -357,9 +375,16 @@ class KevinFrame:
             if v is None:
                 return False
             if kind in ("int", "word"):
-                if not integral_dtype and v != int(v):
-                    # reference: toBoundedInteger → Nothing → fromJust crash
-                    raise KevinTypeError("inconsistent type")
+                if not integral_dtype:
+                    # reference toBoundedInteger: Nothing for NaN/±Inf,
+                    # fractional, or out-of-Int64-range → fromJust crash
+                    if (
+                        v != v  # NaN
+                        or v in (float("inf"), float("-inf"))
+                        or not (-(2**63) <= v < 2**63)
+                        or v != int(v)
+                    ):
+                        raise KevinTypeError("inconsistent type")
                 iv = int(v)
                 if kind == "word" and iv < 0:
                     raise KevinTypeError("inconsistent type")
@@ -441,7 +466,7 @@ class KevinFrame:
             TEXT_DIM if isinstance(out_dtype, T.StringType) else NUM_MEASURE
         )
         if base.ordered:
-            out = out.withColumn(IDX, F.monotonically_increasing_id())
+            out = self._stable_agg_idx(out, base.group_cols)
         return self._derive(
             out,
             traits=traits,
@@ -501,7 +526,7 @@ class KevinFrame:
                 TEXT_DIM if isinstance(dtype, T.StringType) else NUM_MEASURE
             )
         if base.ordered:
-            out = out.withColumn(IDX, F.monotonically_increasing_id())
+            out = self._stable_agg_idx(out, base.group_cols)
         return self._derive(
             out,
             traits=traits,
@@ -544,7 +569,7 @@ class KevinFrame:
         traits = {k: self.traits[k] for k in self.group_cols if k in self.traits}
         traits[out_name] = NUM_MEASURE
         if self.ordered:
-            out = out.withColumn(IDX, F.monotonically_increasing_id())
+            out = self._stable_agg_idx(out, self.group_cols)
         return self._derive(
             out, traits=traits, group_cols=(), pivot=None, order_spec=spec, idx_asc=True
         )

@@ -243,7 +243,10 @@ def shingle_sig_df(
     th = F.transform(toks, lambda t: F.xxhash64(t))
     k = F.size(th)
     starts = F.sequence(F.lit(1), F.greatest(k - (shingle_n - 1), F.lit(1)))
-    shh = F.when(k <= 0, F.array().cast("array<bigint>")).otherwise(
+    # NULL text → size(NULL) = NULL, and a NULL condition falls through to
+    # otherwise() — which would fabricate [xxhash64(NULL)] and pair every
+    # NULL-text doc with every other; treat NULL like empty explicitly
+    shh = F.when(k.isNull() | (k <= 0), F.array().cast("array<bigint>")).otherwise(
         F.array_distinct(
             F.transform(starts, lambda i: F.xxhash64(F.slice(th, i, shingle_n)))
         )
@@ -346,23 +349,24 @@ def minhash_lsh_candidates(
     buckets = buckets.where(F.size("ids") >= 2)
     if max_bucket_size is not None:
         buckets = buckets.where(F.size("ids") <= max_bucket_size)
-    # in-bucket pair expansion: ids are unique within a bucket (one row per
-    # (id, band) upstream), so sorting gives deterministic id_a < id_b
-    ids = F.array_sort("ids")
-    pair_arr = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size(ids) - 1),
-            lambda i: F.transform(
-                F.slice(ids, i + 1, F.size(ids) - i),
-                lambda j: F.struct(
-                    F.element_at(ids, i).alias("id_a"), j.alias("id_b")
-                ),
-            ),
-        )
+    # in-bucket pair expansion in TWO explodes: posexplode each (sorted)
+    # bucket to its members, then pair each member with the tail of its
+    # own bucket array.  Peak per-value memory is one bucket array (m ids,
+    # bounded by the cap) — never the m²/2 pair structs a single flattened
+    # pair array would materialize before exploding.  Ids are unique
+    # within a bucket (one row per (id, band) upstream), so sorting gives
+    # deterministic id_a < id_b.
+    sorted_b = buckets.select(F.array_sort("ids").alias("ids"))
+    lefts = sorted_b.select(
+        "ids", F.posexplode("ids").alias("__i", "id_a")
     )
     return (
-        buckets.select(F.explode(pair_arr).alias("p"))
-        .select("p.id_a", "p.id_b")
+        lefts.select(
+            "id_a",
+            F.explode(
+                F.slice("ids", F.col("__i") + 2, F.greatest(F.size("ids"), F.lit(1)))
+            ).alias("id_b"),
+        )
         .distinct()
     )
 
@@ -462,6 +466,16 @@ def minhash_dedup_pairs_indexed(
     the stored signatures, verify intersects the stored shingle hashes."""
     sh = spark.read.parquet(f"{path}/shingles")
     sig = spark.read.parquet(f"{path}/signatures")
+    # fail fast on a family mismatch: banding a sig array shorter than
+    # num_hashes would make the trailing band slices EMPTY — every doc
+    # then shares one band key (quadratic blowup, or with the cap in
+    # place, silent loss of all candidates)
+    first = sig.select(F.size("sig").alias("n")).first()
+    if first is not None and first["n"] != num_hashes:
+        raise ValueError(
+            f"index at {path!r} stores {first['n']}-hash signatures; "
+            f"pass num_hashes={first['n']} (got {num_hashes})"
+        )
     cands = minhash_lsh_candidates(
         None,
         num_hashes=num_hashes,
@@ -608,7 +622,11 @@ def simhash_signatures_df(
         hashed = base.select(
             "id",
             F.transform(tokenize(F.col("__t")), lambda t: hash_expr(t)).alias("hs"),
-        )
+        ).where(F.size("hs") > 0)
+        # size(hs) > 0 also rejects NULL text (size(NULL) = NULL → filter
+        # drops); both paths agree that token-less docs have NO sketch —
+        # sh=0 rows would otherwise pair with each other at Hamming 0 and
+        # diverge from the external-oracle convention
     # EAGER checkpoint: the chunk-blocked pair join reads this on both
     # self-join sides; lazy blocks would race and recompute the pass
     return hashed.select("id", _simhash("hs").alias("sh")).localCheckpoint(eager=True)

@@ -270,3 +270,73 @@ def test_filter_udf_word_negative_errors(spark):
         kf.filter_udf("v", lambda v: v > 0, kind="word").height()
     # int kind tolerates negatives (signed)
     assert kf.filter_udf("v", lambda v: v > 0, kind="int").height() == 1
+
+
+# --------------------------------------------------------------------- #
+# review findings: stable agg __idx, NULL-text dedup, filter_udf edges
+# --------------------------------------------------------------------- #
+
+
+def test_aggregate_idx_stable_across_jobs(simple_frame):
+    """init()/last() on an aggregation output must select the same row in
+    every job — __idx on shuffle outputs has to be deterministic."""
+    agg = simple_frame.groupby("city").aggregate("sum", "sale", alias="t")
+    for _ in range(3):
+        last = agg.last().to_df().collect()
+        assert len(last) == 1 and last[0]["city"] == "shanghai"
+        init_cities = sorted(r["city"] for r in agg.init().to_df().collect())
+        assert init_cities == ["beijing", "hangzhou"]
+
+
+def test_null_text_docs_never_pair(spark):
+    from kevinlang_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, None),
+            (2, None),
+            (3, "   "),
+            (4, "real content words here repeated real content words here"),
+        ],
+        "doc_id long, text string",
+    )
+    mh = dedup.minhash_dedup_pairs(df, threshold=0.5)
+    assert mh.count() == 0, "NULL/empty docs must not form minhash pairs"
+    sh = dedup.simhash_neardup_pairs(df, max_hamming=3)
+    assert sh.count() == 0, "NULL/empty docs must not form simhash pairs"
+
+
+def test_filter_udf_nan_inf_range(spark):
+    import pytest
+
+    from kevinlang_spark.frame import KevinFrame
+
+    kf = KevinFrame.from_df(
+        spark.createDataFrame(
+            [(1, float("nan")), (2, 1.0)], "id int, v double"
+        )
+    )
+    with pytest.raises(Exception, match="inconsistent type"):
+        kf.filter_udf("v", lambda v: True, kind="int").height()
+    inf = KevinFrame.from_df(
+        spark.createDataFrame([(1, float("inf"))], "id int, v double")
+    )
+    with pytest.raises(Exception, match="inconsistent type"):
+        inf.filter_udf("v", lambda v: True, kind="int").height()
+    big = KevinFrame.from_df(
+        spark.createDataFrame([(1, 1e30)], "id int, v double")
+    )
+    with pytest.raises(Exception, match="inconsistent type"):
+        big.filter_udf("v", lambda v: True, kind="int").height()
+
+
+def test_minhash_indexed_family_mismatch_errors(spark, sf_dir, tmp_path):
+    import pytest
+
+    from kevinlang_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    idx = str(tmp_path / "mh_small")
+    dedup.write_minhash_index(docs, idx, num_hashes=32)
+    with pytest.raises(ValueError, match="32-hash"):
+        dedup.minhash_dedup_pairs_indexed(spark, idx, num_hashes=64)
