@@ -1121,13 +1121,6 @@ class KevinFrame:
             if rows:
                 out = out.orderBy(*[_q(c) for c in rows])
             return out
-        if max_distinct is not None:
-            n_keys = df.select(*[_q(c) for c in cols]).distinct().limit(max_distinct + 1).count()
-            if n_keys > max_distinct:
-                raise KevinPivotError(
-                    f"pivot would create more than {max_distinct} columns; "
-                    "a pivot this wide is a modeling error at scale"
-                )
         # NULL-safe, collision-safe column key: coalesce NULLs to a marker
         # and join with a unit separator (plain concat_ws would collapse
         # ('a', NULL) and (NULL, 'a'), and 'a/b' with ('a','b'))
@@ -1136,12 +1129,25 @@ class KevinFrame:
             *[F.coalesce(_q(c).cast("string"), F.lit("\x00null")) for c in cols],
         ).alias("__ckey")
         df = df.withColumn("__ckey", key)
+        # ONE distinct job serves both the width guard and the pivot's
+        # value list (pivot(values=None) would otherwise run its own
+        # distinct scan — two jobs for the same answer)
+        limit = (max_distinct + 1) if max_distinct is not None else None
+        vals_q = df.select("__ckey").distinct()
+        if limit is not None:
+            vals_q = vals_q.limit(limit)
+        values = sorted(r["__ckey"] for r in vals_q.collect())
+        if max_distinct is not None and len(values) > max_distinct:
+            raise KevinPivotError(
+                f"pivot would create more than {max_distinct} columns; "
+                "a pivot this wide is a modeling error at scale"
+            )
         gb = (
             df.groupBy(*[_q(c) for c in rows])
             if rows
             else df.groupBy(F.lit(1).alias("__all"))
         )
-        out = gb.pivot("__ckey", values=None).agg(F.first(_q(val)))
+        out = gb.pivot("__ckey", values=values).agg(F.first(_q(val)))
         if rows:
             out = out.orderBy(*[_q(c) for c in rows])
         else:

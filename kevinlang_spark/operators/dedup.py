@@ -693,6 +693,89 @@ def simhash_neardup_pairs(
 
 
 # --------------------------------------------------------------------- #
+# near-dup cluster resolution (connected components)
+# --------------------------------------------------------------------- #
+
+
+def neardup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) — connected components of the near-dup pair graph,
+    component label = min doc id in the component.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; converges in
+    O(graph diameter) rounds.  Near-dup graphs from verified LSH pairs
+    are near-cliques, so diameter is tiny (2-3 rounds typical).  Each
+    round is one key-shuffle join + partial-min aggregation, with the
+    frontier checkpointed to truncate lineage — the standard scalable
+    Spark connected-components shape (no driver-side graph, no
+    single-machine union-find).  Only nodes appearing in ≥1 pair are
+    labeled (singletons are their own trivial component)."""
+    e = (
+        pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+        .unionAll(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = (
+        e.groupBy("s")
+        .agg(F.min("d").alias("m"))
+        .select(F.col("s").alias("id"), F.least("s", "m").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = (
+            e.alias("e")
+            .join(cur.alias("l"), F.col("e.d") == F.col("l.id"))
+            .groupBy(F.col("e.s").alias("id"))
+            .agg(F.min("l.comp").alias("nc"))
+        )
+        new = (
+            cur.alias("c")
+            .join(prop.alias("p"), "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("c.comp"), F.coalesce(F.col("p.nc"), F.col("c.comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(cur.alias("c"), "id")
+            .where(F.col("n.comp") != F.col("c.comp"))
+            .count()
+        )
+        cur = new
+        if changed == 0:
+            break
+    return cur
+
+
+def dedup_keep_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Corpus minus near-duplicates: from every connected component of
+    ``pairs``, keep only the min-id representative; docs in no pair
+    survive untouched.  One components run + a broadcast-able anti-join
+    of the (tiny) victim list."""
+    comps = neardup_components(pairs, id_a, id_b)
+    victims = comps.where(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(victims, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------- #
 # exact n-gram Jaccard (oracle-friendly: pure relational form)
 # --------------------------------------------------------------------- #
 
