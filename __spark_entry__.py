@@ -533,6 +533,40 @@ def q_simhash_pairs(spark, sf_dir):
     )
 
 
+def q_neardup_components(spark, sf_dir):
+    """Connected components of the near-dup pair graph (min-id labels).
+
+    Distributed min-label propagation over the verified MinHash pairs —
+    one key-shuffle join + partial-min agg per round, converging in
+    O(component diameter) rounds (near-dup clusters are near-cliques, so
+    2-3 rounds).  Oracle-checkable because the pair set equals the exact
+    shingle-Jaccard pairs (see q_minhash_pairs) and the component
+    labeling is reproduced in DuckDB with a recursive transitive-closure
+    CTE."""
+    from kevinlang_spark.operators.dedup import minhash_dedup_pairs, neardup_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, threshold=0.8)
+    return neardup_components(pairs)
+
+
+def q_dedup_representatives(spark, sf_dir):
+    """Corpus minus near-duplicates: keep the min-id representative of
+    every near-dup component plus all unpaired docs (the end-to-end
+    fuzzy-dedup sink a training-data pipeline feeds downstream).  One
+    components run + an anti-join of the victim list."""
+    from kevinlang_spark.operators.dedup import (
+        dedup_keep_representatives,
+        minhash_dedup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, threshold=0.8)
+    return dedup_keep_representatives(docs, pairs).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 def _query_vec(spark, sf_dir, vec_id: int = 0):
     emb = _t(spark, sf_dir, "embeddings")
     return [
@@ -873,6 +907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_langid": q_langid,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_minhash_pairs": q_minhash_pairs,
+        "q_neardup_components": q_neardup_components,
+        "q_dedup_representatives": q_dedup_representatives,
         "q_simhash_pairs": q_simhash_pairs,
         "q_knn_cosine": q_knn_cosine,
         "q_ann_lsh": q_ann_lsh,
@@ -894,6 +930,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_set_ops": q_set_ops,
         "q_date_parts": q_date_parts,
     }
+
+
+# Shared prefix for the near-dup graph oracles: exact word-3-gram shingle
+# Jaccard >= 0.8 pairs (equals q_minhash_pairs' output), symmetrized to an
+# edge list, then the transitive closure via a recursive CTE.  DuckDB's
+# UNION-recursion deduplicates, so `reach` is the full reachability
+# relation — min over it reproduces min-label-propagation's fixpoint.
+_NEARDUP_PAIR_CTE = (
+    "WITH RECURSIVE toks AS (SELECT doc_id AS id, list_filter("
+    "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "sh AS (SELECT id, unnest(list_distinct(list_transform("
+    "range(1, greatest(len(t) - 2, 1) + 1), "
+    "i -> array_to_string(t[i:i+2], ' ')))) AS s "
+    "FROM toks WHERE len(t) > 0), "
+    "sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id), "
+    "cand AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter "
+    "FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2), "
+    "pairs AS (SELECT id_a, id_b FROM cand JOIN sizes sa ON id_a = sa.id "
+    "JOIN sizes sb ON id_b = sb.id "
+    "WHERE n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.8), "
+    "edges AS (SELECT id_a AS s, id_b AS d FROM pairs "
+    "UNION SELECT id_b, id_a FROM pairs), "
+    "reach AS (SELECT s, d FROM edges "
+    "UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s) "
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1131,6 +1193,18 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 4) AS jaccard "
             "FROM pairs JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id "
             "WHERE n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.8"
+        ),
+        # transitive closure (recursive CTE) over the exact-Jaccard pair
+        # set = distributed min-label propagation's fixpoint
+        "q_neardup_components": (
+            _NEARDUP_PAIR_CTE
+            + "SELECT s AS id, least(s, min(d)) AS comp FROM reach GROUP BY s"
+        ),
+        "q_dedup_representatives": (
+            _NEARDUP_PAIR_CTE
+            + ", victims AS (SELECT s FROM reach GROUP BY s HAVING min(d) < s) "
+            "SELECT doc_id, source, n_chars FROM documents "
+            "WHERE doc_id NOT IN (SELECT s FROM victims)"
         ),
         # full simhash replica: md5-derived 60-bit token hashes, 64-bit
         # majority vote, all-pairs Hamming ≤ 3 (the Spark side's pigeonhole

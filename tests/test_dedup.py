@@ -179,3 +179,53 @@ def test_simhash_md5_family_pairs_match_xxhash_shape(spark, docs):
     rows2 = sorted((r["id_a"], r["id_b"], r["hamming"]) for r in out2.collect())
     assert rows1 == rows2
     assert len(rows1) > 0
+
+
+def test_neardup_components_labels_chains_and_cliques(spark):
+    # two components: a 4-node chain 1-2-3-4 and a triangle 10-11-12;
+    # node 99 appears in no pair and must be absent from the labeling
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long",
+    )
+    comps = {r["id"]: r["comp"] for r in dedup.neardup_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_neardup_components_long_chain_converges(spark):
+    # a 12-node path stresses multi-round propagation (diameter 11)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    comps = dedup.neardup_components(pairs).collect()
+    assert {r["comp"] for r in comps} == {0}
+    assert len(comps) == 13
+
+
+def test_dedup_keep_representatives(spark, docs_with_dups):
+    pairs = dedup.minhash_dedup_pairs(docs_with_dups, threshold=0.7)
+    kept = dedup.dedup_keep_representatives(docs_with_dups, pairs)
+    ids = {r["doc_id"] for r in kept.collect()}
+    # expected = min-id of each connected component + all unpaired docs,
+    # computed with a reference union-find on the (tiny) collected pairs
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    pair_rows = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    for a, b in pair_rows:
+        parent[find(a)] = find(b)
+    groups: dict[int, set[int]] = {}
+    for n in parent:
+        groups.setdefault(find(n), set()).add(n)
+    all_ids = {r["doc_id"] for r in docs_with_dups.collect()}
+    expected = (all_ids - set(parent)) | {min(g) for g in groups.values()}
+    assert ids == expected
+    # and no exact copy can ever be a representative (its original has a
+    # smaller id and jaccard 1.0 guarantees the pair edge exists)
+    assert not any(10000 <= i < 20000 for i in ids)
