@@ -877,6 +877,53 @@ def q_multimodal_features(spark, sf_dir):
     return extract_media_features(media)
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition profile per document: non-empty line count,
+    duplicate-line fraction (pure scan-stage expressions) and top-bigram
+    occupancy (relational explode→count→max/sum, two key-shuffles with
+    map-side partial agg)."""
+    from kevinlang_spark.operators.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment + 25% subsample flag from
+    the md5 hash of the id — a pure per-row expression (no rand(), no
+    shuffle): the split is a property of the document, reproducible
+    across runs, engines, and cluster sizes."""
+    from kevinlang_spark.operators.sampling import hash_bucket, hash_split
+
+    docs = hash_split(_t(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        "split",
+        (hash_bucket(F.col("doc_id")) < 2500).alias("in_sample"),
+    )
+
+
+def q_knn_join(spark, sf_dir):
+    """Batch exact k-NN join: top-10 cosine neighbors for every probe
+    vector (vec_id < 4).  The probe set broadcasts, scoring is pure
+    codegen inside the scan stage, and only per-query ranking shuffles."""
+    from kevinlang_spark.operators.similarity import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 4)
+    out = knn_join(emb, probes, k=10)
+    return out.select("qid", "vec_id", F.round("sim", 4).alias("sim"), "rank")
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing ≥1 word 8-gram with
+    the probe set (doc_id < 50), with the distinct shared-gram count.  The
+    probe gram set broadcasts; the corpus check runs in the scan stage."""
+    from kevinlang_spark.operators.text import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_contamination(docs, docs.where(F.col("doc_id") < 50), n=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_select": q_select,
@@ -929,6 +976,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_median": q_median,
         "q_set_ops": q_set_ops,
         "q_date_parts": q_date_parts,
+        "q_repetition_stats": q_repetition_stats,
+        "q_hash_split": q_hash_split,
+        "q_knn_join": q_knn_join,
+        "q_contamination": q_contamination,
     }
 
 
@@ -1362,5 +1413,62 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(year(o_orderdate) AS INTEGER) AS y, "
             "CAST(month(o_orderdate) AS INTEGER) AS m, COUNT(*) AS n_orders, "
             "ROUND(SUM(o_totalprice), 2) AS volume FROM orders GROUP BY 1, 2"
+        ),
+        # line features are pure list expressions; top-bigram occupancy is
+        # the same explode→count→max/sum shape as the Spark plan
+        "q_repetition_stats": (
+            "WITH lines AS (SELECT doc_id, list_filter(list_transform("
+            "string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS ls "
+            "FROM documents), "
+            "base AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines, "
+            "CASE WHEN len(ls) > 0 THEN ROUND(1.0 - "
+            "len(list_distinct(ls)) / CAST(len(ls) AS DOUBLE), 4) END "
+            "AS dup_line_frac FROM lines), "
+            "toks AS (SELECT doc_id AS id, list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+            "FROM documents), "
+            "bg AS (SELECT id, unnest(list_transform("
+            "range(1, greatest(len(t) - 1, 1) + 1), "
+            "i -> array_to_string(t[i:i+1], ' '))) AS g "
+            "FROM toks WHERE len(t) > 0), "
+            "pg AS (SELECT id, g, COUNT(*) AS c FROM bg GROUP BY id, g), "
+            "pd AS (SELECT id, ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 4) "
+            "AS top_bigram_frac FROM pg GROUP BY id) "
+            "SELECT b.doc_id, b.n_lines, b.dup_line_frac, pd.top_bigram_frac "
+            "FROM base b LEFT JOIN pd ON b.doc_id = pd.id"
+        ),
+        # md5-hex bucket is engine-portable: Spark conv(substr(md5,1,15),16,10)
+        # == DuckDB CAST('0x'||substr(md5,1,15) AS BIGINT)
+        "q_hash_split": (
+            "SELECT doc_id, "
+            "CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'val' "
+            "ELSE 'test' END AS split, b < 2500 AS in_sample "
+            "FROM (SELECT doc_id, "
+            "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) "
+            "% 10000 AS b FROM documents)"
+        ),
+        "q_knn_join": (
+            "SELECT qid, vec_id, sim, rank FROM ("
+            "SELECT q.vec_id AS qid, e.vec_id AS vec_id, "
+            "ROUND(list_cosine_similarity(e.embedding, q.embedding), 4) AS sim, "
+            "ROW_NUMBER() OVER (PARTITION BY q.vec_id "
+            "ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, "
+            "e.vec_id) AS rank "
+            "FROM embeddings e, "
+            "(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4) q"
+            ") WHERE rank <= 10"
+        ),
+        # distinct word-8-grams per doc; probe set = grams of doc_id < 50
+        "q_contamination": (
+            "WITH toks AS (SELECT doc_id AS id, list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+            "FROM documents), "
+            "sh AS (SELECT id, unnest(list_distinct(list_transform("
+            "range(1, greatest(len(t) - 7, 1) + 1), "
+            "i -> array_to_string(t[i:i+7], ' ')))) AS g "
+            "FROM toks WHERE len(t) > 0), "
+            "probe AS (SELECT DISTINCT g FROM sh WHERE id < 50) "
+            "SELECT id AS doc_id, COUNT(*) AS n_shared_ngrams "
+            "FROM sh JOIN probe USING (g) GROUP BY id"
         ),
     }

@@ -41,6 +41,9 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     toks = tokenize(col)
     k = F.size(toks)
     starts = F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1)))
-    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+    # NULL text → k is NULL → a NULL when-condition falls through to
+    # otherwise(), which would emit [""] (concat_ws over a NULL slice);
+    # treat NULL like empty explicitly
+    return F.when(k.isNull() | (k <= 0), F.array().cast("array<string>")).otherwise(
         F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     )

@@ -1,0 +1,79 @@
+"""Deterministic sampling / split assignment for training pipelines.
+
+Every operator keys off a cross-engine-reproducible content hash (md5 of
+the id rendered as a string), NOT ``rand()``: the assignment is a pure
+per-row expression — stable across runs, cluster sizes, and engines
+(Spark md5 == DuckDB md5), requires no shuffle, and re-appending new data
+never reshuffles existing rows between splits.  That idempotence is what
+makes hash-splits the standard at 100 TB: the split of a document is a
+property of the document, not of the job that assigned it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(col: Column, buckets: int = 10_000) -> Column:
+    """Deterministic bucket in ``[0, buckets)`` from the md5 of the
+    value's string rendering — 60 bits of the digest, engine-portable
+    (DuckDB: ``CAST('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 15) AS
+    BIGINT) % buckets``)."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    return h % F.lit(buckets)
+
+
+def split_assignment(
+    col: Column,
+    weights: dict[str, float],
+    buckets: int = 10_000,
+) -> Column:
+    """string split label for an id column, by cumulative weight over the
+    hash-bucket space.  Weights must sum to ~1; the last split absorbs
+    the rounding remainder."""
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1 (got {total})")
+    b = hash_bucket(col, buckets)
+    names = list(weights)
+    out = F.lit(names[-1])
+    cum = 0.0
+    # build the when-chain from the first split: bucket < cum_i → name_i
+    conds = []
+    for name in names[:-1]:
+        cum += weights[name]
+        conds.append((int(round(cum * buckets)), name))
+    for threshold, name in reversed(conds):
+        out = F.when(b < threshold, F.lit(name)).otherwise(out)
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """df + a ``split`` column ('train'/'val'/'test' by default) assigned
+    deterministically from the id hash.  Narrow projection — runs in the
+    scan stage, zero shuffle at any scale."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    return df.withColumn("split", split_assignment(F.col(id_col), weights, buckets))
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Reproducible ``fraction`` subsample by id hash: the same ids are
+    selected on every run and on every engine — unlike ``df.sample``,
+    whose output depends on partitioning.  Filter is a pure expression
+    (pushed into the scan)."""
+    if not 0 <= fraction <= 1:
+        raise ValueError(f"fraction must be in [0, 1] (got {fraction})")
+    return df.where(hash_bucket(F.col(id_col), buckets) < int(round(fraction * buckets)))

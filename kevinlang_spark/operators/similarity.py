@@ -284,6 +284,124 @@ def ann_topk_ivf_indexed(
     return cosine_topk(cand, query, vec_col, id_col, k)
 
 
+def knn_join(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "vec_id",
+    q_vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for EVERY query vector (batch k-NN join).
+
+    ``queries`` is small by construction (a probe set, not the corpus) —
+    it broadcasts, so scoring is a map-side nested-loop inside the scan
+    stage with no corpus shuffle; only the ranked candidates move.  Pure
+    codegen cosine (same expression as ``cosine_topk``); ranking on the
+    raw similarity, ids as the deterministic tiebreak.
+
+    The per-query ranking is a window partitioned by query id, which
+    concentrates each query's N scored rows on one reducer — fine for
+    probe-set sizes; for huge corpora use ``knn_join_batched``, which
+    pre-reduces to k rows per (query, batch) before any shuffle.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(q_id_col).alias("qid"), F.col(q_vec_col).alias("__qv")
+    )
+    rn = l2_norm(F.col(vec_col))
+    qn = l2_norm(F.col("__qv"))
+    sim = F.when((rn == 0) | (qn == 0), F.lit(None)).otherwise(
+        dot(F.col(vec_col), F.col("__qv")) / (rn * qn)
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("__rawsim").desc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        df.join(F.broadcast(q))
+        .select("qid", F.col(id_col), sim.alias("__rawsim"))
+        .withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= k)
+        .select(
+            "qid",
+            F.col(id_col),
+            F.round("__rawsim", 6).alias("sim"),
+            F.col("__rank").alias("rank"),
+        )
+    )
+
+
+def knn_join_batched(
+    df: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scale form of ``knn_join``: vectorized numpy scoring with per-batch
+    top-k pre-reduction.
+
+    ``mapInPandas`` scores each Arrow batch against the whole query
+    matrix in one BLAS matmul and emits only each query's local top-k —
+    so the shuffle into the final exact merge carries ≤ Q·k rows per
+    batch instead of Q·N.  The query set rides the closure (it is a
+    probe set: Q·dim floats), exactly like a FAISS query batch.  Output
+    matches ``knn_join`` up to float summation order (ties broken by id
+    both ways)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    qids = [int(q) for q, _ in queries]
+    qm = np.asarray([v for _, v in queries], dtype=np.float64)  # (Q, dim)
+    qnorm = np.linalg.norm(qm, axis=1)
+    if (qnorm == 0).any():
+        raise ValueError("knn_join_batched: zero-norm query vector")
+
+    def score(batches):
+        for pdf in batches:
+            vecs = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            ids = pdf[id_col].to_numpy()
+            norms = np.linalg.norm(vecs, axis=1)
+            ok = norms > 0
+            sims = (vecs @ qm.T) / np.where(ok, norms, 1.0)[:, None] / qnorm[None, :]
+            out_q, out_id, out_sim = [], [], []
+            for j, qid in enumerate(qids):
+                col = np.where(ok, sims[:, j], -np.inf)
+                top = min(k, len(col))
+                # stable argsort on (-sim, id): id ascending breaks ties
+                order = np.lexsort((ids, -col))[:top]
+                keep = order[np.isfinite(col[order])]
+                out_q.extend([qid] * len(keep))
+                out_id.extend(ids[keep].tolist())
+                out_sim.extend(col[keep].tolist())
+            yield pd.DataFrame(
+                {"qid": out_q, id_col: out_id, "__rawsim": out_sim}
+            )
+
+    local = df.select(id_col, vec_col).mapInPandas(
+        score, schema=f"qid long, {id_col} long, __rawsim double"
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("__rawsim").desc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        local.withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= k)
+        .select(
+            "qid",
+            F.col(id_col),
+            F.round("__rawsim", 6).alias("sim"),
+            F.col("__rank").alias("rank"),
+        )
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kevinlang_spark.functions.textexpr import normalize_text, token_count, tokenize
+from kevinlang_spark.functions.textexpr import (
+    normalize_text,
+    token_count,
+    tokenize,
+    word_shingles,
+)
 
 #: tiny per-language stopword marker sets (n-gram-heuristic language ID).
 #: Chosen to be unambiguous across the five testdata languages.
@@ -114,6 +119,91 @@ def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: MD5 of the normalized text.
     Cross-engine reproducible (Spark md5 == DuckDB md5 == Python hashlib)."""
     return F.md5(normalize_text(text))
+
+
+def dup_line_features(text: Column) -> dict[str, Column]:
+    """Line-level repetition signals (Gopher-style): non-empty line count
+    and the fraction of lines that repeat an earlier line.  Pure
+    expressions — no explode, no shuffle; NULL text → NULL features."""
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)), lambda l: l != ""
+    )
+    n_lines = F.size(lines)
+    dup_frac = F.when(
+        n_lines > 0,
+        F.lit(1.0) - F.size(F.array_distinct(lines)) / n_lines.cast("double"),
+    )
+    return {
+        "n_lines": F.when(n_lines >= 0, n_lines).cast("long"),
+        "dup_line_frac": F.round(dup_frac, 4),
+    }
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition profile: (id, n_lines, dup_line_frac,
+    top_bigram_frac) — the cheap Gopher-repetition filters that knock out
+    boilerplate and degenerate generations before training.
+
+    Line features are pure expressions in the scan stage.  The
+    top-bigram fraction (share of the most frequent word bigram in all
+    bigram occurrences) is computed RELATIONALLY — explode bigrams,
+    count per (doc, bigram), max/sum per doc — two key-shuffles with
+    map-side partial aggregation, never a per-row quadratic expression.
+    Documents with no bigrams get NULL top_bigram_frac (left join)."""
+    t = F.col(text_col)
+    feats = dup_line_features(t)
+    base = df.select(
+        F.col(id_col).alias("id"), *[v.alias(k) for k, v in feats.items()]
+    )
+    bigr = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(t, 2)).alias("g"),
+    )
+    per_gram = bigr.groupBy("id", "g").agg(F.count("*").alias("c"))
+    per_doc = per_gram.groupBy("id").agg(
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_bigram_frac")
+    )
+    return base.join(per_doc, "id", "left").select(
+        F.col("id").alias(id_col), "n_lines", "dup_line_frac", "top_bigram_frac"
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    probes: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing ≥1 word
+    ``n``-gram with any probe (benchmark) document, with the count of
+    distinct shared n-grams.
+
+    The probe side is a benchmark suite — small by construction — so its
+    distinct n-gram set broadcasts and the corpus-side check is a
+    broadcast semi-style join inside the scan stage: no corpus shuffle
+    until the tiny per-doc hit aggregation.  Matching is on the exact
+    n-gram STRING (engine-portable); at 100 TB you would hash the grams
+    to 8-byte keys first (same shape as minhash's shingle hashing) and
+    broadcast the hashed probe set."""
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("g"),
+    )
+    p = (
+        probes.select(
+            F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("g")
+        )
+        .distinct()
+    )
+    return (
+        c.join(F.broadcast(p), "g")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+        .select(F.col("id").alias(id_col), "n_shared_ngrams")
+    )
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
