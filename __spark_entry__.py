@@ -367,6 +367,131 @@ def q_tpch_q6(spark, sf_dir):
     return out
 
 
+def q_tpch_q4(spark, sf_dir):
+    """Order-priority checking (TPC-H Q4 adapted: the testdata lineitem has
+    no commit/receipt dates, so 'late' = shipped >60 days after the order
+    date).  Equi semi-join on orderkey with the lateness predicate as a
+    residual join filter — one key shuffle, no row duplication from
+    multi-line orders."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "leftsemi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+def q_tpch_q12(spark, sf_dir):
+    """Shipping-priority mix (TPC-H Q12 adapted: returnflag stands in for
+    the absent shipmode).  Join + conditional aggregation — the CASE sums
+    fold map-side."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q13(spark, sf_dir):
+    """Customer order-count distribution (TPC-H Q13): left join preserving
+    order-less customers, then a double aggregation.  Both groupBys are
+    partial-agg'd; the second one runs on ≤ |customers| rows."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q_tpch_q14(spark, sf_dir):
+    """Promotion revenue share (TPC-H Q14): join + ratio-of-conditional-sums
+    to one row.  No broadcast hint — AQE picks broadcast at bench scale and
+    a shuffle join when part outgrows the threshold."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+def q_tpch_q18(spark, sf_dir):
+    """Large-volume customers (TPC-H Q18): pre-aggregate lineitem by order
+    (the big side collapses BEFORE any join), filter on the sum, then two
+    key joins on the surviving handful of orders."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+    )
+
+
+def q_tpch_q22(spark, sf_dir):
+    """Dormant rich customers (TPC-H Q22 adapted: nationkey stands in for
+    the absent phone prefix; 'dormant' = no order since 1999, since every
+    synthetic customer has at least one order).  The global average rides a
+    broadcast 1-row cross join (no driver-side collect); dormant = anti
+    join against the date-filtered orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    rich = cust.join(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("__avg_bal")
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    dormant = rich.join(recent, rich.c_custkey == recent.o_custkey, "leftanti")
+    return dormant.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # window functions (absent in reference, SURVEY §2.7 — free in Spark)
 # --------------------------------------------------------------------- #
@@ -943,6 +1068,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q3": q_tpch_q3,
         "q_tpch_q5": q_tpch_q5,
         "q_tpch_q6": q_tpch_q6,
+        "q_tpch_q4": q_tpch_q4,
+        "q_tpch_q12": q_tpch_q12,
+        "q_tpch_q13": q_tpch_q13,
+        "q_tpch_q14": q_tpch_q14,
+        "q_tpch_q18": q_tpch_q18,
+        "q_tpch_q22": q_tpch_q22,
         "q_window_rank": q_window_rank,
         "q_window_lag": q_window_lag,
         "q_events_hourly": q_events_hourly,
@@ -1115,6 +1246,58 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
             "AND l_shipdate < TIMESTAMP '1997-01-01' "
             "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+        ),
+        "q_tpch_q4": (
+            "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders o "
+            "WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o.o_orderdate < TIMESTAMP '1997-01-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem l "
+            "WHERE l.l_orderkey = o.o_orderkey "
+            "AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) "
+            "GROUP BY o_orderpriority"
+        ),
+        "q_tpch_q12": (
+            "SELECT l_returnflag, "
+            "SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 ELSE 0 END) AS high_line_count, "
+            "SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 0 ELSE 1 END) AS low_line_count "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY l_returnflag"
+        ),
+        "q_tpch_q13": (
+            "SELECT c_count, COUNT(*) AS custdist FROM ("
+            "SELECT c_custkey, COUNT(o_orderkey) AS c_count "
+            "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+            "GROUP BY c_custkey) GROUP BY c_count"
+        ),
+        "q_tpch_q14": (
+            "SELECT ROUND(100.0 * "
+            "SUM(CASE WHEN p_type = 'PROMO' "
+            "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) / "
+            "SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1996-03-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01'"
+        ),
+        "q_tpch_q18": (
+            "SELECT c_custkey, o_orderkey, "
+            "ROUND(o_totalprice, 2) AS o_totalprice, "
+            "ROUND(sum_qty, 2) AS sum_qty FROM ("
+            "SELECT l_orderkey, SUM(l_quantity) AS sum_qty FROM lineitem "
+            "GROUP BY l_orderkey HAVING SUM(l_quantity) > 250) big "
+            "JOIN orders ON big.l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey"
+        ),
+        "q_tpch_q22": (
+            "SELECT c_nationkey, COUNT(*) AS numcust, "
+            "ROUND(SUM(c_acctbal), 2) AS totacctbal FROM customer "
+            "WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer "
+            "WHERE c_acctbal > 0) "
+            "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01') "
+            "GROUP BY c_nationkey"
         ),
         "q_window_rank": (
             "SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM ("
