@@ -97,6 +97,7 @@ def run_stream_to_memory(
     transform,
     query_name: str = "stream_test",
     schema=None,
+    output_mode: str = "complete",
 ):
     """Drive a file-source stream through ``transform`` with the
     availableNow trigger into a memory sink; returns the finished
@@ -110,7 +111,7 @@ def run_stream_to_memory(
     q = (
         out.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
