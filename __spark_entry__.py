@@ -1049,6 +1049,49 @@ def q_contamination(spark, sf_dir):
     return ngram_contamination(docs, docs.where(F.col("doc_id") < 50), n=8)
 
 
+def q_salted_agg(spark, sf_dir):
+    """Skew-safe two-stage aggregation (salt fans each hot key over 16
+    reducers, then merges ≤16 partial rows per key).  Result is identical
+    to the plain one-stage groupBy — which is exactly what the oracle
+    checks."""
+    from kevinlang_spark.operators.skew import salted_agg
+
+    ev = _events(spark, sf_dir)
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": ("count", "event_id"),
+            "total_value": ("sum", "value"),
+            "avg_value": ("mean", "value"),
+            "max_value": ("max", "value"),
+        },
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("total_value", 2).alias("total_value"),
+        F.round("avg_value", 4).alias("avg_value"),
+        F.round("max_value", 4).alias("max_value"),
+    )
+
+
+def q_salted_join(spark, sf_dir):
+    """Skew-safe salted equi join (random salt on the fact side, small side
+    replicated per salt): row-identical to the plain join, checked against
+    the plain-SQL oracle."""
+    from kevinlang_spark.operators.skew import salted_join
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    dim = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("user_events"))
+    )
+    out = salted_join(ev, dim, on="user_id", n_salts=8)
+    return out.select("event_id", "user_id", "event_type", "user_events")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_select": q_select,
@@ -1111,6 +1154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hash_split": q_hash_split,
         "q_knn_join": q_knn_join,
         "q_contamination": q_contamination,
+        "q_salted_agg": q_salted_agg,
+        "q_salted_join": q_salted_join,
     }
 
 
@@ -1653,5 +1698,19 @@ def oracle_sql() -> dict[str, str]:
             "probe AS (SELECT DISTINCT g FROM sh WHERE id < 50) "
             "SELECT id AS doc_id, COUNT(*) AS n_shared_ngrams "
             "FROM sh JOIN probe USING (g) GROUP BY id"
+        ),
+        # salted two-stage agg must equal the plain one-stage aggregation
+        "q_salted_agg": (
+            "SELECT event_type, COUNT(event_id) AS n, "
+            "ROUND(SUM(value), 2) AS total_value, "
+            "ROUND(AVG(value), 4) AS avg_value, "
+            "ROUND(MAX(value), 4) AS max_value "
+            "FROM events GROUP BY event_type"
+        ),
+        # salted join must be row-identical to the plain equi join
+        "q_salted_join": (
+            "SELECT e.event_id, e.user_id, e.event_type, d.user_events "
+            "FROM events e JOIN (SELECT user_id, COUNT(*) AS user_events "
+            "FROM events GROUP BY user_id) d ON e.user_id = d.user_id"
         ),
     }
