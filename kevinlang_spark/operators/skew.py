@@ -92,11 +92,10 @@ def salted_join(
     reducers; every (key, salt) pair on the left finds its replicated
     right partner).
     """
+    from kevinlang_spark.sources.sinks import explode_salt
+
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left (got {how!r})")
     on = [on] if isinstance(on, str) else list(on)
     l = left.withColumn("__salt", (F.rand(seed) * n_salts).cast("int"))
-    r = right.withColumn(
-        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
-    )
-    return l.join(r, on + ["__salt"], how).drop("__salt")
+    return l.join(explode_salt(right, n_salts), on + ["__salt"], how).drop("__salt")

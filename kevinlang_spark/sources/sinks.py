@@ -52,7 +52,8 @@ def salted(df: DataFrame, key: str, salt_buckets: int = 16) -> DataFrame:
     """Add a ``__salt`` column for manual skew mitigation: join on
     (key, __salt) after exploding the small side across salt values.
     AQE's skew-join split handles most cases; salting remains for extreme
-    single-key skew (one key ≫ a partition)."""
+    single-key skew (one key ≫ a partition).  The composed, parity-tested
+    operators are ``operators/skew.py:salted_join`` / ``salted_agg``."""
     from pyspark.sql import functions as F
 
     return df.withColumn("__salt", F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(salt_buckets)))
