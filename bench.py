@@ -44,6 +44,13 @@ HEADLINE = [
     "q_knn_cosine",
     "q_text_stats",
     "q_multimodal_features",
+    "q_tpch_q13",
+    "q_tpch_q18",
+    "q_knn_join",
+    "q_repetition_stats",
+    "q_contamination",
+    "q_hash_split",
+    "q_salted_agg",
 ]
 
 

@@ -47,3 +47,27 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     return F.when(k.isNull() | (k <= 0), F.array().cast("array<string>")).otherwise(
         F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     )
+
+
+def shingle_hashes(col: Column, n: int = 3) -> Column:
+    """64-bit hashed word ``n``-grams: the same windows as
+    ``word_shingles`` but each gram is a fold of ``xxhash64`` over the
+    window's token hashes — no per-gram string building, and downstream
+    joins/groupBys shuffle 8-byte keys instead of long strings.  Gram
+    identity matches ``word_shingles`` up to xxhash64 collisions
+    (~2⁻⁶⁴ per pair; deterministic, so a passing oracle run stays
+    passing).  The combine is ``xxhash64(acc, tok_hash)`` — overflow-free
+    under ANSI mode, position-sensitive like string grams."""
+    h = F.transform(tokenize(col), lambda t: F.xxhash64(t))
+    k = F.size(h)
+    starts = F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1)))
+    return F.when(k.isNull() | (k <= 0), F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            starts,
+            lambda i: F.aggregate(
+                F.slice(h, i, n),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: F.xxhash64(acc, x),
+            ),
+        )
+    )

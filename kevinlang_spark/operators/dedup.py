@@ -41,16 +41,7 @@ def dedup_exact(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     return df.dropDuplicates(cols) if cols else df.dropDuplicates()
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition a narrow source so per-row heavy compute (regex, md5)
-    runs on all cores.  Only fires when the input has fewer partitions
-    than the cluster has slots — a small parquet arrives as ONE partition
-    and would serialize the whole pass; a production-scale table already
-    has ample partitions and skips the extra shuffle."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(target // 2, 2):
-        return df.repartition(target)
-    return df
+from kevinlang_spark.operators.util import spread as _spread  # shared plumbing
 
 
 def dedup_exact_by_text(

@@ -15,10 +15,12 @@ from pyspark.sql import functions as F
 
 from kevinlang_spark.functions.textexpr import (
     normalize_text,
+    shingle_hashes,
     token_count,
     tokenize,
     word_shingles,
 )
+from kevinlang_spark.operators.util import spread
 
 #: tiny per-language stopword marker sets (n-gram-heuristic language ID).
 #: Chosen to be unambiguous across the five testdata languages.
@@ -154,12 +156,16 @@ def repetition_stats(
     Documents with no bigrams get NULL top_bigram_frac (left join)."""
     t = F.col(text_col)
     feats = dup_line_features(t)
-    base = df.select(
+    sp = spread(df)
+    base = sp.select(
         F.col(id_col).alias("id"), *[v.alias(k) for k, v in feats.items()]
     )
-    bigr = df.select(
+    # hashed grams: the (id, gram) shuffle carries 8-byte keys, and no
+    # gram strings are ever materialized (identity matches word_shingles
+    # up to xxhash64 collisions — counts are gram-value-agnostic)
+    bigr = sp.select(
         F.col(id_col).alias("id"),
-        F.explode(word_shingles(t, 2)).alias("g"),
+        F.explode(shingle_hashes(t, 2)).alias("g"),
     )
     per_gram = bigr.groupBy("id", "g").agg(F.count("*").alias("c"))
     per_doc = per_gram.groupBy("id").agg(
@@ -184,17 +190,16 @@ def ngram_contamination(
     The probe side is a benchmark suite — small by construction — so its
     distinct n-gram set broadcasts and the corpus-side check is a
     broadcast semi-style join inside the scan stage: no corpus shuffle
-    until the tiny per-doc hit aggregation.  Matching is on the exact
-    n-gram STRING (engine-portable); at 100 TB you would hash the grams
-    to 8-byte keys first (same shape as minhash's shingle hashing) and
-    broadcast the hashed probe set."""
-    c = corpus.select(
+    until the tiny per-doc hit aggregation.  Grams are 64-bit rolling
+    hashes (``shingle_hashes``): the broadcast set is 8 bytes/gram and no
+    gram strings are built on the corpus side — the 100 TB form."""
+    c = spread(corpus).select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("g"),
+        F.explode(F.array_distinct(shingle_hashes(F.col(text_col), n))).alias("g"),
     )
     p = (
         probes.select(
-            F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("g")
+            F.explode(F.array_distinct(shingle_hashes(F.col(text_col), n))).alias("g")
         )
         .distinct()
     )
