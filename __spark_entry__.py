@@ -492,6 +492,368 @@ def q_tpch_q22(spark, sf_dir):
     )
 
 
+def q_tpch_q2(spark, sf_dir):
+    """Minimum-cost supplier (TPC-H Q2 adapted: the testdata has no
+    partsupp table, so supply cost of a (part, supplier) pair is derived
+    as min(l_extendedprice / l_quantity) over their lineitems).  The
+    correlated MIN subquery becomes a window min over the per-part
+    partition — costs are already grouped by (part, supp), so the window
+    adds exactly one partkey shuffle; supplier/nation/region dims ride
+    broadcasts."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .where(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    costs_eu = cost.join(F.broadcast(eu), cost.l_suppkey == eu.s_suppkey)
+    w = Window.partitionBy("l_partkey")
+    best = costs_eu.withColumn("min_cost", F.min("cost").over(w)).where(
+        F.col("cost") == F.col("min_cost")
+    )
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .select(
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            F.round("cost", 4).alias("supply_cost"),
+        )
+    )
+
+
+def q_tpch_q7(spark, sf_dir):
+    """Volume shipping between two nations (TPC-H Q7): supplier-nation ×
+    customer-nation revenue by ship year.  The two nation lookups are
+    independent broadcasts; the only big shuffles are the lineitem⨝orders
+    and ⨝customer key joins, and the final 4-row aggregation folds
+    map-side."""
+    n1 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pair = (
+        li.join(_t(spark, sf_dir, "supplier"), li.l_suppkey == F.col("s_suppkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(_t(spark, sf_dir, "orders"), li.l_orderkey == F.col("o_orderkey"))
+        .join(_t(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return pair.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+def q_tpch_q8(spark, sf_dir):
+    """National market share (TPC-H Q8): NATION_3's share of PROMO-part
+    revenue among ASIA customers, by order year.  Conditional-sum ratio —
+    one pass, no self-join; part/nation/region broadcast, customer joins
+    by key."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    supp_n = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    cust_n = F.broadcast(
+        _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    )
+    region = F.broadcast(
+        _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(_t(spark, sf_dir, "orders"), li.l_orderkey == F.col("o_orderkey"))
+        .join(_t(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust_n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(_t(spark, sf_dir, "supplier"), li.l_suppkey == F.col("s_suppkey"))
+        .join(supp_n, F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q_tpch_q9(spark, sf_dir):
+    """Product-type profit (TPC-H Q9 adapted: with no partsupp, supply
+    cost is substituted by 0.5 × p_retailprice per unit).  Profit by
+    supplier nation and order year over parts named like '%red%'; the
+    part filter broadcasts into the lineitem scan, so the big joins see
+    only matching rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(_t(spark, sf_dir, "supplier"), li.l_suppkey == F.col("s_suppkey"))
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(_t(spark, sf_dir, "orders"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+    )
+
+
+def q_tpch_q11(spark, sf_dir):
+    """Important stock (TPC-H Q11 adapted: part value := total extended
+    price shipped by NATION_5's suppliers, standing in for
+    ps_supplycost × ps_availqty).  The HAVING threshold is a scalar
+    subquery — computed as a 1-row aggregate broadcast-cross-joined onto
+    the per-part values, never collected to the driver."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .where(F.col("n_name") == "NATION_5")
+        .select("s_suppkey")
+    )
+    li_n = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    val = li_n.groupBy("l_partkey").agg(F.sum("l_extendedprice").alias("value"))
+    total = val.agg(F.sum("value").alias("__total"))
+    return (
+        val.join(F.broadcast(total))
+        .where(F.col("value") > 0.001 * F.col("__total"))
+        .select("l_partkey", F.round("value", 2).alias("value"))
+    )
+
+
+def q_tpch_q15(spark, sf_dir):
+    """Top supplier (TPC-H Q15): quarterly revenue per supplier, keep the
+    max.  The revenue 'view' aggregates once; the scalar max rides a
+    broadcast cross join back onto it (the classic argmax-without-collect
+    shape, same as q_tpch_q22's average)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__max_rev"))
+    return (
+        rev.join(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("__max_rev"))
+        .join(
+            _t(spark, sf_dir, "supplier"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue")
+        )
+    )
+
+
+def q_tpch_q16(spark, sf_dir):
+    """Parts/supplier relationship (TPC-H Q16 adapted: the part-supplier
+    relation is the distinct (l_partkey, l_suppkey) pairs from lineitem,
+    and the 'complaints' supplier exclusion becomes s_acctbal < 0).
+    COUNT(DISTINCT) over a pre-deduplicated pair set — the dedup and the
+    count share one (partkey-side) shuffle chain."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    return (
+        pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "leftanti")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_tpch_q17(spark, sf_dir):
+    """Small-quantity-order revenue (TPC-H Q17): lineitems of one brand
+    whose quantity is below 20% of that part's average.  The correlated
+    AVG subquery becomes a per-part aggregate joined back — both sides
+    shrink to the brand's parts first (broadcast), so the self-join is
+    tiny.  Quantities are whole numbers: their double sums are exact, so
+    the 0.2×avg threshold is engine-portable."""
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    lim = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("__lim")
+    )
+    small = li.join(F.broadcast(lim), F.col("l_partkey") == F.col("__pk")).where(
+        F.col("l_quantity") < F.col("__lim")
+    )
+    return small.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+    )
+
+
+def q_tpch_q19(spark, sf_dir):
+    """Discounted revenue (TPC-H Q19 adapted: container/shipmode absent —
+    the three OR'd branches pair brands with size and quantity bands).
+    The disjunction shares the partkey equi-join; Catalyst keeps the OR
+    as a residual filter, so this is one broadcast join, not three."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    q, sz, br = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    branch = (
+        ((br == "Brand#12") & sz.between(1, 5) & q.between(1, 11))
+        | ((br == "Brand#23") & sz.between(1, 10) & q.between(10, 20))
+        | ((br == "Brand#3") & sz.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(branch)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_tpch_q20(spark, sf_dir):
+    """Potential part promotion (TPC-H Q20 adapted: no ps_availqty — a
+    supplier qualifies when their 1996 shipped quantity of '%red%' parts
+    exceeds 100 units).  The nested IN subqueries become a pre-aggregated
+    qualifier set semi-joined to supplier; everything after the lineitem
+    aggregation is broadcast-sized."""
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    qualifying = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(_t(spark, sf_dir, "nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).where(F.col("n_name") == "NATION_7")
+    return (
+        supp.join(qualifying, supp.s_suppkey == F.col("l_suppkey"), "leftsemi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
+
+
+def q_tpch_q21(spark, sf_dir):
+    """Suppliers who kept orders waiting (TPC-H Q21 adapted: lineitem has
+    no receipt/commit dates, so 'late' = shipped >60 days after the order
+    date).  A NATION_2 supplier's late lineitem counts when another
+    supplier fed the same finished order (semi join) but no OTHER supplier
+    was also late on it (anti join).  The late set is computed once and
+    reused for both probes; all four joins shuffle on orderkey only."""
+    orders_f = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    late = (
+        li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+        .where(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    supp_n = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .where(F.col("n_name") == "NATION_2")
+        .select("s_suppkey", "s_name")
+    )
+    l1 = late.join(F.broadcast(supp_n), late.l_suppkey == supp_n.s_suppkey)
+    others = li.select(
+        F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("s2_key")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("o3_key"), F.col("l_suppkey").alias("s3_key")
+    )
+    waited = (
+        l1.join(
+            others,
+            (l1.l_orderkey == F.col("o2_key")) & (l1.l_suppkey != F.col("s2_key")),
+            "leftsemi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("o3_key"))
+            & (F.col("l_suppkey") != F.col("s3_key")),
+            "leftanti",
+        )
+    )
+    return waited.groupBy("s_name").agg(F.count("*").alias("numwait"))
+
+
 # --------------------------------------------------------------------- #
 # window functions (absent in reference, SURVEY §2.7 — free in Spark)
 # --------------------------------------------------------------------- #
@@ -1117,6 +1479,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q14": q_tpch_q14,
         "q_tpch_q18": q_tpch_q18,
         "q_tpch_q22": q_tpch_q22,
+        "q_tpch_q2": q_tpch_q2,
+        "q_tpch_q7": q_tpch_q7,
+        "q_tpch_q8": q_tpch_q8,
+        "q_tpch_q9": q_tpch_q9,
+        "q_tpch_q11": q_tpch_q11,
+        "q_tpch_q15": q_tpch_q15,
+        "q_tpch_q16": q_tpch_q16,
+        "q_tpch_q17": q_tpch_q17,
+        "q_tpch_q19": q_tpch_q19,
+        "q_tpch_q20": q_tpch_q20,
+        "q_tpch_q21": q_tpch_q21,
         "q_window_rank": q_window_rank,
         "q_window_lag": q_window_lag,
         "q_events_hourly": q_events_hourly,
@@ -1343,6 +1716,138 @@ def oracle_sql() -> dict[str, str]:
             "WHERE c_acctbal > 0) "
             "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01') "
             "GROUP BY c_nationkey"
+        ),
+        "q_tpch_q2": (
+            "WITH cost AS (SELECT l_partkey, l_suppkey, "
+            "MIN(l_extendedprice / l_quantity) AS cost FROM lineitem "
+            "GROUP BY l_partkey, l_suppkey), "
+            "eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'), "
+            "ce AS (SELECT cost.*, eu.* FROM cost JOIN eu ON l_suppkey = s_suppkey) "
+            "SELECT s_name, n_name, p_partkey, p_name, "
+            "ROUND(s_acctbal, 2) AS s_acctbal, ROUND(cost, 4) AS supply_cost "
+            "FROM ce JOIN part ON l_partkey = p_partkey "
+            "WHERE p_size = 15 AND p_type = 'STANDARD' "
+            "AND cost = (SELECT MIN(cost) FROM ce c2 WHERE c2.l_partkey = ce.l_partkey)"
+        ),
+        "q_tpch_q7": (
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "CAST(year(l_shipdate) AS INTEGER) AS l_year, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+            "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+            "GROUP BY 1, 2, 3"
+        ),
+        "q_tpch_q8": (
+            "SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, "
+            "ROUND(SUM(CASE WHEN sn.n_name = 'NATION_3' "
+            "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) "
+            "/ SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share "
+            "FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+            "JOIN region ON cn.n_regionkey = r_regionkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+            "WHERE p_type = 'PROMO' AND r_name = 'ASIA' "
+            "GROUP BY 1"
+        ),
+        "q_tpch_q9": (
+            "SELECT n_name AS nation, "
+            "CAST(year(o_orderdate) AS INTEGER) AS o_year, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount) "
+            "- 0.5 * p_retailprice * l_quantity), 2) AS sum_profit "
+            "FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE p_name LIKE '%red%' GROUP BY 1, 2"
+        ),
+        "q_tpch_q11": (
+            "WITH val AS (SELECT l_partkey, SUM(l_extendedprice) AS value "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE n_name = 'NATION_5' GROUP BY l_partkey) "
+            "SELECT l_partkey, ROUND(value, 2) AS value FROM val "
+            "WHERE value > 0.001 * (SELECT SUM(value) FROM val)"
+        ),
+        "q_tpch_q15": (
+            "WITH rev AS (SELECT l_suppkey, "
+            "SUM(l_extendedprice * (1 - l_discount)) AS total_revenue "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
+            "SELECT s_suppkey, s_name, ROUND(total_revenue, 2) AS total_revenue "
+            "FROM rev JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)"
+        ),
+        "q_tpch_q16": (
+            "SELECT p_brand, p_type, p_size, "
+            "COUNT(DISTINCT l_suppkey) AS supplier_cnt "
+            "FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs "
+            "JOIN part ON l_partkey = p_partkey "
+            "WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' "
+            "AND p_size IN (1, 4, 9, 16, 25, 36, 49) "
+            "AND l_suppkey NOT IN "
+            "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+            "GROUP BY p_brand, p_type, p_size"
+        ),
+        "q_tpch_q17": (
+            "SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE p_brand = 'Brand#23' AND l_quantity < "
+            "(SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2 "
+            "JOIN part p2 ON l2.l_partkey = p2.p_partkey "
+            "WHERE p2.p_brand = 'Brand#23' AND l2.l_partkey = lineitem.l_partkey)"
+        ),
+        "q_tpch_q19": (
+            "SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 "
+            "AND l_quantity BETWEEN 1 AND 11) "
+            "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 "
+            "AND l_quantity BETWEEN 10 AND 20) "
+            "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 "
+            "AND l_quantity BETWEEN 20 AND 30)"
+        ),
+        "q_tpch_q20": (
+            "SELECT s_name, ROUND(s_acctbal, 2) AS s_acctbal FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE n_name = 'NATION_7' AND s_suppkey IN ("
+            "SELECT l_suppkey FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey "
+            "WHERE p_name LIKE '%red%' "
+            "AND l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY l_suppkey HAVING SUM(l_quantity) > 100)"
+        ),
+        "q_tpch_q21": (
+            "WITH late AS (SELECT l_orderkey, l_suppkey FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderstatus = 'F' "
+            "AND l_shipdate > o_orderdate + INTERVAL 60 DAY) "
+            "SELECT s_name, COUNT(*) AS numwait FROM late l1 "
+            "JOIN supplier ON l1.l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE n_name = 'NATION_2' "
+            "AND EXISTS (SELECT 1 FROM lineitem l2 "
+            "WHERE l2.l_orderkey = l1.l_orderkey "
+            "AND l2.l_suppkey <> l1.l_suppkey) "
+            "AND NOT EXISTS (SELECT 1 FROM late l3 "
+            "WHERE l3.l_orderkey = l1.l_orderkey "
+            "AND l3.l_suppkey <> l1.l_suppkey) "
+            "GROUP BY s_name"
         ),
         "q_window_rank": (
             "SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM ("

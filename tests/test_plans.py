@@ -72,3 +72,44 @@ def test_aggregate_output_order_needs_no_window(spark, sf):
     the plan must contain no Window operator."""
     plan = plans.executed_plan(entrymod.q_groupby_sum(spark, sf))
     assert "Window" not in plan, plan
+
+
+def test_tpch_suite_no_cartesian_no_python(spark, sf):
+    """The full TPC-H-derived suite must stay JVM-side and never fall
+    back to a nested-loop join — the OR-of-conjuncts in q19 and the
+    inequality semi/anti probes in q21 are the shapes most at risk."""
+    for name in (
+        "q_tpch_q2",
+        "q_tpch_q7",
+        "q_tpch_q8",
+        "q_tpch_q9",
+        "q_tpch_q11",
+        "q_tpch_q15",
+        "q_tpch_q16",
+        "q_tpch_q17",
+        "q_tpch_q19",
+        "q_tpch_q20",
+        "q_tpch_q21",
+    ):
+        df = entrymod.queries()[name](spark, sf)
+        plan = plans.executed_plan(df)
+        assert "EvalPython" not in plan, f"{name} runs Python:\n{plan}"
+        assert "CartesianProduct" not in plan, f"{name} cartesian:\n{plan}"
+
+
+def test_tpch_q2_window_is_partitioned(spark, sf):
+    """q2's correlated-min window must partition by part — a global
+    (unpartitioned) window would serialize the whole table through one
+    task at scale."""
+    plan = plans.executed_plan(entrymod.q_tpch_q2(spark, sf))
+    assert "Window" in plan, plan
+    import re
+
+    for m in re.finditer(r"partitionBy=\[\]", plan):
+        raise AssertionError(f"unpartitioned window in q2:\n{plan}")
+
+
+def test_tpch_q9_broadcasts_part_filter(spark, sf):
+    """q9's %red% part filter must broadcast into the lineitem join so
+    the fact scan never shuffles non-matching rows."""
+    plans.assert_broadcast_join(entrymod.q_tpch_q9(spark, sf), at_least=2)
