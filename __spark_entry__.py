@@ -1411,6 +1411,40 @@ def q_contamination(spark, sf_dir):
     return ngram_contamination(docs, docs.where(F.col("doc_id") < 50), n=8)
 
 
+def q_chunk_tokens(spark, sf_dir):
+    """Fixed-size token-window chunking (the pre-tokenization shaping
+    step): one row per 32-token chunk with its text and token count.
+    sequence+slice+posexplode — narrow, no shuffle, no UDF."""
+    from kevinlang_spark.operators.chunking import chunk_tokens
+
+    return chunk_tokens(_t(spark, sf_dir, "documents"), chunk_size=32)
+
+
+def q_clean_lines(spark, sf_dir):
+    """C4-style line-level cleaning over a deterministic multi-line view
+    (the synthetic docs are single-line, so ' table ' is rewritten to a
+    newline identically on both engines first): keep trimmed lines with
+    ≥5 words and no 'slow' blocklist hit.  Pure scan-stage expressions."""
+    from kevinlang_spark.operators.chunking import clean_lines
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.replace(F.col("text"), F.lit(" table "), F.lit("\n"))
+    )
+    return clean_lines(docs, min_words=5, blocklist=("slow",))
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-split sequence packing: per (source, shard) stream in
+    doc-id order, cut every 512 tokens; each doc maps to the sequence its
+    first token lands in.  One shuffle; shard = id % 4 bounds every
+    window partition (raise shard count at scale)."""
+    from kevinlang_spark.operators.chunking import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), max_tokens=512, n_shards=4
+    )
+
+
 def q_salted_agg(spark, sf_dir):
     """Skew-safe two-stage aggregation (salt fans each hot key over 16
     reducers, then merges ≤16 partial rows per key).  Result is identical
@@ -1527,6 +1561,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hash_split": q_hash_split,
         "q_knn_join": q_knn_join,
         "q_contamination": q_contamination,
+        "q_chunk_tokens": q_chunk_tokens,
+        "q_clean_lines": q_clean_lines,
+        "q_pack_sequences": q_pack_sequences,
         "q_salted_agg": q_salted_agg,
         "q_salted_join": q_salted_join,
     }
@@ -2205,6 +2242,36 @@ def oracle_sql() -> dict[str, str]:
             "FROM sh JOIN probe USING (g) GROUP BY id"
         ),
         # salted two-stage agg must equal the plain one-stage aggregation
+        "q_chunk_tokens": (
+            "WITH t AS (SELECT doc_id, "
+            "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '') AS toks FROM documents), "
+            "c AS (SELECT doc_id, len(toks) AS n, toks, "
+            "CAST(ceil(len(toks) / 32.0) AS INT) AS nch FROM t) "
+            "SELECT doc_id AS id, i AS chunk_id, "
+            "array_to_string(list_slice(toks, i * 32 + 1, i * 32 + 32), ' ') "
+            "AS chunk_text, LEAST(32, n - i * 32) AS chunk_tokens "
+            "FROM c CROSS JOIN UNNEST(range(nch)) AS u(i)"
+        ),
+        "q_clean_lines": (
+            "WITH t AS (SELECT doc_id, list_filter(list_transform("
+            "string_split(replace(text, ' table ', chr(10)), chr(10)), "
+            "l -> trim(l)), l -> l <> '') AS lines FROM documents), "
+            "k AS (SELECT doc_id, lines, list_filter(lines, "
+            "l -> len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5 "
+            "AND NOT contains(lower(l), 'slow')) AS kept FROM t) "
+            "SELECT doc_id AS id, "
+            "COALESCE(array_to_string(kept, chr(10)), '') AS cleaned_text, "
+            "len(kept) AS n_lines_kept, len(lines) AS n_lines_total FROM k"
+        ),
+        "q_pack_sequences": (
+            "WITH t AS (SELECT doc_id AS id, source, doc_id % 4 AS shard, "
+            "len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '')) AS n_tokens FROM documents) "
+            "SELECT id, source, shard, n_tokens, "
+            "CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source, shard "
+            "ORDER BY id) - n_tokens) / 512.0) AS BIGINT) AS seq_id FROM t"
+        ),
         "q_salted_agg": (
             "SELECT event_type, COUNT(event_id) AS n, "
             "ROUND(SUM(value), 2) AS total_value, "

@@ -51,6 +51,9 @@ HEADLINE = [
     "q_contamination",
     "q_hash_split",
     "q_salted_agg",
+    "q_chunk_tokens",
+    "q_clean_lines",
+    "q_pack_sequences",
 ]
 
 

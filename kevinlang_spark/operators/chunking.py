@@ -1,0 +1,147 @@
+"""Document chunking, line-level cleaning, and sequence packing — the
+shaping stages of a training-data pipeline (reference scope: none — the
+reference engine, /root/reference/src/Data/DataFrame/Combinator.hs, has no
+text pipeline; these extend SURVEY.md §2's beyond-reference operator set).
+
+All three operators are pure Catalyst expression pipelines:
+
+- ``chunk_tokens`` / ``clean_lines`` are NARROW (per-row arrays, no
+  shuffle) — at 100 TB they stream through the scan stage and their cost
+  is bounded by the token regex, which runs inside whole-stage codegen.
+- ``pack_sequences`` shuffles ONCE on (partition cols, shard) and runs an
+  ordered window inside each shard.  The shard column exists precisely so
+  the window never sees an unbounded partition: packing is order-dependent
+  by nature, so the scalable form fixes a deterministic shard count and
+  packs each shard independently (standard concat-and-split packing for
+  LLM pretraining batches).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from kevinlang_spark.functions.textexpr import token_count, tokenize
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 32,
+) -> DataFrame:
+    """Split each document into fixed-size token windows.
+
+    Output: one row per chunk — (id, chunk_id, chunk_text, chunk_tokens),
+    chunk_id 0-based, last chunk possibly partial, token-free documents
+    yield no rows.  The whole transform is sequence+transform+slice over
+    the token array followed by posexplode: no shuffle, no UDF; output
+    row count is bounded by ceil(tokens/chunk_size) per document.
+    """
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.ceil(n / F.lit(float(chunk_size))).cast("int")
+    # guard: sequence(0, -1) would DESCEND; empty docs get an empty array
+    # (posexplode then emits nothing, matching the oracle's 0 chunks)
+    idx = F.when(n > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    texts = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i * chunk_size + 1, chunk_size))
+    )
+    out = df.select(
+        F.col(id_col).alias("id"), n.alias("__n"), F.posexplode(texts)
+    )
+    return out.select(
+        "id",
+        F.col("pos").alias("chunk_id"),
+        F.col("col").alias("chunk_text"),
+        F.least(F.lit(chunk_size), F.col("__n") - F.col("pos") * chunk_size).alias(
+            "chunk_tokens"
+        ),
+    )
+
+
+def _line_pred(
+    line: Column,
+    min_words: int,
+    require_terminal: bool,
+    blocklist: tuple[str, ...],
+) -> Column:
+    words = F.size(F.filter(F.split(line, " "), lambda w: w != ""))
+    keep = words >= min_words
+    if require_terminal:
+        keep = keep & line.rlike('[.!?"]$')
+    for term in blocklist:
+        keep = keep & ~F.contains(F.lower(line), F.lit(term))
+    return keep
+
+
+def clean_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 3,
+    require_terminal: bool = False,
+    blocklist: tuple[str, ...] = (),
+) -> DataFrame:
+    """C4-style line-level cleaning: trim each line, keep lines with at
+    least ``min_words`` space-separated words, optionally require terminal
+    punctuation, and drop lines containing a blocklisted term
+    (case-insensitive).  Output keeps every document with its cleaned
+    text and kept/total line counts — filtering out now-empty documents
+    is the caller's policy decision.
+
+    Narrow per-row array work; the predicates are Column expressions so
+    Catalyst fuses the whole pass into the scan stage.
+    """
+    lines = F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l))
+    nonempty = F.filter(lines, lambda l: l != "")
+    kept = F.filter(
+        nonempty, lambda l: _line_pred(l, min_words, require_terminal, blocklist)
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_join(kept, "\n").alias("cleaned_text"),
+        F.size(kept).alias("n_lines_kept"),
+        F.size(nonempty).alias("n_lines_total"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 512,
+    part_cols: tuple[str, ...] = ("source",),
+    n_shards: int = 4,
+) -> DataFrame:
+    """Assign each document to a training sequence of ≤ ``max_tokens``
+    (concat-and-split packing): within each (part_cols, shard) stream,
+    documents are concatenated in id order and the stream is cut every
+    ``max_tokens`` tokens; a document's sequence is the one its FIRST
+    token lands in.  Output: (id, *part_cols, shard, seq_id, n_tokens).
+
+    shard = id % n_shards (engine-portable, deterministic) bounds the
+    window partition: at 100 TB you raise n_shards so each shard's token
+    stream fits an executor — packing quality is unaffected because
+    sequences never span shards anyway.  One shuffle total.
+    """
+    ntok = token_count(F.col(text_col))
+    shard = (F.col(id_col) % n_shards).alias("shard")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in part_cols],
+        shard,
+        ntok.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(*part_cols, "shard")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return base.withColumn(
+        "seq_id",
+        F.floor((cum - F.col("n_tokens")) / F.lit(float(max_tokens))).cast("bigint"),
+    )
