@@ -1411,6 +1411,18 @@ def q_contamination(spark, sf_dir):
     return ngram_contamination(docs, docs.where(F.col("doc_id") < 50), n=8)
 
 
+def q_click_attribution(spark, sf_dir):
+    """View→click attribution pairs (same user, click within 24 h of the
+    view) — the batch face of the stream-stream interval join
+    (streaming/joins.py; parity proven in test_stream_join.py).  Equi-join
+    on user_id with the time range as a residual filter — one key
+    shuffle, state bounded by the rate within the interval when run as
+    two streams."""
+    from kevinlang_spark.streaming.joins import attribute_clicks
+
+    return attribute_clicks(_events(spark, sf_dir), within="24 hours")
+
+
 def q_chunk_tokens(spark, sf_dir):
     """Fixed-size token-window chunking (the pre-tokenization shaping
     step): one row per 32-token chunk with its text and token count.
@@ -1561,6 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hash_split": q_hash_split,
         "q_knn_join": q_knn_join,
         "q_contamination": q_contamination,
+        "q_click_attribution": q_click_attribution,
         "q_chunk_tokens": q_chunk_tokens,
         "q_clean_lines": q_clean_lines,
         "q_pack_sequences": q_pack_sequences,
@@ -2242,6 +2255,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM sh JOIN probe USING (g) GROUP BY id"
         ),
         # salted two-stage agg must equal the plain one-stage aggregation
+        "q_click_attribution": (
+            "SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id, "
+            "CAST(floor(epoch(v.ts)) AS BIGINT) AS view_ts, "
+            "CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts "
+            "FROM events v JOIN events c ON v.user_id = c.user_id "
+            "AND v.event_type = 'view' AND c.event_type = 'click' "
+            "AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR"
+        ),
         "q_chunk_tokens": (
             "WITH t AS (SELECT doc_id, "
             "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "

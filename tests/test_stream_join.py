@@ -1,0 +1,72 @@
+"""Stream-stream interval join: batch semantics + streaming parity."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kevinlang_spark.streaming import joins as J
+from kevinlang_spark.streaming.windows import with_watermark
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    from kevinlang_spark.sources.parquet import load_events
+
+    return load_events(spark, sf_dir)
+
+
+def test_attribution_pairs_semantics(events):
+    out = J.attribute_clicks(events, within="24 hours").collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0 <= r.click_ts - r.view_ts <= 24 * 3600
+
+
+def test_interval_join_is_not_nested_loop(events):
+    from kevinlang_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(J.attribute_clicks(events, within="24 hours"))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, events, tmp_path):
+    """Two filtered restreams of the events source, watermarked and
+    interval-joined in append mode, must produce exactly the batch pairs
+    (availableNow processes everything, so no pair is dropped as late)."""
+    os.symlink(f"{sf_dir}/events.parquet", tmp_path / "events.parquet")
+    stream_dir = str(tmp_path)
+    batch = sorted(
+        (r.view_id, r.click_id)
+        for r in J.attribute_clicks(events, within="24 hours").collect()
+    )
+
+    schema = spark.read.parquet(stream_dir).schema
+
+    def src():
+        df = spark.readStream.schema(schema).parquet(stream_dir)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    views = with_watermark(
+        src().where(F.col("event_type") == "view"), delay="48 hours"
+    )
+    clicks = with_watermark(
+        src().where(F.col("event_type") == "click"), delay="48 hours"
+    )
+    out = J.interval_pair_join(views, clicks, within="24 hours").select(
+        F.col("event_id").alias("view_id"), F.col("event_id_r").alias("click_id")
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    stream = sorted(
+        (r.view_id, r.click_id) for r in spark.table("t_ss_join").collect()
+    )
+    assert stream == batch
