@@ -64,3 +64,50 @@ def test_big_topk_parallel(big):
     rows = top.select(["v"]).collect()
     assert len(rows) == 5
     assert rows[0]["v"] == 99.99
+
+
+@pytest.fixture(scope="module")
+def big_docs(spark):
+    """2M synthetic docs (~40 tokens each) without any driver-side data."""
+    words = F.array(*[F.lit(w) for w in "alpha beta gamma delta epsilon zeta eta theta".split()])
+    return (
+        spark.range(2_000_000, numPartitions=32)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(40)),
+                    lambda i: F.element_at(words, (F.pmod(F.xxhash64(F.col("id"), i), 8) + 1).cast("int")),
+                ),
+            ).alias("text"),
+            F.concat(F.lit("src"), (F.col("id") % 16).cast("string")).alias("source"),
+        )
+    )
+
+
+def test_big_chunk_tokens_no_shuffle(big_docs):
+    from kevinlang_spark.operators.chunking import chunk_tokens
+
+    out = chunk_tokens(big_docs, chunk_size=16)
+    # 40 tokens / 16 → 3 chunks per doc, computed without any Exchange
+    plan = executed_plan(out)
+    assert "Exchange" not in plan, plan
+    assert out.count() == 3 * 2_000_000
+
+
+def test_big_pack_sequences_bounded_windows(big_docs):
+    from kevinlang_spark.operators.chunking import pack_sequences
+
+    out = pack_sequences(big_docs, max_tokens=2048, n_shards=64)
+    plan = executed_plan(out)
+    # sharded window: exactly one shuffle, never an unpartitioned sort
+    assert plan.count("Exchange") == 1, plan
+    assert "partitionBy=[]" not in plan.replace(" ", ""), plan
+    agg = out.groupBy("source", "shard", "seq_id").agg(
+        F.sum("n_tokens").alias("seq_tokens")
+    )
+    # every doc is 40 tokens; a 2048 budget holds ≤ 52 doc-starts, so no
+    # sequence's token total can exceed budget + one straddling doc
+    mx = agg.agg(F.max("seq_tokens")).first()[0]
+    assert mx <= 2048 + 40, mx
