@@ -1411,6 +1411,32 @@ def q_contamination(spark, sf_dir):
     return ngram_contamination(docs, docs.where(F.col("doc_id") < 50), n=8)
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """Symmetric int8 scalar quantization of the embedding table — the
+    float32→int8 storage lever (4×) for 100 TB vector stores.  Pure
+    codegen (floor-based rounding is engine-exact); scan-stage, no
+    shuffle."""
+    from kevinlang_spark.functions.vectors import quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codes, scale = quantize_int8(F.col("embedding"))
+    return emb.select("vec_id", codes.alias("codes"), F.round(scale, 6).alias("scale"))
+
+
+def q_token_estimate(spark, sf_dir):
+    """Corpus token budgeting: whitespace-ish token count (split-based)
+    next to the BPE-ish pretokenizer estimate (regexp_count — no arrays
+    materialized).  Both pure scan-stage expressions."""
+    from kevinlang_spark.functions.textexpr import bpe_ish_token_count, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
 def q_click_attribution(spark, sf_dir):
     """View→click attribution pairs (same user, click within 24 h of the
     view) — the batch face of the stream-stream interval join
@@ -1573,6 +1599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hash_split": q_hash_split,
         "q_knn_join": q_knn_join,
         "q_contamination": q_contamination,
+        "q_quantize_embeddings": q_quantize_embeddings,
+        "q_token_estimate": q_token_estimate,
         "q_click_attribution": q_click_attribution,
         "q_chunk_tokens": q_chunk_tokens,
         "q_clean_lines": q_clean_lines,
@@ -2255,6 +2283,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM sh JOIN probe USING (g) GROUP BY id"
         ),
         # salted two-stage agg must equal the plain one-stage aggregation
+        "q_quantize_embeddings": (
+            "WITH m AS (SELECT vec_id, embedding, "
+            "GREATEST(ABS(list_aggregate(embedding, 'max')), "
+            "ABS(list_aggregate(embedding, 'min'))) AS mx FROM embeddings) "
+            "SELECT vec_id, CASE WHEN mx = 0 THEN "
+            "list_transform(embedding, x -> 0) ELSE "
+            "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) "
+            "/ (CAST(mx AS DOUBLE) / 127.0) + 0.5) AS INT)) END AS codes, "
+            "ROUND(CAST(mx AS DOUBLE) / 127.0, 6) AS scale FROM m"
+        ),
+        "q_token_estimate": (
+            "SELECT doc_id, "
+            "CAST(len(list_filter(string_split_regex(lower(text), "
+            "'[^a-z0-9]+'), x -> x <> '')) AS INTEGER) AS n_ws_tokens, "
+            "CAST(len(regexp_extract_all(lower(text), "
+            "'[a-z]+|[0-9]+|[^a-z0-9\\s]+')) AS INTEGER) AS n_bpe_tokens "
+            "FROM documents"
+        ),
         "q_click_attribution": (
             "SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id, "
             "CAST(floor(epoch(v.ts)) AS BIGINT) AS view_ts, "

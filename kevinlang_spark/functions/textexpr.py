@@ -71,3 +71,18 @@ def shingle_hashes(col: Column, n: int = 3) -> Column:
             ),
         )
     )
+
+
+#: BPE-ish pretokenizer: letter runs, digit runs, and punctuation blocks
+#: count as separate tokens (the way subword tokenizers split before
+#: merging).  ASCII-simple on purpose — the same pattern runs unchanged in
+#: Spark (Java regex) and DuckDB (RE2), so counts are oracle-comparable.
+BPE_ISH_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Estimated subword-ish token count: matches of ``BPE_ISH_RE`` over
+    the lowercased text.  A pure ``regexp_count`` expression — scan-stage,
+    no split arrays materialized (unlike ``tokenize``), so it's the cheap
+    estimator for corpus-level token budgeting."""
+    return F.regexp_count(F.lower(col), F.lit(BPE_ISH_RE))

@@ -32,3 +32,31 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     d = dot(a, b)
     na, nb = l2_norm(a), l2_norm(b)
     return F.when((na == 0) | (nb == 0), F.lit(None)).otherwise(d / (na * nb))
+
+
+def quantize_int8(v: Column) -> tuple[Column, Column]:
+    """Symmetric int8 scalar quantization: returns (codes, scale) with
+    ``code = floor(x / scale + 0.5)`` and ``scale = max|x| / 127`` — the
+    4× storage lever for embedding tables (float32 → int8).
+
+    floor(x + 0.5) instead of round(): identical across engines (no
+    HALF_UP-vs-banker's ambiguity), so quantized tables are reproducible
+    bit-for-bit wherever they're built.  All-zero vectors get scale 0 and
+    all-zero codes.  Pure codegen — runs in the scan stage.
+    """
+    mx = F.greatest(F.abs(F.array_max(v)), F.abs(F.array_min(v))).cast("double")
+    scale = (mx / F.lit(127.0)).alias("scale")
+    codes = F.when(mx == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            v,
+            lambda x: F.floor(x.cast("double") / (mx / F.lit(127.0)) + F.lit(0.5)).cast(
+                "int"
+            ),
+        )
+    )
+    return codes, scale
+
+
+def dequantize(codes: Column, scale: Column) -> Column:
+    """Reconstruct approximate float vectors from int8 codes."""
+    return F.transform(codes, lambda c: c.cast("double") * scale)
