@@ -142,27 +142,70 @@ def dup_line_features(text: Column) -> dict[str, Column]:
 
 
 def repetition_stats(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    method: str = "inrow",
 ) -> DataFrame:
     """Per-document repetition profile: (id, n_lines, dup_line_frac,
     top_bigram_frac) — the cheap Gopher-repetition filters that knock out
     boilerplate and degenerate generations before training.
 
-    Line features are pure expressions in the scan stage.  The
-    top-bigram fraction (share of the most frequent word bigram in all
-    bigram occurrences) is computed RELATIONALLY — explode bigrams,
-    count per (doc, bigram), max/sum per doc — two key-shuffles with
-    map-side partial aggregation, never a per-row quadratic expression.
-    Documents with no bigrams get NULL top_bigram_frac (left join)."""
+    Line features are pure expressions in the scan stage.  The top-bigram
+    fraction (share of the most frequent word bigram in all bigram
+    occurrences) has two equivalent implementations:
+
+    - ``method='inrow'`` (default): sort the hashed gram array and take
+      the longest equal-run — a single O(L log L) fold per doc with ZERO
+      shuffles: the whole operator runs in the scan stage.  (The naive
+      distinct×filter formulation is a trap: lambdas defeat common
+      subexpression elimination, so the gram array would be rebuilt per
+      distinct element.)  The right default when document length is
+      bounded (chunked corpora — exactly the 100 TB shape).
+    - ``method='relational'``: explode → count per (doc, gram) → max/sum
+      per doc — two key-shuffles with map-side partial agg.  Use when
+      documents can be pathologically long (L² in-row cost would spike).
+
+    Both produce identical values (tested); NULL/token-free docs get NULL
+    top_bigram_frac either way."""
     t = F.col(text_col)
     feats = dup_line_features(t)
     sp = spread(df)
-    base = sp.select(
-        F.col(id_col).alias("id"), *[v.alias(k) for k, v in feats.items()]
-    )
-    # hashed grams: the (id, gram) shuffle carries 8-byte keys, and no
-    # gram strings are ever materialized (identity matches word_shingles
-    # up to xxhash64 collisions — counts are gram-value-agnostic)
+    base_cols = [F.col(id_col).alias("id")] + [
+        v.alias(k) for k, v in feats.items()
+    ]
+    if method == "inrow":
+        # hashed grams (8-byte) so per-row counting compares longs, not
+        # gram strings; identity matches word_shingles up to xxhash64
+        # collisions — counts are gram-value-agnostic
+        grams = shingle_hashes(t, 2)
+        init = F.struct(
+            F.lit(None).cast("bigint").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        )
+
+        def merge(acc, x):
+            run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+                F.lit(1)
+            )
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        top = F.aggregate(
+            F.array_sort(grams), init, merge, lambda acc: acc["best"]
+        )
+        frac = F.when(F.size(grams) > 0, F.round(top / F.size(grams), 4))
+        return sp.select(*base_cols, frac.alias("top_bigram_frac")).select(
+            F.col("id").alias(id_col),
+            "n_lines",
+            "dup_line_frac",
+            "top_bigram_frac",
+        )
+    base = sp.select(*base_cols)
     bigr = sp.select(
         F.col(id_col).alias("id"),
         F.explode(shingle_hashes(t, 2)).alias("g"),

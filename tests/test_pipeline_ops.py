@@ -212,3 +212,21 @@ def test_contamination_probe_broadcast(docs):
 
     plan = executed_plan(ngram_contamination(docs, probes, n=8))
     assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_methods_agree(docs):
+    """The zero-shuffle in-row method and the relational twin must give
+    identical profiles."""
+    a = repetition_stats(docs, method="inrow")
+    b = repetition_stats(docs, method="relational")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_repetition_inrow_stays_in_scan_stage(docs):
+    from kevinlang_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(repetition_stats(docs, method="inrow"))
+    # spread() may add one repartition on a single-file source; beyond
+    # that the operator must not shuffle (no aggregation exchanges)
+    assert plan.count("Exchange") <= 1, plan
+    assert "HashAggregate" not in plan, plan
