@@ -1411,6 +1411,17 @@ def q_contamination(spark, sf_dir):
     return ngram_contamination(docs, docs.where(F.col("doc_id") < 50), n=8)
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Exactly-10-per-source deterministic sample: rank by content hash
+    inside each stratum, keep the first 10.  Same rows on every run and
+    engine; one strata shuffle, windows bounded per stratum."""
+    from kevinlang_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(docs, ("source",), 10)
+    return out.select("doc_id", "source")
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """Symmetric int8 scalar quantization of the embedding table — the
     float32→int8 storage lever (4×) for 100 TB vector stores.  Pure
@@ -1599,6 +1610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hash_split": q_hash_split,
         "q_knn_join": q_knn_join,
         "q_contamination": q_contamination,
+        "q_stratified_sample": q_stratified_sample,
         "q_quantize_embeddings": q_quantize_embeddings,
         "q_token_estimate": q_token_estimate,
         "q_click_attribution": q_click_attribution,
@@ -2283,6 +2295,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM sh JOIN probe USING (g) GROUP BY id"
         ),
         # salted two-stage agg must equal the plain one-stage aggregation
+        "q_stratified_sample": (
+            "SELECT doc_id, source FROM ("
+            "SELECT doc_id, source, ROW_NUMBER() OVER ("
+            "PARTITION BY source "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk "
+            "FROM documents) WHERE rk <= 10"
+        ),
         "q_quantize_embeddings": (
             "WITH m AS (SELECT vec_id, embedding, "
             "GREATEST(ABS(list_aggregate(embedding, 'max')), "

@@ -77,3 +77,33 @@ def deterministic_sample(
     if not 0 <= fraction <= 1:
         raise ValueError(f"fraction must be in [0, 1] (got {fraction})")
     return df.where(hash_bucket(F.col(id_col), buckets) < int(round(fraction * buckets)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: tuple[str, ...],
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly-N-per-stratum deterministic sample: rank rows inside each
+    stratum by their content hash (md5 of the id string — a fixed random
+    permutation, engine-portable) and keep the first ``n_per_stratum``.
+
+    Unlike ``df.sampleBy`` (fractions, nondeterministic counts), this
+    gives exact per-stratum counts and the same rows on every run and
+    engine.  One shuffle on the strata key; the per-stratum window ranks
+    within bounded partitions (one stratum each), so no partition is
+    global.  Ties are impossible — md5 over distinct ids collides with
+    probability ~2^-128 — but the id itself is the final tiebreaker
+    anyway, keeping the sample well-defined even with duplicate ids."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*strata_cols)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )

@@ -230,3 +230,17 @@ def test_repetition_inrow_stays_in_scan_stage(docs):
     # that the operator must not shuffle (no aggregation exchanges)
     assert plan.count("Exchange") <= 1, plan
     assert "HashAggregate" not in plan, plan
+
+
+# ------------------------------------------------------------- stratified
+def test_stratified_sample_exact_counts_and_determinism(docs):
+    from kevinlang_spark.operators.sampling import stratified_sample
+
+    out = stratified_sample(docs, ("source",), 5)
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    per_stratum = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for s, n in counts.items():
+        assert n == min(5, per_stratum[s]), (s, n)
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(r["doc_id"] for r in stratified_sample(docs, ("source",), 5).collect())
+    assert ids1 == ids2
