@@ -1219,6 +1219,30 @@ def q_corpus_filter(spark, sf_dir):
     )
 
 
+def q_curation_chunks(spark, sf_dir):
+    """Full curation pipeline, end to end: quality + language gate →
+    exact-dedup representatives (q_corpus_filter's stages) → 64-token
+    chunking → per-source chunk/token totals.  The oracle cross-checks
+    the real chunk explosion against the closed form (Σ ceil(n/64),
+    Σ n), so a chunking off-by-one anywhere in the pipeline flips the
+    hash.  Every stage is scan-stage work or a single key shuffle."""
+    from kevinlang_spark.operators.chunking import chunk_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    survivors = q_corpus_filter(spark, sf_dir).select("doc_id")
+    kept = docs.join(survivors, "doc_id", "leftsemi")
+    chunks = chunk_tokens(kept, chunk_size=64)
+    src = docs.select("doc_id", "source")
+    return (
+        chunks.join(src, chunks.id == src.doc_id)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("chunk_tokens").alias("total_tokens"),
+        )
+    )
+
+
 def q_explode_tokens(spark, sf_dir):
     """Table-generating explode (UDTF-shape): corpus-wide token frequencies,
     top 20 — the classic wordcount, one explode + one aggregation."""
@@ -1591,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_lsh": q_ann_lsh,
         "q_multimodal_features": q_multimodal_features,
         "q_corpus_filter": q_corpus_filter,
+        "q_curation_chunks": q_curation_chunks,
         "q_explode_tokens": q_explode_tokens,
         "q_corr": q_corr,
         "q_quantiles": q_quantiles,
@@ -2144,6 +2169,41 @@ def oracle_sql() -> dict[str, str]:
             "k AS (SELECT fp, MIN(doc_id) AS doc_id FROM g GROUP BY fp) "
             "SELECT g.doc_id, g.quality FROM g JOIN k "
             "ON g.fp = k.fp AND g.doc_id = k.doc_id"
+        ),
+        "q_curation_chunks": (
+            "WITH s AS (SELECT doc_id, text, "
+            "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks "
+            "FROM documents), "
+            "f AS (SELECT doc_id, text, len(toks) AS n_tok, "
+            "ROUND(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) "
+            "/ CAST(length(text) AS DOUBLE), 4) AS alpha_ratio, "
+            "ROUND(len(list_filter(toks, x -> list_contains(['the','a','an','and','or',"
+            "'of','to','in','is','it','that','for','on','with','as','at','by','from'], x))) "
+            "/ CAST(len(toks) AS DOUBLE), 4) AS stop_ratio, "
+            "len(list_intersect(list_distinct(toks), ['the','and','of','is','with','for'])) AS s_en, "
+            "len(list_intersect(list_distinct(toks), ['der','die','und','ist','mit','das'])) AS s_de, "
+            "len(list_intersect(list_distinct(toks), ['el','los','las','es','con','para'])) AS s_es, "
+            "len(list_intersect(list_distinct(toks), ['le','les','et','est','avec','pour'])) AS s_fr, "
+            "regexp_matches(text, '[一-鿿]') AS has_cjk, "
+            "md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp "
+            "FROM s), "
+            "q AS (SELECT doc_id, fp, "
+            "CAST(0.4 AS DOUBLE) * COALESCE(alpha_ratio, 0) "
+            "+ CAST(0.3 AS DOUBLE) * LEAST(COALESCE(stop_ratio, 0) * CAST(5 AS DOUBLE), "
+            "CAST(1 AS DOUBLE)) "
+            "+ CAST(0.3 AS DOUBLE) * LEAST(n_tok / CAST(20 AS DOUBLE), "
+            "CAST(1 AS DOUBLE)) AS quality "
+            "FROM f WHERE NOT has_cjk AND greatest(s_en, s_de, s_es, s_fr) > 0 "
+            "AND s_en = greatest(s_en, s_de, s_es, s_fr)), "
+            "g AS (SELECT * FROM q WHERE quality >= 0.5), "
+            "k AS (SELECT fp, MIN(doc_id) AS doc_id FROM g GROUP BY fp), "
+            "surv AS (SELECT g.doc_id FROM g JOIN k "
+            "ON g.fp = k.fp AND g.doc_id = k.doc_id) "
+            "SELECT d.source, "
+            "CAST(SUM(CEIL(f.n_tok / 64.0)) AS BIGINT) AS n_chunks, "
+            "CAST(SUM(f.n_tok) AS BIGINT) AS total_tokens "
+            "FROM surv JOIN f ON surv.doc_id = f.doc_id "
+            "JOIN documents d ON surv.doc_id = d.doc_id GROUP BY d.source"
         ),
         "q_explode_tokens": (
             "SELECT tok, COUNT(*) AS n FROM ("

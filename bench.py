@@ -54,6 +54,7 @@ HEADLINE = [
     "q_chunk_tokens",
     "q_clean_lines",
     "q_pack_sequences",
+    "q_curation_chunks",
 ]
 
 
