@@ -1189,14 +1189,11 @@ def q_date_parts(spark, sf_dir):
     )
 
 
-def q_corpus_filter(spark, sf_dir):
-    """End-to-end training-data curation (the C4-style shape): quality
-    score + language gate + exact dedup (keep the min-id representative),
-    emitting the surviving document ids with their stats.
-
-    One narrow stats pass → one dedup groupBy → one semi join; at 100 TB
-    each stage is a single shuffle-or-less.
-    """
+def _curated_docs(spark, sf_dir, extra_cols=()):
+    """Shared curation gate: quality + language filter and exact-dedup
+    fingerprint, with ``extra_cols`` carried through so composed queries
+    never rescan documents.  Returns the deduped survivor frame
+    (doc_id, quality, *extra_cols)."""
     from kevinlang_spark.operators.text import fingerprint, lang_id, quality_score
 
     docs = _t(spark, sf_dir, "documents")
@@ -1205,6 +1202,7 @@ def q_corpus_filter(spark, sf_dir):
     # double, so the 0.5 gate and the output hash cannot diverge
     scored = docs.select(
         "doc_id",
+        *extra_cols,
         lang_id(t).alias("lang_pred"),
         quality_score(t, rounded=False).alias("quality"),
         fingerprint(t).alias("fp"),
@@ -1213,10 +1211,20 @@ def q_corpus_filter(spark, sf_dir):
     # the scoring expression tree is interpreted HOFs, not codegen
     scored = scored.localCheckpoint(eager=False)
     keep = scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    return (
-        scored.join(keep, ["fp", "doc_id"], "inner")
-        .select("doc_id", "quality")
+    return scored.join(keep, ["fp", "doc_id"], "inner").select(
+        "doc_id", "quality", *extra_cols
     )
+
+
+def q_corpus_filter(spark, sf_dir):
+    """End-to-end training-data curation (the C4-style shape): quality
+    score + language gate + exact dedup (keep the min-id representative),
+    emitting the surviving document ids with their stats.
+
+    One narrow stats pass → one dedup groupBy → one semi join; at 100 TB
+    each stage is a single shuffle-or-less.
+    """
+    return _curated_docs(spark, sf_dir)
 
 
 def q_curation_chunks(spark, sf_dir):
@@ -1228,18 +1236,11 @@ def q_curation_chunks(spark, sf_dir):
     hash.  Every stage is scan-stage work or a single key shuffle."""
     from kevinlang_spark.operators.chunking import chunk_tokens
 
-    docs = _t(spark, sf_dir, "documents")
-    survivors = q_corpus_filter(spark, sf_dir).select("doc_id")
-    kept = docs.join(survivors, "doc_id", "leftsemi")
-    chunks = chunk_tokens(kept, chunk_size=64)
-    src = docs.select("doc_id", "source")
-    return (
-        chunks.join(src, chunks.id == src.doc_id)
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_chunks"),
-            F.sum("chunk_tokens").alias("total_tokens"),
-        )
+    kept = _curated_docs(spark, sf_dir, extra_cols=("source", "text"))
+    chunks = chunk_tokens(kept, chunk_size=64, keep_cols=("source",))
+    return chunks.groupBy("source").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("chunk_tokens").alias("total_tokens"),
     )
 
 

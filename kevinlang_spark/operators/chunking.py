@@ -29,14 +29,17 @@ def chunk_tokens(
     id_col: str = "doc_id",
     text_col: str = "text",
     chunk_size: int = 32,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Split each document into fixed-size token windows.
 
-    Output: one row per chunk — (id, chunk_id, chunk_text, chunk_tokens),
-    chunk_id 0-based, last chunk possibly partial, token-free documents
-    yield no rows.  The whole transform is sequence+transform+slice over
-    the token array followed by posexplode: no shuffle, no UDF; output
-    row count is bounded by ceil(tokens/chunk_size) per document.
+    Output: one row per chunk — (id, chunk_id, chunk_text, chunk_tokens,
+    *keep_cols), chunk_id 0-based, last chunk possibly partial, token-free
+    documents yield no rows.  ``keep_cols`` are replicated onto each chunk
+    so downstream grouping needs no join back to the source.  The whole
+    transform is sequence+transform+slice over the token array followed by
+    posexplode: no shuffle, no UDF; output row count is bounded by
+    ceil(tokens/chunk_size) per document.
     """
     toks = tokenize(F.col(text_col))
     n = F.size(toks)
@@ -50,7 +53,10 @@ def chunk_tokens(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i * chunk_size + 1, chunk_size))
     )
     out = df.select(
-        F.col(id_col).alias("id"), n.alias("__n"), F.posexplode(texts)
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in keep_cols],
+        n.alias("__n"),
+        F.posexplode(texts),
     )
     return out.select(
         "id",
@@ -59,6 +65,7 @@ def chunk_tokens(
         F.least(F.lit(chunk_size), F.col("__n") - F.col("pos") * chunk_size).alias(
             "chunk_tokens"
         ),
+        *keep_cols,
     )
 
 
