@@ -802,3 +802,46 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
+
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 16,
+    stride: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-span detection — the span-level member of
+    the dedup family (exact doc ⊃ near-dup ⊃ repeated substring, after
+    Lee et al.'s "Deduplicating Training Data Makes Language Models
+    Better"): fingerprint every ``span_tokens``-token window at ``stride``
+    and report fingerprints seen in ≥ ``min_docs`` distinct documents.
+
+    Output: (span_fp, n_docs, n_occurrences).  Span fingerprints are md5
+    of the space-joined window (engine-portable); window building is
+    in-row (sequence+slice, no explode until the fingerprint column), so
+    the single shuffle carries (fp, id) pairs — fixed-width keys, count
+    bounded by tokens/stride per document.  Callers typically join the
+    flagged fingerprints back to cut or down-weight the spans."""
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+    starts = F.when(
+        n >= span_tokens,
+        F.sequence(F.lit(1), n - span_tokens + 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    fps = F.transform(
+        starts,
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, span_tokens))),
+    )
+    spans = _spread(df).select(
+        F.col(id_col).alias("id"), F.explode(fps).alias("span_fp")
+    )
+    return (
+        spans.groupBy("span_fp")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
