@@ -41,18 +41,36 @@ def read_parquet(
     return KevinFrame.from_df(spark.read.parquet(path), ordered=ordered)
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark reads as
-    long (with ``spark.sql.legacy.parquet.nanosAsLong``); convert to a real
-    timestamp at microsecond precision (integer division — no float
-    round-trip)."""
+def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to a real timestamp.
+
+    Driver test data has shipped ``ts`` both as TIMESTAMP(NANOS) — which
+    Spark surfaces as long under ``spark.sql.legacy.parquet.nanosAsLong``
+    — and as TIMESTAMP(MICROS) (already a timestamp).  Convert only the
+    long form, at microsecond precision via integer division (no float
+    round-trip); timestamp columns pass through untouched.  Works on
+    batch and streaming frames alike.
+    """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    dt = df.schema[ts_col].dataType
+    if isinstance(dt, T.LongType):
+        df = df.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+        )
+    elif isinstance(dt, T.TimestampNTZType):
+        # watermarks/windows need TIMESTAMP (with tz); the session runs in
+        # UTC so the cast is value-identical
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load events.parquet with ``ts`` normalized to a timestamp (see
+    ``normalize_event_ts``)."""
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return normalize_event_ts(df)
 
 
 def load_tables(

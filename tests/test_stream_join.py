@@ -46,8 +46,10 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, events, tmp_path):
     schema = spark.read.parquet(stream_dir).schema
 
     def src():
+        from kevinlang_spark.sources.parquet import normalize_event_ts
+
         df = spark.readStream.schema(schema).parquet(stream_dir)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_event_ts(df)
 
     views = with_watermark(
         src().where(F.col("event_type") == "view"), delay="48 hours"

@@ -43,12 +43,11 @@ def test_stream_to_parquet_and_checkpoint_noop(spark, events_dir, tmp_path):
     n_src = spark.read.parquet(events_dir).count()
 
     def run():
-        src = (
-            spark.readStream.schema(schema)
-            .parquet(events_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-            .select("event_id", "user_id", "event_type", "value")
-        )
+        from kevinlang_spark.sources.parquet import normalize_event_ts
+
+        src = normalize_event_ts(
+            spark.readStream.schema(schema).parquet(events_dir)
+        ).select("event_id", "user_id", "event_type", "value")
         write_stream_exactly_once(src, out, ckpt)
 
     run()

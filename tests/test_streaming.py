@@ -57,9 +57,11 @@ def test_streaming_matches_batch(spark, sf_dir, events, tmp_path):
         for r in W.tumbling_counts(events, "1 hour").collect()
     }
     def transform(df):
-        # file-source stream reads raw ns-as-long ts; same conversion as batch
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return W.tumbling_counts(df, "1 hour")
+        # file-source stream may read ns-as-long ts; same guarded
+        # conversion as the batch loader
+        from kevinlang_spark.sources.parquet import normalize_event_ts
+
+        return W.tumbling_counts(normalize_event_ts(df), "1 hour")
 
     table = W.run_stream_to_memory(
         spark,
