@@ -254,16 +254,31 @@ def shingle_sig_df(
         .localCheckpoint(eager=True)
     )
     params = _hash_params(num_hashes, seed)
-    h31 = F.pmod(F.col("h"), F.lit(MERSENNE))
-    aggs = [
-        F.min(F.pmod(F.lit(a) * h31 + F.lit(b), F.lit(MERSENNE))).alias(f"__m{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    sig_df = (
-        sh_df.select("id", F.explode("shh").alias("h"))
-        .groupBy("id")
-        .agg(*aggs)
-        .select("id", F.array(*[f"__m{i}" for i in range(num_hashes)]).alias("sig"))
+    # signatures IN-ROW: each of the num_hashes permutations is an
+    # array_min over a transform of the stored hash set — identical affine
+    # math to the old explode→groupBy-min form (bigint overflow wraps the
+    # same way), but ZERO shuffle: the exploded shingle rows (the largest
+    # intermediate of the whole pipeline) never exist, and the signature
+    # computes inside the scan stage of the checkpointed hash table.
+    def _perm_min(a: int, b: int):
+        # closure factory: PySpark reads the lambda's arity, so defaults
+        # can't be used to bind (a, b)
+        return F.array_min(
+            F.transform(
+                F.col("shh"),
+                lambda h: F.pmod(
+                    F.lit(a) * F.pmod(h, F.lit(MERSENNE)) + F.lit(b),
+                    F.lit(MERSENNE),
+                ),
+            )
+        )
+
+    mins = [_perm_min(a, b) for a, b in params]
+    # empty hash set → NULL sig (matches the explode form, where such ids
+    # simply vanished from the aggregation and were isNotNull-filtered)
+    sig_df = sh_df.select(
+        "id",
+        F.when(F.size("shh") > 0, F.array(*mins)).alias("sig"),
     )
     return sh_df, sig_df
 
