@@ -1195,8 +1195,11 @@ def _curated_docs(spark, sf_dir, extra_cols=()):
     never rescan documents.  Returns the deduped survivor frame
     (doc_id, quality, *extra_cols)."""
     from kevinlang_spark.operators.text import fingerprint, lang_id, quality_score
+    from kevinlang_spark.operators.util import spread
 
-    docs = _t(spark, sf_dir, "documents")
+    # small corpora arrive as one parquet partition; the scoring pass is
+    # the expensive part, so spread it across all cores first
+    docs = spread(_t(spark, sf_dir, "documents"))
     t = F.col("text")
     # raw (unrounded) score: both engines then hold the IDENTICAL binary
     # double, so the 0.5 gate and the output hash cannot diverge
@@ -1207,13 +1210,13 @@ def _curated_docs(spark, sf_dir, extra_cols=()):
         quality_score(t, rounded=False).alias("quality"),
         fingerprint(t).alias("fp"),
     ).where((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en"))
-    # referenced twice (dedup groupBy + join-back): materialize once —
-    # the scoring expression tree is interpreted HOFs, not codegen
-    scored = scored.localCheckpoint(eager=False)
-    keep = scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    return scored.join(keep, ["fp", "doc_id"], "inner").select(
-        "doc_id", "quality", *extra_cols
-    )
+    # min-id representative per fingerprint in ONE shuffle: min_by carries
+    # the whole row, so no join-back (and no materialization) is needed —
+    # partial min_by aggregates map-side like any min
+    rep = F.min_by(
+        F.struct("doc_id", "quality", *extra_cols), F.col("doc_id")
+    ).alias("r")
+    return scored.groupBy("fp").agg(rep).select("r.*")
 
 
 def q_corpus_filter(spark, sf_dir):
@@ -1562,6 +1565,109 @@ def q_salted_join(spark, sf_dir):
     return out.select("event_id", "user_id", "event_type", "user_events")
 
 
+def q_redact_pii(spark, sf_dir):
+    """PII scrubbing (emails / IPv4s / phones → typed placeholders) over
+    documents salted with synthetic PII (the corpus itself is clean, so
+    the query injects a deterministic email+IP per doc — both engines do
+    the same concat).  Pure regexp_replace chain in the scan stage."""
+    from kevinlang_spark.operators.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    salted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 or +1 555-123-4567"),
+    )
+    red = redact_pii(salted)
+    return docs.select(
+        "doc_id",
+        red.alias("redacted"),
+        (F.length(salted) - F.length(red)).alias("chars_removed"),
+    )
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (doc_id < 100): term-keyed corpus
+    frequency join + per-document ranking windows; nothing global."""
+    from kevinlang_spark.operators.text import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return tfidf_top_terms(docs, k=3)
+
+
+def q_upsert(spark, sf_dir):
+    """Batch MERGE/upsert (CDC apply): price-bumped updates for every
+    10th order plus synthetic-key inserts for every 97th, applied to the
+    orders table in ONE key shuffle (union + grouped max_by, no outer
+    join)."""
+    from kevinlang_spark.operators.joins import merge_upsert
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    # price bump as an exact IEEE add (a *1.1 + round lands on .005
+    # boundaries where Spark and other engines round differently)
+    upd = orders.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+    )
+    # o_orderkey > 0: key 0 would negate to itself and collide with its
+    # own update row, violating merge's key-unique precondition
+    ins = orders.where(
+        (F.col("o_orderkey") % 97 == 0) & (F.col("o_orderkey") > 0)
+    ).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"), "o_custkey", "o_totalprice"
+    )
+    return merge_upsert(orders, upd.unionByName(ins), keys=("o_orderkey",))
+
+
+def q_approx_distinct(spark, sf_dir):
+    """HLL++ approximate distinct fingerprints per source, with the error
+    bound DRIVER-CHECKED: the query returns the exact count plus a boolean
+    asserting the sketch landed within 5% — the oracle expects TRUE, so an
+    out-of-bound sketch flips the value hash.  The approximate path is the
+    100 TB shape (fixed-size sketch, map-side mergeable, no distinct
+    shuffle); the exact count here is the verification twin."""
+    from kevinlang_spark.operators.text import fingerprint
+
+    fp = fingerprint(F.col("text"))
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("source", fp.alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count_distinct("fp").alias("n_exact"),
+            F.approx_count_distinct("fp", rsd=0.01).alias("__approx"),
+        )
+        .select(
+            "source",
+            "n_exact",
+            (
+                F.abs(F.col("__approx") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("approx_ok"),
+        )
+    )
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sample (Efraimidis–Spirakis by content
+    hash), 100 docs weighted by length — per-row priority arithmetic plus
+    a top-k heap merge; reruns and engines agree exactly."""
+    from kevinlang_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, k=100, weight_col="n_chars").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_select": q_select,
@@ -1645,6 +1751,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": q_pack_sequences,
         "q_salted_agg": q_salted_agg,
         "q_salted_join": q_salted_join,
+        "q_redact_pii": q_redact_pii,
+        "q_tfidf_top_terms": q_tfidf_top_terms,
+        "q_upsert": q_upsert,
+        "q_approx_distinct": q_approx_distinct,
+        "q_weighted_sample": q_weighted_sample,
     }
 
 
@@ -2431,5 +2542,60 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.event_id, e.user_id, e.event_type, d.user_events "
             "FROM events e JOIN (SELECT user_id, COUNT(*) AS user_events "
             "FROM events GROUP BY user_id) d ON e.user_id = d.user_id"
+        ),
+        "q_redact_pii": (
+            "WITH salted AS (SELECT doc_id, text || ' contact user' || "
+            "CAST(doc_id AS VARCHAR) || '@example.com at 10.0.' || "
+            "CAST(doc_id % 256 AS VARCHAR) || '.7 or +1 555-123-4567' AS s "
+            "FROM documents), red AS (SELECT doc_id, s, regexp_replace("
+            "regexp_replace(regexp_replace(s, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), "
+            "'\\+?\\d{1,2}[-. ]?\\(?\\d{3}\\)?[-. ]?\\d{3}[-. ]\\d{4}', "
+            "'<PHONE>', 'g') AS redacted FROM salted) "
+            "SELECT doc_id, redacted, "
+            "CAST(length(s) - length(redacted) AS INTEGER) AS chars_removed "
+            "FROM red"
+        ),
+        "q_tfidf_top_terms": (
+            "WITH docs AS (SELECT * FROM documents WHERE doc_id < 100), "
+            "toks AS (SELECT doc_id, unnest(list_filter(string_split_regex("
+            "lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term FROM docs), "
+            "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks "
+            "GROUP BY doc_id, term), "
+            "dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+            "n AS (SELECT COUNT(*) AS n FROM docs), "
+            "scored AS (SELECT tf.doc_id, tf.term, tf.tf, "
+            "ROUND(tf.tf * LN((n.n + 1.0) / (dfq.df + 1.0)), 6) AS score "
+            "FROM tf JOIN dfq USING (term) CROSS JOIN n), "
+            "ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, term ASC) AS INTEGER) AS rank FROM scored) "
+            "SELECT doc_id, term, tf, score, rank FROM ranked WHERE rank <= 3"
+        ),
+        "q_upsert": (
+            "WITH base AS (SELECT o_orderkey, o_custkey, "
+            "ROUND(o_totalprice, 2) AS o_totalprice FROM orders), "
+            "upd AS (SELECT o_orderkey, o_custkey, "
+            "o_totalprice + 10.0 AS o_totalprice FROM base "
+            "WHERE o_orderkey % 10 = 0 "
+            "UNION ALL SELECT -o_orderkey, o_custkey, o_totalprice FROM base "
+            "WHERE o_orderkey % 97 = 0 AND o_orderkey > 0) "
+            "SELECT * FROM upd "
+            "UNION ALL SELECT b.* FROM base b WHERE NOT EXISTS "
+            "(SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)"
+        ),
+        "q_approx_distinct": (
+            # the oracle expects approx_ok = TRUE: Spark's HLL++ sketch
+            # must land within 5% of the exact count or the hash flips
+            "SELECT source, COUNT(DISTINCT md5(regexp_replace(lower(text), "
+            "'[^a-z0-9]', '', 'g'))) AS n_exact, TRUE AS approx_ok "
+            "FROM documents GROUP BY source"
+        ),
+        "q_weighted_sample": (
+            "SELECT doc_id, source, n_chars FROM documents "
+            "WHERE n_chars > 0 ORDER BY "
+            "POW((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) "
+            "AS BIGINT) % 10000 + 1) / 10000.0, 1.0 / n_chars) DESC, "
+            "doc_id ASC LIMIT 100"
         ),
     }

@@ -55,6 +55,8 @@ HEADLINE = [
     "q_clean_lines",
     "q_pack_sequences",
     "q_curation_chunks",
+    "q_tfidf_top_terms",
+    "q_upsert",
 ]
 
 
@@ -101,6 +103,9 @@ def main() -> None:
             except Exception as exc:  # warmup must never fail the bench
                 print(f"# warmup {name} skipped: {exc}", file=sys.stderr)
 
+    # clear warmup garbage before the timed loop starts
+    spark.sparkContext._jvm.System.gc()
+
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.time()
@@ -111,6 +116,12 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        # between-query (UNTIMED) JVM GC nudge: checkpoint blocks from the
+        # dedup pipelines are freed by the ContextCleaner only after their
+        # RDD handles are collected; without this, old-gen pressure builds
+        # across 64 query executions and surfaces as a multi-second GC
+        # pause billed to whichever query it lands on
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -120,3 +120,31 @@ def range_join_binned(
         F.col(f"p.{point_ts}") < F.col(f"i.{end_ts}")
     )
     return p.join(i, on=keys, how="inner").where(cond).drop("__bin")
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str] | tuple[str, ...] = ("id",),
+) -> DataFrame:
+    """Batch MERGE/upsert: rows from ``updates`` replace same-key rows in
+    ``base``; unmatched update rows insert; unmatched base rows persist.
+
+    Realized as union + one grouped ``max_by`` — a SINGLE key shuffle with
+    map-side partial aggregation, instead of the outer-join formulation
+    (two shuffled inputs + join + coalesce per column).  This is the
+    warehouse CDC-apply shape: at 100 TB the one-shuffle union form also
+    handles update-heavy batches without skew amplification, and writing
+    the result partitioned by the key range gives an idempotent sink.
+
+    Both inputs must be key-unique (the standard MERGE precondition);
+    duplicate keys *within* ``updates`` would make the winner arbitrary.
+    Schemas must match by name (``unionByName``).
+    """
+    keys = list(keys)
+    payload = [c for c in base.columns if c not in keys]
+    tagged = base.select(*base.columns, F.lit(0).alias("__pr")).unionByName(
+        updates.select(*base.columns, F.lit(1).alias("__pr"))
+    )
+    row = F.max_by(F.struct(*payload), F.col("__pr")).alias("__r")
+    return tagged.groupBy(*keys).agg(row).select(*keys, "__r.*")

@@ -107,3 +107,36 @@ def stratified_sample(
         .where(F.col("__rk") <= n_per_stratum)
         .drop("__rk")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic weighted sample of exactly ``k`` rows without
+    replacement (Efraimidis–Spirakis A-ES): each row gets priority
+    ``u^(1/w)`` where ``u`` is a uniform derived from the id's content
+    hash, and the ``k`` highest priorities win.
+
+    Pure per-row arithmetic plus one top-k (TakeOrderedAndProject — a
+    per-partition heap then a k-row merge, never a global sort), so it
+    scales to any corpus.  Like every sampler here the selection is a
+    property of the row (hash-derived, not ``rand()``): reruns, engines,
+    and cluster sizes all agree.  Rows with NULL or non-positive weight
+    are excluded.  Ties (identical priority) break on the id.
+    """
+    w = F.col(weight_col).cast("double")
+    u = (hash_bucket(F.col(id_col), buckets) + 1).cast("double") / F.lit(
+        float(buckets)
+    )
+    pri = F.pow(u, F.lit(1.0) / w)
+    return (
+        df.where(w > 0)
+        .withColumn("__pri", pri)
+        .orderBy(F.col("__pri").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__pri")
+    )

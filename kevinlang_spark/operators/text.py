@@ -254,6 +254,70 @@ def ngram_contamination(
     )
 
 
+#: PII patterns, ordered so earlier redactions can't mangle later matches
+#: (emails contain dots/digits that the IP/phone patterns would chew on).
+#: Deliberately RE2-safe (no lookaround/backrefs): the SAME pattern string
+#: runs in Spark (Java regex) and DuckDB (RE2), so redaction is
+#: oracle-comparable.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d{1,2}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]\d{4}", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub emails / IPv4 addresses / phone numbers to typed placeholder
+    tokens — the standard pre-training privacy pass.  A chain of
+    ``regexp_replace`` calls: pure codegen expressions in the scan stage,
+    zero shuffle at any scale."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document: (id, term, tf, score, rank).
+
+    The corpus-frequency join keys on the term (one shuffle with map-side
+    partial counts on a vocabulary-sized table), the per-document ranking
+    windows over single-document partitions — nothing global anywhere, so
+    the operator scales with the corpus.  ``score = tf · ln((N+1)/(df+1))``
+    (add-one smoothed); ties rank alphabetically for determinism.
+    """
+    from pyspark.sql import Window
+
+    sp = spread(df)
+    tf = (
+        sp.select(F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    # (id, term) is unique in tf, so document frequency is a plain count
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = sp.count()  # scalar: one cheap count job, broadcast as a literal
+    scored = tf.join(dfreq, "term").select(
+        "id",
+        "term",
+        "tf",
+        F.round(
+            F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("id").alias(id_col), "term", "tf", "score", "rank")
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """documents → + language/quality/token/fingerprint columns; one narrow
     projection, no shuffle."""

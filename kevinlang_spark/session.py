@@ -47,6 +47,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # keep small-but-CPU-heavy shuffles (text scoring, gram building)
+        # parallel: the 1 MB default folds a tiny corpus back to one task;
+        # parallelismFirst still caps fan-out at defaultParallelism, so a
+        # production-scale shuffle coalesces exactly as before
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         # --- shuffle/broadcast sizing ---
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

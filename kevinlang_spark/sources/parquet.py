@@ -86,3 +86,27 @@ def load_tables(
         if os.path.exists(p):
             out[n] = spark.read.parquet(p)
     return out
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    cols: list[str] | tuple[str, ...],
+    num_files: int | None = None,
+) -> None:
+    """Totally-ordered parquet output without a single-partition sort:
+    ``repartitionByRange`` samples the sort key to build range boundaries,
+    every output file covers a disjoint key range, and each file is sorted
+    internally (``sortWithinPartitions``).  Reading the files in range
+    order replays the global order; a predicate on the sort key prunes to
+    the files whose range overlaps (parquet min/max stats line up with the
+    range partitioning).  This is the scale answer to "write the table
+    sorted" — the classic ``orderBy().write`` collapses the whole dataset
+    through one task's sort at 100 TB."""
+    cs = list(cols)
+    part = (
+        df.repartitionByRange(num_files, *cs)
+        if num_files
+        else df.repartitionByRange(*cs)
+    )
+    part.sortWithinPartitions(*cs).write.mode("overwrite").parquet(path)
