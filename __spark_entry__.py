@@ -1565,6 +1565,53 @@ def q_salted_join(spark, sf_dir):
     return out.select("event_id", "user_id", "event_type", "user_events")
 
 
+def q_events_sliding(spark, sf_dir):
+    """Sliding 1h windows every 15 min per event type (overlapping
+    windows; each event lands in exactly 4).  The oracle replicates the
+    window expansion with a generate_series cross join."""
+    from kevinlang_spark.streaming.windows import sliding_counts
+
+    return sliding_counts(
+        _events(spark, sf_dir), "1 hour", "15 minutes"
+    ).select("window_start", "event_type", "n")
+
+
+def q_resample_ffill(spark, sf_dir):
+    """Per-user hourly resampling with forward fill (gap-filled grid +
+    as-of value carry) — two key shuffles at any scale.  Oracle: DuckDB
+    generate-series grid + native ASOF LEFT JOIN."""
+    from kevinlang_spark.operators.joins import resample_ffill
+
+    return resample_ffill(
+        _events(spark, sf_dir), on="user_id", ts_col="ts", value_col="value"
+    )
+
+
+def q_cube(spark, sf_dir):
+    """CUBE aggregation over (source, lang): all 4 grouping-set levels in
+    one pass (partial-agg'd, one shuffle)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .cube("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def q_histogram(spark, sf_dir):
+    """Fixed-width histogram of lineitem extended price (5000-wide bins):
+    bin assignment is a scan-stage expression, the count is one map-side
+    combined shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(F.floor(F.col("l_extendedprice") / 5000).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def q_redact_pii(spark, sf_dir):
     """PII scrubbing (emails / IPv4s / phones → typed placeholders) over
     documents salted with synthetic PII (the corpus itself is clean, so
@@ -1751,6 +1798,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": q_pack_sequences,
         "q_salted_agg": q_salted_agg,
         "q_salted_join": q_salted_join,
+        "q_events_sliding": q_events_sliding,
+        "q_resample_ffill": q_resample_ffill,
+        "q_cube": q_cube,
+        "q_histogram": q_histogram,
         "q_redact_pii": q_redact_pii,
         "q_tfidf_top_terms": q_tfidf_top_terms,
         "q_upsert": q_upsert,
@@ -2542,6 +2593,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.event_id, e.user_id, e.event_type, d.user_events "
             "FROM events e JOIN (SELECT user_id, COUNT(*) AS user_events "
             "FROM events GROUP BY user_id) d ON e.user_id = d.user_id"
+        ),
+        "q_events_sliding": (
+            # every event is inside exactly 4 of the 15-min-aligned 1h
+            # windows: starts floor(t/900)*900 - k*900, k in 0..3
+            "SELECT CAST(floor(epoch(ts) / 900) * 900 - 900 * g AS BIGINT) "
+            "AS window_start, event_type, COUNT(*) AS n "
+            "FROM events CROSS JOIN generate_series(0, 3) t(g) "
+            "GROUP BY 1, 2"
+        ),
+        "q_resample_ffill": (
+            "WITH ev AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) "
+            "AS ets, MAX(value) AS value FROM events GROUP BY 1, 2), "
+            "b AS (SELECT user_id, CAST(floor(MIN(ets) / 3600) * 3600 AS "
+            "BIGINT) AS lo, CAST(floor(MAX(ets) / 3600) * 3600 AS BIGINT) "
+            "AS hi FROM ev GROUP BY 1), "
+            "grid AS (SELECT user_id, unnest(range(lo, hi + 1, 3600)) AS "
+            "grid_ts FROM b) "
+            "SELECT g.user_id, g.grid_ts, e.value FROM grid g "
+            "ASOF LEFT JOIN ev e "
+            "ON g.user_id = e.user_id AND g.grid_ts >= e.ets"
+        ),
+        "q_cube": (
+            # CAST: DuckDB SUM(BIGINT) returns HUGEINT, which the driver
+            # hashes differently from Spark's long
+            "SELECT source, lang, COUNT(*) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+            "FROM documents GROUP BY CUBE (source, lang)"
+        ),
+        "q_histogram": (
+            "SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin, "
+            "COUNT(*) AS n FROM lineitem GROUP BY bin"
         ),
         "q_redact_pii": (
             "WITH salted AS (SELECT doc_id, text || ' contact user' || "

@@ -148,3 +148,54 @@ def merge_upsert(
     )
     row = F.max_by(F.struct(*payload), F.col("__pr")).alias("__r")
     return tagged.groupBy(*keys).agg(row).select(*keys, "__r.*")
+
+
+def resample_ffill(
+    df: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step: int = 3600,
+) -> DataFrame:
+    """Regularize an event stream onto a fixed ``step``-second grid per
+    key, forward-filling the last observed value (time-series resampling
+    with gap fill — the feature-store/training-window shape).
+
+    Events are first collapsed to one row per (key, second) so the as-of
+    match is unambiguous; each key's grid spans its own [min, max]
+    (floor-aligned), built with ``sequence``+``explode`` — per-key work,
+    no global structure.  The fill itself is ``asof_join`` (union + one
+    key-shuffle window), so the whole operator is two key shuffles
+    regardless of scale; grid size is bounded by span/step per key.
+    Grid points before a key's first event keep NULL.
+    """
+    ev = (
+        df.select(
+            F.col(on),
+            F.col(ts_col).cast("long").alias("__ets"),
+            F.col(value_col).alias("__v"),
+        )
+        .groupBy(on, "__ets")
+        .agg(F.max("__v").alias(value_col))
+    )
+    lo = (F.floor(F.min("__ets") / step) * step).cast("long")
+    hi = (F.floor(F.max("__ets") / step) * step).cast("long")
+    grid = (
+        ev.groupBy(on)
+        .agg(lo.alias("__lo"), hi.alias("__hi"))
+        .select(
+            on,
+            F.explode(
+                F.sequence("__lo", "__hi", F.lit(step).cast("long"))
+            ).alias("grid_ts"),
+        )
+    )
+    out = asof_join(
+        grid,
+        ev.select(on, F.col("__ets"), F.col(value_col)),
+        on=on,
+        left_ts="grid_ts",
+        right_ts="__ets",
+        right_cols=[value_col],
+    )
+    return out.select(on, "grid_ts", value_col)

@@ -204,3 +204,49 @@ def test_write_range_sorted_disjoint_sorted_files(spark, sf_dir, tmp_path):
     for f in glob.glob(f"{out}/part-*.parquet"):
         ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
         assert ids == sorted(ids), f"file {f} not sorted"
+
+
+# --------------------------------------------------------------------- #
+# resample_ffill
+# --------------------------------------------------------------------- #
+
+
+def test_resample_ffill_semantics(spark):
+    from kevinlang_spark.operators.joins import resample_ffill
+
+    df = spark.createDataFrame(
+        [
+            # user 1: events at 10:30 and 13:10 → grid 10:00..13:00
+            (1, "2024-01-01 10:30:00", 5.0),
+            (1, "2024-01-01 13:10:00", 9.0),
+            # user 2: single event → single-point grid
+            (2, "2024-01-01 00:59:00", 1.5),
+        ],
+        ["user_id", "ts", "value"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r.user_id, r.grid_ts): r.value
+        for r in resample_ffill(df).collect()
+    }
+    base = 1704103200  # 2024-01-01 10:00:00 UTC
+    assert got == {
+        (1, base): None,  # 10:00 precedes the first event → gap stays NULL
+        (1, base + 3600): 5.0,  # 11:00 forward-fills 10:30's value
+        (1, base + 7200): 5.0,
+        (1, base + 10800): 5.0,  # 13:00 still before 13:10
+        (2, 1704067200): None,  # 00:00 precedes user 2's 00:59 event
+    }
+
+
+def test_resample_ffill_same_second_ties_collapse(spark):
+    from kevinlang_spark.operators.joins import resample_ffill
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:01", 3.0), (1, "2024-01-01 10:00:01", 7.0)],
+        ["user_id", "ts", "value"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = resample_ffill(df).collect()
+    # one grid point; the max of the simultaneous values wins
+    assert [(r.user_id, r.value) for r in rows] == [(1, None)] or [
+        (r.user_id, r.value) for r in rows
+    ] == [(1, 7.0)]
