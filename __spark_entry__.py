@@ -1715,6 +1715,108 @@ def q_weighted_sample(spark, sf_dir):
     )
 
 
+def q_scd2(spark, sf_dir):
+    """Type-2 SCD build from the event change log: per-user value history
+    as [valid_from, valid_to) intervals with a current-row flag — ONE key
+    shuffle (collapse groupBy + lead window share the hash partitioning).
+    Oracle: the same collapse + LEAD window in SQL."""
+    from kevinlang_spark.operators.events import scd2_build
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("long").alias("ts_s"), "value"
+    )
+    return scd2_build(
+        ev, key="user_id", ts_col="ts_s", value_cols=["value"]
+    ).select("user_id", "valid_from", "valid_to", "value", "is_current")
+
+
+def q_funnel(spark, sf_dir):
+    """Ordered funnel view → click → purchase: users reaching each step
+    in order.  Per-user cumulative-flag windows + one grouped reduce —
+    a single key shuffle, versus the classic k-way self-join funnel."""
+    from kevinlang_spark.operators.events import funnel_counts
+
+    return funnel_counts(
+        _events(spark, sf_dir), steps=["view", "click", "purchase"]
+    ).select("step", "step_name", F.col("n_users").cast("long").alias("n_users"))
+
+
+def q_transitions(spark, sf_dir):
+    """Clickstream transition matrix (prev event type → event type, with
+    counts): one lag window per user, then a map-side-combined count on
+    the tiny type-pair key space."""
+    from kevinlang_spark.operators.events import event_transitions
+
+    return event_transitions(_events(spark, sf_dir))
+
+
+def q_budget_sample(spark, sf_dir):
+    """Mixture sampling to per-source char budgets (hash-ordered prefix
+    per source until the budget fills) — how training mixtures are drawn.
+    Deterministic: selection is a property of the data, not the job."""
+    from kevinlang_spark.operators.sampling import budget_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    budgets = {"src0": 3000, "src1": 5000, "src2": 2000}
+    return budget_sample(
+        docs, budgets, group_col="source", cost_col="n_chars"
+    ).select("doc_id", "source", "n_chars")
+
+
+def q_winsorize(spark, sf_dir):
+    """Per-source winsorization of document length at the exact p05/p95
+    quantiles: one percentile aggregation (tiny bounds table, broadcast
+    back), clip is a scan-stage expression."""
+    from kevinlang_spark.operators.stats import winsorize
+
+    docs = _t(spark, sf_dir, "documents")
+    return winsorize(docs, "n_chars", group_col="source").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round("n_chars_wins", 4).alias("n_chars_wins"),
+    )
+
+
+def q_approx_quantile(spark, sf_dir):
+    """Sketch-based median per source with the error bound DRIVER-CHECKED
+    (same pattern as q_approx_distinct): the query returns the exact
+    median plus a boolean asserting the approx_percentile sketch landed
+    within the exact p45–p55 value band — the oracle expects TRUE.  The
+    sketch path is the 100 TB shape (fixed-size state, mergeable, no
+    per-group sort); the exact percentile is the verification twin."""
+    v = F.col("n_chars").cast("double")
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.round(F.percentile(v, F.lit(0.5)), 4).alias("p50_exact"),
+            F.approx_percentile(v, F.lit(0.5), F.lit(10000)).alias("__approx"),
+            F.percentile(v, F.lit(0.45)).alias("__lo"),
+            F.percentile(v, F.lit(0.55)).alias("__hi"),
+        )
+        .select(
+            "source",
+            "p50_exact",
+            (
+                (F.col("__approx") >= F.col("__lo"))
+                & (F.col("__approx") <= F.col("__hi"))
+            ).alias("approx_ok"),
+        )
+    )
+
+
+def q_inverted_index(spark, sf_dir):
+    """Inverted index over a doc slice: (term, df, first-10 postings).
+    Distinct terms in-row, ONE term shuffle; the posting list is bounded
+    by a rank sharing the same exchange, so stopword-grade terms can't
+    build unbounded cells."""
+    from kevinlang_spark.operators.text import inverted_index
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return inverted_index(docs, min_df=5, max_postings=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_select": q_select,
@@ -1807,6 +1909,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_upsert": q_upsert,
         "q_approx_distinct": q_approx_distinct,
         "q_weighted_sample": q_weighted_sample,
+        "q_scd2": q_scd2,
+        "q_funnel": q_funnel,
+        "q_transitions": q_transitions,
+        "q_budget_sample": q_budget_sample,
+        "q_winsorize": q_winsorize,
+        "q_approx_quantile": q_approx_quantile,
+        "q_inverted_index": q_inverted_index,
     }
 
 
@@ -2679,5 +2788,78 @@ def oracle_sql() -> dict[str, str]:
             "POW((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) "
             "AS BIGINT) % 10000 + 1) / 10000.0, 1.0 / n_chars) DESC, "
             "doc_id ASC LIMIT 100"
+        ),
+        "q_scd2": (
+            "WITH collapsed AS (SELECT user_id, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS valid_from, "
+            "MAX(value) AS value FROM events GROUP BY 1, 2) "
+            "SELECT user_id, valid_from, "
+            "LEAD(valid_from) OVER w AS valid_to, value, "
+            "LEAD(valid_from) OVER w IS NULL AS is_current "
+            "FROM collapsed "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY valid_from)"
+        ),
+        "q_funnel": (
+            "WITH a AS (SELECT user_id, ts, event_id, event_type, "
+            "CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS q0 "
+            "FROM events), "
+            "b AS (SELECT *, (CASE WHEN event_type = 'click' THEN 1 ELSE 0 "
+            "END) * MAX(q0) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS q1 FROM a), "
+            "c AS (SELECT *, (CASE WHEN event_type = 'purchase' THEN 1 ELSE "
+            "0 END) * MAX(q1) OVER (PARTITION BY user_id ORDER BY ts, "
+            "event_id ROWS UNBOUNDED PRECEDING) AS q2 FROM b), "
+            "u AS (SELECT user_id, MAX(q0) AS q0, MAX(q1) AS q1, "
+            "MAX(q2) AS q2 FROM c GROUP BY user_id), "
+            "t AS (SELECT CAST(SUM(q0) AS BIGINT) AS n0, "
+            "CAST(SUM(q1) AS BIGINT) AS n1, "
+            "CAST(SUM(q2) AS BIGINT) AS n2 FROM u) "
+            "SELECT 1 AS step, 'view' AS step_name, n0 AS n_users FROM t "
+            "UNION ALL SELECT 2, 'click', n1 FROM t "
+            "UNION ALL SELECT 3, 'purchase', n2 FROM t"
+        ),
+        "q_transitions": (
+            "WITH t AS (SELECT user_id, event_type, "
+            "LAG(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS prev_type FROM events) "
+            "SELECT prev_type, event_type, COUNT(*) AS n "
+            "FROM t GROUP BY 1, 2"
+        ),
+        "q_budget_sample": (
+            "WITH sel AS (SELECT doc_id, source, n_chars, "
+            "CASE source WHEN 'src0' THEN 3000 WHEN 'src1' THEN 5000 "
+            "WHEN 'src2' THEN 2000 END AS budget, "
+            "SUM(n_chars) OVER (PARTITION BY source "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id "
+            "ROWS UNBOUNDED PRECEDING) AS cum "
+            "FROM documents WHERE source IN ('src0', 'src1', 'src2')) "
+            "SELECT doc_id, source, n_chars FROM sel "
+            "WHERE cum - n_chars < budget"
+        ),
+        "q_winsorize": (
+            "WITH b AS (SELECT source, "
+            "percentile_cont(0.05) WITHIN GROUP (ORDER BY "
+            "CAST(n_chars AS DOUBLE)) AS lo, "
+            "percentile_cont(0.95) WITHIN GROUP (ORDER BY "
+            "CAST(n_chars AS DOUBLE)) AS hi "
+            "FROM documents GROUP BY source) "
+            "SELECT d.doc_id, d.source, d.n_chars, "
+            "ROUND(LEAST(GREATEST(CAST(d.n_chars AS DOUBLE), b.lo), b.hi), 4) "
+            "AS n_chars_wins FROM documents d JOIN b USING (source)"
+        ),
+        "q_approx_quantile": (
+            # the oracle expects approx_ok = TRUE: Spark's approx sketch
+            # must land inside the exact p45-p55 band or the hash flips
+            "SELECT source, ROUND(percentile_cont(0.5) WITHIN GROUP "
+            "(ORDER BY CAST(n_chars AS DOUBLE)), 4) AS p50_exact, "
+            "TRUE AS approx_ok FROM documents GROUP BY source"
+        ),
+        "q_inverted_index": (
+            "WITH toks AS (SELECT doc_id AS id, unnest(list_distinct("
+            "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> ''))) AS term FROM documents WHERE doc_id < 200) "
+            "SELECT term, COUNT(*) AS df, array_to_string(list_transform("
+            "list_sort(list(id))[1:10], x -> CAST(x AS VARCHAR)), ',') "
+            "AS postings FROM toks GROUP BY term HAVING COUNT(*) >= 5"
         ),
     }

@@ -1,0 +1,140 @@
+"""Event-stream analytics operators (SCD2, funnels, transitions).
+
+The reference has no temporal operators at all; these are the
+warehouse/product-analytics shapes an event table needs at scale.  Every
+operator is one key-partitioned window or one grouped aggregation — no
+global windows, no driver state, no self-joins on the fact table — so
+each is a single key shuffle regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_build(
+    changes: DataFrame,
+    key: str,
+    ts_col: str,
+    value_cols: list[str] | tuple[str, ...],
+) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from a change log:
+    one row per (key, change) with ``valid_from`` / ``valid_to`` /
+    ``is_current``, where ``valid_to`` is the next change's timestamp
+    (NULL while current).
+
+    Simultaneous changes (equal key+ts) are collapsed first to the
+    max-value row so intervals are well-defined; consecutive rows that
+    repeat the same value are NOT collapsed (faithful change history —
+    callers can pre-dedup if they want value-change-only rows).  The
+    whole build is ONE hash shuffle on the key: the collapse groupBy and
+    the ``lead`` window share the key partitioning, so AQE plans them
+    into the same exchange.
+    """
+    vals = list(value_cols)
+    collapsed = (
+        changes.select(key, F.col(ts_col).alias("valid_from"), *vals)
+        .groupBy(key, "valid_from")
+        .agg(*[F.max(v).alias(v) for v in vals])
+    )
+    w = Window.partitionBy(key).orderBy("valid_from")
+    return collapsed.select(
+        key,
+        "valid_from",
+        F.lead("valid_from").over(w).alias("valid_to"),
+        *vals,
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str] | tuple[str, ...],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel reach: for each step i, the number of users with an
+    ordered occurrence of steps[0..i] (step i at-or-after their first
+    qualifying step i-1; ties at equal timestamps count as ordered).
+
+    Per-user cumulative-flag windows (rows unbounded-preceding → current)
+    mark rows that extend the funnel, then one grouped count-distinct per
+    step — a single key shuffle on the user plus a tiny aggregation, no
+    per-step self-joins (the classic funnel query joins the fact table
+    once per step, which is k full shuffles at scale).
+    """
+    steps = list(steps)
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = events.select(user_col, ts_col, type_col, "event_id")
+    # qual_i: this row completes an ordered prefix steps[0..i].  The
+    # cumulative max over qual_{i-1} (including the current row) makes
+    # "at-or-after" exact: a step-i row at the same ts as its step-(i-1)
+    # row still qualifies because the window is ordered (ts, event_id)
+    # and includes the current row.
+    prev = None
+    for i, s in enumerate(steps):
+        is_step = (F.col(type_col) == s).cast("int")
+        qual = is_step if prev is None else is_step * F.max(prev).over(w)
+        df = df.withColumn(f"__q{i}", qual)
+        prev = F.col(f"__q{i}")
+    # per-user reach flags share the window's hash partitioning (no second
+    # shuffle), then a scalar sum — avoids the Expand plan that multiple
+    # count-distincts would trigger
+    per_user = df.groupBy(user_col).agg(
+        *[F.max(f"__q{i}").alias(f"__q{i}") for i in range(len(steps))]
+    )
+    counts = per_user.agg(
+        *[F.sum(f"__q{i}").alias(f"__n{i}") for i in range(len(steps))]
+    )
+    # one tiny row out; unpivot to (step, step_name, n_users)
+    rows = counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).alias("step"),
+                        F.lit(s).alias("step_name"),
+                        F.col(f"__n{i}").alias("n_users"),
+                    )
+                    for i, s in enumerate(steps)
+                ]
+            )
+        ).alias("r")
+    )
+    return rows.select("r.step", "r.step_name", "r.n_users")
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-order transition counts between consecutive events per user
+    (the Markov-chain / clickstream-path table): rows of
+    (prev_type, event_type, n).
+
+    One ``lag`` window per user (single key shuffle, deterministic
+    (ts, event_id) ordering) then a map-side-combined count over the
+    tiny (prev, next) key space.  Session entry rows (no predecessor)
+    appear with prev_type NULL so entry mass is visible.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col("event_id").asc()
+    )
+    return (
+        events.select(
+            user_col,
+            ts_col,
+            "event_id",
+            F.col(type_col).alias("event_type"),
+        )
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n"))
+    )

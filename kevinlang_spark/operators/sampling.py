@@ -109,6 +109,47 @@ def stratified_sample(
     )
 
 
+def budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    group_col: str = "source",
+    cost_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mixture sampling to a per-group cost budget: within each group,
+    rows are taken in content-hash order (a fixed random permutation —
+    reruns and engines agree) until the running total of ``cost_col``
+    reaches that group's budget; the first over-budget row is included so
+    every non-empty group with a positive budget contributes at least one
+    row and the realized total is the smallest hash-prefix ≥ budget.
+
+    This is how training mixtures are drawn ("2B tokens of web, 500M of
+    code"): the selection is a property of the data (hash order + running
+    cost), not of the job.  One key shuffle; the cumulative-sum window
+    runs inside each group's bounded partition.  Groups absent from
+    ``budgets`` are dropped.
+    """
+    from pyspark.sql import Window
+
+    bmap = F.create_map(
+        *[x for k, v in budgets.items() for x in (F.lit(k), F.lit(int(v)))]
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(cost_col)).over(w)
+    return (
+        df.where(bmap[F.col(group_col)].isNotNull())
+        .withColumn("__cum", cum)
+        .where(
+            F.col("__cum") - F.col(cost_col) < bmap[F.col(group_col)]
+        )
+        .drop("__cum")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     k: int,

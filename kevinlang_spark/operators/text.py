@@ -318,6 +318,54 @@ def tfidf_top_terms(
     )
 
 
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    max_postings: int = 20,
+) -> DataFrame:
+    """Build an inverted index: (term, df, postings) where ``postings``
+    is the first ``max_postings`` doc ids in ascending order (comma
+    joined) and ``df`` counts distinct docs containing the term.
+
+    Shape: distinct terms per doc (in-row ``array_distinct``, so a term
+    repeated in one doc costs one shuffle row), explode, then ONE shuffle
+    on the term: a per-term rank window and the grouped aggregation share
+    the same hash partitioning, so the posting ``collect_list`` only ever
+    sees ≤ ``max_postings`` rows per term — a stopword-grade term with
+    10⁹ docs aggregates a bounded list, not a gigabyte cell.  Production
+    writes would partition the output by a term hash bucket for pruned
+    lookups.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("term").orderBy("id")
+    exploded = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("term"),
+    )
+    return (
+        exploded.withColumn("__rk", F.row_number().over(w))
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("__rk") <= max_postings, F.col("id"))
+                        )
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("postings"),
+        )
+        .where(F.col("df") >= min_df)
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """documents → + language/quality/token/fingerprint columns; one narrow
     projection, no shuffle."""

@@ -88,6 +88,61 @@ def load_tables(
     return out
 
 
+def zorder_value(df: DataFrame, cols, bits: int = 16):
+    """Morton (Z-order) key over numeric columns: each column is min/max
+    scaled to ``bits`` quantization levels (one tiny agg job for the
+    bounds), then bit-interleaved with pure shift/mask expressions —
+    whole-stage codegen, no UDF.  Returns (df_with___z, z_column_name)."""
+    from pyspark.sql import functions as F
+
+    cs = list(cols)
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"lo_{c}") for c in cs],
+        *[F.max(c).cast("double").alias(f"hi_{c}") for c in cs],
+    ).first()
+    levels = (1 << bits) - 1
+    quantized = []
+    for c in cs:
+        lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
+        span = (hi - lo) or 1.0
+        q = F.least(
+            F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * levels),
+            F.lit(levels),
+        ).cast("long")
+        quantized.append(F.greatest(q, F.lit(0)))
+    n = len(cs)
+    z = F.lit(0).cast("long")
+    for j, q in enumerate(quantized):
+        for i in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(q, i).bitwiseAND(F.lit(1)), i * n + j
+            )
+    return df.withColumn("__z", z), "__z"
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    cols: list[str] | tuple[str, ...],
+    num_files: int | None = None,
+) -> None:
+    """Multi-dimensional clustered parquet output (Delta OPTIMIZE ZORDER's
+    layout, expressed with stock Spark): rows are range-partitioned and
+    sorted by their Morton key, so every output file covers a small
+    bounding box in ALL ``cols`` at once and parquet min/max stats prune
+    files for predicates on any subset of the dimensions.  A plain sort
+    on (a, b) only prunes on ``a``; at 100 TB the z-layout is the
+    difference between reading 1% and 50% of files for a 2-D selective
+    filter."""
+    zdf, zc = zorder_value(df, cols)
+    part = (
+        zdf.repartitionByRange(num_files, zc)
+        if num_files
+        else zdf.repartitionByRange(zc)
+    )
+    part.sortWithinPartitions(zc).drop(zc).write.mode("overwrite").parquet(path)
+
+
 def write_range_sorted(
     df: DataFrame,
     path: str,
