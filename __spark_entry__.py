@@ -1817,6 +1817,105 @@ def q_inverted_index(spark, sf_dir):
     return inverted_index(docs, min_df=5, max_postings=10)
 
 
+def q_pagerank(spark, sf_dir):
+    """PageRank (10 iterations, d=0.85, dangling-mass redistribution)
+    over the order→part graph (keys folded to 500 nodes).  Iterative
+    joins with lineage checkpointing every 4 rounds; the oracle unrolls
+    the same 10 iterations as chained CTEs."""
+    from kevinlang_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 500).alias("src"),
+        (F.col("l_partkey") % 500).alias("dst"),
+    )
+    pr = pagerank(edges, damping=0.85, iterations=10)
+    return pr.select("node", F.round("rank", 8).alias("rank"))
+
+
+def _pagerank_oracle_sql(iters: int = 10) -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs (aggregation is
+    not allowed in a recursive CTE term, so the loop is unrolled —
+    mechanically, mirroring the Spark iteration exactly)."""
+    # every CTE is MATERIALIZED: r{i-1} is referenced three times per
+    # iteration, and default CTE inlining would re-expand the whole
+    # prefix each time (exponential planning/execution)
+    sql = (
+        "WITH e AS MATERIALIZED (SELECT DISTINCT l_orderkey % 500 AS src, "
+        "l_partkey % 500 AS dst FROM lineitem), "
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e "
+        "UNION SELECT dst FROM e), "
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes), "
+        "deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e "
+        "GROUP BY src), "
+        "r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank "
+        "FROM nodes)"
+    )
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        sql += (
+            f", d{i} AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0) AS m "
+            f"FROM {p} LEFT JOIN deg ON node = src WHERE deg.deg IS NULL)"
+            f", c{i} AS MATERIALIZED (SELECT e.dst AS node, "
+            f"SUM(r.rank / deg.deg) AS s "
+            f"FROM {p} r JOIN deg ON r.node = deg.src "
+            f"JOIN e ON r.node = e.src GROUP BY e.dst)"
+            f", r{i} AS MATERIALIZED (SELECT nodes.node, "
+            f"(1 - 0.85) / (SELECT n FROM nn) + 0.85 * ("
+            f"COALESCE(c{i}.s, 0) + (SELECT m FROM d{i}) / (SELECT n FROM nn)"
+            f") AS rank FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node)"
+        )
+    return sql + f" SELECT node, ROUND(rank, 8) AS rank FROM r{iters}"
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Top-20 most active users via per-partition Misra–Gries summaries
+    (bounded memory, summary-sized shuffle).  capacity=512 ≥ the distinct
+    user count, so the sketch is EXACT here and oracle-checkable — the
+    under-capacity regime is the 100 TB path (pytest covers it)."""
+    from kevinlang_spark.operators.sketches import heavy_hitters
+
+    return heavy_hitters(
+        _t(spark, sf_dir, "events"), "user_id", k=20, capacity=512
+    )
+
+
+def q_retention(spark, sf_dir):
+    """Weekly cohort retention matrix (cohort first-activity week ×
+    offset → distinct active users) — the growth-analytics rollup.  Two
+    user-keyed aggregations share one hash partitioning; the final count
+    shuffles only the tiny (cohort, offset) key space."""
+    from kevinlang_spark.operators.events import retention_cohorts
+
+    return retention_cohorts(_events(spark, sf_dir))
+
+
+def q_validate(spark, sf_dir):
+    """deequ-style data-quality gate: five constraint checks (unique /
+    not-null / range / accepted values / regex) compiled into ONE
+    aggregation over ONE scan — never a scan per rule."""
+    from kevinlang_spark.operators.quality import (
+        accepted_values,
+        in_range,
+        matches_regex,
+        not_null,
+        unique,
+        validate,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    return validate(
+        orders,
+        [
+            unique("o_orderkey"),
+            not_null("o_custkey"),
+            in_range("o_totalprice", 0.0, 1_000_000.0),
+            accepted_values("o_orderstatus", ["O", "F", "P"]),
+            matches_regex("o_orderpriority", "^[0-9]-[A-Z]+$"),
+        ],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_select": q_select,
@@ -1916,6 +2015,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winsorize": q_winsorize,
         "q_approx_quantile": q_approx_quantile,
         "q_inverted_index": q_inverted_index,
+        "q_pagerank": q_pagerank,
+        "q_heavy_hitters": q_heavy_hitters,
+        "q_retention": q_retention,
+        "q_validate": q_validate,
     }
 
 
@@ -2861,5 +2964,46 @@ def oracle_sql() -> dict[str, str]:
             "SELECT term, COUNT(*) AS df, array_to_string(list_transform("
             "list_sort(list(id))[1:10], x -> CAST(x AS VARCHAR)), ',') "
             "AS postings FROM toks GROUP BY term HAVING COUNT(*) >= 5"
+        ),
+        "q_pagerank": _pagerank_oracle_sql(10),
+        "q_retention": (
+            "WITH act AS (SELECT DISTINCT user_id AS u, "
+            "CAST(floor(epoch(ts) / 604800) AS BIGINT) AS period FROM events), "
+            "coh AS (SELECT u, MIN(period) AS cohort_period FROM act "
+            "GROUP BY u) "
+            "SELECT c.cohort_period, a.period - c.cohort_period "
+            "AS period_offset, COUNT(DISTINCT a.u) AS n_users "
+            "FROM act a JOIN coh c ON a.u = c.u GROUP BY 1, 2"
+        ),
+        "q_validate": (
+            "SELECT 'o_orderkey_unique' AS \"check\", "
+            "CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT) "
+            "AS violations, "
+            "COUNT(o_orderkey) = COUNT(DISTINCT o_orderkey) AS passed "
+            "FROM orders "
+            "UNION ALL SELECT 'o_custkey_not_null', "
+            "COUNT(*) FILTER (WHERE o_custkey IS NULL), "
+            "COUNT(*) FILTER (WHERE o_custkey IS NULL) = 0 FROM orders "
+            "UNION ALL SELECT 'o_totalprice_in_range', "
+            "COUNT(*) FILTER (WHERE o_totalprice IS NOT NULL AND "
+            "(o_totalprice < 0.0 OR o_totalprice > 1000000.0)), "
+            "COUNT(*) FILTER (WHERE o_totalprice IS NOT NULL AND "
+            "(o_totalprice < 0.0 OR o_totalprice > 1000000.0)) = 0 "
+            "FROM orders "
+            "UNION ALL SELECT 'o_orderstatus_accepted', "
+            "COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL AND "
+            "o_orderstatus NOT IN ('O', 'F', 'P')), "
+            "COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL AND "
+            "o_orderstatus NOT IN ('O', 'F', 'P')) = 0 FROM orders "
+            "UNION ALL SELECT 'o_orderpriority_matches', "
+            "COUNT(*) FILTER (WHERE o_orderpriority IS NOT NULL AND "
+            "NOT regexp_matches(o_orderpriority, '^[0-9]-[A-Z]+$')), "
+            "COUNT(*) FILTER (WHERE o_orderpriority IS NOT NULL AND "
+            "NOT regexp_matches(o_orderpriority, '^[0-9]-[A-Z]+$')) = 0 "
+            "FROM orders"
+        ),
+        "q_heavy_hitters": (
+            "SELECT user_id AS value, COUNT(*) AS est_count FROM events "
+            "GROUP BY 1 ORDER BY est_count DESC, value ASC LIMIT 20"
         ),
     }

@@ -57,6 +57,10 @@ HEADLINE = [
     "q_curation_chunks",
     "q_tfidf_top_terms",
     "q_upsert",
+    "q_scd2",
+    "q_funnel",
+    "q_transitions",
+    "q_inverted_index",
 ]
 
 

@@ -109,6 +109,38 @@ def funnel_counts(
     return rows.select("r.step", "r.step_name", "r.n_users")
 
 
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_seconds: int = 604_800,
+) -> DataFrame:
+    """Cohort retention matrix: users bucketed by their first-activity
+    period (week by default), counted per (cohort_period, period_offset)
+    of later activity — the standard growth-analytics rollup.
+
+    Shape: distinct (user, period) and per-user first period both hash
+    on the user (shared partitioning), the cohort join keys on the user,
+    and the final count shuffles the tiny (cohort, offset) key space.
+    Periods are epoch-integer buckets (engine-portable, no calendar
+    types in the keys).
+    """
+    p = (F.col(ts_col).cast("long") / period_seconds).cast("long")
+    activity = (
+        events.select(F.col(user_col).alias("u"), p.alias("period"))
+        .distinct()
+    )
+    cohort = activity.groupBy("u").agg(F.min("period").alias("cohort_period"))
+    return (
+        activity.join(cohort, "u")
+        .groupBy(
+            "cohort_period",
+            (F.col("period") - F.col("cohort_period")).alias("period_offset"),
+        )
+        .agg(F.count_distinct("u").alias("n_users"))
+    )
+
+
 def event_transitions(
     events: DataFrame,
     user_col: str = "user_id",

@@ -1,0 +1,89 @@
+"""Iterative graph algorithms on DataFrames.
+
+Connected components (min-label propagation) lives with the dedup suite
+(``operators/dedup.py:neardup_components``); this module adds PageRank —
+the canonical iterative-join workload, and the shape that exercises
+lineage control: naive iteration grows the logical plan linearly until
+planning time dominates, so ranks are ``localCheckpoint``-ed every few
+rounds to truncate it.  At 100 TB the checkpoint becomes a persisted
+table write; everything else is per-iteration key shuffles (no driver
+state, no collect).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """PageRank with uniform dangling-mass redistribution:
+    ``r'(v) = (1-d)/N + d * (Σ_{u→v} r(u)/deg(u) + dangling_mass/N)``.
+
+    Per iteration: one join of ranks to edges on the source (shuffle on
+    ``src``), one grouped sum on the destination (shuffle on ``dst``),
+    and a 1-row dangling-mass aggregate — all map-side combined.  The
+    node set and out-degrees are computed once.  Returns (node, rank)
+    with ranks summing to 1.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # small graphs: the degree table broadcasts; huge graphs fall back to
+    # a key-shuffled join Catalyst plans the same way each round
+    n_nodes = nodes.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    base = (1.0 - damping) / n_nodes
+
+    for i in range(iterations):
+        with_deg = ranks.join(deg, ranks["node"] == deg["src"], "left")
+        # dangling mass stays a LAZY 1-row aggregate broadcast-crossed
+        # into the update — no per-iteration driver round-trip, the whole
+        # iteration remains one declarative plan
+        dangling = with_deg.where(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
+        )
+        contribs = (
+            with_deg.where(F.col("deg").isNotNull())
+            .select("node", (F.col("rank") / F.col("deg")).alias("contrib"))
+            .alias("r")
+            .join(e.alias("g"), F.col("r.node") == F.col("g.src"))
+            .groupBy(F.col("g.dst").alias("node"))
+            .agg(F.sum("contrib").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("s"), F.lit(0.0))
+                        + F.col("__dm") / n_nodes
+                    )
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            # materialize each round: the next iteration reads ranks
+            # THREE times (dangling agg, contribs, update join) — without
+            # a checkpoint the uncached DAG re-evaluates every reference,
+            # i.e. 3^k recompute blowup, and the logical plan's growth
+            # makes the analyzer a second bottleneck.  GraphX persists
+            # every round for the same reason; at 100 TB this is a
+            # per-iteration table write.
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -1,0 +1,77 @@
+"""Single-pass data-quality validation (deequ-style constraint checks).
+
+A quality gate over a 100 TB table must not scan once per rule: every
+check here compiles to an aggregate expression, so N rules run in ONE
+aggregation over ONE scan (uniqueness rules add Spark's standard
+two-phase distinct).  The report is a tiny (check, violations, passed)
+frame — the shape CI gates and write-audit-publish pipelines consume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def not_null(col: str) -> tuple[str, Column]:
+    return f"{col}_not_null", F.count_if(F.col(col).isNull())
+
+
+def in_range(col: str, lo, hi) -> tuple[str, Column]:
+    c = F.col(col)
+    return (
+        f"{col}_in_range",
+        F.count_if(c.isNotNull() & ((c < F.lit(lo)) | (c > F.lit(hi)))),
+    )
+
+
+def accepted_values(col: str, values) -> tuple[str, Column]:
+    c = F.col(col)
+    arr = F.array(*[F.lit(v) for v in values])
+    return (
+        f"{col}_accepted",
+        F.count_if(c.isNotNull() & ~F.array_contains(arr, c)),
+    )
+
+
+def unique(*cols: str) -> tuple[str, Column]:
+    """Violations = rows beyond the first per key (0 when key-unique)."""
+    name = "_".join(cols) + "_unique"
+    if len(cols) == 1:
+        key = F.col(cols[0])
+    else:
+        key = F.struct(*[F.col(c) for c in cols])
+    return name, F.count(key) - F.count_distinct(key)
+
+
+def matches_regex(col: str, pattern: str) -> tuple[str, Column]:
+    c = F.col(col)
+    return (
+        f"{col}_matches",
+        F.count_if(c.isNotNull() & ~c.rlike(pattern)),
+    )
+
+
+def validate(df: DataFrame, checks) -> DataFrame:
+    """Run ``checks`` (name, violation-count expression pairs from the
+    builders above) in one aggregation; returns
+    (check, violations, passed) rows."""
+    checks = list(checks)
+    agg = df.agg(
+        *[expr.cast("long").alias(f"__v{i}") for i, (_, expr) in enumerate(checks)]
+    )
+    rows = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("check"),
+                        F.col(f"__v{i}").alias("violations"),
+                        (F.col(f"__v{i}") == 0).alias("passed"),
+                    )
+                    for i, (name, _) in enumerate(checks)
+                ]
+            )
+        ).alias("r")
+    )
+    return rows.select("r.check", "r.violations", "r.passed")

@@ -88,6 +88,32 @@ def load_tables(
     return out
 
 
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 << 20,
+) -> int:
+    """Rewrite a small-files parquet directory into ~``target_file_bytes``
+    files (the maintenance pass every streaming/append pipeline needs:
+    per-microbatch writes leave thousands of KB-scale files whose
+    open/footer overhead eventually dominates scans).
+
+    File count = ceil(current on-disk bytes / target); the rewrite uses
+    ``coalesce`` — a NARROW repacking that concatenates input splits into
+    fewer tasks with no shuffle and no sort, preserving existing row
+    order within each lineage.  Returns the file count used.
+    """
+    total = 0
+    for root, _, files in os.walk(src):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n = max(1, -(-total // target_file_bytes))
+    spark.read.parquet(src).coalesce(n).write.mode("overwrite").parquet(dst)
+    return n
+
+
 def zorder_value(df: DataFrame, cols, bits: int = 16):
     """Morton (Z-order) key over numeric columns: each column is min/max
     scaled to ``bits`` quantization levels (one tiny agg job for the
