@@ -1916,6 +1916,42 @@ def q_validate(spark, sf_dir):
     )
 
 
+def q_profile(spark, sf_dir):
+    """Numeric table profile of lineitem (count/nulls/min/max/mean/std
+    per column) in ONE aggregation over ONE scan — never a scan per
+    column."""
+    from kevinlang_spark.operators.stats import profile_numeric
+
+    return profile_numeric(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+def q_merge_intervals(spark, sf_dir):
+    """Gaps-and-islands: merge each user's 10-minute activity intervals
+    into maximal islands — one key shuffle (windows + rollup share the
+    user hash)."""
+    from kevinlang_spark.operators.events import merge_intervals
+
+    iv = _events(spark, sf_dir).select(
+        "user_id",
+        F.col("ts").cast("long").alias("start"),
+        (F.col("ts").cast("long") + 600).alias("end"),
+    )
+    return merge_intervals(iv, key="user_id")
+
+
+def q_twap(spark, sf_dir):
+    """Time-weighted average value per user (each observation weighted by
+    its holding period) — the metrics/financial aggregate a plain AVG
+    gets wrong under bursty sampling."""
+    from kevinlang_spark.operators.events import time_weighted_avg
+
+    out = time_weighted_avg(_events(spark, sf_dir), key="user_id")
+    return out.select("user_id", F.round("twap", 6).alias("twap"), "n_obs")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_select": q_select,
@@ -2019,6 +2055,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_heavy_hitters": q_heavy_hitters,
         "q_retention": q_retention,
         "q_validate": q_validate,
+        "q_merge_intervals": q_merge_intervals,
+        "q_twap": q_twap,
+        "q_profile": q_profile,
     }
 
 
@@ -2966,6 +3005,28 @@ def oracle_sql() -> dict[str, str]:
             "AS postings FROM toks GROUP BY term HAVING COUNT(*) >= 5"
         ),
         "q_pagerank": _pagerank_oracle_sql(10),
+        "q_profile": """SELECT 'l_quantity' AS "column", COUNT(l_quantity) AS n, COUNT(*) FILTER (WHERE l_quantity IS NULL) AS n_null, MIN(CAST(l_quantity AS DOUBLE)) AS min, MAX(CAST(l_quantity AS DOUBLE)) AS max, ROUND(AVG(CAST(l_quantity AS DOUBLE)), 6) AS mean, ROUND(STDDEV_POP(CAST(l_quantity AS DOUBLE)), 6) AS std FROM lineitem UNION ALL SELECT 'l_extendedprice' AS "column", COUNT(l_extendedprice) AS n, COUNT(*) FILTER (WHERE l_extendedprice IS NULL) AS n_null, MIN(CAST(l_extendedprice AS DOUBLE)) AS min, MAX(CAST(l_extendedprice AS DOUBLE)) AS max, ROUND(AVG(CAST(l_extendedprice AS DOUBLE)), 6) AS mean, ROUND(STDDEV_POP(CAST(l_extendedprice AS DOUBLE)), 6) AS std FROM lineitem UNION ALL SELECT 'l_discount' AS "column", COUNT(l_discount) AS n, COUNT(*) FILTER (WHERE l_discount IS NULL) AS n_null, MIN(CAST(l_discount AS DOUBLE)) AS min, MAX(CAST(l_discount AS DOUBLE)) AS max, ROUND(AVG(CAST(l_discount AS DOUBLE)), 6) AS mean, ROUND(STDDEV_POP(CAST(l_discount AS DOUBLE)), 6) AS std FROM lineitem UNION ALL SELECT 'l_tax' AS "column", COUNT(l_tax) AS n, COUNT(*) FILTER (WHERE l_tax IS NULL) AS n_null, MIN(CAST(l_tax AS DOUBLE)) AS min, MAX(CAST(l_tax AS DOUBLE)) AS max, ROUND(AVG(CAST(l_tax AS DOUBLE)), 6) AS mean, ROUND(STDDEV_POP(CAST(l_tax AS DOUBLE)), 6) AS std FROM lineitem""",
+        "q_merge_intervals": (
+            "WITH iv AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) "
+            "AS s, CAST(floor(epoch(ts)) AS BIGINT) + 600 AS e FROM events), "
+            "m AS (SELECT user_id, s, e, MAX(e) OVER (PARTITION BY user_id "
+            "ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+            "AS pme FROM iv), "
+            "b AS (SELECT *, CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 "
+            "END AS brk FROM m), "
+            "i AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id "
+            "ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island FROM b) "
+            "SELECT user_id, MIN(s) AS island_start, MAX(e) AS island_end, "
+            "COUNT(*) AS n_merged FROM i GROUP BY user_id, island"
+        ),
+        "q_twap": (
+            "WITH t AS (SELECT user_id, value, "
+            "LEAD(epoch(ts)) OVER (PARTITION BY user_id "
+            "ORDER BY epoch(ts), value) - epoch(ts) AS dur FROM events) "
+            "SELECT user_id, ROUND(CASE WHEN SUM(dur) IS NULL OR "
+            "SUM(dur) = 0 THEN MAX(value) ELSE SUM(value * dur) / SUM(dur) "
+            "END, 6) AS twap, COUNT(*) AS n_obs FROM t GROUP BY user_id"
+        ),
         "q_retention": (
             "WITH act AS (SELECT DISTINCT user_id AS u, "
             "CAST(floor(epoch(ts) / 604800) AS BIGINT) AS period FROM events), "

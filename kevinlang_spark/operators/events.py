@@ -109,6 +109,81 @@ def funnel_counts(
     return rows.select("r.step", "r.step_name", "r.n_users")
 
 
+def merge_intervals(
+    intervals: DataFrame,
+    key: str,
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Gaps-and-islands: merge overlapping/adjacent intervals per key
+    into maximal islands — (key, island_start, island_end, n_merged).
+
+    The classic formulation: an interval starts a new island iff its
+    start exceeds the running max of all previous ends (cumulative max
+    window, EXCLUSIVE of the current row — an interval contained in its
+    predecessor must not break the island).  Island ids are the running
+    count of island-breaks; the final rollup groups (key, island).  Both
+    windows and the groupBy hash on the key → ONE shuffle total.
+    """
+    w = Window.partitionBy(key).orderBy(start_col, end_col)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_break = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    island = F.sum(is_break).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        intervals.withColumn("__island", island)
+        .groupBy(key, "__island")
+        .agg(
+            F.min(start_col).alias("island_start"),
+            F.max(end_col).alias("island_end"),
+            F.count("*").alias("n_merged"),
+        )
+        .drop("__island")
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-weighted average per key (TWAP): each observation is weighted
+    by how long it remained current (until the next observation), i.e.
+    ``Σ vᵢ·(tᵢ₊₁-tᵢ) / (t_last - t_first)``.  The plain AVG over-weights
+    bursts of rapid updates; TWAP is the metrics/financial answer.
+
+    One lead window and the per-key aggregation share the key hash
+    partitioning — ONE shuffle.  Keys with a single observation (no
+    holding period) return that value.  Ties at equal timestamps order
+    by value so the zero-duration rows are assigned deterministically.
+    """
+    w = Window.partitionBy(key).orderBy("__t", "__v")
+    return (
+        df.select(
+            key,
+            F.col(ts_col).cast("double").alias("__t"),
+            F.col(value_col).alias("__v"),
+        )
+        .withColumn("__dur", F.lead("__t").over(w) - F.col("__t"))
+        .groupBy(key)
+        .agg(
+            F.when(
+                F.sum("__dur").isNull() | (F.sum("__dur") == 0),
+                F.max("__v"),
+            )
+            .otherwise(F.sum(F.col("__v") * F.col("__dur")) / F.sum("__dur"))
+            .alias("twap"),
+            F.count("*").alias("n_obs"),
+        )
+    )
+
+
 def retention_cohorts(
     events: DataFrame,
     user_col: str = "user_id",

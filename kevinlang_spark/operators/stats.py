@@ -6,6 +6,56 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def profile_numeric(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One-pass numeric column profile: (column, n, n_null, min, max,
+    mean, std) — the table-health snapshot every ingestion run records.
+
+    All columns' statistics are computed in a SINGLE aggregation over a
+    single scan (never a scan per column), then the one wide row is
+    exploded to per-column rows.  At 100 TB the scan dominates; this adds
+    k·6 cheap accumulators to it.
+    """
+    from pyspark.sql import types as T
+
+    if cols is None:
+        cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, T.NumericType)
+        ]
+    aggs = []
+    for i, c in enumerate(cols):
+        v = F.col(c).cast("double")
+        aggs += [
+            F.count(v).alias(f"__n{i}"),
+            F.count_if(F.col(c).isNull()).alias(f"__nn{i}"),
+            F.min(v).alias(f"__mi{i}"),
+            F.max(v).alias(f"__ma{i}"),
+            F.avg(v).alias(f"__me{i}"),
+            F.stddev_pop(v).alias(f"__sd{i}"),
+        ]
+    wide = df.agg(*aggs)
+    rows = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"__n{i}").alias("n"),
+                        F.col(f"__nn{i}").alias("n_null"),
+                        F.col(f"__mi{i}").alias("min"),
+                        F.col(f"__ma{i}").alias("max"),
+                        F.round(F.col(f"__me{i}"), 6).alias("mean"),
+                        F.round(F.col(f"__sd{i}"), 6).alias("std"),
+                    )
+                    for i, c in enumerate(cols)
+                ]
+            )
+        ).alias("r")
+    )
+    return rows.select("r.*")
+
+
 def winsorize(
     df: DataFrame,
     value_col: str,

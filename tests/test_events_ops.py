@@ -294,3 +294,63 @@ def test_zorder_constant_column_safe(spark, tmp_path):
     back = spark.read.parquet(str(tmp_path / "zc"))
     assert back.count() == 100
     assert set(back.columns) == {"c", "y"}
+
+
+# --------------------------------------------------------------------- #
+# merge_intervals / time_weighted_avg
+# --------------------------------------------------------------------- #
+
+
+def test_merge_intervals_islands(spark):
+    from kevinlang_spark.operators.events import merge_intervals
+
+    rows = [
+        # [0,10) [5,20) [20,25) overlap/adjacent? 20 > max_end(20)? no ->
+        # contained chain merges [0,20); [20,25) has s=20 == pme=20 -> same
+        # island (adjacent touches merge)
+        (1, 0, 10), (1, 5, 20), (1, 20, 25),
+        (1, 40, 50),            # gap -> new island
+        (1, 41, 43),            # contained in [40,50)
+        (2, 0, 5),
+    ]
+    df = spark.createDataFrame(rows, ["k", "start", "end"])
+    out = {
+        (r.k, r.island_start): (r.island_end, r.n_merged)
+        for r in merge_intervals(df, key="k").collect()
+    }
+    assert out[(1, 0)] == (25, 3)
+    assert out[(1, 40)] == (50, 2)
+    assert out[(2, 0)] == (5, 1)
+    assert len(out) == 3
+
+
+def test_merge_intervals_contained_does_not_split(spark):
+    from kevinlang_spark.operators.events import merge_intervals
+
+    # second interval ends BEFORE the running max end: a naive lag(end)
+    # (instead of cumulative max) would wrongly break the island at s=30
+    rows = [(1, 0, 100), (1, 10, 20), (1, 30, 40)]
+    df = spark.createDataFrame(rows, ["k", "start", "end"])
+    out = merge_intervals(df, key="k").collect()
+    assert len(out) == 1
+    assert (out[0].island_start, out[0].island_end, out[0].n_merged) == (0, 100, 3)
+
+
+def test_twap_weights_by_holding_period(spark):
+    from kevinlang_spark.operators.events import time_weighted_avg
+
+    # value 10 held for 90s, value 100 held for 10s, final value ignored
+    # (no holding period): twap = (10*90 + 100*10) / 100 = 19
+    rows = [(1, 0.0, 10.0), (1, 90.0, 100.0), (1, 100.0, 7.0)]
+    df = spark.createDataFrame(rows, ["k", "ts", "value"])
+    out = time_weighted_avg(df, key="k").collect()[0]
+    assert out.twap == pytest.approx(19.0)
+    assert out.n_obs == 3
+
+
+def test_twap_single_observation(spark):
+    from kevinlang_spark.operators.events import time_weighted_avg
+
+    df = spark.createDataFrame([(1, 5.0, 42.0)], ["k", "ts", "value"])
+    out = time_weighted_avg(df, key="k").collect()[0]
+    assert out.twap == 42.0 and out.n_obs == 1

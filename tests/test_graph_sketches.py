@@ -218,3 +218,17 @@ def test_validate_is_one_scan(spark):
     # no Expand (the multi-distinct rewrite)
     assert plan.count("Range (0") == 1
     assert "Expand" not in plan
+
+
+def test_profile_numeric_values(spark):
+    from kevinlang_spark.operators.stats import profile_numeric
+
+    df = spark.createDataFrame(
+        [(1.0, 10), (3.0, 20), (None, 30)], ["a", "b"]
+    )
+    out = {r.column: r for r in profile_numeric(df).collect()}
+    assert out["a"].n == 2 and out["a"].n_null == 1
+    assert out["a"].min == 1.0 and out["a"].max == 3.0
+    assert out["a"].mean == 2.0 and out["a"].std == 1.0
+    assert out["b"].n == 3 and out["b"].n_null == 0
+    assert out["b"].mean == 20.0

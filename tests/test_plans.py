@@ -113,3 +113,19 @@ def test_tpch_q9_broadcasts_part_filter(spark, sf):
     """q9's %red% part filter must broadcast into the lineitem join so
     the fact scan never shuffles non-matching rows."""
     plans.assert_broadcast_join(entrymod.q_tpch_q9(spark, sf), at_least=2)
+
+
+def test_window_rank_uses_group_limit_pushdown(spark, sf):
+    """rank<=k filters must trigger WindowGroupLimit (Spark 3.5+): each
+    partition pre-prunes to its top-k BEFORE the shuffle+sort, so a
+    top-3-per-group over 10^12 rows shuffles ~3·groups rows, not the
+    table."""
+    plan = plans.executed_plan(entrymod.q_window_rank(spark, sf))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_profile_is_single_scan_no_expand(spark, sf):
+    """All-column profiling must stay one aggregation over one scan."""
+    plan = plans.executed_plan(entrymod.q_profile(spark, sf))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" not in plan, plan
