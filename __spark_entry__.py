@@ -1916,6 +1916,25 @@ def q_validate(spark, sf_dir):
     )
 
 
+def q_fuzzy_join(spark, sf_dir):
+    """Edit-distance self-join (levenshtein <= 2 on 12-char normalized
+    prefixes): length-bucket blocking + neighbor-bucket probes make the
+    physical join a hash equi-join on the bucket — never all-pairs."""
+    from kevinlang_spark.functions.textexpr import normalize_text
+    from kevinlang_spark.operators.joins import fuzzy_join
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            F.substring(normalize_text(F.col("text")), 1, 12).alias("s"),
+        )
+    )
+    pairs = fuzzy_join(docs, docs, "s", "s", max_distance=2)
+    return pairs.where(F.col("left_id") < F.col("right_id"))
+
+
 def q_profile(spark, sf_dir):
     """Numeric table profile of lineitem (count/nulls/min/max/mean/std
     per column) in ONE aggregation over ONE scan — never a scan per
@@ -2058,6 +2077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_merge_intervals": q_merge_intervals,
         "q_twap": q_twap,
         "q_profile": q_profile,
+        "q_fuzzy_join": q_fuzzy_join,
     }
 
 
@@ -3005,6 +3025,7 @@ def oracle_sql() -> dict[str, str]:
             "AS postings FROM toks GROUP BY term HAVING COUNT(*) >= 5"
         ),
         "q_pagerank": _pagerank_oracle_sql(10),
+        "q_fuzzy_join": """WITH t AS (SELECT doc_id, substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 12) AS s FROM documents WHERE doc_id < 300) SELECT a.doc_id AS left_id, b.doc_id AS right_id, CAST(levenshtein(a.s, b.s) AS INT) AS distance FROM t a JOIN t b ON a.doc_id < b.doc_id WHERE levenshtein(a.s, b.s) <= 2""",
         "q_profile": """SELECT 'l_quantity' AS "column", COUNT(l_quantity) AS n, COUNT(*) FILTER (WHERE l_quantity IS NULL) AS n_null, MIN(CAST(l_quantity AS DOUBLE)) AS min, MAX(CAST(l_quantity AS DOUBLE)) AS max, ROUND(AVG(CAST(l_quantity AS DOUBLE)), 6) AS mean, ROUND(STDDEV_POP(CAST(l_quantity AS DOUBLE)), 6) AS std FROM lineitem UNION ALL SELECT 'l_extendedprice' AS "column", COUNT(l_extendedprice) AS n, COUNT(*) FILTER (WHERE l_extendedprice IS NULL) AS n_null, MIN(CAST(l_extendedprice AS DOUBLE)) AS min, MAX(CAST(l_extendedprice AS DOUBLE)) AS max, ROUND(AVG(CAST(l_extendedprice AS DOUBLE)), 6) AS mean, ROUND(STDDEV_POP(CAST(l_extendedprice AS DOUBLE)), 6) AS std FROM lineitem UNION ALL SELECT 'l_discount' AS "column", COUNT(l_discount) AS n, COUNT(*) FILTER (WHERE l_discount IS NULL) AS n_null, MIN(CAST(l_discount AS DOUBLE)) AS min, MAX(CAST(l_discount AS DOUBLE)) AS max, ROUND(AVG(CAST(l_discount AS DOUBLE)), 6) AS mean, ROUND(STDDEV_POP(CAST(l_discount AS DOUBLE)), 6) AS std FROM lineitem UNION ALL SELECT 'l_tax' AS "column", COUNT(l_tax) AS n, COUNT(*) FILTER (WHERE l_tax IS NULL) AS n_null, MIN(CAST(l_tax AS DOUBLE)) AS min, MAX(CAST(l_tax AS DOUBLE)) AS max, ROUND(AVG(CAST(l_tax AS DOUBLE)), 6) AS mean, ROUND(STDDEV_POP(CAST(l_tax AS DOUBLE)), 6) AS std FROM lineitem""",
         "q_merge_intervals": (
             "WITH iv AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) "

@@ -150,6 +150,59 @@ def merge_upsert(
     return tagged.groupBy(*keys).agg(row).select(*keys, "__r.*")
 
 
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_distance: int = 2,
+    left_id: str = "doc_id",
+    right_id: str = "doc_id",
+) -> DataFrame:
+    """Edit-distance join: pairs with ``levenshtein(l, r) <= d`` —
+    fuzzy entity matching / typo-tolerant dedup.
+
+    Never all-pairs: levenshtein ≤ d implies the lengths differ by ≤ d,
+    so rows are blocked into length buckets of width ``d+1`` and each
+    LEFT row additionally probes its two neighbor buckets (explode ×3).
+    Any qualifying pair then shares a bucket key, the physical join is a
+    hash equi-join on the bucket, and the exact distance is the residual
+    filter.  Candidate volume is Σ per-bucket |L|·|R| — governed by the
+    length distribution, not n².
+    """
+    lb = (F.length(F.col(left_col)) / (max_distance + 1)).cast("long")
+    rb = (F.length(F.col(right_col)) / (max_distance + 1)).cast("long")
+    l = left.select(
+        F.col(left_id).alias("left_id"),
+        F.col(left_col).alias("__l"),
+        F.explode(
+            F.array(lb - 1, lb, lb + 1)
+        ).alias("__bucket"),
+    )
+    r = right.select(
+        F.col(right_id).alias("right_id"),
+        F.col(right_col).alias("__r"),
+        rb.alias("__bucket"),
+    )
+    # no pair dedup needed: the right side carries ONE bucket per row,
+    # so a qualifying pair meets on exactly one bucket key
+    return (
+        l.join(r, "__bucket")
+        .where(
+            (
+                F.abs(F.length("__l") - F.length("__r"))
+                <= F.lit(max_distance)
+            )
+            & (F.levenshtein("__l", "__r") <= F.lit(max_distance))
+        )
+        .select(
+            "left_id",
+            "right_id",
+            F.levenshtein("__l", "__r").alias("distance"),
+        )
+    )
+
+
 def resample_ffill(
     df: DataFrame,
     on: str = "user_id",

@@ -131,3 +131,60 @@ def test_range_join_no_nested_loop(spark):
         .toString()
     )
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------- #
+# fuzzy_join (edit-distance with length-bucket blocking)
+# --------------------------------------------------------------------- #
+
+
+def test_fuzzy_join_matches_brute_force(spark):
+    import itertools
+
+    from kevinlang_spark.operators.joins import fuzzy_join
+
+    words = [
+        "kitten", "sitting", "kitchen", "mitten", "fitting",
+        "apple", "apples", "applesauce", "grape", "grapes",
+        "a", "ab", "abcd", "abcdef",
+    ]
+    rows = [(i, w) for i, w in enumerate(words)]
+    df = spark.createDataFrame(rows, ["doc_id", "s"])
+    got = {
+        (r.left_id, r.right_id): r.distance
+        for r in fuzzy_join(df, df, "s", "s", max_distance=2)
+        .where("left_id < right_id")
+        .collect()
+    }
+
+    def lev(a, b):
+        d = [[max(i, j) if min(i, j) == 0 else 0 for j in range(len(b) + 1)] for i in range(len(a) + 1)]
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                d[i][j] = min(
+                    d[i - 1][j] + 1,
+                    d[i][j - 1] + 1,
+                    d[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+                )
+        return d[len(a)][len(b)]
+
+    want = {
+        (i, j): lev(a, b)
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if lev(a, b) <= 2
+    }
+    # blocking must lose NOTHING vs brute force (incl. cross-bucket
+    # pairs like 'abcd'/'abcdef' whose length buckets differ)
+    assert got == want
+    assert (12, 13) in got  # lengths 4 and 6: neighbor-bucket probe
+
+
+def test_fuzzy_join_is_equi_join(spark):
+    from kevinlang_spark.operators.joins import fuzzy_join
+    from kevinlang_spark import plans
+
+    df = spark.createDataFrame([(1, "abc"), (2, "abd")], ["doc_id", "s"])
+    out = fuzzy_join(df, df, "s", "s", max_distance=1)
+    plan = plans.executed_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
