@@ -61,3 +61,25 @@ def attribute_clicks(
         F.unix_timestamp("ts").alias("view_ts"),
         F.unix_timestamp("ts_r").alias("click_ts"),
     )
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment: join each micro-batch against a static
+    dimension table (user profile, model registry, blocklist...).
+
+    Stream-static joins keep NO streaming state — the static side is
+    re-resolved per micro-batch, so an updated dimension snapshot is
+    picked up on the next batch.  With ``broadcast=True`` (the default;
+    correct whenever the dim fits in executor memory) the stream side
+    never shuffles: enrichment happens map-side in the scan stage, which
+    is the only shape that keeps up with a high-rate stream.  Set
+    ``broadcast=False`` for huge dims (shuffled hash join per batch).
+    """
+    d = F.broadcast(dim) if broadcast else dim
+    return stream.join(d, on, how)

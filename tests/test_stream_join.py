@@ -72,3 +72,44 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, events, tmp_path):
         (r.view_id, r.click_id) for r in spark.table("t_ss_join").collect()
     )
     assert stream == batch
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir, events, tmp_path):
+    """Stream-static broadcast enrich (availableNow) must equal the batch
+    join, carry no streaming state, and never shuffle the stream side."""
+    os.symlink(f"{sf_dir}/events.parquet", tmp_path / "ev.parquet")
+    dim = events.groupBy("user_id").agg(
+        F.count("*").alias("user_events")
+    )
+
+    batch = J.enrich_stream(events, dim, on="user_id")
+    want = sorted(
+        (r.event_id, r.user_events)
+        for r in batch.select("event_id", "user_events").collect()
+    )
+
+    schema = spark.read.parquet(str(tmp_path)).schema
+    src = spark.readStream.schema(schema).parquet(str(tmp_path))
+    out = J.enrich_stream(src, dim, on="user_id").select(
+        "event_id", "user_events"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.event_id, r.user_events)
+        for r in spark.sql("SELECT * FROM enriched").collect()
+    )
+    assert got == want
+    # no stateful operator in the streaming plan (progress reports no
+    # state rows) and append mode needed no watermark
+    assert all(
+        p.get("stateOperators") in ([], None)
+        for p in [q.lastProgress]
+        if p is not None
+    )
