@@ -56,6 +56,39 @@ def profile_numeric(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     return rows.select("r.*")
 
 
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    buckets: int = 10,
+) -> DataFrame:
+    """Equi-depth (quantile) histogram: ~equal-population buckets with
+    their realized (bucket, n, min, max) — the summary that exposes
+    skew a fixed-width histogram hides.
+
+    The scale-correct formulation: ONE aggregation computes the exact
+    interior quantile boundaries, broadcast back as a literal array;
+    bucket assignment is then a pure scan-stage expression (count of
+    boundaries below the value), and the rollup shuffles only ``buckets``
+    keys.  The NTILE formulation every SQL cookbook reaches for needs a
+    GLOBAL sort window — one task sorts the world at 100 TB.  Values
+    equal to a boundary land in the lower bucket on every engine.
+    """
+    v = F.col(value_col).cast("double")
+    fracs = [i / buckets for i in range(1, buckets)]
+    bounds = df.agg(
+        F.percentile(v, F.array(*[F.lit(f) for f in fracs])).alias("__b")
+    )
+    binned = df.join(F.broadcast(bounds)).select(
+        F.size(F.filter(F.col("__b"), lambda b: v > b)).alias("bucket"),
+        v.alias("__v"),
+    )
+    return binned.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.min("__v").alias("lo"),
+        F.max("__v").alias("hi"),
+    )
+
+
 def winsorize(
     df: DataFrame,
     value_col: str,

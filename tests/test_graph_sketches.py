@@ -232,3 +232,18 @@ def test_profile_numeric_values(spark):
     assert out["a"].mean == 2.0 and out["a"].std == 1.0
     assert out["b"].n == 3 and out["b"].n_null == 0
     assert out["b"].mean == 20.0
+
+
+def test_equidepth_histogram_balanced(spark):
+    from kevinlang_spark.operators.stats import equidepth_histogram
+
+    # heavily skewed values: fixed-width binning would put ~everything
+    # in one bucket; equi-depth must keep populations equal
+    vals = [float(i**3) for i in range(1, 101)]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    out = {r.bucket: r for r in equidepth_histogram(df, "v", buckets=4).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert all(out[b].n == 25 for b in out)
+    assert out[0].lo == 1.0 and out[3].hi == 1e6
+    # contiguous, non-overlapping realized ranges
+    assert out[0].hi <= out[1].lo and out[2].hi <= out[3].lo
