@@ -33,8 +33,13 @@ def scd2_build(
     into the same exchange.
     """
     vals = list(value_cols)
+    # one explicit key-only shuffle: HashPartitioning(key) satisfies BOTH
+    # the (key, ts) collapse's clustered requirement and the lead
+    # window's — letting groupBy pick its own partitioning would hash on
+    # (key, ts) and force a second exchange for the window
     collapsed = (
         changes.select(key, F.col(ts_col).alias("valid_from"), *vals)
+        .repartition(F.col(key))
         .groupBy(key, "valid_from")
         .agg(*[F.max(v).alias(v) for v in vals])
     )

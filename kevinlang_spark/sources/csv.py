@@ -103,3 +103,31 @@ def read_csv(
 
     df = raw.withColumns({c: F.col(f"`{c}`").cast(t) for c, t in casts.items()})
     return KevinFrame.from_df(df, ordered=ordered, traits=traits)
+
+
+def write_csv(
+    df,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    partition_by: list[str] | None = None,
+) -> None:
+    """CSV output matching the reference grammar the reader parses
+    (CsvParser.hs:12-45): comma-delimited, fields quoted when needed with
+    ``""``-escaped embedded quotes, NULL → empty field.  Distributed
+    write (one file per partition); ``partition_by`` gives directory
+    partitioning like the parquet sink.  Accepts a KevinFrame or a plain
+    DataFrame."""
+    if isinstance(df, KevinFrame):
+        df = df.df  # plain columns only; order/trait state is presentation
+    w = (
+        df.write.mode(mode)
+        .option("header", str(header).lower())
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("emptyValue", "")
+        .option("nullValue", "")
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.csv(path)

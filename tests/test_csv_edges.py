@@ -73,3 +73,44 @@ def test_year_rule_only_for_exact_name(spark, tmp_path):
     kf = read_csv(spark, path)
     assert kf.traits["year"].role == DataRole.DIMENSION
     assert kf.traits["years"].role == DataRole.MEASURE
+
+
+def test_write_csv_roundtrips_reference_grammar(spark, tmp_path):
+    """write_csv output must re-read through read_csv (quotes, escaped
+    quotes, commas-in-fields, NULL as blank) with values intact."""
+    from kevinlang_spark.sources.csv import read_csv, write_csv
+
+    df = spark.createDataFrame(
+        [
+            ('plain', 1.5),
+            ('with,comma', 2.0),
+            ('with "quotes" inside', 3.25),
+            (None, 4.0),
+        ],
+        ["label", "x"],
+    )
+    path = str(tmp_path / "out_csv")
+    write_csv(df, path)
+    back = read_csv(spark, path, strict=False, ordered=False)
+    got = {(r.label, r.x) for r in back.df.collect()}
+    assert got == {
+        ("plain", 1.5),
+        ("with,comma", 2.0),
+        ('with "quotes" inside', 3.25),
+        (None, 4.0),
+    }
+
+
+def test_write_csv_partitioned_dirs(spark, tmp_path):
+    import glob
+
+    from kevinlang_spark.sources.csv import write_csv
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], ["g", "v"]
+    )
+    path = str(tmp_path / "part_csv")
+    write_csv(df, path, partition_by=["g"])
+    assert glob.glob(f"{path}/g=a/*.csv") and glob.glob(f"{path}/g=b/*.csv")
+    back = spark.read.option("header", True).csv(path)
+    assert back.count() == 3

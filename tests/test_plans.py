@@ -129,3 +129,25 @@ def test_profile_is_single_scan_no_expand(spark, sf):
     plan = plans.executed_plan(entrymod.q_profile(spark, sf))
     assert plan.count("Scan parquet") == 1, plan
     assert "Expand" not in plan, plan
+
+
+def test_scd2_single_key_exchange(spark, sf):
+    """Collapse groupBy + lead window must share ONE user hash exchange."""
+    plan = plans.executed_plan(entrymod.q_scd2(spark, sf))
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_merge_intervals_single_key_exchange(spark, sf):
+    plan = plans.executed_plan(entrymod.q_merge_intervals(spark, sf))
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_twap_single_key_exchange(spark, sf):
+    plan = plans.executed_plan(entrymod.q_twap(spark, sf))
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_fuzzy_join_prunes_scan(spark, sf):
+    """The doc_id<300 filter and 2-column projection must reach the scan."""
+    plan = plans.executed_plan(entrymod.q_fuzzy_join(spark, sf))
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,300" in plan, plan
