@@ -1916,6 +1916,15 @@ def q_validate(spark, sf_dir):
     )
 
 
+def q_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids (IVF/k-means recompute step):
+    posexplode to scalar (label, pos, val) triples — map-side-combined
+    AVG per dimension, ordered reassembly — whole vectors never shuffle."""
+    from kevinlang_spark.functions.vectors import label_centroids
+
+    return label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
 def q_equidepth(spark, sf_dir):
     """Equi-depth decile histogram of order totals: exact quantile
     boundaries in one aggregation, scan-stage binning, bucket-sized
@@ -2093,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_profile": q_profile,
         "q_fuzzy_join": q_fuzzy_join,
         "q_equidepth": q_equidepth,
+        "q_label_centroids": q_label_centroids,
     }
 
 
@@ -3040,6 +3050,7 @@ def oracle_sql() -> dict[str, str]:
             "AS postings FROM toks GROUP BY term HAVING COUNT(*) >= 5"
         ),
         "q_pagerank": _pagerank_oracle_sql(10),
+        "q_label_centroids": """WITH e AS (SELECT label, i AS ord, CAST(embedding[i] AS DOUBLE) AS val FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)), d AS (SELECT label, ord, AVG(val) AS m, COUNT(*) AS n FROM e GROUP BY 1, 2) SELECT label, list(ROUND(m, 6) ORDER BY ord) AS centroid, MAX(n) AS n_vectors FROM d GROUP BY label""",
         "q_equidepth": """WITH b AS (SELECT quantile_cont(CAST(o_totalprice AS DOUBLE), [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs FROM orders) SELECT CAST(len(list_filter(b.bs, x -> o_totalprice > x)) AS INT) AS bucket, COUNT(*) AS n, ROUND(MIN(CAST(o_totalprice AS DOUBLE)), 2) AS lo, ROUND(MAX(CAST(o_totalprice AS DOUBLE)), 2) AS hi FROM orders CROSS JOIN b GROUP BY 1""",
         "q_fuzzy_join": """WITH t AS (SELECT doc_id, substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 12) AS s FROM documents WHERE doc_id < 300) SELECT a.doc_id AS left_id, b.doc_id AS right_id, CAST(levenshtein(a.s, b.s) AS INT) AS distance FROM t a JOIN t b ON a.doc_id < b.doc_id WHERE levenshtein(a.s, b.s) <= 2""",
         "q_profile": """SELECT 'l_quantity' AS "column", COUNT(l_quantity) AS n, COUNT(*) FILTER (WHERE l_quantity IS NULL) AS n_null, MIN(CAST(l_quantity AS DOUBLE)) AS min, MAX(CAST(l_quantity AS DOUBLE)) AS max, ROUND(AVG(CAST(l_quantity AS DOUBLE)), 6) AS mean, ROUND(STDDEV_POP(CAST(l_quantity AS DOUBLE)), 6) AS std FROM lineitem UNION ALL SELECT 'l_extendedprice' AS "column", COUNT(l_extendedprice) AS n, COUNT(*) FILTER (WHERE l_extendedprice IS NULL) AS n_null, MIN(CAST(l_extendedprice AS DOUBLE)) AS min, MAX(CAST(l_extendedprice AS DOUBLE)) AS max, ROUND(AVG(CAST(l_extendedprice AS DOUBLE)), 6) AS mean, ROUND(STDDEV_POP(CAST(l_extendedprice AS DOUBLE)), 6) AS std FROM lineitem UNION ALL SELECT 'l_discount' AS "column", COUNT(l_discount) AS n, COUNT(*) FILTER (WHERE l_discount IS NULL) AS n_null, MIN(CAST(l_discount AS DOUBLE)) AS min, MAX(CAST(l_discount AS DOUBLE)) AS max, ROUND(AVG(CAST(l_discount AS DOUBLE)), 6) AS mean, ROUND(STDDEV_POP(CAST(l_discount AS DOUBLE)), 6) AS std FROM lineitem UNION ALL SELECT 'l_tax' AS "column", COUNT(l_tax) AS n, COUNT(*) FILTER (WHERE l_tax IS NULL) AS n_null, MIN(CAST(l_tax AS DOUBLE)) AS min, MAX(CAST(l_tax AS DOUBLE)) AS max, ROUND(AVG(CAST(l_tax AS DOUBLE)), 6) AS mean, ROUND(STDDEV_POP(CAST(l_tax AS DOUBLE)), 6) AS std FROM lineitem""",

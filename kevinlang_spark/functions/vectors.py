@@ -8,7 +8,7 @@ query is the final TakeOrderedAndProject merge.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -60,3 +60,40 @@ def quantize_int8(v: Column) -> tuple[Column, Column]:
 def dequantize(codes: Column, scale: Column) -> Column:
     """Reconstruct approximate float vectors from int8 codes."""
     return F.transform(codes, lambda c: c.cast("double") * scale)
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-label mean vector — the centroid-recompute step of IVF/k-means
+    maintenance and the class-prototype builder for dedup/classification.
+
+    Shape: posexplode to (label, pos, val) — a NARROW row expansion that
+    shuffles scalar triples with map-side partial AVG, never whole
+    vectors — then the per-label array is reassembled ordered by
+    position.  Both aggregations hash on the label (the second adds the
+    position), so at any scale the state per task is one running mean
+    per (label, dim).  Returns (label, centroid, n_vectors).
+    """
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    )
+    per_dim = exploded.groupBy("label", "pos").agg(
+        F.avg("val").alias("m"), F.count("*").alias("n")
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ),
+                lambda s: F.round(s["m"], decimals),
+            ).alias("centroid"),
+            F.max("n").alias("n_vectors"),
+        )
+    )

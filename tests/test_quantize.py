@@ -61,3 +61,21 @@ def test_bpe_ish_counts_punctuation_separately(spark):
         bpe_ish_token_count(F.col("text")).alias("bpe"),
     ).first()
     assert r2.ws == r2.bpe == 4
+
+
+def test_label_centroids_exact(spark):
+    from kevinlang_spark.functions.vectors import label_centroids
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0, 3.0]),
+            (0, [3.0, 4.0, 5.0]),
+            (1, [10.0, 0.0, -2.0]),
+        ],
+        ["label", "embedding"],
+    )
+    out = {r.label: r for r in label_centroids(df).collect()}
+    assert out[0].centroid == [2.0, 3.0, 4.0]
+    assert out[0].n_vectors == 2
+    assert out[1].centroid == [10.0, 0.0, -2.0]
+    assert out[1].n_vectors == 1
