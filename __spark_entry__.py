@@ -1916,6 +1916,69 @@ def q_validate(spark, sf_dir):
     )
 
 
+def q_rolling(spark, sf_dir):
+    """Trailing 1-hour per-user event stats via a RANGE window (frame
+    defined by event-time distance, not row count — the rolling-feature
+    shape for feature stores).  One key shuffle; frames are computed by
+    a sliding pointer over each partition's sort, not re-aggregation."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("ts_s"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-3599, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts_s",
+        F.count("*").over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 4).alias("sum_1h"),
+    )
+
+
+def q_boilerplate(spark, sf_dir):
+    """Cross-corpus boilerplate detection: most-repeated normalized
+    sentences across ALL documents (cookie banners, nav text) — line
+    explode with in-row normalize, one key shuffle with map-side
+    combine, rank-limit output.  The synthetic corpus has no repeated
+    sentences, so the query salts deterministic banners into a subset of
+    docs (both engines inject identically) and must recover exactly
+    them, with exact counts."""
+    docs = _t(spark, sf_dir, "documents")
+    salted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit(". This site uses cookies to improve your experience."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit(". Subscribe to our newsletter for weekly updates."),
+        ).otherwise(F.lit("")),
+    )
+    norm = F.transform(
+        F.split(salted, "\\."),
+        lambda l: F.regexp_replace(F.lower(F.trim(l)), "[^a-z0-9 ]", ""),
+    )
+    lines = docs.select(
+        F.explode(F.filter(norm, lambda l: F.length(l) > 20)).alias("line")
+    )
+    return (
+        lines.groupBy("line")
+        .agg(F.count("*").alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= 5)
+        .orderBy(F.col("n_occurrences").desc(), F.col("line").asc())
+        .limit(50)
+    )
+
+
 def q_label_centroids(spark, sf_dir):
     """Per-label embedding centroids (IVF/k-means recompute step):
     posexplode to scalar (label, pos, val) triples — map-side-combined
@@ -2103,6 +2166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_join": q_fuzzy_join,
         "q_equidepth": q_equidepth,
         "q_label_centroids": q_label_centroids,
+        "q_rolling": q_rolling,
+        "q_boilerplate": q_boilerplate,
     }
 
 
@@ -3050,6 +3115,8 @@ def oracle_sql() -> dict[str, str]:
             "AS postings FROM toks GROUP BY term HAVING COUNT(*) >= 5"
         ),
         "q_pagerank": _pagerank_oracle_sql(10),
+        "q_rolling": """SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, COUNT(*) OVER w AS n_1h, ROUND(SUM(value) OVER w, 4) AS sum_1h FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""",
+        "q_boilerplate": """WITH salted AS (SELECT text || CASE WHEN doc_id % 3 = 0 THEN '. This site uses cookies to improve your experience.' ELSE '' END || CASE WHEN doc_id % 5 = 0 THEN '. Subscribe to our newsletter for weekly updates.' ELSE '' END AS s FROM documents), l AS (SELECT unnest(list_filter(list_transform(string_split(s, '.'), x -> regexp_replace(lower(trim(x)), '[^a-z0-9 ]', '', 'g')), x -> len(x) > 20)) AS line FROM salted) SELECT line, COUNT(*) AS n_occurrences FROM l GROUP BY line HAVING COUNT(*) >= 5 ORDER BY n_occurrences DESC, line ASC LIMIT 50""",
         "q_label_centroids": """WITH e AS (SELECT label, i AS ord, CAST(embedding[i] AS DOUBLE) AS val FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)), d AS (SELECT label, ord, AVG(val) AS m, COUNT(*) AS n FROM e GROUP BY 1, 2) SELECT label, list(ROUND(m, 6) ORDER BY ord) AS centroid, MAX(n) AS n_vectors FROM d GROUP BY label""",
         "q_equidepth": """WITH b AS (SELECT quantile_cont(CAST(o_totalprice AS DOUBLE), [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs FROM orders) SELECT CAST(len(list_filter(b.bs, x -> o_totalprice > x)) AS INT) AS bucket, COUNT(*) AS n, ROUND(MIN(CAST(o_totalprice AS DOUBLE)), 2) AS lo, ROUND(MAX(CAST(o_totalprice AS DOUBLE)), 2) AS hi FROM orders CROSS JOIN b GROUP BY 1""",
         "q_fuzzy_join": """WITH t AS (SELECT doc_id, substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 12) AS s FROM documents WHERE doc_id < 300) SELECT a.doc_id AS left_id, b.doc_id AS right_id, CAST(levenshtein(a.s, b.s) AS INT) AS distance FROM t a JOIN t b ON a.doc_id < b.doc_id WHERE levenshtein(a.s, b.s) <= 2""",
