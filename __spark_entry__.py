@@ -1916,6 +1916,15 @@ def q_validate(spark, sf_dir):
     )
 
 
+def q_lm_score(spark, sf_dir):
+    """Bigram-LM quality score per doc (corpus-trained, add-one
+    smoothed): gram-keyed count joins only — no model broadcast, no
+    driver state — the relational stand-in for perplexity filtering."""
+    from kevinlang_spark.operators.text import bigram_lm_score
+
+    return bigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
 def q_rolling(spark, sf_dir):
     """Trailing 1-hour per-user event stats via a RANGE window (frame
     defined by event-time distance, not row count — the rolling-feature
@@ -2167,6 +2176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_equidepth": q_equidepth,
         "q_label_centroids": q_label_centroids,
         "q_rolling": q_rolling,
+        "q_lm_score": q_lm_score,
         "q_boilerplate": q_boilerplate,
     }
 
@@ -3115,6 +3125,7 @@ def oracle_sql() -> dict[str, str]:
             "AS postings FROM toks GROUP BY term HAVING COUNT(*) >= 5"
         ),
         "q_pagerank": _pagerank_oracle_sql(10),
+        "q_lm_score": """WITH toks AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents), occ AS (SELECT id, t[i] AS w1, t[i + 1] AS w2 FROM toks, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2), big AS (SELECT w1, w2, COUNT(*) AS c2 FROM occ GROUP BY 1, 2), uni AS (SELECT w1, COUNT(*) AS c1 FROM occ GROUP BY 1), v AS (SELECT COUNT(*) AS v FROM uni) SELECT id AS doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(ln((c2 + 1.0) / (c1 + v.v))), 6) AS avg_logp FROM occ JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v GROUP BY id""",
         "q_rolling": """SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, COUNT(*) OVER w AS n_1h, ROUND(SUM(value) OVER w, 4) AS sum_1h FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""",
         "q_boilerplate": """WITH salted AS (SELECT text || CASE WHEN doc_id % 3 = 0 THEN '. This site uses cookies to improve your experience.' ELSE '' END || CASE WHEN doc_id % 5 = 0 THEN '. Subscribe to our newsletter for weekly updates.' ELSE '' END AS s FROM documents), l AS (SELECT unnest(list_filter(list_transform(string_split(s, '.'), x -> regexp_replace(lower(trim(x)), '[^a-z0-9 ]', '', 'g')), x -> len(x) > 20)) AS line FROM salted) SELECT line, COUNT(*) AS n_occurrences FROM l GROUP BY line HAVING COUNT(*) >= 5 ORDER BY n_occurrences DESC, line ASC LIMIT 50""",
         "q_label_centroids": """WITH e AS (SELECT label, i AS ord, CAST(embedding[i] AS DOUBLE) AS val FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)), d AS (SELECT label, ord, AVG(val) AS m, COUNT(*) AS n FROM e GROUP BY 1, 2) SELECT label, list(ROUND(m, 6) ORDER BY ord) AS centroid, MAX(n) AS n_vectors FROM d GROUP BY label""",

@@ -378,3 +378,55 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(t).alias("quality"),
         fingerprint(t).alias("fp"),
     )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-trained bigram language-model score per document: mean
+    add-one-smoothed log P(wᵢ | wᵢ₋₁) over the doc's bigram occurrences
+    — the cheap relational stand-in for KenLM-perplexity quality
+    filtering (low scores flag word-salad and boilerplate-free gibberish
+    the length/stopword heuristics miss).
+
+    Everything is count joins on gram keys: bigram and unigram count
+    tables (map-side combined), then the doc's occurrences join both and
+    average.  Gram-keyed shuffles only — no model broadcast, no driver
+    state beyond the scalar vocabulary size — so training corpus and
+    scored corpus can both be arbitrarily large (they're the same table
+    here; pass a frozen count table for train/apply splits).
+    """
+    toks = tokenize(F.col(text_col))
+    pairs = F.when(
+        (F.size(toks) >= 2) & toks.isNotNull(),
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    occ = spread(df).select(
+        F.col(id_col).alias("id"), F.explode(pairs).alias("p")
+    ).select("id", "p.w1", "p.w2")
+
+    big = occ.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    uni = occ.groupBy("w1").agg(F.count("*").alias("c1"))
+    # vocabulary = distinct context words (one cheap count job, a scalar)
+    v = uni.count()
+    scored = (
+        occ.join(big, ["w1", "w2"]).join(uni, "w1")
+        .select(
+            "id",
+            F.log((F.col("c2") + 1.0) / (F.col("c1") + F.lit(float(v)))).alias(
+                "lp"
+            ),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logp"),
+    ).select(F.col("id").alias(id_col), "n_bigrams", "avg_logp")

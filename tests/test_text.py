@@ -82,3 +82,33 @@ def test_with_text_stats_schema_and_no_shuffle(docs):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert out.count() == docs.count()
+
+
+def test_bigram_lm_score_ranks_gibberish_low(spark):
+    from kevinlang_spark.operators.text import bigram_lm_score
+
+    # corpus dominated by a repeated fluent pattern + one word-salad doc
+    rows = [(i, "the cat sat on the mat") for i in range(10)]
+    rows.append((99, "mat the on sat zq cat"))
+    rows.append((100, "one"))  # single token: no bigrams, absent
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in bigram_lm_score(df).collect()}
+    assert 100 not in out
+    assert out[0].n_bigrams == 5
+    # fluent doc scores strictly higher than the shuffled one
+    assert out[0].avg_logp > out[99].avg_logp
+
+
+def test_bigram_lm_score_smoothing_exact(spark):
+    import math
+
+    from kevinlang_spark.operators.text import bigram_lm_score
+
+    df = spark.createDataFrame([(1, "a b a b")], ["doc_id", "text"])
+    out = bigram_lm_score(df).collect()[0]
+    # occurrences: (a,b)x2, (b,a)x1; C(a)=2, C(b)=1; V=2
+    want = (
+        2 * math.log((2 + 1) / (2 + 2)) + math.log((1 + 1) / (1 + 2))
+    ) / 3
+    assert out.n_bigrams == 3
+    assert abs(out.avg_logp - round(want, 6)) < 1e-9
