@@ -1916,6 +1916,33 @@ def q_validate(spark, sf_dir):
     )
 
 
+def q_incremental_agg(spark, sf_dir):
+    """Incremental materialized-view refresh: per-customer order stats
+    maintained as mergeable state — history state + delta state folded
+    with ONE state-sized shuffle, never re-scanning history.  The oracle
+    aggregates the full table directly, so a hash match PROVES
+    merge(state(A), state(B)) == state(A ∪ B)."""
+    from kevinlang_spark.operators.incremental import (
+        aggregate_delta,
+        finalize,
+        merge_states,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    history = orders.where(F.col("o_orderkey") % 10 != 9)
+    delta = orders.where(F.col("o_orderkey") % 10 == 9)
+    state = aggregate_delta(history, ["o_custkey"], "o_totalprice")
+    new_state = merge_states(
+        state, aggregate_delta(delta, ["o_custkey"], "o_totalprice"),
+        ["o_custkey"],
+    )
+    # avg_v (= sum/n) is excluded from the compared output: division
+    # results land on exact 4dp halves (cent sums / 8) where Spark
+    # (HALF_UP) and other engines round differently — the merge
+    # invariant is fully proven by n/sum/min/max
+    return finalize(new_state).drop("avg_v")
+
+
 def q_lm_score(spark, sf_dir):
     """Bigram-LM quality score per doc (corpus-trained, add-one
     smoothed): gram-keyed count joins only — no model broadcast, no
@@ -2177,6 +2204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_label_centroids": q_label_centroids,
         "q_rolling": q_rolling,
         "q_lm_score": q_lm_score,
+        "q_incremental_agg": q_incremental_agg,
         "q_boilerplate": q_boilerplate,
     }
 
@@ -3125,6 +3153,7 @@ def oracle_sql() -> dict[str, str]:
             "AS postings FROM toks GROUP BY term HAVING COUNT(*) >= 5"
         ),
         "q_pagerank": _pagerank_oracle_sql(10),
+        "q_incremental_agg": """SELECT o_custkey, COUNT(o_totalprice) AS n, ROUND(SUM(o_totalprice), 4) AS sum_v, MIN(o_totalprice) AS min_v, MAX(o_totalprice) AS max_v FROM orders GROUP BY o_custkey""",
         "q_lm_score": """WITH toks AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents), occ AS (SELECT id, t[i] AS w1, t[i + 1] AS w2 FROM toks, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2), big AS (SELECT w1, w2, COUNT(*) AS c2 FROM occ GROUP BY 1, 2), uni AS (SELECT w1, COUNT(*) AS c1 FROM occ GROUP BY 1), v AS (SELECT COUNT(*) AS v FROM uni) SELECT id AS doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(ln((c2 + 1.0) / (c1 + v.v))), 6) AS avg_logp FROM occ JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v GROUP BY id""",
         "q_rolling": """SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, COUNT(*) OVER w AS n_1h, ROUND(SUM(value) OVER w, 4) AS sum_1h FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""",
         "q_boilerplate": """WITH salted AS (SELECT text || CASE WHEN doc_id % 3 = 0 THEN '. This site uses cookies to improve your experience.' ELSE '' END || CASE WHEN doc_id % 5 = 0 THEN '. Subscribe to our newsletter for weekly updates.' ELSE '' END AS s FROM documents), l AS (SELECT unnest(list_filter(list_transform(string_split(s, '.'), x -> regexp_replace(lower(trim(x)), '[^a-z0-9 ]', '', 'g')), x -> len(x) > 20)) AS line FROM salted) SELECT line, COUNT(*) AS n_occurrences FROM l GROUP BY line HAVING COUNT(*) >= 5 ORDER BY n_occurrences DESC, line ASC LIMIT 50""",

@@ -247,3 +247,43 @@ def test_equidepth_histogram_balanced(spark):
     assert out[0].lo == 1.0 and out[3].hi == 1e6
     # contiguous, non-overlapping realized ranges
     assert out[0].hi <= out[1].lo and out[2].hi <= out[3].lo
+
+
+def test_incremental_merge_equals_full_recompute(spark):
+    from kevinlang_spark.operators.incremental import (
+        aggregate_delta,
+        finalize,
+        merge_states,
+    )
+
+    rows = [(i % 5, float(i * 7 % 101)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    a = df.where("k * 41 % 7 < 4")
+    b = df.subtract(a)
+    merged = merge_states(
+        aggregate_delta(a, ["k"], "v"),
+        aggregate_delta(b, ["k"], "v"),
+        ["k"],
+    )
+    got = {r.k: (r.n, r.sum_v, r.min_v, r.max_v, r.avg_v) for r in finalize(merged).collect()}
+    want = {
+        r.k: (r.n, r.sum_v, r.min_v, r.max_v, r.avg_v)
+        for r in finalize(aggregate_delta(df, ["k"], "v")).collect()
+    }
+    assert got == want
+
+
+def test_incremental_new_keys_pass_through(spark):
+    from kevinlang_spark.operators.incremental import (
+        aggregate_delta,
+        merge_states,
+    )
+
+    state = aggregate_delta(
+        spark.createDataFrame([(1, 10.0)], ["k", "v"]), ["k"], "v"
+    )
+    delta = aggregate_delta(
+        spark.createDataFrame([(2, 5.0), (2, 7.0)], ["k", "v"]), ["k"], "v"
+    )
+    out = {r.k: (r.n, r.sum_v) for r in merge_states(state, delta, ["k"]).collect()}
+    assert out == {1: (1, 10.0), 2: (2, 12.0)}
