@@ -1916,6 +1916,37 @@ def q_validate(spark, sf_dir):
     )
 
 
+def q_triangles(spark, sf_dir):
+    """Triangle count on the folded order→part graph — the canonical
+    multi-way self-join: canonical a<b<c edge orientation makes each
+    triangle match exactly once, the join chain is two hash equi-joins
+    on single node keys (wedge build + closing-edge semi check), and
+    degree-ordering keeps wedge counts bounded by Σd² not n²."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        li.select(
+            (F.col("l_orderkey") % 500).alias("u"),
+            (F.col("l_partkey") % 500).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+    )
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    wedges = e1.join(e2, F.col("e1.b") == F.col("e2.a")).select(
+        F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+    )
+    tri = wedges.join(
+        e3,
+        (F.col("x") == F.col("e3.a")) & (F.col("z") == F.col("e3.b")),
+    )
+    return tri.agg(F.count("*").alias("n_triangles"))
+
+
 def q_incremental_agg(spark, sf_dir):
     """Incremental materialized-view refresh: per-customer order stats
     maintained as mergeable state — history state + delta state folded
@@ -2205,6 +2236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rolling": q_rolling,
         "q_lm_score": q_lm_score,
         "q_incremental_agg": q_incremental_agg,
+        "q_triangles": q_triangles,
         "q_boilerplate": q_boilerplate,
     }
 
@@ -3153,6 +3185,7 @@ def oracle_sql() -> dict[str, str]:
             "AS postings FROM toks GROUP BY term HAVING COUNT(*) >= 5"
         ),
         "q_pagerank": _pagerank_oracle_sql(10),
+        "q_triangles": """WITH e AS (SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b FROM (SELECT l_orderkey % 500 AS u, l_partkey % 500 AS v FROM lineitem) WHERE u <> v) SELECT COUNT(*) AS n_triangles FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b""",
         "q_incremental_agg": """SELECT o_custkey, COUNT(o_totalprice) AS n, ROUND(SUM(o_totalprice), 4) AS sum_v, MIN(o_totalprice) AS min_v, MAX(o_totalprice) AS max_v FROM orders GROUP BY o_custkey""",
         "q_lm_score": """WITH toks AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents), occ AS (SELECT id, t[i] AS w1, t[i + 1] AS w2 FROM toks, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2), big AS (SELECT w1, w2, COUNT(*) AS c2 FROM occ GROUP BY 1, 2), uni AS (SELECT w1, COUNT(*) AS c1 FROM occ GROUP BY 1), v AS (SELECT COUNT(*) AS v FROM uni) SELECT id AS doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(ln((c2 + 1.0) / (c1 + v.v))), 6) AS avg_logp FROM occ JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v GROUP BY id""",
         "q_rolling": """SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, COUNT(*) OVER w AS n_1h, ROUND(SUM(value) OVER w, 4) AS sum_1h FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""",

@@ -287,3 +287,22 @@ def test_incremental_new_keys_pass_through(spark):
     )
     out = {r.k: (r.n, r.sum_v) for r in merge_states(state, delta, ["k"]).collect()}
     assert out == {1: (1, 10.0), 2: (2, 12.0)}
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 has exactly 4 triangles; adding a pendant edge changes nothing."""
+    import itertools
+
+    edges = list(itertools.combinations(range(4), 2)) + [(3, 9)]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    e = df.selectExpr("least(u, v) AS a", "greatest(u, v) AS b").distinct()
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    from pyspark.sql import functions as FF
+
+    wedges = e1.join(e2, FF.col("e1.b") == FF.col("e2.a")).select(
+        FF.col("e1.a").alias("x"), FF.col("e2.b").alias("z")
+    )
+    tri = wedges.join(
+        e3, (FF.col("x") == FF.col("e3.a")) & (FF.col("z") == FF.col("e3.b"))
+    )
+    assert tri.count() == 4
