@@ -1199,15 +1199,23 @@ def _curated_docs(spark, sf_dir, extra_cols=()):
 
     # small corpora arrive as one parquet partition; the scoring pass is
     # the expensive part, so spread it across all cores first
+    from kevinlang_spark.functions.textexpr import tokenize
+
     docs = spread(_t(spark, sf_dir, "documents"))
     t = F.col("text")
+    # tokenize ONCE into a column: lang_id + the quality features would
+    # otherwise each re-split the text (lambda-bearing expressions defeat
+    # Catalyst CSE, and CollapseProject keeps a multiply-referenced
+    # non-cheap alias materialized in its own projection)
+    toked = docs.select("doc_id", *extra_cols, "text", tokenize(t).alias("__toks"))
+    tk = F.col("__toks")
     # raw (unrounded) score: both engines then hold the IDENTICAL binary
     # double, so the 0.5 gate and the output hash cannot diverge
-    scored = docs.select(
+    scored = toked.select(
         "doc_id",
         *extra_cols,
-        lang_id(t).alias("lang_pred"),
-        quality_score(t, rounded=False).alias("quality"),
+        lang_id(t, toks=tk).alias("lang_pred"),
+        quality_score(t, rounded=False, toks=tk).alias("quality"),
         fingerprint(t).alias("fp"),
     ).where((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en"))
     # min-id representative per fingerprint in ONE shuffle: min_by carries

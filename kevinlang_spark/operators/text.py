@@ -39,16 +39,19 @@ ENGLISH_STOPWORDS = [
 ]
 
 
-def lang_scores(text: Column) -> dict[str, Column]:
-    """Marker-hit count per language (distinct-token intersection size)."""
-    toks = F.array_distinct(tokenize(text))
+def lang_scores(text: Column, toks: Column | None = None) -> dict[str, Column]:
+    """Marker-hit count per language (distinct-token intersection size).
+    Pass a pre-tokenized ``toks`` column to share one tokenization across
+    operators (lambda-bearing expressions defeat Catalyst CSE, so each
+    textual ``tokenize(text)`` re-splits the string)."""
+    toks = F.array_distinct(toks if toks is not None else tokenize(text))
     return {
         lang: F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
         for lang, markers in LANG_MARKERS.items()
     }
 
 
-def lang_id(text: Column) -> Column:
+def lang_id(text: Column, toks: Column | None = None) -> Column:
     """Heuristic language ID: CJK-character presence → 'zh'; otherwise the
     marker set with the most distinct hits; ties/no-hits → 'und'.
 
@@ -56,7 +59,7 @@ def lang_id(text: Column) -> Column:
     don't ship in this container) — the Spark shape (pure expression,
     no UDF) is what matters at scale.
     """
-    scores = lang_scores(text)
+    scores = lang_scores(text, toks)
     has_cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", "")) > 0
     best = F.greatest(*scores.values())
     out = F.lit("und")
@@ -66,11 +69,14 @@ def lang_id(text: Column) -> Column:
     return F.when(has_cjk, F.lit("zh")).otherwise(F.when(best > 0, out).otherwise(F.lit("und")))
 
 
-def quality_features(text: Column) -> dict[str, Column]:
+def quality_features(
+    text: Column, toks: Column | None = None
+) -> dict[str, Column]:
     """Deterministic quality signals (Gopher/C4-style cheap filters):
     char/word counts, mean word length, alpha ratio, stopword ratio,
-    digit ratio."""
-    toks = tokenize(text)
+    digit ratio.  ``toks`` shares a pre-tokenized column (see
+    ``lang_scores``)."""
+    toks = toks if toks is not None else tokenize(text)
     n_tok = F.size(toks)
     n_chars = F.length(text)
     alpha_chars = F.length(F.regexp_replace(F.lower(text), "[^a-z]", ""))
@@ -93,7 +99,9 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
-def quality_score(text: Column, rounded: bool = True) -> Column:
+def quality_score(
+    text: Column, rounded: bool = True, toks: Column | None = None
+) -> Column:
     """Composite [0,1] quality score from the features — a monotone blend
     of alpha ratio, stopword presence, and length adequacy.
 
@@ -102,7 +110,7 @@ def quality_score(text: Column, rounded: bool = True) -> Column:
     HALF_UP) and other engines (binary rounding) disagree — cross-engine
     comparisons should compare the raw binary value instead.
     """
-    f = quality_features(text)
+    f = quality_features(text, toks)
     len_ok = F.least(f["n_tokens"].cast("double") / F.lit(20.0), F.lit(1.0))
     # coalesce BEFORE least: F.least skips NULL arguments, so
     # least(NULL, 1.0) = 1.0 would hand token-free garbage a 0.3 floor
