@@ -1924,6 +1924,19 @@ def q_validate(spark, sf_dir):
     )
 
 
+def q_jaccard_prefix(spark, sf_dir):
+    """EXACT token-set Jaccard ≥ 0.7 pairs via prefix filtering (PPJoin
+    family): rarest-first prefixes are the only exploded tokens, so the
+    candidate join never sees stopword-grade keys and completeness is a
+    theorem — the third near-dup algorithm beside MinHash-LSH and
+    SimHash."""
+    from kevinlang_spark.operators.dedup import jaccard_prefix_pairs
+
+    return jaccard_prefix_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8, ngram=2
+    )
+
+
 def q_triangles(spark, sf_dir):
     """Triangle count on the folded order→part graph — the canonical
     multi-way self-join: canonical a<b<c edge orientation makes each
@@ -2245,6 +2258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_score": q_lm_score,
         "q_incremental_agg": q_incremental_agg,
         "q_triangles": q_triangles,
+        "q_jaccard_prefix": q_jaccard_prefix,
         "q_boilerplate": q_boilerplate,
     }
 
@@ -3193,6 +3207,7 @@ def oracle_sql() -> dict[str, str]:
             "AS postings FROM toks GROUP BY term HAVING COUNT(*) >= 5"
         ),
         "q_pagerank": _pagerank_oracle_sql(10),
+        "q_jaccard_prefix": """WITH tk AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents), toks AS (SELECT id, unnest(list_distinct(list_transform(range(1, greatest(len(t) - 1, 1) + 1), i -> array_to_string(t[i:i+1], ' ')))) AS tok FROM tk WHERE len(t) > 0), sizes AS (SELECT id, COUNT(*) AS sz FROM toks GROUP BY id), cand AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2) SELECT id_a, id_b, ROUND(n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6) AS jaccard FROM cand JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id WHERE n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.8""",
         "q_triangles": """WITH e AS (SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b FROM (SELECT l_orderkey % 500 AS u, l_partkey % 500 AS v FROM lineitem) WHERE u <> v) SELECT COUNT(*) AS n_triangles FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b""",
         "q_incremental_agg": """SELECT o_custkey, COUNT(o_totalprice) AS n, ROUND(SUM(o_totalprice), 4) AS sum_v, MIN(o_totalprice) AS min_v, MAX(o_totalprice) AS max_v FROM orders GROUP BY o_custkey""",
         "q_lm_score": """WITH toks AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents), occ AS (SELECT id, t[i] AS w1, t[i + 1] AS w2 FROM toks, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2), big AS (SELECT w1, w2, COUNT(*) AS c2 FROM occ GROUP BY 1, 2), uni AS (SELECT w1, COUNT(*) AS c1 FROM occ GROUP BY 1), v AS (SELECT COUNT(*) AS v FROM uni) SELECT id AS doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(ln((c2 + 1.0) / (c1 + v.v))), 6) AS avg_logp FROM occ JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v GROUP BY id""",

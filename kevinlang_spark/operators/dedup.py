@@ -860,3 +860,100 @@ def repeated_spans(
         )
         .where(F.col("n_docs") >= min_docs)
     )
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 1,
+) -> DataFrame:
+    """EXACT token-set Jaccard pairs ≥ ``threshold`` via prefix filtering
+    (the PPJoin family) — the third near-dup algorithm next to
+    MinHash-LSH (probabilistic candidates) and SimHash (Hamming
+    blocking), and unlike those it is exact WITHOUT an all-pairs join.
+
+    Prefix principle: sort each doc's distinct tokens rarest-first (by
+    corpus document frequency); two sets with Jaccard ≥ t MUST share a
+    token within each one's first ``|T| - ceil(t*|T|) + 1`` tokens, so
+    only prefix tokens are exploded into the candidate self-join.
+    Rare-first ordering makes those prefixes nearly unique, collapsing
+    candidate volume; stopword-grade tokens never enter the join.
+
+    Stages (all key shuffles, map-side combined): token df counts →
+    per-doc rarest-first sort (in-row) → prefix explode + self-join on
+    the token → exact intersection counts computed ONLY for candidate
+    pairs (the token join is semi-restricted by the candidate set) →
+    Jaccard filter.  Completeness is a theorem, not a parameter tune;
+    pytest checks it against brute force.
+    """
+    grams = (
+        tokenize(F.col(text_col))
+        if ngram == 1
+        else word_shingles(F.col(text_col), ngram)
+    )
+    toks = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(grams)).alias("tok"),
+        )
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    # rarest-first order per doc, rebuilt in-row: (df, tok) sort keys
+    ordered = (
+        toks.join(freq, "tok")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("df"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ).alias("ts")
+        )
+        .select(
+            "id",
+            "ts",
+            F.size("ts").alias("sz"),
+        )
+    )
+    t = float(threshold)
+    prefix_len = F.size("ts") - F.ceil(F.size("ts") * F.lit(t)).cast("int") + 1
+    prefixes = ordered.select(
+        "id", "sz", F.explode(F.slice("ts", 1, prefix_len)).alias("tok")
+    )
+    a = prefixes.alias("a")
+    b = prefixes.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        # size filter: |a∩b| <= min size, so jaccard <= min/max — prune
+        # before the intersection join
+        .where(
+            F.least("sz_a", "sz_b")
+            >= F.ceil(F.greatest("sz_a", "sz_b") * F.lit(t)).cast("int")
+        )
+        .distinct()
+    )
+    # exact intersections, computed only for candidate pairs
+    ta = toks.select(F.col("id").alias("id_a"), "tok")
+    tb = toks.select(F.col("id").alias("id_b"), "tok")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_inter")
+    ).cast("double")
+    return inter.where(jac >= t).select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    )

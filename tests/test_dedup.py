@@ -229,3 +229,53 @@ def test_dedup_keep_representatives(spark, docs_with_dups):
     # and no exact copy can ever be a representative (its original has a
     # smaller id and jaccard 1.0 guarantees the pair edge exists)
     assert not any(10000 <= i < 20000 for i in ids)
+
+
+# --------------------------------------------------------------------- #
+# jaccard_prefix_pairs (PPJoin-style prefix filtering)
+# --------------------------------------------------------------------- #
+
+
+def test_jaccard_prefix_complete_vs_brute_force(spark):
+    """Prefix filtering must lose NOTHING: every pair with set-Jaccard
+    >= t appears, with the exact score — checked against brute force on
+    unigram sets where many pairs sit right at the threshold."""
+    import itertools
+
+    from kevinlang_spark.operators.dedup import jaccard_prefix_pairs
+
+    docs = [
+        (1, "a b c d e"),
+        (2, "a b c d f"),      # 4/6 = 0.667 with 1
+        (3, "a b c d e"),      # 1.0 with 1
+        (4, "a b c d e f"),    # 5/6 = 0.833 with 1 and 3
+        (5, "x y z w v"),
+        (6, "x y z w v u"),    # 5/6 with 5
+        (7, "q"),
+        (8, "q"),              # 1.0 with 7 (single-token edge)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_prefix_pairs(df, threshold=0.8).collect()
+    }
+    want = {}
+    for (i, a), (j, b) in itertools.combinations(docs, 2):
+        ta, tb = set(a.split()), set(b.split())
+        jac = len(ta & tb) / len(ta | tb)
+        if jac >= 0.8:
+            want[(i, j)] = round(jac, 6)
+    assert got == want
+    assert (7, 8) in got  # prefix of a 1-token set is the token itself
+
+
+def test_jaccard_prefix_skips_stopword_keys(spark):
+    """The candidate join must key only on prefix (rarest) tokens: a
+    corpus-wide shared token ('the') sorts last and never explodes, so
+    docs sharing ONLY stopwords produce zero candidates."""
+    from kevinlang_spark.operators.dedup import jaccard_prefix_pairs
+
+    docs = [(i, f"the unique{i} word{i} token{i}") for i in range(40)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = jaccard_prefix_pairs(df, threshold=0.7).collect()
+    assert out == []
