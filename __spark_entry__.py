@@ -1924,6 +1924,32 @@ def q_validate(spark, sf_dir):
     )
 
 
+def q_skyline(spark, sf_dir):
+    """Per-priority Pareto frontier (skyline): orders not strictly
+    dominated by an earlier-dated, higher-priced order of the same
+    priority.  2-D skylines reduce to a cumulative-max window over the
+    date order — partitioned by priority, so no global sort anywhere."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("d"),
+        "o_totalprice",
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("d")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.max("o_totalprice").over(w)
+    return (
+        o.withColumn("__pm", prev_max)
+        .where(F.col("__pm").isNull() | (F.col("o_totalprice") > F.col("__pm")))
+        .select("o_orderkey", "o_orderpriority", "d", "o_totalprice")
+    )
+
+
 def q_jaccard_prefix(spark, sf_dir):
     """EXACT token-set Jaccard ≥ 0.7 pairs via prefix filtering (PPJoin
     family): rarest-first prefixes are the only exploded tokens, so the
@@ -2259,6 +2285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incremental_agg": q_incremental_agg,
         "q_triangles": q_triangles,
         "q_jaccard_prefix": q_jaccard_prefix,
+        "q_skyline": q_skyline,
         "q_boilerplate": q_boilerplate,
     }
 
@@ -3207,6 +3234,7 @@ def oracle_sql() -> dict[str, str]:
             "AS postings FROM toks GROUP BY term HAVING COUNT(*) >= 5"
         ),
         "q_pagerank": _pagerank_oracle_sql(10),
+        "q_skyline": """WITH o AS (SELECT o_orderkey, o_orderpriority, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS d, o_totalprice FROM orders), m AS (SELECT *, MAX(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY d RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM o) SELECT o_orderkey, o_orderpriority, d, o_totalprice FROM m WHERE pm IS NULL OR o_totalprice > pm""",
         "q_jaccard_prefix": """WITH tk AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents), toks AS (SELECT id, unnest(list_distinct(list_transform(range(1, greatest(len(t) - 1, 1) + 1), i -> array_to_string(t[i:i+1], ' ')))) AS tok FROM tk WHERE len(t) > 0), sizes AS (SELECT id, COUNT(*) AS sz FROM toks GROUP BY id), cand AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2) SELECT id_a, id_b, ROUND(n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6) AS jaccard FROM cand JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id WHERE n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.8""",
         "q_triangles": """WITH e AS (SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b FROM (SELECT l_orderkey % 500 AS u, l_partkey % 500 AS v FROM lineitem) WHERE u <> v) SELECT COUNT(*) AS n_triangles FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b""",
         "q_incremental_agg": """SELECT o_custkey, COUNT(o_totalprice) AS n, ROUND(SUM(o_totalprice), 4) AS sum_v, MIN(o_totalprice) AS min_v, MAX(o_totalprice) AS max_v FROM orders GROUP BY o_custkey""",

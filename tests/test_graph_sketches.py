@@ -306,3 +306,28 @@ def test_triangle_count_known_graph(spark):
         e3, (FF.col("x") == FF.col("e3.a")) & (FF.col("z") == FF.col("e3.b"))
     )
     assert tri.count() == 4
+
+
+def test_skyline_frontier_semantics(spark):
+    """Pareto frontier via cumulative max: a row survives iff no
+    strictly-earlier row has >= price (2-D skyline reduction)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as FF
+
+    rows = [
+        ("P", 1, 10, 100.0),
+        ("P", 2, 20, 50.0),   # dominated by key 1 (earlier, higher)
+        ("P", 3, 30, 150.0),  # new max -> frontier
+        ("P", 4, 30, 200.0),  # same date as 3: prev-window excludes it
+        ("Q", 5, 5, 10.0),
+    ]
+    df = spark.createDataFrame(rows, ["g", "k", "d", "p"])
+    w = Window.partitionBy("g").orderBy("d").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    out = (
+        df.withColumn("pm", FF.max("p").over(w))
+        .where(FF.col("pm").isNull() | (FF.col("p") > FF.col("pm")))
+        .select("k")
+    )
+    assert {r.k for r in out.collect()} == {1, 3, 4, 5}
