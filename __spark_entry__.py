@@ -1924,6 +1924,70 @@ def q_validate(spark, sf_dir):
     )
 
 
+def q_mode(spark, sf_dir):
+    """Statistical mode per group (most frequent quantity per return
+    flag, ties to the smallest value): two-level aggregation where the
+    arg-max is a single struct MAX — no window over the counts, so the
+    second stage shuffles only group keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("n")
+    )
+    m = F.max(
+        F.struct(F.col("n"), (-F.col("l_quantity")).alias("nq"))
+    ).alias("m")
+    return counts.groupBy("l_returnflag").agg(m).select(
+        "l_returnflag",
+        (-F.col("m.nq")).alias("mode_qty"),
+        F.col("m.n").alias("n"),
+    )
+
+
+def q_paths(spark, sf_dir):
+    """Clickstream path mining: top 20 session paths (first 5 event
+    types per 30-min-gap session).  Sessionization is the lag+cumsum
+    window (one user shuffle), path assembly an in-row sort+slice, the
+    final count a tiny path-keyed aggregation."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.col("ts").cast("long").alias("t"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    gap = F.col("t") - F.lag("t").over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn(
+        "sess_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = sess.groupBy("user_id", "sess_id").agg(
+        F.concat_ws(
+            ">",
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("t", "event_id", "event_type"))
+                    ),
+                    lambda r: r["event_type"],
+                ),
+                1,
+                5,
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(20)
+    )
+
+
 def q_skyline(spark, sf_dir):
     """Per-priority Pareto frontier (skyline): orders not strictly
     dominated by an earlier-dated, higher-priced order of the same
@@ -2286,6 +2350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_triangles": q_triangles,
         "q_jaccard_prefix": q_jaccard_prefix,
         "q_skyline": q_skyline,
+        "q_mode": q_mode,
+        "q_paths": q_paths,
         "q_boilerplate": q_boilerplate,
     }
 
@@ -3234,6 +3300,8 @@ def oracle_sql() -> dict[str, str]:
             "AS postings FROM toks GROUP BY term HAVING COUNT(*) >= 5"
         ),
         "q_pagerank": _pagerank_oracle_sql(10),
+        "q_mode": """WITH c AS (SELECT l_returnflag, l_quantity, COUNT(*) AS n FROM lineitem GROUP BY 1, 2) SELECT l_returnflag, l_quantity AS mode_qty, n FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY n DESC, l_quantity ASC) AS rk FROM c) WHERE rk = 1""",
+        "q_paths": """WITH ev AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id, event_type FROM events), g AS (SELECT *, CASE WHEN t - LAG(t) OVER w IS NULL OR t - LAG(t) OVER w > 1800 THEN 1 ELSE 0 END AS ns FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sess_id FROM g), p AS (SELECT user_id, sess_id, array_to_string((list(event_type ORDER BY t, event_id))[1:5], '>') AS path FROM s GROUP BY 1, 2) SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY path ORDER BY n_sessions DESC, path ASC LIMIT 20""",
         "q_skyline": """WITH o AS (SELECT o_orderkey, o_orderpriority, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS d, o_totalprice FROM orders), m AS (SELECT *, MAX(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY d RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM o) SELECT o_orderkey, o_orderpriority, d, o_totalprice FROM m WHERE pm IS NULL OR o_totalprice > pm""",
         "q_jaccard_prefix": """WITH tk AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents), toks AS (SELECT id, unnest(list_distinct(list_transform(range(1, greatest(len(t) - 1, 1) + 1), i -> array_to_string(t[i:i+1], ' ')))) AS tok FROM tk WHERE len(t) > 0), sizes AS (SELECT id, COUNT(*) AS sz FROM toks GROUP BY id), cand AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2) SELECT id_a, id_b, ROUND(n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6) AS jaccard FROM cand JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id WHERE n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.8""",
         "q_triangles": """WITH e AS (SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b FROM (SELECT l_orderkey % 500 AS u, l_partkey % 500 AS v FROM lineitem) WHERE u <> v) SELECT COUNT(*) AS n_triangles FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b""",
