@@ -1924,6 +1924,66 @@ def q_validate(spark, sf_dir):
     )
 
 
+def q_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlations of four measures in ONE aggregation
+    over one scan (k(k-1)/2 corr accumulators ride the same pass — never
+    a scan per pair), exploded to (col_a, col_b, corr) rows."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    agg = li.agg(
+        *[
+            F.round(F.corr(a, b), 6).alias(f"__c{i}")
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("col_a"),
+                        F.lit(b).alias("col_b"),
+                        F.col(f"__c{i}").alias("corr"),
+                    )
+                    for i, (a, b) in enumerate(pairs)
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+
+
+def q_attribution_linear(spark, sf_dir):
+    """Linear multi-touch attribution: each purchase splits one unit of
+    credit equally across that user's views in the prior 24h; output is
+    total credit per view event.  The pair join is equi-key on the user
+    with a bounded time-range residual (stream-joinable shape), the
+    per-purchase fan-out count is a purchase-keyed window, the rollup a
+    view-keyed sum — three key shuffles, none global."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", F.col("ts").cast("long").alias("t"), "event_type"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("t").alias("vt")
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("buy_id"), F.col("t").alias("bt")
+    )
+    pairs = views.join(buys, "user_id").where(
+        (F.col("vt") <= F.col("bt")) & (F.col("vt") > F.col("bt") - 86400)
+    )
+    w = Window.partitionBy("buy_id")
+    credited = pairs.withColumn(
+        "credit", F.lit(1.0) / F.count("*").over(w)
+    )
+    return (
+        credited.groupBy("view_id")
+        .agg(F.round(F.sum("credit"), 6).alias("total_credit"))
+    )
+
+
 def q_mode(spark, sf_dir):
     """Statistical mode per group (most frequent quantity per return
     flag, ties to the smallest value): two-level aggregation where the
@@ -2352,6 +2412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_skyline": q_skyline,
         "q_mode": q_mode,
         "q_paths": q_paths,
+        "q_corr_matrix": q_corr_matrix,
+        "q_attribution_linear": q_attribution_linear,
         "q_boilerplate": q_boilerplate,
     }
 
@@ -3300,6 +3362,8 @@ def oracle_sql() -> dict[str, str]:
             "AS postings FROM toks GROUP BY term HAVING COUNT(*) >= 5"
         ),
         "q_pagerank": _pagerank_oracle_sql(10),
+        "q_corr_matrix": """SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr FROM lineitem UNION ALL SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b, ROUND(CORR(l_quantity, l_discount), 6) AS corr FROM lineitem UNION ALL SELECT 'l_quantity' AS col_a, 'l_tax' AS col_b, ROUND(CORR(l_quantity, l_tax), 6) AS corr FROM lineitem UNION ALL SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b, ROUND(CORR(l_extendedprice, l_discount), 6) AS corr FROM lineitem UNION ALL SELECT 'l_extendedprice' AS col_a, 'l_tax' AS col_b, ROUND(CORR(l_extendedprice, l_tax), 6) AS corr FROM lineitem UNION ALL SELECT 'l_discount' AS col_a, 'l_tax' AS col_b, ROUND(CORR(l_discount, l_tax), 6) AS corr FROM lineitem""",
+        "q_attribution_linear": """WITH ev AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_type FROM events), v AS (SELECT user_id, event_id AS view_id, t AS vt FROM ev WHERE event_type = 'view'), b AS (SELECT user_id, event_id AS buy_id, t AS bt FROM ev WHERE event_type = 'purchase'), p AS (SELECT v.view_id, b.buy_id FROM v JOIN b USING (user_id) WHERE v.vt <= b.bt AND v.vt > b.bt - 86400), c AS (SELECT view_id, 1.0 / COUNT(*) OVER (PARTITION BY buy_id) AS credit FROM p) SELECT view_id, ROUND(SUM(credit), 6) AS total_credit FROM c GROUP BY view_id""",
         "q_mode": """WITH c AS (SELECT l_returnflag, l_quantity, COUNT(*) AS n FROM lineitem GROUP BY 1, 2) SELECT l_returnflag, l_quantity AS mode_qty, n FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY n DESC, l_quantity ASC) AS rk FROM c) WHERE rk = 1""",
         "q_paths": """WITH ev AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id, event_type FROM events), g AS (SELECT *, CASE WHEN t - LAG(t) OVER w IS NULL OR t - LAG(t) OVER w > 1800 THEN 1 ELSE 0 END AS ns FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sess_id FROM g), p AS (SELECT user_id, sess_id, array_to_string((list(event_type ORDER BY t, event_id))[1:5], '>') AS path FROM s GROUP BY 1, 2) SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY path ORDER BY n_sessions DESC, path ASC LIMIT 20""",
         "q_skyline": """WITH o AS (SELECT o_orderkey, o_orderpriority, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS d, o_totalprice FROM orders), m AS (SELECT *, MAX(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY d RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM o) SELECT o_orderkey, o_orderpriority, d, o_totalprice FROM m WHERE pm IS NULL OR o_totalprice > pm""",
