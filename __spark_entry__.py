@@ -1924,6 +1924,62 @@ def q_validate(spark, sf_dir):
     )
 
 
+def q_benford(spark, sf_dir):
+    """Benford first-digit screen over order totals (the classic fraud /
+    data-quality test): leading-digit extraction is a scan-stage
+    expression, the rollup a 9-key aggregation; output compares observed
+    frequency to log10(1 + 1/d)."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.col("o_totalprice").cast("string"), 1, 1
+    ).cast("int")
+    total = o.count()  # scalar, one cheap job
+    return (
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.lit(float(total)), 6).alias("freq"),
+            F.round(F.log10(1 + 1 / F.col("digit")), 6).alias("benford"),
+        )
+    )
+
+
+def q_gini(spark, sf_dir):
+    """Gini concentration of customer account balances per market
+    segment: ascending-rank windows PARTITIONED by segment (never a
+    global sort) feeding the closed-form G = 2Σ(i·xᵢ)/(nΣx) − (n+1)/n;
+    balances are shifted to non-negative first (Gini needs x ≥ 0)."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        (F.col("c_acctbal") + 1000.0).alias("x"),
+        "c_custkey",
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("x", "c_custkey")
+    ranked = c.withColumn("i", F.row_number().over(w))
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("__sx"),
+            F.sum(F.col("i") * F.col("x")).alias("__six"),
+        )
+        .select(
+            "c_mktsegment",
+            "n",
+            F.round(
+                2.0 * F.col("__six") / (F.col("n") * F.col("__sx"))
+                - (F.col("n") + 1.0) / F.col("n"),
+                6,
+            ).alias("gini"),
+        )
+    )
+
+
 def q_corr_matrix(spark, sf_dir):
     """Pairwise Pearson correlations of four measures in ONE aggregation
     over one scan (k(k-1)/2 corr accumulators ride the same pass — never
@@ -2413,6 +2469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mode": q_mode,
         "q_paths": q_paths,
         "q_corr_matrix": q_corr_matrix,
+        "q_benford": q_benford,
+        "q_gini": q_gini,
         "q_attribution_linear": q_attribution_linear,
         "q_boilerplate": q_boilerplate,
     }
@@ -3362,6 +3420,8 @@ def oracle_sql() -> dict[str, str]:
             "AS postings FROM toks GROUP BY term HAVING COUNT(*) >= 5"
         ),
         "q_pagerank": _pagerank_oracle_sql(10),
+        "q_benford": """WITH o AS (SELECT o_totalprice FROM orders WHERE o_totalprice > 0), t AS (SELECT COUNT(*) AS total FROM o) SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT) AS digit, COUNT(*) AS n, ROUND(COUNT(*) / (SELECT CAST(total AS DOUBLE) FROM t), 6) AS freq, ROUND(log10(1 + 1.0 / CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT)), 6) AS benford FROM o GROUP BY 1""",
+        "q_gini": """WITH c AS (SELECT c_mktsegment, c_acctbal + 1000.0 AS x, c_custkey FROM customer), r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY x, c_custkey) AS i FROM c) SELECT c_mktsegment, COUNT(*) AS n, ROUND(2.0 * SUM(i * x) / (COUNT(*) * SUM(x)) - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini FROM r GROUP BY c_mktsegment""",
         "q_corr_matrix": """SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr FROM lineitem UNION ALL SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b, ROUND(CORR(l_quantity, l_discount), 6) AS corr FROM lineitem UNION ALL SELECT 'l_quantity' AS col_a, 'l_tax' AS col_b, ROUND(CORR(l_quantity, l_tax), 6) AS corr FROM lineitem UNION ALL SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b, ROUND(CORR(l_extendedprice, l_discount), 6) AS corr FROM lineitem UNION ALL SELECT 'l_extendedprice' AS col_a, 'l_tax' AS col_b, ROUND(CORR(l_extendedprice, l_tax), 6) AS corr FROM lineitem UNION ALL SELECT 'l_discount' AS col_a, 'l_tax' AS col_b, ROUND(CORR(l_discount, l_tax), 6) AS corr FROM lineitem""",
         "q_attribution_linear": """WITH ev AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_type FROM events), v AS (SELECT user_id, event_id AS view_id, t AS vt FROM ev WHERE event_type = 'view'), b AS (SELECT user_id, event_id AS buy_id, t AS bt FROM ev WHERE event_type = 'purchase'), p AS (SELECT v.view_id, b.buy_id FROM v JOIN b USING (user_id) WHERE v.vt <= b.bt AND v.vt > b.bt - 86400), c AS (SELECT view_id, 1.0 / COUNT(*) OVER (PARTITION BY buy_id) AS credit FROM p) SELECT view_id, ROUND(SUM(credit), 6) AS total_credit FROM c GROUP BY view_id""",
         "q_mode": """WITH c AS (SELECT l_returnflag, l_quantity, COUNT(*) AS n FROM lineitem GROUP BY 1, 2) SELECT l_returnflag, l_quantity AS mode_qty, n FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY n DESC, l_quantity ASC) AS rk FROM c) WHERE rk = 1""",
