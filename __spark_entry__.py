@@ -1924,6 +1924,40 @@ def q_validate(spark, sf_dir):
     )
 
 
+def q_ab_test(spark, sf_dir):
+    """Experimentation readout: users hash-split 50/50 (deterministic,
+    engine-portable), Welch's t computed per event type from conditional
+    aggregates — ONE scan, one tiny shuffle on the metric key; no
+    per-arm subqueries."""
+    from kevinlang_spark.operators.sampling import hash_bucket
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        "value",
+        (hash_bucket(F.col("user_id"), 10_000) < 5_000).alias("in_a"),
+    )
+    va = F.when(F.col("in_a"), F.col("value"))
+    vb = F.when(~F.col("in_a"), F.col("value"))
+    agg = ev.groupBy("event_type").agg(
+        F.count(va).alias("n_a"),
+        F.avg(va).alias("__ma"),
+        F.var_samp(va).alias("__va"),
+        F.count(vb).alias("n_b"),
+        F.avg(vb).alias("__mb"),
+        F.var_samp(vb).alias("__vb"),
+    )
+    se = F.sqrt(
+        F.col("__va") / F.col("n_a") + F.col("__vb") / F.col("n_b")
+    )
+    return agg.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(F.col("__ma") - F.col("__mb"), 6).alias("mean_diff"),
+        F.round((F.col("__ma") - F.col("__mb")) / se, 4).alias("t_welch"),
+    )
+
+
 def q_benford(spark, sf_dir):
     """Benford first-digit screen over order totals (the classic fraud /
     data-quality test): leading-digit extraction is a scan-stage
@@ -2470,6 +2504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_paths": q_paths,
         "q_corr_matrix": q_corr_matrix,
         "q_benford": q_benford,
+        "q_ab_test": q_ab_test,
         "q_gini": q_gini,
         "q_attribution_linear": q_attribution_linear,
         "q_boilerplate": q_boilerplate,
@@ -3420,6 +3455,7 @@ def oracle_sql() -> dict[str, str]:
             "AS postings FROM toks GROUP BY term HAVING COUNT(*) >= 5"
         ),
         "q_pagerank": _pagerank_oracle_sql(10),
+        "q_ab_test": """WITH ev AS (SELECT event_type, value, CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 < 5000 AS in_a FROM events), a AS (SELECT event_type, COUNT(value) FILTER (WHERE in_a) AS n_a, AVG(value) FILTER (WHERE in_a) AS ma, VAR_SAMP(value) FILTER (WHERE in_a) AS va, COUNT(value) FILTER (WHERE NOT in_a) AS n_b, AVG(value) FILTER (WHERE NOT in_a) AS mb, VAR_SAMP(value) FILTER (WHERE NOT in_a) AS vb FROM ev GROUP BY event_type) SELECT event_type, n_a, n_b, ROUND(ma - mb, 6) AS mean_diff, ROUND((ma - mb) / sqrt(va / n_a + vb / n_b), 4) AS t_welch FROM a""",
         "q_benford": """WITH o AS (SELECT o_totalprice FROM orders WHERE o_totalprice > 0), t AS (SELECT COUNT(*) AS total FROM o) SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT) AS digit, COUNT(*) AS n, ROUND(COUNT(*) / (SELECT CAST(total AS DOUBLE) FROM t), 6) AS freq, ROUND(log10(1 + 1.0 / CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT)), 6) AS benford FROM o GROUP BY 1""",
         "q_gini": """WITH c AS (SELECT c_mktsegment, c_acctbal + 1000.0 AS x, c_custkey FROM customer), r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY x, c_custkey) AS i FROM c) SELECT c_mktsegment, COUNT(*) AS n, ROUND(2.0 * SUM(i * x) / (COUNT(*) * SUM(x)) - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini FROM r GROUP BY c_mktsegment""",
         "q_corr_matrix": """SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr FROM lineitem UNION ALL SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b, ROUND(CORR(l_quantity, l_discount), 6) AS corr FROM lineitem UNION ALL SELECT 'l_quantity' AS col_a, 'l_tax' AS col_b, ROUND(CORR(l_quantity, l_tax), 6) AS corr FROM lineitem UNION ALL SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b, ROUND(CORR(l_extendedprice, l_discount), 6) AS corr FROM lineitem UNION ALL SELECT 'l_extendedprice' AS col_a, 'l_tax' AS col_b, ROUND(CORR(l_extendedprice, l_tax), 6) AS corr FROM lineitem UNION ALL SELECT 'l_discount' AS col_a, 'l_tax' AS col_b, ROUND(CORR(l_discount, l_tax), 6) AS corr FROM lineitem""",
