@@ -848,6 +848,54 @@ class KevinFrame:
             out, traits=traits, group_cols=(), pivot=None, order_spec=(), idx_asc=True
         )
 
+    # ------------------------------------------------------------------ #
+    # extension-operator surface: the pipeline ops as frame methods, so a
+    # reference user gets ONE coherent API (frame in, frame out).  Each
+    # delegates to the tested operator module; outputs are unordered
+    # analytic results (scale mode).
+    # ------------------------------------------------------------------ #
+
+    def describe(self, cols: list[str] | None = None) -> "KevinFrame":
+        """Numeric column profile (count/nulls/min/max/mean/std) in one
+        aggregation over one scan — see ``operators.stats.profile_numeric``."""
+        from kevinlang_spark.operators.stats import profile_numeric
+
+        return KevinFrame.from_df(profile_numeric(self._df, cols), ordered=False)
+
+    def dedup_exact(
+        self, text_col: str = "text", id_col: str = "doc_id"
+    ) -> "KevinFrame":
+        """Exact-duplicate removal keeping the min-id representative per
+        normalized-text fingerprint — ``operators.dedup`` shapes."""
+        from pyspark.sql import functions as _F
+
+        from kevinlang_spark.operators.text import fingerprint
+
+        rep = _F.min_by(
+            _F.struct(*self._df.columns), _F.col(id_col)
+        ).alias("r")
+        deduped = (
+            self._df.withColumn("__fp", fingerprint(_F.col(text_col)))
+            .groupBy("__fp")
+            .agg(rep)
+            .select("r.*")
+        )
+        return KevinFrame.from_df(deduped, ordered=False)
+
+    def with_text_stats(self, text_col: str = "text") -> "KevinFrame":
+        """Attach language/quality/token/fingerprint columns (narrow,
+        scan-stage) — see ``operators.text.with_text_stats``."""
+        from kevinlang_spark.operators.text import with_text_stats as _wts
+
+        return KevinFrame.from_df(_wts(self._df, text_col), ordered=False)
+
+    def validate(self, checks) -> "KevinFrame":
+        """Run data-quality checks (one aggregation for all rules) — see
+        ``operators.quality.validate``."""
+        from kevinlang_spark.operators.quality import validate as _validate
+
+        return KevinFrame.from_df(_validate(self._df, checks), ordered=False)
+
     def merge(
         self,
         other: "KevinFrame",

@@ -207,3 +207,32 @@ def test_unordered_mode_raises_on_order_ops(spark):
         kf.take(3)
     # order-free ops still fine
     assert kf.filter(F.col("x") > 4).height() == 5
+
+
+def test_frame_extension_surface(spark):
+    """The pipeline operators are reachable as KevinFrame methods (one
+    coherent frame-in/frame-out API)."""
+    from kevinlang_spark.frame import KevinFrame
+    from kevinlang_spark.operators.quality import not_null, unique
+
+    df = spark.createDataFrame(
+        [(1, "hello world text one"), (2, "hello world text one"), (3, "x")],
+        ["doc_id", "text"],
+    )
+    kf = KevinFrame.from_df(df, ordered=False)
+
+    deduped = kf.dedup_exact()
+    assert deduped.df.count() == 2  # ids 1 and 3 survive
+    assert 2 not in {r.doc_id for r in deduped.df.collect()}
+
+    stats = kf.with_text_stats()
+    assert "quality" in stats.df.columns and "lang_pred" in stats.df.columns
+
+    prof = KevinFrame.from_df(
+        spark.createDataFrame([(1, 2.0)], ["a", "b"]), ordered=False
+    ).describe()
+    assert {r.column for r in prof.df.collect()} == {"a", "b"}
+
+    rep = kf.validate([unique("doc_id"), not_null("text")])
+    out = {r.check: r.passed for r in rep.df.collect()}
+    assert out == {"doc_id_unique": True, "text_not_null": True}
