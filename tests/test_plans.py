@@ -151,3 +151,11 @@ def test_fuzzy_join_prunes_scan(spark, sf):
     """The doc_id<300 filter and 2-column projection must reach the scan."""
     plan = plans.executed_plan(entrymod.q_fuzzy_join(spark, sf))
     assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,300" in plan, plan
+
+
+def test_jaccard_prefix_no_nested_loop(spark, sf):
+    """The prefix candidate join must extract the token equi-key (with
+    id< as residual), never fall back to a nested loop."""
+    plan = plans.executed_plan(entrymod.q_jaccard_prefix(spark, sf))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
