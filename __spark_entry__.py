@@ -1924,6 +1924,47 @@ def q_validate(spark, sf_dir):
     )
 
 
+def q_rfm(spark, sf_dir):
+    """RFM segmentation: per-user recency/frequency/monetary rolled up
+    in one pass, then quintile scores assigned from exact boundary
+    aggregates broadcast back (count-of-boundaries-below — the same
+    scale-correct binning as q_equidepth, never a global NTILE sort)."""
+    ev = _events(spark, sf_dir)
+    rfm = ev.groupBy("user_id").agg(
+        F.max(F.col("ts").cast("long")).alias("recency_ts"),
+        F.count("*").alias("frequency"),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))),
+            4,
+        ).alias("monetary"),
+    )
+    fracs = F.array(*[F.lit(x) for x in (0.2, 0.4, 0.6, 0.8)])
+    bounds = rfm.agg(
+        F.percentile(F.col("recency_ts").cast("double"), fracs).alias("rb"),
+        F.percentile(F.col("frequency").cast("double"), fracs).alias("fb"),
+        F.percentile(F.col("monetary").cast("double"), fracs).alias("mb"),
+    )
+
+    def score(col, bcol):
+        return (
+            F.lit(1)
+            + F.size(F.filter(F.col(bcol), lambda b: F.col(col).cast("double") > b))
+        ).alias(f"{col}_score")
+
+    return (
+        rfm.join(F.broadcast(bounds))
+        .select(
+            "user_id",
+            "recency_ts",
+            "frequency",
+            "monetary",
+            score("recency_ts", "rb"),
+            score("frequency", "fb"),
+            score("monetary", "mb"),
+        )
+    )
+
+
 def q_ab_test(spark, sf_dir):
     """Experimentation readout: users hash-split 50/50 (deterministic,
     engine-portable), Welch's t computed per event type from conditional
@@ -2505,6 +2546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corr_matrix": q_corr_matrix,
         "q_benford": q_benford,
         "q_ab_test": q_ab_test,
+        "q_rfm": q_rfm,
         "q_gini": q_gini,
         "q_attribution_linear": q_attribution_linear,
         "q_boilerplate": q_boilerplate,
@@ -3455,6 +3497,7 @@ def oracle_sql() -> dict[str, str]:
             "AS postings FROM toks GROUP BY term HAVING COUNT(*) >= 5"
         ),
         "q_pagerank": _pagerank_oracle_sql(10),
+        "q_rfm": """WITH rfm AS (SELECT user_id, MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS recency_ts, COUNT(*) AS frequency, ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 4) AS monetary FROM events GROUP BY user_id), b AS (SELECT quantile_cont(CAST(recency_ts AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS rb, quantile_cont(CAST(frequency AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS fb, quantile_cont(CAST(monetary AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS mb FROM rfm) SELECT user_id, recency_ts, frequency, monetary, CAST(1 + len(list_filter(b.rb, x -> CAST(recency_ts AS DOUBLE) > x)) AS INT) AS recency_ts_score, CAST(1 + len(list_filter(b.fb, x -> CAST(frequency AS DOUBLE) > x)) AS INT) AS frequency_score, CAST(1 + len(list_filter(b.mb, x -> CAST(monetary AS DOUBLE) > x)) AS INT) AS monetary_score FROM rfm CROSS JOIN b""",
         "q_ab_test": """WITH ev AS (SELECT event_type, value, CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 < 5000 AS in_a FROM events), a AS (SELECT event_type, COUNT(value) FILTER (WHERE in_a) AS n_a, AVG(value) FILTER (WHERE in_a) AS ma, VAR_SAMP(value) FILTER (WHERE in_a) AS va, COUNT(value) FILTER (WHERE NOT in_a) AS n_b, AVG(value) FILTER (WHERE NOT in_a) AS mb, VAR_SAMP(value) FILTER (WHERE NOT in_a) AS vb FROM ev GROUP BY event_type) SELECT event_type, n_a, n_b, ROUND(ma - mb, 6) AS mean_diff, ROUND((ma - mb) / sqrt(va / n_a + vb / n_b), 4) AS t_welch FROM a""",
         "q_benford": """WITH o AS (SELECT o_totalprice FROM orders WHERE o_totalprice > 0), t AS (SELECT COUNT(*) AS total FROM o) SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT) AS digit, COUNT(*) AS n, ROUND(COUNT(*) / (SELECT CAST(total AS DOUBLE) FROM t), 6) AS freq, ROUND(log10(1 + 1.0 / CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT)), 6) AS benford FROM o GROUP BY 1""",
         "q_gini": """WITH c AS (SELECT c_mktsegment, c_acctbal + 1000.0 AS x, c_custkey FROM customer), r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY x, c_custkey) AS i FROM c) SELECT c_mktsegment, COUNT(*) AS n, ROUND(2.0 * SUM(i * x) / (COUNT(*) * SUM(x)) - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini FROM r GROUP BY c_mktsegment""",
