@@ -2426,6 +2426,48 @@ def q_twap(spark, sf_dir):
     return out.select("user_id", F.round("twap", 6).alias("twap"), "n_obs")
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup: sign-pattern coarse quantization of
+    the embedding (8 bits → 256 buckets, scan-stage codegen), min-id
+    representative per bucket, cosine-to-rep duplicate flag — everything
+    rides ONE hash shuffle on the bucket key (window, no join)."""
+    from kevinlang_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), bits=8, threshold=0.8
+    )
+
+
+def q_assoc_rules(spark, sf_dir):
+    """Market-basket association rules over (order, supplier) baskets:
+    canonical pair counts from the basket-key self-join, then
+    support/confidence/lift with broadcast item supports — the only
+    data-sized shuffles are keyed (basket, then pair)."""
+    from kevinlang_spark.operators.baskets import association_rules
+
+    return association_rules(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_suppkey", min_support=3
+    )
+
+
+def q_keyfilter_join(spark, sf_dir):
+    """Sideways-information-passing join: a selective dim predicate
+    (9 of 100 suppliers) prunes the fact side through a broadcast
+    semi-join on the dim's distinct keys BEFORE the main join — the
+    hand-rolled form of Catalyst's runtime Bloom filter, for when the
+    fact-side shuffle is the scale bottleneck."""
+    from kevinlang_spark.operators.joins import keyfilter_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 9000)
+    out = keyfilter_join(li, supp, "l_suppkey", "s_suppkey")
+    return out.groupBy("s_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_select": q_select,
@@ -2550,6 +2592,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gini": q_gini,
         "q_attribution_linear": q_attribution_linear,
         "q_boilerplate": q_boilerplate,
+        "q_semantic_dedup": q_semantic_dedup,
+        "q_assoc_rules": q_assoc_rules,
+        "q_keyfilter_join": q_keyfilter_join,
     }
 
 
@@ -3511,6 +3556,44 @@ def oracle_sql() -> dict[str, str]:
         "q_incremental_agg": """SELECT o_custkey, COUNT(o_totalprice) AS n, ROUND(SUM(o_totalprice), 4) AS sum_v, MIN(o_totalprice) AS min_v, MAX(o_totalprice) AS max_v FROM orders GROUP BY o_custkey""",
         "q_lm_score": """WITH toks AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents), occ AS (SELECT id, t[i] AS w1, t[i + 1] AS w2 FROM toks, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2), big AS (SELECT w1, w2, COUNT(*) AS c2 FROM occ GROUP BY 1, 2), uni AS (SELECT w1, COUNT(*) AS c1 FROM occ GROUP BY 1), v AS (SELECT COUNT(*) AS v FROM uni) SELECT id AS doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(ln((c2 + 1.0) / (c1 + v.v))), 6) AS avg_logp FROM occ JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v GROUP BY id""",
         "q_rolling": """SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, COUNT(*) OVER w AS n_1h, ROUND(SUM(value) OVER w, 4) AS sum_1h FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""",
+        "q_semantic_dedup": (
+            "WITH b AS (SELECT vec_id, embedding, "
+            "list_aggregate(list_transform(embedding[1:8], "
+            "x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), 'string_agg', '') "
+            "AS bucket FROM embeddings WHERE embedding IS NOT NULL), "
+            "r AS (SELECT bucket, MIN(vec_id) AS rep_id FROM b GROUP BY bucket) "
+            "SELECT b.vec_id AS id, b.bucket, r.rep_id, "
+            "ROUND(list_cosine_similarity(b.embedding, rb.embedding), 4) AS sim, "
+            "(b.vec_id <> r.rep_id AND "
+            "ROUND(list_cosine_similarity(b.embedding, rb.embedding), 4) >= 0.8) "
+            "AS is_dup "
+            "FROM b JOIN r ON b.bucket = r.bucket "
+            "JOIN b rb ON rb.vec_id = r.rep_id"
+        ),
+        "q_assoc_rules": (
+            "WITH items AS (SELECT DISTINCT l_orderkey AS basket, "
+            "l_suppkey AS item FROM lineitem), "
+            "pairs AS (SELECT a.item AS item_a, b.item AS item_b, "
+            "COUNT(*) AS pair_support FROM items a "
+            "JOIN items b ON a.basket = b.basket AND a.item < b.item "
+            "GROUP BY 1, 2 HAVING COUNT(*) >= 3), "
+            "bi AS (SELECT item_a AS antecedent, item_b AS consequent, "
+            "pair_support FROM pairs UNION ALL "
+            "SELECT item_b, item_a, pair_support FROM pairs), "
+            "supp AS (SELECT item, COUNT(*) AS s FROM items GROUP BY item), "
+            "nb AS (SELECT COUNT(DISTINCT basket) AS n FROM items) "
+            "SELECT antecedent, consequent, pair_support, "
+            "ROUND(pair_support / sa.s, 6) AS confidence, "
+            "ROUND((pair_support / sa.s) / (sc.s / nb.n), 6) AS lift "
+            "FROM bi JOIN supp sa ON sa.item = antecedent "
+            "JOIN supp sc ON sc.item = consequent CROSS JOIN nb"
+        ),
+        "q_keyfilter_join": (
+            "SELECT s_name, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE s_acctbal > 9000 GROUP BY s_name"
+        ),
         "q_boilerplate": """WITH salted AS (SELECT text || CASE WHEN doc_id % 3 = 0 THEN '. This site uses cookies to improve your experience.' ELSE '' END || CASE WHEN doc_id % 5 = 0 THEN '. Subscribe to our newsletter for weekly updates.' ELSE '' END AS s FROM documents), l AS (SELECT unnest(list_filter(list_transform(string_split(s, '.'), x -> regexp_replace(lower(trim(x)), '[^a-z0-9 ]', '', 'g')), x -> len(x) > 20)) AS line FROM salted) SELECT line, COUNT(*) AS n_occurrences FROM l GROUP BY line HAVING COUNT(*) >= 5 ORDER BY n_occurrences DESC, line ASC LIMIT 50""",
         "q_label_centroids": """WITH e AS (SELECT label, i AS ord, CAST(embedding[i] AS DOUBLE) AS val FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)), d AS (SELECT label, ord, AVG(val) AS m, COUNT(*) AS n FROM e GROUP BY 1, 2) SELECT label, list(ROUND(m, 6) ORDER BY ord) AS centroid, MAX(n) AS n_vectors FROM d GROUP BY label""",
         "q_equidepth": """WITH b AS (SELECT quantile_cont(CAST(o_totalprice AS DOUBLE), [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs FROM orders) SELECT CAST(len(list_filter(b.bs, x -> o_totalprice > x)) AS INT) AS bucket, COUNT(*) AS n, ROUND(MIN(CAST(o_totalprice AS DOUBLE)), 2) AS lo, ROUND(MAX(CAST(o_totalprice AS DOUBLE)), 2) AS hi FROM orders CROSS JOIN b GROUP BY 1""",

@@ -252,3 +252,46 @@ def resample_ffill(
         right_cols=[value_col],
     )
     return out.select(on, "grid_ts", value_col)
+
+
+def keyfilter_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Big-to-big join with an explicit build-side key pre-filter: the
+    (already filtered) dim side's distinct keys broadcast as a LEFT SEMI
+    join against the fact side BEFORE the real join, so fact rows that
+    cannot match never enter the join shuffle.
+
+    This is the hand-rolled form of runtime filtering ("sideways
+    information passing"): at 100 TB the fact-side shuffle dominates, and
+    a selective dim predicate means most fact rows shuffle only to be
+    dropped.  The distinct-key set is usually orders of magnitude smaller
+    than the dim payload, so it broadcasts even when the dim itself can't.
+    Catalyst's native version (spark.sql.optimizer.runtime.bloomFilter.*)
+    injects a Bloom filter instead of an exact key set — same plan shape,
+    constant memory; `runtime_bloom_configs()` below returns the knobs and
+    tests/test_round4_ops.py gates the injected plan.  Use this explicit
+    form when the key set is known-small or the engine's runtime filtering
+    is disabled.
+    """
+    keys = F.broadcast(dim.select(F.col(dim_key).alias(fact_key)).distinct())
+    pruned = fact.join(keys, fact_key, "leftsemi")
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key], how)
+
+
+def runtime_bloom_configs(application_side_bytes: int = 0) -> dict[str, str]:
+    """Session configs that let Catalyst inject its runtime Bloom filter
+    (InjectRuntimeFilter) for selective shuffle joins.  The defaults gate
+    on a ≥10 GB application-side scan — correct on a cluster, never true
+    at test scale — so tests lower the scan threshold to observe the
+    `might_contain` filter in the optimized plan."""
+    return {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": str(
+            application_side_bytes
+        ),
+    }

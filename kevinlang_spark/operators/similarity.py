@@ -443,3 +443,66 @@ def embedding_neardup_pairs(
         )
         .where(F.col("sim") >= threshold)
     )
+
+
+def sign_bucket(vec: Column, bits: int = 8) -> Column:
+    """Coarse quantization key: the sign pattern of the first ``bits``
+    dimensions as a '0'/'1' string.  A pure codegen expression (slice +
+    transform + concat_ws), so bucket assignment happens in the scan
+    stage; ``bits`` sets the bucket count (2^bits) and therefore the
+    within-bucket pair density downstream."""
+    return F.concat_ws(
+        "",
+        F.transform(
+            F.slice(vec, 1, bits),
+            lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
+        ),
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    coarse-quantize each embedding to a bucket, elect the min-id member as
+    the bucket representative, and flag members whose cosine similarity to
+    the representative clears ``threshold`` as semantic duplicates.
+
+    Plan shape: bucket assignment is scan-stage codegen; representative
+    election and similarity both ride ONE hash shuffle on the bucket key —
+    a ``Window.partitionBy(bucket).orderBy(id)`` carries the rep's id and
+    vector to every member with ``first()``, so there is no join and no
+    driver-side state.  At 100 TB the same plan holds: buckets are the
+    unit of parallelism (raise ``bits`` to keep them small), and the
+    output would be written partitioned by ``is_dup`` for downstream
+    filtering.  The reference has no embedding ops (SURVEY §2 extension).
+
+    Returns (id, bucket, rep_id, sim, is_dup); ``sim`` rounded to 4.
+    """
+    from pyspark.sql import Window
+
+    base = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy("id")
+    withrep = base.select(
+        "id",
+        "bucket",
+        F.first("id").over(w).alias("rep_id"),
+        F.first("v").over(w).alias("rep_v"),
+        "v",
+    )
+    sim = F.round(cosine_similarity(F.col("v"), F.col("rep_v")), 4)
+    return withrep.select(
+        "id",
+        "bucket",
+        "rep_id",
+        sim.alias("sim"),
+        ((F.col("id") != F.col("rep_id")) & (sim >= F.lit(threshold))).alias("is_dup"),
+    )
