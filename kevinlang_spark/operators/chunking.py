@@ -41,7 +41,16 @@ def chunk_tokens(
     posexplode: no shuffle, no UDF; output row count is bounded by
     ceil(tokens/chunk_size) per document.
     """
-    toks = tokenize(F.col(text_col))
+    # tokenize ONCE into its own projection: the token array is referenced
+    # by the count, the window index AND every slice — lambda-bearing
+    # expressions defeat Catalyst CSE, so leaving tokenize() inline would
+    # re-split the text several times per row
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in keep_cols],
+        tokenize(F.col(text_col)).alias("__toks"),
+    )
+    toks = F.col("__toks")
     n = F.size(toks)
     n_chunks = F.ceil(n / F.lit(float(chunk_size))).cast("int")
     # guard: sequence(0, -1) would DESCEND; empty docs get an empty array
@@ -52,8 +61,8 @@ def chunk_tokens(
     texts = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i * chunk_size + 1, chunk_size))
     )
-    out = df.select(
-        F.col(id_col).alias("id"),
+    out = base.select(
+        "id",
         *[F.col(c) for c in keep_cols],
         n.alias("__n"),
         F.posexplode(texts),

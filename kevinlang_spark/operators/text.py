@@ -131,13 +131,26 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalize_text(text))
 
 
-def dup_line_features(text: Column) -> dict[str, Column]:
-    """Line-level repetition signals (Gopher-style): non-empty line count
-    and the fraction of lines that repeat an earlier line.  Pure
-    expressions — no explode, no shuffle; NULL text → NULL features."""
-    lines = F.filter(
+def split_lines(text: Column) -> Column:
+    """Non-empty trimmed lines of a document as an array column."""
+    return F.filter(
         F.transform(F.split(text, "\n"), lambda l: F.trim(l)), lambda l: l != ""
     )
+
+
+def dup_line_features(
+    text: Column, lines: Column | None = None
+) -> dict[str, Column]:
+    """Line-level repetition signals (Gopher-style): non-empty line count
+    and the fraction of lines that repeat an earlier line.  Pure
+    expressions — no explode, no shuffle; NULL text → NULL features.
+
+    Pass a pre-projected ``lines`` column when the caller stages the line
+    array: the features reference it several times, and lambda-built
+    arrays are ineligible for Spark's subexpression elimination, so the
+    inline form rebuilds the array per reference."""
+    if lines is None:
+        lines = split_lines(text)
     n_lines = F.size(lines)
     dup_frac = F.when(
         n_lines > 0,
@@ -177,16 +190,23 @@ def repetition_stats(
     Both produce identical values (tested); NULL/token-free docs get NULL
     top_bigram_frac either way."""
     t = F.col(text_col)
-    feats = dup_line_features(t)
     sp = spread(df)
-    base_cols = [F.col(id_col).alias("id")] + [
-        v.alias(k) for k, v in feats.items()
-    ]
     if method == "inrow":
-        # hashed grams (8-byte) so per-row counting compares longs, not
-        # gram strings; identity matches word_shingles up to xxhash64
-        # collisions — counts are gram-value-agnostic
-        grams = shingle_hashes(t, 2)
+        # stage the two heavy lambda-built arrays (line array, hashed
+        # grams) into their OWN projection: each is referenced 2-3 times
+        # downstream, and HOF-built arrays are ineligible for Spark's
+        # subexpression elimination — the inline form re-tokenized the
+        # text up to 3× per row (measured ~40% of the operator's time)
+        staged = sp.select(
+            F.col(id_col).alias("id"),
+            split_lines(t).alias("__lines"),
+            # hashed grams (8-byte) so per-row counting compares longs,
+            # not gram strings; identity matches word_shingles up to
+            # xxhash64 collisions — counts are gram-value-agnostic
+            shingle_hashes(t, 2).alias("__grams"),
+        )
+        feats = dup_line_features(t, lines=F.col("__lines"))
+        grams = F.col("__grams")
         init = F.struct(
             F.lit(None).cast("bigint").alias("prev"),
             F.lit(0).alias("run"),
@@ -207,13 +227,20 @@ def repetition_stats(
             F.array_sort(grams), init, merge, lambda acc: acc["best"]
         )
         frac = F.when(F.size(grams) > 0, F.round(top / F.size(grams), 4))
-        return sp.select(*base_cols, frac.alias("top_bigram_frac")).select(
+        return staged.select(
+            "id",
+            *[v.alias(k) for k, v in feats.items()],
+            frac.alias("top_bigram_frac"),
+        ).select(
             F.col("id").alias(id_col),
             "n_lines",
             "dup_line_frac",
             "top_bigram_frac",
         )
-    base = sp.select(*base_cols)
+    lfeats = dup_line_features(t, lines=F.col("__lines"))
+    base = sp.select(F.col(id_col).alias("id"), split_lines(t).alias("__lines")).select(
+        "id", *[v.alias(k) for k, v in lfeats.items()]
+    )
     bigr = sp.select(
         F.col(id_col).alias("id"),
         F.explode(shingle_hashes(t, 2)).alias("g"),
