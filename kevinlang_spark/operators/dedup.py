@@ -230,16 +230,20 @@ def shingle_sig_df(
     # distinct window-hashes up to 64-bit collisions; the set Jaccard the
     # verifier computes is identical.  Mirrors word_shingles' short-doc
     # rule: k ≤ n tokens → one window covering the whole doc.
-    toks = tokenize(F.col("__t"))
-    th = F.transform(toks, lambda t: F.xxhash64(t))
-    k = F.size(th)
+    # token-hash array staged into its OWN projection: the window pass
+    # references it three times (the size guard, the window count, every
+    # slice), and HOF-built arrays are ineligible for subexpression
+    # elimination — inline, the tokenize+hash pass ran ~3× per row
+    th = F.transform(tokenize(F.col("__t")), lambda t: F.xxhash64(t))
+    thc = F.col("__th")
+    k = F.size(thc)
     starts = F.sequence(F.lit(1), F.greatest(k - (shingle_n - 1), F.lit(1)))
     # NULL text → size(NULL) = NULL, and a NULL condition falls through to
     # otherwise() — which would fabricate [xxhash64(NULL)] and pair every
     # NULL-text doc with every other; treat NULL like empty explicitly
     shh = F.when(k.isNull() | (k <= 0), F.array().cast("array<bigint>")).otherwise(
         F.array_distinct(
-            F.transform(starts, lambda i: F.xxhash64(F.slice(th, i, shingle_n)))
+            F.transform(starts, lambda i: F.xxhash64(F.slice(thc, i, shingle_n)))
         )
     )
     sh_df = (
@@ -250,6 +254,7 @@ def shingle_sig_df(
         # spreads the heavy pass across all cores
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
         .repartition(n_part)
+        .select("id", th.alias("__th"))
         .select("id", shh.alias("shh"))
         .localCheckpoint(eager=True)
     )
