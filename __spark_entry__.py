@@ -2468,6 +2468,84 @@ def q_keyfilter_join(spark, sf_dir):
     )
 
 
+def q_line_dedup(spark, sf_dir):
+    """Global line-level exact dedup (RefinedWeb-style): duplicated lines
+    keep only their first (doc, position) occurrence corpus-wide; docs
+    reassembled in order.  One fingerprint-keyed window shuffle + one doc
+    reassembly shuffle.  (Synthetic docs are single-line, so ' table '
+    rewrites to a newline identically on both engines first — the same
+    deterministic multi-line view q_clean_lines uses.)"""
+    from kevinlang_spark.operators.dedup import line_dedup
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.replace(F.col("text"), F.lit(" table "), F.lit("\n"))
+    )
+    return line_dedup(docs)
+
+
+def q_cdc_apply(spark, sf_dir):
+    """CDC merge: apply an insert/update/delete change log (derived
+    deterministically from orders) to the customer snapshot — max-seq
+    winner per key via one max_by shuffle, untouched rows via a
+    co-partitioned left-anti join."""
+    from kevinlang_spark.operators.incremental import apply_cdc
+
+    base = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    log = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.concat(F.lit("cdc-"), F.col("o_custkey")).alias("c_name"),
+        F.lit(0).cast("int").alias("c_nationkey"),
+        F.round(F.col("o_totalprice") / 100.0, 2).alias("c_acctbal"),
+        F.lit("CDC").alias("c_mktsegment"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("U"))
+        .when(F.col("o_orderstatus") == "O", F.lit("I"))
+        .otherwise(F.lit("D"))
+        .alias("op"),
+    )
+    return apply_cdc(base, log, ["c_custkey"], "seq", "op")
+
+
+def q_interval_overlap(spark, sf_dir):
+    """Interval × interval overlap join as a binned equi join (canonical-
+    bucket dedup, no distinct): per user, how many 5-minute click windows
+    overlap each 10-minute error window."""
+    from kevinlang_spark.operators.joins import interval_overlap_join
+
+    ev = _events(spark, sf_dir)
+    err = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.col("ts").cast("long").alias("start"),
+        (F.col("ts").cast("long") + 600).alias("end"),
+    )
+    clk = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").cast("long").alias("start"),
+        (F.col("ts").cast("long") + 300).alias("end"),
+    )
+    pairs = interval_overlap_join(err, clk, "user_id", bin_size=600)
+    return pairs.groupBy(F.col("a_err_id").alias("err_id")).agg(
+        F.count("*").alias("n_overlaps")
+    )
+
+
+def q_target_encode(spark, sf_dir):
+    """Smoothed mean target encoding of order priority against order
+    value — per-category aggregation plus a broadcast global mean."""
+    from kevinlang_spark.operators.stats import target_encode
+
+    return target_encode(
+        _t(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        "o_totalprice",
+        alpha=10.0,
+        decimals=4,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_select": q_select,
@@ -2595,6 +2673,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_dedup": q_semantic_dedup,
         "q_assoc_rules": q_assoc_rules,
         "q_keyfilter_join": q_keyfilter_join,
+        "q_line_dedup": q_line_dedup,
+        "q_cdc_apply": q_cdc_apply,
+        "q_interval_overlap": q_interval_overlap,
+        "q_target_encode": q_target_encode,
     }
 
 
@@ -3593,6 +3675,57 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
             "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
             "WHERE s_acctbal > 9000 GROUP BY s_name"
+        ),
+        "q_line_dedup": (
+            "WITH d AS (SELECT doc_id, list_filter(list_transform("
+            "string_split(replace(text, ' table ', chr(10)), chr(10)), "
+            "x -> trim(x)), x -> x <> '') AS ls FROM documents), "
+            "l AS (SELECT doc_id, generate_subscripts(ls, 1) AS pos, "
+            "unnest(ls) AS line FROM d), "
+            "r AS (SELECT doc_id, pos, line, ROW_NUMBER() OVER "
+            "(PARTITION BY line ORDER BY doc_id, pos) AS rn FROM l) "
+            "SELECT doc_id AS id, "
+            "COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) "
+            "ORDER BY pos), '') AS text_dedup, "
+            "COUNT(*) FILTER (WHERE rn = 1) AS n_lines_kept, "
+            "COUNT(*) AS n_lines_total FROM r GROUP BY doc_id"
+        ),
+        "q_cdc_apply": (
+            "WITH log AS (SELECT o_custkey AS c_custkey, "
+            "'cdc-' || o_custkey AS c_name, CAST(0 AS INTEGER) AS c_nationkey, "
+            "ROUND(o_totalprice / 100.0, 2) AS c_acctbal, "
+            "'CDC' AS c_mktsegment, o_orderkey AS seq, "
+            "CASE WHEN o_orderstatus = 'F' THEN 'U' "
+            "WHEN o_orderstatus = 'O' THEN 'I' ELSE 'D' END AS op "
+            "FROM orders), "
+            "w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey "
+            "ORDER BY seq DESC) AS rn FROM log), "
+            "win AS (SELECT * FROM w WHERE rn = 1) "
+            "SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, "
+            "c.c_mktsegment FROM customer c "
+            "WHERE c.c_custkey NOT IN (SELECT c_custkey FROM win) "
+            "UNION ALL SELECT c_custkey, c_name, c_nationkey, c_acctbal, "
+            "c_mktsegment FROM win WHERE op <> 'D'"
+        ),
+        "q_interval_overlap": (
+            "WITH err AS (SELECT event_id AS err_id, user_id, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS s, "
+            "CAST(floor(epoch(ts)) AS BIGINT) + 600 AS e FROM events "
+            "WHERE event_type = 'error'), "
+            "clk AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s, "
+            "CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e FROM events "
+            "WHERE event_type = 'click') "
+            "SELECT err.err_id, COUNT(*) AS n_overlaps FROM err "
+            "JOIN clk ON err.user_id = clk.user_id "
+            "AND err.s < clk.e AND clk.s < err.e "
+            "GROUP BY err.err_id"
+        ),
+        "q_target_encode": (
+            "SELECT o_orderpriority, COUNT(o_totalprice) AS n, "
+            "ROUND((SUM(o_totalprice) + 10 * "
+            "(SELECT AVG(o_totalprice) FROM orders)) / "
+            "(COUNT(o_totalprice) + 10), 4) AS enc "
+            "FROM orders GROUP BY o_orderpriority"
         ),
         "q_boilerplate": """WITH salted AS (SELECT text || CASE WHEN doc_id % 3 = 0 THEN '. This site uses cookies to improve your experience.' ELSE '' END || CASE WHEN doc_id % 5 = 0 THEN '. Subscribe to our newsletter for weekly updates.' ELSE '' END AS s FROM documents), l AS (SELECT unnest(list_filter(list_transform(string_split(s, '.'), x -> regexp_replace(lower(trim(x)), '[^a-z0-9 ]', '', 'g')), x -> len(x) > 20)) AS line FROM salted) SELECT line, COUNT(*) AS n_occurrences FROM l GROUP BY line HAVING COUNT(*) >= 5 ORDER BY n_occurrences DESC, line ASC LIMIT 50""",
         "q_label_centroids": """WITH e AS (SELECT label, i AS ord, CAST(embedding[i] AS DOUBLE) AS val FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)), d AS (SELECT label, ord, AVG(val) AS m, COUNT(*) AS n FROM e GROUP BY 1, 2) SELECT label, list(ROUND(m, 6) ORDER BY ord) AS centroid, MAX(n) AS n_vectors FROM d GROUP BY label""",

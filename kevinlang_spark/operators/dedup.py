@@ -962,3 +962,58 @@ def jaccard_prefix_pairs(
     return inter.where(jac >= t).select(
         "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Global line-level exact dedup (the RefinedWeb/Dolma corpus step):
+    every duplicated line keeps only its FIRST occurrence — minimum
+    (doc, position) across the whole corpus — later repeats are dropped,
+    and each document is reassembled in its original line order.
+
+    Returns (id, text_dedup, n_lines_kept, n_lines_total); documents with
+    no non-empty lines produce no row (they have nothing to dedup).
+
+    Scale shape: posexplode is scan-stage; first-occurrence election is a
+    window over the line's md5 fingerprint (ONE 16-byte-keyed shuffle —
+    the line text rides along once, never joins back); reassembly is one
+    groupBy on the doc id with an in-row sort of (pos, line) structs.  No
+    driver state, no distinct, no self-join; at 100 TB the fingerprint
+    shuffle is the cost and it is proportional to corpus text size, same
+    as any exact-dedup pass.  Reference has no multi-document text ops
+    (extension per SURVEY §2; cf. exact dedup at dedup_exact)."""
+    from pyspark.sql import Window
+
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), sep), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.posexplode(lines).alias("pos", "line")
+    )
+    w = Window.partitionBy(F.md5(F.col("line"))).orderBy("id", "pos")
+    ranked = exploded.select(
+        "id", "pos", "line", F.row_number().over(w).alias("__rn")
+    )
+    kept_struct = F.when(
+        F.col("__rn") == 1, F.struct(F.col("pos"), F.col("line"))
+    )  # NULL otherwise — collect_list skips NULLs
+    return (
+        ranked.groupBy("id")
+        .agg(
+            F.sort_array(F.collect_list(kept_struct)).alias("__kept"),
+            F.count("*").alias("n_lines_total"),
+        )
+        .select(
+            "id",
+            F.concat_ws(
+                sep, F.transform(F.col("__kept"), lambda s: s["line"])
+            ).alias("text_dedup"),
+            F.size("__kept").cast("long").alias("n_lines_kept"),
+            "n_lines_total",
+        )
+    )

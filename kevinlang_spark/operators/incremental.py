@@ -60,3 +60,37 @@ def finalize(state: DataFrame, decimals: int = 4) -> DataFrame:
         F.col("max_v"),
         F.round(F.col("sum_v") / F.col("n"), decimals).alias("avg_v"),
     )
+
+
+def apply_cdc(
+    base: DataFrame,
+    log: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str,
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply an insert/update/delete change log to a snapshot (the CDC
+    merge every warehouse sync runs): per key, the HIGHEST-sequence log
+    row wins; a delete op removes the key, anything else upserts the log
+    row's payload.  ``log`` must carry the same columns as ``base`` plus
+    ``seq_col`` and ``op_col``.
+
+    Plan shape: winner election is one ``max_by`` aggregation on the key
+    (map-side partial, one shuffle); untouched base rows survive through
+    a left-anti join on the same key — co-partitioned with the election
+    shuffle, so AQE coalesces them.  Nothing global, no window over the
+    whole log, ties on seq broken by op then payload bytes are the
+    caller's contract (sequence numbers should be unique per key)."""
+    payload = [c for c in base.columns]
+    winner = log.groupBy(*key_cols).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload if c not in key_cols], F.col(op_col)),
+            F.col(seq_col),
+        ).alias("w")
+    )
+    survivors = winner.where(F.col(f"w.{op_col}") != delete_op).select(
+        *key_cols, *[F.col(f"w.{c}") for c in payload if c not in key_cols]
+    )
+    untouched = base.join(winner.select(*key_cols), key_cols, "left_anti")
+    return untouched.unionByName(survivors)

@@ -295,3 +295,59 @@ def runtime_bloom_configs(application_side_bytes: int = 0) -> dict[str, str]:
             application_side_bytes
         ),
     }
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    key: str,
+    bin_size: int,
+    a_start: str = "start",
+    a_end: str = "end",
+    b_start: str = "start",
+    b_end: str = "end",
+) -> DataFrame:
+    """Interval × interval overlap join per key (half-open [start, end)
+    semantics) as an EQUI join — never a nested loop.
+
+    Each interval explodes to every ``bin_size`` bucket it touches; the
+    join keys on (key, bin).  A pair that shares several buckets would
+    match repeatedly, so the residual predicate keeps only the pair's
+    CANONICAL bucket — the one holding max(a.start, b.start) — which
+    both dedups without a distinct shuffle and implies the overlap test
+    on that side.  Output: the paired rows' columns prefixed a_/b_.
+
+    Scale: shuffle size = rows × (interval_span / bin_size); pick
+    ``bin_size`` near the typical span so explosion stays O(1) per row.
+    Same family as range_join_binned above (point × interval)."""
+    def binned(df, start, end, prefix):
+        cols = [F.col(c).alias(f"{prefix}{c}") for c in df.columns]
+        return df.select(
+            *cols,
+            F.col(key).alias(f"__{prefix}key"),
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(start) / bin_size),
+                    F.floor((F.col(end) - 1) / bin_size),
+                )
+            ).alias(f"__{prefix}bin"),
+        )
+
+    al = binned(a, a_start, a_end, "a_")
+    bl = binned(b, b_start, b_end, "b_")
+    canon = F.floor(
+        F.greatest(F.col(f"a_{a_start}"), F.col(f"b_{b_start}")) / bin_size
+    )
+    return (
+        al.join(
+            bl,
+            (F.col("__a_key") == F.col("__b_key"))
+            & (F.col("__a_bin") == F.col("__b_bin")),
+        )
+        .where(
+            (F.col("__a_bin") == canon)
+            & (F.col(f"a_{a_start}") < F.col(f"b_{b_end}"))
+            & (F.col(f"b_{b_start}") < F.col(f"a_{a_end}"))
+        )
+        .drop("__a_key", "__b_key", "__a_bin", "__b_bin")
+    )

@@ -121,3 +121,32 @@ def winsorize(
         joined = df.join(F.broadcast(bounds), group_col)
     clipped = F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
     return joined.withColumn(f"{value_col}_wins", clipped).drop("__lo", "__hi")
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    alpha: float = 10.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """Smoothed mean target encoding (the leakage-safe categorical
+    feature): ``enc = (sum_y + alpha * global_mean) / (n + alpha)`` — a
+    category's mean shrunk toward the global mean by pseudo-count
+    ``alpha``, so rare categories don't memorize their few labels.
+
+    One keyed aggregation (map-side partial) plus a broadcast 1-row
+    global mean; returns (cat, n, enc)."""
+    g = df.agg(F.avg(target_col).alias("__gmean"))
+    per_cat = df.groupBy(cat_col).agg(
+        F.count(target_col).alias("n"), F.sum(target_col).alias("__sum")
+    )
+    return per_cat.crossJoin(F.broadcast(g)).select(
+        cat_col,
+        "n",
+        F.round(
+            (F.col("__sum") + F.lit(alpha) * F.col("__gmean"))
+            / (F.col("n") + F.lit(alpha)),
+            decimals,
+        ).alias("enc"),
+    )
