@@ -896,6 +896,78 @@ class KevinFrame:
 
         return KevinFrame.from_df(_validate(self._df, checks), ordered=False)
 
+    def dedup_lines(
+        self, text_col: str = "text", id_col: str = "doc_id", sep: str = "\n"
+    ) -> "KevinFrame":
+        """Corpus-wide line-level dedup (first occurrence wins, documents
+        reassembled in order) — see ``operators.dedup.line_dedup``."""
+        from kevinlang_spark.operators.dedup import line_dedup
+
+        return KevinFrame.from_df(
+            line_dedup(self._df, id_col, text_col, sep), ordered=False
+        )
+
+    def dedup_semantic(
+        self,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        bits: int = 8,
+        threshold: float = 0.9,
+    ) -> "KevinFrame":
+        """SemDeDup-style semantic dedup over an embedding column — see
+        ``operators.similarity.semantic_dedup``."""
+        from kevinlang_spark.operators.similarity import semantic_dedup
+
+        return KevinFrame.from_df(
+            semantic_dedup(self._df, vec_col, id_col, bits, threshold),
+            ordered=False,
+        )
+
+    def association_rules(
+        self,
+        basket_col: str,
+        item_col: str,
+        min_support: int = 2,
+        max_basket_size: int | None = None,
+    ) -> "KevinFrame":
+        """Market-basket A→B rules with support/confidence/lift — see
+        ``operators.baskets.association_rules``."""
+        from kevinlang_spark.operators.baskets import association_rules as _ar
+
+        return KevinFrame.from_df(
+            _ar(self._df, basket_col, item_col, min_support, max_basket_size),
+            ordered=False,
+        )
+
+    def apply_cdc(
+        self,
+        log: "KevinFrame",
+        key_cols: list[str],
+        seq_col: str,
+        op_col: str,
+        delete_op: str = "D",
+    ) -> "KevinFrame":
+        """Apply an insert/update/delete change log to this snapshot —
+        see ``operators.incremental.apply_cdc``."""
+        from kevinlang_spark.operators.incremental import apply_cdc as _cdc
+
+        other = log._df if isinstance(log, KevinFrame) else log
+        return KevinFrame.from_df(
+            _cdc(self._df, other, key_cols, seq_col, op_col, delete_op),
+            ordered=False,
+        )
+
+    def target_encode(
+        self, cat_col: str, target_col: str, alpha: float = 10.0
+    ) -> "KevinFrame":
+        """Smoothed mean target encoding per category — see
+        ``operators.stats.target_encode``."""
+        from kevinlang_spark.operators.stats import target_encode as _te
+
+        return KevinFrame.from_df(
+            _te(self._df, cat_col, target_col, alpha), ordered=False
+        )
+
     def merge(
         self,
         other: "KevinFrame",

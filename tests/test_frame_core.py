@@ -236,3 +236,64 @@ def test_frame_extension_surface(spark):
     rep = kf.validate([unique("doc_id"), not_null("text")])
     out = {r.check: r.passed for r in rep.df.collect()}
     assert out == {"doc_id_unique": True, "text_not_null": True}
+
+
+def test_frame_extension_surface_round4(spark):
+    """Round-4 pipeline operators are reachable as KevinFrame methods."""
+    from kevinlang_spark.frame import KevinFrame
+
+    docs = KevinFrame.from_df(
+        spark.createDataFrame(
+            [(1, "a\nb"), (2, "b\nc")], ["doc_id", "text"]
+        ),
+        ordered=False,
+    )
+    ld = docs.dedup_lines()
+    got = {r.id: r.text_dedup for r in ld.df.collect()}
+    assert got == {1: "a\nb", 2: "c"}
+
+    emb = KevinFrame.from_df(
+        spark.createDataFrame(
+            [(1, [1.0, 1.0]), (2, [1.0, 1.01]), (3, [-1.0, -1.0])],
+            "vec_id bigint, embedding array<double>",
+        ),
+        ordered=False,
+    )
+    sd = emb.dedup_semantic(bits=2, threshold=0.99)
+    assert {r.id for r in sd.df.collect() if r.is_dup} == {2}
+
+    baskets = KevinFrame.from_df(
+        spark.createDataFrame(
+            [(1, "a"), (1, "b"), (2, "a"), (2, "b")], ["basket", "item"]
+        ),
+        ordered=False,
+    )
+    rules = baskets.association_rules("basket", "item", min_support=2)
+    assert rules.df.count() == 2  # both directions of the one pair
+
+    base = KevinFrame.from_df(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], ["k", "v"]),
+        ordered=False,
+    )
+    log = KevinFrame.from_df(
+        spark.createDataFrame(
+            [(2, 99.0, 1, "U"), (3, 30.0, 1, "I")],
+            ["k", "v", "seq", "op"],
+        ),
+        ordered=False,
+    )
+    merged = base.apply_cdc(log, ["k"], "seq", "op")
+    assert {(r.k, r.v) for r in merged.df.collect()} == {
+        (1, 10.0), (2, 99.0), (3, 30.0)
+    }
+
+    enc = KevinFrame.from_df(
+        spark.createDataFrame(
+            [("x", 1.0), ("x", 3.0), ("y", 10.0)], ["cat", "y"]
+        ),
+        ordered=False,
+    ).target_encode("cat", "y", alpha=1.0)
+    got = {r.cat: r.enc for r in enc.df.collect()}
+    # global mean = 14/3; x: (4 + 14/3) / 3, y: (10 + 14/3) / 2
+    assert abs(got["x"] - (4 + 14 / 3) / 3) < 1e-6
+    assert abs(got["y"] - (10 + 14 / 3) / 2) < 1e-6
