@@ -2546,6 +2546,32 @@ def q_target_encode(spark, sf_dir):
     )
 
 
+def q_mad_outliers(spark, sf_dir):
+    """Robust per-group outliers: |x − median| > 3·MAD on order totals —
+    the masking-proof alternative to z-score flags.  Two keyed median
+    aggregations, group tables joined back by broadcast."""
+    from kevinlang_spark.operators.stats import mad_outliers
+
+    out = mad_outliers(
+        _events(spark, sf_dir), "event_type", "value", k=4.0
+    )
+    return out.where(F.col("is_outlier")).select(
+        "event_id",
+        "event_type",
+        F.round("group_median", 4).alias("group_median"),
+        F.round("mad", 4).alias("mad"),
+    )
+
+
+def q_chi_square(spark, sf_dir):
+    """Chi-square independence test of order priority × order status:
+    one pair-count aggregation, then margins/statistic on the broadcast
+    contingency table."""
+    from kevinlang_spark.operators.stats import chi_square
+
+    return chi_square(_t(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_select": q_select,
@@ -2677,6 +2703,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cdc_apply": q_cdc_apply,
         "q_interval_overlap": q_interval_overlap,
         "q_target_encode": q_target_encode,
+        "q_mad_outliers": q_mad_outliers,
+        "q_chi_square": q_chi_square,
     }
 
 
@@ -3726,6 +3754,37 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT AVG(o_totalprice) FROM orders)) / "
             "(COUNT(o_totalprice) + 10), 4) AS enc "
             "FROM orders GROUP BY o_orderpriority"
+        ),
+        "q_mad_outliers": (
+            "WITH med AS (SELECT event_type, MEDIAN(value) AS m "
+            "FROM events GROUP BY 1), "
+            "d AS (SELECT e.event_id, e.event_type, "
+            "ABS(e.value - med.m) AS dev, med.m FROM events e "
+            "JOIN med USING (event_type)), "
+            "mad AS (SELECT event_type, MEDIAN(dev) AS mad FROM d "
+            "GROUP BY 1) "
+            "SELECT d.event_id, d.event_type, "
+            "ROUND(d.m, 4) AS group_median, ROUND(mad.mad, 4) AS mad "
+            "FROM d JOIN mad USING (event_type) "
+            "WHERE d.dev > 4 * mad.mad"
+        ),
+        "q_chi_square": (
+            "WITH obs AS (SELECT o_orderpriority AS a, o_orderstatus AS b, "
+            "COUNT(*) AS o FROM orders WHERE o_orderpriority IS NOT NULL "
+            "AND o_orderstatus IS NOT NULL GROUP BY 1, 2), "
+            "rm AS (SELECT a, SUM(o) AS ra FROM obs GROUP BY a), "
+            "cm AS (SELECT b, SUM(o) AS cb FROM obs GROUP BY b), "
+            "t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs), "
+            "dofs AS (SELECT (COUNT(DISTINCT a) - 1) * "
+            "(COUNT(DISTINCT b) - 1) AS dof FROM obs), "
+            "grid AS (SELECT rm.a, rm.ra, cm.b, cm.cb, "
+            "COALESCE(obs.o, 0) AS o FROM rm CROSS JOIN cm "
+            "LEFT JOIN obs ON obs.a = rm.a AND obs.b = cm.b) "
+            "SELECT ROUND(SUM((grid.o - grid.ra * grid.cb / t.n) * "
+            "(grid.o - grid.ra * grid.cb / t.n) / "
+            "(grid.ra * grid.cb / t.n)), 4) "
+            "AS chi2, dofs.dof, t.n FROM grid "
+            "CROSS JOIN t CROSS JOIN dofs GROUP BY dofs.dof, t.n"
         ),
         "q_boilerplate": """WITH salted AS (SELECT text || CASE WHEN doc_id % 3 = 0 THEN '. This site uses cookies to improve your experience.' ELSE '' END || CASE WHEN doc_id % 5 = 0 THEN '. Subscribe to our newsletter for weekly updates.' ELSE '' END AS s FROM documents), l AS (SELECT unnest(list_filter(list_transform(string_split(s, '.'), x -> regexp_replace(lower(trim(x)), '[^a-z0-9 ]', '', 'g')), x -> len(x) > 20)) AS line FROM salted) SELECT line, COUNT(*) AS n_occurrences FROM l GROUP BY line HAVING COUNT(*) >= 5 ORDER BY n_occurrences DESC, line ASC LIMIT 50""",
         "q_label_centroids": """WITH e AS (SELECT label, i AS ord, CAST(embedding[i] AS DOUBLE) AS val FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)), d AS (SELECT label, ord, AVG(val) AS m, COUNT(*) AS n FROM e GROUP BY 1, 2) SELECT label, list(ROUND(m, 6) ORDER BY ord) AS centroid, MAX(n) AS n_vectors FROM d GROUP BY label""",

@@ -150,3 +150,73 @@ def target_encode(
             decimals,
         ).alias("enc"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier flags: |x − median| > k · MAD, where MAD
+    is the median absolute deviation — the estimator that, unlike z-score,
+    no single wild value can drag (the outlier itself inflates stddev and
+    masks itself; the median ignores it).
+
+    Two grouped exact-median aggregations (each one keyed shuffle with
+    Spark's native ``median``), each joined back by broadcast — group
+    cardinality is tiny relative to rows, the row table never re-shuffles.
+    Returns the input rows plus (group_median, mad, is_outlier)."""
+    med = df.groupBy(group_col).agg(F.median(value_col).alias("group_median"))
+    withmed = df.join(F.broadcast(med), group_col)
+    dev = F.abs(F.col(value_col) - F.col("group_median"))
+    mad = (
+        withmed.select(group_col, dev.alias("__dev"))
+        .groupBy(group_col)
+        .agg(F.median("__dev").alias("mad"))
+    )
+    return withmed.join(F.broadcast(mad), group_col).withColumn(
+        "is_outlier", dev > F.lit(k) * F.col("mad")
+    )
+
+
+def chi_square(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Chi-square test of independence between two categorical columns:
+    one (a, b) pair-count aggregation over the data, then margins and the
+    statistic computed entirely on the tiny contingency table (broadcast
+    joins — the row table is touched exactly once).  Returns one row
+    (chi2, dof, n)."""
+    obs = df.where(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).groupBy(col_a, col_b).agg(F.count("*").alias("o"))
+    row_m = obs.groupBy(col_a).agg(F.sum("o").alias("ra"))
+    col_m = obs.groupBy(col_b).agg(F.sum("o").alias("cb"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    e = F.col("ra") * F.col("cb") / F.col("n")
+    # the statistic sums over the FULL r×c grid — a zero cell still
+    # contributes (0−e)²/e = e, and dropping them understates chi2
+    # exactly when dependence is strongest; the grid is margins × margins
+    # (contingency-table sized, driver-free)
+    grid = row_m.crossJoin(col_m)
+    cells = (
+        grid.join(obs, [col_a, col_b], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            ((F.col("o") - e) * (F.col("o") - e) / e).alias("cell"),
+            "n",
+        )
+    )
+    dof = (
+        obs.agg(
+            (
+                (F.count_distinct(col_a) - 1) * (F.count_distinct(col_b) - 1)
+            ).alias("dof")
+        )
+    )
+    return (
+        cells.groupBy("n")
+        .agg(F.round(F.sum("cell"), 4).alias("chi2"))
+        .crossJoin(F.broadcast(dof))
+        .select("chi2", "dof", "n")
+    )

@@ -181,3 +181,51 @@ def test_target_encode_shrinks_rare_categories(spark):
         (100.0 + 10 * gmean) / 11.0, abs=1e-4
     )
     assert got["rare"].enc < 30
+
+
+# --------------------------------------------------------------------- #
+# mad_outliers / chi_square
+# --------------------------------------------------------------------- #
+
+
+def test_mad_outliers_not_masked_by_the_outlier(spark):
+    from kevinlang_spark.operators.stats import mad_outliers
+
+    # one wild value among tight data: stddev-based z < 3 would mask it
+    # (with n=9 the single 1000 inflates sigma to ~331, z ≈ 2.8), MAD
+    # flags it
+    vals = [10.0, 11.0, 12.0, 10.5, 11.5, 10.2, 11.8, 12.2, 1000.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    out = mad_outliers(df, "g", "v", k=3.0).collect()
+    flagged = [r.v for r in out if r.is_outlier]
+    assert flagged == [1000.0]
+
+
+def test_mad_outliers_uniform_has_none(spark):
+    from kevinlang_spark.operators.stats import mad_outliers
+
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(100)], "g string, v double"
+    )
+    out = mad_outliers(df, "g", "v", k=3.0).collect()
+    # uniform data: max deviation = 2*MAD, so nothing clears 3*MAD
+    assert not any(r.is_outlier for r in out)
+
+
+def test_chi_square_independent_vs_dependent(spark):
+    from kevinlang_spark.operators.stats import chi_square
+
+    # perfectly independent 2x2 (all cells equal) → chi2 = 0
+    indep = spark.createDataFrame(
+        [("a", "x")] * 5 + [("a", "y")] * 5 + [("b", "x")] * 5 + [("b", "y")] * 5,
+        "u string, v string",
+    )
+    (r,) = chi_square(indep, "u", "v").collect()
+    assert (r.chi2, r.dof, r.n) == (0.0, 1, 20)
+
+    # perfectly dependent (v == u) → chi2 = n
+    dep = spark.createDataFrame(
+        [("a", "a")] * 10 + [("b", "b")] * 10, "u string, v string"
+    )
+    (r,) = chi_square(dep, "u", "v").collect()
+    assert (r.chi2, r.dof, r.n) == (20.0, 1, 20)
