@@ -288,6 +288,39 @@ def shingle_sig_df(
     return sh_df, sig_df
 
 
+def band_keys(sig_df: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(id, band, key) LSH band keys of a (id, sig) signature frame: each
+    band's ``rows`` signature values hash to one 64-bit key.  Scan-stage
+    explode — the banding used by both the self-join (batch dedup) and
+    the bipartite probe-vs-index flows."""
+    return (
+        sig_df.where(F.col("sig").isNotNull())
+        .select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                F.concat_ws(
+                                    ",",
+                                    F.transform(
+                                        F.slice("sig", b * rows + 1, rows),
+                                        lambda v: v.cast("string"),
+                                    ),
+                                )
+                            ).alias("key"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select("id", "bk.band", "bk.key")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame | None,
     id_col: str = "doc_id",
@@ -334,28 +367,7 @@ def minhash_lsh_candidates(
             df, id_col, text_col, num_hashes, shingle_n, seed, shingles=shingles
         )
     )
-    banded = sig_df.where(F.col("sig").isNotNull()).select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                F.transform(
-                                    F.slice("sig", b * rows + 1, rows),
-                                    lambda v: v.cast("string"),
-                                ),
-                            )
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.key")
+    banded = band_keys(sig_df, bands, rows)
     buckets = banded.groupBy("band", "key").agg(F.collect_list("id").alias("ids"))
     buckets = buckets.where(F.size("ids") >= 2)
     if max_bucket_size is not None:
@@ -1017,3 +1029,84 @@ def line_dedup(
             "n_lines_total",
         )
     )
+
+
+def minhash_probe_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dups of NEW documents against a persisted corpus index
+    (``write_minhash_index``): bipartite probe — new docs pair only with
+    the corpus, never with each other.  Returns (new_id, corpus_id,
+    jaccard ≥ threshold); a new doc whose id already exists in the index
+    never matches itself.
+
+    This is the ingest-time dedup shape: the corpus is NOT re-tokenized
+    (its hashes/signatures are read from the index tables), and with a
+    batch-sized probe side every join is a broadcast of probe data
+    against the index scan — the corpus never shuffles.  The hash family
+    must match the one the index was written with (same num_hashes /
+    shingle_n / seed), which write_minhash_index guarantees for its own
+    defaults; the sig-length check below fails fast on a mismatch."""
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"bands ({bands})"
+        )
+    rows = num_hashes // bands
+    idx_sh = spark.read.parquet(f"{path}/shingles")
+    idx_sig = spark.read.parquet(f"{path}/signatures")
+    first = idx_sig.select(F.size("sig").alias("n")).first()
+    if first is not None and first["n"] != num_hashes:
+        raise ValueError(
+            f"index at {path!r} stores {first['n']}-hash signatures; "
+            f"pass num_hashes={first['n']} (got {num_hashes})"
+        )
+    probe_sh, probe_sig = shingle_sig_df(
+        new_docs, id_col, text_col, num_hashes, shingle_n, seed
+    )
+    cands = (
+        band_keys(idx_sig, bands, rows)
+        .join(
+            F.broadcast(
+                band_keys(probe_sig, bands, rows)
+                .withColumnRenamed("id", "new_id")
+            ),
+            ["band", "key"],
+        )
+        .where(F.col("new_id") != F.col("id"))
+        .select("new_id", F.col("id").alias("corpus_id"))
+        .distinct()
+    )
+    out = (
+        cands.join(
+            F.broadcast(
+                probe_sh.select(
+                    F.col("id").alias("new_id"), F.col("shh").alias("sh_a")
+                )
+            ),
+            "new_id",
+        )
+        .join(
+            idx_sh.select(
+                F.col("id").alias("corpus_id"), F.col("shh").alias("sh_b")
+            ),
+            "corpus_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return out
