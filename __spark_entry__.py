@@ -2572,6 +2572,68 @@ def q_chi_square(spark, sf_dir):
     return chi_square(_t(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus")
 
 
+def q_decayed_features(spark, sf_dir):
+    """Exponentially time-decayed per-user activity features (7-day
+    half-life, fixed reference instant): the feature-store recency
+    aggregate — one scan, scan-stage weight expression, one key shuffle."""
+    from kevinlang_spark.operators.events import time_decayed_agg
+
+    return time_decayed_agg(
+        _events(spark, sf_dir),
+        ref_ts="2024-02-01 00:00:00",
+        half_life_hours=168.0,
+    )
+
+
+def q_bootstrap_mean(spark, sf_dir):
+    """Poisson-bootstrap CI of the mean event value: 32 deterministic
+    hash-weighted resamples in one scan (the scalable bootstrap — no
+    with-replacement global sampling)."""
+    from kevinlang_spark.operators.stats import poisson_bootstrap
+
+    return poisson_bootstrap(
+        _t(spark, sf_dir, "events"), "value", "event_id", n_boot=32
+    )
+
+
+def q_psi_drift(spark, sf_dir):
+    """PSI drift readout between two deterministic user-hash arms of the
+    event stream (fixed breaks 0..250, 10 bins): one scan + one tiny
+    bin-keyed aggregation, complete bin spine."""
+    from kevinlang_spark.operators.drift import psi_drift
+    from kevinlang_spark.operators.sampling import split_assignment
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "arm", split_assignment(F.col("user_id"), {"a": 0.5, "b": 0.5})
+    )
+    return psi_drift(
+        ev, "value", "arm", expected="a", actual="b", lo=0.0, hi=250.0, nbins=10
+    )
+
+
+def q_group_ols(spark, sf_dir):
+    """Per-returnflag OLS of extendedprice on quantity: millions of
+    closed-form regressions as ONE mergeable aggregation (regr_* folds)."""
+    from kevinlang_spark.operators.stats import group_ols
+
+    return group_ols(
+        _t(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
+    )
+
+
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit of customer over (nation, market segment)
+    quasi-identifiers: Q13-shaped double aggregation to one risk row."""
+    from kevinlang_spark.operators.quality import k_anonymity
+
+    return k_anonymity(
+        _t(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"], k=10
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_select": q_select,
@@ -2705,6 +2767,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_target_encode": q_target_encode,
         "q_mad_outliers": q_mad_outliers,
         "q_chi_square": q_chi_square,
+        "q_decayed_features": q_decayed_features,
+        "q_bootstrap_mean": q_bootstrap_mean,
+        "q_psi_drift": q_psi_drift,
+        "q_group_ols": q_group_ols,
+        "q_k_anonymity": q_k_anonymity,
     }
 
 
@@ -3785,6 +3852,96 @@ def oracle_sql() -> dict[str, str]:
             "(grid.ra * grid.cb / t.n)), 4) "
             "AS chi2, dofs.dof, t.n FROM grid "
             "CROSS JOIN t CROSS JOIN dofs GROUP BY dofs.dof, t.n"
+        ),
+        "q_decayed_features": (
+            "SELECT user_id, COUNT(*) AS n_events, "
+            "ROUND(SUM(value * POW(0.5, ((EPOCH(TIMESTAMP "
+            "'2024-02-01 00:00:00') - FLOOR(EPOCH(ts))) / 3600.0) / 168.0)), "
+            "6) AS decayed_sum, "
+            "ROUND(SUM(POW(0.5, ((EPOCH(TIMESTAMP '2024-02-01 00:00:00') - "
+            "FLOOR(EPOCH(ts))) / 3600.0) / 168.0)), 6) AS decayed_n, "
+            "ROUND(SUM(value * POW(0.5, ((EPOCH(TIMESTAMP "
+            "'2024-02-01 00:00:00') - FLOOR(EPOCH(ts))) / 3600.0) / 168.0)) "
+            "/ SUM(POW(0.5, ((EPOCH(TIMESTAMP '2024-02-01 00:00:00') - "
+            "FLOOR(EPOCH(ts))) / 3600.0) / 168.0)), 6) AS decayed_mean "
+            "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL "
+            "GROUP BY user_id"
+        ),
+        "q_bootstrap_mean": (
+            "WITH r AS (SELECT event_id, value, t.b FROM events "
+            "CROSS JOIN (SELECT unnest(range(32)) AS b) t "
+            "WHERE value IS NOT NULL), "
+            "u AS (SELECT value, b, "
+            "(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' || "
+            "CAST(b AS VARCHAR)), 1, 15) AS BIGINT) % 1000000) / 1000000.0 "
+            "AS u FROM r), "
+            "p AS (SELECT value, b, CAST(CASE "
+            "WHEN u < 0.36787944117144233 THEN 0 "
+            "WHEN u < 0.7357588823428847 THEN 1 "
+            "WHEN u < 0.9196986029286058 THEN 2 "
+            "WHEN u < 0.9810118431238462 THEN 3 "
+            "WHEN u < 0.9963401531726563 THEN 4 "
+            "WHEN u < 0.9994058151824183 THEN 5 "
+            "WHEN u < 0.9999167588507119 THEN 6 "
+            "WHEN u < 0.9999897508033253 THEN 7 "
+            "WHEN u < 0.9999988747974021 THEN 8 "
+            "ELSE 9 END AS DOUBLE) AS w FROM u), "
+            "m AS (SELECT b, SUM(w * value) / SUM(w) AS m FROM p GROUP BY b) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_boot, "
+            "ROUND(AVG(m), 6) AS boot_mean, "
+            "ROUND(STDDEV_SAMP(m), 6) AS boot_se, "
+            "ROUND(AVG(m) - 1.96 * STDDEV_SAMP(m), 6) AS ci_lo, "
+            "ROUND(AVG(m) + 1.96 * STDDEV_SAMP(m), 6) AS ci_hi FROM m"
+        ),
+        "q_psi_drift": (
+            "WITH e AS (SELECT CAST(LEAST(GREATEST(FLOOR((value - 0.0) / "
+            "25.0), 0), 9) AS BIGINT) AS bin, "
+            "CASE WHEN (CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), "
+            "1, 15) AS BIGINT) % 10000) < 5000 THEN 'a' ELSE 'b' END AS arm "
+            "FROM events WHERE value IS NOT NULL), "
+            "c AS (SELECT bin, COUNT(*) FILTER (WHERE arm = 'a') "
+            "AS n_expected, COUNT(*) FILTER (WHERE arm = 'b') AS n_actual "
+            "FROM e GROUP BY bin), "
+            "f AS (SELECT s.bin, COALESCE(n_expected, 0) AS n_expected, "
+            "COALESCE(n_actual, 0) AS n_actual FROM "
+            "(SELECT unnest(range(10)) AS bin) s LEFT JOIN c USING (bin)), "
+            "t AS (SELECT SUM(n_expected) AS te, SUM(n_actual) AS ta FROM f), "
+            "x AS (SELECT f.bin, f.n_expected, f.n_actual, "
+            "(GREATEST(f.n_expected / t.te, 1e-6) - "
+            "GREATEST(f.n_actual / t.ta, 1e-6)) * "
+            "LN(GREATEST(f.n_expected / t.te, 1e-6) / "
+            "GREATEST(f.n_actual / t.ta, 1e-6)) AS c "
+            "FROM f CROSS JOIN t), "
+            "tt AS (SELECT ROUND(SUM(c), 6) AS psi_total FROM x) "
+            "SELECT bin, ROUND(CAST(bin AS DOUBLE) * 25.0, 6) AS bin_lo, "
+            "CAST(n_expected AS BIGINT) AS n_expected, "
+            "CAST(n_actual AS BIGINT) AS n_actual, "
+            "ROUND(c, 6) AS psi_bin, psi_total "
+            "FROM x CROSS JOIN tt"
+        ),
+        "q_group_ols": (
+            "SELECT l_returnflag, "
+            "CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n, "
+            "ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope, "
+            "ROUND(regr_intercept(l_extendedprice, l_quantity), 6) "
+            "AS intercept, "
+            "ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2 "
+            "FROM lineitem WHERE l_quantity IS NOT NULL "
+            "AND l_extendedprice IS NOT NULL GROUP BY l_returnflag"
+        ),
+        "q_k_anonymity": (
+            "WITH g AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n "
+            "FROM customer GROUP BY 1, 2) "
+            "SELECT CAST(10 AS BIGINT) AS k, "
+            "CAST(MIN(n) AS BIGINT) AS k_anonymity, "
+            "CAST(COUNT(*) AS BIGINT) AS n_groups, "
+            "CAST(COUNT(*) FILTER (WHERE n < 10) AS BIGINT) "
+            "AS n_risky_groups, "
+            "CAST(SUM(n) AS BIGINT) AS n_rows, "
+            "CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT) "
+            "AS n_risky_rows, "
+            "ROUND(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) / SUM(n), 6) "
+            "AS risk_rate FROM g"
         ),
         "q_boilerplate": """WITH salted AS (SELECT text || CASE WHEN doc_id % 3 = 0 THEN '. This site uses cookies to improve your experience.' ELSE '' END || CASE WHEN doc_id % 5 = 0 THEN '. Subscribe to our newsletter for weekly updates.' ELSE '' END AS s FROM documents), l AS (SELECT unnest(list_filter(list_transform(string_split(s, '.'), x -> regexp_replace(lower(trim(x)), '[^a-z0-9 ]', '', 'g')), x -> len(x) > 20)) AS line FROM salted) SELECT line, COUNT(*) AS n_occurrences FROM l GROUP BY line HAVING COUNT(*) >= 5 ORDER BY n_occurrences DESC, line ASC LIMIT 50""",
         "q_label_centroids": """WITH e AS (SELECT label, i AS ord, CAST(embedding[i] AS DOUBLE) AS val FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)), d AS (SELECT label, ord, AVG(val) AS m, COUNT(*) AS n FROM e GROUP BY 1, 2) SELECT label, list(ROUND(m, 6) ORDER BY ord) AS centroid, MAX(n) AS n_vectors FROM d GROUP BY label""",

@@ -250,3 +250,46 @@ def event_transitions(
         .groupBy("prev_type", "event_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+def time_decayed_agg(
+    events: DataFrame,
+    ref_ts: str,
+    half_life_hours: float = 168.0,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exponentially time-decayed feature aggregates per key, as of a
+    fixed reference instant: ``weight = 0.5 ** (age_hours / half_life)``.
+
+    The feature-store staple ("activity in the last N days, recency
+    weighted") computed in ONE scan + ONE key shuffle: the weight is a
+    pure scan-stage expression (no window, no self-join, no per-key
+    state), and sum/count/mean fold map-side like any mergeable
+    aggregate.  ``ref_ts`` is an explicit parameter — never "now" — so
+    the output is deterministic and re-runnable (same reason the
+    sampling ops hash content instead of calling rand()).
+
+    Returns (key, n_events, decayed_sum, decayed_n, decayed_mean) where
+    ``decayed_n`` is the sum of weights (the "effective" event count).
+    """
+    if half_life_hours <= 0:
+        raise ValueError(f"half_life_hours must be > 0 (got {half_life_hours})")
+    age_h = (
+        F.unix_timestamp(F.lit(ref_ts).cast("timestamp"))
+        - F.unix_timestamp(F.col(ts_col))
+    ) / 3600.0
+    w = F.pow(F.lit(0.5), age_h / F.lit(half_life_hours))
+    return (
+        events.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(key_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(w * F.col(value_col)), 6).alias("decayed_sum"),
+            F.round(F.sum(w), 6).alias("decayed_n"),
+            F.round(
+                F.sum(w * F.col(value_col)) / F.sum(w), 6
+            ).alias("decayed_mean"),
+        )
+    )

@@ -75,3 +75,35 @@ def validate(df: DataFrame, checks) -> DataFrame:
         ).alias("r")
     )
     return rows.select("r.check", "r.violations", "r.passed")
+
+
+def k_anonymity(df: DataFrame, quasi_cols: list[str], k: int = 5) -> DataFrame:
+    """Re-identification risk audit: group by the quasi-identifier
+    columns and measure how much of the dataset lives in groups smaller
+    than ``k`` (a row in a size-1 group is uniquely re-identifiable
+    from the quasi-identifiers alone).
+
+    Shape is the TPC-H Q13 double aggregation: one shuffle on the
+    quasi-identifier key (map-side combined), then the summary folds
+    the ≤|groups| counts — the raw table is scanned exactly once.
+    Returns ONE row: (k, k_anonymity = min group size, n_groups,
+    n_risky_groups, n_rows, n_risky_rows, risk_rate).  A dataset is
+    k-anonymous iff ``k_anonymity >= k`` (risk_rate 0).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    groups = df.groupBy(*quasi_cols).agg(F.count("*").alias("n"))
+    risky = F.col("n") < k
+    return groups.agg(
+        F.lit(k).cast("bigint").alias("k"),
+        F.min("n").cast("bigint").alias("k_anonymity"),
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.count_if(risky).cast("bigint").alias("n_risky_groups"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.sum(F.when(risky, F.col("n")).otherwise(0)).cast("bigint").alias(
+            "n_risky_rows"
+        ),
+        F.round(
+            F.sum(F.when(risky, F.col("n")).otherwise(0)) / F.sum("n"), 6
+        ).alias("risk_rate"),
+    )

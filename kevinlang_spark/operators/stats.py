@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -219,4 +219,104 @@ def chi_square(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         .agg(F.round(F.sum("cell"), 4).alias("chi2"))
         .crossJoin(F.broadcast(dof))
         .select("chi2", "dof", "n")
+    )
+
+
+#: cumulative Poisson(1) probabilities P(X <= k) for k = 0..8 — the
+#: inverse-CDF table for hash-derived bootstrap weights (P(X <= 8) leaves
+#: ~1e-7 mass for the final bucket)
+_POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+    0.9999988747974021,
+)
+
+
+def _poisson1_weight(u: Column) -> Column:
+    """Poisson(1) draw from a uniform ``u`` in [0, 1) by inverse CDF —
+    a pure when-chain expression (codegen, no UDF)."""
+    out = F.lit(9)
+    for k, cdf in reversed(list(enumerate(_POISSON1_CDF))):
+        out = F.when(u < F.lit(cdf), F.lit(k)).otherwise(out)
+    return out
+
+
+def poisson_bootstrap(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_boot: int = 32,
+) -> DataFrame:
+    """Bootstrap standard error / CI of the mean via the Poisson
+    bootstrap — the formulation that actually scales: classical
+    resampling needs sampling WITH replacement from the full dataset
+    (a global operation), but for large n the multinomial resample
+    counts converge to independent Poisson(1) weights per row, so each
+    of the ``n_boot`` resamples is just a per-row weight expression.
+
+    One scan: rows are exploded ×n_boot in the scan stage (no
+    self-join), each (row, b) gets a DETERMINISTIC weight from the md5
+    hash of (id, b) — reproducible across runs, partitionings, and
+    engines — and the only shuffle is the n_boot-key aggregation of
+    weighted sums.  Returns ONE row: (n_boot, boot_mean, boot_se,
+    ci_lo, ci_hi) with a normal-approximation 95% interval.
+    """
+    from kevinlang_spark.operators.sampling import hash_bucket
+
+    if n_boot < 2:
+        raise ValueError(f"n_boot must be >= 2 (got {n_boot})")
+    u = (
+        hash_bucket(
+            F.concat_ws(
+                ":", F.col(id_col).cast("string"), F.col("b").cast("string")
+            ),
+            1_000_000,
+        )
+        / 1_000_000.0
+    )
+    w = _poisson1_weight(u).cast("double")
+    resamples = (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(id_col), F.col(value_col).cast("double").alias("x"))
+        .withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))))
+        .groupBy("b")
+        .agg((F.sum(w * F.col("x")) / F.sum(w)).alias("m"))
+    )
+    se = F.stddev_samp("m")
+    return resamples.agg(
+        F.count("*").cast("bigint").alias("n_boot"),
+        F.round(F.avg("m"), 6).alias("boot_mean"),
+        F.round(se, 6).alias("boot_se"),
+        F.round(F.avg("m") - 1.96 * se, 6).alias("ci_lo"),
+        F.round(F.avg("m") + 1.96 * se, 6).alias("ci_hi"),
+    )
+
+
+def group_ols(
+    df: DataFrame, key_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Per-group simple linear regression (closed-form OLS) — slope,
+    intercept, r², n per key, all from ONE aggregation over one scan:
+    ``regr_*`` aggregates are mergeable sufficient-statistic folds
+    (Σx, Σy, Σxy, Σx², Σy²), so they partial-aggregate map-side like
+    any sum.  Millions of small regressions (per-entity trends) scale
+    exactly like a groupBy-sum — no per-group iteration, no ML library.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    return (
+        df.where(x.isNotNull() & y.isNotNull())
+        .groupBy(key_col)
+        .agg(
+            F.regr_count(y, x).cast("bigint").alias("n"),
+            F.round(F.regr_slope(y, x), 6).alias("slope"),
+            F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+        )
     )
