@@ -968,6 +968,70 @@ class KevinFrame:
             _te(self._df, cat_col, target_col, alpha), ordered=False
         )
 
+    def time_decayed_agg(
+        self,
+        ref_ts: str,
+        half_life_hours: float = 168.0,
+        key_col: str = "user_id",
+        ts_col: str = "ts",
+        value_col: str = "value",
+    ) -> "KevinFrame":
+        """Exponentially time-decayed per-key feature aggregates — see
+        ``operators.events.time_decayed_agg``."""
+        from kevinlang_spark.operators.events import time_decayed_agg as _tda
+
+        return KevinFrame.from_df(
+            _tda(self._df, ref_ts, half_life_hours, key_col, ts_col, value_col),
+            ordered=False,
+        )
+
+    def poisson_bootstrap(
+        self, value_col: str, id_col: str, n_boot: int = 32
+    ) -> "KevinFrame":
+        """Poisson-bootstrap CI of the mean — see
+        ``operators.stats.poisson_bootstrap``."""
+        from kevinlang_spark.operators.stats import poisson_bootstrap as _pb
+
+        return KevinFrame.from_df(
+            _pb(self._df, value_col, id_col, n_boot), ordered=False
+        )
+
+    def psi_drift(
+        self,
+        value_col: str,
+        arm_col: str,
+        expected: str,
+        actual: str,
+        lo: float,
+        hi: float,
+        nbins: int = 10,
+    ) -> "KevinFrame":
+        """PSI distribution drift between two arms — see
+        ``operators.drift.psi_drift``."""
+        from kevinlang_spark.operators.drift import psi_drift as _psi
+
+        return KevinFrame.from_df(
+            _psi(self._df, value_col, arm_col, expected, actual, lo, hi, nbins),
+            ordered=False,
+        )
+
+    def group_ols(self, key_col: str, x_col: str, y_col: str) -> "KevinFrame":
+        """Per-group closed-form OLS — see ``operators.stats.group_ols``."""
+        from kevinlang_spark.operators.stats import group_ols as _ols
+
+        return KevinFrame.from_df(
+            _ols(self._df, key_col, x_col, y_col), ordered=False
+        )
+
+    def k_anonymity(self, quasi_cols: list[str], k: int = 5) -> "KevinFrame":
+        """k-anonymity re-identification risk audit — see
+        ``operators.quality.k_anonymity``."""
+        from kevinlang_spark.operators.quality import k_anonymity as _ka
+
+        return KevinFrame.from_df(
+            _ka(self._df, quasi_cols, k), ordered=False
+        )
+
     def merge(
         self,
         other: "KevinFrame",
