@@ -2634,6 +2634,63 @@ def q_k_anonymity(spark, sf_dir):
     )
 
 
+def q_cusum(spark, sf_dir):
+    """Two-sided CUSUM change-point screen per user series, expressed as
+    cumulative-sum windows (no stateful recurrence) — one key shuffle.
+    The driver-checked shape is the per-series summary (count of flagged
+    points + peak excursions at 2 decimals): the raw trace is a
+    cumulative float whose 6th decimal is sensitive to cross-engine
+    summation order, so hash-matching it row-by-row would flake."""
+    from kevinlang_spark.operators.anomaly import cusum_changepoints
+
+    trace = cusum_changepoints(_events(spark, sf_dir), threshold_sd=5.0)
+    return trace.groupBy("user_id").agg(
+        F.count("*").alias("n_points"),
+        F.count_if("is_change").alias("n_changes"),
+        F.round(F.max("cusum_hi"), 2).alias("max_hi"),
+        F.round(F.max("cusum_lo"), 2).alias("max_lo"),
+    )
+
+
+def q_seasonal_anomalies(spark, sf_dir):
+    """Hour-of-day seasonal baseline per event type, broadcast back;
+    rows beyond 3σ of their seasonal cell flag as anomalies."""
+    from kevinlang_spark.operators.anomaly import seasonal_anomalies
+
+    return seasonal_anomalies(
+        _events(spark, sf_dir), n_sd=3.0, min_obs=30
+    )
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot reconciliation rollup: added/removed/changed/unchanged
+    counts between two simulated loads of orders (one full outer join
+    on the key, scan-stage classification)."""
+    from kevinlang_spark.operators.incremental import snapshot_diff_summary
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderkey") % 10 != 3).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 10.0
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    new = orders.where(F.col("o_orderkey") % 10 != 7).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    return snapshot_diff_summary(old, new, ["o_orderkey"])
+
+
+def q_char_entropy(spark, sf_dir):
+    """Letter-distribution Shannon entropy per document (gibberish /
+    encrypted-blob screen): 26 replace-identity counts + in-row fold,
+    zero shuffle, zero UDF."""
+    from kevinlang_spark.operators.text import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_select": q_select,
@@ -2772,6 +2829,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_psi_drift": q_psi_drift,
         "q_group_ols": q_group_ols,
         "q_k_anonymity": q_k_anonymity,
+        "q_cusum": q_cusum,
+        "q_seasonal_anomalies": q_seasonal_anomalies,
+        "q_snapshot_diff": q_snapshot_diff,
+        "q_char_entropy": q_char_entropy,
     }
 
 
@@ -3942,6 +4003,73 @@ def oracle_sql() -> dict[str, str]:
             "AS n_risky_rows, "
             "ROUND(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) / SUM(n), 6) "
             "AS risk_rate FROM g"
+        ),
+        "q_cusum": (
+            "WITH b AS (SELECT user_id, ts, value, "
+            "AVG(value) OVER (PARTITION BY user_id) AS m, "
+            "STDDEV_POP(value) OVER (PARTITION BY user_id) AS sd "
+            "FROM events WHERE value IS NOT NULL AND ts IS NOT NULL), "
+            "c AS (SELECT user_id, ts, value, sd, "
+            "SUM(value - m) OVER (PARTITION BY user_id ORDER BY ts, value "
+            "ROWS UNBOUNDED PRECEDING) AS cu FROM b), "
+            "d AS (SELECT user_id, ts, value, sd, cu, "
+            "LEAST(MIN(cu) OVER w, 0) AS mn, "
+            "GREATEST(MAX(cu) OVER w, 0) AS mx FROM c "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, value "
+            "ROWS UNBOUNDED PRECEDING)) "
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points, "
+            "CAST(COUNT(*) FILTER (WHERE (cu - mn) > 5.0 * sd OR "
+            "(mx - cu) > 5.0 * sd) AS BIGINT) AS n_changes, "
+            "ROUND(MAX(ROUND(cu - mn, 6)), 2) AS max_hi, "
+            "ROUND(MAX(ROUND(mx - cu, 6)), 2) AS max_lo "
+            "FROM d GROUP BY user_id"
+        ),
+        "q_seasonal_anomalies": (
+            "WITH p AS (SELECT event_type, EXTRACT(hour FROM ts) AS hour, "
+            "AVG(value) AS baseline_mean, STDDEV_POP(value) AS baseline_sd, "
+            "COUNT(*) AS n_obs FROM events "
+            "WHERE value IS NOT NULL AND ts IS NOT NULL "
+            "GROUP BY 1, 2) "
+            "SELECT e.event_type, e.ts, CAST(p.hour AS INT) AS hour, "
+            "e.value, ROUND(p.baseline_mean, 6) AS baseline_mean, "
+            "ROUND(p.baseline_sd, 6) AS baseline_sd "
+            "FROM events e JOIN p ON e.event_type = p.event_type "
+            "AND EXTRACT(hour FROM e.ts) = p.hour "
+            "WHERE p.n_obs >= 30 AND "
+            "ABS(e.value - p.baseline_mean) > 3.0 * p.baseline_sd"
+        ),
+        "q_snapshot_diff": (
+            "WITH old AS (SELECT o_orderkey, o_orderstatus, "
+            "CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0 "
+            "ELSE o_totalprice END AS o_totalprice FROM orders "
+            "WHERE o_orderkey % 10 <> 3), "
+            "new AS (SELECT o_orderkey, o_orderstatus, o_totalprice "
+            "FROM orders WHERE o_orderkey % 10 <> 7), "
+            "j AS (SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS k, "
+            "CASE WHEN old.o_orderkey IS NULL THEN 'added' "
+            "WHEN new.o_orderkey IS NULL THEN 'removed' "
+            "WHEN old.o_orderstatus IS DISTINCT FROM new.o_orderstatus "
+            "OR old.o_totalprice IS DISTINCT FROM new.o_totalprice "
+            "THEN 'changed' ELSE 'unchanged' END AS status "
+            "FROM old FULL OUTER JOIN new USING (o_orderkey)) "
+            "SELECT status, COUNT(*) AS n FROM j GROUP BY status"
+        ),
+        "q_char_entropy": (
+            "WITH s AS (SELECT doc_id, lower(text) AS s, "
+            "length(text) AS n_chars FROM documents "
+            "WHERE text IS NOT NULL), "
+            "c AS (SELECT doc_id, n_chars, list_transform("
+            "['a','b','c','d','e','f','g','h','i','j','k','l','m','n','o',"
+            "'p','q','r','s','t','u','v','w','x','y','z'], "
+            "x -> CAST(length(s) - length(replace(s, x, '')) AS DOUBLE)) "
+            "AS cs FROM s), "
+            "t AS (SELECT doc_id, n_chars, cs, list_sum(cs) AS t FROM c) "
+            "SELECT doc_id, CAST(t AS BIGINT) AS n_letters, "
+            "ROUND(CASE WHEN n_chars > 0 THEN t / n_chars END, 6) "
+            "AS letter_ratio, "
+            "ROUND(CASE WHEN t > 0 THEN -list_sum(list_transform("
+            "list_filter(cs, v -> v > 0), v -> (v / t) * log2(v / t))) END, "
+            "6) AS entropy_bits FROM t"
         ),
         "q_boilerplate": """WITH salted AS (SELECT text || CASE WHEN doc_id % 3 = 0 THEN '. This site uses cookies to improve your experience.' ELSE '' END || CASE WHEN doc_id % 5 = 0 THEN '. Subscribe to our newsletter for weekly updates.' ELSE '' END AS s FROM documents), l AS (SELECT unnest(list_filter(list_transform(string_split(s, '.'), x -> regexp_replace(lower(trim(x)), '[^a-z0-9 ]', '', 'g')), x -> len(x) > 20)) AS line FROM salted) SELECT line, COUNT(*) AS n_occurrences FROM l GROUP BY line HAVING COUNT(*) >= 5 ORDER BY n_occurrences DESC, line ASC LIMIT 50""",
         "q_label_centroids": """WITH e AS (SELECT label, i AS ord, CAST(embedding[i] AS DOUBLE) AS val FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)), d AS (SELECT label, ord, AVG(val) AS m, COUNT(*) AS n FROM e GROUP BY 1, 2) SELECT label, list(ROUND(m, 6) ORDER BY ord) AS centroid, MAX(n) AS n_vectors FROM d GROUP BY label""",

@@ -61,6 +61,11 @@ HEADLINE = [
     "q_funnel",
     "q_transitions",
     "q_inverted_index",
+    "q_decayed_features",
+    "q_bootstrap_mean",
+    "q_psi_drift",
+    "q_group_ols",
+    "q_k_anonymity",
 ]
 
 

@@ -1032,6 +1032,66 @@ class KevinFrame:
             _ka(self._df, quasi_cols, k), ordered=False
         )
 
+    def cusum_changepoints(
+        self,
+        key_col: str = "user_id",
+        ts_col: str = "ts",
+        value_col: str = "value",
+        drift: float = 0.0,
+        threshold_sd: float = 5.0,
+    ) -> "KevinFrame":
+        """CUSUM change-point screen per series — see
+        ``operators.anomaly.cusum_changepoints``."""
+        from kevinlang_spark.operators.anomaly import cusum_changepoints as _cc
+
+        return KevinFrame.from_df(
+            _cc(self._df, key_col, ts_col, value_col, drift, threshold_sd),
+            ordered=False,
+        )
+
+    def seasonal_anomalies(
+        self,
+        key_col: str = "event_type",
+        ts_col: str = "ts",
+        value_col: str = "value",
+        n_sd: float = 3.0,
+        min_obs: int = 30,
+    ) -> "KevinFrame":
+        """Seasonal-baseline anomaly flags — see
+        ``operators.anomaly.seasonal_anomalies``."""
+        from kevinlang_spark.operators.anomaly import seasonal_anomalies as _sa
+
+        return KevinFrame.from_df(
+            _sa(self._df, key_col, ts_col, value_col, n_sd, min_obs),
+            ordered=False,
+        )
+
+    def snapshot_diff(
+        self,
+        new: "KevinFrame",
+        key_cols: list[str],
+        compare_cols: list[str] | None = None,
+    ) -> "KevinFrame":
+        """Reconcile this snapshot against a newer one — see
+        ``operators.incremental.snapshot_diff``."""
+        from kevinlang_spark.operators.incremental import snapshot_diff as _sd
+
+        other = new._df if isinstance(new, KevinFrame) else new
+        return KevinFrame.from_df(
+            _sd(self._df, other, key_cols, compare_cols), ordered=False
+        )
+
+    def char_entropy(
+        self, id_col: str = "doc_id", text_col: str = "text"
+    ) -> "KevinFrame":
+        """Letter-distribution Shannon entropy per document — see
+        ``operators.text.char_entropy``."""
+        from kevinlang_spark.operators.text import char_entropy as _ce
+
+        return KevinFrame.from_df(
+            _ce(self._df, id_col, text_col), ordered=False
+        )
+
     def merge(
         self,
         other: "KevinFrame",

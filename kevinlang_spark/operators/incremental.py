@@ -94,3 +94,83 @@ def apply_cdc(
     )
     untouched = base.join(winner.select(*key_cols), key_cols, "left_anti")
     return untouched.unionByName(survivors)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Reconcile two snapshots of the same table: per-key rows labelled
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` — the audit
+    every incremental load runs before promoting a new snapshot.
+
+    ONE full outer join on the key (both sides shuffle by the same key,
+    nothing else moves); the change classification is a scan-stage
+    expression over null-safe column comparisons, so column count adds
+    expression width, not passes.  Per-column difference flags come
+    back as a ``changed_cols`` array for drill-down.  NULL-vs-NULL in a
+    compared column counts as equal (null-safe <=>), matching what a
+    key-preserving reload should report.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if compare_cols is None:
+        compare_cols = [
+            c for c in new.columns if c in set(old.columns) - set(key_cols)
+        ]
+    o = old.select(
+        *[F.col(c).alias(c) for c in key_cols],
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(c).alias(c) for c in key_cols],
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_new"),
+    )
+    j = o.join(n, key_cols, "full_outer")
+    diff_flags = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), F.lit(c)
+                )
+                for c in compare_cols
+            ]
+        )
+    ) if compare_cols else F.array().cast("array<string>")
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(F.size("__diff") > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.withColumn("__diff", diff_flags)
+        .select(
+            *key_cols,
+            status.alias("status"),
+            F.when(
+                F.col("__in_old").isNotNull() & F.col("__in_new").isNotNull(),
+                F.col("__diff"),
+            ).alias("changed_cols"),
+        )
+    )
+
+
+def snapshot_diff_summary(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """One-row rollup of ``snapshot_diff``: counts per status — the
+    number every reconciliation dashboard actually plots.  The grouped
+    count folds map-side; the join output never leaves the executors."""
+    d = snapshot_diff(old, new, key_cols, compare_cols)
+    return (
+        d.groupBy("status")
+        .agg(F.count("*").alias("n"))
+    )

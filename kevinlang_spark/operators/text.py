@@ -465,3 +465,66 @@ def bigram_lm_score(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("lp"), 6).alias("avg_logp"),
     ).select(F.col("id").alias(id_col), "n_bigrams", "avg_logp")
+
+
+def char_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Shannon entropy of the letter distribution per document — the
+    gibberish/encrypted-blob screen in curation stacks: natural prose
+    sits near the language's letter-frequency entropy (~4.1 bits for
+    English); random keys and base64 push toward log2(26), repeated
+    padding collapses toward 0.
+
+    Zero shuffle, zero UDF: the 26 per-letter counts come from the
+    ``length(s) - length(replace(s, c))`` identity (pure codegen, no
+    regex), the count array is staged through its own projection so the
+    entropy fold doesn't re-evaluate the 26-replace pass per reference,
+    and ``H = -Σ (c/t) log2 (c/t)`` folds in-row via ``aggregate``.
+    Documents with no letters report NULL entropy (no distribution to
+    measure), not 0 (which means "one letter repeated").
+
+    Returns (id, n_letters, letter_ratio, entropy_bits).
+    """
+    letters = [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    low = F.lower(F.col(text_col))
+    s = F.col("__s")
+    counts = F.array(
+        *[
+            (F.length(s) - F.length(F.replace(s, F.lit(c)))).cast("double")
+            for c in letters
+        ]
+    )
+    t = F.col("__t")
+    h = -F.aggregate(
+        F.filter(F.col("__c"), lambda c: c > 0),
+        F.lit(0.0),
+        lambda acc, c: acc + (c / t) * F.log2(c / t),
+    )
+    return (
+        spread(df.where(F.col(text_col).isNotNull()))
+        # n_chars measured on the ORIGINAL text: lowercasing can change
+        # length for some Unicode code points (e.g. U+0130)
+        .select(
+            F.col(id_col).alias("id"),
+            F.length(F.col(text_col)).alias("n_chars"),
+            low.alias("__s"),
+        )
+        .select("id", "n_chars", counts.alias("__c"))
+        .select(
+            "id",
+            "n_chars",
+            "__c",
+            F.aggregate(
+                F.col("__c"), F.lit(0.0), lambda a, c: a + c
+            ).alias("__t"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("__t").cast("bigint").alias("n_letters"),
+            F.round(
+                F.when(F.col("n_chars") > 0, t / F.col("n_chars")), 6
+            ).alias("letter_ratio"),
+            F.round(F.when(t > 0, h), 6).alias("entropy_bits"),
+        )
+    )
