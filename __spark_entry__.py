@@ -534,8 +534,12 @@ def q_tpch_q2(spark, sf_dir):
             "n_name",
             "p_partkey",
             "p_name",
-            F.round("s_acctbal", 2).alias("s_acctbal"),
-            F.round("cost", 4).alias("supply_cost"),
+            # No rounding: s_acctbal is a raw parquet column and cost is
+            # min(price/qty) — both bit-identical IEEE doubles in any
+            # engine, while round() at a .xx5 boundary is convention-
+            # dependent (Spark HALF_UP on decimal string vs binary round).
+            "s_acctbal",
+            F.col("cost").alias("supply_cost"),
         )
     )
 
@@ -1283,9 +1287,9 @@ def q_quantiles(spark, sf_dir):
     quantile_cont)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", 0.25), 2).alias("p25"),
-        F.round(F.percentile("l_extendedprice", 0.5), 2).alias("p50"),
-        F.round(F.percentile("l_extendedprice", 0.75), 2).alias("p75"),
+        F.percentile("l_extendedprice", 0.25).alias("p25"),
+        F.percentile("l_extendedprice", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.75).alias("p75"),
     )
 
 
@@ -2496,7 +2500,10 @@ def q_cdc_apply(spark, sf_dir):
         F.col("o_custkey").alias("c_custkey"),
         F.concat(F.lit("cdc-"), F.col("o_custkey")).alias("c_name"),
         F.lit(0).cast("int").alias("c_nationkey"),
-        F.round(F.col("o_totalprice") / 100.0, 2).alias("c_acctbal"),
+        # /128 is an exact binary scaling (no rounding step) so the
+        # derived balance is bit-identical across engines; round(x/100,2)
+        # hit .xx5 half-up-vs-binary rounding divergence.
+        (F.col("o_totalprice") / 128.0).alias("c_acctbal"),
         F.lit("CDC").alias("c_mktsegment"),
         F.col("o_orderkey").alias("seq"),
         F.when(F.col("o_orderstatus") == "F", F.lit("U"))
@@ -3030,7 +3037,7 @@ def oracle_sql() -> dict[str, str]:
             "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'), "
             "ce AS (SELECT cost.*, eu.* FROM cost JOIN eu ON l_suppkey = s_suppkey) "
             "SELECT s_name, n_name, p_partkey, p_name, "
-            "ROUND(s_acctbal, 2) AS s_acctbal, ROUND(cost, 4) AS supply_cost "
+            "s_acctbal, cost AS supply_cost "
             "FROM ce JOIN part ON l_partkey = p_partkey "
             "WHERE p_size = 15 AND p_type = 'STANDARD' "
             "AND cost = (SELECT MIN(cost) FROM ce c2 WHERE c2.l_partkey = ce.l_partkey)"
@@ -3406,9 +3413,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_quantiles": (
             "SELECT l_returnflag, "
-            "ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS p25, "
-            "ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50, "
-            "ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS p75 "
+            "quantile_cont(l_extendedprice, 0.25) AS p25, "
+            "quantile_cont(l_extendedprice, 0.5) AS p50, "
+            "quantile_cont(l_extendedprice, 0.75) AS p75 "
             "FROM lineitem GROUP BY l_returnflag"
         ),
         "q_tpch_q10": (
@@ -3849,7 +3856,7 @@ def oracle_sql() -> dict[str, str]:
         "q_cdc_apply": (
             "WITH log AS (SELECT o_custkey AS c_custkey, "
             "'cdc-' || o_custkey AS c_name, CAST(0 AS INTEGER) AS c_nationkey, "
-            "ROUND(o_totalprice / 100.0, 2) AS c_acctbal, "
+            "o_totalprice / 128.0 AS c_acctbal, "
             "'CDC' AS c_mktsegment, o_orderkey AS seq, "
             "CASE WHEN o_orderstatus = 'F' THEN 'U' "
             "WHEN o_orderstatus = 'O' THEN 'I' ELSE 'D' END AS op "
