@@ -3936,13 +3936,16 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY user_id"
         ),
         "q_bootstrap_mean": (
-            "WITH r AS (SELECT event_id, value, t.b FROM events "
-            "CROSS JOIN (SELECT unnest(range(32)) AS b) t "
-            "WHERE value IS NOT NULL), "
+            "WITH h AS (SELECT value, "
+            "CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) "
+            "AS BIGINT) % 1073741824 AS h30 "
+            "FROM events WHERE value IS NOT NULL), "
+            "r AS (SELECT value, h30, t.b FROM h "
+            "CROSS JOIN (SELECT unnest(range(32)) AS b) t), "
             "u AS (SELECT value, b, "
-            "(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' || "
-            "CAST(b AS VARCHAR)), 1, 15) AS BIGINT) % 1000000) / 1000000.0 "
-            "AS u FROM r), "
+            "((((1103515245 * (b + 1) + 12345) % 2147483647 + 1) * h30 + "
+            "(69069 * (b + 1) + 12345) % 2147483647) % 1000003) "
+            "/ 1000003.0 AS u FROM r), "
             "p AS (SELECT value, b, CAST(CASE "
             "WHEN u < 0.36787944117144233 THEN 0 "
             "WHEN u < 0.7357588823428847 THEN 1 "

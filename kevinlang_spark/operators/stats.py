@@ -260,30 +260,41 @@ def poisson_bootstrap(
     counts converge to independent Poisson(1) weights per row, so each
     of the ``n_boot`` resamples is just a per-row weight expression.
 
-    One scan: rows are exploded ×n_boot in the scan stage (no
-    self-join), each (row, b) gets a DETERMINISTIC weight from the md5
-    hash of (id, b) — reproducible across runs, partitionings, and
-    engines — and the only shuffle is the n_boot-key aggregation of
-    weighted sums.  Returns ONE row: (n_boot, boot_mean, boot_se,
-    ci_lo, ci_hi) with a normal-approximation 95% interval.
+    One scan: each row is md5-hashed ONCE (the only expensive hash —
+    engine-portable, deterministic across runs and partitionings), then
+    exploded ×n_boot in the scan stage, and replicate ``b``'s uniform is
+    an affine integer rehash of the row hash — universal-hash family
+    ``u_b = ((a_b·h + c_b) mod P) / P`` with per-``b`` LCG-derived
+    constants, all int64-overflow-safe so the SQL oracle reproduces it
+    verbatim (DuckDB raises on BIGINT overflow rather than wrapping).
+    The only shuffle is the n_boot-key aggregation of weighted sums
+    (map-side partial → n_boot rows).  A no-explode variant computing
+    all 2·n_boot sums as one wide aggregation benched SLOWER (64 deep
+    CASE-chain aggregate expressions defeat whole-stage codegen); the
+    narrow explode keeps one compact weight expression in the loop.
+    Returns ONE row: (n_boot, boot_mean, boot_se, ci_lo, ci_hi) with a
+    normal-approximation 95% interval.
     """
-    from kevinlang_spark.operators.sampling import hash_bucket
-
     if n_boot < 2:
         raise ValueError(f"n_boot must be >= 2 (got {n_boot})")
-    u = (
-        hash_bucket(
-            F.concat_ws(
-                ":", F.col(id_col).cast("string"), F.col("b").cast("string")
-            ),
-            1_000_000,
-        )
-        / 1_000_000.0
+    # one md5 per ROW (not per row×replicate): 60 digest bits → h,
+    # folded to 30 bits so a_b·h30 + c_b stays < 2^63 in both engines
+    h30 = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        ).cast("bigint"),
+        F.lit(1_073_741_824),
     )
+    b1 = (F.col("b") + F.lit(1)).cast("bigint")
+    a_b = F.pmod(
+        F.lit(1_103_515_245) * b1 + F.lit(12_345), F.lit(2_147_483_647)
+    ) + F.lit(1)
+    c_b = F.pmod(F.lit(69_069) * b1 + F.lit(12_345), F.lit(2_147_483_647))
+    u = F.pmod(a_b * F.col("h30") + c_b, F.lit(1_000_003)) / F.lit(1_000_003.0)
     w = _poisson1_weight(u).cast("double")
     resamples = (
         df.where(F.col(value_col).isNotNull())
-        .select(F.col(id_col), F.col(value_col).cast("double").alias("x"))
+        .select(h30.alias("h30"), F.col(value_col).cast("double").alias("x"))
         .withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))))
         .groupBy("b")
         .agg((F.sum(w * F.col("x")) / F.sum(w)).alias("m"))
