@@ -2698,6 +2698,53 @@ def q_char_entropy(spark, sf_dir):
     return char_entropy(_t(spark, sf_dir, "documents"))
 
 
+def q_bpe_pairs(spark, sf_dir):
+    """Top-20 BPE merge candidates: corpus-wide adjacent char-pair
+    frequencies within words (one BPE vocabulary-learning iteration's
+    argmax statistic) — in-row pair assembly, one explode, wordcount
+    shuffle shape."""
+    from kevinlang_spark.operators.text import bpe_merge_pairs
+
+    return bpe_merge_pairs(_t(spark, sf_dir, "documents"), top_k=20)
+
+
+def q_ngram_diversity(spark, sf_dir):
+    """Per-source bigram diversity (distinct/total word bigrams) — the
+    cross-document self-repetition signal for template-generated corpus
+    slices."""
+    from kevinlang_spark.operators.text import ngram_diversity
+
+    return ngram_diversity(_t(spark, sf_dir, "documents"))
+
+
+def q_mixture_weights(spark, sf_dir):
+    """Temperature-scaled (alpha = 0.5) source mixing weights + per-doc
+    oversampling epochs — the multi-source rebalancing rule for training
+    mixtures."""
+    from kevinlang_spark.operators.sampling import mixture_weights
+
+    return mixture_weights(_t(spark, sf_dir, "documents"), alpha=0.5)
+
+
+def q_window_dedup(spark, sf_dir):
+    """First-arrival event debounce per (user, type, 10-min tumbling
+    window): min-(ts, id) struct aggregation, one key shuffle, no sort
+    window."""
+    from kevinlang_spark.operators.events import window_dedup
+
+    out = window_dedup(
+        _events(spark, sf_dir), ["user_id", "event_type"], window_s=600
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        "win_start",
+        F.col("ts").cast("long").alias("ts_s"),
+        "event_id",
+        "n_dups",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_select": q_select,
@@ -2840,6 +2887,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_seasonal_anomalies": q_seasonal_anomalies,
         "q_snapshot_diff": q_snapshot_diff,
         "q_char_entropy": q_char_entropy,
+        "q_bpe_pairs": q_bpe_pairs,
+        "q_ngram_diversity": q_ngram_diversity,
+        "q_mixture_weights": q_mixture_weights,
+        "q_window_dedup": q_window_dedup,
     }
 
 
@@ -4080,6 +4131,51 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(CASE WHEN t > 0 THEN -list_sum(list_transform("
             "list_filter(cs, v -> v > 0), v -> (v / t) * log2(v / t))) END, "
             "6) AS entropy_bits FROM t"
+        ),
+        "q_bpe_pairs": (
+            "SELECT pair, COUNT(*) AS n FROM ("
+            "SELECT unnest(flatten(list_transform("
+            "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> ''), "
+            "w -> list_transform(range(1, length(w)), "
+            "i -> substr(w, i, 2))))) AS pair "
+            "FROM documents WHERE text IS NOT NULL) "
+            "GROUP BY pair ORDER BY n DESC, pair LIMIT 20"
+        ),
+        "q_ngram_diversity": (
+            "WITH t AS (SELECT source, "
+            "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '') AS toks FROM documents WHERE text IS NOT NULL), "
+            "g AS (SELECT source, unnest(list_transform("
+            "range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) "
+            "AS gram FROM t) "
+            "SELECT source, COUNT(*) AS total_grams, "
+            "COUNT(DISTINCT gram) AS distinct_grams, "
+            "ROUND(COUNT(DISTINCT gram) / COUNT(*), 6) AS diversity "
+            "FROM g GROUP BY source"
+        ),
+        "q_mixture_weights": (
+            "WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents "
+            "GROUP BY source), "
+            "t AS (SELECT source, n_docs, "
+            "POW(CAST(n_docs AS DOUBLE), 0.5) AS p FROM c) "
+            "SELECT source, n_docs, "
+            "ROUND(p / SUM(p) OVER (), 6) AS weight, "
+            "ROUND((p / SUM(p) OVER ()) * SUM(n_docs) OVER () / n_docs, 6) "
+            "AS epochs FROM t"
+        ),
+        "q_window_dedup": (
+            "WITH w AS (SELECT user_id, event_type, "
+            "CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start, "
+            "ts, event_id, "
+            "COUNT(*) OVER (PARTITION BY user_id, event_type, "
+            "floor(epoch(ts) / 600)) AS n_dups, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id, event_type, "
+            "floor(epoch(ts) / 600) ORDER BY ts, event_id) AS rn "
+            "FROM events) "
+            "SELECT user_id, event_type, win_start, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id, "
+            "CAST(n_dups AS BIGINT) AS n_dups FROM w WHERE rn = 1"
         ),
         "q_boilerplate": """WITH salted AS (SELECT text || CASE WHEN doc_id % 3 = 0 THEN '. This site uses cookies to improve your experience.' ELSE '' END || CASE WHEN doc_id % 5 = 0 THEN '. Subscribe to our newsletter for weekly updates.' ELSE '' END AS s FROM documents), l AS (SELECT unnest(list_filter(list_transform(string_split(s, '.'), x -> regexp_replace(lower(trim(x)), '[^a-z0-9 ]', '', 'g')), x -> len(x) > 20)) AS line FROM salted) SELECT line, COUNT(*) AS n_occurrences FROM l GROUP BY line HAVING COUNT(*) >= 5 ORDER BY n_occurrences DESC, line ASC LIMIT 50""",
         "q_label_centroids": """WITH e AS (SELECT label, i AS ord, CAST(embedding[i] AS DOUBLE) AS val FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)), d AS (SELECT label, ord, AVG(val) AS m, COUNT(*) AS n FROM e GROUP BY 1, 2) SELECT label, list(ROUND(m, 6) ORDER BY ord) AS centroid, MAX(n) AS n_vectors FROM d GROUP BY label""",

@@ -1092,6 +1092,52 @@ class KevinFrame:
             _ce(self._df, id_col, text_col), ordered=False
         )
 
+    def bpe_merge_pairs(
+        self, text_col: str = "text", top_k: int = 20
+    ) -> "KevinFrame":
+        """Top-k BPE merge candidates (adjacent char-pair counts) — see
+        ``operators.text.bpe_merge_pairs``."""
+        from kevinlang_spark.operators.text import bpe_merge_pairs as _bp
+
+        return KevinFrame.from_df(_bp(self._df, text_col, top_k), ordered=False)
+
+    def ngram_diversity(
+        self, group_col: str = "source", text_col: str = "text"
+    ) -> "KevinFrame":
+        """Per-group bigram diversity ratio — see
+        ``operators.text.ngram_diversity``."""
+        from kevinlang_spark.operators.text import ngram_diversity as _nd
+
+        return KevinFrame.from_df(
+            _nd(self._df, group_col, text_col), ordered=False
+        )
+
+    def mixture_weights(
+        self, group_col: str = "source", alpha: float = 0.5
+    ) -> "KevinFrame":
+        """Temperature-scaled corpus mixing weights — see
+        ``operators.sampling.mixture_weights``."""
+        from kevinlang_spark.operators.sampling import mixture_weights as _mw
+
+        return KevinFrame.from_df(
+            _mw(self._df, group_col, alpha), ordered=False
+        )
+
+    def window_dedup(
+        self,
+        keys: list[str],
+        ts_col: str = "ts",
+        id_col: str = "event_id",
+        window_s: int = 600,
+    ) -> "KevinFrame":
+        """First-arrival dedup per tumbling window — see
+        ``operators.events.window_dedup``."""
+        from kevinlang_spark.operators.events import window_dedup as _wd
+
+        return KevinFrame.from_df(
+            _wd(self._df, keys, ts_col, id_col, window_s), ordered=False
+        )
+
     def merge(
         self,
         other: "KevinFrame",

@@ -293,3 +293,36 @@ def time_decayed_agg(
             ).alias("decayed_mean"),
         )
     )
+
+
+def window_dedup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    window_s: int = 600,
+) -> DataFrame:
+    """First-arrival dedup within tumbling time windows: one surviving
+    event per (keys…, window) — the batch twin of streaming
+    ``dedup_stream``, for pipelines that debounce repeated signals
+    (retries, double-fires) at rest.
+
+    The winner is ``min(struct(ts, id))`` per group — a mergeable MIN
+    aggregation with map-side partials (ONE key shuffle of group rows,
+    never a row-level sort window).  The (ts, id) struct ordering makes
+    the survivor deterministic under ts ties."""
+    win = (F.floor(F.col(ts_col).cast("long") / window_s) * window_s).cast(
+        "long"
+    )
+    first = F.min(F.struct(F.col(ts_col), F.col(id_col))).alias("__f")
+    return (
+        df.groupBy(*keys, win.alias("win_start"))
+        .agg(first, F.count("*").alias("n_dups"))
+        .select(
+            *keys,
+            "win_start",
+            F.col("__f")[ts_col].alias(ts_col),
+            F.col("__f")[id_col].alias(id_col),
+            "n_dups",
+        )
+    )

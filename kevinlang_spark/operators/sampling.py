@@ -181,3 +181,46 @@ def weighted_sample(
         .limit(k)
         .drop("__pri")
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled corpus mixing weights: sampling weight
+    ``w_g ∝ n_g^alpha`` per group (alpha = 1 reproduces natural
+    proportions, alpha → 0 flattens toward uniform — the standard
+    multilingual/multi-source rebalancing rule), plus the per-document
+    oversampling factor ``epochs_g = w_g · N / n_g`` a sampler applies
+    to each group's documents to hit the target mixture.
+
+    One count aggregation to group cardinality (tiny), then the
+    normalizing sum rides an unpartitioned window over the HANDFUL of
+    group rows — never the documents themselves."""
+    from pyspark.sql import Window
+
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0 (got {alpha})")
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n_docs"))
+    # group-count rows only (|groups| rows): a global window here is a
+    # deliberate single-partition pass over a tiny frame, not a scale
+    # hazard like a row-level global window
+    w = Window.partitionBy()
+    p = F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    return (
+        counts.withColumn("__p", p)
+        .withColumn("__tot", F.sum("__p").over(w))
+        .withColumn("__n", F.sum("n_docs").over(w))
+        .select(
+            group_col,
+            "n_docs",
+            F.round(F.col("__p") / F.col("__tot"), 6).alias("weight"),
+            F.round(
+                (F.col("__p") / F.col("__tot"))
+                * F.col("__n")
+                / F.col("n_docs"),
+                6,
+            ).alias("epochs"),
+        )
+    )

@@ -528,3 +528,83 @@ def char_entropy(
             F.round(F.when(t > 0, h), 6).alias("entropy_bits"),
         )
     )
+
+
+def bpe_merge_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-``top_k`` BPE merge candidates: corpus-wide frequencies of
+    adjacent CHARACTER pairs within words — the statistic one iteration
+    of byte-pair-encoding vocabulary learning maximizes.
+
+    Per row the pair multiset is assembled in-row (tokenize → per-word
+    char bigrams via sequence+transform+substring — no per-word explode),
+    then ONE explode feeds the classic wordcount shape: hash-partial
+    counts map-side, a pair-keyed shuffle of (pair, partial_n) rows only,
+    TakeOrderedAndProject for the top-k.  Scales like wordcount: the
+    shuffle is bounded by distinct pairs per partition (≤ ~1k for ascii
+    corpora), not corpus size."""
+    words = tokenize(F.col(text_col))
+    # char bigrams of one word; words shorter than 2 chars contribute
+    # nothing.  sequence(1, 0) would generate a DESCENDING [1, 0] in
+    # Spark, so the short-word case must be guarded explicitly.
+    def _pairs(w):
+        return F.when(
+            F.length(w) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.length(w) - 1),
+                lambda i: F.substring(w, i, 2),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    doc_pairs = F.flatten(F.transform(words, _pairs))
+    return (
+        spread(df.where(F.col(text_col).isNotNull()))
+        .select(F.explode(doc_pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(top_k)
+    )
+
+
+def ngram_diversity(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group corpus diversity: distinct word bigrams / total word
+    bigram occurrences (a low ratio = heavy cross-document repetition,
+    the self-repetition signal used to spot template-generated slices of
+    a training corpus).
+
+    Bigrams are built in-row (no shingle strings stored — the pair is
+    space-joined only at explode time), then one (group, gram) shuffle
+    computes both COUNT and COUNT(DISTINCT) with map-side partials.
+    Documents under 2 tokens contribute nothing (no whole-doc fallback
+    shingle — diversity is only defined over real bigrams)."""
+    toks = F.col("__toks")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        spread(df.where(F.col(text_col).isNotNull()))
+        .select(F.col(group_col), tokenize(F.col(text_col)).alias("__toks"))
+        .select(F.col(group_col), F.explode(grams).alias("gram"))
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("total_grams"),
+            F.count_distinct("gram").alias("distinct_grams"),
+            F.round(F.count_distinct("gram") / F.count("*"), 6).alias(
+                "diversity"
+            ),
+        )
+    )
