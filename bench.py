@@ -66,6 +66,9 @@ HEADLINE = [
     "q_psi_drift",
     "q_group_ols",
     "q_k_anonymity",
+    "q_bpe_pairs",
+    "q_ngram_diversity",
+    "q_window_dedup",
 ]
 
 
