@@ -2745,6 +2745,30 @@ def q_window_dedup(spark, sf_dir):
     )
 
 
+def q_hll_rollup(spark, sf_dir):
+    """Range-queryable distinct counting: one DataSketches HLL sketch per
+    (event_type, day), unioned per type — the incremental sketch-table
+    pattern (append a day, never rescan history).  Bound-checked like
+    q_approx_distinct: the oracle expects rollup_ok = TRUE, so a union
+    estimate drifting past 5% of the exact distinct flips the hash."""
+    from kevinlang_spark.operators.sketches import hll_rollup
+
+    ev = _events(spark, sf_dir)
+    roll = hll_rollup(ev, ["event_type"], F.to_date("ts"), "user_id")
+    exact = ev.where(F.col("user_id").isNotNull()).groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return roll.join(exact, "event_type").select(
+        "event_type",
+        "n_units",
+        "n_exact",
+        (
+            F.abs(F.col("n_union") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("rollup_ok"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_select": q_select,
@@ -2891,6 +2915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_diversity": q_ngram_diversity,
         "q_mixture_weights": q_mixture_weights,
         "q_window_dedup": q_window_dedup,
+        "q_hll_rollup": q_hll_rollup,
     }
 
 
@@ -4176,6 +4201,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_type, win_start, "
             "CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id, "
             "CAST(n_dups AS BIGINT) AS n_dups FROM w WHERE rn = 1"
+        ),
+        "q_hll_rollup": (
+            # rollup_ok = TRUE expected: the unioned sketch estimate must
+            # land within 5% of the exact distinct or the hash flips
+            "SELECT event_type, "
+            "CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_units, "
+            "COUNT(DISTINCT user_id) AS n_exact, TRUE AS rollup_ok "
+            "FROM events WHERE user_id IS NOT NULL GROUP BY event_type"
         ),
         "q_boilerplate": """WITH salted AS (SELECT text || CASE WHEN doc_id % 3 = 0 THEN '. This site uses cookies to improve your experience.' ELSE '' END || CASE WHEN doc_id % 5 = 0 THEN '. Subscribe to our newsletter for weekly updates.' ELSE '' END AS s FROM documents), l AS (SELECT unnest(list_filter(list_transform(string_split(s, '.'), x -> regexp_replace(lower(trim(x)), '[^a-z0-9 ]', '', 'g')), x -> len(x) > 20)) AS line FROM salted) SELECT line, COUNT(*) AS n_occurrences FROM l GROUP BY line HAVING COUNT(*) >= 5 ORDER BY n_occurrences DESC, line ASC LIMIT 50""",
         "q_label_centroids": """WITH e AS (SELECT label, i AS ord, CAST(embedding[i] AS DOUBLE) AS val FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)), d AS (SELECT label, ord, AVG(val) AS m, COUNT(*) AS n FROM e GROUP BY 1, 2) SELECT label, list(ROUND(m, 6) ORDER BY ord) AS centroid, MAX(n) AS n_vectors FROM d GROUP BY label""",

@@ -69,6 +69,7 @@ HEADLINE = [
     "q_bpe_pairs",
     "q_ngram_diversity",
     "q_window_dedup",
+    "q_hll_rollup",
 ]
 
 

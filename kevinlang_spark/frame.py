@@ -1138,6 +1138,17 @@ class KevinFrame:
             _wd(self._df, keys, ts_col, id_col, window_s), ordered=False
         )
 
+    def hll_rollup(
+        self, key_cols: list[str], unit_col, value_col: str, lgk: int = 14
+    ) -> "KevinFrame":
+        """Unioned per-unit HLL distinct sketches — see
+        ``operators.sketches.hll_rollup``."""
+        from kevinlang_spark.operators.sketches import hll_rollup as _hr
+
+        return KevinFrame.from_df(
+            _hr(self._df, key_cols, unit_col, value_col, lgk), ordered=False
+        )
+
     def merge(
         self,
         other: "KevinFrame",

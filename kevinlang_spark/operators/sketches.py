@@ -72,3 +72,39 @@ def heavy_hitters(
         .orderBy(F.col("est_count").desc(), F.col("value").asc())
         .limit(k)
     )
+
+
+def hll_rollup(
+    df: DataFrame,
+    key_cols: list[str],
+    unit_col,
+    value_col: str,
+    lgk: int = 14,
+) -> DataFrame:
+    """Distinct counting over arbitrary unit ranges WITHOUT rescanning
+    raw data: build one DataSketches HLL sketch per (keys…, unit) —
+    e.g. distinct users per event type per day — then answer the
+    rolled-up question (distinct per key across ALL units) by UNIONING
+    the unit sketches.
+
+    This is the incremental-maintenance shape for distinct counts at
+    100 TB: the per-unit sketch table is tiny (≤ 2^lgk bytes per row),
+    persists like any table (binary column — see the round-trip test),
+    appends new units without touching history, and any date-range
+    distinct count is a union over the selected rows.  Both levels are
+    mergeable aggregates: map-side partial sketches merge exactly like
+    partial sums (union is associative + commutative), so neither
+    aggregation shuffles raw values.
+
+    Returns (keys…, n_units, n_union): unit count and the estimated
+    distinct ``value_col`` across all units per key."""
+    unit = unit_col if not isinstance(unit_col, str) else F.col(unit_col)
+    per_unit = df.where(F.col(value_col).isNotNull()).groupBy(
+        *key_cols, unit.alias("__unit")
+    ).agg(F.hll_sketch_agg(F.col(value_col), F.lit(lgk)).alias("sketch"))
+    return per_unit.groupBy(*key_cols).agg(
+        F.count("*").alias("n_units"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+        .cast("bigint")
+        .alias("n_union"),
+    )

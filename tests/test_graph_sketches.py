@@ -331,3 +331,67 @@ def test_skyline_frontier_semantics(spark):
         .select("k")
     )
     assert {r.k for r in out.collect()} == {1, 3, 4, 5}
+
+
+# --------------------------------------------------------------------- #
+# hll_rollup
+# --------------------------------------------------------------------- #
+
+
+def test_hll_rollup_near_exact_and_unit_count(spark):
+    from kevinlang_spark.operators.sketches import hll_rollup
+    from pyspark.sql import functions as F
+
+    # 3 days x users; user 1 active every day (union must not double count)
+    rows = [
+        (d, u, "click")
+        for d, users in [("2024-01-01", [1, 2]), ("2024-01-02", [1, 3]),
+                         ("2024-01-03", [1, 4, 5])]
+        for u in users
+    ]
+    df = spark.createDataFrame(rows, "day string, user_id bigint, event_type string")
+    (r,) = hll_rollup(
+        df, ["event_type"], F.col("day"), "user_id"
+    ).collect()
+    assert r.n_units == 3
+    # HLL is exact in the sparse regime
+    assert r.n_union == 5
+
+
+def test_hll_rollup_sketch_table_round_trips(spark, tmp_path):
+    """The per-unit sketch table persists as plain parquet (binary
+    column) and the union over the READ-BACK sketches matches the union
+    over the live ones — the incremental-maintenance contract."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(5000).select(
+        (F.col("id") % 7).cast("string").alias("k"),
+        (F.col("id") % 10).alias("day"),
+        F.col("id").alias("v"),
+    )
+    per_unit = df.groupBy("k", "day").agg(
+        F.hll_sketch_agg("v", F.lit(12)).alias("sketch")
+    )
+    path = str(tmp_path / "sketches")
+    per_unit.write.parquet(path)
+    live = {
+        r.k: r.n
+        for r in per_unit.groupBy("k")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("n"))
+        .collect()
+    }
+    reread = {
+        r.k: r.n
+        for r in spark.read.parquet(path)
+        .groupBy("k")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("n"))
+        .collect()
+    }
+    assert live == reread
+    # estimates stay within 5% of truth after the round trip
+    exact = {
+        r.k: r.n
+        for r in df.groupBy("k").agg(F.count_distinct("v").alias("n")).collect()
+    }
+    for k, n in exact.items():
+        assert abs(reread[k] - n) <= 0.05 * n
