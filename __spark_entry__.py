@@ -1058,6 +1058,23 @@ def q_dedup_representatives(spark, sf_dir):
     )
 
 
+def q_dedup_longest(spark, sf_dir):
+    """Quality-aware fuzzy dedup: keep the LONGEST member of every
+    near-dup component (deterministic (n_chars, -id) election) — the
+    curation policy that preserves the best variant instead of an
+    arbitrary one."""
+    from kevinlang_spark.operators.dedup import (
+        dedup_keep_representatives,
+        minhash_dedup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, threshold=0.8)
+    return dedup_keep_representatives(docs, pairs, rep_by="n_chars").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 def _query_vec(spark, sf_dir, vec_id: int = 0):
     emb = _t(spark, sf_dir, "embeddings")
     return [
@@ -2916,6 +2933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mixture_weights": q_mixture_weights,
         "q_window_dedup": q_window_dedup,
         "q_hll_rollup": q_hll_rollup,
+        "q_dedup_longest": q_dedup_longest,
     }
 
 
@@ -3376,6 +3394,18 @@ def oracle_sql() -> dict[str, str]:
             + ", victims AS (SELECT s FROM reach GROUP BY s HAVING min(d) < s) "
             "SELECT doc_id, source, n_chars FROM documents "
             "WHERE doc_id NOT IN (SELECT s FROM victims)"
+        ),
+        "q_dedup_longest": (
+            _NEARDUP_PAIR_CTE
+            + ", comp AS (SELECT s AS id, LEAST(s, MIN(d)) AS comp "
+            "FROM reach GROUP BY s), "
+            "scored AS (SELECT c.comp, c.id, d.n_chars FROM comp c "
+            "JOIN documents d ON d.doc_id = c.id), "
+            "w AS (SELECT comp, id, ROW_NUMBER() OVER (PARTITION BY comp "
+            "ORDER BY n_chars DESC, id ASC) AS rn FROM scored), "
+            "victims AS (SELECT id FROM w WHERE rn > 1) "
+            "SELECT doc_id, source, n_chars FROM documents "
+            "WHERE doc_id NOT IN (SELECT id FROM victims)"
         ),
         # full simhash replica: md5-derived 60-bit token hashes, 64-bit
         # majority vote, all-pairs Hamming ≤ 3 (the Spark side's pigeonhole

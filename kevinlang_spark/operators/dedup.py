@@ -786,15 +786,41 @@ def dedup_keep_representatives(
     id_col: str = "doc_id",
     id_a: str = "id_a",
     id_b: str = "id_b",
+    rep_by: str | None = None,
 ) -> DataFrame:
     """Corpus minus near-duplicates: from every connected component of
-    ``pairs``, keep only the min-id representative; docs in no pair
-    survive untouched.  One components run + a broadcast-able anti-join
-    of the (tiny) victim list."""
+    ``pairs`` keep ONE representative; docs in no pair survive untouched.
+    One components run + a broadcast-able anti-join of the (tiny) victim
+    list.
+
+    ``rep_by=None`` elects the min-id member (pure graph policy, needs no
+    corpus columns).  ``rep_by="n_chars"`` (or any orderable column)
+    elects the member maximizing that column — the curation policy that
+    keeps the LONGEST / highest-quality variant of each near-dup cluster
+    instead of an arbitrary one.  Ties break to the smaller id via a
+    (score, -id) max_by struct, so the election is deterministic; the
+    extra cost is one component-keyed join of the (small) member list
+    against the winner per component."""
     comps = neardup_components(pairs, id_a, id_b)
-    victims = comps.where(F.col("id") != F.col("comp")).select(
-        F.col("id").alias(id_col)
-    )
+    if rep_by is None:
+        victims = comps.where(F.col("id") != F.col("comp")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        scored = comps.join(
+            df.select(F.col(id_col).alias("id"), F.col(rep_by).alias("__s")),
+            "id",
+        )
+        winners = scored.groupBy("comp").agg(
+            F.max_by(
+                "id", F.struct(F.col("__s"), (-F.col("id")).alias("__nid"))
+            ).alias("__keep")
+        )
+        victims = (
+            scored.join(winners, "comp")
+            .where(F.col("id") != F.col("__keep"))
+            .select(F.col("id").alias(id_col))
+        )
     return df.join(victims, id_col, "left_anti")
 
 

@@ -279,3 +279,44 @@ def test_jaccard_prefix_skips_stopword_keys(spark):
     df = spark.createDataFrame(docs, ["doc_id", "text"])
     out = jaccard_prefix_pairs(df, threshold=0.7).collect()
     assert out == []
+
+
+def test_keep_representatives_rep_by_longest(spark):
+    """rep_by elects the max-score member per component (ties -> min id);
+    unpaired docs always survive."""
+    from kevinlang_spark.operators.dedup import dedup_keep_representatives
+
+    docs = spark.createDataFrame(
+        [
+            (1, 100),  # comp {1,2,3}: 2 is longest -> keep 2
+            (2, 500),
+            (3, 200),
+            (7, 50),   # unpaired -> survives
+            (8, 10),   # comp {8,9}: tie on score -> min id 8 survives
+            (9, 10),
+        ],
+        "doc_id bigint, n_chars bigint",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (8, 9)], "id_a bigint, id_b bigint"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dedup_keep_representatives(
+            docs, pairs, rep_by="n_chars"
+        ).collect()
+    )
+    assert kept == [2, 7, 8]
+
+
+def test_keep_representatives_default_still_min_id(spark):
+    from kevinlang_spark.operators.dedup import dedup_keep_representatives
+
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 500), (7, 50)], "doc_id bigint, n_chars bigint"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    kept = sorted(
+        r.doc_id for r in dedup_keep_representatives(docs, pairs).collect()
+    )
+    assert kept == [1, 7]
