@@ -1,0 +1,68 @@
+"""Streaming sketch maintenance: incremental distinct counting whose
+state lives in a TABLE, not in streaming state.
+
+``write_stream_hll`` folds each micro-batch into one HLL sketch row per
+key and APPENDS it to a parquet sketch table; ``hll_distinct`` answers
+"distinct values so far" by unioning a key's sketch rows.  Compared to a
+stateful streaming distinct:
+
+- memory is bounded by (keys × 2^lgk bytes) per batch, never by the
+  value cardinality;
+- the sketch table is restart-safe (checkpoint + append; a replayed
+  batch would double-append, so pair with the idempotent batch writer
+  for exactly-once sinks) and batch-queryable at any time;
+- history is never rescanned — a new batch appends rows, and the union
+  aggregation over sketch rows is mergeable/associative, the same
+  contract as ``operators.sketches.hll_rollup``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_stream_hll(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    value_col: str,
+    lgk: int = 12,
+) -> None:
+    """Drain ``df`` (a streaming DataFrame) with availableNow, appending
+    one (keys…, sketch, batch_id) row per key per micro-batch."""
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.where(F.col(value_col).isNotNull())
+            .groupBy(*key_cols)
+            .agg(F.hll_sketch_agg(F.col(value_col), F.lit(lgk)).alias("sketch"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(path)
+        )
+
+    q = (
+        df.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def hll_distinct(
+    spark: SparkSession, path: str, key_cols: list[str]
+) -> DataFrame:
+    """Distinct-so-far per key from the sketch table: a union aggregation
+    over sketch rows (bytes per row, not values)."""
+    return (
+        spark.read.parquet(path)
+        .groupBy(*key_cols)
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+            .cast("bigint")
+            .alias("n_distinct")
+        )
+    )

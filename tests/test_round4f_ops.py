@@ -202,3 +202,32 @@ def test_frame_methods_round4f(spark):
         ).withColumn("ts", F.col("ts").cast("timestamp"))
     )
     assert ev.window_dedup(["user_id", "event_type"]).height() == 1
+
+
+# --------------------------------------------------------------------- #
+# plan gates
+# --------------------------------------------------------------------- #
+
+
+def test_bpe_pairs_plan_partial_agg_and_topk(spark, sf_dir):
+    from kevinlang_spark.operators.text import bpe_merge_pairs
+
+    out = bpe_merge_pairs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    out.collect()  # AQE: final plan exists only after execution
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # top-k never global-sorts, counts partial-aggregate before the shuffle
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+    # only the text column reaches the scan
+    assert "ReadSchema" not in plan or "doc_id" not in plan.split("FileScan")[1]
+
+
+def test_ngram_diversity_plan_single_gram_shuffle(spark, sf_dir):
+    from kevinlang_spark.operators.text import ngram_diversity
+
+    out = ngram_diversity(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # no Python in the pipeline, no sort window
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan
