@@ -2786,6 +2786,28 @@ def q_hll_rollup(spark, sf_dir):
     )
 
 
+def q_mahalanobis(spark, sf_dir):
+    """Correlation-aware bivariate outliers per return flag: squared
+    Mahalanobis distance of (quantity, price) from the group's joint
+    distribution — closed-form 2×2 inverse, one sufficient-statistic
+    aggregation + broadcast join-back, scan-stage distance."""
+    from kevinlang_spark.operators.stats import mahalanobis_outliers
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("li_id"),
+        "l_quantity",
+        "l_extendedprice",
+    )
+    # the synthetic (quantity, price) joint is tight (max d² ≈ 5.9), so
+    # the demo threshold sits at the ~92% chi² point to emit real rows;
+    # the operator default stays at the 99.9% cut (13.816)
+    return mahalanobis_outliers(
+        li, "l_returnflag", "l_quantity", "l_extendedprice", "li_id",
+        threshold=5.0,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_select": q_select,
@@ -2934,6 +2956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_dedup": q_window_dedup,
         "q_hll_rollup": q_hll_rollup,
         "q_dedup_longest": q_dedup_longest,
+        "q_mahalanobis": q_mahalanobis,
     }
 
 
@@ -4239,6 +4262,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_units, "
             "COUNT(DISTINCT user_id) AS n_exact, TRUE AS rollup_ok "
             "FROM events WHERE user_id IS NOT NULL GROUP BY event_type"
+        ),
+        "q_mahalanobis": (
+            "WITH base AS (SELECT l_returnflag AS grp, "
+            "l_orderkey * 8 + l_linenumber AS li_id, "
+            "CAST(l_quantity AS DOUBLE) AS x, "
+            "CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem "
+            "WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL), "
+            "s AS (SELECT grp, AVG(x) AS mx, AVG(y) AS my, "
+            "VAR_POP(x) AS vx, VAR_POP(y) AS vy, COVAR_POP(x, y) AS cxy, "
+            "COUNT(*) AS n FROM base GROUP BY grp), "
+            "f AS (SELECT * FROM s WHERE n >= 3 "
+            "AND vx * vy - cxy * cxy > 0), "
+            "d AS (SELECT b.grp, b.li_id, b.x, b.y, "
+            "(vy * (x - mx) * (x - mx) - 2 * cxy * (x - mx) * (y - my) "
+            "+ vx * (y - my) * (y - my)) / (vx * vy - cxy * cxy) AS d2 "
+            "FROM base b JOIN f ON b.grp = f.grp) "
+            "SELECT grp AS l_returnflag, li_id, x AS l_quantity, "
+            "y AS l_extendedprice, ROUND(d2, 4) AS d2 "
+            "FROM d WHERE d2 > 5.0"
         ),
         "q_boilerplate": """WITH salted AS (SELECT text || CASE WHEN doc_id % 3 = 0 THEN '. This site uses cookies to improve your experience.' ELSE '' END || CASE WHEN doc_id % 5 = 0 THEN '. Subscribe to our newsletter for weekly updates.' ELSE '' END AS s FROM documents), l AS (SELECT unnest(list_filter(list_transform(string_split(s, '.'), x -> regexp_replace(lower(trim(x)), '[^a-z0-9 ]', '', 'g')), x -> len(x) > 20)) AS line FROM salted) SELECT line, COUNT(*) AS n_occurrences FROM l GROUP BY line HAVING COUNT(*) >= 5 ORDER BY n_occurrences DESC, line ASC LIMIT 50""",
         "q_label_centroids": """WITH e AS (SELECT label, i AS ord, CAST(embedding[i] AS DOUBLE) AS val FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)), d AS (SELECT label, ord, AVG(val) AS m, COUNT(*) AS n FROM e GROUP BY 1, 2) SELECT label, list(ROUND(m, 6) ORDER BY ord) AS centroid, MAX(n) AS n_vectors FROM d GROUP BY label""",

@@ -1149,6 +1149,23 @@ class KevinFrame:
             _hr(self._df, key_cols, unit_col, value_col, lgk), ordered=False
         )
 
+    def mahalanobis_outliers(
+        self,
+        key_col: str,
+        x_col: str,
+        y_col: str,
+        id_col: str,
+        threshold: float = 13.816,
+    ) -> "KevinFrame":
+        """Bivariate Mahalanobis outliers per group — see
+        ``operators.stats.mahalanobis_outliers``."""
+        from kevinlang_spark.operators.stats import mahalanobis_outliers as _mo
+
+        return KevinFrame.from_df(
+            _mo(self._df, key_col, x_col, y_col, id_col, threshold),
+            ordered=False,
+        )
+
     def merge(
         self,
         other: "KevinFrame",

@@ -331,3 +331,61 @@ def group_ols(
             F.round(F.regr_r2(y, x), 6).alias("r2"),
         )
     )
+
+
+def mahalanobis_outliers(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    threshold: float = 13.816,
+) -> DataFrame:
+    """Bivariate outliers per group by squared Mahalanobis distance —
+    the correlation-aware generalization of the z-score (a point can be
+    unremarkable in x AND y yet wildly off the joint distribution).
+
+    The 2×2 covariance inverts in closed form, so the whole operator is
+    two passes with NO iteration and NO ML library: one mergeable
+    aggregation per group (mean/var/cov sufficient statistics), one
+    broadcast join-back, and the distance
+
+        d² = (σy²·dx² − 2·σxy·dx·dy + σx²·dy²) / (σx²σy² − σxy²)
+
+    as a scan-stage expression.  Default threshold 13.816 = χ²₂ at
+    99.9%.  Degenerate groups (singular covariance, e.g. a constant
+    column or n < 3) are dropped — distance is undefined there, and a
+    pseudo-inverse would silently flag everything on the degenerate
+    axis."""
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.where(x.isNotNull() & y.isNotNull())
+    stats = base.groupBy(key_col).agg(
+        F.avg(x).alias("__mx"),
+        F.avg(y).alias("__my"),
+        F.var_pop(x).alias("__vx"),
+        F.var_pop(y).alias("__vy"),
+        F.covar_pop(x, y).alias("__cxy"),
+        F.count("*").alias("__n"),
+    )
+    det = F.col("__vx") * F.col("__vy") - F.col("__cxy") * F.col("__cxy")
+    stats = stats.where((F.col("__n") >= 3) & (det > 0))
+    dx = x - F.col("__mx")
+    dy = y - F.col("__my")
+    d2 = (
+        F.col("__vy") * dx * dx
+        - 2 * F.col("__cxy") * dx * dy
+        + F.col("__vx") * dy * dy
+    ) / (F.col("__vx") * F.col("__vy") - F.col("__cxy") * F.col("__cxy"))
+    return (
+        base.join(F.broadcast(stats), key_col)
+        .withColumn("d2", d2)
+        .where(F.col("d2") > threshold)
+        .select(
+            key_col,
+            id_col,
+            x.alias(x_col),
+            y.alias(y_col),
+            F.round("d2", 4).alias("d2"),
+        )
+    )

@@ -231,3 +231,56 @@ def test_ngram_diversity_plan_single_gram_shuffle(spark, sf_dir):
     # no Python in the pipeline, no sort window
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Window" not in plan
+
+
+# --------------------------------------------------------------------- #
+# mahalanobis_outliers
+# --------------------------------------------------------------------- #
+
+
+def test_mahalanobis_catches_joint_outlier_zscore_misses(spark):
+    """The defining case: a point unremarkable in x and y separately but
+    OFF the correlation line has huge Mahalanobis distance."""
+    from kevinlang_spark.operators.stats import mahalanobis_outliers
+
+    # y ~= 2x (tight), plus one point inside both marginals but off-line
+    rows = [("g", i, float(x), 2.0 * x + (0.1 if i % 2 else -0.1))
+            for i, x in enumerate(range(10, 60))]
+    rows.append(("g", 999, 15.0, 90.0))  # x, y both in range; pair is wild
+    df = spark.createDataFrame(rows, "grp string, id bigint, x double, y double")
+    out = mahalanobis_outliers(df, "grp", "x", "y", "id", threshold=13.816)
+    ids = [r.id for r in out.collect()]
+    assert ids == [999]
+
+
+def test_mahalanobis_drops_degenerate_groups(spark):
+    from kevinlang_spark.operators.stats import mahalanobis_outliers
+
+    df = spark.createDataFrame(
+        # constant x -> singular covariance; tiny group -> n < 3
+        [("c", 1, 1.0, 5.0), ("c", 2, 1.0, 9.0), ("c", 3, 1.0, 7.0),
+         ("t", 4, 1.0, 2.0), ("t", 5, 3.0, 4.0)],
+        "grp string, id bigint, x double, y double",
+    )
+    assert mahalanobis_outliers(df, "grp", "x", "y", "id", threshold=0.1).count() == 0
+
+
+def test_mahalanobis_matches_closed_form(spark):
+    import numpy as np
+    from kevinlang_spark.operators.stats import mahalanobis_outliers
+
+    rng = [(float(a), float(b)) for a, b in
+           [(1, 2), (2, 1), (3, 5), (4, 3), (5, 9), (6, 4), (9, 1)]]
+    df = spark.createDataFrame(
+        [("g", i, x, y) for i, (x, y) in enumerate(rng)],
+        "grp string, id bigint, x double, y double",
+    )
+    out = {r.id: r.d2 for r in
+           mahalanobis_outliers(df, "grp", "x", "y", "id", threshold=0.0).collect()}
+    xs = np.array(rng)
+    mu = xs.mean(axis=0)
+    cov = np.cov(xs.T, bias=True)
+    inv = np.linalg.inv(cov)
+    for i, p in enumerate(rng):
+        d = p - mu
+        assert out[i] == pytest.approx(float(d @ inv @ d), abs=1e-3)
