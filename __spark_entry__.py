@@ -2808,6 +2808,33 @@ def q_mahalanobis(spark, sf_dir):
     )
 
 
+def q_temporal_join(spark, sf_dir):
+    """Point-in-time SCD2 enrichment (leakage-safe feature-store join):
+    per-order version history from ship dates, each receipt event
+    matched to the version valid at its timestamp — as-of join + validity
+    gate, one key shuffle."""
+    from kevinlang_spark.operators.events import scd2_build
+    from kevinlang_spark.operators.joins import temporal_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    # NTZ → TIMESTAMP → LONG (UTC session: equals DuckDB's epoch())
+    ship_s = F.col("l_shipdate").cast("timestamp").cast("long")
+    changes = li.select(
+        "l_orderkey", ship_s.alias("ts"),
+        F.col("l_linenumber").alias("version"),
+    )
+    dim = scd2_build(changes, "l_orderkey", "ts", ["version"])
+    # deterministic "receipt" instants spread across the version history
+    # (the synthetic lineitem ships no receiptdate): shipdate + n weeks
+    facts = li.select(
+        "l_orderkey",
+        (ship_s + F.col("l_linenumber").cast("long") * 604_800).alias("ts"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("fact_id"),
+    )
+    out = temporal_join(facts, dim, "l_orderkey", "ts")
+    return out.select("fact_id", "l_orderkey", "version")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_select": q_select,
@@ -2957,6 +2984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hll_rollup": q_hll_rollup,
         "q_dedup_longest": q_dedup_longest,
         "q_mahalanobis": q_mahalanobis,
+        "q_temporal_join": q_temporal_join,
     }
 
 
@@ -4281,6 +4309,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT grp AS l_returnflag, li_id, x AS l_quantity, "
             "y AS l_extendedprice, ROUND(d2, 4) AS d2 "
             "FROM d WHERE d2 > 5.0"
+        ),
+        "q_temporal_join": (
+            "WITH ch AS (SELECT l_orderkey AS k, "
+            "CAST(floor(epoch(l_shipdate)) AS BIGINT) AS vf, "
+            "MAX(l_linenumber) AS version FROM lineitem GROUP BY 1, 2), "
+            "dim AS (SELECT k, vf, "
+            "LEAD(vf) OVER (PARTITION BY k ORDER BY vf) AS vt, version "
+            "FROM ch), "
+            "f AS (SELECT l_orderkey AS k, "
+            "CAST(floor(epoch(l_shipdate)) AS BIGINT) "
+            "+ l_linenumber * 604800 AS ts, "
+            "l_orderkey * 8 + l_linenumber AS fact_id FROM lineitem) "
+            "SELECT f.fact_id, f.k AS l_orderkey, d.version "
+            "FROM f LEFT JOIN dim d ON f.k = d.k AND d.vf <= f.ts "
+            "AND (d.vt IS NULL OR d.vt > f.ts)"
         ),
         "q_boilerplate": """WITH salted AS (SELECT text || CASE WHEN doc_id % 3 = 0 THEN '. This site uses cookies to improve your experience.' ELSE '' END || CASE WHEN doc_id % 5 = 0 THEN '. Subscribe to our newsletter for weekly updates.' ELSE '' END AS s FROM documents), l AS (SELECT unnest(list_filter(list_transform(string_split(s, '.'), x -> regexp_replace(lower(trim(x)), '[^a-z0-9 ]', '', 'g')), x -> len(x) > 20)) AS line FROM salted) SELECT line, COUNT(*) AS n_occurrences FROM l GROUP BY line HAVING COUNT(*) >= 5 ORDER BY n_occurrences DESC, line ASC LIMIT 50""",
         "q_label_centroids": """WITH e AS (SELECT label, i AS ord, CAST(embedding[i] AS DOUBLE) AS val FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)), d AS (SELECT label, ord, AVG(val) AS m, COUNT(*) AS n FROM e GROUP BY 1, 2) SELECT label, list(ROUND(m, 6) ORDER BY ord) AS centroid, MAX(n) AS n_vectors FROM d GROUP BY label""",

@@ -351,3 +351,50 @@ def interval_overlap_join(
         )
         .drop("__a_key", "__b_key", "__a_bin", "__b_bin")
     )
+
+
+def temporal_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: str,
+    fact_ts: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    dim_cols: list[str] | None = None,
+    suffix: str = "_dim",
+) -> DataFrame:
+    """Point-in-time enrichment against an SCD2 dimension: each fact row
+    gets the dimension attributes of the version valid AT its timestamp
+    (``valid_from <= ts`` and ``valid_to`` NULL-or-``> ts``) — the
+    feature-store join that prevents time-travel leakage (reading an
+    attribute value that didn't exist yet).
+
+    Built on ``asof_join`` (backward as-of on ``valid_from``): one key
+    shuffle, no range explosion.  The as-of match is then gated by
+    ``valid_to`` — with a contiguous ``scd2_build`` dimension the gate
+    only fires for facts BEFORE a key's first version or after a
+    retired key's last, where the attributes must be NULL, not the
+    stale last version (left-join semantics: the fact row survives
+    either way)."""
+    if dim_cols is None:
+        dim_cols = [
+            c for c in dim.columns
+            if c not in (on, valid_from, valid_to, "is_current")
+        ]
+    carried = dim_cols + [valid_to]
+    out = asof_join(
+        facts,
+        dim.select(on, valid_from, *carried),
+        on,
+        left_ts=fact_ts,
+        right_ts=valid_from,
+        right_cols=carried,
+        suffix=suffix,
+    )
+    vt_out = f"{valid_to}{suffix}" if valid_to in facts.columns else valid_to
+    valid = F.col(vt_out).isNull() | (F.col(vt_out) > F.col(fact_ts))
+    sel = [F.col(c) for c in facts.columns]
+    for c in dim_cols:
+        name = f"{c}{suffix}" if c in facts.columns else c
+        sel.append(F.when(valid, F.col(name)).alias(name))
+    return out.select(*sel)

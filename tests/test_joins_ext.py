@@ -188,3 +188,76 @@ def test_fuzzy_join_is_equi_join(spark):
     plan = plans.executed_plan(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+# --------------------------------------------------------------------- #
+# temporal_join (point-in-time SCD2 enrichment)
+# --------------------------------------------------------------------- #
+
+
+def _scd2_dim(spark):
+    # key "a": v1 [10, 20), v2 [20, 30), v3 [30, NULL)
+    return spark.createDataFrame(
+        [("a", 10, 20, "v1"), ("a", 20, 30, "v2"), ("a", 30, None, "v3")],
+        "k string, valid_from bigint, valid_to bigint, attr string",
+    )
+
+
+def test_temporal_join_picks_version_valid_at_ts(spark):
+    from kevinlang_spark.operators.joins import temporal_join
+
+    facts = spark.createDataFrame(
+        [("a", 15, 1), ("a", 25, 2), ("a", 99, 3)],
+        "k string, ts bigint, fid bigint",
+    )
+    got = {
+        r.fid: r.attr
+        for r in temporal_join(facts, _scd2_dim(spark), "k", "ts").collect()
+    }
+    assert got == {1: "v1", 2: "v2", 3: "v3"}
+
+
+def test_temporal_join_boundaries_are_half_open(spark):
+    from kevinlang_spark.operators.joins import temporal_join
+
+    facts = spark.createDataFrame(
+        [("a", 20, 1), ("a", 30, 2)], "k string, ts bigint, fid bigint"
+    )
+    got = {
+        r.fid: r.attr
+        for r in temporal_join(facts, _scd2_dim(spark), "k", "ts").collect()
+    }
+    # ts == valid_from of the NEXT version -> next version, never the old
+    assert got == {1: "v2", 2: "v3"}
+
+
+def test_temporal_join_no_time_travel_leakage(spark):
+    """Facts BEFORE a key's first version (or on an unknown key) keep
+    their row but get NULL attributes — never a future value."""
+    from kevinlang_spark.operators.joins import temporal_join
+
+    facts = spark.createDataFrame(
+        [("a", 5, 1), ("zz", 50, 2)], "k string, ts bigint, fid bigint"
+    )
+    got = {
+        r.fid: r.attr
+        for r in temporal_join(facts, _scd2_dim(spark), "k", "ts").collect()
+    }
+    assert got == {1: None, 2: None}
+
+
+def test_temporal_join_composes_with_scd2_build(spark):
+    from kevinlang_spark.operators.events import scd2_build
+    from kevinlang_spark.operators.joins import temporal_join
+
+    changes = spark.createDataFrame(
+        [("a", 10, "x"), ("a", 20, "y")], "k string, ts bigint, s string"
+    )
+    dim = scd2_build(changes, "k", "ts", ["s"])
+    facts = spark.createDataFrame(
+        [("a", 12, 1), ("a", 20, 2)], "k string, ts bigint, fid bigint"
+    )
+    got = {
+        r.fid: r.s for r in temporal_join(facts, dim, "k", "ts").collect()
+    }
+    assert got == {1: "x", 2: "y"}
