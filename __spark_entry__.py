@@ -1616,6 +1616,17 @@ def q_resample_ffill(spark, sf_dir):
     )
 
 
+def q_resample_lerp(spark, sf_dir):
+    """Per-user hourly resampling with LINEAR interpolation between the
+    surrounding observations — one union + one key-shuffle sort carrying
+    both neighbor windows."""
+    from kevinlang_spark.operators.joins import resample_lerp
+
+    return resample_lerp(
+        _events(spark, sf_dir), on="user_id", ts_col="ts", value_col="value"
+    )
+
+
 def q_cube(spark, sf_dir):
     """CUBE aggregation over (source, lang): all 4 grouping-set levels in
     one pass (partial-agg'd, one shuffle)."""
@@ -2985,6 +2996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_longest": q_dedup_longest,
         "q_mahalanobis": q_mahalanobis,
         "q_temporal_join": q_temporal_join,
+        "q_resample_lerp": q_resample_lerp,
     }
 
 
@@ -3803,6 +3815,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT g.user_id, g.grid_ts, e.value FROM grid g "
             "ASOF LEFT JOIN ev e "
             "ON g.user_id = e.user_id AND g.grid_ts >= e.ets"
+        ),
+        "q_resample_lerp": (
+            "WITH ev AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) "
+            "AS t, MAX(CAST(value AS DOUBLE)) AS v FROM events "
+            "WHERE value IS NOT NULL GROUP BY 1, 2), "
+            "b AS (SELECT user_id, CAST(floor(MIN(t) / 3600) * 3600 AS "
+            "BIGINT) AS lo, CAST(floor(MAX(t) / 3600) * 3600 AS BIGINT) "
+            "AS hi FROM ev GROUP BY 1), "
+            "grid AS (SELECT user_id, unnest(range(lo, hi + 1, 3600)) AS "
+            "t, CAST(NULL AS DOUBLE) AS v, 1 AS side FROM b), "
+            "u AS (SELECT user_id, t, v, 0 AS side FROM ev "
+            "UNION ALL SELECT user_id, t, v, side FROM grid), "
+            "w AS (SELECT *, "
+            "last_value(v IGNORE NULLS) OVER (PARTITION BY user_id "
+            "ORDER BY t, side ROWS UNBOUNDED PRECEDING) AS pv, "
+            "MAX(CASE WHEN side = 0 THEN t END) OVER (PARTITION BY "
+            "user_id ORDER BY t, side ROWS UNBOUNDED PRECEDING) AS pt, "
+            "first_value(v IGNORE NULLS) OVER (PARTITION BY user_id "
+            "ORDER BY t, side ROWS BETWEEN CURRENT ROW AND UNBOUNDED "
+            "FOLLOWING) AS nv, "
+            "MIN(CASE WHEN side = 0 THEN t END) OVER (PARTITION BY "
+            "user_id ORDER BY t, side ROWS BETWEEN CURRENT ROW AND "
+            "UNBOUNDED FOLLOWING) AS nt FROM u) "
+            "SELECT user_id, t AS grid_ts, "
+            "CASE WHEN pt IS NULL THEN NULL WHEN nt IS NULL THEN pv "
+            "WHEN nt = pt THEN pv "
+            "ELSE pv + (nv - pv) * (t - pt) / (nt - pt) END AS value "
+            "FROM w WHERE side = 1"
         ),
         "q_cube": (
             # CAST: DuckDB SUM(BIGINT) returns HUGEINT, which the driver

@@ -398,3 +398,85 @@ def temporal_join(
         name = f"{c}{suffix}" if c in facts.columns else c
         sel.append(F.when(valid, F.col(name)).alias(name))
     return out.select(*sel)
+
+
+def resample_lerp(
+    df: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step: int = 3600,
+) -> DataFrame:
+    """Grid resampling with LINEAR interpolation between the surrounding
+    observations (the companion to ``resample_ffill`` for continuous
+    signals, where a step function distorts trends).
+
+    Same per-key [min, max] grid as ``resample_ffill``; both neighbors
+    are found in ONE union + one key-shuffle sort carrying two window
+    passes over the same ordering (backward last-observation, forward
+    first-observation) — Catalyst reuses the single Exchange+Sort, so
+    the operator costs the same one key shuffle as the as-of fill, never
+    a range join.  Policy: before a key's first event → NULL, after its
+    last → forward-fill of the final value, exact grid hits → the
+    observed value (the interpolation weight degenerates to 0).
+    """
+    ev = (
+        # NULL observations are dropped up front: a kept NULL would split
+        # the (pv, pt) neighbor pair across different events
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(on),
+            F.col(ts_col).cast("long").alias("__t"),
+            F.col(value_col).cast("double").alias("__v"),
+        )
+        .groupBy(on, "__t")
+        .agg(F.max("__v").alias("__v"))
+    )
+    lo = (F.floor(F.min("__t") / step) * step).cast("long")
+    hi = (F.floor(F.max("__t") / step) * step).cast("long")
+    grid = (
+        ev.groupBy(on)
+        .agg(lo.alias("__lo"), hi.alias("__hi"))
+        .select(
+            on,
+            F.explode(
+                F.sequence("__lo", "__hi", F.lit(step).cast("long"))
+            ).alias("__t"),
+        )
+        .select(on, "__t", F.lit(None).cast("double").alias("__v"),
+                F.lit(1).alias("__side"))
+    )
+    u = ev.select(on, "__t", "__v", F.lit(0).alias("__side")).unionByName(grid)
+    # events sort BEFORE grid points at equal ts (side 0 < 1): an exact
+    # hit is the backward neighbor, and the interpolation weight
+    # (t - pt)/(nt - pt) is then exactly 0 — no special case needed
+    w_back = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ev_t = F.when(F.col("__side") == 0, F.col("__t"))
+    withn = (
+        u.withColumn("__pv", F.last("__v", ignorenulls=True).over(w_back))
+        .withColumn("__pt", F.max(ev_t).over(w_back))
+        .withColumn("__nv", F.first("__v", ignorenulls=True).over(w_fwd))
+        .withColumn("__nt", F.min(ev_t).over(w_fwd))
+    )
+    pv, pt, nv, nt = (F.col(c) for c in ("__pv", "__pt", "__nv", "__nt"))
+    t = F.col("__t")
+    value = (
+        F.when(pt.isNull(), F.lit(None).cast("double"))
+        .when(nt.isNull(), pv)
+        .when(nt == pt, pv)
+        .otherwise(pv + (nv - pv) * (t - pt) / (nt - pt))
+    )
+    return withn.where(F.col("__side") == 1).select(
+        F.col(on),
+        t.alias("grid_ts"),
+        value.alias(value_col),
+    )

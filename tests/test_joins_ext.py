@@ -261,3 +261,57 @@ def test_temporal_join_composes_with_scd2_build(spark):
         r.fid: r.s for r in temporal_join(facts, dim, "k", "ts").collect()
     }
     assert got == {1: "x", 2: "y"}
+
+
+# --------------------------------------------------------------------- #
+# resample_lerp
+# --------------------------------------------------------------------- #
+
+
+def test_resample_lerp_exact_interpolation(spark):
+    from pyspark.sql import functions as F
+    from kevinlang_spark.operators.joins import resample_lerp
+
+    # events at t=0 (v=10) and t=100 (v=20); grid step 25
+    df = spark.createDataFrame(
+        [(1, 0, 10.0), (1, 100, 20.0)], "user_id bigint, ts bigint, value double"
+    )
+    got = {
+        r.grid_ts: r.value
+        for r in resample_lerp(df, step=25).collect()
+    }
+    assert got == {0: 10.0, 25: 12.5, 50: 15.0, 75: 17.5, 100: 20.0}
+
+
+def test_resample_lerp_boundary_policy(spark):
+    from kevinlang_spark.operators.joins import resample_lerp
+
+    # first event mid-grid: grid starts at floor(min)=100 -> exact hit;
+    # after the last event -> forward fill; NULL observation ignored
+    df = spark.createDataFrame(
+        [(1, 100, 5.0), (1, 150, None), (1, 200, 9.0)],
+        "user_id bigint, ts bigint, value double",
+    )
+    got = {
+        r.grid_ts: r.value for r in resample_lerp(df, step=50).collect()
+    }
+    assert got[100] == 5.0
+    assert got[150] == 7.0  # lerp across the dropped NULL, not through it
+    assert got[200] == 9.0
+
+
+def test_resample_lerp_single_exchange(spark):
+    from kevinlang_spark.operators.joins import resample_lerp
+
+    df = spark.createDataFrame(
+        [(1, 0, 1.0), (1, 7200, 3.0), (2, 0, 5.0)],
+        "user_id bigint, ts bigint, value double",
+    )
+    out = resample_lerp(df)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every window is key-partitioned (no global sort window), and all
+    # neighbor windows share the same (key, ts, side) ordering so they
+    # ride one Exchange+Sort
+    specs = plan.split("windowspecdefinition(")[1:]
+    assert specs and all(s.startswith("user_id") for s in specs)
