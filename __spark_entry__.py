@@ -992,6 +992,16 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(docs, threshold=0.8)
 
 
+def q_containment(spark, sf_dir):
+    """Asymmetric near-subset pairs (token-set containment ≥ 0.9) on a
+    doc subset — the short-doc-pasted-into-long-doc duplication Jaccard
+    misses."""
+    from kevinlang_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return containment_pairs(docs, threshold=0.9)
+
+
 def q_minhash_pairs(spark, sf_dir):
     """MinHash+LSH near-dup pairs, exact-Jaccard verified.
 
@@ -2997,6 +3007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mahalanobis": q_mahalanobis,
         "q_temporal_join": q_temporal_join,
         "q_resample_lerp": q_resample_lerp,
+        "q_containment": q_containment,
     }
 
 
@@ -3398,6 +3409,25 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 4) AS jaccard "
             "FROM pairs JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id "
             "WHERE n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.8"
+        ),
+        "q_containment": (
+            "WITH toks AS (SELECT doc_id AS id, "
+            "unnest(list_distinct(list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) "
+            "AS tok FROM documents WHERE doc_id < 200), "
+            "sizes AS (SELECT id, COUNT(*) AS sz FROM toks GROUP BY id), "
+            "pairs AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n "
+            "FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id "
+            "GROUP BY 1, 2), "
+            "j AS (SELECT id_a, id_b, n, sa.sz AS sz_a, sb.sz AS sz_b "
+            "FROM pairs JOIN sizes sa ON id_a = sa.id "
+            "JOIN sizes sb ON id_b = sb.id) "
+            "SELECT id_a AS contained_id, id_b AS container_id, "
+            "ROUND(n / CAST(sz_a AS DOUBLE), 4) AS containment FROM j "
+            "WHERE n / CAST(sz_a AS DOUBLE) >= 0.9 "
+            "UNION ALL "
+            "SELECT id_b, id_a, ROUND(n / CAST(sz_b AS DOUBLE), 4) FROM j "
+            "WHERE n / CAST(sz_b AS DOUBLE) >= 0.9"
         ),
         "q_knn_cosine": (
             "SELECT e.vec_id, "

@@ -1136,3 +1136,80 @@ def minhash_probe_index(
         .select("new_id", "corpus_id", F.round("jaccard", 4).alias("jaccard"))
     )
     return out
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Asymmetric near-SUBSET pairs: token-set containment
+    ``|A ∩ B| / |A|`` ≥ threshold, emitted as (contained_id,
+    container_id) — the duplication Jaccard MISSES: a short document
+    pasted inside a much longer one has tiny Jaccard (union is the big
+    doc) but containment ≈ 1.
+
+    Relational form like ``ngram_jaccard_pairs`` (explode distinct
+    tokens → token self-join → count), checking BOTH directions of each
+    unordered pair from the same intersection count; exact, positioned
+    for candidate verification at sample scale — at corpus scale prune
+    candidates first (MinHash LSH catches high-containment pairs whose
+    sizes are within the band design's reach; for extreme size skew use
+    ``repeated_spans``, which is containment's scalable span-level
+    cousin)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("tok"),
+    ).localCheckpoint(eager=False)
+    sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    both = (
+        inter.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed(
+                "sz", "sz_a"
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed(
+                "sz", "sz_b"
+            ),
+            "id_b",
+        )
+    )
+    # one directed row per satisfied direction (a ⊆ b and/or b ⊆ a)
+    dirs = both.select(
+        "id_a", "id_b", "inter", "sz_a", "sz_b",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("contained_id"),
+                    F.col("id_b").alias("container_id"),
+                    (F.col("inter") / F.col("sz_a")).alias("containment"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("contained_id"),
+                    F.col("id_a").alias("container_id"),
+                    (F.col("inter") / F.col("sz_b")).alias("containment"),
+                ),
+            )
+        ).alias("d"),
+    )
+    return (
+        dirs.where(F.col("d.containment") >= threshold)
+        .select(
+            F.col("d.contained_id").alias("contained_id"),
+            F.col("d.container_id").alias("container_id"),
+            F.round("d.containment", 4).alias("containment"),
+        )
+    )

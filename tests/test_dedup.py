@@ -320,3 +320,39 @@ def test_keep_representatives_default_still_min_id(spark):
         r.doc_id for r in dedup_keep_representatives(docs, pairs).collect()
     )
     assert kept == [1, 7]
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc pasted into a long one: containment ~1, Jaccard tiny."""
+    from kevinlang_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma"
+    long_ = short + " " + " ".join(f"w{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "unrelated words entirely")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r.contained_id, r.container_id): r.containment
+        for r in containment_pairs(df, threshold=0.9).collect()
+    }
+    assert got == {(1, 2): 1.0}
+    # the same pair is invisible to Jaccard at any useful threshold
+    assert ngram_jaccard_pairs(df, threshold=0.5).count() == 0
+
+
+def test_containment_is_directional(spark):
+    from kevinlang_spark.operators.dedup import containment_pairs
+
+    # identical token SETS -> both directions emitted at 1.0
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a a")], "doc_id bigint, text string"
+    )
+    got = sorted(
+        (r.contained_id, r.container_id)
+        for r in containment_pairs(df, threshold=0.9).collect()
+    )
+    assert got == [(1, 2), (2, 1)]
