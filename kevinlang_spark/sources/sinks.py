@@ -68,3 +68,83 @@ def explode_salt(small: DataFrame, salt_buckets: int = 16) -> DataFrame:
         "__salt",
         F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a corpus as ``n_shards`` deterministic hash shards
+    plus a content MANIFEST — the handoff format a training job consumes
+    (shard k of n per data-loader rank, no coordination needed because
+    the shard of a document is a pure function of its id, stable across
+    runs, engines, and cluster sizes).
+
+    The manifest (``<path>/_manifest``) records per shard the row count
+    and an ORDER-INDEPENDENT content checksum (sum of 60-bit row
+    fingerprints mod 2^61), so a reader can verify integrity of any
+    single shard without touching the others: both the count and the
+    checksum are mergeable aggregates computed in the same pass that
+    writes the data."""
+    from pyspark.sql import functions as F
+
+    from kevinlang_spark.operators.sampling import hash_bucket
+
+    sharded = df.withColumn(
+        "shard", hash_bucket(F.col(id_col), n_shards).cast("int")
+    )
+    sharded.write.mode(mode).partitionBy("shard").parquet(f"{path}/data")
+    _shard_manifest(sharded).write.mode(mode).parquet(f"{path}/_manifest")
+
+
+def _shard_manifest(sharded: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    # SORTED column order: a partitionBy round-trip moves the partition
+    # column to the end of the schema, and the checksum must not care
+    row_fp = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("\x1f", *sorted(sharded.columns))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return sharded.groupBy("shard").agg(
+        F.count("*").alias("n_rows"),
+        # decimal accumulator: a sum of 60-bit fingerprints overflows
+        # int64 after ~8 rows under ANSI; decimal(38,0) holds ~10^18 rows
+        F.pmod(
+            F.sum(row_fp.cast("decimal(38,0)")), F.lit((1 << 61) - 1)
+        )
+        .cast("bigint")
+        .alias("checksum"),
+    )
+
+
+def verify_shards(spark, path: str) -> DataFrame:
+    """Recompute each shard's (n_rows, checksum) from the data files and
+    compare to the manifest: (shard, ok, n_manifest, n_actual).  Reads
+    prune to one shard directory per task group — verification of a
+    single shard touches 1/n of the corpus."""
+    from pyspark.sql import functions as F
+
+    data = spark.read.parquet(f"{path}/data")
+    actual = _shard_manifest(data).withColumnsRenamed(
+        {"n_rows": "n_actual", "checksum": "c_actual"}
+    )
+    manifest = spark.read.parquet(f"{path}/_manifest")
+    return (
+        manifest.join(actual, "shard", "full_outer")
+        .select(
+            "shard",
+            (
+                F.col("n_rows").eqNullSafe(F.col("n_actual"))
+                & F.col("checksum").eqNullSafe(F.col("c_actual"))
+            ).alias("ok"),
+            F.col("n_rows").alias("n_manifest"),
+            "n_actual",
+        )
+    )

@@ -134,3 +134,69 @@ def test_minhash_index_roundtrip(spark, sf_dir, tmp_path):
     assert sorted(map(key, from_index.collect())) == sorted(
         map(key, in_mem.collect())
     )
+
+
+# --------------------------------------------------------------------- #
+# training shards + manifest
+# --------------------------------------------------------------------- #
+
+
+def test_training_shards_roundtrip_verifies(spark, sf_dir, tmp_path):
+    from kevinlang_spark.sources import sinks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    path = str(tmp_path / "corpus")
+    sinks.write_training_shards(docs, path, n_shards=8)
+    rep = sinks.verify_shards(spark, path).collect()
+    assert len(rep) == 8
+    assert all(r.ok for r in rep)
+    assert sum(r.n_actual for r in rep) == docs.count()
+    # deterministic: rewriting yields the identical manifest
+    m1 = sorted(
+        tuple(r) for r in spark.read.parquet(f"{path}/_manifest").collect()
+    )
+    sinks.write_training_shards(docs, path, n_shards=8)
+    m2 = sorted(
+        tuple(r) for r in spark.read.parquet(f"{path}/_manifest").collect()
+    )
+    assert m1 == m2
+
+
+def test_training_shards_detect_tampering(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kevinlang_spark.sources import sinks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    path = str(tmp_path / "corpus")
+    sinks.write_training_shards(docs, path, n_shards=4)
+    # corrupt ONE shard: drop a row and rewrite that partition dir
+    # (materialize driver-side first — a lazy self-overwrite would read
+    # the files it is deleting)
+    shard2 = spark.read.parquet(f"{path}/data/shard=2")
+    rows = shard2.collect()
+    tampered = spark.createDataFrame(rows[1:], shard2.schema)
+    tampered.write.mode("overwrite").parquet(f"{path}/data/shard=2")
+    rep = {r.shard: r.ok for r in sinks.verify_shards(spark, path).collect()}
+    assert rep[2] is False
+    assert all(ok for s, ok in rep.items() if s != 2)
+
+
+def test_training_shards_are_balanced_and_stable(spark, sf_dir, tmp_path):
+    """Hash sharding balances within ~3x and assigns each doc the same
+    shard regardless of n_shards' write run (pure function of id)."""
+    from kevinlang_spark.sources import sinks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    path = str(tmp_path / "corpus")
+    sinks.write_training_shards(docs, path, n_shards=8)
+    counts = [
+        r.n_actual for r in sinks.verify_shards(spark, path).collect()
+    ]
+    assert min(counts) > 0 and max(counts) <= 3 * min(counts)
