@@ -70,6 +70,9 @@ HEADLINE = [
     "q_ngram_diversity",
     "q_window_dedup",
     "q_hll_rollup",
+    "q_temporal_join",
+    "q_resample_lerp",
+    "q_mahalanobis",
 ]
 
 

@@ -174,3 +174,39 @@ def snapshot_diff_summary(
         d.groupBy("status")
         .agg(F.count("*").alias("n"))
     )
+
+
+def schema_diff(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Schema drift report between two snapshots: one row per column
+    that was added, removed, or changed type — the metadata companion to
+    ``snapshot_diff`` (which compares ROWS).  Pure driver-side metadata
+    (schemas are tiny; no data is read), returned as a DataFrame so it
+    composes with quality gates and sinks like any other report.
+
+    ``change``: 'added' (only in b), 'removed' (only in a),
+    'type_changed' (both, different dataType; nullability changes are
+    reported as type_changed too — a NOT NULL promise disappearing is
+    exactly the drift an ingestion gate must catch)."""
+    fa = {f.name: f for f in a.schema.fields}
+    fb = {f.name: f for f in b.schema.fields}
+    rows = []
+    for name in sorted(fa.keys() | fb.keys()):
+        in_a, in_b = name in fa, name in fb
+        if in_a and not in_b:
+            rows.append((name, "removed", fa[name].dataType.simpleString(), None))
+        elif in_b and not in_a:
+            rows.append((name, "added", None, fb[name].dataType.simpleString()))
+        elif (
+            fa[name].dataType != fb[name].dataType
+            or fa[name].nullable != fb[name].nullable
+        ):
+            sa = fa[name].dataType.simpleString() + (
+                "" if fa[name].nullable else " not null"
+            )
+            sb = fb[name].dataType.simpleString() + (
+                "" if fb[name].nullable else " not null"
+            )
+            rows.append((name, "type_changed", sa, sb))
+    return a.sparkSession.createDataFrame(
+        rows, "column string, change string, old_type string, new_type string"
+    )

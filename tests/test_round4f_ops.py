@@ -284,3 +284,28 @@ def test_mahalanobis_matches_closed_form(spark):
     for i, p in enumerate(rng):
         d = p - mu
         assert out[i] == pytest.approx(float(d @ inv @ d), abs=1e-3)
+
+
+# --------------------------------------------------------------------- #
+# schema_diff
+# --------------------------------------------------------------------- #
+
+
+def test_schema_diff_reports_add_remove_typechange(spark):
+    from kevinlang_spark.operators.incremental import schema_diff
+
+    a = spark.createDataFrame([], "k bigint, gone string, v int")
+    b = spark.createDataFrame([], "k bigint, v bigint, fresh string")
+    got = {r.column: r for r in schema_diff(a, b).collect()}
+    assert got["gone"].change == "removed" and got["gone"].old_type == "string"
+    assert got["fresh"].change == "added" and got["fresh"].new_type == "string"
+    assert got["v"].change == "type_changed"
+    assert (got["v"].old_type, got["v"].new_type) == ("int", "bigint")
+    assert "k" not in got  # unchanged columns emit nothing
+
+
+def test_schema_diff_identical_schemas_empty(spark):
+    from kevinlang_spark.operators.incremental import schema_diff
+
+    a = spark.createDataFrame([], "k bigint, v string")
+    assert schema_diff(a, a).count() == 0
