@@ -1002,6 +1002,17 @@ def q_containment(spark, sf_dir):
     return containment_pairs(docs, threshold=0.9)
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-source contamination matrix at word-8-gram granularity:
+    distinct grams shared between every source pair, with overlap share
+    of the smaller side — fp-keyed join of 8-byte digests, |sources|²
+    output.  (Whole-doc fingerprints share NOTHING across sources in
+    this corpus — partial reuse is exactly what the gram dial is for.)"""
+    from kevinlang_spark.operators.dedup import source_overlap_matrix
+
+    return source_overlap_matrix(_t(spark, sf_dir, "documents"), ngram=8)
+
+
 def q_minhash_pairs(spark, sf_dir):
     """MinHash+LSH near-dup pairs, exact-Jaccard verified.
 
@@ -3008,6 +3019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_temporal_join": q_temporal_join,
         "q_resample_lerp": q_resample_lerp,
         "q_containment": q_containment,
+        "q_source_overlap": q_source_overlap,
     }
 
 
@@ -3409,6 +3421,25 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 4) AS jaccard "
             "FROM pairs JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id "
             "WHERE n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.8"
+        ),
+        "q_source_overlap": (
+            "WITH sfp AS (SELECT DISTINCT source AS src, "
+            "unnest(list_distinct(list_transform("
+            "range(1, greatest(len(t) - 7, 0) + 1), "
+            "i -> array_to_string(t[i:i+7], ' ')))) AS fp "
+            "FROM (SELECT source, list_filter(string_split_regex("
+            "lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+            "FROM documents)), "
+            "totals AS (SELECT src, COUNT(*) AS n_fp FROM sfp GROUP BY 1), "
+            "shared AS (SELECT a.src AS source_a, b.src AS source_b, "
+            "COUNT(*) AS n_shared FROM sfp a "
+            "JOIN sfp b ON a.fp = b.fp AND a.src < b.src GROUP BY 1, 2) "
+            "SELECT source_a, source_b, n_shared, ta.n_fp AS n_a, "
+            "tb.n_fp AS n_b, "
+            "ROUND(n_shared / CAST(LEAST(ta.n_fp, tb.n_fp) AS DOUBLE), 6) "
+            "AS overlap FROM shared "
+            "JOIN totals ta ON source_a = ta.src "
+            "JOIN totals tb ON source_b = tb.src"
         ),
         "q_containment": (
             "WITH toks AS (SELECT doc_id AS id, "

@@ -1213,3 +1213,78 @@ def containment_pairs(
             F.round("d.containment", 4).alias("containment"),
         )
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int | None = None,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of sources, how
+    many distinct content fingerprints they SHARE, with each side's
+    distinct total and the overlap share (shared / smaller side) — the
+    corpus-health readout that catches one feed republishing another.
+
+    ``ngram=None`` fingerprints whole documents (exact republication);
+    ``ngram=k`` fingerprints word k-gram windows instead, catching
+    PARTIAL cross-source reuse (quotes, templates, syndicated spans)
+    that whole-doc hashing misses — same granularity dial as
+    ``ngram_contamination``.
+
+    One fingerprint pass → distinct (source, fp) rows → fp-keyed
+    self-join (each fp joins only its own tiny source list) → pair
+    counts.  The shuffle carries 8–16-byte digests; the output is
+    |sources|² rows.  Never a text-level comparison."""
+    base = _spread(df.select(F.col(group_col), F.col(text_col)))
+    if ngram is None:
+        fp = F.md5(normalize_text(F.col(text_col)))
+        sfp = base.select(F.col(group_col).alias("src"), fp.alias("fp")).distinct()
+    else:
+        toks = tokenize(F.col(text_col))
+        grams = F.when(
+            F.size(toks) >= ngram,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (ngram - 1)),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice(toks, i, ngram))
+                ),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+        sfp = (
+            base.select(
+                F.col(group_col).alias("src"),
+                F.explode(F.array_distinct(grams)).alias("fp"),
+            )
+            .distinct()
+        )
+    totals = sfp.groupBy("src").agg(F.count("*").alias("n_fp"))
+    a, b = sfp.alias("a"), sfp.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.src") < F.col("b.src")),
+        )
+        .groupBy(
+            F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ta = totals.select(F.col("src").alias("source_a"), F.col("n_fp").alias("n_a"))
+    tb = totals.select(F.col("src").alias("source_b"), F.col("n_fp").alias("n_b"))
+    return (
+        shared.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared") / F.least("n_a", "n_b"), 6
+            ).alias("overlap"),
+        )
+    )

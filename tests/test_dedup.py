@@ -356,3 +356,40 @@ def test_containment_is_directional(spark):
         for r in containment_pairs(df, threshold=0.9).collect()
     )
     assert got == [(1, 2), (2, 1)]
+
+
+def test_source_overlap_exact_mode(spark):
+    from kevinlang_spark.operators.dedup import source_overlap_matrix
+
+    df = spark.createDataFrame(
+        [
+            ("A", 1, "Shared doc!"),
+            ("B", 2, "shared DOC"),   # same normalized content as A's
+            ("A", 3, "only in a"),
+            ("B", 4, "only in b"),
+            ("B", 5, "shared doc"),   # dup within B: distinct fp counted once
+        ],
+        "source string, doc_id bigint, text string",
+    )
+    (r,) = source_overlap_matrix(df).collect()
+    assert (r.source_a, r.source_b) == ("A", "B")
+    assert r.n_shared == 1 and r.n_a == 2 and r.n_b == 2
+    assert r.overlap == 0.5
+
+
+def test_source_overlap_ngram_catches_partial_reuse(spark):
+    from kevinlang_spark.operators.dedup import source_overlap_matrix
+
+    quote = "one two three four"
+    df = spark.createDataFrame(
+        [
+            ("A", 1, f"intro {quote} outro alpha"),
+            ("B", 2, f"different beginning {quote} different end"),
+        ],
+        "source string, doc_id bigint, text string",
+    )
+    # whole docs differ -> exact mode sees nothing
+    assert source_overlap_matrix(df).count() == 0
+    # the shared 4-gram IS visible at gram granularity
+    (r,) = source_overlap_matrix(df, ngram=4).collect()
+    assert r.n_shared == 1 and r.overlap > 0
