@@ -148,3 +148,59 @@ def verify_shards(spark, path: str) -> DataFrame:
             "n_actual",
         )
     )
+
+
+def erase_keys_copy_on_write(
+    spark,
+    path: str,
+    erase_df: DataFrame,
+    on: str,
+) -> dict:
+    """Right-to-erasure over a plain-parquet dataset WITHOUT rewriting
+    the world: find the files that actually contain any of the erase
+    keys (one scan of the key column joined against the erase list),
+    rewrite ONLY those files minus the erased rows, and leave every
+    other file physically untouched — the copy-on-write delete pattern
+    table formats (Delta/Iceberg) implement, expressed on raw parquet.
+
+    Ordering is write-then-delete: survivor rows are appended as new
+    part files BEFORE the affected originals are removed, so a crash
+    mid-operation leaves duplicated survivors (re-runnable — the erase
+    keys are still absent from the new files) rather than data loss.
+    Atomic swap needs a real table format; this documents the boundary.
+
+    Returns {"files_total", "files_rewritten", "rows_deleted"}.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    erase = erase_df.select(F.col(on)).distinct()
+    data = spark.read.parquet(path)
+    with_file = data.withColumn("__f", F.input_file_name())
+    affected_files = [
+        r[0]
+        for r in with_file.join(F.broadcast(erase), on)
+        .select("__f")
+        .distinct()
+        .collect()
+    ]
+    n_total = with_file.select("__f").distinct().count()
+    if not affected_files:
+        return {
+            "files_total": n_total,
+            "files_rewritten": 0,
+            "rows_deleted": 0,
+        }
+    victims = spark.read.parquet(*affected_files)
+    survivors = victims.join(F.broadcast(erase), on, "left_anti")
+    n_deleted = victims.count() - survivors.count()
+    # write first (new part files in the same directory), delete after
+    survivors.write.mode("append").parquet(path)
+    for f in affected_files:
+        os.remove(f.removeprefix("file://"))
+    return {
+        "files_total": n_total,
+        "files_rewritten": len(affected_files),
+        "rows_deleted": n_deleted,
+    }

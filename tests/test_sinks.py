@@ -200,3 +200,55 @@ def test_training_shards_are_balanced_and_stable(spark, sf_dir, tmp_path):
         r.n_actual for r in sinks.verify_shards(spark, path).collect()
     ]
     assert min(counts) > 0 and max(counts) <= 3 * min(counts)
+
+
+# --------------------------------------------------------------------- #
+# copy-on-write erasure
+# --------------------------------------------------------------------- #
+
+
+def test_erase_copy_on_write_removes_keys_only(spark, sf_dir, tmp_path):
+    import os
+
+    from kevinlang_spark.sources import sinks
+
+    path = str(tmp_path / "ds")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+    # hash-partition on the key so each erase key lives in few files
+    ev.repartition(16, "user_id").write.parquet(path)
+    erase = spark.createDataFrame([(1,), (2,), (3,)], "user_id bigint")
+    before = spark.read.parquet(path)
+    n_before = before.count()
+    n_victims = before.where("user_id IN (1,2,3)").count()
+    assert n_victims > 0
+    mtimes = {
+        f: os.path.getmtime(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    }
+    stats = sinks.erase_keys_copy_on_write(spark, path, erase, "user_id")
+    after = spark.read.parquet(path)
+    assert after.where("user_id IN (1,2,3)").count() == 0
+    assert after.count() == n_before - n_victims
+    assert stats["rows_deleted"] == n_victims
+    # files without the erased keys were not rewritten
+    untouched = [
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and f in mtimes
+        and os.path.getmtime(os.path.join(path, f)) == mtimes[f]
+    ]
+    assert len(untouched) >= stats["files_total"] - stats["files_rewritten"] > 0
+
+
+def test_erase_copy_on_write_noop_without_matches(spark, sf_dir, tmp_path):
+    from kevinlang_spark.sources import sinks
+
+    path = str(tmp_path / "ds")
+    spark.read.parquet(f"{sf_dir}/nation.parquet").write.parquet(path)
+    erase = spark.createDataFrame([(99999,)], "n_nationkey bigint")
+    stats = sinks.erase_keys_copy_on_write(spark, path, erase, "n_nationkey")
+    assert stats["files_rewritten"] == 0 and stats["rows_deleted"] == 0
+    assert spark.read.parquet(path).count() == 25
