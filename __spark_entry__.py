@@ -2867,6 +2867,79 @@ def q_temporal_join(spark, sf_dir):
     return out.select("fact_id", "l_orderkey", "version")
 
 
+def q_kll_rollup(spark, sf_dir):
+    """Range-queryable quantiles from a mergeable sketch table: one
+    DataSketches KLL sketch of event value per (event_type, day), merged
+    per type, p50/p90 read off the merged sketch — the quantile twin of
+    q_hll_rollup (append a day, never rescan history).  Bound-checked
+    like the other sketch queries: the oracle expects p50_ok/p90_ok =
+    TRUE, so a merged estimate whose value drifts outside the exact
+    ±5-rank-point band flips the hash (KLL's own bound at k = 200 is
+    ±1.65 rank points at 99 %, so the check has 3× headroom)."""
+    from kevinlang_spark.operators.sketches import kll_rollup
+
+    ev = _events(spark, sf_dir)
+    roll = kll_rollup(
+        ev, ["event_type"], F.to_date("ts"), "value", quantiles=(0.5, 0.9)
+    )
+    exact = ev.where(F.col("value").isNotNull()).groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 4).alias("p50_exact"),
+        F.percentile("value", 0.45).alias("__lo50"),
+        F.percentile("value", 0.55).alias("__hi50"),
+        F.percentile("value", 0.85).alias("__lo90"),
+        F.percentile("value", 0.95).alias("__hi90"),
+    )
+    return roll.join(exact, "event_type").select(
+        "event_type",
+        "n_units",
+        "n_rows",
+        "p50_exact",
+        F.col("q_50").between(F.col("__lo50"), F.col("__hi50")).alias("p50_ok"),
+        F.col("q_90").between(F.col("__lo90"), F.col("__hi90")).alias("p90_ok"),
+    )
+
+
+def q_theta_overlap(spark, sf_dir):
+    """Audience overlap via Theta sketch set algebra: users active on the
+    corpus's first day vs its last day, per event type — n_a, n_b, A∩B
+    (retained) and A\\B (churned) computed entirely from a per-(type, day)
+    sketch table; the raw events are scanned once to BUILD the table and
+    never touched again.  At ≤ 2^lgk distinct values per cell the Theta
+    sketch is in exact mode, so the estimates equal the exact relational
+    counts the oracle computes (both sf tiers are far below 4096 users
+    per cell; at 100 TB the same query degrades gracefully to ~1/√k
+    relative error instead of failing)."""
+    from kevinlang_spark.operators.sketches import theta_rollup, theta_span_overlap
+
+    ev = _events(spark, sf_dir)
+    sk = theta_rollup(ev, ["event_type"], F.to_date("ts"), "user_id")
+    return theta_span_overlap(sk, ["event_type"])
+
+
+def q_ewma_smooth(spark, sf_dir):
+    """Per-user sequential smoothing of event values with EXACT dyadic
+    arithmetic (trailing-20 fold acc ← acc/2 + x/2 over centi-quantized
+    values): the EWMA shape that is normally un-oracle-able because
+    float recurrences drift across engines becomes bit-reproducible —
+    Spark's windowed fold and DuckDB's list_reduce produce identical
+    doubles on every row.  One key shuffle; the fold is scan-stage."""
+    from kevinlang_spark.operators.events import dyadic_smooth
+
+    return dyadic_smooth(_events(spark, sf_dir), ["user_id"])
+
+
+def q_novelty(spark, sf_dir):
+    """Per-source corpus novelty: documents that are the FIRST occurrence
+    of their content fingerprint in global doc_id order vs repeats of
+    content an earlier document already contributed — the attribution
+    view plain dedup rate can't give (it charges the duplicate to the
+    later source).  One fingerprint-keyed window (mergeable MIN, no
+    rank sort) + a per-source count; exact integer output."""
+    from kevinlang_spark.operators.dedup import novelty_counts
+
+    return novelty_counts(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_select": q_select,
@@ -3014,6 +3087,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mixture_weights": q_mixture_weights,
         "q_window_dedup": q_window_dedup,
         "q_hll_rollup": q_hll_rollup,
+        "q_kll_rollup": q_kll_rollup,
+        "q_theta_overlap": q_theta_overlap,
+        "q_ewma_smooth": q_ewma_smooth,
+        "q_novelty": q_novelty,
         "q_dedup_longest": q_dedup_longest,
         "q_mahalanobis": q_mahalanobis,
         "q_temporal_join": q_temporal_join,
@@ -4391,6 +4468,59 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_units, "
             "COUNT(DISTINCT user_id) AS n_exact, TRUE AS rollup_ok "
             "FROM events WHERE user_id IS NOT NULL GROUP BY event_type"
+        ),
+        "q_kll_rollup": (
+            # p50_ok/p90_ok = TRUE expected: the merged-KLL estimate must
+            # land inside the exact +-5-rank-point band or the hash flips
+            "SELECT event_type, "
+            "CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_units, "
+            "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "ROUND(quantile_cont(value, 0.5), 4) AS p50_exact, "
+            "TRUE AS p50_ok, TRUE AS p90_ok "
+            "FROM events WHERE value IS NOT NULL GROUP BY event_type"
+        ),
+        "q_theta_overlap": (
+            # Theta sketches are in exact mode below 2^lgk distinct
+            # values, so the estimates equal these exact counts
+            "WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, user_id "
+            "FROM events WHERE user_id IS NOT NULL), "
+            "b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d), "
+            "a AS (SELECT DISTINCT event_type, user_id FROM d, b "
+            "WHERE day = b.lo), "
+            "z AS (SELECT DISTINCT event_type, user_id FROM d, b "
+            "WHERE day = b.hi), "
+            "j AS (SELECT COALESCE(a.event_type, z.event_type) AS event_type, "
+            "a.user_id AS au, z.user_id AS zu FROM a FULL OUTER JOIN z "
+            "ON a.event_type = z.event_type AND a.user_id = z.user_id) "
+            "SELECT event_type, CAST(COUNT(au) AS BIGINT) AS n_a, "
+            "CAST(COUNT(zu) AS BIGINT) AS n_b, "
+            "CAST(SUM(CASE WHEN au IS NOT NULL AND zu IS NOT NULL "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_both, "
+            "CAST(SUM(CASE WHEN au IS NOT NULL AND zu IS NULL "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a "
+            "FROM j GROUP BY event_type"
+        ),
+        "q_ewma_smooth": (
+            # identical dyadic fold (acc/2 + x/2 over centi-quantized
+            # trailing-20 values) — bit-identical doubles on both engines
+            "WITH base AS (SELECT user_id, ts, event_id, "
+            "ROUND(COALESCE(value, 0) * 100, 0) AS xq FROM events), "
+            "w AS (SELECT user_id, ts, event_id, "
+            "list(xq) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr FROM base) "
+            "SELECT user_id, ts, event_id, "
+            "list_reduce(list_prepend(0.0, arr), "
+            "(acc, x) -> acc / 2 + x / 2) / 100 AS smooth FROM w"
+        ),
+        "q_novelty": (
+            "WITH f AS (SELECT source, doc_id, "
+            "md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp "
+            "FROM documents), "
+            "m AS (SELECT source, doc_id, "
+            "CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY fp) "
+            "THEN 1 ELSE 0 END AS nf FROM f) "
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(nf) AS BIGINT) AS n_first FROM m GROUP BY source"
         ),
         "q_mahalanobis": (
             "WITH base AS (SELECT l_returnflag AS grp, "

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kevinlang_spark.functions.textexpr import normalize_text, tokenize, word_shingles
@@ -1286,5 +1286,40 @@ def source_overlap_matrix(
             F.round(
                 F.col("n_shared") / F.least("n_a", "n_b"), 6
             ).alias("overlap"),
+        )
+    )
+
+
+def novelty_counts(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group corpus novelty: how many of a group's documents are the
+    FIRST occurrence of their content fingerprint in global ``order_col``
+    order (ingestion order, typically) vs repeats of something already
+    seen anywhere in the corpus.
+
+    This is the curation question "which crawl sources contribute new
+    content and which mostly re-serve what earlier sources already
+    provided" — the attribution view that plain dedup rate
+    (per-source distinct/total) cannot give, because it charges the
+    duplicate to the LATER source.
+
+    Execution: one window shuffle keyed on the 16-byte md5 fingerprint
+    (first-occurrence flag via min-order comparison — a mergeable MIN,
+    not a sort rank), then a tiny per-group count aggregation.  Output
+    is exact integer counts, hash-stable across engines."""
+    from kevinlang_spark.operators.text import fingerprint
+
+    w = Window.partitionBy(fingerprint(F.col(text_col)))
+    is_first = (F.col(order_col) == F.min(order_col).over(w)).cast("long")
+    return (
+        df.select(group_col, F.col(order_col), is_first.alias("__nf"))
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__nf").alias("n_first"),
         )
     )

@@ -326,3 +326,56 @@ def window_dedup(
             "n_dups",
         )
     )
+
+
+def dyadic_smooth(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str = "value",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    horizon: int = 20,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key sequential EWMA-style smoothing with EXACT, engine-portable
+    arithmetic: ``smooth_t = Σ_{i=0..h-1} x_{t-i} / 2^{i+1}`` over the
+    trailing ``horizon`` events (newest weighted 1/2, halving per step).
+
+    Floating-point EWMA recurrences normally drift across engines and
+    partitionings because summation order differs; here every operation
+    is exact: ``x`` is quantized to ``round(x·scale)`` (an integer-valued
+    double), and the left fold ``acc ← acc/2 + x/2`` only ever divides
+    by two (exact in binary) and adds dyadic rationals whose bit spread
+    (value bits + horizon) stays under the 53-bit mantissa — so the
+    result is bit-identical on Spark, DuckDB, or a hand calculator,
+    independent of partition count.  The weight of the step-``i``-old
+    event is 2^-(i+1); mass older than ``horizon`` is dropped (for
+    h = 20 that tail is < 1e-6 of total weight).
+
+    Execution: ONE key shuffle for the sort window; the trailing-array
+    collect is bounded at ``horizon`` values per row and the fold runs
+    in the scan stage.  No recurrence state crosses partitions, so the
+    operator scales with rows/key, not table size."""
+    xq = F.round(F.coalesce(F.col(value_col), F.lit(0.0)) * scale, 0)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-(horizon - 1), 0)
+    )
+    arr = F.collect_list(xq).over(w)
+    fold = F.aggregate(
+        arr, F.lit(0.0), lambda acc, x: acc / 2 + x / 2
+    )
+    # no ROUND on the output: the fold is exact and the single ÷scale is
+    # one correctly-rounded IEEE op on identical inputs, so both engines
+    # emit the same double — whereas a decimal ROUND(x, 6) straddles
+    # half-way cases differently (Spark rounds the shortest decimal
+    # rendering half-up, DuckDB rounds the binary value) and flips
+    # hashes exactly on the dyadic .xxxxxx5 boundaries this fold
+    # produces
+    return df.select(
+        *keys,
+        F.col(ts_col),
+        F.col(id_col),
+        (fold / scale).alias("smooth"),
+    )

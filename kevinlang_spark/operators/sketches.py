@@ -108,3 +108,130 @@ def hll_rollup(
         .cast("bigint")
         .alias("n_union"),
     )
+
+
+def kll_rollup(
+    df: DataFrame,
+    key_cols: list[str],
+    unit_col,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.5,),
+    k: int = 200,
+) -> DataFrame:
+    """Range-queryable QUANTILES without rescanning raw data — the
+    quantile twin of :func:`hll_rollup`: one DataSketches KLL sketch of
+    ``value_col`` per (keys…, unit), merged per key, then any quantile
+    read off the merged sketch.
+
+    Same incremental-maintenance story as the HLL table: the per-unit
+    sketch rows are a few KB each (k = 200 ⇒ ~1.65 % normalized rank
+    error at 99 % confidence), persist as a binary column, append new
+    units without touching history, and a p50/p99 over any unit range is
+    a merge over the selected rows.  Both aggregation levels are
+    mergeable (KLL merge is associative), so partial aggregation applies
+    and neither level shuffles raw values — at 100 TB the only full-data
+    pass is the per-unit sketch build.
+
+    Returns (keys…, n_units, n_rows, q_<pct> …) with one estimate column
+    per requested quantile."""
+    unit = unit_col if not isinstance(unit_col, str) else F.col(unit_col)
+    per_unit = df.where(F.col(value_col).isNotNull()).groupBy(
+        *key_cols, unit.alias("__unit")
+    ).agg(
+        F.kll_sketch_agg_double(
+            F.col(value_col).cast("double"), F.lit(k)
+        ).alias("sketch"),
+        F.count("*").alias("n_rows"),
+    )
+    merged = F.kll_merge_agg_double("sketch")
+    qcols = [
+        F.kll_sketch_get_quantile_double(merged, F.lit(float(q))).alias(
+            f"q_{int(round(q * 100)):02d}"
+        )
+        for q in quantiles
+    ]
+    return per_unit.groupBy(*key_cols).agg(
+        F.count("*").alias("n_units"),
+        F.sum("n_rows").alias("n_rows"),
+        *qcols,
+    )
+
+
+def theta_rollup(
+    df: DataFrame,
+    key_cols: list[str],
+    unit_col,
+    value_col: str,
+    lgk: int = 12,
+) -> DataFrame:
+    """Per-(keys…, unit) DataSketches Theta sketch of ``value_col`` —
+    the set-algebra-capable distinct sketch.  Unlike HLL, Theta sketches
+    support INTERSECTION and DIFFERENCE, so a persisted per-unit sketch
+    table answers audience-overlap questions (users active in unit A
+    *and* unit B; in A but *not* B) without ever joining raw data.
+
+    Below ~2^lgk distinct values the sketch stores the full hash set and
+    estimates are EXACT — that is the oracle-checkable regime; above it
+    the sketch samples and the relative error is ~1/√(2^lgk).  One
+    sketch row per (keys…, unit); mergeable, so partial agg applies."""
+    unit = unit_col if not isinstance(unit_col, str) else F.col(unit_col)
+    return df.where(F.col(value_col).isNotNull()).groupBy(
+        *key_cols, unit.alias("unit")
+    ).agg(F.theta_sketch_agg(F.col(value_col), F.lit(lgk)).alias("sketch"))
+
+
+def theta_overlap(
+    sketches: DataFrame,
+    key_cols: list[str],
+    unit_a,
+    unit_b,
+) -> DataFrame:
+    """Set algebra over a :func:`theta_rollup` table: per key, the
+    distinct-count of unit A, unit B, A∩B (both) and A\\B (churned from
+    A) — retention/churn straight off the sketch table.
+
+    The join is sketch-row × sketch-row (|keys| rows a side, bytes per
+    row); raw data is never touched, which is the point at 100 TB: the
+    expensive full scan happened ONCE when the sketch table was built,
+    and every subsequent overlap question is a metadata-scale join."""
+    a = sketches.where(F.col("unit") == unit_a).select(
+        *key_cols, F.col("sketch").alias("sk_a")
+    )
+    b = sketches.where(F.col("unit") == unit_b).select(
+        *key_cols, F.col("sketch").alias("sk_b")
+    )
+    return _theta_estimates(a, b, key_cols)
+
+
+def theta_span_overlap(sketches: DataFrame, key_cols: list[str]) -> DataFrame:
+    """First-unit vs last-unit overlap per key off a :func:`theta_rollup`
+    table — day-1 vs day-N retention without naming the dates: the unit
+    bounds come from a broadcast 1-row MIN/MAX aggregate of the sketch
+    table itself (metadata-scale — no driver collect, no raw-data
+    scan)."""
+    bounds = sketches.groupBy().agg(
+        F.min("unit").alias("__lo"), F.max("unit").alias("__hi")
+    )
+    skb = sketches.crossJoin(F.broadcast(bounds))
+    a = skb.where(F.col("unit") == F.col("__lo")).select(
+        *key_cols, F.col("sketch").alias("sk_a")
+    )
+    b = skb.where(F.col("unit") == F.col("__hi")).select(
+        *key_cols, F.col("sketch").alias("sk_b")
+    )
+    return _theta_estimates(a, b, key_cols)
+
+
+def _theta_estimates(a: DataFrame, b: DataFrame, key_cols) -> DataFrame:
+    est = F.theta_sketch_estimate
+    return a.join(b, list(key_cols)).select(
+        *key_cols,
+        est(F.col("sk_a")).cast("bigint").alias("n_a"),
+        est(F.col("sk_b")).cast("bigint").alias("n_b"),
+        est(F.theta_intersection(F.col("sk_a"), F.col("sk_b")))
+        .cast("bigint")
+        .alias("n_both"),
+        est(F.theta_difference(F.col("sk_a"), F.col("sk_b")))
+        .cast("bigint")
+        .alias("n_only_a"),
+    )

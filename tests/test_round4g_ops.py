@@ -1,0 +1,258 @@
+"""Round-4g operators: KLL quantile rollup, Theta-sketch set algebra,
+exact-dyadic sequential smoothing, per-source corpus novelty."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------- #
+# kll_rollup
+# --------------------------------------------------------------------- #
+
+
+def _value_events(spark, n=400, units=4):
+    rows = [
+        (i, i % units, float(i % 101))  # values 0..100 uniform-ish
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "id bigint, unit int, value double")
+
+
+def test_kll_rollup_median_within_bound(spark):
+    from kevinlang_spark.operators.sketches import kll_rollup
+
+    df = _value_events(spark).withColumn("k", F.lit("a"))
+    out = kll_rollup(df, ["k"], "unit", "value", quantiles=(0.5,)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_units == 4 and r.n_rows == 400
+    # exact median of 0..100-cycle data is ~50; KLL rank error at
+    # k=200 on 400 points is tiny
+    assert abs(r.q_50 - 50.0) <= 3.0
+
+
+def test_kll_rollup_merge_spans_units(spark):
+    """The merged quantile reflects ALL units, not any single one: give
+    each unit a disjoint value range and check the merged median falls
+    between the per-unit medians."""
+    from kevinlang_spark.operators.sketches import kll_rollup
+
+    rows = [(i, 0, float(i)) for i in range(100)] + [
+        (100 + i, 1, 1000.0 + i) for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, unit int, value double"
+    ).withColumn("k", F.lit("a"))
+    r = kll_rollup(df, ["k"], "unit", "value", quantiles=(0.5,)).collect()[0]
+    # true merged median sits at the gap between the two ranges; a
+    # median from unit 0 alone would be ~50, from unit 1 alone ~1050
+    assert 90.0 <= r.q_50 <= 1010.0
+
+
+def test_kll_rollup_null_values_excluded(spark):
+    from kevinlang_spark.operators.sketches import kll_rollup
+
+    df = spark.createDataFrame(
+        [(1, 0, 10.0), (2, 0, None), (3, 1, 20.0)],
+        "id bigint, unit int, value double",
+    ).withColumn("k", F.lit("a"))
+    r = kll_rollup(df, ["k"], "unit", "value").collect()[0]
+    assert r.n_rows == 2 and r.n_units == 2
+
+
+# --------------------------------------------------------------------- #
+# theta_rollup / theta_overlap
+# --------------------------------------------------------------------- #
+
+
+def test_theta_overlap_exact_mode_set_algebra(spark):
+    """Below 2^lgk the sketch is exact: intersection and difference
+    equal the true set counts."""
+    from kevinlang_spark.operators.sketches import theta_overlap, theta_rollup
+
+    # unit 1: users 0..9 ; unit 2: users 5..14  -> both=5, only_a=5
+    rows = [(u, 1) for u in range(10)] + [(u, 2) for u in range(5, 15)]
+    df = spark.createDataFrame(rows, "user bigint, unit int").withColumn(
+        "k", F.lit("a")
+    )
+    sk = theta_rollup(df, ["k"], "unit", "user")
+    r = theta_overlap(sk, ["k"], F.lit(1), F.lit(2)).collect()[0]
+    assert (r.n_a, r.n_b, r.n_both, r.n_only_a) == (10, 10, 5, 5)
+
+
+def test_theta_span_overlap_picks_min_max_units(spark):
+    from kevinlang_spark.operators.sketches import (
+        theta_rollup,
+        theta_span_overlap,
+    )
+
+    # three units; first (d1) and last (d3) share exactly user 7
+    d1, d2, d3 = (
+        datetime.date(2024, 1, 1),
+        datetime.date(2024, 1, 2),
+        datetime.date(2024, 1, 3),
+    )
+    rows = (
+        [(u, d1) for u in (1, 2, 7)]
+        + [(u, d2) for u in (100, 101)]
+        + [(u, d3) for u in (7, 9)]
+    )
+    df = spark.createDataFrame(rows, "user bigint, unit date").withColumn(
+        "k", F.lit("a")
+    )
+    sk = theta_rollup(df, ["k"], "unit", "user")
+    r = theta_span_overlap(sk, ["k"]).collect()[0]
+    # middle unit must not leak in
+    assert (r.n_a, r.n_b, r.n_both, r.n_only_a) == (3, 2, 1, 2)
+
+
+def test_theta_rollup_dedups_within_unit(spark):
+    from kevinlang_spark.operators.sketches import theta_overlap, theta_rollup
+
+    rows = [(1, 1), (1, 1), (1, 1), (2, 2)]
+    df = spark.createDataFrame(rows, "user bigint, unit int").withColumn(
+        "k", F.lit("a")
+    )
+    sk = theta_rollup(df, ["k"], "unit", "user")
+    r = theta_overlap(sk, ["k"], F.lit(1), F.lit(2)).collect()[0]
+    assert (r.n_a, r.n_b, r.n_both) == (1, 1, 0)
+
+
+# --------------------------------------------------------------------- #
+# dyadic_smooth
+# --------------------------------------------------------------------- #
+
+
+def _py_dyadic(values, horizon=20, scale=100):
+    """Reference fold in plain Python — same exact arithmetic.  Half-way
+    quantization rounds AWAY from zero like Spark and DuckDB ROUND (not
+    Python's banker's round)."""
+    import math
+
+    def q(x):
+        return math.copysign(math.floor(abs(x) + 0.5), x)
+
+    out = []
+    for t in range(len(values)):
+        window = values[max(0, t - horizon + 1) : t + 1]
+        acc = 0.0
+        for v in window:
+            acc = acc / 2 + q((v or 0.0) * scale) / 2
+        out.append(acc / scale)
+    return out
+
+
+def test_dyadic_smooth_matches_python_reference(spark):
+    from kevinlang_spark.operators.events import dyadic_smooth
+
+    import datetime as dt
+
+    vals = [3.14, 0.0, None, 42.5, 7.77, 100.01, 0.005, 9.999]
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base + dt.timedelta(minutes=i), i, v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_id bigint, value double"
+    )
+    got = [
+        r.smooth
+        for r in dyadic_smooth(df, ["user_id"]).orderBy("event_id").collect()
+    ]
+    want = _py_dyadic(vals)
+    # EXACT equality — the whole point of the dyadic formulation
+    assert got == want
+
+
+def test_dyadic_smooth_partitioning_invariant(spark):
+    """Same bit-exact result regardless of input partitioning — the
+    property float EWMAs lose."""
+    from kevinlang_spark.operators.events import dyadic_smooth
+
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, base + dt.timedelta(seconds=i), i, (i * 37 % 997) / 7.0)
+        for i in range(300)
+        for u in (1, 2)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_id bigint, value double"
+    )
+    a = dyadic_smooth(df.repartition(1), ["user_id"])
+    b = dyadic_smooth(df.repartition(13), ["user_id"])
+    ra = sorted((r.user_id, r.event_id, r.smooth) for r in a.collect())
+    rb = sorted((r.user_id, r.event_id, r.smooth) for r in b.collect())
+    assert ra == rb
+
+
+def test_dyadic_smooth_horizon_truncates(spark):
+    """Events older than the horizon contribute nothing: two identical
+    tails preceded by different ancient heads give equal smoothed
+    values at the end."""
+    from kevinlang_spark.operators.events import dyadic_smooth
+
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    tail = [(i * 13 % 50) / 3.0 for i in range(20)]
+    rows = []
+    for uid, head in ((1, 9999.0), (2, 0.125)):
+        vals = [head] + tail
+        rows += [
+            (uid, base + dt.timedelta(minutes=i), i, v)
+            for i, v in enumerate(vals)
+        ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_id bigint, value double"
+    )
+    out = dyadic_smooth(df, ["user_id"], horizon=20)
+    last = {
+        r.user_id: r.smooth
+        for r in out.where(F.col("event_id") == 20).collect()
+    }
+    assert last[1] == last[2]
+
+
+# --------------------------------------------------------------------- #
+# novelty_counts
+# --------------------------------------------------------------------- #
+
+
+def test_novelty_charges_duplicate_to_later_source(spark):
+    from kevinlang_spark.operators.dedup import novelty_counts
+
+    rows = [
+        (1, "alpha text", "s1"),
+        (2, "beta text", "s1"),
+        (3, "ALPHA  text!", "s2"),  # dup of doc 1 after normalization
+        (4, "gamma", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    got = {
+        r.source: (r.n_docs, r.n_first)
+        for r in novelty_counts(df).collect()
+    }
+    # s1 contributed both of its docs first; s2's copy of alpha is not
+    # novel
+    assert got == {"s1": (2, 2), "s2": (2, 1)}
+
+
+def test_novelty_order_col_decides_first(spark):
+    from kevinlang_spark.operators.dedup import novelty_counts
+
+    rows = [
+        (10, "same thing", "late"),
+        (2, "same thing", "early"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    got = {
+        r.source: (r.n_docs, r.n_first)
+        for r in novelty_counts(df).collect()
+    }
+    assert got == {"early": (1, 1), "late": (1, 0)}
