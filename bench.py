@@ -73,6 +73,10 @@ HEADLINE = [
     "q_temporal_join",
     "q_resample_lerp",
     "q_mahalanobis",
+    "q_kll_rollup",
+    "q_theta_overlap",
+    "q_ewma_smooth",
+    "q_novelty",
 ]
 
 
