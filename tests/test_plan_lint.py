@@ -1,0 +1,65 @@
+"""Fleet-wide plan lint: structural scale rules asserted over EVERY
+driver query, not just hand-picked ones.
+
+Rules (each with an explicit, reviewed whitelist):
+
+1. No ``CartesianProduct`` anywhere — an all-pairs join is never the
+   plan we want at 100 TB.
+2. ``BroadcastNestedLoopJoin`` only where the broadcast side is a
+   scalar/bounded aggregate (the "broadcast one tiny row to every row"
+   pattern — O(rows), zero shuffle, scale-correct).  Any NEW query that
+   introduces one fails this test until it is reviewed and listed.
+3. No ``BatchEvalPython`` anywhere — row-at-a-time Python UDFs are
+   banned outright; Python work must be Arrow-vectorized
+   (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas).
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from kevinlang_spark.plans.inspect import executed_plan
+
+#: queries whose BroadcastNestedLoopJoin is the scalar-broadcast pattern
+#: (build side is a ≤-few-rows aggregate/probe set, reviewed one by one):
+BNLJ_OK = {
+    "q_assoc_rules",  # broadcast per-item support counts (bounded by catalog)
+    "q_chi_square",  # broadcast 1-row grand-total
+    "q_emb_neardup_brute",  # broadcast bounded probe subset
+    "q_equidepth",  # broadcast exact boundary row
+    "q_knn_join",  # broadcast k-probe set
+    "q_pagerank",  # broadcast 1-row dangling-mass aggregate per iteration
+    "q_psi_drift",  # broadcast 1-row baseline totals
+    "q_rfm",  # broadcast 1-row quintile boundary aggregate
+    "q_target_encode",  # broadcast 1-row global mean
+    "q_tpch_q11",  # broadcast 1-row value-threshold aggregate
+    "q_tpch_q22",  # broadcast 1-row average-balance aggregate
+}
+
+
+def test_every_query_plan_obeys_scale_rules(spark, sf_dir):
+    violations = {}
+    for name, fn in sorted(entrymod.queries().items()):
+        plan = executed_plan(fn(spark, sf_dir))
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("cartesian-product")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            flags.append("unreviewed-nested-loop-join")
+        if "BatchEvalPython" in plan:
+            flags.append("row-at-a-time-python-udf")
+        if flags:
+            violations[name] = flags
+    assert not violations, violations
+
+
+def test_bnlj_whitelist_is_tight(spark, sf_dir):
+    """Every whitelisted query still HAS its nested-loop join — entries
+    whose plans improved past the pattern must be removed so the
+    whitelist never masks a regression elsewhere."""
+    stale = []
+    qs = entrymod.queries()
+    for name in sorted(BNLJ_OK):
+        plan = executed_plan(qs[name](spark, sf_dir))
+        if "BroadcastNestedLoopJoin" not in plan:
+            stale.append(name)
+    assert not stale, f"remove from BNLJ_OK (no BNLJ in plan): {stale}"
