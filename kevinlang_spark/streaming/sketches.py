@@ -66,3 +66,59 @@ def hll_distinct(
             .alias("n_distinct")
         )
     )
+
+
+def write_stream_kll(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    value_col: str,
+    k: int = 200,
+) -> None:
+    """Quantile twin of :func:`write_stream_hll`: drain a streaming
+    DataFrame with availableNow, appending one (keys…, KLL sketch,
+    batch_id) row per key per micro-batch.  Memory per batch is bounded
+    by keys × O(k) — never by the value distribution — and the table
+    answers "p50/p99 so far" (or over any batch range) via a mergeable
+    KLL merge, with history never rescanned."""
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.where(F.col(value_col).isNotNull())
+            .groupBy(*key_cols)
+            .agg(
+                F.kll_sketch_agg_double(
+                    F.col(value_col).cast("double"), F.lit(k)
+                ).alias("sketch")
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(path)
+        )
+
+    q = (
+        df.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def kll_quantiles(
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str],
+    quantiles: tuple[float, ...] = (0.5,),
+) -> DataFrame:
+    """Quantiles-so-far per key from the sketch table: one mergeable KLL
+    merge over sketch rows (bytes per row, not values)."""
+    merged = F.kll_merge_agg_double("sketch")
+    qcols = [
+        F.kll_sketch_get_quantile_double(merged, F.lit(float(q))).alias(
+            f"q_{int(round(q * 100)):02d}"
+        )
+        for q in quantiles
+    ]
+    return spark.read.parquet(path).groupBy(*key_cols).agg(*qcols)

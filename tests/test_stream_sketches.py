@@ -90,3 +90,56 @@ def test_stream_hll_sketch_rows_are_bounded(spark, events_dir, tmp_path):
     assert tbl.count() <= n_types * n_batches
     max_len = tbl.select(F.max(F.length("sketch"))).collect()[0][0]
     assert max_len <= 2**12 + 64  # sketch bytes + serialization header
+
+
+def _value_stream(spark, events_dir):
+    from kevinlang_spark.sources.parquet import normalize_event_ts
+
+    schema = spark.read.parquet(events_dir).schema
+    return normalize_event_ts(
+        spark.readStream.schema(schema).parquet(events_dir)
+    ).select("event_type", "value")
+
+
+def test_stream_kll_matches_batch_quantiles(spark, events_dir, tmp_path):
+    from kevinlang_spark.streaming.sketches import kll_quantiles, write_stream_kll
+
+    out, ckpt = str(tmp_path / "kll"), str(tmp_path / "kllckpt")
+    write_stream_kll(
+        _value_stream(spark, events_dir), out, ckpt, ["event_type"], "value"
+    )
+    got = {
+        r.event_type: r.q_50
+        for r in kll_quantiles(spark, out, ["event_type"]).collect()
+    }
+    exact = {
+        r.event_type: (r.lo, r.hi)
+        for r in spark.read.parquet(events_dir)
+        .where(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.45).alias("lo"),
+            F.percentile("value", 0.55).alias("hi"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, (lo, hi) in exact.items():
+        # merged-across-batches estimate lands inside the exact
+        # ±5-rank-point band (KLL bound at k=200 is ±1.65 at 99%)
+        assert lo <= got[k] <= hi, (k, got[k], lo, hi)
+
+
+def test_stream_kll_checkpoint_restart_noop(spark, events_dir, tmp_path):
+    from kevinlang_spark.streaming.sketches import write_stream_kll
+
+    out, ckpt = str(tmp_path / "kll"), str(tmp_path / "kllckpt")
+    write_stream_kll(
+        _value_stream(spark, events_dir), out, ckpt, ["event_type"], "value"
+    )
+    n_rows = spark.read.parquet(out).count()
+    # second drain with the same checkpoint: no new batches, no appends
+    write_stream_kll(
+        _value_stream(spark, events_dir), out, ckpt, ["event_type"], "value"
+    )
+    assert spark.read.parquet(out).count() == n_rows
