@@ -191,3 +191,49 @@ def write_range_sorted(
         else df.repartitionByRange(*cs)
     )
     part.sortWithinPartitions(*cs).write.mode("overwrite").parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols,
+    n_buckets: int,
+    sort_cols=None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a parquet table hash-BUCKETED on ``bucket_cols`` — the
+    co-location contract that makes later joins and aggregations on the
+    bucket key SHUFFLE-FREE: two tables bucketed the same way (same
+    columns, same ``n_buckets``) sort-merge-join with zero Exchange on
+    either side, and a groupBy on the bucket key skips its Exchange too.
+    This is THE preparation step for a 100 TB fact table that will be
+    joined on the same key every day: pay the shuffle once at write
+    time, never again at read time.
+
+    ``sort_cols`` additionally sorts within each bucket file
+    (``sortBy``), which lets the join skip its per-task Sort as well.
+    Bucketing rides the table catalog (Spark needs the bucket spec in
+    metadata), hence ``saveAsTable``; pass ``path`` to make it an
+    external table at a chosen location.
+
+    Scale note: ``n_buckets`` fixes output-file count per partition
+    write — pick it like you pick shuffle partitions (≈ data size /
+    target file size), and keep it identical across every table meant
+    to co-join."""
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table THROUGH the catalog — a plain
+    ``spark.read.parquet(path)`` on the same files loses the bucket
+    metadata and re-shuffles on join, so the catalog read is the one
+    that honors the co-location contract."""
+    return spark.table(table)
