@@ -2940,6 +2940,31 @@ def q_novelty(spark, sf_dir):
     return novelty_counts(_t(spark, sf_dir, "documents"))
 
 
+def q_join_estimate(spark, sf_dir):
+    """Pre-flight join planning without running the join: distinct keys
+    per side, matched keys, and each side's unmatched keys — customer ×
+    orders on custkey — from one Theta sketch per side (a scan each, no
+    key shuffle).  At lgk=14 both sides sit in the sketch's exact
+    regime at oracle scale, so the estimates equal the exact relational
+    counts; at 100 TB the same call degrades to ~0.8 % error instead of
+    costing a shuffle."""
+    from kevinlang_spark.operators.sketches import join_key_profile
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return join_key_profile(cust, orders, "c_custkey", "o_custkey")
+
+
+def q_funnel_latency(spark, sf_dir):
+    """Funnel time-to-convert: latency from each user's first click to
+    their first at-or-after purchase, summarized as converted-user count
+    + exact quartiles.  User-keyed shuffle lineage; the percentile step
+    sees one row per converted user, never the event table."""
+    from kevinlang_spark.operators.events import funnel_latency
+
+    return funnel_latency(_events(spark, sf_dir), "click", "purchase")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_select": q_select,
@@ -3091,6 +3116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_theta_overlap": q_theta_overlap,
         "q_ewma_smooth": q_ewma_smooth,
         "q_novelty": q_novelty,
+        "q_join_estimate": q_join_estimate,
+        "q_funnel_latency": q_funnel_latency,
         "q_dedup_longest": q_dedup_longest,
         "q_mahalanobis": q_mahalanobis,
         "q_temporal_join": q_temporal_join,
@@ -4511,6 +4538,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, ts, event_id, "
             "list_reduce(list_prepend(0.0, arr), "
             "(acc, x) -> acc / 2 + x / 2) / 100 AS smooth FROM w"
+        ),
+        "q_join_estimate": (
+            # theta sketches are exact below 2^14 distinct keys, so the
+            # estimates equal these exact relational counts
+            "WITH a AS (SELECT DISTINCT c_custkey AS k FROM customer "
+            "WHERE c_custkey IS NOT NULL), "
+            "b AS (SELECT DISTINCT o_custkey AS k FROM orders "
+            "WHERE o_custkey IS NOT NULL) "
+            "SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_keys_a, "
+            "CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_keys_b, "
+            "CAST((SELECT COUNT(*) FROM a JOIN b USING (k)) AS BIGINT) "
+            "AS n_matched, "
+            "CAST((SELECT COUNT(*) FROM a ANTI JOIN b USING (k)) AS BIGINT) "
+            "AS n_only_a, "
+            "CAST((SELECT COUNT(*) FROM b ANTI JOIN a USING (k)) AS BIGINT) "
+            "AS n_only_b"
+        ),
+        "q_funnel_latency": (
+            "WITH fa AS (SELECT user_id, MIN(ts) AS a_ts FROM events "
+            "WHERE event_type = 'click' GROUP BY user_id), "
+            "lat AS (SELECT e.user_id, "
+            "epoch(MIN(e.ts)) - epoch(fa.a_ts) AS latency_s "
+            "FROM events e JOIN fa ON e.user_id = fa.user_id "
+            "WHERE e.event_type = 'purchase' AND e.ts >= fa.a_ts "
+            "GROUP BY e.user_id, fa.a_ts) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_converted, "
+            "ROUND(quantile_cont(latency_s, 0.25), 4) AS p25_s, "
+            "ROUND(quantile_cont(latency_s, 0.5), 4) AS p50_s, "
+            "ROUND(quantile_cont(latency_s, 0.75), 4) AS p75_s FROM lat"
         ),
         "q_novelty": (
             "WITH f AS (SELECT source, doc_id, "

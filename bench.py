@@ -77,6 +77,8 @@ HEADLINE = [
     "q_theta_overlap",
     "q_ewma_smooth",
     "q_novelty",
+    "q_join_estimate",
+    "q_funnel_latency",
 ]
 
 

@@ -379,3 +379,51 @@ def dyadic_smooth(
         F.col(id_col),
         (fold / scale).alias("smooth"),
     )
+
+
+def funnel_latency(
+    events: DataFrame,
+    step_a: str,
+    step_b: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-to-convert distribution: for every user whose first
+    ``step_b`` event occurs at-or-after their first ``step_a`` event,
+    the latency in seconds between the two — summarized as converted-user
+    count + exact p25/p50/p75 (one global row).
+
+    Semantics match :func:`funnel_counts`' ordering rule (conversion =
+    B at-or-after first A).  Execution: the first-A aggregation and the
+    B-after-A join both key on the user, so the whole operator is one
+    user-keyed shuffle lineage + a scalar percentile aggregation whose
+    input is one latency row per converted user — at 100 TB the
+    percentile step sees |users| rows, never |events|."""
+    is_a = F.col(type_col) == step_a
+    firsts = (
+        events.where(is_a)
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("__a_ts"))
+    )
+    b_events = events.where(F.col(type_col) == step_b).select(
+        user_col, F.col(ts_col).alias("__b_ts")
+    )
+    lat = (
+        b_events.join(firsts, user_col)
+        .where(F.col("__b_ts") >= F.col("__a_ts"))
+        .groupBy(user_col, "__a_ts")
+        .agg(F.min("__b_ts").alias("__b_first"))
+        .select(
+            (
+                F.col("__b_first").cast("double")
+                - F.col("__a_ts").cast("double")
+            ).alias("latency_s")
+        )
+    )
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.percentile("latency_s", 0.25), 4).alias("p25_s"),
+        F.round(F.percentile("latency_s", 0.5), 4).alias("p50_s"),
+        F.round(F.percentile("latency_s", 0.75), 4).alias("p75_s"),
+    )

@@ -235,3 +235,44 @@ def _theta_estimates(a: DataFrame, b: DataFrame, key_cols) -> DataFrame:
         .cast("bigint")
         .alias("n_only_a"),
     )
+
+
+def join_key_profile(
+    a: DataFrame,
+    b: DataFrame,
+    key_a: str,
+    key_b: str,
+    lgk: int = 14,
+) -> DataFrame:
+    """Pre-flight JOIN PLANNING from two Theta sketches: distinct keys on
+    each side, matched keys (intersection), and each side's unmatched
+    keys — WITHOUT executing the join.  At 100 TB this is the question
+    you ask before committing to a shuffle: "how many keys actually
+    match, is one side's key set a subset, is this join worth bucketing"
+    — answered by one sketch aggregation per side (a scan each, no
+    shuffle beyond the 1-row partials) and set algebra on two sketch
+    rows.
+
+    Estimates are exact below 2^lgk distinct keys per side and ~1/√(2^lgk)
+    relative error above.  The 1×1-row crossJoin is the scalar-broadcast
+    pattern (nested-loop over a single broadcast row)."""
+    sa = a.where(F.col(key_a).isNotNull()).agg(
+        F.theta_sketch_agg(F.col(key_a), F.lit(lgk)).alias("sk_a")
+    )
+    sb = b.where(F.col(key_b).isNotNull()).agg(
+        F.theta_sketch_agg(F.col(key_b), F.lit(lgk)).alias("sk_b")
+    )
+    est = F.theta_sketch_estimate
+    return sa.crossJoin(sb).select(
+        est(F.col("sk_a")).cast("bigint").alias("n_keys_a"),
+        est(F.col("sk_b")).cast("bigint").alias("n_keys_b"),
+        est(F.theta_intersection(F.col("sk_a"), F.col("sk_b")))
+        .cast("bigint")
+        .alias("n_matched"),
+        est(F.theta_difference(F.col("sk_a"), F.col("sk_b")))
+        .cast("bigint")
+        .alias("n_only_a"),
+        est(F.theta_difference(F.col("sk_b"), F.col("sk_a")))
+        .cast("bigint")
+        .alias("n_only_b"),
+    )

@@ -26,6 +26,7 @@ BNLJ_OK = {
     "q_chi_square",  # broadcast 1-row grand-total
     "q_emb_neardup_brute",  # broadcast bounded probe subset
     "q_equidepth",  # broadcast exact boundary row
+    "q_join_estimate",  # 1-row × 1-row sketch crossJoin (scalar algebra)
     "q_knn_join",  # broadcast k-probe set
     "q_pagerank",  # broadcast 1-row dangling-mass aggregate per iteration
     "q_psi_drift",  # broadcast 1-row baseline totals

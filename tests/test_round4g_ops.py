@@ -256,3 +256,93 @@ def test_novelty_order_col_decides_first(spark):
         for r in novelty_counts(df).collect()
     }
     assert got == {"early": (1, 1), "late": (1, 0)}
+
+
+# --------------------------------------------------------------------- #
+# join_key_profile
+# --------------------------------------------------------------------- #
+
+
+def test_join_key_profile_exact_regime(spark):
+    from kevinlang_spark.operators.sketches import join_key_profile
+
+    a = spark.createDataFrame([(k,) for k in range(10)], "k bigint")
+    b = spark.createDataFrame([(k,) for k in range(5, 20)], "k bigint")
+    r = join_key_profile(a, b, "k", "k").collect()[0]
+    assert (r.n_keys_a, r.n_keys_b, r.n_matched, r.n_only_a, r.n_only_b) == (
+        10,
+        15,
+        5,
+        5,
+        10,
+    )
+
+
+def test_join_key_profile_ignores_nulls_and_dups(spark):
+    from kevinlang_spark.operators.sketches import join_key_profile
+
+    a = spark.createDataFrame([(1,), (1,), (None,), (2,)], "k bigint")
+    b = spark.createDataFrame([(2,), (2,), (None,)], "k bigint")
+    r = join_key_profile(a, b, "k", "k").collect()[0]
+    assert (r.n_keys_a, r.n_keys_b, r.n_matched) == (2, 1, 1)
+
+
+def test_join_key_profile_runs_no_join_shuffle(spark):
+    """The profile must not execute the join it is sizing: no
+    hashpartitioning Exchange on either input's key."""
+    from kevinlang_spark.operators.sketches import join_key_profile
+    from kevinlang_spark.plans.inspect import executed_plan
+
+    a = spark.createDataFrame([(k,) for k in range(100)], "k bigint")
+    b = spark.createDataFrame([(k,) for k in range(100)], "k bigint")
+    plan = executed_plan(join_key_profile(a, b, "k", "k"))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+# --------------------------------------------------------------------- #
+# funnel_latency
+# --------------------------------------------------------------------- #
+
+
+def _ev(spark, rows):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (u, base + dt.timedelta(seconds=s), i, etype, 1.0)
+        for i, (u, s, etype) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data,
+        "user_id bigint, ts timestamp, event_id bigint, "
+        "event_type string, value double",
+    )
+
+
+def test_funnel_latency_first_a_to_first_b_after(spark):
+    from kevinlang_spark.operators.events import funnel_latency
+
+    rows = [
+        # user 1: click@10, purchase@70 -> 60s
+        (1, 10, "click"),
+        (1, 70, "purchase"),
+        # user 2: purchase BEFORE any click, then click@50, purchase@110
+        # -> 60s (the pre-click purchase must not count)
+        (2, 5, "purchase"),
+        (2, 50, "click"),
+        (2, 110, "purchase"),
+        # user 3: click only -> not converted
+        (3, 7, "click"),
+    ]
+    r = funnel_latency(_ev(spark, rows), "click", "purchase").collect()[0]
+    assert r.n_converted == 2
+    assert (r.p25_s, r.p50_s, r.p75_s) == (60.0, 60.0, 60.0)
+
+
+def test_funnel_latency_simultaneous_counts(spark):
+    from kevinlang_spark.operators.events import funnel_latency
+
+    rows = [(1, 10, "click"), (1, 10, "purchase")]
+    r = funnel_latency(_ev(spark, rows), "click", "purchase").collect()[0]
+    assert r.n_converted == 1 and r.p50_s == 0.0
