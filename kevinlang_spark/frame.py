@@ -1149,6 +1149,94 @@ class KevinFrame:
             _hr(self._df, key_cols, unit_col, value_col, lgk), ordered=False
         )
 
+    def kll_rollup(
+        self,
+        key_cols: list[str],
+        unit_col,
+        value_col: str,
+        quantiles: tuple[float, ...] = (0.5,),
+        k: int = 200,
+    ) -> "KevinFrame":
+        """Merged per-unit KLL quantile sketches — see
+        ``operators.sketches.kll_rollup``."""
+        from kevinlang_spark.operators.sketches import kll_rollup as _kr
+
+        return KevinFrame.from_df(
+            _kr(self._df, key_cols, unit_col, value_col, quantiles, k),
+            ordered=False,
+        )
+
+    def theta_rollup(
+        self, key_cols: list[str], unit_col, value_col: str, lgk: int = 12
+    ) -> "KevinFrame":
+        """Per-unit Theta sketches (set-algebra capable) — see
+        ``operators.sketches.theta_rollup``."""
+        from kevinlang_spark.operators.sketches import theta_rollup as _tr
+
+        return KevinFrame.from_df(
+            _tr(self._df, key_cols, unit_col, value_col, lgk), ordered=False
+        )
+
+    def join_key_profile(
+        self, other: "KevinFrame", key_self: str, key_other: str, lgk: int = 14
+    ) -> "KevinFrame":
+        """Sketch-based join-size pre-flight — see
+        ``operators.sketches.join_key_profile``."""
+        from kevinlang_spark.operators.sketches import join_key_profile as _jk
+
+        return KevinFrame.from_df(
+            _jk(self._df, other._df, key_self, key_other, lgk), ordered=False
+        )
+
+    def dyadic_smooth(
+        self,
+        keys: list[str],
+        value_col: str = "value",
+        ts_col: str = "ts",
+        id_col: str = "event_id",
+        horizon: int = 20,
+        scale: int = 100,
+    ) -> "KevinFrame":
+        """Exact-dyadic sequential smoothing — see
+        ``operators.events.dyadic_smooth``."""
+        from kevinlang_spark.operators.events import dyadic_smooth as _ds
+
+        return KevinFrame.from_df(
+            _ds(self._df, keys, value_col, ts_col, id_col, horizon, scale),
+            ordered=False,
+        )
+
+    def funnel_latency(
+        self,
+        step_a: str,
+        step_b: str,
+        user_col: str = "user_id",
+        ts_col: str = "ts",
+        type_col: str = "event_type",
+    ) -> "KevinFrame":
+        """Funnel time-to-convert quartiles — see
+        ``operators.events.funnel_latency``."""
+        from kevinlang_spark.operators.events import funnel_latency as _fl
+
+        return KevinFrame.from_df(
+            _fl(self._df, step_a, step_b, user_col, ts_col, type_col),
+            ordered=False,
+        )
+
+    def novelty_counts(
+        self,
+        group_col: str = "source",
+        text_col: str = "text",
+        order_col: str = "doc_id",
+    ) -> "KevinFrame":
+        """Per-group first-occurrence novelty — see
+        ``operators.dedup.novelty_counts``."""
+        from kevinlang_spark.operators.dedup import novelty_counts as _nc
+
+        return KevinFrame.from_df(
+            _nc(self._df, group_col, text_col, order_col), ordered=False
+        )
+
     def mahalanobis_outliers(
         self,
         key_col: str,

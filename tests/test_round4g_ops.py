@@ -346,3 +346,42 @@ def test_funnel_latency_simultaneous_counts(spark):
     rows = [(1, 10, "click"), (1, 10, "purchase")]
     r = funnel_latency(_ev(spark, rows), "click", "purchase").collect()[0]
     assert r.n_converted == 1 and r.p50_s == 0.0
+
+
+# --------------------------------------------------------------------- #
+# KevinFrame method exposure
+# --------------------------------------------------------------------- #
+
+
+def test_frame_methods_round4g(spark):
+    import datetime as dt
+
+    from kevinlang_spark import KevinFrame
+
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, base, 0, "click", 4.0),
+            (1, base + dt.timedelta(seconds=30), 1, "purchase", 2.0),
+            (2, base, 2, "click", 8.0),
+        ],
+        "user_id bigint, ts timestamp, event_id bigint, "
+        "event_type string, value double",
+    )
+    kf = KevinFrame.from_df(ev)
+    assert kf.kll_rollup(["event_type"], "user_id", "value").height() == 2
+    assert kf.theta_rollup(["event_type"], "user_id", "user_id").height() == 3
+    prof = kf.join_key_profile(kf, "user_id", "user_id")
+    assert prof.to_df().collect()[0].n_matched == 2
+    assert kf.dyadic_smooth(["user_id"]).height() == 3
+    assert kf.funnel_latency("click", "purchase").to_df().collect()[0].n_converted == 1
+
+    docs = spark.createDataFrame(
+        [(1, "aa", "s1"), (2, "aa", "s2")],
+        "doc_id bigint, text string, source string",
+    )
+    got = {
+        r.source: r.n_first
+        for r in KevinFrame.from_df(docs).novelty_counts().to_df().collect()
+    }
+    assert got == {"s1": 1, "s2": 0}
