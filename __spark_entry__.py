@@ -2965,6 +2965,19 @@ def q_funnel_latency(spark, sf_dir):
     return funnel_latency(_events(spark, sf_dir), "click", "purchase")
 
 
+def q_dp_counts(spark, sf_dir):
+    """ε-DP histogram release: per-source document counts with
+    deterministic seed-keyed Laplace(1/ε) noise — reproducible across
+    engines (the oracle replicates the md5-uniform → inverse-CDF draw
+    bit-for-bit).  One count aggregation; noise is a result-projection
+    expression over |groups| rows."""
+    from kevinlang_spark.operators.quality import dp_counts
+
+    return dp_counts(
+        _t(spark, sf_dir, "documents"), ["source"], epsilon=1.0, seed="r4g"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_select": q_select,
@@ -3118,6 +3131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_novelty": q_novelty,
         "q_join_estimate": q_join_estimate,
         "q_funnel_latency": q_funnel_latency,
+        "q_dp_counts": q_dp_counts,
         "q_dedup_longest": q_dedup_longest,
         "q_mahalanobis": q_mahalanobis,
         "q_temporal_join": q_temporal_join,
@@ -4567,6 +4581,21 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(quantile_cont(latency_s, 0.25), 4) AS p25_s, "
             "ROUND(quantile_cont(latency_s, 0.5), 4) AS p50_s, "
             "ROUND(quantile_cont(latency_s, 0.75), 4) AS p75_s FROM lat"
+        ),
+        "q_dp_counts": (
+            # bit-for-bit replica of the deterministic Laplace draw:
+            # md5(seed \x1f key) -> 52-bit uniform -> inverse CDF
+            "WITH g AS (SELECT source, COUNT(*) AS n FROM documents "
+            "GROUP BY source), "
+            "h AS (SELECT source, n, "
+            "CAST(CONCAT('0x', substr(md5(CONCAT('r4g', chr(31), "
+            "COALESCE(CAST(source AS VARCHAR), chr(0)))), 1, 13)) AS BIGINT) "
+            "AS hv FROM g), "
+            "u AS (SELECT source, n, (CAST(hv AS DOUBLE) + 0.5) / "
+            "4503599627370496.0 AS uu FROM h) "
+            "SELECT source, CAST(GREATEST(ROUND(n + "
+            "(-1.0) * SIGN(uu - 0.5) * LN(1.0 - 2.0 * ABS(uu - 0.5)), 0), "
+            "0) AS BIGINT) AS noisy_count FROM u"
         ),
         "q_novelty": (
             "WITH f AS (SELECT source, doc_id, "

@@ -79,6 +79,7 @@ HEADLINE = [
     "q_novelty",
     "q_join_estimate",
     "q_funnel_latency",
+    "q_dp_counts",
 ]
 
 

@@ -107,3 +107,48 @@ def k_anonymity(df: DataFrame, quasi_cols: list[str], k: int = 5) -> DataFrame:
             F.sum(F.when(risky, F.col("n")).otherwise(0)) / F.sum("n"), 6
         ).alias("risk_rate"),
     )
+
+
+def dp_counts(
+    df: DataFrame,
+    keys: list[str],
+    epsilon: float = 1.0,
+    seed: str = "dp",
+    clamp: bool = True,
+) -> DataFrame:
+    """Differentially-private count release: per-group counts with
+    Laplace(1/ε) noise (count queries have sensitivity 1), the standard
+    ε-DP mechanism for publishing histograms over sensitive data.
+
+    The noise draw is DETERMINISTIC per (seed, group): a md5-derived
+    uniform (13 hex chars → 52-bit integer, exactly representable)
+    pushed through the Laplace inverse CDF.  That makes the release
+    reproducible across runs, engines, and partitionings — the property
+    that lets the oracle replicate it bit-for-bit — and is the
+    seed-keyed-noise pattern real reproducible-DP pipelines use; the
+    privacy guarantee then rests on the SEED staying secret (rotate it
+    per release; with a public seed this is pseudo-noise, not DP).
+
+    Execution: one count aggregation (map-side partials), noise applied
+    in the result projection — group-cardinality rows, never data rows.
+    ``clamp`` floors released counts at 0 (post-processing preserves
+    DP)."""
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0 (got {epsilon})")
+    grp = df.groupBy(*keys).agg(F.count("*").alias("__n"))
+    key_str = F.concat_ws(
+        "\x1f",
+        F.lit(seed),
+        *[F.coalesce(F.col(k).cast("string"), F.lit("\x00")) for k in keys],
+    )
+    h = F.conv(F.substring(F.md5(key_str), 1, 13), 16, 10).cast("bigint")
+    u = (h.cast("double") + 0.5) / float(16**13)
+    lap = (
+        (-1.0 / epsilon)
+        * F.signum(u - 0.5)
+        * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    )
+    noisy = F.round(F.col("__n") + lap, 0).cast("bigint")
+    if clamp:
+        noisy = F.greatest(noisy, F.lit(0).cast("bigint"))
+    return grp.select(*keys, noisy.alias("noisy_count"))
