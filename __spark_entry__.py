@@ -2978,6 +2978,34 @@ def q_dp_counts(spark, sf_dir):
     )
 
 
+def q_join_ivm(spark, sf_dir):
+    """Incremental join maintenance: lineitem×orders split into
+    base + delta on each side; the emitted rows are exactly the join's
+    DELTA (dA⋈B ∪ A⋈dB ∪ dA⋈dB), summarized per return flag.  The
+    oracle computes full-join-minus-base-join aggregates directly, so
+    any missing or doubled delta term flips the hash.  Maintenance
+    touches each base table once, against broadcast delta sides."""
+    from kevinlang_spark.operators.incremental import join_delta
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    a_old = li.where(F.col("l_linenumber") != 1)
+    da = li.where(F.col("l_linenumber") == 1)
+    b_old = orders.where(F.col("o_orderkey") % 10 != 0)
+    db = orders.where(F.col("o_orderkey") % 10 == 0)
+    delta = join_delta(
+        a_old.withColumn("okey", F.col("l_orderkey")),
+        da.withColumn("okey", F.col("l_orderkey")),
+        b_old.withColumn("okey", F.col("o_orderkey")),
+        db.withColumn("okey", F.col("o_orderkey")),
+        "okey",
+    )
+    return delta.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_delta_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("qty_delta"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_select": q_select,
@@ -3132,6 +3160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_join_estimate": q_join_estimate,
         "q_funnel_latency": q_funnel_latency,
         "q_dp_counts": q_dp_counts,
+        "q_join_ivm": q_join_ivm,
         "q_dedup_longest": q_dedup_longest,
         "q_mahalanobis": q_mahalanobis,
         "q_temporal_join": q_temporal_join,
@@ -4581,6 +4610,24 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(quantile_cont(latency_s, 0.25), 4) AS p25_s, "
             "ROUND(quantile_cont(latency_s, 0.5), 4) AS p50_s, "
             "ROUND(quantile_cont(latency_s, 0.75), 4) AS p75_s FROM lat"
+        ),
+        "q_join_ivm": (
+            # delta aggregates = full-join aggregates minus base-join
+            # aggregates, per flag
+            "WITH full_j AS (SELECT l_returnflag, COUNT(*) AS c, "
+            "SUM(l_quantity) AS q FROM lineitem JOIN orders "
+            "ON l_orderkey = o_orderkey GROUP BY l_returnflag), "
+            "base_j AS (SELECT l_returnflag, COUNT(*) AS c, "
+            "SUM(l_quantity) AS q FROM lineitem JOIN orders "
+            "ON l_orderkey = o_orderkey "
+            "WHERE l_linenumber <> 1 AND o_orderkey % 10 <> 0 "
+            "GROUP BY l_returnflag) "
+            "SELECT f.l_returnflag, "
+            "CAST(f.c - COALESCE(b.c, 0) AS BIGINT) AS n_delta_rows, "
+            "ROUND(f.q - COALESCE(b.q, 0), 2) AS qty_delta "
+            "FROM full_j f LEFT JOIN base_j b "
+            "ON f.l_returnflag = b.l_returnflag "
+            "WHERE f.c - COALESCE(b.c, 0) > 0"
         ),
         "q_dp_counts": (
             # bit-for-bit replica of the deterministic Laplace draw:

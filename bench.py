@@ -80,6 +80,7 @@ HEADLINE = [
     "q_join_estimate",
     "q_funnel_latency",
     "q_dp_counts",
+    "q_join_ivm",
 ]
 
 

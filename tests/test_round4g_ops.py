@@ -443,3 +443,45 @@ def test_dp_counts_rejects_bad_epsilon(spark):
     df = spark.createDataFrame([(1, "a")], "id bigint, g string")
     with pytest.raises(ValueError):
         dp_counts(df, ["g"], epsilon=0.0)
+
+
+# --------------------------------------------------------------------- #
+# join_delta (incremental join maintenance)
+# --------------------------------------------------------------------- #
+
+
+def test_join_delta_applied_equals_full_recompute(spark):
+    from kevinlang_spark.operators.incremental import join_delta
+
+    a_old = spark.createDataFrame(
+        [(1, "a1"), (2, "a2")], "k bigint, av string"
+    )
+    da = spark.createDataFrame([(2, "a3"), (3, "a4")], "k bigint, av string")
+    b_old = spark.createDataFrame(
+        [(1, "b1"), (3, "b2")], "k bigint, bv string"
+    )
+    db = spark.createDataFrame([(2, "b3"), (3, "b4")], "k bigint, bv string")
+
+    base_view = a_old.join(b_old, "k")
+    delta = join_delta(a_old, da, b_old, db, "k")
+    maintained = base_view.unionByName(delta)
+    full = a_old.unionByName(da).join(b_old.unionByName(db), "k")
+    got = sorted(map(tuple, maintained.collect()))
+    want = sorted(map(tuple, full.collect()))
+    assert got == want
+    # and the delta is disjoint from the base view (no double counting)
+    assert len(got) == len(base_view.collect()) + len(delta.collect())
+
+
+def test_join_delta_broadcasts_delta_sides(spark):
+    from kevinlang_spark.operators.incremental import join_delta
+    from kevinlang_spark.plans.inspect import executed_plan
+
+    a_old = spark.range(1000).withColumnRenamed("id", "k")
+    da = spark.range(5).withColumnRenamed("id", "k")
+    b_old = spark.range(1000).withColumnRenamed("id", "k")
+    db = spark.range(5).withColumnRenamed("id", "k")
+    plan = executed_plan(join_delta(a_old, da, b_old, db, "k"))
+    # all three terms broadcast a delta: no base-table shuffle exchange
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "Exchange hashpartitioning" not in plan, plan
