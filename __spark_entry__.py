@@ -3006,6 +3006,43 @@ def q_join_ivm(spark, sf_dir):
     )
 
 
+def q_cms_tokens(spark, sf_dir):
+    """Point-frequency probes without a groupBy: a one-pass Count–Min
+    sketch over all corpus tokens, probed for three known tokens and one
+    absent one.  Bound-checked like the other sketch queries: cms_ok
+    asserts the CMS guarantee (never undercounts; overcount ≤ eps·N) —
+    at oracle scale the sketch is collision-free so estimates equal the
+    exact counts the oracle computes."""
+    from kevinlang_spark.functions.textexpr import tokenize
+    from kevinlang_spark.operators.sketches import cms_frequencies
+
+    probes = ["join", "hash", "scan", "zzz_absent"]
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(tokenize(F.col("text"))).alias("tok")
+    )
+    est = cms_frequencies(toks, "tok", probes)
+    exact = (
+        toks.where(F.col("tok").isin(probes))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    total = toks.count()
+    return (
+        est.join(exact, est.item == exact.tok, "left")
+        .select(
+            "item",
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            (
+                (F.col("est_count") >= F.coalesce("n_exact", F.lit(0)))
+                & (
+                    F.col("est_count")
+                    <= F.coalesce("n_exact", F.lit(0)) + 0.0001 * total
+                )
+            ).alias("cms_ok"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_select": q_select,
@@ -3161,6 +3198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_funnel_latency": q_funnel_latency,
         "q_dp_counts": q_dp_counts,
         "q_join_ivm": q_join_ivm,
+        "q_cms_tokens": q_cms_tokens,
         "q_dedup_longest": q_dedup_longest,
         "q_mahalanobis": q_mahalanobis,
         "q_temporal_join": q_temporal_join,
@@ -4610,6 +4648,20 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(quantile_cont(latency_s, 0.25), 4) AS p25_s, "
             "ROUND(quantile_cont(latency_s, 0.5), 4) AS p50_s, "
             "ROUND(quantile_cont(latency_s, 0.75), 4) AS p75_s FROM lat"
+        ),
+        "q_cms_tokens": (
+            # cms_ok = TRUE expected: CMS never undercounts and
+            # overcounts at most eps*N (collision-free at this scale,
+            # so est == exact)
+            "WITH toks AS (SELECT unnest(list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) "
+            "AS tok FROM documents), "
+            "p AS (SELECT unnest(['join', 'hash', 'scan', 'zzz_absent']) "
+            "AS item) "
+            "SELECT p.item, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_exact, "
+            "TRUE AS cms_ok FROM p LEFT JOIN "
+            "(SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok) c "
+            "ON p.item = c.tok"
         ),
         "q_join_ivm": (
             # delta aggregates = full-join aggregates minus base-join

@@ -81,6 +81,7 @@ HEADLINE = [
     "q_funnel_latency",
     "q_dp_counts",
     "q_join_ivm",
+    "q_cms_tokens",
 ]
 
 

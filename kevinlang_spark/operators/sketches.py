@@ -276,3 +276,52 @@ def join_key_profile(
         .cast("bigint")
         .alias("n_only_b"),
     )
+
+
+def cms_build(
+    df: DataFrame,
+    col: str,
+    eps: float = 0.0001,
+    confidence: float = 0.99,
+    seed: int = 1,
+) -> DataFrame:
+    """One Count–Min sketch of ``col`` as a 1-row binary frame —
+    Spark's built-in mergeable CMS aggregate (map-side partials, a
+    width×depth integer grid per partition, O(1/eps) memory regardless
+    of cardinality)."""
+    return df.where(F.col(col).isNotNull()).agg(
+        F.count_min_sketch(
+            F.col(col), F.lit(float(eps)), F.lit(float(confidence)),
+            F.lit(int(seed)),
+        ).alias("cms")
+    )
+
+
+def cms_frequencies(
+    df: DataFrame,
+    col: str,
+    items,
+    eps: float = 0.0001,
+    confidence: float = 0.99,
+    seed: int = 1,
+) -> DataFrame:
+    """Point-frequency estimates for specific ``items`` without a
+    groupBy: build the CMS in one pass (see :func:`cms_build`), pull the
+    kilobyte-scale sketch to the driver, probe each item via the JVM
+    sketch API, and re-emit (item, est_count) as a tiny frame.
+
+    This is the "how often does THIS token/URL/user appear" query at
+    100 TB: the only full-data work is the sketch aggregation; the probe
+    is metadata-scale (the sketch is ~width×depth ints — the same
+    collect-a-summary pattern as the ANN coarse quantizer).  CMS
+    guarantee: estimates never undercount, and overcount by more than
+    eps·N with probability < 1−confidence.  Deterministic for a fixed
+    ``seed``."""
+    sk = cms_build(df, col, eps, confidence, seed).collect()[0]["cms"]
+    spark = df.sparkSession
+    jvm = spark.sparkContext._jvm
+    jin = jvm.java.io.ByteArrayInputStream(bytes(sk))
+    jsketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(jin)
+    rows = [(it, int(jsketch.estimateCount(it))) for it in items]
+    vtype = "string" if rows and isinstance(rows[0][0], str) else "bigint"
+    return spark.createDataFrame(rows, f"item {vtype}, est_count bigint")

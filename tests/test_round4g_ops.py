@@ -485,3 +485,46 @@ def test_join_delta_broadcasts_delta_sides(spark):
     # all three terms broadcast a delta: no base-table shuffle exchange
     assert plan.count("BroadcastHashJoin") == 3, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+# --------------------------------------------------------------------- #
+# cms_frequencies
+# --------------------------------------------------------------------- #
+
+
+def test_cms_never_undercounts_and_finds_exact(spark):
+    from kevinlang_spark.operators.sketches import cms_frequencies
+
+    rows = [(f"t{i % 7}",) for i in range(700)] + [("rare",)]
+    df = spark.createDataFrame(rows, "tok string")
+    got = {
+        r.item: r.est_count
+        for r in cms_frequencies(
+            df, "tok", ["t0", "rare", "absent"]
+        ).collect()
+    }
+    assert got["t0"] >= 100  # never undercounts
+    assert got["rare"] >= 1
+    assert got["absent"] >= 0
+    # collision-free regime (8 distinct << width): exact
+    assert got["t0"] == 100 and got["rare"] == 1 and got["absent"] == 0
+
+
+def test_cms_deterministic_for_seed(spark):
+    from kevinlang_spark.operators.sketches import cms_frequencies
+
+    df = spark.createDataFrame([(f"t{i % 50}",) for i in range(500)], "tok string")
+    a = cms_frequencies(df, "tok", ["t1", "t2"], seed=7).collect()
+    b = cms_frequencies(df, "tok", ["t1", "t2"], seed=7).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_cms_long_items(spark):
+    from kevinlang_spark.operators.sketches import cms_frequencies
+
+    df = spark.createDataFrame([(i % 10,) for i in range(100)], "v bigint")
+    got = {
+        r.item: r.est_count
+        for r in cms_frequencies(df, "v", [0, 9, 123]).collect()
+    }
+    assert got == {0: 10, 9: 10, 123: 0}
