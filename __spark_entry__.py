@@ -3043,6 +3043,21 @@ def q_cms_tokens(spark, sf_dir):
     )
 
 
+def q_top_tokens_per_source(spark, sf_dir):
+    """Per-group heavy hitters: top-3 tokens per source via per-partition
+    Misra–Gries summaries (bounded memory, summary-sized shuffle).  At
+    capacity ≥ the corpus's distinct-token count the counts are exact,
+    so the oracle's explode→count→rank reproduces the output exactly —
+    the under-capacity regime is the 100 TB path."""
+    from kevinlang_spark.functions.textexpr import tokenize
+    from kevinlang_spark.operators.sketches import grouped_heavy_hitters
+
+    toks = _t(spark, sf_dir, "documents").select(
+        "source", F.explode(tokenize(F.col("text"))).alias("tok")
+    )
+    return grouped_heavy_hitters(toks, "source", "tok", k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_select": q_select,
@@ -3199,6 +3214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dp_counts": q_dp_counts,
         "q_join_ivm": q_join_ivm,
         "q_cms_tokens": q_cms_tokens,
+        "q_top_tokens_per_source": q_top_tokens_per_source,
         "q_dedup_longest": q_dedup_longest,
         "q_mahalanobis": q_mahalanobis,
         "q_temporal_join": q_temporal_join,
@@ -4648,6 +4664,18 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(quantile_cont(latency_s, 0.25), 4) AS p25_s, "
             "ROUND(quantile_cont(latency_s, 0.5), 4) AS p50_s, "
             "ROUND(quantile_cont(latency_s, 0.75), 4) AS p75_s FROM lat"
+        ),
+        "q_top_tokens_per_source": (
+            # exact regime (capacity >= distinct tokens): est == exact
+            "WITH toks AS (SELECT source, unnest(list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) "
+            "AS tok FROM documents), "
+            "c AS (SELECT source, tok, COUNT(*) AS n FROM toks "
+            "GROUP BY source, tok), "
+            "r AS (SELECT source, tok AS value, n AS est_count, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY source "
+            "ORDER BY n DESC, tok ASC) AS INTEGER) AS rank FROM c) "
+            "SELECT * FROM r WHERE rank <= 3"
         ),
         "q_cms_tokens": (
             # cms_ok = TRUE expected: CMS never undercounts and

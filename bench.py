@@ -82,6 +82,7 @@ HEADLINE = [
     "q_dp_counts",
     "q_join_ivm",
     "q_cms_tokens",
+    "q_top_tokens_per_source",
 ]
 
 

@@ -325,3 +325,78 @@ def cms_frequencies(
     rows = [(it, int(jsketch.estimateCount(it))) for it in items]
     vtype = "string" if rows and isinstance(rows[0][0], str) else "bigint"
     return spark.createDataFrame(rows, f"item {vtype}, est_count bigint")
+
+
+def grouped_heavy_hitters(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    k: int = 10,
+    capacity: int = 256,
+) -> DataFrame:
+    """Per-GROUP approximate top-``k`` (top tokens per source, top pages
+    per country): one Misra–Gries summary per group per partition, merged
+    by a grouped sum, ranked within each group.
+
+    Same bound as :func:`heavy_hitters`, per group: a partition
+    undercounts any value of group g by at most (g's partition rows)/
+    ``capacity``, merging preserves it, and with ``capacity`` ≥ g's
+    distinct values the counts are exact (the oracle regime).  Memory
+    per partition is (groups present in partition) × ``capacity``
+    counters — pre-repartitioning by group bounds it to
+    capacity counters per task at the cost of one key shuffle; the
+    default trades memory for zero shuffle on the data pass.
+
+    Shuffled rows: ≤ partitions × groups × capacity summary rows — never
+    the data."""
+    gtype = df.schema[group_col].dataType
+    vtype = df.schema[col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("grp", gtype),
+            T.StructField("value", vtype),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+
+    def summarize(batches):
+        import pandas as pd
+
+        counters: dict = {}  # group -> {value: count}
+        for pdf in batches:
+            for (g, v), c in (
+                pdf.groupby([group_col, col], dropna=True, sort=False)
+                .size()
+                .items()
+            ):
+                gc = counters.setdefault(g, {})
+                gc[v] = gc.get(v, 0) + int(c)
+                if len(gc) > capacity:
+                    thresh = sorted(gc.values(), reverse=True)[capacity]
+                    counters[g] = {
+                        vv: cc - thresh for vv, cc in gc.items() if cc > thresh
+                    }
+        yield pd.DataFrame(
+            [(g, v, c) for g, gc in counters.items() for v, c in gc.items()],
+            columns=["grp", "value", "cnt"],
+        )
+
+    summaries = df.select(group_col, col).mapInPandas(summarize, out_schema)
+    merged = summaries.groupBy("grp", "value").agg(
+        F.sum("cnt").alias("est_count")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy(
+        F.col("est_count").desc(), F.col("value").asc()
+    )
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("value"),
+            "est_count",
+            "rank",
+        )
+    )

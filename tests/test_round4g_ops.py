@@ -528,3 +528,58 @@ def test_cms_long_items(spark):
         for r in cms_frequencies(df, "v", [0, 9, 123]).collect()
     }
     assert got == {0: 10, 9: 10, 123: 0}
+
+
+# --------------------------------------------------------------------- #
+# grouped_heavy_hitters
+# --------------------------------------------------------------------- #
+
+
+def test_grouped_hh_exact_regime_matches_relational(spark):
+    from kevinlang_spark.operators.sketches import grouped_heavy_hitters
+
+    rows = [("a", f"t{i % 5}") for i in range(50)] + [
+        ("b", f"t{i % 3}") for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = sorted(
+        (r.g, r.value, r.est_count, r.rank)
+        for r in grouped_heavy_hitters(df, "g", "v", k=2).collect()
+    )
+    want = sorted(
+        (r.g, r.v, r.n, r.rank)
+        for r in spark.sql(
+            """SELECT * FROM (
+                 SELECT g, v, n, CAST(ROW_NUMBER() OVER
+                 (PARTITION BY g ORDER BY n DESC, v ASC) AS INT) AS rank
+                 FROM (SELECT g, v, COUNT(*) AS n FROM {d} GROUP BY g, v)
+               ) WHERE rank <= 2""",
+            d=df,
+        ).collect()
+    )
+    assert got == want
+
+
+def test_grouped_hh_majority_survives_under_capacity(spark):
+    """Per-group Misra–Gries guarantee: a value holding >1/capacity of
+    its group's mass is present even when eviction fires."""
+    from kevinlang_spark.operators.sketches import grouped_heavy_hitters
+
+    rows = [("g", "big")] * 500 + [("g", f"noise{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, v string").repartition(2)
+    out = grouped_heavy_hitters(df, "g", "v", k=1, capacity=16).collect()
+    assert out[0].value == "big"
+    # undercount bound: est >= true - n/capacity
+    assert out[0].est_count >= 500 - (700 // 16)
+
+
+def test_grouped_hh_groups_isolated(spark):
+    """One group's eviction pressure must not evict another group's
+    counters."""
+    from kevinlang_spark.operators.sketches import grouped_heavy_hitters
+
+    rows = [("noisy", f"n{i}") for i in range(300)] + [("clean", "x")] * 5
+    df = spark.createDataFrame(rows, "g string, v string").repartition(1)
+    out = grouped_heavy_hitters(df, "g", "v", k=1, capacity=8).collect()
+    clean = [r for r in out if r.g == "clean"]
+    assert clean and clean[0].value == "x" and clean[0].est_count == 5
