@@ -3058,6 +3058,18 @@ def q_top_tokens_per_source(spark, sf_dir):
     return grouped_heavy_hitters(toks, "source", "tok", k=3)
 
 
+def q_kcenter_sample(spark, sf_dir):
+    """Diversity coreset: greedy k-center (k=4) over the embedding table
+    — the cover-the-space dual of near-dup removal.  The oracle replays
+    the greedy trajectory with 4 unrolled SQL steps; every pairwise
+    distance is rounded before min/argmax and ties break on id, so the
+    trajectory is engine-reproducible.  k−1 broadcast scans, k driver
+    rows."""
+    from kevinlang_spark.operators.similarity import kcenter_sample
+
+    return kcenter_sample(_t(spark, sf_dir, "embeddings"), k=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_select": q_select,
@@ -3215,6 +3227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_join_ivm": q_join_ivm,
         "q_cms_tokens": q_cms_tokens,
         "q_top_tokens_per_source": q_top_tokens_per_source,
+        "q_kcenter_sample": q_kcenter_sample,
         "q_dedup_longest": q_dedup_longest,
         "q_mahalanobis": q_mahalanobis,
         "q_temporal_join": q_temporal_join,
@@ -4664,6 +4677,29 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(quantile_cont(latency_s, 0.25), 4) AS p25_s, "
             "ROUND(quantile_cont(latency_s, 0.5), 4) AS p50_s, "
             "ROUND(quantile_cont(latency_s, 0.75), 4) AS p75_s FROM lat"
+        ),
+        "q_kcenter_sample": (
+            # unrolled greedy replay; DOUBLE[] casts make DuckDB
+            # accumulate in float64 like Spark's fold
+            "WITH e AS (SELECT vec_id AS id, "
+            "CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "c1 AS (SELECT id, v FROM e ORDER BY id LIMIT 1), "
+            "d1 AS (SELECT e.id, e.v, ROUND(1 - list_cosine_similarity("
+            "e.v, (SELECT v FROM c1)), 6) AS md FROM e), "
+            "c2 AS (SELECT id, v, md FROM d1 ORDER BY md DESC, id LIMIT 1), "
+            "d2 AS (SELECT d1.id, d1.v, LEAST(d1.md, ROUND(1 - "
+            "list_cosine_similarity(d1.v, (SELECT v FROM c2)), 6)) AS md "
+            "FROM d1), "
+            "c3 AS (SELECT id, v, md FROM d2 ORDER BY md DESC, id LIMIT 1), "
+            "d3 AS (SELECT d2.id, d2.v, LEAST(d2.md, ROUND(1 - "
+            "list_cosine_similarity(d2.v, (SELECT v FROM c3)), 6)) AS md "
+            "FROM d2), "
+            "c4 AS (SELECT id, v, md FROM d3 ORDER BY md DESC, id LIMIT 1) "
+            "SELECT CAST(1 AS INTEGER) AS rank, (SELECT id FROM c1) AS id, "
+            "CAST(NULL AS DOUBLE) AS radius "
+            "UNION ALL SELECT 2, (SELECT id FROM c2), (SELECT md FROM c2) "
+            "UNION ALL SELECT 3, (SELECT id FROM c3), (SELECT md FROM c3) "
+            "UNION ALL SELECT 4, (SELECT id FROM c4), (SELECT md FROM c4)"
         ),
         "q_top_tokens_per_source": (
             # exact regime (capacity >= distinct tokens): est == exact

@@ -83,6 +83,7 @@ HEADLINE = [
     "q_join_ivm",
     "q_cms_tokens",
     "q_top_tokens_per_source",
+    "q_kcenter_sample",
 ]
 
 

@@ -506,3 +506,60 @@ def semantic_dedup(
         sim.alias("sim"),
         ((F.col("id") != F.col("rep_id")) & (sim >= F.lit(threshold))).alias("is_dup"),
     )
+
+
+def kcenter_sample(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+) -> DataFrame:
+    """Diversity coreset selection: greedy k-center over cosine distance
+    (Gonzalez's 2-approximation) — pick the min-id point, then k−1 times
+    the point FARTHEST from everything chosen so far.  This is the
+    diversity-sampling shape for training data ("cover the embedding
+    space with k exemplars"), the dual of near-dup removal.
+
+    Determinism across engines: every pairwise distance is rounded to 6
+    decimals BEFORE the min/argmax, and argmax ties break on the id — so
+    the greedy trajectory is reproducible (the oracle replays it with k
+    unrolled SQL steps).  Each of the k−1 rounds is one broadcast-scan
+    (distances to ≤ k cached center vectors, pure codegen) + a
+    TakeOrdered(1); only the k center rows ever reach the driver —
+    the same bounded-driver-state pattern as the IVF coarse quantizer
+    (similarity.py:125).
+
+    Returns (rank, id, radius): selection order and the point's min
+    distance to the earlier centers at selection time (rank 1 → NULL).
+    The final radius bounds every point's distance to its nearest center
+    within 2× of optimal."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    first = base.orderBy("id").limit(1).collect()
+    if not first:
+        return df.sparkSession.createDataFrame(
+            [], "rank int, id bigint, radius double"
+        )
+    centers = [(1, first[0]["id"], None, list(first[0]["v"]))]
+    for r in range(2, k + 1):
+        mind = None
+        for _, _, _, cv in centers:
+            d = F.round(
+                1 - cosine_similarity(F.col("v"), _query_lit(cv)), 6
+            )
+            mind = d if mind is None else F.least(mind, d)
+        chosen_ids = [c[1] for c in centers]
+        cand = (
+            base.where(~F.col("id").isin(chosen_ids))
+            .select("id", "v", mind.alias("md"))
+            .orderBy(F.col("md").desc(), F.col("id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not cand:
+            break
+        row = cand[0]
+        centers.append((r, row["id"], float(row["md"]), list(row["v"])))
+    return df.sparkSession.createDataFrame(
+        [(r, i, rad) for r, i, rad, _ in centers],
+        "rank int, id bigint, radius double",
+    )

@@ -583,3 +583,50 @@ def test_grouped_hh_groups_isolated(spark):
     out = grouped_heavy_hitters(df, "g", "v", k=1, capacity=8).collect()
     clean = [r for r in out if r.g == "clean"]
     assert clean and clean[0].value == "x" and clean[0].est_count == 5
+
+
+# --------------------------------------------------------------------- #
+# kcenter_sample
+# --------------------------------------------------------------------- #
+
+
+def _emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+
+
+def test_kcenter_picks_one_per_cluster(spark):
+    from kevinlang_spark.operators.similarity import kcenter_sample
+
+    # three tight angular clusters: along +x, +y, +z
+    vecs = (
+        [[10, 0.1 * i, 0] for i in range(5)]
+        + [[0.1 * i, 10, 0] for i in range(5)]
+        + [[0, 0.1 * i, 10] for i in range(5)]
+    )
+    out = kcenter_sample(_emb_df(spark, vecs), k=3).collect()
+    clusters = {r.id // 5 for r in out}
+    assert len(out) == 3 and clusters == {0, 1, 2}
+
+
+def test_kcenter_radius_monotone_and_ids_distinct(spark):
+    from kevinlang_spark.operators.similarity import kcenter_sample
+
+    vecs = [[(i * 13 % 29) / 7.0, (i * 7 % 31) / 5.0, 1.0] for i in range(40)]
+    out = sorted(kcenter_sample(_emb_df(spark, vecs), k=5).collect(),
+                 key=lambda r: r.rank)
+    assert out[0].radius is None
+    radii = [r.radius for r in out[1:]]
+    # greedy picks the farthest remaining point: radii never increase
+    assert all(radii[i] >= radii[i + 1] for i in range(len(radii) - 1))
+    assert len({r.id for r in out}) == 5
+
+
+def test_kcenter_k_exceeds_n(spark):
+    from kevinlang_spark.operators.similarity import kcenter_sample
+
+    vecs = [[1.0, 0.0], [0.0, 1.0]]
+    out = kcenter_sample(_emb_df(spark, vecs), k=10).collect()
+    assert len(out) == 2
