@@ -3070,6 +3070,27 @@ def q_kcenter_sample(spark, sf_dir):
     return kcenter_sample(_t(spark, sf_dir, "embeddings"), k=4)
 
 
+def q_survival(spark, sf_dir):
+    """Kaplan–Meier user-lifetime survival curve with right-censoring at
+    the observation edge: at each observed lifetime (days), the at-risk
+    count, churn count, and S(t).  One user rollup is the only
+    data-sized shuffle; the ≤ span-days curve finishes driver-side
+    (metadata-scale, like the CMS probe)."""
+    from kevinlang_spark.operators.stats import km_survival
+
+    return km_survival(_events(spark, sf_dir))
+
+
+def q_backtest(spark, sf_dir):
+    """Seasonal-naive forecast backtest: predict each hour's event count
+    per type from the same hour yesterday, score MAE/MAPE over the
+    trailing week — the baseline harness any real forecaster must beat.
+    One bucket-count aggregation + a count-table-sized offset self-join."""
+    from kevinlang_spark.operators.anomaly import seasonal_backtest
+
+    return seasonal_backtest(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_select": q_select,
@@ -3228,6 +3249,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cms_tokens": q_cms_tokens,
         "q_top_tokens_per_source": q_top_tokens_per_source,
         "q_kcenter_sample": q_kcenter_sample,
+        "q_survival": q_survival,
+        "q_backtest": q_backtest,
         "q_dedup_longest": q_dedup_longest,
         "q_mahalanobis": q_mahalanobis,
         "q_temporal_join": q_temporal_join,
@@ -4677,6 +4700,42 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(quantile_cont(latency_s, 0.25), 4) AS p25_s, "
             "ROUND(quantile_cont(latency_s, 0.5), 4) AS p50_s, "
             "ROUND(quantile_cont(latency_s, 0.75), 4) AS p75_s FROM lat"
+        ),
+        "q_survival": (
+            "WITH b AS (SELECT MAX(ts) AS maxts FROM events), "
+            "u AS (SELECT user_id, MIN(ts) AS f, MAX(ts) AS l FROM events "
+            "WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY user_id), "
+            "p AS (SELECT CAST(FLOOR((epoch(l) - epoch(f)) / 86400.0) "
+            "AS BIGINT) AS t, "
+            "(epoch(l) < epoch(maxts) - 3 * 86400.0) AS churned FROM u, b), "
+            "h AS (SELECT t, COUNT(*) AS nl, "
+            "SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS d "
+            "FROM p GROUP BY t), "
+            "k AS (SELECT t, nl, d, SUM(nl) OVER (ORDER BY t "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+            "(SELECT SUM(nl) FROM h) AS total FROM h), "
+            "r AS (SELECT t, total - cum + nl AS n_risk, d, "
+            "PRODUCT(1.0 - CAST(d AS DOUBLE) / (total - cum + nl)) "
+            "OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) AS s FROM k) "
+            "SELECT t, CAST(n_risk AS BIGINT) AS n_risk, "
+            "CAST(d AS BIGINT) AS d, ROUND(s, 4) AS s FROM r"
+        ),
+        "q_backtest": (
+            "WITH counts AS (SELECT event_type AS k, "
+            "CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 AS h, "
+            "COUNT(*) AS c FROM events WHERE ts IS NOT NULL "
+            "GROUP BY 1, 2), "
+            "b AS (SELECT MAX(h) AS hmax FROM counts), "
+            "actual AS (SELECT k, h, c FROM counts, b "
+            "WHERE h > hmax - 168 * 3600), "
+            "pred AS (SELECT k, h + 86400 AS h, c AS yhat FROM counts) "
+            "SELECT actual.k AS event_type, "
+            "CAST(COUNT(*) AS BIGINT) AS n_eval, "
+            "ROUND(AVG(ABS(actual.c - pred.yhat)), 4) AS mae, "
+            "ROUND(AVG(ABS(actual.c - pred.yhat) / actual.c), 4) AS mape "
+            "FROM actual JOIN pred ON actual.k = pred.k "
+            "AND actual.h = pred.h GROUP BY actual.k"
         ),
         "q_kcenter_sample": (
             # unrolled greedy replay; DOUBLE[] casts make DuckDB

@@ -84,6 +84,8 @@ HEADLINE = [
     "q_cms_tokens",
     "q_top_tokens_per_source",
     "q_kcenter_sample",
+    "q_survival",
+    "q_backtest",
 ]
 
 

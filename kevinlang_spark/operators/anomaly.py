@@ -112,3 +112,53 @@ def seasonal_anomalies(
         F.round("baseline_mean", 6).alias("baseline_mean"),
         F.round("baseline_sd", 6).alias("baseline_sd"),
     )
+
+
+def seasonal_backtest(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    season_s: int = 86_400,
+    bucket_s: int = 3_600,
+    eval_buckets: int = 168,
+) -> DataFrame:
+    """Forecast-quality backtest for the seasonal-naive baseline
+    (predict this hour's count = the count one season ago): per key,
+    MAE and MAPE over the trailing ``eval_buckets`` buckets.  The
+    baseline every real forecasting deployment must beat — running the
+    backtest IS the forecast evaluation harness, and the same
+    two-aggregation shape scores any model whose predictions land in a
+    (key, bucket, yhat) table.
+
+    Execution: one bucket-count aggregation (the only data-sized
+    shuffle), a self-join of the tiny count table offset by one season
+    (key-partitioned, count-table-sized), and a per-key metric rollup.
+    Buckets missing on either side drop out of the inner join rather
+    than fabricating zeros — n_eval reports the coverage."""
+    bucket = (
+        F.floor(F.col(ts_col).cast("double") / bucket_s).cast("bigint")
+        * bucket_s
+    )
+    counts = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(F.col(key_col).alias("k"), bucket.alias("h"))
+        .agg(F.count("*").alias("c"))
+    )
+    bounds = counts.agg(F.max("h").alias("hmax"))
+    actual = (
+        counts.crossJoin(F.broadcast(bounds))
+        .where(F.col("h") > F.col("hmax") - eval_buckets * bucket_s)
+        .select("k", "h", "c")
+    )
+    pred = counts.select(
+        F.col("k"),
+        (F.col("h") + season_s).alias("h"),
+        F.col("c").alias("yhat"),
+    )
+    joined = actual.join(pred, ["k", "h"])
+    err = F.abs(F.col("c") - F.col("yhat"))
+    return joined.groupBy(F.col("k").alias(key_col)).agg(
+        F.count("*").alias("n_eval"),
+        F.round(F.avg(err), 4).alias("mae"),
+        F.round(F.avg(err / F.col("c")), 4).alias("mape"),
+    )

@@ -389,3 +389,68 @@ def mahalanobis_outliers(
             F.round("d2", 4).alias("d2"),
         )
     )
+
+
+def km_survival(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_days: int = 3,
+) -> DataFrame:
+    """Kaplan–Meier survival curve over user LIFETIMES (days between a
+    user's first and last event): at each observed lifetime t, the
+    at-risk count n_t, the churn count d_t, and the survival estimate
+    S(t) = Π_{t'≤t} (1 − d_{t'}/n_{t'}).
+
+    Censoring: users whose last event falls within ``censor_days`` of
+    the corpus's max timestamp are censored (still alive) — they leave
+    the risk set at their lifetime without counting as churn, the
+    textbook KM treatment of an observation window's right edge.
+
+    Execution: one user-keyed rollup (the only data-sized shuffle), a
+    lifetime histogram bounded by the observation span in days, then the
+    cumulative product over that tiny ordered table computed
+    DRIVER-SIDE (the same metadata-scale finish as the CMS probe —
+    Spark has no sequential product aggregate, and a log/exp rewrite
+    would lose cross-engine bit parity).  Collecting ≤ span-days rows is
+    O(1) with respect to data size."""
+    rolled = df.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).groupBy(user_col).agg(
+        F.min(ts_col).alias("__first"),
+        F.max(ts_col).alias("__last"),
+    )
+    bounds = df.agg(F.max(ts_col).alias("__maxts"))
+    per_user = rolled.crossJoin(F.broadcast(bounds)).select(
+        F.floor(
+            (F.col("__last").cast("double") - F.col("__first").cast("double"))
+            / 86400.0
+        )
+        .cast("bigint")
+        .alias("t"),
+        (
+            F.col("__last").cast("double")
+            < F.col("__maxts").cast("double") - censor_days * 86400.0
+        ).alias("churned"),
+    )
+    hist = (
+        per_user.groupBy("t")
+        .agg(
+            F.count("*").alias("n_leaving"),
+            F.sum(F.col("churned").cast("long")).alias("d"),
+        )
+        .orderBy("t")
+        .collect()
+    )
+    total = sum(r["n_leaving"] for r in hist)
+    rows, at_risk, s = [], total, 1.0
+    for r in hist:
+        d, n = int(r["d"]), at_risk
+        if d > 0:
+            s = s * (1.0 - d / n)  # sequential product, ascending t
+        rows.append((int(r["t"]), n, d, round(s, 4)))
+        at_risk -= int(r["n_leaving"])
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows, "t bigint, n_risk bigint, d bigint, s double"
+    )

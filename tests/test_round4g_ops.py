@@ -630,3 +630,110 @@ def test_kcenter_k_exceeds_n(spark):
     vecs = [[1.0, 0.0], [0.0, 1.0]]
     out = kcenter_sample(_emb_df(spark, vecs), k=10).collect()
     assert len(out) == 2
+
+
+# --------------------------------------------------------------------- #
+# km_survival
+# --------------------------------------------------------------------- #
+
+
+def test_km_survival_textbook_values(spark):
+    from kevinlang_spark.operators.stats import km_survival
+
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    end = base + dt.timedelta(days=30)
+    rows = []
+    # users 1,2: lifetime 5d, churned (last event long before end)
+    for u in (1, 2):
+        rows += [(u, base, u), (u, base + dt.timedelta(days=5), 100 + u)]
+    # user 3: lifetime 10d, churned
+    rows += [(3, base, 3), (3, base + dt.timedelta(days=10), 103)]
+    # user 4: lifetime 29.9d, censored (last event at the window edge)
+    rows += [(4, base, 4), (4, end - dt.timedelta(hours=2), 104)]
+    df = spark.createDataFrame(
+        [(u, ts, i, "e", 1.0) for u, ts, i in rows],
+        "user_id bigint, ts timestamp, event_id bigint, "
+        "event_type string, value double",
+    )
+    out = {r.t: (r.n_risk, r.d, r.s) for r in km_survival(df).collect()}
+    # t=5: 4 at risk, 2 churn -> S = 1/2 ; t=10: 2 at risk, 1 churn ->
+    # S = 1/4 ; t=29: censored user leaves without churning, S stays
+    assert out[5] == (4, 2, 0.5)
+    assert out[10] == (2, 1, 0.25)
+    assert out[29] == (1, 0, 0.25)
+
+
+def test_km_survival_all_censored_is_flat(spark):
+    from kevinlang_spark.operators.stats import km_survival
+
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, base + dt.timedelta(days=d), u * 10 + d, "e", 1.0)
+        for u in (1, 2)
+        for d in (0, 3)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id bigint, ts timestamp, event_id bigint, "
+        "event_type string, value double",
+    )
+    out = km_survival(df).collect()
+    assert all(r.s == 1.0 and r.d == 0 for r in out)
+
+
+# --------------------------------------------------------------------- #
+# seasonal_backtest
+# --------------------------------------------------------------------- #
+
+
+def test_backtest_perfect_seasonality_zero_error(spark):
+    from kevinlang_spark.operators.anomaly import seasonal_backtest
+
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    i = 0
+    # identical daily pattern: hour h gets (h % 3) + 1 events, 4 days
+    for day in range(4):
+        for h in range(24):
+            for _ in range((h % 3) + 1):
+                rows.append(
+                    (1, base + dt.timedelta(days=day, hours=h, minutes=5), i)
+                )
+                i += 1
+    df = spark.createDataFrame(
+        [(u, ts, e, "e", 1.0) for u, ts, e in rows],
+        "user_id bigint, ts timestamp, event_id bigint, "
+        "event_type string, value double",
+    )
+    out = seasonal_backtest(df, key_col="event_type", eval_buckets=48).collect()
+    assert len(out) == 1
+    assert out[0].mae == 0.0 and out[0].mape == 0.0 and out[0].n_eval == 48
+
+
+def test_backtest_known_error(spark):
+    from kevinlang_spark.operators.anomaly import seasonal_backtest
+
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    i = 0
+    # day 0: 2 events at hour 0; day 1: 4 events at hour 0 -> |4-2|=2,
+    # mape = 2/4 = 0.5
+    for day, n in ((0, 2), (1, 4)):
+        for _ in range(n):
+            rows.append((1, base + dt.timedelta(days=day, minutes=10), i))
+            i += 1
+    df = spark.createDataFrame(
+        [(u, ts, e, "e", 1.0) for u, ts, e in rows],
+        "user_id bigint, ts timestamp, event_id bigint, "
+        "event_type string, value double",
+    )
+    out = seasonal_backtest(df, eval_buckets=24).collect()
+    assert out[0].n_eval == 1 and out[0].mae == 2.0 and out[0].mape == 0.5
