@@ -23,6 +23,7 @@ from kevinlang_spark.plans.inspect import executed_plan
 #: (build side is a ≤-few-rows aggregate/probe set, reviewed one by one):
 BNLJ_OK = {
     "q_assoc_rules",  # broadcast per-item support counts (bounded by catalog)
+    "q_backtest",  # broadcast 1-row max-bucket bound
     "q_chi_square",  # broadcast 1-row grand-total
     "q_emb_neardup_brute",  # broadcast bounded probe subset
     "q_equidepth",  # broadcast exact boundary row
