@@ -1237,6 +1237,91 @@ class KevinFrame:
             _nc(self._df, group_col, text_col, order_col), ordered=False
         )
 
+    def dp_counts(
+        self,
+        keys: list[str],
+        epsilon: float = 1.0,
+        seed: str = "dp",
+        clamp: bool = True,
+    ) -> "KevinFrame":
+        """ε-DP noisy count release — see ``operators.quality.dp_counts``."""
+        from kevinlang_spark.operators.quality import dp_counts as _dp
+
+        return KevinFrame.from_df(
+            _dp(self._df, keys, epsilon, seed, clamp), ordered=False
+        )
+
+    def cms_frequencies(
+        self,
+        col: str,
+        items,
+        eps: float = 0.0001,
+        confidence: float = 0.99,
+        seed: int = 1,
+    ) -> "KevinFrame":
+        """Count–Min point-frequency probes — see
+        ``operators.sketches.cms_frequencies``."""
+        from kevinlang_spark.operators.sketches import cms_frequencies as _cf
+
+        return KevinFrame.from_df(
+            _cf(self._df, col, items, eps, confidence, seed), ordered=False
+        )
+
+    def grouped_heavy_hitters(
+        self, group_col: str, col: str, k: int = 10, capacity: int = 256
+    ) -> "KevinFrame":
+        """Per-group bounded-memory top-k — see
+        ``operators.sketches.grouped_heavy_hitters``."""
+        from kevinlang_spark.operators.sketches import (
+            grouped_heavy_hitters as _gh,
+        )
+
+        return KevinFrame.from_df(
+            _gh(self._df, group_col, col, k, capacity), ordered=False
+        )
+
+    def kcenter_sample(
+        self, vec_col: str = "embedding", id_col: str = "vec_id", k: int = 4
+    ) -> "KevinFrame":
+        """Greedy k-center diversity coreset — see
+        ``operators.similarity.kcenter_sample``."""
+        from kevinlang_spark.operators.similarity import kcenter_sample as _kc
+
+        return KevinFrame.from_df(
+            _kc(self._df, vec_col, id_col, k), ordered=False
+        )
+
+    def km_survival(
+        self,
+        user_col: str = "user_id",
+        ts_col: str = "ts",
+        censor_days: int = 3,
+    ) -> "KevinFrame":
+        """Kaplan–Meier survival curve — see
+        ``operators.stats.km_survival``."""
+        from kevinlang_spark.operators.stats import km_survival as _km
+
+        return KevinFrame.from_df(
+            _km(self._df, user_col, ts_col, censor_days), ordered=False
+        )
+
+    def seasonal_backtest(
+        self,
+        key_col: str = "event_type",
+        ts_col: str = "ts",
+        season_s: int = 86_400,
+        bucket_s: int = 3_600,
+        eval_buckets: int = 168,
+    ) -> "KevinFrame":
+        """Seasonal-naive forecast backtest — see
+        ``operators.anomaly.seasonal_backtest``."""
+        from kevinlang_spark.operators.anomaly import seasonal_backtest as _sb
+
+        return KevinFrame.from_df(
+            _sb(self._df, key_col, ts_col, season_s, bucket_s, eval_buckets),
+            ordered=False,
+        )
+
     def mahalanobis_outliers(
         self,
         key_col: str,

@@ -737,3 +737,32 @@ def test_backtest_known_error(spark):
     )
     out = seasonal_backtest(df, eval_buckets=24).collect()
     assert out[0].n_eval == 1 and out[0].mae == 2.0 and out[0].mape == 0.5
+
+
+def test_frame_methods_round4g_late(spark):
+    import datetime as dt
+
+    from kevinlang_spark import KevinFrame
+
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (u, base + dt.timedelta(days=d, hours=u), u * 100 + d, "e", 1.0)
+            for u in (1, 2, 3)
+            for d in (0, 1, 2)
+        ],
+        "user_id bigint, ts timestamp, event_id bigint, "
+        "event_type string, value double",
+    )
+    kf = KevinFrame.from_df(ev)
+    assert kf.dp_counts(["event_type"]).height() == 1
+    assert kf.cms_frequencies("event_type", ["e", "x"]).height() == 2
+    assert kf.grouped_heavy_hitters("event_type", "user_id", k=2).height() == 2
+    assert kf.km_survival().height() >= 1
+    assert kf.seasonal_backtest(eval_buckets=48).height() == 1
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "vec_id bigint, embedding array<double>",
+    )
+    assert KevinFrame.from_df(emb).kcenter_sample(k=3).height() == 3
