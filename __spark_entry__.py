@@ -3091,6 +3091,19 @@ def q_backtest(spark, sf_dir):
     return seasonal_backtest(_events(spark, sf_dir))
 
 
+def q_leakage_split(spark, sf_dir):
+    """Leakage-safe train/val/test assignment: split by near-dup
+    COMPONENT hash so a document and its near-copies always share a
+    split — the contamination-proof version of q_hash_split.  Component
+    propagation runs over pair rows; the split itself is scan-stage."""
+    from kevinlang_spark.operators.dedup import minhash_dedup_pairs
+    from kevinlang_spark.operators.sampling import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, threshold=0.8)
+    return leakage_safe_split(docs, pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_select": q_select,
@@ -3251,6 +3264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kcenter_sample": q_kcenter_sample,
         "q_survival": q_survival,
         "q_backtest": q_backtest,
+        "q_leakage_split": q_leakage_split,
         "q_dedup_longest": q_dedup_longest,
         "q_mahalanobis": q_mahalanobis,
         "q_temporal_join": q_temporal_join,
@@ -4700,6 +4714,20 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(quantile_cont(latency_s, 0.25), 4) AS p25_s, "
             "ROUND(quantile_cont(latency_s, 0.5), 4) AS p50_s, "
             "ROUND(quantile_cont(latency_s, 0.75), 4) AS p75_s FROM lat"
+        ),
+        "q_leakage_split": (
+            _NEARDUP_PAIR_CTE
+            + ", comp AS (SELECT s AS id, LEAST(s, MIN(d)) AS comp "
+            "FROM reach GROUP BY s), "
+            "g AS (SELECT d.doc_id, "
+            "COALESCE(c.comp, d.doc_id) AS split_group FROM documents d "
+            "LEFT JOIN comp c ON c.id = d.doc_id), "
+            "b AS (SELECT doc_id, split_group, "
+            "CAST(CONCAT('0x', substr(md5(CAST(split_group AS VARCHAR)), "
+            "1, 15)) AS BIGINT) % 10000 AS bk FROM g) "
+            "SELECT doc_id, split_group, "
+            "CASE WHEN bk < 9000 THEN 'train' "
+            "WHEN bk < 9500 THEN 'val' ELSE 'test' END AS split FROM b"
         ),
         "q_survival": (
             "WITH b AS (SELECT MAX(ts) AS maxts FROM events), "

@@ -86,6 +86,7 @@ HEADLINE = [
     "q_kcenter_sample",
     "q_survival",
     "q_backtest",
+    "q_leakage_split",
 ]
 
 

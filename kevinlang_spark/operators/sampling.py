@@ -224,3 +224,38 @@ def mixture_weights(
             ).alias("epochs"),
         )
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Train/val/test split that CANNOT leak near-duplicates across
+    splits: documents are split by the hash of their near-dup COMPONENT
+    label (min id of the cluster, from ``pairs`` — e.g.
+    ``minhash_dedup_pairs`` output), so a document and its near-copies
+    always land in the same split.  A plain per-doc hash split puts
+    ~(1−Σwᵢ²) of every duplicate cluster's mass across split boundaries
+    — the classic train/test contamination that inflates eval scores.
+
+    Unpaired documents use their own id as the group (equivalent to
+    ``hash_split``).  Cost over the pair graph: component propagation
+    (O(diameter) key-shuffle rounds over PAIR rows, not the corpus) +
+    one corpus-sized left join; the split expression itself is
+    scan-stage.  Returns (id, split_group, split)."""
+    from kevinlang_spark.operators.dedup import neardup_components
+
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    comp = neardup_components(pairs)
+    joined = df.select(id_col).join(
+        comp, F.col(id_col) == comp["id"], "left"
+    )
+    grp = F.coalesce(comp["comp"], F.col(id_col))
+    return joined.select(
+        F.col(id_col),
+        grp.alias("split_group"),
+        split_assignment(grp, weights, buckets).alias("split"),
+    )

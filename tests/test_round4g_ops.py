@@ -766,3 +766,43 @@ def test_frame_methods_round4g_late(spark):
         "vec_id bigint, embedding array<double>",
     )
     assert KevinFrame.from_df(emb).kcenter_sample(k=3).height() == 3
+
+
+# --------------------------------------------------------------------- #
+# leakage_safe_split
+# --------------------------------------------------------------------- #
+
+
+def test_leakage_split_pairs_share_split(spark):
+    from kevinlang_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], "doc_id bigint, text string"
+    )
+    # chain 10-11-12 plus pair 40-41: both clusters must be atomic
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (40, 41)], "id_a bigint, id_b bigint"
+    )
+    out = {
+        r.doc_id: (r.split_group, r.split)
+        for r in leakage_safe_split(docs, pairs).collect()
+    }
+    assert len(out) == 100
+    assert out[10] == out[11] == out[12]
+    assert out[40] == out[41]
+    # unpaired docs group under their own id
+    assert out[5][0] == 5
+
+
+def test_leakage_split_matches_hash_split_for_unpaired(spark):
+    """With no pairs, the assignment degenerates to the plain hash
+    split — same buckets, same labels."""
+    from kevinlang_spark.operators.sampling import hash_split, leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(200)], "doc_id bigint, text string"
+    )
+    pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    a = {r.doc_id: r.split for r in leakage_safe_split(docs, pairs).collect()}
+    b = {r.doc_id: r.split for r in hash_split(docs).select("doc_id", "split").collect()}
+    assert a == b
