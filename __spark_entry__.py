@@ -3104,6 +3104,18 @@ def q_leakage_split(spark, sf_dir):
     return leakage_safe_split(docs, pairs)
 
 
+def q_intrinsic_dim(spark, sf_dir):
+    """TwoNN intrinsic-dimension estimate of the embedding space (Facco
+    et al. 2017): MLE from two-nearest-neighbor distance ratios over a
+    deterministic probe subset — the embedding-degeneracy diagnostic to
+    run before building ANN indexes.  Probe set broadcasts against one
+    corpus scan; round-before-rank keeps neighbor choice
+    engine-reproducible."""
+    from kevinlang_spark.operators.similarity import twonn_intrinsic_dim
+
+    return twonn_intrinsic_dim(_t(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_select": q_select,
@@ -3265,6 +3277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_survival": q_survival,
         "q_backtest": q_backtest,
         "q_leakage_split": q_leakage_split,
+        "q_intrinsic_dim": q_intrinsic_dim,
         "q_dedup_longest": q_dedup_longest,
         "q_mahalanobis": q_mahalanobis,
         "q_temporal_join": q_temporal_join,
@@ -4714,6 +4727,24 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(quantile_cont(latency_s, 0.25), 4) AS p25_s, "
             "ROUND(quantile_cont(latency_s, 0.5), 4) AS p50_s, "
             "ROUND(quantile_cont(latency_s, 0.75), 4) AS p75_s FROM lat"
+        ),
+        "q_intrinsic_dim": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings), "
+            "p AS (SELECT vec_id AS qid, v AS qv FROM e "
+            "WHERE vec_id % 8 = 0), "
+            "s AS (SELECT p.qid, e.vec_id AS cid, "
+            "ROUND(1 - list_cosine_similarity(e.v, p.qv), 6) AS d "
+            "FROM e, p), "
+            "r AS (SELECT qid, cid, d, ROW_NUMBER() OVER (PARTITION BY qid "
+            "ORDER BY d ASC, cid ASC) AS rn FROM s), "
+            "pp AS (SELECT qid, "
+            "MIN(CASE WHEN rn = 2 THEN d END) AS r1, "
+            "MIN(CASE WHEN rn = 3 THEN d END) AS r2 "
+            "FROM r WHERE rn IN (2, 3) GROUP BY qid), "
+            "v AS (SELECT * FROM pp WHERE r1 > 0 AND r2 IS NOT NULL) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_probes, "
+            "ROUND(COUNT(*) / SUM(LN(r2 / r1)), 4) AS id_est FROM v"
         ),
         "q_leakage_split": (
             _NEARDUP_PAIR_CTE

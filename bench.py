@@ -87,6 +87,7 @@ HEADLINE = [
     "q_survival",
     "q_backtest",
     "q_leakage_split",
+    "q_intrinsic_dim",
 ]
 
 

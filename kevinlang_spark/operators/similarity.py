@@ -563,3 +563,52 @@ def kcenter_sample(
         [(r, i, rad) for r, i, rad, _ in centers],
         "rank int, id bigint, radius double",
     )
+
+
+def twonn_intrinsic_dim(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_mod: int = 8,
+) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate of the embedding space
+    (Facco et al. 2017, "Estimating the intrinsic dimension of datasets
+    by a minimal neighborhood information"): for a deterministic probe
+    subset (ids ≡ 0 mod ``probe_mod``), the ratio μ = r2/r1 of each
+    probe's two nearest-neighbor distances yields the MLE
+    d ≈ n / Σ ln(μ).  Low d on a 64-wide embedding column flags a
+    collapsed/degenerate embedding model — a curation diagnostic before
+    ANN indexes are built on garbage.
+
+    Execution: the probe set broadcasts against one corpus scan (the
+    same bounded-probe shape as knn_join); per-probe neighbor ranking is
+    a probe-keyed window over rounded distances (round-before-rank +
+    id tie-break keeps the chosen neighbors engine-reproducible).
+    Zero-distance neighbors (exact duplicate vectors) drop their probe —
+    the standard TwoNN treatment.  Returns one row:
+    (n_probes, id_est)."""
+    from pyspark.sql import Window
+
+    base = df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    probes = df.where((F.col(id_col) % probe_mod) == 0).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    )
+    dist = F.round(1 - cosine_similarity(F.col("cv"), F.col("qv")), 6)
+    scored = base.crossJoin(F.broadcast(probes)).select(
+        "qid", "cid", dist.alias("d")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d").asc(), F.col("cid").asc())
+    ranked = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn").isin(2, 3)
+    )
+    per_probe = ranked.groupBy("qid").agg(
+        F.min(F.when(F.col("rn") == 2, F.col("d"))).alias("r1"),
+        F.min(F.when(F.col("rn") == 3, F.col("d"))).alias("r2"),
+    )
+    valid = per_probe.where((F.col("r1") > 0) & F.col("r2").isNotNull())
+    return valid.agg(
+        F.count("*").alias("n_probes"),
+        F.round(
+            F.count("*") / F.sum(F.log(F.col("r2") / F.col("r1"))), 4
+        ).alias("id_est"),
+    )

@@ -28,6 +28,7 @@ BNLJ_OK = {
     "q_emb_neardup_brute",  # broadcast bounded probe subset
     "q_equidepth",  # broadcast exact boundary row
     "q_join_estimate",  # 1-row × 1-row sketch crossJoin (scalar algebra)
+    "q_intrinsic_dim",  # broadcast bounded probe subset (TwoNN)
     "q_knn_join",  # broadcast k-probe set
     "q_pagerank",  # broadcast 1-row dangling-mass aggregate per iteration
     "q_psi_drift",  # broadcast 1-row baseline totals

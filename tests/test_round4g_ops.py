@@ -806,3 +806,38 @@ def test_leakage_split_matches_hash_split_for_unpaired(spark):
     a = {r.doc_id: r.split for r in leakage_safe_split(docs, pairs).collect()}
     b = {r.doc_id: r.split for r in hash_split(docs).select("doc_id", "split").collect()}
     assert a == b
+
+
+# --------------------------------------------------------------------- #
+# twonn_intrinsic_dim
+# --------------------------------------------------------------------- #
+
+
+def test_twonn_recovers_low_dim_manifold(spark):
+    """Points on a 2-D plane embedded in 16-D: TwoNN should estimate
+    far below the ambient dimension."""
+    from kevinlang_spark.operators.similarity import twonn_intrinsic_dim
+
+    import math
+
+    rows = []
+    for i in range(200):
+        a, b = (i * 37 % 199) / 199.0, (i * 101 % 197) / 197.0
+        v = [1.0 + a, 1.0 + b] + [1.0] * 14  # affine 2-D sheet, off-origin
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    r = twonn_intrinsic_dim(df, probe_mod=4).collect()[0]
+    assert r.n_probes >= 30
+    assert r.id_est < 8.0  # ambient is 16; a flat sheet reads low
+
+
+def test_twonn_drops_duplicate_probes(spark):
+    from kevinlang_spark.operators.similarity import twonn_intrinsic_dim
+
+    rows = [(0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0, 3.0])] + [
+        (i, [float(i), 1.0, (i * 7 % 13) / 3.0]) for i in range(2, 40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    # probe 0 has an exact duplicate (r1 = 0) -> excluded, not a crash
+    r = twonn_intrinsic_dim(df, probe_mod=2).collect()[0]
+    assert r.n_probes <= 19 and r.id_est is not None
