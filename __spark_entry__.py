@@ -3116,6 +3116,39 @@ def q_intrinsic_dim(spark, sf_dir):
     return twonn_intrinsic_dim(_t(spark, sf_dir, "embeddings"))
 
 
+def q_rank_overlap(spark, sf_dir):
+    """Rank-Biased Overlap (Webber 2010) between two retrieval rankings
+    for the same query: cosine top-10 vs raw-inner-product top-10 —
+    "does skipping normalization change what we retrieve".  The rankings
+    come from corpus-scale scans; the RBO itself is a ≤k² metadata-scale
+    join."""
+    from kevinlang_spark.functions.vectors import cosine_similarity, dot
+    from kevinlang_spark.operators.similarity import _query_lit
+    from kevinlang_spark.operators.stats import rank_biased_overlap
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_lit(_query_vec(spark, sf_dir))
+    # constant partition spec: the window input is the pre-limited top-10,
+    # so a single-partition sort is free — the lit spec just keeps the
+    # "No Partition Defined" warning out of scale monitoring
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("__s").desc(), F.col("vec_id").asc()
+    )
+
+    def topk(score):
+        return (
+            emb.select("vec_id", score.alias("__s"))
+            .orderBy(F.col("__s").desc(), F.col("vec_id").asc())
+            .limit(10)
+            .withColumn("rank", F.row_number().over(w))
+        )
+
+    a = topk(cosine_similarity(F.col("embedding"), q))
+    b = topk(dot(F.col("embedding"), q))
+    return rank_biased_overlap(a, b, "vec_id", k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_select": q_select,
@@ -3278,6 +3311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_backtest": q_backtest,
         "q_leakage_split": q_leakage_split,
         "q_intrinsic_dim": q_intrinsic_dim,
+        "q_rank_overlap": q_rank_overlap,
         "q_dedup_longest": q_dedup_longest,
         "q_mahalanobis": q_mahalanobis,
         "q_temporal_join": q_temporal_join,
@@ -4727,6 +4761,25 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(quantile_cont(latency_s, 0.25), 4) AS p25_s, "
             "ROUND(quantile_cont(latency_s, 0.5), 4) AS p50_s, "
             "ROUND(quantile_cont(latency_s, 0.75), 4) AS p75_s FROM lat"
+        ),
+        "q_rank_overlap": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings), "
+            "q AS (SELECT v FROM e WHERE vec_id = 0), "
+            "a AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY "
+            "list_cosine_similarity(e.v, (SELECT v FROM q)) DESC, "
+            "vec_id ASC) AS ra FROM e QUALIFY ra <= 10), "
+            "b AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY "
+            "list_inner_product(e.v, (SELECT v FROM q)) DESC, "
+            "vec_id ASC) AS rb FROM e QUALIFY rb <= 10), "
+            "m AS (SELECT GREATEST(ra, rb) AS mm FROM a "
+            "JOIN b USING (vec_id)), "
+            "d AS (SELECT unnest(range(1, 11)) AS dd), "
+            "x AS (SELECT dd, (SELECT COUNT(*) FROM m WHERE mm <= dd) AS xx "
+            "FROM d) "
+            "SELECT CAST(10 AS INTEGER) AS k, "
+            "ROUND(SUM(0.1 * POWER(0.9, dd - 1) * xx / dd), 6) AS rbo "
+            "FROM x"
         ),
         "q_intrinsic_dim": (
             "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "

@@ -88,6 +88,7 @@ HEADLINE = [
     "q_backtest",
     "q_leakage_split",
     "q_intrinsic_dim",
+    "q_rank_overlap",
 ]
 
 

@@ -454,3 +454,46 @@ def km_survival(
     return spark.createDataFrame(
         rows, "t bigint, n_risk bigint, d bigint, s double"
     )
+
+
+def rank_biased_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str,
+    rank_col: str = "rank",
+    k: int = 10,
+    p: float = 0.9,
+) -> DataFrame:
+    """Truncated Rank-Biased Overlap between two top-``k`` rankings
+    (Webber et al. 2010): RBO@k = Σ_{d=1..k} (1−p)·p^{d−1}·|A_:d ∩ B_:d|/d
+    — the top-weighted similarity measure for comparing retrieval
+    results (exact vs ANN, two embedding models, yesterday's vs today's
+    ranking).  p controls top-weightedness (0.9 ≈ the top ~10 ranks
+    carry the weight).
+
+    Relational form: an item joined across both lists enters every
+    prefix depth ≥ max(rank_a, rank_b), so per-depth overlap counts are
+    one inner join + a depth-spine join over ≤ k² rows — metadata-scale
+    regardless of how big the corpora behind the rankings were.
+    Returns one row (k, rbo)."""
+    spark = a.sparkSession
+    ra = a.where(F.col(rank_col) <= k).select(
+        F.col(id_col).alias("__id"), F.col(rank_col).alias("__ra")
+    )
+    rb = b.where(F.col(rank_col) <= k).select(
+        F.col(id_col).alias("__id"), F.col(rank_col).alias("__rb")
+    )
+    m = ra.join(rb, "__id").select(
+        F.greatest("__ra", "__rb").alias("__m")
+    )
+    spine = spark.range(1, k + 1).select(F.col("id").alias("__d"))
+    per_depth = (
+        spine.join(F.broadcast(m), F.col("__m") <= F.col("__d"), "left")
+        .groupBy("__d")
+        .agg(F.count("__m").alias("__x"))
+    )
+    w = (1.0 - p) * F.pow(F.lit(p), F.col("__d") - 1)
+    return per_depth.agg(
+        F.max(F.lit(k)).alias("k"),
+        F.round(F.sum(w * F.col("__x") / F.col("__d")), 6).alias("rbo"),
+    )

@@ -841,3 +841,47 @@ def test_twonn_drops_duplicate_probes(spark):
     # probe 0 has an exact duplicate (r1 = 0) -> excluded, not a crash
     r = twonn_intrinsic_dim(df, probe_mod=2).collect()[0]
     assert r.n_probes <= 19 and r.id_est is not None
+
+
+# --------------------------------------------------------------------- #
+# rank_biased_overlap
+# --------------------------------------------------------------------- #
+
+
+def _ranked(spark, ids):
+    return spark.createDataFrame(
+        [(v, i + 1) for i, v in enumerate(ids)], "item bigint, rank int"
+    )
+
+
+def test_rbo_identical_lists_is_one(spark):
+    from kevinlang_spark.operators.stats import rank_biased_overlap
+
+    a = _ranked(spark, list(range(10)))
+    r = rank_biased_overlap(a, a, "item", k=10).collect()[0]
+    # truncated RBO@10 of identical lists = 1 - p^10 (tail mass beyond
+    # the cutoff); with p=0.9 that's ~0.6513
+    assert abs(r.rbo - (1 - 0.9**10)) < 1e-6
+
+
+def test_rbo_disjoint_lists_is_zero(spark):
+    from kevinlang_spark.operators.stats import rank_biased_overlap
+
+    a = _ranked(spark, list(range(10)))
+    b = _ranked(spark, list(range(100, 110)))
+    r = rank_biased_overlap(a, b, "item", k=10).collect()[0]
+    assert r.rbo == 0.0
+
+
+def test_rbo_top_weighted(spark):
+    """Agreement at the TOP counts more than at the bottom: swap rank-1
+    items vs swap rank-10 items."""
+    from kevinlang_spark.operators.stats import rank_biased_overlap
+
+    base = list(range(10))
+    top_diff = [99] + base[1:]
+    bot_diff = base[:9] + [99]
+    a = _ranked(spark, base)
+    r_top = rank_biased_overlap(a, _ranked(spark, top_diff), "item").collect()[0].rbo
+    r_bot = rank_biased_overlap(a, _ranked(spark, bot_diff), "item").collect()[0].rbo
+    assert r_bot > r_top
