@@ -3125,23 +3125,26 @@ def q_rank_overlap(spark, sf_dir):
     from kevinlang_spark.functions.vectors import cosine_similarity, dot
     from kevinlang_spark.operators.similarity import _query_lit
     from kevinlang_spark.operators.stats import rank_biased_overlap
-    from pyspark.sql import Window
 
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_lit(_query_vec(spark, sf_dir))
-    # constant partition spec: the window input is the pre-limited top-10,
-    # so a single-partition sort is free — the lit spec just keeps the
-    # "No Partition Defined" warning out of scale monitoring
-    w = Window.partitionBy(F.lit(0)).orderBy(
-        F.col("__s").desc(), F.col("vec_id").asc()
-    )
 
     def topk(score):
+        # rank the 10-row top-k via a tiny broadcast self-join count
+        # (1 + rows strictly ahead) instead of a global row_number
+        # window — same result, no unpartitioned-window in the plan
+        t = emb.select("vec_id", score.alias("__s")).orderBy(
+            F.col("__s").desc(), F.col("vec_id").asc()
+        ).limit(10)
+        x, y = t.alias("x"), t.alias("y")
+        ahead = (F.col("y.__s") > F.col("x.__s")) | (
+            (F.col("y.__s") == F.col("x.__s"))
+            & (F.col("y.vec_id") < F.col("x.vec_id"))
+        )
         return (
-            emb.select("vec_id", score.alias("__s"))
-            .orderBy(F.col("__s").desc(), F.col("vec_id").asc())
-            .limit(10)
-            .withColumn("rank", F.row_number().over(w))
+            x.join(F.broadcast(y), ahead, "left")
+            .groupBy(F.col("x.vec_id").alias("vec_id"))
+            .agg((F.count("y.vec_id") + 1).cast("int").alias("rank"))
         )
 
     a = topk(cosine_similarity(F.col("embedding"), q))
@@ -4785,7 +4788,7 @@ def oracle_sql() -> dict[str, str]:
             "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
             "FROM embeddings), "
             "p AS (SELECT vec_id AS qid, v AS qv FROM e "
-            "WHERE vec_id % 8 = 0), "
+            "WHERE vec_id % 8 = 0 AND vec_id < 512), "
             "s AS (SELECT p.qid, e.vec_id AS cid, "
             "ROUND(1 - list_cosine_similarity(e.v, p.qv), 6) AS d "
             "FROM e, p), "

@@ -570,6 +570,7 @@ def twonn_intrinsic_dim(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     probe_mod: int = 8,
+    max_probe_id: int = 512,
 ) -> DataFrame:
     """TwoNN intrinsic-dimension estimate of the embedding space
     (Facco et al. 2017, "Estimating the intrinsic dimension of datasets
@@ -590,7 +591,13 @@ def twonn_intrinsic_dim(
     from pyspark.sql import Window
 
     base = df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-    probes = df.where((F.col(id_col) % probe_mod) == 0).select(
+    # the probe set is BOUNDED (≤ max_probe_id/probe_mod probes): TwoNN's
+    # estimator converges with a few dozen probes, and an unbounded
+    # probe fraction would make the probe×corpus product grow
+    # quadratically with data size
+    probes = df.where(
+        ((F.col(id_col) % probe_mod) == 0) & (F.col(id_col) < max_probe_id)
+    ).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
     )
     dist = F.round(1 - cosine_similarity(F.col("cv"), F.col("qv")), 6)
