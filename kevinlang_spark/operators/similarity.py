@@ -590,7 +590,14 @@ def twonn_intrinsic_dim(
     (n_probes, id_est)."""
     from pyspark.sql import Window
 
-    base = df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    # norms hoisted out of the pair product: computed once per corpus
+    # row and once per probe instead of twice per PAIR — the pair stage
+    # then runs a single dot fold (3× fewer array folds in the hot loop)
+    base = df.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("cn"),
+    ).where(F.col("cn") > 0)
     # the probe set is BOUNDED (≤ max_probe_id/probe_mod probes): TwoNN's
     # estimator converges with a few dozen probes, and an unbounded
     # probe fraction would make the probe×corpus product grow
@@ -598,9 +605,13 @@ def twonn_intrinsic_dim(
     probes = df.where(
         ((F.col(id_col) % probe_mod) == 0) & (F.col(id_col) < max_probe_id)
     ).select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qn"),
+    ).where(F.col("qn") > 0)
+    dist = F.round(
+        1 - dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")), 6
     )
-    dist = F.round(1 - cosine_similarity(F.col("cv"), F.col("qv")), 6)
     scored = base.crossJoin(F.broadcast(probes)).select(
         "qid", "cid", dist.alias("d")
     )
