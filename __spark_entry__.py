@@ -3152,6 +3152,17 @@ def q_rank_overlap(spark, sf_dir):
     return rank_biased_overlap(a, b, "vec_id", k=10)
 
 
+def q_frequent_sequences(spark, sf_dir):
+    """Distributed PrefixSpan: ordered behavior patterns (length ≤ 2)
+    appearing in ≥ half of user event sequences.  At length ≤ 2 support
+    counting is reproducible relationally (first-position(a) <
+    last-position(b) per user), so the ML pipeline output is fully
+    oracle-checked."""
+    from kevinlang_spark.operators.baskets import frequent_sequences
+
+    return frequent_sequences(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_select": q_select,
@@ -3315,6 +3326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_leakage_split": q_leakage_split,
         "q_intrinsic_dim": q_intrinsic_dim,
         "q_rank_overlap": q_rank_overlap,
+        "q_frequent_sequences": q_frequent_sequences,
         "q_dedup_longest": q_dedup_longest,
         "q_mahalanobis": q_mahalanobis,
         "q_temporal_join": q_temporal_join,
@@ -4764,6 +4776,28 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(quantile_cont(latency_s, 0.25), 4) AS p25_s, "
             "ROUND(quantile_cont(latency_s, 0.5), 4) AS p50_s, "
             "ROUND(quantile_cont(latency_s, 0.75), 4) AS p75_s FROM lat"
+        ),
+        "q_frequent_sequences": (
+            # length<=2 PrefixSpan support == relational subsequence
+            # counting: <a,b> occurs in a user's sequence iff the first
+            # position of a precedes the last position of b
+            "WITH seq AS (SELECT user_id, event_type, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS pos FROM events "
+            "WHERE event_type IS NOT NULL AND ts IS NOT NULL), "
+            "n AS (SELECT COUNT(DISTINCT user_id) AS nu FROM seq), "
+            "singles AS (SELECT event_type AS pattern, "
+            "COUNT(DISTINCT user_id) AS freq FROM seq GROUP BY 1), "
+            "pos AS (SELECT user_id, event_type, MIN(pos) AS fp, "
+            "MAX(pos) AS lp FROM seq GROUP BY 1, 2), "
+            "pairs AS (SELECT a.event_type || '->' || b.event_type "
+            "AS pattern, COUNT(*) AS freq FROM pos a "
+            "JOIN pos b ON a.user_id = b.user_id "
+            "WHERE a.fp < b.lp GROUP BY 1), "
+            "allp AS (SELECT pattern, CAST(freq AS BIGINT) AS freq "
+            "FROM singles UNION ALL "
+            "SELECT pattern, CAST(freq AS BIGINT) FROM pairs) "
+            "SELECT pattern, freq FROM allp, n WHERE freq >= 0.5 * nu"
         ),
         "q_rank_overlap": (
             "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "

@@ -89,6 +89,7 @@ HEADLINE = [
     "q_leakage_split",
     "q_intrinsic_dim",
     "q_rank_overlap",
+    "q_frequent_sequences",
 ]
 
 

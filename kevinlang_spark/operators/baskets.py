@@ -126,3 +126,63 @@ def association_rules(
         F.round(conf, 6).alias("confidence"),
         F.round(lift, 6).alias("lift"),
     )
+
+
+def frequent_sequences(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    min_support: float = 0.5,
+    max_pattern_length: int = 2,
+) -> DataFrame:
+    """Frequent sequential patterns over per-user event streams via
+    distributed PrefixSpan (pyspark.ml.fpm — Pei et al. 2001): which
+    ordered behaviors ("view → purchase") appear in at least
+    ``min_support`` of user sequences.  The sequence-mining complement
+    of :mod:`baskets`' association rules (which ignore order).
+
+    Each user's events become one sequence of single-item itemsets,
+    ordered by (ts, id) — assembled with one user-keyed aggregation and
+    an in-row array_sort, so sequence build is a single shuffle;
+    PrefixSpan's projected-database growth is then bounded by
+    ``max_pattern_length`` (keep it small: the pattern lattice is the
+    scale hazard, not the row count).  Support counts SEQUENCES
+    (users), not occurrences — a user repeating view→purchase daily
+    counts once, so at length ≤ 2 the result is reproducible as plain
+    relational algebra (the oracle's form: first-position(a) <
+    last-position(b)).
+
+    Returns (pattern, freq): '→'-joined pattern string and the number
+    of user sequences containing it."""
+    from pyspark.ml.fpm import PrefixSpan
+
+    seqs = (
+        events.where(
+            F.col(type_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .groupBy(user_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(ts_col), F.col(id_col), F.col(type_col))
+                )
+            ).alias("__ordered")
+        )
+        .select(
+            F.transform(
+                "__ordered", lambda s: F.array(s[type_col])
+            ).alias("sequence")
+        )
+    )
+    ps = PrefixSpan(
+        minSupport=min_support,
+        maxPatternLength=max_pattern_length,
+        sequenceCol="sequence",
+    )
+    found = ps.findFrequentSequentialPatterns(seqs)
+    return found.select(
+        F.concat_ws("->", F.flatten("sequence")).alias("pattern"),
+        F.col("freq"),
+    )

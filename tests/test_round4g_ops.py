@@ -885,3 +885,62 @@ def test_rbo_top_weighted(spark):
     r_top = rank_biased_overlap(a, _ranked(spark, top_diff), "item").collect()[0].rbo
     r_bot = rank_biased_overlap(a, _ranked(spark, bot_diff), "item").collect()[0].rbo
     assert r_bot > r_top
+
+
+# --------------------------------------------------------------------- #
+# frequent_sequences (PrefixSpan)
+# --------------------------------------------------------------------- #
+
+
+def _seq_events(spark, user_seqs):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows, i = [], 0
+    for u, types in user_seqs.items():
+        for j, t in enumerate(types):
+            rows.append((u, base + dt.timedelta(minutes=j), i, t, 1.0))
+            i += 1
+    return spark.createDataFrame(
+        rows,
+        "user_id bigint, ts timestamp, event_id bigint, "
+        "event_type string, value double",
+    )
+
+
+def test_frequent_sequences_order_matters(spark):
+    from kevinlang_spark.operators.baskets import frequent_sequences
+
+    # a->b in 2 of 2 sequences; b->a in only 1
+    ev = _seq_events(spark, {1: ["a", "b"], 2: ["a", "b", "a"]})
+    got = {
+        r.pattern: r.freq
+        for r in frequent_sequences(ev, min_support=0.9).collect()
+    }
+    assert got["a->b"] == 2
+    assert "b->a" not in got  # support 1/2 < 0.9
+    assert got["a"] == 2 and got["b"] == 2
+
+
+def test_frequent_sequences_repeat_pattern(spark):
+    from kevinlang_spark.operators.baskets import frequent_sequences
+
+    # x->x needs two x's in the same sequence
+    ev = _seq_events(spark, {1: ["x", "x"], 2: ["x"]})
+    got = {
+        r.pattern: r.freq
+        for r in frequent_sequences(ev, min_support=0.4).collect()
+    }
+    assert got["x"] == 2 and got["x->x"] == 1
+
+
+def test_frequent_sequences_user_counted_once(spark):
+    from kevinlang_spark.operators.baskets import frequent_sequences
+
+    # user 1 repeats a->b many times: still freq 1 for that sequence
+    ev = _seq_events(spark, {1: ["a", "b"] * 5, 2: ["c"]})
+    got = {
+        r.pattern: r.freq
+        for r in frequent_sequences(ev, min_support=0.4).collect()
+    }
+    assert got["a->b"] == 1
