@@ -3165,6 +3165,108 @@ def q_frequent_sequences(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "q_knn_join": q_knn_join,
+        "q_ann_ivf": q_ann_ivf,
+        "q_curation_chunks": q_curation_chunks,
+        "q_leakage_split": q_leakage_split,
+        "q_kcenter_sample": q_kcenter_sample,
+        "q_intrinsic_dim": q_intrinsic_dim,
+        "q_frequent_sequences": q_frequent_sequences,
+        "q_tfidf_top_terms": q_tfidf_top_terms,
+        "q_pagerank": q_pagerank,
+        "q_hll_rollup": q_hll_rollup,
+        "q_kll_rollup": q_kll_rollup,
+        "q_theta_overlap": q_theta_overlap,
+        "q_cms_tokens": q_cms_tokens,
+        "q_join_estimate": q_join_estimate,
+        "q_heavy_hitters": q_heavy_hitters,
+        "q_approx_distinct": q_approx_distinct,
+        "q_semantic_dedup": q_semantic_dedup,
+        "q_novelty": q_novelty,
+        "q_containment": q_containment,
+        "q_source_overlap": q_source_overlap,
+        "q_pack_sequences": q_pack_sequences,
+        "q_chunk_tokens": q_chunk_tokens,
+        "q_repetition_stats": q_repetition_stats,
+        "q_hash_split": q_hash_split,
+        "q_contamination": q_contamination,
+        "q_stratified_sample": q_stratified_sample,
+        "q_quantize_embeddings": q_quantize_embeddings,
+        "q_token_estimate": q_token_estimate,
+        "q_click_attribution": q_click_attribution,
+        "q_clean_lines": q_clean_lines,
+        "q_salted_agg": q_salted_agg,
+        "q_salted_join": q_salted_join,
+        "q_events_sliding": q_events_sliding,
+        "q_resample_ffill": q_resample_ffill,
+        "q_cube": q_cube,
+        "q_histogram": q_histogram,
+        "q_redact_pii": q_redact_pii,
+        "q_upsert": q_upsert,
+        "q_weighted_sample": q_weighted_sample,
+        "q_scd2": q_scd2,
+        "q_funnel": q_funnel,
+        "q_transitions": q_transitions,
+        "q_budget_sample": q_budget_sample,
+        "q_winsorize": q_winsorize,
+        "q_approx_quantile": q_approx_quantile,
+        "q_inverted_index": q_inverted_index,
+        "q_retention": q_retention,
+        "q_validate": q_validate,
+        "q_merge_intervals": q_merge_intervals,
+        "q_twap": q_twap,
+        "q_profile": q_profile,
+        "q_fuzzy_join": q_fuzzy_join,
+        "q_equidepth": q_equidepth,
+        "q_label_centroids": q_label_centroids,
+        "q_rolling": q_rolling,
+        "q_lm_score": q_lm_score,
+        "q_incremental_agg": q_incremental_agg,
+        "q_triangles": q_triangles,
+        "q_jaccard_prefix": q_jaccard_prefix,
+        "q_skyline": q_skyline,
+        "q_mode": q_mode,
+        "q_paths": q_paths,
+        "q_corr_matrix": q_corr_matrix,
+        "q_benford": q_benford,
+        "q_ab_test": q_ab_test,
+        "q_rfm": q_rfm,
+        "q_gini": q_gini,
+        "q_attribution_linear": q_attribution_linear,
+        "q_boilerplate": q_boilerplate,
+        "q_assoc_rules": q_assoc_rules,
+        "q_keyfilter_join": q_keyfilter_join,
+        "q_line_dedup": q_line_dedup,
+        "q_cdc_apply": q_cdc_apply,
+        "q_interval_overlap": q_interval_overlap,
+        "q_target_encode": q_target_encode,
+        "q_mad_outliers": q_mad_outliers,
+        "q_chi_square": q_chi_square,
+        "q_decayed_features": q_decayed_features,
+        "q_bootstrap_mean": q_bootstrap_mean,
+        "q_psi_drift": q_psi_drift,
+        "q_group_ols": q_group_ols,
+        "q_k_anonymity": q_k_anonymity,
+        "q_cusum": q_cusum,
+        "q_seasonal_anomalies": q_seasonal_anomalies,
+        "q_snapshot_diff": q_snapshot_diff,
+        "q_char_entropy": q_char_entropy,
+        "q_bpe_pairs": q_bpe_pairs,
+        "q_ngram_diversity": q_ngram_diversity,
+        "q_mixture_weights": q_mixture_weights,
+        "q_window_dedup": q_window_dedup,
+        "q_ewma_smooth": q_ewma_smooth,
+        "q_funnel_latency": q_funnel_latency,
+        "q_dp_counts": q_dp_counts,
+        "q_join_ivm": q_join_ivm,
+        "q_top_tokens_per_source": q_top_tokens_per_source,
+        "q_survival": q_survival,
+        "q_backtest": q_backtest,
+        "q_rank_overlap": q_rank_overlap,
+        "q_dedup_longest": q_dedup_longest,
+        "q_mahalanobis": q_mahalanobis,
+        "q_temporal_join": q_temporal_join,
+        "q_resample_lerp": q_resample_lerp,
         "q_select": q_select,
         "q_filter": q_filter,
         "q_groupby_sum": q_groupby_sum,
@@ -3217,13 +3319,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_lsh": q_ann_lsh,
         "q_multimodal_features": q_multimodal_features,
         "q_corpus_filter": q_corpus_filter,
-        "q_curation_chunks": q_curation_chunks,
         "q_explode_tokens": q_explode_tokens,
         "q_corr": q_corr,
         "q_quantiles": q_quantiles,
         "q_tpch_q10": q_tpch_q10,
         "q_argmax": q_argmax,
-        "q_ann_ivf": q_ann_ivf,
         "q_transform_zscore": q_transform_zscore,
         "q_emb_neardup_brute": q_emb_neardup_brute,
         "q_asof_join": q_asof_join,
@@ -3233,106 +3333,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_median": q_median,
         "q_set_ops": q_set_ops,
         "q_date_parts": q_date_parts,
-        "q_repetition_stats": q_repetition_stats,
-        "q_hash_split": q_hash_split,
-        "q_knn_join": q_knn_join,
-        "q_contamination": q_contamination,
-        "q_stratified_sample": q_stratified_sample,
-        "q_quantize_embeddings": q_quantize_embeddings,
-        "q_token_estimate": q_token_estimate,
-        "q_click_attribution": q_click_attribution,
-        "q_chunk_tokens": q_chunk_tokens,
-        "q_clean_lines": q_clean_lines,
-        "q_pack_sequences": q_pack_sequences,
-        "q_salted_agg": q_salted_agg,
-        "q_salted_join": q_salted_join,
-        "q_events_sliding": q_events_sliding,
-        "q_resample_ffill": q_resample_ffill,
-        "q_cube": q_cube,
-        "q_histogram": q_histogram,
-        "q_redact_pii": q_redact_pii,
-        "q_tfidf_top_terms": q_tfidf_top_terms,
-        "q_upsert": q_upsert,
-        "q_approx_distinct": q_approx_distinct,
-        "q_weighted_sample": q_weighted_sample,
-        "q_scd2": q_scd2,
-        "q_funnel": q_funnel,
-        "q_transitions": q_transitions,
-        "q_budget_sample": q_budget_sample,
-        "q_winsorize": q_winsorize,
-        "q_approx_quantile": q_approx_quantile,
-        "q_inverted_index": q_inverted_index,
-        "q_pagerank": q_pagerank,
-        "q_heavy_hitters": q_heavy_hitters,
-        "q_retention": q_retention,
-        "q_validate": q_validate,
-        "q_merge_intervals": q_merge_intervals,
-        "q_twap": q_twap,
-        "q_profile": q_profile,
-        "q_fuzzy_join": q_fuzzy_join,
-        "q_equidepth": q_equidepth,
-        "q_label_centroids": q_label_centroids,
-        "q_rolling": q_rolling,
-        "q_lm_score": q_lm_score,
-        "q_incremental_agg": q_incremental_agg,
-        "q_triangles": q_triangles,
-        "q_jaccard_prefix": q_jaccard_prefix,
-        "q_skyline": q_skyline,
-        "q_mode": q_mode,
-        "q_paths": q_paths,
-        "q_corr_matrix": q_corr_matrix,
-        "q_benford": q_benford,
-        "q_ab_test": q_ab_test,
-        "q_rfm": q_rfm,
-        "q_gini": q_gini,
-        "q_attribution_linear": q_attribution_linear,
-        "q_boilerplate": q_boilerplate,
-        "q_semantic_dedup": q_semantic_dedup,
-        "q_assoc_rules": q_assoc_rules,
-        "q_keyfilter_join": q_keyfilter_join,
-        "q_line_dedup": q_line_dedup,
-        "q_cdc_apply": q_cdc_apply,
-        "q_interval_overlap": q_interval_overlap,
-        "q_target_encode": q_target_encode,
-        "q_mad_outliers": q_mad_outliers,
-        "q_chi_square": q_chi_square,
-        "q_decayed_features": q_decayed_features,
-        "q_bootstrap_mean": q_bootstrap_mean,
-        "q_psi_drift": q_psi_drift,
-        "q_group_ols": q_group_ols,
-        "q_k_anonymity": q_k_anonymity,
-        "q_cusum": q_cusum,
-        "q_seasonal_anomalies": q_seasonal_anomalies,
-        "q_snapshot_diff": q_snapshot_diff,
-        "q_char_entropy": q_char_entropy,
-        "q_bpe_pairs": q_bpe_pairs,
-        "q_ngram_diversity": q_ngram_diversity,
-        "q_mixture_weights": q_mixture_weights,
-        "q_window_dedup": q_window_dedup,
-        "q_hll_rollup": q_hll_rollup,
-        "q_kll_rollup": q_kll_rollup,
-        "q_theta_overlap": q_theta_overlap,
-        "q_ewma_smooth": q_ewma_smooth,
-        "q_novelty": q_novelty,
-        "q_join_estimate": q_join_estimate,
-        "q_funnel_latency": q_funnel_latency,
-        "q_dp_counts": q_dp_counts,
-        "q_join_ivm": q_join_ivm,
-        "q_cms_tokens": q_cms_tokens,
-        "q_top_tokens_per_source": q_top_tokens_per_source,
-        "q_kcenter_sample": q_kcenter_sample,
-        "q_survival": q_survival,
-        "q_backtest": q_backtest,
-        "q_leakage_split": q_leakage_split,
-        "q_intrinsic_dim": q_intrinsic_dim,
-        "q_rank_overlap": q_rank_overlap,
-        "q_frequent_sequences": q_frequent_sequences,
-        "q_dedup_longest": q_dedup_longest,
-        "q_mahalanobis": q_mahalanobis,
-        "q_temporal_join": q_temporal_join,
-        "q_resample_lerp": q_resample_lerp,
-        "q_containment": q_containment,
-        "q_source_overlap": q_source_overlap,
     }
 
 
