@@ -2974,7 +2974,11 @@ def q_dp_counts(spark, sf_dir):
     from kevinlang_spark.operators.quality import dp_counts
 
     return dp_counts(
-        _t(spark, sf_dir, "documents"), ["source"], epsilon=1.0, seed="r4g"
+        _t(spark, sf_dir, "documents"),
+        ["source"],
+        epsilon=1.0,
+        seed="r4g",
+        release_id="rel-2026-08-14",
     )
 
 
@@ -4955,11 +4959,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_dp_counts": (
             # bit-for-bit replica of the deterministic Laplace draw:
-            # md5(seed \x1f key) -> 52-bit uniform -> inverse CDF
+            # md5(release_id \x1f seed \x1f key) -> 52-bit uniform -> inverse CDF
             "WITH g AS (SELECT source, COUNT(*) AS n FROM documents "
             "GROUP BY source), "
             "h AS (SELECT source, n, "
-            "CAST(CONCAT('0x', substr(md5(CONCAT('r4g', chr(31), "
+            "CAST(CONCAT('0x', substr(md5(CONCAT('rel-2026-08-14', chr(31), "
+            "'r4g', chr(31), "
             "COALESCE(CAST(source AS VARCHAR), chr(0)))), 1, 13)) AS BIGINT) "
             "AS hv FROM g), "
             "u AS (SELECT source, n, (CAST(hv AS DOUBLE) + 0.5) / "

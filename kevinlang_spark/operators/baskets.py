@@ -160,7 +160,9 @@ def frequent_sequences(
 
     seqs = (
         events.where(
-            F.col(type_col).isNotNull() & F.col(ts_col).isNotNull()
+            F.col(user_col).isNotNull()
+            & F.col(type_col).isNotNull()
+            & F.col(ts_col).isNotNull()
         )
         .groupBy(user_col)
         .agg(

@@ -115,19 +115,28 @@ def dp_counts(
     epsilon: float = 1.0,
     seed: str = "dp",
     clamp: bool = True,
+    *,
+    release_id: str,
 ) -> DataFrame:
     """Differentially-private count release: per-group counts with
     Laplace(1/ε) noise (count queries have sensitivity 1), the standard
     ε-DP mechanism for publishing histograms over sensitive data.
 
-    The noise draw is DETERMINISTIC per (seed, group): a md5-derived
-    uniform (13 hex chars → 52-bit integer, exactly representable)
-    pushed through the Laplace inverse CDF.  That makes the release
-    reproducible across runs, engines, and partitionings — the property
-    that lets the oracle replicate it bit-for-bit — and is the
-    seed-keyed-noise pattern real reproducible-DP pipelines use; the
-    privacy guarantee then rests on the SEED staying secret (rotate it
-    per release; with a public seed this is pseudo-noise, not DP).
+    The noise draw is DETERMINISTIC per (release_id, seed, group): a
+    md5-derived uniform (13 hex chars → 52-bit integer, exactly
+    representable) pushed through the Laplace inverse CDF.  That makes
+    the release reproducible across runs, engines, and partitionings —
+    the property that lets the oracle replicate it bit-for-bit — and is
+    the seed-keyed-noise pattern real reproducible-DP pipelines use;
+    the privacy guarantee then rests on the SEED staying secret.
+
+    ``release_id`` is MANDATORY and keyword-only because reusing the
+    same noise across two releases is a differencing attack: if the
+    table grew between releases, subtracting the two published counts
+    cancels the (identical) noise and recovers the exact per-group
+    increment.  Give every release of the same statistic a distinct id
+    (date, version, run id) so each gets fresh noise; noise for
+    distinct release_ids is independent by construction.
 
     Execution: one count aggregation (map-side partials), noise applied
     in the result projection — group-cardinality rows, never data rows.
@@ -135,9 +144,12 @@ def dp_counts(
     DP)."""
     if epsilon <= 0:
         raise ValueError(f"epsilon must be > 0 (got {epsilon})")
+    if not release_id:
+        raise ValueError("release_id must be a non-empty string")
     grp = df.groupBy(*keys).agg(F.count("*").alias("__n"))
     key_str = F.concat_ws(
         "\x1f",
+        F.lit(release_id),
         F.lit(seed),
         *[F.coalesce(F.col(k).cast("string"), F.lit("\x00")) for k in keys],
     )

@@ -110,6 +110,31 @@ def hll_rollup(
     )
 
 
+def quantile_col_names(quantiles) -> list[str]:
+    """Column names for quantile estimates: ``q_`` + the quantile's
+    decimal digits (``0.5 → q_50``, ``0.25 → q_25``, ``0.999 → q_999``,
+    ``1.0 → q_100``), padded to ≥2 digits so the common two-decimal
+    names stay stable.  Raises if the requested quantiles collide —
+    Spark happily builds duplicate-named columns and downstream selects
+    then fail ambiguously, so collide loudly here instead."""
+    names = []
+    for q in quantiles:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile out of range: {q}")
+        if q == 1.0:
+            digits = "100"
+        else:
+            digits = f"{q:.10f}".rstrip("0").split(".")[1] or "0"
+            digits = digits.ljust(2, "0")
+        names.append(f"q_{digits}")
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        raise ValueError(
+            f"quantiles {list(quantiles)} produce colliding column names {sorted(dupes)}"
+        )
+    return names
+
+
 def kll_rollup(
     df: DataFrame,
     key_cols: list[str],
@@ -145,10 +170,8 @@ def kll_rollup(
     )
     merged = F.kll_merge_agg_double("sketch")
     qcols = [
-        F.kll_sketch_get_quantile_double(merged, F.lit(float(q))).alias(
-            f"q_{int(round(q * 100)):02d}"
-        )
-        for q in quantiles
+        F.kll_sketch_get_quantile_double(merged, F.lit(float(q))).alias(name)
+        for q, name in zip(quantiles, quantile_col_names(quantiles))
     ]
     return per_unit.groupBy(*key_cols).agg(
         F.count("*").alias("n_units"),
@@ -223,16 +246,29 @@ def theta_span_overlap(sketches: DataFrame, key_cols: list[str]) -> DataFrame:
 
 
 def _theta_estimates(a: DataFrame, b: DataFrame, key_cols) -> DataFrame:
+    # FULL OUTER on the key: a key whose users are all-new (no unit-A
+    # sketch) or fully churned (no unit-B sketch) must still appear in
+    # the retention report, with the missing side counted as the empty
+    # set.  CASE WHEN short-circuits, so the theta set-algebra
+    # expressions are never evaluated on a NULL sketch.
     est = F.theta_sketch_estimate
-    return a.join(b, list(key_cols)).select(
+    sk_a, sk_b = F.col("sk_a"), F.col("sk_b")
+    return a.join(b, list(key_cols), "full_outer").select(
         *key_cols,
-        est(F.col("sk_a")).cast("bigint").alias("n_a"),
-        est(F.col("sk_b")).cast("bigint").alias("n_b"),
-        est(F.theta_intersection(F.col("sk_a"), F.col("sk_b")))
-        .cast("bigint")
+        F.when(sk_a.isNull(), F.lit(0))
+        .otherwise(est(sk_a).cast("bigint"))
+        .alias("n_a"),
+        F.when(sk_b.isNull(), F.lit(0))
+        .otherwise(est(sk_b).cast("bigint"))
+        .alias("n_b"),
+        F.when(sk_a.isNull() | sk_b.isNull(), F.lit(0))
+        .otherwise(
+            est(F.theta_intersection(sk_a, sk_b)).cast("bigint")
+        )
         .alias("n_both"),
-        est(F.theta_difference(F.col("sk_a"), F.col("sk_b")))
-        .cast("bigint")
+        F.when(sk_a.isNull(), F.lit(0))
+        .when(sk_b.isNull(), est(sk_a).cast("bigint"))
+        .otherwise(est(F.theta_difference(sk_a, sk_b)).cast("bigint"))
         .alias("n_only_a"),
     )
 

@@ -41,7 +41,11 @@ def read_xml(
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
     if mode == "PERMISSIVE" and CORRUPT_COL not in schema.fieldNames():
-        schema = schema.add(T.StructField(CORRUPT_COL, T.StringType(), True))
+        # StructType.add mutates in place — build a copy so the caller's
+        # schema object doesn't permanently gain the corrupt column.
+        schema = T.StructType(
+            list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+        )
     return (
         spark.read.format("xml")
         .option("rowTag", row_tag)

@@ -114,11 +114,11 @@ def kll_quantiles(
 ) -> DataFrame:
     """Quantiles-so-far per key from the sketch table: one mergeable KLL
     merge over sketch rows (bytes per row, not values)."""
+    from kevinlang_spark.operators.sketches import quantile_col_names
+
     merged = F.kll_merge_agg_double("sketch")
     qcols = [
-        F.kll_sketch_get_quantile_double(merged, F.lit(float(q))).alias(
-            f"q_{int(round(q * 100)):02d}"
-        )
-        for q in quantiles
+        F.kll_sketch_get_quantile_double(merged, F.lit(float(q))).alias(name)
+        for q, name in zip(quantiles, quantile_col_names(quantiles))
     ]
     return spark.read.parquet(path).groupBy(*key_cols).agg(*qcols)

@@ -398,10 +398,10 @@ def test_dp_counts_deterministic_and_noisy(spark):
     df = spark.createDataFrame(
         [(i, f"g{i % 50}") for i in range(5000)], "id bigint, g string"
     )
-    a = {r.g: r.noisy_count for r in dp_counts(df, ["g"], seed="s1").collect()}
-    b = {r.g: r.noisy_count for r in dp_counts(df, ["g"], seed="s1").collect()}
+    a = {r.g: r.noisy_count for r in dp_counts(df, ["g"], seed="s1", release_id="r1").collect()}
+    b = {r.g: r.noisy_count for r in dp_counts(df, ["g"], seed="s1", release_id="r1").collect()}
     assert a == b  # same seed -> identical release
-    c = {r.g: r.noisy_count for r in dp_counts(df, ["g"], seed="s2").collect()}
+    c = {r.g: r.noisy_count for r in dp_counts(df, ["g"], seed="s2", release_id="r1").collect()}
     assert a != c  # fresh seed -> fresh draw
     # noise is real but Laplace(1)-scale: every group's true count is 100
     errs = [abs(v - 100) for v in a.values()]
@@ -415,8 +415,8 @@ def test_dp_counts_epsilon_scales_noise(spark):
     df = spark.createDataFrame(
         [(i, f"g{i % 200}") for i in range(2000)], "id bigint, g string"
     )
-    tight = dp_counts(df, ["g"], epsilon=10.0).collect()
-    loose = dp_counts(df, ["g"], epsilon=0.1).collect()
+    tight = dp_counts(df, ["g"], epsilon=10.0, release_id="r1").collect()
+    loose = dp_counts(df, ["g"], epsilon=0.1, release_id="r1").collect()
     err_tight = sum(abs(r.noisy_count - 10) for r in tight) / 200
     err_loose = sum(abs(r.noisy_count - 10) for r in loose) / 200
     # E|noise| = 1/eps: 0.1 vs 10 (clamping at 0 halves the loose side's
@@ -431,9 +431,9 @@ def test_dp_counts_clamps_at_zero(spark):
         [(i, f"g{i}") for i in range(500)], "id bigint, g string"
     )
     # true count 1 per group, eps=0.1 -> lots of would-be-negative draws
-    rel = dp_counts(df, ["g"], epsilon=0.1).collect()
+    rel = dp_counts(df, ["g"], epsilon=0.1, release_id="r1").collect()
     assert min(r.noisy_count for r in rel) == 0
-    unclamped = dp_counts(df, ["g"], epsilon=0.1, clamp=False).collect()
+    unclamped = dp_counts(df, ["g"], epsilon=0.1, clamp=False, release_id="r1").collect()
     assert min(r.noisy_count for r in unclamped) < 0
 
 
@@ -442,7 +442,7 @@ def test_dp_counts_rejects_bad_epsilon(spark):
 
     df = spark.createDataFrame([(1, "a")], "id bigint, g string")
     with pytest.raises(ValueError):
-        dp_counts(df, ["g"], epsilon=0.0)
+        dp_counts(df, ["g"], epsilon=0.0, release_id="r1")
 
 
 # --------------------------------------------------------------------- #
