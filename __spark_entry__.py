@@ -915,6 +915,60 @@ def q_events_sessions(spark, sf_dir):
     )
 
 
+def q_stream_hourly(spark, sf_dir):
+    """STREAMING execution of the tumbling-window rollup: the events
+    parquet is consumed as a file-source stream (availableNow trigger),
+    aggregated with the SAME tumbling_counts transform as the batch
+    q_events_hourly, and landed complete-mode in a memory sink.  The
+    oracle is the batch twin — Structured Streaming's incremental state
+    must converge to exactly the batch answer once the stream drains.
+    Complete-mode windowed aggs need no watermark, so the final table
+    covers every window."""
+    from kevinlang_spark.streaming.windows import run_stream_to_memory, tumbling_counts
+
+    return run_stream_to_memory(
+        spark,
+        f"{sf_dir}/events.parquet",
+        lambda src: tumbling_counts(src, "1 hour").select(
+            "window_start", "event_type", "n", "value_sum"
+        ),
+        query_name="q_stream_hourly_mem",
+    )
+
+
+def q_stream_sliding(spark, sf_dir):
+    """STREAMING sliding windows (1h window / 15m slide) via availableNow
+    into a complete-mode memory sink — overlapping-window state, count
+    only (integer-exact parity with the batch oracle)."""
+    from kevinlang_spark.streaming.windows import run_stream_to_memory, sliding_counts
+
+    return run_stream_to_memory(
+        spark,
+        f"{sf_dir}/events.parquet",
+        lambda src: sliding_counts(src, "1 hour", "15 minutes"),
+        query_name="q_stream_sliding_mem",
+    )
+
+
+def q_stream_dedup(spark, sf_dir):
+    """STREAMING exact dedup: dropDuplicates on (user_id, event_type)
+    over the event stream, append-mode memory sink.  First occurrence
+    emits immediately (dedup state never holds rows back), so the
+    drained stream's output is exactly the batch DISTINCT — set-equal
+    regardless of file processing order."""
+    from kevinlang_spark.streaming.windows import run_stream_to_memory
+
+    return run_stream_to_memory(
+        spark,
+        f"{sf_dir}/events.parquet",
+        lambda src: src.select("user_id", "event_type").dropDuplicates(
+            ["user_id", "event_type"]
+        ),
+        query_name="q_stream_dedup_mem",
+        output_mode="append",
+    )
+
+
 # --------------------------------------------------------------------- #
 # dedup / text analysis / similarity / multimodal extension ops
 # --------------------------------------------------------------------- #
@@ -3169,6 +3223,9 @@ def q_frequent_sequences(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "q_stream_hourly": q_stream_hourly,
+        "q_stream_sliding": q_stream_sliding,
+        "q_stream_dedup": q_stream_dedup,
         "q_knn_join": q_knn_join,
         "q_ann_ivf": q_ann_ivf,
         "q_curation_chunks": q_curation_chunks,
@@ -3368,6 +3425,22 @@ _NEARDUP_PAIR_CTE = (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # streaming queries oracle against their batch twins: a drained
+        # availableNow stream must equal the one-shot batch answer
+        "q_stream_hourly": (
+            "SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start, "
+            "event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS value_sum "
+            "FROM events GROUP BY 1, event_type"
+        ),
+        "q_stream_sliding": (
+            "SELECT CAST(floor(epoch(ts) / 900) * 900 - 900 * g AS BIGINT) "
+            "AS window_start, event_type, COUNT(*) AS n "
+            "FROM events CROSS JOIN generate_series(0, 3) t(g) "
+            "GROUP BY 1, 2"
+        ),
+        "q_stream_dedup": (
+            "SELECT DISTINCT user_id, event_type FROM events"
+        ),
         "q_select": "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
         "q_filter": (
             "SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem "

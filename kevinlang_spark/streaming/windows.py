@@ -106,6 +106,18 @@ def run_stream_to_memory(
     ``spark.read`` vs ``spark.readStream``."""
     if schema is None:
         schema = spark.read.parquet(parquet_path).schema
+    import os
+    import tempfile
+
+    if os.path.isfile(parquet_path):
+        # the file stream source requires a DIRECTORY; expose a single
+        # parquet file through a temp dir containing a symlink to it
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(
+            os.path.abspath(parquet_path),
+            os.path.join(d, os.path.basename(parquet_path)),
+        )
+        parquet_path = d
     src = spark.readStream.schema(schema).parquet(parquet_path)
     out = transform(src)
     q = (

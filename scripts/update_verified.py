@@ -1,0 +1,71 @@
+"""Regenerate VERIFIED.md from the current queries() registry and the
+accumulated CORRECTNESS_r*.json history (first all-green round wins).
+
+Run after adding queries or after the driver drops a new CORRECTNESS
+file.  tests/test_verified_ledger.py enforces that the ledger stays in
+sync and that pending queries fill the driver's 50-query window.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+import __spark_entry__ as entry
+
+
+def main() -> None:
+    green: dict[str, str] = {}
+    rounds = sorted(
+        (
+            re.match(r"CORRECTNESS_(r\d+)\.json", f).group(1)
+            for f in os.listdir(ROOT)
+            if re.match(r"CORRECTNESS_r\d+\.json", f)
+        ),
+        key=lambda r: int(r[1:]),
+    )
+    for r in rounds:
+        with open(os.path.join(ROOT, f"CORRECTNESS_{r}.json")) as fh:
+            data = json.load(fh)
+        for q, v in data.items():
+            if (
+                v.get("rows_match")
+                and v.get("schema_match")
+                and v.get("hash_match")
+                and q not in green
+            ):
+                green[q] = r
+
+    names = list(entry.queries().keys())
+    pend = sum(1 for n in names if n not in green)
+    lines = [
+        "# VERIFIED — cumulative driver-verified ledger",
+        "",
+        "One row per `queries()` entry. `round` = first round whose driver",
+        "CORRECTNESS_r{N}.json recorded all-green (rows+schema+hash) for the query.",
+        "`pending` = not yet inside the driver's 50-query window; the local oracle",
+        "gate (`scripts/check_oracle.py`) covers these each round. The `queries()`",
+        "dict is re-ordered every round so pending queries occupy the first 50",
+        "slots until none remain (VERDICT r4 item 1/2).",
+        "",
+        "| query | first driver-green |",
+        "|---|---|",
+    ]
+    lines += [f"| {n} | {green.get(n, 'pending')} |" for n in names]
+    lines += [
+        "",
+        f"Totals: {len(names) - pend} driver-verified, {pend} pending "
+        f"({min(50, pend)} queued in this round's window).",
+    ]
+    with open(os.path.join(ROOT, "VERIFIED.md"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(f"VERIFIED.md: {len(names) - pend} verified, {pend} pending")
+
+
+if __name__ == "__main__":
+    main()
