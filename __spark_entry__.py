@@ -1184,6 +1184,65 @@ def q_ann_lsh(spark, sf_dir):
     ).select("vec_id", F.round("sim", 4).alias("sim"))
 
 
+def _lsh_index_path(spark, sf_dir):
+    """Build (once per sf_dir per machine) and return the persisted
+    bucket-partitioned hyperplane-LSH index for the embeddings table —
+    the executable 100 TB form where a probe prunes whole partition
+    directories at the file index (similarity.py build_lsh_index)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"kevinlang_lsh_idx_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from kevinlang_spark.operators.similarity import build_lsh_index
+
+        build_lsh_index(
+            _t(spark, sf_dir, "embeddings"), path, n_planes=8, seed=7
+        )
+    return path
+
+
+def q_ann_lsh_indexed(spark, sf_dir):
+    """Top-10 through the PERSISTED LSH index: write-once bucket-
+    partitioned table, then probe at exhaustive radius (recall 1) so the
+    output equals the exact top-k and the oracle can check it.  The
+    whole index lifecycle executes — partitioned write, partition
+    discovery, bucket-filtered read; the PRUNED configuration is
+    q_ann_probe_pruned and the file-pruning assertion lives in
+    tests/test_sinks.py."""
+    from kevinlang_spark.operators.similarity import ann_topk_lsh_indexed
+
+    return ann_topk_lsh_indexed(
+        spark,
+        _lsh_index_path(spark, sf_dir),
+        _query_vec(spark, sf_dir, vec_id=1),
+        k=10,
+        n_planes=8,
+        probe_hamming=8,
+    ).select("vec_id", F.round("sim", 4).alias("sim"))
+
+
+def q_ann_probe_pruned(spark, sf_dir):
+    """The production ANN probe shape: 1-bit multiprobe against the
+    persisted index — reads ~9/256 of the partition directories (file-
+    level pruning, asserted by tests/test_sinks.py via inputFiles
+    counts).  Approximate by design, so no value oracle: the driver
+    records the rows-only check; parity with the in-memory ANN at the
+    same radius is pinned by pytest."""
+    from kevinlang_spark.operators.similarity import ann_topk_lsh_indexed
+
+    return ann_topk_lsh_indexed(
+        spark,
+        _lsh_index_path(spark, sf_dir),
+        _query_vec(spark, sf_dir, vec_id=1),
+        k=10,
+        n_planes=8,
+        probe_hamming=1,
+    ).select("vec_id", F.round("sim", 4).alias("sim"))
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join: each purchase event attached to the user's latest click
     at-or-before it (union+window, one key shuffle — merge-asof semantics,
@@ -3226,6 +3285,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_hourly": q_stream_hourly,
         "q_stream_sliding": q_stream_sliding,
         "q_stream_dedup": q_stream_dedup,
+        "q_ann_lsh_indexed": q_ann_lsh_indexed,
+        "q_ann_probe_pruned": q_ann_probe_pruned,
         "q_knn_join": q_knn_join,
         "q_ann_ivf": q_ann_ivf,
         "q_curation_chunks": q_curation_chunks,
@@ -3440,6 +3501,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_stream_dedup": (
             "SELECT DISTINCT user_id, event_type FROM events"
+        ),
+        # exhaustive-radius probe through the persisted index == exact
+        # top-k (same oracle as the in-memory q_ann_lsh); the pruned
+        # probe q_ann_probe_pruned is approximate by design -> rows-only
+        "q_ann_lsh_indexed": (
+            "SELECT e.vec_id, "
+            "ROUND(list_cosine_similarity(e.embedding, q.embedding), 4) AS sim "
+            "FROM embeddings e, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 1) q "
+            "ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, "
+            "e.vec_id LIMIT 10"
         ),
         "q_select": "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
         "q_filter": (

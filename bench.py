@@ -90,6 +90,31 @@ HEADLINE = [
     "q_intrinsic_dim",
     "q_rank_overlap",
     "q_frequent_sequences",
+    # round-5 additions: streaming execution, persisted-index ANN probes,
+    # and the r4 tail families (containment/overlap/graph/stats)
+    "q_stream_hourly",
+    "q_stream_dedup",
+    "q_ann_lsh_indexed",
+    "q_ann_probe_pruned",
+    "q_containment",
+    "q_source_overlap",
+    "q_dedup_longest",
+    "q_semantic_dedup",
+    "q_heavy_hitters",
+    "q_approx_distinct",
+    "q_pagerank",
+    "q_triangles",
+    "q_assoc_rules",
+    "q_fuzzy_join",
+    "q_line_dedup",
+    "q_boilerplate",
+    "q_redact_pii",
+    "q_char_entropy",
+    "q_seasonal_anomalies",
+    "q_cusum",
+    "q_snapshot_diff",
+    "q_target_encode",
+    "q_retention",
 ]
 
 

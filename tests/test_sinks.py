@@ -95,6 +95,23 @@ def test_lsh_index_roundtrip_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan
     pf = plan.split("PartitionFilters")[1][:160]
     assert "bucket" in pf, plan
+    # and the pruned scan must actually touch fewer FILES than the index
+    # holds — runtime input_file_name() counts, not just plan text
+    # (DataFrame.inputFiles() ignores partition filters, so count the
+    # files each scan really reads during execution)
+    def files_read(frame):
+        return frame.select(
+            F.input_file_name().alias("f")
+        ).distinct().count()
+
+    total_files = files_read(spark.read.parquet(idx))
+    probed_files = files_read(spark.read.parquet(idx).where(F.col("bucket").isin([0, 1])))
+    assert 0 < probed_files < total_files, (probed_files, total_files)
+    # the 1-bit multiprobe reads |probe| = 5 of the 16 possible buckets
+    pruned_cand = spark.read.parquet(idx).where(
+        F.col("bucket").isin([0, 1, 2, 4, 8])
+    )
+    assert 0 < files_read(pruned_cand) < total_files
 
 
 def test_ivf_index_roundtrip_prunes(spark, sf_dir, tmp_path):
