@@ -65,9 +65,34 @@ def fake_decode(payload: bytes, media_type: str) -> dict:
 
 
 def real_decode(payload: bytes, media_type: str) -> dict:
+    """Real media decode, gated on importable codecs.
+
+    Images decode through PIL when it is installed (width/height from the
+    actual pixel grid, n_frames from the container for animated formats).
+    Audio/video need ffmpeg-class codecs that have no pure-Python
+    fallback — those still raise until such a library is present.  In
+    codec-less environments (this container) every call raises, and
+    ``decode=fake_decode`` remains the tested default.
+    """
+    if media_type == "image":
+        try:
+            import io
+
+            from PIL import Image  # noqa: PLC0415
+        except ImportError as exc:
+            raise NotImplementedError(
+                "image decode needs PIL (pip install pillow); "
+                "use decode=fake_decode in codec-less environments"
+            ) from exc
+        with Image.open(io.BytesIO(payload)) as img:
+            return {
+                "width": img.width,
+                "height": img.height,
+                "n_frames": getattr(img, "n_frames", 1),
+            }
     raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "use decode=fake_decode or install PIL/ffmpeg and plug in here"
+        f"{media_type} decode needs ffmpeg-class codecs which are not "
+        "available; use decode=fake_decode or plug a decoder in here"
     )
 
 

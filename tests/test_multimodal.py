@@ -56,3 +56,37 @@ def test_sample_frames_only_video(media):
     rows = frames.collect()
     assert len(rows) > 0
     assert all(r["frame_idx"] % 50 == 0 for r in rows)
+
+
+def test_real_decode_with_pil_if_available(spark):
+    """The real_decode plug point, exercised end-to-end when PIL exists
+    (skipped in codec-less environments): a real PNG payload through the
+    same mapInPandas plumbing yields the actual pixel dimensions."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (17, 23)).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(buf.getvalue()))],
+        "doc_id bigint, media_type string, payload binary",
+    )
+    row = multimodal.extract_media_features(df, decode=multimodal.real_decode).first()
+    assert (row["width"], row["height"], row["n_frames"]) == (17, 23, 1)
+
+
+def test_real_decode_image_without_pil_raises():
+    """Without PIL the image path must raise NotImplementedError directly
+    (plain function, no Spark needed)."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL installed; covered by the end-to-end test")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="PIL"):
+        multimodal.real_decode(b"\x89PNG", "image")
+    with pytest.raises(NotImplementedError, match="codecs"):
+        multimodal.real_decode(b"", "video")
