@@ -1184,6 +1184,41 @@ def q_ann_lsh(spark, sf_dir):
     ).select("vec_id", F.round("sim", 4).alias("sim"))
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Rolling-hash document fingerprinting via winnowing (Schleimer et
+    al. SIGMOD 2003, text.py winnow_fingerprints): min-hash of each
+    sliding window over char-5-gram hashes, distinct per doc.  Output is
+    the per-doc summary (fingerprint count, min fingerprint, and an
+    exact mod-sum checksum over the set) so the oracle compares the
+    full fingerprint SET without exploding millions of rows."""
+    from kevinlang_spark.operators.text import winnow_fingerprints
+
+    wf = winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), k=5, window=4
+    )
+    return wf.select(
+        F.col("id").alias("doc_id"),
+        "n_grams",
+        F.size("fps").cast("bigint").alias("n_fps"),
+        F.array_min("fps").alias("fp_min"),
+        F.aggregate(
+            "fps", F.lit(0).cast("bigint"), lambda a, x: a + x % 1000003
+        ).alias("fp_checksum"),
+    )
+
+
+def q_token_pmi(spark, sf_dir):
+    """Token-pair collocation mining: PMI over the top-50-document-
+    frequency vocabulary, pairs generated in-row from vocab-bounded
+    per-doc token sets (no self-join), one bounded pair-key shuffle
+    (text.py token_pmi)."""
+    from kevinlang_spark.operators.text import token_pmi
+
+    return token_pmi(
+        _t(spark, sf_dir, "documents"), vocab_size=50, min_pair_docs=5
+    )
+
+
 def _lsh_index_path(spark, sf_dir):
     """Build (once per sf_dir per machine) and return the persisted
     bucket-partitioned hyperplane-LSH index for the embeddings table —
@@ -3287,6 +3322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_dedup": q_stream_dedup,
         "q_ann_lsh_indexed": q_ann_lsh_indexed,
         "q_ann_probe_pruned": q_ann_probe_pruned,
+        "q_winnow_fingerprints": q_winnow_fingerprints,
+        "q_token_pmi": q_token_pmi,
         "q_knn_join": q_knn_join,
         "q_ann_ivf": q_ann_ivf,
         "q_curation_chunks": q_curation_chunks,
@@ -3505,6 +3542,45 @@ def oracle_sql() -> dict[str, str]:
         # exhaustive-radius probe through the persisted index == exact
         # top-k (same oracle as the in-memory q_ann_lsh); the pruned
         # probe q_ann_probe_pruned is approximate by design -> rows-only
+        "q_winnow_fingerprints": (
+            # same winnowing pipeline in list algebra: char-5-gram
+            # md5-prefix 52-bit hashes, min per 4-wide sliding window,
+            # distinct; checksum = exact sum of fp % 1000003
+            "WITH n AS (SELECT doc_id, "
+            "regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS nt "
+            "FROM documents), "
+            "m AS (SELECT doc_id, nt, len(nt) - 4 AS ng FROM n WHERE len(nt) >= 5), "
+            "h AS (SELECT doc_id, ng, list_transform(range(1, ng + 1), "
+            "i -> CAST(CONCAT('0x', substr(md5(substr(nt, CAST(i AS INT), 5)), 1, 13)) "
+            "AS BIGINT)) AS hs FROM m), "
+            "w AS (SELECT doc_id, ng, list_distinct(list_transform("
+            "range(1, greatest(ng - 3, 1) + 1), "
+            "j -> list_min(hs[j:j+3]))) AS fps FROM h) "
+            "SELECT doc_id, CAST(ng AS BIGINT) AS n_grams, "
+            "CAST(len(fps) AS BIGINT) AS n_fps, "
+            "list_min(fps) AS fp_min, "
+            "CAST(list_sum(list_transform(fps, x -> x % 1000003)) AS BIGINT) "
+            "AS fp_checksum FROM w"
+        ),
+        "q_token_pmi": (
+            # same pipeline relationally: distinct tokens per doc, top-50
+            # vocab by df (ties tok asc), pair df via self-join, PMI
+            "WITH toks AS (SELECT doc_id, unnest(list_distinct(list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS tok "
+            "FROM documents), "
+            "vocab AS (SELECT tok, COUNT(*) AS df_cnt FROM toks GROUP BY tok "
+            "ORDER BY df_cnt DESC, tok ASC LIMIT 50), "
+            "vt AS (SELECT t.doc_id, t.tok FROM toks t JOIN vocab USING (tok)), "
+            "p AS (SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS n_ab "
+            "FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.tok < b.tok "
+            "GROUP BY 1, 2 HAVING COUNT(*) >= 5), "
+            "n AS (SELECT COUNT(*) AS nd FROM documents) "
+            "SELECT tok_a, tok_b, n_ab, "
+            "ROUND(LN(CAST(n_ab AS DOUBLE) * nd / "
+            "(CAST(va.df_cnt AS DOUBLE) * vb.df_cnt)), 4) AS pmi "
+            "FROM p JOIN vocab va ON p.tok_a = va.tok "
+            "JOIN vocab vb ON p.tok_b = vb.tok CROSS JOIN n"
+        ),
         "q_ann_lsh_indexed": (
             "SELECT e.vec_id, "
             "ROUND(list_cosine_similarity(e.embedding, q.embedding), 4) AS sim "

@@ -131,6 +131,142 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalize_text(text))
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003): hash every char ``k``-gram of the normalized text, then keep
+    the minimum hash of each sliding window of ``window`` consecutive
+    gram hashes, distinct — the classic rolling-hash fingerprint set
+    behind MOSS-style local similarity (any shared substring of length
+    ≥ k + window − 1 is guaranteed to share a fingerprint).
+
+    Everything is one scan-stage expression chain per row — the k-gram
+    explosion, window minima, and distinct all happen INSIDE array
+    columns (no row explosion, no shuffle), so the operator scales
+    linearly with partitions like the other text ops.  Hashes are the
+    md5-prefix 52-bit integers used engine-wide (dp_counts, dedup), so
+    DuckDB reproduces them bit-for-bit.
+
+    Documents whose normalized text is shorter than ``k`` have no
+    k-grams and are dropped (no fingerprintable content).
+
+    Returns (id, n_grams, fps array<bigint>) — callers explode ``fps``
+    for fingerprint-keyed joins (candidate pairs, plagiarism buckets) or
+    aggregate them for per-doc summaries."""
+    if k < 1 or window < 1:
+        raise ValueError(f"k and window must be >= 1 (got k={k}, window={window})")
+    # materialize intermediates as columns so the regexp normalization and
+    # the hash array are computed ONCE per row, not once per gram/window
+    # (CollapseProject keeps non-cheap expressions un-inlined)
+    norm = df.select(
+        F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("__norm")
+    ).select("id", "__norm", (F.length("__norm") - k + 1).alias("__m"))
+
+    def gram_hash(i):
+        # md5-prefix 52-bit hash: exactly representable, DuckDB-replicable
+        return F.conv(
+            F.substring(F.md5(F.col("__norm").substr(i, F.lit(k))), 1, 13), 16, 10
+        ).cast("bigint")
+
+    hashed = norm.where(F.col("__m") >= 1).select(
+        "id",
+        "__m",
+        F.transform(F.sequence(F.lit(1), F.col("__m")), gram_hash).alias("__h"),
+    )
+    n_windows = F.greatest(F.col("__m") - window + 1, F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda j: F.array_min(F.slice(F.col("__h"), j, window)),
+    )
+    return hashed.select(
+        "id",
+        F.col("__m").cast("bigint").alias("n_grams"),
+        F.array_sort(F.array_distinct(mins)).alias("fps"),
+    )
+
+
+def token_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 50,
+    min_pair_docs: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information of token pairs co-occurring in the
+    same document — the collocation/association statistic behind phrase
+    mining and topic coherence: PMI(a,b) = ln(P(a,b) / (P(a)·P(b))) with
+    probabilities as document frequencies over the corpus.
+
+    Scale shape: the vocabulary is capped at ``vocab_size`` by document
+    frequency (ties on token asc, deterministic) and BROADCAST, so the
+    per-doc token sets are vocab-bounded arrays; pairs are generated
+    IN-ROW from the sorted per-doc array (transform × slice × flatten —
+    no self-join, no row explosion before the filter), then one
+    (a,b)-keyed count shuffle of ≤ |vocab|² keys.  The corpus size N
+    rides along as a broadcast 1-row aggregate — no driver collect.
+
+    Returns (tok_a, tok_b, n_ab, pmi) for pairs seen in ≥
+    ``min_pair_docs`` documents, tok_a < tok_b."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("df_cnt"))
+        .orderBy(F.col("df_cnt").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_set("tok")).alias("ts"))
+    )
+    # in-row ordered pairs: for element i, pair with every later element
+    pairs = per_doc.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ts"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ts"), i + 2, F.size(F.col("ts"))),
+                        lambda y: F.struct(x.alias("tok_a"), y.alias("tok_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.tok_a", "p.tok_b")
+    n_docs = df.select(F.count("*").alias("__n"))
+    counts = pairs.groupBy("tok_a", "tok_b").agg(F.count("*").alias("n_ab"))
+    ca = vocab.select(F.col("tok").alias("tok_a"), F.col("df_cnt").alias("n_a"))
+    cb = vocab.select(F.col("tok").alias("tok_b"), F.col("df_cnt").alias("n_b"))
+    return (
+        counts.where(F.col("n_ab") >= min_pair_docs)
+        .join(F.broadcast(ca), "tok_a")
+        .join(F.broadcast(cb), "tok_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.col("__n")
+                    / (F.col("n_a").cast("double") * F.col("n_b"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+
+
 def split_lines(text: Column) -> Column:
     """Non-empty trimmed lines of a document as an array column."""
     return F.filter(

@@ -35,6 +35,7 @@ BNLJ_OK = {
     "q_psi_drift",  # broadcast 1-row baseline totals
     "q_rfm",  # broadcast 1-row quintile boundary aggregate
     "q_target_encode",  # broadcast 1-row global mean
+    "q_token_pmi",  # broadcast 1-row corpus-size aggregate (PMI denominator)
     "q_tpch_q11",  # broadcast 1-row value-threshold aggregate
     "q_tpch_q22",  # broadcast 1-row average-balance aggregate
 }
