@@ -1243,12 +1243,17 @@ class KevinFrame:
         epsilon: float = 1.0,
         seed: str = "dp",
         clamp: bool = True,
+        *,
+        release_id: str,
     ) -> "KevinFrame":
-        """ε-DP noisy count release — see ``operators.quality.dp_counts``."""
+        """ε-DP noisy count release — see ``operators.quality.dp_counts``
+        (release_id is mandatory: same-seed reuse across releases enables
+        a differencing attack)."""
         from kevinlang_spark.operators.quality import dp_counts as _dp
 
         return KevinFrame.from_df(
-            _dp(self._df, keys, epsilon, seed, clamp), ordered=False
+            _dp(self._df, keys, epsilon, seed, clamp, release_id=release_id),
+            ordered=False,
         )
 
     def cms_frequencies(

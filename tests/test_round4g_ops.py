@@ -755,7 +755,7 @@ def test_frame_methods_round4g_late(spark):
         "event_type string, value double",
     )
     kf = KevinFrame.from_df(ev)
-    assert kf.dp_counts(["event_type"]).height() == 1
+    assert kf.dp_counts(["event_type"], release_id="r1").height() == 1
     assert kf.cms_frequencies("event_type", ["e", "x"]).height() == 2
     assert kf.grouped_heavy_hitters("event_type", "user_id", k=2).height() == 2
     assert kf.km_survival().height() >= 1
