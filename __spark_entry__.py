@@ -3304,6 +3304,58 @@ def q_rank_overlap(spark, sf_dir):
     return rank_biased_overlap(a, b, "vec_id", k=10)
 
 
+def q_kcore(spark, sf_dir):
+    """Bounded-round k-core peeling on the folded order→part bipartite
+    graph (graph.py kcore, k=16): 8 peel rounds, each one degree shuffle + two
+    semi joins, checkpointed like pagerank.  Fixed rounds keep the
+    result engine-reproducible — the oracle unrolls the identical
+    rounds relationally."""
+    from kevinlang_spark.operators.graph import kcore
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            (F.col("l_orderkey") % 3000).alias("a"),
+            (F.col("l_partkey") % 3000 + 3000).alias("b"),
+        )
+        .distinct()
+    )
+    return kcore(edges, k=16, rounds=8)
+
+
+def q_rank_fusion(spark, sf_dir):
+    """Reciprocal Rank Fusion of two retrieval rankings for the same
+    query (cosine top-20 vs raw-inner-product top-20): the zero-tuning
+    hybrid-retrieval ensemble (Cormack 2009).  Rankings come from
+    corpus-scale scans; the fusion is a ≤2k-row metadata merge.  Ranks
+    use the broadcast self-join count (no unpartitioned window)."""
+    from kevinlang_spark.functions.vectors import cosine_similarity, dot
+    from kevinlang_spark.operators.similarity import _query_lit
+    from kevinlang_spark.operators.stats import reciprocal_rank_fusion
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_lit(_query_vec(spark, sf_dir))
+
+    def topk(score, k=20):
+        t = emb.select("vec_id", score.alias("__s")).orderBy(
+            F.col("__s").desc(), F.col("vec_id").asc()
+        ).limit(k)
+        x, y = t.alias("x"), t.alias("y")
+        ahead = (F.col("y.__s") > F.col("x.__s")) | (
+            (F.col("y.__s") == F.col("x.__s"))
+            & (F.col("y.vec_id") < F.col("x.vec_id"))
+        )
+        return (
+            x.join(F.broadcast(y), ahead, "left")
+            .groupBy(F.col("x.vec_id").alias("vec_id"))
+            .agg((F.count("y.vec_id") + 1).cast("int").alias("rank"))
+        )
+
+    a = topk(cosine_similarity(F.col("embedding"), q))
+    b = topk(dot(F.col("embedding"), q))
+    return reciprocal_rank_fusion([a, b], "vec_id")
+
+
 def q_frequent_sequences(spark, sf_dir):
     """Distributed PrefixSpan: ordered behavior patterns (length ≤ 2)
     appearing in ≥ half of user event sequences.  At length ≤ 2 support
@@ -3324,6 +3376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_probe_pruned": q_ann_probe_pruned,
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_token_pmi": q_token_pmi,
+        "q_rank_fusion": q_rank_fusion,
+        "q_kcore": q_kcore,
         "q_knn_join": q_knn_join,
         "q_ann_ivf": q_ann_ivf,
         "q_curation_chunks": q_curation_chunks,
@@ -3521,8 +3575,37 @@ _NEARDUP_PAIR_CTE = (
 )
 
 
+def _kcore_oracle_sql(k: int = 22, rounds: int = 8) -> str:
+    """Unrolled peeling rounds mirroring graph.py kcore exactly: same
+    fixed round count, same degree->=k keep rule applied to both edge
+    endpoints each round.  Every round CTE is MATERIALIZED: s{i} is
+    referenced twice (by k{i+1} and s{i+1}), so DuckDB's default CTE
+    inlining re-evaluates the whole chain ~3^rounds times — the same
+    recompute blowup the Spark side avoids with localCheckpoint."""
+    sql = (
+        "WITH e0 AS (SELECT DISTINCT l_orderkey % 3000 AS u, "
+        "l_partkey % 3000 + 3000 AS v FROM lineitem), "
+        "s0 AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0)"
+    )
+    prev = "s0"
+    for i in range(1, rounds + 1):
+        sql += (
+            f", k{i} AS MATERIALIZED (SELECT u FROM {prev} GROUP BY u "
+            f"HAVING COUNT(*) >= {k})"
+            f", s{i} AS MATERIALIZED (SELECT s.u, s.v FROM {prev} s "
+            f"JOIN k{i} a ON s.u = a.u JOIN k{i} b ON s.v = b.u)"
+        )
+        prev = f"s{i}"
+    return (
+        sql
+        + f" SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree "
+        f"FROM {prev} GROUP BY u"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "q_kcore": _kcore_oracle_sql(k=16, rounds=8),
         # streaming queries oracle against their batch twins: a drained
         # availableNow stream must equal the one-shot batch answer
         "q_stream_hourly": (
@@ -3580,6 +3663,22 @@ def oracle_sql() -> dict[str, str]:
             "(CAST(va.df_cnt AS DOUBLE) * vb.df_cnt)), 4) AS pmi "
             "FROM p JOIN vocab va ON p.tok_a = va.tok "
             "JOIN vocab vb ON p.tok_b = vb.tok CROSS JOIN n"
+        ),
+        "q_rank_fusion": (
+            # same two rankings, RRF with c=60; vec_id ties broken asc
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings), "
+            "q AS (SELECT v FROM e WHERE vec_id = 0), "
+            "a AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY "
+            "list_cosine_similarity(e.v, (SELECT v FROM q)) DESC, vec_id ASC) "
+            "AS r FROM e QUALIFY r <= 20), "
+            "b AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY "
+            "list_inner_product(e.v, (SELECT v FROM q)) DESC, vec_id ASC) "
+            "AS r FROM e QUALIFY r <= 20), "
+            "u AS (SELECT vec_id, 1.0 / (60 + r) AS w FROM a "
+            "UNION ALL SELECT vec_id, 1.0 / (60 + r) FROM b) "
+            "SELECT vec_id, CAST(COUNT(*) AS INTEGER) AS n_lists, "
+            "ROUND(SUM(w), 6) AS rrf FROM u GROUP BY vec_id"
         ),
         "q_ann_lsh_indexed": (
             "SELECT e.vec_id, "

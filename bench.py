@@ -115,6 +115,10 @@ HEADLINE = [
     "q_snapshot_diff",
     "q_target_encode",
     "q_retention",
+    "q_winnow_fingerprints",
+    "q_token_pmi",
+    "q_rank_fusion",
+    "q_kcore",
 ]
 
 

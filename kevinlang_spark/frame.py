@@ -1344,6 +1344,64 @@ class KevinFrame:
             ordered=False,
         )
 
+    def winnow_fingerprints(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        k: int = 5,
+        window: int = 4,
+    ) -> "KevinFrame":
+        """Winnowing rolling-hash fingerprints — see
+        ``operators.text.winnow_fingerprints``."""
+        from kevinlang_spark.operators.text import winnow_fingerprints as _wf
+
+        return KevinFrame.from_df(
+            _wf(self._df, text_col, id_col, k, window), ordered=False
+        )
+
+    def token_pmi(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        vocab_size: int = 50,
+        min_pair_docs: int = 5,
+    ) -> "KevinFrame":
+        """Token-pair PMI collocations — see
+        ``operators.text.token_pmi``."""
+        from kevinlang_spark.operators.text import token_pmi as _pmi
+
+        return KevinFrame.from_df(
+            _pmi(self._df, text_col, id_col, vocab_size, min_pair_docs),
+            ordered=False,
+        )
+
+    def kcore(
+        self, k: int = 3, rounds: int = 8, src: str = "a", dst: str = "b"
+    ) -> "KevinFrame":
+        """k-core peeling over this frame's edge list — see
+        ``operators.graph.kcore``."""
+        from kevinlang_spark.operators.graph import kcore as _kcore
+
+        return KevinFrame.from_df(
+            _kcore(self._df, k, rounds, src, dst), ordered=False
+        )
+
+    def rank_fusion(
+        self,
+        others: list["KevinFrame"],
+        id_col: str,
+        rank_col: str = "rank",
+        c: int = 60,
+    ) -> "KevinFrame":
+        """Reciprocal Rank Fusion of this ranking with ``others`` — see
+        ``operators.stats.reciprocal_rank_fusion``."""
+        from kevinlang_spark.operators.stats import reciprocal_rank_fusion as _rrf
+
+        frames = [self._df] + [o._df for o in others]
+        return KevinFrame.from_df(
+            _rrf(frames, id_col, rank_col, c), ordered=False
+        )
+
     def merge(
         self,
         other: "KevinFrame",

@@ -87,3 +87,48 @@ def pagerank(
             # per-iteration table write.
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 8,
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """Bounded-round k-core peeling (Matula & Beck 1983 / Batagelj &
+    Zaveršnik): repeatedly drop nodes with degree < ``k`` until stable
+    or ``rounds`` exhausted; the surviving subgraph where every node
+    keeps ≥ k neighbors is the k-core — the standard dense-region
+    extractor (community seeds, spam rings, robust-graph backbones).
+
+    ``edges`` is an undirected canonical edge list (src < dst, distinct).
+    The round count is FIXED, not run-to-convergence: each peel is one
+    degree aggregation + two semi joins, so the total cost is
+    O(rounds) key shuffles regardless of graph size, and a fixed round
+    count makes the result engine-reproducible (the oracle unrolls the
+    same rounds).  Most real graphs converge in far fewer rounds than
+    nodes; callers needing the exact core add rounds.  Each round is
+    checkpointed for the same 3^k-recompute reason as :func:`pagerank`.
+
+    Returns (node, degree) for nodes alive after the final peel, with
+    their degree inside the surviving subgraph."""
+    if k < 1 or rounds < 1:
+        raise ValueError(f"k and rounds must be >= 1 (got k={k}, rounds={rounds})")
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    alive = sym
+    for i in range(rounds):
+        deg = alive.groupBy("u").agg(F.count("*").alias("d"))
+        keep = deg.where(F.col("d") >= k).select("u")
+        alive = alive.join(keep, "u", "left_semi").join(
+            keep.select(F.col("u").alias("v")), "v", "left_semi"
+        )
+        if i + 1 < rounds:
+            alive = alive.localCheckpoint(eager=True)
+    return (
+        alive.groupBy("u")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+        .select(F.col("u").alias("node"), "degree")
+    )

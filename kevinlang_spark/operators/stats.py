@@ -497,3 +497,38 @@ def rank_biased_overlap(
         F.max(F.lit(k)).alias("k"),
         F.round(F.sum(w * F.col("__x") / F.col("__d")), 6).alias("rbo"),
     )
+
+
+def reciprocal_rank_fusion(
+    rankings: list[DataFrame],
+    id_col: str,
+    rank_col: str = "rank",
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. SIGIR 2009): fuse N
+    top-k rankings into one by RRF(i) = Σ_lists 1/(c + rank_i), the
+    standard zero-tuning ensemble for hybrid retrieval (BM25 + dense,
+    exact + ANN, multiple embedding models).  c=60 is the paper's
+    constant; items missing from a list contribute nothing for it.
+
+    Relational form: a full outer merge of ≤k-row rank frames — strictly
+    metadata-scale regardless of the corpus scans that produced the
+    rankings.  Returns (id, n_lists, rrf) with rrf rounded to 6dp,
+    engine-reproducible because each list's contribution is a single
+    IEEE division and the sum has ≤N terms in a deterministic order."""
+    if not rankings:
+        raise ValueError("reciprocal_rank_fusion: need at least one ranking")
+    parts = [
+        r.select(
+            F.col(id_col).alias("__id"),
+            (1.0 / (F.lit(c) + F.col(rank_col))).alias("__w"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy("__id").agg(
+        F.count("*").cast("int").alias("n_lists"),
+        F.round(F.sum("__w"), 6).alias("rrf"),
+    ).select(F.col("__id").alias(id_col), "n_lists", "rrf")

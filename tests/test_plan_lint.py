@@ -30,6 +30,7 @@ BNLJ_OK = {
     "q_join_estimate",  # 1-row × 1-row sketch crossJoin (scalar algebra)
     "q_intrinsic_dim",  # broadcast bounded probe subset (TwoNN)
     "q_rank_overlap",  # 10-row broadcast self-join rank (top-k lists)
+    "q_rank_fusion",  # 20-row broadcast self-join rank (RRF input lists)
     "q_knn_join",  # broadcast k-probe set
     "q_pagerank",  # broadcast 1-row dangling-mass aggregate per iteration
     "q_psi_drift",  # broadcast 1-row baseline totals
