@@ -3323,6 +3323,50 @@ def q_kcore(spark, sf_dir):
     return kcore(edges, k=16, rounds=8)
 
 
+def q_lpa_communities(spark, sf_dir):
+    """Deterministic semi-synchronous Label Propagation communities
+    (5 rounds, min-label tie-break) on the folded order→part bipartite
+    graph (graph.py label_propagation).  Output is the community-size
+    histogram: (label, n_members) for surviving labels — the shape a
+    curation pipeline reads ("how many near-communities, how big")."""
+    from kevinlang_spark.operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            (F.col("l_orderkey") % 12000).alias("a"),
+            (F.col("l_partkey") % 12000 + 12000).alias("b"),
+        )
+        .distinct()
+    )
+    labels = label_propagation(edges, rounds=5)
+    return labels.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+
+
+def q_hits(spark, sf_dir):
+    """HITS hubs/authorities (8 L1-normalized iterations) on the
+    directed supplier→part purchasing graph: suppliers are hubs, parts
+    authorities.  Top 15 authorities with hub/auth scores; rank by
+    rounded score with id tie-break so the cut is engine-reproducible."""
+    from kevinlang_spark.operators.graph import hits
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_suppkey") % 400).alias("src"),
+        (F.col("l_partkey") % 400 + 400).alias("dst"),
+    )
+    h = hits(edges, iterations=8)
+    scored = h.select(
+        "node", F.round("hub", 8).alias("hub"), F.round("auth", 8).alias("auth")
+    )
+    return (
+        scored.orderBy(F.col("auth").desc(), F.col("node").asc())
+        .limit(15)
+    )
+
+
 def q_rank_fusion(spark, sf_dir):
     """Reciprocal Rank Fusion of two retrieval rankings for the same
     query (cosine top-20 vs raw-inner-product top-20): the zero-tuning
@@ -3378,6 +3422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_pmi": q_token_pmi,
         "q_rank_fusion": q_rank_fusion,
         "q_kcore": q_kcore,
+        "q_lpa_communities": q_lpa_communities,
+        "q_hits": q_hits,
         "q_knn_join": q_knn_join,
         "q_ann_ivf": q_ann_ivf,
         "q_curation_chunks": q_curation_chunks,
@@ -3603,9 +3649,79 @@ def _kcore_oracle_sql(k: int = 22, rounds: int = 8) -> str:
     )
 
 
+def _lpa_oracle_sql(rounds: int = 5) -> str:
+    """Unrolled semi-synchronous LPA mirroring graph.py
+    label_propagation: same simultaneous update from the previous
+    round, same (count DESC, label ASC) arg-max.  MATERIALIZED CTEs
+    for the same anti-inlining reason as the kcore oracle."""
+    sql = (
+        "WITH e0 AS (SELECT DISTINCT l_orderkey % 12000 AS u, "
+        "l_partkey % 12000 + 12000 AS v FROM lineitem), "
+        "sym AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL "
+        "SELECT v, u FROM e0), "
+        "nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM sym), "
+        "l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)"
+    )
+    for i in range(1, rounds + 1):
+        sql += (
+            f", c{i} AS MATERIALIZED (SELECT s.u AS n, p.label AS l, "
+            f"COUNT(*) AS c FROM sym s JOIN l{i - 1} p ON s.v = p.node "
+            f"GROUP BY s.u, p.label)"
+            f", b{i} AS MATERIALIZED (SELECT n, l FROM c{i} QUALIFY "
+            f"ROW_NUMBER() OVER (PARTITION BY n ORDER BY c DESC, l ASC) = 1)"
+            f", l{i} AS MATERIALIZED (SELECT nd.node, "
+            f"COALESCE(b.l, nd.node) AS label FROM nodes nd "
+            f"LEFT JOIN b{i} b ON nd.node = b.n)"
+        )
+    return sql + (
+        f" SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members "
+        f"FROM l{rounds} GROUP BY label"
+    )
+
+
+def _hits_oracle_sql(iters: int = 8) -> str:
+    """Unrolled L1-normalized HITS mirroring graph.py hits: per
+    iteration auth-from-hub sum + normalize, then hub-from-auth sum +
+    normalize, zeros for nodes missing a side."""
+    sql = (
+        "WITH e AS MATERIALIZED (SELECT DISTINCT l_suppkey % 400 AS src, "
+        "l_partkey % 400 + 400 AS dst FROM lineitem), "
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION "
+        "SELECT dst FROM e), "
+        "n1 AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes), "
+        "s0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM n1) AS hub, "
+        "1.0 / (SELECT n FROM n1) AS auth FROM nodes)"
+    )
+    prev = "s0"
+    for i in range(1, iters + 1):
+        sql += (
+            f", ar{i} AS MATERIALIZED (SELECT g.dst AS node, "
+            f"SUM(s.hub) AS a_raw FROM {prev} s JOIN e g ON s.node = g.src "
+            f"GROUP BY g.dst)"
+            f", a{i} AS MATERIALIZED (SELECT nd.node, "
+            f"COALESCE(r.a_raw, 0) / (SELECT SUM(a_raw) FROM ar{i}) AS auth "
+            f"FROM nodes nd LEFT JOIN ar{i} r ON nd.node = r.node)"
+            f", hr{i} AS MATERIALIZED (SELECT g.src AS node, "
+            f"SUM(t.auth) AS h_raw FROM a{i} t JOIN e g ON t.node = g.dst "
+            f"GROUP BY g.src)"
+            f", s{i} AS MATERIALIZED (SELECT nd.node, "
+            f"COALESCE(r.h_raw, 0) / (SELECT SUM(h_raw) FROM hr{i}) AS hub, "
+            f"COALESCE(a.auth, 0) AS auth FROM nodes nd "
+            f"LEFT JOIN hr{i} r ON nd.node = r.node "
+            f"LEFT JOIN a{i} a ON nd.node = a.node)"
+        )
+        prev = f"s{i}"
+    return sql + (
+        f" SELECT node, ROUND(hub, 8) AS hub, ROUND(auth, 8) AS auth "
+        f"FROM {prev} ORDER BY ROUND(auth, 8) DESC, node ASC LIMIT 15"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q_kcore": _kcore_oracle_sql(k=16, rounds=8),
+        "q_lpa_communities": _lpa_oracle_sql(rounds=5),
+        "q_hits": _hits_oracle_sql(iters=8),
         # streaming queries oracle against their batch twins: a drained
         # availableNow stream must equal the one-shot batch answer
         "q_stream_hourly": (

@@ -119,6 +119,8 @@ HEADLINE = [
     "q_token_pmi",
     "q_rank_fusion",
     "q_kcore",
+    "q_lpa_communities",
+    "q_hits",
 ]
 
 

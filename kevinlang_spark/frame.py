@@ -1386,6 +1386,28 @@ class KevinFrame:
             _kcore(self._df, k, rounds, src, dst), ordered=False
         )
 
+    def label_propagation(
+        self, rounds: int = 5, src: str = "a", dst: str = "b"
+    ) -> "KevinFrame":
+        """LPA community labels over this frame's edge list — see
+        ``operators.graph.label_propagation``."""
+        from kevinlang_spark.operators.graph import label_propagation as _lpa
+
+        return KevinFrame.from_df(
+            _lpa(self._df, rounds, src, dst), ordered=False
+        )
+
+    def hits(
+        self, iterations: int = 8, src: str = "src", dst: str = "dst"
+    ) -> "KevinFrame":
+        """HITS hub/authority scores over this frame's directed edge
+        list — see ``operators.graph.hits``."""
+        from kevinlang_spark.operators.graph import hits as _hits
+
+        return KevinFrame.from_df(
+            _hits(self._df, iterations, src, dst), ordered=False
+        )
+
     def rank_fusion(
         self,
         others: list["KevinFrame"],

@@ -132,3 +132,123 @@ def kcore(
         .agg(F.count("*").cast("bigint").alias("degree"))
         .select(F.col("u").alias("node"), "degree")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 5,
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """Semi-synchronous Label Propagation (Raghavan et al. 2007)
+    community detection, made deterministic: every node starts with its
+    own id as label; each round every node adopts the most frequent
+    label among its neighbors, ties broken by the SMALLEST label, all
+    nodes updating simultaneously from the previous round's labels.
+    Fixed ``rounds`` (classic LPA converges in ~5 sweeps on most
+    graphs) keeps cost bounded and the result engine-reproducible.
+
+    Per round: one neighbor-label join (shuffle on node id) + one
+    (node,label) count + one per-node arg-max — the arg-max is a
+    grouped ``max(struct(count, -label))``, never an unpartitioned
+    window.  Isolated nodes keep their own label.  Rounds are
+    checkpointed for the same lineage-blowup reason as
+    :func:`pagerank`.  Returns (node, label).
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1 (got {rounds})")
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node"))
+    for i in range(rounds):
+        nbr = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .groupBy(F.col("u").alias("n"), F.col("label").alias("l"))
+            .agg(F.count("*").alias("c"))
+        )
+        best = nbr.groupBy("n").agg(
+            F.max(F.struct(F.col("c"), (-F.col("l")).alias("nl"))).alias("m")
+        )
+        labels = nodes.join(
+            best, nodes["node"] == best["n"], "left"
+        ).select(
+            "node",
+            F.coalesce(-F.col("m.nl"), F.col("node")).alias("label"),
+        )
+        if i + 1 < rounds:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a DIRECTED edge
+    list: auth(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v} auth(v), each
+    vector L1-normalized per iteration (the sum-normalized variant —
+    scale-free and division-only, so cross-engine reproducible to
+    rounding).
+
+    Per iteration: two edge joins + two grouped sums (shuffles on dst
+    then src) and two lazy 1-row normalizer aggregates broadcast into
+    the update — no driver round-trips inside the loop, checkpointed
+    per round like :func:`pagerank`.  Returns (node, hub, auth);
+    nodes missing a score side report 0.0.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1 (got {iterations})")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    scores = nodes.select(
+        "node", F.lit(1.0 / n_nodes).alias("hub"), F.lit(1.0 / n_nodes).alias("auth")
+    )
+    for i in range(iterations):
+        auth_raw = (
+            scores.alias("s")
+            .join(e.alias("g"), F.col("s.node") == F.col("g.src"))
+            .groupBy(F.col("g.dst").alias("node"))
+            .agg(F.sum("s.hub").alias("a_raw"))
+        )
+        a_norm = auth_raw.agg(F.sum("a_raw").alias("__an"))
+        auth = (
+            nodes.join(auth_raw, "node", "left")
+            .crossJoin(F.broadcast(a_norm))
+            .select(
+                "node",
+                (F.coalesce(F.col("a_raw"), F.lit(0.0)) / F.col("__an")).alias(
+                    "auth"
+                ),
+            )
+        )
+        hub_raw = (
+            auth.alias("t")
+            .join(e.alias("g"), F.col("t.node") == F.col("g.dst"))
+            .groupBy(F.col("g.src").alias("node"))
+            .agg(F.sum("t.auth").alias("h_raw"))
+        )
+        h_norm = hub_raw.agg(F.sum("h_raw").alias("__hn"))
+        scores = (
+            nodes.join(hub_raw, "node", "left")
+            .crossJoin(F.broadcast(h_norm))
+            .join(auth, "node", "left")
+            .select(
+                "node",
+                (F.coalesce(F.col("h_raw"), F.lit(0.0)) / F.col("__hn")).alias(
+                    "hub"
+                ),
+                F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth"),
+            )
+        )
+        if i + 1 < iterations:
+            scores = scores.localCheckpoint(eager=True)
+    return scores

@@ -60,3 +60,63 @@ def test_rrf_matches_closed_form(spark):
 def test_rrf_requires_a_ranking(spark):
     with pytest.raises(ValueError):
         reciprocal_rank_fusion([], "id")
+
+
+def test_lpa_two_triangles(spark):
+    from kevinlang_spark.operators.graph import label_propagation
+
+    pairs = [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)]
+    out = {
+        r.node: r.label
+        for r in label_propagation(_edges(spark, pairs), rounds=5).collect()
+    }
+    # each triangle converges to one label; the bridge does not merge them
+    assert out[1] == out[2] == out[3]
+    assert out[10] == out[11] == out[12]
+    assert out[1] != out[10]
+
+
+def test_lpa_isolated_pairs_keep_min_label(spark):
+    from kevinlang_spark.operators.graph import label_propagation
+
+    out = {
+        r.node: r.label
+        for r in label_propagation(
+            _edges(spark, [(5, 9), (20, 21)]), rounds=2
+        ).collect()
+    }
+    # a 2-node component oscillates label-swap each round; 2 rounds
+    # returns each node its OWN label back — determinism is the contract
+    assert out == {5: 5, 9: 9, 20: 20, 21: 21}
+
+
+def test_lpa_rejects_bad_rounds(spark):
+    from kevinlang_spark.operators.graph import label_propagation
+
+    with pytest.raises(ValueError):
+        label_propagation(_edges(spark, [(1, 2)]), rounds=0)
+
+
+def test_hits_star_graph(spark):
+    from kevinlang_spark.operators.graph import hits
+
+    de = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (5, 2)], "src bigint, dst bigint"
+    )
+    out = {
+        r.node: (round(r.hub, 4), round(r.auth, 4))
+        for r in hits(de, iterations=8).collect()
+    }
+    hubs = sum(h for h, _ in out.values())
+    auths = sum(a for _, a in out.values())
+    assert abs(hubs - 1.0) < 1e-6 and abs(auths - 1.0) < 1e-6  # L1-normalized
+    assert out[1][0] > out[5][0]  # 3-link hub beats 1-link hub
+    assert out[2][1] > out[3][1]  # 2-in-link authority beats 1-in-link
+    assert out[1][1] == 0.0 and out[2][0] == 0.0  # pure-hub / pure-auth sides
+
+
+def test_hits_rejects_bad_iterations(spark):
+    from kevinlang_spark.operators.graph import hits
+
+    with pytest.raises(ValueError):
+        hits(spark.createDataFrame([(1, 2)], "src bigint, dst bigint"), iterations=0)

@@ -33,6 +33,7 @@ BNLJ_OK = {
     "q_rank_fusion",  # 20-row broadcast self-join rank (RRF input lists)
     "q_knn_join",  # broadcast k-probe set
     "q_pagerank",  # broadcast 1-row dangling-mass aggregate per iteration
+    "q_hits",  # broadcast 1-row L1-normalizer aggregate per iteration
     "q_psi_drift",  # broadcast 1-row baseline totals
     "q_rfm",  # broadcast 1-row quintile boundary aggregate
     "q_target_encode",  # broadcast 1-row global mean
