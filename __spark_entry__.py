@@ -3367,6 +3367,20 @@ def q_hits(spark, sf_dir):
     )
 
 
+def q_pca_top_component(spark, sf_dir):
+    """Distributed PCA top component over the 64-dim embeddings
+    (pca.py): one corpus pass builds mean + covariance (numpy
+    outer-product partials per Arrow batch → d² metadata rows), then
+    12 deterministic power-iteration steps on the collected d×d
+    matrix.  Output = 64 loadings + the explained-variance ratio (the
+    embedding-anisotropy diagnostic); sign canonicalized so the replay
+    is engine-reproducible."""
+    from kevinlang_spark.operators.pca import pca_top_component
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pca_top_component(emb, "embedding", dim=64, iterations=12)
+
+
 def q_rank_fusion(spark, sf_dir):
     """Reciprocal Rank Fusion of two retrieval rankings for the same
     query (cosine top-20 vs raw-inner-product top-20): the zero-tuning
@@ -3424,6 +3438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kcore": q_kcore,
         "q_lpa_communities": q_lpa_communities,
         "q_hits": q_hits,
+        "q_pca_top_component": q_pca_top_component,
         "q_knn_join": q_knn_join,
         "q_ann_ivf": q_ann_ivf,
         "q_curation_chunks": q_curation_chunks,
@@ -3717,11 +3732,57 @@ def _hits_oracle_sql(iters: int = 8) -> str:
     )
 
 
+def _pca_oracle_sql(dim: int = 64, iters: int = 12) -> str:
+    """Replay of pca.py pca_top_component: population covariance via the
+    d²-index cross join, then the identical unrolled power iterations
+    with L2 normalization, Rayleigh-quotient variance ratio, and the
+    largest-|loading| (ties → smallest dim) sign canonicalization."""
+    sql = (
+        f"WITH x AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS v "
+        f"FROM embeddings WHERE embedding IS NOT NULL "
+        f"AND len(embedding) = {dim}), "
+        f"n1 AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM x), "
+        f"mu AS MATERIALIZED (SELECT i, SUM(v[i + 1]) / (SELECT n FROM n1) "
+        f"AS m FROM x CROSS JOIN range({dim}) AS ri(i) GROUP BY i), "
+        f"sxx AS MATERIALIZED (SELECT i, j, SUM(v[i + 1] * v[j + 1]) AS s "
+        f"FROM x CROSS JOIN range({dim}) AS ri(i) "
+        f"CROSS JOIN range({dim}) AS rj(j) GROUP BY i, j), "
+        f"cov AS MATERIALIZED (SELECT s.i, s.j, "
+        f"s.s / (SELECT n FROM n1) - mi.m * mj.m AS c FROM sxx s "
+        f"JOIN mu mi ON s.i = mi.i JOIN mu mj ON s.j = mj.i), "
+        f"v0 AS MATERIALIZED (SELECT i, 1.0 / sqrt({dim}) AS val "
+        f"FROM range({dim}) AS r(i))"
+    )
+    prev = "v0"
+    for t in range(1, iters + 1):
+        sql += (
+            f", w{t} AS MATERIALIZED (SELECT c.i, SUM(c.c * p.val) AS w "
+            f"FROM cov c JOIN {prev} p ON c.j = p.i GROUP BY c.i)"
+            f", v{t} AS MATERIALIZED (SELECT i, "
+            f"w / (SELECT sqrt(SUM(w * w)) FROM w{t}) AS val FROM w{t})"
+        )
+        prev = f"v{t}"
+    return sql + (
+        f", wf AS MATERIALIZED (SELECT c.i, SUM(c.c * p.val) AS w "
+        f"FROM cov c JOIN {prev} p ON c.j = p.i GROUP BY c.i), "
+        f"lam AS MATERIALIZED (SELECT SUM(p.val * wf.w) AS l "
+        f"FROM {prev} p JOIN wf ON p.i = wf.i), "
+        f"tr AS MATERIALIZED (SELECT SUM(c) AS t FROM cov WHERE i = j), "
+        f"sgn AS MATERIALIZED (SELECT CASE WHEN val < 0 THEN -1.0 ELSE 1.0 "
+        f"END AS s FROM {prev} ORDER BY ABS(val) DESC, i ASC LIMIT 1) "
+        f"SELECT CAST(i AS INT) AS dim, "
+        f"ROUND(val * (SELECT s FROM sgn), 6) AS loading, "
+        f"ROUND((SELECT l FROM lam) / (SELECT t FROM tr), 6) "
+        f"AS explained_var_ratio FROM {prev}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q_kcore": _kcore_oracle_sql(k=16, rounds=8),
         "q_lpa_communities": _lpa_oracle_sql(rounds=5),
         "q_hits": _hits_oracle_sql(iters=8),
+        "q_pca_top_component": _pca_oracle_sql(dim=64, iters=12),
         # streaming queries oracle against their batch twins: a drained
         # availableNow stream must equal the one-shot batch answer
         "q_stream_hourly": (

@@ -121,6 +121,7 @@ HEADLINE = [
     "q_kcore",
     "q_lpa_communities",
     "q_hits",
+    "q_pca_top_component",
 ]
 
 

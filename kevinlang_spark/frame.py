@@ -1408,6 +1408,20 @@ class KevinFrame:
             _hits(self._df, iterations, src, dst), ordered=False
         )
 
+    def pca_top_component(
+        self,
+        vec_col: str = "embedding",
+        dim: int = 64,
+        iterations: int = 12,
+    ) -> "KevinFrame":
+        """Top principal component of an embedding column — see
+        ``operators.pca.pca_top_component``."""
+        from kevinlang_spark.operators.pca import pca_top_component as _pca
+
+        return KevinFrame.from_df(
+            _pca(self._df, vec_col, dim, iterations), ordered=False
+        )
+
     def rank_fusion(
         self,
         others: list["KevinFrame"],

@@ -1,0 +1,140 @@
+"""Distributed PCA (top principal component) over an embedding column.
+
+The 100 TB shape: the ONLY corpus-scale work is one pass computing the
+d-dim mean and the d×d covariance numerator.  Covariance partials are
+accumulated per Arrow batch with a numpy outer product inside
+``mapInPandas`` — each batch emits d² partial-sum rows, so the shuffle
+is (batches × d²) metadata rows with map-side combine, never N·d²
+exploded rows (a pure-Catalyst double-posexplode would be a 4096×
+row expansion for d=64 in the scan stage).  The d×d matrix is then
+metadata — power iteration runs driver-side on ≤ a few KB, the same
+FAISS-style split as the IVF coarse quantizer (similarity.py).
+
+Determinism: fixed iteration count from a fixed start vector, and the
+component sign is canonicalized (the largest-|loading| dim — ties to
+the smallest index — is made positive), so the result is
+engine-reproducible and the DuckDB oracle can replay the identical
+unrolled iterations.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _cov_partials_schema() -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("i", T.IntegerType(), False),
+            T.StructField("j", T.IntegerType(), False),
+            T.StructField("sxx", T.DoubleType(), False),
+        ]
+    )
+
+
+def covariance_matrix(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Population covariance of a fixed-``dim`` vector column as a
+    (i, j, cov) DataFrame — one corpus pass, (batches × d²) shuffle
+    rows.  Rows with NULL or wrong-length vectors are dropped."""
+    import numpy as np
+
+    clean = df.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    ).select(F.col(vec_col).cast("array<double>").alias("v"))
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = np.zeros((dim, dim), dtype=np.float64)
+        seen = False
+        for b in batches:
+            if not len(b):
+                continue
+            x = np.stack(b["v"].to_numpy())  # (n, d) float64
+            acc += x.T @ x
+            seen = True
+        if seen:
+            ii, jj = np.meshgrid(range(dim), range(dim), indexing="ij")
+            yield pd.DataFrame(
+                {"i": ii.ravel(), "j": jj.ravel(), "sxx": acc.ravel()}
+            )
+
+    sxx = clean.mapInPandas(partials, schema=_cov_partials_schema()).groupBy(
+        "i", "j"
+    ).agg(F.sum("sxx").alias("sxx"))
+
+    n_mu = clean.select(
+        F.count("*").alias("n"),
+        *[F.sum(F.col("v")[k]).alias(f"s{k}") for k in range(dim)],
+    )
+    mu = n_mu.select(
+        "n",
+        F.array(*[F.col(f"s{k}") / F.col("n") for k in range(dim)]).alias("mu"),
+    )
+    return sxx.crossJoin(F.broadcast(mu)).select(
+        "i",
+        "j",
+        (
+            F.col("sxx") / F.col("n")
+            - F.col("mu")[F.col("i")] * F.col("mu")[F.col("j")]
+        ).alias("cov"),
+    )
+
+
+def pca_top_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iterations: int = 12,
+) -> DataFrame:
+    """Top principal component by power iteration: distributed
+    mean/covariance (see :func:`covariance_matrix`), then ``iterations``
+    deterministic matvec+normalize steps on the collected d×d matrix
+    (metadata-scale, like the IVF centroid step).  Start vector is the
+    uniform unit vector; sign is canonicalized on the largest-|loading|
+    dim (ties → smallest index).
+
+    Returns ``dim`` rows (dim, loading, explained_var_ratio) where the
+    ratio is the Rayleigh quotient over the covariance trace — the
+    fraction of embedding variance the first component explains (the
+    anisotropy diagnostic for embedding spaces)."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1 (got {iterations})")
+    rows = covariance_matrix(df, vec_col, dim).collect()
+    if not rows:
+        raise ValueError(f"pca_top_component: no rows with {dim}-dim vectors")
+    cov = [[0.0] * dim for _ in range(dim)]
+    for r in rows:
+        cov[r["i"]][r["j"]] = r["cov"]
+
+    v = [1.0 / math.sqrt(dim)] * dim
+    for _ in range(iterations):
+        w = [sum(cov[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        norm = math.sqrt(sum(x * x for x in w))
+        if norm == 0.0:  # degenerate all-constant input: keep v
+            break
+        v = [x / norm for x in w]
+
+    w = [sum(cov[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+    lam = sum(v[i] * w[i] for i in range(dim))
+    trace = sum(cov[i][i] for i in range(dim))
+    pivot = max(range(dim), key=lambda i: (abs(v[i]), -i))
+    if v[pivot] < 0:
+        v = [-x for x in v]
+    ratio = lam / trace if trace else 0.0
+
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [(i, v[i], ratio) for i in range(dim)],
+        "dim int, loading double, explained_var_ratio double",
+    )
+    return out.select(
+        "dim",
+        F.round("loading", 6).alias("loading"),
+        F.round("explained_var_ratio", 6).alias("explained_var_ratio"),
+    )

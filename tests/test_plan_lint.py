@@ -34,6 +34,8 @@ BNLJ_OK = {
     "q_knn_join",  # broadcast k-probe set
     "q_pagerank",  # broadcast 1-row dangling-mass aggregate per iteration
     "q_hits",  # broadcast 1-row L1-normalizer aggregate per iteration
+    # (q_pca_top_component's 1-row mean broadcast never reaches the lint:
+    # the returned frame is the post-collect local loadings table)
     "q_psi_drift",  # broadcast 1-row baseline totals
     "q_rfm",  # broadcast 1-row quintile boundary aggregate
     "q_target_encode",  # broadcast 1-row global mean
