@@ -1193,8 +1193,12 @@ def q_winnow_fingerprints(spark, sf_dir):
     full fingerprint SET without exploding millions of rows."""
     from kevinlang_spark.operators.text import winnow_fingerprints
 
+    # repartition: the test table is ONE parquet file → one scan task;
+    # spreading the (id, text) rows costs a ~MB shuffle and buys 32-way
+    # parallelism for the per-row hash algebra.  Real corpora have many
+    # input files and skip this.
     wf = winnow_fingerprints(
-        _t(spark, sf_dir, "documents"), k=5, window=4
+        _t(spark, sf_dir, "documents").repartition(32), k=5, window=4
     )
     return wf.select(
         F.col("id").alias("doc_id"),
@@ -3367,6 +3371,20 @@ def q_hits(spark, sf_dir):
     )
 
 
+def q_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood near-dup candidates (Hernández–Stolfo) over
+    documents: normalized-prefix sort key, bucket-partitioned ranks,
+    bounded block join (≤2·window rows per join group), Levenshtein
+    verify.  The oracle replays the same key/rank semantics with the
+    simple within-bucket rank-distance join."""
+    from kevinlang_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return sorted_neighborhood_pairs(
+        docs, "text", "doc_id", key_len=24, bucket_prefix=2, window=5, max_dist=6
+    )
+
+
 def q_pca_top_component(spark, sf_dir):
     """Distributed PCA top component over the 64-dim embeddings
     (pca.py): one corpus pass builds mean + covariance (numpy
@@ -3439,6 +3457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lpa_communities": q_lpa_communities,
         "q_hits": q_hits,
         "q_pca_top_component": q_pca_top_component,
+        "q_sorted_neighborhood": q_sorted_neighborhood,
         "q_knn_join": q_knn_join,
         "q_ann_ivf": q_ann_ivf,
         "q_curation_chunks": q_curation_chunks,
@@ -3783,6 +3802,21 @@ def oracle_sql() -> dict[str, str]:
         "q_lpa_communities": _lpa_oracle_sql(rounds=5),
         "q_hits": _hits_oracle_sql(iters=8),
         "q_pca_top_component": _pca_oracle_sql(dim=64, iters=12),
+        "q_sorted_neighborhood": (
+            "WITH keyed AS MATERIALIZED (SELECT doc_id AS id, "
+            "substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24) "
+            "AS key FROM documents), "
+            "kk AS MATERIALIZED (SELECT * FROM keyed WHERE length(key) > 0), "
+            "rk AS MATERIALIZED (SELECT id, key, substr(key, 1, 2) AS bucket, "
+            "ROW_NUMBER() OVER (PARTITION BY substr(key, 1, 2) "
+            "ORDER BY key, id) AS rank FROM kk) "
+            "SELECT DISTINCT LEAST(a.id, b.id) AS id_a, "
+            "GREATEST(a.id, b.id) AS id_b, "
+            "CAST(levenshtein(a.key, b.key) AS INTEGER) AS dist "
+            "FROM rk a JOIN rk b ON a.bucket = b.bucket "
+            "AND b.rank > a.rank AND b.rank - a.rank <= 5 "
+            "WHERE levenshtein(a.key, b.key) <= 6"
+        ),
         # streaming queries oracle against their batch twins: a drained
         # availableNow stream must equal the one-shot batch answer
         "q_stream_hourly": (

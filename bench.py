@@ -122,6 +122,7 @@ HEADLINE = [
     "q_lpa_communities",
     "q_hits",
     "q_pca_top_component",
+    "q_sorted_neighborhood",
 ]
 
 

@@ -1422,6 +1422,26 @@ class KevinFrame:
             _pca(self._df, vec_col, dim, iterations), ordered=False
         )
 
+    def sorted_neighborhood_pairs(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        key_len: int = 24,
+        bucket_prefix: int = 2,
+        window: int = 5,
+        max_dist: int = 6,
+    ) -> "KevinFrame":
+        """Sorted-neighborhood near-dup candidates — see
+        ``operators.dedup.sorted_neighborhood_pairs``."""
+        from kevinlang_spark.operators.dedup import (
+            sorted_neighborhood_pairs as _sn,
+        )
+
+        return KevinFrame.from_df(
+            _sn(self._df, text_col, id_col, key_len, bucket_prefix, window, max_dist),
+            ordered=False,
+        )
+
     def rank_fusion(
         self,
         others: list["KevinFrame"],

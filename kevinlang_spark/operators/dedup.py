@@ -1323,3 +1323,78 @@ def novelty_counts(
             F.sum("__nf").alias("n_first"),
         )
     )
+
+
+# --------------------------------------------------------------------- #
+# sorted-neighborhood blocking
+# --------------------------------------------------------------------- #
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key_len: int = 24,
+    bucket_prefix: int = 2,
+    window: int = 5,
+    max_dist: int = 6,
+) -> DataFrame:
+    """Sorted-neighborhood near-duplicate candidates (Hernández &
+    Stolfo 1995), the classic entity-resolution alternative to LSH
+    blocking: sort records by a normalized key, compare only records
+    within ``window`` positions, verify with edit distance.
+
+    Scale shape: records bucket by the first ``bucket_prefix`` key
+    chars; ranks come from a BUCKET-partitioned window (never a global
+    single-partition sort).  The neighbor join never self-joins whole
+    buckets — each row lands in rank-block ``rank div window``, and the
+    probe side is additionally copied one block DOWN (so a row is
+    visible to the block preceding it), making the join key
+    (bucket, block) with every join group ≤ 2·window probe rows: total
+    cost is one rank shuffle + one bounded block join, O(n·window)
+    comparisons at any corpus size.  A rank gap ≤ window spans at most
+    one block boundary because block width == window, so the two copies
+    cover every in-window pair exactly.  Bucket boundaries are blocking
+    boundaries (standard SN semantics; multi-pass with a second key
+    raises recall).
+
+    Returns (id_a, id_b, dist) for pairs with key edit distance ≤
+    ``max_dist``, id_a < id_b.
+    """
+    if window < 1 or bucket_prefix < 1:
+        raise ValueError(
+            f"window and bucket_prefix must be >= 1 "
+            f"(got window={window}, bucket_prefix={bucket_prefix})"
+        )
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.substring(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""),
+            1,
+            key_len,
+        ).alias("key"),
+    ).where(F.length("key") > 0)
+    keyed = keyed.withColumn("bucket", F.substring("key", 1, bucket_prefix))
+    w = Window.partitionBy("bucket").orderBy("key", "id")
+    ranked = keyed.withColumn("rank", F.row_number().over(w))
+    blk = ranked.withColumn("block", ((F.col("rank") - 1) / window).cast("long"))
+    probe = blk.unionByName(blk.withColumn("block", F.col("block") - 1))
+    a, b = blk.alias("a"), probe.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.block") == F.col("b.block")),
+        )
+        .where(
+            (F.col("b.rank") > F.col("a.rank"))
+            & (F.col("b.rank") - F.col("a.rank") <= window)
+        )
+        .where(F.levenshtein(F.col("a.key"), F.col("b.key")) <= max_dist)
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+            F.levenshtein(F.col("a.key"), F.col("b.key")).alias("dist"),
+        )
+        .distinct()
+    )
