@@ -179,11 +179,28 @@ def winnow_fingerprints(
         "__m",
         F.transform(F.sequence(F.lit(1), F.col("__m")), gram_hash).alias("__h"),
     )
+    # Window minima as a zip_with chain of `window` shifted slices:
+    # min over [j, j+w) == least(h[j], h[j+1], …, h[j+w-1]) elementwise.
+    # CRITICAL for cost: this references __h `window` times, so
+    # CollapseProject CANNOT inline the md5 transform into the consumer
+    # (multi-use non-cheap exprs stay materialized) — the hash array is
+    # computed once per row, O(m) md5.  The single-transform alternative
+    # (transform(seq, j -> array_min(slice(__h, j, w)))) references __h
+    # exactly once, gets inlined, and re-evaluates the WHOLE m-element
+    # md5 array per window position: O(m²) md5 per document (measured:
+    # a 300-char doc paid ~80k md5 calls; whole-table bench pass went
+    # from minutes to sub-second after this rewrite).  When m < window
+    # the shifted slices run short/empty and zip_with null-pads, which
+    # least() skips — yielding min over all m grams, same as the
+    # reference semantics.
     n_windows = F.greatest(F.col("__m") - window + 1, F.lit(1))
-    mins = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda j: F.array_min(F.slice(F.col("__h"), j, window)),
-    )
+    mins = F.slice(F.col("__h"), 1, n_windows)
+    for i in range(1, window):
+        mins = F.zip_with(
+            mins,
+            F.slice(F.col("__h"), F.lit(1 + i), n_windows),
+            lambda a, b: F.least(a, b),
+        )
     return hashed.select(
         "id",
         F.col("__m").cast("bigint").alias("n_grams"),
