@@ -882,7 +882,13 @@ def repeated_spans(
     the single shuffle carries (fp, id) pairs — fixed-width keys, count
     bounded by tokens/stride per document.  Callers typically join the
     flagged fingerprints back to cut or down-weight the spans."""
-    toks = tokenize(F.col(text_col))
+    # tokenize ONCE into a multi-referenced column — inlined in the
+    # transform lambda it would re-tokenize per span window under
+    # interpreted higher-order eval (see winnow_fingerprints)
+    tok_df = _spread(df).select(
+        F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
     n = F.size(toks)
     starts = F.when(
         n >= span_tokens,
@@ -892,9 +898,7 @@ def repeated_spans(
         starts,
         lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, span_tokens))),
     )
-    spans = _spread(df).select(
-        F.col(id_col).alias("id"), F.explode(fps).alias("span_fp")
-    )
+    spans = tok_df.select("id", F.explode(fps).alias("span_fp"))
     return (
         spans.groupBy("span_fp")
         .agg(
@@ -1242,7 +1246,14 @@ def source_overlap_matrix(
         fp = F.md5(normalize_text(F.col(text_col)))
         sfp = base.select(F.col(group_col).alias("src"), fp.alias("fp")).distinct()
     else:
-        toks = tokenize(F.col(text_col))
+        # tokenize ONCE into a multi-referenced column — the inline
+        # expression would re-tokenize per gram under interpreted
+        # higher-order eval (see winnow_fingerprints for the trap)
+        tok_base = base.select(
+            F.col(group_col).alias("src"),
+            tokenize(F.col(text_col)).alias("__toks"),
+        )
+        toks = F.col("__toks")
         grams = F.when(
             F.size(toks) >= ngram,
             F.transform(
@@ -1253,8 +1264,8 @@ def source_overlap_matrix(
             ),
         ).otherwise(F.array().cast("array<bigint>"))
         sfp = (
-            base.select(
-                F.col(group_col).alias("src"),
+            tok_base.select(
+                "src",
                 F.explode(F.array_distinct(grams)).alias("fp"),
             )
             .distinct()

@@ -586,7 +586,15 @@ def bigram_lm_score(
     scored corpus can both be arbitrarily large (they're the same table
     here; pass a frozen count table for train/apply splits).
     """
-    toks = tokenize(F.col(text_col))
+    # tokenize ONCE into a multi-referenced column: embedding the full
+    # tokenize() expression in the transform lambda would re-evaluate it
+    # per array element under interpreted higher-order eval (O(tokens²)
+    # regexp splits per doc — the CollapseProject/per-element trap
+    # documented in winnow_fingerprints)
+    tok_df = spread(df).select(
+        F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
     pairs = F.when(
         (F.size(toks) >= 2) & toks.isNotNull(),
         F.transform(
@@ -597,9 +605,9 @@ def bigram_lm_score(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    occ = spread(df).select(
-        F.col(id_col).alias("id"), F.explode(pairs).alias("p")
-    ).select("id", "p.w1", "p.w2")
+    occ = tok_df.select("id", F.explode(pairs).alias("p")).select(
+        "id", "p.w1", "p.w2"
+    )
 
     big = occ.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     uni = occ.groupBy("w1").agg(F.count("*").alias("c1"))
