@@ -3371,6 +3371,23 @@ def q_hits(spark, sf_dir):
     )
 
 
+def q_bloom_filter(spark, sf_dir):
+    """Bloom-filter membership (sketches.py bloom_build/bloom_probe):
+    build a 16384-bit / 5-hash filter over the customers that placed
+    orders, probe EVERY customer.  The filter is its set-bit rows
+    (mergeable, broadcastable kilobytes); the oracle recomputes the
+    identical md5-prefix bit positions, so false positives match
+    bit-for-bit, not just in rate."""
+    from kevinlang_spark.operators.sketches import bloom_build, bloom_probe
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    filt = bloom_build(orders, "o_custkey", m=1 << 14, k=5)
+    return bloom_probe(
+        filt, cust.select(F.col("c_custkey")), "c_custkey", m=1 << 14, k=5
+    ).select(F.col("value").alias("c_custkey"), "maybe_present")
+
+
 def q_sorted_neighborhood(spark, sf_dir):
     """Sorted-neighborhood near-dup candidates (Hernández–Stolfo) over
     documents: normalized-prefix sort key, bucket-partitioned ranks,
@@ -3458,6 +3475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hits": q_hits,
         "q_pca_top_component": q_pca_top_component,
         "q_sorted_neighborhood": q_sorted_neighborhood,
+        "q_bloom_filter": q_bloom_filter,
         "q_knn_join": q_knn_join,
         "q_ann_ivf": q_ann_ivf,
         "q_curation_chunks": q_curation_chunks,
@@ -3796,8 +3814,38 @@ def _pca_oracle_sql(dim: int = 64, iters: int = 12) -> str:
     )
 
 
+def _bloom_oracle_sql(m: int = 1 << 14, k: int = 5) -> str:
+    """Replay of sketches.py bloom math: the 52-bit md5-prefix position
+    hashes match Spark's conv(substr(md5(..),1,13),16,10) exactly."""
+
+    def pos(key: str, i: int) -> str:
+        return (
+            f"CAST(CONCAT('0x', substr(md5(CONCAT(CAST({key} AS VARCHAR), "
+            f"'#bloom{i}')), 1, 13)) AS BIGINT) % {m}"
+        )
+
+    bit_union = " UNION ALL ".join(
+        f"SELECT {pos('o_custkey', i)} AS bit FROM orders "
+        f"WHERE o_custkey IS NOT NULL"
+        for i in range(k)
+    )
+    probe_union = " UNION ALL ".join(
+        f"SELECT c_custkey AS value, {pos('c_custkey', i)} AS bit "
+        f"FROM customer WHERE c_custkey IS NOT NULL"
+        for i in range(k)
+    )
+    return (
+        f"WITH bits AS MATERIALIZED (SELECT DISTINCT bit FROM ({bit_union})), "
+        f"pb AS MATERIALIZED ({probe_union}) "
+        f"SELECT value AS c_custkey, "
+        f"BOOL_AND(bit IN (SELECT bit FROM bits)) AS maybe_present "
+        f"FROM pb GROUP BY value"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "q_bloom_filter": _bloom_oracle_sql(m=1 << 14, k=5),
         "q_kcore": _kcore_oracle_sql(k=16, rounds=8),
         "q_lpa_communities": _lpa_oracle_sql(rounds=5),
         "q_hits": _hits_oracle_sql(iters=8),

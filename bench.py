@@ -123,6 +123,7 @@ HEADLINE = [
     "q_hits",
     "q_pca_top_component",
     "q_sorted_neighborhood",
+    "q_bloom_filter",
 ]
 
 

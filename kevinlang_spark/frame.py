@@ -1442,6 +1442,30 @@ class KevinFrame:
             ordered=False,
         )
 
+    def bloom_build(
+        self, col: str, m: int = 1 << 14, k: int = 5
+    ) -> "KevinFrame":
+        """Bloom filter (set-bit rows) over a column — see
+        ``operators.sketches.bloom_build``."""
+        from kevinlang_spark.operators.sketches import bloom_build as _bb
+
+        return KevinFrame.from_df(_bb(self._df, col, m, k), ordered=False)
+
+    def bloom_probe(
+        self,
+        bloom: "KevinFrame",
+        col: str,
+        m: int = 1 << 14,
+        k: int = 5,
+    ) -> "KevinFrame":
+        """Probe this frame's ``col`` against a Bloom filter — see
+        ``operators.sketches.bloom_probe``."""
+        from kevinlang_spark.operators.sketches import bloom_probe as _bp
+
+        return KevinFrame.from_df(
+            _bp(bloom._df, self._df, col, m, k), ordered=False
+        )
+
     def rank_fusion(
         self,
         others: list["KevinFrame"],

@@ -436,3 +436,98 @@ def grouped_heavy_hitters(
             "rank",
         )
     )
+
+
+# --------------------------------------------------------------------- #
+# Bloom filter membership
+# --------------------------------------------------------------------- #
+
+
+def _bloom_positions(key, m: int, k: int):
+    """The k bit positions of ``key``: md5-prefix 52-bit hashes of the
+    seeded key, mod ``m`` — engine-portable (DuckDB reproduces the md5
+    math bit-for-bit, unlike xxhash64)."""
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(key.cast("string"), F.lit(f"#bloom{i}"))),
+                        1,
+                        13,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % m
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    m: int = 1 << 14,
+    k: int = 5,
+) -> DataFrame:
+    """Build a Bloom filter over ``col`` as its SET BIT POSITIONS —
+    one row per set bit, ≤ ``m`` rows total regardless of input size.
+
+    The relational representation keeps the sketch mergeable and
+    engine-portable: union two filters' rows and de-dup = bit-OR; a
+    day's filter appends to history without rescanning it (same
+    mergeability contract as the HLL/theta/KLL rollups).  Build cost is
+    one scan + one ≤m-key shuffle (map-side combined to distinct
+    positions).  Standard sizing: FPR ≈ (1 − e^{−k·n/m})^k; the default
+    (m=16384, k=5) holds ~1% FPR to n ≈ 1.6k keys and degrades
+    gracefully — callers size ``m`` to the expected distinct count.
+    """
+    if m < 2 or k < 1:
+        raise ValueError(f"m must be >= 2 and k >= 1 (got m={m}, k={k})")
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.explode(_bloom_positions(F.col(col), m, k)).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    probes: DataFrame,
+    col: str,
+    m: int = 1 << 14,
+    k: int = 5,
+) -> DataFrame:
+    """Probe a :func:`bloom_build` filter: a probe is ``maybe_present``
+    iff ALL k of its bit positions are set (no false negatives; false
+    positives at the sized FPR).
+
+    The join is (probe bit, filter bit) on ≤ m distinct bits with the
+    filter side broadcast (a full filter is ≤ m rows ≈ kilobytes) —
+    probing a billion keys is one scan + one broadcast, no shuffle of
+    the probe side.  Returns (value, maybe_present)."""
+    pb = (
+        probes.where(F.col(col).isNotNull())
+        .select(
+            F.col(col).alias("value"),
+            F.explode(_bloom_positions(F.col(col), m, k)).alias("bit"),
+        )
+    )
+    hits = (
+        pb.join(F.broadcast(bloom.select("bit").distinct()), "bit", "left_semi")
+        .groupBy("value")
+        .agg(F.count("*").alias("__hits"))
+    )
+    return (
+        pb.groupBy("value")
+        .agg(F.count("*").alias("__k"))
+        .join(hits, "value", "left")
+        .select(
+            "value",
+            (F.coalesce(F.col("__hits"), F.lit(0)) == F.col("__k")).alias(
+                "maybe_present"
+            ),
+        )
+    )
