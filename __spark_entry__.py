@@ -3371,6 +3371,18 @@ def q_hits(spark, sf_dir):
     )
 
 
+def q_sparse_cosine(spark, sf_dir):
+    """All-pairs TF-IDF cosine ≥ 0.5 over documents (text.py
+    sparse_cosine_pairs): the lexical near-dup detector when no
+    embedding model is in the loop.  One term-keyed self-join of
+    unit-normalized weights with the df ≤ 100 stopword cap bounding
+    every join group."""
+    from kevinlang_spark.operators.text import sparse_cosine_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return sparse_cosine_pairs(docs, threshold=0.5, max_df=100)
+
+
 def q_bloom_filter(spark, sf_dir):
     """Bloom-filter membership (sketches.py bloom_build/bloom_probe):
     build a 16384-bit / 5-hash filter over the customers that placed
@@ -3476,6 +3488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pca_top_component": q_pca_top_component,
         "q_sorted_neighborhood": q_sorted_neighborhood,
         "q_bloom_filter": q_bloom_filter,
+        "q_sparse_cosine": q_sparse_cosine,
         "q_knn_join": q_knn_join,
         "q_ann_ivf": q_ann_ivf,
         "q_curation_chunks": q_curation_chunks,
@@ -3846,6 +3859,25 @@ def _bloom_oracle_sql(m: int = 1 << 14, k: int = 5) -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "q_bloom_filter": _bloom_oracle_sql(m=1 << 14, k=5),
+        "q_sparse_cosine": (
+            "WITH toks AS (SELECT doc_id AS id, "
+            "unnest(list_filter(string_split_regex(lower(text), "
+            "'[^a-z0-9]+'), t -> t <> '')) AS term FROM documents), "
+            "tf AS (SELECT id, term, COUNT(*) AS tf FROM toks "
+            "GROUP BY id, term), "
+            "dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+            "n AS (SELECT COUNT(*) AS n FROM documents), "
+            "w AS (SELECT tf.id, tf.term, "
+            "tf.tf * LN(((SELECT n FROM n) + 1.0) / (dfq.df + 1.0)) AS w "
+            "FROM tf JOIN dfq USING (term) WHERE dfq.df <= 100), "
+            "nrm AS (SELECT id, sqrt(SUM(w * w)) AS nn FROM w GROUP BY id), "
+            "u AS (SELECT w.id, w.term, w.w / nrm.nn AS u FROM w "
+            "JOIN nrm ON w.id = nrm.id WHERE nrm.nn > 0) "
+            "SELECT a.id AS id_a, b.id AS id_b, "
+            "ROUND(SUM(a.u * b.u), 6) AS cosine "
+            "FROM u a JOIN u b ON a.term = b.term AND a.id < b.id "
+            "GROUP BY a.id, b.id HAVING SUM(a.u * b.u) >= 0.5"
+        ),
         "q_kcore": _kcore_oracle_sql(k=16, rounds=8),
         "q_lpa_communities": _lpa_oracle_sql(rounds=5),
         "q_hits": _hits_oracle_sql(iters=8),

@@ -124,6 +124,7 @@ HEADLINE = [
     "q_pca_top_component",
     "q_sorted_neighborhood",
     "q_bloom_filter",
+    "q_sparse_cosine",
 ]
 
 

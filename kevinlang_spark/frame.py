@@ -1466,6 +1466,21 @@ class KevinFrame:
             _bp(bloom._df, self._df, col, m, k), ordered=False
         )
 
+    def sparse_cosine_pairs(
+        self,
+        threshold: float = 0.5,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        max_df: int = 100,
+    ) -> "KevinFrame":
+        """All-pairs TF-IDF cosine similarity — see
+        ``operators.text.sparse_cosine_pairs``."""
+        from kevinlang_spark.operators.text import sparse_cosine_pairs as _sc
+
+        return KevinFrame.from_df(
+            _sc(self._df, threshold, id_col, text_col, max_df), ordered=False
+        )
+
     def rank_fusion(
         self,
         others: list["KevinFrame"],

