@@ -3371,6 +3371,61 @@ def q_hits(spark, sf_dir):
     )
 
 
+def q_cube_revenue(spark, sf_dir):
+    """OLAP CUBE over (nation, order-year): every grouping-set subtotal
+    plus the grand total in ONE pass — Catalyst expands the cube into a
+    single Expand + hash aggregate (4 output streams per input row,
+    map-side combined), never four scans.  gid = grouping(nation)*2 +
+    grouping(year), the SQL-standard bit order both engines share."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    j = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            F.col("n_name"),
+            F.year("o_orderdate").alias("o_year"),
+            F.col("o_totalprice"),
+        )
+    )
+    return (
+        j.cube("n_name", "o_year")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").cast("bigint").alias("n_orders"),
+            (F.grouping("n_name") * 2 + F.grouping("o_year"))
+            .cast("int")
+            .alias("gid"),
+        )
+    )
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """ROLLUP (region → nation) hierarchy subtotals in one pass — the
+    drill-down twin of q_cube_revenue (3 grouping sets, not 4: rollup
+    never emits nation-without-region)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    j = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .select("r_name", "n_name", "o_totalprice")
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            (F.grouping("r_name") * 2 + F.grouping("n_name"))
+            .cast("int")
+            .alias("gid"),
+        )
+    )
+
+
 def q_sparse_cosine(spark, sf_dir):
     """All-pairs TF-IDF cosine ≥ 0.5 over documents (text.py
     sparse_cosine_pairs): the lexical near-dup detector when no
@@ -3489,6 +3544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sorted_neighborhood": q_sorted_neighborhood,
         "q_bloom_filter": q_bloom_filter,
         "q_sparse_cosine": q_sparse_cosine,
+        "q_cube_revenue": q_cube_revenue,
+        "q_rollup_revenue": q_rollup_revenue,
         "q_knn_join": q_knn_join,
         "q_ann_ivf": q_ann_ivf,
         "q_curation_chunks": q_curation_chunks,
@@ -3859,6 +3916,26 @@ def _bloom_oracle_sql(m: int = 1 << 14, k: int = 5) -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "q_bloom_filter": _bloom_oracle_sql(m=1 << 14, k=5),
+        "q_cube_revenue": (
+            "WITH j AS (SELECT n_name, EXTRACT(year FROM o_orderdate) "
+            "AS o_year, o_totalprice FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey) "
+            "SELECT n_name, CAST(o_year AS INTEGER) AS o_year, "
+            "ROUND(SUM(o_totalprice), 2) AS revenue, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "CAST(GROUPING(n_name) * 2 + GROUPING(o_year) AS INTEGER) AS gid "
+            "FROM j GROUP BY CUBE (n_name, o_year)"
+        ),
+        "q_rollup_revenue": (
+            "WITH j AS (SELECT r_name, n_name, o_totalprice FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey) "
+            "SELECT r_name, n_name, ROUND(SUM(o_totalprice), 2) AS revenue, "
+            "CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INTEGER) AS gid "
+            "FROM j GROUP BY ROLLUP (r_name, n_name)"
+        ),
         "q_sparse_cosine": (
             "WITH toks AS (SELECT doc_id AS id, "
             "unnest(list_filter(string_split_regex(lower(text), "

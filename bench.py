@@ -125,6 +125,8 @@ HEADLINE = [
     "q_sorted_neighborhood",
     "q_bloom_filter",
     "q_sparse_cosine",
+    "q_cube_revenue",
+    "q_rollup_revenue",
 ]
 
 
