@@ -162,3 +162,4 @@ def seasonal_backtest(
         F.round(F.avg(err), 4).alias("mae"),
         F.round(F.avg(err / F.col("c")), 4).alias("mape"),
     )
+
