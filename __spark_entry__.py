@@ -915,6 +915,27 @@ def q_events_sessions(spark, sf_dir):
     )
 
 
+def q_stream_sessions(spark, sf_dir):
+    """STREAMING gap-based sessionization: the SAME session_counts
+    transform as batch q_events_sessions driven through an availableNow
+    file-source stream into a complete-mode memory sink —
+    session_window's stateful session-merge must converge to the batch
+    gaps-and-islands answer once the stream drains."""
+    from kevinlang_spark.streaming.windows import (
+        run_stream_to_memory,
+        session_counts,
+    )
+
+    return run_stream_to_memory(
+        spark,
+        f"{sf_dir}/events.parquet",
+        lambda src: session_counts(src, gap="30 minutes").select(
+            "user_id", "session_start", "n_events", "value_sum"
+        ),
+        query_name="q_stream_sessions_mem",
+    )
+
+
 def q_stream_hourly(spark, sf_dir):
     """STREAMING execution of the tumbling-window rollup: the events
     parquet is consumed as a file-source stream (availableNow trigger),
@@ -3532,6 +3553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_hourly": q_stream_hourly,
         "q_stream_sliding": q_stream_sliding,
         "q_stream_dedup": q_stream_dedup,
+        "q_stream_sessions": q_stream_sessions,
         "q_ann_lsh_indexed": q_ann_lsh_indexed,
         "q_ann_probe_pruned": q_ann_probe_pruned,
         "q_winnow_fingerprints": q_winnow_fingerprints,
@@ -3976,6 +3998,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         # streaming queries oracle against their batch twins: a drained
         # availableNow stream must equal the one-shot batch answer
+        "q_stream_sessions": (
+            # batch twin: identical gaps-and-islands SQL as q_events_sessions
+            "WITH e AS (SELECT user_id, ts, value, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "s AS (SELECT *, SUM(new_s) OVER "
+            "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM e) "
+            "SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start, "
+            "COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum "
+            "FROM s GROUP BY user_id, sid"
+        ),
         "q_stream_hourly": (
             "SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start, "
             "event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS value_sum "

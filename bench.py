@@ -94,6 +94,7 @@ HEADLINE = [
     # and the r4 tail families (containment/overlap/graph/stats)
     "q_stream_hourly",
     "q_stream_dedup",
+    "q_stream_sessions",
     "q_ann_lsh_indexed",
     "q_ann_probe_pruned",
     "q_containment",
