@@ -3504,6 +3504,24 @@ def q_pca_top_component(spark, sf_dir):
     return pca_top_component(emb, "embedding", dim=64, iterations=12)
 
 
+def q_link_prediction(spark, sf_dir):
+    """Adamic–Adar link prediction on the folded order→part graph
+    (graph.py adamic_adar): top-20 non-adjacent pairs by
+    Σ 1/ln(deg(z)) over common neighbors, hub-capped at deg ≤ 64 so
+    the two-hop join stays bounded."""
+    from kevinlang_spark.operators.graph import adamic_adar
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            (F.col("l_orderkey") % 3000).alias("a"),
+            (F.col("l_partkey") % 3000 + 3000).alias("b"),
+        )
+        .distinct()
+    )
+    return adamic_adar(edges, k=20, max_deg=64)
+
+
 def q_rank_fusion(spark, sf_dir):
     """Reciprocal Rank Fusion of two retrieval rankings for the same
     query (cosine top-20 vs raw-inner-product top-20): the zero-tuning
@@ -3560,6 +3578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_pmi": q_token_pmi,
         "q_rank_fusion": q_rank_fusion,
         "q_kcore": q_kcore,
+        "q_link_prediction": q_link_prediction,
         "q_lpa_communities": q_lpa_communities,
         "q_hits": q_hits,
         "q_pca_top_component": q_pca_top_component,
@@ -3978,6 +3997,24 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY a.id, b.id HAVING SUM(a.u * b.u) >= 0.5"
         ),
         "q_kcore": _kcore_oracle_sql(k=16, rounds=8),
+        "q_link_prediction": (
+            "WITH e0 AS (SELECT DISTINCT l_orderkey % 3000 AS u, "
+            "l_partkey % 3000 + 3000 AS v FROM lineitem), "
+            "sym AS MATERIALIZED (SELECT u, v FROM e0 "
+            "UNION ALL SELECT v, u FROM e0), "
+            "deg AS MATERIALIZED (SELECT u, COUNT(*) AS d FROM sym "
+            "GROUP BY u), "
+            "mid AS MATERIALIZED (SELECT s.v AS z, s.u AS x, deg.d "
+            "FROM sym s JOIN deg ON s.v = deg.u WHERE deg.d <= 64), "
+            "pairs AS MATERIALIZED (SELECT l.x AS a, r.x AS b, "
+            "CAST(COUNT(*) AS BIGINT) AS n_common, "
+            "ROUND(SUM(1.0 / ln(l.d)), 6) AS score "
+            "FROM mid l JOIN mid r ON l.z = r.z AND l.x < r.x "
+            "GROUP BY l.x, r.x) "
+            "SELECT p.a, p.b, p.n_common, p.score FROM pairs p "
+            "WHERE NOT EXISTS (SELECT 1 FROM sym WHERE u = p.a AND v = p.b) "
+            "ORDER BY p.score DESC, p.a ASC, p.b ASC LIMIT 20"
+        ),
         "q_lpa_communities": _lpa_oracle_sql(rounds=5),
         "q_hits": _hits_oracle_sql(iters=8),
         "q_pca_top_component": _pca_oracle_sql(dim=64, iters=12),

@@ -128,6 +128,7 @@ HEADLINE = [
     "q_sparse_cosine",
     "q_cube_revenue",
     "q_rollup_revenue",
+    "q_link_prediction",
 ]
 
 

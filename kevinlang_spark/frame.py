@@ -1481,6 +1481,21 @@ class KevinFrame:
             _sc(self._df, threshold, id_col, text_col, max_df), ordered=False
         )
 
+    def adamic_adar(
+        self,
+        k: int = 20,
+        max_deg: int = 64,
+        src: str = "a",
+        dst: str = "b",
+    ) -> "KevinFrame":
+        """Adamic–Adar link prediction over this frame's edge list —
+        see ``operators.graph.adamic_adar``."""
+        from kevinlang_spark.operators.graph import adamic_adar as _aa
+
+        return KevinFrame.from_df(
+            _aa(self._df, k, max_deg, src, dst), ordered=False
+        )
+
     def rank_fusion(
         self,
         others: list["KevinFrame"],

@@ -120,3 +120,34 @@ def test_hits_rejects_bad_iterations(spark):
 
     with pytest.raises(ValueError):
         hits(spark.createDataFrame([(1, 2)], "src bigint, dst bigint"), iterations=0)
+
+
+def test_adamic_adar_scores_and_exclusions(spark):
+    import math
+
+    from kevinlang_spark.operators.graph import adamic_adar
+
+    # path 1-2-3 plus hub 9 -> {1,3,4}
+    e = _edges(spark, [(1, 2), (2, 3), (9, 1), (9, 3), (9, 4)])
+    out = {(r.a, r.b): (r.n_common, r.score) for r in adamic_adar(e, k=10).collect()}
+    # (1,3): common z=2 (deg 2) and z=9 (deg 3)
+    assert out[(1, 3)] == (2, round(1 / math.log(2) + 1 / math.log(3), 6))
+    assert out[(1, 4)] == (1, round(1 / math.log(3), 6))
+    assert (1, 2) not in out  # existing edges never scored
+    assert (9, 4) not in out
+
+
+def test_adamic_adar_hub_cap_drops_big_neighbors(spark):
+    from kevinlang_spark.operators.graph import adamic_adar
+
+    # star hub 0 with 5 leaves: all leaf pairs share only the hub
+    e = _edges(spark, [(0, i) for i in range(1, 6)])
+    assert adamic_adar(e, k=100, max_deg=4).count() == 0  # hub deg 5 > cap
+    assert adamic_adar(e, k=100, max_deg=5).count() == 10  # 5C2 pairs
+
+
+def test_adamic_adar_param_guard(spark):
+    from kevinlang_spark.operators.graph import adamic_adar
+
+    with pytest.raises(ValueError):
+        adamic_adar(_edges(spark, [(1, 2)]), k=0)
