@@ -936,6 +936,18 @@ def q_stream_sessions(spark, sf_dir):
     )
 
 
+def q_stream_stateful(spark, sf_dir):
+    """STREAMING custom state: per-user running totals held in explicit
+    GroupState (applyInPandasWithState) drained via availableNow — the
+    cross-batch-state extension surface, whose final state must equal
+    the one-shot batch aggregate."""
+    from kevinlang_spark.streaming.stateful import run_stateful_to_memory
+
+    return run_stateful_to_memory(
+        spark, f"{sf_dir}/events.parquet", query_name="q_stream_stateful_mem"
+    )
+
+
 def q_stream_hourly(spark, sf_dir):
     """STREAMING execution of the tumbling-window rollup: the events
     parquet is consumed as a file-source stream (availableNow trigger),
@@ -3572,6 +3584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_sliding": q_stream_sliding,
         "q_stream_dedup": q_stream_dedup,
         "q_stream_sessions": q_stream_sessions,
+        "q_stream_stateful": q_stream_stateful,
         "q_ann_lsh_indexed": q_ann_lsh_indexed,
         "q_ann_probe_pruned": q_ann_probe_pruned,
         "q_winnow_fingerprints": q_winnow_fingerprints,
@@ -4035,6 +4048,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         # streaming queries oracle against their batch twins: a drained
         # availableNow stream must equal the one-shot batch answer
+        "q_stream_stateful": (
+            # batch twin of the GroupState running totals
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "ROUND(SUM(value), 2) AS value_sum FROM events GROUP BY user_id"
+        ),
         "q_stream_sessions": (
             # batch twin: identical gaps-and-islands SQL as q_events_sessions
             "WITH e AS (SELECT user_id, ts, value, "

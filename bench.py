@@ -95,6 +95,7 @@ HEADLINE = [
     "q_stream_hourly",
     "q_stream_dedup",
     "q_stream_sessions",
+    "q_stream_stateful",
     "q_ann_lsh_indexed",
     "q_ann_probe_pruned",
     "q_containment",

@@ -80,7 +80,19 @@ def run_stateful_to_memory(
 ):
     """Drive the stateful op over a file-source stream (availableNow) into
     a memory sink; returns the in-memory table (latest update per key)."""
+    import os
+    import tempfile
+
     schema = spark.read.parquet(parquet_dir).schema
+    if os.path.isfile(parquet_dir):
+        # file stream source requires a DIRECTORY (same shim as
+        # windows.run_stream_to_memory)
+        d = tempfile.mkdtemp(prefix="stateful_src_")
+        os.symlink(
+            os.path.abspath(parquet_dir),
+            os.path.join(d, os.path.basename(parquet_dir)),
+        )
+        parquet_dir = d
     src = spark.readStream.schema(schema).parquet(parquet_dir)
     if dict(src.dtypes).get("ts") == "bigint":
         src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
