@@ -1388,7 +1388,11 @@ def sorted_neighborhood_pairs(
     keyed = keyed.withColumn("bucket", F.substring("key", 1, bucket_prefix))
     w = Window.partitionBy("bucket").orderBy("key", "id")
     ranked = keyed.withColumn("rank", F.row_number().over(w))
-    blk = ranked.withColumn("block", ((F.col("rank") - 1) / window).cast("long"))
+    # blk feeds the a-side AND both probe copies — materialize the rank
+    # window once instead of running it three times
+    blk = ranked.withColumn(
+        "block", ((F.col("rank") - 1) / window).cast("long")
+    ).localCheckpoint(eager=True)
     probe = blk.unionByName(blk.withColumn("block", F.col("block") - 1))
     a, b = blk.alias("a"), probe.alias("b")
     return (

@@ -799,6 +799,11 @@ def sparse_cosine_pairs(
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1] (got {threshold})")
     sp = spread(df)
+    # tf feeds BOTH the df-count aggregate and the weight join; unit
+    # feeds BOTH sides of the term self-join — materialize each once
+    # (the same build-once table pattern as the minhash shingle-hash
+    # table in dedup.py), or the whole tokenize+aggregate lineage
+    # re-executes per consumer
     tf = (
         sp.select(
             F.col(id_col).alias("id"),
@@ -806,6 +811,7 @@ def sparse_cosine_pairs(
         )
         .groupBy("id", "term")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = sp.count()  # scalar literal, like tfidf_top_terms
@@ -820,8 +826,11 @@ def sparse_cosine_pairs(
         )
     )
     norm = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("n"))
-    unit = w.join(norm, "id").where(F.col("n") > 0).select(
-        "id", "term", (F.col("w") / F.col("n")).alias("u")
+    unit = (
+        w.join(norm, "id")
+        .where(F.col("n") > 0)
+        .select("id", "term", (F.col("w") / F.col("n")).alias("u"))
+        .localCheckpoint(eager=True)
     )
     a, b = unit.alias("a"), unit.alias("b")
     return (
