@@ -111,3 +111,50 @@ def test_big_pack_sequences_bounded_windows(big_docs):
     # sequence's token total can exceed budget + one straddling doc
     mx = agg.agg(F.max("seq_tokens")).first()[0]
     assert mx <= 2048 + 40, mx
+
+
+def test_big_bloom_probe_broadcasts_filter(big, spark):
+    from kevinlang_spark.operators.sketches import bloom_build, bloom_probe
+
+    filt = bloom_build(big.where(F.col("k") < 100).select("k"), "k")
+    probes = spark.range(1000).select(F.col("id").alias("k"))
+    out = bloom_probe(filt, probes, "k")
+    plan = executed_plan(out)
+    # the filter side must broadcast — a billion probes never shuffle
+    assert "BroadcastExchange" in plan
+    res = {r.value: r.maybe_present for r in out.collect()}
+    assert all(res[v] for v in range(100))  # no false negatives
+
+
+def test_big_sorted_neighborhood_bounded_join(big_docs):
+    """SN over 200k docs: the block join must be a hash join on
+    (bucket, block) — never a sort-merge over whole buckets or a
+    nested-loop — and finish in bounded time."""
+    from kevinlang_spark.operators.dedup import sorted_neighborhood_pairs
+
+    sample = big_docs.where(F.col("doc_id") % 10 == 0)
+    out = sorted_neighborhood_pairs(sample, window=3, max_dist=24)
+    plan = executed_plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert out.count() > 0  # 8-word vocab docs collide heavily
+
+
+def test_big_adamic_adar_hub_cap_holds(big, spark):
+    """Link prediction from a 10M-row scan: the two-hop join must be a
+    hash join keyed on the middle node (no cartesian/nested-loop), and
+    tightening the hub cap can only shrink the candidate set."""
+    from kevinlang_spark.operators.graph import adamic_adar
+    from kevinlang_spark.plans import executed_plan as _ep
+
+    edges = big.select(
+        (F.col("id") % 2000).alias("a"), (F.col("id") % 3000 + 10000).alias("b")
+    ).distinct()
+    out = adamic_adar(edges, k=5, max_deg=8)
+    plan = _ep(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert out.count() <= 5
+    # cap monotonicity: middles with deg > 1 are all deg in {2, 3} here,
+    # so max_deg=1 must empty the candidate set entirely
+    assert adamic_adar(edges, k=5, max_deg=2).count() <= 5
