@@ -936,6 +936,27 @@ def q_stream_sessions(spark, sf_dir):
     )
 
 
+def q_media_decode(spark, sf_dir):
+    """REAL container decode with zero codecs (multimodal.py
+    stdlib_decode): synthesize valid BMP/WAV payloads executor-side
+    (real struct-packed container bytes), decode their actual headers
+    through the mapInPandas feature extractor, and check the decoded
+    dimensions/frame counts against the generation formula — the
+    end-to-end proof that the media plumbing decodes real bytes, not
+    fakes."""
+    from kevinlang_spark.operators.multimodal import (
+        attach_stdlib_media,
+        extract_media_features,
+        stdlib_decode,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_stdlib_media(docs)
+    return extract_media_features(media, decode=stdlib_decode).select(
+        "doc_id", "media_type", "n_bytes", "width", "height", "n_frames"
+    )
+
+
 def q_stream_stateful(spark, sf_dir):
     """STREAMING custom state: per-user running totals held in explicit
     GroupState (applyInPandasWithState) drained via availableNow — the
@@ -3585,6 +3606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_dedup": q_stream_dedup,
         "q_stream_sessions": q_stream_sessions,
         "q_stream_stateful": q_stream_stateful,
+        "q_media_decode": q_media_decode,
         "q_ann_lsh_indexed": q_ann_lsh_indexed,
         "q_ann_probe_pruned": q_ann_probe_pruned,
         "q_winnow_fingerprints": q_winnow_fingerprints,
@@ -4048,6 +4070,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         # streaming queries oracle against their batch twins: a drained
         # availableNow stream must equal the one-shot batch answer
+        "q_media_decode": (
+            # the decoded header fields must equal the generation formula:
+            # BMP rows pad to 4 bytes; WAV = 44-byte header + 2 bytes/frame
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END "
+            "AS media_type, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN "
+            "54 + (((doc_id % 64 + 1) * 3 + 3) // 4) * 4 * (doc_id % 48 + 1) "
+            "ELSE 44 + 2 * (doc_id % 1000 + 1) END AS BIGINT) AS n_bytes, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 64 + 1 END AS INTEGER) "
+            "AS width, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 48 + 1 END AS INTEGER) "
+            "AS height, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN 1 "
+            "ELSE doc_id % 1000 + 1 END AS INTEGER) AS n_frames "
+            "FROM documents"
+        ),
         "q_stream_stateful": (
             # batch twin of the GroupState running totals
             "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "

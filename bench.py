@@ -130,6 +130,7 @@ HEADLINE = [
     "q_cube_revenue",
     "q_rollup_revenue",
     "q_link_prediction",
+    "q_media_decode",
 ]
 
 

@@ -115,10 +115,18 @@ def extract_media_features(
             # table) yield null features, not a task-killing TypeError;
             # bytes() materialized once per row
             raw = [None if p is None else bytes(p) for p in pdf["payload"]]
-            feats = [
-                {} if p is None else decode(p, m)
-                for p, m in zip(raw, pdf["media_type"])
-            ]
+
+            def safe(p, m):
+                # corrupt/truncated containers are routine in a bronze
+                # media table: null features (quarantine), not a dead task
+                if p is None:
+                    return {}
+                try:
+                    return decode(p, m)
+                except (ValueError, NotImplementedError):
+                    return {}
+
+            feats = [safe(p, m) for p, m in zip(raw, pdf["media_type"])]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -154,3 +162,129 @@ def sample_frames(
         F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n)),
     ).otherwise(F.array().cast("array<int>"))
     return feats.select("doc_id", F.explode(frames).alias("frame_idx"))
+
+
+def stdlib_decode(payload: bytes, media_type: str) -> dict:
+    """REAL container decode with zero external codecs: parse the actual
+    byte headers of the common formats whose containers are plain
+    struct-packed — PNG / GIF / BMP / JPEG dimensions and WAV PCM frame
+    counts — the ffprobe-lite subset every media pipeline needs before
+    any pixel/sample work (corrupt-file triage, resolution filters,
+    duration buckets).
+
+    Full pixel/sample decode of compressed formats genuinely needs
+    codec libraries (see :func:`real_decode`'s PIL gate); header
+    parsing does not, so this path runs — and is tested against real
+    container bytes — in codec-less environments.  Unknown or
+    truncated payloads raise ValueError (callers route those to a
+    quarantine column, same as NULL payloads)."""
+    import struct
+
+    if media_type == "image":
+        if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+            w, h = struct.unpack(">II", payload[16:24])
+            return {"width": w, "height": h, "n_frames": 1}
+        if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+            w, h = struct.unpack("<HH", payload[6:10])
+            return {"width": w, "height": h, "n_frames": 1}
+        if payload[:2] == b"BM" and len(payload) >= 26:
+            w, h = struct.unpack("<ii", payload[18:26])
+            return {"width": w, "height": abs(h), "n_frames": 1}
+        if payload[:2] == b"\xff\xd8":  # JPEG: walk segments to SOFn
+            i = 2
+            while i + 9 < len(payload):
+                if payload[i] != 0xFF:
+                    break
+                marker = payload[i + 1]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                    return {"width": w, "height": h, "n_frames": 1}
+                seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+                i += 2 + seg_len
+        raise ValueError("unrecognized or truncated image container")
+    if media_type == "audio":
+        if (
+            payload[:4] == b"RIFF"
+            and payload[8:12] == b"WAVE"
+            and len(payload) >= 44
+        ):
+            # walk RIFF chunks for fmt (block align) and data (byte size)
+            i, block_align, data_bytes = 12, None, None
+            while i + 8 <= len(payload):
+                cid = payload[i : i + 4]
+                size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+                if cid == b"fmt " and i + 22 <= len(payload):
+                    block_align = struct.unpack("<H", payload[i + 20 : i + 22])[0]
+                elif cid == b"data":
+                    data_bytes = size
+                i += 8 + size + (size % 2)
+            if block_align and data_bytes is not None:
+                return {
+                    "width": None,
+                    "height": None,
+                    "n_frames": data_bytes // block_align,
+                }
+        raise ValueError("unrecognized or truncated audio container")
+    raise NotImplementedError(
+        f"{media_type} decode needs ffmpeg-class codecs; stdlib_decode "
+        "covers PNG/GIF/BMP/JPEG headers and WAV PCM only"
+    )
+
+
+def make_bmp(width: int, height: int) -> bytes:
+    """A minimal VALID 24-bit BMP of the given dimensions (zeroed
+    pixels) — real container bytes for decode tests and synthetic
+    bronze tables."""
+    import struct
+
+    row = (width * 3 + 3) & ~3  # rows pad to 4 bytes
+    pixels = row * height
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + pixels, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, pixels, 2835, 2835, 0, 0)
+        + b"\x00" * pixels
+    )
+
+
+def make_wav(n_frames: int, sample_rate: int = 8000) -> bytes:
+    """A minimal VALID 16-bit mono PCM WAV with ``n_frames`` zero
+    samples."""
+    import struct
+
+    data = b"\x00\x00" * n_frames
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def attach_stdlib_media(df: DataFrame) -> DataFrame:
+    """Synthesize a bronze media table with REAL container bytes:
+    alternating BMPs (dimensions derived from doc_id) and WAVs (frame
+    count derived from doc_id), built per Arrow batch so payloads are
+    created executor-side and never touch the driver."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"]
+            media, payload = [], []
+            for i in ids:
+                if i % 2 == 0:
+                    media.append("image")
+                    payload.append(make_bmp(int(i) % 64 + 1, int(i) % 48 + 1))
+                else:
+                    media.append("audio")
+                    payload.append(make_wav(int(i) % 1000 + 1))
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_type": media, "payload": payload}
+            )
+
+    return df.select("doc_id").mapInPandas(
+        gen, schema="doc_id bigint, media_type string, payload binary"
+    )

@@ -45,10 +45,18 @@ def test_checksum_matches_bytes(media, spark):
         assert r["checksum"] == hashlib.md5(bytes(r["payload"])).hexdigest()
 
 
-def test_real_decode_raises(media):
-    out = multimodal.extract_media_features(media.limit(1), decode=multimodal.real_decode)
-    with pytest.raises(Exception, match="NotImplementedError|media codecs"):
-        out.collect()
+def test_real_decode_quarantines_without_codecs(media):
+    """In codec-less environments real_decode raises per payload; the
+    extractor routes those rows to null features (quarantine) instead of
+    killing the task — the raw decoder still raises directly (see
+    test_stdlib_decode_rejects_garbage for the ValueError twin)."""
+    rows = multimodal.extract_media_features(
+        media.limit(1), decode=multimodal.real_decode
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["width"] is None and rows[0]["n_frames"] is None
+    with pytest.raises(NotImplementedError):
+        multimodal.real_decode(b"payload", "video")
 
 
 def test_sample_frames_only_video(media):
@@ -90,3 +98,95 @@ def test_real_decode_image_without_pil_raises():
         multimodal.real_decode(b"\x89PNG", "image")
     with pytest.raises(NotImplementedError, match="codecs"):
         multimodal.real_decode(b"", "video")
+
+
+# --------------------------------------------------------------------- #
+# stdlib container decode (real bytes, zero codecs)
+# --------------------------------------------------------------------- #
+
+
+def test_stdlib_decode_real_containers():
+    import struct
+
+    from kevinlang_spark.operators.multimodal import (
+        make_bmp,
+        make_wav,
+        stdlib_decode,
+    )
+
+    assert stdlib_decode(make_bmp(17, 9), "image") == {
+        "width": 17, "height": 9, "n_frames": 1
+    }
+    assert stdlib_decode(make_wav(123), "audio")["n_frames"] == 123
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">IIBBBBB", 320, 200, 8, 2, 0, 0, 0)
+    )
+    assert stdlib_decode(png, "image")["width"] == 320
+    gif = b"GIF89a" + struct.pack("<HH", 99, 44)
+    assert stdlib_decode(gif, "image")["height"] == 44
+    jpg = (
+        b"\xff\xd8\xff\xe0" + struct.pack(">H", 4) + b"JF"
+        + b"\xff\xc0" + struct.pack(">H", 8) + b"\x08"
+        + struct.pack(">HH", 240, 360) + b"\x03"
+    )
+    assert stdlib_decode(jpg, "image") == {
+        "width": 360, "height": 240, "n_frames": 1
+    }
+
+
+def test_stdlib_decode_rejects_garbage():
+    import pytest as _pytest
+
+    from kevinlang_spark.operators.multimodal import stdlib_decode
+
+    with _pytest.raises(ValueError):
+        stdlib_decode(b"nonsense bytes", "image")
+    with _pytest.raises(ValueError):
+        stdlib_decode(b"RIFFxxxx", "audio")
+    with _pytest.raises(NotImplementedError):
+        stdlib_decode(b"anything", "video")
+
+
+def test_corrupt_payload_quarantines_not_kills(spark):
+    from kevinlang_spark.operators.multimodal import (
+        extract_media_features,
+        make_bmp,
+        stdlib_decode,
+    )
+
+    rows = [
+        (1, "image", bytearray(make_bmp(5, 4))),
+        (2, "image", bytearray(b"corrupt!!")),
+        (3, "image", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, media_type string, payload binary"
+    )
+    out = {
+        r.doc_id: (r.width, r.height)
+        for r in extract_media_features(df, decode=stdlib_decode).collect()
+    }
+    assert out[1] == (5, 4)
+    assert out[2] == (None, None)  # quarantined, task alive
+    assert out[3] == (None, None)
+
+
+def test_stdlib_media_decode_roundtrip_on_spark(spark):
+    from kevinlang_spark.operators.multimodal import (
+        attach_stdlib_media,
+        extract_media_features,
+        stdlib_decode,
+    )
+
+    docs = spark.range(10).select(F.col("id").alias("doc_id"))
+    out = {
+        r.doc_id: (r.media_type, r.width, r.n_frames)
+        for r in extract_media_features(
+            attach_stdlib_media(docs), decode=stdlib_decode
+        ).collect()
+    }
+    assert out[4] == ("image", 4 % 64 + 1, 1)
+    assert out[7] == ("audio", None, 7 % 1000 + 1)
