@@ -936,6 +936,29 @@ def q_stream_sessions(spark, sf_dir):
     )
 
 
+def q_record_linkage(spark, sf_dir):
+    """Fellegi–Sunter probabilistic record linkage (linkage.py):
+    nationkey-blocked customer pairs scored by Σ log2(m/u) agreement
+    weights over (segment, coarse/fine balance buckets), with
+    u-probabilities estimated from the data as value-collision
+    probabilities — rare-value agreement earns big weight, common-value
+    agreement almost none."""
+    from kevinlang_spark.operators.linkage import fs_link_pairs
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .withColumn("bal_k", F.floor(F.col("c_acctbal") / 1000))
+        .withColumn("bal_h", F.floor(F.col("c_acctbal") / 100))
+    )
+    return fs_link_pairs(
+        cust,
+        "c_custkey",
+        F.col("c_nationkey"),
+        {"c_mktsegment": 0.9, "bal_k": 0.85, "bal_h": 0.7},
+        threshold=8.0,
+    )
+
+
 def q_media_decode(spark, sf_dir):
     """REAL container decode with zero codecs (multimodal.py
     stdlib_decode): synthesize valid BMP/WAV payloads executor-side
@@ -3607,6 +3630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_sessions": q_stream_sessions,
         "q_stream_stateful": q_stream_stateful,
         "q_media_decode": q_media_decode,
+        "q_record_linkage": q_record_linkage,
         "q_ann_lsh_indexed": q_ann_lsh_indexed,
         "q_ann_probe_pruned": q_ann_probe_pruned,
         "q_winnow_fingerprints": q_winnow_fingerprints,
@@ -4070,6 +4094,35 @@ def oracle_sql() -> dict[str, str]:
         ),
         # streaming queries oracle against their batch twins: a drained
         # availableNow stream must equal the one-shot batch answer
+        "q_record_linkage": (
+            "WITH base AS (SELECT c_custkey AS id, c_nationkey AS block, "
+            "c_mktsegment AS seg, "
+            "CAST(floor(c_acctbal/1000) AS BIGINT) AS bal_k, "
+            "CAST(floor(c_acctbal/100) AS BIGINT) AS bal_h FROM customer), "
+            "u1 AS (SELECT SUM(n*n)*1.0/(SUM(n)*SUM(n)) AS u FROM "
+            "(SELECT COUNT(*) AS n FROM customer "
+            "WHERE c_mktsegment IS NOT NULL GROUP BY c_mktsegment)), "
+            "u2 AS (SELECT SUM(n*n)*1.0/(SUM(n)*SUM(n)) AS u FROM "
+            "(SELECT COUNT(*) AS n FROM base WHERE bal_k IS NOT NULL "
+            "GROUP BY bal_k)), "
+            "u3 AS (SELECT SUM(n*n)*1.0/(SUM(n)*SUM(n)) AS u FROM "
+            "(SELECT COUNT(*) AS n FROM base WHERE bal_h IS NOT NULL "
+            "GROUP BY bal_h)) "
+            "SELECT * FROM ("
+            "SELECT a.id AS id_a, b.id AS id_b, "
+            "CAST((CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END) "
+            "+ (CASE WHEN a.bal_k = b.bal_k THEN 1 ELSE 0 END) "
+            "+ (CASE WHEN a.bal_h = b.bal_h THEN 1 ELSE 0 END) AS INTEGER) "
+            "AS n_agree, "
+            "ROUND(CASE WHEN a.seg = b.seg THEN log2(0.9/(SELECT u FROM u1)) "
+            "ELSE log2(0.1/(1-(SELECT u FROM u1))) END "
+            "+ CASE WHEN a.bal_k = b.bal_k THEN log2(0.85/(SELECT u FROM u2)) "
+            "ELSE log2(0.15/(1-(SELECT u FROM u2))) END "
+            "+ CASE WHEN a.bal_h = b.bal_h THEN log2(0.7/(SELECT u FROM u3)) "
+            "ELSE log2(0.3/(1-(SELECT u FROM u3))) END, 4) AS score "
+            "FROM base a JOIN base b ON a.block = b.block AND a.id < b.id"
+            ") WHERE score >= 8.0"
+        ),
         "q_media_decode": (
             # the decoded header fields must equal the generation formula:
             # BMP rows pad to 4 bytes; WAV = 44-byte header + 2 bytes/frame

@@ -131,6 +131,7 @@ HEADLINE = [
     "q_rollup_revenue",
     "q_link_prediction",
     "q_media_decode",
+    "q_record_linkage",
 ]
 
 

@@ -1496,6 +1496,21 @@ class KevinFrame:
             _aa(self._df, k, max_deg, src, dst), ordered=False
         )
 
+    def fs_link_pairs(
+        self,
+        id_col: str,
+        block_expr,
+        fields: dict,
+        threshold: float = 0.0,
+    ) -> "KevinFrame":
+        """Fellegi–Sunter probabilistic record linkage — see
+        ``operators.linkage.fs_link_pairs``."""
+        from kevinlang_spark.operators.linkage import fs_link_pairs as _fs
+
+        return KevinFrame.from_df(
+            _fs(self._df, id_col, block_expr, fields, threshold), ordered=False
+        )
+
     def rank_fusion(
         self,
         others: list["KevinFrame"],

@@ -1,0 +1,109 @@
+"""Probabilistic record linkage (Fellegi & Sunter 1969).
+
+The classic entity-resolution scorer: candidate pairs from cheap
+blocking get a match weight Σ_f w_f where, per compared field f,
+
+    agree    →  log2(m_f / u_f)
+    disagree →  log2((1 − m_f) / (1 − u_f))
+
+m_f = P(agree | true match) is a caller parameter (field reliability);
+u_f = P(agree | random pair) is ESTIMATED FROM THE DATA as the
+collision probability of f's value distribution, Σ_v (n_v / N)² — one
+grouped aggregate per field, a 1-row table broadcast into the scorer.
+High-entropy fields (rare values) thus earn large agreement weights and
+common-value agreements earn little, with zero hand tuning.
+
+Scale shape: blocking bounds the candidate join (block key groups);
+u-estimation is one aggregate pass per field; scoring is a scan-stage
+expression over the pair table.  Nothing driver-side, nothing
+quadratic outside the capped blocks.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def u_probability(df: DataFrame, field: str) -> DataFrame:
+    """Collision probability of ``field``'s value distribution:
+    Σ_v (n_v/N)² over non-null values — P(two random records agree).
+    Returns a 1-row (field, u) frame."""
+    counts = df.where(F.col(field).isNotNull()).groupBy(field).agg(
+        F.count("*").alias("n")
+    )
+    return counts.agg(
+        F.lit(field).alias("field"),
+        (F.sum(F.col("n") * F.col("n")) / (F.sum("n") * F.sum("n"))).alias("u"),
+    )
+
+
+def fs_link_pairs(
+    df: DataFrame,
+    id_col: str,
+    block_expr,
+    fields: dict[str, float],
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Fellegi–Sunter linkage over within-block candidate pairs.
+
+    ``fields`` maps field name → m-probability (P(agree | match),
+    e.g. 0.95 for stable fields, 0.7 for noisy ones).  ``block_expr``
+    is a Column producing the blocking key; records sharing a key pair
+    up (id_a < id_b).  Returns (id_a, id_b, n_agree, score) for pairs
+    with score ≥ ``threshold``, score rounded 4dp.
+
+    u-probabilities come from :func:`u_probability` per field —
+    data-estimated, so a field like national id (unique values,
+    u ≈ 1/N) dominates the score while a 5-value segment field barely
+    moves it, exactly the Fellegi–Sunter prescription."""
+    if not fields:
+        raise ValueError("fs_link_pairs: need at least one compared field")
+    for f, m in fields.items():
+        if not 0.0 < m < 1.0:
+            raise ValueError(f"m-probability for {f} must be in (0,1), got {m}")
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        block_expr.alias("block"),
+        *[F.col(f) for f in fields],
+    ).where(F.col("block").isNotNull())
+
+    # per-field u as driver-side scalars: one tiny aggregate per field
+    # (metadata, like the PCA matrix) — folded into the score expression
+    # as literals so scoring is pure scan-stage codegen
+    u = {
+        f: u_probability(df, f).collect()[0]["u"] for f in fields
+    }
+
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.id") < F.col("b.id")),
+    )
+    score = F.lit(0.0)
+    n_agree = F.lit(0)
+    for f, m in fields.items():
+        agree = (
+            F.col(f"a.{f}").isNotNull()
+            & F.col(f"b.{f}").isNotNull()
+            & (F.col(f"a.{f}") == F.col(f"b.{f}"))
+        )
+        w_agree = math.log2(m / u[f])
+        w_disagree = math.log2((1.0 - m) / (1.0 - u[f]))
+        score = score + F.when(agree, F.lit(w_agree)).otherwise(
+            F.lit(w_disagree)
+        )
+        n_agree = n_agree + F.when(agree, 1).otherwise(0)
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            n_agree.cast("int").alias("n_agree"),
+            F.round(score, 4).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )
