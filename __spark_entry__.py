@@ -936,6 +936,23 @@ def q_stream_sessions(spark, sf_dir):
     )
 
 
+def q_radius_join(spark, sf_dir):
+    """Grid-blocked spatial radius join (spatial.py): customers get
+    deterministic synthetic coordinates in a 10°×10° region; find all
+    pairs within 50 km by cell blocking + 3×3 probe neighborhood +
+    haversine verify.  The oracle is the BRUTE-FORCE O(n²) distance
+    filter — a hash match proves the blocking complete, not merely
+    self-consistent."""
+    from kevinlang_spark.operators.spatial import radius_join_pairs
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") % 100) / 10.0 + 40.0).alias("lat"),
+        ((F.col("c_custkey") * 7 % 100) / 10.0).alias("lon"),
+    )
+    return radius_join_pairs(cust, "id", "lat", "lon", radius_km=50.0)
+
+
 def q_record_linkage(spark, sf_dir):
     """Fellegi–Sunter probabilistic record linkage (linkage.py):
     nationkey-blocked customer pairs scored by Σ log2(m/u) agreement
@@ -3631,6 +3648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_stateful": q_stream_stateful,
         "q_media_decode": q_media_decode,
         "q_record_linkage": q_record_linkage,
+        "q_radius_join": q_radius_join,
         "q_ann_lsh_indexed": q_ann_lsh_indexed,
         "q_ann_probe_pruned": q_ann_probe_pruned,
         "q_winnow_fingerprints": q_winnow_fingerprints,
@@ -4094,6 +4112,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         # streaming queries oracle against their batch twins: a drained
         # availableNow stream must equal the one-shot batch answer
+        "q_radius_join": (
+            # brute force: completeness proof for the grid blocking
+            "WITH p AS (SELECT c_custkey AS id, "
+            "(c_custkey % 100) / 10.0 + 40.0 AS lat, "
+            "(c_custkey * 7 % 100) / 10.0 AS lon FROM customer), "
+            "d AS (SELECT a.id AS id_a, b.id AS id_b, "
+            "2 * 6371.0088 * asin(sqrt("
+            "sin(radians(b.lat - a.lat) / 2) ^ 2 "
+            "+ cos(radians(a.lat)) * cos(radians(b.lat)) "
+            "* sin(radians(b.lon - a.lon) / 2) ^ 2)) AS dist "
+            "FROM p a JOIN p b ON a.id < b.id) "
+            "SELECT DISTINCT id_a, id_b, ROUND(dist, 3) AS dist_km "
+            "FROM d WHERE dist <= 50.0"
+        ),
         "q_record_linkage": (
             "WITH base AS (SELECT c_custkey AS id, c_nationkey AS block, "
             "c_mktsegment AS seg, "

@@ -132,6 +132,7 @@ HEADLINE = [
     "q_link_prediction",
     "q_media_decode",
     "q_record_linkage",
+    "q_radius_join",
 ]
 
 

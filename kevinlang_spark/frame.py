@@ -1511,6 +1511,24 @@ class KevinFrame:
             _fs(self._df, id_col, block_expr, fields, threshold), ordered=False
         )
 
+    def radius_join_pairs(
+        self,
+        id_col: str,
+        lat_col: str,
+        lon_col: str,
+        radius_km: float = 50.0,
+        cell_cap: int = 10_000,
+        lat_band_deg: float = 66.0,
+    ) -> "KevinFrame":
+        """Grid-blocked spatial radius join — see
+        ``operators.spatial.radius_join_pairs``."""
+        from kevinlang_spark.operators.spatial import radius_join_pairs as _rj
+
+        return KevinFrame.from_df(
+            _rj(self._df, id_col, lat_col, lon_col, radius_km, cell_cap, lat_band_deg),
+            ordered=False,
+        )
+
     def rank_fusion(
         self,
         others: list["KevinFrame"],
