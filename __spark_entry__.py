@@ -2534,6 +2534,9 @@ def q_triangles(spark, sf_dir):
             F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
         )
         .distinct()
+        # e feeds three join legs: materialize once or the scan+distinct
+        # lineage re-executes per leg (see graph.py loop invariants)
+        .localCheckpoint(eager=True)
     )
     e1 = e.alias("e1")
     e2 = e.alias("e2")
