@@ -936,6 +936,16 @@ def q_stream_sessions(spark, sf_dir):
     )
 
 
+def q_feature_hash(spark, sf_dir):
+    """Hashing-trick featurizer (text.py feature_hash, dim=256): the
+    vocabulary-free sparse vectorizer — md5-slot + md5-sign per token,
+    one explode + one (id, idx) shuffle.  The oracle recomputes the
+    identical slot/sign hashes, so collisions match bit-for-bit."""
+    from kevinlang_spark.operators.text import feature_hash
+
+    return feature_hash(_t(spark, sf_dir, "documents"), dim=256)
+
+
 def q_radius_join(spark, sf_dir):
     """Grid-blocked spatial radius join (spatial.py): customers get
     deterministic synthetic coordinates in a 10°×10° region; find all
@@ -3652,6 +3662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_decode": q_media_decode,
         "q_record_linkage": q_record_linkage,
         "q_radius_join": q_radius_join,
+        "q_feature_hash": q_feature_hash,
         "q_ann_lsh_indexed": q_ann_lsh_indexed,
         "q_ann_probe_pruned": q_ann_probe_pruned,
         "q_winnow_fingerprints": q_winnow_fingerprints,
@@ -4115,6 +4126,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         # streaming queries oracle against their batch twins: a drained
         # availableNow stream must equal the one-shot batch answer
+        "q_feature_hash": (
+            "WITH toks AS (SELECT doc_id AS id, "
+            "unnest(list_filter(string_split_regex(lower(text), "
+            "'[^a-z0-9]+'), t -> t <> '')) AS tok FROM documents) "
+            "SELECT id, "
+            "CAST(CONCAT('0x', substr(md5(CONCAT(tok, '#fh')), 1, 13)) "
+            "AS BIGINT) % 256 AS idx, "
+            "CAST(SUM(CASE WHEN CAST(CONCAT('0x', "
+            "substr(md5(CONCAT(tok, '#fs')), 1, 13)) AS BIGINT) % 2 = 0 "
+            "THEN 1 ELSE -1 END) AS BIGINT) AS val "
+            "FROM toks GROUP BY id, idx HAVING val <> 0"
+        ),
         "q_radius_join": (
             # brute force: completeness proof for the grid blocking
             "WITH p AS (SELECT c_custkey AS id, "

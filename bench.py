@@ -133,6 +133,7 @@ HEADLINE = [
     "q_media_decode",
     "q_record_linkage",
     "q_radius_join",
+    "q_feature_hash",
 ]
 
 

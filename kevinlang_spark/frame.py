@@ -1529,6 +1529,20 @@ class KevinFrame:
             ordered=False,
         )
 
+    def feature_hash(
+        self,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        dim: int = 1024,
+    ) -> "KevinFrame":
+        """Hashing-trick sparse featurizer — see
+        ``operators.text.feature_hash``."""
+        from kevinlang_spark.operators.text import feature_hash as _fh
+
+        return KevinFrame.from_df(
+            _fh(self._df, id_col, text_col, dim), ordered=False
+        )
+
     def rank_fusion(
         self,
         others: list["KevinFrame"],

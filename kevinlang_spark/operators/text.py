@@ -846,3 +846,47 @@ def sparse_cosine_pairs(
         .where(F.col("__c") >= threshold)
         .select("id_a", "id_b", F.round("__c", 6).alias("cosine"))
     )
+
+
+def feature_hash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 1024,
+) -> DataFrame:
+    """Hashing-trick vectorizer (Weinberger et al. 2009): tokens map to
+    ``dim`` feature slots by hash, with a second hash bit supplying a
+    ±1 sign so collisions cancel in expectation — the fixed-memory,
+    vocabulary-free featurizer behind Vowpal-Wabbit-style linear
+    models and sketch-based similarity.
+
+    Slot and sign are md5-prefix hashes (engine-portable, like the
+    bloom/winnow families); the output is the sparse triple table
+    (id, idx, val) with val = signed token count — one explode + one
+    (id, idx) key shuffle with map-side combine, no vocabulary state
+    anywhere.  Rows with no tokens vanish (no zero vector rows)."""
+    if dim < 2:
+        raise ValueError(f"dim must be >= 2 (got {dim})")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokenize(F.col(text_col))).alias("tok"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col("tok"), F.lit("#fh"))), 1, 13), 16, 10
+    ).cast("bigint")
+    sign = F.when(
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("tok"), F.lit("#fs"))), 1, 13),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        toks.select("id", (h % dim).alias("idx"), sign.alias("s"))
+        .groupBy("id", "idx")
+        .agg(F.sum("s").cast("bigint").alias("val"))
+        .where(F.col("val") != 0)
+    )

@@ -55,3 +55,44 @@ def test_threshold_guard(spark):
         sparse_cosine_pairs(df, threshold=0.0)
     with pytest.raises(ValueError):
         sparse_cosine_pairs(df, threshold=1.5)
+
+
+# --------------------------------------------------------------------- #
+# feature hashing (hashing trick)
+# --------------------------------------------------------------------- #
+
+
+def test_feature_hash_deterministic_and_bounded(spark):
+    from kevinlang_spark.operators.text import feature_hash
+
+    df = _docs(spark, [(1, "alpha beta alpha"), (2, "alpha beta alpha")])
+    a = sorted(tuple(r) for r in feature_hash(df, dim=64).collect())
+    b = sorted(tuple(r) for r in feature_hash(df, dim=64).collect())
+    assert a == b  # fully deterministic
+    assert all(0 <= idx < 64 for _, idx, _ in a)
+    # identical docs -> identical sparse vectors
+    va = [(i, v) for d, i, v in a if d == 1]
+    vb = [(i, v) for d, i, v in a if d == 2]
+    assert va == vb and len(va) >= 1
+    # repeated token accumulates: alpha contributes ±2, beta ±1
+    assert sorted(abs(v) for _, v in va) == [1, 2]
+
+
+def test_feature_hash_sign_cancellation_possible(spark):
+    from kevinlang_spark.operators.text import feature_hash
+
+    # dim=2 forces heavy collisions; just assert the zero-filter contract:
+    # no emitted val is 0 and empty docs vanish
+    df = _docs(spark, [(1, "a b c d e f g h i j"), (2, "!!!")])
+    rows = feature_hash(df, dim=2).collect()
+    assert all(r.val != 0 for r in rows)
+    assert {r.id for r in rows} <= {1}
+
+
+def test_feature_hash_param_guard(spark):
+    import pytest as _pytest
+
+    from kevinlang_spark.operators.text import feature_hash
+
+    with _pytest.raises(ValueError):
+        feature_hash(_docs(spark, [(1, "x")]), dim=1)
