@@ -936,6 +936,23 @@ def q_stream_sessions(spark, sf_dir):
     )
 
 
+def q_zorder_keys(spark, sf_dir):
+    """Z-order (Morton) layout keys over lineitem (quantity ×
+    extendedprice), the Delta/Iceberg OPTIMIZE-ZORDER mechanism
+    (layout.py): pure shift/and/or bit interleaving of two 16-bit
+    quantized dims — writing sorted by zkey clusters BOTH columns so
+    per-file min-max stats prune 2-D box predicates (measured in
+    test_zorder).  Output: per-row keys, bit-for-bit oracled."""
+    from kevinlang_spark.operators.layout import zorder_keys
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    return zorder_keys(
+        li, "l_quantity", (1.0, 50.0), "l_extendedprice", (900.0, 105000.0)
+    ).select("l_orderkey", "l_linenumber", "zkey")
+
+
 def q_feature_hash(spark, sf_dir):
     """Hashing-trick featurizer (text.py feature_hash, dim=256): the
     vocabulary-free sparse vectorizer — md5-slot + md5-sign per token,
@@ -3663,6 +3680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_record_linkage": q_record_linkage,
         "q_radius_join": q_radius_join,
         "q_feature_hash": q_feature_hash,
+        "q_zorder_keys": q_zorder_keys,
         "q_ann_lsh_indexed": q_ann_lsh_indexed,
         "q_ann_probe_pruned": q_ann_probe_pruned,
         "q_winnow_fingerprints": q_winnow_fingerprints,
@@ -4045,6 +4063,29 @@ def _bloom_oracle_sql(m: int = 1 << 14, k: int = 5) -> str:
     )
 
 
+def _zorder_oracle_sql() -> str:
+    """Bit-for-bit Morton replay: same quantization clamps, same 16-term
+    interleave via >> & << | integer ops."""
+
+    def q16(col: str, lo: float, hi: float) -> str:
+        return (
+            f"LEAST(GREATEST(CAST(floor((CAST({col} AS DOUBLE) - {lo}) "
+            f"/ ({hi} - {lo}) * 65535.0) AS BIGINT), 0), 65535)"
+        )
+
+    terms = " | ".join(
+        f"(((qx >> {i}) & 1) << {2 * i}) | (((qy >> {i}) & 1) << {2 * i + 1})"
+        for i in range(16)
+    )
+    return (
+        f"WITH q AS (SELECT l_orderkey, l_linenumber, "
+        f"{q16('l_quantity', 1.0, 50.0)} AS qx, "
+        f"{q16('l_extendedprice', 900.0, 105000.0)} AS qy FROM lineitem) "
+        f"SELECT l_orderkey, l_linenumber, CAST({terms} AS BIGINT) AS zkey "
+        f"FROM q"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q_bloom_filter": _bloom_oracle_sql(m=1 << 14, k=5),
@@ -4126,6 +4167,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         # streaming queries oracle against their batch twins: a drained
         # availableNow stream must equal the one-shot batch answer
+        "q_zorder_keys": _zorder_oracle_sql(),
         "q_feature_hash": (
             "WITH toks AS (SELECT doc_id AS id, "
             "unnest(list_filter(string_split_regex(lower(text), "

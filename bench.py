@@ -134,6 +134,7 @@ HEADLINE = [
     "q_record_linkage",
     "q_radius_join",
     "q_feature_hash",
+    "q_zorder_keys",
 ]
 
 
