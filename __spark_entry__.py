@@ -1024,6 +1024,52 @@ def q_media_decode(spark, sf_dir):
     )
 
 
+def q_stream_join(spark, sf_dir):
+    """STREAMING stream-stream interval join: two watermarked restreams
+    of the events source (views, clicks) interval-joined in append mode
+    via availableNow — the drained pair set must equal the batch
+    attribution join (q_click_attribution's SQL is the oracle)."""
+    import os
+    import tempfile
+
+    from kevinlang_spark.sources.parquet import normalize_event_ts
+    from kevinlang_spark.streaming.joins import interval_pair_join
+    from kevinlang_spark.streaming.windows import with_watermark
+
+    d = tempfile.mkdtemp(prefix="stream_join_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(d, "events.parquet"),
+    )
+    schema = spark.read.parquet(d).schema
+
+    def src():
+        return normalize_event_ts(spark.readStream.schema(schema).parquet(d))
+
+    views = with_watermark(
+        src().where(F.col("event_type") == "view"), delay="48 hours"
+    )
+    clicks = with_watermark(
+        src().where(F.col("event_type") == "click"), delay="48 hours"
+    )
+    out = interval_pair_join(views, clicks, within="24 hours").select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("event_id_r").alias("click_id"),
+        F.unix_timestamp("ts").alias("view_ts"),
+        F.unix_timestamp("ts_r").alias("click_ts"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("q_stream_join_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table("q_stream_join_mem")
+
+
 def q_stream_stateful(spark, sf_dir):
     """STREAMING custom state: per-user running totals held in explicit
     GroupState (applyInPandasWithState) drained via availableNow — the
@@ -3676,6 +3722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_dedup": q_stream_dedup,
         "q_stream_sessions": q_stream_sessions,
         "q_stream_stateful": q_stream_stateful,
+        "q_stream_join": q_stream_join,
         "q_media_decode": q_media_decode,
         "q_record_linkage": q_record_linkage,
         "q_radius_join": q_radius_join,
@@ -4239,6 +4286,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN doc_id % 2 = 0 THEN 1 "
             "ELSE doc_id % 1000 + 1 END AS INTEGER) AS n_frames "
             "FROM documents"
+        ),
+        "q_stream_join": (
+            # batch twin of the stream-stream interval join
+            "SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id, "
+            "CAST(floor(epoch(v.ts)) AS BIGINT) AS view_ts, "
+            "CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts "
+            "FROM events v JOIN events c ON v.user_id = c.user_id "
+            "AND v.event_type = 'view' AND c.event_type = 'click' "
+            "AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR"
         ),
         "q_stream_stateful": (
             # batch twin of the GroupState running totals

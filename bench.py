@@ -96,6 +96,7 @@ HEADLINE = [
     "q_stream_dedup",
     "q_stream_sessions",
     "q_stream_stateful",
+    "q_stream_join",
     "q_ann_lsh_indexed",
     "q_ann_probe_pruned",
     "q_containment",
