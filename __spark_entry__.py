@@ -3497,6 +3497,27 @@ def q_kcore(spark, sf_dir):
     return kcore(edges, k=16, rounds=8)
 
 
+def q_wl_refinement(spark, sf_dir):
+    """Weisfeiler–Lehman color refinement (3 rounds, graph.py
+    wl_refinement) on the folded order→part graph: structural
+    fingerprints — nodes share a label iff their radius-3 neighborhoods
+    are identical.  Output is the structure-class histogram."""
+    from kevinlang_spark.operators.graph import wl_refinement
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            (F.col("l_orderkey") % 3000).alias("a"),
+            (F.col("l_partkey") % 3000 + 3000).alias("b"),
+        )
+        .distinct()
+    )
+    wl = wl_refinement(edges, rounds=3)
+    return wl.groupBy("wl_label").agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    )
+
+
 def q_lpa_communities(spark, sf_dir):
     """Deterministic semi-synchronous Label Propagation communities
     (5 rounds, min-label tie-break) on the folded order→part bipartite
@@ -3736,6 +3757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kcore": q_kcore,
         "q_link_prediction": q_link_prediction,
         "q_lpa_communities": q_lpa_communities,
+        "q_wl_refinement": q_wl_refinement,
         "q_hits": q_hits,
         "q_pca_top_component": q_pca_top_component,
         "q_sorted_neighborhood": q_sorted_neighborhood,
@@ -3998,6 +4020,41 @@ def _lpa_oracle_sql(rounds: int = 5) -> str:
     )
 
 
+def _wl_oracle_sql(rounds: int = 3) -> str:
+    """Unrolled WL refinement mirroring graph.py wl_refinement: degree
+    start labels, per round hash(own label | sorted neighbor labels)
+    with the same md5-prefix ints; MATERIALIZED rounds (see kcore)."""
+
+    def h(expr: str) -> str:
+        return (
+            f"CAST(CONCAT('0x', substr(md5({expr}), 1, 13)) AS BIGINT)"
+        )
+
+    sql = (
+        "WITH e0 AS (SELECT DISTINCT l_orderkey % 3000 AS u, "
+        "l_partkey % 3000 + 3000 AS v FROM lineitem), "
+        "sym AS MATERIALIZED (SELECT u, v FROM e0 "
+        "UNION ALL SELECT v, u FROM e0), "
+        "l0 AS MATERIALIZED (SELECT u AS node, COUNT(*) AS label "
+        "FROM sym GROUP BY u)"
+    )
+    for i in range(1, rounds + 1):
+        sql += (
+            f", n{i} AS MATERIALIZED (SELECT s.u AS n, p.label AS l "
+            f"FROM sym s JOIN l{i - 1} p ON s.v = p.node)"
+            f", s{i} AS MATERIALIZED (SELECT n, "
+            f"array_to_string(list(l ORDER BY l), ',') AS sig "
+            f"FROM n{i} GROUP BY n)"
+            f", l{i} AS MATERIALIZED (SELECT p.node, "
+            + h(f"CONCAT(CAST(p.label AS VARCHAR), '|', s.sig)")
+            + f" AS label FROM l{i - 1} p JOIN s{i} s ON p.node = s.n)"
+        )
+    return sql + (
+        f" SELECT label AS wl_label, CAST(COUNT(*) AS BIGINT) AS n_nodes "
+        f"FROM l{rounds} GROUP BY label"
+    )
+
+
 def _hits_oracle_sql(iters: int = 8) -> str:
     """Unrolled L1-normalized HITS mirroring graph.py hits: per
     iteration auth-from-hub sum + normalize, then hub-from-auth sum +
@@ -4195,6 +4252,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY p.score DESC, p.a ASC, p.b ASC LIMIT 20"
         ),
         "q_lpa_communities": _lpa_oracle_sql(rounds=5),
+        "q_wl_refinement": _wl_oracle_sql(rounds=3),
         "q_hits": _hits_oracle_sql(iters=8),
         "q_pca_top_component": _pca_oracle_sql(dim=64, iters=12),
         "q_sorted_neighborhood": (

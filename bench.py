@@ -136,6 +136,7 @@ HEADLINE = [
     "q_radius_join",
     "q_feature_hash",
     "q_zorder_keys",
+    "q_wl_refinement",
 ]
 
 

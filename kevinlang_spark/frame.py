@@ -1481,6 +1481,17 @@ class KevinFrame:
             _sc(self._df, threshold, id_col, text_col, max_df), ordered=False
         )
 
+    def wl_refinement(
+        self, rounds: int = 3, src: str = "a", dst: str = "b"
+    ) -> "KevinFrame":
+        """Weisfeiler–Lehman structural fingerprints over this frame's
+        edge list — see ``operators.graph.wl_refinement``."""
+        from kevinlang_spark.operators.graph import wl_refinement as _wl
+
+        return KevinFrame.from_df(
+            _wl(self._df, rounds, src, dst), ordered=False
+        )
+
     def adamic_adar(
         self,
         k: int = 20,

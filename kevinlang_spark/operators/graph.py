@@ -347,3 +347,72 @@ def adamic_adar(
     return fresh.orderBy(
         F.col("score").desc(), F.col("a").asc(), F.col("b").asc()
     ).limit(k)
+
+
+def wl_refinement(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """Weisfeiler–Lehman color refinement (1968; the WL graph-kernel
+    basis): every node starts labeled with its DEGREE, then each round
+    relabels to hash(own label, sorted multiset of neighbor labels).
+    After r rounds two nodes share a label only if their radius-r
+    neighborhoods are structurally identical — the standard graph
+    fingerprint for isomorphism screening, role discovery, and
+    structural features.
+
+    Per round: one neighbor join + one grouped sorted-list aggregate +
+    a hash projection — shuffles on the node key only, checkpointed
+    like the other bounded-round graph ops.  The sorted list makes the
+    collect order-insensitive, and labels are 52-bit md5-prefix ints so
+    any engine replays them bit-for-bit.  Returns (node, wl_label)."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1 (got {rounds})")
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("label")
+    )
+    for i in range(rounds):
+        nbr = sym.join(labels, sym["v"] == labels["node"]).select(
+            F.col("u").alias("n"), F.col("label").alias("l")
+        )
+        sig = nbr.groupBy("n").agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("l")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("sig")
+        )
+        labels = (
+            labels.join(sig, labels["node"] == sig["n"])
+            .select(
+                "node",
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|", F.col("label").cast("string"), F.col("sig")
+                            )
+                        ),
+                        1,
+                        13,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("bigint")
+                .alias("label"),
+            )
+        )
+        if i + 1 < rounds:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select("node", F.col("label").alias("wl_label"))

@@ -151,3 +151,25 @@ def test_adamic_adar_param_guard(spark):
 
     with pytest.raises(ValueError):
         adamic_adar(_edges(spark, [(1, 2)]), k=0)
+
+
+def test_wl_refinement_structural_fingerprints(spark):
+    from kevinlang_spark.operators.graph import wl_refinement
+
+    # two disjoint triangles (isomorphic) + a 3-path
+    pairs = [(1, 2), (2, 3), (1, 3), (11, 12), (12, 13), (11, 13),
+             (21, 22), (22, 23)]
+    out = {
+        r.node: r.wl_label
+        for r in wl_refinement(_edges(spark, pairs), rounds=3).collect()
+    }
+    assert len({out[n] for n in (1, 2, 3, 11, 12, 13)}) == 1  # isomorphic
+    assert out[21] == out[23] != out[22]  # path ends vs middle
+    assert out[1] != out[21] and out[1] != out[22]  # distinct structures
+
+
+def test_wl_refinement_param_guard(spark):
+    from kevinlang_spark.operators.graph import wl_refinement
+
+    with pytest.raises(ValueError):
+        wl_refinement(_edges(spark, [(1, 2)]), rounds=0)
