@@ -3497,6 +3497,33 @@ def q_kcore(spark, sf_dir):
     return kcore(edges, k=16, rounds=8)
 
 
+def q_shortest_paths(spark, sf_dir):
+    """Bounded-round Bellman–Ford SSSP (graph.py shortest_paths) from
+    node 0 on the weighted folded order→part graph (edge weight = min
+    quantity): 6 relaxation rounds, node-key shuffles only.  Distances
+    accumulate identically per path in any engine, so the oracle's
+    unrolled relaxation matches bit-for-bit."""
+    from kevinlang_spark.operators.graph import shortest_paths
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            (F.col("l_orderkey") % 2000).alias("src"),
+            (F.col("l_partkey") % 2000 + 2000).alias("dst"),
+            F.col("l_quantity"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("l_quantity").alias("w"))
+    )
+    # make it traversable both ways: add the reverse edges
+    sym = edges.unionByName(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    return shortest_paths(sym, source=0, rounds=6, weight="w")
+
+
 def q_wl_refinement(spark, sf_dir):
     """Weisfeiler–Lehman color refinement (3 rounds, graph.py
     wl_refinement) on the folded order→part graph: structural
@@ -3758,6 +3785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_link_prediction": q_link_prediction,
         "q_lpa_communities": q_lpa_communities,
         "q_wl_refinement": q_wl_refinement,
+        "q_shortest_paths": q_shortest_paths,
         "q_hits": q_hits,
         "q_pca_top_component": q_pca_top_component,
         "q_sorted_neighborhood": q_sorted_neighborhood,
@@ -4055,6 +4083,30 @@ def _wl_oracle_sql(rounds: int = 3) -> str:
     )
 
 
+def _sssp_oracle_sql(rounds: int = 6) -> str:
+    """Unrolled Bellman–Ford matching graph.py shortest_paths: same
+    per-round relax + grouped min, same left-to-right weight
+    accumulation; MATERIALIZED rounds (see kcore)."""
+    sql = (
+        "WITH ew AS MATERIALIZED (SELECT l_orderkey % 2000 AS src, "
+        "l_partkey % 2000 + 2000 AS dst, MIN(l_quantity) AS w "
+        "FROM lineitem GROUP BY src, dst), "
+        "e AS MATERIALIZED (SELECT src AS u, dst AS v, "
+        "CAST(w AS DOUBLE) AS w FROM ew "
+        "UNION ALL SELECT dst, src, CAST(w AS DOUBLE) FROM ew), "
+        "d0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS node, "
+        "0.0 AS dist)"
+    )
+    for i in range(1, rounds + 1):
+        sql += (
+            f", d{i} AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM ("
+            f"SELECT node, dist FROM d{i - 1} "
+            f"UNION ALL SELECT e.v, p.dist + e.w FROM d{i - 1} p "
+            f"JOIN e ON p.node = e.u) GROUP BY node)"
+        )
+    return sql + f" SELECT node, dist FROM d{rounds}"
+
+
 def _hits_oracle_sql(iters: int = 8) -> str:
     """Unrolled L1-normalized HITS mirroring graph.py hits: per
     iteration auth-from-hub sum + normalize, then hub-from-auth sum +
@@ -4253,6 +4305,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_lpa_communities": _lpa_oracle_sql(rounds=5),
         "q_wl_refinement": _wl_oracle_sql(rounds=3),
+        "q_shortest_paths": _sssp_oracle_sql(rounds=6),
         "q_hits": _hits_oracle_sql(iters=8),
         "q_pca_top_component": _pca_oracle_sql(dim=64, iters=12),
         "q_sorted_neighborhood": (

@@ -137,6 +137,7 @@ HEADLINE = [
     "q_feature_hash",
     "q_zorder_keys",
     "q_wl_refinement",
+    "q_shortest_paths",
 ]
 
 

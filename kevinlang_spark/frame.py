@@ -1492,6 +1492,22 @@ class KevinFrame:
             _wl(self._df, rounds, src, dst), ordered=False
         )
 
+    def shortest_paths(
+        self,
+        source: int,
+        rounds: int = 6,
+        src: str = "src",
+        dst: str = "dst",
+        weight: str | None = None,
+    ) -> "KevinFrame":
+        """Bounded-round Bellman–Ford SSSP over this frame's edge list —
+        see ``operators.graph.shortest_paths``."""
+        from kevinlang_spark.operators.graph import shortest_paths as _sp
+
+        return KevinFrame.from_df(
+            _sp(self._df, source, rounds, src, dst, weight), ordered=False
+        )
+
     def adamic_adar(
         self,
         k: int = 20,

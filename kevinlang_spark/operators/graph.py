@@ -416,3 +416,47 @@ def wl_refinement(
         if i + 1 < rounds:
             labels = labels.localCheckpoint(eager=True)
     return labels.select("node", F.col("label").alias("wl_label"))
+
+
+def shortest_paths(
+    edges: DataFrame,
+    source: int,
+    rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """Single-source shortest paths by bounded-round Bellman–Ford
+    relaxation: dist'(v) = min(dist(v), min over edges u→v of
+    dist(u) + w(u,v)), ``rounds`` times — after r rounds every node
+    within r hops of ``source`` carries its exact shortest distance
+    over ≤ r-edge paths (the full answer when r ≥ graph diameter).
+
+    Per round: one join of the distance table to the edge list on the
+    source endpoint + one grouped min — node-key shuffles only, same
+    checkpointed bounded-round shape as pagerank/kcore/LPA/WL.  A
+    path's distance accumulates left-to-right along its edges in every
+    engine identically, so distances are bit-reproducible (min is
+    selection, not summation across paths).  ``weight=None`` means
+    hop counts.  Returns (node, dist) for reached nodes."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1 (got {rounds})")
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), w.alias("w")
+    ).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(source, 0.0)], "node bigint, dist double")
+    for i in range(rounds):
+        relaxed = (
+            dist.join(e, dist["node"] == e["u"])
+            .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if i + 1 < rounds:
+            dist = dist.localCheckpoint(eager=True)
+    return dist

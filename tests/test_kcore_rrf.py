@@ -173,3 +173,34 @@ def test_wl_refinement_param_guard(spark):
 
     with pytest.raises(ValueError):
         wl_refinement(_edges(spark, [(1, 2)]), rounds=0)
+
+
+def test_shortest_paths_weighted_diamond(spark):
+    from kevinlang_spark.operators.graph import shortest_paths
+
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (1, 3, 4.0), (2, 3, 1.0), (3, 4, 1.0)],
+        "src bigint, dst bigint, w double",
+    )
+    out = {
+        r.node: r.dist
+        for r in shortest_paths(e, source=1, rounds=4, weight="w").collect()
+    }
+    assert out == {1: 0.0, 2: 1.0, 3: 2.0, 4: 3.0}  # 1->2->3 beats 1->3
+    hops = {
+        r.node: r.dist for r in shortest_paths(e, source=1, rounds=4).collect()
+    }
+    assert hops == {1: 0.0, 2: 1.0, 3: 1.0, 4: 2.0}
+
+
+def test_shortest_paths_bounded_rounds_and_guard(spark):
+    from kevinlang_spark.operators.graph import shortest_paths
+
+    chain = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(5)], "src bigint, dst bigint, w double"
+    )
+    # 2 rounds reach only 2 hops
+    out = {r.node: r.dist for r in shortest_paths(chain, 0, rounds=2, weight="w").collect()}
+    assert out == {0: 0.0, 1: 1.0, 2: 2.0}
+    with pytest.raises(ValueError):
+        shortest_paths(chain, 0, rounds=0)
