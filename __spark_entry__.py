@@ -953,6 +953,16 @@ def q_zorder_keys(spark, sf_dir):
     ).select("l_orderkey", "l_linenumber", "zkey")
 
 
+def q_trigram_search(spark, sf_dir):
+    """Trigram-index substring search (text.py trigram_search): docs
+    matching 'window table' via posting-list intersection + contains
+    verify.  The oracle is the brute-force LIKE scan — equality proves
+    the index path complete."""
+    from kevinlang_spark.operators.text import trigram_search
+
+    return trigram_search(_t(spark, sf_dir, "documents"), "window table")
+
+
 def q_feature_hash(spark, sf_dir):
     """Hashing-trick featurizer (text.py feature_hash, dim=256): the
     vocabulary-free sparse vectorizer — md5-slot + md5-sign per token,
@@ -3776,6 +3786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_radius_join": q_radius_join,
         "q_feature_hash": q_feature_hash,
         "q_zorder_keys": q_zorder_keys,
+        "q_trigram_search": q_trigram_search,
         "q_ann_lsh_indexed": q_ann_lsh_indexed,
         "q_ann_probe_pruned": q_ann_probe_pruned,
         "q_winnow_fingerprints": q_winnow_fingerprints,
@@ -4326,6 +4337,10 @@ def oracle_sql() -> dict[str, str]:
         # streaming queries oracle against their batch twins: a drained
         # availableNow stream must equal the one-shot batch answer
         "q_zorder_keys": _zorder_oracle_sql(),
+        "q_trigram_search": (
+            "SELECT doc_id FROM documents "
+            "WHERE contains(lower(text), 'window table')"
+        ),
         "q_feature_hash": (
             "WITH toks AS (SELECT doc_id AS id, "
             "unnest(list_filter(string_split_regex(lower(text), "

@@ -138,6 +138,7 @@ HEADLINE = [
     "q_zorder_keys",
     "q_wl_refinement",
     "q_shortest_paths",
+    "q_trigram_search",
 ]
 
 

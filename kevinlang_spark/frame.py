@@ -1556,6 +1556,20 @@ class KevinFrame:
             ordered=False,
         )
 
+    def trigram_search(
+        self,
+        pattern: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> "KevinFrame":
+        """Trigram-index substring search — see
+        ``operators.text.trigram_search``."""
+        from kevinlang_spark.operators.text import trigram_search as _ts
+
+        return KevinFrame.from_df(
+            _ts(self._df, pattern, id_col, text_col), ordered=False
+        )
+
     def feature_hash(
         self,
         id_col: str = "doc_id",

