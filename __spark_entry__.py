@@ -3507,6 +3507,24 @@ def q_kcore(spark, sf_dir):
     return kcore(edges, k=16, rounds=8)
 
 
+def q_harmonic_centrality(spark, sf_dir):
+    """Sampled harmonic centrality from 4 sources (graph.py
+    harmonic_centrality): ALL sources propagate in one bounded-round
+    loop keyed (source, node) — adding sources widens the key space
+    instead of multiplying rounds."""
+    from kevinlang_spark.operators.graph import harmonic_centrality
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            (F.col("l_orderkey") % 2000).alias("a"),
+            (F.col("l_partkey") % 2000 + 2000).alias("b"),
+        )
+        .distinct()
+    )
+    return harmonic_centrality(edges, [0, 1, 2, 3], rounds=4)
+
+
 def q_shortest_paths(spark, sf_dir):
     """Bounded-round Bellman–Ford SSSP (graph.py shortest_paths) from
     node 0 on the weighted folded order→part graph (edge weight = min
@@ -3797,6 +3815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lpa_communities": q_lpa_communities,
         "q_wl_refinement": q_wl_refinement,
         "q_shortest_paths": q_shortest_paths,
+        "q_harmonic_centrality": q_harmonic_centrality,
         "q_hits": q_hits,
         "q_pca_top_component": q_pca_top_component,
         "q_sorted_neighborhood": q_sorted_neighborhood,
@@ -4118,6 +4137,32 @@ def _sssp_oracle_sql(rounds: int = 6) -> str:
     return sql + f" SELECT node, dist FROM d{rounds}"
 
 
+def _harmonic_oracle_sql(rounds: int = 4) -> str:
+    """Unrolled multi-source BFS matching graph.py harmonic_centrality:
+    the distance table carries the source id through every round."""
+    sql = (
+        "WITH e0 AS (SELECT DISTINCT l_orderkey % 2000 AS u, "
+        "l_partkey % 2000 + 2000 AS v FROM lineitem), "
+        "sym AS MATERIALIZED (SELECT u, v FROM e0 "
+        "UNION ALL SELECT v, u FROM e0), "
+        "d0 AS MATERIALIZED (SELECT CAST(s AS BIGINT) AS s, "
+        "CAST(s AS BIGINT) AS node, 0.0 AS dist "
+        "FROM (VALUES (0), (1), (2), (3)) AS t(s))"
+    )
+    for i in range(1, rounds + 1):
+        sql += (
+            f", d{i} AS MATERIALIZED (SELECT s, node, MIN(dist) AS dist "
+            f"FROM (SELECT s, node, dist FROM d{i - 1} "
+            f"UNION ALL SELECT p.s, sym.v, p.dist + 1.0 FROM d{i - 1} p "
+            f"JOIN sym ON p.node = sym.u) GROUP BY s, node)"
+        )
+    return sql + (
+        f" SELECT node, CAST(COUNT(*) AS INTEGER) AS n_reached, "
+        f"ROUND(SUM(1.0 / dist), 6) AS score "
+        f"FROM d{rounds} WHERE dist > 0 GROUP BY node"
+    )
+
+
 def _hits_oracle_sql(iters: int = 8) -> str:
     """Unrolled L1-normalized HITS mirroring graph.py hits: per
     iteration auth-from-hub sum + normalize, then hub-from-auth sum +
@@ -4317,6 +4362,7 @@ def oracle_sql() -> dict[str, str]:
         "q_lpa_communities": _lpa_oracle_sql(rounds=5),
         "q_wl_refinement": _wl_oracle_sql(rounds=3),
         "q_shortest_paths": _sssp_oracle_sql(rounds=6),
+        "q_harmonic_centrality": _harmonic_oracle_sql(rounds=4),
         "q_hits": _hits_oracle_sql(iters=8),
         "q_pca_top_component": _pca_oracle_sql(dim=64, iters=12),
         "q_sorted_neighborhood": (

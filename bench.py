@@ -139,6 +139,7 @@ HEADLINE = [
     "q_wl_refinement",
     "q_shortest_paths",
     "q_trigram_search",
+    "q_harmonic_centrality",
 ]
 
 

@@ -1508,6 +1508,21 @@ class KevinFrame:
             _sp(self._df, source, rounds, src, dst, weight), ordered=False
         )
 
+    def harmonic_centrality(
+        self,
+        sources: list[int],
+        rounds: int = 6,
+        src: str = "a",
+        dst: str = "b",
+    ) -> "KevinFrame":
+        """Sampled harmonic centrality over this frame's edge list —
+        see ``operators.graph.harmonic_centrality``."""
+        from kevinlang_spark.operators.graph import harmonic_centrality as _hc
+
+        return KevinFrame.from_df(
+            _hc(self._df, sources, rounds, src, dst), ordered=False
+        )
+
     def adamic_adar(
         self,
         k: int = 20,

@@ -204,3 +204,18 @@ def test_shortest_paths_bounded_rounds_and_guard(spark):
     assert out == {0: 0.0, 1: 1.0, 2: 2.0}
     with pytest.raises(ValueError):
         shortest_paths(chain, 0, rounds=0)
+
+
+def test_harmonic_centrality_path_sources(spark):
+    from kevinlang_spark.operators.graph import harmonic_centrality
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    out = {
+        r.node: (r.n_reached, r.score)
+        for r in harmonic_centrality(e, [1, 4], rounds=4).collect()
+    }
+    assert out[2] == (2, 1.5)  # d=1 from 1, d=2 from 4
+    assert out[3] == (2, 1.5)
+    assert out[1] == (1, round(1 / 3, 6))  # own source excluded
+    with pytest.raises(ValueError):
+        harmonic_centrality(e, [], rounds=2)
