@@ -953,6 +953,27 @@ def q_zorder_keys(spark, sf_dir):
     ).select("l_orderkey", "l_linenumber", "zkey")
 
 
+def q_fingerprint_clusters(spark, sf_dir):
+    """OpenRefine-style fingerprint clustering (quality.py): documents
+    whose sorted-unique-token key collides but whose raw text differs —
+    word-order/punctuation variants of the same content, with a
+    deterministic canonical election (most frequent, ties
+    alphabetical)."""
+    from kevinlang_spark.operators.quality import fingerprint_clusters
+
+    return fingerprint_clusters(_t(spark, sf_dir, "documents"))
+
+
+def q_fd_check(spark, sf_dir):
+    """Functional-dependency verification (quality.py fd_violations):
+    does source → lang hold over documents?  One grouped
+    count-distinct + metadata rollup — the per-candidate probe of FD
+    discovery."""
+    from kevinlang_spark.operators.quality import fd_violations
+
+    return fd_violations(_t(spark, sf_dir, "documents"), ["source"], "lang")
+
+
 def q_trigram_search(spark, sf_dir):
     """Trigram-index substring search (text.py trigram_search): docs
     matching 'window table' via posting-list intersection + contains
@@ -3805,6 +3826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_feature_hash": q_feature_hash,
         "q_zorder_keys": q_zorder_keys,
         "q_trigram_search": q_trigram_search,
+        "q_fingerprint_clusters": q_fingerprint_clusters,
+        "q_fd_check": q_fd_check,
         "q_ann_lsh_indexed": q_ann_lsh_indexed,
         "q_ann_probe_pruned": q_ann_probe_pruned,
         "q_winnow_fingerprints": q_winnow_fingerprints,
@@ -4386,6 +4409,26 @@ def oracle_sql() -> dict[str, str]:
         "q_trigram_search": (
             "SELECT doc_id FROM documents "
             "WHERE contains(lower(text), 'window table')"
+        ),
+        "q_fingerprint_clusters": (
+            "WITH keyed AS (SELECT text AS raw, "
+            "md5(array_to_string(list_sort(list_distinct(list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))), "
+            "' ')) AS fp FROM documents WHERE text IS NOT NULL), "
+            "bv AS (SELECT fp, raw, COUNT(*) AS n FROM keyed "
+            "GROUP BY fp, raw), "
+            "cl AS (SELECT fp, CAST(SUM(n) AS BIGINT) AS n_members, "
+            "CAST(COUNT(*) AS BIGINT) AS n_variants, "
+            "MIN((-n, raw))[2] AS canonical FROM bv GROUP BY fp) "
+            "SELECT * FROM cl WHERE n_members >= 2 AND n_variants >= 2"
+        ),
+        "q_fd_check": (
+            "WITH per AS (SELECT source, COUNT(DISTINCT lang) AS nv "
+            "FROM documents GROUP BY source) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_groups, "
+            "CAST(COUNT(*) FILTER (nv > 1) AS BIGINT) AS n_violating, "
+            "CAST(MAX(nv) AS BIGINT) AS max_variants, "
+            "COUNT(*) FILTER (nv > 1) = 0 AS holds FROM per"
         ),
         "q_feature_hash": (
             "WITH toks AS (SELECT doc_id AS id, "

@@ -140,6 +140,8 @@ HEADLINE = [
     "q_shortest_paths",
     "q_trigram_search",
     "q_harmonic_centrality",
+    "q_fingerprint_clusters",
+    "q_fd_check",
 ]
 
 

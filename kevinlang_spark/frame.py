@@ -1571,6 +1571,26 @@ class KevinFrame:
             ordered=False,
         )
 
+    def fingerprint_clusters(
+        self, text_col: str = "text", id_col: str = "doc_id"
+    ) -> "KevinFrame":
+        """OpenRefine-style fingerprint key clustering — see
+        ``operators.quality.fingerprint_clusters``."""
+        from kevinlang_spark.operators.quality import (
+            fingerprint_clusters as _fc,
+        )
+
+        return KevinFrame.from_df(
+            _fc(self._df, text_col, id_col), ordered=False
+        )
+
+    def fd_violations(self, lhs: list, rhs: str) -> "KevinFrame":
+        """Functional-dependency check — see
+        ``operators.quality.fd_violations``."""
+        from kevinlang_spark.operators.quality import fd_violations as _fd
+
+        return KevinFrame.from_df(_fd(self._df, lhs, rhs), ordered=False)
+
     def trigram_search(
         self,
         pattern: str,

@@ -164,3 +164,69 @@ def dp_counts(
     if clamp:
         noisy = F.greatest(noisy, F.lit(0).cast("bigint"))
     return grp.select(*keys, noisy.alias("noisy_count"))
+
+
+def fingerprint_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """OpenRefine-style fingerprint key clustering: records whose
+    normalized SORTED-UNIQUE-TOKEN fingerprint collides are spelling /
+    word-order variants of the same value ("acme corp" ≈ "Corp, ACME")
+    — the standard first pass of entity cleanup, catching what exact
+    dedup misses and fuzzy matching over-pays for.
+
+    One scan-stage key expression + one key shuffle; only colliding
+    keys (clusters of ≥2 with >1 distinct raw text) are returned:
+    (fp, n_members, n_variants, canonical) where canonical is the
+    most frequent raw text, ties to the alphabetically smallest —
+    elected with min(struct(-count, raw)), no window."""
+    from kevinlang_spark.functions.textexpr import tokenize
+
+    fp = F.md5(
+        F.concat_ws(
+            " ", F.array_sort(F.array_distinct(tokenize(F.col(text_col))))
+        )
+    )
+    keyed = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("raw"), fp.alias("fp")
+    ).where(F.col("raw").isNotNull())
+    by_variant = keyed.groupBy("fp", "raw").agg(F.count("*").alias("n"))
+    return (
+        by_variant.groupBy("fp")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_members"),
+            F.count("*").cast("bigint").alias("n_variants"),
+            F.min(F.struct((-F.col("n")).alias("negn"), F.col("raw")))[
+                "raw"
+            ].alias("canonical"),
+        )
+        .where((F.col("n_members") >= 2) & (F.col("n_variants") >= 2))
+    )
+
+
+def fd_violations(
+    df: DataFrame,
+    lhs: list[str],
+    rhs: str,
+) -> DataFrame:
+    """Functional-dependency check (profiling / TANE-style candidate
+    verification): does ``lhs → rhs`` hold?  Returns a 1-row report
+    (n_groups, n_violating, max_variants, holds) — a group violates
+    when one ``lhs`` value maps to >1 distinct ``rhs``.
+
+    One grouped count-distinct over the lhs key (Spark's standard
+    two-phase distinct), then a metadata-sized rollup — the shape a
+    schema-inference or key-discovery pass runs per candidate FD."""
+    if not lhs:
+        raise ValueError("fd_violations: need at least one lhs column")
+    per = df.groupBy(*[F.col(c) for c in lhs]).agg(
+        F.count_distinct(F.col(rhs)).alias("nv")
+    )
+    return per.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.count_if(F.col("nv") > 1).cast("bigint").alias("n_violating"),
+        F.max("nv").cast("bigint").alias("max_variants"),
+        (F.count_if(F.col("nv") > 1) == 0).alias("holds"),
+    )
