@@ -953,6 +953,18 @@ def q_zorder_keys(spark, sf_dir):
     ).select("l_orderkey", "l_linenumber", "zkey")
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance-resampling weights (text.py dsir_weights):
+    score every document by hashed-bigram log-likelihood ratio toward
+    the lang='en' target slice — the modern pretraining-data selection
+    method, as one scan + two ≤1024-key count aggregates + one
+    broadcast ratio join."""
+    from kevinlang_spark.operators.text import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(docs, F.col("lang") == "en", buckets=1024)
+
+
 def q_fingerprint_clusters(spark, sf_dir):
     """OpenRefine-style fingerprint clustering (quality.py): documents
     whose sorted-unique-token key collides but whose raw text differs —
@@ -3828,6 +3840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_trigram_search": q_trigram_search,
         "q_fingerprint_clusters": q_fingerprint_clusters,
         "q_fd_check": q_fd_check,
+        "q_dsir_weights": q_dsir_weights,
         "q_ann_lsh_indexed": q_ann_lsh_indexed,
         "q_ann_probe_pruned": q_ann_probe_pruned,
         "q_winnow_fingerprints": q_winnow_fingerprints,
@@ -4409,6 +4422,29 @@ def oracle_sql() -> dict[str, str]:
         "q_trigram_search": (
             "SELECT doc_id FROM documents "
             "WHERE contains(lower(text), 'window table')"
+        ),
+        "q_dsir_weights": (
+            "WITH tok AS (SELECT doc_id, lang = 'en' AS t, "
+            "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '') AS toks FROM documents), "
+            "g AS (SELECT doc_id, t, "
+            "unnest([toks[i] || ' ' || toks[i + 1] "
+            "for i in range(1, len(toks))]) AS g "
+            "FROM tok WHERE len(toks) >= 2), "
+            "occ AS (SELECT doc_id, t, "
+            "CAST(CONCAT('0x', substr(md5(g), 1, 13)) AS BIGINT) % 1024 AS b "
+            "FROM g), "
+            "cnt AS (SELECT b, COUNT(*) FILTER (t) AS nt, COUNT(*) AS nr "
+            "FROM occ GROUP BY b), "
+            "tot AS (SELECT COUNT(*) FILTER (t) AS Nt, COUNT(*) AS Nr "
+            "FROM occ), "
+            "ratio AS (SELECT b, "
+            "ln((nt + 1.0) / ((SELECT Nt FROM tot) + 1024.0)) "
+            "- ln((nr + 1.0) / ((SELECT Nr FROM tot) + 1024.0)) AS lr "
+            "FROM cnt) "
+            "SELECT occ.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, "
+            "ROUND(SUM(lr), 6) AS weight "
+            "FROM occ JOIN ratio ON occ.b = ratio.b GROUP BY occ.doc_id"
         ),
         "q_fingerprint_clusters": (
             "WITH keyed AS (SELECT text AS raw, "

@@ -142,6 +142,7 @@ HEADLINE = [
     "q_harmonic_centrality",
     "q_fingerprint_clusters",
     "q_fd_check",
+    "q_dsir_weights",
 ]
 
 

@@ -1591,6 +1591,22 @@ class KevinFrame:
 
         return KevinFrame.from_df(_fd(self._df, lhs, rhs), ordered=False)
 
+    def dsir_weights(
+        self,
+        target_pred,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        buckets: int = 1024,
+    ) -> "KevinFrame":
+        """DSIR importance-resampling weights — see
+        ``operators.text.dsir_weights``."""
+        from kevinlang_spark.operators.text import dsir_weights as _dw
+
+        return KevinFrame.from_df(
+            _dw(self._df, target_pred, id_col, text_col, buckets),
+            ordered=False,
+        )
+
     def trigram_search(
         self,
         pattern: str,

@@ -936,3 +936,82 @@ def trigram_search(
         .where(F.col("__hits") == len(grams))
     )
     return cand.where(verify).select(F.col("id").alias(id_col))
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_pred,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Hashed n-gram importance-resampling weights (DSIR, Xie et al.
+    2023): score every document by how target-like its token-bigram
+    distribution is — w(doc) = Σ_{g ∈ doc} log p_target(g)/p_raw(g)
+    over hashed bigram buckets with add-one smoothing.  Sampling
+    proportionally to exp(w) reweights a raw corpus toward the target
+    domain; this is the selection method behind modern pretraining
+    data curation when a quality subset (the ``target_pred`` rows)
+    defines "good".
+
+    Shapes: one bigram explode feeding BOTH bucket-count aggregates
+    (map-side combined, ≤ ``buckets`` keys each) and the per-doc score
+    join; the bucket log-ratio table is ≤ ``buckets`` rows and
+    broadcasts, so scoring is one scan + one tiny broadcast join.
+    Bigram buckets are md5-prefix hashes — engine-portable like the
+    bloom/winnow/feature-hash families.  Returns (id, n_grams, weight)
+    with weight rounded 6dp; docs with <2 tokens are dropped."""
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2 (got {buckets})")
+    base = spread(df).select(
+        F.col(id_col).alias("id"),
+        target_pred.alias("__is_target"),
+        tokenize(F.col(text_col)).alias("__toks"),
+    )
+    ctoks = F.col("__toks")  # column, multi-referenced: no inline re-eval
+    grams = F.when(
+        F.size(ctoks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ctoks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ctoks, i), F.element_at(ctoks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = base.select(
+        "id",
+        "__is_target",
+        F.explode(grams).alias("g"),
+    ).select(
+        "id",
+        "__is_target",
+        (
+            F.conv(F.substring(F.md5(F.col("g")), 1, 13), 16, 10).cast("bigint")
+            % buckets
+        ).alias("b"),
+    ).localCheckpoint(eager=True)  # feeds both count aggs AND the score join
+
+    counts = occ.groupBy("b").agg(
+        F.count_if(F.col("__is_target")).alias("nt"),
+        F.count("*").alias("nr"),
+    )
+    totals = occ.agg(
+        F.count_if(F.col("__is_target")).alias("Nt"), F.count("*").alias("Nr")
+    ).collect()[0]
+    nt_total, nr_total = totals["Nt"], totals["Nr"]
+    ratio = counts.select(
+        "b",
+        (
+            F.log((F.col("nt") + 1.0) / F.lit(float(nt_total + buckets)))
+            - F.log((F.col("nr") + 1.0) / F.lit(float(nr_total + buckets)))
+        ).alias("lr"),
+    )
+    return (
+        occ.join(F.broadcast(ratio), "b")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.round(F.sum("lr"), 6).alias("weight"),
+        )
+        .select(F.col("id").alias(id_col), "n_grams", "weight")
+    )

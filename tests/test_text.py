@@ -112,3 +112,24 @@ def test_bigram_lm_score_smoothing_exact(spark):
     ) / 3
     assert out.n_bigrams == 3
     assert abs(out.avg_logp - round(want, 6)) < 1e-9
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    from kevinlang_spark.operators.text import dsir_weights
+
+    rows = [
+        (1, "alpha beta alpha beta", "en"),
+        (2, "alpha beta gamma", "en"),
+        (3, "delta epsilon zeta", "de"),
+        (4, "alpha beta something", "de"),  # target-like bigrams, raw label
+        (5, "x", "de"),  # <2 tokens: dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    out = {
+        r.doc_id: r.weight
+        for r in dsir_weights(df, F.col("lang") == "en", buckets=64).collect()
+    }
+    assert out[1] > out[3] and out[4] > out[3]
+    assert 5 not in out
+    with pytest.raises(ValueError):
+        dsir_weights(df, F.col("lang") == "en", buckets=1)
