@@ -2856,6 +2856,31 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_semantic_clusters(spark, sf_dir):
+    """Cross-family composition: embedding-cosine near-dup pairs →
+    distributed min-label connected components → cluster-size rollup —
+    the semantic-cluster census a curation pipeline reads ("how many
+    redundant embedding neighborhoods, how big").  Pairs are the exact
+    bounded-subset twin of q_emb_neardup_brute; components reuse the
+    checkpointed propagation from dedup.py."""
+    from kevinlang_spark.functions.vectors import cosine_similarity
+    from kevinlang_spark.operators.dedup import neardup_components
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(cosine_similarity(F.col("va"), F.col("vb")), 4))
+        .where(F.col("sim") >= 0.35)
+        .select("id_a", "id_b")
+    )
+    comps = neardup_components(pairs)
+    return comps.groupBy(F.col("comp").alias("cluster")).agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+
+
 def q_assoc_rules(spark, sf_dir):
     """Market-basket association rules over (order, supplier) baskets:
     canonical pair counts from the basket-key self-join, then
@@ -3841,6 +3866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint_clusters": q_fingerprint_clusters,
         "q_fd_check": q_fd_check,
         "q_dsir_weights": q_dsir_weights,
+        "q_semantic_clusters": q_semantic_clusters,
         "q_ann_lsh_indexed": q_ann_lsh_indexed,
         "q_ann_probe_pruned": q_ann_probe_pruned,
         "q_winnow_fingerprints": q_winnow_fingerprints,
@@ -4422,6 +4448,22 @@ def oracle_sql() -> dict[str, str]:
         "q_trigram_search": (
             "SELECT doc_id FROM documents "
             "WHERE contains(lower(text), 'window table')"
+        ),
+        "q_semantic_clusters": (
+            "WITH RECURSIVE pairs AS (SELECT a.vec_id AS id_a, "
+            "b.vec_id AS id_b FROM embeddings a "
+            "JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE a.vec_id < 300 AND b.vec_id < 300 "
+            "AND ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) "
+            ">= 0.35), "
+            "edges AS (SELECT id_a AS s, id_b AS d FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "reach AS (SELECT s, d FROM edges "
+            "UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s), "
+            "comp AS (SELECT s AS id, LEAST(s, MIN(d)) AS comp FROM reach "
+            "GROUP BY s) "
+            "SELECT comp AS cluster, CAST(COUNT(*) AS BIGINT) AS n_members "
+            "FROM comp GROUP BY comp"
         ),
         "q_dsir_weights": (
             "WITH tok AS (SELECT doc_id, lang = 'en' AS t, "

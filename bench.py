@@ -143,6 +143,7 @@ HEADLINE = [
     "q_fingerprint_clusters",
     "q_fd_check",
     "q_dsir_weights",
+    "q_semantic_clusters",
 ]
 
 
