@@ -2856,6 +2856,16 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_acf(spark, sf_dir):
+    """Per-event-type autocorrelation of hourly value buckets at lags
+    1..6 (anomaly.py acf_by_key) — the seasonality diagnostic feeding
+    forecast-season choice; one bucket shuffle + one keyed window pass
+    for every lag."""
+    from kevinlang_spark.operators.anomaly import acf_by_key
+
+    return acf_by_key(_events(spark, sf_dir), bucket_s=3600, max_lag=6)
+
+
 def q_semantic_clusters(spark, sf_dir):
     """Cross-family composition: embedding-cosine near-dup pairs →
     distributed min-label connected components → cluster-size rollup —
@@ -3867,6 +3877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fd_check": q_fd_check,
         "q_dsir_weights": q_dsir_weights,
         "q_semantic_clusters": q_semantic_clusters,
+        "q_acf": q_acf,
         "q_ann_lsh_indexed": q_ann_lsh_indexed,
         "q_ann_probe_pruned": q_ann_probe_pruned,
         "q_winnow_fingerprints": q_winnow_fingerprints,
@@ -4448,6 +4459,24 @@ def oracle_sql() -> dict[str, str]:
         "q_trigram_search": (
             "SELECT doc_id FROM documents "
             "WHERE contains(lower(text), 'window table')"
+        ),
+        "q_acf": " UNION ALL ".join(
+            (
+                "SELECT * FROM ("
+                "WITH s AS (SELECT event_type, "
+                "CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b, "
+                "SUM(value) AS x FROM events "
+                "WHERE event_type IS NOT NULL AND value IS NOT NULL "
+                "GROUP BY event_type, b), "
+                "l AS (SELECT event_type, x, "
+                f"LAG(x, {lag}) OVER (PARTITION BY event_type ORDER BY b) AS y "
+                "FROM s) "
+                f"SELECT event_type, {lag} AS lag, "
+                "CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+                "ROUND(corr(x, y), 6) AS acf "
+                "FROM l WHERE y IS NOT NULL GROUP BY event_type)"
+            )
+            for lag in range(1, 7)
         ),
         "q_semantic_clusters": (
             "WITH RECURSIVE pairs AS (SELECT a.vec_id AS id_a, "

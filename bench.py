@@ -144,6 +144,7 @@ HEADLINE = [
     "q_fd_check",
     "q_dsir_weights",
     "q_semantic_clusters",
+    "q_acf",
 ]
 
 

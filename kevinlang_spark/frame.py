@@ -1310,6 +1310,23 @@ class KevinFrame:
             _km(self._df, user_col, ts_col, censor_days), ordered=False
         )
 
+    def acf_by_key(
+        self,
+        key_col: str = "event_type",
+        ts_col: str = "ts",
+        value_col: str = "value",
+        bucket_s: int = 3600,
+        max_lag: int = 6,
+    ) -> "KevinFrame":
+        """Per-key autocorrelation function — see
+        ``operators.anomaly.acf_by_key``."""
+        from kevinlang_spark.operators.anomaly import acf_by_key as _acf
+
+        return KevinFrame.from_df(
+            _acf(self._df, key_col, ts_col, value_col, bucket_s, max_lag),
+            ordered=False,
+        )
+
     def seasonal_backtest(
         self,
         key_col: str = "event_type",

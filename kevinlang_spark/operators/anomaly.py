@@ -163,3 +163,67 @@ def seasonal_backtest(
         F.round(F.avg(err / F.col("c")), 4).alias("mape"),
     )
 
+
+
+def acf_by_key(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_s: int = 3600,
+    max_lag: int = 6,
+) -> DataFrame:
+    """Per-key autocorrelation function: Pearson correlation between
+    the bucketed value series and its lag-k shift, k = 1..``max_lag``
+    — the classic seasonality/persistence diagnostic read before
+    choosing forecast seasons or smoothing constants
+    (:func:`seasonal_backtest`'s tuning input).
+
+    One bucket aggregation (key shuffle), then per-key ordered lag
+    windows (keyed, never global) build the (series, shifted) pairs
+    for every lag in a single pass; the correlations are one more
+    grouped aggregate over (key, lag).  Returns (key, lag, n_pairs,
+    acf) with acf rounded 6dp; lags with <2 pairs or zero variance
+    yield NULL acf (undefined, not 0)."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    if max_lag < 1 or bucket_s < 1:
+        raise ValueError(
+            f"max_lag and bucket_s must be >= 1 (got {max_lag}, {bucket_s})"
+        )
+    series = (
+        df.where(F.col(key_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("k"),
+            F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_s).alias("b"),
+        )
+        .agg(F.sum(value_col).alias("x"))
+    )
+    w = Window.partitionBy("k").orderBy("b")
+    lagged = series.select(
+        "k",
+        "x",
+        *[F.lag("x", lag).over(w).alias(f"y{lag}") for lag in range(1, max_lag + 1)],
+    ).localCheckpoint(eager=True)  # one window pass feeds every lag's slice
+    parts = [
+        lagged.where(F.col(f"y{lag}").isNotNull()).select(
+            "k", F.lit(lag).alias("lag"), "x", F.col(f"y{lag}").alias("y")
+        )
+        for lag in range(1, max_lag + 1)
+    ]
+    stacked = reduce(lambda a, b: a.unionByName(b), parts)
+    # corr spelled as covar/(sd·sd) with try_divide: ANSI-mode F.corr
+    # raises divide-by-zero on zero-variance series, where the defined
+    # answer is NULL (and what other engines' corr() returns)
+    return stacked.groupBy(F.col("k").alias(key_col), "lag").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(
+            F.try_divide(
+                F.covar_samp("x", "y"),
+                F.stddev_samp("x") * F.stddev_samp("y"),
+            ),
+            6,
+        ).alias("acf"),
+    )

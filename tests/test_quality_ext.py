@@ -48,3 +48,40 @@ def test_fd_violations_holds_and_fails(spark):
     assert (bad.n_groups, bad.n_violating, bad.max_variants) == (2, 1, 2)
     with pytest.raises(ValueError):
         fd_violations(df, [], "lang")
+
+
+def test_acf_perfect_periodicity(spark):
+    """A period-2 alternating series has ACF(-ish) -1 at lag 1 and +1 at
+    lag 2."""
+    import datetime
+
+    from kevinlang_spark.operators.anomaly import acf_by_key
+
+    rows = [
+        ("a", datetime.datetime(2024, 1, 1, h), float(10 if h % 2 == 0 else 2))
+        for h in range(24)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {
+        (r.event_type, r.lag): r.acf
+        for r in acf_by_key(df, max_lag=2).collect()
+    }
+    assert out[("a", 1)] == -1.0
+    assert out[("a", 2)] == 1.0
+
+
+def test_acf_constant_series_null_and_guard(spark):
+    import datetime
+
+    import pytest as _pytest
+
+    from kevinlang_spark.operators.anomaly import acf_by_key
+
+    rows = [
+        ("c", datetime.datetime(2024, 1, 1, h), 5.0) for h in range(6)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = acf_by_key(df, max_lag=1).collect()
+    assert out[0].acf is None  # zero variance: undefined, not 0
+    with _pytest.raises(ValueError):
+        acf_by_key(df, max_lag=0)
