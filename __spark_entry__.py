@@ -2856,6 +2856,32 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_corpus_report(spark, sf_dir):
+    """One-pass dataset-card rollup: the corpus health metrics a data
+    release ships — size, source/lang mix, exact-dup rate (md5
+    fingerprint), length distribution — ALL as aggregate expressions in
+    ONE scan + one aggregation (the deequ single-pass principle from
+    quality.py applied to corpus reporting)."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
+    )
+    return docs.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count_distinct("source").cast("bigint").alias("n_sources"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.count_distinct(fp).cast("bigint").alias("n_unique_texts"),
+        F.round(
+            1.0 - F.count_distinct(fp) / F.count("*"), 6
+        ).alias("dup_rate"),
+        F.count_if(F.col("lang") == "en").cast("bigint").alias("n_en"),
+    )
+
+
 def q_acf(spark, sf_dir):
     """Per-event-type autocorrelation of hourly value buckets at lags
     1..6 (anomaly.py acf_by_key) — the seasonality diagnostic feeding
@@ -3878,6 +3904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dsir_weights": q_dsir_weights,
         "q_semantic_clusters": q_semantic_clusters,
         "q_acf": q_acf,
+        "q_corpus_report": q_corpus_report,
         "q_ann_lsh_indexed": q_ann_lsh_indexed,
         "q_ann_probe_pruned": q_ann_probe_pruned,
         "q_winnow_fingerprints": q_winnow_fingerprints,
@@ -4477,6 +4504,21 @@ def oracle_sql() -> dict[str, str]:
                 "FROM l WHERE y IS NOT NULL GROUP BY event_type)"
             )
             for lag in range(1, 7)
+        ),
+        "q_corpus_report": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources, "
+            "CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+            "ROUND(AVG(n_chars), 4) AS avg_chars, "
+            "CAST(MIN(n_chars) AS BIGINT) AS min_chars, "
+            "CAST(MAX(n_chars) AS BIGINT) AS max_chars, "
+            "CAST(COUNT(DISTINCT md5(regexp_replace(lower(text), "
+            "'[^a-z0-9]', '', 'g'))) AS BIGINT) AS n_unique_texts, "
+            "ROUND(1.0 - COUNT(DISTINCT md5(regexp_replace(lower(text), "
+            "'[^a-z0-9]', '', 'g'))) * 1.0 / COUNT(*), 6) AS dup_rate, "
+            "CAST(COUNT(*) FILTER (lang = 'en') AS BIGINT) AS n_en "
+            "FROM documents"
         ),
         "q_semantic_clusters": (
             "WITH RECURSIVE pairs AS (SELECT a.vec_id AS id_a, "

@@ -145,6 +145,7 @@ HEADLINE = [
     "q_dsir_weights",
     "q_semantic_clusters",
     "q_acf",
+    "q_corpus_report",
 ]
 
 
