@@ -3795,6 +3795,37 @@ def q_bloom_filter(spark, sf_dir):
     ).select(F.col("value").alias("c_custkey"), "maybe_present")
 
 
+def q_pca_scores(spark, sf_dir):
+    """Distributed PCA application: project EVERY embedding onto the
+    top component (pca.py loadings broadcast as literals, dot product a
+    scan-stage fold) — the per-row half of the PCA story; top-10 by
+    |score| with rounded-score + id tie-breaks."""
+    from kevinlang_spark.operators.pca import pca_top_component
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pc = pca_top_component(emb, "embedding", dim=64, iterations=12)
+    loadings = [r["loading"] for r in pc.orderBy("dim").collect()]
+    lit_arr = F.array(*[F.lit(float(v)) for v in loadings])
+    score = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                lit_arr,
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    scored = emb.where(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    ).select("vec_id", score.alias("score"))
+    return scored.orderBy(F.abs(F.col("score")).desc(), F.col("vec_id").asc()).limit(
+        10
+    )
+
+
 def q_sorted_neighborhood(spark, sf_dir):
     """Sorted-neighborhood near-dup candidates (Hernández–Stolfo) over
     documents: normalized-prefix sort key, bucket-partitioned ranks,
@@ -3918,6 +3949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_harmonic_centrality": q_harmonic_centrality,
         "q_hits": q_hits,
         "q_pca_top_component": q_pca_top_component,
+        "q_pca_scores": q_pca_scores,
         "q_sorted_neighborhood": q_sorted_neighborhood,
         "q_bloom_filter": q_bloom_filter,
         "q_sparse_cosine": q_sparse_cosine,
@@ -4301,11 +4333,13 @@ def _hits_oracle_sql(iters: int = 8) -> str:
     )
 
 
-def _pca_oracle_sql(dim: int = 64, iters: int = 12) -> str:
+def _pca_cte_prefix(dim: int = 64, iters: int = 12) -> tuple[str, str]:
     """Replay of pca.py pca_top_component: population covariance via the
     d²-index cross join, then the identical unrolled power iterations
     with L2 normalization, Rayleigh-quotient variance ratio, and the
-    largest-|loading| (ties → smallest dim) sign canonicalization."""
+    largest-|loading| (ties → smallest dim) sign canonicalization.
+    Returns (CTE prefix, final-vector CTE name) so the loading and
+    projection oracles share one replay."""
     sql = (
         f"WITH x AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS v "
         f"FROM embeddings WHERE embedding IS NOT NULL "
@@ -4331,18 +4365,45 @@ def _pca_oracle_sql(dim: int = 64, iters: int = 12) -> str:
             f"w / (SELECT sqrt(SUM(w * w)) FROM w{t}) AS val FROM w{t})"
         )
         prev = f"v{t}"
-    return sql + (
+    sql += (
         f", wf AS MATERIALIZED (SELECT c.i, SUM(c.c * p.val) AS w "
         f"FROM cov c JOIN {prev} p ON c.j = p.i GROUP BY c.i), "
         f"lam AS MATERIALIZED (SELECT SUM(p.val * wf.w) AS l "
         f"FROM {prev} p JOIN wf ON p.i = wf.i), "
         f"tr AS MATERIALIZED (SELECT SUM(c) AS t FROM cov WHERE i = j), "
         f"sgn AS MATERIALIZED (SELECT CASE WHEN val < 0 THEN -1.0 ELSE 1.0 "
-        f"END AS s FROM {prev} ORDER BY ABS(val) DESC, i ASC LIMIT 1) "
-        f"SELECT CAST(i AS INT) AS dim, "
+        f"END AS s FROM {prev} ORDER BY ABS(val) DESC, i ASC LIMIT 1)"
+    )
+    return sql, prev
+
+
+def _pca_oracle_sql(dim: int = 64, iters: int = 12) -> str:
+    sql, prev = _pca_cte_prefix(dim, iters)
+    return sql + (
+        f" SELECT CAST(i AS INT) AS dim, "
         f"ROUND(val * (SELECT s FROM sgn), 6) AS loading, "
         f"ROUND((SELECT l FROM lam) / (SELECT t FROM tr), 6) "
         f"AS explained_var_ratio FROM {prev}"
+    )
+
+
+def _pca_scores_oracle_sql(dim: int = 64, iters: int = 12, k: int = 10) -> str:
+    """PCA projection replay: the same unrolled power iteration, then
+    every embedding dotted with the ROUNDED canonical loadings (the
+    rounding matches the Spark side, which projects with the loadings
+    pca_top_component returns)."""
+    sql, prev = _pca_cte_prefix(dim, iters)
+    return sql + (
+        f", ld AS MATERIALIZED (SELECT i, "
+        f"ROUND(val * (SELECT s FROM sgn), 6) AS l FROM {prev}), "
+        f"emb AS MATERIALIZED (SELECT vec_id, "
+        f"CAST(embedding AS DOUBLE[]) AS v FROM embeddings "
+        f"WHERE embedding IS NOT NULL AND len(embedding) = {dim}), "
+        f"sc AS MATERIALIZED (SELECT e.vec_id, "
+        f"ROUND(SUM(e.v[ld.i + 1] * ld.l), 6) AS score "
+        f"FROM emb e CROSS JOIN ld GROUP BY e.vec_id) "
+        f"SELECT vec_id, score FROM sc "
+        f"ORDER BY ABS(score) DESC, vec_id ASC LIMIT {k}"
     )
 
 
@@ -4465,6 +4526,7 @@ def oracle_sql() -> dict[str, str]:
         "q_harmonic_centrality": _harmonic_oracle_sql(rounds=4),
         "q_hits": _hits_oracle_sql(iters=8),
         "q_pca_top_component": _pca_oracle_sql(dim=64, iters=12),
+        "q_pca_scores": _pca_scores_oracle_sql(dim=64, iters=12, k=10),
         "q_sorted_neighborhood": (
             "WITH keyed AS MATERIALIZED (SELECT doc_id AS id, "
             "substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24) "

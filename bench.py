@@ -125,6 +125,7 @@ HEADLINE = [
     "q_lpa_communities",
     "q_hits",
     "q_pca_top_component",
+    "q_pca_scores",
     "q_sorted_neighborhood",
     "q_bloom_filter",
     "q_sparse_cosine",
