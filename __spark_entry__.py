@@ -3795,6 +3795,17 @@ def q_bloom_filter(spark, sf_dir):
     ).select(F.col("value").alias("c_custkey"), "maybe_present")
 
 
+def q_pca_components(spark, sf_dir):
+    """Top-2 principal components via power iteration + Hotelling
+    deflation (pca.py pca_top_components): one covariance pass, two
+    sequential eigenpairs, per-component explained-variance ratios
+    over the ORIGINAL trace (their sum reads cumulative variance)."""
+    from kevinlang_spark.operators.pca import pca_top_components
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pca_top_components(emb, "embedding", dim=64, n_components=2)
+
+
 def q_pca_scores(spark, sf_dir):
     """Distributed PCA application: project EVERY embedding onto the
     top component (pca.py loadings broadcast as literals, dot product a
@@ -3949,6 +3960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_harmonic_centrality": q_harmonic_centrality,
         "q_hits": q_hits,
         "q_pca_top_component": q_pca_top_component,
+        "q_pca_components": q_pca_components,
         "q_pca_scores": q_pca_scores,
         "q_sorted_neighborhood": q_sorted_neighborhood,
         "q_bloom_filter": q_bloom_filter,
@@ -4387,6 +4399,44 @@ def _pca_oracle_sql(dim: int = 64, iters: int = 12) -> str:
     )
 
 
+def _pca2_oracle_sql(dim: int = 64, iters: int = 12) -> str:
+    """Two-component replay: the shared PC1 prefix, Hotelling deflation
+    C′ = C − λ·vvᵀ on the UNROUNDED vector, then the identical unrolled
+    iteration over the deflated matrix."""
+    sql, prev = _pca_cte_prefix(dim, iters)
+    sql += (
+        f", cov2 AS MATERIALIZED (SELECT c.i, c.j, "
+        f"c.c - (SELECT l FROM lam) * a.val * b.val AS c FROM cov c "
+        f"JOIN {prev} a ON c.i = a.i JOIN {prev} b ON c.j = b.i), "
+        f"u0 AS MATERIALIZED (SELECT i, 1.0 / sqrt({dim}) AS val "
+        f"FROM range({dim}) AS r(i))"
+    )
+    p2 = "u0"
+    for t in range(1, iters + 1):
+        sql += (
+            f", x{t} AS MATERIALIZED (SELECT c.i, SUM(c.c * p.val) AS w "
+            f"FROM cov2 c JOIN {p2} p ON c.j = p.i GROUP BY c.i)"
+            f", u{t} AS MATERIALIZED (SELECT i, "
+            f"w / (SELECT sqrt(SUM(w * w)) FROM x{t}) AS val FROM x{t})"
+        )
+        p2 = f"u{t}"
+    return sql + (
+        f", wf2 AS MATERIALIZED (SELECT c.i, SUM(c.c * p.val) AS w "
+        f"FROM cov2 c JOIN {p2} p ON c.j = p.i GROUP BY c.i), "
+        f"lam2 AS MATERIALIZED (SELECT SUM(p.val * wf2.w) AS l "
+        f"FROM {p2} p JOIN wf2 ON p.i = wf2.i), "
+        f"sgn2 AS MATERIALIZED (SELECT CASE WHEN val < 0 THEN -1.0 ELSE 1.0 "
+        f"END AS s FROM {p2} ORDER BY ABS(val) DESC, i ASC LIMIT 1) "
+        f"SELECT 0 AS component, CAST(i AS INT) AS dim, "
+        f"ROUND(val * (SELECT s FROM sgn), 6) AS loading, "
+        f"ROUND((SELECT l FROM lam) / (SELECT t FROM tr), 6) "
+        f"AS explained_var_ratio FROM {prev} "
+        f"UNION ALL SELECT 1, CAST(i AS INT), "
+        f"ROUND(val * (SELECT s FROM sgn2), 6), "
+        f"ROUND((SELECT l FROM lam2) / (SELECT t FROM tr), 6) FROM {p2}"
+    )
+
+
 def _pca_scores_oracle_sql(dim: int = 64, iters: int = 12, k: int = 10) -> str:
     """PCA projection replay: the same unrolled power iteration, then
     every embedding dotted with the ROUNDED canonical loadings (the
@@ -4527,6 +4577,7 @@ def oracle_sql() -> dict[str, str]:
         "q_hits": _hits_oracle_sql(iters=8),
         "q_pca_top_component": _pca_oracle_sql(dim=64, iters=12),
         "q_pca_scores": _pca_scores_oracle_sql(dim=64, iters=12, k=10),
+        "q_pca_components": _pca2_oracle_sql(dim=64, iters=12),
         "q_sorted_neighborhood": (
             "WITH keyed AS MATERIALIZED (SELECT doc_id AS id, "
             "substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24) "

@@ -126,6 +126,7 @@ HEADLINE = [
     "q_hits",
     "q_pca_top_component",
     "q_pca_scores",
+    "q_pca_components",
     "q_sorted_neighborhood",
     "q_bloom_filter",
     "q_sparse_cosine",

@@ -1652,6 +1652,22 @@ class KevinFrame:
             _fh(self._df, id_col, text_col, dim), ordered=False
         )
 
+    def pca_top_components(
+        self,
+        vec_col: str = "embedding",
+        dim: int = 64,
+        n_components: int = 2,
+        iterations: int = 12,
+    ) -> "KevinFrame":
+        """Top-k principal components by deflation — see
+        ``operators.pca.pca_top_components``."""
+        from kevinlang_spark.operators.pca import pca_top_components as _pcs
+
+        return KevinFrame.from_df(
+            _pcs(self._df, vec_col, dim, n_components, iterations),
+            ordered=False,
+        )
+
     def rank_fusion(
         self,
         others: list["KevinFrame"],

@@ -138,3 +138,72 @@ def pca_top_component(
         F.round("loading", 6).alias("loading"),
         F.round("explained_var_ratio", 6).alias("explained_var_ratio"),
     )
+
+
+def pca_top_components(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_components: int = 2,
+    iterations: int = 12,
+) -> DataFrame:
+    """Top-``n_components`` principal components by power iteration
+    with Hotelling deflation: after extracting component v with
+    eigenvalue λ, iterate on C′ = C − λ·vvᵀ for the next one — the
+    textbook sequential-eigenpair method, exactly reproducible because
+    every step is the same fixed-iteration recurrence as
+    :func:`pca_top_component`.
+
+    The distributed work is still the ONE covariance pass; deflation
+    happens on the driver-side d×d matrix (metadata).  Returns
+    n_components × dim rows (component, dim, loading,
+    explained_var_ratio) — ratios are per-component λ_k over the
+    ORIGINAL trace, so summing them reads cumulative explained
+    variance.  Signs canonicalize per component (largest-|loading|
+    dim positive, ties to smallest index)."""
+    if n_components < 1 or n_components > dim:
+        raise ValueError(
+            f"n_components must be in [1, {dim}] (got {n_components})"
+        )
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1 (got {iterations})")
+    rows = covariance_matrix(df, vec_col, dim).collect()
+    if not rows:
+        raise ValueError(f"pca_top_components: no rows with {dim}-dim vectors")
+    cov = [[0.0] * dim for _ in range(dim)]
+    for r in rows:
+        cov[r["i"]][r["j"]] = r["cov"]
+    trace = sum(cov[i][i] for i in range(dim))
+
+    out_rows = []
+    for comp in range(n_components):
+        v = [1.0 / math.sqrt(dim)] * dim
+        for _ in range(iterations):
+            w = [sum(cov[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+            norm = math.sqrt(sum(x * x for x in w))
+            if norm == 0.0:
+                break
+            v = [x / norm for x in w]
+        w = [sum(cov[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        lam = sum(v[i] * w[i] for i in range(dim))
+        # deflate BEFORE sign-flipping (vvᵀ is sign-invariant anyway)
+        for i in range(dim):
+            for j in range(dim):
+                cov[i][j] -= lam * v[i] * v[j]
+        pivot = max(range(dim), key=lambda i: (abs(v[i]), -i))
+        sv = [-x for x in v] if v[pivot] < 0 else v
+        ratio = lam / trace if trace else 0.0
+        out_rows.extend(
+            (comp, i, sv[i], ratio) for i in range(dim)
+        )
+
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        out_rows, "component int, dim int, loading double, explained_var_ratio double"
+    )
+    return out.select(
+        "component",
+        "dim",
+        F.round("loading", 6).alias("loading"),
+        F.round("explained_var_ratio", 6).alias("explained_var_ratio"),
+    )

@@ -74,3 +74,51 @@ def test_pca_errors(spark):
         pca_top_component(df, "embedding", dim=2, iterations=0)
     with pytest.raises(ValueError):
         pca_top_component(df, "embedding", dim=5)  # no 5-dim rows
+
+
+def test_two_components_orthogonal_and_ordered(spark):
+    from kevinlang_spark.operators.pca import pca_top_components
+
+    # anisotropic 2-D cloud: var along y >> var along x
+    rows = [[0.5 * (i % 5), float(i) * 3.0] for i in range(-6, 7)]
+    df = _vecs(spark, rows, 2)
+    out = pca_top_components(df, "embedding", dim=2, n_components=2).collect()
+    pc = {}
+    for r in out:
+        pc.setdefault(r.component, {})[r.dim] = (r.loading, r.explained_var_ratio)
+    v1 = [pc[0][0][0], pc[0][1][0]]
+    v2 = [pc[1][0][0], pc[1][1][0]]
+    dot = v1[0] * v2[0] + v1[1] * v2[1]
+    assert abs(dot) < 1e-3  # orthogonal
+    assert pc[0][0][1] > pc[1][0][1]  # variance ratios decreasing
+    # in 2-D the two ratios account for (virtually) all variance
+    assert pc[0][0][1] + pc[1][0][1] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_components_first_matches_single_component(spark):
+    from kevinlang_spark.operators.pca import (
+        pca_top_component,
+        pca_top_components,
+    )
+
+    rows = [[float(i), float(2 * i + (i % 3))] for i in range(-5, 6)]
+    df = _vecs(spark, rows, 2)
+    single = {
+        r.dim: (r.loading, r.explained_var_ratio)
+        for r in pca_top_component(df, "embedding", dim=2).collect()
+    }
+    multi = {
+        r.dim: (r.loading, r.explained_var_ratio)
+        for r in pca_top_components(df, "embedding", dim=2, n_components=1).collect()
+    }
+    assert single == multi
+
+
+def test_components_param_guard(spark):
+    from kevinlang_spark.operators.pca import pca_top_components
+
+    df = _vecs(spark, [[1.0, 2.0]], 2)
+    with pytest.raises(ValueError):
+        pca_top_components(df, "embedding", dim=2, n_components=0)
+    with pytest.raises(ValueError):
+        pca_top_components(df, "embedding", dim=2, n_components=3)
