@@ -2856,6 +2856,17 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_markov_attribution(spark, sf_dir):
+    """Markov removal-effect attribution (events.py
+    markov_attribution): journeys → transition table (one user-keyed
+    window pass + metadata-sized counts) → absorbing-chain conversion
+    probability with each channel removed in turn, on the driver's
+    tiny matrix (fixed 12-iteration expansion)."""
+    from kevinlang_spark.operators.events import markov_attribution
+
+    return markov_attribution(_events(spark, sf_dir))
+
+
 def q_corpus_report(spark, sf_dir):
     """One-pass dataset-card rollup: the corpus health metrics a data
     release ships — size, source/lang mix, exact-dup rate (md5
@@ -3947,6 +3958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_clusters": q_semantic_clusters,
         "q_acf": q_acf,
         "q_corpus_report": q_corpus_report,
+        "q_markov_attribution": q_markov_attribution,
         "q_ann_lsh_indexed": q_ann_lsh_indexed,
         "q_ann_probe_pruned": q_ann_probe_pruned,
         "q_winnow_fingerprints": q_winnow_fingerprints,
@@ -4307,6 +4319,68 @@ def _harmonic_oracle_sql(rounds: int = 4) -> str:
     )
 
 
+def _markov_oracle_sql(iters: int = 12) -> str:
+    """Replay of events.py markov_attribution: identical journey
+    truncation, transition counting, and fixed-iteration absorption
+    expansion, one unroll per removed-channel variant."""
+    channels = ["click", "error", "signup", "view"]
+    sql = (
+        "WITH b AS (SELECT user_id AS u, event_type AS c, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS rn FROM events WHERE user_id IS NOT NULL), "
+        "fc AS (SELECT u, MIN(rn) AS prn FROM b WHERE c = 'purchase' "
+        "GROUP BY u), "
+        "pre AS (SELECT b.u, b.c, b.rn, fc.prn FROM b "
+        "LEFT JOIN fc USING (u) WHERE fc.prn IS NULL OR b.rn < fc.prn), "
+        "steps AS (SELECT c AS src, COALESCE("
+        "LEAD(c) OVER (PARTITION BY u ORDER BY rn), "
+        "CASE WHEN prn IS NOT NULL THEN 'CONV' ELSE 'NULL' END) AS dst "
+        "FROM pre), "
+        "firsts AS (SELECT 'START' AS src, c AS dst FROM "
+        "(SELECT u, c, rn, MIN(rn) OVER (PARTITION BY u) AS mrn FROM pre) "
+        "WHERE rn = mrn), "
+        "direct AS (SELECT 'START' AS src, 'CONV' AS dst FROM fc "
+        "WHERE prn = 1), "
+        "tr AS (SELECT src, dst, COUNT(*) AS n FROM "
+        "(SELECT * FROM steps UNION ALL SELECT * FROM firsts "
+        "UNION ALL SELECT * FROM direct) GROUP BY src, dst), "
+        "tp AS MATERIALIZED (SELECT src, dst, "
+        "n * 1.0 / SUM(n) OVER (PARTITION BY src) AS p FROM tr)"
+    )
+    variants = [None] + channels
+    for vi, rem in enumerate(variants):
+        drop = "('CONV', 'NULL')" if rem is None else f"('CONV', 'NULL', '{rem}')"
+        sql += (
+            f", x0_{vi} AS MATERIALIZED (SELECT dst AS s, p FROM tp "
+            f"WHERE src = 'START' AND dst NOT IN {drop})"
+            f", c0_{vi} AS MATERIALIZED (SELECT COALESCE((SELECT p FROM tp "
+            f"WHERE src = 'START' AND dst = 'CONV'), 0.0) AS conv)"
+        )
+        for k in range(1, iters + 1):
+            sql += (
+                f", c{k}_{vi} AS MATERIALIZED (SELECT "
+                f"(SELECT conv FROM c{k - 1}_{vi}) + COALESCE((SELECT "
+                f"SUM(x.p * tp.p) FROM x{k - 1}_{vi} x JOIN tp "
+                f"ON tp.src = x.s AND tp.dst = 'CONV'), 0.0) AS conv)"
+                f", x{k}_{vi} AS MATERIALIZED (SELECT tp.dst AS s, "
+                f"SUM(x.p * tp.p) AS p FROM x{k - 1}_{vi} x JOIN tp "
+                f"ON tp.src = x.s WHERE tp.dst NOT IN {drop} GROUP BY tp.dst)"
+            )
+    parts = []
+    for vi, rem in enumerate(variants):
+        if rem is None:
+            continue
+        parts.append(
+            f"SELECT '{rem}' AS channel, "
+            f"ROUND((SELECT conv FROM c{iters}_0), 6) AS conv_base, "
+            f"ROUND((SELECT conv FROM c{iters}_{vi}), 6) AS conv_without, "
+            f"ROUND(((SELECT conv FROM c{iters}_0) - "
+            f"(SELECT conv FROM c{iters}_{vi})) / "
+            f"(SELECT conv FROM c{iters}_0), 6) AS removal_effect"
+        )
+    return sql + " " + " UNION ALL ".join(parts)
+
+
 def _hits_oracle_sql(iters: int = 8) -> str:
     """Unrolled L1-normalized HITS mirroring graph.py hits: per
     iteration auth-from-hub sum + normalize, then hub-from-auth sum +
@@ -4618,6 +4692,7 @@ def oracle_sql() -> dict[str, str]:
             )
             for lag in range(1, 7)
         ),
+        "q_markov_attribution": _markov_oracle_sql(iters=12),
         "q_corpus_report": (
             "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
             "CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources, "

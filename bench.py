@@ -148,6 +148,7 @@ HEADLINE = [
     "q_semantic_clusters",
     "q_acf",
     "q_corpus_report",
+    "q_markov_attribution",
 ]
 
 

@@ -1327,6 +1327,24 @@ class KevinFrame:
             ordered=False,
         )
 
+    def markov_attribution(
+        self,
+        user_col: str = "user_id",
+        type_col: str = "event_type",
+        ts_col: str = "ts",
+        id_col: str = "event_id",
+        conv_type: str = "purchase",
+        iterations: int = 12,
+    ) -> "KevinFrame":
+        """Markov removal-effect attribution — see
+        ``operators.events.markov_attribution``."""
+        from kevinlang_spark.operators.events import markov_attribution as _ma
+
+        return KevinFrame.from_df(
+            _ma(self._df, user_col, type_col, ts_col, id_col, conv_type, iterations),
+            ordered=False,
+        )
+
     def seasonal_backtest(
         self,
         key_col: str = "event_type",

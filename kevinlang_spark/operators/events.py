@@ -427,3 +427,119 @@ def funnel_latency(
         F.round(F.percentile("latency_s", 0.5), 4).alias("p50_s"),
         F.round(F.percentile("latency_s", 0.75), 4).alias("p75_s"),
     )
+
+
+def markov_attribution(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    conv_type: str = "purchase",
+    iterations: int = 12,
+) -> DataFrame:
+    """Markov-chain removal-effect attribution (Anderl et al. 2016):
+    model user journeys as a first-order chain over channels with
+    absorbing CONV/NULL states, then credit each channel by how much
+    total conversion probability disappears when it is removed — the
+    data-driven alternative to position rules
+    (``attribution_linear``'s heuristic cousin).
+
+    Distributed work: one user-keyed window pass orders each journey
+    (truncated at the first ``conv_type``), emits START→first,
+    channel→channel, and last→CONV/NULL transition rows, and one
+    grouped count builds the transition table — at most
+    (channels+1)² + channels rows, METADATA.  The absorbing-chain
+    conversion probability is then a fixed-``iterations`` expansion on
+    the driver (same tiny-solve split as PCA/IVF), repeated once per
+    removed channel.  Fixed iterations keep the result
+    engine-reproducible; K=12 captures paths of ≤12 hops (journeys are
+    short).  Returns (channel, conv_base, conv_without,
+    removal_effect) rounded 6dp, channels sorted by name."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1 (got {iterations})")
+    w = Window.partitionBy("u").orderBy("rn")
+    base = events.where(F.col(user_col).isNotNull()).select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("c"),
+        F.row_number().over(
+            Window.partitionBy(F.col(user_col)).orderBy(
+                F.col(ts_col), F.col(id_col)
+            )
+        ).alias("rn"),
+    )
+    first_conv = base.where(F.col("c") == conv_type).groupBy("u").agg(
+        F.min("rn").alias("prn")
+    )
+    pre = base.join(first_conv, "u", "left").where(
+        F.col("prn").isNull() | (F.col("rn") < F.col("prn"))
+    )
+    nxt = F.lead("c").over(w)
+    steps = pre.select(
+        "u",
+        F.col("c").alias("src"),
+        F.coalesce(
+            nxt,
+            F.when(F.col("prn").isNotNull(), F.lit("CONV")).otherwise(
+                F.lit("NULL")
+            ),
+        ).alias("dst"),
+    )
+    firsts = (
+        pre.withColumn("__mrn", F.min("rn").over(Window.partitionBy("u")))
+        .where(F.col("rn") == F.col("__mrn"))
+        .select("u", F.lit("START").alias("src"), F.col("c").alias("dst"))
+    )
+    # users whose FIRST event converts have no pre rows: START → CONV
+    direct = first_conv.where(F.col("prn") == 1).select(
+        "u", F.lit("START").alias("src"), F.lit("CONV").alias("dst")
+    )
+    trans = steps.unionByName(firsts).unionByName(direct)
+    counts = trans.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    rows = counts.collect()
+
+    out_n: dict[str, int] = {}
+    p: dict[tuple[str, str], float] = {}
+    for r in rows:
+        out_n[r["src"]] = out_n.get(r["src"], 0) + r["n"]
+    for r in rows:
+        p[(r["src"], r["dst"])] = r["n"] / out_n[r["src"]]
+    channels = sorted(
+        {s for s, _ in p} | {d for _, d in p} - {"START", "CONV", "NULL"}
+    )
+    channels = [c for c in channels if c not in ("START", "CONV", "NULL")]
+
+    def conv_prob(removed: str | None) -> float:
+        x = {
+            c: p.get(("START", c), 0.0)
+            for c in channels
+            if c != removed
+        }
+        conv = p.get(("START", "CONV"), 0.0)
+        for _ in range(iterations):
+            conv += sum(x[s] * p.get((s, "CONV"), 0.0) for s in x)
+            x = {
+                t: sum(x[s] * p.get((s, t), 0.0) for s in x)
+                for t in channels
+                if t != removed
+            }
+        return conv
+
+    base_conv = conv_prob(None)
+    out_rows = []
+    for c in channels:
+        cw = conv_prob(c)
+        eff = (base_conv - cw) / base_conv if base_conv > 0 else 0.0
+        out_rows.append((c, base_conv, cw, eff))
+    spark = events.sparkSession
+    out = spark.createDataFrame(
+        out_rows,
+        "channel string, conv_base double, conv_without double, "
+        "removal_effect double",
+    )
+    return out.select(
+        "channel",
+        F.round("conv_base", 6).alias("conv_base"),
+        F.round("conv_without", 6).alias("conv_without"),
+        F.round("removal_effect", 6).alias("removal_effect"),
+    )

@@ -354,3 +354,36 @@ def test_twap_single_observation(spark):
     df = spark.createDataFrame([(1, 5.0, 42.0)], ["k", "ts", "value"])
     out = time_weighted_avg(df, key="k").collect()[0]
     assert out.twap == 42.0 and out.n_obs == 1
+
+
+def test_markov_attribution_removal_effects(spark):
+    """Hand-computed chain: journeys view->click->CONV, view->NULL,
+    click->CONV, direct CONV.  Base conv 0.75; removing click leaves
+    only the direct 0.25 path (effect 2/3); removing view keeps
+    click's 0.25 (effect 1/3)."""
+    import datetime
+
+    from kevinlang_spark.operators.events import markov_attribution
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+
+    def ev(i, u, ty, k):
+        rows.append((i, t0 + datetime.timedelta(minutes=k), u, ty))
+
+    ev(1, 1, "view", 0); ev(2, 1, "click", 1); ev(3, 1, "purchase", 2)
+    ev(4, 2, "view", 0)
+    ev(5, 3, "click", 0); ev(6, 3, "purchase", 1)
+    ev(7, 4, "purchase", 0)
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    out = {r.channel: r for r in markov_attribution(df).collect()}
+    assert out["click"].conv_base == 0.75
+    assert out["click"].conv_without == 0.25
+    assert out["click"].removal_effect == 0.666667
+    assert out["view"].removal_effect == 0.333333
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        markov_attribution(df, iterations=0)
