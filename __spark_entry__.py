@@ -1477,9 +1477,12 @@ def q_ann_probe_pruned(spark, sf_dir):
     """The production ANN probe shape: 1-bit multiprobe against the
     persisted index — reads ~9/256 of the partition directories (file-
     level pruning, asserted by tests/test_sinks.py via inputFiles
-    counts).  Approximate by design, so no value oracle: the driver
-    records the rows-only check; parity with the in-memory ANN at the
-    same radius is pinned by pytest."""
+    counts).  Approximate vs the EXACT top-k, but fully deterministic:
+    the hyperplanes come from ``random.Random(7)`` alone, so the oracle
+    (``_ann_probe_oracle_sql``) embeds the same plane constants as SQL
+    literals, recomputes every vector's bucket and the query's bucket in
+    DuckDB, keeps rows with Hamming distance <= 1, and takes the same
+    cosine top-10 — an exact value oracle for the pruned probe."""
     from kevinlang_spark.operators.similarity import ann_topk_lsh_indexed
 
     return ann_topk_lsh_indexed(
@@ -3940,56 +3943,7 @@ def q_frequent_sequences(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "q_stream_hourly": q_stream_hourly,
-        "q_stream_sliding": q_stream_sliding,
-        "q_stream_dedup": q_stream_dedup,
-        "q_stream_sessions": q_stream_sessions,
-        "q_stream_stateful": q_stream_stateful,
-        "q_stream_join": q_stream_join,
-        "q_media_decode": q_media_decode,
-        "q_record_linkage": q_record_linkage,
-        "q_radius_join": q_radius_join,
-        "q_feature_hash": q_feature_hash,
-        "q_zorder_keys": q_zorder_keys,
-        "q_trigram_search": q_trigram_search,
-        "q_fingerprint_clusters": q_fingerprint_clusters,
-        "q_fd_check": q_fd_check,
-        "q_dsir_weights": q_dsir_weights,
-        "q_semantic_clusters": q_semantic_clusters,
-        "q_acf": q_acf,
-        "q_corpus_report": q_corpus_report,
-        "q_markov_attribution": q_markov_attribution,
-        "q_ann_lsh_indexed": q_ann_lsh_indexed,
         "q_ann_probe_pruned": q_ann_probe_pruned,
-        "q_winnow_fingerprints": q_winnow_fingerprints,
-        "q_token_pmi": q_token_pmi,
-        "q_rank_fusion": q_rank_fusion,
-        "q_kcore": q_kcore,
-        "q_link_prediction": q_link_prediction,
-        "q_lpa_communities": q_lpa_communities,
-        "q_wl_refinement": q_wl_refinement,
-        "q_shortest_paths": q_shortest_paths,
-        "q_harmonic_centrality": q_harmonic_centrality,
-        "q_hits": q_hits,
-        "q_pca_top_component": q_pca_top_component,
-        "q_pca_components": q_pca_components,
-        "q_pca_scores": q_pca_scores,
-        "q_sorted_neighborhood": q_sorted_neighborhood,
-        "q_bloom_filter": q_bloom_filter,
-        "q_sparse_cosine": q_sparse_cosine,
-        "q_cube_revenue": q_cube_revenue,
-        "q_rollup_revenue": q_rollup_revenue,
-        "q_knn_join": q_knn_join,
-        "q_ann_ivf": q_ann_ivf,
-        "q_curation_chunks": q_curation_chunks,
-        "q_leakage_split": q_leakage_split,
-        "q_kcenter_sample": q_kcenter_sample,
-        "q_intrinsic_dim": q_intrinsic_dim,
-        "q_frequent_sequences": q_frequent_sequences,
-        "q_tfidf_top_terms": q_tfidf_top_terms,
-        "q_pagerank": q_pagerank,
-        "q_hll_rollup": q_hll_rollup,
-        "q_kll_rollup": q_kll_rollup,
         "q_theta_overlap": q_theta_overlap,
         "q_cms_tokens": q_cms_tokens,
         "q_join_estimate": q_join_estimate,
@@ -4081,6 +4035,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mahalanobis": q_mahalanobis,
         "q_temporal_join": q_temporal_join,
         "q_resample_lerp": q_resample_lerp,
+        "q_stream_hourly": q_stream_hourly,
+        "q_stream_sliding": q_stream_sliding,
+        "q_stream_dedup": q_stream_dedup,
+        "q_stream_sessions": q_stream_sessions,
+        "q_stream_stateful": q_stream_stateful,
+        "q_stream_join": q_stream_join,
+        "q_media_decode": q_media_decode,
+        "q_record_linkage": q_record_linkage,
+        "q_radius_join": q_radius_join,
+        "q_feature_hash": q_feature_hash,
+        "q_zorder_keys": q_zorder_keys,
+        "q_trigram_search": q_trigram_search,
+        "q_fingerprint_clusters": q_fingerprint_clusters,
+        "q_fd_check": q_fd_check,
+        "q_dsir_weights": q_dsir_weights,
+        "q_semantic_clusters": q_semantic_clusters,
+        "q_acf": q_acf,
+        "q_corpus_report": q_corpus_report,
+        "q_markov_attribution": q_markov_attribution,
+        "q_ann_lsh_indexed": q_ann_lsh_indexed,
+        "q_winnow_fingerprints": q_winnow_fingerprints,
+        "q_token_pmi": q_token_pmi,
+        "q_rank_fusion": q_rank_fusion,
+        "q_kcore": q_kcore,
+        "q_link_prediction": q_link_prediction,
+        "q_lpa_communities": q_lpa_communities,
+        "q_wl_refinement": q_wl_refinement,
+        "q_shortest_paths": q_shortest_paths,
+        "q_harmonic_centrality": q_harmonic_centrality,
+        "q_hits": q_hits,
+        "q_pca_top_component": q_pca_top_component,
+        "q_pca_components": q_pca_components,
+        "q_pca_scores": q_pca_scores,
+        "q_sorted_neighborhood": q_sorted_neighborhood,
+        "q_bloom_filter": q_bloom_filter,
+        "q_sparse_cosine": q_sparse_cosine,
+        "q_cube_revenue": q_cube_revenue,
+        "q_rollup_revenue": q_rollup_revenue,
+        "q_knn_join": q_knn_join,
+        "q_ann_ivf": q_ann_ivf,
+        "q_curation_chunks": q_curation_chunks,
+        "q_leakage_split": q_leakage_split,
+        "q_kcenter_sample": q_kcenter_sample,
+        "q_intrinsic_dim": q_intrinsic_dim,
+        "q_frequent_sequences": q_frequent_sequences,
+        "q_tfidf_top_terms": q_tfidf_top_terms,
+        "q_pagerank": q_pagerank,
+        "q_hll_rollup": q_hll_rollup,
+        "q_kll_rollup": q_kll_rollup,
         "q_select": q_select,
         "q_filter": q_filter,
         "q_groupby_sum": q_groupby_sum,
@@ -4201,6 +4204,45 @@ def _kcore_oracle_sql(k: int = 22, rounds: int = 8) -> str:
         sql
         + f" SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree "
         f"FROM {prev} GROUP BY u"
+    )
+
+
+def _ann_probe_oracle_sql(
+    dim: int = 64, n_planes: int = 8, seed: int = 7, probe_hamming: int = 1
+) -> str:
+    """Exact DuckDB replica of the PRUNED 1-bit-multiprobe LSH probe
+    (q_ann_probe_pruned): the hyperplane family is a pure function of
+    (dim, n_planes, seed) via ``random.Random`` (similarity.py _planes),
+    so the plane constants are embedded here as DOUBLE[] literals.  The
+    SQL recomputes every vector's signature bucket AND the query's
+    bucket, keeps candidates with ``bit_count(xor(bucket, qbucket)) <=
+    probe_hamming`` (identical to the Spark side's enumerated probe
+    set), then ranks the survivors by cosine — same top-10, same
+    rounding convention as the driver-green q_ann_lsh oracle."""
+    from kevinlang_spark.operators.similarity import _planes
+
+    plane_rows = ", ".join(
+        f"({i}, [{', '.join(repr(v) for v in p)}]::DOUBLE[])"
+        for i, p in enumerate(_planes(dim, n_planes, seed))
+    )
+    return (
+        f"WITH planes(i, p) AS (VALUES {plane_rows}), "
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, embedding "
+        "FROM embeddings), "
+        "q AS (SELECT v, embedding FROM e WHERE vec_id = 1), "
+        "sigs AS (SELECT e.vec_id, e.embedding, "
+        "CAST(SUM(CASE WHEN list_dot_product(e.v, planes.p) >= 0 "
+        "THEN 1 << planes.i ELSE 0 END) AS BIGINT) AS b "
+        "FROM e CROSS JOIN planes GROUP BY e.vec_id, e.embedding), "
+        "qs AS (SELECT CAST(SUM(CASE WHEN list_dot_product(q.v, planes.p) >= 0 "
+        "THEN 1 << planes.i ELSE 0 END) AS BIGINT) AS qb "
+        "FROM q CROSS JOIN planes) "
+        "SELECT s.vec_id, "
+        "ROUND(list_cosine_similarity(s.embedding, (SELECT embedding FROM q)), 4) "
+        "AS sim FROM sigs s, qs "
+        f"WHERE bit_count(xor(s.b, qs.qb)) <= {probe_hamming} "
+        "ORDER BY list_cosine_similarity(s.embedding, (SELECT embedding FROM q)) "
+        "DESC, s.vec_id LIMIT 10"
     )
 
 
@@ -4879,9 +4921,9 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_dedup": (
             "SELECT DISTINCT user_id, event_type FROM events"
         ),
-        # exhaustive-radius probe through the persisted index == exact
-        # top-k (same oracle as the in-memory q_ann_lsh); the pruned
-        # probe q_ann_probe_pruned is approximate by design -> rows-only
+        # pruned probe: exact replica of the 1-bit multiprobe bucket set
+        # (deterministic seeded hyperplanes embedded as SQL literals)
+        "q_ann_probe_pruned": _ann_probe_oracle_sql(),
         "q_winnow_fingerprints": (
             # same winnowing pipeline in list algebra: char-5-gram
             # md5-prefix 52-bit hashes, min per 4-wide sliding window,

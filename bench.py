@@ -246,14 +246,41 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full per-query map goes to a committed file, NOT stdout: the driver
+    # captures only a bounded stdout tail, and the one-line JSON with 124
+    # per-query timings outgrew it in round 5 (BENCH_r05 parsed: null).
+    # The final stdout line stays compact — headline total, counts, and
+    # the slowest-20 — so the driver's parser always sees complete JSON.
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            "w",
+        ) as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:  # read-only checkout must not kill the bench
+        print(f"# BENCH_DETAIL.json not written: {exc}", file=sys.stderr)
+
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries": len(timings),
+                "queries": slowest,
+                "detail": "BENCH_DETAIL.json",
+                "sf": sf_val,
             }
         )
     )
