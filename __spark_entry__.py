@@ -4665,7 +4665,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.id AS id_a, b.id AS id_b, "
             "ROUND(SUM(a.u * b.u), 6) AS cosine "
             "FROM u a JOIN u b ON a.term = b.term AND a.id < b.id "
-            "GROUP BY a.id, b.id HAVING SUM(a.u * b.u) >= 0.5"
+            "GROUP BY a.id, b.id HAVING ROUND(SUM(a.u * b.u), 6) >= 0.5"
         ),
         "q_kcore": _kcore_oracle_sql(k=16, rounds=8),
         "q_link_prediction": (
@@ -4851,15 +4851,20 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY bal_h)) "
             "SELECT * FROM ("
             "SELECT a.id AS id_a, b.id AS id_b, "
+            # three-way branch mirrors linkage.py: NULL on either side is
+            # zero evidence (neither agree nor disagree weight)
             "CAST((CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END) "
             "+ (CASE WHEN a.bal_k = b.bal_k THEN 1 ELSE 0 END) "
             "+ (CASE WHEN a.bal_h = b.bal_h THEN 1 ELSE 0 END) AS INTEGER) "
             "AS n_agree, "
-            "ROUND(CASE WHEN a.seg = b.seg THEN log2(0.9/(SELECT u FROM u1)) "
+            "ROUND(CASE WHEN a.seg IS NULL OR b.seg IS NULL THEN 0 "
+            "WHEN a.seg = b.seg THEN log2(0.9/(SELECT u FROM u1)) "
             "ELSE log2(0.1/(1-(SELECT u FROM u1))) END "
-            "+ CASE WHEN a.bal_k = b.bal_k THEN log2(0.85/(SELECT u FROM u2)) "
+            "+ CASE WHEN a.bal_k IS NULL OR b.bal_k IS NULL THEN 0 "
+            "WHEN a.bal_k = b.bal_k THEN log2(0.85/(SELECT u FROM u2)) "
             "ELSE log2(0.15/(1-(SELECT u FROM u2))) END "
-            "+ CASE WHEN a.bal_h = b.bal_h THEN log2(0.7/(SELECT u FROM u3)) "
+            "+ CASE WHEN a.bal_h IS NULL OR b.bal_h IS NULL THEN 0 "
+            "WHEN a.bal_h = b.bal_h THEN log2(0.7/(SELECT u FROM u3)) "
             "ELSE log2(0.3/(1-(SELECT u FROM u3))) END, 4) AS score "
             "FROM base a JOIN base b ON a.block = b.block AND a.id < b.id"
             ") WHERE score >= 8.0"

@@ -3,8 +3,9 @@
 The classic entity-resolution scorer: candidate pairs from cheap
 blocking get a match weight Σ_f w_f where, per compared field f,
 
-    agree    →  log2(m_f / u_f)
-    disagree →  log2((1 − m_f) / (1 − u_f))
+    agree        →  log2(m_f / u_f)
+    disagree     →  log2((1 − m_f) / (1 − u_f))
+    either NULL  →  0   (missing data is zero evidence, not disagreement)
 
 m_f = P(agree | true match) is a caller parameter (field reliability);
 u_f = P(agree | random pair) is ESTIMATED FROM THE DATA as the
@@ -34,9 +35,13 @@ def u_probability(df: DataFrame, field: str) -> DataFrame:
     counts = df.where(F.col(field).isNotNull()).groupBy(field).agg(
         F.count("*").alias("n")
     )
+    # n is cast to double BEFORE squaring: bigint n*n wraps silently in
+    # non-ANSI Spark once a single value exceeds ~3B rows (plausible for
+    # low-cardinality fields at 100 TB), corrupting every match weight
+    nd = F.col("n").cast("double")
     return counts.agg(
         F.lit(field).alias("field"),
-        (F.sum(F.col("n") * F.col("n")) / (F.sum("n") * F.sum("n"))).alias("u"),
+        (F.sum(nd * nd) / (F.sum(nd) * F.sum(nd))).alias("u"),
     )
 
 
@@ -77,6 +82,18 @@ def fs_link_pairs(
     u = {
         f: u_probability(df, f).collect()[0]["u"] for f in fields
     }
+    for f, uf in u.items():
+        if uf is None:
+            raise ValueError(
+                f"fs_link_pairs: field {f!r} is all-NULL — no u-probability "
+                "can be estimated; drop it from the compared fields"
+            )
+        if not 0.0 < uf < 1.0:
+            raise ValueError(
+                f"fs_link_pairs: field {f!r} has u={uf} (single distinct "
+                "value?) — it carries no discriminating power; drop it from "
+                "the compared fields"
+            )
 
     a, b = base.alias("a"), base.alias("b")
     pairs = a.join(
@@ -87,17 +104,20 @@ def fs_link_pairs(
     score = F.lit(0.0)
     n_agree = F.lit(0)
     for f, m in fields.items():
-        agree = (
-            F.col(f"a.{f}").isNotNull()
-            & F.col(f"b.{f}").isNotNull()
-            & (F.col(f"a.{f}") == F.col(f"b.{f}"))
-        )
+        # three-way: a NULL on either side is ZERO evidence (standard
+        # Fellegi–Sunter missing-data treatment), not a disagreement —
+        # otherwise sparse records are systematically pushed below
+        # threshold by fields nobody filled in
+        either_null = F.col(f"a.{f}").isNull() | F.col(f"b.{f}").isNull()
+        agree = F.col(f"a.{f}") == F.col(f"b.{f}")
         w_agree = math.log2(m / u[f])
         w_disagree = math.log2((1.0 - m) / (1.0 - u[f]))
-        score = score + F.when(agree, F.lit(w_agree)).otherwise(
-            F.lit(w_disagree)
+        score = score + (
+            F.when(either_null, F.lit(0.0))
+            .when(agree, F.lit(w_agree))
+            .otherwise(F.lit(w_disagree))
         )
-        n_agree = n_agree + F.when(agree, 1).otherwise(0)
+        n_agree = n_agree + F.when(~either_null & agree, 1).otherwise(0)
     return (
         pairs.select(
             F.col("a.id").alias("id_a"),

@@ -47,9 +47,14 @@ def radius_join_pairs(
     widened by 1/cos(lat_band) so a lon cell spans ≥ one radius in km
     anywhere inside the band — that is what makes the 3×3 neighborhood
     COMPLETE (a pair within the radius can differ by at most one cell
-    per axis).  The build side keeps its own cell; the probe side is
-    duplicated into the 3×3 neighborhood, so the join key is exact
-    cell equality — a plain hash join, never a range/theta join.
+    per axis).  Longitude cells are laid out as exactly
+    ``n = floor(360/width)`` EQUAL cells around the circle (each ≥ the
+    required width) and the probe's ±1 shifts wrap modulo n, so pairs
+    straddling the ±180° antimeridian land in adjacent (mod-n) cells —
+    no seam, no missed pairs.  The build side keeps its own cell; the
+    probe side is duplicated into the 3×3 neighborhood, so the join key
+    is exact cell equality — a plain hash join, never a range/theta
+    join.
     ``cell_cap`` guards degenerate density (all points in one city
     block): cells above the cap are dropped — the standard hot-cell
     guard; production re-blocks those at finer granularity.
@@ -64,12 +69,23 @@ def radius_join_pairs(
         raise ValueError(f"lat_band_deg must be in (0, 90), got {lat_band_deg}")
     cell_deg = radius_km / 111.045
     cell_deg_lon = cell_deg / _math.cos(_math.radians(lat_band_deg))
+    # n equal lon cells around the full circle, each >= cell_deg_lon —
+    # equal widths keep the mod-n ±1 neighborhood complete (a trailing
+    # narrower remainder cell would let within-radius pairs sit 2 cells
+    # apart across it)
+    n_lon_cells = max(1, int(360.0 / cell_deg_lon))
+    lon_cell_width = 360.0 / n_lon_cells
     pts = df.select(
         F.col(id_col).alias("id"),
         F.col(lat_col).cast("double").alias("lat"),
         F.col(lon_col).cast("double").alias("lon"),
     ).where(F.col("lat").isNotNull() & F.col("lon").isNotNull())
-    cx = F.floor(F.col("lon") / cell_deg_lon).cast("long")
+    # lon normalized to [0, 360) so every point has one canonical cell;
+    # pmod keeps negatives positive
+    lon360 = F.pmod(F.col("lon"), F.lit(360.0))
+    cx = F.least(
+        F.floor(lon360 / lon_cell_width), F.lit(n_lon_cells - 1)
+    ).cast("long")
     cy = F.floor(F.col("lat") / cell_deg).cast("long")
     base = pts.select("id", "lat", "lon", cx.alias("cx"), cy.alias("cy"))
 
@@ -90,7 +106,9 @@ def radius_join_pairs(
                     "id",
                     "lat",
                     "lon",
-                    (F.col("cx") + dx).alias("cx"),
+                    # lon shifts wrap mod n so cell n-1 and cell 0 are
+                    # adjacent — the antimeridian seam disappears
+                    F.pmod(F.col("cx") + dx, F.lit(n_lon_cells)).alias("cx"),
                     (F.col("cy") + dy).alias("cy"),
                 )
             )

@@ -843,7 +843,10 @@ def sparse_cosine_pairs(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
         )
         .agg(F.sum(F.col("a.u") * F.col("b.u")).alias("__c"))
-        .where(F.col("__c") >= threshold)
+        # cut on the ROUNDED cosine (the value we return): the raw sum
+        # depends on aggregation order, so boundary pairs would flicker
+        # across runs/engines if thresholded unrounded
+        .where(F.round(F.col("__c"), 6) >= threshold)
         .select("id_a", "id_b", F.round("__c", 6).alias("cosine"))
     )
 

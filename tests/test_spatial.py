@@ -63,3 +63,28 @@ def test_param_guards(spark):
         radius_join_pairs(df, "id", "lat", "lon", radius_km=0)
     with pytest.raises(ValueError):
         radius_join_pairs(df, "id", "lat", "lon", lat_band_deg=95)
+
+
+def test_antimeridian_pairs_found(spark):
+    # pairs straddling lon ±180 must be found: the lon cells wrap mod n,
+    # so cell n-1 and cell 0 are adjacent (no seam at the antimeridian)
+    rows = [
+        (1, 10.0, 179.8),
+        (2, 10.0, -179.9),  # ~33 km from id 1 across the antimeridian
+        (3, 10.0, 170.0),   # far from both
+        (4, -45.0, -180.0),
+        (5, -45.0, 179.7),  # ~24 km from id 4 across the seam
+    ]
+    got = {(r.id_a, r.id_b) for r in radius_join_pairs(
+        _pts(spark, rows), "id", "lat", "lon", radius_km=50.0
+    ).collect()}
+    assert got == {(1, 2), (4, 5)}
+    # distances are the true great-circle values (haversine is periodic
+    # in dlon, so no special-casing needed on the verify side)
+    d = {
+        (r.id_a, r.id_b): r.dist_km
+        for r in radius_join_pairs(
+            _pts(spark, rows), "id", "lat", "lon", radius_km=50.0
+        ).collect()
+    }
+    assert abs(d[(1, 2)] - round(_hav(10.0, 179.8, 10.0, -179.9 + 360), 3)) < 1e-9
