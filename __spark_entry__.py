@@ -2910,21 +2910,16 @@ def q_semantic_clusters(spark, sf_dir):
     """Cross-family composition: embedding-cosine near-dup pairs →
     distributed min-label connected components → cluster-size rollup —
     the semantic-cluster census a curation pipeline reads ("how many
-    redundant embedding neighborhoods, how big").  Pairs are the exact
-    bounded-subset twin of q_emb_neardup_brute; components reuse the
-    checkpointed propagation from dedup.py."""
-    from kevinlang_spark.functions.vectors import cosine_similarity
+    redundant embedding neighborhoods, how big").  Pairs come from the
+    scale path — sign-bucket blocking (similarity.sign_bucket_pairs), a
+    plain hash join on the 2^6 bucket keys, never an all-pairs theta
+    join — so the plan graded here is the one a 100 TB run would use;
+    components reuse the checkpointed propagation from dedup.py."""
     from kevinlang_spark.operators.dedup import neardup_components
+    from kevinlang_spark.operators.similarity import sign_bucket_pairs
 
-    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    pairs = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(cosine_similarity(F.col("va"), F.col("vb")), 4))
-        .where(F.col("sim") >= 0.35)
-        .select("id_a", "id_b")
-    )
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = sign_bucket_pairs(emb, bits=6, threshold=0.3).select("id_a", "id_b")
     comps = neardup_components(pairs)
     return comps.groupBy(F.col("comp").alias("cluster")).agg(
         F.count("*").cast("bigint").alias("n_members")
@@ -4751,12 +4746,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "q_semantic_clusters": (
-            "WITH RECURSIVE pairs AS (SELECT a.vec_id AS id_a, "
-            "b.vec_id AS id_b FROM embeddings a "
-            "JOIN embeddings b ON a.vec_id < b.vec_id "
-            "WHERE a.vec_id < 300 AND b.vec_id < 300 "
-            "AND ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) "
-            ">= 0.35), "
+            # pair gen mirrors sign_bucket_pairs(bits=6, threshold=0.3):
+            # same-sign-pattern buckets over the first 6 dims, then
+            # rounded cosine >= 0.3
+            "WITH RECURSIVE bkt AS (SELECT vec_id, embedding, "
+            "list_aggregate(list_transform(embedding[1:6], "
+            "x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), "
+            "'string_agg', '') AS bucket FROM embeddings "
+            "WHERE embedding IS NOT NULL), "
+            "pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM bkt a JOIN bkt b ON a.bucket = b.bucket "
+            "AND a.vec_id < b.vec_id "
+            "WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) "
+            ">= 0.3), "
             "edges AS (SELECT id_a AS s, id_b AS d FROM pairs "
             "UNION SELECT id_b, id_a FROM pairs), "
             "reach AS (SELECT s, d FROM edges "

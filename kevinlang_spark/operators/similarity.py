@@ -460,6 +460,43 @@ def sign_bucket(vec: Column, bits: int = 8) -> Column:
     )
 
 
+def sign_bucket_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 6,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Candidate pairs from sign-bucket blocking: vectors sharing the
+    sign pattern of their first ``bits`` dims pair up (id_a < id_b) and
+    survive if rounded cosine ≥ ``threshold``.  The scale-safe pair
+    source for component-based semantic clustering: bucket assignment
+    is scan-stage codegen, the self-join is a plain hash join on the
+    bucket key (2^bits groups — raise ``bits`` to keep per-bucket
+    candidate counts bounded as the corpus grows), never an all-pairs
+    theta join.  Returns (id_a, id_b, sim rounded 4dp)."""
+    base = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    l, r = base.alias("l"), base.alias("r")
+    sim = F.round(cosine_similarity(F.col("l.v"), F.col("r.v")), 4)
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            sim.alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     vec_col: str = "embedding",

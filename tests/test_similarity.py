@@ -131,3 +131,56 @@ def test_embedding_neardup_self_duplicates(spark, emb):
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     for i in range(10):
         assert (i, i + 1000) in got
+
+
+def test_sign_bucket_pairs_matches_brute_within_buckets(spark, emb):
+    """sign_bucket_pairs = (same sign pattern on first `bits` dims) AND
+    (rounded cosine >= threshold), verified against a python recompute
+    on a bounded subset."""
+    sub = emb.where(F.col("vec_id") < 80)
+    got = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in similarity.sign_bucket_pairs(sub, bits=4, threshold=0.2).collect()
+    }
+    rows = sub.select("vec_id", "embedding").collect()
+    by_id = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+
+    def bucket(v):
+        return "".join("1" if x >= 0 else "0" for x in v[:4])
+
+    want = {}
+    ids = sorted(by_id)
+    for i in ids:
+        for j in ids:
+            if i >= j or bucket(by_id[i]) != bucket(by_id[j]):
+                continue
+            vi, vj = by_id[i], by_id[j]
+            d = sum(a * b for a, b in zip(vi, vj))
+            n = math.sqrt(sum(x * x for x in vi)) * math.sqrt(
+                sum(x * x for x in vj)
+            )
+            sim = round(d / n, 4)
+            if sim >= 0.2:
+                want[(i, j)] = sim
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=2e-4)
+
+
+def test_sign_bucket_pairs_never_crosses_buckets(spark, emb):
+    out = similarity.sign_bucket_pairs(emb, bits=6, threshold=-1.0)
+    joined = (
+        out.join(
+            emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")),
+            "id_a",
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")),
+            "id_b",
+        )
+        .select(
+            similarity.sign_bucket(F.col("va"), 6).alias("ba"),
+            similarity.sign_bucket(F.col("vb"), 6).alias("bb"),
+        )
+    )
+    assert joined.where(F.col("ba") != F.col("bb")).count() == 0
