@@ -66,3 +66,13 @@ def test_pending_queries_fill_the_driver_window():
         "already-verified queries occupy driver window slots while "
         f"{len(pending)} are still pending: {stale}"
     )
+
+
+def test_readme_query_count_matches_registry():
+    """README's advertised query count must track len(queries()) —
+    a stale scorecard erodes trust in every other claim (VERDICT r5
+    item 7)."""
+    n = len(_query_names())
+    readme = (ROOT / "README.md").read_text()
+    counts = {int(m) for m in re.findall(r"(\d+) queries", readme)}
+    assert counts == {n}, f"README says {counts}, registry has {n}"
