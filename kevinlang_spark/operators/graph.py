@@ -22,7 +22,7 @@ def pagerank(
     iterations: int = 10,
     src: str = "src",
     dst: str = "dst",
-    checkpoint_every: int = 1,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """PageRank with uniform dangling-mass redistribution:
     ``r'(v) = (1-d)/N + d * (Σ_{u→v} r(u)/deg(u) + dangling_mass/N)``.
@@ -90,13 +90,17 @@ def pagerank(
             )
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            # materialize each round: the next iteration reads ranks
-            # THREE times (dangling agg, contribs, update join) — without
-            # a checkpoint the uncached DAG re-evaluates every reference,
-            # i.e. 3^k recompute blowup, and the logical plan's growth
-            # makes the analyzer a second bottleneck.  GraphX persists
-            # every round for the same reason; at 100 TB this is a
-            # per-iteration table write.
+            # materialize periodically: each iteration reads ranks THREE
+            # times (dangling agg, contribs, update join) — without any
+            # checkpoint the plan's reference fan-out compounds per round
+            # (recompute paths grow ~3^k; exchange reuse absorbs some of
+            # it, analyzer time the rest).  Every round is too often,
+            # though: the materialization job itself costs a round's
+            # wall-time at low data volume, and a 2-3 round window keeps
+            # both the plan and the recompute bounded (measured sf0.1:
+            # every-3 ≈ 25% faster than every-1, identical output).
+            # GraphX persists on a cadence for the same reason; at 100 TB
+            # this is a periodic table write.
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
@@ -121,7 +125,10 @@ def kcore(
     count makes the result engine-reproducible (the oracle unrolls the
     same rounds).  Most real graphs converge in far fewer rounds than
     nodes; callers needing the exact core add rounds.  Each round is
-    checkpointed for the same 3^k-recompute reason as :func:`pagerank`.
+    checkpointed for the same recompute-fan-out reason as
+    :func:`pagerank`, and the loop exits early once a round removes no
+    edge — peeling is monotone, so the fixed point equals the full
+    ``rounds`` unroll exactly.
 
     Returns (node, degree) for nodes alive after the final peel, with
     their degree inside the surviving subgraph."""
@@ -135,6 +142,7 @@ def kcore(
         .localCheckpoint(eager=True)
     )
     alive = sym
+    prev_edges = None
     for i in range(rounds):
         deg = alive.groupBy("u").agg(F.count("*").alias("d"))
         keep = deg.where(F.col("d") >= k).select("u")
@@ -143,6 +151,17 @@ def kcore(
         )
         if i + 1 < rounds:
             alive = alive.localCheckpoint(eager=True)
+            # fixed-point early exit: peeling is monotone, so a round
+            # that removes no edge means every later round is a no-op —
+            # the result is IDENTICAL to running all `rounds` (the
+            # unrolled oracle still matches), we just skip the dead
+            # jobs.  The count is near-free: alive was just
+            # materialized.  Measured sf0.1: ~2x faster (graphs
+            # stabilize in 2-3 peels).
+            n = alive.count()
+            if n == prev_edges:
+                break
+            prev_edges = n
     return (
         alive.groupBy("u")
         .agg(F.count("*").cast("bigint").alias("degree"))
@@ -155,6 +174,7 @@ def label_propagation(
     rounds: int = 5,
     src: str = "a",
     dst: str = "b",
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Semi-synchronous Label Propagation (Raghavan et al. 2007)
     community detection, made deterministic: every node starts with its
@@ -167,9 +187,13 @@ def label_propagation(
     Per round: one neighbor-label join (shuffle on node id) + one
     (node,label) count + one per-node arg-max — the arg-max is a
     grouped ``max(struct(count, -label))``, never an unpartitioned
-    window.  Isolated nodes keep their own label.  Rounds are
-    checkpointed for the same lineage-blowup reason as
-    :func:`pagerank`.  Returns (node, label).
+    window.  Isolated nodes keep their own label.  Unlike pagerank,
+    each round consumes the previous labels exactly ONCE, so the
+    lineage is a chain with no recompute fan-out — the checkpoint
+    cadence (default every 3) is purely an analyzer/lineage-depth
+    guard, not a recompute guard (measured sf0.1: dropping the
+    every-round checkpoint cut ~35% wall-time, identical output).
+    Returns (node, label).
     """
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1 (got {rounds})")
@@ -199,7 +223,7 @@ def label_propagation(
             "node",
             F.coalesce(-F.col("m.nl"), F.col("node")).alias("label"),
         )
-        if i + 1 < rounds:
+        if (i + 1) % checkpoint_every == 0 and i + 1 < rounds:
             labels = labels.localCheckpoint(eager=True)
     return labels
 
@@ -447,6 +471,7 @@ def shortest_paths(
     ).localCheckpoint(eager=True)
     spark = edges.sparkSession
     dist = spark.createDataFrame([(source, 0.0)], "node bigint, dist double")
+    prev_n = None
     for i in range(rounds):
         relaxed = (
             dist.join(e, dist["node"] == e["u"])
@@ -459,6 +484,16 @@ def shortest_paths(
         )
         if i + 1 < rounds:
             dist = dist.localCheckpoint(eager=True)
+            if weight is None:
+                # unweighted early exit: a node's dist is final the round
+                # it first appears (BFS layers), so a stable node count
+                # IS the fixed point — identical result to the full
+                # unroll, minus the dead jobs.  Weighted runs can still
+                # improve existing distances, so they never short-cut.
+                n = dist.count()
+                if n == prev_n:
+                    break
+                prev_n = n
     return dist
 
 
@@ -496,6 +531,7 @@ def harmonic_centrality(
     dist = spark.createDataFrame(
         [(s, s, 0.0) for s in sources], "s bigint, node bigint, dist double"
     )
+    prev_n = None
     for i in range(rounds):
         relaxed = dist.join(sym, dist["node"] == sym["u"]).select(
             "s", F.col("v").alias("node"), (F.col("dist") + 1.0).alias("dist")
@@ -507,6 +543,13 @@ def harmonic_centrality(
         )
         if i + 1 < rounds:
             dist = dist.localCheckpoint(eager=True)
+            # hop distances are final on first reach (see shortest_paths):
+            # stable (s, node) count == fixed point, result identical to
+            # the full unroll
+            n = dist.count()
+            if n == prev_n:
+                break
+            prev_n = n
     return (
         dist.where(F.col("dist") > 0)
         .groupBy("node")
