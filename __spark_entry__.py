@@ -1067,6 +1067,26 @@ def q_media_decode(spark, sf_dir):
     )
 
 
+def q_media_pixels(spark, sf_dir):
+    """FULL media decode with zero codecs (multimodal.py
+    stdlib_pixel_decode): synthesize BMP/WAV payloads with deterministic
+    CONTENT (pixel RGB and sample amplitude are closed-form in doc_id),
+    then decode the actual pixel grids / PCM sample streams through
+    mapInPandas and report content statistics — per-channel means for
+    images (BGR rows, padding excluded), RMS/peak for audio.  The oracle
+    predicts every statistic from the generation formula, so this is the
+    end-to-end proof that real pixel/sample bytes survive the pipeline,
+    not just container headers."""
+    from kevinlang_spark.operators.multimodal import (
+        attach_stdlib_media,
+        extract_pixel_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_stdlib_media(docs, filled=True)
+    return extract_pixel_stats(media)
+
+
 def q_stream_join(spark, sf_dir):
     """STREAMING stream-stream interval join: two watermarked restreams
     of the events source (views, clicks) interval-joined in append mode
@@ -3939,6 +3959,7 @@ def q_frequent_sequences(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_ann_probe_pruned": q_ann_probe_pruned,
+        "q_media_pixels": q_media_pixels,
         "q_theta_overlap": q_theta_overlap,
         "q_cms_tokens": q_cms_tokens,
         "q_join_estimate": q_join_estimate,
@@ -4870,6 +4891,31 @@ def oracle_sql() -> dict[str, str]:
             "ELSE log2(0.3/(1-(SELECT u FROM u3))) END, 4) AS score "
             "FROM base a JOIN base b ON a.block = b.block AND a.id < b.id"
             ") WHERE score >= 8.0"
+        ),
+        "q_media_pixels": (
+            # the decoded CONTENT statistics must equal the generation
+            # formula: constant-fill BMPs/WAVs make every mean/rms/peak
+            # exact in float64 (mean of n identical ints is exact)
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END "
+            "AS media_type, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 64 + 1 END AS INTEGER) "
+            "AS width, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 48 + 1 END AS INTEGER) "
+            "AS height, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN 1 "
+            "ELSE doc_id % 1000 + 1 END AS INTEGER) AS n_frames, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 256 END AS DOUBLE) "
+            "AS mean_r, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id * 3) % 256 END AS DOUBLE) "
+            "AS mean_g, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id * 7) % 256 END AS DOUBLE) "
+            "AS mean_b, "
+            "CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 2048 END AS DOUBLE) "
+            "AS rms, "
+            "CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 2048 END AS DOUBLE) "
+            "AS peak "
+            "FROM documents"
         ),
         "q_media_decode": (
             # the decoded header fields must equal the generation formula:

@@ -231,28 +231,36 @@ def stdlib_decode(payload: bytes, media_type: str) -> dict:
     )
 
 
-def make_bmp(width: int, height: int) -> bytes:
-    """A minimal VALID 24-bit BMP of the given dimensions (zeroed
-    pixels) — real container bytes for decode tests and synthetic
-    bronze tables."""
+def make_bmp(
+    width: int, height: int, rgb: tuple[int, int, int] = (0, 0, 0)
+) -> bytes:
+    """A minimal VALID 24-bit BMP of the given dimensions, every pixel
+    ``rgb`` — real container bytes for decode tests and synthetic
+    bronze tables.  Pixel rows are stored BGR with 4-byte padding, so a
+    decoder that mixes channel order or miscounts padding reads wrong
+    values."""
     import struct
 
-    row = (width * 3 + 3) & ~3  # rows pad to 4 bytes
-    pixels = row * height
+    r, g, b = rgb
+    row_px = bytes((b & 0xFF, g & 0xFF, r & 0xFF)) * width  # BGR on disk
+    pad = b"\x00" * ((4 - (width * 3) % 4) % 4)
+    body = (row_px + pad) * height
     return (
         b"BM"
-        + struct.pack("<IHHI", 54 + pixels, 0, 0, 54)
-        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, pixels, 2835, 2835, 0, 0)
-        + b"\x00" * pixels
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+        + body
     )
 
 
-def make_wav(n_frames: int, sample_rate: int = 8000) -> bytes:
-    """A minimal VALID 16-bit mono PCM WAV with ``n_frames`` zero
-    samples."""
+def make_wav(
+    n_frames: int, sample_rate: int = 8000, amplitude: int = 0
+) -> bytes:
+    """A minimal VALID 16-bit mono PCM WAV with ``n_frames`` samples,
+    each holding ``amplitude`` (int16)."""
     import struct
 
-    data = b"\x00\x00" * n_frames
+    data = struct.pack("<h", amplitude) * n_frames
     return (
         b"RIFF"
         + struct.pack("<I", 36 + len(data))
@@ -264,23 +272,149 @@ def make_wav(n_frames: int, sample_rate: int = 8000) -> bytes:
     )
 
 
-def attach_stdlib_media(df: DataFrame) -> DataFrame:
+def stdlib_pixel_decode(payload: bytes, media_type: str) -> dict:
+    """FULL decode with zero external codecs, for the uncompressed
+    containers where that is honestly possible: 24-bit uncompressed BMP
+    pixel grids and 16-bit mono PCM WAV sample streams.  Returns the
+    decoded dimensions plus content statistics computed from the actual
+    bytes — per-channel means for images (BGR row order, 4-byte row
+    padding excluded), RMS/peak for audio — the proof that the media
+    plumbing carries real pixels/samples end-to-end, not just headers.
+
+    Compressed formats (PNG/JPEG/GIF pixel data, lossy audio) still
+    need codec libraries (:func:`real_decode`'s PIL gate); anything not
+    decodable here raises ValueError and is quarantined by the caller,
+    like NULL payloads."""
+    import struct
+
+    import numpy as np
+
+    if media_type == "image":
+        if payload[:2] != b"BM" or len(payload) < 54:
+            raise ValueError("pixel decode supports uncompressed 24-bit BMP only")
+        data_off = struct.unpack("<I", payload[10:14])[0]
+        width, height = struct.unpack("<ii", payload[18:26])
+        bpp, compression = struct.unpack("<H", payload[28:30])[0], struct.unpack(
+            "<I", payload[30:34]
+        )[0]
+        if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+            raise ValueError("pixel decode supports uncompressed 24-bit BMP only")
+        n_rows = abs(height)
+        stride = (width * 3 + 3) & ~3
+        body = payload[data_off : data_off + stride * n_rows]
+        if len(body) < stride * n_rows:
+            raise ValueError("truncated BMP pixel array")
+        grid = np.frombuffer(body, dtype=np.uint8).reshape(n_rows, stride)
+        px = grid[:, : width * 3].reshape(n_rows, width, 3).astype(np.float64)
+        # rows are bottom-up when height > 0 — irrelevant for means, but
+        # the orientation flip is where a real pipeline would apply it
+        mean_b, mean_g, mean_r = px[:, :, 0].mean(), px[:, :, 1].mean(), px[:, :, 2].mean()
+        return {
+            "width": width,
+            "height": n_rows,
+            "n_frames": 1,
+            "mean_r": float(mean_r),
+            "mean_g": float(mean_g),
+            "mean_b": float(mean_b),
+        }
+    if media_type == "audio":
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            raise ValueError("pixel decode supports 16-bit mono PCM WAV only")
+        i, fmt_ok, samples = 12, False, None
+        while i + 8 <= len(payload):
+            cid = payload[i : i + 4]
+            size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+            if cid == b"fmt " and i + 24 <= len(payload):
+                audio_fmt, channels = struct.unpack("<HH", payload[i + 8 : i + 12])
+                bits = struct.unpack("<H", payload[i + 22 : i + 24])[0]
+                fmt_ok = audio_fmt == 1 and channels == 1 and bits == 16
+            elif cid == b"data":
+                raw = payload[i + 8 : i + 8 + size]
+                if len(raw) < size:
+                    raise ValueError("truncated WAV data chunk")
+                samples = np.frombuffer(raw[: len(raw) & ~1], dtype="<i2")
+            i += 8 + size + (size % 2)
+        if not fmt_ok or samples is None:
+            raise ValueError("pixel decode supports 16-bit mono PCM WAV only")
+        s = samples.astype(np.float64)
+        return {
+            "n_frames": int(samples.size),
+            "rms": float(np.sqrt((s * s).mean())) if samples.size else 0.0,
+            "peak": float(np.abs(s).max()) if samples.size else 0.0,
+        }
+    raise ValueError(f"no codec-free full decode for media_type={media_type!r}")
+
+
+PIXEL_STATS_SCHEMA = (
+    "doc_id bigint, media_type string, width int, height int, "
+    "n_frames int, mean_r double, mean_g double, mean_b double, "
+    "rms double, peak double"
+)
+
+
+def extract_pixel_stats(media_df: DataFrame) -> DataFrame:
+    """(doc_id, media_type, payload) → full-decode content statistics
+    via mapInPandas over :func:`stdlib_pixel_decode`.  Same Arrow-batch
+    shape as :func:`extract_media_features`; undecodable or NULL
+    payloads yield null stats (quarantine semantics), never a dead
+    task."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for p, m in zip(pdf["payload"], pdf["media_type"]):
+                if p is None:
+                    feats.append({})
+                    continue
+                try:
+                    feats.append(stdlib_pixel_decode(bytes(p), m))
+                except ValueError:
+                    feats.append({})
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": pd.array([f.get("width") for f in feats], dtype="Int32"),
+                    "height": pd.array([f.get("height") for f in feats], dtype="Int32"),
+                    "n_frames": pd.array(
+                        [f.get("n_frames") for f in feats], dtype="Int32"
+                    ),
+                    "mean_r": pd.array([f.get("mean_r") for f in feats], dtype="Float64"),
+                    "mean_g": pd.array([f.get("mean_g") for f in feats], dtype="Float64"),
+                    "mean_b": pd.array([f.get("mean_b") for f in feats], dtype="Float64"),
+                    "rms": pd.array([f.get("rms") for f in feats], dtype="Float64"),
+                    "peak": pd.array([f.get("peak") for f in feats], dtype="Float64"),
+                }
+            )
+
+    return media_df.mapInPandas(batches, schema=PIXEL_STATS_SCHEMA)
+
+
+def attach_stdlib_media(df: DataFrame, filled: bool = False) -> DataFrame:
     """Synthesize a bronze media table with REAL container bytes:
     alternating BMPs (dimensions derived from doc_id) and WAVs (frame
     count derived from doc_id), built per Arrow batch so payloads are
-    created executor-side and never touch the driver."""
+    created executor-side and never touch the driver.
+
+    ``filled=True`` writes deterministic CONTENT as well: BMP pixels are
+    (doc%256, doc*3%256, doc*7%256) RGB, WAV samples hold doc%2048 —
+    closed-form in doc_id, so a full-decode oracle can predict the
+    channel means / RMS exactly."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids = pdf["doc_id"]
             media, payload = [], []
             for i in ids:
-                if i % 2 == 0:
+                d = int(i)
+                if d % 2 == 0:
                     media.append("image")
-                    payload.append(make_bmp(int(i) % 64 + 1, int(i) % 48 + 1))
+                    rgb = (d % 256, d * 3 % 256, d * 7 % 256) if filled else (0, 0, 0)
+                    payload.append(make_bmp(d % 64 + 1, d % 48 + 1, rgb=rgb))
                 else:
                     media.append("audio")
-                    payload.append(make_wav(int(i) % 1000 + 1))
+                    amp = d % 2048 if filled else 0
+                    payload.append(make_wav(d % 1000 + 1, amplitude=amp))
             yield pd.DataFrame(
                 {"doc_id": ids, "media_type": media, "payload": payload}
             )

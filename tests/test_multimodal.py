@@ -190,3 +190,72 @@ def test_stdlib_media_decode_roundtrip_on_spark(spark):
     }
     assert out[4] == ("image", 4 % 64 + 1, 1)
     assert out[7] == ("audio", None, 7 % 1000 + 1)
+
+
+def test_pixel_decode_reads_actual_bmp_pixels():
+    """Full BMP decode: channel means come from the real BGR bytes,
+    row padding excluded."""
+    from kevinlang_spark.operators.multimodal import make_bmp, stdlib_pixel_decode
+
+    out = stdlib_pixel_decode(make_bmp(5, 3, rgb=(200, 100, 50)), "image")
+    assert out["width"] == 5 and out["height"] == 3 and out["n_frames"] == 1
+    # 5*3 = 15 bytes/row -> 1 pad byte/row; a decoder that includes the
+    # zero padding or swaps BGR->RGB gets different numbers
+    assert out["mean_r"] == 200.0
+    assert out["mean_g"] == 100.0
+    assert out["mean_b"] == 50.0
+
+
+def test_pixel_decode_reads_actual_wav_samples():
+    from kevinlang_spark.operators.multimodal import make_wav, stdlib_pixel_decode
+
+    out = stdlib_pixel_decode(make_wav(7, amplitude=-1234), "audio")
+    assert out["n_frames"] == 7
+    assert out["rms"] == 1234.0 and out["peak"] == 1234.0
+
+
+def test_pixel_decode_rejects_unsupported():
+    import pytest as _pytest
+
+    from kevinlang_spark.operators.multimodal import (
+        make_bmp,
+        make_wav,
+        stdlib_pixel_decode,
+    )
+
+    with _pytest.raises(ValueError):
+        stdlib_pixel_decode(b"\x89PNG\r\n\x1a\n" + b"\x00" * 40, "image")  # compressed
+    with _pytest.raises(ValueError):
+        stdlib_pixel_decode(make_bmp(4, 4)[:40], "image")  # truncated
+    with _pytest.raises(ValueError):
+        stdlib_pixel_decode(make_wav(5)[:20], "audio")  # truncated
+    with _pytest.raises(ValueError):
+        stdlib_pixel_decode(b"junk", "video")
+
+
+def test_pixel_stats_on_spark(spark):
+    """End-to-end: synthesized filled containers -> mapInPandas full
+    decode -> stats match the generation formula for both media types."""
+    from kevinlang_spark.operators.multimodal import (
+        attach_stdlib_media,
+        extract_pixel_stats,
+    )
+
+    docs = spark.range(0, 20).select(F.col("id").alias("doc_id"))
+    out = {
+        r["doc_id"]: r
+        for r in extract_pixel_stats(attach_stdlib_media(docs, filled=True)).collect()
+    }
+    assert len(out) == 20
+    for d, r in out.items():
+        if d % 2 == 0:
+            assert r["media_type"] == "image"
+            assert (r["width"], r["height"]) == (d % 64 + 1, d % 48 + 1)
+            assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (
+                float(d % 256), float(d * 3 % 256), float(d * 7 % 256))
+            assert r["rms"] is None
+        else:
+            assert r["media_type"] == "audio"
+            assert r["n_frames"] == d % 1000 + 1
+            assert r["rms"] == float(d % 2048) == r["peak"]
+            assert r["width"] is None
