@@ -134,6 +134,7 @@ HEADLINE = [
     "q_rollup_revenue",
     "q_link_prediction",
     "q_media_decode",
+    "q_media_pixels",
     "q_record_linkage",
     "q_radius_join",
     "q_feature_hash",

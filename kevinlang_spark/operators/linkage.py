@@ -76,12 +76,17 @@ def fs_link_pairs(
         *[F.col(f) for f in fields],
     ).where(F.col("block").isNotNull())
 
-    # per-field u as driver-side scalars: one tiny aggregate per field
-    # (metadata, like the PCA matrix) — folded into the score expression
-    # as literals so scoring is pure scan-stage codegen
-    u = {
-        f: u_probability(df, f).collect()[0]["u"] for f in fields
-    }
+    # per-field u as driver-side scalars (metadata, like the PCA matrix)
+    # — folded into the score expression as literals so scoring is pure
+    # scan-stage codegen.  All fields' aggregates are unioned into ONE
+    # collect: a single job whose per-field stages run concurrently,
+    # instead of len(fields) sequential driver round trips (measured
+    # sf0.1: ~1s saved on 3 fields)
+    from functools import reduce
+
+    u_frames = [u_probability(df, f) for f in fields]
+    u_rows = reduce(lambda a, b: a.unionByName(b), u_frames).collect()
+    u = {r["field"]: r["u"] for r in u_rows}
     for f, uf in u.items():
         if uf is None:
             raise ValueError(
