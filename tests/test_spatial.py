@@ -88,3 +88,34 @@ def test_antimeridian_pairs_found(spark):
         ).collect()
     }
     assert abs(d[(1, 2)] - round(_hav(10.0, 179.8, 10.0, -179.9 + 360), 3)) < 1e-9
+
+
+def test_matches_brute_force_global(spark):
+    """Completeness on points spread across the full lon range (both
+    seams: ±180 and the 0/360 wrap of the internal normalization),
+    several latitude bands, radius large enough to span cells."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(120):
+        lat = rng.uniform(-60.0, 60.0)
+        # half the points hug the antimeridian, half spread everywhere
+        lon = (
+            rng.choice([179.0, -179.0]) + rng.uniform(-1.0, 1.0)
+            if i % 2
+            else rng.uniform(-180.0, 180.0)
+        )
+        rows.append((i, round(lat, 4), round(lon, 4)))
+    got = {
+        (r.id_a, r.id_b)
+        for r in radius_join_pairs(
+            _pts(spark, rows), "id", "lat", "lon", radius_km=200.0
+        ).collect()
+    }
+    want = set()
+    for i in range(120):
+        for j in range(i + 1, 120):
+            if _hav(rows[i][1], rows[i][2], rows[j][1], rows[j][2]) <= 200.0:
+                want.add((i, j))
+    assert got == want
