@@ -742,6 +742,10 @@ def neardup_components(
         pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
         .unionAll(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
         .distinct()
+        # invariant edge table pre-partitioned on the propagation join
+        # key: the checkpoint keeps the layout, so each round shuffles
+        # only the label table (same trick as graph.py pagerank/LPA)
+        .repartition(F.col("d"))
         .localCheckpoint(eager=True)
     )
     cur = (
@@ -750,6 +754,7 @@ def neardup_components(
         .select(F.col("s").alias("id"), F.least("s", "m").alias("comp"))
         .localCheckpoint(eager=True)
     )
+    prev_sum = None
     for _ in range(max_iter):
         prop = (
             e.alias("e")
@@ -768,15 +773,20 @@ def neardup_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(cur.alias("c"), "id")
-            .where(F.col("n.comp") != F.col("c.comp"))
-            .count()
-        )
+        # convergence check via the label-sum invariant: labels only ever
+        # DECREASE (least/min everywhere), so the total is strictly
+        # monotone and a stable sum == no node changed — one aggregate on
+        # the just-materialized frame instead of a join + count per
+        # round.  decimal(38,0) keeps the sum exact at any id scale
+        # (bigint would wrap, double would round — both could fake
+        # convergence).
+        ssum = new.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("t")
+        ).collect()[0]["t"]
         cur = new
-        if changed == 0:
+        if ssum == prev_sum:
             break
+        prev_sum = ssum
     return cur
 
 
