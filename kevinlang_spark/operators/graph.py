@@ -408,6 +408,9 @@ def wl_refinement(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        # invariant edge table pre-partitioned on the per-round label
+        # join key (see pagerank)
+        .repartition(F.col("v"))
         .localCheckpoint(eager=True)
     )
     labels = sym.groupBy(F.col("u").alias("node")).agg(
