@@ -6672,7 +6672,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM base b JOIN f ON b.grp = f.grp) "
             "SELECT grp AS l_returnflag, li_id, x AS l_quantity, "
             "y AS l_extendedprice, ROUND(d2, 4) AS d2 "
-            "FROM d WHERE d2 > 5.0"
+            "FROM d WHERE ROUND(d2, 4) > 5.0"
         ),
         "q_temporal_join": (
             "WITH ch AS (SELECT l_orderkey AS k, "

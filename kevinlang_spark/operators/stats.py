@@ -380,7 +380,12 @@ def mahalanobis_outliers(
     return (
         base.join(F.broadcast(stats), key_col)
         .withColumn("d2", d2)
-        .where(F.col("d2") > threshold)
+        # cut on the ROUNDED distance (the value we return): the
+        # var/cov sufficient statistics are aggregation-order-dependent
+        # in their low bits, so an unrounded cut lets boundary rows
+        # flicker across runs/engines (repo convention, cf.
+        # sparse_cosine_pairs / adamic_adar)
+        .where(F.round(F.col("d2"), 4) > threshold)
         .select(
             key_col,
             id_col,
