@@ -219,3 +219,71 @@ def test_harmonic_centrality_path_sources(spark):
     assert out[1] == (1, round(1 / 3, 6))  # own source excluded
     with pytest.raises(ValueError):
         harmonic_centrality(e, [], rounds=2)
+
+
+def test_kcore_early_exit_equals_full_unroll_random(spark):
+    """The fixed-point break is result-identical to running every round:
+    peeling is monotone, so once a round removes nothing the remaining
+    rounds are no-ops.  Random graphs, python reference peeler."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        pairs = sorted(
+            {
+                tuple(sorted(rng.sample(range(30), 2)))
+                for _ in range(60 + trial * 20)
+            }
+        )
+        got = {
+            (r["node"], r["degree"])
+            for r in kcore(_edges(spark, pairs), k=3, rounds=12).collect()
+        }
+        # reference: peel to true fixed point
+        adj = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        alive = set(adj)
+        while True:
+            drop = {n for n in alive if len(adj[n] & alive) < 3}
+            if not drop:
+                break
+            alive -= drop
+        want = {(n, len(adj[n] & alive)) for n in alive}
+        assert got == want, f"trial {trial}"
+
+
+def test_components_sum_invariant_on_random_graphs(spark):
+    """neardup_components' label-sum convergence check terminates at the
+    true fixed point: labels equal python union-find on random graphs
+    (including a long path, the worst case for propagation rounds)."""
+    import random
+
+    from kevinlang_spark.operators.dedup import neardup_components
+
+    rng = random.Random(13)
+    cases = [
+        [(i, i + 1) for i in range(15)],  # path: needs many rounds
+        sorted({tuple(sorted(rng.sample(range(40), 2))) for _ in range(50)}),
+    ]
+    for pairs in cases:
+        df = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+        got = {
+            (r["id"], r["comp"]) for r in neardup_components(df).collect()
+        }
+        parent = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {n for p in pairs for n in p}
+        want = {(n, find(n)) for n in nodes}
+        assert got == want
