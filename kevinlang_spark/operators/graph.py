@@ -42,11 +42,16 @@ def pagerank(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
         # pre-partition the loop-invariant edge table on its join key:
-        # localCheckpoint preserves the physical partitioning, so every
-        # iteration's contribs join reuses it instead of re-shuffling
-        # the edge side (measured sf0.1: ~11% off total; at 100 TB this
-        # is a bucketed edge table and the win is an edge-sized shuffle
-        # PER ITERATION)
+        # localCheckpoint preserves the physical partitioning, so when
+        # the rank side outgrows the broadcast threshold every
+        # iteration's contribs join reuses this layout instead of
+        # re-shuffling the edge side — at 100 TB this is a bucketed
+        # edge table and the win is an edge-sized shuffle PER
+        # ITERATION.  At bench scale (ranks broadcast) the same
+        # repartition fixes a second problem: AQE coalesces the
+        # distinct's output to a handful of partitions, and every
+        # round would inherit that tiny parallelism (measured sf0.1:
+        # ~11% off total).
         .repartition(F.col("src"))
         .localCheckpoint(eager=True)
     )
