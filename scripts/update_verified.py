@@ -53,6 +53,14 @@ def main() -> None:
         "dict is re-ordered every round so pending queries occupy the first 50",
         "slots until none remain (VERDICT r4 item 1/2).",
         "",
+        "Window policy once every query has a driver-green row (expected end of",
+        "r7, per VERDICT r5 item 5): the first 50 slots become a REGRESSION",
+        "window holding the highest-risk queries — iterative graph loops,",
+        "streaming drains, ANN/LSH families, and any query whose operator changed",
+        "that round — so later rounds re-verify instead of only first-verifying.",
+        "New queries enter at the front (they are pending until first-green);",
+        "remaining slots re-verify by risk rank.",
+        "",
         "| query | first driver-green |",
         "|---|---|",
     ]
