@@ -55,31 +55,35 @@ def pagerank(
         .repartition(F.col("src"))
         .localCheckpoint(eager=True)
     )
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # out-degree is LOOP-INVARIANT, so it is folded into the node table
+    # ONCE (deg NULL marks dangling nodes) and carried through the loop
+    # as an extra int column — the alternative, a per-iteration
+    # ranks⋈deg join, costs a rank-table-sized shuffle join every round
+    # once the graph outgrows the broadcast threshold (at bench scale
+    # deg broadcasts and the fold is timing-neutral; at 100 TB it
+    # deletes `iterations` shuffle joins)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .join(deg, F.col("node") == F.col("src"), "left")
+        .select("node", "deg")
         .localCheckpoint(eager=True)
     )
-    deg = e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(
-        eager=True
-    )
-    # small graphs: the degree table broadcasts; huge graphs fall back to
-    # a key-shuffled join Catalyst plans the same way each round
     n_nodes = nodes.count()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     base = (1.0 - damping) / n_nodes
 
     for i in range(iterations):
-        with_deg = ranks.join(deg, ranks["node"] == deg["src"], "left")
         # dangling mass stays a LAZY 1-row aggregate broadcast-crossed
         # into the update — no per-iteration driver round-trip, the whole
         # iteration remains one declarative plan
-        dangling = with_deg.where(F.col("deg").isNull()).agg(
+        dangling = ranks.where(F.col("deg").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
         )
         contribs = (
-            with_deg.where(F.col("deg").isNotNull())
+            ranks.where(F.col("deg").isNotNull())
             .select("node", (F.col("rank") / F.col("deg")).alias("contrib"))
             .alias("r")
             .join(e.alias("g"), F.col("r.node") == F.col("g.src"))
@@ -91,6 +95,7 @@ def pagerank(
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "deg",
                 (
                     F.lit(base)
                     + F.lit(damping)
@@ -114,7 +119,7 @@ def pagerank(
             # GraphX persists on a cadence for the same reason; at 100 TB
             # this is a periodic table write.
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def kcore(
