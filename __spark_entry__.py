@@ -3945,6 +3945,78 @@ def q_rank_fusion(spark, sf_dir):
     return reciprocal_rank_fusion([a, b], "vec_id")
 
 
+#: BM25 query vocabulary shared by q_bm25_search / q_hybrid_retrieval and
+#: their oracles — high-frequency testdata vocabulary words.
+_BM25_TERMS = ["spark", "join", "window"]
+
+
+def q_bm25_search(spark, sf_dir):
+    """Okapi BM25 top-10 for a 3-term query over the documents corpus
+    (text.py bm25_scores): the exploded token stream is filtered to the
+    query vocabulary in the scan stage, corpus stats (N, avgdl) ride a
+    1-row broadcast, and the cut ranks on the ROUNDED score with a
+    doc_id tie-break so it is engine-reproducible."""
+    from kevinlang_spark.operators.text import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        bm25_scores(docs, _BM25_TERMS)
+        .orderBy(F.col("bm25").desc(), F.col("id").asc())
+        .limit(10)
+        .select(F.col("id").alias("doc_id"), "n_terms", "bm25")
+    )
+
+
+def q_hybrid_retrieval(spark, sf_dir):
+    """Hybrid retrieval, the full RAG stack in one plan: lexical BM25
+    top-20 over documents + dense cosine top-20 over the paired
+    embeddings (doc_id ≡ vec_id), fused with Reciprocal Rank Fusion
+    (c=60).  Both rankings cut and rank on ROUNDED scores with id
+    tie-breaks (membership must match across engines for ranks to
+    match); ranks use the 20-row broadcast self-join count from
+    q_rank_fusion (no unpartitioned window); the fusion itself is a
+    ≤40-row metadata merge however large the corpus scans were."""
+    from kevinlang_spark.functions.vectors import cosine_similarity
+    from kevinlang_spark.operators.similarity import _query_lit
+    from kevinlang_spark.operators.stats import reciprocal_rank_fusion
+    from kevinlang_spark.operators.text import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def rank20(t, score_col):
+        x, y = t.alias("x"), t.alias("y")
+        ahead = (F.col(f"y.{score_col}") > F.col(f"x.{score_col}")) | (
+            (F.col(f"y.{score_col}") == F.col(f"x.{score_col}"))
+            & (F.col("y.id") < F.col("x.id"))
+        )
+        return (
+            x.join(F.broadcast(y), ahead, "left")
+            .groupBy(F.col("x.id").alias("id"))
+            .agg((F.count("y.id") + 1).cast("int").alias("rank"))
+        )
+
+    lex = (
+        bm25_scores(docs, _BM25_TERMS)
+        .orderBy(F.col("bm25").desc(), F.col("id").asc())
+        .limit(20)
+        .select("id", "bm25")
+    )
+    q = _query_lit(_query_vec(spark, sf_dir, vec_id=1))
+    dense = (
+        emb.select(
+            F.col("vec_id").alias("id"),
+            F.round(cosine_similarity(F.col("embedding"), q), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("id").asc())
+        .limit(20)
+    )
+    fused = reciprocal_rank_fusion(
+        [rank20(lex, "bm25"), rank20(dense, "sim")], "id"
+    )
+    return fused.select(F.col("id").alias("doc_id"), "n_lists", "rrf")
+
+
 def q_frequent_sequences(spark, sf_dir):
     """Distributed PrefixSpan: ordered behavior patterns (length ≤ 2)
     appearing in ≥ half of user event sequences.  At length ≤ 2 support
@@ -4008,6 +4080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incremental_agg": q_incremental_agg,
         "q_triangles": q_triangles,
         "q_jaccard_prefix": q_jaccard_prefix,
+        "q_bm25_search": q_bm25_search,
+        "q_hybrid_retrieval": q_hybrid_retrieval,
         "q_skyline": q_skyline,
         "q_mode": q_mode,
         "q_paths": q_paths,
@@ -4638,6 +4712,31 @@ def _zorder_oracle_sql() -> str:
         f"{q16('l_extendedprice', 900.0, 105000.0)} AS qy FROM lineitem) "
         f"SELECT l_orderkey, l_linenumber, CAST({terms} AS BIGINT) AS zkey "
         f"FROM q"
+    )
+
+
+def _bm25_scored_cte(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
+    """Shared BM25 scoring CTE chain (q_bm25_search / q_hybrid_retrieval):
+    replicates text.bm25_scores — same tokenizer regex, same Lucene idf,
+    same literal expression order so float results agree bit-for-bit
+    before the 6dp round."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return (
+        "WITH base AS (SELECT doc_id, list_filter("
+        "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks "
+        "FROM documents), "
+        "dlt AS (SELECT doc_id, len(toks) AS dl FROM base), "
+        "st AS (SELECT COUNT(dl) AS n, AVG(dl) AS avgdl FROM dlt), "
+        "tok AS (SELECT doc_id, unnest(toks) AS term FROM base), "
+        "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok "
+        f"WHERE term IN ({in_list}) GROUP BY doc_id, term), "
+        "dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+        "sc AS (SELECT tf.doc_id, COUNT(*) AS n_terms, "
+        f"SUM(ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) "
+        f"* (tf.tf * ({k1} + 1.0)) "
+        f"/ (tf.tf + {k1} * (1.0 - {b} + {b} * dlt.dl / st.avgdl))) AS raw "
+        "FROM tf JOIN dfreq USING (term) JOIN dlt USING (doc_id) "
+        "CROSS JOIN st GROUP BY tf.doc_id)"
     )
 
 
@@ -6043,6 +6142,28 @@ def oracle_sql() -> dict[str, str]:
         "q_mode": """WITH c AS (SELECT l_returnflag, l_quantity, COUNT(*) AS n FROM lineitem GROUP BY 1, 2) SELECT l_returnflag, l_quantity AS mode_qty, n FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY n DESC, l_quantity ASC) AS rk FROM c) WHERE rk = 1""",
         "q_paths": """WITH ev AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id, event_type FROM events), g AS (SELECT *, CASE WHEN t - LAG(t) OVER w IS NULL OR t - LAG(t) OVER w > 1800 THEN 1 ELSE 0 END AS ns FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sess_id FROM g), p AS (SELECT user_id, sess_id, array_to_string((list(event_type ORDER BY t, event_id))[1:5], '>') AS path FROM s GROUP BY 1, 2) SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY path ORDER BY n_sessions DESC, path ASC LIMIT 20""",
         "q_skyline": """WITH o AS (SELECT o_orderkey, o_orderpriority, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS d, o_totalprice FROM orders), m AS (SELECT *, MAX(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY d RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM o) SELECT o_orderkey, o_orderpriority, d, o_totalprice FROM m WHERE pm IS NULL OR o_totalprice > pm""",
+        "q_bm25_search": (
+            _bm25_scored_cte(_BM25_TERMS)
+            + " SELECT doc_id, CAST(n_terms AS INTEGER) AS n_terms, "
+            "ROUND(raw, 6) AS bm25 FROM sc "
+            "ORDER BY ROUND(raw, 6) DESC, doc_id LIMIT 10"
+        ),
+        "q_hybrid_retrieval": (
+            _bm25_scored_cte(_BM25_TERMS)
+            + ", lex AS (SELECT doc_id AS id, ROW_NUMBER() OVER "
+            "(ORDER BY ROUND(raw, 6) DESC, doc_id) AS rank FROM sc "
+            "QUALIFY rank <= 20), "
+            "dsim AS (SELECT vec_id AS id, "
+            "ROUND(list_cosine_similarity(e.embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 1)), 6) AS sim "
+            "FROM embeddings e), "
+            "dense AS (SELECT id, ROW_NUMBER() OVER "
+            "(ORDER BY sim DESC, id) AS rank FROM dsim QUALIFY rank <= 20), "
+            "u AS (SELECT id, 1.0 / (60 + rank) AS w FROM lex "
+            "UNION ALL SELECT id, 1.0 / (60 + rank) AS w FROM dense) "
+            "SELECT id AS doc_id, CAST(COUNT(*) AS INTEGER) AS n_lists, "
+            "ROUND(SUM(w), 6) AS rrf FROM u GROUP BY id"
+        ),
         "q_jaccard_prefix": """WITH tk AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents), toks AS (SELECT id, unnest(list_distinct(list_transform(range(1, greatest(len(t) - 1, 1) + 1), i -> array_to_string(t[i:i+1], ' ')))) AS tok FROM tk WHERE len(t) > 0), sizes AS (SELECT id, COUNT(*) AS sz FROM toks GROUP BY id), cand AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2) SELECT id_a, id_b, ROUND(n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6) AS jaccard FROM cand JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id WHERE n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.8""",
         "q_triangles": """WITH e AS (SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b FROM (SELECT l_orderkey % 500 AS u, l_partkey % 500 AS v FROM lineitem) WHERE u <> v) SELECT COUNT(*) AS n_triangles FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b""",
         "q_incremental_agg": """SELECT o_custkey, COUNT(o_totalprice) AS n, ROUND(SUM(o_totalprice), 4) AS sum_v, MIN(o_totalprice) AS min_v, MAX(o_totalprice) AS max_v FROM orders GROUP BY o_custkey""",

@@ -121,6 +121,8 @@ HEADLINE = [
     "q_winnow_fingerprints",
     "q_token_pmi",
     "q_rank_fusion",
+    "q_bm25_search",
+    "q_hybrid_retrieval",
     "q_kcore",
     "q_lpa_communities",
     "q_hits",

@@ -851,6 +851,83 @@ def sparse_cosine_pairs(
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 document scores for a fixed term query (Robertson &
+    Walker 1994; Lucene's always-positive idf variant
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``) — the lexical half of the
+    hybrid-retrieval stack whose dense half is ``similarity.cosine_topk``
+    and whose fusion is ``stats.reciprocal_rank_fusion``.
+
+    Shape: the exploded token stream is filtered to the query vocabulary
+    IN THE SCAN STAGE, so the only data-sized shuffle is the (doc, term)
+    count over rows that actually match — a |query|-bounded slice of the
+    corpus, not the corpus.  Document length and the corpus-wide
+    (N, avgdl) statistics come from one grouped count and one lazy 1-row
+    aggregate broadcast-crossed into the scoring expression (the
+    dangling-mass pattern from graph.pagerank — no driver round-trip).
+    Per-term df is a query-vocab-sized table, broadcast back onto the
+    matches.  Returns (id, n_terms, bm25) for documents matching at
+    least one query term, bm25 rounded 6dp; rank on the rounded value
+    with an id tie-break for engine-reproducible cuts.
+    """
+    if not query_terms:
+        raise ValueError("bm25_scores: need at least one query term")
+    if k1 <= 0 or not 0.0 <= b <= 1.0:
+        raise ValueError(f"bm25_scores: bad k1/b (got k1={k1}, b={b})")
+    sp = spread(df)
+    toks = sp.select(
+        F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("toks")
+    )
+    # NULL text → NULL dl (size() would report -1), so avg() skips it in
+    # both engines
+    dl = toks.select(
+        "id",
+        F.when(F.col("toks").isNull(), F.lit(None))
+        .otherwise(F.size("toks"))
+        .alias("dl"),
+    )
+    stats = dl.agg(
+        F.count("dl").alias("__n"), F.avg("dl").alias("__avgdl")
+    )
+    tf = (
+        toks.select("id", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(list(query_terms)))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "id",
+            (
+                F.log(
+                    1.0
+                    + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))
+                )
+            ).alias("__s"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").cast("int").alias("n_terms"),
+        F.round(F.sum("__s"), 6).alias("bm25"),
+    )
+
+
 def feature_hash(
     df: DataFrame,
     id_col: str = "doc_id",
