@@ -4017,6 +4017,51 @@ def q_hybrid_retrieval(spark, sf_dir):
     return fused.select(F.col("id").alias("doc_id"), "n_lists", "rrf")
 
 
+def q_grouping_sets(spark, sf_dir):
+    """OLAP GROUPING SETS — the custom-set member of the cube/rollup
+    trio: ((nation, year), (year), ()) gives detail, per-year, and
+    grand-total streams while SKIPPING the per-nation set a rollup
+    would force.  One Expand + map-side-combined hash aggregate, one
+    scan; gid uses the SQL-standard grouping-bit order shared with
+    cube/rollup and the oracle."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    j = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            F.col("n_name"),
+            F.year("o_orderdate").alias("o_year"),
+            F.col("o_totalprice"),
+        )
+    )
+    return (
+        j.groupingSets(
+            [["n_name", "o_year"], ["o_year"], []], "n_name", "o_year"
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").cast("bigint").alias("n_orders"),
+            (F.grouping("n_name") * 2 + F.grouping("o_year"))
+            .cast("int")
+            .alias("gid"),
+        )
+    )
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Tokenizer-vocabulary OOV audit per source (text.py
+    vocab_coverage): top-100 df-ranked corpus vocabulary folded back as
+    a literal array, coverage measured scan-stage in one pass — the
+    check a pretraining pipeline runs before trusting a tokenizer on a
+    new data source."""
+    from kevinlang_spark.operators.text import vocab_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_coverage(docs, vocab_size=100, by="source").orderBy("source")
+
+
 def q_frequent_sequences(spark, sf_dir):
     """Distributed PrefixSpan: ordered behavior patterns (length ≤ 2)
     appearing in ≥ half of user event sequences.  At length ≤ 2 support
@@ -4082,6 +4127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jaccard_prefix": q_jaccard_prefix,
         "q_bm25_search": q_bm25_search,
         "q_hybrid_retrieval": q_hybrid_retrieval,
+        "q_grouping_sets": q_grouping_sets,
+        "q_vocab_coverage": q_vocab_coverage,
         "q_skyline": q_skyline,
         "q_mode": q_mode,
         "q_paths": q_paths,
@@ -6142,6 +6189,34 @@ def oracle_sql() -> dict[str, str]:
         "q_mode": """WITH c AS (SELECT l_returnflag, l_quantity, COUNT(*) AS n FROM lineitem GROUP BY 1, 2) SELECT l_returnflag, l_quantity AS mode_qty, n FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY n DESC, l_quantity ASC) AS rk FROM c) WHERE rk = 1""",
         "q_paths": """WITH ev AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id, event_type FROM events), g AS (SELECT *, CASE WHEN t - LAG(t) OVER w IS NULL OR t - LAG(t) OVER w > 1800 THEN 1 ELSE 0 END AS ns FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sess_id FROM g), p AS (SELECT user_id, sess_id, array_to_string((list(event_type ORDER BY t, event_id))[1:5], '>') AS path FROM s GROUP BY 1, 2) SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY path ORDER BY n_sessions DESC, path ASC LIMIT 20""",
         "q_skyline": """WITH o AS (SELECT o_orderkey, o_orderpriority, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS d, o_totalprice FROM orders), m AS (SELECT *, MAX(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY d RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM o) SELECT o_orderkey, o_orderpriority, d, o_totalprice FROM m WHERE pm IS NULL OR o_totalprice > pm""",
+        "q_grouping_sets": (
+            "WITH j AS (SELECT n_name, EXTRACT(year FROM o_orderdate) "
+            "AS o_year, o_totalprice FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey) "
+            "SELECT n_name, CAST(o_year AS INTEGER) AS o_year, "
+            "ROUND(SUM(o_totalprice), 2) AS revenue, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "CAST(GROUPING(n_name) * 2 + GROUPING(o_year) AS INTEGER) AS gid "
+            "FROM j GROUP BY GROUPING SETS ((n_name, o_year), (o_year), ())"
+        ),
+        "q_vocab_coverage": (
+            "WITH base AS (SELECT doc_id, source, list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') "
+            "AS toks FROM documents), "
+            "tdf AS (SELECT term, COUNT(*) AS df FROM (SELECT doc_id, "
+            "unnest(list_distinct(toks)) AS term FROM base) GROUP BY term), "
+            "voc AS (SELECT list(term) AS v FROM (SELECT term FROM tdf "
+            "ORDER BY df DESC, term LIMIT 100)), "
+            "pd AS (SELECT source, len(toks) AS n_tok, "
+            "len(list_filter(toks, t -> NOT list_contains(v, t))) "
+            "AS n_oov FROM base CROSS JOIN voc) "
+            "SELECT source, CAST(COUNT(n_tok) AS BIGINT) AS n_docs, "
+            "CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS total_tokens, "
+            "CAST(COALESCE(SUM(n_oov), 0) AS BIGINT) AS oov_tokens, "
+            "ROUND(SUM(n_oov) / CAST(SUM(n_tok) AS DOUBLE), 6) AS oov_rate "
+            "FROM pd GROUP BY source ORDER BY source"
+        ),
         "q_bm25_search": (
             _bm25_scored_cte(_BM25_TERMS)
             + " SELECT doc_id, CAST(n_terms AS INTEGER) AS n_terms, "

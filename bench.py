@@ -123,6 +123,8 @@ HEADLINE = [
     "q_rank_fusion",
     "q_bm25_search",
     "q_hybrid_retrieval",
+    "q_grouping_sets",
+    "q_vocab_coverage",
     "q_kcore",
     "q_lpa_communities",
     "q_hits",

@@ -928,6 +928,69 @@ def bm25_scores(
     )
 
 
+def vocab_coverage(
+    df: DataFrame,
+    vocab_size: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    by: str | None = None,
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage diagnostic: derive the top-
+    ``vocab_size`` tokens by document frequency (df desc, token asc —
+    deterministic), then measure what fraction of token OCCURRENCES
+    fall outside that vocabulary — the out-of-vocabulary (OOV) audit a
+    pretraining pipeline runs before committing to a tokenizer or a new
+    data source.  Rolled up per ``by`` column (default: whole corpus as
+    one row with ``by`` absent).
+
+    Shape: the vocabulary is metadata (``vocab_size`` rows via one
+    df-count shuffle + a top-k cut) collected and folded back as a
+    LITERAL array, so the coverage pass is pure scan-stage — an in-row
+    ``filter(array_contains)`` per token, no second corpus shuffle.
+    For 100k+-entry vocabularies swap the literal for a broadcast join
+    on the exploded tokens (one broadcast, still no corpus shuffle).
+    Returns (``by``?, n_docs, total_tokens, oov_tokens, oov_rate) with
+    oov_rate rounded 6dp.
+    """
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1 (got {vocab_size})")
+    sp = spread(df)
+    toks = sp.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(by)] if by else [] ),
+        tokenize(F.col(text_col)).alias("toks"),
+    )
+    vocab_rows = (
+        toks.select(F.explode(F.array_distinct("toks")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(vocab_size)
+        .collect()  # vocab_size rows — metadata-scale, like IVF centroids
+    )
+    vocab = F.array(*[F.lit(r["term"]) for r in vocab_rows])
+    per_doc = toks.select(
+        *( [F.col(by)] if by else [] ),
+        F.when(F.col("toks").isNull(), F.lit(None))
+        .otherwise(F.size("toks"))
+        .alias("n_tok"),
+        F.when(F.col("toks").isNull(), F.lit(None))
+        .otherwise(
+            F.size(F.filter("toks", lambda t: ~F.array_contains(vocab, t)))
+        )
+        .alias("n_oov"),
+    )
+    keys = [by] if by else []
+    return per_doc.groupBy(*keys).agg(
+        F.count("n_tok").cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum("n_tok"), F.lit(0)).cast("bigint").alias("total_tokens"),
+        F.coalesce(F.sum("n_oov"), F.lit(0)).cast("bigint").alias("oov_tokens"),
+        F.round(
+            F.try_divide(F.sum("n_oov"), F.sum("n_tok")), 6
+        ).alias("oov_rate"),
+    )
+
+
 def feature_hash(
     df: DataFrame,
     id_col: str = "doc_id",
