@@ -4017,6 +4017,19 @@ def q_hybrid_retrieval(spark, sf_dir):
     return fused.select(F.col("id").alias("doc_id"), "n_lists", "rrf")
 
 
+def q_repeated_spans(spark, sf_dir):
+    """Corpus-wide repeated-substring audit (n-gram-anchored Lee et al.
+    2022 exact-substring dedup, dedup.py repeated_span_stats): per-doc
+    fraction of tokens covered by an 8-gram occurring ≥2 times in the
+    corpus.  One 8-byte gram-key shuffle + a per-doc window pass —
+    never a global suffix sort; oracle runs the identical interval
+    algebra on gram strings."""
+    from kevinlang_spark.operators.dedup import repeated_span_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repeated_span_stats(docs, n=8, min_count=2)
+
+
 def q_grouping_sets(spark, sf_dir):
     """OLAP GROUPING SETS — the custom-set member of the cube/rollup
     trio: ((nation, year), (year), ()) gives detail, per-year, and
@@ -4129,6 +4142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hybrid_retrieval": q_hybrid_retrieval,
         "q_grouping_sets": q_grouping_sets,
         "q_vocab_coverage": q_vocab_coverage,
+        "q_repeated_spans": q_repeated_spans,
         "q_skyline": q_skyline,
         "q_mode": q_mode,
         "q_paths": q_paths,
@@ -6189,6 +6203,36 @@ def oracle_sql() -> dict[str, str]:
         "q_mode": """WITH c AS (SELECT l_returnflag, l_quantity, COUNT(*) AS n FROM lineitem GROUP BY 1, 2) SELECT l_returnflag, l_quantity AS mode_qty, n FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY n DESC, l_quantity ASC) AS rk FROM c) WHERE rk = 1""",
         "q_paths": """WITH ev AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id, event_type FROM events), g AS (SELECT *, CASE WHEN t - LAG(t) OVER w IS NULL OR t - LAG(t) OVER w > 1800 THEN 1 ELSE 0 END AS ns FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sess_id FROM g), p AS (SELECT user_id, sess_id, array_to_string((list(event_type ORDER BY t, event_id))[1:5], '>') AS path FROM s GROUP BY 1, 2) SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY path ORDER BY n_sessions DESC, path ASC LIMIT 20""",
         "q_skyline": """WITH o AS (SELECT o_orderkey, o_orderpriority, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS d, o_totalprice FROM orders), m AS (SELECT *, MAX(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY d RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM o) SELECT o_orderkey, o_orderpriority, d, o_totalprice FROM m WHERE pm IS NULL OR o_totalprice > pm""",
+        # gram strings in DuckDB ≡ xxhash64 grams in Spark for equality
+        # semantics (the documented contamination-oracle equivalence);
+        # equal-length intervals merge by min(n, pos - lag(pos))
+        "q_repeated_spans": (
+            "WITH toks AS (SELECT doc_id AS id, list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+            "FROM documents), "
+            "base AS (SELECT id, len(t) AS n_tok, t FROM toks WHERE len(t) > 0), "
+            "sh AS (SELECT id, u.pos AS pos, u.g AS g FROM (SELECT id, "
+            "unnest(list_transform(range(1, greatest(len(t) - 7, 1) + 1), "
+            "i -> struct_pack(pos := i - 1, g := array_to_string(t[i:i+7], ' ')"
+            "))) AS u FROM base)), "
+            "dup AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) >= 2), "
+            "hits AS (SELECT id, pos FROM sh JOIN dup USING (g)), "
+            "per_hit AS (SELECT id, "
+            "CASE WHEN LAG(pos) OVER (PARTITION BY id ORDER BY pos) IS NULL "
+            "THEN NULL ELSE LEAST(8, pos - LAG(pos) OVER "
+            "(PARTITION BY id ORDER BY pos)) END AS cov, "
+            "CASE WHEN pos - LAG(pos) OVER (PARTITION BY id ORDER BY pos) > 8 "
+            "THEN 1 ELSE 0 END AS brk FROM hits), "
+            "agg AS (SELECT id, COALESCE(SUM(cov), 0) + 8 AS raw_cov, "
+            "CAST(COALESCE(SUM(brk), 0) + 1 AS INTEGER) AS n_spans "
+            "FROM per_hit GROUP BY id) "
+            "SELECT base.id AS doc_id, CAST(n_tok AS BIGINT) AS n_tokens, "
+            "CAST(LEAST(COALESCE(raw_cov, 0), n_tok) AS BIGINT) AS dup_tokens, "
+            "COALESCE(n_spans, 0) AS n_spans, "
+            "ROUND(LEAST(COALESCE(raw_cov, 0), n_tok) / CAST(n_tok AS DOUBLE), 6) "
+            "AS dup_frac "
+            "FROM base LEFT JOIN agg ON base.id = agg.id"
+        ),
         "q_grouping_sets": (
             "WITH j AS (SELECT n_name, EXTRACT(year FROM o_orderdate) "
             "AS o_year, o_totalprice FROM orders "

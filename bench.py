@@ -125,6 +125,7 @@ HEADLINE = [
     "q_hybrid_retrieval",
     "q_grouping_sets",
     "q_vocab_coverage",
+    "q_repeated_spans",
     "q_kcore",
     "q_lpa_communities",
     "q_hits",

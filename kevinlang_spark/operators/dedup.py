@@ -22,7 +22,13 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from kevinlang_spark.functions.textexpr import normalize_text, tokenize, word_shingles
+from kevinlang_spark.functions.textexpr import (
+    normalize_text,
+    shingle_hashes,
+    token_count,
+    tokenize,
+    word_shingles,
+)
 
 # 31-bit Mersenne prime: a,h < 2^31 keeps a·h+b < 2^62 — no long overflow
 # under ANSI arithmetic, and 2^31 hash space is ample for minhash.
@@ -1422,4 +1428,93 @@ def sorted_neighborhood_pairs(
             F.levenshtein(F.col("a.key"), F.col("b.key")).alias("dist"),
         )
         .distinct()
+    )
+
+
+def repeated_span_stats(
+    df: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide repeated-substring audit (the n-gram-anchored form of
+    Lee et al. 2022's exact-substring dedup): for every document, the
+    fraction of its tokens covered by some word ``n``-gram that occurs
+    at least ``min_count`` times in the WHOLE corpus — the "how much of
+    this document is boilerplate copied from elsewhere" measure that
+    the suffix-array method computes exactly and this computes at
+    n-gram resolution, one keyed shuffle instead of a global suffix
+    sort.
+
+    Shape: positions ride the gram explode (posexplode — scan stage);
+    duplicated grams come from ONE gram-key count (8-byte xxhash keys,
+    same family as minhash/contamination); hit positions rejoin on the
+    gram key and coverage is a per-document window pass — equal-length
+    intervals merge by ``min(n, pos - lag(pos))``, so no collect_list
+    of positions ever materializes a document's gram set in one row.
+    The DuckDB oracle runs the identical algebra on gram STRINGS (gram
+    identity matches up to xxhash collisions, the documented
+    contamination-oracle equivalence).  Returns
+    (id, n_tokens, dup_tokens, n_spans, dup_frac) for docs with ≥1
+    token; dup_frac rounded 6dp.
+    """
+    if n < 1 or min_count < 2:
+        raise ValueError(
+            f"need n >= 1 and min_count >= 2 (got n={n}, min_count={min_count})"
+        )
+    sp = _spread(df)
+    base = sp.select(
+        F.col(id_col).alias("id"),
+        token_count(F.col(text_col)).alias("n_tok"),
+        shingle_hashes(F.col(text_col), n).alias("grams"),
+    ).where(F.col("n_tok") > 0)
+    sh = base.select(
+        "id", F.posexplode("grams").alias("pos", "g")
+    )
+    dup = (
+        sh.groupBy("g")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= min_count)
+        .select("g")
+    )
+    hits = sh.join(dup, "g").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    delta = F.col("pos") - F.lag("pos").over(w)
+    per_hit = hits.select(
+        "id",
+        # Spark's least() SKIPS nulls, so the first hit (null lag) must
+        # be forced to NULL explicitly — its interval is the "+ n" term
+        # in the aggregate, not a per-hit contribution
+        F.when(delta.isNull(), F.lit(None))
+        .otherwise(F.least(F.lit(n), delta))
+        .alias("cov"),
+        (delta > n).cast("int").alias("brk"),
+    )
+    agg = per_hit.groupBy("id").agg(
+        (F.coalesce(F.sum("cov"), F.lit(0)) + n).alias("raw_cov"),
+        (F.coalesce(F.sum("brk"), F.lit(0)) + 1).cast("int").alias("n_spans"),
+    )
+    return (
+        base.select("id", "n_tok")
+        .join(agg, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_tok").cast("bigint").alias("n_tokens"),
+            # cap at the doc's token count: a shorter-than-n doc emits one
+            # whole-doc gram whose nominal interval length n overshoots
+            F.least(
+                F.coalesce(F.col("raw_cov"), F.lit(0)), F.col("n_tok")
+            )
+            .cast("bigint")
+            .alias("dup_tokens"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+            F.round(
+                F.least(
+                    F.coalesce(F.col("raw_cov"), F.lit(0)), F.col("n_tok")
+                )
+                / F.col("n_tok"),
+                6,
+            ).alias("dup_frac"),
+        )
     )
