@@ -4086,8 +4086,54 @@ def q_frequent_sequences(spark, sf_dir):
     return frequent_sequences(_events(spark, sf_dir))
 
 
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011): train m=2 × k=8
+    subspace codebooks with two deterministic Lloyd iterations (seed
+    centroids = subvectors of vec_id 0..7, rounded-distance argmin,
+    smallest-index ties, emptied clusters keep their centroid), encode
+    every vector to its code tuple, and rank by the asymmetric-distance
+    LUT sum for the vec_id=3 probe.  Unlike the IVF/LSH queries this
+    oracle checks the QUANTIZED result itself: DuckDB unrolls the same
+    two Lloyd iterations (same init, same rounding, same tie-breaks) and
+    recomputes codes + ADC distances exactly."""
+    from kevinlang_spark.operators.similarity import pq_topk, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=2, k=8, iters=2)
+    return pq_topk(emb, books, _query_vec(spark, sf_dir, vec_id=3), k_out=10)
+
+
+def q_bpe_train(spark, sf_dir):
+    """BPE tokenizer training: 8 rounds of (corpus-wide adjacent-pair
+    count → merge the argmax pair), returning the learned merge table —
+    the vocabulary-learning loop behind GPT/Llama tokenizers.  The
+    corpus collapses to the (word, freq) vocab table in one wordcount
+    shuffle; every round then runs at vocab scale (the 100 TB property),
+    with a 1-row argmax collect and an in-row left-to-right fold apply.
+    The DuckDB oracle unrolls the identical 8 rounds."""
+    from kevinlang_spark.operators.text import bpe_merges_df
+
+    return bpe_merges_df(_t(spark, sf_dir, "documents"), n_merges=8)
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: for each anchor (vec_id < 8),
+    the top-5 most cosine-similar vectors with a DIFFERENT label — the
+    near-miss negatives a contrastive loss learns most from.  Anchor set
+    broadcasts; label mismatch filters in the scan stage before the
+    per-anchor ranking window."""
+    from kevinlang_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = hard_negatives(emb, n_anchors=8, k=5)
+    return out.select("qid", "vec_id", F.round("sim", 4).alias("sim"), "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "q_ann_pq": q_ann_pq,
+        "q_bpe_train": q_bpe_train,
+        "q_hard_negatives": q_hard_negatives,
         "q_ann_probe_pruned": q_ann_probe_pruned,
         "q_media_pixels": q_media_pixels,
         "q_theta_overlap": q_theta_overlap,

@@ -691,3 +691,200 @@ def twonn_intrinsic_dim(
             F.count("*") / F.sum(F.log(F.col("r2") / F.col("r1"))), 4
         ).alias("id_est"),
     )
+
+
+def _sqdist_to_lit(sub: Column, cent: list[float]) -> Column:
+    """Squared L2 distance between an array column and a literal centroid,
+    as a strict left-to-right fold (summation order fixed so the rounded
+    value is engine-reproducible)."""
+    c = F.array(*[F.lit(float(x)) for x in cent])
+    return F.aggregate(
+        F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 2,
+    k: int = 8,
+    iters: int = 2,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks (Jégou et al. 2011): split
+    each vector into ``m`` contiguous subvectors and run ``k``-means
+    independently in each subspace.  Returns ``codebooks[s][j]`` = the
+    ``j``-th centroid of subspace ``s`` (components rounded to 6 dp so
+    the fixed-iteration run is engine-reproducible — the DuckDB oracle
+    unrolls the identical Lloyd iterations).
+
+    Deterministic by construction: centroids initialise from the
+    subvectors of rows ``id_col`` 0..k-1 (ordered), every assignment is
+    argmin of the ROUNDED squared distance with smallest-index
+    tie-break, iteration count is FIXED (classic PQ trains to a fixed
+    budget, not convergence), and an emptied cluster keeps its previous
+    centroid.  Distribution shape: each Lloyd step is one scan computing
+    argmin against the broadcast (literal) centroids + one groupBy(code)
+    positional mean — centroids are m·k·(dim/m) floats, metadata-scale
+    on the driver exactly like the IVF coarse quantizer's model.  At
+    warehouse scale the training scan runs on a sample; the full-table
+    pass is only the final encode (see ``pq_encode``).
+    """
+    first = df.select(F.size(vec_col).alias("d")).where(F.col("d") > 0).first()
+    if first is None:
+        raise ValueError("pq_train: no non-empty vectors")
+    dim = first["d"]
+    if dim % m != 0:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m {m}")
+    dsub = dim // m
+
+    seeds = (
+        df.where(F.col(id_col) < k)
+        .orderBy(id_col)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    if len(seeds) < k:
+        raise ValueError(f"pq_train: need {k} seed rows with {id_col} < {k}")
+    books = [
+        [list(map(float, r["v"][s * dsub : (s + 1) * dsub])) for r in seeds]
+        for s in range(m)
+    ]
+
+    dvec = F.col(vec_col).cast("array<double>")
+    for _ in range(iters):
+        for s in range(m):
+            sub = F.slice(dvec, s * dsub + 1, dsub)
+            choices = F.array(
+                *[
+                    F.struct(
+                        F.round(_sqdist_to_lit(sub, books[s][j]), 6).alias("d"),
+                        F.lit(j).alias("j"),
+                    )
+                    for j in range(k)
+                ]
+            )
+            assigned = df.select(
+                F.array_min(choices)["j"].alias("__code"), sub.alias("__sub")
+            )
+            rows = (
+                assigned.groupBy("__code")
+                .agg(
+                    *[
+                        F.round(F.avg(F.element_at("__sub", i + 1)), 6).alias(f"c{i}")
+                        for i in range(dsub)
+                    ]
+                )
+                .collect()
+            )
+            for r in rows:
+                books[s][r["__code"]] = [float(r[f"c{i}"]) for i in range(dsub)]
+    return books
+
+
+def pq_topk(
+    df: DataFrame,
+    books: list[list[list[float]]],
+    query: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k_out: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: encode each row to
+    its per-subspace centroid index (argmin of the rounded squared
+    distance — the same expression the trainer used), then score it as
+    the sum of the query-to-centroid lookup table entries.  The LUT is
+    m·k numbers computed once against the raw query — the scan never
+    touches the query vector per row, which is the whole point of PQ:
+    at 100 TB the stored table is the (id, code…) table (codes are
+    ``m`` small ints per row, ~32× smaller than the raw vectors) and a
+    probe is a scan over codes + an ``element_at`` into the broadcast
+    LUT, no vector math in the hot loop.  Ranking is on the rounded ADC
+    distance ascending, id as tie-break."""
+    m = len(books)
+    if m == 0:
+        raise ValueError("pq_topk: empty codebooks")
+    k = len(books[0])
+    dsub = len(books[0][0])
+    if len(query) != m * dsub:
+        raise ValueError(
+            f"pq_topk: query dim {len(query)} != m*dsub {m * dsub}"
+        )
+
+    dvec = F.col(vec_col).cast("array<double>")
+    adist = F.lit(0.0)
+    for s in range(m):
+        sub = F.slice(dvec, s * dsub + 1, dsub)
+        choices = F.array(
+            *[
+                F.struct(
+                    F.round(_sqdist_to_lit(sub, books[s][j]), 6).alias("d"),
+                    F.lit(j).alias("j"),
+                )
+                for j in range(k)
+            ]
+        )
+        code = F.array_min(choices)["j"]
+        qsub = query[s * dsub : (s + 1) * dsub]
+        lut = [
+            round(sum((a - b) * (a - b) for a, b in zip(qsub, c)), 6)
+            for c in books[s]
+        ]
+        adist = adist + F.element_at(
+            F.array(*[F.lit(float(d)) for d in lut]), code + 1
+        )
+    return (
+        df.select(F.col(id_col), F.round(adist, 6).alias("adist"))
+        .orderBy(F.col("adist").asc(), F.col(id_col).asc())
+        .limit(k_out)
+    )
+
+
+def hard_negatives(
+    df: DataFrame,
+    n_anchors: int = 8,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    vector (the rows with ``id_col`` < ``n_anchors`` — a probe set), the
+    top-``k`` most cosine-similar vectors carrying a DIFFERENT label —
+    the near-miss negatives a contrastive loss learns most from.
+
+    Same shape as ``knn_join``: the anchor set broadcasts, scoring is a
+    map-side loop inside the scan stage (no corpus shuffle), the label
+    mismatch is a scan-stage filter BEFORE ranking, and the per-anchor
+    ranking windows on the anchor id.  At corpus scale swap the scorer
+    for ``knn_join_batched``'s BLAS path; semantics are identical."""
+    from pyspark.sql import Window
+
+    q = df.where(F.col(id_col) < n_anchors).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("__qv"),
+        F.col(label_col).alias("__qlabel"),
+    )
+    rn = l2_norm(F.col(vec_col))
+    qn = l2_norm(F.col("__qv"))
+    sim = F.when((rn == 0) | (qn == 0), F.lit(None)).otherwise(
+        dot(F.col(vec_col), F.col("__qv")) / (rn * qn)
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("__rawsim").desc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        df.join(F.broadcast(q))
+        .where(F.col(label_col) != F.col("__qlabel"))
+        .select("qid", F.col(id_col), sim.alias("__rawsim"))
+        .withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= k)
+        .select(
+            "qid",
+            F.col(id_col),
+            F.round("__rawsim", 6).alias("sim"),
+            F.col("__rank").alias("rank"),
+        )
+    )

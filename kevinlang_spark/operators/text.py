@@ -1154,3 +1154,105 @@ def dsir_weights(
         )
         .select(F.col("id").alias(id_col), "n_grams", "weight")
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> "list[tuple[int, str, str, int]]":
+    """Distributed byte-pair-encoding vocabulary training (Sennrich et
+    al. 2016, the tokenizer-training algorithm behind GPT/Llama BPE
+    vocabularies): ``n_merges`` rounds of (count adjacent token pairs →
+    merge the most frequent pair corpus-wide).  Returns the learned
+    merge list ``[(rank, tok_a, tok_b, pair_count), …]``.
+
+    The scale trick is the classic one: the corpus collapses to the
+    (word, freq) VOCABULARY table in a single wordcount shuffle up
+    front, and every training round runs on that vocab-scale table —
+    pair statistics are weighted by word frequency, so a 100 TB corpus
+    trains at the cost of its distinct-word count (~10⁷ rows), not its
+    token count.  Per round: one in-row pair explode + one pair-keyed
+    count shuffle + a 1-row argmax collect (metadata, like a k-means
+    centroid pull), then an in-row left-to-right fold applies the merge
+    — no shuffle at all for the apply step.  The vocab table is
+    checkpointed each round: the fold lambda nests per round, so an
+    uncheckpointed plan's expression tree would double every round.
+
+    Determinism: tie-breaks are (count desc, tok_a asc, tok_b asc);
+    merging is left-to-right non-overlapping (the fold re-reads its own
+    output token, so ``l l l`` under merge (l,l) gives ``ll l`` exactly
+    like reference BPE).  The DuckDB oracle unrolls the identical
+    rounds.  Training stops early if no adjacent pair remains."""
+    spark = df.sparkSession
+    words = (
+        spread(df.where(F.col(text_col).isNotNull()))
+        .select(F.explode(tokenize(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            # "hello" -> "h e l l o": spaced single chars seed the token
+            # sequence; regexp_replace is global in both engines
+            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("toks"),
+            "freq",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, n_merges + 1):
+        t = F.split(F.col("toks"), " ")
+        pairs = F.when(
+            F.size(t) > 1,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.struct(
+                    F.element_at(t, i).alias("a"),
+                    F.element_at(t, i + 1).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        best = (
+            words.select(F.explode(pairs).alias("p"), "freq")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
+        merges.append((r, a, b, n))
+
+        t2 = F.split(F.col("toks"), " ")
+        merged = F.aggregate(
+            F.slice(t2, 2, F.greatest(F.size(t2) - 1, F.lit(0))),
+            F.element_at(t2, 1),
+            lambda acc, tok: F.when(
+                ((acc == F.lit(a)) | F.endswith(acc, F.lit(" " + a)))
+                & (tok == F.lit(b)),
+                F.concat(
+                    F.substring(acc, 1, F.length(acc) - len(a)),
+                    F.lit(a + b),
+                ),
+            ).otherwise(F.concat(acc, F.lit(" "), tok)),
+        )
+        words = words.select(merged.alias("toks"), "freq").localCheckpoint(
+            eager=True
+        )
+    return merges
+
+
+def bpe_merges_df(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> DataFrame:
+    """``bpe_train`` as a DataFrame of (merge_rank, tok_a, tok_b,
+    pair_count) — the learned merge table a tokenizer ships."""
+    spark = df.sparkSession
+    rows = bpe_train(df, text_col, n_merges)
+    return spark.createDataFrame(
+        rows, "merge_rank int, tok_a string, tok_b string, pair_count bigint"
+    )
