@@ -1069,21 +1069,23 @@ def q_media_decode(spark, sf_dir):
 
 def q_media_pixels(spark, sf_dir):
     """FULL media decode with zero codecs (multimodal.py
-    stdlib_pixel_decode): synthesize BMP/WAV payloads with deterministic
-    CONTENT (pixel RGB and sample amplitude are closed-form in doc_id),
-    then decode the actual pixel grids / PCM sample streams through
-    mapInPandas and report content statistics — per-channel means for
-    images (BGR rows, padding excluded), RMS/peak for audio.  The oracle
-    predicts every statistic from the generation formula, so this is the
-    end-to-end proof that real pixel/sample bytes survive the pipeline,
-    not just container headers."""
+    stdlib_pixel_decode): synthesize BMP/PNG/WAV payloads with
+    deterministic CONTENT (pixel RGB and sample amplitude are
+    closed-form in doc_id; doc_id % 4 == 2 images travel as real
+    zlib-deflated PNGs), then decode the actual pixel grids / PCM
+    sample streams through mapInPandas and report content statistics —
+    per-channel means for images, RMS/peak for audio.  The oracle
+    predicts every statistic from the generation formula (container-
+    invariant by construction), so this is the end-to-end proof that
+    real pixel/sample bytes survive the pipeline — including a full
+    PNG inflate+unfilter — not just container headers."""
     from kevinlang_spark.operators.multimodal import (
         attach_stdlib_media,
         extract_pixel_stats,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    media = attach_stdlib_media(docs, filled=True)
+    media = attach_stdlib_media(docs, filled=True, png=True)
     return extract_pixel_stats(media)
 
 
@@ -1889,12 +1891,19 @@ def q_quantize_embeddings(spark, sf_dir):
     """Symmetric int8 scalar quantization of the embedding table — the
     float32→int8 storage lever (4×) for 100 TB vector stores.  Pure
     codegen (floor-based rounding is engine-exact); scan-stage, no
-    shuffle."""
+    shuffle.  Codes are emitted as a comma-joined string (not
+    array<int>) because the driver's pandas canonicalizer cannot hash
+    list cells (CORRECTNESS_r06 `err`); int→string is engine-exact so
+    nothing is lost to the serialization."""
     from kevinlang_spark.functions.vectors import quantize_int8
 
     emb = _t(spark, sf_dir, "embeddings")
     codes, scale = quantize_int8(F.col("embedding"))
-    return emb.select("vec_id", codes.alias("codes"), F.round(scale, 6).alias("scale"))
+    return emb.select(
+        "vec_id",
+        F.concat_ws(",", codes.cast("array<string>")).alias("codes"),
+        F.round(scale, 6).alias("scale"),
+    )
 
 
 def q_token_estimate(spark, sf_dir):
@@ -2792,10 +2801,23 @@ def q_boilerplate(spark, sf_dir):
 def q_label_centroids(spark, sf_dir):
     """Per-label embedding centroids (IVF/k-means recompute step):
     posexplode to scalar (label, pos, val) triples — map-side-combined
-    AVG per dimension, ordered reassembly — whole vectors never shuffle."""
+    AVG per dimension, ordered reassembly — whole vectors never shuffle.
+    The centroid is emitted as a comma-joined string of micro-unit ints
+    (floor(x*1e6+0.5) on the 6-dp-rounded mean): the driver's pandas
+    canonicalizer cannot hash list cells, and fixed-point int→string is
+    engine-exact where double→string formatting is not."""
     from kevinlang_spark.functions.vectors import label_centroids
 
-    return label_centroids(_t(spark, sf_dir, "embeddings"))
+    out = label_centroids(_t(spark, sf_dir, "embeddings"))
+    micro = F.transform(
+        F.col("centroid"),
+        lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .cast("string"),
+    )
+    return out.select(
+        "label", F.concat_ws(",", micro).alias("centroid"), "n_vectors"
+    )
 
 
 def q_equidepth(spark, sf_dir):
@@ -4134,53 +4156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_pq": q_ann_pq,
         "q_bpe_train": q_bpe_train,
         "q_hard_negatives": q_hard_negatives,
-        "q_ann_probe_pruned": q_ann_probe_pruned,
-        "q_media_pixels": q_media_pixels,
-        "q_theta_overlap": q_theta_overlap,
-        "q_cms_tokens": q_cms_tokens,
-        "q_join_estimate": q_join_estimate,
-        "q_heavy_hitters": q_heavy_hitters,
-        "q_approx_distinct": q_approx_distinct,
-        "q_semantic_dedup": q_semantic_dedup,
-        "q_novelty": q_novelty,
-        "q_containment": q_containment,
-        "q_source_overlap": q_source_overlap,
-        "q_pack_sequences": q_pack_sequences,
-        "q_chunk_tokens": q_chunk_tokens,
-        "q_repetition_stats": q_repetition_stats,
-        "q_hash_split": q_hash_split,
-        "q_contamination": q_contamination,
-        "q_stratified_sample": q_stratified_sample,
         "q_quantize_embeddings": q_quantize_embeddings,
-        "q_token_estimate": q_token_estimate,
-        "q_click_attribution": q_click_attribution,
-        "q_clean_lines": q_clean_lines,
-        "q_salted_agg": q_salted_agg,
-        "q_salted_join": q_salted_join,
-        "q_events_sliding": q_events_sliding,
-        "q_resample_ffill": q_resample_ffill,
-        "q_cube": q_cube,
-        "q_histogram": q_histogram,
-        "q_redact_pii": q_redact_pii,
-        "q_upsert": q_upsert,
-        "q_weighted_sample": q_weighted_sample,
-        "q_scd2": q_scd2,
-        "q_funnel": q_funnel,
-        "q_transitions": q_transitions,
-        "q_budget_sample": q_budget_sample,
-        "q_winsorize": q_winsorize,
-        "q_approx_quantile": q_approx_quantile,
-        "q_inverted_index": q_inverted_index,
-        "q_retention": q_retention,
-        "q_validate": q_validate,
-        "q_merge_intervals": q_merge_intervals,
-        "q_twap": q_twap,
-        "q_profile": q_profile,
-        "q_fuzzy_join": q_fuzzy_join,
-        "q_equidepth": q_equidepth,
         "q_label_centroids": q_label_centroids,
-        "q_rolling": q_rolling,
-        "q_lm_score": q_lm_score,
         "q_incremental_agg": q_incremental_agg,
         "q_triangles": q_triangles,
         "q_jaccard_prefix": q_jaccard_prefix,
@@ -4232,6 +4209,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mahalanobis": q_mahalanobis,
         "q_temporal_join": q_temporal_join,
         "q_resample_lerp": q_resample_lerp,
+        "q_ann_probe_pruned": q_ann_probe_pruned,
+        "q_media_pixels": q_media_pixels,
+        "q_theta_overlap": q_theta_overlap,
+        "q_cms_tokens": q_cms_tokens,
+        "q_join_estimate": q_join_estimate,
+        "q_heavy_hitters": q_heavy_hitters,
+        "q_approx_distinct": q_approx_distinct,
+        "q_semantic_dedup": q_semantic_dedup,
+        "q_novelty": q_novelty,
+        "q_containment": q_containment,
+        "q_source_overlap": q_source_overlap,
+        "q_pack_sequences": q_pack_sequences,
+        "q_chunk_tokens": q_chunk_tokens,
+        "q_repetition_stats": q_repetition_stats,
+        "q_hash_split": q_hash_split,
+        "q_contamination": q_contamination,
+        "q_stratified_sample": q_stratified_sample,
+        "q_token_estimate": q_token_estimate,
+        "q_click_attribution": q_click_attribution,
+        "q_clean_lines": q_clean_lines,
+        "q_salted_agg": q_salted_agg,
+        "q_salted_join": q_salted_join,
+        "q_events_sliding": q_events_sliding,
+        "q_resample_ffill": q_resample_ffill,
+        "q_cube": q_cube,
+        "q_histogram": q_histogram,
+        "q_redact_pii": q_redact_pii,
+        "q_upsert": q_upsert,
+        "q_weighted_sample": q_weighted_sample,
+        "q_scd2": q_scd2,
+        "q_funnel": q_funnel,
+        "q_transitions": q_transitions,
+        "q_budget_sample": q_budget_sample,
+        "q_winsorize": q_winsorize,
+        "q_approx_quantile": q_approx_quantile,
+        "q_inverted_index": q_inverted_index,
+        "q_retention": q_retention,
+        "q_validate": q_validate,
+        "q_merge_intervals": q_merge_intervals,
+        "q_twap": q_twap,
+        "q_profile": q_profile,
+        "q_fuzzy_join": q_fuzzy_join,
+        "q_equidepth": q_equidepth,
+        "q_rolling": q_rolling,
+        "q_lm_score": q_lm_score,
         "q_stream_hourly": q_stream_hourly,
         "q_stream_sliding": q_stream_sliding,
         "q_stream_dedup": q_stream_dedup,
@@ -4847,8 +4869,142 @@ def _bm25_scored_cte(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
     )
 
 
+def _pq_oracle_sql(m: int = 2, k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Exact DuckDB replica of q_ann_pq: unrolls the same ``iters``
+    Lloyd iterations as similarity.py pq_train (seed centroids =
+    subvectors of vec_id 0..k-1, argmin of the ROUNDED(6) squared
+    distance with smallest-index tie-break, per-cluster elementwise
+    AVG rounded to 6, emptied clusters keep their previous centroid via
+    COALESCE), then recomputes codes against the final codebooks and
+    ranks by the rounded ADC LUT sum for the vec_id=3 probe — checking
+    the QUANTIZED result itself, not a float approximation.  CTEs are
+    MATERIALIZED because each cN feeds both the next assignment and the
+    COALESCE fallback — inlining would re-evaluate the chain
+    exponentially."""
+    dsub = dim // m
+    slices = " ".join(
+        f"WHEN s = {s} THEN v[{s * dsub + 1}:{(s + 1) * dsub}]"
+        for s in range(m)
+    )
+    subvec = f"CASE {slices} END"
+    svals = ", ".join(str(s) for s in range(m))
+    sqd = (
+        "ROUND(list_sum(list_transform(range(1, {d} + 1), "
+        "i -> (su.sub[i] - c.cent[i]) * (su.sub[i] - c.cent[i]))), 6)"
+    ).format(d=dsub)
+
+    def assign(name: str, cents: str) -> str:
+        return (
+            f"{name} AS MATERIALIZED (SELECT vec_id, s, sub, j FROM ("
+            "SELECT su.vec_id, su.s, su.sub, c.j, "
+            "ROW_NUMBER() OVER (PARTITION BY su.vec_id, su.s "
+            f"ORDER BY {sqd} ASC, c.j ASC) AS rk "
+            f"FROM subs su JOIN {cents} c USING (s)) WHERE rk = 1)"
+        )
+
+    sql = (
+        "WITH base AS MATERIALIZED (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        "FROM embeddings), "
+        f"subs AS MATERIALIZED (SELECT vec_id, s, {subvec} AS sub "
+        f"FROM base, (SELECT unnest([{svals}]) AS s)), "
+        f"c0 AS MATERIALIZED (SELECT s, vec_id AS j, sub AS cent "
+        f"FROM subs WHERE vec_id < {k})"
+    )
+    for it in range(1, iters + 1):
+        sql += ", " + assign(f"a{it}", f"c{it - 1}") + ", "
+        sql += (
+            f"m{it} AS (SELECT s, j, list(ROUND(mv, 6) ORDER BY ord) AS cent "
+            f"FROM (SELECT s, j, t.ord, AVG(sub[t.ord]) AS mv "
+            f"FROM a{it}, unnest(range(1, {dsub} + 1)) AS t(ord) "
+            "GROUP BY s, j, t.ord) GROUP BY s, j), "
+            f"c{it} AS MATERIALIZED (SELECT c.s, c.j, "
+            f"COALESCE(m{it}.cent, c.cent) AS cent FROM c{it - 1} c "
+            f"LEFT JOIN m{it} ON c.s = m{it}.s AND c.j = m{it}.j)"
+        )
+    sql += ", " + assign("enc", f"c{iters}") + ", "
+    sql += (
+        "q AS (SELECT s, sub AS qsub FROM subs WHERE vec_id = 3), "
+        "lut AS (SELECT c.s, c.j, "
+        f"ROUND(list_sum(list_transform(range(1, {dsub} + 1), "
+        "i -> (q.qsub[i] - c.cent[i]) * (q.qsub[i] - c.cent[i]))), 6) AS d "
+        f"FROM c{iters} c JOIN q USING (s)), "
+        "scored AS (SELECT e.vec_id, SUM(l.d) AS adist FROM enc e "
+        "JOIN lut l ON e.s = l.s AND e.j = l.j GROUP BY e.vec_id) "
+        "SELECT vec_id, ROUND(adist, 6) AS adist FROM scored "
+        "ORDER BY adist ASC, vec_id ASC LIMIT 10"
+    )
+    return sql
+
+
+def _bpe_oracle_sql(n_merges: int = 8) -> str:
+    """Exact DuckDB replica of q_bpe_train: unrolls the same
+    ``n_merges`` merge rounds as text.py bpe_train over the same
+    (word, freq) vocabulary table.  The left-to-right non-overlapping
+    merge uses the doubled-space trick — interior token boundaries get
+    two spaces, a pair occurrence is the plain substring
+    ``' a  b '``, and plain ``replace()`` scans left-to-right exactly
+    like the Spark fold (RE2 has no lookarounds, so a regex can't do
+    this) — then multi-spaces collapse back.  MATERIALIZED CTEs: each
+    wN feeds both the next pair count and the next rewrite."""
+    sql = (
+        "WITH w0 AS MATERIALIZED (SELECT "
+        "trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS toks, freq FROM ("
+        "SELECT t AS w, COUNT(*) AS freq FROM ("
+        "SELECT unnest(list_filter(string_split_regex(lower(text), "
+        "'[^a-z0-9]+'), x -> x <> '')) AS t "
+        "FROM documents WHERE text IS NOT NULL) GROUP BY t))"
+    )
+    for r in range(1, n_merges + 1):
+        sql += (
+            f", p{r} AS (SELECT p.a AS a, p.b AS b, "
+            "CAST(SUM(freq) AS BIGINT) AS n FROM ("
+            "SELECT unnest(list_transform(range(1, len(t)), "
+            "i -> {'a': t[i], 'b': t[i+1]})) AS p, freq "
+            f"FROM (SELECT string_split(toks, ' ') AS t, freq FROM w{r - 1}) "
+            "WHERE len(t) > 1) GROUP BY p.a, p.b), "
+            f"b{r} AS MATERIALIZED (SELECT {r} AS merge_rank, a, b, n "
+            f"FROM p{r} ORDER BY n DESC, a ASC, b ASC LIMIT 1), "
+            f"w{r} AS MATERIALIZED (SELECT trim(regexp_replace("
+            "replace(' ' || replace(toks, ' ', '  ') || ' ', "
+            f"(SELECT ' ' || a || '  ' || b || ' ' FROM b{r}), "
+            f"(SELECT ' ' || a || b || ' ' FROM b{r})), "
+            f"' +', ' ', 'g')) AS toks, freq FROM w{r - 1})"
+        )
+    sql += (
+        " SELECT merge_rank, a AS tok_a, b AS tok_b, n AS pair_count FROM ("
+        + " UNION ALL ".join(f"SELECT * FROM b{r}" for r in range(1, n_merges + 1))
+        + ") ORDER BY merge_rank"
+    )
+    return sql
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "q_ann_pq": _pq_oracle_sql(m=2, k=8, iters=2, dim=64),
+        "q_bpe_train": _bpe_oracle_sql(n_merges=8),
+        # The cosine is rebuilt bit-for-bit like vectors.py dot/l2_norm
+        # (float×float products summed into double; squares in double)
+        # instead of list_cosine_similarity, which computes in float and
+        # lands on the wrong side of a round-4 carry boundary for
+        # (qid 1, vec 124); double ROUND mirrors hard_negatives
+        # (round 6) ∘ the q wrapper (round 4).
+        "q_hard_negatives": (
+            "WITH sims AS (SELECT q.vec_id AS qid, e.vec_id AS vec_id, "
+            "list_sum(list_transform(range(1, len(e.embedding) + 1), "
+            "i -> CAST(e.embedding[i] * q.embedding[i] AS DOUBLE))) "
+            "/ NULLIF(sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1), "
+            "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) "
+            "* sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1), "
+            "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))), 0) "
+            "AS raw FROM embeddings e JOIN (SELECT vec_id, embedding, label "
+            "FROM embeddings WHERE vec_id < 8) q ON e.label <> q.label) "
+            "SELECT qid, vec_id, sim, rank FROM ("
+            "SELECT qid, vec_id, ROUND(ROUND(raw, 6), 4) AS sim, "
+            "ROW_NUMBER() OVER (PARTITION BY qid "
+            "ORDER BY raw DESC NULLS LAST, vec_id ASC) AS rank FROM sims"
+            ") WHERE rank <= 5"
+        ),
         "q_bloom_filter": _bloom_oracle_sql(m=1 << 14, k=5),
         "q_cube_revenue": (
             "WITH j AS (SELECT n_name, EXTRACT(year FROM o_orderdate) "
@@ -5987,10 +6143,10 @@ def oracle_sql() -> dict[str, str]:
             "WITH m AS (SELECT vec_id, embedding, "
             "GREATEST(ABS(list_aggregate(embedding, 'max')), "
             "ABS(list_aggregate(embedding, 'min'))) AS mx FROM embeddings) "
-            "SELECT vec_id, CASE WHEN mx = 0 THEN "
+            "SELECT vec_id, array_to_string(CASE WHEN mx = 0 THEN "
             "list_transform(embedding, x -> 0) ELSE "
             "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) "
-            "/ (CAST(mx AS DOUBLE) / 127.0) + 0.5) AS INT)) END AS codes, "
+            "/ (CAST(mx AS DOUBLE) / 127.0) + 0.5) AS INT)) END, ',') AS codes, "
             "ROUND(CAST(mx AS DOUBLE) / 127.0, 6) AS scale FROM m"
         ),
         "q_token_estimate": (
@@ -6976,7 +7132,7 @@ def oracle_sql() -> dict[str, str]:
             "AND (d.vt IS NULL OR d.vt > f.ts)"
         ),
         "q_boilerplate": """WITH salted AS (SELECT text || CASE WHEN doc_id % 3 = 0 THEN '. This site uses cookies to improve your experience.' ELSE '' END || CASE WHEN doc_id % 5 = 0 THEN '. Subscribe to our newsletter for weekly updates.' ELSE '' END AS s FROM documents), l AS (SELECT unnest(list_filter(list_transform(string_split(s, '.'), x -> regexp_replace(lower(trim(x)), '[^a-z0-9 ]', '', 'g')), x -> len(x) > 20)) AS line FROM salted) SELECT line, COUNT(*) AS n_occurrences FROM l GROUP BY line HAVING COUNT(*) >= 5 ORDER BY n_occurrences DESC, line ASC LIMIT 50""",
-        "q_label_centroids": """WITH e AS (SELECT label, i AS ord, CAST(embedding[i] AS DOUBLE) AS val FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)), d AS (SELECT label, ord, AVG(val) AS m, COUNT(*) AS n FROM e GROUP BY 1, 2) SELECT label, list(ROUND(m, 6) ORDER BY ord) AS centroid, MAX(n) AS n_vectors FROM d GROUP BY label""",
+        "q_label_centroids": """WITH e AS (SELECT label, i AS ord, CAST(embedding[i] AS DOUBLE) AS val FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)), d AS (SELECT label, ord, AVG(val) AS m, COUNT(*) AS n FROM e GROUP BY 1, 2) SELECT label, array_to_string(list(CAST(FLOOR(ROUND(m, 6) * 1000000.0 + 0.5) AS BIGINT) ORDER BY ord), ',') AS centroid, MAX(n) AS n_vectors FROM d GROUP BY label""",
         "q_equidepth": """WITH b AS (SELECT quantile_cont(CAST(o_totalprice AS DOUBLE), [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs FROM orders) SELECT CAST(len(list_filter(b.bs, x -> o_totalprice > x)) AS INT) AS bucket, COUNT(*) AS n, ROUND(MIN(CAST(o_totalprice AS DOUBLE)), 2) AS lo, ROUND(MAX(CAST(o_totalprice AS DOUBLE)), 2) AS hi FROM orders CROSS JOIN b GROUP BY 1""",
         "q_fuzzy_join": """WITH t AS (SELECT doc_id, substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 12) AS s FROM documents WHERE doc_id < 300) SELECT a.doc_id AS left_id, b.doc_id AS right_id, CAST(levenshtein(a.s, b.s) AS INT) AS distance FROM t a JOIN t b ON a.doc_id < b.doc_id WHERE levenshtein(a.s, b.s) <= 2""",
         "q_profile": """SELECT 'l_quantity' AS "column", COUNT(l_quantity) AS n, COUNT(*) FILTER (WHERE l_quantity IS NULL) AS n_null, MIN(CAST(l_quantity AS DOUBLE)) AS min, MAX(CAST(l_quantity AS DOUBLE)) AS max, ROUND(AVG(CAST(l_quantity AS DOUBLE)), 6) AS mean, ROUND(STDDEV_POP(CAST(l_quantity AS DOUBLE)), 6) AS std FROM lineitem UNION ALL SELECT 'l_extendedprice' AS "column", COUNT(l_extendedprice) AS n, COUNT(*) FILTER (WHERE l_extendedprice IS NULL) AS n_null, MIN(CAST(l_extendedprice AS DOUBLE)) AS min, MAX(CAST(l_extendedprice AS DOUBLE)) AS max, ROUND(AVG(CAST(l_extendedprice AS DOUBLE)), 6) AS mean, ROUND(STDDEV_POP(CAST(l_extendedprice AS DOUBLE)), 6) AS std FROM lineitem UNION ALL SELECT 'l_discount' AS "column", COUNT(l_discount) AS n, COUNT(*) FILTER (WHERE l_discount IS NULL) AS n_null, MIN(CAST(l_discount AS DOUBLE)) AS min, MAX(CAST(l_discount AS DOUBLE)) AS max, ROUND(AVG(CAST(l_discount AS DOUBLE)), 6) AS mean, ROUND(STDDEV_POP(CAST(l_discount AS DOUBLE)), 6) AS std FROM lineitem UNION ALL SELECT 'l_tax' AS "column", COUNT(l_tax) AS n, COUNT(*) FILTER (WHERE l_tax IS NULL) AS n_null, MIN(CAST(l_tax AS DOUBLE)) AS min, MAX(CAST(l_tax AS DOUBLE)) AS max, ROUND(AVG(CAST(l_tax AS DOUBLE)), 6) AS mean, ROUND(STDDEV_POP(CAST(l_tax AS DOUBLE)), 6) AS std FROM lineitem""",

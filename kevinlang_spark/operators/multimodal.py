@@ -253,6 +253,160 @@ def make_bmp(
     )
 
 
+def make_png(
+    width: int,
+    height: int,
+    rgb: tuple[int, int, int] = (0, 0, 0),
+    pixels=None,
+    filter_type: int = 0,
+) -> bytes:
+    """A minimal VALID 8-bit RGB PNG — stdlib-only (zlib deflate +
+    crc32), real container bytes for decode tests and synthetic bronze
+    tables.  ``pixels`` (an H×W×3 uint8 array) overrides the solid
+    ``rgb`` fill; ``filter_type`` picks the per-scanline predictor
+    (0=None, 1=Sub, 2=Up, 3=Average, 4=Paeth) so a decoder's unfilter
+    paths can each be exercised against a spec-compliant encoder."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if pixels is None:
+        px = np.tile(np.array(rgb, dtype=np.uint8), (height, width, 1))
+    else:
+        px = np.asarray(pixels, dtype=np.uint8).reshape(height, width, 3)
+
+    def paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    raw = bytearray()
+    prev = np.zeros(width * 3, dtype=np.int32)
+    for y in range(height):
+        line = px[y].reshape(-1).astype(np.int32)
+        raw.append(filter_type)
+        if filter_type == 0:
+            enc = line % 256
+        elif filter_type == 1:  # Sub
+            left = np.concatenate([np.zeros(3, dtype=np.int32), line[:-3]])
+            enc = (line - left) % 256
+        elif filter_type == 2:  # Up
+            enc = (line - prev) % 256
+        elif filter_type == 3:  # Average
+            enc = np.empty_like(line)
+            for i in range(line.size):
+                left = line[i - 3] if i >= 3 else 0
+                enc[i] = (line[i] - ((left + prev[i]) >> 1)) % 256
+        elif filter_type == 4:  # Paeth
+            enc = np.empty_like(line)
+            for i in range(line.size):
+                a = int(line[i - 3]) if i >= 3 else 0
+                c = int(prev[i - 3]) if i >= 3 else 0
+                enc[i] = (line[i] - paeth(a, int(prev[i]), c)) % 256
+        else:
+            raise ValueError(f"unsupported PNG filter {filter_type}")
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_pixels(payload: bytes):
+    """Full stdlib PNG pixel decode: walk the chunk stream, inflate the
+    IDAT payload with zlib, and invert the five per-scanline predictors
+    (PNG spec §4.5 / RFC 2083).  Supports the honest codec-free subset:
+    8-bit depth, greyscale / RGB / RGBA, non-interlaced.  Returns
+    (width, height, channels, H×W×C uint8 array); anything else raises
+    ValueError (quarantine semantics)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    i, width = 8, None
+    idat = bytearray()
+    while i + 8 <= len(payload):
+        size = struct.unpack(">I", payload[i : i + 4])[0]
+        tag = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color not in (0, 2, 6) or interlace != 0:
+                raise ValueError(
+                    "codec-free PNG decode supports 8-bit grey/RGB/RGBA, "
+                    "non-interlaced only"
+                )
+            channels = {0: 1, 2: 3, 6: 4}[color]
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        i += 12 + size
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        line = np.frombuffer(raw[pos + 1 : pos + 1 + stride], dtype=np.uint8).astype(
+            np.int32
+        )
+        pos += 1 + stride
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up — vectorizable (no intra-row dependency)
+            cur = (line + prev) % 256
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            cur = line.copy()
+            for x in range(stride):
+                a = int(cur[x - channels]) if x >= channels else 0
+                if ftype == 1:
+                    cur[x] = (cur[x] + a) % 256
+                elif ftype == 3:
+                    cur[x] = (cur[x] + ((a + int(prev[x])) >> 1)) % 256
+                else:
+                    b = int(prev[x])
+                    c = int(prev[x - channels]) if x >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (cur[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter byte {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return width, height, channels, out.reshape(height, width, channels)
+
+
 def make_wav(
     n_frames: int, sample_rate: int = 8000, amplitude: int = 0
 ) -> bytes:
@@ -273,25 +427,50 @@ def make_wav(
 
 
 def stdlib_pixel_decode(payload: bytes, media_type: str) -> dict:
-    """FULL decode with zero external codecs, for the uncompressed
-    containers where that is honestly possible: 24-bit uncompressed BMP
-    pixel grids and 16-bit mono PCM WAV sample streams.  Returns the
-    decoded dimensions plus content statistics computed from the actual
-    bytes — per-channel means for images (BGR row order, 4-byte row
-    padding excluded), RMS/peak for audio — the proof that the media
-    plumbing carries real pixels/samples end-to-end, not just headers.
+    """FULL decode with zero external codecs, for the containers where
+    that is honestly possible: 24-bit uncompressed BMP pixel grids,
+    8-bit grey/RGB/RGBA non-interlaced PNG (zlib inflate + the five
+    scanline predictors — PNG's codec IS stdlib zlib), and 16-bit mono
+    PCM WAV sample streams.  Returns the decoded dimensions plus
+    content statistics computed from the actual bytes — per-channel
+    means for images (BGR row order and 4-byte padding for BMP;
+    unfiltered scanlines for PNG), RMS/peak for audio — the proof that
+    the media plumbing carries real pixels/samples end-to-end, not
+    just headers.
 
-    Compressed formats (PNG/JPEG/GIF pixel data, lossy audio) still
-    need codec libraries (:func:`real_decode`'s PIL gate); anything not
-    decodable here raises ValueError and is quarantined by the caller,
-    like NULL payloads."""
+    JPEG/GIF pixel data and lossy audio still need codec libraries
+    (:func:`real_decode`'s PIL gate); anything not decodable here
+    raises ValueError and is quarantined by the caller, like NULL
+    payloads."""
     import struct
 
     import numpy as np
 
     if media_type == "image":
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            # PNG's codec IS stdlib zlib — inflate + unfilter is a full,
+            # honest pixel decode with no external library
+            width, height, channels, px = _png_pixels(payload)
+            pxf = px.astype(np.float64)
+            if channels == 1:
+                mean_r = mean_g = mean_b = float(pxf[:, :, 0].mean())
+            else:  # RGB / RGBA (alpha excluded from channel means)
+                mean_r = float(pxf[:, :, 0].mean())
+                mean_g = float(pxf[:, :, 1].mean())
+                mean_b = float(pxf[:, :, 2].mean())
+            return {
+                "width": width,
+                "height": height,
+                "n_frames": 1,
+                "mean_r": mean_r,
+                "mean_g": mean_g,
+                "mean_b": mean_b,
+            }
         if payload[:2] != b"BM" or len(payload) < 54:
-            raise ValueError("pixel decode supports uncompressed 24-bit BMP only")
+            raise ValueError(
+                "pixel decode supports uncompressed 24-bit BMP and "
+                "8-bit PNG only"
+            )
         data_off = struct.unpack("<I", payload[10:14])[0]
         width, height = struct.unpack("<ii", payload[18:26])
         bpp, compression = struct.unpack("<H", payload[28:30])[0], struct.unpack(
@@ -390,7 +569,9 @@ def extract_pixel_stats(media_df: DataFrame) -> DataFrame:
     return media_df.mapInPandas(batches, schema=PIXEL_STATS_SCHEMA)
 
 
-def attach_stdlib_media(df: DataFrame, filled: bool = False) -> DataFrame:
+def attach_stdlib_media(
+    df: DataFrame, filled: bool = False, png: bool = False
+) -> DataFrame:
     """Synthesize a bronze media table with REAL container bytes:
     alternating BMPs (dimensions derived from doc_id) and WAVs (frame
     count derived from doc_id), built per Arrow batch so payloads are
@@ -399,7 +580,11 @@ def attach_stdlib_media(df: DataFrame, filled: bool = False) -> DataFrame:
     ``filled=True`` writes deterministic CONTENT as well: BMP pixels are
     (doc%256, doc*3%256, doc*7%256) RGB, WAV samples hold doc%2048 —
     closed-form in doc_id, so a full-decode oracle can predict the
-    channel means / RMS exactly."""
+    channel means / RMS exactly.  ``png=True`` routes half the images
+    (doc_id % 4 == 2) through a real zlib-deflated PNG container with
+    the SAME dimensions and fill — the content statistics are container
+    -invariant, so the oracle is unchanged while the PNG inflate +
+    unfilter path is exercised end-to-end."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -410,7 +595,8 @@ def attach_stdlib_media(df: DataFrame, filled: bool = False) -> DataFrame:
                 if d % 2 == 0:
                     media.append("image")
                     rgb = (d % 256, d * 3 % 256, d * 7 % 256) if filled else (0, 0, 0)
-                    payload.append(make_bmp(d % 64 + 1, d % 48 + 1, rgb=rgb))
+                    maker = make_png if (png and d % 4 == 2) else make_bmp
+                    payload.append(maker(d % 64 + 1, d % 48 + 1, rgb=rgb))
                 else:
                     media.append("audio")
                     amp = d % 2048 if filled else 0

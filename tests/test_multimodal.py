@@ -224,7 +224,7 @@ def test_pixel_decode_rejects_unsupported():
     )
 
     with _pytest.raises(ValueError):
-        stdlib_pixel_decode(b"\x89PNG\r\n\x1a\n" + b"\x00" * 40, "image")  # compressed
+        stdlib_pixel_decode(b"\x89PNG\r\n\x1a\n" + b"\x00" * 40, "image")  # no IHDR/IDAT
     with _pytest.raises(ValueError):
         stdlib_pixel_decode(make_bmp(4, 4)[:40], "image")  # truncated
     with _pytest.raises(ValueError):
@@ -259,3 +259,105 @@ def test_pixel_stats_on_spark(spark):
             assert r["n_frames"] == d % 1000 + 1
             assert r["rms"] == float(d % 2048) == r["peak"]
             assert r["width"] is None
+
+
+def test_png_roundtrip_all_filter_types():
+    """make_png encodes a deterministic gradient under each of the five
+    PNG scanline predictors; _png_pixels must invert every one back to
+    the identical pixel grid (spec §4.5 unfiltering)."""
+    import numpy as np
+
+    from kevinlang_spark.operators.multimodal import make_png, stdlib_pixel_decode
+
+    h, w = 7, 11
+    grad = np.fromfunction(
+        lambda y, x, c: (13 * y + 29 * x + 71 * c) % 256, (h, w, 3)
+    ).astype("uint8")
+    for ftype in range(5):
+        payload = make_png(w, h, pixels=grad, filter_type=ftype)
+        out = stdlib_pixel_decode(payload, "image")
+        assert (out["width"], out["height"], out["n_frames"]) == (w, h, 1)
+        assert out["mean_r"] == float(grad[:, :, 0].mean())
+        assert out["mean_g"] == float(grad[:, :, 1].mean())
+        assert out["mean_b"] == float(grad[:, :, 2].mean())
+
+
+def test_png_grey_and_rgba_paths():
+    """Hand-built 8-bit greyscale and RGBA PNGs (stdlib zlib, filter 0):
+    grey replicates into all three channel means; RGBA excludes alpha."""
+    import struct
+    import zlib
+
+    from kevinlang_spark.operators.multimodal import stdlib_pixel_decode
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    def png(w, h, color_type, rows):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        raw = b"".join(b"\x00" + r for r in rows)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    grey = png(2, 2, 0, [bytes([10, 20]), bytes([30, 40])])
+    out = stdlib_pixel_decode(grey, "image")
+    assert out["mean_r"] == out["mean_g"] == out["mean_b"] == 25.0
+    assert (out["width"], out["height"]) == (2, 2)
+
+    rgba = png(
+        1, 2, 6, [bytes([100, 150, 200, 255]), bytes([0, 50, 100, 0])]
+    )
+    out = stdlib_pixel_decode(rgba, "image")
+    assert (out["mean_r"], out["mean_g"], out["mean_b"]) == (50.0, 100.0, 150.0)
+
+
+def test_png_unsupported_and_corrupt_raise():
+    import pytest as _pytest
+
+    from kevinlang_spark.operators.multimodal import make_png, stdlib_pixel_decode
+
+    good = make_png(5, 4, rgb=(9, 9, 9))
+    with _pytest.raises(ValueError):
+        stdlib_pixel_decode(good[:30], "image")  # truncated chunk stream
+    # 16-bit depth is outside the honest codec-free subset
+    bad_depth = bytearray(good)
+    bad_depth[24] = 16
+    with _pytest.raises(ValueError):
+        stdlib_pixel_decode(bytes(bad_depth), "image")
+
+
+def test_pixel_stats_include_png_containers(spark):
+    """attach_stdlib_media(png=True): doc_id % 4 == 2 images travel as
+    real PNGs; decoded stats still equal the generation formula."""
+    from kevinlang_spark.operators.multimodal import (
+        attach_stdlib_media,
+        extract_pixel_stats,
+    )
+
+    docs = spark.range(0, 16).select(F.col("id").alias("doc_id"))
+    media = attach_stdlib_media(docs, filled=True, png=True)
+    # the table really contains both containers
+    magic = {
+        int(r["doc_id"]): bytes(r["payload"])[:2]
+        for r in media.where(F.col("media_type") == "image").collect()
+    }
+    assert all(m == b"\x89P" for d, m in magic.items() if d % 4 == 2)
+    assert all(m == b"BM" for d, m in magic.items() if d % 4 == 0)
+    out = {r["doc_id"]: r for r in extract_pixel_stats(media).collect()}
+    for d in range(0, 16, 2):
+        r = out[d]
+        assert (r["width"], r["height"]) == (d % 64 + 1, d % 48 + 1)
+        assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (
+            float(d % 256),
+            float(d * 3 % 256),
+            float(d * 7 % 256),
+        )

@@ -34,6 +34,9 @@ BNLJ_OK = {
     "q_rank_overlap",  # 10-row broadcast self-join rank (top-k lists)
     "q_rank_fusion",  # 20-row broadcast self-join rank (RRF input lists)
     "q_knn_join",  # broadcast k-probe set
+    "q_hard_negatives",  # broadcast 8-row anchor probe set (knn_join shape;
+    # label-mismatch is a scan-stage filter over the broadcast row, so the
+    # physical join is the same bounded probe-set BNLJ reviewed for knn_join)
     "q_pagerank",  # broadcast 1-row dangling-mass aggregate per iteration
     "q_hits",  # broadcast 1-row L1-normalizer aggregate per iteration
     # (q_pca_top_component's 1-row mean broadcast never reaches the lint:

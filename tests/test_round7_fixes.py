@@ -1,0 +1,278 @@
+"""Round-7 verification debt: brute-force parity tests for the three
+queries that landed in the r6 end-of-round snapshot without tests
+(q_ann_pq, q_bpe_train, q_hard_negatives), plus two registry-wide
+guards so the same two failure modes can't recur:
+
+* every ``queries()`` entry must carry an ``oracle_sql()`` entry (or be
+  explicitly listed here as rows-only) — r6 wasted three driver window
+  slots on ``no_oracle`` errors;
+* every query's output schema must be flat (no array/map/struct
+  columns) — the driver's pandas canonicalizer crashes on list cells
+  (q_quantize_embeddings / q_label_centroids in CORRECTNESS_r06).
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, MapType, StructType
+
+import __spark_entry__ as entrymod
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _round_half_up(x: float, nd: int = 6) -> float:
+    """Spark F.round semantics (BigDecimal HALF_UP on the double)."""
+    return float(Decimal(x).quantize(Decimal(1).scaleb(-nd), ROUND_HALF_UP))
+
+
+# ---------------------------------------------------------------- PQ --
+
+
+def _brute_pq_train(rows, m, k, iters):
+    """Pure-Python replica of similarity.pq_train's Lloyd loop."""
+    dim = len(rows[0][1])
+    dsub = dim // m
+    seeds = sorted((r for r in rows if r[0] < k), key=lambda r: r[0])
+    books = [
+        [[float(v) for v in r[1][s * dsub : (s + 1) * dsub]] for r in seeds]
+        for s in range(m)
+    ]
+    for _ in range(iters):
+        for s in range(m):
+            assign: dict[int, list[list[float]]] = {}
+            for _vid, vec in rows:
+                sub = [float(v) for v in vec[s * dsub : (s + 1) * dsub]]
+                best = min(
+                    (
+                        (
+                            _round_half_up(
+                                sum((a - b) * (a - b) for a, b in zip(sub, c))
+                            ),
+                            j,
+                        )
+                        for j, c in enumerate(books[s])
+                    )
+                )
+                assign.setdefault(best[1], []).append(sub)
+            for j, members in assign.items():
+                books[s][j] = [
+                    _round_half_up(sum(col) / len(members))
+                    for col in zip(*members)
+                ]
+    return books
+
+
+def test_pq_train_matches_brute_lloyd(emb):
+    from kevinlang_spark.operators.similarity import pq_train
+
+    rows = [(r["vec_id"], list(r["embedding"])) for r in emb.collect()]
+    got = pq_train(emb, m=2, k=8, iters=2)
+    want = _brute_pq_train(rows, m=2, k=8, iters=2)
+    assert len(got) == 2 and all(len(b) == 8 for b in got)
+    for s in range(2):
+        for j in range(8):
+            for a, b in zip(got[s][j], want[s][j]):
+                # brute mean sums in one order, Spark avg in another;
+                # both round to 6 dp so they agree to the last digit
+                assert a == pytest.approx(b, abs=2e-6)
+
+
+def test_pq_topk_matches_brute_adc(emb):
+    """Encode+ADC parity against the SPARK-trained codebooks, so the
+    check isolates pq_topk (train parity is the test above)."""
+    from kevinlang_spark.operators.similarity import pq_topk, pq_train
+
+    books = pq_train(emb, m=2, k=8, iters=2)
+    rows = [(r["vec_id"], list(map(float, r["embedding"]))) for r in emb.collect()]
+    query = dict(rows)[3]
+    m, k = len(books), len(books[0])
+    dsub = len(books[0][0])
+
+    scored = []
+    for vid, vec in rows:
+        adist = 0.0
+        for s in range(m):
+            sub = vec[s * dsub : (s + 1) * dsub]
+            code = min(
+                (
+                    (
+                        _round_half_up(
+                            sum((a - b) * (a - b) for a, b in zip(sub, c))
+                        ),
+                        j,
+                    )
+                    for j, c in enumerate(books[s])
+                )
+            )[1]
+            qsub = query[s * dsub : (s + 1) * dsub]
+            # pq_topk builds the LUT with Python round() — reuse it
+            adist += round(
+                sum((a - b) * (a - b) for a, b in zip(qsub, books[s][code])), 6
+            )
+        scored.append((_round_half_up(adist), vid))
+    scored.sort()
+    want = scored[:10]
+
+    got = pq_topk(emb, books, query, k_out=10).collect()
+    assert [r["vec_id"] for r in got] == [v for _, v in want]
+    for r, (d, _) in zip(got, want):
+        assert r["adist"] == pytest.approx(d, abs=2e-6)
+    # the probe's own row must quantize to the best ADC cell
+    assert got[0]["vec_id"] == 3 or 3 in [r["vec_id"] for r in got]
+
+
+# --------------------------------------------------------------- BPE --
+
+
+def _brute_bpe(texts, n_merges):
+    """Reference BPE (Sennrich 2016) with bpe_train's exact contracts:
+    freq-weighted pair counts, (count desc, a asc, b asc) argmax,
+    left-to-right non-overlapping merge."""
+    import re
+
+    freq: dict[str, int] = {}
+    for t in texts:
+        for w in re.split(r"[^a-z0-9]+", t.lower()):
+            if w:
+                freq[w] = freq.get(w, 0) + 1
+    vocab = {tuple(w): f for w, f in freq.items()}
+    merges = []
+    for r in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for toks, f in vocab.items():
+            for i in range(len(toks) - 1):
+                p = (toks[i], toks[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r, a, b, n))
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for toks, f in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_overlapping_merge_is_left_to_right(spark):
+    """'aaa' under merge (a,a): left-to-right gives 'aa a', so round 2
+    learns (aa, a) — the reference BPE contract."""
+    from kevinlang_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame([("aaa",)], "text string")
+    got = bpe_train(df, n_merges=2)
+    assert got == [(1, "a", "a", 2), (2, "aa", "a", 1)]
+
+
+def test_bpe_train_matches_brute_reference(spark):
+    from kevinlang_spark.operators.text import bpe_train
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest",
+        "widest widest widest",
+        "low lower newest",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = bpe_train(df, n_merges=6)
+    assert got == _brute_bpe(texts, 6)
+
+
+def test_bpe_merges_df_schema(spark):
+    from kevinlang_spark.operators.text import bpe_merges_df
+
+    df = spark.createDataFrame([("aaa bb",)], "text string")
+    out = bpe_merges_df(df, n_merges=2)
+    assert out.columns == ["merge_rank", "tok_a", "tok_b", "pair_count"]
+    assert out.count() == 2
+
+
+# ---------------------------------------------------- hard negatives --
+
+
+def test_hard_negatives_matches_brute(emb):
+    from kevinlang_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]], r["label"])
+        for r in emb.collect()
+    ]
+    anchors = [r for r in rows if r[0] < 8]
+    want = []
+    for qid, qv, qlabel in sorted(anchors):
+        qn = math.sqrt(sum(x * x for x in qv))
+        cand = []
+        for vid, v, label in rows:
+            if label == qlabel:
+                continue
+            n = math.sqrt(sum(x * x for x in v))
+            sim = (
+                None
+                if n == 0 or qn == 0
+                else sum(a * b for a, b in zip(v, qv)) / (n * qn)
+            )
+            cand.append((vid, sim))
+        cand.sort(key=lambda t: (t[1] is None, -(t[1] or 0.0), t[0]))
+        for rank, (vid, sim) in enumerate(cand[:5], start=1):
+            want.append((qid, vid, rank, sim))
+
+    got = hard_negatives(emb, n_anchors=8, k=5).orderBy("qid", "rank").collect()
+    assert [(r["qid"], r["vec_id"], r["rank"]) for r in got] == [
+        (q, v, rk) for q, v, rk, _ in want
+    ]
+    for r, (_, _, _, sim) in zip(got, want):
+        assert r["sim"] == pytest.approx(sim, abs=1e-4)
+
+
+# ------------------------------------------------- registry guards --
+
+#: queries knowingly registered without a DuckDB oracle (driver records
+#: a weaker rows-only check).  Currently empty — keep it that way.
+ROWS_ONLY: set[str] = set()
+
+
+def test_every_query_has_an_oracle():
+    qs, oracles = set(entrymod.queries()), set(entrymod.oracle_sql())
+    assert qs - oracles == ROWS_ONLY, (
+        "query registered without an oracle_sql() entry (r6 wasted three "
+        f"driver window slots on exactly this): {sorted(qs - oracles - ROWS_ONLY)}"
+    )
+    assert oracles <= qs, f"orphan oracles: {sorted(oracles - qs)}"
+
+
+def test_every_query_schema_is_driver_hashable(spark, sf_dir):
+    """The driver canonicalizes results through pandas and hashes cell
+    values — array/map/struct columns crash it (unhashable list cells,
+    CORRECTNESS_r06 q_quantize_embeddings / q_label_centroids).  Every
+    registered query must emit only atomic columns; serialize vectors
+    with concat_ws/to_json instead."""
+    bad = {}
+    for name, fn in sorted(entrymod.queries().items()):
+        schema = fn(spark, sf_dir).schema
+        nested = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if nested:
+            bad[name] = nested
+    assert not bad, f"container-typed output columns (driver-unhashable): {bad}"
