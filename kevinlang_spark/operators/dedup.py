@@ -1464,11 +1464,21 @@ def repeated_span_stats(
             f"need n >= 1 and min_count >= 2 (got n={n}, min_count={min_count})"
         )
     sp = _spread(df)
-    base = sp.select(
-        F.col(id_col).alias("id"),
-        token_count(F.col(text_col)).alias("n_tok"),
-        shingle_hashes(F.col(text_col), n).alias("grams"),
-    ).where(F.col("n_tok") > 0)
+    base = (
+        sp.select(
+            F.col(id_col).alias("id"),
+            token_count(F.col(text_col)).alias("n_tok"),
+            shingle_hashes(F.col(text_col), n).alias("grams"),
+        )
+        .where(F.col("n_tok") > 0)
+        # base feeds the gram explode (read twice: dup-count + hit
+        # rejoin) AND the final per-doc join — without this the
+        # interpreted shingle-hash fold recomputes THREE times
+        # (measured sf0.1: 11.9s → 5.4s warm).  The materialized table
+        # is (id, n_tok, grams) — the shingle table every MinHash-style
+        # pipeline persists once at any scale.
+        .localCheckpoint(eager=True)
+    )
     sh = base.select(
         "id", F.posexplode("grams").alias("pos", "g")
     )

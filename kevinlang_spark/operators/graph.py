@@ -191,7 +191,7 @@ def label_propagation(
     rounds: int = 5,
     src: str = "a",
     dst: str = "b",
-    checkpoint_every: int = 3,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Semi-synchronous Label Propagation (Raghavan et al. 2007)
     community detection, made deterministic: every node starts with its
@@ -212,7 +212,7 @@ def label_propagation(
     identical output.  Unlike pagerank,
     each round consumes the previous labels exactly ONCE, so the
     lineage is a chain with no recompute fan-out — the checkpoint
-    cadence (default every 3) is purely an analyzer/lineage-depth
+    cadence (default every 2) is purely an analyzer/lineage-depth
     guard, not a recompute guard (measured sf0.1: dropping the
     every-round checkpoint cut ~35% wall-time, identical output).
     Returns (node, label).
@@ -238,6 +238,17 @@ def label_propagation(
     for i in range(rounds):
         nbr = (
             sym.join(labels, sym["v"] == labels["node"])
+            .select("u", "label")
+            # one u-keyed exchange per sweep instead of two: hash(u)
+            # satisfies ClusteredDistribution for BOTH downstream aggs
+            # (groupBy(u,label) and groupBy(u)), so the label count and
+            # the arg-max run exchange-free on top of it.  The (u,label)
+            # exchange it replaces gained almost nothing from map-side
+            # combine anyway — the join output is laid out by v, so a
+            # map partition holds one neighborhood's worth of DISTINCT
+            # u's, not duplicate (u,label) pairs.  Measured sf0.1:
+            # 8.8s → ~5s warm.
+            .repartition(F.col("u"))
             .groupBy(F.col("u").alias("n"), F.col("label").alias("l"))
             .agg(F.count("*").alias("c"))
         )
