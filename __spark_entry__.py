@@ -4138,6 +4138,20 @@ def q_bpe_train(spark, sf_dir):
     return bpe_merges_df(_t(spark, sf_dir, "documents"), n_merges=8)
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Tokenize the corpus with a TRAINED BPE vocabulary (text.py
+    bpe_token_counts): train 8 merges, encode the DISTINCT-word table
+    once (the 100 TB trick — the merge fold runs at vocabulary scale,
+    never per token), then join the word→n_subtokens map back to the
+    exploded corpus for per-document token budgets.  The oracle unrolls
+    the identical training rounds AND the encode join."""
+    from kevinlang_spark.operators.text import bpe_token_counts, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=8)
+    return bpe_token_counts(docs, merges)
+
+
 def q_hard_negatives(spark, sf_dir):
     """Contrastive hard-negative mining: for each anchor (vec_id < 8),
     the top-5 most cosine-similar vectors with a DIFFERENT label — the
@@ -4155,6 +4169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_ann_pq": q_ann_pq,
         "q_bpe_train": q_bpe_train,
+        "q_bpe_encode": q_bpe_encode,
         "q_hard_negatives": q_hard_negatives,
         "q_quantize_embeddings": q_quantize_embeddings,
         "q_label_centroids": q_label_centroids,
@@ -4937,18 +4952,21 @@ def _pq_oracle_sql(m: int = 2, k: int = 8, iters: int = 2, dim: int = 64) -> str
     return sql
 
 
-def _bpe_oracle_sql(n_merges: int = 8) -> str:
-    """Exact DuckDB replica of q_bpe_train: unrolls the same
-    ``n_merges`` merge rounds as text.py bpe_train over the same
+def _bpe_oracle_sql(n_merges: int = 8, encode: bool = False) -> str:
+    """Exact DuckDB replica of q_bpe_train / q_bpe_encode: unrolls the
+    same ``n_merges`` merge rounds as text.py bpe_train over the same
     (word, freq) vocabulary table.  The left-to-right non-overlapping
     merge uses the doubled-space trick — interior token boundaries get
     two spaces, a pair occurrence is the plain substring
     ``' a  b '``, and plain ``replace()`` scans left-to-right exactly
     like the Spark fold (RE2 has no lookarounds, so a regex can't do
     this) — then multi-spaces collapse back.  MATERIALIZED CTEs: each
-    wN feeds both the next pair count and the next rewrite."""
+    wN feeds both the next pair count and the next rewrite.  With
+    ``encode=True`` the final vocabulary's word→subtoken-count map
+    joins back to the exploded corpus (text.py bpe_token_counts'
+    vocab-scale encode shape) instead of returning the merge table."""
     sql = (
-        "WITH w0 AS MATERIALIZED (SELECT "
+        "WITH w0 AS MATERIALIZED (SELECT w, "
         "trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS toks, freq FROM ("
         "SELECT t AS w, COUNT(*) AS freq FROM ("
         "SELECT unnest(list_filter(string_split_regex(lower(text), "
@@ -4965,17 +4983,32 @@ def _bpe_oracle_sql(n_merges: int = 8) -> str:
             "WHERE len(t) > 1) GROUP BY p.a, p.b), "
             f"b{r} AS MATERIALIZED (SELECT {r} AS merge_rank, a, b, n "
             f"FROM p{r} ORDER BY n DESC, a ASC, b ASC LIMIT 1), "
-            f"w{r} AS MATERIALIZED (SELECT trim(regexp_replace("
+            f"w{r} AS MATERIALIZED (SELECT w, trim(regexp_replace("
             "replace(' ' || replace(toks, ' ', '  ') || ' ', "
             f"(SELECT ' ' || a || '  ' || b || ' ' FROM b{r}), "
             f"(SELECT ' ' || a || b || ' ' FROM b{r})), "
             f"' +', ' ', 'g')) AS toks, freq FROM w{r - 1})"
         )
-    sql += (
-        " SELECT merge_rank, a AS tok_a, b AS tok_b, n AS pair_count FROM ("
-        + " UNION ALL ".join(f"SELECT * FROM b{r}" for r in range(1, n_merges + 1))
-        + ") ORDER BY merge_rank"
-    )
+    if encode:
+        sql += (
+            f", vocab AS (SELECT w, len(string_split(toks, ' ')) "
+            f"AS n_subtokens FROM w{n_merges}), "
+            "dt AS (SELECT doc_id AS id, "
+            "unnest(list_filter(string_split_regex(lower(text), "
+            "'[^a-z0-9]+'), x -> x <> '')) AS w "
+            "FROM documents WHERE text IS NOT NULL) "
+            "SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, "
+            "CAST(SUM(n_subtokens) AS BIGINT) AS n_bpe_tokens "
+            "FROM dt JOIN vocab USING (w) GROUP BY id"
+        )
+    else:
+        sql += (
+            " SELECT merge_rank, a AS tok_a, b AS tok_b, n AS pair_count FROM ("
+            + " UNION ALL ".join(
+                f"SELECT * FROM b{r}" for r in range(1, n_merges + 1)
+            )
+            + ") ORDER BY merge_rank"
+        )
     return sql
 
 
@@ -4983,6 +5016,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q_ann_pq": _pq_oracle_sql(m=2, k=8, iters=2, dim=64),
         "q_bpe_train": _bpe_oracle_sql(n_merges=8),
+        "q_bpe_encode": _bpe_oracle_sql(n_merges=8, encode=True),
         # The cosine is rebuilt bit-for-bit like vectors.py dot/l2_norm
         # (float×float products summed into double; squares in double)
         # instead of list_cosine_similarity, which computes in float and

@@ -283,16 +283,23 @@ def hits(
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1 (got {iterations})")
-    e = (
+    # TWO materialized copies of the edge list, one per join orientation:
+    # the auth step joins scores on src, the hub step joins auth on dst.
+    # distinct() leaves the table hash-partitioned on (src,dst) — neither
+    # join key — so a single copy re-shuffles the EDGES every iteration;
+    # pre-partitioned copies shuffle only the score table per sweep (the
+    # pagerank/LPA invariant-layout rule, 2× edge storage for 2·iters
+    # fewer edge-sized exchanges; measured ~15% off sf0.1 wall).
+    e_src = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
-        # materialized once — two edge joins per iteration would re-scan
-        # the source 2·iterations times otherwise (see pagerank)
+        .repartition(F.col("src"))
         .localCheckpoint(eager=True)
     )
+    e_dst = e_src.repartition(F.col("dst")).localCheckpoint(eager=True)
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        e_src.select(F.col("src").alias("node"))
+        .union(e_src.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -303,7 +310,7 @@ def hits(
     for i in range(iterations):
         auth_raw = (
             scores.alias("s")
-            .join(e.alias("g"), F.col("s.node") == F.col("g.src"))
+            .join(e_src.alias("g"), F.col("s.node") == F.col("g.src"))
             .groupBy(F.col("g.dst").alias("node"))
             .agg(F.sum("s.hub").alias("a_raw"))
         )
@@ -320,7 +327,7 @@ def hits(
         )
         hub_raw = (
             auth.alias("t")
-            .join(e.alias("g"), F.col("t.node") == F.col("g.dst"))
+            .join(e_dst.alias("g"), F.col("t.node") == F.col("g.dst"))
             .groupBy(F.col("g.src").alias("node"))
             .agg(F.sum("t.auth").alias("h_raw"))
         )

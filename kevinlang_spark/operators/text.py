@@ -1225,23 +1225,94 @@ def bpe_train(
         a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
         merges.append((r, a, b, n))
 
-        t2 = F.split(F.col("toks"), " ")
-        merged = F.aggregate(
-            F.slice(t2, 2, F.greatest(F.size(t2) - 1, F.lit(0))),
-            F.element_at(t2, 1),
-            lambda acc, tok: F.when(
-                ((acc == F.lit(a)) | F.endswith(acc, F.lit(" " + a)))
-                & (tok == F.lit(b)),
-                F.concat(
-                    F.substring(acc, 1, F.length(acc) - len(a)),
-                    F.lit(a + b),
-                ),
-            ).otherwise(F.concat(acc, F.lit(" "), tok)),
-        )
-        words = words.select(merged.alias("toks"), "freq").localCheckpoint(
+        words = words.select(
+            _apply_merge(a, b).alias("toks"), "freq"
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def _apply_merge(a: str, b: str, toks_col: str = "toks"):
+    """Left-to-right non-overlapping application of one BPE merge (a,b)
+    to a space-separated token string: an in-row fold that re-reads its
+    own output token, so ``l l l`` under merge (l,l) gives ``ll l``
+    exactly like reference BPE.  Shared by training (the per-round
+    vocab rewrite) and encoding (:func:`bpe_encode_words`)."""
+    t2 = F.split(F.col(toks_col), " ")
+    return F.aggregate(
+        F.slice(t2, 2, F.greatest(F.size(t2) - 1, F.lit(0))),
+        F.element_at(t2, 1),
+        lambda acc, tok: F.when(
+            ((acc == F.lit(a)) | F.endswith(acc, F.lit(" " + a)))
+            & (tok == F.lit(b)),
+            F.concat(
+                F.substring(acc, 1, F.length(acc) - len(a)),
+                F.lit(a + b),
+            ),
+        ).otherwise(F.concat(acc, F.lit(" "), tok)),
+    )
+
+
+def bpe_encode_words(
+    words: DataFrame,
+    merges: "list[tuple[int, str, str, int]]",
+    word_col: str = "w",
+) -> DataFrame:
+    """Apply a trained BPE merge list to a DISTINCT-word table: returns
+    (word, subtokens string, n_subtokens).  Merges apply in rank order,
+    each left-to-right non-overlapping — byte-for-byte the tokenization
+    reference BPE produces from the same merge table.
+
+    This is the vocabulary-scale half of the encode path: a 100 TB
+    corpus is tokenized by encoding its ~10⁷ DISTINCT words once and
+    joining the word→n_subtokens map back to the corpus (see
+    :func:`bpe_token_counts`) — the fold never runs per occurrence.
+    Checkpointed per merge like training: the fold lambda nests per
+    round, so an uncheckpointed expression tree would double every
+    merge."""
+    out = words.select(
+        F.col(word_col).alias("w"),
+        F.trim(F.regexp_replace(F.col(word_col), "(.)", "$1 ")).alias("toks"),
+    ).localCheckpoint(eager=True)
+    for _, a, b, _ in sorted(merges):
+        out = out.select("w", _apply_merge(a, b).alias("toks")).localCheckpoint(
             eager=True
         )
-    return merges
+    return out.select(
+        "w",
+        F.col("toks").alias("subtokens"),
+        F.size(F.split(F.col("toks"), " ")).alias("n_subtokens"),
+    )
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges: "list[tuple[int, str, str, int]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document token count under a TRAINED BPE vocabulary — the
+    real token-budget number a pretraining pipeline bills by (whitespace
+    estimates over-count rare words, under-count merged common ones).
+
+    Shape: one wordcount-style explode of the corpus joined to the
+    vocabulary-scale word→n_subtokens map from :func:`bpe_encode_words`
+    (broadcast when small, hash join on the word key otherwise) — the
+    merge fold itself runs once per DISTINCT word, never per token.
+    Returns (id, n_words, n_bpe_tokens) for documents with ≥1 token."""
+    toks = (
+        spread(df.where(F.col(text_col).isNotNull()))
+        .select(F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("w"))
+    )
+    vocab = bpe_encode_words(toks.select("w").distinct(), merges)
+    return (
+        toks.join(vocab, "w")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_subtokens").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .select(F.col("id").alias(id_col), "n_words", "n_bpe_tokens")
+    )
 
 
 def bpe_merges_df(

@@ -197,6 +197,52 @@ def test_bpe_train_matches_brute_reference(spark):
     assert got == _brute_bpe(texts, 6)
 
 
+def test_bpe_encode_matches_brute(spark):
+    """bpe_token_counts under a trained merge table == the brute
+    reference encoding applied per document."""
+    import re
+
+    from kevinlang_spark.operators.text import bpe_token_counts, bpe_train
+
+    texts = [
+        "low low low lower lowest",
+        "newest newest new news",
+        "wide wider widest low",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe_train(df, n_merges=5)
+
+    def encode(word):
+        toks = list(word)
+        for _, a, b, _ in merges:
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        return toks
+
+    want = {}
+    for d, t in enumerate(texts):
+        ws = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        want[d] = (len(ws), sum(len(encode(w)) for w in ws))
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_token_counts(df, merges).collect()
+    }
+    assert got == want
+    # merged common words must compress below their character count
+    assert all(n_bpe < sum(map(len, re.findall(r"[a-z0-9]+", texts[d])))
+               for d, (_, n_bpe) in got.items())
+
+
 def test_bpe_merges_df_schema(spark):
     from kevinlang_spark.operators.text import bpe_merges_df
 
