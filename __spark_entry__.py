@@ -4152,6 +4152,45 @@ def q_bpe_encode(spark, sf_dir):
     return bpe_token_counts(docs, merges)
 
 
+def q_class_weights(spark, sf_dir):
+    """Class-balanced loss weights via effective number of samples
+    (sampling.py class_balanced_weights, Cui et al. 2019) over the
+    embedding labels: one count aggregation to class cardinality, the
+    normalizer over the handful of class rows — the long-tail
+    reweighting every classifier-training pipeline computes."""
+    from kevinlang_spark.operators.sampling import class_balanced_weights
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return class_balanced_weights(emb, beta=0.999).orderBy("label")
+
+
+def q_jl_distortion(spark, sf_dir):
+    """Johnson–Lindenstrauss projection distortion audit (similarity.py
+    jl_distortion): project 64-dim embeddings to 16 dims with a seeded
+    Gaussian plane family (scan-stage literal dot products, exactly the
+    LSH-hyperplane broadcast pattern) and report the per-pair
+    squared-distance ratio over the bounded 16-vector sample — the
+    check run before swapping full vectors for projections."""
+    from kevinlang_spark.operators.similarity import jl_distortion
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return jl_distortion(emb, out_dim=16, seed=11, n_sample=16)
+
+
+def q_truncation_recall(spark, sf_dir):
+    """Matryoshka truncation evaluation (similarity.py
+    truncation_recall): recall@10 of cosine top-k computed on the
+    16-/32-dim embedding PREFIX vs the full 64 dims, per probe — the
+    measurement behind shipping truncated vectors for 2-4× storage/IO
+    savings.  Probe set broadcasts; each dim is one scoring scan + one
+    per-probe rank window; rankings order on raw similarity with id
+    tie-breaks so top-k membership matches the oracle exactly."""
+    from kevinlang_spark.operators.similarity import truncation_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return truncation_recall(emb, dims=(16, 32), n_probes=4, k=10)
+
+
 def q_hard_negatives(spark, sf_dir):
     """Contrastive hard-negative mining: for each anchor (vec_id < 8),
     the top-5 most cosine-similar vectors with a DIFFERENT label — the
@@ -4171,6 +4210,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_train": q_bpe_train,
         "q_bpe_encode": q_bpe_encode,
         "q_hard_negatives": q_hard_negatives,
+        "q_truncation_recall": q_truncation_recall,
+        "q_jl_distortion": q_jl_distortion,
+        "q_class_weights": q_class_weights,
         "q_quantize_embeddings": q_quantize_embeddings,
         "q_label_centroids": q_label_centroids,
         "q_incremental_agg": q_incremental_agg,
@@ -4884,6 +4926,93 @@ def _bm25_scored_cte(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
     )
 
 
+def _jl_oracle_sql(
+    out_dim: int = 16, seed: int = 11, n_sample: int = 16, dim: int = 64
+) -> str:
+    """Exact DuckDB replica of q_jl_distortion: the seeded plane family
+    is a pure function of (dim, out_dim, seed) via random.Random
+    (similarity.py _planes), embedded as DOUBLE[] literals like the
+    LSH-probe oracle; projections, squared distances, and the ratio use
+    the same double arithmetic order as the Spark folds."""
+    import math as _math
+
+    from kevinlang_spark.operators.similarity import _planes
+
+    plane_rows = ", ".join(
+        f"({i}, [{', '.join(repr(v) for v in p)}]::DOUBLE[])"
+        for i, p in enumerate(_planes(dim, out_dim, seed))
+    )
+    scale = repr(1.0 / _math.sqrt(out_dim))
+    sqd = (
+        "list_sum(list_transform(range(1, {n} + 1), "
+        "i -> (a.{c}[i] - b.{c}[i]) * (a.{c}[i] - b.{c}[i])))"
+    )
+    dorig = sqd.format(n=dim, c="v")
+    dproj = sqd.format(n=out_dim, c="y")
+    return (
+        f"WITH planes(i, p) AS (VALUES {plane_rows}), "
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        f"FROM embeddings WHERE vec_id < {n_sample}), "
+        "proj AS (SELECT e.vec_id, "
+        f"list(list_sum(list_transform(range(1, {dim} + 1), "
+        f"j -> e.v[j] * planes.p[j])) * {scale} ORDER BY planes.i) AS y "
+        "FROM e CROSS JOIN planes GROUP BY e.vec_id), "
+        "s AS (SELECT e.vec_id AS id, e.v, proj.y "
+        "FROM e JOIN proj USING (vec_id)) "
+        "SELECT a.id AS id_a, b.id AS id_b, "
+        f"CASE WHEN {dorig} = 0 THEN NULL "
+        f"ELSE ROUND({dproj} / {dorig}, 6) END AS ratio "
+        "FROM s a JOIN s b ON a.id < b.id"
+    )
+
+
+def _truncation_oracle_sql(
+    dims: "tuple[int, ...]" = (16, 32), n_probes: int = 4, k: int = 10,
+    full_dim: int = 64,
+) -> str:
+    """Exact DuckDB replica of q_truncation_recall: per prefix
+    dimensionality, rank by the bit-for-bit mirrored cosine (float
+    products summed into double — the q_hard_negatives convention) with
+    id tie-breaks, then count the overlap with the full-dim top-k."""
+
+    def sim(d: int) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {d} + 1), "
+            "i -> CAST(e.embedding[i] * q.qv[i] AS DOUBLE))) "
+            f"/ NULLIF(sqrt(list_sum(list_transform(range(1, {d} + 1), "
+            "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) "
+            f"* sqrt(list_sum(list_transform(range(1, {d} + 1), "
+            "i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))), 0)"
+        )
+
+    def rank_cte(name: str, d: int) -> str:
+        return (
+            f"{name} AS MATERIALIZED (SELECT qid, vec_id FROM ("
+            "SELECT q.qid, e.vec_id, ROW_NUMBER() OVER (PARTITION BY q.qid "
+            f"ORDER BY {sim(d)} DESC NULLS LAST, e.vec_id ASC) AS rk "
+            f"FROM embeddings e, qp q) WHERE rk <= {k})"
+        )
+
+    sql = (
+        "WITH qp AS (SELECT vec_id AS qid, embedding AS qv "
+        f"FROM embeddings WHERE vec_id < {n_probes}), "
+        + rank_cte("rfull", full_dim)
+    )
+    for d in dims:
+        sql += ", " + rank_cte(f"r{d}", d)
+    parts = " UNION ALL ".join(
+        f"SELECT t.qid, CAST({d} AS INTEGER) AS dim, "
+        "CAST(COUNT(*) AS INTEGER) AS n_overlap "
+        f"FROM r{d} t JOIN rfull USING (qid, vec_id) GROUP BY t.qid"
+        for d in dims
+    )
+    sql += (
+        f" SELECT qid, dim, n_overlap, "
+        f"ROUND(CAST(n_overlap AS DOUBLE) / {k}, 4) AS recall FROM ({parts})"
+    )
+    return sql
+
+
 def _pq_oracle_sql(m: int = 2, k: int = 8, iters: int = 2, dim: int = 64) -> str:
     """Exact DuckDB replica of q_ann_pq: unrolls the same ``iters``
     Lloyd iterations as similarity.py pq_train (seed centroids =
@@ -5017,6 +5146,19 @@ def oracle_sql() -> dict[str, str]:
         "q_ann_pq": _pq_oracle_sql(m=2, k=8, iters=2, dim=64),
         "q_bpe_train": _bpe_oracle_sql(n_merges=8),
         "q_bpe_encode": _bpe_oracle_sql(n_merges=8, encode=True),
+        "q_truncation_recall": _truncation_oracle_sql(dims=(16, 32), n_probes=4, k=10),
+        "q_jl_distortion": _jl_oracle_sql(out_dim=16, seed=11, n_sample=16, dim=64),
+        "q_class_weights": (
+            # 1-beta is embedded as the Python-computed double so the
+            # denominator matches F.lit(1.0 - beta) bit-for-bit
+            "WITH c AS (SELECT label, COUNT(*) AS n FROM embeddings "
+            "GROUP BY label), "
+            "e AS (SELECT label, n, (1.0 - POWER(0.999, "
+            "CAST(n AS DOUBLE))) / 0.0010000000000000009 AS eff FROM c), "
+            "t AS (SELECT COUNT(*) AS k, SUM(1.0 / eff) AS tot FROM e) "
+            "SELECT label, CAST(n AS BIGINT) AS n, ROUND(eff, 6) AS eff_n, "
+            "ROUND((1.0 / eff) * k / tot, 6) AS weight FROM e, t"
+        ),
         # The cosine is rebuilt bit-for-bit like vectors.py dot/l2_norm
         # (float×float products summed into double; squares in double)
         # instead of list_cosine_similarity, which computes in float and

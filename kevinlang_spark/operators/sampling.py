@@ -259,3 +259,44 @@ def leakage_safe_split(
         grp.alias("split_group"),
         split_assignment(grp, weights, buckets).alias("split"),
     )
+
+
+def class_balanced_weights(
+    df: DataFrame,
+    label_col: str = "label",
+    beta: float = 0.999,
+) -> DataFrame:
+    """Class-balanced loss weights via the effective number of samples
+    (Cui et al. 2019): ``eff_n = (1 - beta^n) / (1 - beta)`` per class
+    and ``weight ∝ 1 / eff_n``, normalized so weights sum to the class
+    count — the standard reweighting for long-tailed label
+    distributions, sharper than plain 1/n because near-duplicate
+    samples add diminishing information as n grows.
+
+    One count aggregation to class cardinality, then the normalizer
+    rides an unpartitioned window over the HANDFUL of class rows (the
+    mixture_weights pattern) — never the samples themselves.  Returns
+    (label, n, eff_n, weight) with eff_n/weight rounded 6dp."""
+    if not 0 < beta < 1:
+        raise ValueError(f"beta must be in (0, 1) (got {beta})")
+    from pyspark.sql import Window
+
+    counts = df.groupBy(label_col).agg(F.count("*").alias("n"))
+    eff = (
+        F.lit(1.0) - F.pow(F.lit(float(beta)), F.col("n").cast("double"))
+    ) / F.lit(1.0 - beta)
+    w = Window.partitionBy()
+    return (
+        counts.withColumn("__eff", eff)
+        .withColumn("__raw", F.lit(1.0) / F.col("__eff"))
+        .withColumn("__tot", F.sum("__raw").over(w))
+        .withColumn("__k", F.count("*").over(w))
+        .select(
+            F.col(label_col).alias("label"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round("__eff", 6).alias("eff_n"),
+            F.round(
+                F.col("__raw") * F.col("__k").cast("double") / F.col("__tot"), 6
+            ).alias("weight"),
+        )
+    )

@@ -888,3 +888,143 @@ def hard_negatives(
             F.col("__rank").alias("rank"),
         )
     )
+
+
+def truncation_recall(
+    df: DataFrame,
+    dims: "tuple[int, ...]" = (16, 32),
+    n_probes: int = 4,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Matryoshka-style truncation evaluation (Kusupati et al. 2022):
+    for each probe vector (``id_col`` < ``n_probes``) and each prefix
+    dimensionality in ``dims``, the overlap between the cosine top-``k``
+    computed on the TRUNCATED prefix and the full-dimension top-``k`` —
+    the recall@k a vector store would get after cutting storage to the
+    prefix.  Returns (qid, dim, n_overlap, recall).
+
+    Shape: the probe set broadcasts once (knn_join's reviewed pattern),
+    each dimensionality is one scan-stage scoring pass + one per-probe
+    rank window, and the overlap join is over ≤ k·probes rows — at any
+    corpus scale the only data-sized work is the scoring scans.  Every
+    ranking orders on the RAW similarity with id tie-break (rounding
+    before ranking could flip top-k membership vs the oracle); the
+    probe's own row tops both rankings (its prefix is identical), so
+    every (qid, dim) emits a row."""
+    from pyspark.sql import Window
+
+    full_dim = df.select(F.size(vec_col).alias("d")).where(F.col("d") > 0).first()
+    if full_dim is None:
+        raise ValueError("truncation_recall: no non-empty vectors")
+    full_dim = full_dim["d"]
+    bad = [d for d in dims if d < 1 or d >= full_dim]
+    if bad or n_probes < 1 or k < 1:
+        raise ValueError(
+            f"need 1 <= dim < {full_dim}, n_probes >= 1, k >= 1 "
+            f"(got dims={dims}, n_probes={n_probes}, k={k})"
+        )
+
+    q = df.where(F.col(id_col) < n_probes).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("__qv")
+    )
+    j = df.select(F.col(id_col), F.col(vec_col)).join(F.broadcast(q))
+
+    def topk(d: int) -> DataFrame:
+        ev = F.slice(F.col(vec_col), 1, d) if d < full_dim else F.col(vec_col)
+        qv = F.slice(F.col("__qv"), 1, d) if d < full_dim else F.col("__qv")
+        rn, qn = l2_norm(ev), l2_norm(qv)
+        sim = F.when((rn == 0) | (qn == 0), F.lit(None)).otherwise(
+            dot(ev, qv) / (rn * qn)
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("__s").desc_nulls_last(), F.col(id_col).asc()
+        )
+        return (
+            j.select("qid", F.col(id_col), sim.alias("__s"))
+            .withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= k)
+            .select("qid", F.col(id_col).alias("vec_id"))
+        )
+
+    full = topk(full_dim)
+    trunc = None
+    for d in dims:
+        part = topk(d).withColumn("dim", F.lit(int(d)))
+        trunc = part if trunc is None else trunc.unionByName(part)
+    return (
+        trunc.join(full, ["qid", "vec_id"])
+        .groupBy("qid", "dim")
+        .agg(F.count("*").cast("int").alias("n_overlap"))
+        .select(
+            "qid",
+            "dim",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.lit(k), 4).alias("recall"),
+        )
+    )
+
+
+def jl_distortion(
+    df: DataFrame,
+    out_dim: int = 16,
+    seed: int = 11,
+    n_sample: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random-projection distortion audit: project
+    every sampled vector to ``out_dim`` dims with a seeded Gaussian
+    plane family (y_i = x·p_i / sqrt(out_dim) — the JL estimator whose
+    expected squared norm is the original), then report, for every
+    sampled pair, the squared-distance ratio ||ya−yb||² / ||xa−xb||² —
+    the certificate a pipeline checks before swapping full vectors for
+    projections in clustering/dedup.  Returns (id_a, id_b, ratio),
+    ratio NULL for identical vectors.
+
+    Shape: the projection is pure scan-stage codegen (out_dim literal
+    dot products per row — the plane family is a deterministic function
+    of (dim, out_dim, seed), broadcast as constants exactly like the
+    LSH hyperplanes); the pair join runs over the bounded ``n_sample``
+    probe subset only, so the audit costs one scan plus a
+    sample²-sized comparison no matter the corpus size."""
+    first = df.select(F.size(vec_col).alias("d")).where(F.col("d") > 0).first()
+    if first is None:
+        raise ValueError("jl_distortion: no non-empty vectors")
+    dim = first["d"]
+    if out_dim < 1 or out_dim >= dim or n_sample < 2:
+        raise ValueError(
+            f"need 1 <= out_dim < {dim} and n_sample >= 2 "
+            f"(got out_dim={out_dim}, n_sample={n_sample})"
+        )
+    planes = _planes(dim, out_dim, seed)
+    scale = 1.0 / math.sqrt(out_dim)
+    dvec = F.col(vec_col).cast("array<double>")
+    proj = F.array(
+        *[(dot(dvec, _query_lit(p)) * F.lit(scale)) for p in planes]
+    )
+    sub = df.where(F.col(id_col) < n_sample).select(
+        F.col(id_col).alias("id"), dvec.alias("v"), proj.alias("y")
+    )
+
+    def sqd(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, z: (x - z) * (x - z)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    a, b = sub.alias("a"), sub.alias("b")
+    dorig = sqd(F.col("a.v"), F.col("b.v"))
+    dproj = sqd(F.col("a.y"), F.col("b.y"))
+    return (
+        a.join(F.broadcast(b), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.when(dorig == 0, F.lit(None))
+            .otherwise(F.round(dproj / dorig, 6))
+            .alias("ratio"),
+        )
+    )

@@ -34,6 +34,8 @@ BNLJ_OK = {
     "q_rank_overlap",  # 10-row broadcast self-join rank (top-k lists)
     "q_rank_fusion",  # 20-row broadcast self-join rank (RRF input lists)
     "q_knn_join",  # broadcast k-probe set
+    "q_truncation_recall",  # broadcast 4-row probe set (knn_join shape), per-dim rankings
+    "q_jl_distortion",  # 16-row broadcast sample self-join (bounded pair audit)
     "q_hard_negatives",  # broadcast 8-row anchor probe set (knn_join shape;
     # label-mismatch is a scan-stage filter over the broadcast row, so the
     # physical join is the same bounded probe-set BNLJ reviewed for knn_join)

@@ -289,6 +289,131 @@ def test_hard_negatives_matches_brute(emb):
         assert r["sim"] == pytest.approx(sim, abs=1e-4)
 
 
+# --------------------------------------------- truncation recall --
+
+
+def test_truncation_recall_matches_brute(emb):
+    from kevinlang_spark.operators.similarity import truncation_recall
+
+    rows = [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in emb.collect()]
+
+    def topk(qv, d, k=10):
+        qs = qv[:d]
+        qn = math.sqrt(sum(x * x for x in qs))
+        scored = []
+        for vid, v in rows:
+            vs = v[:d]
+            n = math.sqrt(sum(x * x for x in vs))
+            s = None if n == 0 or qn == 0 else sum(a * b for a, b in zip(vs, qs)) / (n * qn)
+            scored.append((vid, s))
+        scored.sort(key=lambda t: (t[1] is None, -(t[1] or 0.0), t[0]))
+        return {vid for vid, _ in scored[:k]}
+
+    dim = len(rows[0][1])
+    want = {}
+    for qid, qv in rows:
+        if qid >= 4:
+            continue
+        full = topk(qv, dim)
+        for d in (16, 32):
+            n = len(topk(qv, d) & full)
+            want[(qid, d)] = (n, round(n / 10, 4))
+
+    got = {
+        (r["qid"], r["dim"]): (r["n_overlap"], r["recall"])
+        for r in truncation_recall(emb, dims=(16, 32), n_probes=4, k=10).collect()
+    }
+    assert got == want
+    # the probe's own row tops every ranking, so overlap is never zero
+    assert all(n >= 1 for n, _ in got.values())
+
+
+def test_truncation_recall_param_guards(emb):
+    from kevinlang_spark.operators.similarity import truncation_recall
+
+    with pytest.raises(ValueError):
+        truncation_recall(emb, dims=(0,))
+    with pytest.raises(ValueError):
+        truncation_recall(emb, dims=(64,))  # must be a strict prefix
+    with pytest.raises(ValueError):
+        truncation_recall(emb, n_probes=0)
+
+
+# ------------------------------------------ JL / class weights --
+
+
+def test_jl_distortion_matches_brute(emb):
+    from kevinlang_spark.operators.similarity import _planes, jl_distortion
+
+    rows = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()}
+    dim = len(next(iter(rows.values())))
+    planes = _planes(dim, 16, 11)
+    scale = 1.0 / math.sqrt(16)
+
+    def project(v):
+        return [sum(a * b for a, b in zip(v, p)) * scale for p in planes]
+
+    got = {
+        (r["id_a"], r["id_b"]): r["ratio"]
+        for r in jl_distortion(emb, out_dim=16, seed=11, n_sample=16).collect()
+    }
+    ids = sorted(i for i in rows if i < 16)
+    assert set(got) == {(a, b) for a in ids for b in ids if a < b}
+    for (a, b), ratio in got.items():
+        va, vb = rows[a], rows[b]
+        dorig = sum((x - y) ** 2 for x, y in zip(va, vb))
+        ya, yb = project(va), project(vb)
+        dproj = sum((x - y) ** 2 for x, y in zip(ya, yb))
+        assert ratio == pytest.approx(dproj / dorig, abs=1e-4)
+    # JL: ratios concentrate around 1 — mean within a loose band
+    vals = list(got.values())
+    assert 0.5 < sum(vals) / len(vals) < 1.6
+
+
+def test_jl_distortion_param_guards(emb):
+    from kevinlang_spark.operators.similarity import jl_distortion
+
+    with pytest.raises(ValueError):
+        jl_distortion(emb, out_dim=0)
+    with pytest.raises(ValueError):
+        jl_distortion(emb, out_dim=64)
+    with pytest.raises(ValueError):
+        jl_distortion(emb, n_sample=1)
+
+
+def test_class_balanced_weights_matches_brute(emb):
+    from kevinlang_spark.operators.sampling import class_balanced_weights
+
+    counts = {}
+    for r in emb.select("label").collect():
+        counts[r["label"]] = counts.get(r["label"], 0) + 1
+    beta = 0.999
+    eff = {l: (1 - beta**n) / (1 - beta) for l, n in counts.items()}
+    tot = sum(1 / e for e in eff.values())
+    k = len(eff)
+
+    got = {r["label"]: r for r in class_balanced_weights(emb, beta=beta).collect()}
+    assert set(got) == set(counts)
+    for l, r in got.items():
+        assert r["n"] == counts[l]
+        assert r["eff_n"] == pytest.approx(eff[l], rel=1e-6)
+        assert r["weight"] == pytest.approx((1 / eff[l]) * k / tot, rel=1e-6)
+    # weights sum back to the class count (normalization contract)
+    assert sum(r["weight"] for r in got.values()) == pytest.approx(k, abs=1e-3)
+    # rarer classes never get smaller weights
+    by_n = sorted(got.values(), key=lambda r: r["n"])
+    assert all(a["weight"] >= b["weight"] - 1e-9 for a, b in zip(by_n, by_n[1:]))
+
+
+def test_class_balanced_weights_guard(emb):
+    from kevinlang_spark.operators.sampling import class_balanced_weights
+
+    with pytest.raises(ValueError):
+        class_balanced_weights(emb, beta=1.0)
+    with pytest.raises(ValueError):
+        class_balanced_weights(emb, beta=0.0)
+
+
 # ------------------------------------------------- registry guards --
 
 #: queries knowingly registered without a DuckDB oracle (driver records
