@@ -4152,6 +4152,23 @@ def q_bpe_encode(spark, sf_dir):
     return bpe_token_counts(docs, merges)
 
 
+def q_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ probe (similarity.py ivfpq_topk) — the FAISS-style
+    production ANN composition: a deterministic-Lloyd coarse quantizer
+    (pq_train with m=1) prunes the scan to the 3/8 cells nearest the
+    vec_id=3 probe, then PQ asymmetric distances rank the survivors
+    from their codes.  The oracle unrolls coarse training, cell
+    assignment, probe selection, PQ training, encoding, and the ADC
+    ranking — the QUANTIZED pipeline end-to-end."""
+    from kevinlang_spark.operators.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb, _query_vec(spark, sf_dir, vec_id=3), nlist=8, nprobe=3,
+        m=2, k=8, iters=2, k_out=10,
+    )
+
+
 def q_class_weights(spark, sf_dir):
     """Class-balanced loss weights via effective number of samples
     (sampling.py class_balanced_weights, Cui et al. 2019) over the
@@ -4213,6 +4230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_truncation_recall": q_truncation_recall,
         "q_jl_distortion": q_jl_distortion,
         "q_class_weights": q_class_weights,
+        "q_ann_ivfpq": q_ann_ivfpq,
         "q_quantize_embeddings": q_quantize_embeddings,
         "q_label_centroids": q_label_centroids,
         "q_incremental_agg": q_incremental_agg,
@@ -5081,6 +5099,105 @@ def _pq_oracle_sql(m: int = 2, k: int = 8, iters: int = 2, dim: int = 64) -> str
     return sql
 
 
+def _ivfpq_oracle_sql(
+    nlist: int = 8,
+    nprobe: int = 3,
+    m: int = 2,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    probe_id: int = 3,
+    k_out: int = 10,
+) -> str:
+    """Exact DuckDB replica of q_ann_ivfpq: unrolls BOTH deterministic
+    Lloyd trainings (the coarse quantizer is the PQ trainer with m=1 —
+    one subspace covering the whole vector), assigns every vector to
+    its coarse cell, keeps the ``nprobe`` cells nearest the probe
+    (rounded distance, smallest-index ties — the same discipline as the
+    row-side argmin), then recomputes PQ codes + the ADC ranking over
+    the surviving cells only.  Every CTE a chain reads twice is
+    MATERIALIZED (the _pq_oracle_sql anti-inlining rule)."""
+    dsub = dim // m
+    sqd = (
+        "ROUND(list_sum(list_transform(range(1, {n} + 1), "
+        "i -> (su.sub[i] - c.cent[i]) * (su.sub[i] - c.cent[i]))), 6)"
+    )
+
+    def chain(p: str, subs: str, kk: int, ds: int) -> str:
+        """Lloyd chain CTEs named {p}c0..{p}c{iters} over ``subs``."""
+        def assign(name: str, cents: str) -> str:
+            return (
+                f"{name} AS MATERIALIZED (SELECT vec_id, s, sub, j FROM ("
+                "SELECT su.vec_id, su.s, su.sub, c.j, "
+                "ROW_NUMBER() OVER (PARTITION BY su.vec_id, su.s "
+                f"ORDER BY {sqd.format(n=ds)} ASC, c.j ASC) AS rk "
+                f"FROM {subs} su JOIN {cents} c USING (s)) WHERE rk = 1)"
+            )
+
+        out = (
+            f", {p}c0 AS MATERIALIZED (SELECT s, vec_id AS j, sub AS cent "
+            f"FROM {subs} WHERE vec_id < {kk})"
+        )
+        for it in range(1, iters + 1):
+            out += ", " + assign(f"{p}a{it}", f"{p}c{it - 1}") + ", "
+            out += (
+                f"{p}m{it} AS (SELECT s, j, list(ROUND(mv, 6) ORDER BY ord) "
+                f"AS cent FROM (SELECT s, j, t.ord, AVG(sub[t.ord]) AS mv "
+                f"FROM {p}a{it}, unnest(range(1, {ds} + 1)) AS t(ord) "
+                "GROUP BY s, j, t.ord) GROUP BY s, j), "
+                f"{p}c{it} AS MATERIALIZED (SELECT c.s, c.j, "
+                f"COALESCE({p}m{it}.cent, c.cent) AS cent FROM {p}c{it - 1} c "
+                f"LEFT JOIN {p}m{it} ON c.s = {p}m{it}.s AND c.j = {p}m{it}.j)"
+            )
+        return out
+
+    slices = " ".join(
+        f"WHEN s = {s} THEN v[{s * dsub + 1}:{(s + 1) * dsub}]" for s in range(m)
+    )
+    sql = (
+        "WITH base AS MATERIALIZED (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        "FROM embeddings), "
+        "csubs AS MATERIALIZED (SELECT vec_id, 0 AS s, v AS sub FROM base), "
+        f"psubs AS MATERIALIZED (SELECT vec_id, s, CASE {slices} END AS sub "
+        f"FROM base, (SELECT unnest([{', '.join(str(s) for s in range(m))}]) AS s))"
+    )
+    sql += chain("cr", "csubs", nlist, dim)
+    sql += chain("pq", "psubs", k, dsub)
+    sql += (
+        # every vector's coarse cell (argmin vs the trained coarse books)
+        ", cells AS MATERIALIZED (SELECT vec_id, j AS cell FROM ("
+        "SELECT su.vec_id, c.j, ROW_NUMBER() OVER (PARTITION BY su.vec_id "
+        f"ORDER BY {sqd.format(n=dim)} ASC, c.j ASC) AS rk "
+        f"FROM csubs su JOIN crc{iters} c USING (s)) WHERE rk = 1), "
+        # the probe's nprobe nearest cells, same rounding/tie discipline
+        f"qv AS (SELECT v FROM base WHERE vec_id = {probe_id}), "
+        "probe AS MATERIALIZED (SELECT j AS cell FROM ("
+        "SELECT c.j, ROW_NUMBER() OVER (ORDER BY "
+        f"ROUND(list_sum(list_transform(range(1, {dim} + 1), "
+        "i -> (qv.v[i] - c.cent[i]) * (qv.v[i] - c.cent[i]))), 6) ASC, "
+        f"c.j ASC) AS rk FROM crc{iters} c, qv) WHERE rk <= {nprobe}), "
+        "cand AS (SELECT vec_id FROM cells JOIN probe USING (cell)), "
+        # PQ codes for surviving vectors only
+        "enc AS (SELECT vec_id, s, j FROM ("
+        "SELECT su.vec_id, su.s, c.j, ROW_NUMBER() OVER "
+        "(PARTITION BY su.vec_id, su.s "
+        f"ORDER BY {sqd.format(n=dsub)} ASC, c.j ASC) AS rk "
+        f"FROM psubs su JOIN pqc{iters} c USING (s) "
+        "WHERE su.vec_id IN (SELECT vec_id FROM cand)) WHERE rk = 1), "
+        f"q AS (SELECT s, sub AS qsub FROM psubs WHERE vec_id = {probe_id}), "
+        "lut AS (SELECT c.s, c.j, "
+        f"ROUND(list_sum(list_transform(range(1, {dsub} + 1), "
+        "i -> (q.qsub[i] - c.cent[i]) * (q.qsub[i] - c.cent[i]))), 6) AS d "
+        f"FROM pqc{iters} c JOIN q USING (s)), "
+        "scored AS (SELECT e.vec_id, SUM(l.d) AS adist FROM enc e "
+        "JOIN lut l ON e.s = l.s AND e.j = l.j GROUP BY e.vec_id) "
+        "SELECT vec_id, ROUND(adist, 6) AS adist FROM scored "
+        f"ORDER BY adist ASC, vec_id ASC LIMIT {k_out}"
+    )
+    return sql
+
+
 def _bpe_oracle_sql(n_merges: int = 8, encode: bool = False) -> str:
     """Exact DuckDB replica of q_bpe_train / q_bpe_encode: unrolls the
     same ``n_merges`` merge rounds as text.py bpe_train over the same
@@ -5144,6 +5261,7 @@ def _bpe_oracle_sql(n_merges: int = 8, encode: bool = False) -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "q_ann_pq": _pq_oracle_sql(m=2, k=8, iters=2, dim=64),
+        "q_ann_ivfpq": _ivfpq_oracle_sql(nlist=8, nprobe=3, m=2, k=8, iters=2, dim=64),
         "q_bpe_train": _bpe_oracle_sql(n_merges=8),
         "q_bpe_encode": _bpe_oracle_sql(n_merges=8, encode=True),
         "q_truncation_recall": _truncation_oracle_sql(dims=(16, 32), n_probes=4, k=10),

@@ -127,6 +127,7 @@ HEADLINE = [
     "q_vocab_coverage",
     "q_repeated_spans",
     "q_ann_pq",
+    "q_ann_ivfpq",
     "q_bpe_train",
     "q_bpe_encode",
     "q_hard_negatives",

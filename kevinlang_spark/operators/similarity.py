@@ -1045,3 +1045,58 @@ def jl_distortion(
             .alias("ratio"),
         )
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query: list[float],
+    nlist: int = 8,
+    nprobe: int = 3,
+    m: int = 2,
+    k: int = 8,
+    iters: int = 2,
+    k_out: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ probe — the production ANN composition (FAISS IVFPQ): a
+    coarse quantizer prunes the scan to ``nprobe``/``nlist`` of the
+    table, then PQ asymmetric distances rank the survivors from their
+    codes.  Both quantizers train with the same deterministic Lloyd
+    discipline as :func:`pq_train` (the coarse quantizer IS pq_train
+    with m=1 — one subspace covering the whole vector), so the full
+    pipeline is engine-replayable: the oracle unrolls coarse training,
+    cell assignment, probe selection, PQ training, encoding, and the
+    ADC ranking.
+
+    At 100 TB the stored table is (id, cell, code…) partitioned by
+    cell: the probe prunes whole partitions at the file index, the
+    scan reads m small ints per row, and both codebooks plus the LUT
+    are broadcast metadata."""
+    if not 1 <= nprobe <= nlist:
+        raise ValueError(f"need 1 <= nprobe <= nlist (got {nprobe}/{nlist})")
+    coarse = pq_train(df, vec_col, id_col, m=1, k=nlist, iters=iters)[0]
+    books = pq_train(df, vec_col, id_col, m=m, k=k, iters=iters)
+
+    dvec = F.col(vec_col).cast("array<double>")
+    choices = F.array(
+        *[
+            F.struct(
+                F.round(_sqdist_to_lit(dvec, coarse[j]), 6).alias("d"),
+                F.lit(j).alias("j"),
+            )
+            for j in range(nlist)
+        ]
+    )
+    cell = F.array_min(choices)["j"]
+    # probe-cell ranking is nlist rows of driver-side metadata — same
+    # rounded-distance + smallest-index discipline as the row-side argmin
+    probe = sorted(
+        range(nlist),
+        key=lambda j: (
+            round(sum((a - b) * (a - b) for a, b in zip(query, coarse[j])), 6),
+            j,
+        ),
+    )[:nprobe]
+    cand = df.withColumn("__cell", cell).where(F.col("__cell").isin(probe))
+    return pq_topk(cand, books, query, vec_col, id_col, k_out)

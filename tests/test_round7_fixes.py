@@ -129,6 +129,82 @@ def test_pq_topk_matches_brute_adc(emb):
     assert got[0]["vec_id"] == 3 or 3 in [r["vec_id"] for r in got]
 
 
+def test_ivfpq_matches_brute(emb):
+    """Full IVF-PQ pipeline parity: brute coarse training + cell
+    assignment + probe pruning + PQ encode/ADC, reusing the Lloyd
+    replica from the pq_train tests."""
+    from kevinlang_spark.operators.similarity import ivfpq_topk, pq_train
+
+    rows = [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in emb.collect()]
+    query = dict(rows)[3]
+    nlist, nprobe, m, k, iters = 8, 3, 2, 8, 2
+
+    coarse = _brute_pq_train(rows, m=1, k=nlist, iters=iters)[0]
+    books = _brute_pq_train(rows, m=m, k=k, iters=iters)
+    # spark trainers must agree with the brute replica first
+    spark_coarse = pq_train(emb, m=1, k=nlist, iters=iters)[0]
+    for got_c, want_c in zip(spark_coarse, coarse):
+        assert got_c == pytest.approx(want_c, abs=2e-6)
+
+    def argmin_cell(v, cents):
+        return min(
+            (
+                (_round_half_up(sum((a - b) * (a - b) for a, b in zip(v, c))), j)
+                for j, c in enumerate(cents)
+            )
+        )[1]
+
+    probe = sorted(
+        range(nlist),
+        key=lambda j: (
+            round(sum((a - b) * (a - b) for a, b in zip(query, coarse[j])), 6),
+            j,
+        ),
+    )[:nprobe]
+    dsub = len(books[0][0])
+    scored = []
+    for vid, vec in rows:
+        if argmin_cell(vec, coarse) not in probe:
+            continue
+        adist = 0.0
+        for s in range(m):
+            sub = vec[s * dsub : (s + 1) * dsub]
+            code = min(
+                (
+                    (
+                        _round_half_up(
+                            sum((a - b) * (a - b) for a, b in zip(sub, c))
+                        ),
+                        j,
+                    )
+                    for j, c in enumerate(books[s])
+                )
+            )[1]
+            qsub = query[s * dsub : (s + 1) * dsub]
+            adist += round(
+                sum((a - b) * (a - b) for a, b in zip(qsub, books[s][code])), 6
+            )
+        scored.append((_round_half_up(adist), vid))
+    scored.sort()
+    want = scored[:10]
+
+    got = ivfpq_topk(
+        emb, query, nlist=nlist, nprobe=nprobe, m=m, k=k, iters=iters, k_out=10
+    ).collect()
+    assert [r["vec_id"] for r in got] == [v for _, v in want]
+    for r, (d, _) in zip(got, want):
+        assert r["adist"] == pytest.approx(d, abs=2e-6)
+
+
+def test_ivfpq_param_guard(emb):
+    from kevinlang_spark.operators.similarity import ivfpq_topk
+
+    with pytest.raises(ValueError):
+        ivfpq_topk(emb, [0.0] * 64, nlist=8, nprobe=9)
+    with pytest.raises(ValueError):
+        ivfpq_topk(emb, [0.0] * 64, nprobe=0)
+
+
 # --------------------------------------------------------------- BPE --
 
 
