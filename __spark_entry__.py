@@ -4152,6 +4152,19 @@ def q_bpe_encode(spark, sf_dir):
     return bpe_token_counts(docs, merges)
 
 
+def q_source_kl(spark, sf_dir):
+    """Per-source KL divergence from the corpus unigram distribution
+    (text.py source_kl_divergence) — the domain-shift diagnostic a
+    data-mixing recipe reads.  The absent-word smoothing mass collapses
+    to closed form, so the plan is one (source, word) count shuffle +
+    a word-keyed join + scalar broadcasts — never a dense
+    vocab × source matrix."""
+    from kevinlang_spark.operators.text import source_kl_divergence
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_kl_divergence(docs).orderBy("source")
+
+
 def q_ann_ivfpq(spark, sf_dir):
     """IVF-PQ probe (similarity.py ivfpq_topk) — the FAISS-style
     production ANN composition: a deterministic-Lloyd coarse quantizer
@@ -4231,6 +4244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jl_distortion": q_jl_distortion,
         "q_class_weights": q_class_weights,
         "q_ann_ivfpq": q_ann_ivfpq,
+        "q_source_kl": q_source_kl,
         "q_quantize_embeddings": q_quantize_embeddings,
         "q_label_centroids": q_label_centroids,
         "q_incremental_agg": q_incremental_agg,
@@ -5262,6 +5276,33 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q_ann_pq": _pq_oracle_sql(m=2, k=8, iters=2, dim=64),
         "q_ann_ivfpq": _ivfpq_oracle_sql(nlist=8, nprobe=3, m=2, k=8, iters=2, dim=64),
+        "q_source_kl": (
+            "WITH toks AS (SELECT source, unnest(list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w "
+            "FROM documents WHERE text IS NOT NULL), "
+            "sw AS MATERIALIZED (SELECT source, w, COUNT(*) AS c "
+            "FROM toks GROUP BY source, w), "
+            "cw AS MATERIALIZED (SELECT w, SUM(c) AS cw FROM sw GROUP BY w), "
+            "scal AS (SELECT SUM(cw) AS N, COUNT(*) AS V FROM cw), "
+            "wt AS MATERIALIZED (SELECT w, ln((CAST(cw AS DOUBLE) + 1.0) "
+            "/ CAST(N + V AS DOUBLE)) AS lnp FROM cw, scal), "
+            "lall AS (SELECT SUM(lnp) AS L FROM wt), "
+            "ns AS (SELECT source, SUM(c) AS n, COUNT(*) AS vs "
+            "FROM sw GROUP BY source), "
+            "pres AS (SELECT sw.source, "
+            "SUM(((CAST(sw.c AS DOUBLE) + 1.0) / CAST(ns.n + scal.V AS DOUBLE)) "
+            "* (ln((CAST(sw.c AS DOUBLE) + 1.0) / CAST(ns.n + scal.V AS DOUBLE)) "
+            "- wt.lnp)) AS kp, "
+            "SUM(wt.lnp) AS ls, MAX(ns.n) AS n, MAX(ns.vs) AS vs, "
+            "MAX(scal.V) AS V "
+            "FROM sw JOIN wt USING (w) JOIN ns USING (source), scal "
+            "GROUP BY sw.source) "
+            "SELECT source, CAST(n AS BIGINT) AS n_tokens, "
+            "CAST(vs AS BIGINT) AS n_vocab, "
+            "ROUND(kp + (1.0 / CAST(n + V AS DOUBLE)) * "
+            "(CAST(V - vs AS DOUBLE) * ln(1.0 / CAST(n + V AS DOUBLE)) "
+            "- (L - ls)), 6) AS kl FROM pres, lall"
+        ),
         "q_bpe_train": _bpe_oracle_sql(n_merges=8),
         "q_bpe_encode": _bpe_oracle_sql(n_merges=8, encode=True),
         "q_truncation_recall": _truncation_oracle_sql(dims=(16, 32), n_probes=4, k=10),

@@ -128,6 +128,7 @@ HEADLINE = [
     "q_repeated_spans",
     "q_ann_pq",
     "q_ann_ivfpq",
+    "q_source_kl",
     "q_bpe_train",
     "q_bpe_encode",
     "q_hard_negatives",

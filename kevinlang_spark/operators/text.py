@@ -1327,3 +1327,85 @@ def bpe_merges_df(
     return spark.createDataFrame(
         rows, "merge_rank int, tok_a string, tok_b string, pair_count bigint"
     )
+
+
+def source_kl_divergence(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source KL divergence from the corpus unigram distribution
+    (add-one smoothed) — the domain-shift diagnostic a data-mixing
+    pipeline reads to see which sources are lexically far from the pool
+    they are being blended into.  Returns (source, n_tokens, n_vocab,
+    kl) with kl in nats, rounded 6dp.
+
+    The smoothed source distribution assigns every CORPUS vocabulary
+    word a probability, including words absent from the source — but
+    the absent-word mass is a CONSTANT p0 = 1/(n_s + V) per source, so
+    its KL contribution collapses to closed form:
+
+        KL(s) = Σ_{w∈s} p_s(w)·(ln p_s(w) − ln p(w))
+              + p0·( (V − V_s)·ln p0 − (L_all − L_s) )
+
+    where L = Σ ln p(w).  No (source × vocab) dense matrix ever
+    materializes: one (source, word) count shuffle, one corpus word
+    aggregate, a word-keyed join, and 1-row/|sources|-row broadcasts —
+    vocab-scale work at any corpus size."""
+    toks = (
+        spread(df.where(F.col(text_col).isNotNull()))
+        .select(
+            F.col(group_col).alias("source"),
+            F.explode(tokenize(F.col(text_col))).alias("w"),
+        )
+    )
+    sw = toks.groupBy("source", "w").agg(F.count("*").alias("c"))
+    cw = sw.groupBy("w").agg(F.sum("c").alias("cw"))
+    scal = cw.agg(
+        F.sum("cw").alias("__N"), F.count("*").alias("__V")
+    )
+    wt = cw.crossJoin(F.broadcast(scal)).select(
+        "w",
+        "__V",
+        F.log(
+            (F.col("cw").cast("double") + F.lit(1.0))
+            / (F.col("__N") + F.col("__V")).cast("double")
+        ).alias("lnp"),
+    )
+    l_all = wt.agg(F.sum("lnp").alias("__L"))
+    ns = sw.groupBy("source").agg(
+        F.sum("c").alias("n"), F.count("*").alias("vs")
+    )
+    ps = (F.col("c").cast("double") + F.lit(1.0)) / (
+        F.col("n") + F.col("__V")
+    ).cast("double")
+    pres = (
+        sw.join(wt, "w")
+        .join(F.broadcast(ns), "source")
+        .groupBy("source")
+        .agg(
+            F.sum(ps * (F.log(ps) - F.col("lnp"))).alias("kp"),
+            F.sum("lnp").alias("ls"),
+            F.first("n").alias("n"),
+            F.first("vs").alias("vs"),
+            F.first("__V").alias("V"),
+        )
+    )
+    p0 = F.lit(1.0) / (F.col("n") + F.col("V")).cast("double")
+    return (
+        pres.crossJoin(F.broadcast(l_all))
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            F.col("vs").cast("bigint").alias("n_vocab"),
+            F.round(
+                F.col("kp")
+                + p0
+                * (
+                    (F.col("V") - F.col("vs")).cast("double") * F.log(p0)
+                    - (F.col("__L") - F.col("ls"))
+                ),
+                6,
+            ).alias("kl"),
+        )
+    )

@@ -25,6 +25,7 @@ BNLJ_OK = {
     "q_assoc_rules",  # broadcast per-item support counts (bounded by catalog)
     "q_backtest",  # broadcast 1-row max-bucket bound
     "q_bm25_search",  # broadcast 1-row corpus (N, avgdl) aggregate
+    "q_source_kl",  # broadcast 1-row (N, V) + 1-row L_all scalar aggregates
     "q_hybrid_retrieval",  # 1-row stats + 20-row broadcast self-join ranks
     "q_chi_square",  # broadcast 1-row grand-total
     "q_emb_neardup_brute",  # broadcast bounded probe subset

@@ -523,3 +523,51 @@ def test_every_query_schema_is_driver_hashable(spark, sf_dir):
         if nested:
             bad[name] = nested
     assert not bad, f"container-typed output columns (driver-unhashable): {bad}"
+
+
+# ------------------------------------------------------ source KL --
+
+
+def test_source_kl_matches_dense_definition(spark):
+    """The closed-form absent-mass KL must equal the dense textbook
+    definition (sum over the FULL corpus vocabulary per source)."""
+    import math as m
+    import re
+
+    from kevinlang_spark.operators.text import source_kl_divergence
+
+    data = [
+        ("a", "apple banana apple cherry"),
+        ("a", "banana banana date"),
+        ("b", "zebra yak zebra xylophone apple"),
+        ("b", "yak yak zebra"),
+        ("c", "apple banana cherry date"),
+    ]
+    df = spark.createDataFrame(data, "source string, text string")
+
+    sw, cw = {}, {}
+    for src, text in data:
+        for w in re.split(r"[^a-z0-9]+", text.lower()):
+            if w:
+                sw[(src, w)] = sw.get((src, w), 0) + 1
+                cw[w] = cw.get(w, 0) + 1
+    V, N = len(cw), sum(cw.values())
+    p = {w: (c + 1) / (N + V) for w, c in cw.items()}
+
+    want = {}
+    for src in {s for s, _ in sw}:
+        n = sum(c for (s, w), c in sw.items() if s == src)
+        kl = 0.0
+        for w in cw:  # dense: EVERY corpus word contributes
+            ps = (sw.get((src, w), 0) + 1) / (n + V)
+            kl += ps * m.log(ps / p[w])
+        want[src] = (n, len({w for (s, w) in sw if s == src}), kl)
+
+    got = {r["source"]: r for r in source_kl_divergence(df).collect()}
+    assert set(got) == set(want)
+    for src, (n, vs, kl) in want.items():
+        r = got[src]
+        assert (r["n_tokens"], r["n_vocab"]) == (n, vs)
+        assert r["kl"] == pytest.approx(kl, abs=1e-5)
+    # lexically-distant source diverges more than an in-distribution one
+    assert got["b"]["kl"] > got["c"]["kl"]
