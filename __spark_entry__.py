@@ -1124,14 +1124,20 @@ def q_stream_join(spark, sf_dir):
         F.unix_timestamp("ts").alias("view_ts"),
         F.unix_timestamp("ts_r").alias("click_ts"),
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName("q_stream_join_mem")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
+    from kevinlang_spark.streaming.sinks import scoped_state_partitions
+
+    # a stream-stream join keeps 4 state stores per partition; size the
+    # instance count to the drained volume (sinks.py rationale — at
+    # scale the knob turns the other way, BEFORE the first checkpoint)
+    with scoped_state_partitions(spark, 8):
+        q = (
+            out.writeStream.format("memory")
+            .queryName("q_stream_join_mem")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
     return spark.table("q_stream_join_mem")
 
 
