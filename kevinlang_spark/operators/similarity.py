@@ -1075,8 +1075,10 @@ def ivfpq_topk(
     are broadcast metadata."""
     if not 1 <= nprobe <= nlist:
         raise ValueError(f"need 1 <= nprobe <= nlist (got {nprobe}/{nlist})")
-    coarse = pq_train(df, vec_col, id_col, m=1, k=nlist, iters=iters)[0]
-    books = pq_train(df, vec_col, id_col, m=m, k=k, iters=iters)
+    coarse_books, books = _lloyd_train_multi(
+        df, [(1, nlist), (m, k)], iters, vec_col, id_col
+    )
+    coarse = coarse_books[0]
 
     dvec = F.col(vec_col).cast("array<double>")
     choices = F.array(
@@ -1100,3 +1102,103 @@ def ivfpq_topk(
     )[:nprobe]
     cand = df.withColumn("__cell", cell).where(F.col("__cell").isin(probe))
     return pq_topk(cand, books, query, vec_col, id_col, k_out)
+
+
+def _lloyd_train_multi(
+    df: DataFrame,
+    specs: "list[tuple[int, int]]",
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "list[list[list[list[float]]]]":
+    """Train SEVERAL product quantizers in one stacked Lloyd loop —
+    ``specs`` is a list of (m, k) and the result is one ``pq_train``
+    codebook set per spec, bit-identical to training each separately
+    (every (quantizer, subspace) pair's step depends only on its own
+    codebook, so stacking them into one explode + one
+    groupBy(t, s, code) changes nothing but the scan count: ``iters``
+    table passes for ALL quantizers instead of Σ m_t · iters).  This is
+    how IVF-PQ trains its coarse quantizer (m=1) and its code books
+    (m≥2) off the same scans."""
+    first = df.select(F.size(vec_col).alias("d")).where(F.col("d") > 0).first()
+    if first is None:
+        raise ValueError("_lloyd_train_multi: no non-empty vectors")
+    dim = first["d"]
+    all_books: list[list[list[list[float]]]] = []
+    dsubs: list[int] = []
+    for m, k in specs:
+        if dim % m != 0:
+            raise ValueError(f"_lloyd_train_multi: dim {dim} not divisible by {m}")
+        dsub = dim // m
+        dsubs.append(dsub)
+        seeds = (
+            df.where(F.col(id_col) < k)
+            .orderBy(id_col)
+            .select(F.col(vec_col).cast("array<double>").alias("v"))
+            .collect()
+        )
+        if len(seeds) < k:
+            raise ValueError(
+                f"_lloyd_train_multi: need {k} seed rows with {id_col} < {k}"
+            )
+        all_books.append(
+            [
+                [list(map(float, r["v"][s * dsub : (s + 1) * dsub])) for r in seeds]
+                for s in range(m)
+            ]
+        )
+
+    dvec = F.col(vec_col).cast("array<double>")
+    max_dsub = max(dsubs)
+    for _ in range(iters):
+        stacked = []
+        for t, (m, k) in enumerate(specs):
+            dsub = dsubs[t]
+            for s in range(m):
+                sub = F.slice(dvec, s * dsub + 1, dsub)
+                choices = F.array(
+                    *[
+                        F.struct(
+                            F.round(
+                                _sqdist_to_lit(sub, all_books[t][s][j]), 6
+                            ).alias("d"),
+                            F.lit(j).alias("j"),
+                        )
+                        for j in range(k)
+                    ]
+                )
+                stacked.append(
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        F.lit(s).alias("s"),
+                        F.array_min(choices)["j"].alias("c"),
+                        sub.alias("sub"),
+                    )
+                )
+        assigned = df.select(F.explode(F.array(*stacked)).alias("a")).select(
+            F.col("a.t").alias("__t"),
+            F.col("a.s").alias("__s"),
+            F.col("a.c").alias("__code"),
+            F.col("a.sub").alias("__sub"),
+        )
+        # try_element_at past a shorter subvector's end is NULL (plain
+        # element_at THROWS under ANSI); avg ignores NULLs and the
+        # reconstruction below slices to each spec's dsub
+        rows = (
+            assigned.groupBy("__t", "__s", "__code")
+            .agg(
+                *[
+                    F.round(F.avg(F.try_element_at("__sub", F.lit(i + 1))), 6).alias(
+                        f"c{i}"
+                    )
+                    for i in range(max_dsub)
+                ]
+            )
+            .collect()
+        )
+        for r in rows:
+            t = r["__t"]
+            all_books[t][r["__s"]][r["__code"]] = [
+                float(r[f"c{i}"]) for i in range(dsubs[t])
+            ]
+    return all_books
