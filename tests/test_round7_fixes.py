@@ -571,3 +571,17 @@ def test_source_kl_matches_dense_definition(spark):
         assert r["kl"] == pytest.approx(kl, abs=1e-5)
     # lexically-distant source diverges more than an in-distribution one
     assert got["b"]["kl"] > got["c"]["kl"]
+
+
+def test_scoped_state_partitions_restores_conf(spark):
+    from kevinlang_spark.streaming.sinks import scoped_state_partitions
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with scoped_state_partitions(spark, 4):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    # restored even when the drain raises
+    with pytest.raises(RuntimeError):
+        with scoped_state_partitions(spark, 4):
+            raise RuntimeError("drain failed")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
