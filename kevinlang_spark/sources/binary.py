@@ -1,0 +1,74 @@
+"""Raw-file (binaryFile) media ingestion source.
+
+The bronze step of a multimodal pipeline: a directory/bucket of raw
+image/audio/video files becomes the (doc_id, media_type, payload) table
+the decode operators (``operators/multimodal.py``) consume.  Built on
+Spark's native ``binaryFile`` source, so the heavy lifting — file
+listing, split planning, reading bytes into an off-heap column — is
+JVM-side and parallel across executors; no Python touches the payload
+until an Arrow-batched decode stage asks for it.
+
+Scale rules baked in:
+
+- **Predicate pushdown on file metadata.**  ``binaryFile`` supports
+  pushed filters on ``length`` (and the driver prunes on
+  ``pathGlobFilter`` before any task launches) — ``max_bytes`` becomes a
+  pushed ``length <= N`` filter, so oversized blobs are skipped at
+  listing time, never read.
+- **Deterministic ids.**  ``doc_id`` is the 52-bit md5 prefix of the
+  file path (the engine-wide hash-id convention) — stable across runs,
+  clusters, and listing orders, so downstream joins/dedup are
+  reproducible.
+- **Type from extension, content verified downstream.**  The extension
+  only ROUTES (image/audio/video/other); the decode stage parses actual
+  container bytes and quarantines mismatches — never trust a filename at
+  100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: extension → media_type routing (decode verifies actual bytes)
+MEDIA_EXTENSIONS = {
+    "image": ("png", "jpg", "jpeg", "gif", "bmp", "webp"),
+    "audio": ("wav", "mp3", "flac", "ogg"),
+    "video": ("mp4", "mkv", "webm", "avi"),
+}
+
+
+def read_media_dir(
+    spark,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Read a directory of raw media files into the bronze media-table
+    shape: (doc_id, path, media_type, n_bytes, payload).
+
+    ``glob`` filters at LISTING time (``pathGlobFilter`` — unmatched
+    files never become tasks); ``max_bytes`` pushes a ``length`` filter
+    into the binaryFile scan (oversized blobs are never read).  Unknown
+    extensions route to media_type 'other' rather than being dropped —
+    quarantine decisions belong to the decode stage."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.where(F.col("length") <= max_bytes)
+
+    ext = F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1))
+    media = F.lit("other")
+    for mtype, exts in MEDIA_EXTENSIONS.items():
+        media = F.when(ext.isin(*exts), F.lit(mtype)).otherwise(media)
+    return df.select(
+        F.conv(F.substring(F.md5(F.col("path")), 1, 13), 16, 10)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("path"),
+        media.alias("media_type"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.col("content").alias("payload"),
+    )

@@ -1,0 +1,76 @@
+"""binaryFile media-ingestion source: directory of raw files → bronze
+media table → real pixel/sample decode end-to-end."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from kevinlang_spark.operators.multimodal import make_bmp, make_png, make_wav
+from kevinlang_spark.sources.binary import read_media_dir
+
+
+@pytest.fixture(scope="module")
+def media_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("media")
+    (d / "red.bmp").write_bytes(make_bmp(4, 3, rgb=(200, 10, 30)))
+    (d / "grad.png").write_bytes(make_png(5, 4, rgb=(7, 8, 9)))
+    (d / "tone.wav").write_bytes(make_wav(100, amplitude=123))
+    (d / "notes.txt").write_bytes(b"not media")
+    (d / "big.bmp").write_bytes(make_bmp(64, 64))
+    return str(d)
+
+
+def _expected_id(path: str) -> int:
+    return int(hashlib.md5(f"file:{path}".encode()).hexdigest()[:13], 16)
+
+
+def test_read_media_dir_routes_and_ids(spark, media_dir):
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in read_media_dir(spark, media_dir).collect()}
+    assert set(rows) == {"red.bmp", "grad.png", "tone.wav", "notes.txt", "big.bmp"}
+    assert rows["red.bmp"]["media_type"] == "image"
+    assert rows["grad.png"]["media_type"] == "image"
+    assert rows["tone.wav"]["media_type"] == "audio"
+    assert rows["notes.txt"]["media_type"] == "other"
+    # deterministic path-hash ids (engine-wide md5-prefix convention)
+    for r in rows.values():
+        assert r["doc_id"] == _expected_id(r["path"].replace("file:", ""))
+        assert r["n_bytes"] == len(bytes(r["payload"]))
+
+
+def test_glob_filters_at_listing_time(spark, media_dir):
+    names = {
+        r["path"].rsplit("/", 1)[-1]
+        for r in read_media_dir(spark, media_dir, glob="*.bmp").collect()
+    }
+    assert names == {"red.bmp", "big.bmp"}
+
+
+def test_max_bytes_is_pushed_into_the_scan(spark, media_dir):
+    small = read_media_dir(spark, media_dir, glob="*.bmp", max_bytes=200)
+    names = {r["path"].rsplit("/", 1)[-1] for r in small.collect()}
+    assert names == {"red.bmp"}  # big.bmp (64x64) exceeds 200 bytes
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "length" in plan
+
+
+def test_ingested_files_decode_end_to_end(spark, media_dir):
+    from kevinlang_spark.operators.multimodal import extract_pixel_stats
+
+    media = read_media_dir(spark, media_dir, glob="*.{bmp,png,wav}")
+    stats = {
+        r["path"].rsplit("/", 1)[-1]: r
+        for r in extract_pixel_stats(media.drop("path", "n_bytes"))
+        .join(media.select("doc_id", "path"), "doc_id")
+        .collect()
+    }
+    r = stats["red.bmp"]
+    assert (r["width"], r["height"]) == (4, 3)
+    assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (200.0, 10.0, 30.0)
+    p = stats["grad.png"]
+    assert (p["width"], p["height"]) == (5, 4)
+    assert (p["mean_r"], p["mean_g"], p["mean_b"]) == (7.0, 8.0, 9.0)
+    w = stats["tone.wav"]
+    assert w["n_frames"] == 100 and w["rms"] == 123.0 == w["peak"]
