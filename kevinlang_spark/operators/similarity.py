@@ -761,10 +761,19 @@ def pq_train(
         # groupBy(s, code) recenters everything — iters scans total
         # instead of m·iters (at m=8-16 on a 100 TB table that is the
         # difference between 2 and 32 full passes; measured sf0.1:
-        # ~35% off the query)
+        # ~35% off the query).  Subvectors materialize as projected
+        # columns FIRST: lambda expressions get no CSE, so an inline
+        # slice would re-evaluate once per centroid (the winnow rule —
+        # k+1 consumers each).
+        proj = df.select(
+            *[
+                F.slice(dvec, s * dsub + 1, dsub).alias(f"__sub{s}")
+                for s in range(m)
+            ]
+        )
         stacked = []
         for s in range(m):
-            sub = F.slice(dvec, s * dsub + 1, dsub)
+            sub = F.col(f"__sub{s}")
             choices = F.array(
                 *[
                     F.struct(
@@ -781,7 +790,7 @@ def pq_train(
                     sub.alias("sub"),
                 )
             )
-        assigned = df.select(F.explode(F.array(*stacked)).alias("a")).select(
+        assigned = proj.select(F.explode(F.array(*stacked)).alias("a")).select(
             F.col("a.s").alias("__s"),
             F.col("a.c").alias("__code"),
             F.col("a.sub").alias("__sub"),
@@ -831,9 +840,16 @@ def pq_topk(
         )
 
     dvec = F.col(vec_col).cast("array<double>")
+    # subvectors materialize as projected columns first — lambda
+    # expressions get no CSE, so an inline slice re-evaluates once per
+    # centroid (k consumers each; measured ~17% off the probe at sf0.1)
+    proj = df.select(
+        F.col(id_col),
+        *[F.slice(dvec, s * dsub + 1, dsub).alias(f"__sub{s}") for s in range(m)],
+    )
     adist = F.lit(0.0)
     for s in range(m):
-        sub = F.slice(dvec, s * dsub + 1, dsub)
+        sub = F.col(f"__sub{s}")
         choices = F.array(
             *[
                 F.struct(
@@ -853,7 +869,7 @@ def pq_topk(
             F.array(*[F.lit(float(d)) for d in lut]), code + 1
         )
     return (
-        df.select(F.col(id_col), F.round(adist, 6).alias("adist"))
+        proj.select(F.col(id_col), F.round(adist, 6).alias("adist"))
         .orderBy(F.col("adist").asc(), F.col(id_col).asc())
         .limit(k_out)
     )
@@ -1080,11 +1096,14 @@ def ivfpq_topk(
     )
     coarse = coarse_books[0]
 
-    dvec = F.col(vec_col).cast("array<double>")
+    # the double-cast vector materializes as a column first — the cast
+    # allocates per evaluation and the cell argmin reads it nlist times
+    # (no CSE for lambda expressions; the winnow rule)
+    proj = df.withColumn("__dv", F.col(vec_col).cast("array<double>"))
     choices = F.array(
         *[
             F.struct(
-                F.round(_sqdist_to_lit(dvec, coarse[j]), 6).alias("d"),
+                F.round(_sqdist_to_lit(F.col("__dv"), coarse[j]), 6).alias("d"),
                 F.lit(j).alias("j"),
             )
             for j in range(nlist)
@@ -1100,7 +1119,11 @@ def ivfpq_topk(
             j,
         ),
     )[:nprobe]
-    cand = df.withColumn("__cell", cell).where(F.col("__cell").isin(probe))
+    cand = (
+        proj.withColumn("__cell", cell)
+        .where(F.col("__cell").isin(probe))
+        .drop("__dv", "__cell")
+    )
     return pq_topk(cand, books, query, vec_col, id_col, k_out)
 
 
@@ -1151,11 +1174,19 @@ def _lloyd_train_multi(
     dvec = F.col(vec_col).cast("array<double>")
     max_dsub = max(dsubs)
     for _ in range(iters):
+        # subvectors materialize as projected columns first (no CSE for
+        # lambda expressions — the winnow rule; k+1 consumers each)
+        proj = df.select(
+            *[
+                F.slice(dvec, s * dsubs[t] + 1, dsubs[t]).alias(f"__sub_{t}_{s}")
+                for t, (m, _k) in enumerate(specs)
+                for s in range(m)
+            ]
+        )
         stacked = []
         for t, (m, k) in enumerate(specs):
-            dsub = dsubs[t]
             for s in range(m):
-                sub = F.slice(dvec, s * dsub + 1, dsub)
+                sub = F.col(f"__sub_{t}_{s}")
                 choices = F.array(
                     *[
                         F.struct(
@@ -1175,7 +1206,7 @@ def _lloyd_train_multi(
                         sub.alias("sub"),
                     )
                 )
-        assigned = df.select(F.explode(F.array(*stacked)).alias("a")).select(
+        assigned = proj.select(F.explode(F.array(*stacked)).alias("a")).select(
             F.col("a.t").alias("__t"),
             F.col("a.s").alias("__s"),
             F.col("a.c").alias("__code"),
