@@ -1089,6 +1089,95 @@ def q_media_pixels(spark, sf_dir):
     return extract_pixel_stats(media)
 
 
+def _media_ingest_dir(spark, sf_dir):
+    """Materialize (once per sf_dir per machine) a directory of REAL
+    on-disk media files for the binaryFile ingestion query: one file per
+    documents row with doc_id % 25 == 0 — even ids become filled BMPs,
+    ids % 4 == 1 become constant-amplitude WAVs, ids % 4 == 3 become
+    non-media .txt junk (the quarantine row).  Content is closed-form in
+    the id (same formulas as attach_stdlib_media), so the oracle
+    predicts every decoded statistic.  The bounded collect here is test
+    -fixture synthesis (≤ N/25 ids), not query work — the QUERY reads
+    the directory through the binaryFile source like any bronze layer."""
+    import hashlib
+    import os
+    import tempfile
+
+    from kevinlang_spark.operators.multimodal import make_bmp, make_wav
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"kevinlang_media_dir_{tag}")
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker):
+        return path
+    os.makedirs(path, exist_ok=True)
+    ids = [
+        r["doc_id"]
+        for r in _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 25 == 0)
+        .select("doc_id")
+        .collect()
+    ]
+    for d in ids:
+        d = int(d)
+        if d % 2 == 0:
+            rgb = (d % 256, d * 3 % 256, d * 7 % 256)
+            payload = make_bmp(d % 64 + 1, d % 48 + 1, rgb=rgb)
+            name = f"{d}.bmp"
+        elif d % 4 == 1:
+            payload = make_wav(d % 1000 + 1, amplitude=d % 2048)
+            name = f"{d}.wav"
+        else:
+            payload = f"not media: {d}".encode()
+            name = f"{d}.txt"
+        with open(os.path.join(path, name), "wb") as fh:
+            fh.write(payload)
+    with open(marker, "w"):
+        pass
+    return path
+
+
+def q_media_ingest(spark, sf_dir):
+    """The bronze→decode path END-TO-END through the binaryFile SOURCE
+    (sources/binary.py read_media_dir): ingest a directory of real
+    on-disk BMP/WAV/junk files (listing-time extension routing, pushed
+    length column), full-decode the pixel grids / PCM streams with
+    multimodal.py extract_pixel_stats, and emit per-file content
+    statistics.  Junk .txt files route to media_type 'other' and
+    QUARANTINE to null stats — never a dead task.  The oracle replays
+    the closed-form generation formulas from the documents ids; the
+    file_key joins the decoded stats back to the formula (the md5 path
+    ids the source derives are covered by tests/test_binary_source.py;
+    PNG ingestion+inflate by q_media_pixels and the source tests)."""
+    from kevinlang_spark.operators.multimodal import extract_pixel_stats
+    from kevinlang_spark.sources.binary import read_media_dir
+
+    bronze = read_media_dir(spark, _media_ingest_dir(spark, sf_dir))
+    keyed = bronze.select(
+        F.regexp_extract("path", r"(\d+)\.[a-z]+$", 1)
+        .cast("bigint")
+        .alias("file_key"),
+        "doc_id",
+        "n_bytes",
+    )
+    stats = extract_pixel_stats(
+        bronze.select("doc_id", "media_type", "payload")
+    )
+    return keyed.join(stats, "doc_id").select(
+        "file_key",
+        "media_type",
+        "n_bytes",
+        "width",
+        "height",
+        "n_frames",
+        "mean_r",
+        "mean_g",
+        "mean_b",
+        "rms",
+        "peak",
+    )
+
+
 def q_stream_join(spark, sf_dir):
     """STREAMING stream-stream interval join: two watermarked restreams
     of the events source (views, clicks) interval-joined in append mode
@@ -4188,6 +4277,77 @@ def q_ann_ivfpq(spark, sf_dir):
     )
 
 
+def _pq_index_path(spark, sf_dir):
+    """Build (once per sf_dir per machine) the persisted PQ index —
+    (id, code…) table + codebook table (similarity.py write_pq_index).
+    Probes then scan m smallints per row, never raw vectors."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"kevinlang_pq_idx_{tag}")
+    # _codebooks is written LAST — its _SUCCESS marks a complete index
+    if not os.path.exists(os.path.join(path, "_codebooks", "_SUCCESS")):
+        from kevinlang_spark.operators.similarity import write_pq_index
+
+        write_pq_index(_t(spark, sf_dir, "embeddings"), path, m=2, k=8, iters=2)
+    return path
+
+
+def _ivfpq_index_path(spark, sf_dir):
+    """Build (once per sf_dir per machine) the persisted IVF-PQ index —
+    the cell-PARTITIONED (id, code…) table plus coarse-centroid and
+    codebook tables (similarity.py write_ivfpq_index).  Probes prune
+    whole cell directories at the file index."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"kevinlang_ivfpq_idx_{tag}")
+    if not os.path.exists(os.path.join(path, "_codebooks", "_SUCCESS")):
+        from kevinlang_spark.operators.similarity import write_ivfpq_index
+
+        write_ivfpq_index(
+            _t(spark, sf_dir, "embeddings"), path, nlist=8, m=2, k=8, iters=2
+        )
+    return path
+
+
+def q_ann_pq_indexed(spark, sf_dir):
+    """PQ ANN through the PERSISTED codes index (similarity.py
+    write_pq_index / pq_topk_indexed) — the 100 TB physical shape the
+    inline q_ann_pq verifies the math of: training and the full-table
+    encode happen ONCE at build time; the probe reads the (id, code…)
+    table (m smallints per row, ~32× less IO than raw vectors) and
+    sums broadcast-LUT lookups.  Identical output to q_ann_pq — the
+    oracle is the same unrolled-Lloyd replay."""
+    from kevinlang_spark.operators.similarity import pq_topk_indexed
+
+    return pq_topk_indexed(
+        spark, _pq_index_path(spark, sf_dir),
+        _query_vec(spark, sf_dir, vec_id=3), k_out=10,
+    )
+
+
+def q_ann_ivfpq_indexed(spark, sf_dir):
+    """IVF-PQ through the PERSISTED cell-partitioned index
+    (similarity.py write_ivfpq_index / ivfpq_topk_indexed): coarse
+    centroids rank driver-side (nlist metadata rows), the scan reads
+    ONLY the 3/8 probed cells' partition directories (file-index
+    pruning — asserted by tests/test_pq_index.py via runtime
+    input_file_name counts), and ADC ranks the surviving codes.  Same
+    result as the inline q_ann_ivfpq; the oracle is the same
+    end-to-end unrolled replay."""
+    from kevinlang_spark.operators.similarity import ivfpq_topk_indexed
+
+    return ivfpq_topk_indexed(
+        spark, _ivfpq_index_path(spark, sf_dir),
+        _query_vec(spark, sf_dir, vec_id=3), nprobe=3, k_out=10,
+    )
+
+
 def q_class_weights(spark, sf_dir):
     """Class-balanced loss weights via effective number of samples
     (sampling.py class_balanced_weights, Cui et al. 2019) over the
@@ -4243,6 +4403,8 @@ def q_hard_negatives(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_ann_pq": q_ann_pq,
+        "q_ann_pq_indexed": q_ann_pq_indexed,
+        "q_ann_ivfpq_indexed": q_ann_ivfpq_indexed,
         "q_bpe_train": q_bpe_train,
         "q_bpe_encode": q_bpe_encode,
         "q_hard_negatives": q_hard_negatives,
@@ -4306,6 +4468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_resample_lerp": q_resample_lerp,
         "q_ann_probe_pruned": q_ann_probe_pruned,
         "q_media_pixels": q_media_pixels,
+        "q_media_ingest": q_media_ingest,
         "q_theta_overlap": q_theta_overlap,
         "q_cms_tokens": q_cms_tokens,
         "q_join_estimate": q_join_estimate,
@@ -5249,10 +5412,15 @@ def _bpe_oracle_sql(n_merges: int = 8, encode: bool = False) -> str:
             "WHERE len(t) > 1) GROUP BY p.a, p.b), "
             f"b{r} AS MATERIALIZED (SELECT {r} AS merge_rank, a, b, n "
             f"FROM p{r} ORDER BY n DESC, a ASC, b ASC LIMIT 1), "
+            # COALESCE to the identity rewrite '#'→'#' ('#' can never
+            # occur in [a-z0-9 ] token text): if the corpus dries out
+            # before n_merges, b{r} is empty and the bare scalar
+            # subqueries would be NULL — replace(toks, NULL, NULL)
+            # NULLs every word while Spark's bpe_train early-breaks
             f"w{r} AS MATERIALIZED (SELECT w, trim(regexp_replace("
             "replace(' ' || replace(toks, ' ', '  ') || ' ', "
-            f"(SELECT ' ' || a || '  ' || b || ' ' FROM b{r}), "
-            f"(SELECT ' ' || a || b || ' ' FROM b{r})), "
+            f"COALESCE((SELECT ' ' || a || '  ' || b || ' ' FROM b{r}), '#'), "
+            f"COALESCE((SELECT ' ' || a || b || ' ' FROM b{r}), '#')), "
             f"' +', ' ', 'g')) AS toks, freq FROM w{r - 1})"
         )
     if encode:
@@ -5281,6 +5449,12 @@ def _bpe_oracle_sql(n_merges: int = 8, encode: bool = False) -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "q_ann_pq": _pq_oracle_sql(m=2, k=8, iters=2, dim=64),
+        # the indexed probes return the IDENTICAL result through the
+        # persisted-codes physical path — same unrolled-replay oracles
+        "q_ann_pq_indexed": _pq_oracle_sql(m=2, k=8, iters=2, dim=64),
+        "q_ann_ivfpq_indexed": _ivfpq_oracle_sql(
+            nlist=8, nprobe=3, m=2, k=8, iters=2, dim=64
+        ),
         "q_ann_ivfpq": _ivfpq_oracle_sql(nlist=8, nprobe=3, m=2, k=8, iters=2, dim=64),
         "q_source_kl": (
             "WITH toks AS (SELECT source, unnest(list_filter("
@@ -5619,6 +5793,37 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 2048 END AS DOUBLE) "
             "AS peak "
             "FROM documents"
+        ),
+        "q_media_ingest": (
+            # files exist for documents ids % 25 == 0; every decoded
+            # statistic and the binaryFile length column are closed-form
+            # in the id (BMP rows pad to 4 bytes; WAV = 44-byte header +
+            # 2 bytes/frame; .txt junk = 'not media: {id}' and NULL stats)
+            "SELECT doc_id AS file_key, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'image' "
+            "WHEN doc_id % 4 = 1 THEN 'audio' ELSE 'other' END AS media_type, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN "
+            "54 + (((doc_id % 64 + 1) * 3 + 3) // 4) * 4 * (doc_id % 48 + 1) "
+            "WHEN doc_id % 4 = 1 THEN 44 + 2 * (doc_id % 1000 + 1) "
+            "ELSE 11 + length(CAST(doc_id AS VARCHAR)) END AS BIGINT) AS n_bytes, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 64 + 1 END AS INTEGER) "
+            "AS width, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 48 + 1 END AS INTEGER) "
+            "AS height, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN 1 "
+            "WHEN doc_id % 4 = 1 THEN doc_id % 1000 + 1 END AS INTEGER) "
+            "AS n_frames, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 256 END AS DOUBLE) "
+            "AS mean_r, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id * 3) % 256 END AS DOUBLE) "
+            "AS mean_g, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id * 7) % 256 END AS DOUBLE) "
+            "AS mean_b, "
+            "CAST(CASE WHEN doc_id % 4 = 1 THEN doc_id % 2048 END AS DOUBLE) "
+            "AS rms, "
+            "CAST(CASE WHEN doc_id % 4 = 1 THEN doc_id % 2048 END AS DOUBLE) "
+            "AS peak "
+            "FROM documents WHERE doc_id % 25 = 0"
         ),
         "q_media_decode": (
             # the decoded header fields must equal the generation formula:

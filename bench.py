@@ -128,6 +128,10 @@ HEADLINE = [
     "q_repeated_spans",
     "q_ann_pq",
     "q_ann_ivfpq",
+    # round-8: persisted-codes probes — build happens once in the untimed
+    # priming pass (the build-once/probe-many production shape)
+    "q_ann_pq_indexed",
+    "q_ann_ivfpq_indexed",
     "q_source_kl",
     "q_bpe_train",
     "q_bpe_encode",

@@ -17,6 +17,8 @@ column of N bytes shuffles only if the caller repartitions.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 from typing import Callable
 
@@ -351,9 +353,12 @@ def _png_pixels(payload: bytes):
         if len(body) < size:
             raise ValueError("truncated PNG chunk")
         if tag == b"IHDR":
-            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
+            try:
+                width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", body
+                )
+            except struct.error as exc:  # IHDR body shorter than 13 bytes
+                raise ValueError(f"malformed PNG IHDR: {exc}") from exc
             if depth != 8 or color not in (0, 2, 6) or interlace != 0:
                 raise ValueError(
                     "codec-free PNG decode supports 8-bit grey/RGB/RGBA, "
@@ -367,7 +372,10 @@ def _png_pixels(payload: bytes):
         i += 12 + size
     if width is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:  # corrupt DEFLATE stream — quarantine, not a dead task
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
     stride = width * channels
     if len(raw) < height * (stride + 1):
         raise ValueError("truncated PNG pixel data")
@@ -547,7 +555,10 @@ def extract_pixel_stats(media_df: DataFrame) -> DataFrame:
                     continue
                 try:
                     feats.append(stdlib_pixel_decode(bytes(p), m))
-                except ValueError:
+                except (ValueError, zlib.error, struct.error):
+                    # zlib/struct errors can only come from arbitrary
+                    # on-disk corruption (read_media_dir bronze input) —
+                    # same quarantine as a malformed container
                     feats.append({})
             yield pd.DataFrame(
                 {

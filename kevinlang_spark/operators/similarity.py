@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import math
 import random
+from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -32,6 +33,15 @@ from kevinlang_spark.functions.vectors import cosine_similarity, dot, l2_norm
 
 def _query_lit(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def _round_half_up(x: float, nd: int = 6) -> float:
+    """Driver-side rounding with Spark's ``F.round`` semantics
+    (BigDecimal HALF_UP) — Python's builtin ``round`` is banker's
+    rounding, so a distance landing exactly on a half boundary would
+    disagree with the row-side argmin and the DuckDB oracle (both
+    half-away for the non-negative distances used here)."""
+    return float(Decimal(x).quantize(Decimal(1).scaleb(-nd), ROUND_HALF_UP))
 
 
 def cosine_topk(
@@ -862,7 +872,7 @@ def pq_topk(
         code = F.array_min(choices)["j"]
         qsub = query[s * dsub : (s + 1) * dsub]
         lut = [
-            round(sum((a - b) * (a - b) for a, b in zip(qsub, c)), 6)
+            _round_half_up(sum((a - b) * (a - b) for a, b in zip(qsub, c)))
             for c in books[s]
         ]
         adist = adist + F.element_at(
@@ -1115,7 +1125,7 @@ def ivfpq_topk(
     probe = sorted(
         range(nlist),
         key=lambda j: (
-            round(sum((a - b) * (a - b) for a, b in zip(query, coarse[j])), 6),
+            _round_half_up(sum((a - b) * (a - b) for a, b in zip(query, coarse[j]))),
             j,
         ),
     )[:nprobe]
@@ -1125,6 +1135,228 @@ def ivfpq_topk(
         .drop("__dv", "__cell")
     )
     return pq_topk(cand, books, query, vec_col, id_col, k_out)
+
+
+def _pq_code_cols(
+    books: list[list[list[float]]], dvec: Column
+) -> list[Column]:
+    """Per-subspace PQ code expressions over a ``array<double>`` vector
+    column: argmin of the 6-dp-rounded squared distance to each
+    centroid, smallest index on ties — the exact expression
+    :func:`pq_train` used for assignment, so encode == train
+    assignment.  Subvectors are NOT materialized here (callers decide
+    whether to project them first); each code reads the slice once per
+    centroid, which is fine for the write-once encode pass."""
+    m = len(books)
+    dsub = len(books[0][0])
+    cols = []
+    for s in range(m):
+        sub = F.slice(dvec, s * dsub + 1, dsub)
+        choices = F.array(
+            *[
+                F.struct(
+                    F.round(_sqdist_to_lit(sub, books[s][j]), 6).alias("d"),
+                    F.lit(j).alias("j"),
+                )
+                for j in range(len(books[s]))
+            ]
+        )
+        cols.append(F.array_min(choices)["j"].cast("smallint").alias(f"code{s}"))
+    return cols
+
+
+def pq_encode(
+    df: DataFrame,
+    books: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector to its PQ code tuple: (id, code0..code{m-1}),
+    one ``smallint`` per subspace.  This is the full-table pass PQ
+    exists for — after it, probes scan ``m`` small ints per row
+    (~32× less IO than raw float vectors) and never touch ``vec_col``
+    again.  Codes come from the same rounded-argmin expression the
+    trainer used, so encode == train assignment exactly."""
+    if not books:
+        raise ValueError("pq_encode: empty codebooks")
+    dvec = F.col(vec_col).cast("array<double>")
+    return df.select(F.col(id_col), *_pq_code_cols(books, dvec))
+
+
+def write_pq_index(
+    df: DataFrame,
+    path: str,
+    books: list[list[list[float]]] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 2,
+    k: int = 8,
+    iters: int = 2,
+) -> None:
+    """Persist a PQ index: the (id, code…) table at ``<path>/codes``
+    plus the (tiny) codebook table at ``<path>/_codebooks`` — the
+    stored form :func:`pq_topk`'s docstring promises.  Training runs
+    here unless ``books`` is supplied (at warehouse scale: train on a
+    sample, pass the books in, and this writer's only full-table pass
+    is the encode)."""
+    if books is None:
+        books = pq_train(df, vec_col, id_col, m, k, iters)
+    pq_encode(df, books, vec_col, id_col).write.mode("overwrite").parquet(
+        f"{path}/codes"
+    )
+    _write_codebooks(df.sparkSession, books, f"{path}/_codebooks")
+
+
+def _write_codebooks(spark, books, path: str) -> None:
+    rows = [
+        (s, j, list(map(float, c)))
+        for s, book in enumerate(books)
+        for j, c in enumerate(book)
+    ]
+    spark.createDataFrame(
+        rows, "s int, j int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def _read_codebooks(spark, path: str) -> list[list[list[float]]]:
+    rows = spark.read.parquet(path).collect()
+    m = max(r["s"] for r in rows) + 1
+    books: list[list] = [
+        [None] * sum(1 for r in rows if r["s"] == s) for s in range(m)
+    ]
+    for r in rows:
+        books[r["s"]][r["j"]] = [float(x) for x in r["centroid"]]
+    return books
+
+
+def _adc_rank(
+    codes: DataFrame,
+    books: list[list[list[float]]],
+    query: list[float],
+    id_col: str,
+    k_out: int,
+) -> DataFrame:
+    """Rank a (id, code…) frame by asymmetric distance to ``query``:
+    the LUT (m·k numbers) is computed driver-side against the raw query
+    and broadcast as literals; the scan is ``element_at`` per subspace —
+    no vector math, no raw vectors.  Same rounding discipline (6-dp
+    HALF_UP) as :func:`pq_topk`, so the indexed probe returns the
+    identical ranking."""
+    m = len(books)
+    dsub = len(books[0][0])
+    if len(query) != m * dsub:
+        raise ValueError(f"_adc_rank: query dim {len(query)} != m*dsub {m * dsub}")
+    adist = F.lit(0.0)
+    for s in range(m):
+        qsub = query[s * dsub : (s + 1) * dsub]
+        lut = [
+            _round_half_up(sum((a - b) * (a - b) for a, b in zip(qsub, c)))
+            for c in books[s]
+        ]
+        adist = adist + F.element_at(
+            F.array(*[F.lit(float(d)) for d in lut]),
+            F.col(f"code{s}").cast("int") + 1,
+        )
+    return (
+        codes.select(F.col(id_col), F.round(adist, 6).alias("adist"))
+        .orderBy(F.col("adist").asc(), F.col(id_col).asc())
+        .limit(k_out)
+    )
+
+
+def pq_topk_indexed(
+    spark,
+    path: str,
+    query: list[float],
+    id_col: str = "vec_id",
+    k_out: int = 10,
+) -> DataFrame:
+    """Probe a :func:`write_pq_index` table: read the stored codebooks
+    (metadata-scale), build the query LUT driver-side, and rank the
+    (id, code…) scan — the scan reads ``m`` smallints per row, never a
+    raw vector.  Returns the identical (id, adist) ranking as the
+    inline :func:`pq_topk`."""
+    books = _read_codebooks(spark, f"{path}/_codebooks")
+    return _adc_rank(
+        spark.read.parquet(f"{path}/codes"), books, query, id_col, k_out
+    )
+
+
+def write_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    nlist: int = 8,
+    m: int = 2,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Persist the IVF-PQ index :func:`ivfpq_topk`'s docstring promises:
+    the (id, code…) table PARTITIONED BY coarse cell at
+    ``<path>/codes`` (each cell is its own directory — a probe prunes
+    whole files at the file index), the coarse centroids at
+    ``<path>/_coarse`` and the PQ codebooks at ``<path>/_codebooks``
+    (both metadata-scale).  Both quantizers train off the same stacked
+    Lloyd scans (:func:`_lloyd_train_multi`); cell assignment and PQ
+    encode then share ONE full-table pass — build cost is
+    ``iters + 1`` scans total, paid once, after which every probe reads
+    ``nprobe``/``nlist`` of the files and ``m`` smallints per row."""
+    coarse_books, books = _lloyd_train_multi(
+        df, [(1, nlist), (m, k)], iters, vec_col, id_col
+    )
+    coarse = coarse_books[0]
+    dvec = F.col(vec_col).cast("array<double>")
+    # cell argmin = the same rounded-distance discipline as the trainer;
+    # the double-cast vector materializes once (no CSE for lambdas)
+    proj = df.select(F.col(id_col), dvec.alias("__dv"))
+    choices = F.array(
+        *[
+            F.struct(
+                F.round(_sqdist_to_lit(F.col("__dv"), coarse[j]), 6).alias("d"),
+                F.lit(j).alias("j"),
+            )
+            for j in range(nlist)
+        ]
+    )
+    encoded = proj.select(
+        F.col(id_col),
+        *_pq_code_cols(books, F.col("__dv")),
+        F.array_min(choices)["j"].alias("cell"),
+    )
+    encoded.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
+    _write_codebooks(df.sparkSession, [coarse], f"{path}/_coarse")
+    _write_codebooks(df.sparkSession, books, f"{path}/_codebooks")
+
+
+def ivfpq_topk_indexed(
+    spark,
+    path: str,
+    query: list[float],
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    k_out: int = 10,
+) -> DataFrame:
+    """Probe a :func:`write_ivfpq_index` table: rank the stored coarse
+    centroids driver-side (nlist rows, 6-dp HALF_UP — the same
+    discipline as the row-side argmin and the oracle), read ONLY the
+    ``nprobe`` nearest cells' partition directories (file-index
+    pruning, asserted by tests/test_sinks.py), and ADC-rank the
+    surviving codes against the broadcast LUT.  Identical (id, adist)
+    output to the inline :func:`ivfpq_topk` at the same parameters —
+    the physical path is the 100 TB one: no training, no raw vectors,
+    ``nprobe``/``nlist`` of the files."""
+    coarse = _read_codebooks(spark, f"{path}/_coarse")[0]
+    probe = sorted(
+        range(len(coarse)),
+        key=lambda j: (
+            _round_half_up(sum((a - b) * (a - b) for a, b in zip(query, coarse[j]))),
+            j,
+        ),
+    )[:nprobe]
+    books = _read_codebooks(spark, f"{path}/_codebooks")
+    cand = spark.read.parquet(f"{path}/codes").where(F.col("cell").isin(probe))
+    return _adc_rank(cand, books, query, id_col, k_out)
 
 
 def _lloyd_train_multi(

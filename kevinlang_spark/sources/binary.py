@@ -64,7 +64,10 @@ def read_media_dir(
     for mtype, exts in MEDIA_EXTENSIONS.items():
         media = F.when(ext.isin(*exts), F.lit(mtype)).otherwise(media)
     return df.select(
-        F.conv(F.substring(F.md5(F.col("path")), 1, 13), 16, 10)
+        # 15 hex chars = 60-bit id: birthday-collision odds stay <1% past
+        # 1e8 files (52 bits would hit ~50% around 8e7 — too tight for a
+        # 100 TB bronze layer of ~1 MB objects)
+        F.conv(F.substring(F.md5(F.col("path")), 1, 15), 16, 10)
         .cast("bigint")
         .alias("doc_id"),
         F.col("path"),

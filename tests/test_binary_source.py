@@ -24,7 +24,7 @@ def media_dir(tmp_path_factory):
 
 
 def _expected_id(path: str) -> int:
-    return int(hashlib.md5(f"file:{path}".encode()).hexdigest()[:13], 16)
+    return int(hashlib.md5(f"file:{path}".encode()).hexdigest()[:15], 16)
 
 
 def test_read_media_dir_routes_and_ids(spark, media_dir):
