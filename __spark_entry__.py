@@ -4402,9 +4402,22 @@ def q_hard_negatives(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "q_ann_pq": q_ann_pq,
         "q_ann_pq_indexed": q_ann_pq_indexed,
         "q_ann_ivfpq_indexed": q_ann_ivfpq_indexed,
+        "q_ewma_smooth": q_ewma_smooth,
+        "q_funnel_latency": q_funnel_latency,
+        "q_dp_counts": q_dp_counts,
+        "q_join_ivm": q_join_ivm,
+        "q_top_tokens_per_source": q_top_tokens_per_source,
+        "q_survival": q_survival,
+        "q_backtest": q_backtest,
+        "q_rank_overlap": q_rank_overlap,
+        "q_dedup_longest": q_dedup_longest,
+        "q_mahalanobis": q_mahalanobis,
+        "q_temporal_join": q_temporal_join,
+        "q_resample_lerp": q_resample_lerp,
+        "q_media_ingest": q_media_ingest,
+        "q_ann_pq": q_ann_pq,
         "q_bpe_train": q_bpe_train,
         "q_bpe_encode": q_bpe_encode,
         "q_hard_negatives": q_hard_negatives,
@@ -4454,21 +4467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_diversity": q_ngram_diversity,
         "q_mixture_weights": q_mixture_weights,
         "q_window_dedup": q_window_dedup,
-        "q_ewma_smooth": q_ewma_smooth,
-        "q_funnel_latency": q_funnel_latency,
-        "q_dp_counts": q_dp_counts,
-        "q_join_ivm": q_join_ivm,
-        "q_top_tokens_per_source": q_top_tokens_per_source,
-        "q_survival": q_survival,
-        "q_backtest": q_backtest,
-        "q_rank_overlap": q_rank_overlap,
-        "q_dedup_longest": q_dedup_longest,
-        "q_mahalanobis": q_mahalanobis,
-        "q_temporal_join": q_temporal_join,
-        "q_resample_lerp": q_resample_lerp,
         "q_ann_probe_pruned": q_ann_probe_pruned,
         "q_media_pixels": q_media_pixels,
-        "q_media_ingest": q_media_ingest,
         "q_theta_overlap": q_theta_overlap,
         "q_cms_tokens": q_cms_tokens,
         "q_join_estimate": q_join_estimate,
