@@ -1089,6 +1089,27 @@ def q_media_pixels(spark, sf_dir):
     return extract_pixel_stats(media)
 
 
+def q_media_jpeg(spark, sf_dir):
+    """FULL baseline-JPEG decode with zero codec libraries
+    (operators/jpeg.py): synthesize real baseline-sequential JPEG bytes
+    executor-side — greyscale level doc_id % 256, dimensions from
+    doc_id, every 4th image carrying restart markers — then
+    Huffman-decode + IDCT the actual MCU stream through mapInPandas
+    and report per-channel means.  The encoder writes all-ones
+    quantization tables, so constant blocks round-trip bit-EXACTLY and
+    the oracle predicts every statistic in closed form — the
+    end-to-end proof that entropy-coded DCT pixel data survives the
+    pipeline, not just container headers."""
+    from kevinlang_spark.operators.multimodal import (
+        attach_stdlib_media,
+        extract_pixel_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_stdlib_media(docs, filled=True, jpeg=True)
+    return extract_pixel_stats(media)
+
+
 def _media_ingest_dir(spark, sf_dir):
     """Materialize (once per sf_dir per machine) a directory of REAL
     on-disk media files for the binaryFile ingestion query: one file per
@@ -4417,6 +4438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_temporal_join": q_temporal_join,
         "q_resample_lerp": q_resample_lerp,
         "q_media_ingest": q_media_ingest,
+        "q_media_jpeg": q_media_jpeg,
         "q_ann_pq": q_ann_pq,
         "q_bpe_train": q_bpe_train,
         "q_bpe_encode": q_bpe_encode,
@@ -5787,6 +5809,31 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id * 3) % 256 END AS DOUBLE) "
             "AS mean_g, "
             "CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id * 7) % 256 END AS DOUBLE) "
+            "AS mean_b, "
+            "CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 2048 END AS DOUBLE) "
+            "AS rms, "
+            "CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 2048 END AS DOUBLE) "
+            "AS peak "
+            "FROM documents"
+        ),
+        "q_media_jpeg": (
+            # greyscale baseline JPEGs, gray level doc_id % 256: all-ones
+            # quantization makes the constant-block round-trip bit-exact,
+            # so every decoded mean equals the generation formula
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END "
+            "AS media_type, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 64 + 1 END AS INTEGER) "
+            "AS width, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 48 + 1 END AS INTEGER) "
+            "AS height, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN 1 "
+            "ELSE doc_id % 1000 + 1 END AS INTEGER) AS n_frames, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 256 END AS DOUBLE) "
+            "AS mean_r, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 256 END AS DOUBLE) "
+            "AS mean_g, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 256 END AS DOUBLE) "
             "AS mean_b, "
             "CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 2048 END AS DOUBLE) "
             "AS rms, "

@@ -153,6 +153,10 @@ HEADLINE = [
     "q_link_prediction",
     "q_media_decode",
     "q_media_pixels",
+    # binaryFile bronze->decode end-to-end; q_media_jpeg stays out —
+    # entropy decode is per-block Python by nature, correctness-gated
+    # at sf0.01, not a throughput query
+    "q_media_ingest",
     "q_record_linkage",
     "q_radius_join",
     "q_feature_hash",

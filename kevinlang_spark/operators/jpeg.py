@@ -1,0 +1,546 @@
+"""Baseline JPEG codec in pure stdlib + numpy — no codec libraries.
+
+Closes the last honest multimodal gate (multimodal.py previously raised
+NotImplementedError for JPEG pixel data): baseline sequential JPEG is
+Huffman coding + an 8×8 DCT, both implementable exactly from the
+public ITU-T T.81 spec with nothing beyond ``struct`` and numpy.
+
+Two halves:
+
+- :func:`make_jpeg` — a minimal deterministic ENCODER used to
+  synthesize real baseline-JPEG bytes for tests and bronze tables
+  (grayscale or 4:4:4 / 4:2:0 YCbCr, all-ones quantization tables so
+  constant-color blocks round-trip EXACTLY — the property the decode
+  oracles rely on).
+- :func:`jpeg_pixels` — a DECODER for the honest baseline subset:
+  8-bit baseline sequential (SOF0/SOF1), Huffman entropy coding,
+  grayscale or 3-component YCbCr, sampling factors up to 2×2
+  (nearest-neighbor chroma upsampling, as libjpeg's -nosmooth),
+  restart intervals.  Progressive (SOF2), arithmetic coding, 12-bit
+  precision, and CMYK raise ValueError (quarantine semantics).
+
+The reference engine (harry75369/KevinLang) has no media layer at all;
+this extends the SURVEY §2 multimodal tier, where image/audio columns
+are opaque binary + typed metadata and decode runs in Arrow-batched
+UDFs (multimodal.py extract_pixel_stats).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag scan order, generated (not transcribed): diagonal d holds the
+# cells i+j == d, traversed up-right on even diagonals — T.81 Figure 5
+ZIGZAG: list[int] = []
+for _d in range(15):
+    _cells = [(_i, _d - _i) for _i in range(8) if 0 <= _d - _i < 8]
+    if _d % 2 == 0:
+        _cells.reverse()
+    ZIGZAG.extend(_i * 8 + _j for _i, _j in _cells)
+
+
+def _dct_matrix() -> np.ndarray:
+    """The orthonormal 8-point DCT-II matrix A: forward F = A X Aᵀ,
+    inverse X = Aᵀ F A.  Identical to T.81's definition (the 1/4 ·
+    C(u)C(v) scaling folded into the matrix rows)."""
+    a = np.zeros((8, 8))
+    for u in range(8):
+        c = np.sqrt(1 / 8) if u == 0 else 0.5
+        for j in range(8):
+            a[u, j] = c * np.cos((2 * j + 1) * u * np.pi / 16)
+    return a
+
+
+_A = _dct_matrix()
+
+# our canonical Huffman tables (any valid DHT works — the decoder reads
+# tables from the stream): 12 DC categories at 4 bits, all 162 standard
+# AC symbols at 8 bits.  Single-length canonical codes are trivially
+# prefix-free and never produce the all-ones padding ambiguity.
+_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_DC_VALS = list(range(12))
+_AC_BITS = [0] * 7 + [162] + [0] * 8
+_AC_VALS = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) for an encoder, canonical assignment."""
+    out = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+def _canonical_lut(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol for a decoder."""
+    out = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, bits: int, length: int) -> None:
+        for shift in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((bits >> shift) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                    self.buf.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        while self.n:
+            self.write(1, 1)  # pad with 1-bits
+
+
+def _category(v: int) -> int:
+    return abs(v).bit_length()
+
+
+def _encode_block(
+    bw: _BitWriter,
+    zz: list[int],
+    pred: int,
+    dc_codes: dict,
+    ac_codes: dict,
+) -> int:
+    diff = zz[0] - pred
+    s = _category(diff)
+    if s > 11:
+        raise ValueError("make_jpeg: DC difference out of baseline range")
+    code, ln = dc_codes[s]
+    bw.write(code, ln)
+    if s:
+        bw.write((diff if diff > 0 else diff + (1 << s) - 1) & ((1 << s) - 1), s)
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if zz[i]:
+            last_nz = i
+            break
+    run = 0
+    for i in range(1, last_nz + 1):
+        v = zz[i]
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = _category(v)
+        if s > 10:
+            raise ValueError("make_jpeg: AC coefficient out of baseline range")
+        code, ln = ac_codes[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write((v if v > 0 else v + (1 << s) - 1) & ((1 << s) - 1), s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    return zz[0]
+
+
+def _fdct_quantized(block: np.ndarray) -> list[int]:
+    """Level-shift, forward DCT, quantize by the all-ones table, emit
+    zigzag-ordered ints."""
+    f = _A @ (block.astype(np.float64) - 128.0) @ _A.T
+    q = np.rint(f).astype(np.int64)
+    flat = q.reshape(64)
+    return [int(flat[ZIGZAG[i]]) for i in range(64)]
+
+
+def _comp_plane(pixels: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Edge-replicate a component plane up to whole-block dimensions."""
+    bh = (height + 7) // 8 * 8
+    bw_ = (width + 7) // 8 * 8
+    out = np.empty((bh, bw_), dtype=np.float64)
+    out[:height, :width] = pixels
+    out[height:, :width] = pixels[height - 1 : height, :]
+    out[:, width:] = out[:, width - 1 : width]
+    return out
+
+
+def make_jpeg(
+    width: int,
+    height: int,
+    rgb: tuple[int, int, int] | None = None,
+    gray: int | None = None,
+    pixels: np.ndarray | None = None,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """A minimal VALID baseline-sequential JPEG.
+
+    - ``gray=v`` → single-component greyscale, every pixel ``v``.  With
+      the all-ones quantization tables written here, constant blocks
+      have one integer DC coefficient and zero AC — the round-trip is
+      bit-EXACT, which is what the decode oracles assert.
+    - ``rgb=(r,g,b)`` → 3-component YCbCr, constant fill (4:4:4, or
+      4:2:0 with ``subsample=True``).  The RGB→YCbCr→RGB integer
+      round-trip may differ by ±1 per channel (both directions round).
+    - ``pixels`` → H×W (grey) or H×W×3 (RGB) uint8 array of arbitrary
+      content; quantization error is bounded by the all-ones tables.
+    """
+    if pixels is not None:
+        px = np.asarray(pixels, dtype=np.float64)
+        is_gray = px.ndim == 2
+    elif gray is not None:
+        px = np.full((height, width), gray, dtype=np.float64)
+        is_gray = True
+    elif rgb is not None:
+        px = np.empty((height, width, 3), dtype=np.float64)
+        px[:, :, 0], px[:, :, 1], px[:, :, 2] = rgb
+        is_gray = False
+    else:
+        raise ValueError("make_jpeg: pass rgb=, gray= or pixels=")
+
+    if is_gray:
+        planes = [_comp_plane(px, height, width)]
+        samp = [(1, 1)]
+    else:
+        r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        y = np.rint(0.299 * r + 0.587 * g + 0.114 * b)
+        cb = np.rint(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+        cr = np.rint(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+        y, cb, cr = (np.clip(p, 0, 255) for p in (y, cb, cr))
+        if subsample:  # 4:2:0 — chroma averaged over 2×2, Y full-res
+            ph = (height + 1) // 2 * 2
+            pw = (width + 1) // 2 * 2
+            cbp = _comp_plane(cb, height, width)[:ph, :pw]
+            crp = _comp_plane(cr, height, width)[:ph, :pw]
+            cb = np.rint(cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)))
+            cr = np.rint(crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)))
+            planes = [
+                _comp_plane(y, height, width),
+                _comp_plane(cb, ph // 2, pw // 2),
+                _comp_plane(cr, ph // 2, pw // 2),
+            ]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [_comp_plane(p, height, width) for p in (y, cb, cr)]
+            samp = [(1, 1), (1, 1), (1, 1)]
+
+    ncomp = len(planes)
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT: table 0 (and 1 for color), all ones — quantization is exact
+    # for integer-DC constant blocks
+    for tq in range(1 if is_gray else 2):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + b"\x01" * 64
+    # SOF0
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, height, width, ncomp)
+    for c in range(ncomp):
+        h, v = samp[c]
+        out += bytes([c + 1, (h << 4) | v, 0 if c == 0 else 1])
+    # DHT: one DC and one AC table, shared by every component
+    for tc, (bits, vals) in ((0, (_DC_BITS, _DC_VALS)), (1, (_AC_BITS, _AC_VALS))):
+        out += (
+            b"\xff\xc4"
+            + struct.pack(">H", 19 + len(vals))
+            + bytes([tc << 4])
+            + bytes(bits)
+            + bytes(vals)
+        )
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for c in range(ncomp):
+        out += bytes([c + 1, 0x00])
+    out += b"\x00\x3f\x00"
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    maxh = max(h for h, _ in samp)
+    maxv = max(v for _, v in samp)
+    mcu_cols = (width + 8 * maxh - 1) // (8 * maxh)
+    mcu_rows = (height + 8 * maxv - 1) // (8 * maxv)
+    # pad every plane to the full MCU grid so edge MCUs have data
+    padded = []
+    for c in range(ncomp):
+        h, v = samp[c]
+        ph, pw = mcu_rows * v * 8, mcu_cols * h * 8
+        p = planes[c]
+        full = np.empty((ph, pw))
+        full[: p.shape[0], : p.shape[1]] = p
+        full[p.shape[0] :, : p.shape[1]] = p[-1:, :]
+        full[:, p.shape[1] :] = full[:, p.shape[1] - 1 : p.shape[1]]
+        padded.append(full)
+    preds = [0] * ncomp
+    mcu_n = 0
+    for my in range(mcu_rows):
+        for mx in range(mcu_cols):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                bw.flush()
+                out_marker = 0xD0 + (mcu_n // restart_interval - 1) % 8
+                bw.buf += bytes([0xFF, out_marker])
+                preds = [0] * ncomp
+            mcu_n += 1
+            for c in range(ncomp):
+                h, v = samp[c]
+                for by in range(v):
+                    for bx in range(h):
+                        y0 = (my * v + by) * 8
+                        x0 = (mx * h + bx) * 8
+                        zz = _fdct_quantized(padded[c][y0 : y0 + 8, x0 : x0 + 8])
+                        _encode_block(bw, zz, preds[c], dc_codes, ac_codes)
+                        preds[c] = zz[0]
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.d = data
+        self.i = 0
+        self.acc = 0
+        self.n = 0
+
+    def _next_byte(self) -> int:
+        if self.i >= len(self.d):
+            raise ValueError("truncated JPEG scan data")
+        b = self.d[self.i]
+        self.i += 1
+        if b == 0xFF:
+            if self.i < len(self.d) and self.d[self.i] == 0x00:
+                self.i += 1  # stuffed 0xFF data byte
+                return 0xFF
+            raise ValueError("unexpected marker inside JPEG scan")
+        return b
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self.acc = self._next_byte()
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker (T.81 E.2.4)."""
+        self.n = 0
+        if (
+            self.i + 1 < len(self.d)
+            and self.d[self.i] == 0xFF
+            and 0xD0 <= self.d[self.i + 1] <= 0xD7
+        ):
+            self.i += 2
+        else:
+            raise ValueError("missing JPEG restart marker")
+
+
+def _decode_sym(br: _BitReader, lut: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.bit()
+        if (ln, code) in lut:
+            return lut[(ln, code)]
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _decode_block(
+    br: _BitReader, dc_lut: dict, ac_lut: dict, qt: np.ndarray, pred: int
+) -> tuple[np.ndarray, int]:
+    zz = np.zeros(64, dtype=np.float64)
+    s = _decode_sym(br, dc_lut)
+    if s > 11:
+        raise ValueError("corrupt JPEG DC category")
+    diff = _extend(br.bits(s), s) if s else 0
+    dc = pred + diff
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        rs = _decode_sym(br, ac_lut)
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += rs >> 4
+        s = rs & 0x0F
+        if k > 63 or s == 0 or s > 10:
+            raise ValueError("corrupt JPEG AC run/size")
+        zz[k] = _extend(br.bits(s), s)
+        k += 1
+    coef = np.zeros(64, dtype=np.float64)
+    coef[ZIGZAG] = zz * qt
+    block = _A.T @ coef.reshape(8, 8) @ _A + 128.0
+    return block, dc
+
+
+def jpeg_pixels(payload: bytes):
+    """Full baseline-JPEG pixel decode: parse DQT/SOF0/DHT/DRI/SOS,
+    Huffman-decode the MCU stream (byte unstuffing, restart markers,
+    DC prediction), dequantize, inverse-DCT each block, replicate
+    chroma up to full resolution, and convert YCbCr→RGB.  Returns
+    (width, height, channels, H×W×C uint8).  Anything outside 8-bit
+    baseline sequential raises ValueError (quarantine semantics)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qts: dict[int, np.ndarray] = {}
+    dc_luts: dict[int, dict] = {}
+    ac_luts: dict[int, dict] = {}
+    comps: list[dict] = []
+    width = height = None
+    restart_interval = 0
+    i = 2
+    scan = None
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError("corrupt JPEG segment stream")
+        marker = payload[i + 1]
+        if marker == 0xD9:  # EOI before SOS
+            break
+        seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        body = payload[i + 4 : i + 2 + seg_len]
+        if len(body) < seg_len - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0x0F
+                j += 1
+                if pq == 0:
+                    qts[tq] = np.frombuffer(
+                        body[j : j + 64], dtype=np.uint8
+                    ).astype(np.float64)
+                    j += 64
+                elif pq == 1:
+                    qts[tq] = np.frombuffer(
+                        body[j : j + 128], dtype=">u2"
+                    ).astype(np.float64)
+                    j += 128
+                else:
+                    raise ValueError("corrupt JPEG DQT precision")
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            if body[0] != 8:
+                raise ValueError("only 8-bit JPEG precision supported")
+            height, width = struct.unpack(">HH", body[1:5])
+            ncomp = body[5]
+            if ncomp not in (1, 3):
+                raise ValueError("only greyscale / YCbCr JPEG supported")
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                h, v = hv >> 4, hv & 0x0F
+                if not (1 <= h <= 2 and 1 <= v <= 2):
+                    raise ValueError("JPEG sampling factors above 2 unsupported")
+                comps.append({"id": cid, "h": h, "v": v, "tq": tq})
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline sequential JPEG supported (progressive/"
+                "arithmetic/hierarchical need no more maths, just more code)"
+            )
+        elif marker == 0xC4:  # DHT — possibly several tables per segment
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                bits = list(body[j + 1 : j + 17])
+                nv = sum(bits)
+                vals = list(body[j + 17 : j + 17 + nv])
+                (dc_luts if tc == 0 else ac_luts)[th] = _canonical_lut(bits, vals)
+                j += 17 + nv
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = []
+            for c in range(ns):
+                cid, tda = body[1 + 2 * c : 3 + 2 * c]
+                comp = next(x for x in comps if x["id"] == cid)
+                scan_comps.append((comp, tda >> 4, tda & 0x0F))
+            # scan data runs from after this segment to the next real
+            # marker (stuffed 0xFF00 and RSTn stay inside)
+            j = i + 2 + seg_len
+            k = j
+            while k + 1 < len(payload):
+                if payload[k] == 0xFF and payload[k + 1] != 0x00 and not (
+                    0xD0 <= payload[k + 1] <= 0xD7
+                ):
+                    break
+                k += 1
+            scan = (scan_comps, payload[j:k])
+            break
+        i += 2 + seg_len
+
+    if scan is None or width is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    scan_comps, data = scan
+    maxh = max(c["h"] for c, _, _ in scan_comps)
+    maxv = max(c["v"] for c, _, _ in scan_comps)
+    mcu_cols = (width + 8 * maxh - 1) // (8 * maxh)
+    mcu_rows = (height + 8 * maxv - 1) // (8 * maxv)
+    planes = [
+        np.zeros((mcu_rows * c["v"] * 8, mcu_cols * c["h"] * 8))
+        for c, _, _ in scan_comps
+    ]
+    br = _BitReader(data)
+    preds = [0] * len(scan_comps)
+    mcu_n = 0
+    for my in range(mcu_rows):
+        for mx in range(mcu_cols):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                br.restart()
+                preds = [0] * len(scan_comps)
+            for ci, (comp, td, ta) in enumerate(scan_comps):
+                if td not in dc_luts or ta not in ac_luts or comp["tq"] not in qts:
+                    raise ValueError("JPEG scan references undefined table")
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        block, preds[ci] = _decode_block(
+                            br, dc_luts[td], ac_luts[ta], qts[comp["tq"]], preds[ci]
+                        )
+                        y0 = (my * comp["v"] + by) * 8
+                        x0 = (mx * comp["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu_n += 1
+
+    # upsample to full resolution (nearest-neighbor, libjpeg -nosmooth)
+    full = []
+    for ci, (comp, _, _) in enumerate(scan_comps):
+        p = planes[ci]
+        if comp["h"] < maxh:
+            p = np.repeat(p, maxh // comp["h"], axis=1)
+        if comp["v"] < maxv:
+            p = np.repeat(p, maxv // comp["v"], axis=0)
+        full.append(p[:height, :width])
+
+    if len(full) == 1:
+        gray = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return width, height, 1, gray[:, :, None]
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    px = np.stack([r, g, b], axis=2)
+    return width, height, 3, np.clip(np.rint(px), 0, 255).astype(np.uint8)

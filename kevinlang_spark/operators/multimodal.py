@@ -438,23 +438,45 @@ def stdlib_pixel_decode(payload: bytes, media_type: str) -> dict:
     """FULL decode with zero external codecs, for the containers where
     that is honestly possible: 24-bit uncompressed BMP pixel grids,
     8-bit grey/RGB/RGBA non-interlaced PNG (zlib inflate + the five
-    scanline predictors — PNG's codec IS stdlib zlib), and 16-bit mono
-    PCM WAV sample streams.  Returns the decoded dimensions plus
+    scanline predictors — PNG's codec IS stdlib zlib), baseline
+    sequential JPEG (operators/jpeg.py: Huffman entropy decode +
+    8×8 IDCT, greyscale/YCbCr, 4:2:0, restart markers), and 16-bit
+    mono PCM WAV sample streams.  Returns the decoded dimensions plus
     content statistics computed from the actual bytes — per-channel
     means for images (BGR row order and 4-byte padding for BMP;
     unfiltered scanlines for PNG), RMS/peak for audio — the proof that
     the media plumbing carries real pixels/samples end-to-end, not
     just headers.
 
-    JPEG/GIF pixel data and lossy audio still need codec libraries
-    (:func:`real_decode`'s PIL gate); anything not decodable here
-    raises ValueError and is quarantined by the caller, like NULL
-    payloads."""
+    Baseline-sequential JPEG decodes fully too (operators/jpeg.py —
+    Huffman + IDCT are pure stdlib/numpy maths); GIF's LZW and lossy
+    audio remain with :func:`real_decode`'s PIL gate.  Anything not
+    decodable here raises ValueError and is quarantined by the caller,
+    like NULL payloads."""
     import struct
 
     import numpy as np
 
     if media_type == "image":
+        if payload[:2] == b"\xff\xd8":
+            from kevinlang_spark.operators.jpeg import jpeg_pixels
+
+            width, height, channels, px = jpeg_pixels(payload)
+            pxf = px.astype(np.float64)
+            if channels == 1:
+                mean_r = mean_g = mean_b = float(pxf[:, :, 0].mean())
+            else:
+                mean_r = float(pxf[:, :, 0].mean())
+                mean_g = float(pxf[:, :, 1].mean())
+                mean_b = float(pxf[:, :, 2].mean())
+            return {
+                "width": width,
+                "height": height,
+                "n_frames": 1,
+                "mean_r": mean_r,
+                "mean_g": mean_g,
+                "mean_b": mean_b,
+            }
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             # PNG's codec IS stdlib zlib — inflate + unfilter is a full,
             # honest pixel decode with no external library
@@ -476,8 +498,8 @@ def stdlib_pixel_decode(payload: bytes, media_type: str) -> dict:
             }
         if payload[:2] != b"BM" or len(payload) < 54:
             raise ValueError(
-                "pixel decode supports uncompressed 24-bit BMP and "
-                "8-bit PNG only"
+                "pixel decode supports uncompressed 24-bit BMP, 8-bit "
+                "PNG and baseline JPEG only"
             )
         data_off = struct.unpack("<I", payload[10:14])[0]
         width, height = struct.unpack("<ii", payload[18:26])
@@ -581,7 +603,7 @@ def extract_pixel_stats(media_df: DataFrame) -> DataFrame:
 
 
 def attach_stdlib_media(
-    df: DataFrame, filled: bool = False, png: bool = False
+    df: DataFrame, filled: bool = False, png: bool = False, jpeg: bool = False
 ) -> DataFrame:
     """Synthesize a bronze media table with REAL container bytes:
     alternating BMPs (dimensions derived from doc_id) and WAVs (frame
@@ -595,9 +617,16 @@ def attach_stdlib_media(
     (doc_id % 4 == 2) through a real zlib-deflated PNG container with
     the SAME dimensions and fill — the content statistics are container
     -invariant, so the oracle is unchanged while the PNG inflate +
-    unfilter path is exercised end-to-end."""
+    unfilter path is exercised end-to-end.  ``jpeg=True`` makes every
+    image a GREYSCALE baseline JPEG instead (gray level = doc_id % 256;
+    doc_id % 8 == 6 adds restart markers): with the encoder's all-ones
+    quantization tables a constant block round-trips bit-exactly, so
+    the channel-mean oracle is closed-form in doc_id — the end-to-end
+    proof of the Huffman+IDCT decode path (operators/jpeg.py)."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from kevinlang_spark.operators.jpeg import make_jpeg
+
         for pdf in it:
             ids = pdf["doc_id"]
             media, payload = [], []
@@ -605,6 +634,16 @@ def attach_stdlib_media(
                 d = int(i)
                 if d % 2 == 0:
                     media.append("image")
+                    if jpeg:
+                        payload.append(
+                            make_jpeg(
+                                d % 64 + 1,
+                                d % 48 + 1,
+                                gray=d % 256,
+                                restart_interval=2 if d % 8 == 6 else 0,
+                            )
+                        )
+                        continue
                     rgb = (d % 256, d * 3 % 256, d * 7 % 256) if filled else (0, 0, 0)
                     maker = make_png if (png and d % 4 == 2) else make_bmp
                     payload.append(maker(d % 64 + 1, d % 48 + 1, rgb=rgb))

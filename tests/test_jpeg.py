@@ -1,0 +1,135 @@
+"""Baseline JPEG codec (operators/jpeg.py): encoder/decoder round
+trips, the honest-subset error gates, and integration with the
+multimodal decode surface.
+
+Parity target: ITU-T T.81 baseline sequential.  The encoder writes
+all-ones quantization tables, so constant blocks round-trip exactly —
+the property the q_media_jpeg oracle asserts at fleet scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from kevinlang_spark.operators.jpeg import (
+    ZIGZAG,
+    _dct_matrix,
+    jpeg_pixels,
+    make_jpeg,
+)
+from kevinlang_spark.operators.multimodal import stdlib_decode, stdlib_pixel_decode
+
+
+def test_zigzag_is_a_permutation_with_known_anchors():
+    assert sorted(ZIGZAG) == list(range(64))
+    # T.81 Figure 5 anchors: start right-then-down-diagonal, end at 63
+    assert ZIGZAG[:8] == [0, 1, 8, 16, 9, 2, 3, 10]
+    assert ZIGZAG[-4:] == [47, 55, 62, 63]
+
+
+def test_dct_matrix_is_orthonormal():
+    a = _dct_matrix()
+    assert np.allclose(a @ a.T, np.eye(8), atol=1e-12)
+
+
+def test_constant_gray_roundtrip_is_exact():
+    for v in (0, 1, 77, 128, 254, 255):
+        w, h, c, px = jpeg_pixels(make_jpeg(17, 9, gray=v))
+        assert (w, h, c) == (17, 9, 1)
+        assert px.min() == px.max() == v
+
+
+def test_constant_color_roundtrip_within_one():
+    for rgb in ((200, 30, 99), (0, 0, 0), (255, 255, 255), (1, 254, 128)):
+        w, h, c, px = jpeg_pixels(make_jpeg(20, 12, rgb=rgb))
+        assert (w, h, c) == (20, 12, 3)
+        for i, v in enumerate(rgb):
+            assert np.abs(px[:, :, i].astype(float) - v).max() <= 1.0
+
+
+def test_subsampled_420_roundtrip_within_one():
+    # odd dimensions force edge-replicated partial chroma blocks
+    w, h, c, px = jpeg_pixels(make_jpeg(21, 13, rgb=(10, 250, 128), subsample=True))
+    assert (w, h, c) == (21, 13, 3)
+    for i, v in enumerate((10, 250, 128)):
+        assert np.abs(px[:, :, i].astype(float) - v).max() <= 1.0
+
+
+def test_arbitrary_gray_content_bounded_error():
+    rng = np.random.RandomState(7)
+    src = rng.randint(0, 256, (24, 31)).astype(np.uint8)
+    w, h, c, px = jpeg_pixels(make_jpeg(31, 24, pixels=src))
+    assert (w, h, c) == (31, 24, 1)
+    # all-ones quantization: error is rounding-level, not quality-level
+    assert np.abs(px[:, :, 0].astype(float) - src.astype(float)).max() <= 2.0
+
+
+def test_arbitrary_rgb_content_bounded_error():
+    rng = np.random.RandomState(11)
+    src = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    _, _, c, px = jpeg_pixels(make_jpeg(16, 16, pixels=src))
+    assert c == 3
+    # YCbCr forward+inverse rounding adds at most a few counts
+    assert np.abs(px.astype(float) - src.astype(float)).max() <= 4.0
+
+
+def test_restart_markers_roundtrip():
+    rng = np.random.RandomState(3)
+    src = rng.randint(0, 256, (20, 40)).astype(np.uint8)
+    payload = make_jpeg(40, 20, pixels=src, restart_interval=3)
+    assert b"\xff\xdd" in payload  # DRI present
+    assert any(bytes([0xFF, 0xD0 + n]) in payload for n in range(8))
+    _, _, _, px = jpeg_pixels(payload)
+    assert np.abs(px[:, :, 0].astype(float) - src.astype(float)).max() <= 2.0
+
+
+def test_progressive_rejected():
+    p = bytearray(make_jpeg(8, 8, gray=5))
+    i = p.index(b"\xff\xc0")
+    p[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="baseline"):
+        jpeg_pixels(bytes(p))
+
+
+def test_truncated_scan_rejected():
+    p = make_jpeg(24, 24, gray=9)
+    with pytest.raises(ValueError):
+        jpeg_pixels(p[: len(p) // 2])
+
+
+def test_non_jpeg_rejected():
+    with pytest.raises(ValueError, match="not a JPEG"):
+        jpeg_pixels(b"BMnope")
+
+
+def test_stdlib_pixel_decode_routes_jpeg():
+    stats = stdlib_pixel_decode(make_jpeg(13, 7, gray=42), "image")
+    assert (stats["width"], stats["height"], stats["n_frames"]) == (13, 7, 1)
+    assert stats["mean_r"] == stats["mean_g"] == stats["mean_b"] == 42.0
+    color = stdlib_pixel_decode(make_jpeg(8, 8, rgb=(100, 150, 200)), "image")
+    assert abs(color["mean_r"] - 100) <= 1.0
+    assert abs(color["mean_b"] - 200) <= 1.0
+
+
+def test_header_walk_agrees_with_full_decode():
+    """stdlib_decode's SOFn header walk and the full decoder must agree
+    on dimensions for the same bytes."""
+    payload = make_jpeg(31, 22, rgb=(1, 2, 3), subsample=True)
+    hdr = stdlib_decode(payload, "image")
+    w, h, _, _ = jpeg_pixels(payload)
+    assert (hdr["width"], hdr["height"]) == (w, h) == (31, 22)
+
+
+def test_corrupt_jpeg_quarantines_in_extract_pixel_stats(spark):
+    from kevinlang_spark.operators.multimodal import extract_pixel_stats
+
+    good = make_jpeg(9, 9, gray=10)
+    corrupt = good[:-20] + b"\xff" * 10  # stray marker mid-scan
+    df = spark.createDataFrame(
+        [(1, "image", good), (2, "image", corrupt)],
+        "doc_id bigint, media_type string, payload binary",
+    )
+    got = {r["doc_id"]: r for r in extract_pixel_stats(df).collect()}
+    assert got[1]["mean_r"] == 10.0
+    assert got[2]["mean_r"] is None  # quarantined, task survived
