@@ -1110,6 +1110,43 @@ def q_media_jpeg(spark, sf_dir):
     return extract_pixel_stats(media)
 
 
+def q_media_gif(spark, sf_dir):
+    """FULL animated-GIF decode with zero codec libraries
+    (operators/gif.py): synthesize real multi-frame LZW streams
+    executor-side — doc_id % 5 + 1 constant-color frames per image —
+    then LZW-decompress, composite, and report whole-file statistics
+    (channel means average over ALL frames).  The oracle replays the
+    per-frame palette formula with a bounded generate_series — the
+    proof that entropy-coded multi-FRAME pixel data survives the
+    pipeline."""
+    from kevinlang_spark.operators.multimodal import (
+        attach_stdlib_media,
+        extract_pixel_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_stdlib_media(docs, filled=True, gif=True)
+    return extract_pixel_stats(media)
+
+
+def q_media_frames(spark, sf_dir):
+    """Frame SAMPLING + RESIZE over animated media (multimodal.py
+    extract_frame_stats): decode each GIF's real frames, keep every 2nd,
+    nearest-resize each to an 8×8 thumbnail, and emit one row per
+    sampled frame — the decode→sample→resize front half of a
+    vision-training pipeline, Arrow-batched like every extractor.
+    Constant frames make the post-resize means exact, so the oracle is
+    the closed-form palette formula over the sampled frame indices."""
+    from kevinlang_spark.operators.multimodal import (
+        attach_stdlib_media,
+        extract_frame_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_stdlib_media(docs, filled=True, gif=True)
+    return extract_frame_stats(media, every_k=2, thumb=(8, 8))
+
+
 def _media_ingest_dir(spark, sf_dir):
     """Materialize (once per sf_dir per machine) a directory of REAL
     on-disk media files for the binaryFile ingestion query: one file per
@@ -4439,6 +4476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_resample_lerp": q_resample_lerp,
         "q_media_ingest": q_media_ingest,
         "q_media_jpeg": q_media_jpeg,
+        "q_media_gif": q_media_gif,
+        "q_media_frames": q_media_frames,
         "q_ann_pq": q_ann_pq,
         "q_bpe_train": q_bpe_train,
         "q_bpe_encode": q_bpe_encode,
@@ -5815,6 +5854,46 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 2048 END AS DOUBLE) "
             "AS peak "
             "FROM documents"
+        ),
+        "q_media_gif": (
+            # animated GIFs: frame f of doc d is the constant palette color
+            # ((d+f)%256, (3d+f)%256, (7d+f)%256); whole-file means average
+            # over the d%5+1 frames (generate_series is constant-bounded —
+            # DuckDB's table functions take no lateral column parameters)
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END "
+            "AS media_type, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 64 + 1 END AS INTEGER) "
+            "AS width, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 48 + 1 END AS INTEGER) "
+            "AS height, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 5 + 1 "
+            "ELSE doc_id % 1000 + 1 END AS INTEGER) AS n_frames, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN (SELECT AVG((doc_id + s.g) % 256) "
+            "FROM generate_series(0, 4) s(g) WHERE s.g <= doc_id % 5) END "
+            "AS DOUBLE) AS mean_r, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN (SELECT AVG((3 * doc_id + s.g) % 256) "
+            "FROM generate_series(0, 4) s(g) WHERE s.g <= doc_id % 5) END "
+            "AS DOUBLE) AS mean_g, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN (SELECT AVG((7 * doc_id + s.g) % 256) "
+            "FROM generate_series(0, 4) s(g) WHERE s.g <= doc_id % 5) END "
+            "AS DOUBLE) AS mean_b, "
+            "CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 2048 END AS DOUBLE) "
+            "AS rms, "
+            "CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 2048 END AS DOUBLE) "
+            "AS peak "
+            "FROM documents"
+        ),
+        "q_media_frames": (
+            # every 2nd frame of each image doc, nearest-resized to 8x8 —
+            # constant frames keep the closed-form means exact post-resize
+            "SELECT doc_id, CAST(f.g AS INTEGER) AS frame_idx, "
+            "CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height, "
+            "CAST((doc_id + f.g) % 256 AS DOUBLE) AS mean_r, "
+            "CAST((3 * doc_id + f.g) % 256 AS DOUBLE) AS mean_g, "
+            "CAST((7 * doc_id + f.g) % 256 AS DOUBLE) AS mean_b "
+            "FROM documents, generate_series(0, 4) f(g) "
+            "WHERE doc_id % 2 = 0 AND f.g <= doc_id % 5 AND f.g % 2 = 0"
         ),
         "q_media_jpeg": (
             # greyscale baseline JPEGs, gray level doc_id % 256: all-ones

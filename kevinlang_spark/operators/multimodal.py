@@ -154,7 +154,9 @@ def sample_frames(
     Frame indices are computed from (stubbed) n_frames JVM-side with
     sequence+explode — the real decoder would attach frame payloads in the
     mapInPandas stage instead; the partition-parallel explode shape is
-    identical.
+    identical.  The REAL-decode counterpart is
+    :func:`extract_frame_stats`, which decodes actual animated-GIF
+    frames (operators/gif.py LZW) and samples/resizes them in the UDF.
     """
     feats = extract_media_features(media_df).where(F.col("media_type") == "video")
     # zero-frame/corrupt items (a real decoder returns n_frames=0) must not
@@ -449,15 +451,30 @@ def stdlib_pixel_decode(payload: bytes, media_type: str) -> dict:
     just headers.
 
     Baseline-sequential JPEG decodes fully too (operators/jpeg.py —
-    Huffman + IDCT are pure stdlib/numpy maths); GIF's LZW and lossy
-    audio remain with :func:`real_decode`'s PIL gate.  Anything not
-    decodable here raises ValueError and is quarantined by the caller,
-    like NULL payloads."""
+    Huffman + IDCT are pure stdlib/numpy maths), as does GIF incl.
+    animations (operators/gif.py — LZW is bit twiddling; channel means
+    average over ALL composited frames).  Only lossy audio remains
+    with :func:`real_decode`'s PIL/codec gate.  Anything not decodable
+    here raises ValueError and is quarantined by the caller, like NULL
+    payloads."""
     import struct
 
     import numpy as np
 
     if media_type == "image":
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            from kevinlang_spark.operators.gif import gif_frames
+
+            width, height, n_frames, frames = gif_frames(payload)
+            pxf = frames.astype(np.float64)
+            return {
+                "width": width,
+                "height": height,
+                "n_frames": n_frames,
+                "mean_r": float(pxf[:, :, :, 0].mean()),
+                "mean_g": float(pxf[:, :, :, 1].mean()),
+                "mean_b": float(pxf[:, :, :, 2].mean()),
+            }
         if payload[:2] == b"\xff\xd8":
             from kevinlang_spark.operators.jpeg import jpeg_pixels
 
@@ -603,7 +620,11 @@ def extract_pixel_stats(media_df: DataFrame) -> DataFrame:
 
 
 def attach_stdlib_media(
-    df: DataFrame, filled: bool = False, png: bool = False, jpeg: bool = False
+    df: DataFrame,
+    filled: bool = False,
+    png: bool = False,
+    jpeg: bool = False,
+    gif: bool = False,
 ) -> DataFrame:
     """Synthesize a bronze media table with REAL container bytes:
     alternating BMPs (dimensions derived from doc_id) and WAVs (frame
@@ -622,9 +643,15 @@ def attach_stdlib_media(
     doc_id % 8 == 6 adds restart markers): with the encoder's all-ones
     quantization tables a constant block round-trips bit-exactly, so
     the channel-mean oracle is closed-form in doc_id — the end-to-end
-    proof of the Huffman+IDCT decode path (operators/jpeg.py)."""
+    proof of the Huffman+IDCT decode path (operators/jpeg.py).
+    ``gif=True`` makes every image an ANIMATED GIF instead
+    (operators/gif.py): doc_id % 5 + 1 constant-color frames, frame f
+    filled with ((d+f) % 256, (3d+f) % 256, (7d+f) % 256) — real LZW
+    streams whose per-frame AND whole-file statistics stay closed-form
+    in (doc_id, frame)."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from kevinlang_spark.operators.gif import make_gif
         from kevinlang_spark.operators.jpeg import make_jpeg
 
         for pdf in it:
@@ -634,6 +661,27 @@ def attach_stdlib_media(
                 d = int(i)
                 if d % 2 == 0:
                     media.append("image")
+                    if gif:
+                        n = d % 5 + 1
+                        palette = [
+                            (
+                                (d + f) % 256,
+                                (3 * d + f) % 256,
+                                (7 * d + f) % 256,
+                            )
+                            for f in range(n)
+                        ]
+                        if len(palette) < 2:  # GIF tables hold >= 2 entries
+                            palette = palette + [(0, 0, 0)]
+                        payload.append(
+                            make_gif(
+                                d % 64 + 1,
+                                d % 48 + 1,
+                                list(range(n)),
+                                palette,
+                            )
+                        )
+                        continue
                     if jpeg:
                         payload.append(
                             make_jpeg(
@@ -658,3 +706,134 @@ def attach_stdlib_media(
     return df.select("doc_id").mapInPandas(
         gen, schema="doc_id bigint, media_type string, payload binary"
     )
+
+
+FRAME_STATS_SCHEMA = (
+    "doc_id bigint, frame_idx int, width int, height int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def _decode_frames(payload: bytes):
+    """(width, height, F×H×W×3 uint8) for any image container the
+    codec-free decoders handle: GIFs yield every composited frame,
+    single-image formats yield one frame (greyscale broadcast to RGB)."""
+    import numpy as np
+
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from kevinlang_spark.operators.gif import gif_frames
+
+        w, h, _, frames = gif_frames(payload)
+        return w, h, frames
+    if payload[:2] == b"\xff\xd8":
+        from kevinlang_spark.operators.jpeg import jpeg_pixels
+
+        w, h, c, px = jpeg_pixels(payload)
+        rgb = np.repeat(px, 3, axis=2) if c == 1 else px
+        return w, h, rgb[None, :, :, :]
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h, c, px = _png_pixels(payload)
+        if c == 1:
+            import numpy as np  # noqa: F811 — local to the UDF module path
+
+            rgb = np.repeat(px, 3, axis=2)
+        elif c == 4:
+            rgb = px[:, :, :3]
+        else:
+            rgb = px
+        return w, h, rgb[None, :, :, :]
+    # fall back to the BMP branch of stdlib_pixel_decode semantics
+    if payload[:2] == b"BM":
+        import numpy as np
+
+        data_off = struct.unpack("<I", payload[10:14])[0]
+        w, hh = struct.unpack("<ii", payload[18:26])
+        bpp = struct.unpack("<H", payload[28:30])[0]
+        if bpp != 24 or w <= 0 or hh == 0:
+            raise ValueError("frame decode supports 24-bit BMP only")
+        h = abs(hh)
+        stride = (w * 3 + 3) & ~3
+        body = payload[data_off : data_off + stride * h]
+        if len(body) < stride * h:
+            raise ValueError("truncated BMP pixel array")
+        grid = np.frombuffer(body, dtype=np.uint8).reshape(h, stride)
+        bgr = grid[:, : w * 3].reshape(h, w, 3)
+        rgb = bgr[:, :, ::-1]
+        if hh > 0:  # bottom-up row order
+            rgb = rgb[::-1]
+        return w, h, rgb[None, :, :, :].copy()
+    raise ValueError("no codec-free frame decode for this container")
+
+
+def resize_nearest(frame, tw: int, th: int):
+    """Nearest-neighbor resize of an H×W×3 array — the thumbnail /
+    normalization step of an image-training pipeline, exact for
+    constant regions (which is what the oracles assert)."""
+    import numpy as np
+
+    h, w = frame.shape[:2]
+    rows = np.minimum((np.arange(th) * h) // th, h - 1)
+    cols = np.minimum((np.arange(tw) * w) // tw, w - 1)
+    return frame[rows][:, cols]
+
+
+def extract_frame_stats(
+    media_df: DataFrame,
+    every_k: int = 1,
+    thumb: "tuple[int, int] | None" = None,
+) -> DataFrame:
+    """FRAME SAMPLING over multi-frame media: decode each payload's
+    frames (animated GIF = real LZW streams; single-image formats = one
+    frame), keep frames 0, k, 2k, …, optionally nearest-resize each to
+    ``thumb`` = (w, h), and emit one row per sampled frame with its
+    post-resize dimensions and channel means — the
+    decode→frame-sample→resize front half of a vision-training
+    pipeline.  Arrow-batched mapInPandas like the other extractors;
+    undecodable or non-image payloads contribute NO rows (frame-level
+    quarantine-by-omission — the file-level null-row audit is
+    :func:`extract_pixel_stats`)."""
+    if every_k < 1:
+        raise ValueError("extract_frame_stats: every_k must be >= 1")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "frame_idx", "width", "height",
+                "mean_r", "mean_g", "mean_b",
+            )}
+            for did, mtype, p in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if p is None or mtype != "image":
+                    continue
+                try:
+                    w, h, frames = _decode_frames(bytes(p))
+                except (ValueError, zlib.error, struct.error):
+                    continue
+                for f in range(0, frames.shape[0], every_k):
+                    px = frames[f]
+                    if thumb is not None:
+                        px = resize_nearest(px, thumb[0], thumb[1])
+                    pxf = px.astype(np.float64)
+                    out["doc_id"].append(did)
+                    out["frame_idx"].append(f)
+                    out["height"].append(px.shape[0])
+                    out["width"].append(px.shape[1])
+                    out["mean_r"].append(float(pxf[:, :, 0].mean()))
+                    out["mean_g"].append(float(pxf[:, :, 1].mean()))
+                    out["mean_b"].append(float(pxf[:, :, 2].mean()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(out["doc_id"], dtype="Int64"),
+                    "frame_idx": pd.array(out["frame_idx"], dtype="Int32"),
+                    "width": pd.array(out["width"], dtype="Int32"),
+                    "height": pd.array(out["height"], dtype="Int32"),
+                    "mean_r": pd.array(out["mean_r"], dtype="Float64"),
+                    "mean_g": pd.array(out["mean_g"], dtype="Float64"),
+                    "mean_b": pd.array(out["mean_b"], dtype="Float64"),
+                }
+            )
+
+    return media_df.mapInPandas(batches, schema=FRAME_STATS_SCHEMA)
