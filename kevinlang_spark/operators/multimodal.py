@@ -2,12 +2,17 @@
 payloads with typed metadata, processed by Arrow-batched ``mapInPandas``.
 
 The Spark-side architecture is real and tested — schema contracts,
-partition-parallel batch iteration, bounded batch sizes — while the media
-decode itself is STUBBED (`decode=fake`): the container ships no
-image/audio codecs, so the default extractor derives deterministic fake
-features from the bytes.  Swapping in a real decoder (PIL/ffmpeg) changes
-ONE function that receives `bytes` and returns a feature dict; nothing in
-the Spark plumbing moves.
+partition-parallel batch iteration, bounded batch sizes.  Decode comes
+in tiers: :func:`stdlib_decode` parses real container headers for
+PNG/GIF/BMP/JPEG/WAV; :func:`stdlib_pixel_decode` FULLY decodes pixel
+and sample data with zero codec libraries — BMP grids, PNG (zlib
+inflate + scanline predictors), baseline JPEG (operators/jpeg.py:
+Huffman + IDCT), GIF incl. animations (operators/gif.py: LZW), and
+PCM WAV; only lossy audio remains honestly gated behind
+:func:`real_decode`'s codec imports (`decode=fake_decode` is the
+deterministic stand-in for those).  Every extractor is a pluggable
+``decode(bytes, media_type) -> dict``; nothing in the Spark plumbing
+moves when one is swapped.
 
 Scale notes: mapInPandas streams Arrow batches (bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch``) so executor memory is
