@@ -1147,6 +1147,93 @@ def q_media_frames(spark, sf_dir):
     return extract_frame_stats(media, every_k=2, thumb=(8, 8))
 
 
+def _messy_url(d):
+    """Deterministic MESSY url per doc: uppercase scheme/www/host, a
+    default :443 port on every 5th, trailing slashes on every 3rd, a
+    tracking param, unsorted params, a fragment on every 6th — the
+    canonicalization obstacles normalize_url exists to remove."""
+    tld = (
+        F.when(d % 4 == 0, ".com")
+        .when(d % 4 == 1, ".co.uk")
+        .when(d % 4 == 2, ".org")
+        .otherwise(".com.au")
+    )
+    return F.concat(
+        F.lit("HTTPS://WWW."),
+        F.upper(F.col("source")),
+        (d % 20).cast("string"),
+        F.lit(".Example"),
+        tld,
+        F.when(d % 5 == 0, ":443").otherwise(""),
+        F.lit("/Docs/"),
+        (d % 7).cast("string"),
+        F.when(d % 3 == 0, "/").otherwise(""),
+        F.lit("?utm_source=feed&z=9&a="),
+        (d % 2).cast("string"),
+        F.when(d % 6 == 0, "#frag").otherwise(""),
+    )
+
+
+def q_url_normalize(spark, sf_dir):
+    """URL canonicalization + registrable-domain extraction (web.py) —
+    the first move of every CommonCrawl-style pipeline: two syntactic
+    spellings of one resource must dedup identically.  Synthesizes a
+    deterministic messy URL per document (uppercase host, www, default
+    port, trailing slash, tracking param, unsorted query, fragment),
+    normalizes it, and extracts the PSL-lite registrable domain —
+    covering the two-level ccTLD suffixes (.co.uk/.com.au) where naive
+    last-two-labels extraction is wrong.  Pure Catalyst string/array
+    expressions; the oracle predicts the OUTPUT in closed form from
+    doc_id rather than replaying the algorithm."""
+    from kevinlang_spark.operators.web import normalize_url, registered_domain
+
+    docs = _t(spark, sf_dir, "documents")
+    url = _messy_url(F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        normalize_url(url).alias("url_norm"),
+        registered_domain(url).alias("domain"),
+    )
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-domain frequency cap (web.py domain_cap, the FineWeb guard
+    against crawl-heavy domains dominating a training mix): keep the 3
+    lowest-doc_id documents per registrable domain, through the SALTED
+    two-phase window (phase one caps (domain, salt) groups to a
+    superset, phase two ranks the survivors) — at 100 TB the heavy
+    shuffle spreads over salt_buckets keys instead of one partition per
+    hot domain.  Result is identical to the plain window; the oracle is
+    the plain ROW_NUMBER."""
+    from kevinlang_spark.operators.web import domain_cap, registered_domain
+
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("cdn."),
+        F.col("source"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".com"),
+    )
+    with_dom = docs.select(
+        "doc_id", registered_domain(host).alias("domain")
+    )
+    return domain_cap(with_dom, "domain", 3, "doc_id", salt_buckets=4)
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher quality-rule battery (text.py gopher_rules; Rae et al.
+    2021 A1.1) over the documents table: per-document word/line
+    statistics, one boolean per rule, and the conjunction — the
+    auditable form of the filter every MassiveText descendant applies
+    before training.  One scan of pure higher-order expressions, no
+    shuffle; the oracle replays the same whitespace/line statistics in
+    DuckDB list functions."""
+    from kevinlang_spark.operators.text import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_rules(docs, min_words=20, max_words=100_000)
+
+
 def _media_ingest_dir(spark, sf_dir):
     """Materialize (once per sf_dir per machine) a directory of REAL
     on-disk media files for the binaryFile ingestion query: one file per
@@ -4478,6 +4565,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_jpeg": q_media_jpeg,
         "q_media_gif": q_media_gif,
         "q_media_frames": q_media_frames,
+        "q_url_normalize": q_url_normalize,
+        "q_domain_cap": q_domain_cap,
+        "q_gopher_rules": q_gopher_rules,
         "q_ann_pq": q_ann_pq,
         "q_bpe_train": q_bpe_train,
         "q_bpe_encode": q_bpe_encode,
@@ -5854,6 +5944,78 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 2048 END AS DOUBLE) "
             "AS peak "
             "FROM documents"
+        ),
+        "q_url_normalize": (
+            # closed-form EXPECTED output of normalize_url/registered_domain
+            # on the deterministic messy url (_messy_url): lowercased
+            # scheme+host, www/port/fragment/tracking-param/trailing-slash
+            # stripped, surviving params sorted ('a=' < 'z=' lexically)
+            "SELECT doc_id, "
+            "'https://' || source || CAST(doc_id % 20 AS VARCHAR) || "
+            "'.example' || "
+            "CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk' "
+            "WHEN 2 THEN '.org' ELSE '.com.au' END || "
+            "'/Docs/' || CAST(doc_id % 7 AS VARCHAR) || "
+            "'?a=' || CAST(doc_id % 2 AS VARCHAR) || '&z=9' AS url_norm, "
+            "'example' || CASE doc_id % 4 WHEN 0 THEN '.com' "
+            "WHEN 1 THEN '.co.uk' WHEN 2 THEN '.org' ELSE '.com.au' END "
+            "AS domain "
+            "FROM documents"
+        ),
+        "q_domain_cap": (
+            # the salted two-phase cap must equal the plain per-domain
+            # ROW_NUMBER cap (keep the 3 lowest doc_ids per domain)
+            "SELECT doc_id, domain FROM ("
+            "SELECT doc_id, "
+            "source || CAST(doc_id % 20 AS VARCHAR) || '.com' AS domain, "
+            "ROW_NUMBER() OVER (PARTITION BY "
+            "source || CAST(doc_id % 20 AS VARCHAR) ORDER BY doc_id) AS rn "
+            "FROM documents) WHERE rn <= 3"
+        ),
+        "q_gopher_rules": (
+            # replay of the Gopher A1.1 statistics in DuckDB list
+            # functions; ratios are raw int/int doubles (bit-identical)
+            "WITH base AS (SELECT doc_id, text, "
+            "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w, "
+            "list_filter(list_transform(string_split(text, chr(10)), "
+            "x -> trim(x)), x -> x <> '') AS ln "
+            "FROM documents), "
+            "m AS (SELECT doc_id, len(w) AS n_words, "
+            "CASE WHEN len(w) > 0 THEN CAST(list_sum(list_transform(w, "
+            "x -> length(x))) AS DOUBLE) / len(w) END AS mean_word_len, "
+            "CASE WHEN len(w) > 0 THEN CAST("
+            "length(text) - length(regexp_replace(text, '#', '', 'g')) "
+            "+ (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3 "
+            "AS DOUBLE) / len(w) END AS symbol_ratio, "
+            "CASE WHEN len(ln) > 0 THEN CAST(len(list_filter(ln, "
+            "x -> regexp_matches(x, '^[-*•]'))) AS DOUBLE) / len(ln) "
+            "ELSE 0.0 END AS bullet_line_ratio, "
+            "CASE WHEN len(ln) > 0 THEN CAST(len(list_filter(ln, "
+            "x -> regexp_matches(x, '(\\.\\.\\.|…)$'))) AS DOUBLE) / len(ln) "
+            "ELSE 0.0 END AS ellipsis_line_ratio, "
+            "CASE WHEN len(w) > 0 THEN CAST(len(list_filter(w, "
+            "x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(w) "
+            "END AS alpha_word_ratio, "
+            "COALESCE(len(list_filter(['the','be','to','of','and','that',"
+            "'have','with'], s -> list_contains(list_transform(w, "
+            "x -> regexp_replace(lower(x), '[^a-z]', '', 'g')), s))), 0) "
+            "AS n_stopwords FROM base) "
+            "SELECT doc_id, n_words, mean_word_len, symbol_ratio, "
+            "bullet_line_ratio, ellipsis_line_ratio, alpha_word_ratio, "
+            "n_stopwords, "
+            "COALESCE(n_words BETWEEN 20 AND 100000, FALSE) AS r_word_count, "
+            "COALESCE(mean_word_len BETWEEN 3.0 AND 10.0, FALSE) AS r_word_len, "
+            "COALESCE(symbol_ratio <= 0.1, FALSE) AS r_symbols, "
+            "COALESCE(bullet_line_ratio <= 0.9, FALSE) AS r_bullets, "
+            "COALESCE(ellipsis_line_ratio <= 0.3, FALSE) AS r_ellipses, "
+            "COALESCE(alpha_word_ratio >= 0.8, FALSE) AS r_alpha, "
+            "COALESCE(n_stopwords >= 2, FALSE) AS r_stopwords, "
+            "COALESCE(n_words BETWEEN 20 AND 100000 "
+            "AND mean_word_len BETWEEN 3.0 AND 10.0 "
+            "AND symbol_ratio <= 0.1 AND bullet_line_ratio <= 0.9 "
+            "AND ellipsis_line_ratio <= 0.3 AND alpha_word_ratio >= 0.8 "
+            "AND n_stopwords >= 2, FALSE) AS passes "
+            "FROM m"
         ),
         "q_media_gif": (
             # animated GIFs: frame f of doc d is the constant palette color

@@ -157,6 +157,10 @@ HEADLINE = [
     # entropy decode is per-block Python by nature, correctness-gated
     # at sf0.01, not a throughput query
     "q_media_ingest",
+    # round-8 web-curation tier: pure-expression scans + the salted cap
+    "q_url_normalize",
+    "q_domain_cap",
+    "q_gopher_rules",
     "q_record_linkage",
     "q_radius_join",
     "q_feature_hash",

@@ -1409,3 +1409,104 @@ def source_kl_divergence(
             ).alias("kl"),
         )
     )
+
+
+#: the Gopher stop-word presence set (Rae et al. 2021, appendix A1.1)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, appendix A1.1) — the
+    widely-reused document filter battery behind Gopher / MassiveText
+    and its descendants (RefinedWeb, Dolma, FineWeb).  Emits the raw
+    per-document metrics plus per-rule booleans and the conjunction, so
+    a pipeline can audit WHICH rule fired, not just the verdict:
+
+    - word count within [min_words, max_words] (whitespace tokens)
+    - mean word length within [3, 10] characters
+    - symbol-to-word ratio (``#`` or ``...``) ≤ 0.1
+    - ≤ 90% of non-empty lines start with a bullet (-, *, •)
+    - ≤ 30% of non-empty lines end with an ellipsis (... or …)
+    - ≥ 80% of words contain at least one alphabetic character
+    - ≥ 2 distinct stop words from :data:`GOPHER_STOPWORDS` present
+
+    Pure Catalyst expressions over one scan (split / filter /
+    aggregate higher-order functions) — no shuffle, no UDF; ratios are
+    raw doubles (int/int division — bit-identical across engines).
+    NULL text yields null word metrics, zero line ratios, and
+    ``passes`` = false (the word-level rules fail)."""
+    t = F.col(text_col)
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    total_chars = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mean_wl = F.when(
+        n_words > 0, total_chars.cast("double") / n_words.cast("double")
+    )
+    hash_n = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    ell_n = (
+        F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))
+    ) / F.lit(3)
+    symbol_ratio = F.when(
+        n_words > 0, (hash_n + ell_n).cast("double") / n_words.cast("double")
+    )
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), F.trim), lambda ln: ln != ""
+    )
+    n_lines = F.size(lines)
+    bullet_n = F.size(F.filter(lines, lambda ln: ln.rlike(r"^[-*•]")))
+    ellipsis_n = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)$"))
+    )
+    bullet_ratio = F.when(
+        n_lines > 0, bullet_n.cast("double") / n_lines.cast("double")
+    ).otherwise(F.lit(0.0))
+    ellipsis_ratio = F.when(
+        n_lines > 0, ellipsis_n.cast("double") / n_lines.cast("double")
+    ).otherwise(F.lit(0.0))
+    alpha_n = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_ratio = F.when(
+        n_words > 0, alpha_n.cast("double") / n_words.cast("double")
+    )
+    lowered = F.transform(
+        words, lambda w: F.regexp_replace(F.lower(w), r"[^a-z]", "")
+    )
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(lowered, s),
+        )
+    )
+
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_line_ratio"),
+        ellipsis_ratio.alias("ellipsis_line_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        n_stop.alias("n_stopwords"),
+    )
+    rules = {
+        "r_word_count": F.col("n_words").between(min_words, max_words),
+        "r_word_len": F.col("mean_word_len").between(3.0, 10.0),
+        "r_symbols": F.col("symbol_ratio") <= 0.1,
+        "r_bullets": F.col("bullet_line_ratio") <= 0.9,
+        "r_ellipses": F.col("ellipsis_line_ratio") <= 0.3,
+        "r_alpha": F.col("alpha_word_ratio") >= 0.8,
+        "r_stopwords": F.col("n_stopwords") >= 2,
+    }
+    for name, cond in rules.items():
+        out = out.withColumn(name, F.coalesce(cond, F.lit(False)))
+    passes = rules["r_word_count"]
+    for name in list(rules)[1:]:
+        passes = passes & F.col(name)
+    return out.withColumn("passes", F.coalesce(passes, F.lit(False)))

@@ -1,0 +1,139 @@
+"""Web-corpus curation: URL normalization, registrable-domain
+extraction, and per-domain frequency caps — the dedup-adjacent moves
+every CommonCrawl-derived pipeline (C4, RefinedWeb, FineWeb) makes
+before text-level filtering.
+
+All three are pure Catalyst expressions / one keyed window: no UDFs, so
+the hot path stays in whole-stage codegen at any corpus size.  The
+reference engine (harry75369/KevinLang) has no web layer; this extends
+the LLM-data-pipeline tier alongside text.py's quality filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: tracking query parameters stripped by :func:`normalize_url` —
+#: the conventional analytics/click-id set
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|ref|igshid)="
+
+#: second-level public suffixes for the PSL-lite heuristic of
+#: :func:`registered_domain`.  The full Public Suffix List is a
+#: periodically-updated data file; this literal subset covers the
+#: high-traffic ccTLD patterns and is intentionally static so results
+#: are reproducible — swap in the real PSL as a broadcast join when
+#: exactness matters more than determinism.
+SECOND_LEVEL_SUFFIXES = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "or.jp", "ne.jp",
+    "ac.jp", "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "com.br", "org.br", "gov.br", "co.in", "org.in", "gov.in",
+    "com.cn", "org.cn", "gov.cn", "co.kr", "or.kr", "com.mx",
+    "com.ar", "com.tr", "co.za", "com.sg", "com.tw", "co.nz",
+]
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL form: lowercase scheme and host, strip a leading
+    ``www.``, strip default ports (``:80`` http / ``:443`` https), drop
+    the fragment, drop tracking query parameters
+    (:data:`TRACKING_PARAM_RE`), SORT the surviving parameters (query
+    order is semantically irrelevant but breaks exact dedup), and trim
+    trailing slashes from the path.  Everything is built-in string /
+    array expressions, so two syntactic spellings of one resource hash
+    identically in an exact-dedup pass."""
+    u = F.regexp_replace(url, r"#.*$", "")  # fragment never reaches the server
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qnorm = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.when(url.isNull(), F.lit(None)).otherwise(
+        F.concat(scheme, F.lit("://"), host, path, qnorm)
+    )
+
+
+def registered_domain(url_or_host: Column) -> Column:
+    """Registrable domain of a URL or bare host: the label directly
+    below the public suffix — ``a.b.news.co.uk`` → ``news.co.uk``,
+    ``cdn.example.com`` → ``example.com``.  PSL-lite: two-level
+    suffixes from :data:`SECOND_LEVEL_SUFFIXES`, one-level otherwise.
+    This is the grouping key for per-domain caps and domain-level
+    contamination checks."""
+    host = F.lower(
+        F.when(
+            url_or_host.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"),
+            F.regexp_extract(url_or_host, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1),
+        ).otherwise(url_or_host)
+    )
+    host = F.regexp_replace(F.regexp_replace(host, r"^www\.", ""), r":\d+$", "")
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    last3 = F.concat_ws(
+        ".", F.element_at(labels, -3), F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    is_2l = last2.isin(*SECOND_LEVEL_SUFFIXES)
+    return (
+        F.when(n <= 1, host)
+        .when((n >= 3) & is_2l, last3)
+        .when(is_2l, last2)  # the bare suffix itself; nothing below it
+        .otherwise(last2)
+    )
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    n_per_domain: int,
+    order_col: str,
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """Keep at most ``n_per_domain`` rows per domain, preferring the
+    smallest ``order_col`` (pass a quality-rank column; ties and
+    determinism are the caller's ordering contract).  The FineWeb-style
+    guard against one crawl-heavy domain dominating a training mix.
+
+    Scale shape: a plain rank window shuffles EVERY row of a hot domain
+    into one partition — at 100 TB a single news domain can be
+    terabytes.  ``salt_buckets`` enables the two-phase form: phase one
+    ranks within (domain, salt) groups and keeps ≤ n per group (a
+    superset, ~n·buckets rows per domain), phase two ranks the
+    survivors per domain — the same result with the heavy shuffle
+    spread over ``salt_buckets`` keys.  Both phases are windows over
+    rank-then-filter, so Catalyst pushes the limit into the sort."""
+    out_cols = df.columns
+    if salt_buckets is not None:
+        if salt_buckets < 1:
+            raise ValueError("domain_cap: salt_buckets must be >= 1")
+        salted = df.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col(order_col)), F.lit(salt_buckets))
+        )
+        w1 = Window.partitionBy(domain_col, "__salt").orderBy(
+            F.col(order_col).asc()
+        )
+        df = (
+            salted.withColumn("__r1", F.row_number().over(w1))
+            .where(F.col("__r1") <= n_per_domain)
+            .drop("__salt", "__r1")
+        )
+    w = Window.partitionBy(domain_col).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= n_per_domain)
+        .select(*out_cols)
+    )

@@ -1,0 +1,139 @@
+"""Web-corpus curation operators (operators/web.py) and the Gopher
+quality-rule battery (text.py gopher_rules)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kevinlang_spark.operators.text import gopher_rules
+from kevinlang_spark.operators.web import (
+    domain_cap,
+    normalize_url,
+    registered_domain,
+)
+
+
+def _norm(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r[0] for r in df.select(normalize_url(F.col("url"))).collect()]
+
+
+def _dom(spark, vals):
+    df = spark.createDataFrame([(u,) for u in vals], "url string")
+    return [r[0] for r in df.select(registered_domain(F.col("url"))).collect()]
+
+
+def test_normalize_url_canonicalizes(spark):
+    got = _norm(
+        spark,
+        [
+            "HTTPS://WWW.Example.COM:443/Docs/3/?utm_source=x&z=9&a=1#frag",
+            "http://example.com:80/path",
+            "https://example.com/path/?b=2&a=1",
+            "https://example.com/",
+            "https://sub.example.co.uk/x?fbclid=abc&gclid=1",
+        ],
+    )
+    assert got == [
+        "https://example.com/Docs/3?a=1&z=9",
+        "http://example.com/path",
+        "https://example.com/path?a=1&b=2",
+        "https://example.com",
+        "https://sub.example.co.uk/x",
+    ]
+
+
+def test_normalize_url_equivalent_spellings_collide(spark):
+    a, b = _norm(
+        spark,
+        [
+            "HTTPS://WWW.News.Example.com/a/b/?z=1&a=2&utm_medium=m",
+            "https://news.example.com/a/b?a=2&z=1",
+        ],
+    )
+    assert a == b
+
+
+def test_normalize_url_null_passthrough(spark):
+    assert _norm(spark, [None]) == [None]
+
+
+def test_registered_domain_psl_lite(spark):
+    got = _dom(
+        spark,
+        [
+            "https://a.b.news.co.uk/path",  # two-level suffix
+            "https://cdn.example.com/x",
+            "http://WWW.Example.COM.AU:8080/",
+            "bare-host.org",  # not a URL
+            "localhost",  # single label
+            "https://example.com/",  # exactly registrable
+        ],
+    )
+    assert got == [
+        "news.co.uk",
+        "example.com",
+        "example.com.au",
+        "bare-host.org",
+        "localhost",
+        "example.com",
+    ]
+
+
+@pytest.fixture()
+def dom_df(spark):
+    rows = [(i, f"d{i % 3}.com", i) for i in range(30)]
+    return spark.createDataFrame(rows, "id bigint, domain string, rank bigint")
+
+
+def test_domain_cap_keeps_lowest_n(dom_df):
+    got = domain_cap(dom_df, "domain", 2, "rank")
+    by_dom = {}
+    for r in got.collect():
+        by_dom.setdefault(r["domain"], []).append(r["id"])
+    assert {d: sorted(v) for d, v in by_dom.items()} == {
+        "d0.com": [0, 3],
+        "d1.com": [1, 4],
+        "d2.com": [2, 5],
+    }
+    assert got.columns == dom_df.columns  # helper columns dropped
+
+
+def test_domain_cap_salted_equals_plain(dom_df):
+    plain = sorted(tuple(r) for r in domain_cap(dom_df, "domain", 4, "rank").collect())
+    for buckets in (1, 3, 16):
+        salted = sorted(
+            tuple(r)
+            for r in domain_cap(
+                dom_df, "domain", 4, "rank", salt_buckets=buckets
+            ).collect()
+        )
+        assert salted == plain, buckets
+
+
+def test_domain_cap_param_guard(dom_df):
+    with pytest.raises(ValueError, match="salt_buckets"):
+        domain_cap(dom_df, "domain", 2, "rank", salt_buckets=0)
+
+
+def test_gopher_rules_rule_by_rule(spark):
+    good = " ".join(
+        ["the quick brown fox jumps over lazy dogs with energy and that"] * 6
+    )
+    rows = [
+        (1, good),  # passes everything
+        (2, "short text"),  # word count + stopwords fail
+        (3, None),  # null text
+        (4, "- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j"),  # bullets
+        (5, "#### " * 60),  # symbol ratio
+        (6, "\n".join(["keep going..."] * 10)),  # ellipsis lines
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in gopher_rules(df, min_words=5).collect()}
+    assert got[1]["passes"] and got[1]["n_stopwords"] >= 4
+    assert not got[2]["r_word_count"] and not got[2]["r_stopwords"]
+    assert not got[3]["passes"] and got[3]["n_words"] is None
+    assert got[4]["bullet_line_ratio"] == 1.0 and not got[4]["r_bullets"]
+    assert got[5]["symbol_ratio"] > 0.1 and not got[5]["r_symbols"]
+    assert got[6]["ellipsis_line_ratio"] == 1.0 and not got[6]["r_ellipses"]
