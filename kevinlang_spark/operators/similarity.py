@@ -1137,32 +1137,24 @@ def ivfpq_topk(
     return pq_topk(cand, books, query, vec_col, id_col, k_out)
 
 
-def _pq_code_cols(
-    books: list[list[list[float]]], dvec: Column
-) -> list[Column]:
-    """Per-subspace PQ code expressions over a ``array<double>`` vector
-    column: argmin of the 6-dp-rounded squared distance to each
-    centroid, smallest index on ties — the exact expression
-    :func:`pq_train` used for assignment, so encode == train
-    assignment.  Subvectors are NOT materialized here (callers decide
-    whether to project them first); each code reads the slice once per
-    centroid, which is fine for the write-once encode pass."""
-    m = len(books)
-    dsub = len(books[0][0])
-    cols = []
-    for s in range(m):
-        sub = F.slice(dvec, s * dsub + 1, dsub)
-        choices = F.array(
-            *[
-                F.struct(
-                    F.round(_sqdist_to_lit(sub, books[s][j]), 6).alias("d"),
-                    F.lit(j).alias("j"),
-                )
-                for j in range(len(books[s]))
-            ]
-        )
-        cols.append(F.array_min(choices)["j"].cast("smallint").alias(f"code{s}"))
-    return cols
+def _code_col(book: list[list[float]], sub: Column) -> Column:
+    """One subspace's PQ code over a prepared subvector column: argmin
+    of the 6-dp-rounded squared distance to each centroid, smallest
+    index on ties — the exact expression :func:`pq_train` used for
+    assignment, so encode == train assignment.  Callers must pass a
+    MATERIALIZED projection column, not an inline slice — lambda
+    arguments get no CSE, so an inline slice re-evaluates once per
+    centroid (the winnow rule; k+1 consumers each)."""
+    choices = F.array(
+        *[
+            F.struct(
+                F.round(_sqdist_to_lit(sub, c), 6).alias("d"),
+                F.lit(j).alias("j"),
+            )
+            for j, c in enumerate(book)
+        ]
+    )
+    return F.array_min(choices)["j"].cast("smallint")
 
 
 def pq_encode(
@@ -1175,12 +1167,25 @@ def pq_encode(
     one ``smallint`` per subspace.  This is the full-table pass PQ
     exists for — after it, probes scan ``m`` small ints per row
     (~32× less IO than raw float vectors) and never touch ``vec_col``
-    again.  Codes come from the same rounded-argmin expression the
-    trainer used, so encode == train assignment exactly."""
+    again.  Subvectors materialize as projected columns first (the
+    winnow rule — k consumers each), then codes come from the same
+    rounded-argmin expression the trainer used."""
     if not books:
         raise ValueError("pq_encode: empty codebooks")
+    m = len(books)
+    dsub = len(books[0][0])
     dvec = F.col(vec_col).cast("array<double>")
-    return df.select(F.col(id_col), *_pq_code_cols(books, dvec))
+    proj = df.select(
+        F.col(id_col),
+        *[F.slice(dvec, s * dsub + 1, dsub).alias(f"__sub{s}") for s in range(m)],
+    )
+    return proj.select(
+        F.col(id_col),
+        *[
+            _code_col(books[s], F.col(f"__sub{s}")).alias(f"code{s}")
+            for s in range(m)
+        ],
+    )
 
 
 def write_pq_index(
@@ -1306,10 +1311,16 @@ def write_ivfpq_index(
         df, [(1, nlist), (m, k)], iters, vec_col, id_col
     )
     coarse = coarse_books[0]
+    dsub = len(books[0][0])
     dvec = F.col(vec_col).cast("array<double>")
-    # cell argmin = the same rounded-distance discipline as the trainer;
-    # the double-cast vector materializes once (no CSE for lambdas)
-    proj = df.select(F.col(id_col), dvec.alias("__dv"))
+    # cell assignment and PQ encode share ONE pass; the double-cast
+    # vector and each subvector materialize as projection columns first
+    # (no CSE for lambda arguments — the winnow rule)
+    proj = df.select(
+        F.col(id_col),
+        dvec.alias("__dv"),
+        *[F.slice(dvec, s * dsub + 1, dsub).alias(f"__sub{s}") for s in range(m)],
+    )
     choices = F.array(
         *[
             F.struct(
@@ -1321,7 +1332,10 @@ def write_ivfpq_index(
     )
     encoded = proj.select(
         F.col(id_col),
-        *_pq_code_cols(books, F.col("__dv")),
+        *[
+            _code_col(books[s], F.col(f"__sub{s}")).alias(f"code{s}")
+            for s in range(m)
+        ],
         F.array_min(choices)["j"].alias("cell"),
     )
     encoded.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
