@@ -137,3 +137,17 @@ def test_gopher_rules_rule_by_rule(spark):
     assert got[4]["bullet_line_ratio"] == 1.0 and not got[4]["r_bullets"]
     assert got[5]["symbol_ratio"] > 0.1 and not got[5]["r_symbols"]
     assert got[6]["ellipsis_line_ratio"] == 1.0 and not got[6]["r_ellipses"]
+
+
+def test_domain_cap_salted_plan_pushes_partial_limits(spark):
+    """The scale contract: Spark must push WindowGroupLimit PARTIAL
+    below BOTH exchanges (map-side top-n per (domain, salt) group, then
+    per domain), so a hot domain ships ~n·buckets rows, not its whole
+    corpus."""
+    rows = [(i, f"d{i % 3}.com", i) for i in range(30)]
+    df = spark.createDataFrame(rows, "id bigint, domain string, rank bigint")
+    capped = domain_cap(df, "domain", 3, "rank", salt_buckets=4)
+    capped.collect()  # AQE: final plan exists only after execution
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 4, plan  # 2 phases × (Partial+Final)
+    assert "Partial" in plan.split("Exchange")[-1], plan  # one below the 1st exchange
