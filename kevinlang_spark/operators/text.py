@@ -1457,8 +1457,11 @@ def gopher_rules(
     symbol_ratio = F.when(
         n_words > 0, (hash_n + ell_n).cast("double") / n_words.cast("double")
     )
+    # the lambda MUST be unary: F.trim passed bare would receive
+    # transform's (element, index) pair — Spark 4's optional second trim
+    # parameter silently turns the index into a trim-character set
     lines = F.filter(
-        F.transform(F.split(t, "\n"), F.trim), lambda ln: ln != ""
+        F.transform(F.split(t, "\n"), lambda ln: F.trim(ln)), lambda ln: ln != ""
     )
     n_lines = F.size(lines)
     bullet_n = F.size(F.filter(lines, lambda ln: ln.rlike(r"^[-*•]")))

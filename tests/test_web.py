@@ -151,3 +151,22 @@ def test_domain_cap_salted_plan_pushes_partial_limits(spark):
     plan = capped._jdf.queryExecution().executedPlan().toString()
     assert plan.count("WindowGroupLimit") >= 4, plan  # 2 phases × (Partial+Final)
     assert "Partial" in plan.split("Exchange")[-1], plan  # one below the 1st exchange
+
+
+def test_gopher_rules_trim_is_unary(spark):
+    """Spark 4 regression trap: F.trim grew an optional second
+    parameter, so passing it BARE to F.transform receives (element,
+    index) and trims each line's own index digits.  A line that starts
+    and ends with its index digit must survive intact."""
+    text = "zero line\n1 one ends 1\n- bullet"
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    r = gopher_rules(df, min_words=1).first()
+    # 3 non-empty lines, exactly one bullet; the buggy trim would not
+    # change the count here, but it WOULD have emptied a line '1' — so
+    # pin the ratio AND a line consisting only of its index digit
+    assert abs(r["bullet_line_ratio"] - 1 / 3) < 1e-12
+    df2 = spark.createDataFrame([(2, "x\n1\n- b")], "doc_id bigint, text string")
+    r2 = gopher_rules(df2, min_words=1).first()
+    # line '1' at index 1: bare-F.trim trims it to '' (2 lines, ratio
+    # 1/2); the unary trim keeps 3 lines, bullet ratio 1/3
+    assert abs(r2["bullet_line_ratio"] - 1 / 3) < 1e-12
