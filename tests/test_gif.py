@@ -128,3 +128,115 @@ def test_extract_frame_stats_single_image_formats(spark):
     assert (got[1]["mean_r"], got[1]["mean_b"]) == (9.0, 7.0)
     assert (got[2]["mean_r"], got[2]["mean_b"]) == (1.0, 3.0)
     assert got[3]["mean_r"] == got[3]["mean_g"] == 33.0
+
+
+def _manual_gif(width, height, blocks, palette, bg_index=0):
+    """Hand-assembled GIF89a with full control over per-frame image
+    descriptors (left/top offsets, partial patches), GCE disposal and
+    transparency — the stream shapes make_gif never emits but real
+    animated GIFs use constantly."""
+    import struct
+
+    from kevinlang_spark.operators.gif import _lzw_encode, _sub_blocks
+
+    depth = max(2, (len(palette) - 1).bit_length())
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x80 | ((depth - 1) << 4) | (depth - 1), bg_index, 0])
+    for r, g, b in palette:
+        out += bytes((r, g, b))
+    out += b"\x00\x00\x00" * ((1 << depth) - len(palette))
+    for left, top, idx, disposal, transparent in blocks:
+        h, w = idx.shape
+        gce_flags = (disposal << 2) | (0x01 if transparent is not None else 0)
+        out += b"\x21\xf9\x04" + bytes([gce_flags, 0, 0, transparent or 0, 0])
+        out += b"\x2c" + struct.pack("<HHHH", left, top, w, h) + b"\x00"
+        mcs = max(2, depth)
+        out += bytes([mcs]) + _sub_blocks(_lzw_encode(idx.tobytes(), mcs))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_partial_frame_patch_composites_onto_canvas():
+    pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0)]
+    base = np.full((4, 6), 1, dtype=np.uint8)  # all red
+    patch = np.full((2, 2), 2, dtype=np.uint8)  # green 2x2
+    payload = _manual_gif(6, 4, [(0, 0, base, 1, None), (1, 1, patch, 1, None)], pal)
+    w, h, n, fr = gif_frames(payload)
+    assert (w, h, n) == (6, 4, 2)
+    assert (fr[0] == (255, 0, 0)).all()
+    expect = fr[0].copy()
+    expect[1:3, 1:3] = (0, 255, 0)
+    assert (fr[1] == expect).all()
+
+
+def test_transparency_keeps_underlying_canvas():
+    pal = [(9, 9, 9), (255, 0, 0), (0, 0, 255)]
+    base = np.full((3, 3), 1, dtype=np.uint8)
+    overlay = np.array([[2, 0, 2], [0, 2, 0], [2, 0, 2]], dtype=np.uint8)
+    # index 0 declared transparent: those pixels keep the red base
+    payload = _manual_gif(
+        3, 3, [(0, 0, base, 1, None), (0, 0, overlay, 1, 0)], pal
+    )
+    _, _, n, fr = gif_frames(payload)
+    assert n == 2
+    assert (fr[1][0, 0] == (0, 0, 255)).all()  # overlay index 2
+    assert (fr[1][0, 1] == (255, 0, 0)).all()  # transparent -> base shows
+    assert (fr[1][1, 1] == (0, 0, 255)).all()
+
+
+def test_disposal_background_restores_region():
+    pal = [(7, 7, 7), (255, 0, 0), (0, 255, 0)]
+    base = np.full((4, 4), 1, dtype=np.uint8)
+    patch = np.full((2, 2), 2, dtype=np.uint8)
+    tail = np.full((1, 1), 2, dtype=np.uint8)
+    # patch draws with disposal=2: after frame 2 its region resets to
+    # the background color before frame 3
+    payload = _manual_gif(
+        4,
+        4,
+        [(0, 0, base, 1, None), (0, 0, patch, 2, None), (3, 3, tail, 1, None)],
+        pal,
+        bg_index=0,
+    )
+    _, _, n, fr = gif_frames(payload)
+    assert n == 3
+    assert (fr[1][0, 0] == (0, 255, 0)).all()  # patch visible in frame 2
+    assert (fr[2][0, 0] == (7, 7, 7)).all()  # region restored to bg
+    assert (fr[2][3, 3] == (0, 255, 0)).all()  # tail pixel drawn
+
+
+def test_frame_exceeding_screen_rejected():
+    pal = [(0, 0, 0), (1, 1, 1)]
+    big = np.zeros((5, 5), dtype=np.uint8)
+    payload = _manual_gif(4, 4, [(2, 2, big, 1, None)], pal)
+    with pytest.raises(ValueError, match="exceeds logical screen"):
+        gif_frames(payload)
+
+
+def test_interlaced_frame_rows_reordered():
+    import struct
+
+    from kevinlang_spark.operators.gif import _lzw_encode, _sub_blocks
+
+    pal = [(i, i, i) for i in range(16)]
+    h, w = 11, 5  # odd height exercises all four interlace passes
+    rng = np.random.RandomState(9)
+    idx = rng.randint(0, 16, (h, w)).astype(np.uint8)
+    order = (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+    stored = idx[order]  # rows as an interlaced encoder would emit them
+    out = bytearray(b"GIF89a") + struct.pack("<HH", w, h)
+    out += bytes([0x80 | (3 << 4) | 3, 0, 0])
+    for r, g, b in pal:
+        out += bytes((r, g, b))
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([0x40])  # interlaced
+    out += bytes([4]) + _sub_blocks(_lzw_encode(stored.tobytes(), 4))
+    out += b"\x3b"
+    gw, gh, n, fr = gif_frames(bytes(out))
+    assert (gw, gh, n) == (w, h, 1)
+    assert (fr[0] == np.array(pal, dtype=np.uint8)[idx]).all()
