@@ -160,11 +160,11 @@ def _encode_block(
     return zz[0]
 
 
-def _fdct_quantized(block: np.ndarray) -> list[int]:
-    """Level-shift, forward DCT, quantize by the all-ones table, emit
-    zigzag-ordered ints."""
+def _fdct_quantized(block: np.ndarray, quant: int = 1) -> list[int]:
+    """Level-shift, forward DCT, quantize by the uniform ``quant``
+    table, emit zigzag-ordered ints."""
     f = _A @ (block.astype(np.float64) - 128.0) @ _A.T
-    q = np.rint(f).astype(np.int64)
+    q = np.rint(f / quant).astype(np.int64)
     flat = q.reshape(64)
     return [int(flat[ZIGZAG[i]]) for i in range(64)]
 
@@ -188,8 +188,18 @@ def make_jpeg(
     pixels: np.ndarray | None = None,
     subsample: bool = False,
     restart_interval: int = 0,
+    quant: int = 1,
+    two_tables: bool = False,
 ) -> bytes:
     """A minimal VALID baseline-sequential JPEG.
+
+    ``quant`` writes uniform quantization tables of that value (the
+    default 1 keeps constant blocks bit-exact; larger values exercise
+    REAL dequantization on the decode side — reconstruction error of a
+    constant block is bounded by quant/16).  ``two_tables`` registers a
+    second identical Huffman table pair as ids 1 and points the chroma
+    components at them (Td/Ta = 1) — the multi-table DHT/SOS wiring
+    real encoders use.
 
     - ``gray=v`` → single-component greyscale, every pixel ``v``.  With
       the all-ones quantization tables written here, constant blocks
@@ -242,30 +252,37 @@ def make_jpeg(
 
     ncomp = len(planes)
     out = bytearray(b"\xff\xd8")  # SOI
-    # DQT: table 0 (and 1 for color), all ones — quantization is exact
-    # for integer-DC constant blocks
+    if not 1 <= quant <= 255:
+        raise ValueError("make_jpeg: quant must be in [1, 255]")
+    # DQT: table 0 (and 1 for color), uniform `quant` — 1 keeps
+    # constant integer-DC blocks exact
     for tq in range(1 if is_gray else 2):
-        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + b"\x01" * 64
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes([quant]) * 64
     # SOF0
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, height, width, ncomp)
     for c in range(ncomp):
         h, v = samp[c]
         out += bytes([c + 1, (h << 4) | v, 0 if c == 0 else 1])
-    # DHT: one DC and one AC table, shared by every component
-    for tc, (bits, vals) in ((0, (_DC_BITS, _DC_VALS)), (1, (_AC_BITS, _AC_VALS))):
-        out += (
-            b"\xff\xc4"
-            + struct.pack(">H", 19 + len(vals))
-            + bytes([tc << 4])
-            + bytes(bits)
-            + bytes(vals)
-        )
+    # DHT: a DC+AC table pair as id 0; with two_tables an identical
+    # pair registers as id 1 for the chroma components (the Td/Ta
+    # wiring real encoders use — different ids, same canonical codes)
+    table_ids = (0, 1) if two_tables and not is_gray else (0,)
+    for th in table_ids:
+        for tc, (bits, vals) in ((0, (_DC_BITS, _DC_VALS)), (1, (_AC_BITS, _AC_VALS))):
+            out += (
+                b"\xff\xc4"
+                + struct.pack(">H", 19 + len(vals))
+                + bytes([(tc << 4) | th])
+                + bytes(bits)
+                + bytes(vals)
+            )
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for c in range(ncomp):
-        out += bytes([c + 1, 0x00])
+        t = 1 if (two_tables and not is_gray and c > 0) else 0
+        out += bytes([c + 1, (t << 4) | t])
     out += b"\x00\x3f\x00"
 
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
@@ -302,7 +319,9 @@ def make_jpeg(
                     for bx in range(h):
                         y0 = (my * v + by) * 8
                         x0 = (mx * h + bx) * 8
-                        zz = _fdct_quantized(padded[c][y0 : y0 + 8, x0 : x0 + 8])
+                        zz = _fdct_quantized(
+                            padded[c][y0 : y0 + 8, x0 : x0 + 8], quant
+                        )
                         _encode_block(bw, zz, preds[c], dc_codes, ac_codes)
                         preds[c] = zz[0]
     bw.flush()

@@ -133,3 +133,57 @@ def test_corrupt_jpeg_quarantines_in_extract_pixel_stats(spark):
     got = {r["doc_id"]: r for r in extract_pixel_stats(df).collect()}
     assert got[1]["mean_r"] == 10.0
     assert got[2]["mean_r"] is None  # quarantined, task survived
+
+
+def test_real_quantization_tables_dequantize_on_decode():
+    """quant > 1 exercises the decoder's dequantization multiply —
+    constant-block reconstruction error is bounded by quant/16."""
+    for q in (2, 4, 8, 16, 32):
+        for v in (0, 63, 128, 200, 255):
+            _, _, _, px = jpeg_pixels(make_jpeg(17, 9, gray=v, quant=q))
+            err = np.abs(px[:, :, 0].astype(float) - v).max()
+            assert err <= q / 16 + 1, (q, v, err)
+
+
+def test_lossy_quantization_still_bounded_on_content():
+    rng = np.random.RandomState(5)
+    src = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    _, _, _, px = jpeg_pixels(make_jpeg(16, 16, pixels=src, quant=8))
+    # per-coefficient error <= q/2; worst-case pixel error ~ q * few
+    assert np.abs(px[:, :, 0].astype(float) - src.astype(float)).max() <= 40
+
+
+def test_separate_chroma_huffman_tables():
+    """Td/Ta = 1 for chroma — the multi-table DHT/SOS wiring real
+    encoders emit; decode must be identical to the shared-table form."""
+    a = jpeg_pixels(make_jpeg(20, 12, rgb=(200, 30, 99)))
+    b = jpeg_pixels(make_jpeg(20, 12, rgb=(200, 30, 99), two_tables=True))
+    assert (a[3] == b[3]).all() and a[:3] == b[:3]
+
+
+def test_16bit_dqt_precision_accepted():
+    """Pq=1 (16-bit) quantization tables: rewrite the 8-bit DQT
+    segments of a valid stream into 16-bit form — same values, so the
+    decode must be bit-identical."""
+    import struct
+
+    payload = make_jpeg(15, 10, gray=77, quant=3)
+    out = bytearray()
+    i = 0
+    ref = jpeg_pixels(payload)
+    while i < len(payload):
+        if payload[i] == 0xFF and payload[i + 1] == 0xDB:
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            body = payload[i + 4 : i + 2 + seg_len]
+            tq = body[0] & 0x0F
+            vals = body[1:65]
+            new_body = bytes([(1 << 4) | tq]) + b"".join(
+                struct.pack(">H", v) for v in vals
+            )
+            out += b"\xff\xdb" + struct.pack(">H", 2 + len(new_body)) + new_body
+            i += 2 + seg_len
+        else:
+            out.append(payload[i])
+            i += 1
+    got = jpeg_pixels(bytes(out))
+    assert got[:3] == ref[:3] and (got[3] == ref[3]).all()
