@@ -214,9 +214,11 @@ def gif_frames(payload: bytes):
             j += 1
             if size == 0:
                 return bytes(data), j
-            data += payload[j : j + size]
-            if len(data) < size and j + size > len(payload):
+            # per-BLOCK truncation check (a cumulative-length check
+            # would only ever fire on the first sub-block)
+            if j + size > len(payload):
                 raise ValueError("truncated GIF sub-blocks")
+            data += payload[j : j + size]
             j += size
 
     while i < len(payload):
@@ -224,10 +226,14 @@ def gif_frames(payload: bytes):
         if block == 0x3B:  # trailer
             break
         if block == 0x21:  # extension
+            if i + 2 >= len(payload):
+                raise ValueError("truncated GIF extension")
             label = payload[i + 1]
             if label == 0xF9:  # Graphic Control Extension
                 size = payload[i + 2]
                 body = payload[i + 3 : i + 3 + size]
+                if size < 4 or len(body) < 4:
+                    raise ValueError("malformed GIF graphic control block")
                 disposal = (body[0] >> 2) & 0x07
                 transparent = body[3] if body[0] & 0x01 else None
                 if disposal == 3:
@@ -240,6 +246,8 @@ def gif_frames(payload: bytes):
             continue
         if block != 0x2C:
             raise ValueError("corrupt GIF block stream")
+        if i + 10 > len(payload):
+            raise ValueError("truncated GIF image descriptor")
         left, top, w, h = struct.unpack("<HHHH", payload[i + 1 : i + 9])
         iflags = payload[i + 9]
         j = i + 10
@@ -252,6 +260,8 @@ def gif_frames(payload: bytes):
             j += 3 * n
         if table is None:
             raise ValueError("GIF image block with no color table")
+        if j >= len(payload):
+            raise ValueError("truncated GIF image data")
         mcs = payload[j]
         data, j = read_sub_blocks(j + 1)
         idx = np.frombuffer(
@@ -279,13 +289,20 @@ def gif_frames(payload: bytes):
         else:
             region[:, :] = patch
         frames.append(canvas.copy())
-        if disposal == 2:  # restore background before the next frame
+        if disposal == 2:  # restore background before the next frame —
+            # the background color index refers to the GLOBAL color
+            # table (GIF89a §18), never a frame's local table
             bg = (
-                table[bg_index]
-                if bg_index < table.shape[0]
+                gct[bg_index]
+                if gct is not None and bg_index < gct.shape[0]
                 else np.zeros(3, dtype=np.uint8)
             )
             canvas[top : top + h, left : left + w] = bg
+        # a GCE governs ONLY the single rendering block that follows
+        # (GIF89a §23) — stale transparency/disposal must not leak into
+        # GCE-less frames
+        transparent = None
+        disposal = 0
         i = j
 
     if not frames:

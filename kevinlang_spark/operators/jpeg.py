@@ -463,12 +463,16 @@ def jpeg_pixels(payload: bytes):
                 else:
                     raise ValueError("corrupt JPEG DQT precision")
         elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            if len(body) < 6:
+                raise ValueError("malformed JPEG SOF header")
             if body[0] != 8:
                 raise ValueError("only 8-bit JPEG precision supported")
             height, width = struct.unpack(">HH", body[1:5])
             ncomp = body[5]
             if ncomp not in (1, 3):
                 raise ValueError("only greyscale / YCbCr JPEG supported")
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("malformed JPEG SOF header")
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 h, v = hv >> 4, hv & 0x0F
@@ -490,13 +494,31 @@ def jpeg_pixels(payload: bytes):
                 (dc_luts if tc == 0 else ac_luts)[th] = _canonical_lut(bits, vals)
                 j += 17 + nv
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("malformed JPEG DRI segment")
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS
+            if not body:
+                raise ValueError("malformed JPEG SOS header")
             ns = body[0]
+            if len(body) < 1 + 2 * ns:
+                raise ValueError("malformed JPEG SOS header")
+            if ns != len(comps):
+                # a legal baseline stream MAY carry one scan per
+                # component (non-interleaved); decoding only the first
+                # scan would silently return Y as a grayscale image
+                raise ValueError(
+                    "non-interleaved multi-scan JPEG unsupported "
+                    "(SOS component count != SOF component count)"
+                )
             scan_comps = []
             for c in range(ns):
                 cid, tda = body[1 + 2 * c : 3 + 2 * c]
-                comp = next(x for x in comps if x["id"] == cid)
+                comp = next((x for x in comps if x["id"] == cid), None)
+                if comp is None:
+                    raise ValueError(
+                        "JPEG SOS references an undeclared component"
+                    )
                 scan_comps.append((comp, tda >> 4, tda & 0x0F))
             # scan data runs from after this segment to the next real
             # marker (stuffed 0xFF00 and RSTn stay inside)

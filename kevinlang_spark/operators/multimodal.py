@@ -130,7 +130,13 @@ def extract_media_features(
                     return {}
                 try:
                     return decode(p, m)
-                except (ValueError, NotImplementedError):
+                except (
+                    ValueError,
+                    NotImplementedError,
+                    zlib.error,
+                    struct.error,
+                    IndexError,
+                ):
                     return {}
 
             feats = [safe(p, m) for p, m in zip(raw, pdf["media_type"])]
@@ -441,6 +447,40 @@ def make_wav(
     )
 
 
+def _bmp_pixels(payload: bytes):
+    """Parse an uncompressed 24-bit BMP to (width, height, H×W×3 RGB
+    uint8, top-down row order) — the ONE place BMP header/stride/BGR
+    rules live (shared by :func:`stdlib_pixel_decode` and the
+    frame-sampling decoder, which previously drifted on length
+    guards).  Anything else raises ValueError (quarantine)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError(
+            "pixel decode supports uncompressed 24-bit BMP, 8-bit PNG, "
+            "baseline JPEG and GIF only"
+        )
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    width, height = struct.unpack("<ii", payload[18:26])
+    bpp = struct.unpack("<H", payload[28:30])[0]
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+        raise ValueError("pixel decode supports uncompressed 24-bit BMP only")
+    n_rows = abs(height)
+    stride = (width * 3 + 3) & ~3
+    body = payload[data_off : data_off + stride * n_rows]
+    if len(body) < stride * n_rows:
+        raise ValueError("truncated BMP pixel array")
+    grid = np.frombuffer(body, dtype=np.uint8).reshape(n_rows, stride)
+    bgr = grid[:, : width * 3].reshape(n_rows, width, 3)
+    rgb = bgr[:, :, ::-1]
+    if height > 0:  # positive height = bottom-up row storage
+        rgb = rgb[::-1]
+    return width, n_rows, rgb.copy()
+
+
 def stdlib_pixel_decode(payload: bytes, media_type: str) -> dict:
     """FULL decode with zero external codecs, for the containers where
     that is honestly possible: 24-bit uncompressed BMP pixel grids,
@@ -518,35 +558,15 @@ def stdlib_pixel_decode(payload: bytes, media_type: str) -> dict:
                 "mean_g": mean_g,
                 "mean_b": mean_b,
             }
-        if payload[:2] != b"BM" or len(payload) < 54:
-            raise ValueError(
-                "pixel decode supports uncompressed 24-bit BMP, 8-bit "
-                "PNG and baseline JPEG only"
-            )
-        data_off = struct.unpack("<I", payload[10:14])[0]
-        width, height = struct.unpack("<ii", payload[18:26])
-        bpp, compression = struct.unpack("<H", payload[28:30])[0], struct.unpack(
-            "<I", payload[30:34]
-        )[0]
-        if bpp != 24 or compression != 0 or width <= 0 or height == 0:
-            raise ValueError("pixel decode supports uncompressed 24-bit BMP only")
-        n_rows = abs(height)
-        stride = (width * 3 + 3) & ~3
-        body = payload[data_off : data_off + stride * n_rows]
-        if len(body) < stride * n_rows:
-            raise ValueError("truncated BMP pixel array")
-        grid = np.frombuffer(body, dtype=np.uint8).reshape(n_rows, stride)
-        px = grid[:, : width * 3].reshape(n_rows, width, 3).astype(np.float64)
-        # rows are bottom-up when height > 0 — irrelevant for means, but
-        # the orientation flip is where a real pipeline would apply it
-        mean_b, mean_g, mean_r = px[:, :, 0].mean(), px[:, :, 1].mean(), px[:, :, 2].mean()
+        width, n_rows, rgb = _bmp_pixels(payload)
+        pxf = rgb.astype(np.float64)
         return {
             "width": width,
             "height": n_rows,
             "n_frames": 1,
-            "mean_r": float(mean_r),
-            "mean_g": float(mean_g),
-            "mean_b": float(mean_b),
+            "mean_r": float(pxf[:, :, 0].mean()),
+            "mean_g": float(pxf[:, :, 1].mean()),
+            "mean_b": float(pxf[:, :, 2].mean()),
         }
     if media_type == "audio":
         if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -599,7 +619,7 @@ def extract_pixel_stats(media_df: DataFrame) -> DataFrame:
                     continue
                 try:
                     feats.append(stdlib_pixel_decode(bytes(p), m))
-                except (ValueError, zlib.error, struct.error):
+                except (ValueError, zlib.error, struct.error, IndexError):
                     # zlib/struct errors can only come from arbitrary
                     # on-disk corruption (read_media_dir bronze input) —
                     # same quarantine as a malformed container
@@ -747,26 +767,9 @@ def _decode_frames(payload: bytes):
         else:
             rgb = px
         return w, h, rgb[None, :, :, :]
-    # fall back to the BMP branch of stdlib_pixel_decode semantics
     if payload[:2] == b"BM":
-        import numpy as np
-
-        data_off = struct.unpack("<I", payload[10:14])[0]
-        w, hh = struct.unpack("<ii", payload[18:26])
-        bpp = struct.unpack("<H", payload[28:30])[0]
-        if bpp != 24 or w <= 0 or hh == 0:
-            raise ValueError("frame decode supports 24-bit BMP only")
-        h = abs(hh)
-        stride = (w * 3 + 3) & ~3
-        body = payload[data_off : data_off + stride * h]
-        if len(body) < stride * h:
-            raise ValueError("truncated BMP pixel array")
-        grid = np.frombuffer(body, dtype=np.uint8).reshape(h, stride)
-        bgr = grid[:, : w * 3].reshape(h, w, 3)
-        rgb = bgr[:, :, ::-1]
-        if hh > 0:  # bottom-up row order
-            rgb = rgb[::-1]
-        return w, h, rgb[None, :, :, :].copy()
+        w, h, rgb = _bmp_pixels(payload)
+        return w, h, rgb[None, :, :, :]
     raise ValueError("no codec-free frame decode for this container")
 
 
@@ -815,7 +818,7 @@ def extract_frame_stats(
                     continue
                 try:
                     w, h, frames = _decode_frames(bytes(p))
-                except (ValueError, zlib.error, struct.error):
+                except (ValueError, zlib.error, struct.error, IndexError):
                     continue
                 for f in range(0, frames.shape[0], every_k):
                     px = frames[f]

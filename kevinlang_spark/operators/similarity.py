@@ -36,12 +36,14 @@ def _query_lit(vec: list[float]) -> Column:
 
 
 def _round_half_up(x: float, nd: int = 6) -> float:
-    """Driver-side rounding with Spark's ``F.round`` semantics
-    (BigDecimal HALF_UP) — Python's builtin ``round`` is banker's
-    rounding, so a distance landing exactly on a half boundary would
-    disagree with the row-side argmin and the DuckDB oracle (both
-    half-away for the non-negative distances used here)."""
-    return float(Decimal(x).quantize(Decimal(1).scaleb(-nd), ROUND_HALF_UP))
+    """Driver-side rounding with Spark's ``F.round`` semantics —
+    HALF_UP over the SHORTEST DECIMAL RENDERING of the double
+    (``BigDecimal(Double.toString(x))``), hence ``Decimal(repr(x))``,
+    NOT ``Decimal(x)``: the exact binary value of a decimal-looking
+    half boundary like 5.5e-6 sits just below the half, so converting
+    the raw double would round DOWN where Spark rounds UP.  Python's
+    builtin ``round`` is wrong twice over (banker's + binary)."""
+    return float(Decimal(repr(x)).quantize(Decimal(1).scaleb(-nd), ROUND_HALF_UP))
 
 
 def cosine_topk(
@@ -842,46 +844,17 @@ def pq_topk(
     m = len(books)
     if m == 0:
         raise ValueError("pq_topk: empty codebooks")
-    k = len(books[0])
     dsub = len(books[0][0])
     if len(query) != m * dsub:
         raise ValueError(
             f"pq_topk: query dim {len(query)} != m*dsub {m * dsub}"
         )
-
-    dvec = F.col(vec_col).cast("array<double>")
-    # subvectors materialize as projected columns first — lambda
-    # expressions get no CSE, so an inline slice re-evaluates once per
-    # centroid (k consumers each; measured ~17% off the probe at sf0.1)
-    proj = df.select(
-        F.col(id_col),
-        *[F.slice(dvec, s * dsub + 1, dsub).alias(f"__sub{s}") for s in range(m)],
-    )
-    adist = F.lit(0.0)
-    for s in range(m):
-        sub = F.col(f"__sub{s}")
-        choices = F.array(
-            *[
-                F.struct(
-                    F.round(_sqdist_to_lit(sub, books[s][j]), 6).alias("d"),
-                    F.lit(j).alias("j"),
-                )
-                for j in range(k)
-            ]
-        )
-        code = F.array_min(choices)["j"]
-        qsub = query[s * dsub : (s + 1) * dsub]
-        lut = [
-            _round_half_up(sum((a - b) * (a - b) for a, b in zip(qsub, c)))
-            for c in books[s]
-        ]
-        adist = adist + F.element_at(
-            F.array(*[F.lit(float(d)) for d in lut]), code + 1
-        )
-    return (
-        proj.select(F.col(id_col), F.round(adist, 6).alias("adist"))
-        .orderBy(F.col("adist").asc(), F.col(id_col).asc())
-        .limit(k_out)
+    # one encode expression exists in this module: pq_encode/_code_col
+    # (subvectors projected first — the winnow rule) feeding the same
+    # _adc_rank the persisted-index probe uses, so the inline and
+    # indexed paths CANNOT desynchronize
+    return _adc_rank(
+        pq_encode(df, books, vec_col, id_col), books, query, id_col, k_out
     )
 
 

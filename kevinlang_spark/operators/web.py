@@ -120,8 +120,16 @@ def domain_cap(
     if salt_buckets is not None:
         if salt_buckets < 1:
             raise ValueError("domain_cap: salt_buckets must be >= 1")
+        # salt over EVERY column, not order_col alone: a hot domain
+        # whose rows tie on a coarse quality rank (the common skew
+        # case) would otherwise hash to ONE salt bucket and re-create
+        # the single-partition shuffle the salting exists to spread
         salted = df.withColumn(
-            "__salt", F.pmod(F.xxhash64(F.col(order_col)), F.lit(salt_buckets))
+            "__salt",
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in df.columns]),
+                F.lit(salt_buckets),
+            ),
         )
         w1 = Window.partitionBy(domain_col, "__salt").orderBy(
             F.col(order_col).asc()
