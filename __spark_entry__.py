@@ -1110,6 +1110,25 @@ def q_media_jpeg(spark, sf_dir):
     return extract_pixel_stats(media)
 
 
+def q_media_flac(spark, sf_dir):
+    """FULL FLAC decode with zero codec libraries (operators/flac.py):
+    synthesize real rice-coded FLAC streams executor-side — constant
+    amplitude doc_id % 2048 over doc_id % 1000 + 1 samples, multiple
+    256-sample blocks — then bit-decode the subframes through
+    mapInPandas and report RMS/peak.  Lossless constant blocks decode
+    exactly, so the oracle is the same closed form as the PCM-WAV
+    variant (q_media_pixels) — the proof that entropy-coded AUDIO
+    survives the pipeline; only lossy codecs remain gated."""
+    from kevinlang_spark.operators.multimodal import (
+        attach_stdlib_media,
+        extract_pixel_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_stdlib_media(docs, filled=True, flac=True)
+    return extract_pixel_stats(media)
+
+
 def q_media_gif(spark, sf_dir):
     """FULL animated-GIF decode with zero codec libraries
     (operators/gif.py): synthesize real multi-frame LZW streams
@@ -4563,6 +4582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_resample_lerp": q_resample_lerp,
         "q_media_ingest": q_media_ingest,
         "q_media_jpeg": q_media_jpeg,
+        "q_media_flac": q_media_flac,
         "q_media_gif": q_media_gif,
         "q_media_frames": q_media_frames,
         "q_url_normalize": q_url_normalize,
@@ -5924,6 +5944,31 @@ def oracle_sql() -> dict[str, str]:
             # the decoded CONTENT statistics must equal the generation
             # formula: constant-fill BMPs/WAVs make every mean/rms/peak
             # exact in float64 (mean of n identical ints is exact)
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END "
+            "AS media_type, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 64 + 1 END AS INTEGER) "
+            "AS width, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 48 + 1 END AS INTEGER) "
+            "AS height, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN 1 "
+            "ELSE doc_id % 1000 + 1 END AS INTEGER) AS n_frames, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 256 END AS DOUBLE) "
+            "AS mean_r, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id * 3) % 256 END AS DOUBLE) "
+            "AS mean_g, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id * 7) % 256 END AS DOUBLE) "
+            "AS mean_b, "
+            "CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 2048 END AS DOUBLE) "
+            "AS rms, "
+            "CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 2048 END AS DOUBLE) "
+            "AS peak "
+            "FROM documents"
+        ),
+        # identical closed form: q_media_flac swaps the audio CONTAINER
+        # (rice-coded FLAC for PCM WAV) — constant blocks decode
+        # losslessly, so every statistic is container-invariant
+        "q_media_flac": (
             "SELECT doc_id, "
             "CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END "
             "AS media_type, "

@@ -218,6 +218,17 @@ def stdlib_decode(payload: bytes, media_type: str) -> dict:
                 i += 2 + seg_len
         raise ValueError("unrecognized or truncated image container")
     if media_type == "audio":
+        if payload[:4] == b"fLaC" and len(payload) >= 42:
+            # STREAMINFO is the mandatory first metadata block: 4 magic
+            # + 4 block-header + 10 size/framing bytes put the packed
+            # rate/channels/bits/total field at offset 18
+            # (operators/flac.py holds the full decoder)
+            packed = int.from_bytes(payload[18:26], "big")
+            return {
+                "width": None,
+                "height": None,
+                "n_frames": packed & ((1 << 36) - 1),
+            }
         if (
             payload[:4] == b"RIFF"
             and payload[8:12] == b"WAVE"
@@ -569,8 +580,20 @@ def stdlib_pixel_decode(payload: bytes, media_type: str) -> dict:
             "mean_b": float(pxf[:, :, 2].mean()),
         }
     if media_type == "audio":
+        if payload[:4] == b"fLaC":
+            from kevinlang_spark.operators.flac import flac_samples
+
+            _sr, _ch, decoded = flac_samples(payload)
+            s = decoded.astype(np.float64).reshape(-1)
+            return {
+                "n_frames": int(decoded.shape[0]),
+                "rms": float(np.sqrt((s * s).mean())) if s.size else 0.0,
+                "peak": float(np.abs(s).max()) if s.size else 0.0,
+            }
         if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-            raise ValueError("pixel decode supports 16-bit mono PCM WAV only")
+            raise ValueError(
+                "pixel decode supports 16-bit mono PCM WAV and FLAC only"
+            )
         i, fmt_ok, samples = 12, False, None
         while i + 8 <= len(payload):
             cid = payload[i : i + 4]
@@ -650,6 +673,7 @@ def attach_stdlib_media(
     png: bool = False,
     jpeg: bool = False,
     gif: bool = False,
+    flac: bool = False,
 ) -> DataFrame:
     """Synthesize a bronze media table with REAL container bytes:
     alternating BMPs (dimensions derived from doc_id) and WAVs (frame
@@ -673,9 +697,14 @@ def attach_stdlib_media(
     (operators/gif.py): doc_id % 5 + 1 constant-color frames, frame f
     filled with ((d+f) % 256, (3d+f) % 256, (7d+f) % 256) — real LZW
     streams whose per-frame AND whole-file statistics stay closed-form
-    in (doc_id, frame)."""
+    in (doc_id, frame).  ``flac=True`` routes the audio rows through
+    real rice-coded FLAC streams (operators/flac.py) instead of PCM
+    WAV — constant-amplitude blocks decode losslessly, so the RMS/peak
+    oracle is unchanged while the entropy-coded audio path is
+    exercised end-to-end."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from kevinlang_spark.operators.flac import make_flac
         from kevinlang_spark.operators.gif import make_gif
         from kevinlang_spark.operators.jpeg import make_jpeg
 
@@ -723,7 +752,17 @@ def attach_stdlib_media(
                 else:
                     media.append("audio")
                     amp = d % 2048 if filled else 0
-                    payload.append(make_wav(d % 1000 + 1, amplitude=amp))
+                    if flac:
+                        import numpy as _np
+
+                        payload.append(
+                            make_flac(
+                                _np.full(d % 1000 + 1, amp, dtype=_np.int64),
+                                block_size=256,
+                            )
+                        )
+                    else:
+                        payload.append(make_wav(d % 1000 + 1, amplitude=amp))
             yield pd.DataFrame(
                 {"doc_id": ids, "media_type": media, "payload": payload}
             )
