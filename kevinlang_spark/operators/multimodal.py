@@ -7,8 +7,9 @@ in tiers: :func:`stdlib_decode` parses real container headers for
 PNG/GIF/BMP/JPEG/WAV; :func:`stdlib_pixel_decode` FULLY decodes pixel
 and sample data with zero codec libraries — BMP grids, PNG (zlib
 inflate + scanline predictors), baseline JPEG (operators/jpeg.py:
-Huffman + IDCT), GIF incl. animations (operators/gif.py: LZW), and
-PCM WAV; only lossy audio remains honestly gated behind
+Huffman + IDCT), GIF incl. animations (operators/gif.py: LZW), PCM
+WAV, and FLAC (operators/flac.py: rice-coded integer prediction); only
+LOSSY audio/video (MP3/AAC/H.26x) remains honestly gated behind
 :func:`real_decode`'s codec imports (`decode=fake_decode` is the
 deterministic stand-in for those).  Every extractor is a pluggable
 ``decode(bytes, media_type) -> dict``; nothing in the Spark plumbing
