@@ -130,13 +130,20 @@ def _unzigzag(m: int) -> int:
 
 
 def _utf8_number(n: int) -> bytes:
-    """FLAC's UTF-8-style coded number (frame index)."""
+    """FLAC's UTF-8-style coded number (frame index, up to 36 bits).
+
+    An ``n_bytes``-byte coding carries ``(7 - n_bytes)`` lead-byte bits
+    plus 6 bits per continuation byte = ``5 * n_bytes + 1`` bits total
+    — the review-caught off-by-threshold here emitted malformed lead
+    bytes for every frame index >= 2048 (any stream past ~2048 blocks).
+    """
     if n < 0x80:
         return bytes([n])
+    if n >= 1 << 36:
+        raise ValueError("FLAC coded number exceeds 36 bits")
     out = []
-    bits_needed = n.bit_length()
     n_bytes = 2
-    while bits_needed > 5 * n_bytes + (7 - n_bytes) - 1 and n_bytes < 7:
+    while n.bit_length() > 5 * n_bytes + 1:
         n_bytes += 1
     # leading byte: n_bytes ones, a zero, then the high payload bits
     payload_bits = 6 * (n_bytes - 1)
@@ -192,6 +199,10 @@ def make_flac(
         s = s[:, None]
     if s.ndim != 2 or s.shape[1] not in (1, 2):
         raise ValueError("make_flac: 1-D mono or N×2 stereo input only")
+    if s.shape[0] == 0:
+        # a stored total of 0 means UNKNOWN per RFC 9639 — an empty
+        # signal would be indistinguishable from it
+        raise ValueError("make_flac: empty input (total=0 means unknown)")
     if s.size and (s.max() > 32767 or s.min() < -32768):
         raise ValueError("make_flac: samples must fit int16")
     n_total, n_ch = s.shape
@@ -310,6 +321,10 @@ def flac_samples(payload: bytes):
         raise ValueError("only 16-bit FLAC supported")
     if n_ch > 2:
         raise ValueError("only mono/stereo FLAC supported")
+    if n_total == 0:
+        # RFC 9639: zero means UNKNOWN total (streaming encoders) —
+        # decoding zero frames here would silently report empty audio
+        raise ValueError("FLAC with unknown total-sample count unsupported")
 
     br = _BitReader(payload, i * 8)
     channels_out: list[list[int]] = []
@@ -449,9 +464,8 @@ def _read_residual(br: _BitReader, bs: int, order: int) -> list[int]:
     escape = (1 << pbits) - 1
     part_order = br.bits(4)
     n_parts = 1 << part_order
-    if bs % n_parts or (bs >> part_order) <= order and n_parts > 1:
-        if bs % n_parts:
-            raise ValueError("FLAC partition order does not divide block")
+    if bs % n_parts:
+        raise ValueError("FLAC partition order does not divide block")
     res: list[int] = []
     for p in range(n_parts):
         count = (bs >> part_order) - (order if p == 0 else 0)

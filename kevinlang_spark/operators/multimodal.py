@@ -220,16 +220,20 @@ def stdlib_decode(payload: bytes, media_type: str) -> dict:
         raise ValueError("unrecognized or truncated image container")
     if media_type == "audio":
         if payload[:4] == b"fLaC" and len(payload) >= 42:
-            # STREAMINFO is the mandatory first metadata block: 4 magic
+            # STREAMINFO is the mandatory FIRST metadata block: 4 magic
             # + 4 block-header + 10 size/framing bytes put the packed
             # rate/channels/bits/total field at offset 18
             # (operators/flac.py holds the full decoder)
+            if payload[4] & 0x7F != 0:
+                raise ValueError("FLAC first metadata block is not STREAMINFO")
             packed = int.from_bytes(payload[18:26], "big")
-            return {
-                "width": None,
-                "height": None,
-                "n_frames": packed & ((1 << 36) - 1),
-            }
+            n_frames = packed & ((1 << 36) - 1)
+            # 0 means UNKNOWN (RFC 9639); the 36-bit field also exceeds
+            # the Int32 feature column for corrupt headers — both
+            # quarantine rather than report garbage or kill the task
+            if n_frames == 0 or n_frames > 0x7FFFFFFF:
+                raise ValueError("FLAC total-sample count unknown or corrupt")
+            return {"width": None, "height": None, "n_frames": n_frames}
         if (
             payload[:4] == b"RIFF"
             and payload[8:12] == b"WAVE"

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import MapType
 
 #: tracking query parameters stripped by :func:`normalize_url` —
 #: the conventional analytics/click-id set
@@ -102,6 +103,7 @@ def domain_cap(
     n_per_domain: int,
     order_col: str,
     salt_buckets: int | None = None,
+    salt_cols: "list[str] | None" = None,
 ) -> DataFrame:
     """Keep at most ``n_per_domain`` rows per domain, preferring the
     smallest ``order_col`` (pass a quality-rank column; ties and
@@ -120,14 +122,27 @@ def domain_cap(
     if salt_buckets is not None:
         if salt_buckets < 1:
             raise ValueError("domain_cap: salt_buckets must be >= 1")
-        # salt over EVERY column, not order_col alone: a hot domain
-        # whose rows tie on a coarse quality rank (the common skew
-        # case) would otherwise hash to ONE salt bucket and re-create
-        # the single-partition shuffle the salting exists to spread
+        # salt over the row, not order_col alone: a hot domain whose
+        # rows tie on a coarse quality rank (the common skew case)
+        # would otherwise hash to ONE salt bucket and re-create the
+        # single-partition shuffle the salting exists to spread.
+        # ``salt_cols`` narrows the hash input — pass the cheap unique
+        # id columns when the frame carries multi-KB payloads (hashing
+        # the whole row costs per-byte on exactly the scale path this
+        # targets); map-typed columns are excluded (xxhash64 cannot
+        # hash maps).
+        if salt_cols is None:
+            salt_cols = [
+                f.name
+                for f in df.schema.fields
+                if not isinstance(f.dataType, MapType)
+            ]
+        if not salt_cols:
+            raise ValueError("domain_cap: no hashable salt columns")
         salted = df.withColumn(
             "__salt",
             F.pmod(
-                F.xxhash64(*[F.col(c) for c in df.columns]),
+                F.xxhash64(*[F.col(c) for c in salt_cols]),
                 F.lit(salt_buckets),
             ),
         )

@@ -306,3 +306,94 @@ def test_multimodal_routes_flac(spark):
     got = {r["doc_id"]: r for r in extract_pixel_stats(df).collect()}
     assert got[1]["rms"] == 55.0
     assert got[2]["rms"] is None  # quarantined
+
+
+# ------------------------------------------ second-review regression pins
+
+
+def test_utf8_number_roundtrips_past_2048_frames():
+    """Review finding: a wrong byte-count threshold emitted malformed
+    coded numbers for frame indexes >= 2048 — any stream longer than
+    ~2048 blocks was undecodable past that frame."""
+    from kevinlang_spark.operators.flac import _BitReader, _read_utf8_number
+
+    for n in (127, 128, 2047, 2048, 4095, 65535, (1 << 36) - 1):
+        enc = _utf8_number(n)
+        assert _read_utf8_number(_BitReader(enc)) == n, n
+    assert _utf8_number(2048) == b"\xe0\xa0\x80"  # proper 3-byte coding
+    with pytest.raises(ValueError, match="36 bits"):
+        _utf8_number(1 << 36)
+
+
+def test_long_stream_many_blocks_roundtrip():
+    """>2048 frames end-to-end with a small block size (the shape the
+    coded-number bug corrupted)."""
+    n_blocks = 2100
+    x = (np.arange(n_blocks * 4) % 251 - 125).astype(np.int64)
+    _, _, s = flac_samples(make_flac(x, block_size=4))
+    assert (s[:, 0] == x).all()
+
+
+def test_unknown_total_samples_quarantines():
+    """Review finding: total == 0 means UNKNOWN (RFC 9639), not 'zero
+    frames' — silently returning empty audio is wrong data."""
+    p = bytearray(make_flac(np.full(50, 9)))
+    packed = int.from_bytes(p[18:26], "big")
+    p[18:26] = (packed & ~((1 << 36) - 1)).to_bytes(8, "big")
+    with pytest.raises(ValueError, match="unknown total"):
+        flac_samples(bytes(p))
+    with pytest.raises(ValueError, match="empty input"):
+        make_flac(np.array([], dtype=np.int64))
+
+
+def test_header_walk_rejects_corrupt_streaminfo(spark):
+    """Review findings: stdlib_decode must not trust a fLaC prefix —
+    a non-STREAMINFO first block or a 36-bit sample count that would
+    overflow the Int32 feature column quarantines instead of returning
+    garbage or killing the task."""
+    from kevinlang_spark.operators.multimodal import (
+        extract_media_features,
+        stdlib_decode,
+    )
+
+    good = make_flac(np.full(50, 9))
+    wrong_type = bytearray(good)
+    wrong_type[4] = 0x81  # first block claims PADDING
+    huge = bytearray(good)
+    packed = int.from_bytes(huge[18:26], "big")
+    packed = (packed & ~((1 << 36) - 1)) | (1 << 35)
+    huge[18:26] = packed.to_bytes(8, "big")
+    with pytest.raises(ValueError, match="STREAMINFO"):
+        stdlib_decode(bytes(wrong_type), "audio")
+    with pytest.raises(ValueError, match="unknown or corrupt"):
+        stdlib_decode(bytes(huge), "audio")
+    # and through the Arrow batch: null features, live task
+    df = spark.createDataFrame(
+        [(1, "audio", bytes(huge)), (2, "audio", good)],
+        "doc_id bigint, media_type string, payload binary",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in extract_media_features(df, decode=stdlib_decode).collect()
+    }
+    assert got[1]["n_frames"] is None and got[2]["n_frames"] == 50
+
+
+def test_domain_cap_salts_skip_map_columns(spark):
+    """Review finding: hashing every column broke frames with map-typed
+    columns (xxhash64 cannot hash maps) — they are excluded by default,
+    and salt_cols overrides the hash input."""
+    from pyspark.sql import functions as F
+
+    from kevinlang_spark.operators.web import domain_cap
+
+    rows = [(i, "d.com", i, {"k": str(i)}) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "id bigint, domain string, rank bigint, meta map<string,string>"
+    )
+    got = domain_cap(df, "domain", 3, "rank", salt_buckets=4)
+    assert sorted(r["id"] for r in got.collect()) == [0, 1, 2]
+    got2 = domain_cap(
+        df, "domain", 3, "rank", salt_buckets=4, salt_cols=["id"]
+    )
+    assert sorted(r["id"] for r in got2.collect()) == [0, 1, 2]
