@@ -4566,20 +4566,22 @@ def q_hard_negatives(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "q_lpa_communities": q_lpa_communities,
+        "q_pagerank": q_pagerank,
+        "q_hits": q_hits,
+        "q_kcore": q_kcore,
+        "q_wl_refinement": q_wl_refinement,
+        "q_shortest_paths": q_shortest_paths,
+        "q_harmonic_centrality": q_harmonic_centrality,
+        "q_stream_hourly": q_stream_hourly,
+        "q_stream_sliding": q_stream_sliding,
+        "q_stream_sessions": q_stream_sessions,
+        "q_stream_dedup": q_stream_dedup,
+        "q_stream_join": q_stream_join,
+        "q_stream_stateful": q_stream_stateful,
+        "q_record_linkage": q_record_linkage,
         "q_ann_pq_indexed": q_ann_pq_indexed,
         "q_ann_ivfpq_indexed": q_ann_ivfpq_indexed,
-        "q_ewma_smooth": q_ewma_smooth,
-        "q_funnel_latency": q_funnel_latency,
-        "q_dp_counts": q_dp_counts,
-        "q_join_ivm": q_join_ivm,
-        "q_top_tokens_per_source": q_top_tokens_per_source,
-        "q_survival": q_survival,
-        "q_backtest": q_backtest,
-        "q_rank_overlap": q_rank_overlap,
-        "q_dedup_longest": q_dedup_longest,
-        "q_mahalanobis": q_mahalanobis,
-        "q_temporal_join": q_temporal_join,
-        "q_resample_lerp": q_resample_lerp,
         "q_media_ingest": q_media_ingest,
         "q_media_jpeg": q_media_jpeg,
         "q_media_flac": q_media_flac,
@@ -4588,216 +4590,214 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_normalize": q_url_normalize,
         "q_domain_cap": q_domain_cap,
         "q_gopher_rules": q_gopher_rules,
-        "q_ann_pq": q_ann_pq,
-        "q_bpe_train": q_bpe_train,
-        "q_bpe_encode": q_bpe_encode,
-        "q_hard_negatives": q_hard_negatives,
-        "q_truncation_recall": q_truncation_recall,
-        "q_jl_distortion": q_jl_distortion,
-        "q_class_weights": q_class_weights,
-        "q_ann_ivfpq": q_ann_ivfpq,
-        "q_source_kl": q_source_kl,
-        "q_quantize_embeddings": q_quantize_embeddings,
-        "q_label_centroids": q_label_centroids,
-        "q_incremental_agg": q_incremental_agg,
-        "q_triangles": q_triangles,
-        "q_jaccard_prefix": q_jaccard_prefix,
-        "q_bm25_search": q_bm25_search,
-        "q_hybrid_retrieval": q_hybrid_retrieval,
-        "q_grouping_sets": q_grouping_sets,
-        "q_vocab_coverage": q_vocab_coverage,
-        "q_repeated_spans": q_repeated_spans,
-        "q_skyline": q_skyline,
-        "q_mode": q_mode,
-        "q_paths": q_paths,
-        "q_corr_matrix": q_corr_matrix,
-        "q_benford": q_benford,
-        "q_ab_test": q_ab_test,
-        "q_rfm": q_rfm,
-        "q_gini": q_gini,
-        "q_attribution_linear": q_attribution_linear,
-        "q_boilerplate": q_boilerplate,
-        "q_assoc_rules": q_assoc_rules,
-        "q_keyfilter_join": q_keyfilter_join,
-        "q_line_dedup": q_line_dedup,
-        "q_cdc_apply": q_cdc_apply,
-        "q_interval_overlap": q_interval_overlap,
-        "q_target_encode": q_target_encode,
-        "q_mad_outliers": q_mad_outliers,
-        "q_chi_square": q_chi_square,
-        "q_decayed_features": q_decayed_features,
-        "q_bootstrap_mean": q_bootstrap_mean,
-        "q_psi_drift": q_psi_drift,
-        "q_group_ols": q_group_ols,
-        "q_k_anonymity": q_k_anonymity,
-        "q_cusum": q_cusum,
-        "q_seasonal_anomalies": q_seasonal_anomalies,
-        "q_snapshot_diff": q_snapshot_diff,
-        "q_char_entropy": q_char_entropy,
-        "q_bpe_pairs": q_bpe_pairs,
-        "q_ngram_diversity": q_ngram_diversity,
-        "q_mixture_weights": q_mixture_weights,
-        "q_window_dedup": q_window_dedup,
-        "q_ann_probe_pruned": q_ann_probe_pruned,
-        "q_media_pixels": q_media_pixels,
-        "q_theta_overlap": q_theta_overlap,
-        "q_cms_tokens": q_cms_tokens,
-        "q_join_estimate": q_join_estimate,
-        "q_heavy_hitters": q_heavy_hitters,
-        "q_approx_distinct": q_approx_distinct,
-        "q_semantic_dedup": q_semantic_dedup,
-        "q_novelty": q_novelty,
-        "q_containment": q_containment,
-        "q_source_overlap": q_source_overlap,
-        "q_pack_sequences": q_pack_sequences,
-        "q_chunk_tokens": q_chunk_tokens,
-        "q_repetition_stats": q_repetition_stats,
-        "q_hash_split": q_hash_split,
-        "q_contamination": q_contamination,
-        "q_stratified_sample": q_stratified_sample,
-        "q_token_estimate": q_token_estimate,
-        "q_click_attribution": q_click_attribution,
-        "q_clean_lines": q_clean_lines,
-        "q_salted_agg": q_salted_agg,
-        "q_salted_join": q_salted_join,
-        "q_events_sliding": q_events_sliding,
-        "q_resample_ffill": q_resample_ffill,
-        "q_cube": q_cube,
-        "q_histogram": q_histogram,
-        "q_redact_pii": q_redact_pii,
-        "q_upsert": q_upsert,
-        "q_weighted_sample": q_weighted_sample,
-        "q_scd2": q_scd2,
-        "q_funnel": q_funnel,
-        "q_transitions": q_transitions,
-        "q_budget_sample": q_budget_sample,
-        "q_winsorize": q_winsorize,
-        "q_approx_quantile": q_approx_quantile,
-        "q_inverted_index": q_inverted_index,
-        "q_retention": q_retention,
-        "q_validate": q_validate,
-        "q_merge_intervals": q_merge_intervals,
-        "q_twap": q_twap,
-        "q_profile": q_profile,
-        "q_fuzzy_join": q_fuzzy_join,
-        "q_equidepth": q_equidepth,
-        "q_rolling": q_rolling,
-        "q_lm_score": q_lm_score,
-        "q_stream_hourly": q_stream_hourly,
-        "q_stream_sliding": q_stream_sliding,
-        "q_stream_dedup": q_stream_dedup,
-        "q_stream_sessions": q_stream_sessions,
-        "q_stream_stateful": q_stream_stateful,
-        "q_stream_join": q_stream_join,
-        "q_media_decode": q_media_decode,
-        "q_record_linkage": q_record_linkage,
-        "q_radius_join": q_radius_join,
-        "q_feature_hash": q_feature_hash,
-        "q_zorder_keys": q_zorder_keys,
-        "q_trigram_search": q_trigram_search,
-        "q_fingerprint_clusters": q_fingerprint_clusters,
-        "q_fd_check": q_fd_check,
-        "q_dsir_weights": q_dsir_weights,
-        "q_semantic_clusters": q_semantic_clusters,
-        "q_acf": q_acf,
-        "q_corpus_report": q_corpus_report,
-        "q_markov_attribution": q_markov_attribution,
-        "q_ann_lsh_indexed": q_ann_lsh_indexed,
-        "q_winnow_fingerprints": q_winnow_fingerprints,
-        "q_token_pmi": q_token_pmi,
-        "q_rank_fusion": q_rank_fusion,
-        "q_kcore": q_kcore,
+        "q_neardup_components": q_neardup_components,
+        "q_ann_lsh": q_ann_lsh,
+        "q_minhash_pairs": q_minhash_pairs,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_knn_cosine": q_knn_cosine,
+        "q_dedup_exact": q_dedup_exact,
+        "q_dedup_rate": q_dedup_rate,
+        "q_dedup_representatives": q_dedup_representatives,
         "q_link_prediction": q_link_prediction,
-        "q_lpa_communities": q_lpa_communities,
-        "q_wl_refinement": q_wl_refinement,
-        "q_shortest_paths": q_shortest_paths,
-        "q_harmonic_centrality": q_harmonic_centrality,
-        "q_hits": q_hits,
-        "q_pca_top_component": q_pca_top_component,
-        "q_pca_components": q_pca_components,
-        "q_pca_scores": q_pca_scores,
-        "q_sorted_neighborhood": q_sorted_neighborhood,
-        "q_bloom_filter": q_bloom_filter,
-        "q_sparse_cosine": q_sparse_cosine,
-        "q_cube_revenue": q_cube_revenue,
-        "q_rollup_revenue": q_rollup_revenue,
-        "q_knn_join": q_knn_join,
         "q_ann_ivf": q_ann_ivf,
-        "q_curation_chunks": q_curation_chunks,
-        "q_leakage_split": q_leakage_split,
+        "q_ann_lsh_indexed": q_ann_lsh_indexed,
+        "q_semantic_clusters": q_semantic_clusters,
+        "q_knn_join": q_knn_join,
         "q_kcenter_sample": q_kcenter_sample,
         "q_intrinsic_dim": q_intrinsic_dim,
-        "q_frequent_sequences": q_frequent_sequences,
-        "q_tfidf_top_terms": q_tfidf_top_terms,
-        "q_pagerank": q_pagerank,
         "q_hll_rollup": q_hll_rollup,
         "q_kll_rollup": q_kll_rollup,
-        "q_select": q_select,
-        "q_filter": q_filter,
-        "q_groupby_sum": q_groupby_sum,
+        "q_bloom_filter": q_bloom_filter,
+        "q_radius_join": q_radius_join,
+        "q_ann_probe_pruned": q_ann_probe_pruned,
+        "q_semantic_dedup": q_semantic_dedup,
+        "q_theta_overlap": q_theta_overlap,
+        "q_cms_tokens": q_cms_tokens,
+        "q_triangles": q_triangles,
+        "q_ann_ivfpq": q_ann_ivfpq,
+        "q_ann_pq": q_ann_pq,
+        "q_dedup_longest": q_dedup_longest,
+        "q_hybrid_retrieval": q_hybrid_retrieval,
+        "q_bm25_search": q_bm25_search,
+        "q_argmax": q_argmax,
+        "q_asof_join": q_asof_join,
+        "q_corpus_filter": q_corpus_filter,
+        "q_corr": q_corr,
+        "q_date_parts": q_date_parts,
+        "q_emb_neardup_brute": q_emb_neardup_brute,
+        "q_explode_tokens": q_explode_tokens,
+        "q_json_extract": q_json_extract,
+        "q_median": q_median,
+        "q_multimodal_features": q_multimodal_features,
+        "q_quantiles": q_quantiles,
+        "q_range_join": q_range_join,
+        "q_rollup": q_rollup,
+        "q_set_ops": q_set_ops,
+        "q_tpch_q10": q_tpch_q10,
+        "q_transform_zscore": q_transform_zscore,
+        "q_agg_concat": q_agg_concat,
         "q_agg_global": q_agg_global,
         "q_agg_stats": q_agg_stats,
-        "q_agg_concat": q_agg_concat,
-        "q_sort_take": q_sort_take,
-        "q_slice": q_slice,
-        "q_melt": q_melt,
-        "q_cast_pivot": q_cast_pivot,
         "q_append": q_append,
+        "q_cast_pivot": q_cast_pivot,
+        "q_events_hourly": q_events_hourly,
+        "q_events_sessions": q_events_sessions,
+        "q_filter": q_filter,
+        "q_groupby_sum": q_groupby_sum,
+        "q_langid": q_langid,
+        "q_melt": q_melt,
+        "q_ngram_jaccard": q_ngram_jaccard,
         "q_pos_join": q_pos_join,
         "q_revenue_by_nation": q_revenue_by_nation,
+        "q_select": q_select,
+        "q_slice": q_slice,
+        "q_sort_take": q_sort_take,
+        "q_text_stats": q_text_stats,
+        "q_tokens_by_source": q_tokens_by_source,
         "q_tpch_q1": q_tpch_q1,
-        "q_tpch_q3": q_tpch_q3,
-        "q_tpch_q5": q_tpch_q5,
-        "q_tpch_q6": q_tpch_q6,
-        "q_tpch_q4": q_tpch_q4,
+        "q_tpch_q11": q_tpch_q11,
         "q_tpch_q12": q_tpch_q12,
         "q_tpch_q13": q_tpch_q13,
         "q_tpch_q14": q_tpch_q14,
-        "q_tpch_q18": q_tpch_q18,
-        "q_tpch_q22": q_tpch_q22,
-        "q_tpch_q2": q_tpch_q2,
-        "q_tpch_q7": q_tpch_q7,
-        "q_tpch_q8": q_tpch_q8,
-        "q_tpch_q9": q_tpch_q9,
-        "q_tpch_q11": q_tpch_q11,
         "q_tpch_q15": q_tpch_q15,
         "q_tpch_q16": q_tpch_q16,
         "q_tpch_q17": q_tpch_q17,
+        "q_tpch_q18": q_tpch_q18,
         "q_tpch_q19": q_tpch_q19,
+        "q_tpch_q2": q_tpch_q2,
         "q_tpch_q20": q_tpch_q20,
         "q_tpch_q21": q_tpch_q21,
-        "q_window_rank": q_window_rank,
+        "q_tpch_q22": q_tpch_q22,
+        "q_tpch_q3": q_tpch_q3,
+        "q_tpch_q4": q_tpch_q4,
+        "q_tpch_q5": q_tpch_q5,
+        "q_tpch_q6": q_tpch_q6,
+        "q_tpch_q7": q_tpch_q7,
+        "q_tpch_q8": q_tpch_q8,
+        "q_tpch_q9": q_tpch_q9,
         "q_window_lag": q_window_lag,
-        "q_events_hourly": q_events_hourly,
-        "q_events_sessions": q_events_sessions,
-        "q_dedup_exact": q_dedup_exact,
-        "q_dedup_rate": q_dedup_rate,
-        "q_text_stats": q_text_stats,
-        "q_tokens_by_source": q_tokens_by_source,
-        "q_langid": q_langid,
-        "q_ngram_jaccard": q_ngram_jaccard,
-        "q_minhash_pairs": q_minhash_pairs,
-        "q_neardup_components": q_neardup_components,
-        "q_dedup_representatives": q_dedup_representatives,
-        "q_simhash_pairs": q_simhash_pairs,
-        "q_knn_cosine": q_knn_cosine,
-        "q_ann_lsh": q_ann_lsh,
-        "q_multimodal_features": q_multimodal_features,
-        "q_corpus_filter": q_corpus_filter,
-        "q_explode_tokens": q_explode_tokens,
-        "q_corr": q_corr,
-        "q_quantiles": q_quantiles,
-        "q_tpch_q10": q_tpch_q10,
-        "q_argmax": q_argmax,
-        "q_transform_zscore": q_transform_zscore,
-        "q_emb_neardup_brute": q_emb_neardup_brute,
-        "q_asof_join": q_asof_join,
-        "q_range_join": q_range_join,
-        "q_rollup": q_rollup,
-        "q_json_extract": q_json_extract,
-        "q_median": q_median,
-        "q_set_ops": q_set_ops,
-        "q_date_parts": q_date_parts,
+        "q_window_rank": q_window_rank,
+        "q_acf": q_acf,
+        "q_corpus_report": q_corpus_report,
+        "q_cube_revenue": q_cube_revenue,
+        "q_curation_chunks": q_curation_chunks,
+        "q_dsir_weights": q_dsir_weights,
+        "q_fd_check": q_fd_check,
+        "q_feature_hash": q_feature_hash,
+        "q_fingerprint_clusters": q_fingerprint_clusters,
+        "q_frequent_sequences": q_frequent_sequences,
+        "q_leakage_split": q_leakage_split,
+        "q_markov_attribution": q_markov_attribution,
+        "q_media_decode": q_media_decode,
+        "q_pca_components": q_pca_components,
+        "q_pca_scores": q_pca_scores,
+        "q_pca_top_component": q_pca_top_component,
+        "q_rank_fusion": q_rank_fusion,
+        "q_rollup_revenue": q_rollup_revenue,
+        "q_sorted_neighborhood": q_sorted_neighborhood,
+        "q_sparse_cosine": q_sparse_cosine,
+        "q_tfidf_top_terms": q_tfidf_top_terms,
+        "q_token_pmi": q_token_pmi,
+        "q_trigram_search": q_trigram_search,
+        "q_winnow_fingerprints": q_winnow_fingerprints,
+        "q_zorder_keys": q_zorder_keys,
+        "q_approx_distinct": q_approx_distinct,
+        "q_approx_quantile": q_approx_quantile,
+        "q_budget_sample": q_budget_sample,
+        "q_chunk_tokens": q_chunk_tokens,
+        "q_clean_lines": q_clean_lines,
+        "q_click_attribution": q_click_attribution,
+        "q_containment": q_containment,
+        "q_contamination": q_contamination,
+        "q_cube": q_cube,
+        "q_equidepth": q_equidepth,
+        "q_events_sliding": q_events_sliding,
+        "q_funnel": q_funnel,
+        "q_fuzzy_join": q_fuzzy_join,
+        "q_hash_split": q_hash_split,
+        "q_heavy_hitters": q_heavy_hitters,
+        "q_histogram": q_histogram,
+        "q_inverted_index": q_inverted_index,
+        "q_join_estimate": q_join_estimate,
+        "q_lm_score": q_lm_score,
+        "q_media_pixels": q_media_pixels,
+        "q_merge_intervals": q_merge_intervals,
+        "q_novelty": q_novelty,
+        "q_pack_sequences": q_pack_sequences,
+        "q_profile": q_profile,
+        "q_redact_pii": q_redact_pii,
+        "q_repetition_stats": q_repetition_stats,
+        "q_resample_ffill": q_resample_ffill,
+        "q_retention": q_retention,
+        "q_rolling": q_rolling,
+        "q_salted_agg": q_salted_agg,
+        "q_salted_join": q_salted_join,
+        "q_scd2": q_scd2,
+        "q_source_overlap": q_source_overlap,
+        "q_stratified_sample": q_stratified_sample,
+        "q_token_estimate": q_token_estimate,
+        "q_transitions": q_transitions,
+        "q_twap": q_twap,
+        "q_upsert": q_upsert,
+        "q_validate": q_validate,
+        "q_weighted_sample": q_weighted_sample,
+        "q_winsorize": q_winsorize,
+        "q_assoc_rules": q_assoc_rules,
+        "q_boilerplate": q_boilerplate,
+        "q_bootstrap_mean": q_bootstrap_mean,
+        "q_bpe_pairs": q_bpe_pairs,
+        "q_cdc_apply": q_cdc_apply,
+        "q_char_entropy": q_char_entropy,
+        "q_chi_square": q_chi_square,
+        "q_cusum": q_cusum,
+        "q_decayed_features": q_decayed_features,
+        "q_group_ols": q_group_ols,
+        "q_interval_overlap": q_interval_overlap,
+        "q_k_anonymity": q_k_anonymity,
+        "q_keyfilter_join": q_keyfilter_join,
+        "q_line_dedup": q_line_dedup,
+        "q_mad_outliers": q_mad_outliers,
+        "q_mixture_weights": q_mixture_weights,
+        "q_ngram_diversity": q_ngram_diversity,
+        "q_psi_drift": q_psi_drift,
+        "q_seasonal_anomalies": q_seasonal_anomalies,
+        "q_snapshot_diff": q_snapshot_diff,
+        "q_target_encode": q_target_encode,
+        "q_window_dedup": q_window_dedup,
+        "q_ab_test": q_ab_test,
+        "q_attribution_linear": q_attribution_linear,
+        "q_backtest": q_backtest,
+        "q_benford": q_benford,
+        "q_bpe_encode": q_bpe_encode,
+        "q_bpe_train": q_bpe_train,
+        "q_class_weights": q_class_weights,
+        "q_corr_matrix": q_corr_matrix,
+        "q_dp_counts": q_dp_counts,
+        "q_ewma_smooth": q_ewma_smooth,
+        "q_funnel_latency": q_funnel_latency,
+        "q_gini": q_gini,
+        "q_grouping_sets": q_grouping_sets,
+        "q_hard_negatives": q_hard_negatives,
+        "q_incremental_agg": q_incremental_agg,
+        "q_jaccard_prefix": q_jaccard_prefix,
+        "q_jl_distortion": q_jl_distortion,
+        "q_join_ivm": q_join_ivm,
+        "q_label_centroids": q_label_centroids,
+        "q_mahalanobis": q_mahalanobis,
+        "q_mode": q_mode,
+        "q_paths": q_paths,
+        "q_quantize_embeddings": q_quantize_embeddings,
+        "q_rank_overlap": q_rank_overlap,
+        "q_repeated_spans": q_repeated_spans,
+        "q_resample_lerp": q_resample_lerp,
+        "q_rfm": q_rfm,
+        "q_skyline": q_skyline,
+        "q_source_kl": q_source_kl,
+        "q_survival": q_survival,
+        "q_temporal_join": q_temporal_join,
+        "q_top_tokens_per_source": q_top_tokens_per_source,
+        "q_truncation_recall": q_truncation_recall,
+        "q_vocab_coverage": q_vocab_coverage,
     }
 
 

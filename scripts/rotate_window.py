@@ -8,10 +8,18 @@ desired order and rewrites the dict block in ``__spark_entry__.py``:
    CORRECTNESS_r*.json): pending queries first, in current registry
    order, then everything else — VERDICT r4 item 1's rotation.
 2. Once the rotation is complete (0 pending): the window becomes a
-   REGRESSION window (VERDICT r5 item 5) — the highest-risk queries
-   (iterative graph loops, streaming drains, ANN/LSH and dedup
-   families, per ``RISK_PREFIXES``) fill the first slots so later
-   rounds re-verify them instead of only first-verifying.
+   REGRESSION window (VERDICT r5 item 5, ranking fixed per VERDICT r8
+   item 1).  Order within the regression window:
+
+   a. queries named in ``scripts/window_priority.txt`` — the builder's
+      per-round channel for "this operator's code changed this round /
+      has only one driver row; re-verify it" (the VERIFIED.md policy's
+      "any query whose operator changed that round" clause, which the
+      ledger alone cannot detect), in file order;
+   b. risky families (iterative graph loops, streaming drains, ANN/LSH
+      and dedup families, per ``RISK_PREFIXES``) ordered by LAST
+      driver-green round ascending (stalest first), then risk rank;
+   c. everything else, stalest-last-green first, then name.
 
 Usage:
     python scripts/rotate_window.py            # dry run: print the order
@@ -48,42 +56,63 @@ RISK_PREFIXES = [
 ]
 
 
-def _green() -> set[str]:
-    out: set[str] = set()
-    for f in os.listdir(ROOT):
-        if not re.match(r"CORRECTNESS_r\d+\.json", f):
-            continue
-        with open(os.path.join(ROOT, f)) as fh:
-            for q, v in json.load(fh).items():
-                if (
-                    v.get("rows_match")
-                    and v.get("schema_match")
-                    and v.get("hash_match")
-                ):
-                    out.add(q)
+PRIORITY_FILE = os.path.join(ROOT, "scripts", "window_priority.txt")
+
+
+def _priority() -> list[str]:
+    """Per-round 'operator changed, re-verify' names (comments/# allowed)."""
+    if not os.path.exists(PRIORITY_FILE):
+        return []
+    out: list[str] = []
+    with open(PRIORITY_FILE) as fh:
+        for line in fh:
+            name = line.split("#", 1)[0].strip()
+            if name:
+                out.append(name)
     return out
 
 
-def _risk_rank(name: str) -> tuple[int, str]:
+def _risk_rank(name: str) -> int:
     for i, p in enumerate(RISK_PREFIXES):
         if name.startswith(p):
-            return (i, name)
-    return (len(RISK_PREFIXES), name)
+            return i
+    return len(RISK_PREFIXES)
 
 
-def desired_order(names: list[str], green: set[str]) -> list[str]:
-    pending = [n for n in names if n not in green]
-    if pending:
-        return pending + [n for n in names if n in green]
-    return sorted(names, key=_risk_rank)
+def desired_order(
+    names: list[str], last_green: dict[str, str], priority: list[str]
+) -> list[str]:
+    pending = [n for n in names if n not in last_green]
+    prio = [n for n in priority if n in last_green and n in set(names)]
+    seen = set(pending) | set(prio)
+
+    def stale(n: str) -> int:
+        return int(last_green[n][1:])
+
+    rest = [n for n in names if n not in seen]
+    risky = sorted(
+        (n for n in rest if _risk_rank(n) < len(RISK_PREFIXES)),
+        key=lambda n: (stale(n), _risk_rank(n), n),
+    )
+    calm = sorted(
+        (n for n in rest if _risk_rank(n) >= len(RISK_PREFIXES)),
+        key=lambda n: (stale(n), n),
+    )
+    return pending + prio + risky + calm
 
 
 def main() -> None:
     import __spark_entry__ as entry
+    from update_verified import green_history
 
+    _, last_green, _ = green_history()
     names = list(entry.queries().keys())
-    order = desired_order(names, _green())
-    n_pending = sum(1 for n in names if n not in _green())
+    priority = _priority()
+    unknown = [n for n in priority if n not in set(names)]
+    if unknown:
+        raise SystemExit(f"window_priority.txt names unknown queries: {unknown}")
+    order = desired_order(names, last_green, priority)
+    n_pending = sum(1 for n in names if n not in last_green)
     mode = "rotation" if n_pending else "regression"
     print(f"{mode} window ({n_pending} pending); first 50:")
     for n in order[:50]:

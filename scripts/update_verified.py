@@ -19,8 +19,12 @@ sys.path.insert(0, ROOT)
 import __spark_entry__ as entry
 
 
-def main() -> None:
-    green: dict[str, str] = {}
+def green_history() -> tuple[dict[str, str], dict[str, str], dict[str, int]]:
+    """(first_green, last_green, green_count) per query across all
+    CORRECTNESS_r*.json files."""
+    first: dict[str, str] = {}
+    last: dict[str, str] = {}
+    count: dict[str, int] = {}
     rounds = sorted(
         (
             re.match(r"CORRECTNESS_(r\d+)\.json", f).group(1)
@@ -37,9 +41,15 @@ def main() -> None:
                 v.get("rows_match")
                 and v.get("schema_match")
                 and v.get("hash_match")
-                and q not in green
             ):
-                green[q] = r
+                first.setdefault(q, r)
+                last[q] = r
+                count[q] = count.get(q, 0) + 1
+    return first, last, count
+
+
+def main() -> None:
+    green, last, count = green_history()
 
     names = list(entry.queries().keys())
     pend = sum(1 for n in names if n not in green)
@@ -53,18 +63,23 @@ def main() -> None:
         "dict is re-ordered every round so pending queries occupy the first 50",
         "slots until none remain (VERDICT r4 item 1/2).",
         "",
-        "Window policy once every query has a driver-green row (expected end of",
-        "r7, per VERDICT r5 item 5): the first 50 slots become a REGRESSION",
-        "window holding the highest-risk queries — iterative graph loops,",
-        "streaming drains, ANN/LSH families, and any query whose operator changed",
-        "that round — so later rounds re-verify instead of only first-verifying.",
-        "New queries enter at the front (they are pending until first-green);",
-        "remaining slots re-verify by risk rank.",
+        "Window policy once every query has a driver-green row (reached end of",
+        "r8, per VERDICT r5 item 5): the first 50 slots become a REGRESSION",
+        "window. Ranking (scripts/rotate_window.py, VERDICT r8 item 1):",
+        "pending (new) queries first; then queries whose operator changed this",
+        "round, named in scripts/window_priority.txt (the builder's per-round",
+        "channel for 'code is new, re-verify'); then risky families (iterative",
+        "graph loops, streaming drains, ANN/LSH/dedup — RISK_PREFIXES) ordered",
+        "stalest-last-driver-row first; then everything else, stalest first.",
         "",
-        "| query | first driver-green |",
-        "|---|---|",
+        "| query | first driver-green | last driver-green | green rounds |",
+        "|---|---|---|---|",
     ]
-    lines += [f"| {n} | {green.get(n, 'pending')} |" for n in names]
+    lines += [
+        f"| {n} | {green.get(n, 'pending')} | {last.get(n, '—')} "
+        f"| {count.get(n, 0)} |"
+        for n in names
+    ]
     lines += [
         "",
         f"Totals: {len(names) - pend} driver-verified, {pend} pending "
