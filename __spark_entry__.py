@@ -76,6 +76,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _artifact_path(sf_dir: str, kind: str, *source_files: str) -> str:
+    """Temp-dir path for a build-once-per-machine artifact (persisted
+    ANN index, synthesized media fixture dir).  The tag folds a hash of
+    the GENERATING source files into the key alongside sf_dir, so
+    changing the build code invalidates the cache instead of silently
+    reusing an artifact built by an older formula (ADVICE r8 item 1).
+    ``source_files`` are repo-relative (e.g.
+    ``kevinlang_spark/operators/similarity.py``); this entry module is
+    always included since fixture formulas live here too."""
+    import hashlib
+    import tempfile
+
+    h = hashlib.md5(sf_dir.encode())
+    root = os.path.dirname(os.path.abspath(__file__))
+    for rel in (*source_files, "__spark_entry__.py"):
+        with open(os.path.join(root, rel), "rb") as fh:
+            h.update(fh.read())
+    return os.path.join(
+        tempfile.gettempdir(), f"kevinlang_{kind}_{h.hexdigest()[:10]}"
+    )
+
+
 def _kf(spark: SparkSession, sf_dir: str, name: str, ordered: bool = False) -> KevinFrame:
     return KevinFrame.from_df(_t(spark, sf_dir, name), ordered=ordered)
 
@@ -1263,14 +1285,13 @@ def _media_ingest_dir(spark, sf_dir):
     predicts every decoded statistic.  The bounded collect here is test
     -fixture synthesis (≤ N/25 ids), not query work — the QUERY reads
     the directory through the binaryFile source like any bronze layer."""
-    import hashlib
     import os
-    import tempfile
 
     from kevinlang_spark.operators.multimodal import make_bmp, make_wav
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"kevinlang_media_dir_{tag}")
+    path = _artifact_path(
+        sf_dir, "media_dir", "kevinlang_spark/operators/multimodal.py"
+    )
     marker = os.path.join(path, "_SUCCESS")
     if os.path.exists(marker):
         return path
@@ -1719,12 +1740,11 @@ def _lsh_index_path(spark, sf_dir):
     bucket-partitioned hyperplane-LSH index for the embeddings table —
     the executable 100 TB form where a probe prunes whole partition
     directories at the file index (similarity.py build_lsh_index)."""
-    import hashlib
     import os
-    import tempfile
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"kevinlang_lsh_idx_{tag}")
+    path = _artifact_path(
+        sf_dir, "lsh_idx", "kevinlang_spark/operators/similarity.py"
+    )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         from kevinlang_spark.operators.similarity import build_lsh_index
 
@@ -4445,12 +4465,11 @@ def _pq_index_path(spark, sf_dir):
     """Build (once per sf_dir per machine) the persisted PQ index —
     (id, code…) table + codebook table (similarity.py write_pq_index).
     Probes then scan m smallints per row, never raw vectors."""
-    import hashlib
     import os
-    import tempfile
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"kevinlang_pq_idx_{tag}")
+    path = _artifact_path(
+        sf_dir, "pq_idx", "kevinlang_spark/operators/similarity.py"
+    )
     # _codebooks is written LAST — its _SUCCESS marks a complete index
     if not os.path.exists(os.path.join(path, "_codebooks", "_SUCCESS")):
         from kevinlang_spark.operators.similarity import write_pq_index
@@ -4464,12 +4483,11 @@ def _ivfpq_index_path(spark, sf_dir):
     the cell-PARTITIONED (id, code…) table plus coarse-centroid and
     codebook tables (similarity.py write_ivfpq_index).  Probes prune
     whole cell directories at the file index."""
-    import hashlib
     import os
-    import tempfile
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"kevinlang_ivfpq_idx_{tag}")
+    path = _artifact_path(
+        sf_dir, "ivfpq_idx", "kevinlang_spark/operators/similarity.py"
+    )
     if not os.path.exists(os.path.join(path, "_codebooks", "_SUCCESS")):
         from kevinlang_spark.operators.similarity import write_ivfpq_index
 

@@ -438,6 +438,12 @@ def jpeg_pixels(payload: bytes):
     while i + 4 <= len(payload):
         if payload[i] != 0xFF:
             raise ValueError("corrupt JPEG segment stream")
+        # optional 0xFF fill bytes are legal padding before any marker
+        # (ITU T.81 B.1.1.2) — skip them instead of quarantining
+        while i + 4 <= len(payload) and payload[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > len(payload):
+            break
         marker = payload[i + 1]
         if marker == 0xD9:  # EOI before SOS
             break
@@ -524,13 +530,15 @@ def jpeg_pixels(payload: bytes):
             # marker (stuffed 0xFF00 and RSTn stay inside)
             j = i + 2 + seg_len
             k = j
-            while k + 1 < len(payload):
+            end = len(payload)  # streams lacking a trailing EOI keep
+            while k + 1 < len(payload):  # their final entropy byte
                 if payload[k] == 0xFF and payload[k + 1] != 0x00 and not (
                     0xD0 <= payload[k + 1] <= 0xD7
                 ):
+                    end = k
                     break
                 k += 1
-            scan = (scan_comps, payload[j:k])
+            scan = (scan_comps, payload[j:end])
             break
         i += 2 + seg_len
 

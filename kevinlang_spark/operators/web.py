@@ -61,8 +61,15 @@ def normalize_url(url: Column) -> Column:
     qnorm = F.when(
         F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
     ).otherwise(F.lit(""))
-    return F.when(url.isNull(), F.lit(None)).otherwise(
-        F.concat(scheme, F.lit("://"), host, path, qnorm)
+    # scheme-less inputs (bare hosts, protocol-relative //host/…) would
+    # extract empty scheme+host and collapse to a malformed "://…" that
+    # merges unrelated rows under one dedup key — pass them through
+    # unchanged instead (ADVICE r8 item 2)
+    has_scheme = url.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+    return (
+        F.when(url.isNull(), F.lit(None))
+        .when(~has_scheme, url)
+        .otherwise(F.concat(scheme, F.lit("://"), host, path, qnorm))
     )
 
 
