@@ -1275,6 +1275,161 @@ def q_gopher_rules(spark, sf_dir):
     return gopher_rules(docs, min_words=20, max_words=100_000)
 
 
+def q_quality_score(spark, sf_dir):
+    """Model-based quality scoring (text.py fasttext_quality_score) —
+    the fastText-style wiki-vs-crawl filter every CCNet descendant
+    runs where the Gopher rule battery (q_gopher_rules) is heuristic:
+    hashed char-trigram features (md5-slot, no vocabulary), a
+    64-weight seeded linear model applied as literal lookups, a
+    sequential fold to the mean logit, and a sigmoid score.  The whole
+    scorer is scan-stage higher-order expressions — zero shuffles,
+    zero Python — so it costs one pass over text at 100 TB exactly
+    like the heuristic battery it complements.  The oracle replays the
+    hash, the literal weights, and the same left-to-right fold."""
+    from kevinlang_spark.operators.text import fasttext_quality_score
+
+    return fasttext_quality_score(
+        _t(spark, sf_dir, "documents"), dim=64, n=3, seed=13, bias=-0.05
+    )
+
+
+def _quality_score_oracle_sql(
+    dim: int = 64, seed: int = 13, bias: float = -0.05
+) -> str:
+    """Closed-form DuckDB replay of q_quality_score (n=3): the same
+    seeded weights as literals, the same md5-prefix slot hash, and the
+    same sequential fold (list_sum ≡ F.aggregate, left-to-right)."""
+    from kevinlang_spark.operators.text import fasttext_weights
+
+    wlit = ", ".join(repr(x) for x in fasttext_weights(dim, seed))
+    b = repr(float(bias))
+    logit = f"CASE WHEN ng > 0 THEN {b} + tot / ng ELSE {b} END"
+    return (
+        "WITH base AS (SELECT doc_id, lower(text) AS t FROM documents), "
+        "g AS (SELECT doc_id, CASE WHEN t IS NULL OR length(t) < 3 "
+        "THEN CAST([] AS VARCHAR[]) "
+        "ELSE list_transform(range(1, length(t) - 1), i -> substr(t, i, 3)) "
+        "END AS grams FROM base), "
+        f"s AS (SELECT doc_id, len(grams) AS ng, "
+        f"list_sum(list_transform(grams, x -> ([{wlit}])["
+        "CAST(CAST(CONCAT('0x', substr(md5(x || '#qs'), 1, 13)) AS BIGINT) "
+        f"% {dim} + 1 AS INT)])) AS tot FROM g) "
+        f"SELECT doc_id, CAST(ng AS INT) AS n_grams, {logit} AS logit, "
+        f"1.0 / (1.0 + exp(-({logit}))) AS score, "
+        f"({logit}) >= 0 AS keep FROM s"
+    )
+
+
+_PHASH_GROUPS = 25
+_M64 = (1 << 64) - 1
+
+
+def _phash_group_base(g: int) -> int:
+    """Deterministic 63-bit base fingerprint for image-dedup group
+    ``g`` — the splitmix64 finalizer on (g+1), top 63 bits.  Pure
+    integer arithmetic shared by the Spark-side image synthesis and the
+    oracle's embedded literals (the seeded-constants-via-repr rule)."""
+    x = ((g + 1) * 0x9E3779B97F4A7C15) & _M64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _M64
+    return (x ^ (x >> 31)) >> 1  # 63 bits; bit 63 stays 0 (sign-safe)
+
+
+def _phash_fingerprint(doc_id: int) -> int:
+    """The dHash every synthetic image is CONSTRUCTED to carry: group
+    base pattern, with every third group member (p % 3 == 1) flipping
+    one group-and-position-dependent bit — so intra-group Hamming is
+    0/1/2 (near-dups) and inter-group is ~31 (unrelated)."""
+    i = doc_id // 5
+    g = i % _PHASH_GROUPS
+    p = i // _PHASH_GROUPS
+    fp = _phash_group_base(g)
+    if p % 3 == 1:
+        fp ^= 1 << ((g + p) % 63)
+    return fp
+
+
+def q_image_neardup(spark, sf_dir):
+    """Perceptual-hash image near-dup (VERDICT r8 item 3) — the
+    LAION-style multimodal dedup: synthesize one REAL 9×8 BMP per
+    eligible document whose pixel gradients ENCODE a deterministic
+    64-bit pattern (a per-group splitmix64 base, every third member
+    one bit off), decode + dHash each payload (multimodal.py
+    extract_image_phash: luma → 9×8 → horizontal gradient sign bits),
+    then band the 64-bit fingerprints through the SimHash pigeonhole
+    machinery (dedup.py hamming_neardup_pairs: 4 chunks, Hamming ≤ 3).
+    The decode→fingerprint leg is Arrow-batched mapInPandas riding the
+    scan partitions (9 bytes/row downstream); the pair leg shuffles on
+    16-bit chunk keys — never a cross join.  The oracle predicts every
+    fingerprint in closed form from doc_id and replays the pair
+    generation exactly."""
+    from kevinlang_spark.operators.dedup import hamming_neardup_pairs
+    from kevinlang_spark.operators.multimodal import extract_image_phash
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+    )
+
+    def gen(it):
+        import numpy as np
+        import pandas as pd
+
+        from kevinlang_spark.operators.multimodal import make_bmp
+
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                fp = _phash_fingerprint(int(d))
+                px = np.zeros((8, 9, 3), np.uint8)
+                for r in range(8):
+                    v = 128
+                    px[r, 0, :] = v
+                    for c in range(8):
+                        # dHash bit (r*8+c) = gray[r][c] > gray[r][c+1]
+                        v = v - 15 if (fp >> (r * 8 + c)) & 1 else v + 15
+                        px[r, c + 1, :] = v
+                payloads.append(make_bmp(9, 8, pixels=px))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                }
+            )
+
+    media = docs.mapInPandas(
+        gen, schema="doc_id bigint, media_type string, payload binary"
+    )
+    sig = extract_image_phash(media, method="dhash")
+    return hamming_neardup_pairs(
+        sig, max_hamming=3, blocks=4, id_col="doc_id", sig_col="phash"
+    ).orderBy("id_a", "id_b")
+
+
+def _image_neardup_oracle_sql() -> str:
+    """Closed-form replay of q_image_neardup: the 25 group base
+    fingerprints embed as literals (the same _phash_group_base ints the
+    image synthesis encoded), the per-member bit flip and the
+    Hamming ≤ 3 pair filter replay in integer SQL."""
+    vals = ", ".join(
+        f"({g}, {_phash_group_base(g)})" for g in range(_PHASH_GROUPS)
+    )
+    return (
+        f"WITH base AS (SELECT * FROM (VALUES {vals}) AS t(g, ph)), "
+        "elig AS (SELECT doc_id, (doc_id // 5) % 25 AS g, "
+        "(doc_id // 5) // 25 AS p FROM documents WHERE doc_id % 5 = 0), "
+        "fp AS (SELECT doc_id, CASE WHEN p % 3 = 1 THEN "
+        "xor(CAST(ph AS BIGINT), CAST(1 AS BIGINT) << CAST((g + p) % 63 AS INT)) "
+        "ELSE CAST(ph AS BIGINT) END AS ph FROM elig JOIN base USING (g)) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming "
+        "FROM fp a JOIN fp b ON a.doc_id < b.doc_id "
+        "WHERE bit_count(xor(a.ph, b.ph)) <= 3 ORDER BY id_a, id_b"
+    )
+
+
 def _media_ingest_dir(spark, sf_dir):
     """Materialize (once per sf_dir per machine) a directory of REAL
     on-disk media files for the binaryFile ingestion query: one file per
@@ -4530,6 +4685,73 @@ def q_ann_ivfpq_indexed(spark, sf_dir):
     )
 
 
+def _ivfpq_refresh_index_path(spark, sf_dir):
+    """Build (once per sf_dir per code version) the INCREMENTALLY
+    REFRESHED IVF-PQ index: the static build runs on the BASE slice
+    (vec_id < 8 — the Lloyd seeds — plus vec_id % 4 != 1), then
+    append_ivfpq_index encodes the remaining ~25% of rows against the
+    FROZEN stored codebooks and appends them into the cell-partitioned
+    codes table — the weekly-growing-corpus production shape (VERDICT
+    r8 item 2).  A _REFRESH_DONE marker (written after the append)
+    gates the build; _artifact_path keys the cache by code version."""
+    import os
+
+    path = _artifact_path(
+        sf_dir, "ivfpq_refresh", "kevinlang_spark/operators/similarity.py"
+    )
+    marker = os.path.join(path, "_REFRESH_DONE")
+    if not os.path.exists(marker):
+        from kevinlang_spark.operators.similarity import (
+            append_ivfpq_index,
+            write_ivfpq_index,
+        )
+
+        emb = _t(spark, sf_dir, "embeddings")
+        base = emb.where((F.col("vec_id") < 8) | (F.col("vec_id") % 4 != 1))
+        fresh = emb.where((F.col("vec_id") >= 8) & (F.col("vec_id") % 4 == 1))
+        write_ivfpq_index(base, path, nlist=8, m=2, k=8, iters=2)
+        append_ivfpq_index(fresh, path)
+        with open(marker, "w"):
+            pass
+    return path
+
+
+def q_ann_index_refresh(spark, sf_dir):
+    """Probe an IVF-PQ index AFTER an incremental refresh
+    (similarity.py append_ivfpq_index): the base slice built the index
+    (training + encode), the remaining rows were appended against the
+    FROZEN codebooks — O(new) encode, no rewrite of existing cell
+    files.  The probe must equal an inline recompute that trains on the
+    base but encodes the UNION; the oracle unrolls exactly that
+    (training CTEs read the base slice, assignment/encode read every
+    row).  Physical shape: the probe still reads only the nprobe
+    nearest cells' partition directories — appended files land INSIDE
+    the cell directories, so file-index pruning survives the refresh
+    (asserted at runtime in tests/test_pq_index.py)."""
+    from kevinlang_spark.operators.similarity import ivfpq_topk_indexed
+
+    return ivfpq_topk_indexed(
+        spark, _ivfpq_refresh_index_path(spark, sf_dir),
+        _query_vec(spark, sf_dir, vec_id=3), nprobe=3, k_out=10,
+    )
+
+
+def q_ann_index_staleness(spark, sf_dir):
+    """Retrain-signal census of the refreshed IVF-PQ index
+    (similarity.py ivfpq_index_staleness): per cell, rows at build time
+    vs now and the appended-fraction drift — appends never retrain, so
+    a cell far past its training population is quantizing unseen data
+    with stale centroids.  Cost is one scan of the codes table's
+    smallints plus the metadata-scale _stats census; the oracle
+    recomputes both populations from the unrolled base-trained coarse
+    assignment."""
+    from kevinlang_spark.operators.similarity import ivfpq_index_staleness
+
+    return ivfpq_index_staleness(
+        spark, _ivfpq_refresh_index_path(spark, sf_dir)
+    )
+
+
 def q_class_weights(spark, sf_dir):
     """Class-balanced loss weights via effective number of samples
     (sampling.py class_balanced_weights, Cui et al. 2019) over the
@@ -4584,6 +4806,10 @@ def q_hard_negatives(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "q_ann_index_refresh": q_ann_index_refresh,
+        "q_ann_index_staleness": q_ann_index_staleness,
+        "q_image_neardup": q_image_neardup,
+        "q_quality_score": q_quality_score,
         "q_lpa_communities": q_lpa_communities,
         "q_pagerank": q_pagerank,
         "q_hits": q_hits,
@@ -5480,6 +5706,8 @@ def _ivfpq_oracle_sql(
     dim: int = 64,
     probe_id: int = 3,
     k_out: int = 10,
+    train_pred: str | None = None,
+    tail: str = "probe",
 ) -> str:
     """Exact DuckDB replica of q_ann_ivfpq: unrolls BOTH deterministic
     Lloyd trainings (the coarse quantizer is the PQ trainer with m=1 —
@@ -5488,7 +5716,14 @@ def _ivfpq_oracle_sql(
     (rounded distance, smallest-index ties — the same discipline as the
     row-side argmin), then recomputes PQ codes + the ADC ranking over
     the surviving cells only.  Every CTE a chain reads twice is
-    MATERIALIZED (the _pq_oracle_sql anti-inlining rule)."""
+    MATERIALIZED (the _pq_oracle_sql anti-inlining rule).
+
+    ``train_pred`` (a SQL predicate over ``vec_id``) restricts the
+    TRAINING population only — assignment/encode still cover every row.
+    That is exactly q_ann_index_refresh's semantics: build on the base
+    slice, append the rest against frozen codebooks.  ``tail`` picks
+    the output: ``probe`` (the ADC top-k) or ``staleness`` (the
+    per-cell build-vs-now census of q_ann_index_staleness)."""
     dsub = dim // m
     sqd = (
         "ROUND(list_sum(list_transform(range(1, {n} + 1), "
@@ -5534,8 +5769,34 @@ def _ivfpq_oracle_sql(
         f"psubs AS MATERIALIZED (SELECT vec_id, s, CASE {slices} END AS sub "
         f"FROM base, (SELECT unnest([{', '.join(str(s) for s in range(m))}]) AS s))"
     )
-    sql += chain("cr", "csubs", nlist, dim)
-    sql += chain("pq", "psubs", k, dsub)
+    csubs_t, psubs_t = "csubs", "psubs"
+    if train_pred is not None:
+        csubs_t, psubs_t = "tcsubs", "tpsubs"
+        sql += (
+            f", tcsubs AS MATERIALIZED (SELECT * FROM csubs WHERE {train_pred})"
+            f", tpsubs AS MATERIALIZED (SELECT * FROM psubs WHERE {train_pred})"
+        )
+    sql += chain("cr", csubs_t, nlist, dim)
+    sql += chain("pq", psubs_t, k, dsub)
+    if tail == "staleness":
+        # every row's coarse cell under the base-trained centroids, then
+        # the build (base) vs now (all rows) census per cell
+        return sql + (
+            ", cells AS (SELECT vec_id, j AS cell FROM ("
+            "SELECT su.vec_id, c.j, ROW_NUMBER() OVER (PARTITION BY su.vec_id "
+            f"ORDER BY {sqd.format(n=dim)} ASC, c.j ASC) AS rk "
+            f"FROM csubs su JOIN crc{iters} c USING (s)) WHERE rk = 1) "
+            "SELECT CAST(cell AS INT) AS cell, "
+            f"CAST(SUM(CASE WHEN {train_pred} THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_build, CAST(COUNT(*) AS BIGINT) AS n_now, "
+            f"CAST(COUNT(*) - SUM(CASE WHEN {train_pred} THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_appended, "
+            f"CASE WHEN SUM(CASE WHEN {train_pred} THEN 1 ELSE 0 END) > 0 "
+            f"THEN CAST(COUNT(*) - SUM(CASE WHEN {train_pred} THEN 1 ELSE 0 END) "
+            f"AS DOUBLE) / SUM(CASE WHEN {train_pred} THEN 1 ELSE 0 END) "
+            "END AS drift "
+            "FROM cells GROUP BY cell ORDER BY cell"
+        )
     sql += (
         # every vector's coarse cell (argmin vs the trained coarse books)
         ", cells AS MATERIALIZED (SELECT vec_id, j AS cell FROM ("
@@ -5644,6 +5905,19 @@ def oracle_sql() -> dict[str, str]:
         "q_ann_ivfpq_indexed": _ivfpq_oracle_sql(
             nlist=8, nprobe=3, m=2, k=8, iters=2, dim=64
         ),
+        # the refreshed index trains on the base slice but encodes every
+        # row (append with frozen codebooks) — train_pred restricts only
+        # the training CTEs; staleness is the build-vs-now cell census
+        "q_ann_index_refresh": _ivfpq_oracle_sql(
+            nlist=8, nprobe=3, m=2, k=8, iters=2, dim=64,
+            train_pred="(vec_id < 8 OR vec_id % 4 <> 1)",
+        ),
+        "q_ann_index_staleness": _ivfpq_oracle_sql(
+            nlist=8, nprobe=3, m=2, k=8, iters=2, dim=64,
+            train_pred="(vec_id < 8 OR vec_id % 4 <> 1)", tail="staleness",
+        ),
+        "q_image_neardup": _image_neardup_oracle_sql(),
+        "q_quality_score": _quality_score_oracle_sql(dim=64, seed=13, bias=-0.05),
         "q_ann_ivfpq": _ivfpq_oracle_sql(nlist=8, nprobe=3, m=2, k=8, iters=2, dim=64),
         "q_source_kl": (
             "WITH toks AS (SELECT source, unnest(list_filter("

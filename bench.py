@@ -132,6 +132,12 @@ HEADLINE = [
     # priming pass (the build-once/probe-many production shape)
     "q_ann_pq_indexed",
     "q_ann_ivfpq_indexed",
+    # round-9: refreshed-index probe + staleness census (build+append in
+    # the untimed priming pass), scan-stage model scoring, image near-dup
+    "q_ann_index_refresh",
+    "q_ann_index_staleness",
+    "q_quality_score",
+    "q_image_neardup",
     "q_source_kl",
     "q_bpe_train",
     "q_bpe_encode",
@@ -177,6 +183,63 @@ HEADLINE = [
     "q_corpus_report",
     "q_markov_attribution",
 ]
+
+
+def _codec_throughput(spark, sf_dir: str, cpus: int) -> dict:
+    """Decode-throughput telemetry for the entropy-codec tier (VERDICT
+    r8 item 6): MB/s-per-core of the jpeg/gif/flac FULL decoders over a
+    synthetic corpus.  These decoders are correctly OFF the headline
+    bench (per-block entropy decode is not a scan-rate query), but that
+    left zero regression signal for their performance — this measures
+    them under a separate key.  Payload synthesis is UNTIMED (eager
+    localCheckpoint materializes the corpus executor-side first); the
+    timed pass is decode-only through the same Arrow-batched
+    mapInPandas path production uses, min-of-3."""
+    from pyspark.sql import functions as F
+
+    from kevinlang_spark.operators.multimodal import (
+        attach_stdlib_media,
+        extract_pixel_stats,
+    )
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id")
+        .limit(5000)
+    )
+    # fan each doc out 8x so decode work dwarfs task-scheduling overhead
+    # (the sf0.1 payloads are KB-scale; without this the metric measures
+    # Spark constants, not the codecs)
+    docs = docs.withColumn(
+        "__rep", F.explode(F.array(*[F.lit(i) for i in range(8)]))
+    ).drop("__rep")
+    out: dict[str, float] = {}
+    for codec, parity, kw in (
+        ("jpeg", 0, {"jpeg": True}),
+        ("gif", 0, {"gif": True}),
+        ("flac", 1, {"flac": True}),
+    ):
+        media = (
+            attach_stdlib_media(
+                docs.where(F.col("doc_id") % 2 == parity), filled=True, **kw
+            )
+            .repartition(cpus)
+            .localCheckpoint(eager=True)
+        )
+        n_bytes = media.agg(F.sum(F.length("payload"))).first()[0] or 0
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            extract_pixel_stats(media).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            el = time.time() - t0
+            best = el if best is None or el < best else best
+        out[f"codec_{codec}_mbps_per_core"] = round(
+            n_bytes / 1e6 / best / cpus, 3
+        )
+        media.unpersist()
+    return out
 
 
 def main() -> None:
@@ -275,6 +338,17 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
+    # codec decode-throughput telemetry — SEPARATE key, never part of
+    # headline_queries_total (the entropy decoders are not scan-rate
+    # queries); SPARK_GRAFT_NO_CODEC=1 skips it
+    codec: dict[str, float] = {}
+    if not os.environ.get("SPARK_GRAFT_NO_CODEC"):
+        try:
+            cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+            codec = _codec_throughput(spark, sf_dir, cpus)
+        except Exception as exc:  # telemetry must never fail the bench
+            print(f"# codec telemetry skipped: {exc}", file=sys.stderr)
+
     # Full per-query map goes to a committed file, NOT stdout: the driver
     # captures only a bounded stdout tail, and the one-line JSON with 124
     # per-query timings outgrew it in round 5 (BENCH_r05 parsed: null).
@@ -285,6 +359,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "codec_mbps": codec,
         "sf": sf_val,
     }
     try:
@@ -306,6 +381,7 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "queries": slowest,
+                "codec_mbps": codec,
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf_val,
             }

@@ -684,11 +684,35 @@ def simhash_neardup_pairs(
             f"max_hamming ({max_hamming}) must be < blocks ({blocks}) for "
             "the pigeonhole candidate guarantee"
         )
-    width = 64 // blocks
     sh = simhash_signatures_df(
         df, id_col, text_col, hash_expr=hash_expr,
         hash_distinct_first=hash_distinct_first,
     )
+    return hamming_neardup_pairs(sh, max_hamming=max_hamming, blocks=blocks)
+
+
+def hamming_neardup_pairs(
+    sig_df: DataFrame,
+    max_hamming: int = 3,
+    blocks: int = 4,
+    id_col: str = "id",
+    sig_col: str = "sh",
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with Hamming(sig) ≤ ``max_hamming``
+    over ANY (id, 64-bit signature) frame — the pigeonhole-blocked
+    self-join :func:`simhash_neardup_pairs` uses, factored so other
+    64-bit fingerprint families (perceptual image dHash/pHash —
+    multimodal.py extract_image_phash) band through the same machinery.
+    Split the hash into ``blocks`` chunks; any pair within distance
+    ``max_hamming < blocks`` must agree on ≥1 chunk → self-join per
+    chunk (shuffle on 16-bit keys), verify with bit_count(xor)."""
+    if max_hamming >= blocks:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < blocks ({blocks}) for "
+            "the pigeonhole candidate guarantee"
+        )
+    width = 64 // blocks
+    sh = sig_df.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sh"))
     chunks = F.array(
         *[
             F.struct(

@@ -190,6 +190,7 @@ def make_jpeg(
     restart_interval: int = 0,
     quant: int = 1,
     two_tables: bool = False,
+    progressive: bool = False,
 ) -> bytes:
     """A minimal VALID baseline-sequential JPEG.
 
@@ -258,8 +259,10 @@ def make_jpeg(
     # constant integer-DC blocks exact
     for tq in range(1 if is_gray else 2):
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes([quant]) * 64
-    # SOF0
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, height, width, ncomp)
+    # SOF0 (baseline) or SOF2 (progressive); identical payload format
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") + struct.pack(
+        ">HBHHB", 8 + 3 * ncomp, 8, height, width, ncomp
+    )
     for c in range(ncomp):
         h, v = samp[c]
         out += bytes([c + 1, (h << 4) | v, 0 if c == 0 else 1])
@@ -278,16 +281,8 @@ def make_jpeg(
             )
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    # SOS
-    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
-    for c in range(ncomp):
-        t = 1 if (two_tables and not is_gray and c > 0) else 0
-        out += bytes([c + 1, (t << 4) | t])
-    out += b"\x00\x3f\x00"
-
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
-    bw = _BitWriter()
     maxh = max(h for h, _ in samp)
     maxv = max(v for _, v in samp)
     mcu_cols = (width + 8 * maxh - 1) // (8 * maxh)
@@ -303,31 +298,154 @@ def make_jpeg(
         full[p.shape[0] :, : p.shape[1]] = p[-1:, :]
         full[:, p.shape[1] :] = full[:, p.shape[1] - 1 : p.shape[1]]
         padded.append(full)
+
+    def table_id(c: int) -> int:
+        return 1 if (two_tables and not is_gray and c > 0) else 0
+
+    def rst(bw: _BitWriter, n: int) -> None:
+        bw.flush()
+        bw.buf += bytes([0xFF, 0xD0 + (n - 1) % 8])
+
+    if not progressive:
+        # SOS — the single interleaved baseline scan
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+        for c in range(ncomp):
+            t = table_id(c)
+            out += bytes([c + 1, (t << 4) | t])
+        out += b"\x00\x3f\x00"
+        bw = _BitWriter()
+        preds = [0] * ncomp
+        mcu_n = 0
+        for my in range(mcu_rows):
+            for mx in range(mcu_cols):
+                if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                    rst(bw, mcu_n // restart_interval)
+                    preds = [0] * ncomp
+                mcu_n += 1
+                for c in range(ncomp):
+                    h, v = samp[c]
+                    for by in range(v):
+                        for bx in range(h):
+                            y0 = (my * v + by) * 8
+                            x0 = (mx * h + bx) * 8
+                            zz = _fdct_quantized(
+                                padded[c][y0 : y0 + 8, x0 : x0 + 8], quant
+                            )
+                            _encode_block(bw, zz, preds[c], dc_codes, ac_codes)
+                            preds[c] = zz[0]
+        bw.flush()
+        out += bw.buf
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    # --- progressive (spectral selection): one interleaved DC scan,
+    # then one full-band AC scan per component (T.81 G.1; Ah=Al=0) ---
+    coefs = []
+    for c in range(ncomp):
+        h, v = samp[c]
+        coefs.append(
+            [
+                [
+                    _fdct_quantized(
+                        padded[c][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                        quant,
+                    )
+                    for bx in range(mcu_cols * h)
+                ]
+                for by in range(mcu_rows * v)
+            ]
+        )
+    # scan 1: DC, interleaved over all components (baseline MCU order)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for c in range(ncomp):
+        out += bytes([c + 1, table_id(c) << 4])
+    out += b"\x00\x00\x00"  # Ss=0 Se=0 Ah=Al=0
+    bw = _BitWriter()
     preds = [0] * ncomp
     mcu_n = 0
     for my in range(mcu_rows):
         for mx in range(mcu_cols):
             if restart_interval and mcu_n and mcu_n % restart_interval == 0:
-                bw.flush()
-                out_marker = 0xD0 + (mcu_n // restart_interval - 1) % 8
-                bw.buf += bytes([0xFF, out_marker])
+                rst(bw, mcu_n // restart_interval)
                 preds = [0] * ncomp
             mcu_n += 1
             for c in range(ncomp):
                 h, v = samp[c]
                 for by in range(v):
                     for bx in range(h):
-                        y0 = (my * v + by) * 8
-                        x0 = (mx * h + bx) * 8
-                        zz = _fdct_quantized(
-                            padded[c][y0 : y0 + 8, x0 : x0 + 8], quant
-                        )
-                        _encode_block(bw, zz, preds[c], dc_codes, ac_codes)
-                        preds[c] = zz[0]
+                        dc = coefs[c][my * v + by][mx * h + bx][0]
+                        diff = dc - preds[c]
+                        preds[c] = dc
+                        s = _category(diff)
+                        if s > 11:
+                            raise ValueError(
+                                "make_jpeg: DC difference out of range"
+                            )
+                        code, ln = dc_codes[s]
+                        bw.write(code, ln)
+                        if s:
+                            bw.write(
+                                (diff if diff > 0 else diff + (1 << s) - 1)
+                                & ((1 << s) - 1),
+                                s,
+                            )
     bw.flush()
     out += bw.buf
+    # AC scans: ns=1 (non-interleaved), block raster over the
+    # component's OWN dimensions (ceil(x·h/maxh)/8 blocks — T.81 A.2.2),
+    # NOT the MCU-padded grid
+    for c in range(ncomp):
+        h, v = samp[c]
+        bw_ni = (-(-(width * h) // maxh) + 7) // 8
+        bh_ni = (-(-(height * v) // maxv) + 7) // 8
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+        out += bytes([c + 1, table_id(c)])  # Ta in the low nibble
+        out += b"\x01\x3f\x00"  # Ss=1 Se=63 Ah=Al=0
+        bw = _BitWriter()
+        blk_n = 0
+        for by in range(bh_ni):
+            for bx in range(bw_ni):
+                if restart_interval and blk_n and blk_n % restart_interval == 0:
+                    rst(bw, blk_n // restart_interval)
+                blk_n += 1
+                _encode_ac_band(bw, coefs[c][by][bx], 1, 63, ac_codes)
+        bw.flush()
+        out += bw.buf
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def _encode_ac_band(
+    bw: _BitWriter, zz: list[int], ss: int, se: int, ac_codes: dict
+) -> None:
+    """Encode one block's AC band [ss, se] for a progressive first scan
+    (Ah=0): baseline run/size coding within the band, a plain EOB
+    (EOB-run of one block) when the band's tail is zero."""
+    last_nz = ss - 1
+    for i in range(se, ss - 1, -1):
+        if zz[i]:
+            last_nz = i
+            break
+    run = 0
+    for i in range(ss, last_nz + 1):
+        v = zz[i]
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = _category(v)
+        if s > 10:
+            raise ValueError("make_jpeg: AC coefficient out of range")
+        code, ln = ac_codes[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write((v if v > 0 else v + (1 << s) - 1) & ((1 << s) - 1), s)
+        run = 0
+    if last_nz < se:
+        code, ln = ac_codes[0x00]  # EOB — ends this block only
+        bw.write(code, ln)
 
 
 class _BitReader:
@@ -574,14 +692,23 @@ def jpeg_pixels(payload: bytes):
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_n += 1
 
-    # upsample to full resolution (nearest-neighbor, libjpeg -nosmooth)
+    return _assemble_image(
+        [(c["h"], c["v"]) for c, _, _ in scan_comps], planes, width, height
+    )
+
+
+def _assemble_image(samp, planes, width: int, height: int):
+    """Shared decode tail (baseline + progressive): nearest-neighbor
+    chroma upsampling (libjpeg -nosmooth), crop to the frame, and
+    YCbCr→RGB for 3 components."""
+    maxh = max(h for h, _ in samp)
+    maxv = max(v for _, v in samp)
     full = []
-    for ci, (comp, _, _) in enumerate(scan_comps):
-        p = planes[ci]
-        if comp["h"] < maxh:
-            p = np.repeat(p, maxh // comp["h"], axis=1)
-        if comp["v"] < maxv:
-            p = np.repeat(p, maxv // comp["v"], axis=0)
+    for (h, v), p in zip(samp, planes):
+        if h < maxh:
+            p = np.repeat(p, maxh // h, axis=1)
+        if v < maxv:
+            p = np.repeat(p, maxv // v, axis=0)
         full.append(p[:height, :width])
 
     if len(full) == 1:
@@ -593,3 +720,17 @@ def jpeg_pixels(payload: bytes):
     b = y + 1.772 * (cb - 128.0)
     px = np.stack([r, g, b], axis=2)
     return width, height, 3, np.clip(np.rint(px), 0, 255).astype(np.uint8)
+
+
+def _find_scan_end(payload: bytes, j: int) -> int:
+    """End of an entropy-coded segment starting at ``j``: the next real
+    marker (stuffed 0xFF00 and RSTn stay inside); a stream lacking a
+    trailing EOI keeps its final entropy byte."""
+    k = j
+    while k + 1 < len(payload):
+        if payload[k] == 0xFF and payload[k + 1] != 0x00 and not (
+            0xD0 <= payload[k + 1] <= 0xD7
+        ):
+            return k
+        k += 1
+    return len(payload)

@@ -263,19 +263,36 @@ def stdlib_decode(payload: bytes, media_type: str) -> dict:
 
 
 def make_bmp(
-    width: int, height: int, rgb: tuple[int, int, int] = (0, 0, 0)
+    width: int,
+    height: int,
+    rgb: tuple[int, int, int] = (0, 0, 0),
+    pixels=None,
 ) -> bytes:
     """A minimal VALID 24-bit BMP of the given dimensions, every pixel
     ``rgb`` — real container bytes for decode tests and synthetic
-    bronze tables.  Pixel rows are stored BGR with 4-byte padding, so a
-    decoder that mixes channel order or miscounts padding reads wrong
-    values."""
+    bronze tables.  ``pixels`` (an H×W×3 uint8 array, top-down row
+    order) overrides the solid fill.  Pixel rows are stored bottom-up
+    BGR with 4-byte padding, so a decoder that mixes channel order,
+    row order, or padding reads wrong values."""
     import struct
 
-    r, g, b = rgb
-    row_px = bytes((b & 0xFF, g & 0xFF, r & 0xFF)) * width  # BGR on disk
     pad = b"\x00" * ((4 - (width * 3) % 4) % 4)
-    body = (row_px + pad) * height
+    if pixels is not None:
+        import numpy as np
+
+        px = np.asarray(pixels, dtype=np.uint8)
+        if px.shape != (height, width, 3):
+            raise ValueError(
+                f"make_bmp: pixels shape {px.shape} != ({height}, {width}, 3)"
+            )
+        body = b"".join(
+            px[y, :, ::-1].tobytes() + pad  # BGR, bottom-up
+            for y in range(height - 1, -1, -1)
+        )
+    else:
+        r, g, b = rgb
+        row_px = bytes((b & 0xFF, g & 0xFF, r & 0xFF)) * width  # BGR on disk
+        body = (row_px + pad) * height
     return (
         b"BM"
         + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
@@ -889,3 +906,107 @@ def extract_frame_stats(
             )
 
     return media_df.mapInPandas(batches, schema=FRAME_STATS_SCHEMA)
+
+
+# --------------------------------------------------------------------- #
+# perceptual image fingerprints (dHash / pHash) — LAION-style near-dup
+# --------------------------------------------------------------------- #
+
+
+def _gray_u8(frame):
+    """Integer ITU-R BT.601 luma of an H×W×3 uint8 frame:
+    (299·R + 587·G + 114·B) // 1000 — integer arithmetic so both
+    engines (and the closed-form oracles) agree bit-for-bit.  For
+    synthetic r=g=b images this is exactly the channel value."""
+    import numpy as np
+
+    f = frame.astype(np.int64)
+    return (299 * f[:, :, 0] + 587 * f[:, :, 1] + 114 * f[:, :, 2]) // 1000
+
+
+def dhash_bits(frame) -> int:
+    """64-bit difference hash (dHash) of an H×W×3 uint8 frame: luma →
+    nearest-resize to 9×8 → bit (r·8+c) set iff gray[r][c] >
+    gray[r][c+1].  The standard gradient fingerprint: robust to
+    rescaling and recompression, cheap enough for a full-corpus pass.
+    Returned as a SIGNED 64-bit int (bit 63 = sign) so it lands in a
+    Spark ``bigint`` column unchanged."""
+    g = resize_nearest(_expand3(frame), 9, 8)
+    gray = _gray_u8(g)
+    v = 0
+    for r in range(8):
+        for c in range(8):
+            if gray[r][c] > gray[r][c + 1]:
+                b = r * 8 + c
+                v |= 1 << b
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def phash_bits(frame) -> int:
+    """64-bit DCT perceptual hash (pHash): luma → 32×32 nearest-resize
+    → 2-D DCT-II → the 8×8 lowest-frequency block (DC excluded from the
+    threshold) → bit set iff coefficient > median.  Catches near-dups
+    that survive stronger edits than dHash (blur, small crops) at the
+    cost of a 32×32 DCT per image; same signed-bigint packing."""
+    import numpy as np
+
+    g = resize_nearest(_expand3(frame), 32, 32)
+    gray = _gray_u8(g).astype(np.float64)
+    n = 32
+    k = np.arange(n)
+    basis = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / (2 * n))
+    dct = basis @ gray @ basis.T
+    block = dct[:8, :8].flatten()
+    med = np.median(block[1:])  # DC dwarfs everything — exclude it
+    v = 0
+    for b in range(64):
+        if block[b] > med:
+            v |= 1 << b
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def _expand3(frame):
+    """H×W or H×W×1 → H×W×3 (grayscale broadcast), H×W×3/4 → H×W×3."""
+    import numpy as np
+
+    if frame.ndim == 2:
+        return np.repeat(frame[:, :, None], 3, axis=2)
+    if frame.shape[2] == 1:
+        return np.repeat(frame, 3, axis=2)
+    return frame[:, :, :3]
+
+
+def extract_image_phash(media_df: DataFrame, method: str = "dhash") -> DataFrame:
+    """(doc_id, phash bigint) perceptual fingerprints over a bronze
+    media frame — frame 0 of each decodable image payload through
+    :func:`dhash_bits` / :func:`phash_bits`.  Arrow-batched mapInPandas
+    like the other extractors; per-payload Python rides the scan
+    partitions and only 9 bytes/row ever shuffle downstream.
+    Undecodable or non-image payloads contribute NO rows
+    (quarantine-by-omission, the extract_frame_stats convention)."""
+    if method not in ("dhash", "phash"):
+        raise ValueError(f"extract_image_phash: unknown method {method!r}")
+    fn = dhash_bits if method == "dhash" else phash_bits
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for did, mtype, p in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if p is None or mtype != "image":
+                    continue
+                try:
+                    _, _, frames = _decode_frames(bytes(p))
+                except (ValueError, zlib.error, struct.error, IndexError):
+                    continue
+                ids.append(did)
+                hashes.append(fn(frames[0]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="Int64"),
+                    "phash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return media_df.mapInPandas(batches, schema="doc_id bigint, phash bigint")

@@ -1284,11 +1284,30 @@ def write_ivfpq_index(
         df, [(1, nlist), (m, k)], iters, vec_col, id_col
     )
     coarse = coarse_books[0]
+    _ivfpq_encode(df, coarse, books, vec_col, id_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{path}/codes")
+    _write_codebooks(df.sparkSession, [coarse], f"{path}/_coarse")
+    _write_codebooks(df.sparkSession, books, f"{path}/_codebooks")
+    _write_index_stats(df.sparkSession, path)
+
+
+def _ivfpq_encode(
+    df: DataFrame,
+    coarse: list[list[float]],
+    books: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, code0..m-1, cell) for every row — cell assignment and PQ
+    encode share ONE pass; the double-cast vector and each subvector
+    materialize as projection columns first (no CSE for lambda
+    arguments — the winnow rule).  Shared by the initial
+    :func:`write_ivfpq_index` build and :func:`append_ivfpq_index`
+    (which encodes against FROZEN stored codebooks)."""
+    m = len(books)
     dsub = len(books[0][0])
     dvec = F.col(vec_col).cast("array<double>")
-    # cell assignment and PQ encode share ONE pass; the double-cast
-    # vector and each subvector materialize as projection columns first
-    # (no CSE for lambda arguments — the winnow rule)
     proj = df.select(
         F.col(id_col),
         dvec.alias("__dv"),
@@ -1297,13 +1316,13 @@ def write_ivfpq_index(
     choices = F.array(
         *[
             F.struct(
-                F.round(_sqdist_to_lit(F.col("__dv"), coarse[j]), 6).alias("d"),
+                F.round(_sqdist_to_lit(F.col("__dv"), c), 6).alias("d"),
                 F.lit(j).alias("j"),
             )
-            for j in range(nlist)
+            for j, c in enumerate(coarse)
         ]
     )
-    encoded = proj.select(
+    return proj.select(
         F.col(id_col),
         *[
             _code_col(books[s], F.col(f"__sub{s}")).alias(f"code{s}")
@@ -1311,9 +1330,74 @@ def write_ivfpq_index(
         ],
         F.array_min(choices)["j"].alias("cell"),
     )
-    encoded.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
-    _write_codebooks(df.sparkSession, [coarse], f"{path}/_coarse")
-    _write_codebooks(df.sparkSession, books, f"{path}/_codebooks")
+
+
+def _write_index_stats(spark, path: str) -> None:
+    """Snapshot per-cell row counts of the codes table into
+    ``<path>/_stats`` — the BUILD-time (training-time) census that
+    :func:`ivfpq_index_staleness` measures appended drift against.
+    Reads back the just-written codes (m smallints per row — one cheap
+    columnar pass, never the raw vectors)."""
+    spark.read.parquet(f"{path}/codes").groupBy("cell").agg(
+        F.count("*").alias("n_build")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_stats")
+
+
+def append_ivfpq_index(
+    df_new: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incrementally extend a :func:`write_ivfpq_index` table with new
+    rows — the production shape for a weekly-growing corpus (VERDICT r8
+    item 2).  The stored coarse centroids and PQ codebooks are FROZEN:
+    new rows encode against them in one pass over ``df_new`` only and
+    append into the existing cell-partitioned codes table (each cell
+    directory gains files; nothing is rewritten), so refresh cost is
+    O(new rows), not the static build's full re-encode.  The build-time
+    ``_stats`` census is left untouched — that is the baseline
+    :func:`ivfpq_index_staleness` computes retrain-signal drift
+    against.  Frozen codebooks mean appended vectors in regions the
+    trainer never saw quantize coarsely; the staleness stat is the
+    caller's cue to retrain (rebuild) when drift crosses policy."""
+    spark = df_new.sparkSession
+    coarse = _read_codebooks(spark, f"{path}/_coarse")[0]
+    books = _read_codebooks(spark, f"{path}/_codebooks")
+    _ivfpq_encode(df_new, coarse, books, vec_col, id_col).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(f"{path}/codes")
+
+
+def ivfpq_index_staleness(spark, path: str) -> DataFrame:
+    """Per-cell count drift of an IVF-PQ index vs its build-time census:
+    (cell, n_build, n_now, n_appended, drift) where ``drift`` =
+    appended/built.  Appends never retrain, so cells that grew far past
+    their training population are quantizing unseen data with stale
+    centroids — the caller's retrain threshold reads this frame (e.g.
+    ``max(drift) > 0.5`` or total appended fraction > 20%).  Cost: one
+    scan of the codes table's smallints + the metadata-scale _stats."""
+    now = spark.read.parquet(f"{path}/codes").groupBy("cell").agg(
+        F.count("*").alias("n_now")
+    )
+    build = spark.read.parquet(f"{path}/_stats")
+    return (
+        now.join(build, "cell", "left")
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            F.coalesce(F.col("n_build"), F.lit(0)).alias("n_build"),
+            F.col("n_now"),
+            (F.col("n_now") - F.coalesce(F.col("n_build"), F.lit(0))).alias(
+                "n_appended"
+            ),
+            F.when(
+                F.coalesce(F.col("n_build"), F.lit(0)) > 0,
+                (F.col("n_now") - F.col("n_build"))
+                / F.col("n_build").cast("double"),
+            ).alias("drift"),
+        )
+        .orderBy("cell")
+    )
 
 
 def ivfpq_topk_indexed(

@@ -1513,3 +1513,78 @@ def gopher_rules(
     for name in list(rules)[1:]:
         passes = passes & F.col(name)
     return out.withColumn("passes", F.coalesce(passes, F.lit(False)))
+
+
+def fasttext_weights(dim: int, seed: int) -> list[float]:
+    """Seeded deterministic linear-model weights (one per hash slot) —
+    standing in for a trained fastText-style classifier's weight vector.
+    ``random.Random(seed).gauss`` floats, embedded as literals on BOTH
+    engines (the seeded-constants-via-repr rule), so the scorer is
+    replayable closed-form."""
+    import random
+
+    rng = random.Random(seed)
+    return [rng.gauss(0.0, 1.0) for _ in range(dim)]
+
+
+def fasttext_quality_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    n: int = 3,
+    seed: int = 13,
+    bias: float = 0.0,
+) -> DataFrame:
+    """Model-based document quality scoring, fastText-shaped (Joulin et
+    al. 2016; the CCNet / LLaMA wiki-vs-crawl filter): hashed char
+    ``n``-gram features — no vocabulary, no state — averaged into a
+    linear logit and squashed to a [0,1] score.
+
+    Engine shape: the n-gram expansion, slot hashing (md5-prefix, the
+    engine-portable family feature_hash uses), weight lookup
+    (``dim`` literal doubles — the LSH-plane broadcast pattern), and the
+    sequential fold all run INSIDE the scan stage as higher-order
+    expressions: zero shuffles, zero Python, one pass over text at any
+    corpus size.  The weights are :func:`fasttext_weights` literals —
+    swap in trained coefficients and nothing else moves.
+
+    Float parity: contributions fold left-to-right in n-gram order
+    (``F.aggregate`` ≡ DuckDB ``list_sum``), then one divide by the
+    n-gram count — bit-reproducible across engines; ``keep`` thresholds
+    the LOGIT at 0 (exact), not the sigmoid.
+
+    Returns (id, n_grams, logit, score, keep); null/short texts score
+    the bare bias (no n-gram evidence)."""
+    if dim < 2:
+        raise ValueError(f"dim must be >= 2 (got {dim})")
+    if n < 1:
+        raise ValueError(f"n must be >= 1 (got {n})")
+    w = fasttext_weights(dim, seed)
+    wlit = F.array(*[F.lit(float(x)) for x in w])
+    t = F.lower(F.col(text_col))
+    idxs = F.when(
+        t.isNotNull() & (F.length(t) >= n),
+        F.sequence(F.lit(1), F.length(t) - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idxs, lambda i: t.substr(i, F.lit(n)))
+
+    def slot(g):
+        h = F.conv(
+            F.substring(F.md5(F.concat(g, F.lit("#qs"))), 1, 13), 16, 10
+        ).cast("bigint")
+        return (h % dim + 1).cast("int")
+
+    contrib = F.transform(grams, lambda g: F.element_at(wlit, slot(g)))
+    total = F.aggregate(contrib, F.lit(0.0), lambda acc, x: acc + x)
+    n_grams = F.size(grams)
+    logit = F.when(n_grams > 0, F.lit(float(bias)) + total / n_grams).otherwise(
+        F.lit(float(bias))
+    )
+    return df.select(
+        F.col(id_col),
+        n_grams.alias("n_grams"),
+        logit.alias("logit"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("score"),
+        (logit >= 0).alias("keep"),
+    )

@@ -120,3 +120,74 @@ def test_round_half_up_discipline():
     assert sim._round_half_up(0.0000015) == 0.000002
     assert sim._round_half_up(1.5, 0) == 2.0
     assert sim._round_half_up(2.5, 0) == 3.0
+
+
+def test_append_ivfpq_index_equals_frozen_encode_of_union(spark, emb, query, tmp_path):
+    """Incremental refresh (VERDICT r8 item 2): build on a base slice,
+    append the rest — the probe must equal the frozen-codebook encode of
+    the UNION ranked through the same ADC path, i.e. the append loses /
+    duplicates nothing across the partitioned append."""
+    idx = str(tmp_path / "ivfpq_refresh")
+    base = emb.where((F.col("vec_id") < 8) | (F.col("vec_id") % 4 != 1))
+    fresh = emb.where((F.col("vec_id") >= 8) & (F.col("vec_id") % 4 == 1))
+    sim.write_ivfpq_index(base, idx, nlist=8, m=2, k=8, iters=2)
+    n_base = spark.read.parquet(f"{idx}/codes").count()
+    sim.append_ivfpq_index(fresh, idx)
+
+    codes = spark.read.parquet(f"{idx}/codes")
+    assert codes.count() == emb.count()  # nothing lost, nothing doubled
+    assert codes.select("vec_id").distinct().count() == emb.count()
+    assert n_base == base.count()
+
+    # probe-after-append == in-memory frozen-codebook recompute on union
+    coarse = sim._read_codebooks(spark, f"{idx}/_coarse")[0]
+    books = sim._read_codebooks(spark, f"{idx}/_codebooks")
+    probe = sorted(
+        range(len(coarse)),
+        key=lambda j: (
+            sim._round_half_up(
+                sum((a - b) * (a - b) for a, b in zip(query, coarse[j]))
+            ),
+            j,
+        ),
+    )[:3]
+    inline = sim._adc_rank(
+        sim._ivfpq_encode(emb, coarse, books).where(F.col("cell").isin(probe)),
+        books, query, "vec_id", 10,
+    )
+    indexed = sim.ivfpq_topk_indexed(spark, idx, query, nprobe=3, k_out=10)
+    assert _rows(indexed) == _rows(inline)
+
+    # file-index pruning SURVIVES the refresh: appended files land
+    # inside cell directories, runtime input_file_name stays pruned
+    def files_read(frame):
+        return frame.select(F.input_file_name().alias("f")).distinct().count()
+
+    cand = codes.where(F.col("cell").isin(probe))
+    total = files_read(codes)
+    assert 0 < files_read(cand) < total
+
+
+def test_ivfpq_staleness_census(spark, emb, tmp_path):
+    """The build-time _stats census is frozen at write time; appends
+    show up as n_appended/drift — the caller's retrain signal."""
+    idx = str(tmp_path / "ivfpq_stale")
+    base = emb.where((F.col("vec_id") < 8) | (F.col("vec_id") % 4 != 1))
+    fresh = emb.where((F.col("vec_id") >= 8) & (F.col("vec_id") % 4 == 1))
+    sim.write_ivfpq_index(base, idx, nlist=8, m=2, k=8, iters=2)
+
+    before = sim.ivfpq_index_staleness(spark, idx)
+    assert before.columns == ["cell", "n_build", "n_now", "n_appended", "drift"]
+    rows = before.collect()
+    assert sum(r["n_build"] for r in rows) == base.count()
+    assert all(r["n_appended"] == 0 for r in rows)
+    assert all(r["drift"] == 0.0 for r in rows)
+
+    sim.append_ivfpq_index(fresh, idx)
+    after = {r["cell"]: r for r in sim.ivfpq_index_staleness(spark, idx).collect()}
+    assert sum(r["n_appended"] for r in after.values()) == fresh.count()
+    assert sum(r["n_now"] for r in after.values()) == emb.count()
+    # build census unchanged by the append
+    assert sum(r["n_build"] for r in after.values()) == base.count()
+    grown = [r for r in after.values() if r["n_appended"] > 0]
+    assert grown and all(r["drift"] > 0 for r in grown)

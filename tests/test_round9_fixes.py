@@ -5,6 +5,7 @@ and the code-versioned artifact-cache key."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from kevinlang_spark.operators.jpeg import jpeg_pixels, make_jpeg
@@ -91,3 +92,160 @@ def test_artifact_path_changes_with_source(tmp_path, monkeypatch):
     a2 = entry._artifact_path("/data/sf1", "pq_idx",
                               "kevinlang_spark/operators/similarity.py")
     assert a2 != a
+
+
+# --------------------------------------------------------------------- #
+# perceptual image fingerprints (dHash/pHash) + Hamming banding
+# --------------------------------------------------------------------- #
+
+
+def _gradient_image(fp: int):
+    """9×8 RGB image whose dHash is exactly ``fp`` (the q_image_neardup
+    construction: per-row pixel walk, ±15 around 128)."""
+    px = np.zeros((8, 9, 3), np.uint8)
+    for r in range(8):
+        v = 128
+        px[r, 0, :] = v
+        for c in range(8):
+            v = v - 15 if (fp >> (r * 8 + c)) & 1 else v + 15
+            px[r, c + 1, :] = v
+    return px
+
+
+def test_make_bmp_pixels_roundtrip():
+    from kevinlang_spark.operators.multimodal import _bmp_pixels, make_bmp
+
+    rng = np.random.RandomState(9)
+    src = rng.randint(0, 256, (8, 9, 3)).astype(np.uint8)
+    w, h, rgb = _bmp_pixels(make_bmp(9, 8, pixels=src))
+    assert (w, h) == (9, 8)
+    assert np.array_equal(rgb, src)
+
+
+def test_dhash_encodes_constructed_gradients():
+    from kevinlang_spark.operators.multimodal import dhash_bits
+
+    for fp in (0, 0x5A5A5A5A5A5A5A5A, (1 << 63) - 1, 0x0123456789ABCDEF):
+        got = dhash_bits(_gradient_image(fp))
+        assert got == fp, (hex(fp), hex(got))
+
+
+def test_dhash_survives_nearest_upscale():
+    """The fingerprint is resize-invariant for integer upscales — the
+    property that makes it a NEAR-dup key, not an exact-byte key."""
+    from kevinlang_spark.operators.multimodal import dhash_bits
+
+    fp = 0x0F0F00FF12345678
+    px = _gradient_image(fp)
+    up = np.repeat(np.repeat(px, 4, axis=0), 4, axis=1)  # 32×36
+    assert dhash_bits(up) == fp
+
+
+def test_phash_brightness_invariant_and_discriminative():
+    from kevinlang_spark.operators.multimodal import phash_bits
+
+    rng = np.random.RandomState(21)
+    img = rng.randint(30, 200, (16, 16, 3)).astype(np.uint8)
+    brighter = np.clip(img.astype(np.int64) + 20, 0, 255).astype(np.uint8)
+    # +20 brightness shifts only the DC coefficient; the median
+    # threshold over AC bits is unchanged
+    assert phash_bits(img) == phash_bits(brighter)
+    other = rng.randint(30, 200, (16, 16, 3)).astype(np.uint8)
+    a, b = phash_bits(img), phash_bits(other)
+    assert bin((a ^ b) & ((1 << 64) - 1)).count("1") > 10
+
+
+def test_extract_image_phash_quarantines(spark):
+    from kevinlang_spark.operators.multimodal import (
+        extract_image_phash,
+        make_bmp,
+    )
+
+    rows = [
+        (1, "image", make_bmp(9, 8, pixels=_gradient_image(0xABCD))),
+        (2, "image", b"not an image at all"),
+        (3, "audio", make_bmp(9, 8, pixels=_gradient_image(0xABCD))),
+        (4, "image", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, media_type string, payload binary"
+    )
+    got = extract_image_phash(df, method="dhash").collect()
+    assert [(r["doc_id"], r["phash"]) for r in got] == [(1, 0xABCD)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown method"):
+        extract_image_phash(df, method="md5")
+
+
+def test_hamming_neardup_pairs_on_fingerprints(spark):
+    from kevinlang_spark.operators.dedup import hamming_neardup_pairs
+
+    base = 0x1122334455667788
+    rows = [
+        (1, base),
+        (2, base ^ 0b1),          # hamming 1 from base
+        (3, base ^ 0b111),        # hamming 3 from base, 2 from id=2
+        (4, ~base & ((1 << 63) - 1)),  # far away
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, phash bigint")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_neardup_pairs(
+            df, max_hamming=3, blocks=4, id_col="doc_id", sig_col="phash"
+        ).collect()
+    )
+    assert got == [(1, 2, 1), (1, 3, 3), (2, 3, 2)]
+
+
+def test_fasttext_quality_score_semantics(spark):
+    import hashlib
+
+    from kevinlang_spark.operators.text import (
+        fasttext_quality_score,
+        fasttext_weights,
+    )
+
+    rows = [
+        (1, "Hello World"),   # 9 trigrams of "hello world"
+        (2, "ab"),            # shorter than n -> bias only
+        (3, None),            # null -> bias only
+        (4, ""),              # empty -> bias only
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r
+        for r in fasttext_quality_score(
+            df, dim=64, n=3, seed=13, bias=-0.05
+        ).collect()
+    }
+    # independent Python replay of doc 1
+    w = fasttext_weights(64, 13)
+    t = "hello world"
+    grams = [t[i : i + 3] for i in range(len(t) - 2)]
+    tot = 0.0
+    for g in grams:
+        h = int(hashlib.md5((g + "#qs").encode()).hexdigest()[:13], 16)
+        tot += w[h % 64]
+    logit = -0.05 + tot / len(grams)
+    assert got[1]["n_grams"] == 9
+    assert abs(got[1]["logit"] - logit) < 1e-12
+    import math
+
+    assert abs(got[1]["score"] - 1.0 / (1.0 + math.exp(-logit))) < 1e-12
+    assert got[1]["keep"] == (logit >= 0)
+    for d in (2, 3, 4):
+        assert got[d]["n_grams"] == 0
+        assert got[d]["logit"] == -0.05
+        assert got[d]["keep"] is False
+
+
+def test_fasttext_quality_score_guards(spark):
+    from kevinlang_spark.operators.text import fasttext_quality_score
+
+    df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="dim must be"):
+        fasttext_quality_score(df, dim=1)
+    with pytest.raises(ValueError, match="n must be"):
+        fasttext_quality_score(df, n=0)
