@@ -11,13 +11,17 @@ Two halves:
   synthesize real baseline-JPEG bytes for tests and bronze tables
   (grayscale or 4:4:4 / 4:2:0 YCbCr, all-ones quantization tables so
   constant-color blocks round-trip EXACTLY — the property the decode
-  oracles rely on).
-- :func:`jpeg_pixels` — a DECODER for the honest baseline subset:
-  8-bit baseline sequential (SOF0/SOF1), Huffman entropy coding,
-  grayscale or 3-component YCbCr, sampling factors up to 2×2
-  (nearest-neighbor chroma upsampling, as libjpeg's -nosmooth),
-  restart intervals.  Progressive (SOF2), arithmetic coding, 12-bit
-  precision, and CMYK raise ValueError (quarantine semantics).
+  oracles rely on).  ``progressive=True`` emits a spectral-selection
+  progressive stream (SOF2: one interleaved DC scan, then one
+  full-band AC scan per component).
+- :func:`jpeg_pixels` — a DECODER for the honest subset: 8-bit
+  baseline sequential (SOF0/SOF1) plus spectral-selection progressive
+  (SOF2 with Ah=0 — coefficients accumulate across scans, EOB-run
+  coding, one IDCT at the end), Huffman entropy coding, grayscale or
+  3-component YCbCr, sampling factors up to 2×2 (nearest-neighbor
+  chroma upsampling, as libjpeg's -nosmooth), restart intervals.
+  Successive-approximation refinement scans (Ah>0), arithmetic coding,
+  12-bit precision, and CMYK raise ValueError (quarantine semantics).
 
 The reference engine (harry75369/KevinLang) has no media layer at all;
 this extends the SURVEY §2 multimodal tier, where image/audio columns
@@ -603,10 +607,13 @@ def jpeg_pixels(payload: bytes):
                 if not (1 <= h <= 2 and 1 <= v <= 2):
                     raise ValueError("JPEG sampling factors above 2 unsupported")
                 comps.append({"id": cid, "h": h, "v": v, "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC2:  # progressive (spectral selection) — own path
+            return _jpeg_pixels_progressive(payload)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only baseline sequential JPEG supported (progressive/"
-                "arithmetic/hierarchical need no more maths, just more code)"
+                "only baseline-sequential / spectral-progressive JPEG "
+                "supported (arithmetic/hierarchical/lossless need no more "
+                "maths, just more code)"
             )
         elif marker == 0xC4:  # DHT — possibly several tables per segment
             j = 0
@@ -647,16 +654,7 @@ def jpeg_pixels(payload: bytes):
             # scan data runs from after this segment to the next real
             # marker (stuffed 0xFF00 and RSTn stay inside)
             j = i + 2 + seg_len
-            k = j
-            end = len(payload)  # streams lacking a trailing EOI keep
-            while k + 1 < len(payload):  # their final entropy byte
-                if payload[k] == 0xFF and payload[k + 1] != 0x00 and not (
-                    0xD0 <= payload[k + 1] <= 0xD7
-                ):
-                    end = k
-                    break
-                k += 1
-            scan = (scan_comps, payload[j:end])
+            scan = (scan_comps, payload[j : _find_scan_end(payload, j)])
             break
         i += 2 + seg_len
 
@@ -734,3 +732,273 @@ def _find_scan_end(payload: bytes, j: int) -> int:
             return k
         k += 1
     return len(payload)
+
+
+def _jpeg_pixels_progressive(payload: bytes):
+    """Progressive-JPEG decode for the SPECTRAL-SELECTION subset (T.81
+    G.1 with Ah=0): any number of scans accumulate DCT coefficients —
+    an interleaved or single-component DC scan, then per-component AC
+    band scans with EOB-run coding — and the IDCT runs once at the end.
+    Al (point transform) shifts first-scan values; successive-
+    approximation REFINEMENT scans (Ah>0) raise ValueError (the stream
+    quarantines — fail-closed, never a misdecode).  Restart intervals
+    reset predictors and EOB runs in every scan kind."""
+    qts: dict[int, np.ndarray] = {}
+    dc_luts: dict[int, dict] = {}
+    ac_luts: dict[int, dict] = {}
+    comps: list[dict] = []
+    width = height = None
+    restart_interval = 0
+    coef: list[np.ndarray] = []  # per comp: (pbh, pbw, 64) zigzag ints
+    pdims: list[tuple[int, int]] = []  # MCU-padded block dims
+    ndims: list[tuple[int, int]] = []  # non-interleaved block dims
+    mcu_rows = mcu_cols = maxh = maxv = 0
+    any_scan = False
+
+    i = 2
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError("corrupt JPEG segment stream")
+        while i + 4 <= len(payload) and payload[i + 1] == 0xFF:
+            i += 1  # 0xFF fill bytes (T.81 B.1.1.2)
+        if i + 4 > len(payload):
+            break
+        marker = payload[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        body = payload[i + 4 : i + 2 + seg_len]
+        if len(body) < seg_len - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0x0F
+                j += 1
+                if pq == 0:
+                    qts[tq] = np.frombuffer(
+                        body[j : j + 64], dtype=np.uint8
+                    ).astype(np.float64)
+                    j += 64
+                elif pq == 1:
+                    qts[tq] = np.frombuffer(
+                        body[j : j + 128], dtype=">u2"
+                    ).astype(np.float64)
+                    j += 128
+                else:
+                    raise ValueError("corrupt JPEG DQT precision")
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                bits = list(body[j + 1 : j + 17])
+                nv = sum(bits)
+                vals = list(body[j + 17 : j + 17 + nv])
+                (dc_luts if tc == 0 else ac_luts)[th] = _canonical_lut(bits, vals)
+                j += 17 + nv
+        elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("malformed JPEG DRI segment")
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xC2:  # SOF2
+            if comps:
+                raise ValueError("multiple JPEG frame headers")
+            if len(body) < 6 or body[0] != 8:
+                raise ValueError("only 8-bit JPEG precision supported")
+            height, width = struct.unpack(">HH", body[1:5])
+            ncomp = body[5]
+            if ncomp not in (1, 3):
+                raise ValueError("only greyscale / YCbCr JPEG supported")
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("malformed JPEG SOF header")
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                h, v = hv >> 4, hv & 0x0F
+                if not (1 <= h <= 2 and 1 <= v <= 2):
+                    raise ValueError("JPEG sampling factors above 2 unsupported")
+                comps.append({"id": cid, "h": h, "v": v, "tq": tq})
+            maxh = max(c["h"] for c in comps)
+            maxv = max(c["v"] for c in comps)
+            mcu_cols = (width + 8 * maxh - 1) // (8 * maxh)
+            mcu_rows = (height + 8 * maxv - 1) // (8 * maxv)
+            for c in comps:
+                pbh, pbw = mcu_rows * c["v"], mcu_cols * c["h"]
+                pdims.append((pbh, pbw))
+                ndims.append(
+                    (
+                        (-(-(height * c["v"]) // maxv) + 7) // 8,
+                        (-(-(width * c["h"]) // maxh) + 7) // 8,
+                    )
+                )
+                coef.append(np.zeros((pbh, pbw, 64), dtype=np.int32))
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("mixed/unsupported JPEG frame type")
+        elif marker == 0xDA:  # SOS — one progressive scan
+            if not comps:
+                raise ValueError("JPEG SOS before SOF")
+            if not body:
+                raise ValueError("malformed JPEG SOS header")
+            ns = body[0]
+            if len(body) < 4 + 2 * ns:
+                raise ValueError("malformed JPEG SOS header")
+            scan_comps = []  # (comp index, td, ta)
+            for c in range(ns):
+                cid, tda = body[1 + 2 * c : 3 + 2 * c]
+                ci = next(
+                    (x for x, cc in enumerate(comps) if cc["id"] == cid), None
+                )
+                if ci is None:
+                    raise ValueError("JPEG SOS references an undeclared component")
+                scan_comps.append((ci, tda >> 4, tda & 0x0F))
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if ah != 0:
+                raise ValueError(
+                    "progressive JPEG successive-approximation refinement "
+                    "scans unsupported"
+                )
+            if ss > se or se > 63:
+                raise ValueError("corrupt progressive spectral selection")
+            j = i + 2 + seg_len
+            end = _find_scan_end(payload, j)
+            br = _BitReader(payload[j:end])
+            _decode_prog_scan(
+                br, coef, comps, scan_comps, ss, se, al,
+                dc_luts, ac_luts, restart_interval,
+                mcu_rows, mcu_cols, ndims,
+            )
+            any_scan = True
+            i = end
+            continue
+        i += 2 + seg_len
+
+    if not any_scan or width is None:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    planes = []
+    for c, comp in enumerate(comps):
+        if comp["tq"] not in qts:
+            raise ValueError("JPEG scan references undefined table")
+        qt = qts[comp["tq"]]
+        pbh, pbw = pdims[c]
+        plane = np.empty((pbh * 8, pbw * 8))
+        for by in range(pbh):
+            for bx in range(pbw):
+                cf = np.zeros(64, dtype=np.float64)
+                cf[ZIGZAG] = coef[c][by, bx].astype(np.float64) * qt
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _A.T @ cf.reshape(8, 8) @ _A + 128.0
+                )
+        planes.append(plane)
+    return _assemble_image(
+        [(c["h"], c["v"]) for c in comps], planes, width, height
+    )
+
+
+def _decode_prog_scan(
+    br: _BitReader,
+    coef: list[np.ndarray],
+    comps: list[dict],
+    scan_comps: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    al: int,
+    dc_luts: dict,
+    ac_luts: dict,
+    restart_interval: int,
+    mcu_rows: int,
+    mcu_cols: int,
+    ndims: list[tuple[int, int]],
+) -> None:
+    """Decode ONE first-pass progressive scan (Ah=0) into the
+    coefficient arrays: DC scans (Ss=0) run MCU-interleaved (ns>1) or
+    block-raster (ns=1) with the usual DC prediction; AC scans (Ss≥1,
+    ns must be 1) run block-raster over the component's own dimensions
+    with EOB-run coding.  Values shift left by Al (point transform)."""
+    if ss == 0:
+        if se != 0:
+            raise ValueError(
+                "corrupt progressive DC scan (Se must be 0 when Ss is 0)"
+            )
+        preds = [0] * len(scan_comps)
+        for si, (ci, td, _) in enumerate(scan_comps):
+            if td not in dc_luts:
+                raise ValueError("JPEG scan references undefined table")
+        if len(scan_comps) > 1:  # interleaved MCU order
+            mcu_n = 0
+            for my in range(mcu_rows):
+                for mx in range(mcu_cols):
+                    if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                        br.restart()
+                        preds = [0] * len(scan_comps)
+                    mcu_n += 1
+                    for si, (ci, td, _) in enumerate(scan_comps):
+                        h, v = comps[ci]["h"], comps[ci]["v"]
+                        for by in range(v):
+                            for bx in range(h):
+                                s = _decode_sym(br, dc_luts[td])
+                                if s > 11:
+                                    raise ValueError("corrupt JPEG DC category")
+                                diff = _extend(br.bits(s), s) if s else 0
+                                preds[si] += diff
+                                coef[ci][my * v + by, mx * h + bx, 0] = (
+                                    preds[si] << al
+                                )
+        else:
+            ci, td, _ = scan_comps[0]
+            nbh, nbw = ndims[ci]
+            blk_n = 0
+            for by in range(nbh):
+                for bx in range(nbw):
+                    if restart_interval and blk_n and blk_n % restart_interval == 0:
+                        br.restart()
+                        preds = [0]
+                    blk_n += 1
+                    s = _decode_sym(br, dc_luts[td])
+                    if s > 11:
+                        raise ValueError("corrupt JPEG DC category")
+                    diff = _extend(br.bits(s), s) if s else 0
+                    preds[0] += diff
+                    coef[ci][by, bx, 0] = preds[0] << al
+        return
+
+    if len(scan_comps) != 1:
+        raise ValueError(
+            "corrupt progressive AC scan (must be single-component)"
+        )
+    ci, _, ta = scan_comps[0]
+    if ta not in ac_luts:
+        raise ValueError("JPEG scan references undefined table")
+    lut = ac_luts[ta]
+    nbh, nbw = ndims[ci]
+    eobrun = 0
+    blk_n = 0
+    for by in range(nbh):
+        for bx in range(nbw):
+            if restart_interval and blk_n and blk_n % restart_interval == 0:
+                br.restart()
+                eobrun = 0
+            blk_n += 1
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _decode_sym(br, lut)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL — sixteen zeros inside the band
+                        k += 16
+                        if k > se + 1:
+                            raise ValueError("corrupt progressive AC run")
+                        continue
+                    eobrun = (1 << r) - 1  # EOBn: this block + eobrun more
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                k += r
+                if k > se or s > 10:
+                    raise ValueError("corrupt progressive AC run/size")
+                coef[ci][by, bx, k] = _extend(br.bits(s), s) << al
+                k += 1

@@ -1178,6 +1178,11 @@ def bpe_train(
     — no shuffle at all for the apply step.  The vocab table is
     checkpointed each round: the fold lambda nests per round, so an
     uncheckpointed plan's expression tree would double every round.
+    Checkpoints are LAZY (r9): each round's rewrite materializes inside
+    the NEXT round's argmax job instead of as its own job, and the
+    rewrite after the final merge is skipped — halving the per-round
+    scheduler latency that dominates this driver-sequential loop (the
+    consumers are strictly sequential, so laziness cannot race).
 
     Determinism: tie-breaks are (count desc, tok_a asc, tok_b asc);
     merging is left-to-right non-overlapping (the fold re-reads its own
@@ -1224,10 +1229,11 @@ def bpe_train(
             break
         a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
         merges.append((r, a, b, n))
-
+        if r == n_merges:
+            break  # the rewrite after the final merge has no consumer
         words = words.select(
             _apply_merge(a, b).alias("toks"), "freq"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return merges
 
 
@@ -1268,14 +1274,16 @@ def bpe_encode_words(
     :func:`bpe_token_counts`) — the fold never runs per occurrence.
     Checkpointed per merge like training: the fold lambda nests per
     round, so an uncheckpointed expression tree would double every
-    merge."""
+    merge.  LAZILY checkpointed (r9): the whole merge chain
+    materializes stage-by-stage inside the one downstream action
+    instead of as a job per merge (consumers are sequential)."""
     out = words.select(
         F.col(word_col).alias("w"),
         F.trim(F.regexp_replace(F.col(word_col), "(.)", "$1 ")).alias("toks"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     for _, a, b, _ in sorted(merges):
         out = out.select("w", _apply_merge(a, b).alias("toks")).localCheckpoint(
-            eager=True
+            eager=False
         )
     return out.select(
         "w",

@@ -84,11 +84,14 @@ def test_restart_markers_roundtrip():
     assert np.abs(px[:, :, 0].astype(float) - src.astype(float)).max() <= 2.0
 
 
-def test_progressive_rejected():
+def test_sof2_with_baseline_scan_quarantines():
+    # a baseline stream MISDECLARED as SOF2 routes to the progressive
+    # decoder, whose scan-header validation rejects the baseline scan
+    # (Ss=0 with Se=63) instead of misdecoding it
     p = bytearray(make_jpeg(8, 8, gray=5))
     i = p.index(b"\xff\xc0")
     p[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="progressive"):
         jpeg_pixels(bytes(p))
 
 
@@ -187,3 +190,84 @@ def test_16bit_dqt_precision_accepted():
             i += 1
     got = jpeg_pixels(bytes(out))
     assert got[:3] == ref[:3] and (got[3] == ref[3]).all()
+
+
+# --------------------------------------------------------------------- #
+# spectral-selection progressive (SOF2, Ah=0) — VERDICT r8 item 7
+# --------------------------------------------------------------------- #
+
+
+def test_progressive_constant_gray_roundtrip_is_exact():
+    for v in (0, 77, 255):
+        payload = make_jpeg(17, 9, gray=v, progressive=True)
+        assert payload[2:4] != b"\xff\xc0"  # really SOF2, not baseline
+        w, h, c, px = jpeg_pixels(payload)
+        assert (w, h, c) == (17, 9, 1)
+        assert px.min() == px.max() == v
+
+
+def test_progressive_decodes_identically_to_baseline():
+    """Same pixels through SOF0 and SOF2 carry the SAME quantized
+    coefficients, so the two decodes must agree BIT-FOR-BIT — the
+    strongest cross-check the two scan layouts allow."""
+    rng = np.random.RandomState(17)
+    for shape in ((24, 31), (16, 16, 3)):
+        src = rng.randint(0, 256, shape).astype(np.uint8)
+        w, h = shape[1], shape[0]
+        base = jpeg_pixels(make_jpeg(w, h, pixels=src))
+        prog = jpeg_pixels(make_jpeg(w, h, pixels=src, progressive=True))
+        assert base[:3] == prog[:3]
+        assert np.array_equal(base[3], prog[3])
+
+
+def test_progressive_subsampled_420_roundtrip():
+    """Odd dims + 4:2:0: the luma component's non-interleaved AC-scan
+    block count differs from its MCU-padded grid (17px → 3 vs 4 block
+    columns), exercising the T.81 A.2.2 dimension rule."""
+    w, h, c, px = jpeg_pixels(
+        make_jpeg(17, 13, rgb=(10, 250, 128), subsample=True, progressive=True)
+    )
+    assert (w, h, c) == (17, 13, 3)
+    for i, v in enumerate((10, 250, 128)):
+        assert np.abs(px[:, :, i].astype(float) - v).max() <= 1.0
+    # and bit-identical to the baseline-encoded twin
+    base = jpeg_pixels(make_jpeg(17, 13, rgb=(10, 250, 128), subsample=True))
+    assert np.array_equal(base[3], px)
+
+
+def test_progressive_restart_markers_roundtrip():
+    rng = np.random.RandomState(23)
+    src = rng.randint(0, 256, (20, 40)).astype(np.uint8)
+    payload = make_jpeg(40, 20, pixels=src, restart_interval=3, progressive=True)
+    assert b"\xff\xd0" in payload or b"\xff\xd1" in payload
+    base = jpeg_pixels(make_jpeg(40, 20, pixels=src))
+    w, h, c, px = jpeg_pixels(payload)
+    assert (w, h, c) == (40, 20, 1)
+    assert np.array_equal(px, base[3])
+
+
+def test_progressive_real_quant_tables():
+    rng = np.random.RandomState(29)
+    src = rng.randint(0, 256, (16, 24, 3)).astype(np.uint8)
+    base = jpeg_pixels(make_jpeg(24, 16, pixels=src, quant=8))
+    prog = jpeg_pixels(make_jpeg(24, 16, pixels=src, quant=8, progressive=True))
+    assert np.array_equal(base[3], prog[3])
+
+
+def test_progressive_refinement_scans_still_quarantine():
+    """Successive-approximation refinement (Ah>0) is the honest gate:
+    mutate an AC scan's Ah nibble and the stream must quarantine, not
+    misdecode."""
+    payload = bytearray(make_jpeg(9, 8, gray=50, progressive=True))
+    i = payload.find(b"\x01\x3f\x00", 2)  # the AC scan's Ss/Se/AhAl
+    assert i > 0
+    payload[i + 2] = 0x10  # Ah=1
+    with pytest.raises(ValueError, match="refinement"):
+        jpeg_pixels(bytes(payload))
+
+
+def test_progressive_stdlib_decode_dimensions():
+    from kevinlang_spark.operators.multimodal import stdlib_decode
+
+    meta = stdlib_decode(make_jpeg(33, 21, gray=9, progressive=True), "image")
+    assert (meta["width"], meta["height"]) == (33, 21)
