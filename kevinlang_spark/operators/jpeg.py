@@ -13,15 +13,19 @@ Two halves:
   constant-color blocks round-trip EXACTLY — the property the decode
   oracles rely on).  ``progressive=True`` emits a spectral-selection
   progressive stream (SOF2: one interleaved DC scan, then one
-  full-band AC scan per component).
+  full-band AC scan per component); ``successive=True`` adds the
+  successive-approximation dimension (Al=1 first scans + Ah=1
+  refinement scans with cross-block EOB runs and buffered correction
+  bits — T.81 G.1.2.3).
 - :func:`jpeg_pixels` — a DECODER for the honest subset: 8-bit
-  baseline sequential (SOF0/SOF1) plus spectral-selection progressive
-  (SOF2 with Ah=0 — coefficients accumulate across scans, EOB-run
-  coding, one IDCT at the end), Huffman entropy coding, grayscale or
-  3-component YCbCr, sampling factors up to 2×2 (nearest-neighbor
-  chroma upsampling, as libjpeg's -nosmooth), restart intervals.
-  Successive-approximation refinement scans (Ah>0), arithmetic coding,
-  12-bit precision, and CMYK raise ValueError (quarantine semantics).
+  baseline sequential (SOF0/SOF1) plus FULL progressive (SOF2 —
+  spectral selection AND successive approximation: coefficients
+  accumulate across DC/AC first and refinement scans, EOB-run coding,
+  correction bits, one IDCT at the end), Huffman entropy coding,
+  grayscale or 3-component YCbCr, sampling factors up to 2×2
+  (nearest-neighbor chroma upsampling, as libjpeg's -nosmooth),
+  restart intervals.  Arithmetic coding, 12-bit precision, CMYK, and
+  hierarchical raise ValueError (quarantine semantics).
 
 The reference engine (harry75369/KevinLang) has no media layer at all;
 this extends the SURVEY §2 multimodal tier, where image/audio columns
@@ -60,13 +64,20 @@ def _dct_matrix() -> np.ndarray:
 _A = _dct_matrix()
 
 # our canonical Huffman tables (any valid DHT works — the decoder reads
-# tables from the stream): 12 DC categories at 4 bits, all 162 standard
-# AC symbols at 8 bits.  Single-length canonical codes are trivially
-# prefix-free and never produce the all-ones padding ambiguity.
+# tables from the stream): 12 DC categories at 4 bits, and all 176
+# AC symbols at 8 bits — the 162 baseline run/size pairs plus the 14
+# progressive EOBn run-length symbols (r<<4 for r=1..14; baseline scans
+# never emit those and the baseline decoder rejects them).
+# Single-length canonical codes are trivially prefix-free and never
+# produce the all-ones padding ambiguity.
 _DC_BITS = [0, 0, 0, 12] + [0] * 12
 _DC_VALS = list(range(12))
-_AC_BITS = [0] * 7 + [162] + [0] * 8
-_AC_VALS = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+_AC_BITS = [0] * 7 + [176] + [0] * 8
+_AC_VALS = (
+    [0x00, 0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [r << 4 for r in range(1, 15)]  # EOBn (progressive EOB runs)
+)
 
 
 def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
@@ -195,6 +206,7 @@ def make_jpeg(
     quant: int = 1,
     two_tables: bool = False,
     progressive: bool = False,
+    successive: bool = False,
 ) -> bytes:
     """A minimal VALID baseline-sequential JPEG.
 
@@ -342,8 +354,12 @@ def make_jpeg(
         out += b"\xff\xd9"  # EOI
         return bytes(out)
 
-    # --- progressive (spectral selection): one interleaved DC scan,
-    # then one full-band AC scan per component (T.81 G.1; Ah=Al=0) ---
+    # --- progressive (T.81 G.1): one interleaved DC scan, then one
+    # full-band AC scan per component — spectral selection.  With
+    # ``successive=True`` the first scans send Al=1 (point transform)
+    # and Ah=1→Al=0 REFINEMENT scans follow, exercising the
+    # successive-approximation half of the progressive decoder. ---
+    al1 = 1 if successive else 0
     coefs = []
     for c in range(ncomp):
         h, v = samp[c]
@@ -359,98 +375,85 @@ def make_jpeg(
                 for by in range(mcu_rows * v)
             ]
         )
-    # scan 1: DC, interleaved over all components (baseline MCU order)
-    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
-    for c in range(ncomp):
-        out += bytes([c + 1, table_id(c) << 4])
-    out += b"\x00\x00\x00"  # Ss=0 Se=0 Ah=Al=0
-    bw = _BitWriter()
-    preds = [0] * ncomp
-    mcu_n = 0
-    for my in range(mcu_rows):
-        for mx in range(mcu_cols):
-            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
-                rst(bw, mcu_n // restart_interval)
-                preds = [0] * ncomp
-            mcu_n += 1
-            for c in range(ncomp):
-                h, v = samp[c]
-                for by in range(v):
-                    for bx in range(h):
-                        dc = coefs[c][my * v + by][mx * h + bx][0]
-                        diff = dc - preds[c]
-                        preds[c] = dc
-                        s = _category(diff)
-                        if s > 11:
-                            raise ValueError(
-                                "make_jpeg: DC difference out of range"
-                            )
-                        code, ln = dc_codes[s]
-                        bw.write(code, ln)
-                        if s:
-                            bw.write(
-                                (diff if diff > 0 else diff + (1 << s) - 1)
-                                & ((1 << s) - 1),
-                                s,
-                            )
-    bw.flush()
-    out += bw.buf
-    # AC scans: ns=1 (non-interleaved), block raster over the
-    # component's OWN dimensions (ceil(x·h/maxh)/8 blocks — T.81 A.2.2),
-    # NOT the MCU-padded grid
-    for c in range(ncomp):
+
+    def dc_scan(first: bool) -> bytes:
+        """Interleaved DC scan: first pass codes (DC >> Al) diffs
+        (arithmetic shift, T.81 G.1.2.1); refinement appends bit Al."""
+        o = bytearray(b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp))
+        for c in range(ncomp):
+            o += bytes([c + 1, table_id(c) << 4])
+        o += bytes([0, 0, (0 if first else 1) << 4 | (al1 if first else 0)])
+        bw = _BitWriter()
+        preds = [0] * ncomp
+        mcu_n = 0
+        for my in range(mcu_rows):
+            for mx in range(mcu_cols):
+                if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                    rst(bw, mcu_n // restart_interval)
+                    preds = [0] * ncomp
+                mcu_n += 1
+                for c in range(ncomp):
+                    h, v = samp[c]
+                    for by in range(v):
+                        for bx in range(h):
+                            dc = coefs[c][my * v + by][mx * h + bx][0]
+                            if not first:
+                                bw.write(dc & 1, 1)  # bit Al=0
+                                continue
+                            val = dc >> al1
+                            diff = val - preds[c]
+                            preds[c] = val
+                            s = _category(diff)
+                            if s > 11:
+                                raise ValueError(
+                                    "make_jpeg: DC difference out of range"
+                                )
+                            code, ln = dc_codes[s]
+                            bw.write(code, ln)
+                            if s:
+                                bw.write(
+                                    (diff if diff > 0 else diff + (1 << s) - 1)
+                                    & ((1 << s) - 1),
+                                    s,
+                                )
+        bw.flush()
+        return bytes(o + bw.buf)
+
+    def ac_scan(c: int, first: bool) -> bytes:
+        """Single-component AC scan over the component's OWN dimensions
+        (ceil(x·h/maxh)/8 blocks — T.81 A.2.2), NOT the MCU-padded
+        grid; cross-block EOB-run accumulation in both passes."""
         h, v = samp[c]
         bw_ni = (-(-(width * h) // maxh) + 7) // 8
         bh_ni = (-(-(height * v) // maxv) + 7) // 8
-        out += b"\xff\xda" + struct.pack(">HB", 8, 1)
-        out += bytes([c + 1, table_id(c)])  # Ta in the low nibble
-        out += b"\x01\x3f\x00"  # Ss=1 Se=63 Ah=Al=0
+        o = bytearray(b"\xff\xda" + struct.pack(">HB", 8, 1))
+        o += bytes([c + 1, table_id(c)])  # Ta in the low nibble
+        o += bytes([1, 63, (0 if first else 1) << 4 | (al1 if first else 0)])
         bw = _BitWriter()
+        st = _EobState()
         blk_n = 0
+        enc = _encode_ac_first_block if first else _encode_ac_refine_block
         for by in range(bh_ni):
             for bx in range(bw_ni):
                 if restart_interval and blk_n and blk_n % restart_interval == 0:
+                    _flush_eobrun(bw, st, ac_codes)
                     rst(bw, blk_n // restart_interval)
                 blk_n += 1
-                _encode_ac_band(bw, coefs[c][by][bx], 1, 63, ac_codes)
+                enc(bw, coefs[c][by][bx], 1, 63, al1 if first else 0,
+                    ac_codes, st)
+        _flush_eobrun(bw, st, ac_codes)
         bw.flush()
-        out += bw.buf
+        return bytes(o + bw.buf)
+
+    out += dc_scan(first=True)
+    for c in range(ncomp):
+        out += ac_scan(c, first=True)
+    if successive:
+        out += dc_scan(first=False)
+        for c in range(ncomp):
+            out += ac_scan(c, first=False)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
-
-
-def _encode_ac_band(
-    bw: _BitWriter, zz: list[int], ss: int, se: int, ac_codes: dict
-) -> None:
-    """Encode one block's AC band [ss, se] for a progressive first scan
-    (Ah=0): baseline run/size coding within the band, a plain EOB
-    (EOB-run of one block) when the band's tail is zero."""
-    last_nz = ss - 1
-    for i in range(se, ss - 1, -1):
-        if zz[i]:
-            last_nz = i
-            break
-    run = 0
-    for i in range(ss, last_nz + 1):
-        v = zz[i]
-        if v == 0:
-            run += 1
-            continue
-        while run >= 16:
-            code, ln = ac_codes[0xF0]
-            bw.write(code, ln)
-            run -= 16
-        s = _category(v)
-        if s > 10:
-            raise ValueError("make_jpeg: AC coefficient out of range")
-        code, ln = ac_codes[(run << 4) | s]
-        bw.write(code, ln)
-        bw.write((v if v > 0 else v + (1 << s) - 1) & ((1 << s) - 1), s)
-        run = 0
-    if last_nz < se:
-        code, ln = ac_codes[0x00]  # EOB — ends this block only
-        bw.write(code, ln)
-
 
 class _BitReader:
     def __init__(self, data: bytes) -> None:
@@ -853,21 +856,22 @@ def _jpeg_pixels_progressive(payload: bytes):
                 scan_comps.append((ci, tda >> 4, tda & 0x0F))
             ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0x0F
-            if ah != 0:
-                raise ValueError(
-                    "progressive JPEG successive-approximation refinement "
-                    "scans unsupported"
-                )
             if ss > se or se > 63:
                 raise ValueError("corrupt progressive spectral selection")
             j = i + 2 + seg_len
             end = _find_scan_end(payload, j)
             br = _BitReader(payload[j:end])
-            _decode_prog_scan(
-                br, coef, comps, scan_comps, ss, se, al,
-                dc_luts, ac_luts, restart_interval,
-                mcu_rows, mcu_cols, ndims,
-            )
+            if ah == 0:
+                _decode_prog_scan(
+                    br, coef, comps, scan_comps, ss, se, al,
+                    dc_luts, ac_luts, restart_interval,
+                    mcu_rows, mcu_cols, ndims,
+                )
+            else:
+                _decode_prog_refine(
+                    br, coef, comps, scan_comps, ss, se, al,
+                    ac_luts, restart_interval, mcu_rows, mcu_cols, ndims,
+                )
             any_scan = True
             i = end
             continue
@@ -1002,3 +1006,257 @@ def _decode_prog_scan(
                     raise ValueError("corrupt progressive AC run/size")
                 coef[ci][by, bx, k] = _extend(br.bits(s), s) << al
                 k += 1
+
+
+def _refine_nonzero(br: _BitReader, blk: np.ndarray, k: int, p1: int) -> None:
+    """One correction bit for a nonzero-history coefficient (T.81
+    G.1.2.3): if the bit is set and bit Al is not already set, move the
+    magnitude up one step TOWARD its sign."""
+    if br.bit():
+        if not (int(blk[k]) & p1):
+            blk[k] += p1 if blk[k] >= 0 else -p1
+
+
+def _decode_prog_refine(
+    br: _BitReader,
+    coef: list[np.ndarray],
+    comps: list[dict],
+    scan_comps: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    al: int,
+    ac_luts: dict,
+    restart_interval: int,
+    mcu_rows: int,
+    mcu_cols: int,
+    ndims: list[tuple[int, int]],
+) -> None:
+    """Decode ONE successive-approximation REFINEMENT scan (Ah>0): DC
+    refinement appends bit Al of every DC coefficient (1 bit/block, no
+    prediction); AC refinement interleaves newly-nonzero coefficients
+    (size-1 symbols, run counts ZERO-history positions only) with
+    correction bits for every nonzero-history coefficient crossed — the
+    T.81 G.1.2.3 algorithm.  Blocks inside an EOB run still read one
+    correction bit per nonzero-history coefficient in the band."""
+    p1 = 1 << al
+    if ss == 0:  # DC refinement
+        if se != 0:
+            raise ValueError(
+                "corrupt progressive DC scan (Se must be 0 when Ss is 0)"
+            )
+        if len(scan_comps) > 1:  # interleaved MCU order
+            mcu_n = 0
+            for my in range(mcu_rows):
+                for mx in range(mcu_cols):
+                    if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                        br.restart()
+                    mcu_n += 1
+                    for ci, _, _ in scan_comps:
+                        h, v = comps[ci]["h"], comps[ci]["v"]
+                        for by in range(v):
+                            for bx in range(h):
+                                if br.bit():
+                                    coef[ci][my * v + by, mx * h + bx, 0] = (
+                                        int(coef[ci][my * v + by, mx * h + bx, 0])
+                                        | p1
+                                    )
+        else:
+            ci = scan_comps[0][0]
+            nbh, nbw = ndims[ci]
+            blk_n = 0
+            for by in range(nbh):
+                for bx in range(nbw):
+                    if restart_interval and blk_n and blk_n % restart_interval == 0:
+                        br.restart()
+                    blk_n += 1
+                    if br.bit():
+                        coef[ci][by, bx, 0] = int(coef[ci][by, bx, 0]) | p1
+        return
+
+    if len(scan_comps) != 1:
+        raise ValueError(
+            "corrupt progressive AC scan (must be single-component)"
+        )
+    ci, _, ta = scan_comps[0]
+    if ta not in ac_luts:
+        raise ValueError("JPEG scan references undefined table")
+    lut = ac_luts[ta]
+    nbh, nbw = ndims[ci]
+    eobrun = 0
+    blk_n = 0
+    for by in range(nbh):
+        for bx in range(nbw):
+            if restart_interval and blk_n and blk_n % restart_interval == 0:
+                br.restart()
+                eobrun = 0
+            blk_n += 1
+            blk = coef[ci][by, bx]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _decode_sym(br, lut)
+                    r, s = rs >> 4, rs & 0x0F
+                    newval = 0
+                    if s == 0:
+                        if r < 15:  # EOBn — rest of band is corrections
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        # ZRL: skip 16 zero-history positions
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "corrupt progressive refinement size"
+                            )
+                        newval = p1 if br.bit() else -p1
+                    # advance r zero-history positions, refining every
+                    # nonzero-history coefficient crossed on the way
+                    while k <= se:
+                        if blk[k] != 0:
+                            _refine_nonzero(br, blk, k, p1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if k > se and (newval or s):
+                        raise ValueError("corrupt progressive AC run")
+                    if newval:
+                        blk[k] = newval
+                    k += 1
+            else:
+                eobrun -= 1
+            # EOB-run (or post-EOBn) tail: one correction bit per
+            # remaining nonzero-history coefficient in the band
+            while k <= se:
+                if blk[k] != 0:
+                    _refine_nonzero(br, blk, k, p1)
+                k += 1
+
+
+class _EobState:
+    """Cross-block EOB-run accumulator for progressive AC scans: ``run``
+    counts blocks whose band ended early; ``bits`` holds the correction
+    bits (refinement scans) that belong to those blocks and must follow
+    the EOBn code."""
+
+    def __init__(self) -> None:
+        self.run = 0
+        self.bits: list[int] = []
+
+
+def _flush_eobrun(bw: _BitWriter, st: _EobState, ac_codes: dict) -> None:
+    if st.run:
+        nbits = st.run.bit_length() - 1
+        code, ln = ac_codes[nbits << 4]  # EOBn symbol (r<<4)|0
+        bw.write(code, ln)
+        if nbits:
+            bw.write(st.run - (1 << nbits), nbits)
+        st.run = 0
+    for b in st.bits:
+        bw.write(b, 1)
+    st.bits = []
+
+
+def _encode_ac_first_block(
+    bw: _BitWriter,
+    zz: list[int],
+    ss: int,
+    se: int,
+    al: int,
+    ac_codes: dict,
+    st: _EobState,
+) -> None:
+    """One block of a progressive AC FIRST scan (Ah=0): run/size coding
+    of the point-transformed band (sign·(|v|>>Al), T.81 G.1.2.2) with
+    cross-block EOB-run accumulation."""
+    vals = [0] * (se + 1)
+    last_nz = ss - 1
+    for i in range(ss, se + 1):
+        v = int(zz[i])
+        a = abs(v) >> al
+        vals[i] = a if v >= 0 else -a
+        if vals[i]:
+            last_nz = i
+    if last_nz < ss:  # whole band zero at this precision → join EOB run
+        st.run += 1
+        if st.run == 0x7FFF:
+            _flush_eobrun(bw, st, ac_codes)
+        return
+    _flush_eobrun(bw, st, ac_codes)
+    run = 0
+    for i in range(ss, last_nz + 1):
+        v = vals[i]
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = _category(v)
+        if s > 10:
+            raise ValueError("make_jpeg: AC coefficient out of range")
+        code, ln = ac_codes[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write((v if v > 0 else v + (1 << s) - 1) & ((1 << s) - 1), s)
+        run = 0
+    if last_nz < se:
+        st.run += 1
+        if st.run == 0x7FFF:
+            _flush_eobrun(bw, st, ac_codes)
+
+
+def _encode_ac_refine_block(
+    bw: _BitWriter,
+    zz: list[int],
+    ss: int,
+    se: int,
+    al: int,
+    ac_codes: dict,
+    st: _EobState,
+) -> None:
+    """One block of a progressive AC REFINEMENT scan (Ah=Al+1): size-1
+    symbols for newly-nonzero coefficients with runs counting only
+    zero-history positions, one buffered correction bit per
+    nonzero-history coefficient, cross-block EOB runs — T.81 G.1.2.3
+    (the spec's figure G.7 bookkeeping: ZRLs flush at the FIRST nonzero
+    position once r>15, before that position's own bit is buffered)."""
+    t = [0] * (se + 1)
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        t[k] = abs(int(zz[k])) >> al
+        if t[k] == 1:
+            eob = k  # last NEWLY-nonzero coefficient
+    r = 0
+    br_bits: list[int] = []
+    for k in range(ss, se + 1):
+        a = t[k]
+        if a == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            _flush_eobrun(bw, st, ac_codes)
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            r -= 16
+            for b in br_bits:
+                bw.write(b, 1)
+            br_bits = []
+        if a > 1:  # previously nonzero — correction bit only
+            br_bits.append(a & 1)
+            continue
+        _flush_eobrun(bw, st, ac_codes)
+        code, ln = ac_codes[(r << 4) | 1]
+        bw.write(code, ln)
+        bw.write(0 if int(zz[k]) < 0 else 1, 1)
+        r = 0
+        for b in br_bits:
+            bw.write(b, 1)
+        br_bits = []
+    if r > 0 or br_bits:  # band ends in zeros/corrections → EOB run
+        st.run += 1
+        st.bits.extend(br_bits)
+        if st.run == 0x7FFF or len(st.bits) > 900:
+            _flush_eobrun(bw, st, ac_codes)

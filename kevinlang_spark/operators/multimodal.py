@@ -759,12 +759,19 @@ def attach_stdlib_media(
                         )
                         continue
                     if jpeg:
+                        # route ids through every scan layout the decoder
+                        # supports: baseline, restart markers, spectral-
+                        # selection progressive, successive approximation
+                        # — constant-gray stats are layout-invariant, so
+                        # the closed-form oracle is unchanged
                         payload.append(
                             make_jpeg(
                                 d % 64 + 1,
                                 d % 48 + 1,
                                 gray=d % 256,
                                 restart_interval=2 if d % 8 == 6 else 0,
+                                progressive=d % 8 in (2, 4),
+                                successive=d % 8 == 4,
                             )
                         )
                         continue

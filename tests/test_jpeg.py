@@ -254,16 +254,57 @@ def test_progressive_real_quant_tables():
     assert np.array_equal(base[3], prog[3])
 
 
-def test_progressive_refinement_scans_still_quarantine():
-    """Successive-approximation refinement (Ah>0) is the honest gate:
-    mutate an AC scan's Ah nibble and the stream must quarantine, not
-    misdecode."""
-    payload = bytearray(make_jpeg(9, 8, gray=50, progressive=True))
-    i = payload.find(b"\x01\x3f\x00", 2)  # the AC scan's Ss/Se/AhAl
-    assert i > 0
-    payload[i + 2] = 0x10  # Ah=1
-    with pytest.raises(ValueError, match="refinement"):
-        jpeg_pixels(bytes(payload))
+def test_successive_approximation_decodes_identically_to_baseline():
+    """Al=1 first scans + Ah=1 refinement scans fully refine every
+    coefficient, so the SA stream must decode BIT-FOR-BIT equal to its
+    baseline twin — DC bit OR, newly-nonzero placement, correction
+    bits, and cross-block EOB runs all exact."""
+    rng = np.random.RandomState(31)
+    for shape in ((24, 31), (16, 16, 3)):
+        src = rng.randint(0, 256, shape).astype(np.uint8)
+        w, h = shape[1], shape[0]
+        payload = make_jpeg(w, h, pixels=src, progressive=True, successive=True)
+        base = jpeg_pixels(make_jpeg(w, h, pixels=src))
+        got = jpeg_pixels(payload)
+        assert base[:3] == got[:3]
+        assert np.array_equal(base[3], got[3])
+
+
+def test_successive_approximation_sparse_blocks_exercise_eob_runs():
+    """A mostly-constant image makes most blocks' AC bands empty at
+    Al=1, forcing multi-block EOB runs whose refinement path reads one
+    correction bit per nonzero-history coefficient."""
+    src = np.full((32, 40), 128, dtype=np.uint8)
+    src[5, 7] = 131  # one odd-magnitude detail → correction bits exist
+    src[20, 30] = 127
+    payload = make_jpeg(40, 32, pixels=src, progressive=True, successive=True)
+    base = jpeg_pixels(make_jpeg(40, 32, pixels=src))
+    got = jpeg_pixels(payload)
+    assert np.array_equal(base[3], got[3])
+    # the EOBn symbols (r<<4, r>=1) must actually appear: the SA stream
+    # is much smaller than one EOB-per-block coding would be
+    assert len(payload) < len(
+        make_jpeg(40, 32, pixels=src, progressive=True)
+    ) + 600
+
+
+def test_successive_approximation_subsampled_and_restarts():
+    rng = np.random.RandomState(37)
+    src = rng.randint(0, 256, (13, 17, 3)).astype(np.uint8)
+    sa = jpeg_pixels(
+        make_jpeg(17, 13, pixels=src, subsample=True,
+                  progressive=True, successive=True)
+    )
+    base = jpeg_pixels(make_jpeg(17, 13, pixels=src, subsample=True))
+    assert np.array_equal(base[3], sa[3])
+
+    gray = rng.randint(0, 256, (20, 40)).astype(np.uint8)
+    sa2 = jpeg_pixels(
+        make_jpeg(40, 20, pixels=gray, restart_interval=3,
+                  progressive=True, successive=True)
+    )
+    base2 = jpeg_pixels(make_jpeg(40, 20, pixels=gray))
+    assert np.array_equal(base2[3], sa2[3])
 
 
 def test_progressive_stdlib_decode_dimensions():
