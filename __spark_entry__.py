@@ -1315,7 +1315,10 @@ def _quality_score_oracle_sql(
         "CAST(CAST(CONCAT('0x', substr(md5(x || '#qs'), 1, 13)) AS BIGINT) "
         f"% {dim} + 1 AS INT)])) AS tot FROM g) "
         f"SELECT doc_id, CAST(ng AS INT) AS n_grams, {logit} AS logit, "
-        f"1.0 / (1.0 + exp(-({logit}))) AS score, "
+        # ROUND(…,6): JVM exp and libm exp differ in the last ULP on ~2%
+        # of inputs; sigmoids are transcendental so the half-way-boundary
+        # rounding trap cannot occur
+        f"ROUND(1.0 / (1.0 + exp(-({logit}))), 6) AS score, "
         f"({logit}) >= 0 AS keep FROM s"
     )
 

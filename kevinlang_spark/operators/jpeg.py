@@ -543,6 +543,63 @@ def _decode_block(
     return block, dc
 
 
+def _parse_dqt(body: bytes, qts: dict) -> None:
+    """DQT segment — possibly several tables per segment (the ONE place
+    the pq=0/1 precision rules live, shared by both decoders)."""
+    j = 0
+    while j < len(body):
+        pq, tq = body[j] >> 4, body[j] & 0x0F
+        j += 1
+        if pq == 0:
+            qts[tq] = np.frombuffer(body[j : j + 64], dtype=np.uint8).astype(
+                np.float64
+            )
+            j += 64
+        elif pq == 1:
+            qts[tq] = np.frombuffer(body[j : j + 128], dtype=">u2").astype(
+                np.float64
+            )
+            j += 128
+        else:
+            raise ValueError("corrupt JPEG DQT precision")
+
+
+def _parse_dht(body: bytes, dc_luts: dict, ac_luts: dict) -> None:
+    """DHT segment — possibly several tables per segment (shared)."""
+    j = 0
+    while j < len(body):
+        tc, th = body[j] >> 4, body[j] & 0x0F
+        bits = list(body[j + 1 : j + 17])
+        nv = sum(bits)
+        vals = list(body[j + 17 : j + 17 + nv])
+        (dc_luts if tc == 0 else ac_luts)[th] = _canonical_lut(bits, vals)
+        j += 17 + nv
+
+
+def _parse_sof_body(body: bytes) -> tuple[int, int, list[dict]]:
+    """SOF frame header → (height, width, comps); the 8-bit / 1-or-3
+    components / ≤2×2 sampling gates live HERE, shared by the baseline
+    and progressive decoders so the two cannot drift."""
+    if len(body) < 6:
+        raise ValueError("malformed JPEG SOF header")
+    if body[0] != 8:
+        raise ValueError("only 8-bit JPEG precision supported")
+    height, width = struct.unpack(">HH", body[1:5])
+    ncomp = body[5]
+    if ncomp not in (1, 3):
+        raise ValueError("only greyscale / YCbCr JPEG supported")
+    if len(body) < 6 + 3 * ncomp:
+        raise ValueError("malformed JPEG SOF header")
+    comps = []
+    for c in range(ncomp):
+        cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+        h, v = hv >> 4, hv & 0x0F
+        if not (1 <= h <= 2 and 1 <= v <= 2):
+            raise ValueError("JPEG sampling factors above 2 unsupported")
+        comps.append({"id": cid, "h": h, "v": v, "tq": tq})
+    return height, width, comps
+
+
 def jpeg_pixels(payload: bytes):
     """Full baseline-JPEG pixel decode: parse DQT/SOF0/DHT/DRI/SOS,
     Huffman-decode the MCU stream (byte unstuffing, restart markers,
@@ -576,57 +633,20 @@ def jpeg_pixels(payload: bytes):
         body = payload[i + 4 : i + 2 + seg_len]
         if len(body) < seg_len - 2:
             raise ValueError("truncated JPEG segment")
-        if marker == 0xDB:  # DQT — possibly several tables per segment
-            j = 0
-            while j < len(body):
-                pq, tq = body[j] >> 4, body[j] & 0x0F
-                j += 1
-                if pq == 0:
-                    qts[tq] = np.frombuffer(
-                        body[j : j + 64], dtype=np.uint8
-                    ).astype(np.float64)
-                    j += 64
-                elif pq == 1:
-                    qts[tq] = np.frombuffer(
-                        body[j : j + 128], dtype=">u2"
-                    ).astype(np.float64)
-                    j += 128
-                else:
-                    raise ValueError("corrupt JPEG DQT precision")
+        if marker == 0xDB:
+            _parse_dqt(body, qts)
         elif marker in (0xC0, 0xC1):  # baseline / extended sequential
-            if len(body) < 6:
-                raise ValueError("malformed JPEG SOF header")
-            if body[0] != 8:
-                raise ValueError("only 8-bit JPEG precision supported")
-            height, width = struct.unpack(">HH", body[1:5])
-            ncomp = body[5]
-            if ncomp not in (1, 3):
-                raise ValueError("only greyscale / YCbCr JPEG supported")
-            if len(body) < 6 + 3 * ncomp:
-                raise ValueError("malformed JPEG SOF header")
-            for c in range(ncomp):
-                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
-                h, v = hv >> 4, hv & 0x0F
-                if not (1 <= h <= 2 and 1 <= v <= 2):
-                    raise ValueError("JPEG sampling factors above 2 unsupported")
-                comps.append({"id": cid, "h": h, "v": v, "tq": tq})
-        elif marker == 0xC2:  # progressive (spectral selection) — own path
+            height, width, comps = _parse_sof_body(body)
+        elif marker == 0xC2:  # progressive — own multi-scan walker
             return _jpeg_pixels_progressive(payload)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only baseline-sequential / spectral-progressive JPEG "
-                "supported (arithmetic/hierarchical/lossless need no more "
-                "maths, just more code)"
+                "only baseline-sequential / progressive JPEG supported "
+                "(arithmetic/hierarchical/lossless need no more maths, "
+                "just more code)"
             )
-        elif marker == 0xC4:  # DHT — possibly several tables per segment
-            j = 0
-            while j < len(body):
-                tc, th = body[j] >> 4, body[j] & 0x0F
-                bits = list(body[j + 1 : j + 17])
-                nv = sum(bits)
-                vals = list(body[j + 17 : j + 17 + nv])
-                (dc_luts if tc == 0 else ac_luts)[th] = _canonical_lut(bits, vals)
-                j += 17 + nv
+        elif marker == 0xC4:
+            _parse_dht(body, dc_luts, ac_luts)
         elif marker == 0xDD:  # DRI
             if len(body) < 2:
                 raise ValueError("malformed JPEG DRI segment")
@@ -773,32 +793,10 @@ def _jpeg_pixels_progressive(payload: bytes):
         body = payload[i + 4 : i + 2 + seg_len]
         if len(body) < seg_len - 2:
             raise ValueError("truncated JPEG segment")
-        if marker == 0xDB:  # DQT
-            j = 0
-            while j < len(body):
-                pq, tq = body[j] >> 4, body[j] & 0x0F
-                j += 1
-                if pq == 0:
-                    qts[tq] = np.frombuffer(
-                        body[j : j + 64], dtype=np.uint8
-                    ).astype(np.float64)
-                    j += 64
-                elif pq == 1:
-                    qts[tq] = np.frombuffer(
-                        body[j : j + 128], dtype=">u2"
-                    ).astype(np.float64)
-                    j += 128
-                else:
-                    raise ValueError("corrupt JPEG DQT precision")
-        elif marker == 0xC4:  # DHT
-            j = 0
-            while j < len(body):
-                tc, th = body[j] >> 4, body[j] & 0x0F
-                bits = list(body[j + 1 : j + 17])
-                nv = sum(bits)
-                vals = list(body[j + 17 : j + 17 + nv])
-                (dc_luts if tc == 0 else ac_luts)[th] = _canonical_lut(bits, vals)
-                j += 17 + nv
+        if marker == 0xDB:
+            _parse_dqt(body, qts)
+        elif marker == 0xC4:
+            _parse_dht(body, dc_luts, ac_luts)
         elif marker == 0xDD:  # DRI
             if len(body) < 2:
                 raise ValueError("malformed JPEG DRI segment")
@@ -806,20 +804,7 @@ def _jpeg_pixels_progressive(payload: bytes):
         elif marker == 0xC2:  # SOF2
             if comps:
                 raise ValueError("multiple JPEG frame headers")
-            if len(body) < 6 or body[0] != 8:
-                raise ValueError("only 8-bit JPEG precision supported")
-            height, width = struct.unpack(">HH", body[1:5])
-            ncomp = body[5]
-            if ncomp not in (1, 3):
-                raise ValueError("only greyscale / YCbCr JPEG supported")
-            if len(body) < 6 + 3 * ncomp:
-                raise ValueError("malformed JPEG SOF header")
-            for c in range(ncomp):
-                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
-                h, v = hv >> 4, hv & 0x0F
-                if not (1 <= h <= 2 and 1 <= v <= 2):
-                    raise ValueError("JPEG sampling factors above 2 unsupported")
-                comps.append({"id": cid, "h": h, "v": v, "tq": tq})
+            height, width, comps = _parse_sof_body(body)
             maxh = max(c["h"] for c in comps)
             maxv = max(c["v"] for c in comps)
             mcu_cols = (width + 8 * maxh - 1) // (8 * maxh)

@@ -1287,9 +1287,12 @@ def write_ivfpq_index(
     _ivfpq_encode(df, coarse, books, vec_col, id_col).write.mode(
         "overwrite"
     ).partitionBy("cell").parquet(f"{path}/codes")
+    # _stats and _coarse BEFORE _codebooks: callers gate completeness on
+    # _codebooks/_SUCCESS being written LAST, so a crash mid-build never
+    # leaves a "complete" index missing its census
+    _write_index_stats(df.sparkSession, path)
     _write_codebooks(df.sparkSession, [coarse], f"{path}/_coarse")
     _write_codebooks(df.sparkSession, books, f"{path}/_codebooks")
-    _write_index_stats(df.sparkSession, path)
 
 
 def _ivfpq_encode(

@@ -1560,7 +1560,10 @@ def fasttext_quality_score(
     Float parity: contributions fold left-to-right in n-gram order
     (``F.aggregate`` ≡ DuckDB ``list_sum``), then one divide by the
     n-gram count — bit-reproducible across engines; ``keep`` thresholds
-    the LOGIT at 0 (exact), not the sigmoid.
+    the LOGIT at 0 (exact), not the sigmoid.  The sigmoid itself is the
+    one transcendental (JVM exp and libm exp diverge in the last ULP on
+    ~2% of inputs — measured), so ``score`` is emitted ROUNDED to 6 dp
+    on both engines, the repo's discipline for non-arithmetic floats.
 
     Returns (id, n_grams, logit, score, keep); null/short texts score
     the bare bias (no n-gram evidence)."""
@@ -1593,6 +1596,6 @@ def fasttext_quality_score(
         F.col(id_col),
         n_grams.alias("n_grams"),
         logit.alias("logit"),
-        (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("score"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),
         (logit >= 0).alias("keep"),
     )

@@ -59,16 +59,37 @@ RISK_PREFIXES = [
 PRIORITY_FILE = os.path.join(ROOT, "scripts", "window_priority.txt")
 
 
-def _priority() -> list[str]:
-    """Per-round 'operator changed, re-verify' names (comments/# allowed)."""
+def _priority(latest_round: int) -> list[str]:
+    """Per-round 'operator changed, re-verify' names (comments/# allowed).
+
+    The file MUST carry an ``@round rNN`` directive naming the round
+    whose window it prioritizes: once a CORRECTNESS file for that round
+    (or later) exists, the priorities are spent and the file is ignored
+    with a warning — stale entries must not silently pin window slots
+    in later rounds."""
     if not os.path.exists(PRIORITY_FILE):
         return []
     out: list[str] = []
+    tag: int | None = None
     with open(PRIORITY_FILE) as fh:
         for line in fh:
+            if line.startswith("@round"):
+                tag = int(line.split()[1].lstrip("r"))
+                continue
             name = line.split("#", 1)[0].strip()
             if name:
                 out.append(name)
+    if tag is None:
+        raise SystemExit(
+            "window_priority.txt needs an '@round rNN' directive "
+            "(the round whose window it prioritizes)"
+        )
+    if latest_round >= tag:
+        print(
+            f"window_priority.txt targets r{tag:02d} but CORRECTNESS_r"
+            f"{latest_round:02d} exists — priorities are spent, ignoring"
+        )
+        return []
     return out
 
 
@@ -106,8 +127,9 @@ def main() -> None:
     from update_verified import green_history
 
     _, last_green, _ = green_history()
+    latest = max((int(r[1:]) for r in last_green.values()), default=0)
     names = list(entry.queries().keys())
-    priority = _priority()
+    priority = _priority(latest)
     unknown = [n for n in priority if n not in set(names)]
     if unknown:
         raise SystemExit(f"window_priority.txt names unknown queries: {unknown}")

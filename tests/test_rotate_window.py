@@ -19,17 +19,48 @@ spec.loader.exec_module(rw)
 
 def test_rotation_mode_puts_pending_first_in_registry_order():
     names = ["q_a", "q_b", "q_c", "q_d"]
-    order = rw.desired_order(names, green={"q_a", "q_c"})
-    assert order == ["q_b", "q_d", "q_a", "q_c"]
+    order = rw.desired_order(
+        names, last_green={"q_a": "r03", "q_c": "r05"}, priority=[]
+    )
+    assert order[:2] == ["q_b", "q_d"]  # pending, registry order
+    assert set(order[2:]) == {"q_a", "q_c"}
 
 
-def test_regression_mode_ranks_risk_prefixes_first():
+def test_regression_mode_ranks_stalest_risky_first():
     names = ["q_filter", "q_stream_hourly", "q_pagerank", "q_select"]
-    order = rw.desired_order(names, green=set(names))
-    # iterative graph before streaming before plain scans
-    assert order[0] == "q_pagerank"
-    assert order[1] == "q_stream_hourly"
-    assert set(order[2:]) == {"q_filter", "q_select"}
+    last = {
+        "q_filter": "r03",  # calm, stalest overall
+        "q_stream_hourly": "r04",
+        "q_pagerank": "r06",
+        "q_select": "r07",
+    }
+    order = rw.desired_order(names, last_green=last, priority=[])
+    # risky families ordered stalest-last-driver-row first, then risk
+    # rank; calm queries after, stalest first
+    assert order == ["q_stream_hourly", "q_pagerank", "q_filter", "q_select"]
+
+
+def test_priority_names_slot_after_pending():
+    names = ["q_a", "q_b", "q_stream_x", "q_pagerank"]
+    last = {n: "r05" for n in names if n != "q_b"}
+    order = rw.desired_order(
+        names, last_green=last, priority=["q_a", "q_stream_x"]
+    )
+    assert order == ["q_b", "q_a", "q_stream_x", "q_pagerank"]
+
+
+def test_priority_file_expires_once_its_round_is_graded(tmp_path, monkeypatch):
+    pf = tmp_path / "window_priority.txt"
+    pf.write_text("@round r09\nq_lpa_communities\n")
+    monkeypatch.setattr(rw, "PRIORITY_FILE", str(pf))
+    assert rw._priority(latest_round=8) == ["q_lpa_communities"]
+    assert rw._priority(latest_round=9) == []  # spent
+    assert rw._priority(latest_round=12) == []
+    pf.write_text("q_lpa_communities\n")  # no directive → hard error
+    import pytest
+
+    with pytest.raises(SystemExit, match="@round"):
+        rw._priority(latest_round=8)
 
 
 def test_apply_roundtrip_is_idempotent_on_current_registry():

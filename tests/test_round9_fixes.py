@@ -233,7 +233,8 @@ def test_fasttext_quality_score_semantics(spark):
     assert abs(got[1]["logit"] - logit) < 1e-12
     import math
 
-    assert abs(got[1]["score"] - 1.0 / (1.0 + math.exp(-logit))) < 1e-12
+    # score is ROUNDED to 6 dp (JVM exp vs libm exp last-ULP divergence)
+    assert abs(got[1]["score"] - 1.0 / (1.0 + math.exp(-logit))) < 1e-6
     assert got[1]["keep"] == (logit >= 0)
     for d in (2, 3, 4):
         assert got[d]["n_grams"] == 0
