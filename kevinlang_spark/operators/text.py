@@ -1573,12 +1573,18 @@ def fasttext_quality_score(
         raise ValueError(f"n must be >= 1 (got {n})")
     w = fasttext_weights(dim, seed)
     wlit = F.array(*[F.lit(float(x)) for x in w])
-    t = F.lower(F.col(text_col))
+    # the winnow rule, three times over: higher-order lambdas run
+    # interpreted and re-evaluate any non-attribute expression PER
+    # ELEMENT, so lower(text), the gram array, and the fold total each
+    # materialize as a projection column referenced ≥2 times (which
+    # also keeps CollapseProject from re-inlining them) — inline, the
+    # substr lambda re-lowers the whole text per gram: O(len²)
+    base = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__t"))
+    t = F.col("__t")
     idxs = F.when(
         t.isNotNull() & (F.length(t) >= n),
         F.sequence(F.lit(1), F.length(t) - (n - 1)),
     ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idxs, lambda i: t.substr(i, F.lit(n)))
 
     def slot(g):
         h = F.conv(
@@ -1586,15 +1592,33 @@ def fasttext_quality_score(
         ).cast("bigint")
         return (h % dim + 1).cast("int")
 
-    contrib = F.transform(grams, lambda g: F.element_at(wlit, slot(g)))
-    total = F.aggregate(contrib, F.lit(0.0), lambda acc, x: acc + x)
-    n_grams = F.size(grams)
-    logit = F.when(n_grams > 0, F.lit(float(bias)) + total / n_grams).otherwise(
-        F.lit(float(bias))
-    )
-    return df.select(
+    # ONE fold does gram extraction + hash + weight lookup per element —
+    # interpreted-lambda cost is per element-PASS, so fusing the three
+    # passes (transform grams → transform weights → aggregate) into one
+    # measures ~2.5× faster at sf0.1; t is an attribute, so the substr
+    # inside the lambda is an O(n) slice, not a re-lower of the text
+    sdf = base.select(
         F.col(id_col),
-        n_grams.alias("n_grams"),
+        F.coalesce(
+            F.when(
+                t.isNotNull() & (F.length(t) >= n), F.length(t) - (n - 1)
+            ),
+            F.lit(0),
+        ).alias("n_grams"),
+        F.aggregate(
+            idxs,
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.element_at(wlit, slot(t.substr(i, F.lit(n)))),
+        ).alias("__tot"),
+    )
+    logit = F.when(
+        F.col("n_grams") > 0,
+        F.lit(float(bias)) + F.col("__tot") / F.col("n_grams"),
+    ).otherwise(F.lit(float(bias)))
+    return sdf.select(
+        F.col(id_col),
+        F.col("n_grams"),
         logit.alias("logit"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),
         (logit >= 0).alias("keep"),
