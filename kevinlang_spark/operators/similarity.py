@@ -215,6 +215,35 @@ def build_lsh_index(
     ).partitionBy("bucket").parquet(path)
 
 
+def append_lsh_index(
+    df_new: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 7,
+    dim: int | None = None,
+) -> None:
+    """Incrementally extend a :func:`build_lsh_index` table: the
+    hyperplane family is derived from ``(dim, n_planes, seed)`` alone —
+    no trained state — so appending new rows with the SAME parameters is
+    exactly equivalent to rebuilding on the union (unlike IVF-PQ, where
+    frozen codebooks drift from appended data).  One pass over the new
+    rows; files land inside existing bucket directories, so probe-time
+    partition pruning survives."""
+    if dim is None:
+        first = (
+            df_new.select(F.size(vec_col).alias("d")).where(F.col("d") > 0).first()
+        )
+        if first is None:
+            raise ValueError("append_lsh_index: no non-empty vectors")
+        dim = first["d"]
+    planes = _planes(dim, n_planes, seed)
+    df_new.withColumn(
+        "bucket", hyperplane_signature(F.col(vec_col), planes)
+    ).write.mode("append").partitionBy("bucket").parquet(path)
+
+
 def ann_topk_lsh_indexed(
     spark,
     path: str,
@@ -1183,6 +1212,24 @@ def write_pq_index(
         f"{path}/codes"
     )
     _write_codebooks(df.sparkSession, books, f"{path}/_codebooks")
+
+
+def append_pq_index(
+    df_new: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incrementally extend a :func:`write_pq_index` codes table: new
+    rows encode against the FROZEN stored codebooks (one O(new) pass)
+    and append to ``<path>/codes`` — the flat-index sibling of
+    :func:`append_ivfpq_index`, same retrain caveat (frozen codebooks
+    quantize unseen regions coarsely)."""
+    spark = df_new.sparkSession
+    books = _read_codebooks(spark, f"{path}/_codebooks")
+    pq_encode(df_new, books, vec_col, id_col).write.mode("append").parquet(
+        f"{path}/codes"
+    )
 
 
 def _write_codebooks(spark, books, path: str) -> None:

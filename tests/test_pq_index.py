@@ -191,3 +191,51 @@ def test_ivfpq_staleness_census(spark, emb, tmp_path):
     assert sum(r["n_build"] for r in after.values()) == base.count()
     grown = [r for r in after.values() if r["n_appended"] > 0]
     assert grown and all(r["drift"] > 0 for r in grown)
+
+
+def test_append_pq_index_equals_frozen_encode_of_union(spark, emb, query, tmp_path):
+    """Flat-index sibling of the IVF-PQ refresh: append encodes against
+    the frozen codebooks; the probe equals the frozen encode of the
+    union through the same ADC ranking."""
+    idx = str(tmp_path / "pq_refresh")
+    base = emb.where((F.col("vec_id") < 8) | (F.col("vec_id") % 4 != 1))
+    fresh = emb.where((F.col("vec_id") >= 8) & (F.col("vec_id") % 4 == 1))
+    sim.write_pq_index(base, idx, m=2, k=8, iters=2)
+    sim.append_pq_index(fresh, idx)
+    codes = spark.read.parquet(f"{idx}/codes")
+    assert codes.count() == emb.count()
+    assert codes.select("vec_id").distinct().count() == emb.count()
+    books = sim._read_codebooks(spark, f"{idx}/_codebooks")
+    inline = sim._adc_rank(sim.pq_encode(emb, books), books, query, "vec_id", 10)
+    assert _rows(sim.pq_topk_indexed(spark, idx, query, k_out=10)) == _rows(inline)
+
+
+def test_append_lsh_index_equals_full_rebuild(spark, emb, query, tmp_path):
+    """The hyperplane family is parameter-derived (no trained state), so
+    append == rebuild on the union EXACTLY — probes agree bucket by
+    bucket, and pruning survives the appended files."""
+    import os
+
+    a = str(tmp_path / "lsh_appended")
+    b = str(tmp_path / "lsh_rebuilt")
+    base = emb.where(F.col("vec_id") % 4 != 1)
+    fresh = emb.where(F.col("vec_id") % 4 == 1)
+    sim.build_lsh_index(base, a, n_planes=8, seed=7)
+    sim.append_lsh_index(fresh, a, n_planes=8, seed=7)
+    sim.build_lsh_index(emb, b, n_planes=8, seed=7)
+
+    got_a = _rows(sim.ann_topk_lsh_indexed(spark, a, query, k=10, n_planes=8, seed=7))
+    got_b = _rows(sim.ann_topk_lsh_indexed(spark, b, query, k=10, n_planes=8, seed=7))
+    assert got_a == got_b
+    # appended files landed INSIDE bucket directories (pruning intact)
+    buckets_a = {d for d in os.listdir(a) if d.startswith("bucket=")}
+    buckets_b = {d for d in os.listdir(b) if d.startswith("bucket=")}
+    assert buckets_a == buckets_b
+
+    def files_read(frame):
+        return frame.select(F.input_file_name().alias("f")).distinct().count()
+
+    probe_bucket = spark.read.parquet(a).where(
+        F.col("bucket") == sorted(int(x.split("=")[1]) for x in buckets_a)[0]
+    )
+    assert 0 < files_read(probe_bucket) < files_read(spark.read.parquet(a))
