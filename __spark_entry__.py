@@ -1352,6 +1352,53 @@ def _phash_fingerprint(doc_id: int) -> int:
     return fp
 
 
+def _gradient_pixels(fp: int):
+    """9×8 RGB array whose dHash is exactly ``fp``: per-row pixel walk,
+    ±15 around 128 (bit set ⟺ gray decreases left→right).  Shared by
+    the Spark-side synthesis and the Python reference the pHash oracle
+    literals come from."""
+    import numpy as np
+
+    px = np.zeros((8, 9, 3), np.uint8)
+    for r in range(8):
+        v = 128
+        px[r, 0, :] = v
+        for c in range(8):
+            # dHash bit (r*8+c) = gray[r][c] > gray[r][c+1]
+            v = v - 15 if (fp >> (r * 8 + c)) & 1 else v + 15
+            px[r, c + 1, :] = v
+    return px
+
+
+def _phash_media(docs):
+    """(doc_id, media_type, payload) of REAL 9×8 BMPs encoding each
+    doc's deterministic fingerprint — the synthesis leg shared by the
+    image-dedup queries (Arrow-batched, payloads never touch the
+    driver)."""
+
+    def gen(it):
+        import pandas as pd
+
+        from kevinlang_spark.operators.multimodal import make_bmp
+
+        for pdf in it:
+            payloads = [
+                make_bmp(9, 8, pixels=_gradient_pixels(_phash_fingerprint(int(d))))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id bigint, media_type string, payload binary"
+    )
+
+
 def q_image_neardup(spark, sf_dir):
     """Perceptual-hash image near-dup (VERDICT r8 item 3) — the
     LAION-style multimodal dedup: synthesize one REAL 9×8 BMP per
@@ -1374,41 +1421,63 @@ def q_image_neardup(spark, sf_dir):
         .where(F.col("doc_id") % 5 == 0)
         .select("doc_id")
     )
-
-    def gen(it):
-        import numpy as np
-        import pandas as pd
-
-        from kevinlang_spark.operators.multimodal import make_bmp
-
-        for pdf in it:
-            payloads = []
-            for d in pdf["doc_id"]:
-                fp = _phash_fingerprint(int(d))
-                px = np.zeros((8, 9, 3), np.uint8)
-                for r in range(8):
-                    v = 128
-                    px[r, 0, :] = v
-                    for c in range(8):
-                        # dHash bit (r*8+c) = gray[r][c] > gray[r][c+1]
-                        v = v - 15 if (fp >> (r * 8 + c)) & 1 else v + 15
-                        px[r, c + 1, :] = v
-                payloads.append(make_bmp(9, 8, pixels=px))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "media_type": "image",
-                    "payload": payloads,
-                }
-            )
-
-    media = docs.mapInPandas(
-        gen, schema="doc_id bigint, media_type string, payload binary"
-    )
-    sig = extract_image_phash(media, method="dhash")
+    sig = extract_image_phash(_phash_media(docs), method="dhash")
     return hamming_neardup_pairs(
         sig, max_hamming=3, blocks=4, id_col="doc_id", sig_col="phash"
     ).orderBy("id_a", "id_b")
+
+
+def q_image_phash(spark, sf_dir):
+    """DCT perceptual hash end-to-end (multimodal.py phash_bits): decode
+    each synthetic BMP, 32×32 luma, 2-D DCT, median-threshold the 8×8
+    low-frequency block into a 64-bit fingerprint — the hash family that
+    survives blur/recompression where dHash's gradients move.  Runs over
+    the UNFLIPPED group members (every third member carries a one-bit
+    dHash perturbation whose pHash is not closed-form), so each group's
+    expected fingerprint is one literal the oracle replays — computed by
+    the SAME Python reference the executors run."""
+    from kevinlang_spark.operators.multimodal import extract_image_phash
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(
+            # member index p = (doc_id//5)//25 = doc_id//125 (ids are
+            # multiples of 5); keep p % 3 != 1 (the unflipped members)
+            (F.col("doc_id") % 5 == 0)
+            & (F.floor(F.col("doc_id") / 125) % 3 != 1)
+        )
+        .select("doc_id")
+    )
+    return extract_image_phash(_phash_media(docs), method="phash").orderBy(
+        "doc_id"
+    )
+
+
+def q_image_dedup(spark, sf_dir):
+    """The FULL LAION-style image-dedup pipeline on the gate: decode →
+    dHash fingerprint (mapInPandas) → pigeonhole Hamming banding →
+    min-label connected components (dedup.py neardup_components) —
+    (id, comp) where comp is the smallest doc_id in the near-dup
+    cluster.  By construction every group is one Hamming ≤ 2 clique, so
+    the oracle is closed-form: comp = the group's minimum eligible
+    doc_id; singleton groups (possible at tiny sf) are unlabeled,
+    matching neardup_components' nodes-with-≥1-pair contract."""
+    from kevinlang_spark.operators.dedup import (
+        hamming_neardup_pairs,
+        neardup_components,
+    )
+    from kevinlang_spark.operators.multimodal import extract_image_phash
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+    )
+    sig = extract_image_phash(_phash_media(docs), method="dhash")
+    pairs = hamming_neardup_pairs(
+        sig, max_hamming=3, blocks=4, id_col="doc_id", sig_col="phash"
+    )
+    return neardup_components(pairs).orderBy("id")
 
 
 def _image_neardup_oracle_sql() -> str:
@@ -1430,6 +1499,27 @@ def _image_neardup_oracle_sql() -> str:
         "CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming "
         "FROM fp a JOIN fp b ON a.doc_id < b.doc_id "
         "WHERE bit_count(xor(a.ph, b.ph)) <= 3 ORDER BY id_a, id_b"
+    )
+
+
+def _image_phash_oracle_sql() -> str:
+    """Replay of q_image_phash: the 25 expected group fingerprints embed
+    as literals, computed by the SAME Python reference
+    (multimodal.phash_bits over _gradient_pixels) the executors run —
+    the oracle checks the distributed decode + DCT pipeline reproduces
+    the reference bit-for-bit per group."""
+    from kevinlang_spark.operators.multimodal import phash_bits
+
+    vals = ", ".join(
+        f"({g}, {phash_bits(_gradient_pixels(_phash_group_base(g)))})"
+        for g in range(_PHASH_GROUPS)
+    )
+    return (
+        f"WITH base AS (SELECT * FROM (VALUES {vals}) AS t(g, ph)) "
+        "SELECT doc_id, CAST(ph AS BIGINT) AS phash "
+        "FROM (SELECT doc_id, (doc_id // 5) % 25 AS g FROM documents "
+        "WHERE doc_id % 5 = 0 AND (doc_id // 125) % 3 <> 1) "
+        "JOIN base USING (g) ORDER BY doc_id"
     )
 
 
@@ -4812,6 +4902,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_index_refresh": q_ann_index_refresh,
         "q_ann_index_staleness": q_ann_index_staleness,
         "q_image_neardup": q_image_neardup,
+        "q_image_phash": q_image_phash,
+        "q_image_dedup": q_image_dedup,
         "q_quality_score": q_quality_score,
         "q_lpa_communities": q_lpa_communities,
         "q_pagerank": q_pagerank,
@@ -5920,6 +6012,18 @@ def oracle_sql() -> dict[str, str]:
             train_pred="(vec_id < 8 OR vec_id % 4 <> 1)", tail="staleness",
         ),
         "q_image_neardup": _image_neardup_oracle_sql(),
+        "q_image_phash": _image_phash_oracle_sql(),
+        # each group is one Hamming<=2 clique, so the component label is
+        # the group's minimum eligible id; singleton groups unlabeled
+        # (neardup_components' nodes-with->=1-pair contract)
+        "q_image_dedup": (
+            "WITH elig AS (SELECT doc_id, (doc_id // 5) % 25 AS g "
+            "FROM documents WHERE doc_id % 5 = 0), "
+            "grp AS (SELECT g, COUNT(*) AS n, MIN(doc_id) AS m "
+            "FROM elig GROUP BY g) "
+            "SELECT e.doc_id AS id, grp.m AS comp FROM elig e "
+            "JOIN grp USING (g) WHERE grp.n >= 2 ORDER BY id"
+        ),
         "q_quality_score": _quality_score_oracle_sql(dim=64, seed=13, bias=-0.05),
         "q_ann_ivfpq": _ivfpq_oracle_sql(nlist=8, nprobe=3, m=2, k=8, iters=2, dim=64),
         "q_source_kl": (

@@ -138,6 +138,8 @@ HEADLINE = [
     "q_ann_index_staleness",
     "q_quality_score",
     "q_image_neardup",
+    "q_image_phash",
+    "q_image_dedup",
     "q_source_kl",
     "q_bpe_train",
     "q_bpe_encode",
