@@ -1427,6 +1427,75 @@ def q_image_neardup(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_image_crossformat(spark, sf_dir):
+    """Container-invariant fingerprinting — the property multimodal
+    dedup actually relies on: the SAME pixel content travels as a BMP
+    (p%3==0), a zlib-deflated PNG (p%3==1), or a baseline JPEG
+    (p%3==2, all-ones quantization: error ≤2 ≪ the ±15 gradient step),
+    and the decoded dHash must be identical for all three, so
+    re-encoded copies of one image still collide.  Output is (doc_id,
+    phash) over every eligible doc; the oracle replays the fingerprint
+    closed-form from doc_id — container choice must not show up at
+    all."""
+    from kevinlang_spark.operators.multimodal import extract_image_phash
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+    )
+
+    def gen(it):
+        import pandas as pd
+
+        from kevinlang_spark.operators.jpeg import make_jpeg
+        from kevinlang_spark.operators.multimodal import make_bmp, make_png
+
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                px = _gradient_pixels(_phash_fingerprint(d))
+                p = d // 125  # member index within the group
+                if p % 3 == 0:
+                    payloads.append(make_bmp(9, 8, pixels=px))
+                elif p % 3 == 1:
+                    payloads.append(make_png(9, 8, pixels=px))
+                else:
+                    payloads.append(make_jpeg(9, 8, pixels=px[:, :, 0]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                }
+            )
+
+    media = docs.mapInPandas(
+        gen, schema="doc_id bigint, media_type string, payload binary"
+    )
+    return extract_image_phash(media, method="dhash").orderBy("doc_id")
+
+
+def _image_crossformat_oracle_sql() -> str:
+    """Replay of q_image_crossformat: fingerprint = group base with the
+    p%3==1 members' one-bit flip (the q_image_neardup formula) — the
+    container column is absent by design; if any container's decode
+    perturbed the hash, that row's value would differ."""
+    vals = ", ".join(
+        f"({g}, {_phash_group_base(g)})" for g in range(_PHASH_GROUPS)
+    )
+    return (
+        f"WITH base AS (SELECT * FROM (VALUES {vals}) AS t(g, ph)), "
+        "elig AS (SELECT doc_id, (doc_id // 5) % 25 AS g, "
+        "(doc_id // 5) // 25 AS p FROM documents WHERE doc_id % 5 = 0) "
+        "SELECT doc_id, CASE WHEN p % 3 = 1 THEN "
+        "xor(CAST(ph AS BIGINT), CAST(1 AS BIGINT) << CAST((g + p) % 63 AS INT)) "
+        "ELSE CAST(ph AS BIGINT) END AS phash "
+        "FROM elig JOIN base USING (g) ORDER BY doc_id"
+    )
+
+
 def q_image_phash(spark, sf_dir):
     """DCT perceptual hash end-to-end (multimodal.py phash_bits): decode
     each synthetic BMP, 32×32 luma, 2-D DCT, median-threshold the 8×8
@@ -4904,6 +4973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_neardup": q_image_neardup,
         "q_image_phash": q_image_phash,
         "q_image_dedup": q_image_dedup,
+        "q_image_crossformat": q_image_crossformat,
         "q_quality_score": q_quality_score,
         "q_lpa_communities": q_lpa_communities,
         "q_pagerank": q_pagerank,
@@ -6013,6 +6083,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_image_neardup": _image_neardup_oracle_sql(),
         "q_image_phash": _image_phash_oracle_sql(),
+        "q_image_crossformat": _image_crossformat_oracle_sql(),
         # each group is one Hamming<=2 clique, so the component label is
         # the group's minimum eligible id; singleton groups unlabeled
         # (neardup_components' nodes-with->=1-pair contract)
