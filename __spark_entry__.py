@@ -1427,6 +1427,67 @@ def q_image_neardup(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_audio_neardup(spark, sf_dir):
+    """Audio near-dup — the dedup tier for the audio modality
+    (multimodal.py audio_energy_hash / extract_audio_fingerprint): each
+    eligible doc's SAMPLES encode its deterministic fingerprint as a
+    65-step loudness staircase (±25 around 2000, 16 samples per step),
+    traveling as a real PCM WAV (even member index) or a rice-coded
+    FLAC (odd) — so the query also proves the fingerprint is
+    CONTAINER-INVARIANT for audio.  Decode → energy-gradient hash rides
+    mapInPandas (9 bytes/row downstream); pairs band through the same
+    pigeonhole machinery as text SimHash and image dHash.  The oracle
+    is the identical closed-form pair replay as q_image_neardup (same
+    group/flip formula — the modality must not show up)."""
+    from kevinlang_spark.operators.dedup import hamming_neardup_pairs
+    from kevinlang_spark.operators.multimodal import extract_audio_fingerprint
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+    )
+
+    def gen(it):
+        import numpy as np
+        import pandas as pd
+
+        from kevinlang_spark.operators.flac import make_flac
+        from kevinlang_spark.operators.multimodal import make_wav
+
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                fp = _phash_fingerprint(d)
+                amps = np.empty(65, dtype=np.int64)
+                v = 2000  # ±64·25 stays well inside int16
+                amps[0] = v
+                for k in range(64):
+                    v = v - 25 if (fp >> k) & 1 else v + 25
+                    amps[k + 1] = v
+                samples = np.repeat(amps, 16)
+                if (d // 125) % 2 == 0:
+                    payloads.append(make_wav(0, samples=samples))
+                else:
+                    payloads.append(make_flac(samples, block_size=256))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "audio",
+                    "payload": payloads,
+                }
+            )
+
+    media = docs.mapInPandas(
+        gen, schema="doc_id bigint, media_type string, payload binary"
+    )
+    sig = extract_audio_fingerprint(media)
+    return hamming_neardup_pairs(
+        sig, max_hamming=3, blocks=4, id_col="doc_id", sig_col="ahash"
+    ).orderBy("id_a", "id_b")
+
+
 def q_image_crossformat(spark, sf_dir):
     """Container-invariant fingerprinting — the property multimodal
     dedup actually relies on: the SAME pixel content travels as a BMP
@@ -4974,6 +5035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_phash": q_image_phash,
         "q_image_dedup": q_image_dedup,
         "q_image_crossformat": q_image_crossformat,
+        "q_audio_neardup": q_audio_neardup,
         "q_quality_score": q_quality_score,
         "q_lpa_communities": q_lpa_communities,
         "q_pagerank": q_pagerank,
@@ -6084,6 +6146,9 @@ def oracle_sql() -> dict[str, str]:
         "q_image_neardup": _image_neardup_oracle_sql(),
         "q_image_phash": _image_phash_oracle_sql(),
         "q_image_crossformat": _image_crossformat_oracle_sql(),
+        # the audio fingerprints carry the SAME group/flip formula, so
+        # the closed-form pair replay is identical — modality-invariant
+        "q_audio_neardup": _image_neardup_oracle_sql(),
         # each group is one Hamming<=2 clique, so the component label is
         # the group's minimum eligible id; singleton groups unlabeled
         # (neardup_components' nodes-with->=1-pair contract)

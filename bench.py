@@ -141,6 +141,7 @@ HEADLINE = [
     "q_image_phash",
     "q_image_dedup",
     "q_image_crossformat",
+    "q_audio_neardup",
     "q_source_kl",
     "q_bpe_train",
     "q_bpe_encode",

@@ -461,14 +461,54 @@ def _png_pixels(payload: bytes):
     return width, height, channels, out.reshape(height, width, channels)
 
 
-def make_wav(
-    n_frames: int, sample_rate: int = 8000, amplitude: int = 0
-) -> bytes:
-    """A minimal VALID 16-bit mono PCM WAV with ``n_frames`` samples,
-    each holding ``amplitude`` (int16)."""
+def _wav_samples(payload: bytes):
+    """Parse a 16-bit mono PCM WAV to its int16 sample array — the ONE
+    place the RIFF chunk-walk rules live (shared by
+    :func:`stdlib_pixel_decode` and the audio-fingerprint extractor, the
+    `_bmp_pixels` precedent).  Anything else raises ValueError
+    (quarantine)."""
     import struct
 
-    data = struct.pack("<h", amplitude) * n_frames
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(
+            "pixel decode supports 16-bit mono PCM WAV and FLAC only"
+        )
+    i, fmt_ok, samples = 12, False, None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 24 <= len(payload):
+            audio_fmt, channels = struct.unpack("<HH", payload[i + 8 : i + 12])
+            bits = struct.unpack("<H", payload[i + 22 : i + 24])[0]
+            fmt_ok = audio_fmt == 1 and channels == 1 and bits == 16
+        elif cid == b"data":
+            raw = payload[i + 8 : i + 8 + size]
+            if len(raw) < size:
+                raise ValueError("truncated WAV data chunk")
+            samples = np.frombuffer(raw[: len(raw) & ~1], dtype="<i2")
+        i += 8 + size + (size % 2)
+    if not fmt_ok or samples is None:
+        raise ValueError("pixel decode supports 16-bit mono PCM WAV only")
+    return samples
+
+
+def make_wav(
+    n_frames: int, sample_rate: int = 8000, amplitude: int = 0, samples=None
+) -> bytes:
+    """A minimal VALID 16-bit mono PCM WAV with ``n_frames`` samples,
+    each holding ``amplitude`` (int16); ``samples`` (an int array)
+    overrides the constant fill."""
+    import struct
+
+    if samples is not None:
+        import numpy as np
+
+        data = np.asarray(samples, dtype="<i2").tobytes()
+        n_frames = len(samples)
+    else:
+        data = struct.pack("<h", amplitude) * n_frames
     return (
         b"RIFF"
         + struct.pack("<I", 36 + len(data))
@@ -612,26 +652,7 @@ def stdlib_pixel_decode(payload: bytes, media_type: str) -> dict:
                 "rms": float(np.sqrt((s * s).mean())) if s.size else 0.0,
                 "peak": float(np.abs(s).max()) if s.size else 0.0,
             }
-        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-            raise ValueError(
-                "pixel decode supports 16-bit mono PCM WAV and FLAC only"
-            )
-        i, fmt_ok, samples = 12, False, None
-        while i + 8 <= len(payload):
-            cid = payload[i : i + 4]
-            size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
-            if cid == b"fmt " and i + 24 <= len(payload):
-                audio_fmt, channels = struct.unpack("<HH", payload[i + 8 : i + 12])
-                bits = struct.unpack("<H", payload[i + 22 : i + 24])[0]
-                fmt_ok = audio_fmt == 1 and channels == 1 and bits == 16
-            elif cid == b"data":
-                raw = payload[i + 8 : i + 8 + size]
-                if len(raw) < size:
-                    raise ValueError("truncated WAV data chunk")
-                samples = np.frombuffer(raw[: len(raw) & ~1], dtype="<i2")
-            i += 8 + size + (size % 2)
-        if not fmt_ok or samples is None:
-            raise ValueError("pixel decode supports 16-bit mono PCM WAV only")
+        samples = _wav_samples(payload)
         s = samples.astype(np.float64)
         return {
             "n_frames": int(samples.size),
@@ -1017,3 +1038,73 @@ def extract_image_phash(media_df: DataFrame, method: str = "dhash") -> DataFrame
             )
 
     return media_df.mapInPandas(batches, schema="doc_id bigint, phash bigint")
+
+
+# --------------------------------------------------------------------- #
+# audio fingerprints — energy-gradient hash, the dedup tier for audio
+# --------------------------------------------------------------------- #
+
+
+def audio_energy_hash(samples, bits: int = 64) -> int:
+    """``bits``-bit energy-gradient fingerprint of a sample stream: the
+    audio analogue of image dHash.  Split the stream into ``bits + 1``
+    equal frames (tail remainder dropped), take each frame's mean
+    absolute amplitude, set bit k iff energy[k] > energy[k+1] — the
+    coarse loudness CONTOUR, invariant to container (WAV vs FLAC),
+    sample-rate relabeling, and uniform trailing padding; near-dup
+    audio (re-encodes, small edits) lands within a few bits.  Signed
+    64-bit packing like :func:`dhash_bits`."""
+    import numpy as np
+
+    s = np.abs(np.asarray(samples, dtype=np.float64))
+    n = s.size // (bits + 1)
+    if n == 0:
+        raise ValueError(
+            f"audio_energy_hash: need >= {bits + 1} samples (got {s.size})"
+        )
+    e = s[: (bits + 1) * n].reshape(bits + 1, n).mean(axis=1)
+    v = 0
+    for k in range(bits):
+        if e[k] > e[k + 1]:
+            v |= 1 << k
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def extract_audio_fingerprint(media_df: DataFrame) -> DataFrame:
+    """(doc_id, ahash bigint) energy-gradient fingerprints over a bronze
+    media frame — WAV and FLAC payloads decode to samples (container
+    sniffed from magic bytes) through :func:`audio_energy_hash`; the
+    same Arrow-batched mapInPandas shape as the image extractors, 9
+    bytes/row downstream, undecodable / non-audio / too-short payloads
+    contribute NO rows (quarantine-by-omission)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for did, mtype, p in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if p is None or mtype != "audio":
+                    continue
+                raw = bytes(p)
+                try:
+                    if raw[:4] == b"fLaC":
+                        from kevinlang_spark.operators.flac import flac_samples
+
+                        _sr, _ch, dec = flac_samples(raw)
+                        samples = dec.reshape(-1)
+                    else:
+                        samples = _wav_samples(raw)
+                    h = audio_energy_hash(samples)
+                except (ValueError, zlib.error, struct.error, IndexError):
+                    continue
+                ids.append(did)
+                hashes.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="Int64"),
+                    "ahash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return media_df.mapInPandas(batches, schema="doc_id bigint, ahash bigint")

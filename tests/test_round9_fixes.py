@@ -250,3 +250,53 @@ def test_fasttext_quality_score_guards(spark):
         fasttext_quality_score(df, dim=1)
     with pytest.raises(ValueError, match="n must be"):
         fasttext_quality_score(df, n=0)
+
+
+# --------------------------------------------------------------------- #
+# audio energy-gradient fingerprints (the audio dedup tier)
+# --------------------------------------------------------------------- #
+
+
+def _staircase_samples(fp: int, start=2000, step=25, frame=16):
+    amps = [start]
+    for k in range(64):
+        amps.append(amps[-1] - step if (fp >> k) & 1 else amps[-1] + step)
+    return np.repeat(np.array(amps, dtype=np.int64), frame)
+
+
+def test_audio_energy_hash_encodes_staircases():
+    from kevinlang_spark.operators.multimodal import audio_energy_hash
+
+    for fp in (0, 0x5A5A5A5A5A5A5A5A, (1 << 63) - 1, 0x0123456789ABCDEF):
+        got = audio_energy_hash(_staircase_samples(fp))
+        assert got == fp & ~(1 << 63) | (-(fp & (1 << 63)))  # signed pack
+    with pytest.raises(ValueError, match="need >="):
+        audio_energy_hash(np.zeros(10))
+
+
+def test_audio_fingerprint_container_invariant(spark):
+    """The SAME samples through WAV and rice-coded FLAC must fingerprint
+    identically — the audio analogue of the cross-format image check —
+    and junk/short/non-audio payloads quarantine by omission."""
+    from kevinlang_spark.operators.flac import make_flac
+    from kevinlang_spark.operators.multimodal import (
+        extract_audio_fingerprint,
+        make_wav,
+    )
+
+    fp = 0x00FF00FF12345678
+    samples = _staircase_samples(fp)
+    rows = [
+        (1, "audio", make_wav(0, samples=samples)),
+        (2, "audio", make_flac(samples, block_size=256)),
+        (3, "audio", b"not audio"),
+        (4, "image", make_wav(0, samples=samples)),
+        (5, "audio", make_wav(10, amplitude=5)),  # too short: <65 frames
+        (6, "audio", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, media_type string, payload binary"
+    )
+    got = {r["doc_id"]: r["ahash"] for r in extract_audio_fingerprint(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1] == got[2] == fp
