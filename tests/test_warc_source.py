@@ -1,0 +1,146 @@
+"""WARC web-archive source: writer/parser round trip, gzip member
+split, HTTP envelope split, quarantine, and the distributed reader."""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+
+import pytest
+
+from kevinlang_spark.sources.warc import (
+    gunzip_members,
+    iter_warc_records,
+    make_http_response,
+    make_warc,
+    make_warc_record,
+    parse_http_response,
+    read_warc,
+    split_warc_file,
+)
+
+
+def _page(i: int) -> bytes:
+    return f"<html><body>page {i}</body></html>".encode()
+
+
+def _archive(n: int = 3, compress: bool = True) -> bytes:
+    recs = [
+        make_warc_record("warcinfo", b"software: kevinlang-spark\r\n")
+    ] + [
+        make_warc_record(
+            "response",
+            make_http_response(_page(i)),
+            uri=f"http://example.com/{i}",
+        )
+        for i in range(n)
+    ]
+    return make_warc(recs, compress=compress)
+
+
+def test_roundtrip_uncompressed():
+    recs = list(iter_warc_records(_archive(3, compress=False)))
+    assert [h["warc-type"] for h, _ in recs] == ["warcinfo"] + ["response"] * 3
+    status, ctype, body = parse_http_response(recs[1][1])
+    assert (status, body) == (200, _page(0))
+    assert ctype == "text/html; charset=utf-8"
+    assert recs[2][0]["warc-target-uri"] == "http://example.com/1"
+
+
+def test_roundtrip_member_gzip():
+    data = _archive(2, compress=True)
+    members = list(gunzip_members(data))
+    assert len(members) == 3  # warcinfo + 2 responses: one member each
+    recs = list(iter_warc_records(b"".join(members)))
+    assert len(recs) == 3
+
+
+def test_whole_file_gzip_and_deterministic_bytes():
+    # single-member whole-file gzip is also valid WARC
+    plain = _archive(2, compress=False)
+    rows = list(split_warc_file("a.warc.gz", gzip.compress(plain, mtime=0)))
+    assert [r[2] for r in rows] == ["warcinfo", "response", "response"]
+    # writer determinism (mtime=0): same input → same bytes
+    assert _archive(2) == _archive(2)
+
+
+def test_record_id_deterministic_from_content():
+    r1 = make_warc_record("response", make_http_response(_page(7)))
+    r2 = make_warc_record("response", make_http_response(_page(7)))
+    assert r1 == r2
+    (h, _), = iter_warc_records(r1)
+    assert h["warc-record-id"].startswith("<urn:md5:")
+
+
+def test_truncated_member_raises():
+    data = _archive(2)
+    with pytest.raises(ValueError):
+        list(gunzip_members(data[: len(data) - 10]))
+
+
+def test_malformed_frames_raise():
+    with pytest.raises(ValueError):
+        list(iter_warc_records(b"NOT A WARC\r\n\r\n"))
+    rec = make_warc_record("response", b"x" * 10)
+    with pytest.raises(ValueError):  # content shorter than Content-Length
+        list(iter_warc_records(rec[:-14]))
+
+
+def test_split_quarantines_corrupt_file_after_good_records():
+    good = make_warc(
+        [make_warc_record("warcinfo", b"software: x\r\n")], compress=True
+    )
+    bad = good + b"\x1f\x8b\x08\x00garbage-member"
+    rows = list(split_warc_file("bad.warc.gz", bad))
+    assert [r[2] for r in rows] == ["warcinfo", "invalid"]
+    assert rows[1][1] == 1 and rows[1][8] is None  # idx reached, null payload
+
+
+def test_http_parse_non_http_passthrough():
+    assert parse_http_response(b"just bytes") == (None, None, b"just bytes")
+
+
+def test_read_warc_distributed(spark, tmp_path):
+    (tmp_path / "00.warc.gz").write_bytes(_archive(3))
+    (tmp_path / "01.warc.gz").write_bytes(_archive(2))
+    (tmp_path / "junk.warc.gz").write_bytes(b"\x1f\x8b\x08\x00nope")
+    (tmp_path / "ignore.txt").write_bytes(b"not a warc")
+    df = read_warc(spark, str(tmp_path))
+    rows = df.collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["warc_file"], []).append(r)
+    assert set(by_file) == {"00.warc.gz", "01.warc.gz", "junk.warc.gz"}
+    assert len(by_file["00.warc.gz"]) == 4 and len(by_file["01.warc.gz"]) == 3
+    assert [r["warc_type"] for r in by_file["junk.warc.gz"]] == ["invalid"]
+    resp = [r for r in by_file["00.warc.gz"] if r["warc_type"] == "response"]
+    assert sorted(r["rec_idx"] for r in resp) == [1, 2, 3]
+    for r in resp:
+        i = int(r["target_uri"].rsplit("/", 1)[1])
+        assert bytes(r["payload"]) == _page(i)
+        assert r["http_status"] == 200
+        assert r["payload_len"] == len(_page(i))
+        assert r["content_type"] == "text/html; charset=utf-8"
+    info = [r for r in by_file["01.warc.gz"] if r["warc_type"] == "warcinfo"]
+    assert info[0]["content_type"] == "application/warc-fields"
+    assert info[0]["http_status"] is None
+
+
+def test_read_warc_chunked_batches(spark, tmp_path):
+    # more records than one _CHUNK batch: all come through exactly once
+    recs = [
+        make_warc_record(
+            "response",
+            make_http_response(_page(i)),
+            uri=f"http://example.com/{i}",
+        )
+        for i in range(300)
+    ]
+    (tmp_path / "big.warc.gz").write_bytes(make_warc(recs))
+    df = read_warc(spark, str(tmp_path), glob="big.warc.gz")
+    assert df.count() == 300
+    md5s = {
+        r["m"]
+        for r in df.selectExpr("md5(payload) AS m").distinct().collect()
+    }
+    assert md5s == {hashlib.md5(_page(i)).hexdigest() for i in range(300)}
