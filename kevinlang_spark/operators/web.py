@@ -167,3 +167,57 @@ def domain_cap(
         .where(F.col("__rank") <= n_per_domain)
         .select(*out_cols)
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction
+
+
+def html_text(col: Column) -> Column:
+    """Visible text of an HTML page: drops comments, ``<script>`` and
+    ``<style>`` blocks (their character data is code, not prose), then
+    every remaining tag; decodes the core character entities; collapses
+    whitespace runs to single spaces.
+
+    This is the extraction step between WARC ingestion
+    (``sources/warc.py``) and the text-quality tier (C4 strips tags the
+    same way before its heuristics; trafilatura-class main-content DOM
+    scoring is a model-weights upgrade behind the same column seam).
+    Pure Catalyst ``regexp_replace`` chain — no UDF, whole-stage
+    codegen, zero shuffle — and every pattern is RE2-compatible (no
+    backreferences/lookaround), so a DuckDB oracle replays it verbatim.
+    """
+    c = F.regexp_replace(col, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),  # last, so &amp;lt; decodes to the literal &lt;
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"[ \t\r\n]+", " "))
+
+
+def html_stats(col: Column) -> dict[str, Column]:
+    """Markup-shape features of a raw HTML page — the structural half
+    of web-page quality filtering (text-to-markup ratio and link
+    density are standard boilerplate-page signals; RefinedWeb §3.2
+    filters on exactly these).  All Catalyst expressions, zero shuffle.
+    """
+    text = html_text(col)
+    html_chars = F.length(col)
+    return {
+        "n_tags": F.regexp_count(col, F.lit(r"<[A-Za-z!/]")),
+        "n_links": F.regexp_count(col, F.lit(r"(?i)<a[ >]")),
+        "title": F.regexp_extract(col, r"(?is)<title[^>]*>(.*?)</title>", 1),
+        "text_chars": F.length(text),
+        "html_chars": html_chars,
+        "text_ratio": F.round(
+            F.length(text) / F.greatest(html_chars, F.lit(1)), 6
+        ),
+    }

@@ -170,3 +170,67 @@ def test_gopher_rules_trim_is_unary(spark):
     # line '1' at index 1: bare-F.trim trims it to '' (2 lines, ratio
     # 1/2); the unary trim keeps 3 lines, bullet ratio 1/3
     assert abs(r2["bullet_line_ratio"] - 1 / 3) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction
+
+
+_PAGE = (
+    "<html><head><title>T &amp; Co</title><style>p{color:red}</style></head>"
+    "<body><NAV>Home</NAV><!-- hidden --><p>Hello &lt;world&gt;&nbsp;end</p>"
+    "<script type='x'>var s = '<p>not text</p>';</script>"
+    "<a href='/x'>link</a>\n\t<A HREF='y'>Link2</A></body></html>"
+)
+
+
+def test_html_text_strips_markup(spark):
+    from kevinlang_spark.operators.web import html_text
+
+    df = spark.createDataFrame(
+        [
+            (_PAGE,),
+            ("plain no markup",),
+            ("<p>multi\r\nline   spaces</p>",),
+            ("<script>a</script><p>b</p><script>c</script>",),
+            ("&amp;lt; decodes once",),
+        ],
+        "html string",
+    )
+    got = [r["t"] for r in df.select(html_text(F.col("html")).alias("t")).collect()]
+    assert got == [
+        "T & Co Home Hello <world> end link Link2",
+        "plain no markup",
+        "multi line spaces",
+        "b",  # script char data is code, not prose — both blocks drop
+        "&lt; decodes once",  # entity decode is single-pass
+    ]
+
+
+def test_html_stats_features(spark):
+    from kevinlang_spark.operators.web import html_stats
+
+    df = spark.createDataFrame([(_PAGE,)], "html string")
+    stats = html_stats(F.col("html"))
+    r = df.select(*[v.alias(k) for k, v in stats.items()]).first()
+    assert r["title"] == "T &amp; Co"  # raw slice of the source bytes
+    assert r["n_links"] == 2  # case-insensitive <a …>
+    assert r["n_tags"] == len(_PAGE.split("<")) - 1
+    assert r["html_chars"] == len(_PAGE)
+    assert 0 < r["text_ratio"] < 1
+    assert abs(r["text_ratio"] - round(r["text_chars"] / len(_PAGE), 6)) < 1e-12
+
+
+def test_html_text_plan_is_scan_only(spark):
+    from kevinlang_spark.operators.web import html_text
+
+    df = spark.range(10).select(
+        F.concat(F.lit("<p>"), F.col("id"), F.lit("</p>")).alias("html")
+    )
+    plan = (
+        df.select(html_text(F.col("html")).alias("t"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
