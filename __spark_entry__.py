@@ -1261,6 +1261,298 @@ def q_domain_cap(spark, sf_dir):
     return domain_cap(with_dom, "domain", 3, "doc_id", salt_buckets=4)
 
 
+#: warcinfo block + 404 body for the WARC fixture archives — module
+#: constants so the oracle can embed their md5/length as literals
+_WARCINFO = b"software: kevinlang-spark 1.0\r\nformat: WARC File Format 1.0\r\n"
+_WARC_404 = b"<html><body>not found</body></html>"
+
+#: the per-document page template, three spellings of the SAME bytes:
+#: Python (fixture writer), Catalyst concat (q_html_extract), SQL concat
+#: (oracles).  Visible text after html_text() is closed-form:
+#: 'Doc {d} Home About Contact Doc {d} {text} Copyright 2026 Example Corp'
+_PAGE_PARTS = (
+    "<html><head><title>Doc ",
+    "</title></head><body><nav>Home About Contact</nav><h1>Doc ",
+    "</h1><p>",
+    "</p><script>var x=1;</script>"
+    "<footer>Copyright 2026 Example Corp</footer></body></html>",
+)
+
+
+def _doc_page_html(d: int, t: str) -> str:
+    p = _PAGE_PARTS
+    return f"{p[0]}{d}{p[1]}{d}{p[2]}{t}{p[3]}"
+
+
+def _doc_html_col():
+    d = F.col("doc_id").cast("string")
+    p = _PAGE_PARTS
+    return F.concat(
+        F.lit(p[0]), d, F.lit(p[1]), d, F.lit(p[2]), F.col("text"), F.lit(p[3])
+    )
+
+
+def _doc_html_sql() -> str:
+    p = _PAGE_PARTS
+    return (
+        f"'{p[0]}' || doc_id || '{p[1]}' || doc_id || "
+        f"'{p[2]}' || text || '{p[3]}'"
+    )
+
+
+#: SQL spelling of web.html_text's regexp/replace chain (patterns are
+#: RE2-compatible by design; 'g' = global, matching Spark's default)
+_HTML_TEXT_SQL = (
+    "trim(regexp_replace("
+    "replace(replace(replace(replace(replace(replace("
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace({col}, "
+    "'(?s)<!--.*?-->', ' ', 'g'), "
+    "'(?is)<script[^>]*>.*?</script>', ' ', 'g'), "
+    "'(?is)<style[^>]*>.*?</style>', ' ', 'g'), "
+    "'(?s)<[^>]*>', ' ', 'g'), "
+    "'&lt;','<'),'&gt;','>'),'&quot;','\"'),'&#39;',chr(39)),"
+    "'&nbsp;',' '),'&amp;','&'), "
+    "'[ \t\r\n]+', ' ', 'g'))"
+)
+
+#: visible text of the fixture page, closed-form (no regex replay needed)
+_PAGE_TEXT_SQL = (
+    "'Doc ' || doc_id || ' Home About Contact Doc ' || doc_id || ' ' || "
+    "text || ' Copyright 2026 Example Corp'"
+)
+
+
+def _warc_dir(spark, sf_dir):
+    """Materialize (once per sf_dir per machine) a directory of REAL
+    Common-Crawl-layout WARC archives for the web-archive queries: each
+    archive holds a warcinfo record plus 20 response records (one per
+    documents row, member-gzip framing), statuses/content-types mixed by
+    id (404s at %10==7, text/plain at %10==3), plus one archive whose
+    single gzip member is TRUNCATED (the quarantine row).  Content is
+    closed-form in (doc_id, text), so the oracle predicts every record.
+    The bounded collect is fixture synthesis, not query work — the
+    QUERIES read the directory through the binaryFile source."""
+    import gzip
+    import os
+
+    from kevinlang_spark.sources.warc import (
+        make_http_response,
+        make_warc,
+        make_warc_record,
+    )
+
+    path = _artifact_path(sf_dir, "warc_dir", "kevinlang_spark/sources/warc.py")
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker):
+        return path
+    os.makedirs(path, exist_ok=True)
+    rows = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    groups: dict[int, list] = {}
+    for r in rows:
+        groups.setdefault(int(r["doc_id"]) // 20, []).append(
+            (int(r["doc_id"]), r["text"])
+        )
+    for g, docs in groups.items():
+        recs = [make_warc_record("warcinfo", _WARCINFO)]
+        for d, t in docs:
+            if d % 10 == 7:
+                body, status, reason = _WARC_404, 404, "Not Found"
+                ctype = "text/html; charset=utf-8"
+            elif d % 10 == 3:
+                body, status, reason = t.encode(), 200, "OK"
+                ctype = "text/plain; charset=utf-8"
+            else:
+                body, status, reason = _doc_page_html(d, t).encode(), 200, "OK"
+                ctype = "text/html; charset=utf-8"
+            recs.append(
+                make_warc_record(
+                    "response",
+                    make_http_response(body, status, reason, ctype),
+                    uri=f"http://example.com/doc/{d}",
+                )
+            )
+        with open(os.path.join(path, f"{g:05d}.warc.gz"), "wb") as fh:
+            fh.write(make_warc(recs))
+    member = gzip.compress(make_warc_record("warcinfo", _WARCINFO), mtime=0)
+    with open(os.path.join(path, "corrupt.warc.gz"), "wb") as fh:
+        fh.write(member[:-8])  # no CRC/ISIZE trailer: truncated member
+    with open(marker, "w"):
+        pass
+    return path
+
+
+def q_warc_ingest(spark, sf_dir):
+    """Web-archive ingestion END-TO-END through the WARC source
+    (sources/warc.py read_warc): a directory of Common-Crawl-layout
+    archives (member-gzip records, HTTP response envelopes, a corrupt
+    member) becomes the flat record table — file listing and byte reads
+    JVM-side via binaryFile, record split in one Arrow-batched
+    mapInPandas, one 'invalid' quarantine row for the truncated archive,
+    never a dead task.  The oracle predicts every record (uri, status,
+    content-type, body length and md5) closed-form from the documents
+    ids the fixture encodes."""
+    from kevinlang_spark.sources.warc import read_warc
+
+    bronze = read_warc(spark, _warc_dir(spark, sf_dir))
+    return bronze.select(
+        "warc_file",
+        "rec_idx",
+        "warc_type",
+        "target_uri",
+        "http_status",
+        "content_type",
+        "payload_len",
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+def _warc_ingest_oracle_sql() -> str:
+    import hashlib
+
+    nf = _WARC_404.decode()
+    return (
+        "WITH resp AS (SELECT "
+        "printf('%05d.warc.gz', doc_id // 20) AS warc_file, "
+        "CAST(doc_id % 20 + 1 AS INTEGER) AS rec_idx, "
+        "'response' AS warc_type, "
+        "'http://example.com/doc/' || doc_id AS target_uri, "
+        "CAST(CASE WHEN doc_id % 10 = 7 THEN 404 ELSE 200 END AS INTEGER) "
+        "AS http_status, "
+        "CASE WHEN doc_id % 10 = 3 THEN 'text/plain; charset=utf-8' "
+        "ELSE 'text/html; charset=utf-8' END AS content_type, "
+        f"CASE WHEN doc_id % 10 = 7 THEN '{nf}' "
+        "WHEN doc_id % 10 = 3 THEN text "
+        f"ELSE {_doc_html_sql()} END AS body FROM documents), "
+        "files AS (SELECT DISTINCT warc_file FROM resp) "
+        "SELECT warc_file, rec_idx, warc_type, target_uri, http_status, "
+        "content_type, CAST(length(body) AS BIGINT) AS payload_len, "
+        "md5(body) AS payload_md5 FROM resp "
+        "UNION ALL SELECT warc_file, 0, 'warcinfo', NULL, NULL, "
+        f"'application/warc-fields', {len(_WARCINFO)}, "
+        f"'{hashlib.md5(_WARCINFO).hexdigest()}' FROM files "
+        "UNION ALL SELECT 'corrupt.warc.gz', 0, 'invalid', "
+        "NULL, NULL, NULL, NULL, NULL"
+    )
+
+
+def q_html_extract(spark, sf_dir):
+    """HTML → visible-text extraction + markup-shape stats (web.py
+    html_text/html_stats, the step between WARC ingestion and the
+    text-quality tier): each document renders through the deterministic
+    page template, the zero-shuffle Catalyst regex chain strips it back,
+    and roundtrip_ok asserts the recovered text equals the closed-form
+    expectation.  The built page and its extracted text materialize as
+    projection attributes referenced ≥2 times (the winnow rule), so the
+    regex chain runs ONCE per row.  The oracle replays the same
+    RE2-compatible chain in DuckDB."""
+    from kevinlang_spark.operators.util import spread
+    from kevinlang_spark.operators.web import html_stats, html_text
+
+    # single-file parquet reads as ONE partition; the regex chain is the
+    # expensive part, so spread it across all cores first
+    docs = spread(_t(spark, sf_dir, "documents"))
+    pages = docs.select("doc_id", "text", _doc_html_col().alias("__html"))
+    h = F.col("__html")
+    staged = pages.select(
+        "doc_id", "text", "__html", html_text(h).alias("__text")
+    )
+    stats = html_stats(h, text=F.col("__text"))
+    recovered = F.concat(
+        F.lit("Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" Home About Contact Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" "),
+        F.col("text"),
+        F.lit(" Copyright 2026 Example Corp"),
+    )
+    return staged.select(
+        "doc_id",
+        stats["title"].alias("title"),
+        stats["n_tags"].alias("n_tags"),
+        stats["n_links"].alias("n_links"),
+        stats["text_chars"].alias("text_chars"),
+        stats["html_chars"].alias("html_chars"),
+        stats["text_ratio"].alias("text_ratio"),
+        (F.col("__text") == recovered).alias("roundtrip_ok"),
+    )
+
+
+def _html_extract_oracle_sql() -> str:
+    chain = _HTML_TEXT_SQL.format(col="html")
+    return (
+        "WITH pages AS MATERIALIZED (SELECT doc_id, text, "
+        f"{_doc_html_sql()} AS html FROM documents), "
+        "ext AS MATERIALIZED (SELECT doc_id, text, html, "
+        f"{chain} AS vtext FROM pages) "
+        "SELECT doc_id, "
+        "regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS title, "
+        "CAST(length(regexp_extract_all(html, '<[A-Za-z!/]')) AS INTEGER) "
+        "AS n_tags, "
+        "CAST(length(regexp_extract_all(html, '(?i)<a[ >]')) AS INTEGER) "
+        "AS n_links, "
+        "CAST(length(vtext) AS INTEGER) AS text_chars, "
+        "CAST(length(html) AS INTEGER) AS html_chars, "
+        "round(length(vtext) / greatest(length(html), 1), 6) AS text_ratio, "
+        f"vtext = ({_PAGE_TEXT_SQL}) AS roundtrip_ok FROM ext"
+    )
+
+
+def q_warc_pipeline(spark, sf_dir):
+    """The raw-crawl curation path END-TO-END: WARC archives → record
+    split (sources/warc.py) → HTTP 200 + text/html gate → html_text
+    strip (web.py) → per-page token statistics and a min-length keep
+    verdict — the C4/RefinedWeb front half as ONE declarative plan.
+    Every stage is scan-shaped (the only exchange is none — filters and
+    regex chains pipeline inside the mapInPandas output partitions);
+    the oracle predicts each kept page's text and token count
+    closed-form from the fixture template."""
+    from kevinlang_spark.operators.web import html_text
+    from kevinlang_spark.sources.warc import read_warc
+
+    bronze = read_warc(spark, _warc_dir(spark, sf_dir))
+    pages = bronze.where(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("content_type").startswith("text/html")
+    )
+    staged = pages.select(
+        F.regexp_extract("target_uri", r"([0-9]+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("payload_len").alias("html_bytes"),
+        html_text(F.col("payload").cast("string")).alias("__text"),
+    )
+    toks = F.split(F.col("__text"), " ")
+    return staged.select(
+        "doc_id",
+        "html_bytes",
+        F.length("__text").alias("text_chars"),
+        F.size(toks).alias("n_tokens"),
+        (F.size(toks) >= 30).alias("keep"),
+    )
+
+
+def _warc_pipeline_oracle_sql() -> str:
+    return (
+        "WITH pages AS (SELECT doc_id, "
+        f"{_PAGE_TEXT_SQL} AS vtext, "
+        f"length({_doc_html_sql()}) AS html_bytes FROM documents "
+        "WHERE doc_id % 10 NOT IN (3, 7)), "
+        "toked AS (SELECT doc_id, html_bytes, vtext, "
+        "length(string_split(vtext, ' ')) AS n_tokens FROM pages) "
+        "SELECT doc_id, CAST(html_bytes AS BIGINT) AS html_bytes, "
+        "CAST(length(vtext) AS INTEGER) AS text_chars, "
+        "CAST(n_tokens AS INTEGER) AS n_tokens, "
+        "n_tokens >= 30 AS keep FROM toked"
+    )
+
+
 def q_gopher_rules(spark, sf_dir):
     """Gopher quality-rule battery (text.py gopher_rules; Rae et al.
     2021 A1.1) over the documents table: per-document word/line
@@ -5061,6 +5353,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_normalize": q_url_normalize,
         "q_domain_cap": q_domain_cap,
         "q_gopher_rules": q_gopher_rules,
+        "q_warc_ingest": q_warc_ingest,
+        "q_html_extract": q_html_extract,
+        "q_warc_pipeline": q_warc_pipeline,
         "q_neardup_components": q_neardup_components,
         "q_ann_lsh": q_ann_lsh,
         "q_minhash_pairs": q_minhash_pairs,
@@ -6552,6 +6847,9 @@ def oracle_sql() -> dict[str, str]:
             "source || CAST(doc_id % 20 AS VARCHAR) ORDER BY doc_id) AS rn "
             "FROM documents) WHERE rn <= 3"
         ),
+        "q_warc_ingest": _warc_ingest_oracle_sql(),
+        "q_html_extract": _html_extract_oracle_sql(),
+        "q_warc_pipeline": _warc_pipeline_oracle_sql(),
         "q_gopher_rules": (
             # replay of the Gopher A1.1 statistics in DuckDB list
             # functions; ratios are raw int/int doubles (bit-identical)

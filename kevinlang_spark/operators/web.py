@@ -203,13 +203,17 @@ def html_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(c, r"[ \t\r\n]+", " "))
 
 
-def html_stats(col: Column) -> dict[str, Column]:
+def html_stats(col: Column, text: Column | None = None) -> dict[str, Column]:
     """Markup-shape features of a raw HTML page — the structural half
     of web-page quality filtering (text-to-markup ratio and link
     density are standard boilerplate-page signals; RefinedWeb §3.2
     filters on exactly these).  All Catalyst expressions, zero shuffle.
-    """
-    text = html_text(col)
+
+    Pass ``text`` when :func:`html_text` is already materialized as a
+    projection attribute — the regex chain then runs once per row
+    instead of once per stat that consumes it."""
+    if text is None:
+        text = html_text(col)
     html_chars = F.length(col)
     return {
         "n_tags": F.regexp_count(col, F.lit(r"<[A-Za-z!/]")),

@@ -1,0 +1,48 @@
+"""Driver-level WARC / HTML-extraction queries: fixture shape, record
+accounting, extraction round-trip, and end-to-end pipeline gating."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def test_warc_ingest_record_accounting(spark, sf_dir):
+    rows = entrymod.q_warc_ingest(spark, sf_dir).collect()
+    by_type: dict[str, int] = {}
+    for r in rows:
+        by_type[r["warc_type"]] = by_type.get(r["warc_type"], 0) + 1
+    # 500 docs at sf0.01 → 25 archives × (1 warcinfo + 20 responses),
+    # plus the one truncated archive's quarantine row
+    assert by_type == {"response": 500, "warcinfo": 25, "invalid": 1}
+    resp = [r for r in rows if r["warc_type"] == "response"]
+    assert sum(r["http_status"] == 404 for r in resp) == 50  # ids %10==7
+    assert (
+        sum(r["content_type"].startswith("text/plain") for r in resp) == 50
+    )
+    bad = next(r for r in rows if r["warc_type"] == "invalid")
+    assert bad["warc_file"] == "corrupt.warc.gz"
+    assert bad["payload_md5"] is None and bad["payload_len"] is None
+
+
+def test_html_extract_roundtrip_all_true(spark, sf_dir):
+    df = entrymod.q_html_extract(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 500
+    # the oracle only proves Spark == DuckDB; this pins that the
+    # extraction actually RECOVERS the source text on every page
+    assert all(r["roundtrip_ok"] for r in rows)
+    assert all(r["title"] == f"Doc {r['doc_id']}" for r in rows)
+    assert all(0 < r["text_ratio"] < 1 for r in rows)
+    # template = 9 elements, open+close each = 18 tag starts, no <a>
+    assert all(r["n_links"] == 0 and r["n_tags"] == 18 for r in rows)
+
+
+def test_warc_pipeline_gates_and_tokens(spark, sf_dir):
+    rows = entrymod.q_warc_pipeline(spark, sf_dir).collect()
+    # 404s (%10==7) and text/plain (%10==3) pages are gated out
+    assert len(rows) == 400
+    assert all(r["doc_id"] % 10 not in (3, 7) for r in rows)
+    # template adds 11 boilerplate tokens around the document text
+    assert all(r["n_tokens"] >= 11 and r["text_chars"] > 0 for r in rows)
+    assert all(r["keep"] == (r["n_tokens"] >= 30) for r in rows)
+    assert any(r["keep"] for r in rows) and not all(r["keep"] for r in rows)
