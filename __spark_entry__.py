@@ -5329,6 +5329,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_crossformat": q_image_crossformat,
         "q_audio_neardup": q_audio_neardup,
         "q_quality_score": q_quality_score,
+        "q_warc_ingest": q_warc_ingest,
+        "q_html_extract": q_html_extract,
+        "q_warc_pipeline": q_warc_pipeline,
         "q_lpa_communities": q_lpa_communities,
         "q_pagerank": q_pagerank,
         "q_hits": q_hits,
@@ -5353,9 +5356,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_normalize": q_url_normalize,
         "q_domain_cap": q_domain_cap,
         "q_gopher_rules": q_gopher_rules,
-        "q_warc_ingest": q_warc_ingest,
-        "q_html_extract": q_html_extract,
-        "q_warc_pipeline": q_warc_pipeline,
         "q_neardup_components": q_neardup_components,
         "q_ann_lsh": q_ann_lsh,
         "q_minhash_pairs": q_minhash_pairs,

@@ -186,6 +186,12 @@ HEADLINE = [
     "q_acf",
     "q_corpus_report",
     "q_markov_attribution",
+    # round-9b web-archive tier: WARC record split (fixture archives are
+    # built once in the untimed priming pass), Catalyst HTML extraction,
+    # and the crawl→text→gate pipeline end-to-end
+    "q_warc_ingest",
+    "q_html_extract",
+    "q_warc_pipeline",
 ]
 
 
