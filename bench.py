@@ -192,6 +192,10 @@ HEADLINE = [
     "q_warc_ingest",
     "q_html_extract",
     "q_warc_pipeline",
+    # round-9b trained classifier: distributed batch-GD logistic
+    # regression (train IS the benchmark, like q_ann_ivfpq) + the apply
+    "q_lr_train",
+    "q_lr_score",
 ]
 
 

@@ -1623,3 +1623,228 @@ def fasttext_quality_score(
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),
         (logit >= 0).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# trained quality classifier: distributed batch-GD logistic regression
+
+
+def lr_gram_features(
+    df: DataFrame,
+    label: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 32,
+    n: int = 3,
+) -> DataFrame:
+    """Long-form hashed char-``n``-gram design matrix for the logistic
+    trainer: one ``(id, y, slot, x)`` row per document × active hash
+    slot, where ``x`` is the slot's n-gram count normalized by the
+    document's n-gram total (the fastText mean-of-grams feature,
+    :func:`fasttext_quality_score`'s shape), PLUS one ``slot 0, x=1``
+    bias row per document — so the intercept trains and applies through
+    the same aggregations as every other coordinate.
+
+    Long-form is the 100 TB layout: ~``min(len, dim)`` rows per
+    document, partitioned like the corpus, built by one explode + one
+    keyed count (map-side combine) — the same shape feature_hash and the
+    BPE vocab collapse already use.  No dense vectors ever materialize.
+    """
+    if dim < 2:
+        raise ValueError(f"dim must be >= 2 (got {dim})")
+    if n < 1:
+        raise ValueError(f"n must be >= 1 (got {n})")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        label.cast("double").alias("y"),
+        F.lower(F.col(text_col)).alias("__t"),
+    )
+    t = F.col("__t")
+    ng = F.when(
+        t.isNotNull() & (F.length(t) >= n), F.length(t) - (n - 1)
+    ).otherwise(F.lit(0))
+    staged = base.select("id", "y", "__t", ng.alias("ng"))
+    # bias rows: every document, even gramless ones, trains the intercept
+    bias_rows = staged.select(
+        "id", "y", F.lit(0).cast("int").alias("slot"), F.lit(1.0).alias("x")
+    )
+    gram = (
+        staged.where(F.col("ng") > 0)
+        .select(
+            "id",
+            "y",
+            "ng",
+            "__t",
+            F.explode(F.sequence(F.lit(1), F.col("ng"))).alias("i"),
+        )
+        .select(
+            "id",
+            "y",
+            "ng",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("__t").substr(F.col("i"), F.lit(n)),
+                                F.lit("#lr"),
+                            )
+                        ),
+                        1,
+                        13,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % dim
+                + 1
+            )
+            .cast("int")
+            .alias("slot"),
+        )
+        .groupBy("id", "y", "ng", "slot")
+        .agg(F.count("*").alias("cnt"))
+        .select("id", "y", "slot", (F.col("cnt") / F.col("ng")).alias("x"))
+    )
+    return bias_rows.unionByName(gram)
+
+
+def lr_feature_stats(
+    feat: DataFrame, n_docs: int
+) -> tuple[dict[int, float], dict[int, float]]:
+    """Per-slot population mean/std of the design matrix INCLUDING the
+    implicit zeros of absent (doc, slot) pairs — ``sum(x)/N`` and
+    ``sum(x²)/N − mu²`` over the long form, one keyed aggregation and a
+    ``dim``-row collect.  Stats round to 6 dp (they become literals on
+    both engines); a zero std maps to 1 so constant slots pass through
+    unscaled."""
+    import math
+
+    from kevinlang_spark.operators.similarity import _round_half_up
+
+    rows = (
+        feat.where(F.col("slot") > 0)
+        .groupBy("slot")
+        .agg(F.sum("x").alias("sx"), F.sum(F.col("x") * F.col("x")).alias("sxx"))
+        .collect()
+    )
+    mu: dict[int, float] = {}
+    sd: dict[int, float] = {}
+    for r in rows:
+        m = _round_half_up(r["sx"] / n_docs, 6)
+        mu[r["slot"]] = m
+        s = _round_half_up(math.sqrt(max(r["sxx"] / n_docs - m * m, 0.0)), 6)
+        sd[r["slot"]] = s if s > 0 else 1.0
+    return mu, sd
+
+
+def _lr_effective_weights(
+    model: list[float], mu: dict[int, float], sd: dict[int, float]
+) -> list[float]:
+    """Fold z-score standardization into the model so the SPARSE design
+    matrix applies it: for standardized features z = (x − mu)/sd the
+    logit is Σ z_j·w_j + w0 = Σ_present x_j·(w_j/sd_j) + (w0 − K) with
+    K = Σ_j (mu_j/sd_j)·w_j — the absent-pair contributions collapse
+    into one constant, so centering never densifies the matrix."""
+    dim = len(model) - 1
+    k = sum(
+        mu.get(j, 0.0) / sd.get(j, 1.0) * model[j] for j in range(1, dim + 1)
+    )
+    return [model[0] - k] + [
+        model[j] / sd.get(j, 1.0) for j in range(1, dim + 1)
+    ]
+
+
+def _lr_probs(
+    feat: DataFrame,
+    model: list[float],
+    mu: dict[int, float],
+    sd: dict[int, float],
+) -> DataFrame:
+    """(id, y, p) with the standardization-folded model broadcast as a
+    literal array — the per-document logit is ONE keyed aggregation
+    because the bias participates as a feature row (slot 0, x = 1).
+    The sigmoid is rounded to 6 dp on BOTH engines (JVM exp vs libm exp
+    differ in the last ULP), which also locks every GD trajectory
+    cross-engine."""
+    v = _lr_effective_weights(model, mu, sd)
+    vlit = F.array(*[F.lit(float(x)) for x in v])
+    z = F.sum(F.col("x") * F.element_at(vlit, F.col("slot") + 1))
+    return feat.groupBy("id", "y").agg(
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("p")
+    )
+
+
+def lr_train(
+    feat: DataFrame,
+    n_docs: int,
+    dim: int = 64,
+    steps: int = 6,
+    lr: float = 2.0,
+    checkpoint: bool = True,
+) -> tuple[list[float], dict[int, float], dict[int, float]]:
+    """Distributed batch-gradient-descent logistic regression over the
+    long-form design matrix, with per-slot z-score standardization
+    folded in sparsely (:func:`_lr_effective_weights`): the DRIVER holds
+    the model (``dim + 1`` doubles — metadata-scale, like k-center's
+    greedy seeds); each step is two keyed aggregations over the corpus
+    (per-document logit, then the per-slot residual moment
+    S_j = Σ r_i·x_ij / N, whose slot-0 row is the mean residual) and one
+    ``dim + 1``-row collect.  The standardized gradient reconstructs
+    driver-side as g_j = (S_j − mu_j·S_0)/sd_j, g_0 = S_0.  Weights
+    round to 6 dp after every update (the repo's transcendental
+    discipline), keeping the whole trajectory bit-reproducible
+    cross-engine.
+
+    This is the standard data-parallel LR shape at 100 TB: shuffle keys
+    are ``id`` then ``slot`` (both with map-side partial sums), no
+    all-pairs stage, model traffic is O(dim) per step.  Trains the
+    quality/language gate that :func:`fasttext_quality_score` applies
+    with fixed seeded weights.  Returns (model, mu, sd)."""
+    from kevinlang_spark.operators.similarity import _round_half_up
+
+    if checkpoint:
+        feat = feat.localCheckpoint(eager=True)  # consumed 2× per step
+    mu, sd = lr_feature_stats(feat, n_docs)
+    model = [0.0] * (dim + 1)
+    for _ in range(steps):
+        probs = _lr_probs(feat, model, mu, sd)
+        s = {
+            r["slot"]: r["s"]
+            for r in feat.join(probs.select("id", "p"), "id")
+            .groupBy("slot")
+            .agg(
+                (
+                    F.sum((F.col("p") - F.col("y")) * F.col("x"))
+                    / F.lit(float(n_docs))
+                ).alias("s")
+            )
+            .collect()
+        }
+        s0 = s.get(0, 0.0)
+        model = [_round_half_up(model[0] - lr * s0, 6)] + [
+            _round_half_up(
+                model[j]
+                - lr * ((s.get(j, 0.0) - mu.get(j, 0.0) * s0) / sd.get(j, 1.0)),
+                6,
+            )
+            for j in range(1, dim + 1)
+        ]
+    return model, mu, sd
+
+
+def lr_score(
+    feat: DataFrame,
+    model: list[float],
+    mu: dict[int, float],
+    sd: dict[int, float],
+) -> DataFrame:
+    """Apply a trained model to the design matrix: (id, label, prob,
+    pred) — ``pred`` thresholds the ROUNDED probability so both engines
+    compare identical doubles against 0.5."""
+    return _lr_probs(feat, model, mu, sd).select(
+        F.col("id"),
+        (F.col("y") == 1.0).alias("label"),
+        F.col("p").alias("prob"),
+        (F.col("p") >= 0.5).alias("pred"),
+    )
