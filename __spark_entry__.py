@@ -1268,27 +1268,44 @@ _WARC_404 = b"<html><body>not found</body></html>"
 
 #: the per-document page template, three spellings of the SAME bytes:
 #: Python (fixture writer), Catalyst concat (q_html_extract), SQL concat
-#: (oracles).  Visible text after html_text() is closed-form:
-#: 'Doc {d} Home About Contact Doc {d} {text} Copyright 2026 Example Corp'
+#: (oracles).  Pages link to doc id//2 and id*2 (a binary-tree link
+#: graph with dangling forward edges — realistic in/out degree shape for
+#: q_link_extract).  Visible text after html_text() is closed-form:
+#: 'Doc {d} Home About Contact Doc {d} {text} prev rel Copyright 2026
+#: Example Corp'
 _PAGE_PARTS = (
     "<html><head><title>Doc ",
     "</title></head><body><nav>Home About Contact</nav><h1>Doc ",
     "</h1><p>",
-    "</p><script>var x=1;</script>"
+    '</p><a href="http://example.com/doc/',
+    '">prev</a> <a href="http://example.com/doc/',
+    '">rel</a><script>var x=1;</script>'
     "<footer>Copyright 2026 Example Corp</footer></body></html>",
 )
 
 
 def _doc_page_html(d: int, t: str) -> str:
     p = _PAGE_PARTS
-    return f"{p[0]}{d}{p[1]}{d}{p[2]}{t}{p[3]}"
+    return f"{p[0]}{d}{p[1]}{d}{p[2]}{t}{p[3]}{d // 2}{p[4]}{d * 2}{p[5]}"
 
 
 def _doc_html_col():
     d = F.col("doc_id").cast("string")
+    prev = F.expr("doc_id div 2").cast("string")
+    rel = (F.col("doc_id") * 2).cast("string")
     p = _PAGE_PARTS
     return F.concat(
-        F.lit(p[0]), d, F.lit(p[1]), d, F.lit(p[2]), F.col("text"), F.lit(p[3])
+        F.lit(p[0]),
+        d,
+        F.lit(p[1]),
+        d,
+        F.lit(p[2]),
+        F.col("text"),
+        F.lit(p[3]),
+        prev,
+        F.lit(p[4]),
+        rel,
+        F.lit(p[5]),
     )
 
 
@@ -1296,7 +1313,8 @@ def _doc_html_sql() -> str:
     p = _PAGE_PARTS
     return (
         f"'{p[0]}' || doc_id || '{p[1]}' || doc_id || "
-        f"'{p[2]}' || text || '{p[3]}'"
+        f"'{p[2]}' || text || '{p[3]}' || (doc_id // 2) || "
+        f"'{p[4]}' || (doc_id * 2) || '{p[5]}'"
     )
 
 
@@ -1318,7 +1336,7 @@ _HTML_TEXT_SQL = (
 #: visible text of the fixture page, closed-form (no regex replay needed)
 _PAGE_TEXT_SQL = (
     "'Doc ' || doc_id || ' Home About Contact Doc ' || doc_id || ' ' || "
-    "text || ' Copyright 2026 Example Corp'"
+    "text || ' prev rel Copyright 2026 Example Corp'"
 )
 
 
@@ -1469,7 +1487,7 @@ def q_html_extract(spark, sf_dir):
         F.col("doc_id").cast("string"),
         F.lit(" "),
         F.col("text"),
-        F.lit(" Copyright 2026 Example Corp"),
+        F.lit(" prev rel Copyright 2026 Example Corp"),
     )
     return staged.select(
         "doc_id",
@@ -1550,6 +1568,49 @@ def _warc_pipeline_oracle_sql() -> str:
         "CAST(length(vtext) AS INTEGER) AS text_chars, "
         "CAST(n_tokens AS INTEGER) AS n_tokens, "
         "n_tokens >= 30 AS keep FROM toked"
+    )
+
+
+def q_link_extract(spark, sf_dir):
+    """Crawl → link graph: anchor hrefs of every kept page (web.py
+    html_links over the WARC payloads) become (src, dst) edges, then one
+    keyed count aggregates per-target in-degree — the edge-extraction
+    front of PageRank/HITS over a crawl.  Scan-shaped until the single
+    in-degree shuffle (map-side combine); the fixture's id//2, id*2
+    template links make every degree closed-form (tree parents
+    accumulate their children plus the halved forward edges; dangling
+    targets beyond the corpus stay in the count, as real crawls do)."""
+    from kevinlang_spark.operators.web import html_links
+    from kevinlang_spark.sources.warc import read_warc
+
+    bronze = read_warc(spark, _warc_dir(spark, sf_dir))
+    pages = bronze.where(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("content_type").startswith("text/html")
+    )
+    edges = pages.select(
+        F.regexp_extract("target_uri", r"([0-9]+)$", 1)
+        .cast("bigint")
+        .alias("src"),
+        F.explode(html_links(F.col("payload").cast("string"))).alias("href"),
+    ).select(
+        "src",
+        F.regexp_extract("href", r"([0-9]+)$", 1).cast("bigint").alias("dst"),
+    )
+    return edges.groupBy("dst").agg(
+        F.count("*").alias("n_inlinks"), F.min("src").alias("min_src")
+    )
+
+
+def _link_extract_oracle_sql() -> str:
+    return (
+        "WITH src AS (SELECT doc_id AS s FROM documents "
+        "WHERE doc_id % 10 NOT IN (3, 7)), "
+        "edges AS (SELECT s, s // 2 AS dst FROM src "
+        "UNION ALL SELECT s, s * 2 AS dst FROM src) "
+        "SELECT dst, count(*) AS n_inlinks, min(s) AS min_src "
+        "FROM edges GROUP BY dst"
     )
 
 
@@ -5467,6 +5528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_warc_pipeline": q_warc_pipeline,
         "q_lr_train": q_lr_train,
         "q_lr_score": q_lr_score,
+        "q_link_extract": q_link_extract,
         "q_lpa_communities": q_lpa_communities,
         "q_pagerank": q_pagerank,
         "q_hits": q_hits,
@@ -6987,6 +7049,7 @@ def oracle_sql() -> dict[str, str]:
         "q_warc_pipeline": _warc_pipeline_oracle_sql(),
         "q_lr_train": _lr_oracle_sql(score=False),
         "q_lr_score": _lr_oracle_sql(score=True),
+        "q_link_extract": _link_extract_oracle_sql(),
         "q_gopher_rules": (
             # replay of the Gopher A1.1 statistics in DuckDB list
             # functions; ratios are raw int/int doubles (bit-identical)

@@ -196,6 +196,7 @@ HEADLINE = [
     # regression (train IS the benchmark, like q_ann_ivfpq) + the apply
     "q_lr_train",
     "q_lr_score",
+    "q_link_extract",
 ]
 
 

@@ -225,3 +225,15 @@ def html_stats(col: Column, text: Column | None = None) -> dict[str, Column]:
             F.length(text) / F.greatest(html_chars, F.lit(1)), 6
         ),
     }
+
+
+def html_links(col: Column) -> Column:
+    """Outgoing hrefs of a page's anchor tags, as an array column — the
+    edge-extraction step that turns a crawl into a link graph (PageRank
+    / HITS / community detection feed from exactly this).  One
+    RE2-compatible ``regexp_extract_all`` (group 1 = the quoted href),
+    zero shuffle; resolution/normalization of the extracted URLs is
+    :func:`normalize_url`'s job downstream."""
+    return F.regexp_extract_all(
+        col, F.lit(r'(?is)<a[^>]*href="([^"]*)"'), F.lit(1)
+    )

@@ -33,8 +33,8 @@ def test_html_extract_roundtrip_all_true(spark, sf_dir):
     assert all(r["roundtrip_ok"] for r in rows)
     assert all(r["title"] == f"Doc {r['doc_id']}" for r in rows)
     assert all(0 < r["text_ratio"] < 1 for r in rows)
-    # template = 9 elements, open+close each = 18 tag starts, no <a>
-    assert all(r["n_links"] == 0 and r["n_tags"] == 18 for r in rows)
+    # template = 9 elements open+close (18) + two anchor pairs (4)
+    assert all(r["n_links"] == 2 and r["n_tags"] == 22 for r in rows)
 
 
 def test_warc_pipeline_gates_and_tokens(spark, sf_dir):
@@ -42,7 +42,27 @@ def test_warc_pipeline_gates_and_tokens(spark, sf_dir):
     # 404s (%10==7) and text/plain (%10==3) pages are gated out
     assert len(rows) == 400
     assert all(r["doc_id"] % 10 not in (3, 7) for r in rows)
-    # template adds 11 boilerplate tokens around the document text
-    assert all(r["n_tokens"] >= 11 and r["text_chars"] > 0 for r in rows)
+    # template adds 13 boilerplate tokens around the document text
+    assert all(r["n_tokens"] >= 13 and r["text_chars"] > 0 for r in rows)
     assert all(r["keep"] == (r["n_tokens"] >= 30) for r in rows)
     assert any(r["keep"] for r in rows) and not all(r["keep"] for r in rows)
+
+
+def test_link_extract_degrees(spark, sf_dir):
+    rows = {r["dst"]: r for r in entrymod.q_link_extract(spark, sf_dir).collect()}
+    # sources are the 400 kept pages; each emits edges to id//2 and id*2
+    assert sum(r["n_inlinks"] for r in rows.values()) == 800
+    # doc 5's in-links: children 10 and 11 (10%10!=3,7 keeps 10; 11 keeps)
+    # via //2, plus... 5 is odd so no *2 source; check a couple exactly
+    def expect(t):
+        deg = 0
+        for s in (2 * t, 2 * t + 1):
+            if s <= 499 and s % 10 not in (3, 7):
+                deg += 1
+        if t % 2 == 0 and t // 2 <= 499 and (t // 2) % 10 not in (3, 7):
+            deg += 1
+        return deg
+
+    for t in (0, 1, 5, 8, 100, 240, 499, 998):
+        got = rows[t]["n_inlinks"] if t in rows else 0
+        assert got == expect(t), (t, got, expect(t))
