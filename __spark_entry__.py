@@ -1571,6 +1571,42 @@ def _warc_pipeline_oracle_sql() -> str:
     )
 
 
+def q_stream_warc(spark, sf_dir):
+    """STREAMING crawl ingestion: the WARC fixture directory consumed
+    as a binaryFile file-source stream (sources/warc.py stream_warc —
+    the continuous-crawl shape: new archives land, each micro-batch
+    splits only the new files, the checkpoint guarantees exactly-once),
+    drained with availableNow into a complete-mode per-(type, status,
+    content-type) census.  The oracle is the BATCH record table
+    aggregated — streaming must converge to exactly the batch answer."""
+    from kevinlang_spark.sources.warc import stream_warc
+
+    recs = stream_warc(spark, _warc_dir(spark, sf_dir))
+    out = recs.groupBy("warc_type", "http_status", "content_type").agg(
+        F.count("*").alias("n_records"),
+        F.sum("payload_len").alias("total_bytes"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("q_stream_warc_mem")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("q_stream_warc_mem")
+
+
+def _stream_warc_oracle_sql() -> str:
+    return (
+        f"WITH rec AS ({_warc_ingest_oracle_sql()}) "
+        "SELECT warc_type, http_status, content_type, "
+        "count(*) AS n_records, "
+        "CAST(sum(payload_len) AS BIGINT) AS total_bytes "
+        "FROM rec GROUP BY warc_type, http_status, content_type"
+    )
+
+
 def q_link_extract(spark, sf_dir):
     """Crawl → link graph: anchor hrefs of every kept page (web.py
     html_links over the WARC payloads) become (src, dst) edges, then one
@@ -1670,6 +1706,61 @@ def q_lr_score(spark, sf_dir):
     feat, model, mu, sd = _lr_pieces(spark, sf_dir)
     return lr_score(feat, model, mu, sd).select(
         F.col("id").alias("doc_id"), "label", "prob", "pred"
+    )
+
+
+def q_lr_eval(spark, sf_dir):
+    """Evaluation leg of the trained classifier (text.py
+    classifier_eval): confusion counts, accuracy/precision/recall/F1 at
+    the 0.5 threshold, and rank-sum ROC AUC with average ranks for the
+    tied (rounded) probabilities — train → apply → EVALUATE closed as
+    one audited loop.  AUC's cumulative window runs over the bounded
+    distinct-probability grid (the equidepth pattern), and rank sums
+    are exact dyadic doubles, so no rounding step is needed anywhere."""
+    from kevinlang_spark.operators.text import classifier_eval, lr_score
+
+    feat, model, mu, sd = _lr_pieces(spark, sf_dir)
+    return classifier_eval(lr_score(feat, model, mu, sd))
+
+
+def _lr_eval_oracle_sql() -> str:
+    """The q_lr_score unroll aggregated: confusion counts + average-rank
+    Mann–Whitney AUC over the final probability column."""
+    score_sql = _lr_oracle_sql(score=True)
+    body = score_sql[: score_sql.rindex(" SELECT ")]
+    steps = _LR_STEPS
+    return (
+        f"{body}, scored AS MATERIALIZED (SELECT y, p, "
+        f"CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS pr FROM p{steps}), "
+        "conf AS MATERIALIZED (SELECT count(*) AS n_docs, "
+        "CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos, "
+        "CAST(sum(CASE WHEN pr = 1 AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp, "
+        "CAST(sum(CASE WHEN pr = 1 AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp, "
+        "CAST(sum(CASE WHEN pr = 0 AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn, "
+        "CAST(sum(CASE WHEN pr = 0 AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn "
+        "FROM scored), "
+        "byp AS (SELECT p, count(*) AS n, "
+        "sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS npos FROM scored "
+        "GROUP BY p), "
+        "rkrow AS (SELECT npos * (CAST(COALESCE(sum(n) OVER "
+        "(ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "AS DOUBLE) + (n + 1) / 2.0) AS rs FROM byp), "
+        "rk AS (SELECT sum(rs) AS rank_sum FROM rkrow) "
+        "SELECT n_docs, n_pos, tp, fp, fn, tn, "
+        "(tp + tn) / n_docs AS acc, "
+        "CASE WHEN tp + fp > 0 THEN tp / (tp + fp) END AS prec, "
+        "CASE WHEN tp + fn > 0 THEN tp / (tp + fn) END AS rec, "
+        "CASE WHEN (CASE WHEN tp + fp > 0 THEN tp / (tp + fp) END) + "
+        "(CASE WHEN tp + fn > 0 THEN tp / (tp + fn) END) > 0 THEN "
+        "2.0 * (CASE WHEN tp + fp > 0 THEN tp / (tp + fp) END) * "
+        "(CASE WHEN tp + fn > 0 THEN tp / (tp + fn) END) / "
+        "((CASE WHEN tp + fp > 0 THEN tp / (tp + fp) END) + "
+        "(CASE WHEN tp + fn > 0 THEN tp / (tp + fn) END)) END AS f1, "
+        "CASE WHEN n_pos > 0 AND n_docs - n_pos > 0 THEN "
+        "(rank_sum - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1) "
+        "/ 2.0) / (CAST(n_pos AS DOUBLE) * "
+        "CAST(n_docs - n_pos AS DOUBLE)) END AS auc "
+        "FROM conf, rk"
     )
 
 
@@ -5528,7 +5619,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_warc_pipeline": q_warc_pipeline,
         "q_lr_train": q_lr_train,
         "q_lr_score": q_lr_score,
+        "q_lr_eval": q_lr_eval,
         "q_link_extract": q_link_extract,
+        "q_stream_warc": q_stream_warc,
         "q_lpa_communities": q_lpa_communities,
         "q_pagerank": q_pagerank,
         "q_hits": q_hits,
@@ -7049,7 +7142,9 @@ def oracle_sql() -> dict[str, str]:
         "q_warc_pipeline": _warc_pipeline_oracle_sql(),
         "q_lr_train": _lr_oracle_sql(score=False),
         "q_lr_score": _lr_oracle_sql(score=True),
+        "q_lr_eval": _lr_eval_oracle_sql(),
         "q_link_extract": _link_extract_oracle_sql(),
+        "q_stream_warc": _stream_warc_oracle_sql(),
         "q_gopher_rules": (
             # replay of the Gopher A1.1 statistics in DuckDB list
             # functions; ratios are raw int/int doubles (bit-identical)

@@ -196,7 +196,9 @@ HEADLINE = [
     # regression (train IS the benchmark, like q_ann_ivfpq) + the apply
     "q_lr_train",
     "q_lr_score",
+    "q_lr_eval",
     "q_link_extract",
+    "q_stream_warc",
 ]
 
 

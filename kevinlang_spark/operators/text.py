@@ -1848,3 +1848,77 @@ def lr_score(
         F.col("p").alias("prob"),
         (F.col("p") >= 0.5).alias("pred"),
     )
+
+
+def classifier_eval(
+    scored: DataFrame,
+    label_col: str = "label",
+    prob_col: str = "prob",
+    pred_col: str = "pred",
+) -> DataFrame:
+    """One-row evaluation of a binary classifier: confusion counts at
+    the prediction threshold, accuracy/precision/recall/F1, and ROC AUC
+    by the rank-sum (Mann–Whitney) identity with AVERAGE ranks for
+    tied probabilities.
+
+    Scale shape: the confusion row is one aggregation; AUC groups by the
+    (rounded) probability — a grid of at most 10^6+1 distinct values at
+    6 dp, so the cumulative-rank window runs over a BOUNDED frame no
+    matter the corpus size (the equidepth-boundary pattern), never over
+    raw rows.  Rank sums stay exact in doubles (every addend is a
+    multiple of 0.5 well inside 2^53), so AUC is bit-reproducible
+    cross-engine with no rounding step."""
+    from pyspark.sql import Window
+
+    lab = F.col(label_col).cast("int")
+    pred = F.col(pred_col).cast("int")
+    conf = scored.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(lab).alias("n_pos"),
+        F.sum(((pred == 1) & (lab == 1)).cast("long")).alias("tp"),
+        F.sum(((pred == 1) & (lab == 0)).cast("long")).alias("fp"),
+        F.sum(((pred == 0) & (lab == 1)).cast("long")).alias("fn"),
+        F.sum(((pred == 0) & (lab == 0)).cast("long")).alias("tn"),
+    )
+    by_p = scored.groupBy(prob_col).agg(
+        F.count("*").alias("n"), F.sum(lab).alias("npos")
+    )
+    w = (
+        Window.orderBy(prob_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # bounded frame (distinct 6-dp probs), so the global-order window is
+    # the equidepth pattern, not a full-data sort
+    ranks = by_p.select(
+        (
+            F.col("npos")
+            * (
+                F.coalesce(F.sum("n").over(w), F.lit(0)).cast("double")
+                + (F.col("n") + 1) / F.lit(2.0)
+            )
+        ).alias("rsum")
+    ).agg(F.sum("rsum").alias("rank_sum"))
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    npos = F.col("n_pos").cast("double")
+    nneg = (F.col("n_docs") - F.col("n_pos")).cast("double")
+    prec = F.when(tp + fp > 0, tp / (tp + fp))
+    rec = F.when(tp + fn > 0, tp / (tp + fn))
+    return conf.crossJoin(ranks).select(
+        "n_docs",
+        "n_pos",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        ((tp + tn) / F.col("n_docs")).alias("acc"),
+        prec.alias("prec"),
+        rec.alias("rec"),
+        F.when(
+            prec + rec > 0, F.lit(2.0) * prec * rec / (prec + rec)
+        ).alias("f1"),
+        F.when(
+            (npos > 0) & (nneg > 0),
+            (F.col("rank_sum") - npos * (npos + 1) / F.lit(2.0))
+            / (npos * nneg),
+        ).alias("auc"),
+    )

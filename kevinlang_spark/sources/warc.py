@@ -278,20 +278,13 @@ def split_warc_file(name: str, data: bytes) -> Iterator[tuple]:
         yield (name, idx, "invalid", None, None, None, None, None, None, None)
 
 
-def read_warc(spark, path: str, glob: str = "*.warc*") -> DataFrame:
-    """Read a directory/bucket of WARC archives into a flat record
-    table (WARC_SCHEMA).  File listing, split planning and byte reads
-    are JVM-side (``binaryFile``); the record splitter is one
-    Arrow-batched ``mapInPandas`` stage emitting ``_CHUNK``-record
-    batches.  ``warc_file`` is the archive basename — the natural
-    re-partition key for downstream per-crawl work."""
+def _split_stage(bronze: DataFrame) -> DataFrame:
+    """The record-split stage over a (path, content) bronze frame —
+    shared verbatim by the batch and streaming readers, so streaming
+    ingestion is the SAME code path with a different source."""
     import os
 
     import pandas as pd
-
-    bronze = (
-        spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
-    )
 
     cols = [c.strip().split(" ")[0] for c in WARC_SCHEMA.split(",")]
 
@@ -311,3 +304,48 @@ def read_warc(spark, path: str, glob: str = "*.warc*") -> DataFrame:
     return bronze.select("path", "content").mapInPandas(
         split_batches, schema=WARC_SCHEMA
     )
+
+
+def read_warc(spark, path: str, glob: str = "*.warc*") -> DataFrame:
+    """Read a directory/bucket of WARC archives into a flat record
+    table (WARC_SCHEMA).  File listing, split planning and byte reads
+    are JVM-side (``binaryFile``); the record splitter is one
+    Arrow-batched ``mapInPandas`` stage emitting ``_CHUNK``-record
+    batches.  ``warc_file`` is the archive basename — the natural
+    re-partition key for downstream per-crawl work."""
+    bronze = (
+        spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+    )
+    return _split_stage(bronze)
+
+
+def stream_warc(spark, path: str, glob: str = "*.warc*") -> DataFrame:
+    """STREAMING WARC ingestion: the same record splitter over a
+    ``binaryFile`` file-source stream — the continuous-crawl shape
+    (new archives land in the bucket; each micro-batch splits only the
+    new files).  The file source tracks processed files in the
+    checkpoint, so records are ingested exactly once."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("modificationTime", TimestampType()),
+            StructField("length", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    bronze = (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    return _split_stage(bronze)

@@ -90,3 +90,15 @@ def test_bias_only_doc_gets_scored(spark, tiny):
     rows = {r["id"]: r for r in lr_score(feat, model, mu, sd).collect()}
     assert set(rows) == {1, 2, 3, 4, 5}  # gramless doc 5 still scores
     assert rows[5]["prob"] is not None
+
+
+def test_classifier_eval_metrics(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    r = entrymod.q_lr_eval(spark, sf_dir).first()
+    assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == r["n_docs"]
+    assert r["acc"] == (r["tp"] + r["tn"]) / r["n_docs"]
+    # the trained model genuinely ranks: AUC well above chance
+    assert 0.8 < r["auc"] <= 1.0
+    assert 0 < r["prec"] <= 1.0 and 0 < r["rec"] <= 1.0
+    assert abs(r["f1"] - 2 * r["prec"] * r["rec"] / (r["prec"] + r["rec"])) < 1e-12

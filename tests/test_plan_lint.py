@@ -31,6 +31,7 @@ BNLJ_OK = {
     "q_emb_neardup_brute",  # broadcast bounded probe subset
     "q_equidepth",  # broadcast exact boundary row
     "q_join_estimate",  # 1-row × 1-row sketch crossJoin (scalar algebra)
+    "q_lr_eval",  # 1-row confusion × 1-row rank-sum crossJoin (scalar algebra)
     "q_intrinsic_dim",  # broadcast bounded probe subset (TwoNN)
     "q_rank_overlap",  # 10-row broadcast self-join rank (top-k lists)
     "q_rank_fusion",  # 20-row broadcast self-join rank (RRF input lists)

@@ -66,3 +66,30 @@ def test_link_extract_degrees(spark, sf_dir):
     for t in (0, 1, 5, 8, 100, 240, 499, 998):
         got = rows[t]["n_inlinks"] if t in rows else 0
         assert got == expect(t), (t, got, expect(t))
+
+
+def test_stream_warc_converges_to_batch(spark, sf_dir):
+    stream_rows = {
+        (r["warc_type"], r["http_status"], r["content_type"]): (
+            r["n_records"],
+            r["total_bytes"],
+        )
+        for r in entrymod.q_stream_warc(spark, sf_dir).collect()
+    }
+    batch = entrymod.q_warc_ingest(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    batch_rows = {
+        (r["warc_type"], r["http_status"], r["content_type"]): (
+            r["n_records"],
+            r["total_bytes"],
+        )
+        for r in batch.groupBy("warc_type", "http_status", "content_type")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.sum("payload_len").alias("total_bytes"),
+        )
+        .collect()
+    }
+    assert stream_rows == batch_rows
+    assert ("warcinfo", None, "application/warc-fields") in stream_rows
