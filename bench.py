@@ -199,6 +199,7 @@ HEADLINE = [
     "q_lr_eval",
     "q_link_extract",
     "q_stream_warc",
+    "q_crawl_pagerank",
 ]
 
 

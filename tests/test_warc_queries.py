@@ -93,3 +93,15 @@ def test_stream_warc_converges_to_batch(spark, sf_dir):
     }
     assert stream_rows == batch_rows
     assert ("warcinfo", None, "application/warc-fields") in stream_rows
+
+
+def test_crawl_pagerank_mass_and_danglings(spark, sf_dir):
+    rows = entrymod.q_crawl_pagerank(spark, sf_dir).collect()
+    total = sum(r["rank"] for r in rows)
+    assert abs(total - 1.0) < 1e-6  # ranks sum to 1 (rounded at 8 dp)
+    nodes = {r["node"] for r in rows}
+    # forward links reach past the corpus: dangling targets are nodes
+    assert 998 in nodes and max(nodes) == 998
+    ranks = {r["node"]: r["rank"] for r in rows}
+    # node 0 receives its own self-loop + child mass: top-heavy root
+    assert ranks[0] == max(ranks.values())
