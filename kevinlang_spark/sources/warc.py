@@ -143,35 +143,53 @@ def gunzip_members(data: bytes) -> Iterator[bytes]:
         data = d.unused_data
 
 
+def _parse_frame(buf: bytes, pos: int, final: bool):
+    """Parse ONE record frame at ``buf[pos:]``.  Returns (headers,
+    content, new_pos), or None when the frame is incomplete and more
+    bytes may follow (``final=False`` — the member-at-a-time reader
+    waits); raises ``ValueError`` on a malformed or, when ``final``, a
+    truncated frame."""
+    n = len(buf)
+    while buf.startswith(b"\r\n", pos):  # inter-record separators
+        pos += 2
+    if pos >= n:
+        return None
+    if n - pos >= 5 and not buf.startswith(b"WARC/", pos):
+        raise ValueError("missing WARC version line")
+    j = buf.find(b"\r\n\r\n", pos)
+    if j < 0:
+        if final:
+            raise ValueError("unterminated WARC header block")
+        return None
+    lines = buf[pos:j].decode("utf-8", "replace").split("\r\n")
+    if not lines[0].startswith("WARC/"):
+        raise ValueError("missing WARC version line")
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        k, _, v = line.partition(":")
+        headers[k.strip().lower()] = v.strip()
+    try:
+        clen = int(headers["content-length"])
+    except (KeyError, ValueError) as exc:
+        raise ValueError("missing/invalid Content-Length") from exc
+    if n < j + 4 + clen:
+        if final:
+            raise ValueError("truncated record content")
+        return None
+    return headers, buf[j + 4 : j + 4 + clen], j + 4 + clen
+
+
 def iter_warc_records(stream: bytes) -> Iterator[tuple[dict, bytes]]:
     """Parse sequential WARC record frames from an UNCOMPRESSED stream;
     yields (headers-dict lowercase-keyed, content-block bytes).  Raises
     ``ValueError`` at the first malformed frame."""
-    i, n = 0, len(stream)
-    while i < n:
-        while stream.startswith(b"\r\n", i):  # inter-record separators
-            i += 2
-        if i >= n:
+    pos = 0
+    while True:
+        parsed = _parse_frame(stream, pos, final=True)
+        if parsed is None:
             break
-        j = stream.find(b"\r\n\r\n", i)
-        if j < 0:
-            raise ValueError("unterminated WARC header block")
-        lines = stream[i:j].decode("utf-8", "replace").split("\r\n")
-        if not lines[0].startswith("WARC/"):
-            raise ValueError("missing WARC version line")
-        headers: dict[str, str] = {}
-        for line in lines[1:]:
-            k, _, v = line.partition(":")
-            headers[k.strip().lower()] = v.strip()
-        try:
-            clen = int(headers["content-length"])
-        except (KeyError, ValueError) as exc:
-            raise ValueError("missing/invalid Content-Length") from exc
-        body = stream[j + 4 : j + 4 + clen]
-        if len(body) < clen:
-            raise ValueError("truncated record content")
-        yield headers, body
-        i = j + 4 + clen
+        headers, content, pos = parsed
+        yield headers, content
 
 
 def parse_http_response(content: bytes) -> tuple[int | None, str | None, bytes]:
@@ -195,40 +213,16 @@ def parse_http_response(content: bytes) -> tuple[int | None, str | None, bytes]:
 
 
 def _frame_rows(name: str, buf: bytes, pos: int, idx: int, final: bool):
-    """Parse COMPLETE record frames out of ``buf[pos:]``; returns
-    (rows, new_pos, new_idx).  An incomplete tail is an error only when
-    ``final`` — otherwise it waits for the next gzip member."""
+    """Parse COMPLETE record frames out of ``buf[pos:]`` into
+    WARC_SCHEMA rows; returns (rows, new_pos, new_idx).  An incomplete
+    tail is an error only when ``final`` — otherwise it waits for the
+    next gzip member."""
     rows: list[tuple] = []
-    n = len(buf)
     while True:
-        while buf.startswith(b"\r\n", pos):
-            pos += 2
-        if pos >= n:
+        parsed = _parse_frame(buf, pos, final)
+        if parsed is None:
             break
-        if n - pos >= 5 and not buf.startswith(b"WARC/", pos):
-            raise ValueError("missing WARC version line")
-        j = buf.find(b"\r\n\r\n", pos)
-        if j < 0:
-            if final:
-                raise ValueError("unterminated WARC header block")
-            break
-        lines = buf[pos:j].decode("utf-8", "replace").split("\r\n")
-        if not lines[0].startswith("WARC/"):
-            raise ValueError("missing WARC version line")
-        headers: dict[str, str] = {}
-        for line in lines[1:]:
-            k, _, v = line.partition(":")
-            headers[k.strip().lower()] = v.strip()
-        try:
-            clen = int(headers["content-length"])
-        except (KeyError, ValueError) as exc:
-            raise ValueError("missing/invalid Content-Length") from exc
-        if n < j + 4 + clen:
-            if final:
-                raise ValueError("truncated record content")
-            break
-        content = buf[j + 4 : j + 4 + clen]
-        pos = j + 4 + clen
+        headers, content, pos = parsed
         wtype = headers.get("warc-type", "unknown")
         status, http_ctype, body = (
             parse_http_response(content)
