@@ -1521,6 +1521,45 @@ def _html_extract_oracle_sql() -> str:
     )
 
 
+def _crawl_pages(spark, sf_dir):
+    """The kept-page gate shared by every crawl query (q_warc_pipeline,
+    q_link_extract, q_crawl_pagerank): WARC records → HTTP 200 +
+    text/html responses.  ONE place, so a gate change (e.g. charset
+    handling) can never silently diverge between the queries."""
+    from kevinlang_spark.sources.warc import read_warc
+
+    bronze = read_warc(spark, _warc_dir(spark, sf_dir))
+    return bronze.where(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("content_type").startswith("text/html")
+    )
+
+
+def _crawl_edges(spark, sf_dir):
+    """(src, dst) link edges of the kept pages — anchor hrefs via
+    web.html_links, ids parsed from the fixture's /doc/{id} URLs."""
+    from kevinlang_spark.operators.web import html_links
+
+    return (
+        _crawl_pages(spark, sf_dir)
+        .select(
+            F.regexp_extract("target_uri", r"([0-9]+)$", 1)
+            .cast("bigint")
+            .alias("src"),
+            F.explode(
+                html_links(F.col("payload").cast("string"))
+            ).alias("href"),
+        )
+        .select(
+            "src",
+            F.regexp_extract("href", r"([0-9]+)$", 1)
+            .cast("bigint")
+            .alias("dst"),
+        )
+    )
+
+
 def q_warc_pipeline(spark, sf_dir):
     """The raw-crawl curation path END-TO-END: WARC archives → record
     split (sources/warc.py) → HTTP 200 + text/html gate → html_text
@@ -1531,15 +1570,8 @@ def q_warc_pipeline(spark, sf_dir):
     the oracle predicts each kept page's text and token count
     closed-form from the fixture template."""
     from kevinlang_spark.operators.web import html_text
-    from kevinlang_spark.sources.warc import read_warc
 
-    bronze = read_warc(spark, _warc_dir(spark, sf_dir))
-    pages = bronze.where(
-        (F.col("warc_type") == "response")
-        & (F.col("http_status") == 200)
-        & F.col("content_type").startswith("text/html")
-    )
-    staged = pages.select(
+    staged = _crawl_pages(spark, sf_dir).select(
         F.regexp_extract("target_uri", r"([0-9]+)$", 1)
         .cast("bigint")
         .alias("doc_id"),
@@ -1593,7 +1625,12 @@ def q_stream_warc(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # awaitTermination returns False on timeout — a partial snapshot
+    # plus a still-active query (the next .start() with this name would
+    # throw); stop and fail loudly instead of returning partial rows
+    if not q.awaitTermination(120):
+        q.stop()
+        raise RuntimeError("q_stream_warc: drain did not finish in 120s")
     return spark.table("q_stream_warc_mem")
 
 
@@ -1618,25 +1655,8 @@ def q_crawl_pagerank(spark, sf_dir):
     behave.  The oracle is the q_pagerank unroll over the closed-form
     link edges."""
     from kevinlang_spark.operators.graph import pagerank
-    from kevinlang_spark.operators.web import html_links
-    from kevinlang_spark.sources.warc import read_warc
 
-    bronze = read_warc(spark, _warc_dir(spark, sf_dir))
-    pages = bronze.where(
-        (F.col("warc_type") == "response")
-        & (F.col("http_status") == 200)
-        & F.col("content_type").startswith("text/html")
-    )
-    edges = pages.select(
-        F.regexp_extract("target_uri", r"([0-9]+)$", 1)
-        .cast("bigint")
-        .alias("src"),
-        F.explode(html_links(F.col("payload").cast("string"))).alias("href"),
-    ).select(
-        "src",
-        F.regexp_extract("href", r"([0-9]+)$", 1).cast("bigint").alias("dst"),
-    )
-    pr = pagerank(edges, damping=0.85, iterations=10)
+    pr = pagerank(_crawl_edges(spark, sf_dir), damping=0.85, iterations=10)
     return pr.select("node", F.round("rank", 8).alias("rank"))
 
 
@@ -1658,25 +1678,7 @@ def q_link_extract(spark, sf_dir):
     template links make every degree closed-form (tree parents
     accumulate their children plus the halved forward edges; dangling
     targets beyond the corpus stay in the count, as real crawls do)."""
-    from kevinlang_spark.operators.web import html_links
-    from kevinlang_spark.sources.warc import read_warc
-
-    bronze = read_warc(spark, _warc_dir(spark, sf_dir))
-    pages = bronze.where(
-        (F.col("warc_type") == "response")
-        & (F.col("http_status") == 200)
-        & F.col("content_type").startswith("text/html")
-    )
-    edges = pages.select(
-        F.regexp_extract("target_uri", r"([0-9]+)$", 1)
-        .cast("bigint")
-        .alias("src"),
-        F.explode(html_links(F.col("payload").cast("string"))).alias("href"),
-    ).select(
-        "src",
-        F.regexp_extract("href", r"([0-9]+)$", 1).cast("bigint").alias("dst"),
-    )
-    return edges.groupBy("dst").agg(
+    return _crawl_edges(spark, sf_dir).groupBy("dst").agg(
         F.count("*").alias("n_inlinks"), F.min("src").alias("min_src")
     )
 
@@ -1706,19 +1708,26 @@ _LR_DIM, _LR_N, _LR_STEPS, _LR_RATE = 64, 3, 6, 2.0
 _LR_MEMO: dict = {}
 
 
-def _lr_pieces(spark, sf_dir):
+def _lr_pieces(spark, sf_dir, need_feat: bool = True):
     """Shared train path of q_lr_train / q_lr_score / q_lr_eval:
     hashed-trigram design matrix (label = the distillation target 'text
     mentions spark'), checkpointed once, then 6 batch-GD steps (memoized
-    per process — see _LR_MEMO)."""
+    per process — see _LR_MEMO).  ``need_feat=False`` (q_lr_train, whose
+    output is the weights alone) skips the matrix build entirely on a
+    memo hit — otherwise the memo hit would still pay the explode +
+    count shuffle it never reads."""
     from kevinlang_spark.operators.text import lr_gram_features, lr_train
     from kevinlang_spark.operators.util import spread
 
-    docs = spread(_t(spark, sf_dir, "documents"))
-    feat = lr_gram_features(
-        docs, F.col("text").contains("spark"), dim=_LR_DIM, n=_LR_N
-    ).localCheckpoint(eager=True)
+    def build_feat():
+        docs = spread(_t(spark, sf_dir, "documents"))
+        return docs, lr_gram_features(
+            docs, F.col("text").contains("spark"), dim=_LR_DIM, n=_LR_N
+        ).localCheckpoint(eager=True)
+
+    feat = None
     if sf_dir not in _LR_MEMO:
+        docs, feat = build_feat()
         _LR_MEMO[sf_dir] = lr_train(
             feat,
             docs.count(),
@@ -1727,6 +1736,8 @@ def _lr_pieces(spark, sf_dir):
             lr=_LR_RATE,
             checkpoint=False,
         )
+    elif need_feat:
+        _, feat = build_feat()
     model, mu, sd = _LR_MEMO[sf_dir]
     return feat, model, mu, sd
 
@@ -1743,7 +1754,7 @@ def q_lr_train(spark, sf_dir):
     Reaches 0.908 train accuracy vs the 0.77 majority baseline at
     sf0.01.  Output is the final weight vector; the oracle replays the
     whole trajectory as an unrolled MATERIALIZED CTE chain."""
-    _, model, _, _ = _lr_pieces(spark, sf_dir)
+    _, model, _, _ = _lr_pieces(spark, sf_dir, need_feat=False)
     return spark.createDataFrame(
         [(j, model[j]) for j in range(_LR_DIM + 1)], "slot int, weight double"
     )
@@ -1825,7 +1836,7 @@ def _lr_oracle_sql(score: bool) -> str:
     mirror the driver's exact sequence, and every sum that crosses row
     order (logits, moments, the K constant) feeds a 6-dp round before
     reuse."""
-    dim, steps, lr = _LR_DIM, _LR_STEPS, _LR_RATE
+    dim, n, steps, lr = _LR_DIM, _LR_N, _LR_STEPS, _LR_RATE
     parts = [
         "WITH base AS MATERIALIZED (SELECT doc_id AS id, "
         "CASE WHEN contains(text, 'spark') THEN 1.0 ELSE 0.0 END AS y, "
@@ -1836,11 +1847,11 @@ def _lr_oracle_sql(score: bool) -> str:
         "UNION ALL "
         "SELECT id, any_value(y) AS y, slot, "
         "CAST(count(*) AS DOUBLE) / any_value(ng) AS x FROM ("
-        "SELECT id, y, length(t) - 2 AS ng, "
-        "CAST(CAST(CONCAT('0x', substr(md5(substr(t, CAST(i AS INT), 3) "
-        "|| '#lr'), 1, 13)) AS BIGINT) % 64 + 1 AS INT) AS slot "
-        "FROM base, UNNEST(range(1, greatest(length(t) - 1, 1))) AS u(i) "
-        "WHERE length(t) >= 3) GROUP BY id, slot), "
+        f"SELECT id, y, length(t) - {n - 1} AS ng, "
+        f"CAST(CAST(CONCAT('0x', substr(md5(substr(t, CAST(i AS INT), {n}) "
+        f"|| '#lr'), 1, 13)) AS BIGINT) % {dim} + 1 AS INT) AS slot "
+        f"FROM base, UNNEST(range(1, greatest(length(t) - {n - 2}, 1))) AS u(i) "
+        f"WHERE length(t) >= {n}) GROUP BY id, slot), "
         "stats AS MATERIALIZED (SELECT slot, round(sx / n, 6) AS mu, "
         "CASE WHEN round(sqrt(greatest(sxx / n - round(sx / n, 6) * "
         "round(sx / n, 6), 0)), 6) > 0 THEN "

@@ -230,10 +230,18 @@ def html_stats(col: Column, text: Column | None = None) -> dict[str, Column]:
 def html_links(col: Column) -> Column:
     """Outgoing hrefs of a page's anchor tags, as an array column — the
     edge-extraction step that turns a crawl into a link graph (PageRank
-    / HITS / community detection feed from exactly this).  One
-    RE2-compatible ``regexp_extract_all`` (group 1 = the quoted href),
+    / HITS / community detection feed from exactly this).  Accepts all
+    three HTML attribute spellings — double-quoted, single-quoted, and
+    unquoted — then strips the quote characters per element (real crawl
+    markup mixes them; matching only one form silently loses edges).
+    One RE2-compatible ``regexp_extract_all`` + an array transform,
     zero shuffle; resolution/normalization of the extracted URLs is
     :func:`normalize_url`'s job downstream."""
-    return F.regexp_extract_all(
-        col, F.lit(r'(?is)<a[^>]*href="([^"]*)"'), F.lit(1)
+    raw = F.regexp_extract_all(
+        col,
+        F.lit("(?is)<a[^>]*href=(\"[^\"]*\"|'[^']*'|[^\\s>\"']+)"),
+        F.lit(1),
+    )
+    return F.transform(
+        raw, lambda h: F.regexp_replace(h, "^[\"']|[\"']$", "")
     )

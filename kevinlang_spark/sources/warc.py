@@ -125,22 +125,41 @@ def make_warc(records: list[bytes], compress: bool = True) -> bytes:
 # parser
 
 
+#: input window fed to the inflater per call in gunzip_members —
+#: bounds the tail bytes zlib re-materializes as unused_data
+_GZ_WINDOW = 1 << 20
+
+
 def gunzip_members(data: bytes) -> Iterator[bytes]:
     """Yield each gzip member of a concatenated-member stream.  Raises
     ``ValueError`` on a corrupt or truncated member (WARC readers must
     treat the rest of the file as unreachable — member boundaries can't
-    be re-found past bad bytes)."""
-    while data:
+    be re-found past bad bytes).
+
+    The inflater is fed bounded ``_GZ_WINDOW`` slices and the cursor
+    advances by bytes consumed — feeding the whole remaining buffer
+    would make zlib copy the unconsumed TAIL into ``unused_data`` once
+    per member, O(file²) memcpy on a Common-Crawl-layout archive with
+    tens of thousands of members."""
+    mv = memoryview(data)
+    off, n = 0, len(mv)
+    while off < n:
         d = zlib.decompressobj(47)  # 32+15: auto-detect gzip/zlib header
+        out: list[bytes] = []
         try:
-            out = d.decompress(data)
-            out += d.flush()
+            while not d.eof:
+                if off >= n:
+                    raise ValueError("truncated gzip member")
+                chunk = mv[off : off + _GZ_WINDOW]
+                out.append(d.decompress(chunk))
+                consumed = len(chunk) - len(d.unused_data)
+                off += consumed
+                if consumed == 0 and not d.eof:
+                    raise ValueError("gzip member makes no progress")
+            out.append(d.flush())
         except zlib.error as exc:
             raise ValueError(f"corrupt gzip member: {exc}") from exc
-        if not d.eof:
-            raise ValueError("truncated gzip member")
-        yield out
-        data = d.unused_data
+        yield b"".join(out)
 
 
 def _parse_frame(buf: bytes, pos: int, final: bool):
@@ -172,6 +191,10 @@ def _parse_frame(buf: bytes, pos: int, final: bool):
         clen = int(headers["content-length"])
     except (KeyError, ValueError) as exc:
         raise ValueError("missing/invalid Content-Length") from exc
+    if clen < 0:
+        # a negative length would move the cursor BACKWARD and loop the
+        # incremental reader forever on one frame — quarantine instead
+        raise ValueError("negative Content-Length")
     if n < j + 4 + clen:
         if final:
             raise ValueError("truncated record content")
@@ -203,7 +226,15 @@ def parse_http_response(content: bytes) -> tuple[int | None, str | None, bytes]:
         return None, None, content
     lines = content[:sep].decode("latin-1").split("\r\n")
     parts = lines[0].split(None, 2)
-    status = int(parts[1]) if len(parts) >= 2 and parts[1].isdigit() else None
+    # isascii() guards isdigit(): non-ASCII digit chars (e.g. latin-1
+    # '²') pass str.isdigit but make int() raise — and that exception
+    # would quarantine the whole rest of the file instead of this one
+    # record degrading to (None, None, content)
+    status = (
+        int(parts[1])
+        if len(parts) >= 2 and parts[1].isascii() and parts[1].isdigit()
+        else None
+    )
     ctype = None
     for line in lines[1:]:
         k, _, v = line.partition(":")

@@ -144,3 +144,38 @@ def test_read_warc_chunked_batches(spark, tmp_path):
         for r in df.selectExpr("md5(payload) AS m").distinct().collect()
     }
     assert md5s == {hashlib.md5(_page(i)).hexdigest() for i in range(300)}
+
+
+def test_negative_content_length_quarantines_not_hangs():
+    # a self-referencing frame (clen < 0 moves the cursor backward)
+    # must quarantine, not loop the incremental reader forever
+    rec = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -33\r\n\r\n"
+    rows = list(split_warc_file("neg.warc", rec))
+    assert [r[2] for r in rows] == ["invalid"]
+    with pytest.raises(ValueError):
+        list(iter_warc_records(rec))
+
+
+def test_non_ascii_status_degrades_to_passthrough():
+    # latin-1 '\xb2' decodes to a char where str.isdigit() is True but
+    # int() raises — must degrade THIS record, not quarantine the file
+    body = b"HTTP/1.1 \xb200 OK\r\nContent-Type: text/html\r\n\r\nhi"
+    # the envelope still splits; only the unparseable status nulls
+    assert parse_http_response(body) == (None, "text/html", b"hi")
+    rec = make_warc_record("response", body, uri="http://e.com/x")
+    after = make_warc_record("response", make_http_response(b"ok"),
+                             uri="http://e.com/y")
+    rows = list(split_warc_file("s.warc.gz", make_warc([rec, after])))
+    assert [r[2] for r in rows] == ["response", "response"]
+    assert rows[0][6] is None and rows[1][6] == 200
+
+
+def test_gunzip_members_windowed_progress():
+    # members larger than the 1 MiB input window still split correctly
+    import gzip
+
+    big = make_warc_record("response", make_http_response(b"x" * (3 << 20)))
+    small = make_warc_record("warcinfo", b"software: x\r\n")
+    data = gzip.compress(big, mtime=0) + gzip.compress(small, mtime=0)
+    members = list(gunzip_members(data))
+    assert members == [big, small]

@@ -234,3 +234,15 @@ def test_html_text_plan_is_scan_only(spark):
         .toString()
     )
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_html_links_all_quote_forms(spark):
+    from kevinlang_spark.operators.web import html_links
+
+    html = (
+        '<a href="/dq">a</a> <A HREF=\'/sq\'>b</A> '
+        "<a class='x' href=/uq>c</a> <a>no href</a>"
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    got = df.select(html_links(F.col("html")).alias("l")).first()["l"]
+    assert got == ["/dq", "/sq", "/uq"]
