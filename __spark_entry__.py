@@ -1644,6 +1644,43 @@ def _stream_warc_oracle_sql() -> str:
     )
 
 
+def q_mime_sniff(spark, sf_dir):
+    """Magic-byte container audit (sources/binary.py sniff_media_type,
+    the 'never trust a filename' verify): five REAL container families
+    synthesized executor-side (BMP / deflated PNG / animated-GIF LZW /
+    PCM WAV / rice-coded FLAC by id rule), sniffed from their first
+    bytes in a pure Catalyst expression — zero Python, zero shuffle.
+    The oracle predicts every verdict closed-form from the id routing;
+    the html/xml/gzip/pdf/zip branches are pytest-covered."""
+    from kevinlang_spark.operators.multimodal import attach_stdlib_media
+    from kevinlang_spark.sources.binary import sniff_media_type
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    a = attach_stdlib_media(
+        docs.where(F.col("doc_id") % 3 != 0), filled=True, png=True
+    )
+    b = attach_stdlib_media(
+        docs.where(F.col("doc_id") % 3 == 0), filled=True, gif=True, flac=True
+    )
+    media = a.unionByName(b)
+    return media.select(
+        "doc_id",
+        "media_type",
+        sniff_media_type(F.col("payload")).alias("sniffed"),
+    )
+
+
+_MIME_SNIFF_ORACLE_SQL = (
+    "SELECT doc_id, "
+    "CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type, "
+    "CASE WHEN doc_id % 3 = 0 THEN "
+    "(CASE WHEN doc_id % 2 = 0 THEN 'gif' ELSE 'flac' END) "
+    "WHEN doc_id % 2 = 1 THEN 'wav' "
+    "WHEN doc_id % 4 = 2 THEN 'png' ELSE 'bmp' END AS sniffed "
+    "FROM documents"
+)
+
+
 def q_crawl_pagerank(spark, sf_dir):
     """PageRank over the link graph EXTRACTED from the crawl: WARC →
     html_links edges → the same 10-iteration damped/dangling-mass
@@ -5694,6 +5731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_link_extract": q_link_extract,
         "q_stream_warc": q_stream_warc,
         "q_crawl_pagerank": q_crawl_pagerank,
+        "q_mime_sniff": q_mime_sniff,
         "q_lpa_communities": q_lpa_communities,
         "q_pagerank": q_pagerank,
         "q_hits": q_hits,
@@ -7218,6 +7256,7 @@ def oracle_sql() -> dict[str, str]:
         "q_link_extract": _link_extract_oracle_sql(),
         "q_stream_warc": _stream_warc_oracle_sql(),
         "q_crawl_pagerank": _pagerank_oracle_sql(10, _CRAWL_EDGES_SQL),
+        "q_mime_sniff": _MIME_SNIFF_ORACLE_SQL,
         "q_gopher_rules": (
             # replay of the Gopher A1.1 statistics in DuckDB list
             # functions; ratios are raw int/int doubles (bit-identical)

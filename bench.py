@@ -200,6 +200,7 @@ HEADLINE = [
     "q_link_extract",
     "q_stream_warc",
     "q_crawl_pagerank",
+    "q_mime_sniff",
 ]
 
 

@@ -481,6 +481,30 @@ def write_minhash_index(
     sig_df.write.mode("overwrite").parquet(f"{path}/signatures")
 
 
+def append_minhash_index(
+    df_new: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> None:
+    """Incremental refresh of a ``write_minhash_index`` table: shingle +
+    sign ONLY the new rows with the SAME deterministic hash family and
+    append them — O(new) work, the weekly-crawl production shape.
+    Unlike the quantizer-backed ANN indexes (IVF-PQ), minhash has no
+    trained state, so append == full rebuild on the union EXACTLY, with
+    no staleness caveat.  Pass the same (num_hashes, shingle_n, seed)
+    the index was built with; the probe's signature-width guard
+    (:func:`minhash_dedup_pairs_indexed`) catches a family mismatch."""
+    sh_df, sig_df = shingle_sig_df(
+        df_new, id_col, text_col, num_hashes, shingle_n, seed
+    )
+    sh_df.write.mode("append").parquet(f"{path}/shingles")
+    sig_df.write.mode("append").parquet(f"{path}/signatures")
+
+
 def minhash_dedup_pairs_indexed(
     spark,
     path: str,

@@ -74,3 +74,46 @@ def test_ingested_files_decode_end_to_end(spark, media_dir):
     assert (p["mean_r"], p["mean_g"], p["mean_b"]) == (7.0, 8.0, 9.0)
     w = stats["tone.wav"]
     assert w["n_frames"] == 100 and w["rms"] == 123.0 == w["peak"]
+
+
+def test_sniff_media_type_branches(spark):
+    import gzip as _gz
+
+    from kevinlang_spark.operators.multimodal import make_bmp, make_png, make_wav
+    from kevinlang_spark.sources.binary import sniff_media_type
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("png", make_png(3, 2)),
+        ("bmp", make_bmp(3, 2)),
+        ("wav", make_wav(10)),
+        ("jpeg", b"\xff\xd8\xff\xe0rest"),
+        ("gif", b"GIF89a..."),
+        ("flac", b"fLaC...."),
+        ("gzip", _gz.compress(b"x", mtime=0)),
+        ("pdf", b"%PDF-1.7..."),
+        ("zip", b"PK\x03\x04...."),
+        ("html", b"  <!DOCTYPE HTML><html>"),
+        ("html", b"<HTML><body>"),
+        ("xml", b"<?xml version='1.0'?>"),
+        ("other", b"plain text payload"),
+        ("other", b""),
+        # a RIFF that is NOT WAVE (AVI) must not claim 'wav'
+        ("other", b"RIFF\x00\x00\x00\x00AVI LIST"),
+    ]
+    df = spark.createDataFrame(
+        [(t, bytearray(p)) for t, p in rows], "expect string, payload binary"
+    )
+    got = df.select(
+        "expect", sniff_media_type(F.col("payload")).alias("s")
+    ).collect()
+    for r in got:
+        assert r["s"] == r["expect"], (r["expect"], r["s"])
+    plan = (
+        df.select(sniff_media_type(F.col("payload")).alias("s"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan

@@ -153,6 +153,29 @@ def test_minhash_index_roundtrip(spark, sf_dir, tmp_path):
     )
 
 
+def test_minhash_index_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """append_minhash_index on a new slice == full rebuild on the union
+    (minhash has no trained state, so the equality is EXACT)."""
+    from pyspark.sql import functions as F
+
+    from kevinlang_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    idx = str(tmp_path / "mh_grow")
+    dedup.write_minhash_index(base, idx)
+    dedup.append_minhash_index(new, idx)
+    grown = dedup.minhash_dedup_pairs_indexed(spark, idx, threshold=0.8)
+    full = str(tmp_path / "mh_full")
+    dedup.write_minhash_index(docs, full)
+    rebuilt = dedup.minhash_dedup_pairs_indexed(spark, full, threshold=0.8)
+    key = lambda r: (r["id_a"], r["id_b"], r["jaccard"])
+    assert sorted(map(key, grown.collect())) == sorted(
+        map(key, rebuilt.collect())
+    )
+
+
 # --------------------------------------------------------------------- #
 # training shards + manifest
 # --------------------------------------------------------------------- #
