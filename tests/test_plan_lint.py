@@ -42,6 +42,7 @@ BNLJ_OK = {
     # label-mismatch is a scan-stage filter over the broadcast row, so the
     # physical join is the same bounded probe-set BNLJ reviewed for knn_join)
     "q_pagerank",  # broadcast 1-row dangling-mass aggregate per iteration
+    "q_crawl_pagerank",  # same pagerank loop over the crawl link edges
     "q_hits",  # broadcast 1-row L1-normalizer aggregate per iteration
     # (q_pca_top_component's 1-row mean broadcast never reaches the lint:
     # the returned frame is the post-collect local loadings table)
