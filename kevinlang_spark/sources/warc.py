@@ -215,10 +215,41 @@ def iter_warc_records(stream: bytes) -> Iterator[tuple[dict, bytes]]:
         yield headers, content
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode a ``Transfer-Encoding: chunked`` body (size-line framing;
+    trailers ignored).  Raises ``ValueError`` on malformed framing — the
+    caller falls back to the raw body rather than quarantining."""
+    out: list[bytes] = []
+    i, n = 0, len(body)
+    while True:
+        j = body.find(b"\r\n", i)
+        if j < 0:
+            raise ValueError("chunk size line missing CRLF")
+        size_tok = body[i:j].split(b";", 1)[0].strip()  # drop extensions
+        try:
+            size = int(size_tok, 16)
+        except ValueError as exc:
+            raise ValueError("bad chunk size") from exc
+        if size < 0:
+            raise ValueError("negative chunk size")
+        if size == 0:
+            return b"".join(out)
+        if j + 2 + size + 2 > n:
+            raise ValueError("truncated chunk")
+        out.append(body[j + 2 : j + 2 + size])
+        if body[j + 2 + size : j + 4 + size] != b"\r\n":
+            raise ValueError("chunk missing trailing CRLF")
+        i = j + 4 + size
+
+
 def parse_http_response(content: bytes) -> tuple[int | None, str | None, bytes]:
     """Split a ``response`` record's HTTP envelope: returns (status,
     content-type, body-slice).  Non-HTTP content passes through as
-    (None, None, content) — e.g. ``warcinfo`` blocks."""
+    (None, None, content) — e.g. ``warcinfo`` blocks.  A
+    ``Transfer-Encoding: chunked`` body (crawls capture responses
+    AS SENT, framing included) is decoded; malformed chunk framing
+    falls back to the raw body — degrade, never quarantine, at the
+    record level."""
     if not content.startswith(b"HTTP/"):
         return None, None, content
     sep = content.find(b"\r\n\r\n")
@@ -236,11 +267,21 @@ def parse_http_response(content: bytes) -> tuple[int | None, str | None, bytes]:
         else None
     )
     ctype = None
+    chunked = False
     for line in lines[1:]:
         k, _, v = line.partition(":")
-        if k.strip().lower() == "content-type":
+        key = k.strip().lower()
+        if key == "content-type":
             ctype = v.strip()
-    return status, ctype, content[sep + 4 :]
+        elif key == "transfer-encoding" and "chunked" in v.strip().lower():
+            chunked = True
+    body = content[sep + 4 :]
+    if chunked:
+        try:
+            body = _dechunk(body)
+        except ValueError:
+            pass  # keep the raw framed body; downstream text gates cope
+    return status, ctype, body
 
 
 def _frame_rows(name: str, buf: bytes, pos: int, idx: int, final: bool):

@@ -179,3 +179,22 @@ def test_gunzip_members_windowed_progress():
     data = gzip.compress(big, mtime=0) + gzip.compress(small, mtime=0)
     members = list(gunzip_members(data))
     assert members == [big, small]
+
+
+def test_chunked_transfer_encoding_decodes():
+    # crawls capture responses AS SENT: chunked framing included
+    body = b"4\r\nWiki\r\n6\r\npedia \r\nD;ext=1\r\nin\r\n\r\nchunks.\r\n0\r\n\r\n"
+    head = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+    )
+    status, ctype, out = parse_http_response(head + body)
+    assert (status, out) == (200, b"Wikipedia in\r\n\r\nchunks.")
+    # malformed framing falls back to the raw body, never raises
+    bad = head + b"ZZZ\r\nnot chunked"
+    status, _, out = parse_http_response(bad)
+    assert status == 200 and out == b"ZZZ\r\nnot chunked"
+    # and payload_len downstream reflects the DECODED body
+    rec = make_warc_record("response", head + body, uri="http://e.com/c")
+    rows = list(split_warc_file("c.warc.gz", make_warc([rec])))
+    assert rows[0][9] == len(b"Wikipedia in\r\n\r\nchunks.")
