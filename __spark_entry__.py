@@ -1390,7 +1390,14 @@ def _warc_dir(spark, sf_dir):
             recs.append(
                 make_warc_record(
                     "response",
-                    make_http_response(body, status, reason, ctype),
+                    # ids %20==9 travel with Transfer-Encoding: chunked
+                    # framing (the as-sent form crawls capture) — the
+                    # reader must decode back to the IDENTICAL payload,
+                    # so the oracle is unchanged while the driver gate
+                    # proves dechunking end-to-end
+                    make_http_response(
+                        body, status, reason, ctype, chunked=(d % 20 == 9)
+                    ),
                     uri=f"http://example.com/doc/{d}",
                 )
             )

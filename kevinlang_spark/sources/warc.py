@@ -60,14 +60,35 @@ WARC_SCHEMA = (
 # writer (fixture/export side)
 
 
+def make_chunked(body: bytes, chunk_size: int = 100) -> bytes:
+    """Frame ``body`` with Transfer-Encoding: chunked size lines (the
+    as-sent form crawls capture); :func:`_dechunk` inverts it."""
+    out = []
+    for i in range(0, len(body), chunk_size):
+        c = body[i : i + chunk_size]
+        out.append(f"{len(c):x}\r\n".encode() + c + b"\r\n")
+    out.append(b"0\r\n\r\n")
+    return b"".join(out)
+
+
 def make_http_response(
     body: bytes,
     status: int = 200,
     reason: str = "OK",
     content_type: str = "text/html; charset=utf-8",
+    chunked: bool = False,
 ) -> bytes:
     """Minimal HTTP/1.1 response envelope around ``body`` (the content
-    block of a WARC ``response`` record)."""
+    block of a WARC ``response`` record).  ``chunked=True`` frames the
+    body with Transfer-Encoding: chunked instead of Content-Length —
+    the reader must decode it back to the identical payload."""
+    if chunked:
+        head = (
+            f"HTTP/1.1 {status} {reason}\r\n"
+            f"Content-Type: {content_type}\r\n"
+            "Transfer-Encoding: chunked\r\n\r\n"
+        )
+        return head.encode("latin-1") + make_chunked(body)
     head = (
         f"HTTP/1.1 {status} {reason}\r\n"
         f"Content-Type: {content_type}\r\n"
