@@ -1651,6 +1651,75 @@ def _stream_warc_oracle_sql() -> str:
     )
 
 
+def q_robots_filter(spark, sf_dir):
+    """robots.txt compliance end-to-end (web.py parse_robots_df +
+    robots_allowed): seven synthetic domains each publish a robots body
+    (User-agent groups, comments, a per-domain Allow carve-out under a
+    Disallow), the bodies parse DISTRIBUTED (posexplode + last()-over-
+    position window per domain — no global order), and every document
+    URL gets the RFC 9309 longest-match verdict via a broadcast rules
+    join + one keyed integer max (2·len + is_allow encodes the
+    lexicographic (length, allow) order).  The oracle predicts every
+    verdict closed-form from the id routing."""
+    from kevinlang_spark.operators.web import parse_robots_df, robots_allowed
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    g = F.col("doc_id") % 7
+    gs = g.cast("string")
+    domain = F.concat(F.lit("site"), gs, F.lit(".com"))
+    path = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("/private/x"), F.col("doc_id").cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit("/private/g"), gs, F.lit("/page")),
+        )
+        .when(F.col("doc_id") % 5 == 2, F.concat(F.lit("/cat"), gs, F.lit("/a")))
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("/blog/"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(
+            # the allow carve-out of a DIFFERENT domain: only the
+            # /private disallow matches here
+            F.concat(F.lit("/private/g"), ((g + 1) % 7).cast("string"), F.lit("/q"))
+        )
+    )
+    urls = docs.select("doc_id", domain.alias("domain"), path.alias("path"))
+    sites = spark.range(7).select(
+        F.concat(F.lit("site"), F.col("id").cast("string"), F.lit(".com")).alias(
+            "domain"
+        ),
+        F.concat(
+            F.lit("# policy\nUser-agent: SpecialBot\nDisallow: /\n\n"),
+            F.lit("User-agent: *\nDisallow: /private\nAllow: /private/g"),
+            F.col("id").cast("string"),
+            F.lit("\nDisallow: /cat"),
+            F.col("id").cast("string"),
+            F.lit("  # per-domain category block\n"),
+        ).alias("robots_txt"),
+    )
+    rules = parse_robots_df(sites)
+    return robots_allowed(urls, rules)
+
+
+_ROBOTS_FILTER_ORACLE_SQL = (
+    # verdicts are closed-form in the id routing: %5 in (0,2,4) hit a
+    # disallow (with no longer allow), %5==1 hits the domain's own
+    # allow carve-out (longer than /private), %5==3 matches nothing
+    "SELECT doc_id, "
+    "'site' || (doc_id % 7) || '.com' AS domain, "
+    "CASE WHEN doc_id % 5 = 0 THEN '/private/x' || doc_id "
+    "WHEN doc_id % 5 = 1 THEN '/private/g' || (doc_id % 7) || '/page' "
+    "WHEN doc_id % 5 = 2 THEN '/cat' || (doc_id % 7) || '/a' "
+    "WHEN doc_id % 5 = 3 THEN '/blog/' || doc_id "
+    "ELSE '/private/g' || ((doc_id + 1) % 7) || '/q' END AS path, "
+    "doc_id % 5 IN (1, 3) AS allowed FROM documents"
+)
+
+
 def q_mime_sniff(spark, sf_dir):
     """Magic-byte container audit (sources/binary.py sniff_media_type,
     the 'never trust a filename' verify): five REAL container families
@@ -5739,6 +5808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_warc": q_stream_warc,
         "q_crawl_pagerank": q_crawl_pagerank,
         "q_mime_sniff": q_mime_sniff,
+        "q_robots_filter": q_robots_filter,
         "q_lpa_communities": q_lpa_communities,
         "q_pagerank": q_pagerank,
         "q_hits": q_hits,
@@ -7264,6 +7334,7 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_warc": _stream_warc_oracle_sql(),
         "q_crawl_pagerank": _pagerank_oracle_sql(10, _CRAWL_EDGES_SQL),
         "q_mime_sniff": _MIME_SNIFF_ORACLE_SQL,
+        "q_robots_filter": _ROBOTS_FILTER_ORACLE_SQL,
         "q_gopher_rules": (
             # replay of the Gopher A1.1 statistics in DuckDB list
             # functions; ratios are raw int/int doubles (bit-identical)

@@ -201,6 +201,7 @@ HEADLINE = [
     "q_stream_warc",
     "q_crawl_pagerank",
     "q_mime_sniff",
+    "q_robots_filter",
 ]
 
 

@@ -245,3 +245,101 @@ def html_links(col: Column) -> Column:
     return F.transform(
         raw, lambda h: F.regexp_replace(h, "^[\"']|[\"']$", "")
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt compliance
+
+
+def parse_robots_df(
+    df: DataFrame,
+    domain_col: str = "domain",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """Parse robots.txt bodies into a (domain, rule, prefix) table,
+    keeping the rules of the ``User-agent: *`` group(s) — the group a
+    rule belongs to is its MOST RECENT preceding User-agent line, which
+    distributes as a posexplode of lines + a last()-over-position window
+    PARTITIONED BY the document (no global order, no Python).  Handles
+    comments, blank lines, case-insensitive directives, and CRLF.
+    Wildcard patterns ('*', '$' — RFC 9309 §2.2.3) are not modeled:
+    those rules are dropped, which fails OPEN (a crawl keeps a page the
+    wildcard would have disallowed) — the conservative direction for a
+    curation filter is to re-check downstream, never to silently drop
+    allowed content."""
+    lines = df.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.col(text_col), "\r?\n")).alias("pos", "line"),
+    ).select(
+        "domain",
+        "pos",
+        # strip comments, then whitespace
+        F.trim(F.regexp_replace("line", "#.*$", "")).alias("line"),
+    )
+    directive = F.lower(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1))
+    value = F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:(.*)$", 1))
+    tagged = lines.select(
+        "domain",
+        "pos",
+        directive.alias("d"),
+        value.alias("v"),
+    ).where(F.col("d").isin("user-agent", "allow", "disallow"))
+    w = (
+        Window.partitionBy("domain")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grouped = tagged.withColumn(
+        "agent",
+        F.last(
+            F.when(F.col("d") == "user-agent", F.lower(F.col("v"))), True
+        ).over(w),
+    )
+    return (
+        grouped.where(
+            (F.col("d") != "user-agent")
+            & (F.col("agent") == "*")
+            & (F.col("v") != "")  # 'Disallow:' (empty) = allow all: no rule
+            & ~F.col("v").rlike(r"[*$]")  # wildcard rules: fail open
+        )
+        .select(
+            "domain",
+            F.col("d").alias("rule"),
+            F.col("v").alias("prefix"),
+        )
+        .distinct()
+    )
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    domain_col: str = "domain",
+    path_col: str = "path",
+) -> DataFrame:
+    """RFC 9309 longest-match verdict per URL: among the domain's rules
+    whose prefix matches the path, the LONGEST wins; a length tie goes
+    to allow; no matching rule (or no robots.txt at all) = allowed.
+
+    Scale shape: rules tables are small (one row per directive per
+    domain) — the join BROADCASTS them against the url corpus, the
+    match runs in the scan stage, and the verdict is one keyed max of
+    the integer ``2·len(prefix) + is_allow`` (lexicographic (length,
+    allow) order encoded so no struct-ordering is needed cross-engine).
+    """
+    r = F.broadcast(rules)
+    joined = urls.join(r, on=domain_col, how="left")
+    # non-matching rules score null (max ignores them) rather than being
+    # filtered out — a URL whose domain has rules but none that match
+    # must still survive with the default-allow verdict
+    score = F.when(
+        F.col("prefix").isNotNull()
+        & F.col(path_col).startswith(F.col("prefix")),
+        F.length("prefix") * 2 + (F.col("rule") == "allow").cast("int"),
+    )
+    out_cols = urls.columns
+    best = joined.groupBy(*out_cols).agg(F.max(score).alias("__s"))
+    return best.select(
+        *out_cols,
+        (F.col("__s").isNull() | (F.col("__s") % 2 == 1)).alias("allowed"),
+    )

@@ -246,3 +246,85 @@ def test_html_links_all_quote_forms(spark):
     df = spark.createDataFrame([(html,)], "html string")
     got = df.select(html_links(F.col("html")).alias("l")).first()["l"]
     assert got == ["/dq", "/sq", "/uq"]
+
+
+# ---------------------------------------------------------------------------
+# robots.txt compliance
+
+
+_ROBOTS = """# corpus crawler policy
+User-agent: SpecialBot
+Disallow: /
+
+User-Agent: *
+Disallow: /private
+Allow: /private/ok
+Disallow: /tmp/   # trailing comment
+Allow:
+Disallow: /wild*card
+
+User-agent: *
+Disallow: /extra
+"""
+
+
+def _robots_rules(spark):
+    from kevinlang_spark.operators.web import parse_robots_df
+
+    df = spark.createDataFrame(
+        [("example.com", _ROBOTS)], "domain string, robots_txt string"
+    )
+    return parse_robots_df(df)
+
+
+def test_parse_robots_groups_and_comments(spark):
+    rules = {(r["rule"], r["prefix"]) for r in _robots_rules(spark).collect()}
+    assert rules == {
+        ("disallow", "/private"),
+        ("allow", "/private/ok"),
+        ("disallow", "/tmp/"),  # comment stripped
+        ("disallow", "/extra"),  # second * group still applies
+        # SpecialBot's 'Disallow: /' excluded; empty Disallow dropped;
+        # wildcard rule dropped (fails open)
+    }
+
+
+def test_robots_longest_match_semantics(spark):
+    from kevinlang_spark.operators.web import robots_allowed
+
+    urls = spark.createDataFrame(
+        [
+            ("example.com", "/public/page"),  # no rule matches → allow
+            ("example.com", "/private/doc"),  # disallow /private
+            ("example.com", "/private/ok/doc"),  # longer allow wins
+            ("example.com", "/tmp/x"),  # disallow
+            ("example.com", "/extra/y"),  # second-group disallow
+            ("other.org", "/private/doc"),  # no robots at all → allow
+        ],
+        "domain string, path string",
+    )
+    got = {
+        (r["domain"], r["path"]): r["allowed"]
+        for r in robots_allowed(urls, _robots_rules(spark)).collect()
+    }
+    assert got == {
+        ("example.com", "/public/page"): True,
+        ("example.com", "/private/doc"): False,
+        ("example.com", "/private/ok/doc"): True,
+        ("example.com", "/tmp/x"): False,
+        ("example.com", "/extra/y"): False,
+        ("other.org", "/private/doc"): True,
+    }
+
+
+def test_robots_tie_goes_to_allow(spark):
+    from kevinlang_spark.operators.web import robots_allowed
+
+    rules = spark.createDataFrame(
+        [("d.com", "allow", "/p"), ("d.com", "disallow", "/p")],
+        "domain string, rule string, prefix string",
+    )
+    urls = spark.createDataFrame(
+        [("d.com", "/p/x")], "domain string, path string"
+    )
+    assert robots_allowed(urls, rules).first()["allowed"] is True
