@@ -1391,12 +1391,18 @@ def _warc_dir(spark, sf_dir):
                 make_warc_record(
                     "response",
                     # ids %20==9 travel with Transfer-Encoding: chunked
-                    # framing (the as-sent form crawls capture) — the
+                    # framing and ids %20==19 with Content-Encoding:
+                    # gzip (the as-sent forms crawls capture) — the
                     # reader must decode back to the IDENTICAL payload,
                     # so the oracle is unchanged while the driver gate
-                    # proves dechunking end-to-end
+                    # proves dechunking AND content decoding end-to-end
                     make_http_response(
-                        body, status, reason, ctype, chunked=(d % 20 == 9)
+                        body,
+                        status,
+                        reason,
+                        ctype,
+                        chunked=(d % 20 == 9),
+                        gzip_body=(d % 20 == 19),
                     ),
                     uri=f"http://example.com/doc/{d}",
                 )

@@ -77,21 +77,30 @@ def make_http_response(
     reason: str = "OK",
     content_type: str = "text/html; charset=utf-8",
     chunked: bool = False,
+    gzip_body: bool = False,
 ) -> bytes:
     """Minimal HTTP/1.1 response envelope around ``body`` (the content
-    block of a WARC ``response`` record).  ``chunked=True`` frames the
-    body with Transfer-Encoding: chunked instead of Content-Length —
-    the reader must decode it back to the identical payload."""
+    block of a WARC ``response`` record).  ``gzip_body=True`` applies
+    Content-Encoding: gzip; ``chunked=True`` frames with
+    Transfer-Encoding: chunked instead of Content-Length; both compose
+    (content coding inside transfer framing, RFC 9112 §6.1) — the
+    reader must decode back to the identical payload either way."""
+    import gzip as _gzip
+
+    extra = ""
+    if gzip_body:
+        body = _gzip.compress(body, mtime=0)
+        extra = "Content-Encoding: gzip\r\n"
     if chunked:
         head = (
             f"HTTP/1.1 {status} {reason}\r\n"
-            f"Content-Type: {content_type}\r\n"
+            f"Content-Type: {content_type}\r\n{extra}"
             "Transfer-Encoding: chunked\r\n\r\n"
         )
         return head.encode("latin-1") + make_chunked(body)
     head = (
         f"HTTP/1.1 {status} {reason}\r\n"
-        f"Content-Type: {content_type}\r\n"
+        f"Content-Type: {content_type}\r\n{extra}"
         f"Content-Length: {len(body)}\r\n\r\n"
     )
     return head.encode("latin-1") + body
@@ -289,6 +298,7 @@ def parse_http_response(content: bytes) -> tuple[int | None, str | None, bytes]:
     )
     ctype = None
     chunked = False
+    gzipped = False
     for line in lines[1:]:
         k, _, v = line.partition(":")
         key = k.strip().lower()
@@ -296,12 +306,28 @@ def parse_http_response(content: bytes) -> tuple[int | None, str | None, bytes]:
             ctype = v.strip()
         elif key == "transfer-encoding" and "chunked" in v.strip().lower():
             chunked = True
+        elif key == "content-encoding" and v.strip().lower() in (
+            "gzip",
+            "x-gzip",
+            "deflate",
+        ):
+            gzipped = True
     body = content[sep + 4 :]
+    # transfer framing first, then content coding (RFC 9112 §6.1 order)
     if chunked:
         try:
             body = _dechunk(body)
         except ValueError:
             pass  # keep the raw framed body; downstream text gates cope
+    if gzipped:
+        try:
+            d = zlib.decompressobj(47)
+            out = d.decompress(body) + d.flush()
+            if not d.eof:
+                raise ValueError("truncated content coding")
+            body = out
+        except (zlib.error, ValueError):
+            pass  # keep the coded body; degrade, never quarantine
     return status, ctype, body
 
 

@@ -198,3 +198,21 @@ def test_chunked_transfer_encoding_decodes():
     rec = make_warc_record("response", head + body, uri="http://e.com/c")
     rows = list(split_warc_file("c.warc.gz", make_warc([rec])))
     assert rows[0][9] == len(b"Wikipedia in\r\n\r\nchunks.")
+
+
+def test_content_encoding_gzip_decodes_and_composes():
+    page = b"<html><body>compressed page</body></html>"
+    # gzip alone
+    rec = make_http_response(page, gzip_body=True)
+    assert parse_http_response(rec) == (
+        200, "text/html; charset=utf-8", page
+    )
+    # gzip INSIDE chunked framing (RFC 9112 order: de-frame, then decode)
+    both = make_http_response(page, gzip_body=True, chunked=True)
+    assert parse_http_response(both)[2] == page
+    # corrupt coded body degrades to the raw bytes, never raises
+    head = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\nContent-Length: 9\r\n\r\nnot gzip!"
+    )
+    assert parse_http_response(head)[2] == b"not gzip!"
