@@ -475,10 +475,18 @@ def write_minhash_index(
     the production replacement for the in-memory localCheckpoint (which
     does not survive executor loss).  Downstream dedup runs read these
     instead of re-tokenizing the corpus; incremental corpora append new
-    ids and re-run candidates only."""
+    ids and re-run candidates only.  A one-row ``<path>/params`` sidecar
+    records the hash-family parameters so appends can verify they use
+    the same family (a seed mismatch is invisible in the data itself —
+    same widths, different values — and would silently miss cross-slice
+    duplicates)."""
     sh_df, sig_df = shingle_sig_df(df, id_col, text_col, num_hashes, shingle_n, seed)
     sh_df.write.mode("overwrite").parquet(f"{path}/shingles")
     sig_df.write.mode("overwrite").parquet(f"{path}/signatures")
+    df.sparkSession.createDataFrame(
+        [(num_hashes, shingle_n, seed)],
+        "num_hashes int, shingle_n int, seed int",
+    ).write.mode("overwrite").parquet(f"{path}/params")
 
 
 def append_minhash_index(
@@ -495,14 +503,44 @@ def append_minhash_index(
     append them — O(new) work, the weekly-crawl production shape.
     Unlike the quantizer-backed ANN indexes (IVF-PQ), minhash has no
     trained state, so append == full rebuild on the union EXACTLY, with
-    no staleness caveat.  Pass the same (num_hashes, shingle_n, seed)
-    the index was built with; the probe's signature-width guard
-    (:func:`minhash_dedup_pairs_indexed`) catches a family mismatch."""
+    no staleness caveat.
+
+    Safety: the ``<path>/params`` sidecar is validated against the
+    passed (num_hashes, shingle_n, seed) — a mismatched hash family is
+    indistinguishable in the data (same widths, different values) and
+    would silently miss cross-slice duplicates.  Ids already present
+    are anti-joined out PER TABLE, so a retried append after a partial
+    failure is idempotent and heals a shingles-written/signatures-
+    missing crash residue instead of double-counting shingle
+    intersections in :func:`jaccard_verify`."""
+    spark = df_new.sparkSession
+    try:
+        stored = spark.read.parquet(f"{path}/params").first()
+    except Exception:
+        stored = None  # pre-sidecar index: nothing to validate against
+    if stored is not None and (
+        stored["num_hashes"],
+        stored["shingle_n"],
+        stored["seed"],
+    ) != (num_hashes, shingle_n, seed):
+        raise ValueError(
+            f"index at {path!r} was built with num_hashes="
+            f"{stored['num_hashes']}, shingle_n={stored['shingle_n']}, "
+            f"seed={stored['seed']}; append called with "
+            f"({num_hashes}, {shingle_n}, {seed}) — appending a "
+            "different hash family would silently corrupt dedup output"
+        )
     sh_df, sig_df = shingle_sig_df(
         df_new, id_col, text_col, num_hashes, shingle_n, seed
     )
-    sh_df.write.mode("append").parquet(f"{path}/shingles")
-    sig_df.write.mode("append").parquet(f"{path}/signatures")
+    done_sh = spark.read.parquet(f"{path}/shingles").select("id")
+    done_sig = spark.read.parquet(f"{path}/signatures").select("id")
+    sh_df.join(done_sh, "id", "left_anti").write.mode("append").parquet(
+        f"{path}/shingles"
+    )
+    sig_df.join(done_sig, "id", "left_anti").write.mode("append").parquet(
+        f"{path}/signatures"
+    )
 
 
 def minhash_dedup_pairs_indexed(

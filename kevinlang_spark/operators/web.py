@@ -257,10 +257,14 @@ def parse_robots_df(
     text_col: str = "robots_txt",
 ) -> DataFrame:
     """Parse robots.txt bodies into a (domain, rule, prefix) table,
-    keeping the rules of the ``User-agent: *`` group(s) — the group a
-    rule belongs to is its MOST RECENT preceding User-agent line, which
-    distributes as a posexplode of lines + a last()-over-position window
-    PARTITIONED BY the document (no global order, no Python).  Handles
+    keeping the rules of every group whose header names ``*`` — an RFC
+    9309 §2.1 group is a maximal run of consecutive User-agent lines
+    plus the rules that follow, so ``User-agent: *\\nUser-agent:
+    Foobot\\nDisallow: /x`` applies to ``*`` even though ``*`` is not
+    the last header line.  Distributes as a posexplode of lines + two
+    windows PARTITIONED BY the document (group id = running count of
+    group-starting UA lines, then any-star per group; no global order,
+    no Python).  Handles
     comments, blank lines, case-insensitive directives, and CRLF.
     Wildcard patterns ('*', '$' — RFC 9309 §2.2.3) are not modeled:
     those rules are dropped, which fails OPEN (a crawl keeps a page the
@@ -284,21 +288,37 @@ def parse_robots_df(
         directive.alias("d"),
         value.alias("v"),
     ).where(F.col("d").isin("user-agent", "allow", "disallow"))
-    w = (
-        Window.partitionBy("domain")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # RFC 9309 §2.1 groups: a maximal run of consecutive User-agent
+    # lines followed by rules.  A group STARTS at a UA line whose
+    # preceding directive is not a UA line; a rule applies to '*' when
+    # ANY of its group's UA lines is '*' (multi-agent group headers
+    # like 'User-agent: *\nUser-agent: Googlebot\n...' are common).
+    wseq = Window.partitionBy("domain").orderBy("pos")
     grouped = tagged.withColumn(
-        "agent",
-        F.last(
-            F.when(F.col("d") == "user-agent", F.lower(F.col("v"))), True
-        ).over(w),
+        "grp",
+        F.sum(
+            (
+                (F.col("d") == "user-agent")
+                & (
+                    F.lag("d").over(wseq).isNull()
+                    | (F.lag("d").over(wseq) != "user-agent")
+                )
+            ).cast("int")
+        ).over(wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    wgrp = Window.partitionBy("domain", "grp")
+    starred = grouped.withColumn(
+        "has_star",
+        F.max(
+            ((F.col("d") == "user-agent") & (F.lower(F.col("v")) == "*")).cast(
+                "int"
+            )
+        ).over(wgrp),
     )
     return (
-        grouped.where(
+        starred.where(
             (F.col("d") != "user-agent")
-            & (F.col("agent") == "*")
+            & (F.col("has_star") == 1)
             & (F.col("v") != "")  # 'Disallow:' (empty) = allow all: no rule
             & ~F.col("v").rlike(r"[*$]")  # wildcard rules: fail open
         )
@@ -322,24 +342,43 @@ def robots_allowed(
     to allow; no matching rule (or no robots.txt at all) = allowed.
 
     Scale shape: rules tables are small (one row per directive per
-    domain) — the join BROADCASTS them against the url corpus, the
-    match runs in the scan stage, and the verdict is one keyed max of
-    the integer ``2·len(prefix) + is_allow`` (lexicographic (length,
-    allow) order encoded so no struct-ordering is needed cross-engine).
+    domain), so they collapse to ONE array row per domain and
+    broadcast-join against the url corpus — no fan-out by rule count,
+    no re-aggregation shuffle, and the url frame's row multiplicity and
+    column types are untouched (payload columns never enter a grouping
+    key).  The verdict is a per-row ``F.aggregate`` fold over the
+    domain's rule array in the projection — the match genuinely runs in
+    the scan stage.  Rule scores encode lexicographic (length, allow)
+    order as the integer ``2·len(prefix) + is_allow`` so no
+    struct-ordering is needed cross-engine.
     """
-    r = F.broadcast(rules)
-    joined = urls.join(r, on=domain_col, how="left")
-    # non-matching rules score null (max ignores them) rather than being
-    # filtered out — a URL whose domain has rules but none that match
-    # must still survive with the default-allow verdict
-    score = F.when(
-        F.col("prefix").isNotNull()
-        & F.col(path_col).startswith(F.col("prefix")),
-        F.length("prefix") * 2 + (F.col("rule") == "allow").cast("int"),
+    per_domain = rules.groupBy(domain_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("prefix").alias("p"),
+                (
+                    F.length("prefix") * 2
+                    + (F.col("rule") == "allow").cast("int")
+                )
+                .cast("long")
+                .alias("s"),
+            )
+        ).alias("__rules")
     )
-    out_cols = urls.columns
-    best = joined.groupBy(*out_cols).agg(F.max(score).alias("__s"))
-    return best.select(
-        *out_cols,
-        (F.col("__s").isNull() | (F.col("__s") % 2 == 1)).alias("allowed"),
+    joined = urls.join(F.broadcast(per_domain), on=domain_col, how="left")
+    # fold: best score among rules whose prefix matches the path; -1 =
+    # no matching rule; a domain absent from the rules table gives a
+    # null array -> null fold result.  Both default to allowed.
+    best = F.aggregate(
+        F.col("__rules"),
+        F.lit(-1).cast("long"),
+        lambda acc, r: F.when(
+            F.col(path_col).startswith(r["p"]) & (r["s"] > acc), r["s"]
+        ).otherwise(acc),
+    )
+    return joined.select(
+        *urls.columns,
+        ((F.coalesce(best, F.lit(-1)) < 0) | (best % 2 == 1)).alias(
+            "allowed"
+        ),
     )

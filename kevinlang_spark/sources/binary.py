@@ -90,8 +90,15 @@ def sniff_media_type(col: Column) -> Column:
     transport wrappers (gzip/zip), pdf, and markup (html/xml via a
     whitespace-tolerant text probe); everything else is 'other'."""
     h = F.upper(F.hex(F.substring(col, 1, 12)))
-    # text probe for markup: utf-8 view of the head, lowered + trimmed
-    head = F.lower(F.ltrim(F.substring(col, 1, 64).cast("string")))
+    # text probe for markup: utf-8 view of the head, lowered, with any
+    # leading BOM (U+FEFF after the utf-8 cast) AND whitespace stripped
+    # — BOM-prefixed HTML error pages are common in the wild and ltrim
+    # alone would misroute them to 'other'
+    head = F.lower(
+        F.regexp_replace(
+            F.substring(col, 1, 64).cast("string"), "^[\\uFEFF\\s]+", ""
+        )
+    )
     return (
         F.when(col.isNull(), F.lit(None).cast("string"))
         .when(F.substring(h, 1, 8) == "89504E47", F.lit("png"))

@@ -320,14 +320,20 @@ def parse_http_response(content: bytes) -> tuple[int | None, str | None, bytes]:
         except ValueError:
             pass  # keep the raw framed body; downstream text gates cope
     if gzipped:
-        try:
-            d = zlib.decompressobj(47)
-            out = d.decompress(body) + d.flush()
-            if not d.eof:
-                raise ValueError("truncated content coding")
-            body = out
-        except (zlib.error, ValueError):
-            pass  # keep the coded body; degrade, never quarantine
+        # wbits=47 autodetects zlib/gzip headers; -15 retries the
+        # header-less RAW deflate stream many servers historically sent
+        # under 'Content-Encoding: deflate' (the bug that forced
+        # browsers to implement the same fallback)
+        for wbits in (47, -15):
+            try:
+                d = zlib.decompressobj(wbits)
+                out = d.decompress(body) + d.flush()
+                if not d.eof:
+                    raise ValueError("truncated content coding")
+                body = out
+                break
+            except (zlib.error, ValueError):
+                pass  # keep the coded body; degrade, never quarantine
     return status, ctype, body
 
 

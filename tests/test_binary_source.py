@@ -96,6 +96,9 @@ def test_sniff_media_type_branches(spark):
         ("zip", b"PK\x03\x04...."),
         ("html", b"  <!DOCTYPE HTML><html>"),
         ("html", b"<HTML><body>"),
+        # UTF-8 BOM-prefixed markup (common crawl error-page shape)
+        ("html", b"\xef\xbb\xbf<!DOCTYPE html><html>"),
+        ("xml", b"\xef\xbb\xbf  <?xml version='1.0'?>"),
         ("xml", b"<?xml version='1.0'?>"),
         ("other", b"plain text payload"),
         ("other", b""),

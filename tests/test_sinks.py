@@ -176,6 +176,35 @@ def test_minhash_index_append_equals_rebuild(spark, sf_dir, tmp_path):
     )
 
 
+def test_minhash_index_append_guards_family_and_is_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """Appending with a mismatched hash family must raise (a seed
+    mismatch is invisible in the data — same widths, different values);
+    re-appending the same slice must be a no-op, not a double-count."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kevinlang_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    idx = str(tmp_path / "mh_guard")
+    dedup.write_minhash_index(base, idx)
+    with pytest.raises(ValueError, match="hash family"):
+        dedup.append_minhash_index(new, idx, seed=7)
+    with pytest.raises(ValueError, match="hash family"):
+        dedup.append_minhash_index(new, idx, num_hashes=64)
+    dedup.append_minhash_index(new, idx)
+    n_sh = spark.read.parquet(f"{idx}/shingles").count()
+    n_sig = spark.read.parquet(f"{idx}/signatures").count()
+    # retried append (e.g. after a partial failure) changes nothing
+    dedup.append_minhash_index(new, idx)
+    assert spark.read.parquet(f"{idx}/shingles").count() == n_sh
+    assert spark.read.parquet(f"{idx}/signatures").count() == n_sig
+
+
 # --------------------------------------------------------------------- #
 # training shards + manifest
 # --------------------------------------------------------------------- #

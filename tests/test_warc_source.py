@@ -216,3 +216,21 @@ def test_content_encoding_gzip_decodes_and_composes():
         b"Content-Encoding: gzip\r\nContent-Length: 9\r\n\r\nnot gzip!"
     )
     assert parse_http_response(head)[2] == b"not gzip!"
+
+
+def test_content_encoding_deflate_both_wrappings_decode():
+    import zlib
+
+    page = b"<html><body>deflated page</body></html>"
+    head = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: deflate\r\n\r\n"
+    )
+    # zlib-wrapped deflate (the RFC 9110 meaning of the token)
+    assert parse_http_response(head + zlib.compress(page)) == (
+        200, "text/html", page
+    )
+    # RAW deflate (the historically common server bug: no zlib header)
+    c = zlib.compressobj(9, zlib.DEFLATED, -15)
+    raw = c.compress(page) + c.flush()
+    assert parse_http_response(head + raw) == (200, "text/html", page)

@@ -328,3 +328,67 @@ def test_robots_tie_goes_to_allow(spark):
         [("d.com", "/p/x")], "domain string, path string"
     )
     assert robots_allowed(urls, rules).first()["allowed"] is True
+
+
+def test_parse_robots_multi_agent_group_header(spark):
+    """RFC 9309 §2.1: a group header may list several User-agent lines;
+    the rules apply to '*' when ANY of them is '*' — even when '*' is
+    not the LAST header line (a very common real-world shape)."""
+    from kevinlang_spark.operators.web import parse_robots_df
+
+    body = (
+        "User-agent: *\nUser-agent: Foobot\nDisallow: /private\n\n"
+        "User-agent: Barbot\nDisallow: /bar-only\n"
+    )
+    df = spark.createDataFrame(
+        [("m.com", body)], "domain string, robots_txt string"
+    )
+    rules = {(r["rule"], r["prefix"]) for r in parse_robots_df(df).collect()}
+    assert rules == {("disallow", "/private")}
+
+
+def test_robots_allowed_preserves_multiplicity_and_column_types(spark):
+    """The verdict is computed per-row in the projection: identical
+    duplicate rows stay duplicated (no groupBy collapse) and
+    un-groupable column types (maps) pass through untouched."""
+    from pyspark.sql import functions as F
+
+    from kevinlang_spark.operators.web import robots_allowed
+
+    rules = spark.createDataFrame(
+        [("d.com", "disallow", "/p")],
+        "domain string, rule string, prefix string",
+    )
+    urls = spark.createDataFrame(
+        [("d.com", "/p/x"), ("d.com", "/p/x")],
+        "domain string, path string",
+    ).withColumn("meta", F.create_map(F.lit("k"), F.lit("v")))
+    out = robots_allowed(urls, rules).collect()
+    assert len(out) == 2
+    assert all(r["allowed"] is False for r in out)
+    assert all(r["meta"] == {"k": "v"} for r in out)
+
+
+def test_robots_allowed_plan_is_broadcast_no_url_shuffle(spark):
+    """Scale shape: the url corpus joins ONE broadcast row per domain
+    and the verdict folds in the projection — the plan must show a
+    BroadcastHashJoin and no Exchange on the streamed (url) side."""
+    from kevinlang_spark.operators.web import robots_allowed
+
+    rules = spark.createDataFrame(
+        [("d.com", "disallow", "/p")],
+        "domain string, rule string, prefix string",
+    )
+    urls = spark.createDataFrame(
+        [("d.com", "/p/x")], "domain string, path string"
+    )
+    plan = (
+        robots_allowed(urls, rules)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # exactly one hash exchange total — the (tiny) rules-side groupBy;
+    # the url corpus itself is never shuffled
+    assert plan.count("Exchange hashpartitioning") <= 1
