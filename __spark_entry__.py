@@ -2550,7 +2550,11 @@ def q_stream_join(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        # False = timeout: partial snapshot + still-active query (the
+        # next .start() with this name would throw) — fail loudly
+        if not q.awaitTermination(180):
+            q.stop()
+            raise RuntimeError("q_stream_join: drain did not finish in 180s")
     return spark.table("q_stream_join_mem")
 
 
@@ -5794,8 +5798,52 @@ def q_hard_negatives(spark, sf_dir):
     return out.select("qid", "vec_id", F.round("sim", 4).alias("sim"), "rank")
 
 
+def q_pipeline_resume(spark, sf_dir):
+    """Resumable stage-manifest pipeline (kevinlang_spark/pipeline.py)
+    end-to-end: ingest → length-filter → per-source report, each stage
+    materialized under a code-versioned artifact root with a
+    fingerprint manifest, so re-invocations SKIP completed stages and a
+    crashed run resumes at the failed stage — the production shape for
+    multi-stage 100 TB curation runs.  Skip/resume/invalidation
+    semantics are pytest-asserted (tests/test_pipeline_runner.py); this
+    query proves the MATERIALIZED output equals the straight-through
+    computation (the oracle replays the whole pipeline as one SQL
+    statement).  The reference has no pipeline layer (frames rebuild
+    per program run); beyond-reference capability."""
+    from kevinlang_spark.pipeline import Stage, run_pipeline
+
+    def ingest(spark):
+        return _t(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+
+    def filt(ingest):
+        return ingest.where(F.length("text") >= 400)
+
+    def report(filt):
+        return filt.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+
+    root = _artifact_path(sf_dir, "pipeline", "kevinlang_spark/pipeline.py")
+    out = run_pipeline(
+        spark,
+        [
+            # ingest closes over sf_dir (invisible to a source hash):
+            # fold it into an explicit version token
+            Stage("ingest", ingest, version=f"ingest-v1-{sf_dir}"),
+            Stage("filt", filt, inputs=("ingest",)),
+            Stage("report", report, inputs=("filt",)),
+        ],
+        root,
+    )
+    return out["report"]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "q_pipeline_resume": q_pipeline_resume,
         "q_ann_index_refresh": q_ann_index_refresh,
         "q_ann_index_staleness": q_ann_index_staleness,
         "q_image_neardup": q_image_neardup,
@@ -7333,6 +7381,12 @@ def oracle_sql() -> dict[str, str]:
         "q_warc_ingest": _warc_ingest_oracle_sql(),
         "q_html_extract": _html_extract_oracle_sql(),
         "q_warc_pipeline": _warc_pipeline_oracle_sql(),
+        "q_pipeline_resume": (
+            # one-statement replay of the whole materialized pipeline
+            "SELECT source, COUNT(*) AS n_docs, "
+            "CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars "
+            "FROM documents WHERE LENGTH(text) >= 400 GROUP BY source"
+        ),
         "q_lr_train": _lr_oracle_sql(score=False),
         "q_lr_score": _lr_oracle_sql(score=True),
         "q_lr_eval": _lr_eval_oracle_sql(),

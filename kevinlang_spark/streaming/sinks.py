@@ -52,7 +52,12 @@ def write_stream_exactly_once(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    # False = timeout: the sink holds a partial drain and the query is
+    # still active (a retry with the same checkpoint would also throw) —
+    # stop and raise rather than letting the caller read partial output
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise RuntimeError(f"stream drain into {path!r} exceeded {timeout_s}s")
     return q
 
 

@@ -127,5 +127,10 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # False = timeout: a partial complete-mode snapshot plus a
+    # still-active query under this name — fail loudly, never return
+    # partial rows as if they were the drained result
+    if not q.awaitTermination(120):
+        q.stop()
+        raise RuntimeError(f"{query_name}: drain did not finish in 120s")
     return spark.table(query_name)
