@@ -2155,7 +2155,10 @@ def _phash_media(docs):
                 }
             )
 
-    return docs.mapInPandas(
+    # single-file parquet reads as ONE partition locally; the per-row
+    # encode/decode must spread across cores (real corpora have many
+    # files, so this is a no-op at scale)
+    return docs.repartition(32).mapInPandas(
         gen, schema="doc_id bigint, media_type string, payload binary"
     )
 
@@ -2240,7 +2243,9 @@ def q_audio_neardup(spark, sf_dir):
                 }
             )
 
-    media = docs.mapInPandas(
+    # spread the per-row WAV/FLAC encode+decode across cores — a
+    # single-file parquet source otherwise serializes it on one task
+    media = docs.repartition(32).mapInPandas(
         gen, schema="doc_id bigint, media_type string, payload binary"
     )
     sig = extract_audio_fingerprint(media)
@@ -2293,7 +2298,9 @@ def q_image_crossformat(spark, sf_dir):
                 }
             )
 
-    media = docs.mapInPandas(
+    # spread the per-row BMP/PNG/JPEG encode+decode across cores — a
+    # single-file parquet source otherwise serializes it on one task
+    media = docs.repartition(32).mapInPandas(
         gen, schema="doc_id bigint, media_type string, payload binary"
     )
     return extract_image_phash(media, method="dhash").orderBy("doc_id")

@@ -817,7 +817,11 @@ def attach_stdlib_media(
                 {"doc_id": ids, "media_type": media, "payload": payload}
             )
 
-    return df.select("doc_id").mapInPandas(
+    # spread the per-row container encode across cores — a single-file
+    # parquet source otherwise reads as ONE partition locally and the
+    # pure-Python codecs serialize on one task (no-op at scale: real
+    # corpora have many files)
+    return df.select("doc_id").repartition(32).mapInPandas(
         gen, schema="doc_id bigint, media_type string, payload binary"
     )
 
