@@ -4170,6 +4170,22 @@ def q_lm_score(spark, sf_dir):
     return bigram_lm_score(_t(spark, sf_dir, "documents"))
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """Trigram STUPID-BACKOFF perplexity per document (Brants et al.
+    2007 — the CCNet-style LM quality filter): counts train on the
+    even-doc_id half, every document scores, so held-out docs exercise
+    the full backoff chain (seen trigram → α·bigram → α²·add-one
+    unigram floor).  The model is three gram-keyed count tables + two
+    scalars; scoring is five gram-keyed hash joins — no dense vocab
+    structure, so both corpora scale arbitrarily."""
+    from kevinlang_spark.operators.text import lm_perplexity
+
+    return lm_perplexity(
+        _t(spark, sf_dir, "documents"),
+        train_filter=F.col("doc_id") % 2 == 0,
+    )
+
+
 def q_rolling(spark, sf_dir):
     """Trailing 1-hour per-user event stats via a RANGE window (frame
     defined by event-time distance, not row count — the rolling-feature
@@ -6024,6 +6040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_inverted_index": q_inverted_index,
         "q_join_estimate": q_join_estimate,
         "q_lm_score": q_lm_score,
+        "q_lm_perplexity": q_lm_perplexity,
         "q_media_pixels": q_media_pixels,
         "q_merge_intervals": q_merge_intervals,
         "q_novelty": q_novelty,
@@ -8753,6 +8770,11 @@ def oracle_sql() -> dict[str, str]:
         "q_triangles": """WITH e AS (SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b FROM (SELECT l_orderkey % 500 AS u, l_partkey % 500 AS v FROM lineitem) WHERE u <> v) SELECT COUNT(*) AS n_triangles FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b""",
         "q_incremental_agg": """SELECT o_custkey, COUNT(o_totalprice) AS n, ROUND(SUM(o_totalprice), 4) AS sum_v, MIN(o_totalprice) AS min_v, MAX(o_totalprice) AS max_v FROM orders GROUP BY o_custkey""",
         "q_lm_score": """WITH toks AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents), occ AS (SELECT id, t[i] AS w1, t[i + 1] AS w2 FROM toks, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2), big AS (SELECT w1, w2, COUNT(*) AS c2 FROM occ GROUP BY 1, 2), uni AS (SELECT w1, COUNT(*) AS c1 FROM occ GROUP BY 1), v AS (SELECT COUNT(*) AS v FROM uni) SELECT id AS doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(ln((c2 + 1.0) / (c1 + v.v))), 6) AS avg_logp FROM occ JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v GROUP BY id""",
+        # trigram stupid-backoff perplexity: counts train on the even-
+        # doc_id half, every doc scores; the CASE chain and the exact
+        # double association ((x·1.0)/y, (0.4·x)/y, ((0.4·0.4)·x)/y)
+        # mirror the Spark expressions token-for-token
+        "q_lm_perplexity": """WITH toks AS (SELECT doc_id AS id, doc_id % 2 = 0 AS train, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents), occ AS (SELECT id, train, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3 FROM toks, unnest(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3), uni AS (SELECT t[i] AS w, COUNT(*) AS c1 FROM toks, unnest(range(1, len(t) + 1)) AS u(i) WHERE train GROUP BY 1), big AS (SELECT t[i] AS a, t[i + 1] AS b, COUNT(*) AS c2 FROM toks, unnest(range(1, len(t))) AS u(i) WHERE train AND len(t) >= 2 GROUP BY 1, 2), tri AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM occ WHERE train GROUP BY 1, 2, 3), nv AS (SELECT (SELECT COALESCE(SUM(c1), 0) FROM uni) + (SELECT COUNT(*) FROM uni) AS npv), scored AS (SELECT o.id, CASE WHEN tri.c3 IS NOT NULL THEN ln(tri.c3 * 1.0 / bc.c2) WHEN bb.c2 IS NOT NULL THEN ln(0.4 * bb.c2 / uc.c1) ELSE ln(0.4 * 0.4 * (COALESCE(ut.c1, 0) + 1.0) / nv.npv) END AS lp FROM occ o LEFT JOIN tri ON o.w1 = tri.w1 AND o.w2 = tri.w2 AND o.w3 = tri.w3 LEFT JOIN big bc ON o.w1 = bc.a AND o.w2 = bc.b LEFT JOIN big bb ON o.w2 = bb.a AND o.w3 = bb.b LEFT JOIN uni uc ON o.w2 = uc.w LEFT JOIN uni ut ON o.w3 = ut.w CROSS JOIN nv) SELECT id AS doc_id, COUNT(*) AS n_trigrams, ROUND(AVG(lp), 6) AS avg_logp, ROUND(exp(-ROUND(AVG(lp), 6)), 6) AS perplexity FROM scored GROUP BY id""",
         "q_rolling": """SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, COUNT(*) OVER w AS n_1h, ROUND(SUM(value) OVER w, 4) AS sum_1h FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""",
         "q_semantic_dedup": (
             "WITH b AS (SELECT vec_id, embedding, "

@@ -628,6 +628,164 @@ def bigram_lm_score(
     ).select(F.col("id").alias(id_col), "n_bigrams", "avg_logp")
 
 
+def lm_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+    train_filter: Column | None = None,
+) -> DataFrame:
+    """Trigram stupid-backoff language-model perplexity per document
+    (Brants et al. 2007, "Large Language Models in Machine Translation"
+    §4) — the CCNet-style perplexity filter upgraded from
+    :func:`bigram_lm_score`'s add-one bigram to the n-gram shape real
+    curation stacks train at corpus scale:
+
+        S(w₃|w₁w₂) = c(w₁w₂w₃)/c(w₁w₂)            if the trigram was seen
+                   = α · c(w₂w₃)/c(w₂)            else if the bigram was
+                   = α² · (c(w₃)+1)/(N+V)         else (add-one unigram
+                                                   floor so OOV never hits
+                                                   log 0 — the one
+                                                   deviation from Brants,
+                                                   who leaves OOV scores
+                                                   undefined)
+
+    ``train_filter`` freezes the count tables on a subset (the
+    train/apply split); held-out documents then exercise the backoff
+    chain for real.  With no filter the model trains on the full input
+    and the trigram branch always fires (every occurrence is its own
+    evidence).
+
+    Scale shape: the model IS three count tables keyed by their grams —
+    map-side-combined count shuffles to build, five gram-keyed
+    broadcast-or-shuffle hash joins to score, N and V as two driver
+    scalars.  No dense vocabulary structure ever materializes, so train
+    and scoring corpora can both be arbitrarily large.
+
+    Returns one row per document with ≥1 trigram:
+    (id_col, n_trigrams, avg_logp rounded 6dp, perplexity =
+    exp(−avg_logp) of the ROUNDED mean — rounding first keeps the
+    exponentiation bit-replayable across engines).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("lm_perplexity: alpha must be in (0, 1]")
+    # tokenize ONCE into a multi-referenced column (the per-element
+    # re-evaluation trap documented in winnow_fingerprints)
+    tok_df = spread(df).select(
+        F.col(id_col).alias("id"),
+        tokenize(F.col(text_col)).alias("__toks"),
+        (
+            train_filter if train_filter is not None else F.lit(True)
+        ).alias("__train"),
+    )
+    toks = F.col("__toks")
+    tris = F.when(
+        toks.isNotNull() & (F.size(toks) >= 3),
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+                F.element_at(toks, i + 2).alias("w3"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+    occ = tok_df.select(
+        "id", "__train", F.explode(tris).alias("t")
+    ).select("id", "__train", "t.w1", "t.w2", "t.w3")
+
+    # count tables over the TRAIN slice only; unigrams/bigrams count every
+    # position (not just trigram contexts) so c(w₂) really is the word's
+    # corpus count, exactly what the backoff denominator means
+    train_toks = tok_df.where("__train").select("__toks")
+    uni = (
+        train_toks.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    pairs = F.when(
+        toks.isNotNull() & (F.size(toks) >= 2),
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("a"),
+                F.element_at(toks, i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    big = (
+        train_toks.select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c2"))
+    )
+    tri = (
+        occ.where("__train")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("c3"))
+    )
+    # N (train token mass) and V (train vocabulary) are the model's only
+    # scalars — one metadata-sized collect, embedded as literals
+    nv = uni.agg(
+        F.sum("c1").alias("n"), F.count("*").alias("v")
+    ).collect()[0]
+    n_plus_v = float((nv["n"] or 0) + nv["v"])
+    if n_plus_v == 0.0:
+        raise ValueError("lm_perplexity: training slice has no tokens")
+
+    b_ctx = big.select(
+        F.col("a").alias("w1"), F.col("b").alias("w2"),
+        F.col("c2").alias("c2ctx"),
+    )
+    b_bo = big.select(
+        F.col("a").alias("w2"), F.col("b").alias("w3"),
+        F.col("c2").alias("c2"),
+    )
+    u_ctx = uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1ctx"))
+    u_tgt = uni.select(F.col("w").alias("w3"), F.col("c1").alias("c1"))
+    joined = (
+        occ.join(tri, ["w1", "w2", "w3"], "left")
+        .join(b_ctx, ["w1", "w2"], "left")
+        .join(b_bo, ["w2", "w3"], "left")
+        .join(u_ctx, ["w2"], "left")
+        .join(u_tgt, ["w3"], "left")
+    )
+    # association mirrors the DuckDB oracle token-for-token: (x·1.0)/y,
+    # (α·x)/y, ((α·α)·x)/y — double arithmetic is order-sensitive and the
+    # hash compare is exact at 6dp
+    lp = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.log(F.col("c3") * F.lit(1.0) / F.col("c2ctx")),
+        )
+        .when(
+            F.col("c2").isNotNull(),
+            F.log(F.lit(alpha) * F.col("c2") / F.col("c1ctx")),
+        )
+        .otherwise(
+            F.log(
+                F.lit(alpha)
+                * F.lit(alpha)
+                * (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(1.0))
+                / F.lit(n_plus_v)
+            )
+        )
+    )
+    avg6 = F.round(F.avg("__lp"), 6)
+    return (
+        joined.select("id", lp.alias("__lp"))
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            avg6.alias("avg_logp"),
+            F.round(F.exp(-avg6), 6).alias("perplexity"),
+        )
+        .select(
+            F.col("id").alias(id_col), "n_trigrams", "avg_logp", "perplexity"
+        )
+    )
+
+
 def char_entropy(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
