@@ -1188,6 +1188,26 @@ def q_media_frames(spark, sf_dir):
     return extract_frame_stats(media, every_k=2, thumb=(8, 8))
 
 
+def q_media_avi(spark, sf_dir):
+    """FULL Motion-JPEG VIDEO decode with zero codec libraries
+    (multimodal.py _avi_mjpeg_frames): synthesize real RIFF-AVI
+    containers executor-side — doc_id % 3 + 1 constant-gray baseline-
+    JPEG frames per video — then walk the chunk tree, Huffman-decode +
+    IDCT every '00dc' frame, and report whole-video channel means.
+    All-ones quantization keeps constant frames bit-exact, so the
+    oracle is closed-form in (doc_id, frame) — the proof that the
+    VIDEO modality rides the same entropy tier as images; inter-frame
+    codecs (H.26x/VPx) stay honestly gated at the 'strh' handler."""
+    from kevinlang_spark.operators.multimodal import (
+        attach_stdlib_media,
+        extract_pixel_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_stdlib_media(docs, filled=True, avi=True)
+    return extract_pixel_stats(media)
+
+
 def _messy_url(d):
     """Deterministic MESSY url per doc: uppercase scheme/www/host, a
     default :443 port on every 5th, trailing slashes on every 3rd, a
@@ -5886,6 +5906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_crawl_pagerank": q_crawl_pagerank,
         "q_mime_sniff": q_mime_sniff,
         "q_robots_filter": q_robots_filter,
+        "q_media_avi": q_media_avi,
+        "q_lm_perplexity": q_lm_perplexity,
         "q_lpa_communities": q_lpa_communities,
         "q_pagerank": q_pagerank,
         "q_hits": q_hits,
@@ -6040,7 +6062,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_inverted_index": q_inverted_index,
         "q_join_estimate": q_join_estimate,
         "q_lm_score": q_lm_score,
-        "q_lm_perplexity": q_lm_perplexity,
         "q_media_pixels": q_media_pixels,
         "q_merge_intervals": q_merge_intervals,
         "q_novelty": q_novelty,
@@ -7486,6 +7507,35 @@ def oracle_sql() -> dict[str, str]:
             "AS DOUBLE) AS mean_g, "
             "CAST(CASE WHEN doc_id % 2 = 0 THEN (SELECT AVG((7 * doc_id + s.g) % 256) "
             "FROM generate_series(0, 4) s(g) WHERE s.g <= doc_id % 5) END "
+            "AS DOUBLE) AS mean_b, "
+            "CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 2048 END AS DOUBLE) "
+            "AS rms, "
+            "CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 2048 END AS DOUBLE) "
+            "AS peak "
+            "FROM documents"
+        ),
+        "q_media_avi": (
+            # AVI-MJPEG videos: frame f of doc d is constant gray
+            # (d+f)%256, d%3+1 frames per video; constant-gray baseline
+            # JPEG round-trips bit-exactly (all-ones quantization), so
+            # whole-video means are the closed-form frame average
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'video' ELSE 'audio' END "
+            "AS media_type, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 64 + 1 END AS INTEGER) "
+            "AS width, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 48 + 1 END AS INTEGER) "
+            "AS height, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 3 + 1 "
+            "ELSE doc_id % 1000 + 1 END AS INTEGER) AS n_frames, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN (SELECT AVG((doc_id + s.g) % 256) "
+            "FROM generate_series(0, 2) s(g) WHERE s.g <= doc_id % 3) END "
+            "AS DOUBLE) AS mean_r, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN (SELECT AVG((doc_id + s.g) % 256) "
+            "FROM generate_series(0, 2) s(g) WHERE s.g <= doc_id % 3) END "
+            "AS DOUBLE) AS mean_g, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN (SELECT AVG((doc_id + s.g) % 256) "
+            "FROM generate_series(0, 2) s(g) WHERE s.g <= doc_id % 3) END "
             "AS DOUBLE) AS mean_b, "
             "CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 2048 END AS DOUBLE) "
             "AS rms, "

@@ -8,10 +8,11 @@ PNG/GIF/BMP/JPEG/WAV; :func:`stdlib_pixel_decode` FULLY decodes pixel
 and sample data with zero codec libraries — BMP grids, PNG (zlib
 inflate + scanline predictors), baseline JPEG (operators/jpeg.py:
 Huffman + IDCT), GIF incl. animations (operators/gif.py: LZW), PCM
-WAV, and FLAC (operators/flac.py: rice-coded integer prediction); only
-LOSSY audio/video (MP3/AAC/H.26x) remains honestly gated behind
-:func:`real_decode`'s codec imports (`decode=fake_decode` is the
-deterministic stand-in for those).  Every extractor is a pluggable
+WAV, FLAC (operators/flac.py: rice-coded integer prediction), and
+AVI Motion-JPEG video (RIFF walk + per-frame baseline-JPEG entropy
+decode); only LOSSY audio and inter-frame video (MP3/AAC/H.26x)
+remain honestly gated behind :func:`real_decode`'s codec imports
+(`decode=fake_decode` is the deterministic stand-in for those).  Every extractor is a pluggable
 ``decode(bytes, media_type) -> dict``; nothing in the Spark plumbing
 moves when one is swapped.
 
@@ -520,6 +521,135 @@ def make_wav(
     )
 
 
+def make_avi(
+    width: int, height: int, frames: list, fps: int = 10
+) -> bytes:
+    """A minimal VALID AVI container carrying Motion-JPEG video:
+    ``frames`` is a list of baseline-JPEG byte strings (all the same
+    dimensions, e.g. from :func:`~kevinlang_spark.operators.jpeg.
+    make_jpeg`).  Emits the canonical RIFF('AVI ') tree — LIST hdrl
+    (avih + LIST strl (strh 'vids'/'MJPG' + strf BITMAPINFOHEADER)),
+    LIST movi of '00dc' chunks, and an idx1 keyframe index — so the
+    file is honest MJPEG-AVI, not just our own decoder's dialect."""
+    import struct
+
+    if not frames:
+        raise ValueError("make_avi: need at least one frame")
+    if fps < 1:
+        raise ValueError("make_avi: fps must be >= 1")
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    max_bytes = max(len(f) for f in frames)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        max_bytes * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # AVIF_HASINDEX
+        len(frames),
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        max_bytes,  # dwSuggestedBufferSize
+        width,
+        height,
+        0, 0, 0, 0,  # dwReserved[4]
+    )
+    strh = (
+        b"vidsMJPG"
+        + struct.pack(
+            "<IHHIIIIIIII",
+            0, 0, 0,  # flags, priority, language
+            0,  # initial frames
+            1,  # scale
+            fps,  # rate (rate/scale = fps)
+            0,  # start
+            len(frames),
+            max_bytes,
+            0,  # quality
+            0,  # sample size (0 = variable)
+        )
+        + struct.pack("<4h", 0, 0, width, height)  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0,
+    )
+    strl = chunk(b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strl)
+    movi_body = b"movi"
+    idx = b""
+    for f in frames:
+        # idx1 offsets are relative to the 'movi' fourcc (the common
+        # convention players actually write)
+        idx += b"00dc" + struct.pack("<III", 0x10, len(movi_body), len(f))
+        movi_body += chunk(b"00dc", f)
+    movi = chunk(b"LIST", movi_body)
+    riff_body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def _avi_mjpeg_frames(payload: bytes):
+    """Decode an AVI-MJPEG file to (width, height, F×H×W×3 uint8 RGB)
+    — the ONE place the RIFF-AVI chunk-walk rules live.  Each '00dc'/
+    '00db' video chunk is an independent baseline JPEG decoded through
+    operators/jpeg.py (Huffman + IDCT), so the VIDEO modality rides
+    the same entropy-decode tier as images; greyscale frames broadcast
+    to RGB.  Non-MJPEG codecs (the 'strh' handler says DIB/H264/…),
+    truncated chunks, frame-size drift, and empty streams all raise
+    ValueError — quarantine semantics, never a misdecode."""
+    import struct
+
+    import numpy as np
+
+    from kevinlang_spark.operators.jpeg import jpeg_pixels
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("video decode supports AVI-MJPEG only")
+    handler = None
+    frames = []
+
+    def scan(i: int, end: int) -> None:
+        nonlocal handler
+        while i + 8 <= end:
+            cid = payload[i : i + 4]
+            size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+            body = i + 8
+            if body + size > end:
+                raise ValueError("truncated AVI chunk")
+            if cid == b"LIST":
+                scan(body + 4, body + size)  # body[0:4] is the list type
+            elif cid == b"strh" and size >= 8:
+                if payload[body : body + 4] == b"vids":
+                    vh = payload[body + 4 : body + 8]
+                    if vh not in (b"MJPG", b"mjpg"):
+                        raise ValueError(
+                            f"AVI video codec {vh!r} is not MJPEG — "
+                            "lossy inter-frame codecs stay gated"
+                        )
+                    handler = vh
+            elif cid in (b"00dc", b"00db") and size > 0:
+                data = payload[body : body + size]
+                if data[:2] != b"\xff\xd8":
+                    raise ValueError("AVI MJPEG chunk is not a JPEG stream")
+                w, h, c, px = jpeg_pixels(data)
+                rgb = np.repeat(px, 3, axis=2) if c == 1 else px
+                frames.append((w, h, rgb))
+            i = body + size + (size % 2)
+
+    scan(12, len(payload))
+    if handler is None:
+        raise ValueError("AVI missing a 'vids' stream header")
+    if not frames:
+        raise ValueError("AVI has no video frames")
+    w0, h0 = frames[0][0], frames[0][1]
+    if any(w != w0 or h != h0 for w, h, _ in frames):
+        raise ValueError("AVI frame dimensions drift mid-stream")
+    return w0, h0, np.stack([f[2] for f in frames])
+
+
 def _bmp_pixels(payload: bytes):
     """Parse an uncompressed 24-bit BMP to (width, height, H×W×3 RGB
     uint8, top-down row order) — the ONE place BMP header/stride/BGR
@@ -641,6 +771,20 @@ def stdlib_pixel_decode(payload: bytes, media_type: str) -> dict:
             "mean_g": float(pxf[:, :, 1].mean()),
             "mean_b": float(pxf[:, :, 2].mean()),
         }
+    if media_type == "video":
+        # Motion-JPEG in AVI: every frame is an independent baseline
+        # JPEG, so intra-only VIDEO decodes honestly on the existing
+        # entropy tier; inter-frame codecs (H.26x/VPx) stay gated
+        width, height, frames = _avi_mjpeg_frames(payload)
+        pxf = frames.astype(np.float64)
+        return {
+            "width": width,
+            "height": height,
+            "n_frames": int(frames.shape[0]),
+            "mean_r": float(pxf[:, :, :, 0].mean()),
+            "mean_g": float(pxf[:, :, :, 1].mean()),
+            "mean_b": float(pxf[:, :, :, 2].mean()),
+        }
     if media_type == "audio":
         if payload[:4] == b"fLaC":
             from kevinlang_spark.operators.flac import flac_samples
@@ -717,6 +861,7 @@ def attach_stdlib_media(
     jpeg: bool = False,
     gif: bool = False,
     flac: bool = False,
+    avi: bool = False,
 ) -> DataFrame:
     """Synthesize a bronze media table with REAL container bytes:
     alternating BMPs (dimensions derived from doc_id) and WAVs (frame
@@ -744,7 +889,12 @@ def attach_stdlib_media(
     real rice-coded FLAC streams (operators/flac.py) instead of PCM
     WAV — constant-amplitude blocks decode losslessly, so the RMS/peak
     oracle is unchanged while the entropy-coded audio path is
-    exercised end-to-end."""
+    exercised end-to-end.  ``avi=True`` makes every even row a VIDEO:
+    a real RIFF-AVI container of doc_id % 3 + 1 Motion-JPEG frames,
+    frame f a constant-gray (doc_id + f) % 256 baseline JPEG — the
+    all-ones quantization keeps every frame bit-exact, so whole-video
+    channel means stay closed-form in (doc_id, frame) while the
+    container walk + per-frame entropy decode is exercised for real."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from kevinlang_spark.operators.flac import make_flac
@@ -757,6 +907,23 @@ def attach_stdlib_media(
             for i in ids:
                 d = int(i)
                 if d % 2 == 0:
+                    if avi:
+                        media.append("video")
+                        payload.append(
+                            make_avi(
+                                d % 64 + 1,
+                                d % 48 + 1,
+                                [
+                                    make_jpeg(
+                                        d % 64 + 1,
+                                        d % 48 + 1,
+                                        gray=(d + f) % 256,
+                                    )
+                                    for f in range(d % 3 + 1)
+                                ],
+                            )
+                        )
+                        continue
                     media.append("image")
                     if gif:
                         n = d % 5 + 1
@@ -863,6 +1030,8 @@ def _decode_frames(payload: bytes):
     if payload[:2] == b"BM":
         w, h, rgb = _bmp_pixels(payload)
         return w, h, rgb[None, :, :, :]
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return _avi_mjpeg_frames(payload)
     raise ValueError("no codec-free frame decode for this container")
 
 
@@ -907,7 +1076,7 @@ def extract_frame_stats(
             for did, mtype, p in zip(
                 pdf["doc_id"], pdf["media_type"], pdf["payload"]
             ):
-                if p is None or mtype != "image":
+                if p is None or mtype not in ("image", "video"):
                     continue
                 try:
                     w, h, frames = _decode_frames(bytes(p))
@@ -1026,7 +1195,7 @@ def extract_image_phash(media_df: DataFrame, method: str = "dhash") -> DataFrame
             for did, mtype, p in zip(
                 pdf["doc_id"], pdf["media_type"], pdf["payload"]
             ):
-                if p is None or mtype != "image":
+                if p is None or mtype not in ("image", "video"):
                     continue
                 try:
                     _, _, frames = _decode_frames(bytes(p))

@@ -109,6 +109,11 @@ def sniff_media_type(col: Column) -> Column:
             & (F.substring(h, 17, 8) == "57415645"),
             F.lit("wav"),
         )
+        .when(
+            (F.substring(h, 1, 8) == "52494646")
+            & (F.substring(h, 17, 8) == "41564920"),
+            F.lit("avi"),
+        )
         .when(F.substring(h, 1, 8) == "664C6143", F.lit("flac"))
         .when(F.substring(h, 1, 4) == "424D", F.lit("bmp"))
         .when(F.substring(h, 1, 4) == "1F8B", F.lit("gzip"))

@@ -102,8 +102,11 @@ def test_sniff_media_type_branches(spark):
         ("xml", b"<?xml version='1.0'?>"),
         ("other", b"plain text payload"),
         ("other", b""),
-        # a RIFF that is NOT WAVE (AVI) must not claim 'wav'
-        ("other", b"RIFF\x00\x00\x00\x00AVI LIST"),
+        # a RIFF that is NOT WAVE must not claim 'wav'; AVI gets its
+        # own verdict (the MJPEG video tier decodes it)
+        ("avi", b"RIFF\x00\x00\x00\x00AVI LIST"),
+        # a RIFF that is neither WAVE nor AVI stays 'other'
+        ("other", b"RIFF\x00\x00\x00\x00ACON...."),
     ]
     df = spark.createDataFrame(
         [(t, bytearray(p)) for t, p in rows], "expect string, payload binary"
