@@ -2274,6 +2274,63 @@ def q_audio_neardup(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_video_neardup(spark, sf_dir):
+    """VIDEO near-dup — the dedup tier for the video modality riding
+    the AVI-MJPEG decode (multimodal.py _avi_mjpeg_frames): each
+    eligible doc becomes a real RIFF-AVI whose FRAME 0 is a 9×8
+    baseline JPEG encoding the doc's deterministic fingerprint as
+    ±15 luma gradients (all-ones quantization error ≤2 ≪ the step, the
+    q_image_crossformat guarantee), followed by a constant DECOY frame
+    — so the query also proves the fingerprint extractor pins frame 0,
+    the LAION-video convention.  Container walk → per-frame entropy
+    decode → dHash rides mapInPandas (9 bytes/row downstream); pairs
+    band through the same pigeonhole machinery as text SimHash, image
+    dHash, and audio energy hashes.  The oracle is the identical
+    closed-form pair replay as q_image_neardup / q_audio_neardup (same
+    group/flip formula — the modality must not show up)."""
+    from kevinlang_spark.operators.dedup import hamming_neardup_pairs
+    from kevinlang_spark.operators.multimodal import extract_image_phash
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+    )
+
+    def gen(it):
+        import pandas as pd
+
+        from kevinlang_spark.operators.jpeg import make_jpeg
+        from kevinlang_spark.operators.multimodal import make_avi
+
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                px = _gradient_pixels(_phash_fingerprint(d))
+                frames = [make_jpeg(9, 8, pixels=px[:, :, 0])]
+                if d % 2 == 0:  # decoy frame: must NOT perturb the hash
+                    frames.append(make_jpeg(9, 8, gray=d % 256))
+                payloads.append(make_avi(9, 8, frames))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "video",
+                    "payload": payloads,
+                }
+            )
+
+    # spread the per-row AVI encode+decode across cores — a single-file
+    # parquet source otherwise serializes it on one task
+    media = docs.repartition(32).mapInPandas(
+        gen, schema="doc_id bigint, media_type string, payload binary"
+    )
+    sig = extract_image_phash(media, method="dhash")
+    return hamming_neardup_pairs(
+        sig, max_hamming=3, blocks=4, id_col="doc_id", sig_col="phash"
+    ).orderBy("id_a", "id_b")
+
+
 def q_image_crossformat(spark, sf_dir):
     """Container-invariant fingerprinting — the property multimodal
     dedup actually relies on: the SAME pixel content travels as a BMP
@@ -5894,6 +5951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_dedup": q_image_dedup,
         "q_image_crossformat": q_image_crossformat,
         "q_audio_neardup": q_audio_neardup,
+        "q_video_neardup": q_video_neardup,
         "q_quality_score": q_quality_score,
         "q_warc_ingest": q_warc_ingest,
         "q_html_extract": q_html_extract,
@@ -7020,6 +7078,9 @@ def oracle_sql() -> dict[str, str]:
         # the audio fingerprints carry the SAME group/flip formula, so
         # the closed-form pair replay is identical — modality-invariant
         "q_audio_neardup": _image_neardup_oracle_sql(),
+        # same replay for VIDEO: dHash of frame 0 of each AVI must carry
+        # the identical group/flip fingerprints (modality-invariant)
+        "q_video_neardup": _image_neardup_oracle_sql(),
         # each group is one Hamming<=2 clique, so the component label is
         # the group's minimum eligible id; singleton groups unlabeled
         # (neardup_components' nodes-with->=1-pair contract)

@@ -142,7 +142,12 @@ HEADLINE = [
     "q_image_dedup",
     "q_image_crossformat",
     "q_audio_neardup",
+    "q_video_neardup",
     "q_source_kl",
+    # round-9c: trigram stupid-backoff LM (gram-keyed count shuffles +
+    # five scoring joins); q_media_avi stays out like the other entropy
+    # codecs — codec_mbps tracks it
+    "q_lm_perplexity",
     "q_bpe_train",
     "q_bpe_encode",
     "q_hard_negatives",
@@ -238,6 +243,7 @@ def _codec_throughput(spark, sf_dir: str, cpus: int) -> dict:
         ("jpeg", 0, {"jpeg": True}),
         ("gif", 0, {"gif": True}),
         ("flac", 1, {"flac": True}),
+        ("avi", 0, {"avi": True}),
     ):
         media = (
             attach_stdlib_media(
