@@ -2274,6 +2274,56 @@ def q_audio_neardup(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_pdf_extract(spark, sf_dir):
+    """PDF text extraction with zero external libraries (sources/
+    pdf.py): synthesize one real single-page PDF per document —
+    FlateDecode-compressed content streams on even ids, stored-plain on
+    odd (both wire forms exercised), closed-form text lines in doc_id —
+    then parse the object tree, inflate the streams, and decode the
+    Tj/Td text operators back to the exact source lines.  Every tenth
+    eligible id (d % 10 == 4) carries a CORRUPTED Flate stream and
+    must quarantine to a NULL-text row, not a misextract.  The parse is
+    one linear pass per file riding Arrow-batched mapInPandas; only the
+    extracted text shuffles downstream."""
+    from kevinlang_spark.sources.pdf import extract_pdf_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        import pandas as pd
+
+        from kevinlang_spark.sources.pdf import make_pdf
+
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                lines = [
+                    f"doc {d} line {i} token{(d * 7 + i) % 1000}"
+                    for i in range(d % 4 + 1)
+                ]
+                b = make_pdf(lines, compress=(d % 2 == 0))
+                if d % 10 == 4:  # junk at the Flate stream head → gate
+                    b = b.replace(b"stream\n", b"stream\n\x00\x07", 1)
+                payloads.append(b)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    # spread per-row encode+parse across cores (single-file local read)
+    media = docs.repartition(32).mapInPandas(
+        gen, schema="doc_id bigint, payload binary"
+    )
+    ext = extract_pdf_text(media)
+    return ext.select(
+        "doc_id",
+        F.when(
+            F.col("text").isNotNull(), F.size(F.split("text", "\n"))
+        ).alias("n_lines"),
+        "text",
+    )
+
+
 def q_video_neardup(spark, sf_dir):
     """VIDEO near-dup — the dedup tier for the video modality riding
     the AVI-MJPEG decode (multimodal.py _avi_mjpeg_frames): each
@@ -5952,6 +6002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_crossformat": q_image_crossformat,
         "q_audio_neardup": q_audio_neardup,
         "q_video_neardup": q_video_neardup,
+        "q_pdf_extract": q_pdf_extract,
         "q_quality_score": q_quality_score,
         "q_warc_ingest": q_warc_ingest,
         "q_html_extract": q_html_extract,
@@ -7081,6 +7132,10 @@ def oracle_sql() -> dict[str, str]:
         # same replay for VIDEO: dHash of frame 0 of each AVI must carry
         # the identical group/flip fingerprints (modality-invariant)
         "q_video_neardup": _image_neardup_oracle_sql(),
+        # PDF extraction: closed-form line construction replayed in SQL;
+        # corrupted-Flate ids (d % 10 == 4)
+        # must surface as NULL-text quarantine rows in both engines
+        "q_pdf_extract": """SELECT doc_id, CAST(CASE WHEN doc_id % 10 = 4 THEN NULL ELSE doc_id % 4 + 1 END AS INT) AS n_lines, CASE WHEN doc_id % 10 = 4 THEN NULL ELSE (SELECT string_agg('doc ' || doc_id || ' line ' || s.g || ' token' || ((doc_id * 7 + s.g) % 1000), chr(10) ORDER BY s.g) FROM generate_series(0, 3) s(g) WHERE s.g <= doc_id % 4) END AS text FROM documents""",
         # each group is one Hamming<=2 clique, so the component label is
         # the group's minimum eligible id; singleton groups unlabeled
         # (neardup_components' nodes-with->=1-pair contract)

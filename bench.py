@@ -148,6 +148,7 @@ HEADLINE = [
     # five scoring joins); q_media_avi stays out like the other entropy
     # codecs — codec_mbps tracks it
     "q_lm_perplexity",
+    "q_pdf_extract",
     "q_bpe_train",
     "q_bpe_encode",
     "q_hard_negatives",
