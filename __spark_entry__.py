@@ -2324,6 +2324,94 @@ def q_pdf_extract(spark, sf_dir):
     )
 
 
+def q_zip_ingest(spark, sf_dir):
+    """ZIP archive member enumeration (sources/archive.py
+    read_zip_members): synthesize one real ZIP per document —
+    doc_id % 3 + 1 text members, deflate on even ids / stored on odd
+    (both wire forms), every 7th id replaced by NON-ZIP bytes that must
+    quarantine to a single file-level 'invalid' row — then enumerate
+    members distributedly (stdlib zipfile over Arrow batches; member
+    bytes dropped before anything shuffles — the census mode) and
+    report the closed-form member census."""
+    from kevinlang_spark.sources.archive import read_zip_members
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        import pandas as pd
+
+        from kevinlang_spark.sources.archive import make_zip
+
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 7 == 3:
+                    payloads.append(b"PK\x03\x04 not actually an archive")
+                    continue
+                members = {
+                    f"part{i}.txt": (
+                        f"content {d} part {i} " + "x" * (d % 50)
+                    ).encode()
+                    for i in range(d % 3 + 1)
+                }
+                payloads.append(make_zip(members, compress=(d % 2 == 0)))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    archives = docs.repartition(32).mapInPandas(
+        gen, schema="doc_id bigint, payload binary"
+    )
+    members = read_zip_members(archives, keep_payload=False)
+    # normalize the status to its class token: exception texts vary by
+    # Python version, classes do not
+    return members.select(
+        "doc_id",
+        "member",
+        "n_bytes",
+        F.split_part(F.col("status"), F.lit(":"), F.lit(1)).alias("status"),
+    )
+
+
+def q_docx_extract(spark, sf_dir):
+    """DOCX text extraction end-to-end (sources/archive.py
+    extract_docx_text): synthesize one real .docx per document —
+    [Content_Types].xml + _rels + a WordprocessingML document part,
+    paragraphs closed-form in doc_id INCLUDING XML-escaped characters
+    (&, <, >) — then enumerate the ZIP distributedly, keep
+    word/document.xml, and convert the markup to text with the PURE
+    Catalyst chain docx_xml_to_text (paragraphs → newlines, tags drop,
+    entities decode).  The oracle reconstructs the exact text, proving
+    escape → extract round-trips character-for-character."""
+    from kevinlang_spark.sources.archive import extract_docx_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        import pandas as pd
+
+        from kevinlang_spark.sources.archive import make_docx
+
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                paras = [f"Report {d}"] + [
+                    f"row {i} A&B <{(d * 3 + i) % 100}>"
+                    for i in range(d % 3)
+                ]
+                payloads.append(make_docx(paras))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    archives = docs.repartition(32).mapInPandas(
+        gen, schema="doc_id bigint, payload binary"
+    )
+    return extract_docx_text(archives)
+
+
 def q_video_neardup(spark, sf_dir):
     """VIDEO near-dup — the dedup tier for the video modality riding
     the AVI-MJPEG decode (multimodal.py _avi_mjpeg_frames): each
@@ -6002,6 +6090,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_crossformat": q_image_crossformat,
         "q_audio_neardup": q_audio_neardup,
         "q_video_neardup": q_video_neardup,
+        "q_zip_ingest": q_zip_ingest,
+        "q_docx_extract": q_docx_extract,
         "q_pdf_extract": q_pdf_extract,
         "q_quality_score": q_quality_score,
         "q_warc_ingest": q_warc_ingest,
@@ -7132,6 +7222,12 @@ def oracle_sql() -> dict[str, str]:
         # same replay for VIDEO: dHash of frame 0 of each AVI must carry
         # the identical group/flip fingerprints (modality-invariant)
         "q_video_neardup": _image_neardup_oracle_sql(),
+        # ZIP member census: closed-form names/sizes; non-ZIP ids must
+        # surface as one file-level invalid row
+        "q_zip_ingest": """SELECT doc_id, 'part' || s.g || '.txt' AS member, CAST(length('content ' || doc_id || ' part ' || s.g || ' ') + doc_id % 50 AS BIGINT) AS n_bytes, 'ok' AS status FROM documents, generate_series(0, 2) s(g) WHERE doc_id % 7 <> 3 AND s.g <= doc_id % 3 UNION ALL SELECT doc_id, NULL AS member, NULL AS n_bytes, 'invalid' AS status FROM documents WHERE doc_id % 7 = 3""",
+        # DOCX: the exact text reconstructs, proving escape -> extract
+        # round-trips character-for-character
+        "q_docx_extract": """SELECT doc_id, 'Report ' || doc_id || COALESCE((SELECT chr(10) || string_agg('row ' || s.g || ' A&B <' || ((doc_id * 3 + s.g) % 100) || '>', chr(10) ORDER BY s.g) FROM generate_series(0, 1) s(g) WHERE s.g < doc_id % 3), '') AS text FROM documents""",
         # PDF extraction: closed-form line construction replayed in SQL;
         # corrupted-Flate ids (d % 10 == 4)
         # must surface as NULL-text quarantine rows in both engines

@@ -149,6 +149,8 @@ HEADLINE = [
     # codecs — codec_mbps tracks it
     "q_lm_perplexity",
     "q_pdf_extract",
+    "q_zip_ingest",
+    "q_docx_extract",
     "q_bpe_train",
     "q_bpe_encode",
     "q_hard_negatives",

@@ -1,0 +1,110 @@
+"""ZIP member source + DOCX extraction (sources/archive.py): census
+and payload round trips, per-member vs file-level quarantine, the
+WordprocessingML → text Catalyst chain, and plan hygiene."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kevinlang_spark.sources.archive import (
+    _zip_members,
+    extract_docx_text,
+    make_docx,
+    make_zip,
+    read_zip_members,
+)
+
+
+def test_zip_member_roundtrip_both_methods():
+    members = {"a.txt": b"hello", "nested/b.bin": bytes(range(256)) * 4}
+    for compress in (True, False):
+        got = {m: data for m, _, _, st, data in _zip_members(
+            make_zip(members, compress=compress)
+        ) if st == "ok"}
+        assert got == members
+
+
+def test_fixture_bytes_are_stable():
+    assert make_zip({"a": b"x"}) == make_zip({"a": b"x"})
+    assert make_docx(["p"]) == make_docx(["p"])
+
+
+def test_member_level_quarantine_keeps_siblings():
+    # an encrypted member quarantines alone; the good member extracts.
+    # zipfile.writestr rewrites flag_bits, so set the encryption bit by
+    # byte surgery on locked.txt's local header (PK\x03\x04, flags at
+    # +6, name at +30/len at +26) and central record (PK\x01\x02,
+    # flags at +8, name at +46/len at +28)
+    raw = bytearray(make_zip({"good.txt": b"fine", "locked.txt": b"secret"}))
+
+    def set_flag(sig: bytes, flag_off: int, name_off: int, len_off: int):
+        i = 0
+        while (i := raw.find(sig, i)) >= 0:
+            nlen = int.from_bytes(raw[i + len_off : i + len_off + 2], "little")
+            if raw[i + name_off : i + name_off + nlen] == b"locked.txt":
+                raw[i + flag_off] |= 0x1
+            i += 4
+
+    set_flag(b"PK\x03\x04", 6, 30, 26)
+    set_flag(b"PK\x01\x02", 8, 46, 28)
+    rows = {m: (st, data) for m, _, _, st, data in _zip_members(bytes(raw))}
+    assert rows["good.txt"] == ("ok", b"fine")
+    assert rows["locked.txt"][0] == "encrypted"
+    assert rows["locked.txt"][1] is None
+
+
+def test_file_level_quarantine():
+    with pytest.raises(ValueError, match="not a readable ZIP"):
+        list(_zip_members(b"PK\x03\x04 junk that is not an archive"))
+
+
+def test_read_zip_members_census_mode(spark):
+    good = make_zip({"x.txt": b"abc", "y.txt": b"de"})
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, b"nope"), (3, None)],
+        "doc_id bigint, payload binary",
+    )
+    rows = read_zip_members(df, keep_payload=False).collect()
+    by_id: dict = {}
+    for r in rows:
+        by_id.setdefault(r["doc_id"], []).append(r)
+    assert {r["member"]: r["n_bytes"] for r in by_id[1]} == {
+        "x.txt": 3, "y.txt": 2
+    }
+    assert all(r["payload"] is None for r in rows)  # census never ships bytes
+    assert by_id[2][0]["status"].startswith("invalid")
+    assert by_id[3][0]["status"] == "null_payload"
+
+
+def test_docx_text_roundtrip(spark):
+    paras = ["Title", "A&B <tagged> \"quoted\"", "tabs\tstay"]
+    df = spark.createDataFrame(
+        [(1, bytearray(make_docx(paras)))], "doc_id bigint, payload binary"
+    )
+    out = extract_docx_text(df).collect()
+    assert len(out) == 1
+    assert out[0]["text"] == "\n".join(paras)
+
+
+def test_docx_xml_chain_is_jvm_side(spark):
+    # the XML→text conversion must stay Catalyst: no Python stage beyond
+    # the one mapInPandas member enumeration
+    df = spark.createDataFrame(
+        [(1, bytearray(make_docx(["p"])))], "doc_id bigint, payload binary"
+    )
+    plan = extract_docx_text(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_non_docx_zip_contributes_no_row(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(make_zip({"data.txt": b"not a docx"})))],
+        "doc_id bigint, payload binary",
+    )
+    assert extract_docx_text(df).count() == 0
