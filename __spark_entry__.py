@@ -2374,6 +2374,62 @@ def q_zip_ingest(spark, sf_dir):
     )
 
 
+def q_webdataset(spark, sf_dir):
+    """WebDataset shard ingestion (sources/archive.py read_tar_members
+    + webdataset_samples) — the tar-of-(key.ext) convention
+    vision/multimodal training shards ship in: synthesize one real
+    .tar.gz per document holding doc_id % 3 + 1 samples (a .txt and a
+    .cls part each, content closed-form), enumerate members
+    distributedly (stdlib tarfile in Arrow batches), group parts into
+    samples with ONE keyed aggregation on (archive, key), and report
+    the per-sample census.  Every 9th id carries a corrupt gzip
+    wrapper and must contribute NO samples (file-level quarantine
+    upstream of the grouping)."""
+    from kevinlang_spark.sources.archive import (
+        read_tar_members,
+        webdataset_samples,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        import pandas as pd
+
+        from kevinlang_spark.sources.archive import make_tar
+
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 9 == 5:
+                    payloads.append(b"\x1f\x8b\x08 broken gzip wrapper")
+                    continue
+                members = {}
+                for s in range(d % 3 + 1):
+                    members[f"{d}_{s}.txt"] = (
+                        f"sample {d} {s} " + "y" * (d % 20)
+                    ).encode()
+                    members[f"{d}_{s}.cls"] = str((d + s) % 10).encode()
+                payloads.append(make_tar(members))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    archives = docs.repartition(32).mapInPandas(
+        gen, schema="doc_id bigint, payload binary"
+    )
+    samples = webdataset_samples(read_tar_members(archives))
+    return samples.select(
+        "doc_id",
+        "key",
+        "n_parts",
+        F.length(F.element_at(F.col("parts"), F.lit("txt"))).alias("txt_len"),
+        F.decode(F.element_at(F.col("parts"), F.lit("cls")), "UTF-8").alias(
+            "cls"
+        ),
+    )
+
+
 def q_docx_extract(spark, sf_dir):
     """DOCX text extraction end-to-end (sources/archive.py
     extract_docx_text): synthesize one real .docx per document —
@@ -6091,6 +6147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_neardup": q_audio_neardup,
         "q_video_neardup": q_video_neardup,
         "q_zip_ingest": q_zip_ingest,
+        "q_webdataset": q_webdataset,
         "q_docx_extract": q_docx_extract,
         "q_pdf_extract": q_pdf_extract,
         "q_quality_score": q_quality_score,
@@ -7225,6 +7282,9 @@ def oracle_sql() -> dict[str, str]:
         # ZIP member census: closed-form names/sizes; non-ZIP ids must
         # surface as one file-level invalid row
         "q_zip_ingest": """SELECT doc_id, 'part' || s.g || '.txt' AS member, CAST(length('content ' || doc_id || ' part ' || s.g || ' ') + doc_id % 50 AS BIGINT) AS n_bytes, 'ok' AS status FROM documents, generate_series(0, 2) s(g) WHERE doc_id % 7 <> 3 AND s.g <= doc_id % 3 UNION ALL SELECT doc_id, NULL AS member, NULL AS n_bytes, 'invalid' AS status FROM documents WHERE doc_id % 7 = 3""",
+        # WebDataset shards: per-sample census closed-form; corrupt-gzip
+        # ids contribute no samples
+        "q_webdataset": """SELECT doc_id, doc_id || '_' || s.g AS key, CAST(2 AS BIGINT) AS n_parts, CAST(length('sample ' || doc_id || ' ' || s.g || ' ') + doc_id % 20 AS INT) AS txt_len, CAST((doc_id + s.g) % 10 AS VARCHAR) AS cls FROM documents, generate_series(0, 2) s(g) WHERE doc_id % 9 <> 5 AND s.g <= doc_id % 3""",
         # DOCX: the exact text reconstructs, proving escape -> extract
         # round-trips character-for-character
         "q_docx_extract": """SELECT doc_id, 'Report ' || doc_id || COALESCE((SELECT chr(10) || string_agg('row ' || s.g || ' A&B <' || ((doc_id * 3 + s.g) % 100) || '>', chr(10) ORDER BY s.g) FROM generate_series(0, 1) s(g) WHERE s.g < doc_id % 3), '') AS text FROM documents""",

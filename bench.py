@@ -151,6 +151,7 @@ HEADLINE = [
     "q_pdf_extract",
     "q_zip_ingest",
     "q_docx_extract",
+    "q_webdataset",
     "q_bpe_train",
     "q_bpe_encode",
     "q_hard_negatives",

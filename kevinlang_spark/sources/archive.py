@@ -133,6 +133,137 @@ def read_zip_members(
     return archives.mapInPandas(batches, schema=ZIP_MEMBERS_SCHEMA)
 
 
+TAR_MEMBERS_SCHEMA = ZIP_MEMBERS_SCHEMA.replace(", crc32 bigint", "")
+
+
+def make_tar(members: dict, gz: bool = True) -> bytes:
+    """A real (optionally gzip'd) TAR from a {name: bytes} mapping —
+    the WebDataset shard shape.  Deterministic: zeroed mtimes, fixed
+    uid/gid, gzip with mtime=0, so fixture bytes are stable."""
+    import gzip as _gzip
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for name, data in members.items():
+            ti = tarfile.TarInfo(name)
+            ti.size = len(data)
+            ti.mtime = 0
+            ti.uid = ti.gid = 0
+            tf.addfile(ti, io.BytesIO(data))
+    raw = buf.getvalue()
+    if not gz:
+        return raw
+    out = io.BytesIO()
+    with _gzip.GzipFile(fileobj=out, mode="wb", mtime=0) as gzf:
+        gzf.write(raw)
+    return out.getvalue()
+
+
+def _tar_members(payload: bytes):
+    """Yield (member, size, status, data) per TAR entry; gzip-wrapped
+    archives (the .tar.gz / WebDataset norm) inflate first.  Non-file
+    entries (directories, links) are skipped; a corrupt stream raises
+    ValueError (file-level quarantine)."""
+    import gzip as _gzip
+    import tarfile
+
+    if payload[:2] == b"\x1f\x8b":
+        try:
+            payload = _gzip.decompress(payload)
+        except (OSError, EOFError, zlib.error) as exc:
+            raise ValueError(f"corrupt gzip wrapper: {exc}") from exc
+    try:
+        with tarfile.open(fileobj=io.BytesIO(payload), mode="r:") as tf:
+            for ti in tf:
+                if not ti.isfile():
+                    continue
+                f = tf.extractfile(ti)
+                data = f.read() if f is not None else b""
+                yield ti.name, ti.size, "ok", data
+    except tarfile.TarError as exc:
+        raise ValueError(f"not a readable TAR: {exc}") from exc
+
+
+def read_tar_members(
+    archives: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    keep_payload: bool = True,
+) -> DataFrame:
+    """(id, payload) of TAR / TAR.GZ archives → one row per file member
+    (doc_id, member, n_bytes, status, payload) — the ZIP source's
+    contract for the tape-archive family; unreadable archives collapse
+    to a single ``invalid`` row."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "member", "n_bytes", "status", "payload"
+            )}
+
+            def push(did, member, size, status, data):
+                out["doc_id"].append(did)
+                out["member"].append(member)
+                out["n_bytes"].append(size)
+                out["status"].append(status)
+                out["payload"].append(data if keep_payload else None)
+
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:
+                    push(did, None, None, "null_payload", None)
+                    continue
+                try:
+                    for m, size, status, data in _tar_members(bytes(p)):
+                        push(did, m, size, status, data)
+                except ValueError as exc:
+                    push(did, None, None, f"invalid: {exc}", None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(out["doc_id"], dtype="Int64"),
+                    "member": out["member"],
+                    "n_bytes": pd.array(out["n_bytes"], dtype="Int64"),
+                    "status": out["status"],
+                    "payload": out["payload"],
+                }
+            )
+
+    return archives.mapInPandas(batches, schema=TAR_MEMBERS_SCHEMA)
+
+
+def webdataset_samples(members: DataFrame) -> DataFrame:
+    """Group TAR members into WebDataset SAMPLES: key = the member name
+    up to the first '.' after the last '/', parts = {extension →
+    payload} — the (000001.jpg, 000001.txt, 000001.json) convention
+    vision/multimodal training shards use.  One keyed aggregation on
+    (archive, key); within-sample part count is bounded by the format
+    (a handful of extensions), so map values stay row-sized.
+
+    Returns (doc_id, key, n_parts, parts map<string, binary>)."""
+    base = F.element_at(F.split(F.col("member"), "/"), -1)
+    key = F.regexp_extract(base, r"^([^.]*)", 1)
+    ext = F.regexp_extract(base, r"^[^.]*\.(.*)$", 1)
+    ok = members.where(
+        F.col("status") == "ok"
+    ).select(
+        "doc_id",
+        key.alias("key"),
+        ext.alias("ext"),
+        "payload",
+    )
+    return (
+        ok.groupBy("doc_id", "key")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.map_from_entries(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("ext"), F.col("payload")))
+                )
+            ).alias("parts"),
+        )
+    )
+
+
 #: WordprocessingML → text rules, applied in order (single pass each,
 #: all RE2-compatible so a SQL engine can replay them)
 _DOCX_BREAKS = r"</w:p>|<w:br[^>]*/>|<w:cr[^>]*/>"

@@ -108,3 +108,54 @@ def test_non_docx_zip_contributes_no_row(spark):
         "doc_id bigint, payload binary",
     )
     assert extract_docx_text(df).count() == 0
+
+
+def test_tar_member_roundtrip_both_wrappings():
+    from kevinlang_spark.sources.archive import _tar_members, make_tar
+
+    members = {"s/000001.txt": b"hello", "s/000001.cls": b"7"}
+    for gz in (True, False):
+        got = {m: data for m, _, st, data in _tar_members(
+            make_tar(members, gz=gz)
+        ) if st == "ok"}
+        assert got == members
+    assert make_tar({"a": b"x"}) == make_tar({"a": b"x"})  # stable bytes
+
+
+def test_tar_quarantine_gates():
+    from kevinlang_spark.sources.archive import _tar_members
+
+    with pytest.raises(ValueError, match="corrupt gzip"):
+        list(_tar_members(b"\x1f\x8b\x08 junk"))
+    with pytest.raises(ValueError, match="not a readable TAR"):
+        list(_tar_members(b"A" * 1024))
+
+
+def test_webdataset_grouping(spark):
+    from kevinlang_spark.sources.archive import (
+        make_tar,
+        read_tar_members,
+        webdataset_samples,
+    )
+
+    shard = make_tar(
+        {
+            "d/000001.txt": b"text one",
+            "d/000001.cls": b"3",
+            "d/000002.txt": b"two",
+        }
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(shard)), (2, b"\x1f\x8b\x08 bad")],
+        "doc_id bigint, payload binary",
+    )
+    rows = {
+        (r["doc_id"], r["key"]): r
+        for r in webdataset_samples(read_tar_members(df)).collect()
+    }
+    # sample 000001 has two parts; 000002 one; the corrupt shard: none
+    assert set(rows) == {(1, "000001"), (1, "000002")}
+    assert rows[(1, "000001")]["n_parts"] == 2
+    assert bytes(rows[(1, "000001")]["parts"]["txt"]) == b"text one"
+    assert bytes(rows[(1, "000001")]["parts"]["cls"]) == b"3"
+    assert rows[(1, "000002")]["n_parts"] == 1
