@@ -2430,6 +2430,111 @@ def q_webdataset(spark, sf_dir):
     )
 
 
+def q_webdataset_pipeline(spark, sf_dir):
+    """The LAION shard shape END-TO-END: tar.gz WebDataset shards →
+    sample grouping → REAL image decode + caption tokenization in one
+    declarative plan.  Each document's shard holds one (bmp, txt)
+    sample — a constant-color BMP with doc_id-derived dimensions and a
+    closed-form caption — so the pipeline proves parts route to the
+    right modality leg: the image part through stdlib_pixel_decode
+    (Arrow-batched, pixels never shuffle), the caption through a
+    Catalyst token count.  Everything downstream of the one keyed
+    sample-grouping aggregation pipelines inside the scan stage."""
+    from kevinlang_spark.sources.archive import (
+        read_tar_members,
+        webdataset_samples,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        import pandas as pd
+
+        from kevinlang_spark.operators.multimodal import make_bmp
+        from kevinlang_spark.sources.archive import make_tar
+
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                payloads.append(
+                    make_tar(
+                        {
+                            f"{d}.bmp": make_bmp(
+                                d % 16 + 1,
+                                d % 12 + 1,
+                                rgb=(d % 256, d * 3 % 256, d * 7 % 256),
+                            ),
+                            f"{d}.txt": (
+                                f"caption {d} " + "word " * (d % 5)
+                            ).encode(),
+                        }
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    archives = docs.repartition(32).mapInPandas(
+        gen, schema="doc_id bigint, payload binary"
+    )
+    samples = webdataset_samples(read_tar_members(archives))
+    staged = samples.select(
+        "doc_id",
+        "key",
+        F.element_at(F.col("parts"), F.lit("bmp")).alias("img"),
+        F.decode(F.element_at(F.col("parts"), F.lit("txt")), "UTF-8").alias(
+            "caption"
+        ),
+    )
+
+    def dec(it):
+        import pandas as pd
+
+        from kevinlang_spark.operators.multimodal import stdlib_pixel_decode
+
+        for pdf in it:
+            w, h, mr = [], [], []
+            for p in pdf["img"]:
+                try:
+                    s = stdlib_pixel_decode(bytes(p), "image")
+                    w.append(s["width"])
+                    h.append(s["height"])
+                    mr.append(s["mean_r"])
+                except ValueError:
+                    w.append(None)
+                    h.append(None)
+                    mr.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "key": pdf["key"],
+                    "caption": pdf["caption"],
+                    "width": pd.array(w, dtype="Int32"),
+                    "height": pd.array(h, dtype="Int32"),
+                    "mean_r": pd.array(mr, dtype="Float64"),
+                }
+            )
+
+    out = staged.mapInPandas(
+        dec,
+        schema=(
+            "doc_id bigint, key string, caption string, width int, "
+            "height int, mean_r double"
+        ),
+    )
+    return out.select(
+        "doc_id",
+        "key",
+        "width",
+        "height",
+        "mean_r",
+        F.size(F.split(F.trim(F.col("caption")), " +")).alias(
+            "n_caption_tokens"
+        ),
+    )
+
+
 def q_docx_extract(spark, sf_dir):
     """DOCX text extraction end-to-end (sources/archive.py
     extract_docx_text): synthesize one real .docx per document —
@@ -6148,6 +6253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_video_neardup": q_video_neardup,
         "q_zip_ingest": q_zip_ingest,
         "q_webdataset": q_webdataset,
+        "q_webdataset_pipeline": q_webdataset_pipeline,
         "q_docx_extract": q_docx_extract,
         "q_pdf_extract": q_pdf_extract,
         "q_quality_score": q_quality_score,
@@ -7285,6 +7391,8 @@ def oracle_sql() -> dict[str, str]:
         # WebDataset shards: per-sample census closed-form; corrupt-gzip
         # ids contribute no samples
         "q_webdataset": """SELECT doc_id, doc_id || '_' || s.g AS key, CAST(2 AS BIGINT) AS n_parts, CAST(length('sample ' || doc_id || ' ' || s.g || ' ') + doc_id % 20 AS INT) AS txt_len, CAST((doc_id + s.g) % 10 AS VARCHAR) AS cls FROM documents, generate_series(0, 2) s(g) WHERE doc_id % 9 <> 5 AND s.g <= doc_id % 3""",
+        # shard -> sample -> decode + caption: every stat closed-form
+        "q_webdataset_pipeline": """SELECT doc_id, CAST(doc_id AS VARCHAR) AS key, CAST(doc_id % 16 + 1 AS INT) AS width, CAST(doc_id % 12 + 1 AS INT) AS height, CAST(doc_id % 256 AS DOUBLE) AS mean_r, CAST(2 + doc_id % 5 AS INT) AS n_caption_tokens FROM documents""",
         # DOCX: the exact text reconstructs, proving escape -> extract
         # round-trips character-for-character
         "q_docx_extract": """SELECT doc_id, 'Report ' || doc_id || COALESCE((SELECT chr(10) || string_agg('row ' || s.g || ' A&B <' || ((doc_id * 3 + s.g) % 100) || '>', chr(10) ORDER BY s.g) FROM generate_series(0, 1) s(g) WHERE s.g < doc_id % 3), '') AS text FROM documents""",

@@ -152,6 +152,7 @@ HEADLINE = [
     "q_zip_ingest",
     "q_docx_extract",
     "q_webdataset",
+    "q_webdataset_pipeline",
     "q_bpe_train",
     "q_bpe_encode",
     "q_hard_negatives",
