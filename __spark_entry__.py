@@ -4551,8 +4551,8 @@ def q_lm_perplexity(spark, sf_dir):
     2007 — the CCNet-style LM quality filter): counts train on the
     even-doc_id half, every document scores, so held-out docs exercise
     the full backoff chain (seen trigram → α·bigram → α²·add-one
-    unigram floor).  The model is three gram-keyed count tables + two
-    scalars; scoring is five gram-keyed hash joins — no dense vocab
+    unigram floor).  The model is three gram-keyed count tables + a
+    broadcast 1-row N+V aggregate; scoring is five gram-keyed hash joins — no dense vocab
     structure, so both corpora scale arbitrarily."""
     from kevinlang_spark.operators.text import lm_perplexity
 

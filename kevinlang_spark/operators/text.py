@@ -658,9 +658,10 @@ def lm_perplexity(
 
     Scale shape: the model IS three count tables keyed by their grams —
     map-side-combined count shuffles to build, five gram-keyed
-    broadcast-or-shuffle hash joins to score, N and V as two driver
-    scalars.  No dense vocabulary structure ever materializes, so train
-    and scoring corpora can both be arbitrarily large.
+    broadcast-or-shuffle hash joins to score, N+V as a broadcast 1-row
+    aggregate (the plan stays lazy; the train aggregation runs once).
+    No dense vocabulary structure ever materializes, so train and
+    scoring corpora can both be arbitrarily large.
 
     Returns one row per document with ≥1 trigram:
     (id_col, n_trigrams, avg_logp rounded 6dp, perplexity =
@@ -724,13 +725,18 @@ def lm_perplexity(
         .groupBy("w1", "w2", "w3")
         .agg(F.count("*").alias("c3"))
     )
-    # N (train token mass) and V (train vocabulary) are the model's only
-    # scalars — one metadata-sized collect, embedded as literals
+    # N+V (train token mass + vocabulary) is the model's only scalar —
+    # a broadcast 1-row cross join (the oracle's own CROSS JOIN nv
+    # shape) keeps the plan fully LAZY and evaluates the train
+    # aggregation once; an eager .collect() here would both trigger a
+    # job at construction time and recompute the tokenize+groupBy when
+    # the returned frame executes
     nv = uni.agg(
-        F.sum("c1").alias("n"), F.count("*").alias("v")
-    ).collect()[0]
-    n_plus_v = float((nv["n"] or 0) + nv["v"])
-    if n_plus_v == 0.0:
+        (F.coalesce(F.sum("c1"), F.lit(0)) + F.count("*")).alias("__npv")
+    )
+    # cheap guard (first-row scan, no aggregation): an empty train
+    # slice has no model to back off into
+    if train_filter is not None and df.where(train_filter).isEmpty():
         raise ValueError("lm_perplexity: training slice has no tokens")
 
     b_ctx = big.select(
@@ -749,6 +755,7 @@ def lm_perplexity(
         .join(b_bo, ["w2", "w3"], "left")
         .join(u_ctx, ["w2"], "left")
         .join(u_tgt, ["w3"], "left")
+        .crossJoin(F.broadcast(nv))
     )
     # association mirrors the DuckDB oracle token-for-token: (x·1.0)/y,
     # (α·x)/y, ((α·α)·x)/y — double arithmetic is order-sensitive and the
@@ -767,7 +774,7 @@ def lm_perplexity(
                 F.lit(alpha)
                 * F.lit(alpha)
                 * (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(1.0))
-                / F.lit(n_plus_v)
+                / F.col("__npv")
             )
         )
     )

@@ -76,11 +76,64 @@ def _zip_members(payload: bytes):
             yield zi.filename, zi.file_size, zi.CRC, "unsupported_method", None
             continue
         try:
-            data = zf.read(zi.filename)
+            # read by ZipInfo, not name: duplicate-named entries
+            # (appended/updated archives) would otherwise all return
+            # the LAST entry's bytes against each entry's own size/CRC
+            data = zf.read(zi)
         except (zipfile.BadZipFile, zlib.error) as exc:
             yield zi.filename, zi.file_size, zi.CRC, f"corrupt: {exc}", None
             continue
         yield zi.filename, zi.file_size, zi.CRC, "ok", data
+
+
+_INT_FIELDS = frozenset({"n_bytes", "crc32"})
+
+
+def _member_batches(id_col, payload_col, rows_of, fields, keep_payload):
+    """The ONE place archive-enumeration row building and quarantine
+    semantics live (shared by the ZIP and TAR readers): per archive,
+    ``rows_of(payload)`` is materialized ATOMICALLY — a parse error at
+    any point yields a single file-level ``invalid`` row and discards
+    partial members, so 'invalid' can never coexist with 'ok' rows from
+    the same archive; NULL payloads audit as ``null_payload``."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", *fields)}
+
+            def push(did, row):
+                out["doc_id"].append(did)
+                for f in fields:
+                    out[f].append(row.get(f))
+
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:
+                    push(did, {"status": "null_payload"})
+                    continue
+                try:
+                    rows = list(rows_of(bytes(p)))
+                except ValueError as exc:
+                    push(did, {"status": f"invalid: {exc}"})
+                    continue
+                for row in rows:
+                    if not keep_payload:
+                        row = {**row, "payload": None}
+                    push(did, row)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(out["doc_id"], dtype="Int64"),
+                    **{
+                        f: (
+                            pd.array(out[f], dtype="Int64")
+                            if f in _INT_FIELDS
+                            else out[f]
+                        )
+                        for f in fields
+                    },
+                }
+            )
+
+    return batches
 
 
 def read_zip_members(
@@ -96,41 +149,23 @@ def read_zip_members(
     ``keep_payload=False`` drops member bytes before anything
     shuffles — the census/audit mode."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            out = {k: [] for k in (
-                "doc_id", "member", "n_bytes", "crc32", "status", "payload"
-            )}
+    def rows_of(p: bytes):
+        for m, size, crc, status, data in _zip_members(p):
+            yield {
+                "member": m, "n_bytes": size, "crc32": crc,
+                "status": status, "payload": data,
+            }
 
-            def push(did, member, size, crc, status, data):
-                out["doc_id"].append(did)
-                out["member"].append(member)
-                out["n_bytes"].append(size)
-                out["crc32"].append(crc)
-                out["status"].append(status)
-                out["payload"].append(data if keep_payload else None)
-
-            for did, p in zip(pdf[id_col], pdf[payload_col]):
-                if p is None:
-                    push(did, None, None, None, "null_payload", None)
-                    continue
-                try:
-                    for m, size, crc, status, data in _zip_members(bytes(p)):
-                        push(did, m, size, crc, status, data)
-                except ValueError as exc:
-                    push(did, None, None, None, f"invalid: {exc}", None)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.array(out["doc_id"], dtype="Int64"),
-                    "member": out["member"],
-                    "n_bytes": pd.array(out["n_bytes"], dtype="Int64"),
-                    "crc32": pd.array(out["crc32"], dtype="Int64"),
-                    "status": out["status"],
-                    "payload": out["payload"],
-                }
-            )
-
-    return archives.mapInPandas(batches, schema=ZIP_MEMBERS_SCHEMA)
+    return archives.mapInPandas(
+        _member_batches(
+            id_col,
+            payload_col,
+            rows_of,
+            ("member", "n_bytes", "crc32", "status", "payload"),
+            keep_payload,
+        ),
+        schema=ZIP_MEMBERS_SCHEMA,
+    )
 
 
 TAR_MEMBERS_SCHEMA = ZIP_MEMBERS_SCHEMA.replace(", crc32 bigint", "")
@@ -163,8 +198,13 @@ def make_tar(members: dict, gz: bool = True) -> bytes:
 def _tar_members(payload: bytes):
     """Yield (member, size, status, data) per TAR entry; gzip-wrapped
     archives (the .tar.gz / WebDataset norm) inflate first.  Non-file
-    entries (directories, links) are skipped; a corrupt stream raises
-    ValueError (file-level quarantine)."""
+    entries (directories, links) are skipped; a corrupt OR TRUNCATED
+    stream raises ValueError (file-level quarantine).  Truncation needs
+    an explicit check: tarfile in non-stream mode treats EOF as
+    end-of-archive, so a partially-downloaded shard would otherwise
+    read as a smaller-but-valid shard — every member must carry its
+    declared size, and the archive must still hold the two 512-byte
+    zero end blocks after the last entry."""
     import gzip as _gzip
     import tarfile
 
@@ -173,16 +213,30 @@ def _tar_members(payload: bytes):
             payload = _gzip.decompress(payload)
         except (OSError, EOFError, zlib.error) as exc:
             raise ValueError(f"corrupt gzip wrapper: {exc}") from exc
+    results = []
+    end = 0
     try:
         with tarfile.open(fileobj=io.BytesIO(payload), mode="r:") as tf:
             for ti in tf:
+                end = max(
+                    end, ti.offset + 512 + ((ti.size + 511) // 512) * 512
+                )
                 if not ti.isfile():
                     continue
                 f = tf.extractfile(ti)
                 data = f.read() if f is not None else b""
-                yield ti.name, ti.size, "ok", data
+                if len(data) != ti.size:
+                    raise ValueError(
+                        f"truncated TAR member {ti.name!r}: "
+                        f"{len(data)} of {ti.size} bytes"
+                    )
+                results.append((ti.name, ti.size, "ok", data))
     except tarfile.TarError as exc:
         raise ValueError(f"not a readable TAR: {exc}") from exc
+    tail = payload[end : end + 1024]
+    if len(tail) < 1024 or tail.count(0) != 1024:
+        raise ValueError("truncated TAR archive: end-of-archive blocks missing")
+    yield from results
 
 
 def read_tar_members(
@@ -193,56 +247,43 @@ def read_tar_members(
 ) -> DataFrame:
     """(id, payload) of TAR / TAR.GZ archives → one row per file member
     (doc_id, member, n_bytes, status, payload) — the ZIP source's
-    contract for the tape-archive family; unreadable archives collapse
-    to a single ``invalid`` row."""
+    contract for the tape-archive family; unreadable or truncated
+    archives collapse to a single ``invalid`` row."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            out = {k: [] for k in (
-                "doc_id", "member", "n_bytes", "status", "payload"
-            )}
+    def rows_of(p: bytes):
+        for m, size, status, data in _tar_members(p):
+            yield {
+                "member": m, "n_bytes": size,
+                "status": status, "payload": data,
+            }
 
-            def push(did, member, size, status, data):
-                out["doc_id"].append(did)
-                out["member"].append(member)
-                out["n_bytes"].append(size)
-                out["status"].append(status)
-                out["payload"].append(data if keep_payload else None)
-
-            for did, p in zip(pdf[id_col], pdf[payload_col]):
-                if p is None:
-                    push(did, None, None, "null_payload", None)
-                    continue
-                try:
-                    for m, size, status, data in _tar_members(bytes(p)):
-                        push(did, m, size, status, data)
-                except ValueError as exc:
-                    push(did, None, None, f"invalid: {exc}", None)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.array(out["doc_id"], dtype="Int64"),
-                    "member": out["member"],
-                    "n_bytes": pd.array(out["n_bytes"], dtype="Int64"),
-                    "status": out["status"],
-                    "payload": out["payload"],
-                }
-            )
-
-    return archives.mapInPandas(batches, schema=TAR_MEMBERS_SCHEMA)
+    return archives.mapInPandas(
+        _member_batches(
+            id_col,
+            payload_col,
+            rows_of,
+            ("member", "n_bytes", "status", "payload"),
+            keep_payload,
+        ),
+        schema=TAR_MEMBERS_SCHEMA,
+    )
 
 
 def webdataset_samples(members: DataFrame) -> DataFrame:
-    """Group TAR members into WebDataset SAMPLES: key = the member name
-    up to the first '.' after the last '/', parts = {extension →
-    payload} — the (000001.jpg, 000001.txt, 000001.json) convention
-    vision/multimodal training shards use.  One keyed aggregation on
-    (archive, key); within-sample part count is bounded by the format
-    (a handful of extensions), so map values stay row-sized.
+    """Group TAR members into WebDataset SAMPLES: key = the member PATH
+    up to the first '.' after the last '/' (directories stay in the
+    key, matching the library's ``base_plus_ext`` convention —
+    'train/0001.txt' and 'val/0001.txt' are DIFFERENT samples), parts =
+    {extension → payload}.  One keyed aggregation on (archive, key);
+    within-sample part count is bounded by the format (a handful of
+    extensions), so map values stay row-sized.  A duplicated member
+    path (the same (key, ext) twice in one archive) keeps the
+    lexicographically-smallest payload deterministically instead of
+    killing the task with DUPLICATED_MAP_KEY.
 
     Returns (doc_id, key, n_parts, parts map<string, binary>)."""
-    base = F.element_at(F.split(F.col("member"), "/"), -1)
-    key = F.regexp_extract(base, r"^([^.]*)", 1)
-    ext = F.regexp_extract(base, r"^[^.]*\.(.*)$", 1)
+    key = F.regexp_extract(F.col("member"), r"^((?:.*/)?[^.]*)", 1)
+    ext = F.regexp_extract(F.col("member"), r"^(?:.*/)?[^.]*\.(.*)$", 1)
     ok = members.where(
         F.col("status") == "ok"
     ).select(
@@ -251,16 +292,33 @@ def webdataset_samples(members: DataFrame) -> DataFrame:
         ext.alias("ext"),
         "payload",
     )
-    return (
-        ok.groupBy("doc_id", "key")
-        .agg(
-            F.count("*").alias("n_parts"),
-            F.map_from_entries(
-                F.sort_array(
-                    F.collect_list(F.struct(F.col("ext"), F.col("payload")))
-                )
-            ).alias("parts"),
-        )
+    # ONE shuffle carries the payloads; duplicate (key, ext) entries
+    # dedupe IN-ROW after the sort (first of each ext run = smallest
+    # payload) — map_from_entries would otherwise throw
+    # DUPLICATED_MAP_KEY under Spark's default mapKeyDedupPolicy.  The
+    # sorted array is materialized in its own projection so the filter
+    # lambda's previous-element probe (F.get — 0-based, NULL out of
+    # bounds, ANSI-safe) is an attribute lookup, not a re-evaluation.
+    agg = ok.groupBy("doc_id", "key").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("ext"), F.col("payload")))
+        ).alias("__arr")
+    )
+    arr = F.col("__arr")
+    staged = agg.select(
+        "doc_id",
+        "key",
+        F.filter(
+            arr,
+            lambda x, i: (i == F.lit(0))
+            | (F.get(arr, i - 1)["ext"] != x["ext"]),
+        ).alias("__parts"),
+    )
+    return staged.select(
+        "doc_id",
+        "key",
+        F.size("__parts").cast("bigint").alias("n_parts"),
+        F.map_from_entries(F.col("__parts")).alias("parts"),
     )
 
 

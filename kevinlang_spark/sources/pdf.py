@@ -140,6 +140,8 @@ def _pdf_string(buf: bytes, i: int):
 
 
 _HEX_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
+_OP_RE = re.compile(rb"[A-Za-z'\"*]+")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
 
 
 def _stream_text(stream: bytes) -> list:
@@ -160,7 +162,14 @@ def _stream_text(stream: bytes) -> list:
             s, i = _pdf_string(stream, i)
             pending.append(s)
             continue
-        if c == b"<" and stream[i : i + 2] != b"<<":
+        if c == b"<":
+            if stream[i : i + 2] == b"<<":
+                # inline dictionary (marked content: '/Tag <<…>> BDC',
+                # ubiquitous in tagged PDFs) — step past the delimiter;
+                # any strings inside are operands of the closing BDC/DP
+                # operator and get cleared there
+                i += 2
+                continue
             m = _HEX_RE.match(stream, i)
             if not m:
                 raise ValueError("unterminated PDF hex string")
@@ -171,7 +180,9 @@ def _stream_text(stream: bytes) -> list:
             i = m.end()
             continue
         if c.isalpha() or c in (b"'", b'"', b"*"):
-            m = re.match(rb"[A-Za-z'\"*]+", stream[i:])
+            # match IN PLACE — slicing the tail here would copy O(n)
+            # bytes per operator and turn the pass quadratic
+            m = _OP_RE.match(stream, i)
             op = m.group(0)
             i += len(op)
             if op in (b"Tj", b"TJ"):
@@ -212,12 +223,22 @@ def pdf_text(payload: bytes) -> str:
         se = obj.rfind(b"endstream")
         if se < 0:
             raise ValueError("PDF stream without endstream")
-        data = obj[sm.end() : se]
-        # §7.3.8.1: EOL before 'endstream' is not stream data
-        if data.endswith(b"\r\n"):
-            data = data[:-2]
-        elif data.endswith(b"\n") or data.endswith(b"\r"):
-            data = data[:-1]
+        # prefer the dict's direct /Length — the EOL-before-endstream
+        # heuristic eats a REAL trailing 0x0D data byte whenever a Flate
+        # stream happens to end in \r (then writer's \n makes it look
+        # like a two-byte EOL): ~0.4% of compressed streams
+        lm = _LENGTH_RE.search(head)
+        if lm:
+            data = obj[sm.end() : sm.end() + int(lm.group(1))]
+            if len(data) < int(lm.group(1)):
+                raise ValueError("PDF stream shorter than /Length")
+        else:
+            data = obj[sm.end() : se]
+            # §7.3.8.1: EOL before 'endstream' is not stream data
+            if data.endswith(b"\r\n"):
+                data = data[:-2]
+            elif data.endswith(b"\n") or data.endswith(b"\r"):
+                data = data[:-1]
         if b"/Filter" in head:
             if b"/FlateDecode" not in head:
                 raise ValueError(

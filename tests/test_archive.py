@@ -153,9 +153,95 @@ def test_webdataset_grouping(spark):
         (r["doc_id"], r["key"]): r
         for r in webdataset_samples(read_tar_members(df)).collect()
     }
-    # sample 000001 has two parts; 000002 one; the corrupt shard: none
-    assert set(rows) == {(1, "000001"), (1, "000002")}
-    assert rows[(1, "000001")]["n_parts"] == 2
-    assert bytes(rows[(1, "000001")]["parts"]["txt"]) == b"text one"
-    assert bytes(rows[(1, "000001")]["parts"]["cls"]) == b"3"
-    assert rows[(1, "000002")]["n_parts"] == 1
+    # keys keep the directory (the base_plus_ext convention); sample
+    # d/000001 has two parts, d/000002 one, the corrupt shard: none
+    assert set(rows) == {(1, "d/000001"), (1, "d/000002")}
+    assert rows[(1, "d/000001")]["n_parts"] == 2
+    assert bytes(rows[(1, "d/000001")]["parts"]["txt"]) == b"text one"
+    assert bytes(rows[(1, "d/000001")]["parts"]["cls"]) == b"3"
+    assert rows[(1, "d/000002")]["n_parts"] == 1
+
+
+def test_webdataset_directory_keys_stay_distinct(spark):
+    # 'train/0001.txt' and 'val/0001.txt' are DIFFERENT samples
+    from kevinlang_spark.sources.archive import (
+        make_tar,
+        read_tar_members,
+        webdataset_samples,
+    )
+
+    shard = make_tar({"train/0001.txt": b"t", "val/0001.txt": b"v"})
+    df = spark.createDataFrame(
+        [(1, bytearray(shard))], "doc_id bigint, payload binary"
+    )
+    rows = {
+        r["key"]: bytes(r["parts"]["txt"])
+        for r in webdataset_samples(read_tar_members(df)).collect()
+    }
+    assert rows == {"train/0001": b"t", "val/0001": b"v"}
+
+
+def test_webdataset_duplicate_part_does_not_kill_the_task(spark):
+    # the same (key, ext) twice in one archive must dedupe
+    # deterministically (smallest payload), not DUPLICATED_MAP_KEY
+    import io
+    import tarfile
+
+    from kevinlang_spark.sources.archive import (
+        read_tar_members,
+        webdataset_samples,
+    )
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for data in (b"bbb", b"aaa"):
+            ti = tarfile.TarInfo("0001.txt")
+            ti.size = len(data)
+            tf.addfile(ti, io.BytesIO(data))
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "doc_id bigint, payload binary"
+    )
+    rows = webdataset_samples(read_tar_members(df)).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_parts"] == 1
+    assert bytes(rows[0]["parts"]["txt"]) == b"aaa"
+
+
+def test_zip_duplicate_names_keep_their_own_bytes():
+    # appended/updated ZIPs carry duplicate names; each entry must
+    # return ITS bytes, not the last entry's
+    import io
+    import zipfile
+
+    from kevinlang_spark.sources.archive import _zip_members
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("a.txt", b"FIRST")
+        zf.writestr("a.txt", b"SECOND")
+    datas = [d for _m, _s, _c, st, d in _zip_members(buf.getvalue()) if st == "ok"]
+    assert datas == [b"FIRST", b"SECOND"]
+
+
+def test_tar_truncation_quarantines_whole_archive(spark):
+    from kevinlang_spark.sources.archive import (
+        _tar_members,
+        make_tar,
+        read_tar_members,
+    )
+
+    full = make_tar({"a.txt": b"A" * 600, "b.txt": b"B" * 600}, gz=False)
+    # cut after the first member's data: tarfile would silently read a
+    # smaller-but-'valid' shard without the end-block check
+    cut = full[: 512 + 1024]
+    with pytest.raises(ValueError, match="truncated TAR archive"):
+        list(_tar_members(cut))
+    # and the reader collapses it to ONE file-level invalid row — no
+    # partial 'ok' members survive (atomic quarantine)
+    df = spark.createDataFrame(
+        [(1, bytearray(cut))], "doc_id bigint, payload binary"
+    )
+    rows = read_tar_members(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["status"].startswith("invalid")
+    assert rows[0]["member"] is None

@@ -73,3 +73,25 @@ def test_extractor_quarantines_per_row(spark):
     assert rows[1]["text"] == "row text"
     assert rows[2]["text"] is None and rows[2]["n_bytes"] == len(bad)
     assert rows[3]["text"] is None and rows[3]["n_bytes"] is None
+
+
+def test_flate_stream_ending_in_carriage_return():
+    # when zlib output ends in 0x0D the writer's \n makes the tail look
+    # like a \r\n EOL; /Length-based slicing must keep the real byte.
+    # doc 1238's q_pdf_extract fixture is the first natural repro; pin
+    # a sweep so the boundary can't regress
+    d = 1238
+    lines = [f"doc {d} line {i} token{(d * 7 + i) % 1000}" for i in range(d % 4 + 1)]
+    assert pdf_text(make_pdf(lines, compress=True)) == "\n".join(lines)
+    for d in range(0, 3000, 2):
+        lines = [f"doc {d} line {i} token{(d * 7 + i) % 1000}" for i in range(d % 4 + 1)]
+        assert pdf_text(make_pdf(lines, compress=True)) == "\n".join(lines)
+
+
+def test_inline_dictionary_marked_content():
+    # tagged PDFs wrap text in '/Tag <<…>> BDC … EMC'; the dict must
+    # not be misread as a hex string
+    assert _stream_text(b"BT /P <</MCID 0>> BDC (x) Tj EMC ET") == ["x"]
+    # a dict carrying a string value: the string is the dict's operand,
+    # cleared at BDC, never leaked into the text
+    assert _stream_text(b"BT /Span <</Alt (alt text)>> BDC (real) Tj EMC ET") == ["real"]
