@@ -218,8 +218,12 @@ def _tar_members(payload: bytes):
     try:
         with tarfile.open(fileobj=io.BytesIO(payload), mode="r:") as tf:
             for ti in tf:
+                # offset_data (not offset + 512) — pax/GNU entries carry
+                # extension headers between offset and the data block,
+                # and miscounting them would false-quarantine valid
+                # archives at the end-block check below
                 end = max(
-                    end, ti.offset + 512 + ((ti.size + 511) // 512) * 512
+                    end, ti.offset_data + ((ti.size + 511) // 512) * 512
                 )
                 if not ti.isfile():
                     continue

@@ -245,3 +245,23 @@ def test_tar_truncation_quarantines_whole_archive(spark):
     assert len(rows) == 1
     assert rows[0]["status"].startswith("invalid")
     assert rows[0]["member"] is None
+
+
+def test_tar_pax_and_gnu_formats_accepted():
+    # pax/GNU members carry extension headers between the header block
+    # and the data; the end-of-archive check must count from
+    # offset_data or valid archives false-quarantine
+    import io
+    import tarfile
+
+    from kevinlang_spark.sources.archive import _tar_members
+
+    for fmt in (tarfile.PAX_FORMAT, tarfile.GNU_FORMAT):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=fmt) as tf:
+            for nm, data in (("a.txt", b"A" * 700), ("b" * 120 + ".txt", b"B" * 10)):
+                ti = tarfile.TarInfo(nm)
+                ti.size = len(data)
+                tf.addfile(ti, io.BytesIO(data))
+        got = {m: d for m, _s, st, d in _tar_members(buf.getvalue()) if st == "ok"}
+        assert got == {"a.txt": b"A" * 700, "b" * 120 + ".txt": b"B" * 10}
