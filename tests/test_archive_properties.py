@@ -101,3 +101,24 @@ def test_docx_roundtrip_arbitrary_paragraphs(paras):
     ):
         t = t.replace(ent, ch)
     assert re.sub(r"\s+$", "", t) == "\n".join(paras)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=48),
+    h=st.integers(min_value=1, max_value=40),
+    grays=st.lists(
+        st.integers(min_value=0, max_value=255), min_size=1, max_size=4
+    ),
+)
+def test_avi_constant_frames_roundtrip(w, h, grays):
+    # constant-gray MJPEG frames decode bit-exactly (all-ones
+    # quantization), for every dimension and frame count
+    from kevinlang_spark.operators.jpeg import make_jpeg
+    from kevinlang_spark.operators.multimodal import _avi_mjpeg_frames, make_avi
+
+    avi = make_avi(w, h, [make_jpeg(w, h, gray=g) for g in grays])
+    got_w, got_h, frames = _avi_mjpeg_frames(avi)
+    assert (got_w, got_h, frames.shape[0]) == (w, h, len(grays))
+    for f, g in enumerate(grays):
+        assert (frames[f] == g).all()
