@@ -2535,6 +2535,76 @@ def q_webdataset_pipeline(spark, sf_dir):
     )
 
 
+def _shard_dir(spark, sf_dir):
+    """Materialize (once per sf_dir per code version) a directory of
+    real .tar.gz WebDataset shards for the streaming-shard query: one
+    shard per 20 documents, each member '{d}.txt' with closed-form
+    content, plus one shard with a CORRUPT gzip wrapper (the
+    file-level quarantine row).  Bounded collect = fixture synthesis;
+    the query reads the directory through the binaryFile stream."""
+    import os
+
+    from kevinlang_spark.sources.archive import make_tar
+
+    path = _artifact_path(
+        sf_dir, "shard_dir", "kevinlang_spark/sources/archive.py"
+    )
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker):
+        return path
+    os.makedirs(path, exist_ok=True)
+    rows = (
+        _t(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").collect()
+    )
+    groups: dict[int, list] = {}
+    for r in rows:
+        d = int(r["doc_id"])
+        groups.setdefault(d // 20, []).append(d)
+    for g, ids in groups.items():
+        members = {
+            f"{d}.txt": (f"doc {d} " + "z" * (d % 40)).encode() for d in ids
+        }
+        with open(os.path.join(path, f"shard-{g:05d}.tar.gz"), "wb") as fh:
+            fh.write(make_tar(members))
+    with open(os.path.join(path, "shard-corrupt.tar.gz"), "wb") as fh:
+        fh.write(b"\x1f\x8b\x08 broken gzip wrapper")
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return path
+
+
+def q_stream_shards(spark, sf_dir):
+    """STREAMING WebDataset shard ingestion (sources/archive.py
+    stream_tar_members): the shard fixture directory consumed as a
+    binaryFile file-source stream — new shards land in the bucket, each
+    micro-batch enumerates only the new files, the checkpoint
+    guarantees exactly-once — drained with availableNow into a
+    complete-mode per-status census.  The corrupt shard must surface as
+    exactly one file-level 'invalid' row; the oracle predicts the 'ok'
+    mass closed-form from the documents table (streaming must converge
+    to the batch answer)."""
+    from kevinlang_spark.sources.archive import stream_tar_members
+
+    members = stream_tar_members(spark, _shard_dir(spark, sf_dir))
+    out = members.groupBy(
+        F.split_part(F.col("status"), F.lit(":"), F.lit(1)).alias("status")
+    ).agg(
+        F.count("*").alias("n_members"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("q_stream_shards_mem")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise RuntimeError("q_stream_shards: drain did not finish in 120s")
+    return spark.table("q_stream_shards_mem")
+
+
 def q_docx_extract(spark, sf_dir):
     """DOCX text extraction end-to-end (sources/archive.py
     extract_docx_text): synthesize one real .docx per document —
@@ -6254,6 +6324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zip_ingest": q_zip_ingest,
         "q_webdataset": q_webdataset,
         "q_webdataset_pipeline": q_webdataset_pipeline,
+        "q_stream_shards": q_stream_shards,
         "q_docx_extract": q_docx_extract,
         "q_pdf_extract": q_pdf_extract,
         "q_quality_score": q_quality_score,
@@ -7393,6 +7464,9 @@ def oracle_sql() -> dict[str, str]:
         "q_webdataset": """SELECT doc_id, doc_id || '_' || s.g AS key, CAST(2 AS BIGINT) AS n_parts, CAST(length('sample ' || doc_id || ' ' || s.g || ' ') + doc_id % 20 AS INT) AS txt_len, CAST((doc_id + s.g) % 10 AS VARCHAR) AS cls FROM documents, generate_series(0, 2) s(g) WHERE doc_id % 9 <> 5 AND s.g <= doc_id % 3""",
         # shard -> sample -> decode + caption: every stat closed-form
         "q_webdataset_pipeline": """SELECT doc_id, CAST(doc_id AS VARCHAR) AS key, CAST(doc_id % 16 + 1 AS INT) AS width, CAST(doc_id % 12 + 1 AS INT) AS height, CAST(doc_id % 256 AS DOUBLE) AS mean_r, CAST(2 + doc_id % 5 AS INT) AS n_caption_tokens FROM documents""",
+        # streaming shard census: ok-mass closed-form from documents,
+        # plus exactly one file-level invalid row for the corrupt shard
+        "q_stream_shards": """SELECT 'ok' AS status, COUNT(*) AS n_members, CAST(SUM(length('doc ' || doc_id || ' ') + doc_id % 40) AS BIGINT) AS total_bytes FROM documents UNION ALL SELECT 'invalid' AS status, 1 AS n_members, NULL AS total_bytes""",
         # DOCX: the exact text reconstructs, proving escape -> extract
         # round-trips character-for-character
         "q_docx_extract": """SELECT doc_id, 'Report ' || doc_id || COALESCE((SELECT chr(10) || string_agg('row ' || s.g || ' A&B <' || ((doc_id * 3 + s.g) % 100) || '>', chr(10) ORDER BY s.g) FROM generate_series(0, 1) s(g) WHERE s.g < doc_id % 3), '') AS text FROM documents""",

@@ -209,6 +209,7 @@ HEADLINE = [
     "q_lr_eval",
     "q_link_extract",
     "q_stream_warc",
+    "q_stream_shards",
     "q_crawl_pagerank",
     "q_mime_sniff",
     "q_robots_filter",

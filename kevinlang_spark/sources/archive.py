@@ -89,7 +89,9 @@ def _zip_members(payload: bytes):
 _INT_FIELDS = frozenset({"n_bytes", "crc32"})
 
 
-def _member_batches(id_col, payload_col, rows_of, fields, keep_payload):
+def _member_batches(
+    id_col, payload_col, rows_of, fields, keep_payload, id_dtype="Int64"
+):
     """The ONE place archive-enumeration row building and quarantine
     semantics live (shared by the ZIP and TAR readers): per archive,
     ``rows_of(payload)`` is materialized ATOMICALLY — a parse error at
@@ -99,10 +101,10 @@ def _member_batches(id_col, payload_col, rows_of, fields, keep_payload):
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = {k: [] for k in ("doc_id", *fields)}
+            out = {k: [] for k in (id_col, *fields)}
 
             def push(did, row):
-                out["doc_id"].append(did)
+                out[id_col].append(did)
                 for f in fields:
                     out[f].append(row.get(f))
 
@@ -121,7 +123,11 @@ def _member_batches(id_col, payload_col, rows_of, fields, keep_payload):
                     push(did, row)
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.array(out["doc_id"], dtype="Int64"),
+                    id_col: (
+                        pd.array(out[id_col], dtype=id_dtype)
+                        if id_dtype
+                        else out[id_col]
+                    ),
                     **{
                         f: (
                             pd.array(out[f], dtype="Int64")
@@ -323,6 +329,66 @@ def webdataset_samples(members: DataFrame) -> DataFrame:
         "key",
         F.size("__parts").cast("bigint").alias("n_parts"),
         F.map_from_entries(F.col("__parts")).alias("parts"),
+    )
+
+
+STREAM_TAR_SCHEMA = (
+    "path string, member string, n_bytes bigint, status string, "
+    "payload binary"
+)
+
+
+def stream_tar_members(
+    spark, path: str, glob: str = "*.tar*", keep_payload: bool = False
+) -> DataFrame:
+    """STREAMING shard ingestion: the same TAR member enumeration over
+    a ``binaryFile`` file-source stream — the continuous-training-data
+    shape (new WebDataset shards land in the bucket; each micro-batch
+    enumerates only the new files, the checkpoint guarantees
+    exactly-once).  Rows are keyed by the shard PATH; census mode
+    (``keep_payload=False``, the default) keeps streaming state free of
+    member bytes."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("modificationTime", TimestampType()),
+            StructField("length", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    bronze = (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+
+    def rows_of(p: bytes):
+        for m, size, status, data in _tar_members(p):
+            yield {
+                "member": m, "n_bytes": size,
+                "status": status, "payload": data,
+            }
+
+    return bronze.select("path", "content").mapInPandas(
+        _member_batches(
+            "path",
+            "content",
+            rows_of,
+            ("member", "n_bytes", "status", "payload"),
+            keep_payload,
+            id_dtype=None,
+        ),
+        schema=STREAM_TAR_SCHEMA,
     )
 
 

@@ -265,3 +265,44 @@ def test_tar_pax_and_gnu_formats_accepted():
                 tf.addfile(ti, io.BytesIO(data))
         got = {m: d for m, _s, st, d in _tar_members(buf.getvalue()) if st == "ok"}
         assert got == {"a.txt": b"A" * 700, "b" * 120 + ".txt": b"B" * 10}
+
+
+def test_stream_tar_census_matches_batch(spark, tmp_path):
+    # the streaming enumerator must converge to exactly the batch census
+    from kevinlang_spark.sources.archive import (
+        make_tar,
+        read_tar_members,
+        stream_tar_members,
+    )
+
+    for g in range(3):
+        (tmp_path / f"s{g}.tar.gz").write_bytes(
+            make_tar({f"{g}_{i}.txt": b"x" * (g + i) for i in range(4)})
+        )
+    (tmp_path / "bad.tar.gz").write_bytes(b"\x1f\x8b\x08 nope")
+
+    q = (
+        stream_tar_members(spark, str(tmp_path))
+        .writeStream.format("memory")
+        .queryName("stream_tar_test_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r["member"], r["n_bytes"], r["status"].split(":")[0])
+        for r in spark.table("stream_tar_test_mem").collect()
+    }
+    files = [
+        (1, bytearray((tmp_path / f"s{g}.tar.gz").read_bytes()))
+        for g in range(3)
+    ] + [(9, bytearray((tmp_path / "bad.tar.gz").read_bytes()))]
+    batch = spark.createDataFrame(files, "doc_id bigint, payload binary")
+    want = {
+        (r["member"], r["n_bytes"], r["status"].split(":")[0])
+        for r in read_tar_members(batch, keep_payload=False).collect()
+    }
+    assert got == want
+    assert ("...", None, "invalid") not in got  # shape sanity
+    assert sum(1 for m, _n, st in got if st == "invalid") >= 1
