@@ -26,6 +26,8 @@ BNLJ_OK = {
     "q_backtest",  # broadcast 1-row max-bucket bound
     "q_bm25_search",  # broadcast 1-row corpus (N, avgdl) aggregate
     "q_source_kl",  # broadcast 1-row (N, V) + 1-row L_all scalar aggregates
+    "q_lm_perplexity",  # broadcast 1-row N+V aggregate (the lazy replacement
+    # for an eager driver collect — the oracle's own CROSS JOIN nv shape)
     "q_hybrid_retrieval",  # 1-row stats + 20-row broadcast self-join ranks
     "q_chi_square",  # broadcast 1-row grand-total
     "q_emb_neardup_brute",  # broadcast bounded probe subset
