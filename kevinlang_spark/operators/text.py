@@ -734,9 +734,16 @@ def lm_perplexity(
     nv = uni.agg(
         (F.coalesce(F.sum("c1"), F.lit(0)) + F.count("*")).alias("__npv")
     )
-    # cheap guard (first-row scan, no aggregation): an empty train
-    # slice has no model to back off into
-    if train_filter is not None and df.where(train_filter).isEmpty():
+    # guard on token MASS, not row count: a train slice whose docs all
+    # tokenize empty leaves uni empty → __npv = 0 → the backoff floor
+    # divides by zero and (ANSI off) every scored doc silently gets
+    # NULL instead of the promised error.  First-match scan, no
+    # aggregation — isEmpty short-circuits on the first qualifying row.
+    if (
+        tok_df.where("__train")
+        .where(F.size("__toks") > 0)
+        .isEmpty()
+    ):
         raise ValueError("lm_perplexity: training slice has no tokens")
 
     b_ctx = big.select(

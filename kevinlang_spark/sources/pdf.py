@@ -141,7 +141,11 @@ def _pdf_string(buf: bytes, i: int):
 
 _HEX_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
 _OP_RE = re.compile(rb"[A-Za-z'\"*]+")
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
+# the (?!\d) stops backtracking from splitting the digit run (greedy
+# (\d+) retreating to a prefix so the ref-lookahead passes — '/Length
+# 123 0 R' must NOT parse as direct length 12); the second lookahead
+# excludes indirect refs of ANY generation, not just 0
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 
 
 def _stream_text(stream: bytes) -> list:
@@ -210,35 +214,51 @@ def pdf_text(payload: bytes) -> str:
     if b"/Encrypt" in payload:
         raise ValueError("encrypted PDF — text extraction gated")
     chunks: list = []
-    for m in _OBJ_RE.finditer(payload):
+    # cursor-based scan: after consuming a stream we resume PAST its
+    # endstream, so 'N N obj … stream' byte patterns INSIDE stream
+    # bodies (common in stored/Flate data) can't fabricate phantom
+    # objects that would raise and false-quarantine a valid file
+    pos = 0
+    while True:
+        m = _OBJ_RE.search(payload, pos)
+        if m is None:
+            break
         start = m.end()
         end = payload.find(b"endobj", start)
         if end < 0:
             end = len(payload)
-        obj = payload[start:end]
-        sm = _STREAM_RE.search(obj)
+        sm = _STREAM_RE.search(payload, start, end)
         if not sm:
+            pos = end + 6  # len(b"endobj")
             continue
-        head = obj[: sm.start()]
-        se = obj.rfind(b"endstream")
-        if se < 0:
-            raise ValueError("PDF stream without endstream")
+        head = payload[start : sm.start()]
         # prefer the dict's direct /Length — the EOL-before-endstream
         # heuristic eats a REAL trailing 0x0D data byte whenever a Flate
         # stream happens to end in \r (then writer's \n makes it look
         # like a two-byte EOL): ~0.4% of compressed streams
         lm = _LENGTH_RE.search(head)
         if lm:
-            data = obj[sm.end() : sm.end() + int(lm.group(1))]
-            if len(data) < int(lm.group(1)):
+            n = int(lm.group(1))
+            data = payload[sm.end() : sm.end() + n]
+            if len(data) < n:
                 raise ValueError("PDF stream shorter than /Length")
+            se = payload.find(b"endstream", sm.end() + n)
         else:
-            data = obj[sm.end() : se]
+            # indirect/absent /Length: first endstream after the data
+            # start (cursor semantics — rfind-within-object would trust
+            # an 'endobj' that may itself sit inside the stream body)
+            se = payload.find(b"endstream", sm.end())
+            if se < 0:
+                raise ValueError("PDF stream without endstream")
+            data = payload[sm.end() : se]
             # §7.3.8.1: EOL before 'endstream' is not stream data
             if data.endswith(b"\r\n"):
                 data = data[:-2]
             elif data.endswith(b"\n") or data.endswith(b"\r"):
                 data = data[:-1]
+        if se < 0:
+            raise ValueError("PDF stream without endstream")
+        pos = se + 9  # len(b"endstream")
         if b"/Filter" in head:
             if b"/FlateDecode" not in head:
                 raise ValueError(

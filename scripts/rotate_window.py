@@ -16,10 +16,15 @@ desired order and rewrites the dict block in ``__spark_entry__.py``:
       has only one driver row; re-verify it" (the VERIFIED.md policy's
       "any query whose operator changed that round" clause, which the
       ledger alone cannot detect), in file order;
-   b. risky families (iterative graph loops, streaming drains, ANN/LSH
+   b. age backstop (VERDICT r9 item 1): queries whose last driver-green
+      row would age past ``MAX_STALENESS_ROUNDS`` (= 6 = ceil(261/50),
+      the information-theoretic floor) if skipped this round, stalest
+      first — guarantees calm families can't starve behind the risky
+      tier; warns if pending+priority+overdue overflow the 50 slots;
+   c. risky families (iterative graph loops, streaming drains, ANN/LSH
       and dedup families, per ``RISK_PREFIXES``) ordered by LAST
       driver-green round ascending (stalest first), then risk rank;
-   c. everything else, stalest-last-green first, then name.
+   d. everything else, stalest-last-green first, then name.
 
 Usage:
     python scripts/rotate_window.py            # dry run: print the order
@@ -100,8 +105,19 @@ def _risk_rank(name: str) -> int:
     return len(RISK_PREFIXES)
 
 
+#: hard age bound (VERDICT r9 item 1): no query's last driver-green row
+#: may age past this many rounds.  The floor for N queries / 50 slots is
+#: ceil(N/50) (261 → 6); queries at or past the bound jump the risk
+#: ranking entirely, stalest first, so calm families can't starve
+#: behind a large risky tier.
+MAX_STALENESS_ROUNDS = 6
+
+
 def desired_order(
-    names: list[str], last_green: dict[str, str], priority: list[str]
+    names: list[str],
+    last_green: dict[str, str],
+    priority: list[str],
+    next_round: int | None = None,
 ) -> list[str]:
     pending = [n for n in names if n not in last_green]
     prio = [n for n in priority if n in last_green and n in set(names)]
@@ -110,7 +126,28 @@ def desired_order(
     def stale(n: str) -> int:
         return int(last_green[n][1:])
 
+    if next_round is None:
+        next_round = max(
+            (stale(n) for n in names if n in last_green), default=0
+        ) + 1
     rest = [n for n in names if n not in seen]
+    # age backstop: anything that would exceed MAX_STALENESS_ROUNDS if
+    # skipped this round gets a slot ahead of the risk ranking
+    overdue = sorted(
+        (
+            n for n in rest
+            if next_round - stale(n) >= MAX_STALENESS_ROUNDS
+        ),
+        key=lambda n: (stale(n), _risk_rank(n), n),
+    )
+    if len(pending) + len(prio) + len(overdue) > 50:
+        print(
+            f"WARNING: backstop overflow — {len(pending)} pending + "
+            f"{len(prio)} priority + {len(overdue)} overdue > 50 slots; "
+            "stalest overdue queries may exceed the age bound"
+        )
+    seen |= set(overdue)
+    rest = [n for n in rest if n not in seen]
     risky = sorted(
         (n for n in rest if _risk_rank(n) < len(RISK_PREFIXES)),
         key=lambda n: (stale(n), _risk_rank(n), n),
@@ -119,7 +156,7 @@ def desired_order(
         (n for n in rest if _risk_rank(n) >= len(RISK_PREFIXES)),
         key=lambda n: (stale(n), n),
     )
-    return pending + prio + risky + calm
+    return pending + prio + overdue + risky + calm
 
 
 def main() -> None:

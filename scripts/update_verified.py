@@ -53,6 +53,10 @@ def main() -> None:
 
     names = list(entry.queries().keys())
     pend = sum(1 for n in names if n not in green)
+    latest = max((int(r[1:]) for r in last.values()), default=0)
+
+    def age(n: str) -> int | None:
+        return latest - int(last[n][1:]) if n in last else None
     lines = [
         "# VERIFIED — cumulative driver-verified ledger",
         "",
@@ -68,22 +72,30 @@ def main() -> None:
         "window. Ranking (scripts/rotate_window.py, VERDICT r8 item 1):",
         "pending (new) queries first; then queries whose operator changed this",
         "round, named in scripts/window_priority.txt (the builder's per-round",
-        "channel for 'code is new, re-verify'); then risky families (iterative",
-        "graph loops, streaming drains, ANN/LSH/dedup — RISK_PREFIXES) ordered",
-        "stalest-last-driver-row first; then everything else, stalest first.",
+        "channel for 'code is new, re-verify'); then the AGE BACKSTOP",
+        "(VERDICT r9 item 1): any query whose last driver row would age past",
+        "MAX_STALENESS_ROUNDS = 6 rounds (= ceil(261/50), the floor for 261",
+        "queries over a 50-slot window) jumps the risk ranking, stalest",
+        "first; then risky families (iterative graph loops, streaming drains,",
+        "ANN/LSH/dedup — RISK_PREFIXES) ordered stalest-last-driver-row",
+        "first; then everything else, stalest first.  `staleness` below =",
+        f"rounds since the last driver row, relative to the latest graded",
+        "round.",
         "",
-        "| query | first driver-green | last driver-green | green rounds |",
-        "|---|---|---|---|",
+        "| query | first driver-green | last driver-green | staleness | green rounds |",
+        "|---|---|---|---|---|",
     ]
     lines += [
         f"| {n} | {green.get(n, 'pending')} | {last.get(n, '—')} "
-        f"| {count.get(n, 0)} |"
+        f"| {age(n) if n in last else '—'} | {count.get(n, 0)} |"
         for n in names
     ]
+    max_age = max((a for n in names if (a := age(n)) is not None), default=0)
     lines += [
         "",
         f"Totals: {len(names) - pend} driver-verified, {pend} pending "
-        f"({min(50, pend)} queued in this round's window).",
+        f"({min(50, pend)} queued in this round's window); max staleness "
+        f"{max_age} rounds (bound: 6).",
     ]
     with open(os.path.join(ROOT, "VERIFIED.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")

@@ -81,3 +81,28 @@ def test_apply_roundtrip_is_idempotent_on_current_registry():
     import __spark_entry__ as entry
 
     assert set(existing) == set(entry.queries().keys())
+
+
+def test_age_backstop_jumps_risk_ranking():
+    # q_select (calm) last green r03 would age to 7 rounds if skipped in
+    # r10 — it must outrank a fresher risky query despite its calm class
+    names = ["q_pagerank", "q_select", "q_stream_x"]
+    last = {"q_pagerank": "r08", "q_select": "r03", "q_stream_x": "r07"}
+    order = rw.desired_order(names, last_green=last, priority=[], next_round=10)
+    assert order[0] == "q_select"  # overdue bucket ahead of risky
+    assert order[1:] == ["q_stream_x", "q_pagerank"]
+
+
+def test_age_backstop_orders_overdue_stalest_first():
+    names = ["q_a", "q_b", "q_c"]
+    last = {"q_a": "r02", "q_b": "r01", "q_c": "r09"}
+    order = rw.desired_order(names, last_green=last, priority=[], next_round=10)
+    assert order == ["q_b", "q_a", "q_c"]
+
+
+def test_backstop_not_triggered_inside_bound():
+    names = ["q_select", "q_pagerank"]
+    last = {"q_select": "r05", "q_pagerank": "r08"}
+    # ages if skipped: 5 and 2 — both inside the bound, risky first
+    order = rw.desired_order(names, last_green=last, priority=[], next_round=10)
+    assert order == ["q_pagerank", "q_select"]

@@ -1,0 +1,131 @@
+"""Round-10 ADVICE fixes, pinned:
+
+1. pdf.py _LENGTH_RE: backtracking could split the digit run so an
+   indirect '/Length 123 0 R' parsed as direct length 12 (truncated
+   stream → silent text loss / false quarantine); any-generation
+   indirect refs ('/Length 8 1 R') must also fall through to the
+   endstream heuristic.
+2. pdf.py pdf_text: the object scan must not regex-match INSIDE stream
+   bodies — stored/Flate bytes that look like 'N N obj … stream' used
+   to fabricate phantom objects and false-quarantine valid files.
+3. text.py lm_perplexity: an all-empty-token train slice must raise
+   (token-mass guard), not silently emit NULL scores via a 0/(N+V=0)
+   division with ANSI off.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import pytest
+
+from kevinlang_spark.sources.pdf import _LENGTH_RE, make_pdf, pdf_text
+
+
+def _one_stream_pdf(head: bytes, stream_body: bytes) -> bytes:
+    """Minimal PDF wrapping one content-stream object with an arbitrary
+    dict head — for exercising the /Length parse paths directly."""
+    return (
+        b"%PDF-1.4\n1 0 obj\n" + head + b"\nstream\n" + stream_body
+        + b"\nendstream\nendobj\n%%EOF\n"
+    )
+
+
+def test_length_re_indirect_ref_not_split_by_backtracking():
+    # '/Length 123 0 R' must NOT yield a direct match of '12'
+    assert _LENGTH_RE.search(b"<< /Length 123 0 R >>") is None
+    # any generation, not just 0
+    assert _LENGTH_RE.search(b"<< /Length 8 1 R >>") is None
+    assert _LENGTH_RE.search(b"<< /Length 8 12 R >>") is None
+    # direct lengths still parse, including multi-digit
+    m = _LENGTH_RE.search(b"<< /Length 123 >>")
+    assert m is not None and m.group(1) == b"123"
+    # a direct length followed by another key is still direct
+    m = _LENGTH_RE.search(b"<< /Length 47 /Filter /FlateDecode >>")
+    assert m is not None and m.group(1) == b"47"
+
+
+def test_indirect_length_falls_through_to_endstream_heuristic():
+    body = b"BT (indirect ok) Tj ET"
+    pdf = _one_stream_pdf(b"<< /Length 2 0 R >>", body)
+    # before the fix this truncated the stream to its first 2 bytes
+    # ('/Length 2 0 R' → direct 2 via backtracking at the old regex's
+    # weaker lookahead) and lost the text silently
+    assert pdf_text(pdf) == "indirect ok"
+
+
+def test_stream_body_cannot_fabricate_phantom_objects():
+    # stored stream whose DATA contains an object header + 'stream'
+    # keyword; a raw finditer scan used to "find" this phantom object,
+    # fail to find its endstream/Length sanely, and false-quarantine
+    evil = b"BT (real text) Tj ET % 7 0 obj << >> stream\n xx"
+    pdf = _one_stream_pdf(
+        b"<< /Length " + str(len(evil)).encode() + b" >>", evil
+    )
+    assert pdf_text(pdf) == "real text"
+
+
+def test_flate_body_with_phantom_header_roundtrips():
+    # same property through the compressed path: craft a Flate stream
+    # whose compressed bytes happen to contain 'obj'/'stream' markers is
+    # hard to force, so instead embed the marker in a SECOND stored
+    # stream and make sure the scan resumes past each endstream
+    s1 = b"BT (first) Tj T* ET"  # T* so the streams join on a line break
+    s2 = b"9 0 obj stream\n junk"  # looks like a header, is data
+    s3 = zlib.compress(b"BT (third) Tj ET")
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Length " + str(len(s1)).encode() + b" >>\n"
+        b"stream\n" + s1 + b"\nendstream\nendobj\n"
+        b"2 0 obj\n<< /Length " + str(len(s2)).encode() + b" >>\n"
+        b"stream\n" + s2 + b"\nendstream\nendobj\n"
+        b"3 0 obj\n<< /Filter /FlateDecode /Length "
+        + str(len(s3)).encode() + b" >>\n"
+        b"stream\n" + s3 + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    assert pdf_text(pdf) == "first\nthird"
+
+
+def test_make_pdf_fixtures_still_roundtrip():
+    lines = ["alpha", "beta (y)", "gamma"]
+    for compress in (True, False):
+        assert pdf_text(make_pdf(lines, compress=compress)) == "\n".join(lines)
+
+
+def test_lm_perplexity_all_empty_token_train_slice_raises(spark):
+    import pyspark.sql.functions as F
+
+    from kevinlang_spark.operators.text import lm_perplexity
+
+    df = spark.createDataFrame(
+        [(1, "...", True), (2, "real words here to score", False)],
+        "id bigint, body string, is_train boolean",
+    )
+    # train doc tokenizes to zero tokens → token-mass guard must fire
+    with pytest.raises(ValueError, match="training slice has no tokens"):
+        lm_perplexity(
+            df, text_col="body", id_col="id",
+            train_filter=F.col("is_train"),
+        )
+
+
+def test_lm_perplexity_nonempty_train_still_works(spark):
+    import pyspark.sql.functions as F
+
+    from kevinlang_spark.operators.text import lm_perplexity
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", True),
+            (2, "the cat sat on the hat", False),
+        ],
+        "id bigint, body string, is_train boolean",
+    )
+    out = lm_perplexity(
+        df, text_col="body", id_col="id", train_filter=F.col("is_train")
+    ).collect()
+    scored = {r["id"]: r for r in out}
+    assert 2 in scored
+    assert scored[2]["avg_logp"] is not None
+    assert scored[2]["perplexity"] is not None
