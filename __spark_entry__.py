@@ -1685,8 +1685,13 @@ def q_robots_filter(spark, sf_dir):
     position window per domain — no global order), and every document
     URL gets the RFC 9309 longest-match verdict via a broadcast rules
     join + one keyed integer max (2·len + is_allow encodes the
-    lexicographic (length, allow) order).  The oracle predicts every
-    verdict closed-form from the id routing."""
+    lexicographic (length, allow) order).  RFC 9309 §2.2.3 wildcards
+    are exercised end-to-end: every domain carries 'Disallow: /*.tmp$'
+    (star + end-anchor) and a LONGER wildcard carve-out 'Allow:
+    /blog/keep*.tmp$'; blog paths route three ways — draft*.tmp
+    (wildcard-disallowed), keep*.tmp (wildcard-allow wins on literal-
+    prefix length), and *.tmpx (the $ anchor fails → allowed).  The
+    oracle predicts every verdict closed-form from the id routing."""
     from kevinlang_spark.operators.web import parse_robots_df, robots_allowed
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
@@ -1704,8 +1709,25 @@ def q_robots_filter(spark, sf_dir):
         )
         .when(F.col("doc_id") % 5 == 2, F.concat(F.lit("/cat"), gs, F.lit("/a")))
         .when(
+            (F.col("doc_id") % 5 == 3) & (F.col("doc_id") % 3 == 0),
+            F.concat(
+                F.lit("/blog/draft"), F.col("doc_id").cast("string"),
+                F.lit(".tmp"),
+            ),
+        )
+        .when(
+            (F.col("doc_id") % 5 == 3) & (F.col("doc_id") % 3 == 1),
+            F.concat(
+                F.lit("/blog/keep"), F.col("doc_id").cast("string"),
+                F.lit(".tmp"),
+            ),
+        )
+        .when(
             F.col("doc_id") % 5 == 3,
-            F.concat(F.lit("/blog/"), F.col("doc_id").cast("string")),
+            F.concat(
+                F.lit("/blog/"), F.col("doc_id").cast("string"),
+                F.lit(".tmpx"),
+            ),
         )
         .otherwise(
             # the allow carve-out of a DIFFERENT domain: only the
@@ -1725,6 +1747,7 @@ def q_robots_filter(spark, sf_dir):
             F.lit("\nDisallow: /cat"),
             F.col("id").cast("string"),
             F.lit("  # per-domain category block\n"),
+            F.lit("Disallow: /*.tmp$\nAllow: /blog/keep*.tmp$\n"),
         ).alias("robots_txt"),
     )
     rules = parse_robots_df(sites)
@@ -1734,15 +1757,23 @@ def q_robots_filter(spark, sf_dir):
 _ROBOTS_FILTER_ORACLE_SQL = (
     # verdicts are closed-form in the id routing: %5 in (0,2,4) hit a
     # disallow (with no longer allow), %5==1 hits the domain's own
-    # allow carve-out (longer than /private), %5==3 matches nothing
+    # allow carve-out (longer than /private); %5==3 splits on %3 —
+    # draft*.tmp hits the 'Disallow: /*.tmp$' wildcard, keep*.tmp is
+    # rescued by the longer-literal-prefix 'Allow: /blog/keep*.tmp$',
+    # and *.tmpx escapes the $ end-anchor entirely
     "SELECT doc_id, "
     "'site' || (doc_id % 7) || '.com' AS domain, "
     "CASE WHEN doc_id % 5 = 0 THEN '/private/x' || doc_id "
     "WHEN doc_id % 5 = 1 THEN '/private/g' || (doc_id % 7) || '/page' "
     "WHEN doc_id % 5 = 2 THEN '/cat' || (doc_id % 7) || '/a' "
-    "WHEN doc_id % 5 = 3 THEN '/blog/' || doc_id "
+    "WHEN doc_id % 5 = 3 AND doc_id % 3 = 0 "
+    "THEN '/blog/draft' || doc_id || '.tmp' "
+    "WHEN doc_id % 5 = 3 AND doc_id % 3 = 1 "
+    "THEN '/blog/keep' || doc_id || '.tmp' "
+    "WHEN doc_id % 5 = 3 THEN '/blog/' || doc_id || '.tmpx' "
     "ELSE '/private/g' || ((doc_id + 1) % 7) || '/q' END AS path, "
-    "doc_id % 5 IN (1, 3) AS allowed FROM documents"
+    "(doc_id % 5 = 1 OR (doc_id % 5 = 3 AND doc_id % 3 <> 0)) "
+    "AS allowed FROM documents"
 )
 
 

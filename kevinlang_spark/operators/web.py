@@ -266,11 +266,12 @@ def parse_robots_df(
     group-starting UA lines, then any-star per group; no global order,
     no Python).  Handles
     comments, blank lines, case-insensitive directives, and CRLF.
-    Wildcard patterns ('*', '$' — RFC 9309 §2.2.3) are not modeled:
-    those rules are dropped, which fails OPEN (a crawl keeps a page the
-    wildcard would have disallowed) — the conservative direction for a
-    curation filter is to re-check downstream, never to silently drop
-    allowed content."""
+    Wildcard patterns ('*' = any octet run, trailing '$' = end anchor —
+    RFC 9309 §2.2.3) are KEPT verbatim in ``prefix``;
+    :func:`robots_allowed` translates them to anchored regexes at match
+    time (real Common Crawl robots bodies use wildcards heavily — a
+    filter that drops those rules keeps pages a compliant crawler must
+    not fetch)."""
     lines = df.select(
         F.col(domain_col).alias("domain"),
         F.posexplode(F.split(F.col(text_col), "\r?\n")).alias("pos", "line"),
@@ -320,7 +321,6 @@ def parse_robots_df(
             (F.col("d") != "user-agent")
             & (F.col("has_star") == 1)
             & (F.col("v") != "")  # 'Disallow:' (empty) = allow all: no rule
-            & ~F.col("v").rlike(r"[*$]")  # wildcard rules: fail open
         )
         .select(
             "domain",
@@ -338,8 +338,21 @@ def robots_allowed(
     path_col: str = "path",
 ) -> DataFrame:
     """RFC 9309 longest-match verdict per URL: among the domain's rules
-    whose prefix matches the path, the LONGEST wins; a length tie goes
+    whose pattern matches the path, the LONGEST wins; a length tie goes
     to allow; no matching rule (or no robots.txt at all) = allowed.
+
+    Wildcard patterns (RFC 9309 §2.2.3) are modeled in full: ``*``
+    matches any octet run (including empty), a TRAILING ``$`` anchors
+    the end of the path (a ``$`` anywhere else is a literal, matching
+    the reference REP parser).  Each wildcard rule is translated once
+    per domain-rule row into an anchored regex (metacharacters in the
+    literal parts escaped); literal rules keep the ``startswith`` fast
+    path.  Match LENGTH for the longest-match ranking is the length of
+    the pattern's literal prefix (octets before the first ``*``; a
+    trailing ``$`` uncounted) — for wildcard-free rules this is exactly
+    the RFC's octet count, and it degrades conservatively for wildcard
+    rules (``/private*`` ranks as ``/private``, so a longer literal
+    Allow carve-out still wins).
 
     Scale shape: rules tables are small (one row per directive per
     domain), so they collapse to ONE array row per domain and
@@ -349,31 +362,49 @@ def robots_allowed(
     key).  The verdict is a per-row ``F.aggregate`` fold over the
     domain's rule array in the projection — the match genuinely runs in
     the scan stage.  Rule scores encode lexicographic (length, allow)
-    order as the integer ``2·len(prefix) + is_allow`` so no
+    order as the integer ``2·match_len + is_allow`` so no
     struct-ordering is needed cross-engine.
     """
+    pat = F.col("prefix")
+    has_dollar = pat.endswith("$")
+    core = F.when(
+        has_dollar, F.expr("substring(prefix, 1, length(prefix) - 1)")
+    ).otherwise(pat)
+    wild = core.contains("*") | has_dollar
+    # escape regex metachars in the literal parts (everything but '*'),
+    # then '*' -> '.*'; '^' start-anchor always, '$' end-anchor only
+    # when the raw pattern ends in '$'
+    esc = F.regexp_replace(core, r"([.^$+?(){}\[\]|\\])", r"\\$1")
+    rx = F.concat(
+        F.lit("^"),
+        F.replace(esc, F.lit("*"), F.lit(".*")),
+        F.when(has_dollar, F.lit("$")).otherwise(F.lit("")),
+    )
+    match_len = F.length(F.substring_index(core, "*", 1))
     per_domain = rules.groupBy(domain_col).agg(
         F.collect_list(
             F.struct(
                 F.col("prefix").alias("p"),
-                (
-                    F.length("prefix") * 2
-                    + (F.col("rule") == "allow").cast("int")
-                )
+                wild.alias("w"),
+                rx.alias("rx"),
+                (match_len * 2 + (F.col("rule") == "allow").cast("int"))
                 .cast("long")
                 .alias("s"),
             )
         ).alias("__rules")
     )
     joined = urls.join(F.broadcast(per_domain), on=domain_col, how="left")
-    # fold: best score among rules whose prefix matches the path; -1 =
+    # fold: best score among rules whose pattern matches the path; -1 =
     # no matching rule; a domain absent from the rules table gives a
     # null array -> null fold result.  Both default to allowed.
     best = F.aggregate(
         F.col("__rules"),
         F.lit(-1).cast("long"),
         lambda acc, r: F.when(
-            F.col(path_col).startswith(r["p"]) & (r["s"] > acc), r["s"]
+            F.when(r["w"], F.rlike(F.col(path_col), r["rx"]))
+            .otherwise(F.col(path_col).startswith(r["p"]))
+            & (r["s"] > acc),
+            r["s"],
         ).otherwise(acc),
     )
     return joined.select(

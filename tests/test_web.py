@@ -284,8 +284,8 @@ def test_parse_robots_groups_and_comments(spark):
         ("allow", "/private/ok"),
         ("disallow", "/tmp/"),  # comment stripped
         ("disallow", "/extra"),  # second * group still applies
-        # SpecialBot's 'Disallow: /' excluded; empty Disallow dropped;
-        # wildcard rule dropped (fails open)
+        ("disallow", "/wild*card"),  # wildcard rules kept (RFC 9309 §2.2.3)
+        # SpecialBot's 'Disallow: /' excluded; empty Disallow dropped
     }
 
 
@@ -392,3 +392,90 @@ def test_robots_allowed_plan_is_broadcast_no_url_shuffle(spark):
     # exactly one hash exchange total — the (tiny) rules-side groupBy;
     # the url corpus itself is never shuffled
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_robots_wildcard_rfc_examples(spark):
+    """RFC 9309 §2.2.3 / Google REP reference examples: '*' matches any
+    octet run, trailing '$' anchors the path end, '$' elsewhere is a
+    literal, and regex metachars in patterns stay literal."""
+    from kevinlang_spark.operators.web import robots_allowed
+
+    rules = spark.createDataFrame(
+        [
+            ("a.com", "disallow", "/*.php$"),
+            ("b.com", "disallow", "/fish*"),
+            ("c.com", "disallow", "/a$b"),     # embedded $ is literal
+            ("d.com", "disallow", "/x(1)*y"),  # metachars stay literal
+        ],
+        "domain string, rule string, prefix string",
+    )
+    urls = spark.createDataFrame(
+        [
+            ("a.com", "/filename.php"),          # anchored match → blocked
+            ("a.com", "/folder/filename.php"),   # * spans folders → blocked
+            ("a.com", "/filename.php5"),         # $ anchor fails → allowed
+            ("a.com", "/filenameXphp"),          # '.' literal → allowed
+            ("b.com", "/fish"),                  # '*' matches empty → blocked
+            ("b.com", "/fishheads/catfish"),     # blocked
+            ("b.com", "/Fish.asp"),              # case-sensitive → allowed
+            ("c.com", "/a$b/c"),                 # literal $ prefix → blocked
+            ("c.com", "/ab/c"),                  # allowed
+            ("d.com", "/x(1)zzy"),               # blocked
+            ("d.com", "/x1zzy"),                 # allowed
+        ],
+        "domain string, path string",
+    )
+    got = {
+        (r["domain"], r["path"]): r["allowed"]
+        for r in robots_allowed(urls, rules).collect()
+    }
+    assert got == {
+        ("a.com", "/filename.php"): False,
+        ("a.com", "/folder/filename.php"): False,
+        ("a.com", "/filename.php5"): True,
+        ("a.com", "/filenameXphp"): True,
+        ("b.com", "/fish"): False,
+        ("b.com", "/fishheads/catfish"): False,
+        ("b.com", "/Fish.asp"): True,
+        ("c.com", "/a$b/c"): False,
+        ("c.com", "/ab/c"): True,
+        ("d.com", "/x(1)zzy"): False,
+        ("d.com", "/x1zzy"): True,
+    }
+
+
+def test_robots_wildcard_precedence_literal_prefix_ranking(spark):
+    """Longest-match ranking counts a wildcard rule as its literal
+    prefix: a longer literal Allow carve-out beats 'Disallow:
+    /private*', and a wildcard Allow with the longer literal prefix
+    beats a shorter Disallow."""
+    from kevinlang_spark.operators.web import robots_allowed
+
+    rules = spark.createDataFrame(
+        [
+            ("e.com", "disallow", "/private*"),   # match_len 8
+            ("e.com", "allow", "/private/ok"),    # match_len 11 → wins
+            ("f.com", "disallow", "/*.tmp$"),     # match_len 1
+            ("f.com", "allow", "/blog/keep*.tmp$"),  # match_len 10 → wins
+        ],
+        "domain string, rule string, prefix string",
+    )
+    urls = spark.createDataFrame(
+        [
+            ("e.com", "/private/doc"),
+            ("e.com", "/private/ok/doc"),
+            ("f.com", "/blog/draft1.tmp"),
+            ("f.com", "/blog/keep2.tmp"),
+        ],
+        "domain string, path string",
+    )
+    got = {
+        (r["domain"], r["path"]): r["allowed"]
+        for r in robots_allowed(urls, rules).collect()
+    }
+    assert got == {
+        ("e.com", "/private/doc"): False,
+        ("e.com", "/private/ok/doc"): True,
+        ("f.com", "/blog/draft1.tmp"): False,
+        ("f.com", "/blog/keep2.tmp"): True,
+    }
