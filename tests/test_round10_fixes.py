@@ -129,3 +129,87 @@ def test_lm_perplexity_nonempty_train_still_works(spark):
     assert 2 in scored
     assert scored[2]["avg_logp"] is not None
     assert scored[2]["perplexity"] is not None
+
+
+# --------------------------------------------------------------------- #
+# PIL decode fast path (VERDICT r9 item 4): routing + parity
+# --------------------------------------------------------------------- #
+
+
+def test_decode_frames_pure_fallback_without_pil():
+    """In a codec-less environment decode_frames(prefer_pil=True) must
+    silently use the pure tier — identical output to prefer_pil=False."""
+    import numpy as np
+
+    from kevinlang_spark.operators.multimodal import (
+        decode_frames,
+        make_bmp,
+        pil_available,
+    )
+
+    payload = make_bmp(6, 4, rgb=(10, 20, 30))
+    w0, h0, f0 = decode_frames(payload, prefer_pil=False)
+    w1, h1, f1 = decode_frames(payload, prefer_pil=True)
+    assert (w0, h0) == (w1, h1) == (6, 4)
+    assert np.array_equal(f0, f1)
+    if not pil_available():
+        import pytest as _pytest
+
+        from kevinlang_spark.operators.multimodal import pil_frames
+
+        with _pytest.raises(NotImplementedError, match="PIL"):
+            pil_frames(payload)
+
+
+def test_pil_parity_on_synthetic_corpus():
+    """PIL output vs the pure decoders on the synthetic corpus
+    (VERDICT r9 item 4's oracle cross-check): lossless containers
+    (BMP/PNG/GIF) must agree exactly; JPEG within the ±1/pixel lossy
+    latitude (different IDCTs are both spec-conformant)."""
+    import pytest as _pytest
+
+    _pytest.importorskip("PIL")
+    import numpy as np
+
+    from kevinlang_spark.operators.gif import make_gif
+    from kevinlang_spark.operators.jpeg import make_jpeg
+    from kevinlang_spark.operators.multimodal import (
+        _decode_frames,
+        make_bmp,
+        make_png,
+        pil_frames,
+    )
+
+    lossless = [
+        make_bmp(9, 7, rgb=(11, 22, 33)),
+        make_png(8, 6, rgb=(200, 100, 50)),
+        make_gif(5, 4, frames=[0, 1], palette=[(7, 7, 7), (99, 99, 99)]),
+    ]
+    for payload in lossless:
+        wp, hp, fp = pil_frames(payload)
+        w0, h0, f0 = _decode_frames(payload)
+        assert (wp, hp) == (w0, h0)
+        assert np.array_equal(fp, f0)
+    jp = make_jpeg(16, 16, gray=123)
+    wp, hp, fp = pil_frames(jp)
+    w0, h0, f0 = _decode_frames(jp)
+    assert (wp, hp) == (w0, h0)
+    assert np.max(np.abs(fp.astype(int) - f0.astype(int))) <= 1
+
+
+def test_extract_pixel_stats_prefer_pil_matches_pure_when_absent(spark):
+    """prefer_pil=True must be a no-op (bit-identical stats) when PIL is
+    not importable — the codec-less deployment contract."""
+    from kevinlang_spark.operators.multimodal import (
+        attach_stdlib_media,
+        extract_pixel_stats,
+    )
+
+    docs = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    media = attach_stdlib_media(docs, filled=True, png=True)
+    pure = sorted(tuple(r) for r in extract_pixel_stats(media).collect())
+    fast = sorted(
+        tuple(r)
+        for r in extract_pixel_stats(media, prefer_pil=True).collect()
+    )
+    assert pure == fast
