@@ -140,6 +140,7 @@ HEADLINE = [
     "q_image_neardup",
     "q_image_phash",
     "q_image_dedup",
+    "q_image_pipeline",
     "q_image_crossformat",
     "q_audio_neardup",
     "q_video_neardup",
