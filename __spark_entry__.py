@@ -3204,6 +3204,76 @@ def q_stream_dedup(spark, sf_dir):
     )
 
 
+def _stream_neardup_fixture(spark, sf_dir):
+    """(index_dir, arrivals_dir) for the streaming near-dup query,
+    built once per sf_dir per code version: the corpus slice (doc_id %
+    3 != 0) is MinHash-indexed to parquet (dedup.py
+    write_minhash_index), the arrival slice (doc_id % 3 == 0) lands as
+    a parquet directory the stream will ingest.  Fixture synthesis
+    behind _artifact_path's code-version tag; the QUERY drains the
+    stream fresh every call."""
+    import os
+    import shutil
+
+    root = _artifact_path(
+        sf_dir, "stream_mh",
+        "kevinlang_spark/operators/dedup.py",
+        "kevinlang_spark/streaming/neardup.py",
+    )
+    index_dir = os.path.join(root, "index")
+    arrivals_dir = os.path.join(root, "arrivals")
+    done = os.path.join(root, "_DONE")
+    if os.path.exists(done):
+        return index_dir, arrivals_dir
+    if os.path.exists(root):
+        shutil.rmtree(root)  # crashed prior build — rebuild atomically
+    from kevinlang_spark.operators.dedup import write_minhash_index
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    write_minhash_index(
+        docs.where(F.col("doc_id") % 3 != 0), index_dir, num_hashes=32
+    )
+    docs.where(F.col("doc_id") % 3 == 0).write.parquet(arrivals_dir)
+    with open(done, "w"):
+        pass
+    return index_dir, arrivals_dir
+
+
+def q_stream_neardup(spark, sf_dir):
+    """STREAMING ingest-time near-dup screening (VERDICT r9 item 7 —
+    streaming/neardup.py neardup_against_index): the corpus slice is
+    MinHash-indexed ONCE (persisted shingle + signature tables); the
+    arrival slice replays as a file-source stream whose micro-batches
+    broadcast their band keys against the index scan and append
+    verified (new_id, corpus_id, jaccard) matches to a parquet sink —
+    the corpus is never re-tokenized and never shuffles, the 100 TB
+    ingest shape.  Drained with availableNow + checkpoint
+    (exactly-once).  Oracle-checkable for the same reason as
+    q_minhash_pairs: banding only prunes; at J ≥ 0.8 with 16 bands ×
+    2 rows the per-pair miss probability is ≤ 8e-8 and the seeded hash
+    family is deterministic, so the exact bipartite shingle-Jaccard
+    join reproduces the output."""
+    import os
+    import tempfile
+
+    from kevinlang_spark.streaming.neardup import neardup_against_index
+
+    index_dir, arrivals_dir = _stream_neardup_fixture(spark, sf_dir)
+    run = tempfile.mkdtemp(prefix="kevinlang_stream_mh_run_")
+    sink = os.path.join(run, "matches")
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(
+        arrivals_dir
+    )
+    q = neardup_against_index(
+        stream, index_dir, sink, os.path.join(run, "ckpt"),
+        threshold=0.8, num_hashes=32,
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise RuntimeError("q_stream_neardup: drain did not finish in 120s")
+    return spark.read.parquet(sink).orderBy("new_id", "corpus_id")
+
+
 # --------------------------------------------------------------------- #
 # dedup / text analysis / similarity / multimodal extension ops
 # --------------------------------------------------------------------- #
@@ -6480,6 +6550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_sliding": q_stream_sliding,
         "q_stream_sessions": q_stream_sessions,
         "q_stream_dedup": q_stream_dedup,
+        "q_stream_neardup": q_stream_neardup,
         "q_stream_join": q_stream_join,
         "q_stream_stateful": q_stream_stateful,
         "q_record_linkage": q_record_linkage,
@@ -8259,6 +8330,29 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_stream_dedup": (
             "SELECT DISTINCT user_id, event_type FROM events"
+        ),
+        # bipartite exact shingle-Jaccard: arrivals (% 3 == 0) vs the
+        # indexed corpus slice — the banding-only-prunes argument of
+        # q_minhash_pairs applies unchanged
+        "q_stream_neardup": (
+            "WITH toks AS (SELECT doc_id AS id, list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+            "FROM documents), "
+            "sh AS (SELECT id, unnest(list_distinct(list_transform("
+            "range(1, greatest(len(t) - 2, 1) + 1), "
+            "i -> array_to_string(t[i:i+2], ' ')))) AS s "
+            "FROM toks WHERE len(t) > 0), "
+            "sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id), "
+            "pairs AS (SELECT a.id AS new_id, b.id AS corpus_id, "
+            "COUNT(*) AS n_inter FROM sh a JOIN sh b ON a.s = b.s "
+            "WHERE a.id % 3 = 0 AND b.id % 3 <> 0 GROUP BY 1, 2) "
+            "SELECT new_id, corpus_id, "
+            "ROUND(n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 4) "
+            "AS jaccard "
+            "FROM pairs JOIN sizes sa ON new_id = sa.id "
+            "JOIN sizes sb ON corpus_id = sb.id "
+            "WHERE n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.8 "
+            "ORDER BY new_id, corpus_id"
         ),
         # pruned probe: exact replica of the 1-bit multiprobe bucket set
         # (deterministic seeded hyperplanes embedded as SQL literals)

@@ -211,6 +211,7 @@ HEADLINE = [
     "q_link_extract",
     "q_stream_warc",
     "q_stream_shards",
+    "q_stream_neardup",
     "q_crawl_pagerank",
     "q_mime_sniff",
     "q_robots_filter",
