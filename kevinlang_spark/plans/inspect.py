@@ -53,6 +53,61 @@ def assert_columns_pruned(df: DataFrame, table_hint: str, max_cols: int) -> None
     assert widest <= max_cols, f"scan reads {widest} cols (> {max_cols}): {scans}"
 
 
+def bnlj_build_row_counts(df: DataFrame) -> list[int]:
+    """Execute ``df`` and return the broadcast-side OUTPUT ROW COUNT of
+    every BroadcastNestedLoopJoin in the final adaptive plan — the
+    scale-audit number behind the plan lint's BNLJ whitelist: a
+    whitelisted "1-row aggregate" broadcast that silently grows past
+    its reviewed bound is a runaway O(rows × build) join, and the plan
+    STRING can't see it.  Implemented by walking the executed JVM plan
+    (unwrapping AQE / query stages / codegen adapters / reused
+    exchanges) to each join's build-side BroadcastExchange and reading
+    its ``numOutputRows`` SQLMetric."""
+    df.collect()  # metrics (and the final AQE plan) exist only after a run
+
+    def simple(n) -> str:
+        return n.getClass().getSimpleName()
+
+    def unwrap(n):
+        while simple(n) == "AdaptiveSparkPlanExec":
+            n = n.executedPlan()
+        return n
+
+    def children(n) -> list:
+        nm = simple(n)
+        if nm.endswith("QueryStageExec"):
+            return [n.plan()]
+        if nm == "ReusedExchangeExec":
+            return [n.child()]
+        ch = n.children()
+        return [ch.apply(i) for i in range(ch.size())]
+
+    def find_exchange(n, depth: int = 0):
+        n = unwrap(n)
+        if "BroadcastExchange" in simple(n):
+            return n
+        if depth > 12:
+            return None
+        for k in children(n):
+            r = find_exchange(k, depth + 1)
+            if r is not None:
+                return r
+        return None
+
+    counts: list[int] = []
+    stack = [unwrap(df._jdf.queryExecution().executedPlan())]
+    while stack:
+        n = unwrap(stack.pop())
+        kids = children(n)
+        if "BroadcastNestedLoopJoin" in n.nodeName():
+            build = kids[0] if str(n.buildSide()) == "BuildLeft" else kids[1]
+            ex = find_exchange(build)
+            if ex is not None and ex.metrics().contains("numOutputRows"):
+                counts.append(int(ex.metrics().apply("numOutputRows").value()))
+        stack.extend(kids)
+    return counts
+
+
 def assert_whole_stage_codegen(df: DataFrame) -> None:
     """Requires executing the frame: under AQE the final adaptive plan only
     exists after a run.  Codegen stages render as ``*(n)`` markers."""
