@@ -543,6 +543,252 @@ def _decode_block(
     return block, dc
 
 
+def _decode_scan_baseline(
+    data: bytes,
+    scan_comps: list,
+    dc_luts: dict,
+    ac_luts: dict,
+    qts: dict,
+    restart_interval: int,
+    mcu_rows: int,
+    mcu_cols: int,
+) -> list:
+    """Fast path for the baseline interleaved scan: the entropy decode
+    runs with an inline multi-byte bit accumulator (no per-bit method
+    calls — the _BitReader abstraction costs ~5× in CPython) and the
+    dequantize + IDCT runs ONCE per component as a batched (N×8×8)
+    matmul instead of two 8×8 matmuls per block.  Semantics and error
+    strings are identical to the per-block reference path
+    (_BitReader/_decode_block, still used by the progressive walker);
+    tests/test_codec_properties.py pins the two against each other via
+    encode→decode roundtrips."""
+    for comp, td, ta in scan_comps:
+        if td not in dc_luts or ta not in ac_luts or comp["tq"] not in qts:
+            raise ValueError("JPEG scan references undefined table")
+
+    def lookahead(lut: dict) -> list:
+        # 9-bit-prefix decode table: one list index replaces the
+        # per-bit canonical walk for every code ≤ 9 bits (all of them
+        # in our encoder's tables; the overwhelming majority in
+        # libjpeg's standard tables).  None → fall back to the walk.
+        fast: list = [None] * 512
+        for (ln, code), sym in lut.items():
+            if ln <= 9:
+                base = code << (9 - ln)
+                for suf in range(1 << (9 - ln)):
+                    fast[base | suf] = (sym, ln)
+        return fast
+
+    fast_tabs: dict[int, list] = {}
+    # pre-split the scan on restart markers and unstuff 0xFF00 at C
+    # speed (bytes.find / bytes.replace) — the per-byte Python stuffing
+    # scan was the hottest line of the decoder.  marker_tail[i] records
+    # whether segment i was terminated by a marker byte (an RSTn, or a
+    # corrupt trailing lone 0xFF) so bit starvation reproduces the
+    # reference reader's exact error strings.  _find_scan_end
+    # guarantees the only 0xFF pairs inside are 0xFF00 and RSTn.
+    segs: list[bytes] = []
+    marker_tail: list[bool] = []
+    n_raw = len(data)
+    start = 0
+    k = 0
+    while True:
+        k = data.find(b"\xff", k)
+        if k < 0:
+            segs.append(data[start:].replace(b"\xff\x00", b"\xff"))
+            marker_tail.append(False)
+            break
+        if k + 1 >= n_raw:
+            segs.append(data[start:k].replace(b"\xff\x00", b"\xff"))
+            marker_tail.append(True)  # lone trailing 0xFF = marker byte
+            break
+        if data[k + 1] == 0x00:
+            k += 2
+            continue
+        segs.append(data[start:k].replace(b"\xff\x00", b"\xff"))
+        marker_tail.append(True)
+        start = k + 2
+        k += 2
+    seg_i = 0
+    seg = segs[0]
+    slen = len(seg)
+    pos = 0
+    acc = 0  # invariant: acc < 2**nbits (only live bits kept)
+    nbits = 0
+    ncomp = len(scan_comps)
+    blocks_per_mcu = sum(c["h"] * c["v"] for c, _, _ in scan_comps)
+    total = mcu_rows * mcu_cols * blocks_per_mcu
+    zzs = np.zeros((total, 64), dtype=np.float64)
+    rows_i: list[list[int]] = [[] for _ in range(ncomp)]
+    cols_i: list[list[int]] = [[] for _ in range(ncomp)]
+    bidx: list[list[int]] = [[] for _ in range(ncomp)]
+    preds = [0] * ncomp
+    bi = 0
+    mcu_n = 0
+
+    def refill() -> tuple[int, int, int]:
+        # top up from the CURRENT unstuffed segment, up to 6 bytes (48
+        # bits) per call — one slice + int.from_bytes, all C-speed;
+        # only restart() may cross a segment (= marker) boundary
+        p = pos
+        take = slen - p
+        if take <= 0:
+            return p, acc, nbits
+        if take > 6:
+            take = 6
+        return (
+            p + take,
+            (acc << (8 * take)) | int.from_bytes(seg[p : p + take], "big"),
+            nbits + 8 * take,
+        )
+
+    def starve() -> None:
+        # out of bits: reproduce the reference reader's distinction —
+        # stopped AT a marker vs ran off the end of the data
+        if seg_i < len(segs) - 1 or marker_tail[seg_i]:
+            raise ValueError("unexpected marker inside JPEG scan")
+        raise ValueError("truncated JPEG scan data")
+
+    for comp, td, ta in scan_comps:
+        if ("d", td) not in fast_tabs:
+            fast_tabs[("d", td)] = lookahead(dc_luts[td])
+        if ("a", ta) not in fast_tabs:
+            fast_tabs[("a", ta)] = lookahead(ac_luts[ta])
+
+    for my in range(mcu_rows):
+        for mx in range(mcu_cols):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                # byte-align (≤7 pad bits drop — whole unconsumed bytes
+                # or leftover segment data mean the marker is NOT next,
+                # exactly the reference reader's check) and step past
+                # the pre-split RSTn (T.81 E.2.4)
+                if nbits >= 8 or pos < slen or seg_i + 1 >= len(segs):
+                    raise ValueError("missing JPEG restart marker")
+                acc = 0
+                nbits = 0
+                seg_i += 1
+                seg = segs[seg_i]
+                slen = len(seg)
+                pos = 0
+                preds = [0] * ncomp
+            for ci, (comp, td, ta) in enumerate(scan_comps):
+                dc_lut = dc_luts[td]
+                ac_lut = ac_luts[ta]
+                dc_fast = fast_tabs[("d", td)]
+                ac_fast = fast_tabs[("a", ta)]
+                v_samp = comp["v"]
+                h_samp = comp["h"]
+                for by in range(v_samp):
+                    for bx in range(h_samp):
+                        zrow = zzs[bi]
+                        # --- DC symbol (lookahead, walk fallback) ---
+                        k = 0
+                        lut = dc_lut
+                        fast = dc_fast
+                        while True:  # two passes: DC then AC coefficients
+                            if nbits < 9:
+                                pos, acc, nbits = refill()
+                            hit = (
+                                fast[acc >> (nbits - 9)]
+                                if nbits >= 9
+                                else None
+                            )
+                            if hit is not None:
+                                sym, ln = hit
+                                nbits -= ln
+                                acc &= (1 << nbits) - 1
+                            else:
+                                code = 0
+                                ln = 0
+                                sym = -1
+                                while ln < 16:
+                                    if nbits == 0:
+                                        pos, acc, nbits = refill()
+                                        if nbits == 0:
+                                            starve()
+                                    ln += 1
+                                    nbits -= 1
+                                    code = (code << 1) | (acc >> nbits)
+                                    acc &= (1 << nbits) - 1
+                                    sym = lut.get((ln, code), -1)
+                                    if sym >= 0:
+                                        break
+                                if sym < 0:
+                                    raise ValueError("invalid JPEG huffman code")
+                            if lut is dc_lut:
+                                if sym > 11:
+                                    raise ValueError("corrupt JPEG DC category")
+                                if sym:
+                                    if nbits < sym:
+                                        pos, acc, nbits = refill()
+                                        if nbits < sym:
+                                            starve()
+                                    nbits -= sym
+                                    v = acc >> nbits
+                                    acc &= (1 << nbits) - 1
+                                    diff = (
+                                        v
+                                        if v >= (1 << (sym - 1))
+                                        else v - (1 << sym) + 1
+                                    )
+                                else:
+                                    diff = 0
+                                preds[ci] += diff
+                                zrow[0] = preds[ci]
+                                k = 1
+                                lut = ac_lut
+                                fast = ac_fast
+                                continue
+                            # --- AC run/size ---
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                if k < 64:
+                                    continue
+                                break
+                            k += sym >> 4
+                            s = sym & 0x0F
+                            if k > 63 or s == 0 or s > 10:
+                                raise ValueError("corrupt JPEG AC run/size")
+                            if nbits < s:
+                                pos, acc, nbits = refill()
+                                if nbits < s:
+                                    starve()
+                            nbits -= s
+                            v = acc >> nbits
+                            acc &= (1 << nbits) - 1
+                            zrow[k] = (
+                                v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                            )
+                            k += 1
+                            if k >= 64:
+                                break
+                        rows_i[ci].append(my * v_samp + by)
+                        cols_i[ci].append(mx * h_samp + bx)
+                        bidx[ci].append(bi)
+                        bi += 1
+            mcu_n += 1
+
+    planes = []
+    for ci, (comp, _td, _ta) in enumerate(scan_comps):
+        qt = qts[comp["tq"]]
+        r8 = mcu_rows * comp["v"]
+        c8 = mcu_cols * comp["h"]
+        z = zzs[np.array(bidx[ci], dtype=np.int64)]
+        nat = np.empty_like(z)
+        nat[:, ZIGZAG] = z * qt[None, :]
+        blocks = _A.T @ nat.reshape(-1, 8, 8) @ _A + 128.0
+        plane = np.zeros((r8 * 8, c8 * 8))
+        view = plane.reshape(r8, 8, c8, 8).swapaxes(1, 2)
+        view[
+            np.array(rows_i[ci], dtype=np.int64),
+            np.array(cols_i[ci], dtype=np.int64),
+        ] = blocks
+        planes.append(plane)
+    return planes
+
+
 def _parse_dqt(body: bytes, qts: dict) -> None:
     """DQT segment — possibly several tables per segment (the ONE place
     the pq=0/1 precision rules live, shared by both decoders)."""
@@ -688,30 +934,10 @@ def jpeg_pixels(payload: bytes):
     maxv = max(c["v"] for c, _, _ in scan_comps)
     mcu_cols = (width + 8 * maxh - 1) // (8 * maxh)
     mcu_rows = (height + 8 * maxv - 1) // (8 * maxv)
-    planes = [
-        np.zeros((mcu_rows * c["v"] * 8, mcu_cols * c["h"] * 8))
-        for c, _, _ in scan_comps
-    ]
-    br = _BitReader(data)
-    preds = [0] * len(scan_comps)
-    mcu_n = 0
-    for my in range(mcu_rows):
-        for mx in range(mcu_cols):
-            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
-                br.restart()
-                preds = [0] * len(scan_comps)
-            for ci, (comp, td, ta) in enumerate(scan_comps):
-                if td not in dc_luts or ta not in ac_luts or comp["tq"] not in qts:
-                    raise ValueError("JPEG scan references undefined table")
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
-                        block, preds[ci] = _decode_block(
-                            br, dc_luts[td], ac_luts[ta], qts[comp["tq"]], preds[ci]
-                        )
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
-            mcu_n += 1
+    planes = _decode_scan_baseline(
+        data, scan_comps, dc_luts, ac_luts, qts,
+        restart_interval, mcu_rows, mcu_cols,
+    )
 
     return _assemble_image(
         [(c["h"], c["v"]) for c, _, _ in scan_comps], planes, width, height
@@ -748,13 +974,15 @@ def _find_scan_end(payload: bytes, j: int) -> int:
     marker (stuffed 0xFF00 and RSTn stay inside); a stream lacking a
     trailing EOI keeps its final entropy byte."""
     k = j
-    while k + 1 < len(payload):
-        if payload[k] == 0xFF and payload[k + 1] != 0x00 and not (
-            0xD0 <= payload[k + 1] <= 0xD7
-        ):
+    n = len(payload)
+    while True:
+        k = payload.find(b"\xff", k)
+        if k < 0 or k + 1 >= n:
+            return n  # trailing lone 0xFF keeps its entropy byte
+        nxt = payload[k + 1]
+        if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
             return k
-        k += 1
-    return len(payload)
+        k += 2
 
 
 def _jpeg_pixels_progressive(payload: bytes):
