@@ -100,21 +100,53 @@ class _BitReader:
         return v
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
-        return v
+        # bulk MSB-first read: one slice + int.from_bytes instead of a
+        # per-bit loop (the Rice residual decode is per-SAMPLE, so this
+        # is the FLAC decoder's hottest path)
+        if k == 0:
+            return 0
+        p = self.p
+        end = p + k
+        d = self.d
+        if end > len(d) << 3:
+            raise ValueError("truncated FLAC bit stream")
+        first = p >> 3
+        last = (end + 7) >> 3
+        chunk = int.from_bytes(d[first:last], "big")
+        self.p = end
+        return (chunk >> ((last << 3) - end)) & ((1 << k) - 1)
 
     def sbits(self, k: int) -> int:
         v = self.bits(k)
         return v - (1 << k) if v >= (1 << (k - 1)) else v
 
     def unary(self) -> int:
+        # byte-skipping unary: mask off consumed bits of the current
+        # byte, hop whole zero bytes, then bit_length() locates the
+        # terminating 1 — 8× fewer Python iterations on long runs
+        d = self.d
+        p = self.p
+        n = len(d)
+        byte = p >> 3
+        off = p & 7
+        if byte >= n:
+            raise ValueError("truncated FLAC bit stream")
         q = 0
-        while self.bit() == 0:
-            q += 1
+        cur = d[byte] & (0xFF >> off)
+        while cur == 0:
+            q += 8 - off
             if q > 1 << 24:
                 raise ValueError("runaway FLAC unary code")
+            off = 0
+            byte += 1
+            if byte >= n:
+                raise ValueError("truncated FLAC bit stream")
+            cur = d[byte]
+        zeros = (8 - off) - cur.bit_length()
+        q += zeros
+        if q > 1 << 24:
+            raise ValueError("runaway FLAC unary code")
+        self.p = (byte << 3) + (8 - cur.bit_length()) + 1
         return q
 
     def align(self) -> None:

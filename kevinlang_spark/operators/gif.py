@@ -76,28 +76,32 @@ def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
     encoder (handles the KwKwK case and mid-stream clears)."""
     clear = 1 << min_code_size
     end = clear + 1
-    pos = 0
-
-    def read(width: int) -> int:
-        nonlocal pos
-        v = 0
-        for b in range(width):
-            byte = pos >> 3
-            if byte >= len(data):
-                raise ValueError("truncated GIF LZW stream")
-            v |= ((data[byte] >> (pos & 7)) & 1) << b
-            pos += 1
-        return v
+    # inline LSB-first bit accumulator: 2-3 int ops per code instead of
+    # a per-bit closure call (the decoder's hottest path by far)
+    dlen = len(data)
+    bpos = 0
+    acc = 0
+    nbits = 0
 
     out = bytearray()
     table: list[bytes] = []
     width = min_code_size + 1
+    mask = (1 << width) - 1
     prev: bytes | None = None
     while len(out) < expected:
-        code = read(width)
+        while nbits < width:
+            if bpos >= dlen:
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[bpos] << nbits
+            bpos += 1
+            nbits += 8
+        code = acc & mask
+        acc >>= width
+        nbits -= width
         if code == clear:
             table = [bytes([i]) for i in range(clear)] + [b"", b""]
             width = min_code_size + 1
+            mask = (1 << width) - 1
             prev = None
             continue
         if code == end:
@@ -115,6 +119,7 @@ def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
             table.append(prev + entry[:1])
             if len(table) == (1 << width) and width < 12:
                 width += 1
+                mask = (1 << width) - 1
         prev = entry
     return bytes(out[:expected])
 
