@@ -6509,90 +6509,26 @@ def q_pipeline_resume(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "q_pipeline_resume": q_pipeline_resume,
-        "q_ann_index_refresh": q_ann_index_refresh,
-        "q_ann_index_staleness": q_ann_index_staleness,
+        "q_image_pipeline": q_image_pipeline,
+        "q_stream_neardup": q_stream_neardup,
+        "q_gopher_rules": q_gopher_rules,
+        "q_url_normalize": q_url_normalize,
+        "q_domain_cap": q_domain_cap,
+        "q_robots_filter": q_robots_filter,
+        "q_pdf_extract": q_pdf_extract,
+        "q_lm_perplexity": q_lm_perplexity,
+        "q_media_ingest": q_media_ingest,
+        "q_media_jpeg": q_media_jpeg,
+        "q_media_gif": q_media_gif,
+        "q_media_flac": q_media_flac,
+        "q_media_frames": q_media_frames,
+        "q_media_pixels": q_media_pixels,
         "q_image_neardup": q_image_neardup,
         "q_image_phash": q_image_phash,
         "q_image_dedup": q_image_dedup,
-        "q_image_pipeline": q_image_pipeline,
         "q_image_crossformat": q_image_crossformat,
         "q_audio_neardup": q_audio_neardup,
         "q_video_neardup": q_video_neardup,
-        "q_zip_ingest": q_zip_ingest,
-        "q_webdataset": q_webdataset,
-        "q_webdataset_pipeline": q_webdataset_pipeline,
-        "q_stream_shards": q_stream_shards,
-        "q_docx_extract": q_docx_extract,
-        "q_pdf_extract": q_pdf_extract,
-        "q_quality_score": q_quality_score,
-        "q_warc_ingest": q_warc_ingest,
-        "q_html_extract": q_html_extract,
-        "q_warc_pipeline": q_warc_pipeline,
-        "q_lr_train": q_lr_train,
-        "q_lr_score": q_lr_score,
-        "q_lr_eval": q_lr_eval,
-        "q_link_extract": q_link_extract,
-        "q_stream_warc": q_stream_warc,
-        "q_crawl_pagerank": q_crawl_pagerank,
-        "q_mime_sniff": q_mime_sniff,
-        "q_robots_filter": q_robots_filter,
-        "q_media_avi": q_media_avi,
-        "q_lm_perplexity": q_lm_perplexity,
-        "q_lpa_communities": q_lpa_communities,
-        "q_pagerank": q_pagerank,
-        "q_hits": q_hits,
-        "q_kcore": q_kcore,
-        "q_wl_refinement": q_wl_refinement,
-        "q_shortest_paths": q_shortest_paths,
-        "q_harmonic_centrality": q_harmonic_centrality,
-        "q_stream_hourly": q_stream_hourly,
-        "q_stream_sliding": q_stream_sliding,
-        "q_stream_sessions": q_stream_sessions,
-        "q_stream_dedup": q_stream_dedup,
-        "q_stream_neardup": q_stream_neardup,
-        "q_stream_join": q_stream_join,
-        "q_stream_stateful": q_stream_stateful,
-        "q_record_linkage": q_record_linkage,
-        "q_ann_pq_indexed": q_ann_pq_indexed,
-        "q_ann_ivfpq_indexed": q_ann_ivfpq_indexed,
-        "q_media_ingest": q_media_ingest,
-        "q_media_jpeg": q_media_jpeg,
-        "q_media_flac": q_media_flac,
-        "q_media_gif": q_media_gif,
-        "q_media_frames": q_media_frames,
-        "q_url_normalize": q_url_normalize,
-        "q_domain_cap": q_domain_cap,
-        "q_gopher_rules": q_gopher_rules,
-        "q_neardup_components": q_neardup_components,
-        "q_ann_lsh": q_ann_lsh,
-        "q_minhash_pairs": q_minhash_pairs,
-        "q_simhash_pairs": q_simhash_pairs,
-        "q_knn_cosine": q_knn_cosine,
-        "q_dedup_exact": q_dedup_exact,
-        "q_dedup_rate": q_dedup_rate,
-        "q_dedup_representatives": q_dedup_representatives,
-        "q_link_prediction": q_link_prediction,
-        "q_ann_ivf": q_ann_ivf,
-        "q_ann_lsh_indexed": q_ann_lsh_indexed,
-        "q_semantic_clusters": q_semantic_clusters,
-        "q_knn_join": q_knn_join,
-        "q_kcenter_sample": q_kcenter_sample,
-        "q_intrinsic_dim": q_intrinsic_dim,
-        "q_hll_rollup": q_hll_rollup,
-        "q_kll_rollup": q_kll_rollup,
-        "q_bloom_filter": q_bloom_filter,
-        "q_radius_join": q_radius_join,
-        "q_ann_probe_pruned": q_ann_probe_pruned,
-        "q_semantic_dedup": q_semantic_dedup,
-        "q_theta_overlap": q_theta_overlap,
-        "q_cms_tokens": q_cms_tokens,
-        "q_triangles": q_triangles,
-        "q_ann_ivfpq": q_ann_ivfpq,
-        "q_ann_pq": q_ann_pq,
-        "q_dedup_longest": q_dedup_longest,
-        "q_hybrid_retrieval": q_hybrid_retrieval,
-        "q_bm25_search": q_bm25_search,
         "q_argmax": q_argmax,
         "q_asof_join": q_asof_join,
         "q_corpus_filter": q_corpus_filter,
@@ -6609,6 +6545,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_set_ops": q_set_ops,
         "q_tpch_q10": q_tpch_q10,
         "q_transform_zscore": q_transform_zscore,
+        "q_neardup_components": q_neardup_components,
+        "q_ann_lsh": q_ann_lsh,
+        "q_minhash_pairs": q_minhash_pairs,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_knn_cosine": q_knn_cosine,
+        "q_dedup_exact": q_dedup_exact,
+        "q_dedup_rate": q_dedup_rate,
+        "q_dedup_representatives": q_dedup_representatives,
         "q_agg_concat": q_agg_concat,
         "q_agg_global": q_agg_global,
         "q_agg_stats": q_agg_stats,
@@ -6651,6 +6595,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q9": q_tpch_q9,
         "q_window_lag": q_window_lag,
         "q_window_rank": q_window_rank,
+        "q_link_prediction": q_link_prediction,
+        "q_ann_ivf": q_ann_ivf,
+        "q_ann_lsh_indexed": q_ann_lsh_indexed,
+        "q_semantic_clusters": q_semantic_clusters,
+        "q_knn_join": q_knn_join,
+        "q_kcenter_sample": q_kcenter_sample,
+        "q_intrinsic_dim": q_intrinsic_dim,
+        "q_hll_rollup": q_hll_rollup,
+        "q_kll_rollup": q_kll_rollup,
+        "q_bloom_filter": q_bloom_filter,
+        "q_radius_join": q_radius_join,
+        "q_ann_probe_pruned": q_ann_probe_pruned,
+        "q_semantic_dedup": q_semantic_dedup,
+        "q_theta_overlap": q_theta_overlap,
+        "q_cms_tokens": q_cms_tokens,
+        "q_triangles": q_triangles,
+        "q_ann_ivfpq": q_ann_ivfpq,
+        "q_ann_pq": q_ann_pq,
+        "q_dedup_longest": q_dedup_longest,
+        "q_hybrid_retrieval": q_hybrid_retrieval,
+        "q_bm25_search": q_bm25_search,
+        "q_lpa_communities": q_lpa_communities,
+        "q_pagerank": q_pagerank,
+        "q_hits": q_hits,
+        "q_kcore": q_kcore,
+        "q_wl_refinement": q_wl_refinement,
+        "q_shortest_paths": q_shortest_paths,
+        "q_harmonic_centrality": q_harmonic_centrality,
+        "q_stream_dedup": q_stream_dedup,
+        "q_stream_hourly": q_stream_hourly,
+        "q_stream_join": q_stream_join,
+        "q_stream_sessions": q_stream_sessions,
+        "q_stream_shards": q_stream_shards,
+        "q_stream_sliding": q_stream_sliding,
+        "q_stream_stateful": q_stream_stateful,
+        "q_stream_warc": q_stream_warc,
+        "q_ann_index_refresh": q_ann_index_refresh,
+        "q_ann_index_staleness": q_ann_index_staleness,
+        "q_ann_ivfpq_indexed": q_ann_ivfpq_indexed,
+        "q_ann_pq_indexed": q_ann_pq_indexed,
+        "q_record_linkage": q_record_linkage,
         "q_acf": q_acf,
         "q_corpus_report": q_corpus_report,
         "q_cube_revenue": q_cube_revenue,
@@ -6694,7 +6679,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_inverted_index": q_inverted_index,
         "q_join_estimate": q_join_estimate,
         "q_lm_score": q_lm_score,
-        "q_media_pixels": q_media_pixels,
         "q_merge_intervals": q_merge_intervals,
         "q_novelty": q_novelty,
         "q_pack_sequences": q_pack_sequences,
@@ -6772,6 +6756,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_tokens_per_source": q_top_tokens_per_source,
         "q_truncation_recall": q_truncation_recall,
         "q_vocab_coverage": q_vocab_coverage,
+        "q_crawl_pagerank": q_crawl_pagerank,
+        "q_docx_extract": q_docx_extract,
+        "q_html_extract": q_html_extract,
+        "q_link_extract": q_link_extract,
+        "q_lr_eval": q_lr_eval,
+        "q_lr_score": q_lr_score,
+        "q_lr_train": q_lr_train,
+        "q_media_avi": q_media_avi,
+        "q_mime_sniff": q_mime_sniff,
+        "q_pipeline_resume": q_pipeline_resume,
+        "q_quality_score": q_quality_score,
+        "q_warc_ingest": q_warc_ingest,
+        "q_warc_pipeline": q_warc_pipeline,
+        "q_webdataset": q_webdataset,
+        "q_webdataset_pipeline": q_webdataset_pipeline,
+        "q_zip_ingest": q_zip_ingest,
     }
 
 

@@ -440,21 +440,35 @@ def _png_pixels(payload: bytes):
             cur = line
         elif ftype == 2:  # Up — vectorizable (no intra-row dependency)
             cur = (line + prev) % 256
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
-            cur = line.copy()
-            for x in range(stride):
-                a = int(cur[x - channels]) if x >= channels else 0
-                if ftype == 1:
-                    cur[x] = (cur[x] + a) % 256
-                elif ftype == 3:
-                    cur[x] = (cur[x] + ((a + int(prev[x])) >> 1)) % 256
-                else:
-                    b = int(prev[x])
-                    c = int(prev[x - channels]) if x >= channels else 0
+        elif ftype == 1:  # Sub: per-channel-lane prefix sum — vectorizes
+            cur = (
+                line.reshape(width, channels).cumsum(axis=0, dtype=np.int64)
+                % 256
+            ).reshape(stride).astype(np.int32)
+        elif ftype in (3, 4):  # Average / Paeth: sequential in x; plain
+            # Python ints beat numpy scalar indexing ~8× here
+            lst = line.tolist()
+            pl = prev.tolist()
+            if ftype == 3:
+                for x in range(stride):
+                    a = lst[x - channels] if x >= channels else 0
+                    lst[x] = (lst[x] + ((a + pl[x]) >> 1)) & 255
+            else:
+                for x in range(stride):
+                    a = lst[x - channels] if x >= channels else 0
+                    b = pl[x]
+                    c = pl[x - channels] if x >= channels else 0
                     p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    cur[x] = (cur[x] + pred) % 256
+                    pa = p - a if p >= a else a - p
+                    pb = p - b if p >= b else b - p
+                    pc = p - c if p >= c else c - p
+                    pred = (
+                        a
+                        if (pa <= pb and pa <= pc)
+                        else (b if pb <= pc else c)
+                    )
+                    lst[x] = (lst[x] + pred) & 255
+            cur = np.array(lst, dtype=np.int32)
         else:
             raise ValueError(f"bad PNG filter byte {ftype}")
         out[y] = cur.astype(np.uint8)
