@@ -272,6 +272,31 @@ def _codec_throughput(spark, sf_dir: str, cpus: int) -> dict:
         out[f"codec_{codec}_mbps_per_core"] = round(
             n_bytes / 1e6 / best / cpus, 3
         )
+        # pure single-core decoder series (r10): after the r10 decoder
+        # rewrites the Spark-side number above is dominated by job
+        # constants (~2 s/noop-write at this corpus scale), so it now
+        # tracks PIPELINE overhead, not the codec.  This one times the
+        # decode loop in-process over a bounded sample — the honest
+        # regression signal for the decoders themselves.  The collect
+        # is telemetry-bounded (300 rows), never query work.
+        from kevinlang_spark.operators.multimodal import stdlib_pixel_decode
+
+        sample = [
+            (bytes(r["payload"]), r["media_type"])
+            for r in media.select("payload", "media_type").limit(300).collect()
+            if r["payload"] is not None
+        ]
+        s_bytes = sum(len(p) for p, _ in sample)
+        best_pure = None
+        for _ in range(3):
+            t0 = time.time()
+            for p, m in sample:
+                stdlib_pixel_decode(p, m)
+            el = time.time() - t0
+            best_pure = el if best_pure is None or el < best_pure else best_pure
+        out[f"codec_{codec}_mbps_pure_1core"] = round(
+            s_bytes / 1e6 / best_pure, 3
+        )
         # production fast path (VERDICT r9 item 4): same corpus through
         # PIL when importable — emitted as a SEPARATE key so the two
         # series are comparable round-over-round; absent (honestly) in

@@ -85,6 +85,7 @@ def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
 
     out = bytearray()
     table: list[bytes] = []
+    base_table: list[bytes] | None = None  # built once per stream, C-copied per clear
     width = min_code_size + 1
     mask = (1 << width) - 1
     prev: bytes | None = None
@@ -99,7 +100,9 @@ def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
         acc >>= width
         nbits -= width
         if code == clear:
-            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            if base_table is None:
+                base_table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            table = list(base_table)
             width = min_code_size + 1
             mask = (1 << width) - 1
             prev = None

@@ -543,6 +543,33 @@ def _decode_block(
     return block, dc
 
 
+#: id(lut) → (lut, 9-bit lookahead) — combined with _DHT_CACHE the
+#: lookahead is built once per DISTINCT table, not once per image (the
+#: dominant fixed cost on KB-scale payloads).  The stored lut reference
+#: both keeps the id stable and guards against id reuse after GC.
+_FAST_CACHE: dict[int, tuple] = {}
+
+
+def _lookahead_for(lut: dict) -> list:
+    """9-bit-prefix decode table: one list index replaces the per-bit
+    canonical walk for every code ≤ 9 bits (all of them in our
+    encoder's tables; the overwhelming majority in libjpeg's standard
+    tables).  None → fall back to the walk."""
+    ent = _FAST_CACHE.get(id(lut))
+    if ent is not None and ent[0] is lut:
+        return ent[1]
+    fast: list = [None] * 512
+    for (ln, code), sym in lut.items():
+        if ln <= 9:
+            base = code << (9 - ln)
+            for suf in range(1 << (9 - ln)):
+                fast[base | suf] = (sym, ln)
+    if len(_FAST_CACHE) > 256:
+        _FAST_CACHE.clear()
+    _FAST_CACHE[id(lut)] = (lut, fast)
+    return fast
+
+
 def _decode_scan_baseline(
     data: bytes,
     scan_comps: list,
@@ -566,20 +593,7 @@ def _decode_scan_baseline(
         if td not in dc_luts or ta not in ac_luts or comp["tq"] not in qts:
             raise ValueError("JPEG scan references undefined table")
 
-    def lookahead(lut: dict) -> list:
-        # 9-bit-prefix decode table: one list index replaces the
-        # per-bit canonical walk for every code ≤ 9 bits (all of them
-        # in our encoder's tables; the overwhelming majority in
-        # libjpeg's standard tables).  None → fall back to the walk.
-        fast: list = [None] * 512
-        for (ln, code), sym in lut.items():
-            if ln <= 9:
-                base = code << (9 - ln)
-                for suf in range(1 << (9 - ln)):
-                    fast[base | suf] = (sym, ln)
-        return fast
-
-    fast_tabs: dict[int, list] = {}
+    fast_tabs: dict[tuple, list] = {}
     # pre-split the scan on restart markers and unstuff 0xFF00 at C
     # speed (bytes.find / bytes.replace) — the per-byte Python stuffing
     # scan was the hottest line of the decoder.  marker_tail[i] records
@@ -651,9 +665,9 @@ def _decode_scan_baseline(
 
     for comp, td, ta in scan_comps:
         if ("d", td) not in fast_tabs:
-            fast_tabs[("d", td)] = lookahead(dc_luts[td])
+            fast_tabs[("d", td)] = _lookahead_for(dc_luts[td])
         if ("a", ta) not in fast_tabs:
-            fast_tabs[("a", ta)] = lookahead(ac_luts[ta])
+            fast_tabs[("a", ta)] = _lookahead_for(ac_luts[ta])
 
     for my in range(mcu_rows):
         for mx in range(mcu_cols):
@@ -810,6 +824,13 @@ def _parse_dqt(body: bytes, qts: dict) -> None:
             raise ValueError("corrupt JPEG DQT precision")
 
 
+#: DHT-bytes → decode dict cache: a 100 TB corpus overwhelmingly ships
+#: ONE encoder's tables, so per-image table construction (and the fast
+#: lookahead built from the same dict object downstream) amortizes to a
+#: dict hit.  Bounded; values are read-only after construction.
+_DHT_CACHE: dict[bytes, dict] = {}
+
+
 def _parse_dht(body: bytes, dc_luts: dict, ac_luts: dict) -> None:
     """DHT segment — possibly several tables per segment (shared)."""
     j = 0
@@ -817,8 +838,15 @@ def _parse_dht(body: bytes, dc_luts: dict, ac_luts: dict) -> None:
         tc, th = body[j] >> 4, body[j] & 0x0F
         bits = list(body[j + 1 : j + 17])
         nv = sum(bits)
-        vals = list(body[j + 17 : j + 17 + nv])
-        (dc_luts if tc == 0 else ac_luts)[th] = _canonical_lut(bits, vals)
+        key = bytes(body[j : j + 17 + nv])
+        lut = _DHT_CACHE.get(key)
+        if lut is None:
+            vals = list(body[j + 17 : j + 17 + nv])
+            lut = _canonical_lut(bits, vals)
+            if len(_DHT_CACHE) > 256:
+                _DHT_CACHE.clear()
+            _DHT_CACHE[key] = lut
+        (dc_luts if tc == 0 else ac_luts)[th] = lut
         j += 17 + nv
 
 
