@@ -463,10 +463,21 @@ def _read_subframe(br: _BitReader, bs: int, bits: int) -> list[int]:
         order = t - 8
         x = [br.sbits(bits) for _ in range(order)]
         res = _read_residual(br, bs, order)
-        coef = _FIXED_COEFFS[order]
-        for n in range(order, bs):
-            pred = sum(c * x[n - 1 - j] for j, c in enumerate(coef))
-            x.append(pred + res[n - order])
+        if order == 0:
+            x = list(res)
+        else:
+            # the FIXED-k residual IS the k-th finite difference of the
+            # signal (that's why _FIXED_COEFFS are binomial rows), so
+            # reconstruction = k cumulative sums seeded by the warmup's
+            # difference table — exact int64 arithmetic, vectorized,
+            # instead of a per-sample Python predictor loop
+            cur = np.asarray(res, dtype=np.int64)
+            diffs = [np.asarray(x, dtype=np.int64)]
+            for _ in range(1, order):
+                diffs.append(np.diff(diffs[-1]))
+            for j in range(order - 1, -1, -1):
+                cur = int(diffs[j][-1]) + np.cumsum(cur)
+            x = x + cur.tolist()
     elif t >= 32:  # LPC order 1-32
         order = t - 31
         x = [br.sbits(bits) for _ in range(order)]
