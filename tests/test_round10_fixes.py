@@ -213,3 +213,41 @@ def test_extract_pixel_stats_prefer_pil_matches_pure_when_absent(spark):
         for r in extract_pixel_stats(media, prefer_pil=True).collect()
     )
     assert pure == fast
+
+
+def test_pdf_scan_property_marker_bytes_in_streams():
+    """Property: pdf_text must extract exactly the shown lines no matter
+    what marker-like byte sequences ('N N obj', 'stream', 'endobj')
+    appear INSIDE content-stream string literals — the cursor-based
+    object scan never re-enters consumed stream extents."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    evil_tokens = ["7 0 obj", "stream", "endobj", "xref", "%PDF-", "<<"]
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    min_codepoint=32, max_codepoint=126
+                ),
+                min_size=0,
+                max_size=30,
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+        st.lists(st.sampled_from(evil_tokens), max_size=3),
+        st.booleans(),
+    )
+    def check(lines, evils, compress):
+        # inject the marker-like tokens into the shown text itself
+        salted = [ln + " " + " ".join(evils) for ln in lines]
+        out = pdf_text(make_pdf(salted, compress=compress))
+        expect = "\n".join(
+            ln for ln in (s.strip() for s in salted) if ln
+        )
+        assert out == expect
+
+    check()
