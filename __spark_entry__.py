@@ -2236,7 +2236,9 @@ def q_image_neardup(spark, sf_dir):
         .where(F.col("doc_id") % 5 == 0)
         .select("doc_id")
     )
-    sig = extract_image_phash(_phash_media(docs), method="dhash")
+    sig = extract_image_phash(
+        _phash_media(docs), method="dhash"
+    ).localCheckpoint(eager=True)  # sig feeds both self-join legs: checkpoint so decode runs once
     return hamming_neardup_pairs(
         sig, max_hamming=3, blocks=4, id_col="doc_id", sig_col="phash"
     ).orderBy("id_a", "id_b")
@@ -2299,7 +2301,7 @@ def q_audio_neardup(spark, sf_dir):
     media = docs.repartition(32).mapInPandas(
         gen, schema="doc_id bigint, media_type string, payload binary"
     )
-    sig = extract_audio_fingerprint(media)
+    sig = extract_audio_fingerprint(media).localCheckpoint(eager=True)  # sig feeds both self-join legs: checkpoint so decode runs once
     return hamming_neardup_pairs(
         sig, max_hamming=3, blocks=4, id_col="doc_id", sig_col="ahash"
     ).orderBy("id_a", "id_b")
@@ -2725,7 +2727,9 @@ def q_video_neardup(spark, sf_dir):
     media = docs.repartition(32).mapInPandas(
         gen, schema="doc_id bigint, media_type string, payload binary"
     )
-    sig = extract_image_phash(media, method="dhash")
+    sig = extract_image_phash(
+        media, method="dhash"
+    ).localCheckpoint(eager=True)  # sig feeds both self-join legs: checkpoint so decode runs once
     return hamming_neardup_pairs(
         sig, max_hamming=3, blocks=4, id_col="doc_id", sig_col="phash"
     ).orderBy("id_a", "id_b")
@@ -2848,7 +2852,9 @@ def q_image_dedup(spark, sf_dir):
         .where(F.col("doc_id") % 5 == 0)
         .select("doc_id")
     )
-    sig = extract_image_phash(_phash_media(docs), method="dhash")
+    sig = extract_image_phash(
+        _phash_media(docs), method="dhash"
+    ).localCheckpoint(eager=True)  # sig feeds both self-join legs: checkpoint so decode runs once
     pairs = hamming_neardup_pairs(
         sig, max_hamming=3, blocks=4, id_col="doc_id", sig_col="phash"
     )
@@ -2944,7 +2950,13 @@ def q_image_pipeline(spark, sf_dir):
         "media_type",
         "payload",
     )
-    sig = extract_image_phash(media, method="dhash")
+    # the sig frame (9 bytes/row) feeds BOTH sides of the pigeonhole
+    # self-join — checkpoint it so the 5000-file decode runs ONCE, not
+    # once per join leg (the multi-consumer rule from SCALE.md)
+    sig = (
+        extract_image_phash(media, method="dhash")
+        .localCheckpoint(eager=True)
+    )
     pairs = hamming_neardup_pairs(
         sig, max_hamming=3, blocks=4, id_col="doc_id", sig_col="phash"
     )
