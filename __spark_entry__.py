@@ -2407,6 +2407,56 @@ def q_zip_ingest(spark, sf_dir):
     )
 
 
+def q_zstd_ingest(spark, sf_dir):
+    """ZSTD-wrapped shard ingestion (sources/archive.py _zstd_decompress
+    via pyarrow's bundled codec + read_tar_members) — the wrapper
+    Common Crawl's newer dumps and HF dataset shards increasingly ship
+    in: synthesize one real .tar.zst per document (doc_id % 3 + 1 text
+    members, deterministic pyarrow zstd frames), every 7th id replaced
+    by a zstd-MAGIC-but-garbage payload that must quarantine to a
+    single file-level 'invalid' row, then enumerate members
+    distributedly in census mode (member bytes never shuffle).  Same
+    closed-form census as the ZIP/gzip tiers — the wrapper must not
+    show up in the result."""
+    from kevinlang_spark.sources.archive import read_tar_members
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        import pandas as pd
+
+        from kevinlang_spark.sources.archive import _ZSTD_MAGIC, make_tar
+
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 7 == 3:
+                    payloads.append(_ZSTD_MAGIC + b" not a real frame")
+                    continue
+                members = {
+                    f"part{i}.txt": (
+                        f"content {d} part {i} " + "x" * (d % 50)
+                    ).encode()
+                    for i in range(d % 3 + 1)
+                }
+                payloads.append(make_tar(members, zstd=True))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    archives = docs.repartition(32).mapInPandas(
+        gen, schema="doc_id bigint, payload binary"
+    )
+    members = read_tar_members(archives, keep_payload=False)
+    return members.select(
+        "doc_id",
+        "member",
+        "n_bytes",
+        F.split_part(F.col("status"), F.lit(":"), F.lit(1)).alias("status"),
+    )
+
+
 def q_webdataset(spark, sf_dir):
     """WebDataset shard ingestion (sources/archive.py read_tar_members
     + webdataset_samples) — the tar-of-(key.ext) convention
@@ -6523,6 +6573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_image_pipeline": q_image_pipeline,
         "q_stream_neardup": q_stream_neardup,
+        "q_zstd_ingest": q_zstd_ingest,
         "q_gopher_rules": q_gopher_rules,
         "q_url_normalize": q_url_normalize,
         "q_domain_cap": q_domain_cap,
@@ -7669,6 +7720,7 @@ def oracle_sql() -> dict[str, str]:
         "q_video_neardup": _image_neardup_oracle_sql(),
         # ZIP member census: closed-form names/sizes; non-ZIP ids must
         # surface as one file-level invalid row
+        "q_zstd_ingest": """SELECT doc_id, 'part' || s.g || '.txt' AS member, CAST(length('content ' || doc_id || ' part ' || s.g || ' ') + doc_id % 50 AS BIGINT) AS n_bytes, 'ok' AS status FROM documents, generate_series(0, 2) s(g) WHERE doc_id % 7 <> 3 AND s.g <= doc_id % 3 UNION ALL SELECT doc_id, NULL AS member, NULL AS n_bytes, 'invalid' AS status FROM documents WHERE doc_id % 7 = 3""",
         "q_zip_ingest": """SELECT doc_id, 'part' || s.g || '.txt' AS member, CAST(length('content ' || doc_id || ' part ' || s.g || ' ') + doc_id % 50 AS BIGINT) AS n_bytes, 'ok' AS status FROM documents, generate_series(0, 2) s(g) WHERE doc_id % 7 <> 3 AND s.g <= doc_id % 3 UNION ALL SELECT doc_id, NULL AS member, NULL AS n_bytes, 'invalid' AS status FROM documents WHERE doc_id % 7 = 3""",
         # WebDataset shards: per-sample census closed-form; corrupt-gzip
         # ids contribute no samples

@@ -151,6 +151,7 @@ HEADLINE = [
     "q_lm_perplexity",
     "q_pdf_extract",
     "q_zip_ingest",
+    "q_zstd_ingest",
     "q_docx_extract",
     "q_webdataset",
     "q_webdataset_pipeline",

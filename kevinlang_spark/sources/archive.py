@@ -177,10 +177,52 @@ def read_zip_members(
 TAR_MEMBERS_SCHEMA = ZIP_MEMBERS_SCHEMA.replace(", crc32 bigint", "")
 
 
-def make_tar(members: dict, gz: bool = True) -> bytes:
-    """A real (optionally gzip'd) TAR from a {name: bytes} mapping —
-    the WebDataset shard shape.  Deterministic: zeroed mtimes, fixed
-    uid/gid, gzip with mtime=0, so fixture bytes are stable."""
+#: zstd frame magic (RFC 8878 §3.1.1) — the wrapper Common Crawl's
+#: newer dumps and HF dataset shards increasingly ship in
+_ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+
+
+def _zstd_compress(data: bytes) -> bytes:
+    """Deterministic zstd frame via pyarrow's bundled codec (pyarrow is
+    a baked dependency; no external zstd library).  Raises
+    NotImplementedError if this pyarrow build lacks the codec."""
+    import pyarrow as pa
+
+    if not pa.Codec.is_available("zstd"):
+        raise NotImplementedError("this pyarrow build lacks the zstd codec")
+    sink = pa.BufferOutputStream()
+    with pa.output_stream(sink, compression="zstd") as out:
+        out.write(data)
+    return sink.getvalue().to_pybytes()
+
+
+def _zstd_decompress(data: bytes) -> bytes:
+    """Inflate one zstd frame; quarantine semantics — a deployment
+    whose pyarrow lacks the codec quarantines zstd shards (ValueError)
+    rather than dying, and corrupt frames do the same."""
+    try:
+        import pyarrow as pa
+
+        if not pa.Codec.is_available("zstd"):
+            raise ImportError("pyarrow built without zstd")
+    except ImportError as exc:
+        raise ValueError(
+            f"zstd wrapper needs the pyarrow zstd codec: {exc}"
+        ) from exc
+    try:
+        return pa.input_stream(
+            pa.BufferReader(data), compression="zstd"
+        ).read()
+    except OSError as exc:
+        raise ValueError(f"corrupt zstd wrapper: {exc}") from exc
+
+
+def make_tar(members: dict, gz: bool = True, zstd: bool = False) -> bytes:
+    """A real (optionally gzip'd or zstd'd) TAR from a {name: bytes}
+    mapping — the WebDataset shard shape.  Deterministic: zeroed
+    mtimes, fixed uid/gid, gzip with mtime=0 (and pyarrow's zstd
+    writer is deterministic for a given input), so fixture bytes are
+    stable.  ``zstd=True`` wraps in a zstd frame instead of gzip."""
     import gzip as _gzip
     import tarfile
 
@@ -193,6 +235,8 @@ def make_tar(members: dict, gz: bool = True) -> bytes:
             ti.uid = ti.gid = 0
             tf.addfile(ti, io.BytesIO(data))
     raw = buf.getvalue()
+    if zstd:
+        return _zstd_compress(raw)
     if not gz:
         return raw
     out = io.BytesIO()
@@ -219,6 +263,8 @@ def _tar_members(payload: bytes):
             payload = _gzip.decompress(payload)
         except (OSError, EOFError, zlib.error) as exc:
             raise ValueError(f"corrupt gzip wrapper: {exc}") from exc
+    elif payload[:4] == _ZSTD_MAGIC:
+        payload = _zstd_decompress(payload)  # .tar.zst shards
     results = []
     end = 0
     try:

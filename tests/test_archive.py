@@ -306,3 +306,67 @@ def test_stream_tar_census_matches_batch(spark, tmp_path):
     assert got == want
     assert ("...", None, "invalid") not in got  # shape sanity
     assert sum(1 for m, _n, st in got if st == "invalid") >= 1
+
+
+# ---------------------------------------------------------------------------
+# zstd-wrapped shards (round 10)
+
+
+def test_tar_zstd_roundtrip_and_determinism():
+    from kevinlang_spark.sources.archive import _tar_members, make_tar
+
+    members = {"a.txt": b"alpha", "dir/b.bin": b"\x00\x01\x02" * 50}
+    p1 = make_tar(members, zstd=True)
+    p2 = make_tar(members, zstd=True)
+    assert p1 == p2  # deterministic fixture bytes
+    assert p1[:4] == b"\x28\xb5\x2f\xfd"  # RFC 8878 frame magic
+    got = {m: d for m, _s, _st, d in _tar_members(p1)}
+    assert got == members
+
+
+def test_tar_zstd_smaller_than_plain():
+    from kevinlang_spark.sources.archive import make_tar
+
+    members = {f"f{i}.txt": b"the same line of text\n" * 40 for i in range(4)}
+    assert len(make_tar(members, zstd=True)) < len(make_tar(members, gz=False)) / 4
+
+
+def test_corrupt_zstd_quarantines():
+    import pytest as _pytest
+
+    from kevinlang_spark.sources.archive import _ZSTD_MAGIC, _tar_members
+
+    with _pytest.raises(ValueError, match="corrupt zstd wrapper"):
+        list(_tar_members(_ZSTD_MAGIC + b"garbage body"))
+
+
+def test_zstd_truncated_frame_quarantines():
+    import pytest as _pytest
+
+    from kevinlang_spark.sources.archive import _tar_members, make_tar
+
+    p = make_tar({"a.txt": b"x" * 4000}, zstd=True)
+    with _pytest.raises(ValueError, match="corrupt zstd wrapper"):
+        list(_tar_members(p[: len(p) // 2]))
+
+
+def test_webdataset_samples_through_zstd(spark):
+    """The sample grouping is wrapper-agnostic: a .tar.zst WebDataset
+    shard groups exactly like its .tar.gz twin."""
+    from kevinlang_spark.sources.archive import (
+        make_tar,
+        read_tar_members,
+        webdataset_samples,
+    )
+
+    members = {
+        "0001.txt": b"caption one",
+        "0001.cls": b"7",
+        "0002.txt": b"caption two",
+        "0002.cls": b"9",
+    }
+    rows = [(1, make_tar(members, zstd=True)), (2, make_tar(members, gz=True))]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    samples = webdataset_samples(read_tar_members(df)).collect()
+    by = {(r["doc_id"], r["key"]): r["n_parts"] for r in samples}
+    assert by == {(1, "0001"): 2, (1, "0002"): 2, (2, "0001"): 2, (2, "0002"): 2}
