@@ -389,6 +389,15 @@ def split_warc_file(name: str, data: bytes) -> Iterator[tuple]:
                 pos = 0
                 rows, pos, idx = _frame_rows(name, buf, pos, idx, False)
                 yield from rows
+        elif data[:4] == b"\x28\xb5\x2f\xfd":
+            # whole-file zstd wrapper (concatenated plain frames inflate
+            # as one stream).  The Common Crawl *.warc.zst convention's
+            # shared-dictionary skippable frames are NOT modeled —
+            # pyarrow fails on dictionary-needing frames and the file
+            # quarantines honestly below, never a misparse.
+            from kevinlang_spark.sources.archive import _zstd_decompress
+
+            buf = _zstd_decompress(bytes(data))
         else:
             buf = bytes(data)
         rows, pos, idx = _frame_rows(name, buf, pos, idx, True)

@@ -234,3 +234,41 @@ def test_content_encoding_deflate_both_wrappings_decode():
     c = zlib.compressobj(9, zlib.DEFLATED, -15)
     raw = c.compress(page) + c.flush()
     assert parse_http_response(head + raw) == (200, "text/html", page)
+
+
+# ---------------------------------------------------------------------------
+# zstd-wrapped WARC (round 10): whole-file frames inflate, dictionary
+# (skippable-frame) archives quarantine honestly
+
+
+def test_split_warc_zstd_whole_file_roundtrip():
+    from kevinlang_spark.sources.archive import _zstd_compress
+    from kevinlang_spark.sources.warc import (
+        make_warc,
+        make_warc_record,
+        split_warc_file,
+    )
+
+    recs = [
+        make_warc_record("response", b"<html>zstd one</html>",
+                         uri="http://a.test/1"),
+        make_warc_record("response", b"<html>zstd two</html>",
+                         uri="http://a.test/2"),
+    ]
+    plain = make_warc(recs, compress=False)
+    z = _zstd_compress(plain)
+    rows_z = list(split_warc_file("f.warc.zst", z))
+    rows_p = list(split_warc_file("f.warc", plain))
+    # identical records modulo the file-name column
+    assert [r[1:] for r in rows_z] == [r[1:] for r in rows_p]
+    assert len(rows_z) == 2
+    assert all(r[2] == "response" for r in rows_z)
+
+
+def test_split_warc_zstd_corrupt_quarantines():
+    from kevinlang_spark.sources.warc import split_warc_file
+
+    rows = list(
+        split_warc_file("bad.warc.zst", b"\x28\xb5\x2f\xfd not a frame")
+    )
+    assert len(rows) == 1 and rows[0][2] == "invalid"
