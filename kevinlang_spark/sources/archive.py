@@ -180,6 +180,42 @@ TAR_MEMBERS_SCHEMA = ZIP_MEMBERS_SCHEMA.replace(", crc32 bigint", "")
 #: zstd frame magic (RFC 8878 §3.1.1) — the wrapper Common Crawl's
 #: newer dumps and HF dataset shards increasingly ship in
 _ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+#: LZ4 frame magic (LZ4 frame format spec §3.1) — the low-latency
+#: wrapper data-lake shard pipelines favor
+_LZ4_MAGIC = b"\x04\x22\x4d\x18"
+
+
+def _lz4_compress(data: bytes) -> bytes:
+    """Deterministic LZ4 frame via pyarrow's bundled codec (same story
+    as :func:`_zstd_compress`)."""
+    import pyarrow as pa
+
+    if not pa.Codec.is_available("lz4"):
+        raise NotImplementedError("this pyarrow build lacks the lz4 codec")
+    sink = pa.BufferOutputStream()
+    with pa.output_stream(sink, compression="lz4") as out:
+        out.write(data)
+    return sink.getvalue().to_pybytes()
+
+
+def _lz4_decompress(data: bytes) -> bytes:
+    """Inflate one LZ4 frame; quarantine semantics like
+    :func:`_zstd_decompress`."""
+    try:
+        import pyarrow as pa
+
+        if not pa.Codec.is_available("lz4"):
+            raise ImportError("pyarrow built without lz4")
+    except ImportError as exc:
+        raise ValueError(
+            f"lz4 wrapper needs the pyarrow lz4 codec: {exc}"
+        ) from exc
+    try:
+        return pa.input_stream(
+            pa.BufferReader(data), compression="lz4"
+        ).read()
+    except OSError as exc:
+        raise ValueError(f"corrupt lz4 wrapper: {exc}") from exc
 
 
 def _zstd_compress(data: bytes) -> bytes:
@@ -217,7 +253,9 @@ def _zstd_decompress(data: bytes) -> bytes:
         raise ValueError(f"corrupt zstd wrapper: {exc}") from exc
 
 
-def make_tar(members: dict, gz: bool = True, zstd: bool = False) -> bytes:
+def make_tar(
+    members: dict, gz: bool = True, zstd: bool = False, lz4: bool = False
+) -> bytes:
     """A real (optionally gzip'd or zstd'd) TAR from a {name: bytes}
     mapping — the WebDataset shard shape.  Deterministic: zeroed
     mtimes, fixed uid/gid, gzip with mtime=0 (and pyarrow's zstd
@@ -237,6 +275,8 @@ def make_tar(members: dict, gz: bool = True, zstd: bool = False) -> bytes:
     raw = buf.getvalue()
     if zstd:
         return _zstd_compress(raw)
+    if lz4:
+        return _lz4_compress(raw)
     if not gz:
         return raw
     out = io.BytesIO()
@@ -265,6 +305,8 @@ def _tar_members(payload: bytes):
             raise ValueError(f"corrupt gzip wrapper: {exc}") from exc
     elif payload[:4] == _ZSTD_MAGIC:
         payload = _zstd_decompress(payload)  # .tar.zst shards
+    elif payload[:4] == _LZ4_MAGIC:
+        payload = _lz4_decompress(payload)  # .tar.lz4 shards
     results = []
     end = 0
     try:

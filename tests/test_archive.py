@@ -370,3 +370,21 @@ def test_webdataset_samples_through_zstd(spark):
     samples = webdataset_samples(read_tar_members(df)).collect()
     by = {(r["doc_id"], r["key"]): r["n_parts"] for r in samples}
     assert by == {(1, "0001"): 2, (1, "0002"): 2, (2, "0001"): 2, (2, "0002"): 2}
+
+
+def test_tar_lz4_roundtrip_and_quarantine():
+    import pytest as _pytest
+
+    from kevinlang_spark.sources.archive import (
+        _LZ4_MAGIC,
+        _tar_members,
+        make_tar,
+    )
+
+    members = {"a.txt": b"alpha" * 20, "b.txt": b"beta"}
+    p = make_tar(members, lz4=True)
+    assert p[:4] == _LZ4_MAGIC
+    assert p == make_tar(members, lz4=True)  # deterministic
+    assert {m: d for m, _s, _st, d in _tar_members(p)} == members
+    with _pytest.raises(ValueError, match="corrupt lz4 wrapper"):
+        list(_tar_members(_LZ4_MAGIC + b"\xff\xff garbage"))
