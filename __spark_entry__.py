@@ -4100,6 +4100,23 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_fim_transform(spark, sf_dir):
+    """Fill-in-the-middle corpus transformation (operators/text.py
+    fim_transform — Bavarian et al. 2022): half the documents rewrite
+    as the PSM ordering <PRE>prefix<SUF>suffix<MID>middle with both cut
+    points derived from 52-bit md5 prefixes (the engine-portable
+    no-rand() bridge), the rest pass through.  One scan-stage Catalyst
+    projection, zero shuffle, zero Python — the map-only rewrite shape
+    a code-LLM data pipeline runs at full-corpus scale.  The oracle
+    replays selection, cuts, and the reassembly character-for-
+    character."""
+    from kevinlang_spark.operators.text import fim_transform
+
+    return fim_transform(
+        _t(spark, sf_dir, "documents"), rate=0.5
+    )
+
+
 def q_salted_agg(spark, sf_dir):
     """Skew-safe two-stage aggregation (salt fans each hot key over 16
     reducers, then merges ≤16 partial rows per key).  Result is identical
@@ -6574,6 +6591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_pipeline": q_image_pipeline,
         "q_stream_neardup": q_stream_neardup,
         "q_zstd_ingest": q_zstd_ingest,
+        "q_fim_transform": q_fim_transform,
         "q_gopher_rules": q_gopher_rules,
         "q_url_normalize": q_url_normalize,
         "q_domain_cap": q_domain_cap,
@@ -9268,6 +9286,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id AS id, "
             "COALESCE(array_to_string(kept, chr(10)), '') AS cleaned_text, "
             "len(kept) AS n_lines_kept, len(lines) AS n_lines_total FROM k"
+        ),
+        "q_fim_transform": (
+            "WITH h AS (SELECT doc_id, text, length(text) AS n, "
+            "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#fim'), 1, 13)) AS BIGINT) % 100 AS hp, "
+            "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#fim1'), 1, 13)) AS BIGINT) AS h1, "
+            "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#fim2'), 1, 13)) AS BIGINT) AS h2 "
+            "FROM documents), "
+            "c AS (SELECT doc_id, text, n, "
+            "(hp < 50 AND text IS NOT NULL AND n > 0) AS applied, "
+            "LEAST(h1 % (n + 1), h2 % (n + 1)) AS lo, "
+            "GREATEST(h1 % (n + 1), h2 % (n + 1)) AS hi FROM h) "
+            "SELECT doc_id, applied AS fim_applied, "
+            "CASE WHEN applied THEN "
+            "'<PRE>' || substr(text, 1, CAST(lo AS INT)) || "
+            "'<SUF>' || substr(text, CAST(hi + 1 AS INT), CAST(n - hi AS INT)) || "
+            "'<MID>' || substr(text, CAST(lo + 1 AS INT), CAST(hi - lo AS INT)) "
+            "ELSE text END AS text_out FROM c"
         ),
         "q_pack_sequences": (
             "WITH t AS (SELECT doc_id AS id, source, doc_id % 4 AS shard, "

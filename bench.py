@@ -54,6 +54,7 @@ HEADLINE = [
     "q_chunk_tokens",
     "q_clean_lines",
     "q_pack_sequences",
+    "q_fim_transform",
     "q_curation_chunks",
     "q_tfidf_top_terms",
     "q_upsert",

@@ -2094,3 +2094,58 @@ def classifier_eval(
             / (npos * nneg),
         ).alias("auc"),
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rate: float = 0.5,
+    pre: str = "<PRE>",
+    suf: str = "<SUF>",
+    mid: str = "<MID>",
+) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022,
+    "Efficient Training of Language Models to Fill in the Middle" —
+    arXiv:2207.14255): for a ``rate`` fraction of documents, pick two
+    character cut points, and emit the PSM reordering
+    ``<PRE>prefix<SUF>suffix<MID>middle`` so an autoregressive model
+    learns infilling; the rest pass through unchanged.
+
+    Everything is DETERMINISTIC and engine-portable (the repo's no-
+    rand() rule): selection and both cut points derive from 52-bit
+    md5 prefixes of ``id || tag`` — the same md5 bridge every sampling
+    oracle uses — so the transformation replays bit-identically across
+    runs, partitionings, and engines.  Zero shuffle: one scan-stage
+    projection of pure Catalyst expressions (substr/concat), no Python.
+
+    Returns (id_col, fim_applied, text_out).  NULL or empty text passes
+    through unapplied.  At 100 TB this is a map-only pass whose cost is
+    the rewrite bandwidth itself.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("fim_transform: rate must be in [0, 1]")
+    t = F.col(text_col)
+    sid = F.col(id_col).cast("string")
+
+    def h52(tag: str):
+        return F.conv(
+            F.substring(F.md5(F.concat(sid, F.lit(tag))), 1, 13), 16, 10
+        ).cast("bigint")
+
+    n = F.length(t)
+    pick = (h52("#fim") % 100) < int(round(rate * 100))
+    c1 = h52("#fim1") % (n + 1)
+    c2 = h52("#fim2") % (n + 1)
+    lo, hi = F.least(c1, c2), F.greatest(c1, c2)
+    rewritten = F.concat(
+        F.lit(pre), t.substr(F.lit(1), lo),
+        F.lit(suf), t.substr(hi + 1, n - hi),
+        F.lit(mid), t.substr(lo + 1, hi - lo),
+    )
+    applied = pick & t.isNotNull() & (n > 0)
+    return spread(df).select(
+        F.col(id_col),
+        applied.alias("fim_applied"),
+        F.when(applied, rewritten).otherwise(t).alias("text_out"),
+    )

@@ -19,6 +19,7 @@ import re
 import zlib
 
 import pytest
+from pyspark.sql import functions as F
 
 from kevinlang_spark.sources.pdf import _LENGTH_RE, make_pdf, pdf_text
 
@@ -251,3 +252,67 @@ def test_pdf_scan_property_marker_bytes_in_streams():
         assert out == expect
 
     check()
+
+
+# --------------------------------------------------------------------- #
+# fill-in-the-middle transformation (round 10)
+# --------------------------------------------------------------------- #
+
+
+def test_fim_reassembly_and_determinism(spark):
+    """Every applied row reassembles to the original text (prefix +
+    middle + suffix partition the characters), unapplied rows pass
+    through untouched, and the transformation replays bit-identically
+    across partitionings."""
+    from kevinlang_spark.operators.text import fim_transform
+
+    rows = [(i, f"document {i} body " + "abcdefghij" * (i % 5)) for i in range(60)]
+    rows += [(60, None), (61, "")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in fim_transform(df, rate=0.5).collect()}
+    orig = dict(rows)
+    n_applied = 0
+    for d, r in out.items():
+        if not r["fim_applied"]:
+            assert r["text_out"] == orig[d]
+            continue
+        n_applied += 1
+        t = r["text_out"]
+        assert t.startswith("<PRE>")
+        body = t[len("<PRE>"):]
+        pre, rest = body.split("<SUF>", 1)
+        sufx, midl = rest.split("<MID>", 1)
+        assert pre + midl + sufx == orig[d]
+    assert 10 < n_applied < 50  # ~half at rate=0.5
+    assert not out[60]["fim_applied"] and out[60]["text_out"] is None
+    assert not out[61]["fim_applied"] and out[61]["text_out"] == ""
+    again = {r["doc_id"]: r["text_out"]
+             for r in fim_transform(df.repartition(7), rate=0.5).collect()}
+    assert again == {d: r["text_out"] for d, r in out.items()}
+
+
+def test_fim_rate_bounds(spark):
+    import pytest as _pytest
+
+    from kevinlang_spark.operators.text import fim_transform
+
+    df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    with _pytest.raises(ValueError, match="rate"):
+        fim_transform(df, rate=1.5)
+    assert all(
+        not r["fim_applied"]
+        for r in fim_transform(df, rate=0.0).collect()
+    )
+
+
+def test_fim_plan_is_scan_stage(spark):
+    """Zero shuffle, zero Python: the rewrite must be a pure projection."""
+    from kevinlang_spark.operators.text import fim_transform
+    from kevinlang_spark.plans.inspect import executed_plan
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("some body text").alias("text")
+    )
+    plan = executed_plan(fim_transform(df))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("Exchange") <= 1  # at most the spread() repartition
