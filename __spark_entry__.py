@@ -4117,6 +4117,39 @@ def q_fim_transform(spark, sf_dir):
     )
 
 
+def q_code_stats(spark, sf_dir):
+    """Code-corpus curation gate (operators/text.py code_stats — The
+    Stack / StarCoder file filters): documents salted with
+    deterministic license headers (SPDX tag / MIT / autogen marker) and
+    an over-long trailing line by id rule, then line-shape, content,
+    license-detection, and generated-file statistics in ONE
+    zero-shuffle Catalyst projection; every output is an exact integer
+    or string so the Stack gate math (max-line, avg-line, ≥25%
+    alphanumeric) carries no float anywhere.  The oracle replays the
+    salting and every statistic in SQL."""
+    from kevinlang_spark.operators.text import code_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    t = F.col("text")
+    salted = (
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit("// SPDX-License-Identifier: Apache-2.0\n"), t),
+        )
+        .when(d % 5 == 1, F.concat(F.lit("/* MIT License */\n"), t))
+        .when(
+            d % 5 == 2,
+            F.concat(
+                F.lit("# auto-generated by codegen - DO NOT EDIT\n"), t
+            ),
+        )
+        .when(d % 5 == 4, F.concat(t, F.lit("\n" + "x" * 1101)))
+        .otherwise(t)
+    )
+    return code_stats(docs.select("doc_id", salted.alias("text")))
+
+
 def q_salted_agg(spark, sf_dir):
     """Skew-safe two-stage aggregation (salt fans each hot key over 16
     reducers, then merges ≤16 partial rows per key).  Result is identical
@@ -6592,6 +6625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_neardup": q_stream_neardup,
         "q_zstd_ingest": q_zstd_ingest,
         "q_fim_transform": q_fim_transform,
+        "q_code_stats": q_code_stats,
         "q_gopher_rules": q_gopher_rules,
         "q_url_normalize": q_url_normalize,
         "q_domain_cap": q_domain_cap,
@@ -9286,6 +9320,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id AS id, "
             "COALESCE(array_to_string(kept, chr(10)), '') AS cleaned_text, "
             "len(kept) AS n_lines_kept, len(lines) AS n_lines_total FROM k"
+        ),
+        "q_code_stats": (
+            "WITH salted AS (SELECT doc_id, CASE "
+            "WHEN doc_id % 5 = 0 THEN '// SPDX-License-Identifier: Apache-2.0' || chr(10) || text "
+            "WHEN doc_id % 5 = 1 THEN '/* MIT License */' || chr(10) || text "
+            "WHEN doc_id % 5 = 2 THEN '# auto-generated by codegen - DO NOT EDIT' || chr(10) || text "
+            "WHEN doc_id % 5 = 4 THEN text || chr(10) || repeat('x', 1101) "
+            "ELSE text END AS t FROM documents), "
+            "s AS (SELECT doc_id, t, "
+            "list_transform(string_split(t, chr(10)), l -> length(l)) AS ls, "
+            "length(regexp_replace(t, '[^A-Za-z0-9]', '', 'g')) AS alnum, "
+            "regexp_extract(t, 'SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)', 1) AS spdx, "
+            "regexp_matches(t, '(?i)auto-?generated|do not edit|generated by') AS ag "
+            "FROM salted) "
+            "SELECT doc_id, CAST(len(ls) AS INT) AS n_lines, "
+            "CAST(list_max(ls) AS INT) AS max_line_len, "
+            "CAST(list_sum(ls) AS BIGINT) AS sum_line_len, "
+            "CAST(length(t) AS INT) AS n_chars, "
+            "CAST(alnum AS INT) AS alnum_chars, "
+            "CASE WHEN spdx <> '' THEN spdx "
+            "WHEN contains(t, 'MIT License') THEN 'MIT' "
+            "WHEN contains(t, 'Apache License') THEN 'Apache-2.0' "
+            "WHEN contains(t, 'GNU General Public License') "
+            "THEN 'GPL-3.0-or-later' ELSE NULL END AS license, "
+            "ag AS autogen, "
+            "(list_max(ls) <= 1000 AND list_sum(ls) <= 100 * len(ls) "
+            "AND 4 * alnum >= length(t) AND NOT ag) AS passes FROM s"
         ),
         "q_fim_transform": (
             "WITH h AS (SELECT doc_id, text, length(text) AS n, "

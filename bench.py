@@ -55,6 +55,7 @@ HEADLINE = [
     "q_clean_lines",
     "q_pack_sequences",
     "q_fim_transform",
+    "q_code_stats",
     "q_curation_chunks",
     "q_tfidf_top_terms",
     "q_upsert",

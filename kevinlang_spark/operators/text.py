@@ -2149,3 +2149,71 @@ def fim_transform(
         applied.alias("fim_applied"),
         F.when(applied, rewritten).otherwise(t).alias("text_out"),
     )
+
+
+def code_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Code-corpus curation statistics — The Stack / StarCoder's file
+    filters (Kocetkov et al. 2022 §3, Li et al. 2023 §3.1) as ONE
+    zero-shuffle Catalyst projection:
+
+    - line-shape: ``n_lines``, ``max_line_len``, ``sum_line_len``
+      (the max-line ≤ 1000 / avg-line ≤ 100 rules — emitted as exact
+      INTEGERS so the gate math is engine-portable with no float
+      rounding anywhere);
+    - content: ``n_chars``, ``alnum_chars`` (the ≥ 25% alphanumeric
+      rule, again integer form: 4·alnum ≥ n_chars);
+    - ``license``: SPDX tag when present (``SPDX-License-Identifier:``,
+      the machine-readable convention), else the common header
+      spellings (MIT / Apache / GPL), else NULL;
+    - ``autogen``: generated-file heuristic (auto-generated / DO NOT
+      EDIT / generated by — files to drop from training sets);
+    - ``passes``: the conjunction of the three Stack shape rules and
+      NOT autogen.
+
+    NULL text yields NULL stats (quarantine-by-null, the extractor
+    convention).  At 100 TB this is a map-only scan whose cost is the
+    regex bandwidth — no Python, no shuffle."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    lens = F.transform(lines, lambda ln: F.length(ln))
+    n_lines = F.size(lines)
+    max_line = F.array_max(lens)
+    sum_line = F.aggregate(
+        lens, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    n_chars = F.length(t)
+    alnum = F.length(F.regexp_replace(t, "[^A-Za-z0-9]", ""))
+    spdx = F.regexp_extract(
+        t, r"SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)", 1
+    )
+    license_col = (
+        F.when(spdx != "", spdx)
+        .when(t.contains("MIT License"), F.lit("MIT"))
+        .when(t.contains("Apache License"), F.lit("Apache-2.0"))
+        .when(
+            t.contains("GNU General Public License"), F.lit("GPL-3.0-or-later")
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    autogen = t.rlike(r"(?i)auto-?generated|do not edit|generated by")
+    passes = (
+        (max_line <= 1000)
+        & (sum_line <= 100 * n_lines.cast("bigint"))
+        & (4 * alnum >= n_chars)
+        & ~autogen
+    )
+    return spread(df).select(
+        F.col(id_col),
+        F.when(t.isNotNull(), n_lines).alias("n_lines"),
+        F.when(t.isNotNull(), max_line).alias("max_line_len"),
+        F.when(t.isNotNull(), sum_line).alias("sum_line_len"),
+        F.when(t.isNotNull(), n_chars).alias("n_chars"),
+        F.when(t.isNotNull(), alnum).alias("alnum_chars"),
+        license_col.alias("license"),
+        F.when(t.isNotNull(), autogen).alias("autogen"),
+        F.when(t.isNotNull(), passes).alias("passes"),
+    )

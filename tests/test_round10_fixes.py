@@ -316,3 +316,42 @@ def test_fim_plan_is_scan_stage(spark):
     plan = executed_plan(fim_transform(df))
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert plan.count("Exchange") <= 1  # at most the spread() repartition
+
+
+def test_code_stats_stack_filters(spark):
+    """The Stack / StarCoder file-filter semantics: SPDX beats header
+    heuristics, over-long lines and autogen markers fail the gate,
+    integer outputs carry the gate math exactly, NULL text quarantines
+    to NULL stats."""
+    from kevinlang_spark.operators.text import code_stats
+
+    rows = [
+        (1, "// SPDX-License-Identifier: BSD-3-Clause\nMIT License\ncode"),
+        (2, "/* MIT License */\nint x;"),
+        (3, "prose line\n" + "y" * 1500),
+        (4, "# Auto-Generated by tool\nbody"),
+        (5, "short\nlines\nhere"),
+        (6, None),
+        (7, "%%%% @@@@ !!!! ~~~~ ^^^^"),  # <25% alphanumeric
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in code_stats(df).collect()}
+    assert got[1]["license"] == "BSD-3-Clause"  # SPDX wins over 'MIT License'
+    assert got[2]["license"] == "MIT" and got[2]["passes"]
+    assert got[3]["max_line_len"] == 1500 and not got[3]["passes"]
+    assert got[4]["autogen"] and not got[4]["passes"]
+    assert got[5]["license"] is None and got[5]["passes"]
+    assert got[6]["n_lines"] is None and got[6]["passes"] is None
+    assert not got[7]["passes"] and 4 * got[7]["alnum_chars"] < got[7]["n_chars"]
+
+
+def test_code_stats_plan_is_scan_stage(spark):
+    from kevinlang_spark.operators.text import code_stats
+    from kevinlang_spark.plans.inspect import executed_plan
+
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.lit("a\nbb\nccc").alias("text")
+    )
+    plan = executed_plan(code_stats(df))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("Exchange") <= 1  # at most the spread() repartition
