@@ -4150,6 +4150,28 @@ def q_code_stats(spark, sf_dir):
     return code_stats(docs.select("doc_id", salted.alias("text")))
 
 
+def q_encoding_quality(spark, sf_dir):
+    """UTF-8 hygiene gate (operators/text.py encoding_quality): the
+    corpus salted with the three damage classes by id rule — a
+    double-encoded mojibake marker (\u00c3\u00a9), a U+FFFD replacement
+    character, a C0 control byte — then replacement/mojibake/control
+    counting and the integer-math clean verdict in one zero-shuffle
+    Catalyst projection.  The oracle replays the salting and every
+    count with the identical literal alternation."""
+    from kevinlang_spark.operators.text import encoding_quality
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    t = F.col("text")
+    salted = (
+        F.when(d % 6 == 1, F.concat(t, F.lit(" caf\u00c3\u00a9")))
+        .when(d % 6 == 2, F.concat(t, F.lit(" bad \ufffd byte")))
+        .when(d % 6 == 3, F.concat(t, F.lit(" bell\u0007")))
+        .otherwise(t)
+    )
+    return encoding_quality(docs.select("doc_id", salted.alias("text")))
+
+
 def q_salted_agg(spark, sf_dir):
     """Skew-safe two-stage aggregation (salt fans each hot key over 16
     reducers, then merges ≤16 partial rows per key).  Result is identical
@@ -6626,6 +6648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zstd_ingest": q_zstd_ingest,
         "q_fim_transform": q_fim_transform,
         "q_code_stats": q_code_stats,
+        "q_encoding_quality": q_encoding_quality,
         "q_gopher_rules": q_gopher_rules,
         "q_url_normalize": q_url_normalize,
         "q_domain_cap": q_domain_cap,
@@ -9320,6 +9343,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id AS id, "
             "COALESCE(array_to_string(kept, chr(10)), '') AS cleaned_text, "
             "len(kept) AS n_lines_kept, len(lines) AS n_lines_total FROM k"
+        ),
+        "q_encoding_quality": (
+            "WITH salted AS (SELECT doc_id, CASE "
+            "WHEN doc_id % 6 = 1 THEN text || ' caf' || chr(195) || chr(169) "
+            "WHEN doc_id % 6 = 2 THEN text || ' bad ' || chr(65533) || ' byte' "
+            "WHEN doc_id % 6 = 3 THEN text || ' bell' || chr(7) "
+            "ELSE text END AS t FROM documents), "
+            "s AS (SELECT doc_id, t, "
+            "CAST(len(regexp_extract_all(t, chr(65533))) AS INT) AS n_repl, "
+            "CAST(len(regexp_extract_all(t, "
+            "chr(195) || chr(169) || '|' || chr(195) || chr(168) || '|' || "
+            "chr(195) || chr(164) || '|' || chr(195) || chr(182) || '|' || "
+            "chr(195) || chr(188) || '|' || "
+            "chr(226) || chr(8364) || chr(8482) || '|' || "
+            "chr(226) || chr(8364) || chr(339) || '|' || "
+            "chr(194) || chr(160))) AS INT) AS n_moji, "
+            "CAST(len(regexp_extract_all(t, "
+            "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) AS INT) AS n_ctrl "
+            "FROM salted) "
+            "SELECT doc_id, CAST(length(t) AS INT) AS n_chars, n_repl AS "
+            "n_replacement, n_moji AS n_mojibake, n_ctrl, "
+            "(n_repl = 0 AND n_moji = 0 AND n_ctrl * 100 <= length(t)) "
+            "AS clean FROM s"
         ),
         "q_code_stats": (
             "WITH salted AS (SELECT doc_id, CASE "

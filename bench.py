@@ -56,6 +56,7 @@ HEADLINE = [
     "q_pack_sequences",
     "q_fim_transform",
     "q_code_stats",
+    "q_encoding_quality",
     "q_curation_chunks",
     "q_tfidf_top_terms",
     "q_upsert",

@@ -2217,3 +2217,48 @@ def code_stats(
         F.when(t.isNotNull(), autogen).alias("autogen"),
         F.when(t.isNotNull(), passes).alias("passes"),
     )
+
+
+def encoding_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encoding-damage audit — the UTF-8 hygiene gate real curation
+    stacks run before anything else (CCNet drops mojibake pages; Dolma
+    ships a fix-encoding pass): per document,
+
+    - ``n_replacement``: U+FFFD replacement characters (a decoder
+      already gave up once upstream);
+    - ``n_mojibake``: classic double-encoded UTF-8 markers (the
+      \u00c3-acute family, \u00e2\u0080-smart-quote family, and
+      \u00c2+NBSP — Latin-1 reread as UTF-8), counted as an explicit
+      literal alternation so both engines match the same sequences;
+    - ``n_ctrl``: C0 control characters other than tab/newline/CR;
+    - ``clean``: no replacement chars, no mojibake markers, and
+      control characters <= 1% of the text (integer math — no float).
+
+    Pure Catalyst counting expressions: zero shuffle, zero Python, NULL
+    text -> NULL stats."""
+    t = F.col(text_col)
+    # cp1252-reread display forms (the common wild shape): C3+letter
+    # acutes, E2 20AC 2122 / E2 20AC 0153 smart quotes, C2+NBSP
+    moji = (
+        "\u00c3\u00a9|\u00c3\u00a8|\u00c3\u00a4|\u00c3\u00b6|\u00c3\u00bc|"
+        "\u00e2\u20ac\u2122|\u00e2\u20ac\u0153|\u00c2\u00a0"
+    )
+    n_chars = F.length(t)
+    n_repl = F.regexp_count(t, F.lit("\ufffd"))
+    n_moji = F.regexp_count(t, F.lit(moji))
+    n_ctrl = F.regexp_count(
+        t, F.lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]")
+    )
+    clean = (n_repl == 0) & (n_moji == 0) & (n_ctrl * 100 <= n_chars)
+    return spread(df).select(
+        F.col(id_col),
+        F.when(t.isNotNull(), n_chars).alias("n_chars"),
+        F.when(t.isNotNull(), n_repl).alias("n_replacement"),
+        F.when(t.isNotNull(), n_moji).alias("n_mojibake"),
+        F.when(t.isNotNull(), n_ctrl).alias("n_ctrl"),
+        F.when(t.isNotNull(), clean).alias("clean"),
+    )

@@ -355,3 +355,42 @@ def test_code_stats_plan_is_scan_stage(spark):
     plan = executed_plan(code_stats(df))
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert plan.count("Exchange") <= 1  # at most the spread() repartition
+
+
+
+def test_encoding_quality_damage_classes(spark):
+    """Each damage class trips its counter and the clean verdict:
+    U+FFFD, cp1252-reread mojibake markers, C0 control bytes; the 1%
+    control tolerance is integer math; NULL text -> NULL stats."""
+    from kevinlang_spark.operators.text import encoding_quality
+
+    rows = [
+        (1, "perfectly ordinary text"),
+        (2, "decoder gave up \ufffd here"),
+        (3, "caf\u00c3\u00a9 and \u00e2\u20ac\u2122smart\u00e2\u20ac\u0153 quotes"),
+        (4, "bell\u0007 and more" + "x" * 200),  # 1 ctrl in >100 chars: tolerated
+        (5, "a\u0007b"),  # 1 ctrl in 3 chars: over the 1% line
+        (6, None),
+        (7, "nbsp\u00c2\u00a0joined"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in encoding_quality(df).collect()}
+    assert got[1]["clean"] and got[1]["n_mojibake"] == 0
+    assert got[2]["n_replacement"] == 1 and not got[2]["clean"]
+    assert got[3]["n_mojibake"] == 3 and not got[3]["clean"]
+    assert got[4]["n_ctrl"] == 1 and got[4]["clean"]
+    assert got[5]["n_ctrl"] == 1 and not got[5]["clean"]
+    assert got[6]["clean"] is None
+    assert got[7]["n_mojibake"] == 1 and not got[7]["clean"]
+
+
+def test_encoding_quality_plan_is_scan_stage(spark):
+    from kevinlang_spark.operators.text import encoding_quality
+    from kevinlang_spark.plans.inspect import executed_plan
+
+    df = spark.range(20).select(
+        F.col("id").alias("doc_id"), F.lit("plain body").alias("text")
+    )
+    plan = executed_plan(encoding_quality(df))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("Exchange") <= 1
