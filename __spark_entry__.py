@@ -4172,6 +4172,54 @@ def q_encoding_quality(spark, sf_dir):
     return encoding_quality(docs.select("doc_id", salted.alias("text")))
 
 
+def q_code_pipeline(spark, sf_dir):
+    """Code-corpus curation END-TO-END as one declarative plan (the
+    q_warc_pipeline convention for the code tier): salt documents with
+    license headers / autogen markers / long lines by id rule, run The
+    Stack shape+content gate (code_stats) AND the UTF-8 hygiene gate
+    (encoding_quality), then a dedup-aware per-license census of the
+    survivors — (license, n_files, n_unique, total_chars), fingerprint
+    = md5 of the full text (the engine-portable exact-dedup key).
+    Three doc_id-keyed joins of projection outputs + one grouped
+    aggregation; every number replays closed-form in SQL."""
+    from kevinlang_spark.operators.text import code_stats, encoding_quality
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    t = F.col("text")
+    salted = (
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit("// SPDX-License-Identifier: Apache-2.0\n"), t),
+        )
+        .when(d % 5 == 1, F.concat(F.lit("/* MIT License */\n"), t))
+        .when(
+            d % 5 == 2,
+            F.concat(
+                F.lit("# auto-generated by codegen - DO NOT EDIT\n"), t
+            ),
+        )
+        .when(d % 5 == 4, F.concat(t, F.lit("\n" + "x" * 1101)))
+        .otherwise(t)
+    )
+    base = docs.select("doc_id", salted.alias("text"))
+    stats = code_stats(base).select("doc_id", "license", "passes", "n_chars")
+    enc = encoding_quality(base).select("doc_id", "clean")
+    fps = base.select("doc_id", F.md5("text").alias("fp"))
+    kept = (
+        stats.join(enc, "doc_id")
+        .join(fps, "doc_id")
+        .where(F.col("passes") & F.col("clean"))
+    )
+    return kept.groupBy(
+        F.coalesce(F.col("license"), F.lit("unlicensed")).alias("license")
+    ).agg(
+        F.count("*").alias("n_files"),
+        F.count_distinct("fp").alias("n_unique"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 def q_salted_agg(spark, sf_dir):
     """Skew-safe two-stage aggregation (salt fans each hot key over 16
     reducers, then merges ≤16 partial rows per key).  Result is identical
@@ -6649,6 +6697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fim_transform": q_fim_transform,
         "q_code_stats": q_code_stats,
         "q_encoding_quality": q_encoding_quality,
+        "q_code_pipeline": q_code_pipeline,
         "q_gopher_rules": q_gopher_rules,
         "q_url_normalize": q_url_normalize,
         "q_domain_cap": q_domain_cap,
@@ -9343,6 +9392,42 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id AS id, "
             "COALESCE(array_to_string(kept, chr(10)), '') AS cleaned_text, "
             "len(kept) AS n_lines_kept, len(lines) AS n_lines_total FROM k"
+        ),
+        "q_code_pipeline": (
+            "WITH salted AS (SELECT doc_id, CASE "
+            "WHEN doc_id % 5 = 0 THEN '// SPDX-License-Identifier: Apache-2.0' || chr(10) || text "
+            "WHEN doc_id % 5 = 1 THEN '/* MIT License */' || chr(10) || text "
+            "WHEN doc_id % 5 = 2 THEN '# auto-generated by codegen - DO NOT EDIT' || chr(10) || text "
+            "WHEN doc_id % 5 = 4 THEN text || chr(10) || repeat('x', 1101) "
+            "ELSE text END AS t FROM documents), "
+            "s AS (SELECT doc_id, t, "
+            "list_transform(string_split(t, chr(10)), l -> length(l)) AS ls, "
+            "length(regexp_replace(t, '[^A-Za-z0-9]', '', 'g')) AS alnum, "
+            "regexp_extract(t, 'SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)', 1) AS spdx, "
+            "regexp_matches(t, '(?i)auto-?generated|do not edit|generated by') AS ag, "
+            "CAST(len(regexp_extract_all(t, chr(65533))) AS INT) AS n_repl, "
+            "CAST(len(regexp_extract_all(t, "
+            "chr(195) || chr(169) || '|' || chr(195) || chr(168) || '|' || "
+            "chr(195) || chr(164) || '|' || chr(195) || chr(182) || '|' || "
+            "chr(195) || chr(188) || '|' || "
+            "chr(226) || chr(8364) || chr(8482) || '|' || "
+            "chr(226) || chr(8364) || chr(339) || '|' || "
+            "chr(194) || chr(160))) AS INT) AS n_moji, "
+            "CAST(len(regexp_extract_all(t, "
+            "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) AS INT) AS n_ctrl "
+            "FROM salted WHERE t IS NOT NULL), "
+            "kept AS (SELECT doc_id, t, length(t) AS n_chars, "
+            "CASE WHEN spdx <> '' THEN spdx "
+            "WHEN contains(t, 'MIT License') THEN 'MIT' "
+            "WHEN contains(t, 'Apache License') THEN 'Apache-2.0' "
+            "WHEN contains(t, 'GNU General Public License') "
+            "THEN 'GPL-3.0-or-later' ELSE NULL END AS license FROM s "
+            "WHERE list_max(ls) <= 1000 AND list_sum(ls) <= 100 * len(ls) "
+            "AND 4 * alnum >= length(t) AND NOT ag "
+            "AND n_repl = 0 AND n_moji = 0 AND n_ctrl * 100 <= length(t)) "
+            "SELECT COALESCE(license, 'unlicensed') AS license, "
+            "COUNT(*) AS n_files, COUNT(DISTINCT md5(t)) AS n_unique, "
+            "SUM(length(t)) AS total_chars FROM kept GROUP BY 1"
         ),
         "q_encoding_quality": (
             "WITH salted AS (SELECT doc_id, CASE "

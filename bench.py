@@ -57,6 +57,7 @@ HEADLINE = [
     "q_fim_transform",
     "q_code_stats",
     "q_encoding_quality",
+    "q_code_pipeline",
     "q_curation_chunks",
     "q_tfidf_top_terms",
     "q_upsert",
