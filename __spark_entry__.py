@@ -4220,6 +4220,39 @@ def q_code_pipeline(spark, sf_dir):
     )
 
 
+def q_chat_template(spark, sf_dir):
+    """SFT chat-template rendering (operators/text.py render_chat): a
+    deterministic (system, user, assistant) conversation per document —
+    assistant NULL for every 4th id, exercising the skip-absent-turn
+    rule — assembled into the exact ChatML training string plus turn
+    and character counts, one zero-shuffle Catalyst projection.  The
+    rendered bytes must reproduce character-for-character in the
+    oracle: if train and eval render templates differently the model
+    sees two dialects, so byte-parity IS the correctness bar."""
+    from kevinlang_spark.operators.text import render_chat
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    t = F.col("text")
+    convo = docs.select(
+        "doc_id",
+        F.lit("You are a concise assistant.").alias("sys"),
+        t.alias("user_msg"),
+        F.when(
+            d % 4 != 3,
+            F.concat(
+                F.lit("Summary "), d.cast("string"), F.lit(": "),
+                t.substr(1, 80),
+            ),
+        ).alias("assistant_msg"),
+    )
+    return render_chat(
+        convo,
+        [("system", "sys"), ("user", "user_msg"),
+         ("assistant", "assistant_msg")],
+    )
+
+
 def q_salted_agg(spark, sf_dir):
     """Skew-safe two-stage aggregation (salt fans each hot key over 16
     reducers, then merges ≤16 partial rows per key).  Result is identical
@@ -6698,6 +6731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_code_stats": q_code_stats,
         "q_encoding_quality": q_encoding_quality,
         "q_code_pipeline": q_code_pipeline,
+        "q_chat_template": q_chat_template,
         "q_gopher_rules": q_gopher_rules,
         "q_url_normalize": q_url_normalize,
         "q_domain_cap": q_domain_cap,
@@ -9392,6 +9426,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id AS id, "
             "COALESCE(array_to_string(kept, chr(10)), '') AS cleaned_text, "
             "len(kept) AS n_lines_kept, len(lines) AS n_lines_total FROM k"
+        ),
+        "q_chat_template": (
+            "WITH c AS (SELECT doc_id, 'You are a concise assistant.' AS s, "
+            "text AS u, CASE WHEN doc_id % 4 <> 3 THEN "
+            "'Summary ' || doc_id || ': ' || substr(text, 1, 80) END AS a "
+            "FROM documents), "
+            "r AS (SELECT doc_id, "
+            "COALESCE('<|im_start|>system' || chr(10) || s || '<|im_end|>' || chr(10), '') || "
+            "COALESCE('<|im_start|>user' || chr(10) || u || '<|im_end|>' || chr(10), '') || "
+            "COALESCE('<|im_start|>assistant' || chr(10) || a || '<|im_end|>' || chr(10), '') AS rendered, "
+            "(CASE WHEN s IS NULL THEN 0 ELSE 1 END + "
+            "CASE WHEN u IS NULL THEN 0 ELSE 1 END + "
+            "CASE WHEN a IS NULL THEN 0 ELSE 1 END) AS n_turns FROM c) "
+            "SELECT doc_id, rendered, CAST(n_turns AS INT) AS n_turns, "
+            "CAST(length(rendered) AS INT) AS n_chars FROM r"
         ),
         "q_code_pipeline": (
             "WITH salted AS (SELECT doc_id, CASE "

@@ -58,6 +58,7 @@ HEADLINE = [
     "q_code_stats",
     "q_encoding_quality",
     "q_code_pipeline",
+    "q_chat_template",
     "q_curation_chunks",
     "q_tfidf_top_terms",
     "q_upsert",

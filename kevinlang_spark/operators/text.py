@@ -2262,3 +2262,51 @@ def encoding_quality(
         F.when(t.isNotNull(), n_ctrl).alias("n_ctrl"),
         F.when(t.isNotNull(), clean).alias("clean"),
     )
+
+
+def render_chat(
+    df: DataFrame,
+    turns: list,
+    id_col: str = "doc_id",
+    fmt: str = "chatml",
+) -> DataFrame:
+    """Chat-template rendering — the SFT-data assembly step that turns
+    (role, content) columns into the exact training string a chat model
+    consumes.  ``turns`` is an ordered list of (role, column_name);
+    NULL-content turns are SKIPPED (not rendered empty), matching how
+    template engines drop absent optional turns.
+
+    Formats: ``chatml`` (``<|im_start|>role\ncontent<|im_end|>\n`` per
+    turn — the OpenAI/Qwen wire form) and ``alpaca``
+    (``### Role:\ncontent\n\n``).  Deterministic string assembly in one
+    zero-shuffle Catalyst projection — at 100 TB this is the map-only
+    rewrite that feeds the tokenizer, and the rendered string must be
+    byte-reproducible or train/eval disagree.
+
+    Returns (id_col, rendered, n_turns, n_chars)."""
+    if fmt not in ("chatml", "alpaca"):
+        raise ValueError(f"render_chat: unknown format {fmt!r}")
+    if not turns:
+        raise ValueError("render_chat: need at least one (role, column) turn")
+    pieces = []
+    counts = []
+    for role, colname in turns:
+        c = F.col(colname)
+        if fmt == "chatml":
+            rendered = F.concat(
+                F.lit("<|im_start|>" + role + "\n"), c, F.lit("<|im_end|>\n")
+            )
+        else:
+            rendered = F.concat(
+                F.lit("### " + role.capitalize() + ":\n"), c, F.lit("\n\n")
+            )
+        pieces.append(F.when(c.isNotNull(), rendered).otherwise(F.lit("")))
+        counts.append(c.isNotNull().cast("int"))
+    out = F.concat(*pieces) if len(pieces) > 1 else pieces[0]
+    n_turns = sum(counts[1:], counts[0]) if len(counts) > 1 else counts[0]
+    return spread(df).select(
+        F.col(id_col),
+        out.alias("rendered"),
+        n_turns.alias("n_turns"),
+        F.length(out).alias("n_chars"),
+    )

@@ -394,3 +394,56 @@ def test_encoding_quality_plan_is_scan_stage(spark):
     plan = executed_plan(encoding_quality(df))
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert plan.count("Exchange") <= 1
+
+
+
+def test_render_chat_formats_and_skip_rule(spark):
+    """ChatML and Alpaca render byte-exactly; NULL-content turns are
+    skipped entirely (not rendered empty); counts are exact."""
+    from kevinlang_spark.operators.text import render_chat
+
+    df = spark.createDataFrame(
+        [(1, "be brief", "hi", "hello"), (2, "be brief", "ping", None)],
+        "doc_id bigint, s string, u string, a string",
+    )
+    turns = [("system", "s"), ("user", "u"), ("assistant", "a")]
+    got = {r["doc_id"]: r for r in render_chat(df, turns).collect()}
+    assert got[1]["rendered"] == (
+        "<|im_start|>system\nbe brief<|im_end|>\n"
+        "<|im_start|>user\nhi<|im_end|>\n"
+        "<|im_start|>assistant\nhello<|im_end|>\n"
+    )
+    assert got[1]["n_turns"] == 3
+    assert got[2]["rendered"].endswith("ping<|im_end|>\n")
+    assert "assistant" not in got[2]["rendered"]
+    assert got[2]["n_turns"] == 2
+    alp = {r["doc_id"]: r for r in render_chat(df, turns, fmt="alpaca").collect()}
+    assert alp[1]["rendered"] == (
+        "### System:\nbe brief\n\n### User:\nhi\n\n### Assistant:\nhello\n\n"
+    )
+    for r in list(got.values()) + list(alp.values()):
+        assert r["n_chars"] == len(r["rendered"])
+
+
+def test_render_chat_guards(spark):
+    import pytest as _pytest
+
+    from kevinlang_spark.operators.text import render_chat
+
+    df = spark.createDataFrame([(1, "x")], "doc_id bigint, u string")
+    with _pytest.raises(ValueError, match="unknown format"):
+        render_chat(df, [("user", "u")], fmt="llama")
+    with _pytest.raises(ValueError, match="at least one"):
+        render_chat(df, [])
+
+
+def test_render_chat_plan_is_scan_stage(spark):
+    from kevinlang_spark.operators.text import render_chat
+    from kevinlang_spark.plans.inspect import executed_plan
+
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit("hey").alias("u")
+    )
+    plan = executed_plan(render_chat(df, [("user", "u")]))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("Exchange") <= 1
