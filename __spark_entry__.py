@@ -4253,6 +4253,38 @@ def q_chat_template(spark, sf_dir):
     )
 
 
+def q_chat_loss_spans(spark, sf_dir):
+    """SFT loss-mask spans (operators/text.py chat_loss_spans): the
+    1-based character interval of each trainable (assistant) turn
+    inside the SAME rendered ChatML string q_chat_template emits —
+    offsets shift correctly past the skipped NULL-assistant turns (the
+    classic silent SFT bug is training on prompt bytes; here the
+    oracle replays the length algebra closed-form, so a one-character
+    drift fails the gate)."""
+    from kevinlang_spark.operators.text import chat_loss_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    t = F.col("text")
+    convo = docs.select(
+        "doc_id",
+        F.lit("You are a concise assistant.").alias("sys"),
+        t.alias("user_msg"),
+        F.when(
+            d % 4 != 3,
+            F.concat(
+                F.lit("Summary "), d.cast("string"), F.lit(": "),
+                t.substr(1, 80),
+            ),
+        ).alias("assistant_msg"),
+    )
+    return chat_loss_spans(
+        convo,
+        [("system", "sys"), ("user", "user_msg"),
+         ("assistant", "assistant_msg")],
+    )
+
+
 def q_salted_agg(spark, sf_dir):
     """Skew-safe two-stage aggregation (salt fans each hot key over 16
     reducers, then merges ≤16 partial rows per key).  Result is identical
@@ -6732,6 +6764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_encoding_quality": q_encoding_quality,
         "q_code_pipeline": q_code_pipeline,
         "q_chat_template": q_chat_template,
+        "q_chat_loss_spans": q_chat_loss_spans,
         "q_gopher_rules": q_gopher_rules,
         "q_url_normalize": q_url_normalize,
         "q_domain_cap": q_domain_cap,
@@ -9426,6 +9459,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id AS id, "
             "COALESCE(array_to_string(kept, chr(10)), '') AS cleaned_text, "
             "len(kept) AS n_lines_kept, len(lines) AS n_lines_total FROM k"
+        ),
+        "q_chat_loss_spans": (
+            # header lens: '<|im_start|>system\\n' = 19, user = 17,
+            # assistant = 22; footer '<|im_end|>\\n' = 11
+            "WITH c AS (SELECT doc_id, 'You are a concise assistant.' AS s, "
+            "text AS u, CASE WHEN doc_id % 4 <> 3 THEN "
+            "'Summary ' || doc_id || ': ' || substr(text, 1, 80) END AS a "
+            "FROM documents), "
+            "o AS (SELECT doc_id, a, (19 + length(s) + 11) + "
+            "(CASE WHEN u IS NULL THEN 0 ELSE 17 + length(u) + 11 END) "
+            "AS pre FROM c WHERE a IS NOT NULL) "
+            "SELECT doc_id, 2 AS turn_idx, 'assistant' AS role, "
+            "CAST(pre + 22 + 1 AS INT) AS start, "
+            "CAST(pre + 22 + length(a) AS INT) AS \"end\" FROM o"
         ),
         "q_chat_template": (
             "WITH c AS (SELECT doc_id, 'You are a concise assistant.' AS s, "

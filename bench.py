@@ -59,6 +59,7 @@ HEADLINE = [
     "q_encoding_quality",
     "q_code_pipeline",
     "q_chat_template",
+    "q_chat_loss_spans",
     "q_curation_chunks",
     "q_tfidf_top_terms",
     "q_upsert",

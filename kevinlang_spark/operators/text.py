@@ -2310,3 +2310,65 @@ def render_chat(
         n_turns.alias("n_turns"),
         F.length(out).alias("n_chars"),
     )
+
+
+def chat_loss_spans(
+    df: DataFrame,
+    turns: list,
+    id_col: str = "doc_id",
+    train_roles: tuple = ("assistant",),
+) -> DataFrame:
+    """Loss-mask spans for SFT training — the character offsets of the
+    TRAINABLE turns' content inside :func:`render_chat`'s ChatML
+    string, so the tokenizer stage can zero the loss on every byte the
+    model must not learn to produce (system/user turns).  Getting these
+    offsets wrong is the classic silent SFT bug: the model trains on
+    its own prompt.
+
+    Offsets replicate the renderer's skip-NULL rule exactly: a skipped
+    turn contributes zero length, shifting every later span.  Output is
+    one row per trainable non-NULL turn — (id_col, turn_idx, role,
+    start, end), 1-based inclusive character positions into the
+    rendered string — flat rows so a relational oracle can replay the
+    arithmetic.  Pure Catalyst length algebra: zero shuffle, zero
+    Python."""
+    if not turns:
+        raise ValueError("chat_loss_spans: need at least one turn")
+    offset = F.lit(0)
+    rows = []
+    for i, (role, colname) in enumerate(turns):
+        c = F.col(colname)
+        header = len("<|im_start|>" + role + "\n")
+        footer = len("<|im_end|>\n")
+        piece_len = F.when(
+            c.isNotNull(), F.length(c) + F.lit(header + footer)
+        ).otherwise(F.lit(0))
+        if role in train_roles:
+            rows.append(
+                F.when(
+                    c.isNotNull(),
+                    F.struct(
+                        F.lit(i).alias("turn_idx"),
+                        F.lit(role).alias("role"),
+                        (offset + header + 1).cast("int").alias("start"),
+                        (offset + header + F.length(c))
+                        .cast("int")
+                        .alias("end"),
+                    ),
+                )
+            )
+        offset = offset + piece_len
+    if not rows:
+        raise ValueError(
+            "chat_loss_spans: no turn has a role in train_roles"
+        )
+    spans = F.filter(
+        F.array(*rows), lambda x: x.isNotNull()
+    )
+    return (
+        spread(df)
+        .select(F.col(id_col), F.explode(spans).alias("s"))
+        .select(
+            id_col, "s.turn_idx", "s.role", "s.start", "s.end"
+        )
+    )

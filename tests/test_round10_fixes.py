@@ -447,3 +447,50 @@ def test_render_chat_plan_is_scan_stage(spark):
     plan = executed_plan(render_chat(df, [("user", "u")]))
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert plan.count("Exchange") <= 1
+
+
+
+def test_chat_loss_spans_extract_exact_content(spark):
+    """Cross-check spans against the renderer: slicing the rendered
+    string at [start-1:end] must give exactly the trainable turn's
+    content, including when an earlier NULL turn shifted the offsets."""
+    from kevinlang_spark.operators.text import chat_loss_spans, render_chat
+
+    rows = [
+        (1, "sys a", "user text", "answer one"),
+        (2, "sys b", None, "answer shifts left"),   # user turn skipped
+        (3, "sys c", "ping", None),                  # no trainable turn
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, s string, u string, a string")
+    turns = [("system", "s"), ("user", "u"), ("assistant", "a")]
+    rendered = {r["doc_id"]: r["rendered"] for r in render_chat(df, turns).collect()}
+    spans = chat_loss_spans(df, turns).collect()
+    assert {r["doc_id"] for r in spans} == {1, 2}
+    content = dict(((r[0], r[3]) for r in rows))
+    for r in spans:
+        assert rendered[r["doc_id"]][r["start"] - 1 : r["end"]] == content[r["doc_id"]]
+        assert r["role"] == "assistant" and r["turn_idx"] == 2
+
+
+def test_chat_loss_spans_multi_trainable_and_guards(spark):
+    import pytest as _pytest
+
+    from kevinlang_spark.operators.text import chat_loss_spans, render_chat
+
+    df = spark.createDataFrame(
+        [(1, "q1", "a1", "q2", "a2")],
+        "doc_id bigint, u1 string, a1 string, u2 string, a2 string",
+    )
+    turns = [("user", "u1"), ("assistant", "a1"), ("user", "u2"), ("assistant", "a2")]
+    spans = sorted(
+        (r["turn_idx"], r["start"], r["end"])
+        for r in chat_loss_spans(df, turns).collect()
+    )
+    rendered = render_chat(df, turns).first()["rendered"]
+    assert len(spans) == 2
+    assert rendered[spans[0][1] - 1 : spans[0][2]] == "a1"
+    assert rendered[spans[1][1] - 1 : spans[1][2]] == "a2"
+    with _pytest.raises(ValueError, match="train_roles"):
+        chat_loss_spans(df, [("user", "u1")])
+    with _pytest.raises(ValueError, match="at least one"):
+        chat_loss_spans(df, [])
