@@ -9523,7 +9523,7 @@ def oracle_sql() -> dict[str, str]:
             "AND n_repl = 0 AND n_moji = 0 AND n_ctrl * 100 <= length(t)) "
             "SELECT COALESCE(license, 'unlicensed') AS license, "
             "COUNT(*) AS n_files, COUNT(DISTINCT md5(t)) AS n_unique, "
-            "SUM(length(t)) AS total_chars FROM kept GROUP BY 1"
+            "CAST(SUM(length(t)) AS BIGINT) AS total_chars FROM kept GROUP BY 1"
         ),
         "q_encoding_quality": (
             "WITH salted AS (SELECT doc_id, CASE "
@@ -9577,12 +9577,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_fim_transform": (
             "WITH h AS (SELECT doc_id, text, length(text) AS n, "
-            "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#fim'), 1, 13)) AS BIGINT) % 100 AS hp, "
+            "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#fim'), 1, 13)) AS BIGINT) AS hp, "
             "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#fim1'), 1, 13)) AS BIGINT) AS h1, "
             "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#fim2'), 1, 13)) AS BIGINT) AS h2 "
             "FROM documents), "
             "c AS (SELECT doc_id, text, n, "
-            "(hp < 50 AND text IS NOT NULL AND n > 0) AS applied, "
+            "(hp < 2251799813685248 AND text IS NOT NULL AND n > 0) AS applied, "
             "LEAST(h1 % (n + 1), h2 % (n + 1)) AS lo, "
             "GREATEST(h1 % (n + 1), h2 % (n + 1)) AS hi FROM h) "
             "SELECT doc_id, applied AS fim_applied, "

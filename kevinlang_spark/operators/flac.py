@@ -470,7 +470,28 @@ def _read_subframe(br: _BitReader, bs: int, bits: int) -> list[int]:
             # signal (that's why _FIXED_COEFFS are binomial rows), so
             # reconstruction = k cumulative sums seeded by the warmup's
             # difference table — exact int64 arithmetic, vectorized,
-            # instead of a per-sample Python predictor loop
+            # instead of a per-sample Python predictor loop.  The int64
+            # fast path is guarded (ADVICE r10): Rice escape codes
+            # admit ~2^55 residual magnitudes, and a cumsum over a
+            # block of those can wrap int64 mid-reconstruction — real
+            # FLAC never needs intermediates anywhere near that (a
+            # b-bit signal's k-th differences fit in b+k bits), so a
+            # stream whose worst-case partial-sum bound approaches
+            # 2^62 is corrupt and quarantines as ValueError like every
+            # other corrupt-stream path (an exact scalar fallback
+            # would only defer the failure: np.array(..., int64)
+            # overflows downstream as OverflowError, killing the
+            # task instead of quarantining the row).
+            res_bound = max((abs(int(v)) for v in res), default=0)
+            seed_bound = max((abs(int(v)) for v in x), default=0)
+            risk = res_bound
+            for _ in range(order):
+                risk = (seed_bound << order) + risk * max(len(res), 1)
+            if risk >= 2**62:
+                raise ValueError(
+                    "corrupt FLAC FIXED residuals: magnitude would "
+                    "overflow 64-bit reconstruction"
+                )
             cur = np.asarray(res, dtype=np.int64)
             diffs = [np.asarray(x, dtype=np.int64)]
             for _ in range(1, order):

@@ -1093,9 +1093,10 @@ def pil_frames(payload: bytes):
     :func:`_decode_frames` contract, so every downstream consumer
     (pixel stats, dHash/pHash, resize) is decoder-agnostic.  Animated
     containers yield every frame RGB-composited; alpha is dropped like
-    the pure PNG path.  Raises ValueError on undecodable payloads
-    (PIL's UnidentifiedImageError subclasses it), NotImplementedError
-    when PIL is absent."""
+    the pure PNG path.  Raises ValueError or OSError on undecodable
+    payloads (PIL's UnidentifiedImageError and truncated-stream errors
+    subclass OSError, NOT ValueError), NotImplementedError when PIL is
+    absent."""
     import io
 
     import numpy as np
@@ -1128,8 +1129,15 @@ def decode_frames(payload: bytes, prefer_pil: bool = False):
     if prefer_pil and pil_available():
         try:
             return pil_frames(payload)
-        except ValueError:
-            pass  # containers PIL lacks (AVI MJPEG) → pure tier
+        except (ValueError, OSError):
+            # containers PIL lacks (AVI MJPEG) → pure tier.  OSError is
+            # load-bearing: UnidentifiedImageError and truncated-stream
+            # errors subclass it, and the extractors' quarantine
+            # handlers catch ValueError — the pure tier re-raises
+            # corrupt payloads as ValueError, keeping the
+            # never-a-dead-task contract on the prefer_pil path
+            # (ADVICE r10).
+            pass
     return _decode_frames(payload)
 
 

@@ -2134,7 +2134,11 @@ def fim_transform(
         ).cast("bigint")
 
     n = F.length(t)
-    pick = (h52("#fim") % 100) < int(round(rate * 100))
+    # exact-rate selection: compare the 52-bit hash against the scaled
+    # threshold directly (ADVICE r10: '% 100 < round(rate*100)' silently
+    # quantized rate=0.005 to 1% and 0.004 to 0%).  int(rate * 2**52)
+    # is exact for rate in {0, 1} and within 2**-52 elsewhere.
+    pick = h52("#fim") < int(rate * 2**52)
     c1 = h52("#fim1") % (n + 1)
     c2 = h52("#fim2") % (n + 1)
     lo, hi = F.least(c1, c2), F.greatest(c1, c2)

@@ -347,12 +347,12 @@ def robots_allowed(
     the reference REP parser).  Each wildcard rule is translated once
     per domain-rule row into an anchored regex (metacharacters in the
     literal parts escaped); literal rules keep the ``startswith`` fast
-    path.  Match LENGTH for the longest-match ranking is the length of
-    the pattern's literal prefix (octets before the first ``*``; a
-    trailing ``$`` uncounted) — for wildcard-free rules this is exactly
-    the RFC's octet count, and it degrades conservatively for wildcard
-    rules (``/private*`` ranks as ``/private``, so a longer literal
-    Allow carve-out still wins).
+    path.  Match LENGTH for the longest-match ranking is the FULL
+    pattern octet count (only a trailing ``$`` uncounted), matching
+    RFC 9309 / the reference REP parser's most-specific-match rule —
+    ``*`` octets count like any other.  (ADVICE r10: ranking by
+    literal-prefix length let a shorter literal Allow ``/ab`` outrank
+    a wildcard Disallow ``/a*xyz`` and fail OPEN.)
 
     Scale shape: rules tables are small (one row per directive per
     domain), so they collapse to ONE array row per domain and
@@ -380,7 +380,7 @@ def robots_allowed(
         F.replace(esc, F.lit("*"), F.lit(".*")),
         F.when(has_dollar, F.lit("$")).otherwise(F.lit("")),
     )
-    match_len = F.length(F.substring_index(core, "*", 1))
+    match_len = F.length(core)
     per_domain = rules.groupBy(domain_col).agg(
         F.collect_list(
             F.struct(

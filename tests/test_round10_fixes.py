@@ -291,6 +291,40 @@ def test_fim_reassembly_and_determinism(spark):
     assert again == {d: r["text_out"] for d, r in out.items()}
 
 
+def test_fim_rate_exact_threshold(spark):
+    """ADVICE r10: sub-percent rates must not quantize — selection is
+    h52 < int(rate * 2**52) exactly, replayed here per-id with
+    hashlib."""
+    import hashlib
+
+    from kevinlang_spark.operators.text import fim_transform
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"), F.lit("body text here").alias("text")
+    )
+    for rate in (0.004, 0.005, 0.031):
+        got = {
+            r["doc_id"]
+            for r in fim_transform(df, rate=rate).collect()
+            if r["fim_applied"]
+        }
+        thr = int(rate * 2**52)
+        want = {
+            i
+            for i in range(2000)
+            if int(hashlib.md5(f"{i}#fim".encode()).hexdigest()[:13], 16) < thr
+        }
+        assert got == want, f"rate={rate}"
+    # 0.004 and 0.005 must differ (old code mapped them to 0% and 1%)
+    sel = {
+        rate: sum(
+            r["fim_applied"] for r in fim_transform(df, rate=rate).collect()
+        )
+        for rate in (0.0, 0.004, 0.005)
+    }
+    assert sel[0.0] == 0 and 0 < sel[0.004] <= sel[0.005]
+
+
 def test_fim_rate_bounds(spark):
     import pytest as _pytest
 

@@ -444,19 +444,20 @@ def test_robots_wildcard_rfc_examples(spark):
     }
 
 
-def test_robots_wildcard_precedence_literal_prefix_ranking(spark):
-    """Longest-match ranking counts a wildcard rule as its literal
-    prefix: a longer literal Allow carve-out beats 'Disallow:
-    /private*', and a wildcard Allow with the longer literal prefix
-    beats a shorter Disallow."""
+def test_robots_wildcard_precedence_full_pattern_ranking(spark):
+    """Longest-match ranking counts a wildcard rule's FULL pattern
+    octets (RFC 9309 most-specific-match; trailing '$' uncounted): a
+    longer literal Allow carve-out beats 'Disallow: /private*', and a
+    wildcard Allow with more pattern octets beats a shorter
+    Disallow."""
     from kevinlang_spark.operators.web import robots_allowed
 
     rules = spark.createDataFrame(
         [
-            ("e.com", "disallow", "/private*"),   # match_len 8
+            ("e.com", "disallow", "/private*"),   # match_len 9
             ("e.com", "allow", "/private/ok"),    # match_len 11 → wins
-            ("f.com", "disallow", "/*.tmp$"),     # match_len 1
-            ("f.com", "allow", "/blog/keep*.tmp$"),  # match_len 10 → wins
+            ("f.com", "disallow", "/*.tmp$"),     # match_len 6
+            ("f.com", "allow", "/blog/keep*.tmp$"),  # match_len 15 → wins
         ],
         "domain string, rule string, prefix string",
     )
@@ -478,4 +479,35 @@ def test_robots_wildcard_precedence_literal_prefix_ranking(spark):
         ("e.com", "/private/ok/doc"): True,
         ("f.com", "/blog/draft1.tmp"): False,
         ("f.com", "/blog/keep2.tmp"): True,
+    }
+
+
+def test_robots_wildcard_outranks_shorter_literal_allow(spark):
+    """ADVICE r10 regression: a wildcard Disallow '/a*xyz' (6 pattern
+    octets) must OUTRANK a shorter literal Allow '/ab' (3 octets) on a
+    path both match — under the old literal-prefix ranking ('/a*xyz'
+    scored 2) the Allow won and the verdict failed open."""
+    from kevinlang_spark.operators.web import robots_allowed
+
+    rules = spark.createDataFrame(
+        [
+            ("g.com", "disallow", "/a*xyz"),  # full len 6 → wins
+            ("g.com", "allow", "/ab"),        # len 3
+        ],
+        "domain string, rule string, prefix string",
+    )
+    urls = spark.createDataFrame(
+        [
+            ("g.com", "/abqxyz"),   # both match → disallow (6 > 3)
+            ("g.com", "/abonly"),   # only the allow matches → allowed
+        ],
+        "domain string, path string",
+    )
+    got = {
+        (r["domain"], r["path"]): r["allowed"]
+        for r in robots_allowed(urls, rules).collect()
+    }
+    assert got == {
+        ("g.com", "/abqxyz"): False,
+        ("g.com", "/abonly"): True,
     }
