@@ -6756,56 +6756,13 @@ def q_pipeline_resume(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "q_image_pipeline": q_image_pipeline,
-        "q_stream_neardup": q_stream_neardup,
-        "q_zstd_ingest": q_zstd_ingest,
-        "q_fim_transform": q_fim_transform,
-        "q_code_stats": q_code_stats,
-        "q_encoding_quality": q_encoding_quality,
         "q_code_pipeline": q_code_pipeline,
-        "q_chat_template": q_chat_template,
-        "q_chat_loss_spans": q_chat_loss_spans,
-        "q_gopher_rules": q_gopher_rules,
-        "q_url_normalize": q_url_normalize,
-        "q_domain_cap": q_domain_cap,
         "q_robots_filter": q_robots_filter,
-        "q_pdf_extract": q_pdf_extract,
-        "q_lm_perplexity": q_lm_perplexity,
+        "q_fim_transform": q_fim_transform,
         "q_media_ingest": q_media_ingest,
-        "q_media_jpeg": q_media_jpeg,
-        "q_media_gif": q_media_gif,
-        "q_media_flac": q_media_flac,
-        "q_media_frames": q_media_frames,
-        "q_media_pixels": q_media_pixels,
-        "q_image_neardup": q_image_neardup,
-        "q_image_phash": q_image_phash,
-        "q_image_dedup": q_image_dedup,
-        "q_image_crossformat": q_image_crossformat,
         "q_audio_neardup": q_audio_neardup,
-        "q_video_neardup": q_video_neardup,
-        "q_argmax": q_argmax,
-        "q_asof_join": q_asof_join,
-        "q_corpus_filter": q_corpus_filter,
-        "q_corr": q_corr,
-        "q_date_parts": q_date_parts,
-        "q_emb_neardup_brute": q_emb_neardup_brute,
-        "q_explode_tokens": q_explode_tokens,
-        "q_json_extract": q_json_extract,
-        "q_median": q_median,
-        "q_multimodal_features": q_multimodal_features,
-        "q_quantiles": q_quantiles,
-        "q_range_join": q_range_join,
-        "q_rollup": q_rollup,
-        "q_set_ops": q_set_ops,
-        "q_tpch_q10": q_tpch_q10,
-        "q_transform_zscore": q_transform_zscore,
-        "q_neardup_components": q_neardup_components,
-        "q_ann_lsh": q_ann_lsh,
-        "q_minhash_pairs": q_minhash_pairs,
-        "q_simhash_pairs": q_simhash_pairs,
-        "q_knn_cosine": q_knn_cosine,
-        "q_dedup_exact": q_dedup_exact,
-        "q_dedup_rate": q_dedup_rate,
+        "q_image_pipeline": q_image_pipeline,
+        "q_image_neardup": q_image_neardup,
         "q_dedup_representatives": q_dedup_representatives,
         "q_agg_concat": q_agg_concat,
         "q_agg_global": q_agg_global,
@@ -6860,6 +6817,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kll_rollup": q_kll_rollup,
         "q_bloom_filter": q_bloom_filter,
         "q_radius_join": q_radius_join,
+        "q_acf": q_acf,
+        "q_corpus_report": q_corpus_report,
+        "q_cube_revenue": q_cube_revenue,
+        "q_curation_chunks": q_curation_chunks,
+        "q_dsir_weights": q_dsir_weights,
+        "q_fd_check": q_fd_check,
+        "q_feature_hash": q_feature_hash,
+        "q_fingerprint_clusters": q_fingerprint_clusters,
+        "q_frequent_sequences": q_frequent_sequences,
+        "q_leakage_split": q_leakage_split,
+        "q_markov_attribution": q_markov_attribution,
+        "q_media_decode": q_media_decode,
+        "q_pca_components": q_pca_components,
+        "q_pca_scores": q_pca_scores,
+        "q_pca_top_component": q_pca_top_component,
+        "q_rank_fusion": q_rank_fusion,
+        "q_rollup_revenue": q_rollup_revenue,
+        "q_sorted_neighborhood": q_sorted_neighborhood,
+        "q_sparse_cosine": q_sparse_cosine,
+        "q_tfidf_top_terms": q_tfidf_top_terms,
+        "q_token_pmi": q_token_pmi,
+        "q_trigram_search": q_trigram_search,
+        "q_winnow_fingerprints": q_winnow_fingerprints,
+        "q_zorder_keys": q_zorder_keys,
         "q_ann_probe_pruned": q_ann_probe_pruned,
         "q_semantic_dedup": q_semantic_dedup,
         "q_theta_overlap": q_theta_overlap,
@@ -6890,30 +6871,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivfpq_indexed": q_ann_ivfpq_indexed,
         "q_ann_pq_indexed": q_ann_pq_indexed,
         "q_record_linkage": q_record_linkage,
-        "q_acf": q_acf,
-        "q_corpus_report": q_corpus_report,
-        "q_cube_revenue": q_cube_revenue,
-        "q_curation_chunks": q_curation_chunks,
-        "q_dsir_weights": q_dsir_weights,
-        "q_fd_check": q_fd_check,
-        "q_feature_hash": q_feature_hash,
-        "q_fingerprint_clusters": q_fingerprint_clusters,
-        "q_frequent_sequences": q_frequent_sequences,
-        "q_leakage_split": q_leakage_split,
-        "q_markov_attribution": q_markov_attribution,
-        "q_media_decode": q_media_decode,
-        "q_pca_components": q_pca_components,
-        "q_pca_scores": q_pca_scores,
-        "q_pca_top_component": q_pca_top_component,
-        "q_rank_fusion": q_rank_fusion,
-        "q_rollup_revenue": q_rollup_revenue,
-        "q_sorted_neighborhood": q_sorted_neighborhood,
-        "q_sparse_cosine": q_sparse_cosine,
-        "q_tfidf_top_terms": q_tfidf_top_terms,
-        "q_token_pmi": q_token_pmi,
-        "q_trigram_search": q_trigram_search,
-        "q_winnow_fingerprints": q_winnow_fingerprints,
-        "q_zorder_keys": q_zorder_keys,
+        "q_neardup_components": q_neardup_components,
+        "q_stream_neardup": q_stream_neardup,
+        "q_ann_lsh": q_ann_lsh,
+        "q_minhash_pairs": q_minhash_pairs,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_knn_cosine": q_knn_cosine,
+        "q_dedup_exact": q_dedup_exact,
+        "q_dedup_rate": q_dedup_rate,
         "q_approx_distinct": q_approx_distinct,
         "q_approx_quantile": q_approx_quantile,
         "q_budget_sample": q_budget_sample,
@@ -7026,6 +6991,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_webdataset": q_webdataset,
         "q_webdataset_pipeline": q_webdataset_pipeline,
         "q_zip_ingest": q_zip_ingest,
+        "q_argmax": q_argmax,
+        "q_asof_join": q_asof_join,
+        "q_chat_loss_spans": q_chat_loss_spans,
+        "q_chat_template": q_chat_template,
+        "q_code_stats": q_code_stats,
+        "q_corpus_filter": q_corpus_filter,
+        "q_corr": q_corr,
+        "q_date_parts": q_date_parts,
+        "q_domain_cap": q_domain_cap,
+        "q_emb_neardup_brute": q_emb_neardup_brute,
+        "q_encoding_quality": q_encoding_quality,
+        "q_explode_tokens": q_explode_tokens,
+        "q_gopher_rules": q_gopher_rules,
+        "q_image_crossformat": q_image_crossformat,
+        "q_image_dedup": q_image_dedup,
+        "q_image_phash": q_image_phash,
+        "q_json_extract": q_json_extract,
+        "q_lm_perplexity": q_lm_perplexity,
+        "q_media_flac": q_media_flac,
+        "q_media_frames": q_media_frames,
+        "q_media_gif": q_media_gif,
+        "q_media_jpeg": q_media_jpeg,
+        "q_media_pixels": q_media_pixels,
+        "q_median": q_median,
+        "q_multimodal_features": q_multimodal_features,
+        "q_pdf_extract": q_pdf_extract,
+        "q_quantiles": q_quantiles,
+        "q_range_join": q_range_join,
+        "q_rollup": q_rollup,
+        "q_set_ops": q_set_ops,
+        "q_tpch_q10": q_tpch_q10,
+        "q_transform_zscore": q_transform_zscore,
+        "q_url_normalize": q_url_normalize,
+        "q_video_neardup": q_video_neardup,
+        "q_zstd_ingest": q_zstd_ingest,
     }
 
 
