@@ -4285,6 +4285,46 @@ def q_chat_loss_spans(spark, sf_dir):
     )
 
 
+def q_chat_token_spans(spark, sf_dir):
+    """TOKEN-space SFT loss masks (VERDICT r10 item 2; operators/
+    text.py chat_token_spans): the [token_start, token_end] interval
+    each trainable assistant turn occupies in the BPE tokenization of
+    the SAME rendered ChatML string q_chat_template emits — char spans
+    (q_chat_loss_spans) are not what a trainer consumes, and the
+    offset-drift failure mode doubles at the token layer.  The merge
+    table is TRAINED on the corpus (8 rounds, q_bpe_encode's path);
+    content token counts come from the vocabulary-scale word→subtoken
+    join, headers are per-role constants encoded driver-side, and the
+    span arithmetic is additive because every ChatML piece boundary is
+    non-alphanumeric.  The oracle retrains the merges, re-encodes the
+    chat word set, and replays the offsets closed-form — a one-TOKEN
+    drift anywhere fails the gate."""
+    from kevinlang_spark.operators.text import bpe_train, chat_token_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    t = F.col("text")
+    convo = docs.select(
+        "doc_id",
+        F.lit("You are a concise assistant.").alias("sys"),
+        t.alias("user_msg"),
+        F.when(
+            d % 4 != 3,
+            F.concat(
+                F.lit("Summary "), d.cast("string"), F.lit(": "),
+                t.substr(1, 80),
+            ),
+        ).alias("assistant_msg"),
+    )
+    merges = bpe_train(_t(spark, sf_dir, "documents"), n_merges=8)
+    return chat_token_spans(
+        convo,
+        [("system", "sys"), ("user", "user_msg"),
+         ("assistant", "assistant_msg")],
+        merges,
+    )
+
+
 def q_salted_agg(spark, sf_dir):
     """Skew-safe two-stage aggregation (salt fans each hot key over 16
     reducers, then merges ≤16 partial rows per key).  Result is identical
@@ -6756,6 +6796,7 @@ def q_pipeline_resume(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "q_chat_token_spans": q_chat_token_spans,
         "q_code_pipeline": q_code_pipeline,
         "q_robots_filter": q_robots_filter,
         "q_fim_transform": q_fim_transform,
@@ -7815,19 +7856,30 @@ def _ivfpq_oracle_sql(
     return sql
 
 
-def _bpe_oracle_sql(n_merges: int = 8, encode: bool = False) -> str:
-    """Exact DuckDB replica of q_bpe_train / q_bpe_encode: unrolls the
-    same ``n_merges`` merge rounds as text.py bpe_train over the same
-    (word, freq) vocabulary table.  The left-to-right non-overlapping
-    merge uses the doubled-space trick — interior token boundaries get
-    two spaces, a pair occurrence is the plain substring
-    ``' a  b '``, and plain ``replace()`` scans left-to-right exactly
-    like the Spark fold (RE2 has no lookarounds, so a regex can't do
-    this) — then multi-spaces collapse back.  MATERIALIZED CTEs: each
-    wN feeds both the next pair count and the next rewrite.  With
-    ``encode=True`` the final vocabulary's word→subtoken-count map
-    joins back to the exploded corpus (text.py bpe_token_counts'
-    vocab-scale encode shape) instead of returning the merge table."""
+def _bpe_merge_rewrite_sql(r: int) -> str:
+    """The one-merge-round rewrite of a space-separated ``toks`` string
+    against round ``r``'s argmax pair ``b{r}`` — the doubled-space trick
+    (see :func:`_bpe_rounds_sql`); shared by the training-vocab chain
+    and the chat-span encode chain."""
+    return (
+        "trim(regexp_replace("
+        "replace(' ' || replace(toks, ' ', '  ') || ' ', "
+        f"COALESCE((SELECT ' ' || a || '  ' || b || ' ' FROM b{r}), '#'), "
+        f"COALESCE((SELECT ' ' || a || b || ' ' FROM b{r}), '#')), "
+        "' +', ' ', 'g'))"
+    )
+
+
+def _bpe_rounds_sql(n_merges: int) -> str:
+    """The shared merge-training CTE chain ``w0..wN`` / ``b1..bN`` —
+    unrolls text.py bpe_train's rounds over the (word, freq) vocabulary
+    of ``documents``.  The left-to-right non-overlapping merge uses the
+    doubled-space trick — interior token boundaries get two spaces, a
+    pair occurrence is the plain substring ``' a  b '``, and plain
+    ``replace()`` scans left-to-right exactly like the Spark fold (RE2
+    has no lookarounds, so a regex can't do this) — then multi-spaces
+    collapse back.  MATERIALIZED CTEs: each wN feeds both the next pair
+    count and the next rewrite."""
     sql = (
         "WITH w0 AS MATERIALIZED (SELECT w, "
         "trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS toks, freq FROM ("
@@ -7851,12 +7903,20 @@ def _bpe_oracle_sql(n_merges: int = 8, encode: bool = False) -> str:
             # before n_merges, b{r} is empty and the bare scalar
             # subqueries would be NULL — replace(toks, NULL, NULL)
             # NULLs every word while Spark's bpe_train early-breaks
-            f"w{r} AS MATERIALIZED (SELECT w, trim(regexp_replace("
-            "replace(' ' || replace(toks, ' ', '  ') || ' ', "
-            f"COALESCE((SELECT ' ' || a || '  ' || b || ' ' FROM b{r}), '#'), "
-            f"COALESCE((SELECT ' ' || a || b || ' ' FROM b{r}), '#')), "
-            f"' +', ' ', 'g')) AS toks, freq FROM w{r - 1})"
+            f"w{r} AS MATERIALIZED (SELECT w, "
+            + _bpe_merge_rewrite_sql(r)
+            + f" AS toks, freq FROM w{r - 1})"
         )
+    return sql
+
+
+def _bpe_oracle_sql(n_merges: int = 8, encode: bool = False) -> str:
+    """Exact DuckDB replica of q_bpe_train / q_bpe_encode: the shared
+    :func:`_bpe_rounds_sql` chain, then with ``encode=True`` the final
+    vocabulary's word→subtoken-count map joins back to the exploded
+    corpus (text.py bpe_token_counts' vocab-scale encode shape) instead
+    of returning the merge table."""
+    sql = _bpe_rounds_sql(n_merges)
     if encode:
         sql += (
             f", vocab AS (SELECT w, len(string_split(toks, ' ')) "
@@ -7877,6 +7937,80 @@ def _bpe_oracle_sql(n_merges: int = 8, encode: bool = False) -> str:
             )
             + ") ORDER BY merge_rank"
         )
+    return sql
+
+
+def _chat_token_spans_oracle_sql(n_merges: int = 8) -> str:
+    """Exact DuckDB replica of q_chat_token_spans: train the merge
+    table (:func:`_bpe_rounds_sql`), re-apply the SAME merge rounds to
+    the chat-span encode word set (content words of all three turns
+    plus the six header/footer words — ``ew0..ewN``), then replay the
+    additive token-offset algebra: span start/end = cumulative BPE
+    token count of every rendered piece before the trainable content
+    (headers/footers are vocab lookups, contents are per-(doc, turn)
+    word→n_subtokens sums).  Piece additivity holds because every
+    ChatML boundary is non-alphanumeric, so no [a-z0-9]+ word run spans
+    a piece edge — the same invariant text.py chat_token_spans leans
+    on."""
+    sql = _bpe_rounds_sql(n_merges)
+    sql += (
+        ", convo AS (SELECT doc_id, 'You are a concise assistant.' AS s, "
+        "text AS u, CASE WHEN doc_id % 4 <> 3 THEN "
+        "'Summary ' || doc_id || ': ' || substr(text, 1, 80) END AS a "
+        "FROM documents), "
+        "tw AS MATERIALIZED ("
+        "SELECT doc_id, 0 AS ti, unnest(list_filter(string_split_regex("
+        "lower(s), '[^a-z0-9]+'), x -> x <> '')) AS w FROM convo "
+        "WHERE s IS NOT NULL "
+        "UNION ALL SELECT doc_id, 1, unnest(list_filter(string_split_regex("
+        "lower(u), '[^a-z0-9]+'), x -> x <> '')) FROM convo "
+        "WHERE u IS NOT NULL "
+        "UNION ALL SELECT doc_id, 2, unnest(list_filter(string_split_regex("
+        "lower(a), '[^a-z0-9]+'), x -> x <> '')) FROM convo "
+        "WHERE a IS NOT NULL), "
+        "ew0 AS MATERIALIZED (SELECT w, "
+        "trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS toks FROM ("
+        "SELECT DISTINCT w FROM (SELECT w FROM tw UNION ALL "
+        "SELECT unnest(['im', 'start', 'end', 'system', 'user', "
+        "'assistant']) AS w)))"
+    )
+    for r in range(1, n_merges + 1):
+        sql += (
+            f", ew{r} AS MATERIALIZED (SELECT w, "
+            + _bpe_merge_rewrite_sql(r)
+            + f" AS toks FROM ew{r - 1})"
+        )
+    sql += (
+        f", vocab AS MATERIALIZED (SELECT w, "
+        f"len(string_split(toks, ' ')) AS n FROM ew{n_merges}), "
+        "hv AS (SELECT "
+        "(SELECT n FROM vocab WHERE w = 'im') AS n_im, "
+        "(SELECT n FROM vocab WHERE w = 'start') AS n_st, "
+        "(SELECT n FROM vocab WHERE w = 'end') AS n_en, "
+        "(SELECT n FROM vocab WHERE w = 'system') AS n_sy, "
+        "(SELECT n FROM vocab WHERE w = 'user') AS n_us, "
+        "(SELECT n FROM vocab WHERE w = 'assistant') AS n_as), "
+        "agg AS (SELECT doc_id, "
+        "SUM(CASE WHEN ti = 0 THEN n END) AS nt0, "
+        "SUM(CASE WHEN ti = 1 THEN n END) AS nt1, "
+        "SUM(CASE WHEN ti = 2 THEN n END) AS nt2 "
+        "FROM tw JOIN vocab USING (w) GROUP BY doc_id), "
+        "o AS (SELECT c.doc_id, "
+        "(CASE WHEN c.s IS NULL THEN 0 ELSE "
+        "(hv.n_im + hv.n_st + hv.n_sy) + COALESCE(g.nt0, 0) + "
+        "(hv.n_im + hv.n_en) END) + "
+        "(CASE WHEN c.u IS NULL THEN 0 ELSE "
+        "(hv.n_im + hv.n_st + hv.n_us) + COALESCE(g.nt1, 0) + "
+        "(hv.n_im + hv.n_en) END) AS pre, "
+        "(hv.n_im + hv.n_st + hv.n_as) AS ha, "
+        "COALESCE(g.nt2, 0) AS nt2 "
+        "FROM convo c LEFT JOIN agg g USING (doc_id), hv "
+        "WHERE c.a IS NOT NULL) "
+        "SELECT doc_id, 2 AS turn_idx, 'assistant' AS role, "
+        "CAST(pre + ha + 1 AS INT) AS token_start, "
+        "CAST(pre + ha + nt2 AS INT) AS token_end, "
+        "CAST(nt2 AS INT) AS n_tokens FROM o"
+    )
     return sql
 
 
@@ -7981,6 +8115,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_bpe_train": _bpe_oracle_sql(n_merges=8),
         "q_bpe_encode": _bpe_oracle_sql(n_merges=8, encode=True),
+        "q_chat_token_spans": _chat_token_spans_oracle_sql(n_merges=8),
         "q_truncation_recall": _truncation_oracle_sql(dims=(16, 32), n_probes=4, k=10),
         "q_jl_distortion": _jl_oracle_sql(out_dim=16, seed=11, n_sample=16, dim=64),
         "q_class_weights": (

