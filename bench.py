@@ -327,11 +327,68 @@ def _codec_throughput(spark, sf_dir: str, cpus: int) -> dict:
     return out
 
 
+def _host_calibration(spark) -> dict[str, float]:
+    """Fixed CPU-bound probes (~5 s total) that measure the HOST, not
+    the engine (VERDICT r10 item 3): four identical-code full bench
+    runs in r10 spanned 197.7→258.7 s with zero guest load, so
+    cross-round totals are meaningless without a yardstick.  Each probe
+    is a constant workload timed min-of-3; round-over-round ratios of
+    these numbers separate host drift from code regressions in
+    SCALE.md's adjudications.
+
+    - ``py_1core_ms``: pure-Python arithmetic loop (the Python-worker
+      side of Arrow UDF stages).
+    - ``jvm_1core_ms``: single-partition codegen'd range-agg (straight-
+      line JVM throughput).
+    - ``jvm_allcore_ms``: 32-partition range-agg (parallel JVM incl.
+      scheduler + memory-bandwidth contention — the term that tracks
+      noisy-neighbor load best)."""
+    import time as _t
+
+    def _min3(fn) -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = _t.time()
+            fn()
+            best = min(best, _t.time() - t0)
+        return round(best * 1000, 1)
+
+    def _py():
+        acc = 0
+        for i in range(2_000_000):
+            acc += i * i
+        return acc
+
+    def _jvm(n, parts):
+        def run():
+            spark.range(n, numPartitions=parts).selectExpr(
+                "sum(id * 2 + 1) AS s"
+            ).collect()
+
+        return run
+
+    return {
+        "py_1core_ms": _min3(_py),
+        "jvm_1core_ms": _min3(_jvm(30_000_000, 1)),
+        "jvm_allcore_ms": _min3(_jvm(400_000_000, 32)),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf(\d+(?:\.\d+)?)/?$", sf_dir)
     sf = m.group(1) if m else os.path.basename(sf_dir.rstrip("/"))
     spark = get_spark("kevinlang-bench")
+
+    # host yardstick BEFORE any engine work (cold cache doesn't matter:
+    # the probes touch no data) — emitted as host_calibration in both
+    # the stdout JSON and BENCH_DETAIL.json
+    try:
+        calibration = _host_calibration(spark)
+        print(f"# host_calibration: {calibration}", file=sys.stderr)
+    except Exception as exc:  # the yardstick must never fail the bench
+        calibration = {}
+        print(f"# host calibration skipped: {exc}", file=sys.stderr)
 
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs] + [
@@ -445,6 +502,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "codec_mbps": codec,
+        "host_calibration": calibration,
         "sf": sf_val,
     }
     try:
@@ -467,6 +525,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "queries": slowest,
                 "codec_mbps": codec,
+                "host_calibration": calibration,
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf_val,
             }
