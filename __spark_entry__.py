@@ -4117,6 +4117,41 @@ def q_fim_transform(spark, sf_dir):
     )
 
 
+def q_fim_spm(spark, sf_dir):
+    """Fill-in-the-middle in SPM ordering (text.py fim_transform
+    mode='spm' — arXiv:2207.14255 appendix D's 'SPM with PSM
+    sentinels', the suffix-first variant production infilling models
+    ship): half the documents rewrite as
+    <PRE><SUF>suffix<MID>prefix+middle with the SAME deterministic
+    cuts as q_fim_transform — §3 trains on both orderings 50/50, so
+    PSM alone halves the published recipe (VERDICT r10 item 5).  Same
+    map-only zero-shuffle scan shape; the oracle replays the SPM
+    reassembly byte-for-byte."""
+    from kevinlang_spark.operators.text import fim_transform
+
+    return fim_transform(
+        _t(spark, sf_dir, "documents"), rate=0.5, mode="spm"
+    )
+
+
+def q_fim_context(spark, sf_dir):
+    """CONTEXT-LEVEL fill-in-the-middle (text.py fim_transform_context
+    — arXiv:2207.14255 §3): documents split into 256-char training
+    contexts first, then FIM applies independently per context at an
+    exact 35% rate (hashes salted on id#chunk), so both cut points
+    always land inside one context — the boundary-aware property
+    document-level FIM loses when the packer slices a rewritten doc
+    mid-sentinel.  One map-side posexplode + the scan-stage rewrite:
+    zero shuffle, zero Python; the oracle replays chunking, selection,
+    cuts, and reassembly byte-for-byte."""
+    from kevinlang_spark.operators.text import fim_transform_context
+
+    return fim_transform_context(
+        _t(spark, sf_dir, "documents"), chunk_chars=256, rate=0.35,
+        mode="psm",
+    )
+
+
 def q_code_stats(spark, sf_dir):
     """Code-corpus curation gate (operators/text.py code_stats — The
     Stack / StarCoder file filters): documents salted with
@@ -6797,6 +6832,8 @@ def q_pipeline_resume(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_chat_token_spans": q_chat_token_spans,
+        "q_fim_spm": q_fim_spm,
+        "q_fim_context": q_fim_context,
         "q_code_pipeline": q_code_pipeline,
         "q_robots_filter": q_robots_filter,
         "q_fim_transform": q_fim_transform,
@@ -7938,6 +7975,71 @@ def _bpe_oracle_sql(n_merges: int = 8, encode: bool = False) -> str:
             + ") ORDER BY merge_rank"
         )
     return sql
+
+
+def _fim_oracle_sql(
+    mode: str = "psm", rate: float = 0.5, chunk_chars: "int | None" = None
+) -> str:
+    """Byte-replay oracle for the FIM family (text.py fim_transform /
+    fim_transform_context): replays selection (52-bit md5 vs the exact
+    scaled threshold), both cut points, and the mode's reassembly
+    character-for-character.  ``chunk_chars`` switches to the
+    context-level shape: fixed-size chunks via generate_series, hashes
+    salted on ``doc_id || '#' || chunk_idx``."""
+    thr = int(rate * 2**52)
+    if chunk_chars is None:
+        sid = "CAST(doc_id AS VARCHAR)"
+        head = (
+            "WITH h AS (SELECT doc_id, text AS t, length(text) AS n, "
+            f"CAST(CONCAT('0x', substr(md5({sid} || '#fim'), 1, 13)) AS BIGINT) AS hp, "
+            f"CAST(CONCAT('0x', substr(md5({sid} || '#fim1'), 1, 13)) AS BIGINT) AS h1, "
+            f"CAST(CONCAT('0x', substr(md5({sid} || '#fim2'), 1, 13)) AS BIGINT) AS h2 "
+            "FROM documents), "
+        )
+        id_cols = "doc_id"
+    else:
+        sid = "doc_id || '#' || chunk_idx"
+        head = (
+            "WITH base AS (SELECT doc_id, text, length(text) AS n "
+            "FROM documents WHERE text IS NOT NULL AND length(text) > 0), "
+            # unnest(range(...)) instead of generate_series: DuckDB's
+            # table-function form can't take lateral column parameters
+            "ch AS (SELECT doc_id, unnest(range(0, "
+            f"CAST(ceil(n / {chunk_chars}.0) AS BIGINT))) AS g, text "
+            "FROM base), "
+            "chs AS (SELECT doc_id, g AS chunk_idx, "
+            f"substr(text, CAST(g * {chunk_chars} + 1 AS INT), "
+            f"{chunk_chars}) AS t FROM ch), "
+            "h AS (SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, "
+            "t, length(t) AS n, "
+            f"CAST(CONCAT('0x', substr(md5({sid} || '#fim'), 1, 13)) AS BIGINT) AS hp, "
+            f"CAST(CONCAT('0x', substr(md5({sid} || '#fim1'), 1, 13)) AS BIGINT) AS h1, "
+            f"CAST(CONCAT('0x', substr(md5({sid} || '#fim2'), 1, 13)) AS BIGINT) AS h2 "
+            "FROM chs), "
+        )
+        id_cols = "doc_id, chunk_idx"
+    if mode == "psm":
+        reassembled = (
+            "'<PRE>' || substr(t, 1, CAST(lo AS INT)) || "
+            "'<SUF>' || substr(t, CAST(hi + 1 AS INT), CAST(n - hi AS INT)) || "
+            "'<MID>' || substr(t, CAST(lo + 1 AS INT), CAST(hi - lo AS INT))"
+        )
+    else:
+        reassembled = (
+            "'<PRE>' || '<SUF>' || "
+            "substr(t, CAST(hi + 1 AS INT), CAST(n - hi AS INT)) || "
+            "'<MID>' || substr(t, 1, CAST(lo AS INT)) || "
+            "substr(t, CAST(lo + 1 AS INT), CAST(hi - lo AS INT))"
+        )
+    return (
+        head
+        + f"c AS (SELECT {id_cols}, t, n, "
+        + f"(hp < {thr} AND t IS NOT NULL AND n > 0) AS applied, "
+        "LEAST(h1 % (n + 1), h2 % (n + 1)) AS lo, "
+        "GREATEST(h1 % (n + 1), h2 % (n + 1)) AS hi FROM h) "
+        f"SELECT {id_cols}, applied AS fim_applied, "
+        f"CASE WHEN applied THEN {reassembled} ELSE t END AS text_out FROM c"
+    )
 
 
 def _chat_token_spans_oracle_sql(n_merges: int = 8) -> str:
@@ -9710,22 +9812,10 @@ def oracle_sql() -> dict[str, str]:
             "(list_max(ls) <= 1000 AND list_sum(ls) <= 100 * len(ls) "
             "AND 4 * alnum >= length(t) AND NOT ag) AS passes FROM s"
         ),
-        "q_fim_transform": (
-            "WITH h AS (SELECT doc_id, text, length(text) AS n, "
-            "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#fim'), 1, 13)) AS BIGINT) AS hp, "
-            "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#fim1'), 1, 13)) AS BIGINT) AS h1, "
-            "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#fim2'), 1, 13)) AS BIGINT) AS h2 "
-            "FROM documents), "
-            "c AS (SELECT doc_id, text, n, "
-            "(hp < 2251799813685248 AND text IS NOT NULL AND n > 0) AS applied, "
-            "LEAST(h1 % (n + 1), h2 % (n + 1)) AS lo, "
-            "GREATEST(h1 % (n + 1), h2 % (n + 1)) AS hi FROM h) "
-            "SELECT doc_id, applied AS fim_applied, "
-            "CASE WHEN applied THEN "
-            "'<PRE>' || substr(text, 1, CAST(lo AS INT)) || "
-            "'<SUF>' || substr(text, CAST(hi + 1 AS INT), CAST(n - hi AS INT)) || "
-            "'<MID>' || substr(text, CAST(lo + 1 AS INT), CAST(hi - lo AS INT)) "
-            "ELSE text END AS text_out FROM c"
+        "q_fim_transform": _fim_oracle_sql(mode="psm", rate=0.5),
+        "q_fim_spm": _fim_oracle_sql(mode="spm", rate=0.5),
+        "q_fim_context": _fim_oracle_sql(
+            mode="psm", rate=0.35, chunk_chars=256
         ),
         "q_pack_sequences": (
             "WITH t AS (SELECT doc_id AS id, source, doc_id % 4 AS shard, "

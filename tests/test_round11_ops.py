@@ -145,3 +145,101 @@ def test_chat_token_spans_plan_no_python(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------- #
+# FIM: SPM ordering + context-level application (round 11)
+# --------------------------------------------------------------------- #
+
+
+def test_fim_spm_reassembly(spark):
+    """SPM rows reassemble: text_out = <PRE><SUF>suffix<MID>prefix+middle
+    with the SAME cuts PSM picks for the same id (selection and cut
+    hashes ignore the mode)."""
+    from kevinlang_spark.operators.text import fim_transform
+
+    rows = [(i, f"doc {i} " + "abcdefghij" * (i % 4 + 1)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    psm = {r["doc_id"]: r for r in fim_transform(df, rate=0.5).collect()}
+    spm = {
+        r["doc_id"]: r
+        for r in fim_transform(df, rate=0.5, mode="spm").collect()
+    }
+    orig = dict(rows)
+    n_applied = 0
+    for d, r in spm.items():
+        assert r["fim_applied"] == psm[d]["fim_applied"]  # same selection
+        if not r["fim_applied"]:
+            assert r["text_out"] == orig[d]
+            continue
+        n_applied += 1
+        t = r["text_out"]
+        assert t.startswith("<PRE><SUF>")
+        sufx, rest = t[len("<PRE><SUF>"):].split("<MID>", 1)
+        # rest = prefix + middle contiguous; original = prefix+middle+suffix
+        assert rest + sufx == orig[d]
+        # cross-check cuts against the PSM rendering of the same id
+        p = psm[d]["text_out"][len("<PRE>"):]
+        pre_part, p_rest = p.split("<SUF>", 1)
+        p_suf, p_mid = p_rest.split("<MID>", 1)
+        assert sufx == p_suf and rest == pre_part + p_mid
+    assert n_applied > 5
+
+
+def test_fim_context_boundary_aware(spark):
+    """Context-level FIM: every chunk is exactly chunk_chars long except
+    the tail, chunks reassemble to the original document, and applied
+    chunks rewrite WITHIN the chunk (cuts never cross a boundary)."""
+    from kevinlang_spark.operators.text import fim_transform_context
+
+    body = "".join(chr(97 + (i % 26)) for i in range(300))
+    df = spark.createDataFrame(
+        [(1, body), (2, "short"), (3, None), (4, "")],
+        "doc_id bigint, text string",
+    )
+    out = fim_transform_context(df, chunk_chars=128, rate=1.0).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # NULL / empty docs contribute no contexts
+    assert set(by_doc) == {1, 2}
+    rows1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_idx"] for r in rows1] == [0, 1, 2]
+    recon = []
+    for r in rows1:
+        assert r["fim_applied"]  # rate=1.0 selects every chunk
+        t = r["text_out"]
+        pre, rest = t[len("<PRE>"):].split("<SUF>", 1)
+        sufx, midl = rest.split("<MID>", 1)
+        recon.append(pre + midl + sufx)
+    assert recon[0] == body[:128] and recon[1] == body[128:256]
+    assert recon[2] == body[256:]
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_idx"] == 0
+
+
+def test_fim_context_rate_zero_passthrough(spark):
+    from kevinlang_spark.operators.text import fim_transform_context
+
+    df = spark.createDataFrame(
+        [(1, "abcdef" * 50)], "doc_id bigint, text string"
+    )
+    rows = fim_transform_context(df, chunk_chars=100, rate=0.0).collect()
+    assert all(not r["fim_applied"] for r in rows)
+    assert "".join(
+        r["text_out"] for r in sorted(rows, key=lambda r: r["chunk_idx"])
+    ) == "abcdef" * 50
+
+
+def test_fim_mode_errors(spark):
+    import pytest as _pytest
+
+    from kevinlang_spark.operators.text import (
+        fim_transform,
+        fim_transform_context,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    with _pytest.raises(ValueError, match="mode"):
+        fim_transform(df, mode="mps")
+    with _pytest.raises(ValueError, match="chunk_chars"):
+        fim_transform_context(df, chunk_chars=0)
