@@ -4117,6 +4117,79 @@ def q_fim_transform(spark, sf_dir):
     )
 
 
+def _multiturn_convo(spark, sf_dir):
+    """Shared 5-turn variable-role fixture for the Llama-3 multi-turn
+    queries: system + two user/assistant exchanges, with BOTH later
+    turns independently NULL by id rule (%5==2 drops the follow-up
+    user turn, %3==1 drops the final assistant turn, %4==3 drops the
+    FIRST assistant turn) — every skip pattern shifts the later
+    offsets differently, which is exactly what the byte-parity oracle
+    must reproduce."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.lit("You are a concise assistant.").alias("sys"),
+        t.alias("user_msg"),
+        F.when(
+            d % 4 != 3,
+            F.concat(
+                F.lit("Summary "), d.cast("string"), F.lit(": "),
+                t.substr(1, 60),
+            ),
+        ).alias("assistant_msg"),
+        F.when(
+            d % 5 != 2,
+            F.concat(F.lit("Follow-up "), d.cast("string"), F.lit("?")),
+        ).alias("user_msg2"),
+        F.when(
+            d % 3 != 1,
+            F.concat(F.lit("Done "), d.cast("string"), F.lit(".")),
+        ).alias("assistant_msg2"),
+    )
+
+
+_MULTITURN_TURNS = [
+    ("system", "sys"),
+    ("user", "user_msg"),
+    ("assistant", "assistant_msg"),
+    ("user", "user_msg2"),
+    ("assistant", "assistant_msg2"),
+]
+
+
+def q_chat_multiturn(spark, sf_dir):
+    """Llama-3 multi-turn SFT rendering (VERDICT r10 item 6; text.py
+    render_chat fmt='llama3'): five variable-role turns — system, two
+    user/assistant exchanges — assembled into the exact Llama-3 wire
+    string (<|begin_of_text|> once, then <|start_header_id|>role
+    <|end_header_id|>\\n\\ncontent<|eot_id|> per turn), with three
+    INDEPENDENT NULL-turn id rules so every skip pattern exercises the
+    offset algebra.  Zero-shuffle Catalyst projection; the oracle
+    reproduces the bytes character-for-character."""
+    from kevinlang_spark.operators.text import render_chat
+
+    return render_chat(
+        _multiturn_convo(spark, sf_dir), _MULTITURN_TURNS, fmt="llama3"
+    )
+
+
+def q_chat_multiturn_spans(spark, sf_dir):
+    """Loss-mask spans over the SAME Llama-3 multi-turn rendering
+    (text.py chat_loss_spans fmt='llama3'): one row per non-NULL
+    assistant turn — up to TWO per document — whose [start, end] char
+    interval must land exactly on the turn's content inside
+    q_chat_multiturn's rendered string, past the one-time
+    <|begin_of_text|> prefix and every variable skip.  The oracle
+    replays the length algebra closed-form."""
+    from kevinlang_spark.operators.text import chat_loss_spans
+
+    return chat_loss_spans(
+        _multiturn_convo(spark, sf_dir), _MULTITURN_TURNS, fmt="llama3"
+    )
+
+
 def q_fim_spm(spark, sf_dir):
     """Fill-in-the-middle in SPM ordering (text.py fim_transform
     mode='spm' — arXiv:2207.14255 appendix D's 'SPM with PSM
@@ -6832,6 +6905,8 @@ def q_pipeline_resume(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_chat_token_spans": q_chat_token_spans,
+        "q_chat_multiturn": q_chat_multiturn,
+        "q_chat_multiturn_spans": q_chat_multiturn_spans,
         "q_fim_spm": q_fim_spm,
         "q_fim_context": q_fim_context,
         "q_code_pipeline": q_code_pipeline,
@@ -8114,6 +8189,17 @@ def _chat_token_spans_oracle_sql(n_merges: int = 8) -> str:
         "CAST(nt2 AS INT) AS n_tokens FROM o"
     )
     return sql
+
+
+#: DuckDB replica of _multiturn_convo's five columns
+_MULTITURN_CONVO_SQL = (
+    "WITH c AS (SELECT doc_id, 'You are a concise assistant.' AS s, "
+    "text AS u, CASE WHEN doc_id % 4 <> 3 THEN "
+    "'Summary ' || doc_id || ': ' || substr(text, 1, 60) END AS a, "
+    "CASE WHEN doc_id % 5 <> 2 THEN 'Follow-up ' || doc_id || '?' END AS u2, "
+    "CASE WHEN doc_id % 3 <> 1 THEN 'Done ' || doc_id || '.' END AS a2 "
+    "FROM documents)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -9725,6 +9811,43 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN a IS NULL THEN 0 ELSE 1 END) AS n_turns FROM c) "
             "SELECT doc_id, rendered, CAST(n_turns AS INT) AS n_turns, "
             "CAST(length(rendered) AS INT) AS n_chars FROM r"
+        ),
+        # llama3 lengths: bos '<|begin_of_text|>'=17, header = 19 +
+        # len(role) + 17 + 2 (system 44 / user 42 / assistant 47),
+        # footer '<|eot_id|>'=10
+        "q_chat_multiturn": (
+            _MULTITURN_CONVO_SQL + ", "
+            "r AS (SELECT doc_id, '<|begin_of_text|>' || "
+            "COALESCE('<|start_header_id|>system<|end_header_id|>' || chr(10) || chr(10) || s || '<|eot_id|>', '') || "
+            "COALESCE('<|start_header_id|>user<|end_header_id|>' || chr(10) || chr(10) || u || '<|eot_id|>', '') || "
+            "COALESCE('<|start_header_id|>assistant<|end_header_id|>' || chr(10) || chr(10) || a || '<|eot_id|>', '') || "
+            "COALESCE('<|start_header_id|>user<|end_header_id|>' || chr(10) || chr(10) || u2 || '<|eot_id|>', '') || "
+            "COALESCE('<|start_header_id|>assistant<|end_header_id|>' || chr(10) || chr(10) || a2 || '<|eot_id|>', '') "
+            "AS rendered, "
+            "(CASE WHEN s IS NULL THEN 0 ELSE 1 END + "
+            "CASE WHEN u IS NULL THEN 0 ELSE 1 END + "
+            "CASE WHEN a IS NULL THEN 0 ELSE 1 END + "
+            "CASE WHEN u2 IS NULL THEN 0 ELSE 1 END + "
+            "CASE WHEN a2 IS NULL THEN 0 ELSE 1 END) AS n_turns FROM c) "
+            "SELECT doc_id, rendered, CAST(n_turns AS INT) AS n_turns, "
+            "CAST(length(rendered) AS INT) AS n_chars FROM r"
+        ),
+        "q_chat_multiturn_spans": (
+            _MULTITURN_CONVO_SQL + ", "
+            "o AS (SELECT doc_id, a, a2, "
+            "(CASE WHEN s IS NULL THEN 0 ELSE 44 + length(s) + 10 END) AS p0, "
+            "(CASE WHEN u IS NULL THEN 0 ELSE 42 + length(u) + 10 END) AS p1, "
+            "(CASE WHEN a IS NULL THEN 0 ELSE 47 + length(a) + 10 END) AS p2, "
+            "(CASE WHEN u2 IS NULL THEN 0 ELSE 42 + length(u2) + 10 END) AS p3 "
+            "FROM c) "
+            "SELECT doc_id, 2 AS turn_idx, 'assistant' AS role, "
+            "CAST(17 + p0 + p1 + 47 + 1 AS INT) AS start, "
+            "CAST(17 + p0 + p1 + 47 + length(a) AS INT) AS \"end\" "
+            "FROM o WHERE a IS NOT NULL "
+            "UNION ALL SELECT doc_id, 4 AS turn_idx, 'assistant' AS role, "
+            "CAST(17 + p0 + p1 + p2 + p3 + 47 + 1 AS INT) AS start, "
+            "CAST(17 + p0 + p1 + p2 + p3 + 47 + length(a2) AS INT) AS \"end\" "
+            "FROM o WHERE a2 IS NOT NULL"
         ),
         "q_code_pipeline": (
             "WITH salted AS (SELECT doc_id, CASE "

@@ -2379,14 +2379,18 @@ def render_chat(
     template engines drop absent optional turns.
 
     Formats: ``chatml`` (``<|im_start|>role\ncontent<|im_end|>\n`` per
-    turn — the OpenAI/Qwen wire form) and ``alpaca``
-    (``### Role:\ncontent\n\n``).  Deterministic string assembly in one
-    zero-shuffle Catalyst projection — at 100 TB this is the map-only
-    rewrite that feeds the tokenizer, and the rendered string must be
+    turn — the OpenAI/Qwen wire form), ``alpaca``
+    (``### Role:\ncontent\n\n``), and ``llama3`` (the Meta Llama-3
+    header format: ``<|begin_of_text|>`` once at the front, then
+    ``<|start_header_id|>role<|end_header_id|>\n\ncontent<|eot_id|>``
+    per turn — the third wire format real SFT data ships in, VERDICT
+    r10 item 6).  Deterministic string assembly in one zero-shuffle
+    Catalyst projection — at 100 TB this is the map-only rewrite that
+    feeds the tokenizer, and the rendered string must be
     byte-reproducible or train/eval disagree.
 
     Returns (id_col, rendered, n_turns, n_chars)."""
-    if fmt not in ("chatml", "alpaca"):
+    if fmt not in ("chatml", "alpaca", "llama3"):
         raise ValueError(f"render_chat: unknown format {fmt!r}")
     if not turns:
         raise ValueError("render_chat: need at least one (role, column) turn")
@@ -2398,6 +2402,12 @@ def render_chat(
             rendered = F.concat(
                 F.lit("<|im_start|>" + role + "\n"), c, F.lit("<|im_end|>\n")
             )
+        elif fmt == "llama3":
+            rendered = F.concat(
+                F.lit("<|start_header_id|>" + role + "<|end_header_id|>\n\n"),
+                c,
+                F.lit("<|eot_id|>"),
+            )
         else:
             rendered = F.concat(
                 F.lit("### " + role.capitalize() + ":\n"), c, F.lit("\n\n")
@@ -2405,6 +2415,8 @@ def render_chat(
         pieces.append(F.when(c.isNotNull(), rendered).otherwise(F.lit("")))
         counts.append(c.isNotNull().cast("int"))
     out = F.concat(*pieces) if len(pieces) > 1 else pieces[0]
+    if fmt == "llama3":
+        out = F.concat(F.lit("<|begin_of_text|>"), out)
     n_turns = sum(counts[1:], counts[0]) if len(counts) > 1 else counts[0]
     return spread(df).select(
         F.col(id_col),
@@ -2419,29 +2431,40 @@ def chat_loss_spans(
     turns: list,
     id_col: str = "doc_id",
     train_roles: tuple = ("assistant",),
+    fmt: str = "chatml",
 ) -> DataFrame:
     """Loss-mask spans for SFT training — the character offsets of the
-    TRAINABLE turns' content inside :func:`render_chat`'s ChatML
-    string, so the tokenizer stage can zero the loss on every byte the
-    model must not learn to produce (system/user turns).  Getting these
-    offsets wrong is the classic silent SFT bug: the model trains on
-    its own prompt.
+    TRAINABLE turns' content inside :func:`render_chat`'s rendered
+    string (``chatml`` or ``llama3`` — the two formats with
+    unambiguous per-turn delimiters), so the tokenizer stage can zero
+    the loss on every byte the model must not learn to produce
+    (system/user turns).  Getting these offsets wrong is the classic
+    silent SFT bug: the model trains on its own prompt.
 
     Offsets replicate the renderer's skip-NULL rule exactly: a skipped
-    turn contributes zero length, shifting every later span.  Output is
-    one row per trainable non-NULL turn — (id_col, turn_idx, role,
-    start, end), 1-based inclusive character positions into the
-    rendered string — flat rows so a relational oracle can replay the
-    arithmetic.  Pure Catalyst length algebra: zero shuffle, zero
-    Python."""
+    turn contributes zero length, shifting every later span; llama3's
+    one-time ``<|begin_of_text|>`` prefix shifts every span by a
+    constant.  Output is one row per trainable non-NULL turn —
+    (id_col, turn_idx, role, start, end), 1-based inclusive character
+    positions into the rendered string — flat rows so a relational
+    oracle can replay the arithmetic.  Pure Catalyst length algebra:
+    zero shuffle, zero Python."""
+    if fmt not in ("chatml", "llama3"):
+        raise ValueError(f"chat_loss_spans: unknown format {fmt!r}")
     if not turns:
         raise ValueError("chat_loss_spans: need at least one turn")
-    offset = F.lit(0)
+    offset = F.lit(len("<|begin_of_text|>") if fmt == "llama3" else 0)
     rows = []
     for i, (role, colname) in enumerate(turns):
         c = F.col(colname)
-        header = len("<|im_start|>" + role + "\n")
-        footer = len("<|im_end|>\n")
+        if fmt == "chatml":
+            header = len("<|im_start|>" + role + "\n")
+            footer = len("<|im_end|>\n")
+        else:
+            header = len(
+                "<|start_header_id|>" + role + "<|end_header_id|>\n\n"
+            )
+            footer = len("<|eot_id|>")
         piece_len = F.when(
             c.isNotNull(), F.length(c) + F.lit(header + footer)
         ).otherwise(F.lit(0))

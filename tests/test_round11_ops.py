@@ -243,3 +243,82 @@ def test_fim_mode_errors(spark):
         fim_transform(df, mode="mps")
     with _pytest.raises(ValueError, match="chunk_chars"):
         fim_transform_context(df, chunk_chars=0)
+
+
+# --------------------------------------------------------------------- #
+# Llama-3 chat template + multi-turn spans (round 11)
+# --------------------------------------------------------------------- #
+
+
+def test_render_chat_llama3_bytes(spark):
+    """Byte-exact Llama-3 wire format: bos once, header/footer per
+    non-NULL turn, NULL turns skipped entirely."""
+    from kevinlang_spark.operators.text import render_chat
+
+    df = spark.createDataFrame(
+        [(1, "be brief", "hi", "hello"), (2, "be brief", "yo", None)],
+        "doc_id bigint, s string, u string, a string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in render_chat(
+            df, [("system", "s"), ("user", "u"), ("assistant", "a")],
+            fmt="llama3",
+        ).collect()
+    }
+    want1 = (
+        "<|begin_of_text|>"
+        "<|start_header_id|>system<|end_header_id|>\n\nbe brief<|eot_id|>"
+        "<|start_header_id|>user<|end_header_id|>\n\nhi<|eot_id|>"
+        "<|start_header_id|>assistant<|end_header_id|>\n\nhello<|eot_id|>"
+    )
+    assert out[1]["rendered"] == want1
+    assert out[1]["n_turns"] == 3 and out[1]["n_chars"] == len(want1)
+    want2 = (
+        "<|begin_of_text|>"
+        "<|start_header_id|>system<|end_header_id|>\n\nbe brief<|eot_id|>"
+        "<|start_header_id|>user<|end_header_id|>\n\nyo<|eot_id|>"
+    )
+    assert out[2]["rendered"] == want2 and out[2]["n_turns"] == 2
+
+
+def test_chat_loss_spans_llama3_land_on_content(spark):
+    """llama3 spans must slice the rendered string to exactly the
+    assistant contents — including the second assistant turn shifted
+    past a skipped follow-up user turn."""
+    from kevinlang_spark.operators.text import chat_loss_spans, render_chat
+
+    turns = [("system", "s"), ("user", "u"), ("assistant", "a"),
+             ("user", "u2"), ("assistant", "a2")]
+    df = spark.createDataFrame(
+        [
+            (1, "sys", "q1", "ans one", "q2", "ans two"),
+            (2, "sys", "q1", "ans one", None, "ans two"),  # u2 skipped
+            (3, "sys", "q1", None, "q2", "ans two"),       # a skipped
+        ],
+        "doc_id bigint, s string, u string, a string, u2 string, a2 string",
+    )
+    rendered = {
+        r["doc_id"]: r["rendered"]
+        for r in render_chat(df, turns, fmt="llama3").collect()
+    }
+    spans = chat_loss_spans(df, turns, fmt="llama3").collect()
+    assert len(spans) == 5  # docs 1,2 have two assistant turns; doc 3 one
+    contents = {"a": "ans one", "a2": "ans two"}
+    for r in spans:
+        text = rendered[r["doc_id"]]
+        got = text[r["start"] - 1 : r["end"]]
+        want = contents["a" if r["turn_idx"] == 2 else "a2"]
+        assert got == want, (r["doc_id"], r["turn_idx"], got)
+
+
+def test_render_chat_unknown_fmt(spark):
+    from kevinlang_spark.operators.text import chat_loss_spans, render_chat
+
+    df = spark.createDataFrame([(1, "x")], "doc_id bigint, a string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="format"):
+        render_chat(df, [("user", "a")], fmt="llama2")
+    with _pytest.raises(ValueError, match="format"):
+        chat_loss_spans(df, [("assistant", "a")], fmt="alpaca")
