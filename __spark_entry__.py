@@ -4117,6 +4117,68 @@ def q_fim_transform(spark, sf_dir):
     )
 
 
+def _preference_candidates(spark, sf_dir):
+    """Shared fixture for the preference tier: every document is a
+    prompt with FOUR sampled responses (posexplode), each scored by a
+    deterministic integer reward — the 52-bit md5 bridge mod 1000 — so
+    argmax/argmin and every margin replay closed-form in SQL."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    k = F.col("k")
+    sid = F.concat(
+        F.col("prompt_id").cast("string"), F.lit("#"), k.cast("string"),
+        F.lit("#rw"),
+    )
+    reward = (
+        F.conv(F.substring(F.md5(sid), 1, 13), 16, 10).cast("bigint") % 1000
+    )
+    return docs.select(
+        F.col("doc_id").alias("prompt_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"),
+        "text",
+    ).select(
+        "prompt_id",
+        k.alias("cand_id"),
+        F.concat(
+            F.lit("Resp "), k.cast("string"), F.lit(": "),
+            F.col("text").substr(k * 10 + 1, F.lit(40)),
+        ).alias("response"),
+        reward.alias("reward"),
+    )
+
+
+_PREFERENCE_CAND_SQL = (
+    "WITH cand AS (SELECT doc_id AS prompt_id, s.g AS cand_id, "
+    "'Resp ' || s.g || ': ' || substr(text, s.g * 10 + 1, 40) AS response, "
+    "CAST(CONCAT('0x', substr(md5(doc_id || '#' || s.g || '#rw'), 1, 13)) "
+    "AS BIGINT) % 1000 AS reward "
+    "FROM documents, generate_series(0, 3) s(g))"
+)
+
+
+def q_dpo_pairs(spark, sf_dir):
+    """DPO preference-pair assembly (operators/preference.py dpo_pairs
+    — Rafailov et al. 2023): four deterministic-reward responses per
+    prompt collapse to (chosen, rejected) = (argmax, argmin) with
+    deterministic tie-breaks, zero-margin prompts dropped.  ONE keyed
+    aggregation of struct extrema — partials combine map-side, the
+    shuffle carries two structs per prompt, never the candidate
+    fan-out (the 100 TB shape for an n-samples-per-prompt table).  The
+    oracle replays selection and margins closed-form."""
+    from kevinlang_spark.operators.preference import dpo_pairs
+
+    return dpo_pairs(_preference_candidates(spark, sf_dir))
+
+
+def q_best_of_n(spark, sf_dir):
+    """Rejection sampling / best-of-n (operators/preference.py
+    best_of_n — the Llama-2 RLHF data recipe): keep the top-reward
+    response per prompt plus the group's selection-pressure stats.
+    Same one-shuffle struct-extremum shape as q_dpo_pairs."""
+    from kevinlang_spark.operators.preference import best_of_n
+
+    return best_of_n(_preference_candidates(spark, sf_dir))
+
+
 def _multiturn_convo(spark, sf_dir):
     """Shared 5-turn variable-role fixture for the Llama-3 multi-turn
     queries: system + two user/assistant exchanges, with BOTH later
@@ -6905,6 +6967,8 @@ def q_pipeline_resume(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_chat_token_spans": q_chat_token_spans,
+        "q_dpo_pairs": q_dpo_pairs,
+        "q_best_of_n": q_best_of_n,
         "q_chat_multiturn": q_chat_multiturn,
         "q_chat_multiturn_spans": q_chat_multiturn_spans,
         "q_fim_spm": q_fim_spm,
@@ -9811,6 +9875,39 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN a IS NULL THEN 0 ELSE 1 END) AS n_turns FROM c) "
             "SELECT doc_id, rendered, CAST(n_turns AS INT) AS n_turns, "
             "CAST(length(rendered) AS INT) AS n_chars FROM r"
+        ),
+        "q_dpo_pairs": (
+            _PREFERENCE_CAND_SQL + ", "
+            "ok AS (SELECT * FROM cand WHERE response IS NOT NULL "
+            "AND reward IS NOT NULL), "
+            "ranked AS (SELECT *, "
+            "ROW_NUMBER() OVER (PARTITION BY prompt_id "
+            "ORDER BY reward DESC, cand_id ASC) AS rhi, "
+            "ROW_NUMBER() OVER (PARTITION BY prompt_id "
+            "ORDER BY reward ASC, cand_id ASC) AS rlo FROM ok) "
+            "SELECT h.prompt_id, h.cand_id AS chosen_id, "
+            "l.cand_id AS rejected_id, h.response AS chosen_text, "
+            "l.response AS rejected_text, h.reward AS chosen_reward, "
+            "l.reward AS rejected_reward, "
+            "h.reward - l.reward AS margin "
+            "FROM (SELECT * FROM ranked WHERE rhi = 1) h "
+            "JOIN (SELECT * FROM ranked WHERE rlo = 1) l "
+            "USING (prompt_id) WHERE h.reward - l.reward > 0"
+        ),
+        "q_best_of_n": (
+            _PREFERENCE_CAND_SQL + ", "
+            "ok AS (SELECT * FROM cand WHERE response IS NOT NULL "
+            "AND reward IS NOT NULL), "
+            "ranked AS (SELECT *, "
+            "ROW_NUMBER() OVER (PARTITION BY prompt_id "
+            "ORDER BY reward DESC, cand_id ASC) AS rhi, "
+            "COUNT(*) OVER (PARTITION BY prompt_id) AS n_candidates, "
+            "AVG(reward) OVER (PARTITION BY prompt_id) AS mean_reward "
+            "FROM ok) "
+            "SELECT prompt_id, cand_id, response, reward, "
+            "CAST(n_candidates AS BIGINT) AS n_candidates, "
+            "ROUND(mean_reward, 6) AS mean_reward "
+            "FROM ranked WHERE rhi = 1"
         ),
         # llama3 lengths: bos '<|begin_of_text|>'=17, header = 19 +
         # len(role) + 17 + 2 (system 44 / user 42 / assistant 47),

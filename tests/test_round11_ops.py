@@ -322,3 +322,77 @@ def test_render_chat_unknown_fmt(spark):
         render_chat(df, [("user", "a")], fmt="llama2")
     with _pytest.raises(ValueError, match="format"):
         chat_loss_spans(df, [("assistant", "a")], fmt="alpaca")
+
+
+# --------------------------------------------------------------------- #
+# preference data: DPO pairs + best-of-n (round 11)
+# --------------------------------------------------------------------- #
+
+
+def test_dpo_pairs_selection_and_margin(spark):
+    from kevinlang_spark.operators.preference import dpo_pairs
+
+    rows = [
+        # prompt 1: clear spread
+        (1, 0, "bad", 10), (1, 1, "best", 90), (1, 2, "mid", 50),
+        # prompt 2: reward tie at the top -> smallest cand_id wins;
+        # tie at the bottom -> smallest cand_id is rejected
+        (2, 3, "tie-a", 70), (2, 1, "tie-b", 70), (2, 5, "low-a", 20),
+        (2, 4, "low-b", 20),
+        # prompt 3: zero margin -> dropped
+        (3, 0, "same", 40), (3, 1, "same2", 40),
+        # prompt 4: NULL reward candidate ignored; margin from the rest
+        (4, 0, "x", None), (4, 1, "keep-hi", 60), (4, 2, "keep-lo", 30),
+    ]
+    df = spark.createDataFrame(
+        rows, "prompt_id bigint, cand_id bigint, response string, reward bigint"
+    )
+    out = {r["prompt_id"]: r for r in dpo_pairs(df).collect()}
+    assert set(out) == {1, 2, 4}
+    assert (out[1]["chosen_text"], out[1]["rejected_text"]) == ("best", "bad")
+    assert out[1]["margin"] == 80
+    assert (out[2]["chosen_id"], out[2]["rejected_id"]) == (1, 4)
+    assert (out[4]["chosen_reward"], out[4]["rejected_reward"]) == (60, 30)
+
+
+def test_dpo_pairs_min_margin(spark):
+    from kevinlang_spark.operators.preference import dpo_pairs
+
+    df = spark.createDataFrame(
+        [(1, 0, "a", 10), (1, 1, "b", 14), (2, 0, "c", 10), (2, 1, "d", 40)],
+        "prompt_id bigint, cand_id bigint, response string, reward bigint",
+    )
+    got = {r["prompt_id"] for r in dpo_pairs(df, min_margin=5).collect()}
+    assert got == {2}
+
+
+def test_best_of_n_stats(spark):
+    from kevinlang_spark.operators.preference import best_of_n
+
+    df = spark.createDataFrame(
+        [(1, 0, "a", 10), (1, 1, "b", 30), (1, 2, "c", 20),
+         (1, 3, None, 99),  # NULL text disqualified everywhere
+         (2, 7, "solo", 5)],
+        "prompt_id bigint, cand_id bigint, response string, reward bigint",
+    )
+    out = {r["prompt_id"]: r for r in best_of_n(df).collect()}
+    assert out[1]["response"] == "b" and out[1]["reward"] == 30
+    assert out[1]["n_candidates"] == 3 and out[1]["mean_reward"] == 20.0
+    assert out[2]["response"] == "solo" and out[2]["n_candidates"] == 1
+
+
+def test_preference_plan_one_shuffle(spark):
+    """The aggregation must partial-combine map-side: exactly one
+    Exchange (the prompt-key shuffle), no window sort, no Python."""
+    from kevinlang_spark.operators.preference import dpo_pairs
+    from kevinlang_spark.plans.inspect import executed_plan
+
+    df = spark.range(1000).select(
+        (F.col("id") % 100).alias("prompt_id"),
+        (F.col("id") % 10).alias("cand_id"),
+        F.concat(F.lit("r"), F.col("id").cast("string")).alias("response"),
+        (F.col("id") * 7 % 97).alias("reward"),
+    )
+    plan = executed_plan(dpo_pairs(df))
+    assert plan.count("Exchange") == 1, plan
+    assert "BatchEvalPython" not in plan and "Window" not in plan
