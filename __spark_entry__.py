@@ -4117,6 +4117,76 @@ def q_fim_transform(spark, sf_dir):
     )
 
 
+def q_packed_spans(spark, sf_dir):
+    """Packed-sequence loss-mask positions — the LAST coordinate
+    transform before the collator: render the 3-turn ChatML
+    conversation (q_chat_template's fixture), measure each document's
+    rendered length and its assistant span in PLAIN word tokens
+    (chat_token_spans unit='word' — zero-shuffle), pack documents into
+    128-token sequences per (source, shard) stream
+    (chunking.py pack_sequences_with_offsets, one window shuffle), and
+    emit each span's (sequence, position) coordinates on both ends
+    plus whether it CROSSES a sequence boundary (the spans a trainer
+    must split or drop).  Word-unit spans compose exactly with
+    word-budget packing because both bill in the same tokenizer; the
+    oracle replays rendering, span algebra, the packing cumsum, and
+    the coordinate change closed-form."""
+    from kevinlang_spark.operators.chunking import pack_sequences_with_offsets
+    from kevinlang_spark.operators.text import chat_token_spans, render_chat
+    from kevinlang_spark.functions.textexpr import token_count
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    d = F.col("doc_id")
+    t = F.col("text")
+    convo = docs.select(
+        "doc_id",
+        "source",
+        F.lit("You are a concise assistant.").alias("sys"),
+        t.alias("user_msg"),
+        F.when(
+            d % 4 != 3,
+            F.concat(
+                F.lit("Summary "), d.cast("string"), F.lit(": "),
+                t.substr(1, 80),
+            ),
+        ).alias("assistant_msg"),
+    )
+    turns = [("system", "sys"), ("user", "user_msg"),
+             ("assistant", "assistant_msg")]
+    rendered = render_chat(convo, turns).join(
+        convo.select("doc_id", "source"), "doc_id"
+    )
+    pos = pack_sequences_with_offsets(
+        rendered.select(
+            "doc_id",
+            "source",
+            token_count(F.col("rendered")).alias("n_tokens"),
+        ),
+        max_tokens=128,
+        n_shards=4,
+    )
+    spans = chat_token_spans(convo, turns, unit="word")
+    j = spans.join(
+        pos.select("id", "source", "shard", "seq_id", "stream_offset"),
+        spans["doc_id"] == pos["id"],
+    ).drop("id")
+    gs = F.col("stream_offset") + F.col("token_start") - 1
+    ge = F.col("stream_offset") + F.col("token_end") - 1
+    seq_s = F.floor(gs / 128).cast("bigint")
+    seq_e = F.floor(ge / 128).cast("bigint")
+    return j.select(
+        "doc_id",
+        "source",
+        "shard",
+        "turn_idx",
+        seq_s.alias("seq_start"),
+        (gs - seq_s * 128 + 1).cast("int").alias("pos_start"),
+        seq_e.alias("seq_end"),
+        (ge - seq_e * 128 + 1).cast("int").alias("pos_end"),
+        (seq_s != seq_e).alias("crosses"),
+    )
+
+
 def _preference_candidates(spark, sf_dir):
     """Shared fixture for the preference tier: every document is a
     prompt with FOUR sampled responses (posexplode), each scored by a
@@ -6969,6 +7039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chat_token_spans": q_chat_token_spans,
         "q_dpo_pairs": q_dpo_pairs,
         "q_best_of_n": q_best_of_n,
+        "q_packed_spans": q_packed_spans,
         "q_chat_multiturn": q_chat_multiturn,
         "q_chat_multiturn_spans": q_chat_multiturn_spans,
         "q_fim_spm": q_fim_spm,
@@ -9875,6 +9946,41 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN a IS NULL THEN 0 ELSE 1 END) AS n_turns FROM c) "
             "SELECT doc_id, rendered, CAST(n_turns AS INT) AS n_turns, "
             "CAST(length(rendered) AS INT) AS n_chars FROM r"
+        ),
+        # word counts: header = 3 words (im, start, role), footer = 2
+        # (im, end); prior is CAST to BIGINT — window SUM over BIGINT
+        # is HUGEINT in DuckDB (the q_code_pipeline class, SCALE.md r11)
+        "q_packed_spans": (
+            "WITH c AS (SELECT doc_id, source, "
+            "'You are a concise assistant.' AS s, text AS u, "
+            "CASE WHEN doc_id % 4 <> 3 THEN "
+            "'Summary ' || doc_id || ': ' || substr(text, 1, 80) END AS a "
+            "FROM documents), "
+            "wcs AS (SELECT doc_id, source, a, "
+            "3 + len(list_filter(string_split_regex(lower(s), "
+            "'[^a-z0-9]+'), e -> e <> '')) + 2 AS p0, "
+            "CASE WHEN u IS NULL THEN 0 ELSE "
+            "3 + len(list_filter(string_split_regex(lower(u), "
+            "'[^a-z0-9]+'), e -> e <> '')) + 2 END AS p1, "
+            "CASE WHEN a IS NULL THEN 0 ELSE "
+            "3 + len(list_filter(string_split_regex(lower(a), "
+            "'[^a-z0-9]+'), e -> e <> '')) + 2 END AS p2, "
+            "CASE WHEN a IS NULL THEN 0 ELSE "
+            "len(list_filter(string_split_regex(lower(a), "
+            "'[^a-z0-9]+'), e -> e <> '')) END AS wa "
+            "FROM c), "
+            "pk AS (SELECT doc_id, source, doc_id % 4 AS shard, a, "
+            "p0, p1, wa, "
+            "CAST(SUM(p0 + p1 + p2) OVER (PARTITION BY source, doc_id % 4 "
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) - (p0 + p1 + p2) AS BIGINT) AS prior FROM wcs), "
+            "sp AS (SELECT doc_id, source, shard, "
+            "prior + p0 + p1 + 3 AS gs, "
+            "prior + p0 + p1 + 2 + wa AS ge FROM pk WHERE a IS NOT NULL) "
+            "SELECT doc_id, source, shard, CAST(2 AS INT) AS turn_idx, "
+            "gs // 128 AS seq_start, CAST(gs % 128 + 1 AS INT) AS pos_start, "
+            "ge // 128 AS seq_end, CAST(ge % 128 + 1 AS INT) AS pos_end, "
+            "(gs // 128) <> (ge // 128) AS crosses FROM sp"
         ),
         "q_dpo_pairs": (
             _PREFERENCE_CAND_SQL + ", "

@@ -161,3 +161,53 @@ def pack_sequences(
         "seq_id",
         F.floor((cum - F.col("n_tokens")) / F.lit(float(max_tokens))).cast("bigint"),
     )
+
+
+def pack_sequences_with_offsets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    ntok_col: str = "n_tokens",
+    max_tokens: int = 512,
+    part_cols: "tuple[str, ...]" = ("source",),
+    n_shards: int = 4,
+) -> DataFrame:
+    """:func:`pack_sequences` plus the document's TOKEN OFFSET inside
+    its packed sequence — the missing coordinate for mapping per-doc
+    loss-mask spans into per-sequence positions (what the trainer's
+    collator actually indexes).  Token counts arrive precomputed in
+    ``ntok_col`` (the caller knows its unit: plain words, BPE
+    subtokens, chars), so this operator is pure stream arithmetic.
+
+    Same one-shuffle shape as pack_sequences: shard = id % n_shards
+    bounds each ordered window; ``stream_offset`` = tokens before the
+    doc in its (part_cols, shard) stream; ``seq_id`` =
+    floor(stream_offset / max_tokens) (the sequence the doc's FIRST
+    token lands in); ``tok_offset`` = stream_offset - seq_id *
+    max_tokens (0-based within the sequence).  Returns (id,
+    *part_cols, shard, n_tokens, stream_offset, seq_id, tok_offset).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in part_cols],
+        (F.col(id_col) % n_shards).alias("shard"),
+        F.col(ntok_col).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(*part_cols, "shard")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prior = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias(
+        "stream_offset"
+    )
+    out = base.select("id", *part_cols, "shard", "n_tokens", prior)
+    seq = F.floor(F.col("stream_offset") / F.lit(max_tokens)).cast("bigint")
+    return out.select(
+        "id",
+        *part_cols,
+        "shard",
+        "n_tokens",
+        "stream_offset",
+        seq.alias("seq_id"),
+        (F.col("stream_offset") - seq * max_tokens).alias("tok_offset"),
+    )

@@ -2522,6 +2522,15 @@ def bpe_encode_word_py(word: str, merges) -> "list[str]":
     return toks
 
 
+def _nwords_const_py(s: str) -> int:
+    """Plain word-token count of a CONSTANT string — the repo
+    tokenizer's [a-z0-9]+ runs of the lowercased text (the
+    ``unit='word'`` counterpart of :func:`_ntok_const_py`)."""
+    import re as _re
+
+    return sum(1 for w in _re.split("[^a-z0-9]+", s.lower()) if w)
+
+
 def _ntok_const_py(s: str, merges) -> int:
     """BPE token count of a CONSTANT string under ``merges`` — the
     repo tokenizer ([a-z0-9]+ runs of the lowercased text) followed by
@@ -2535,9 +2544,10 @@ def _ntok_const_py(s: str, merges) -> int:
 def chat_token_spans(
     df: DataFrame,
     turns: list,
-    merges: "list[tuple[int, str, str, int]]",
+    merges: "list[tuple[int, str, str, int]] | None" = None,
     id_col: str = "doc_id",
     train_roles: tuple = ("assistant",),
+    unit: str = "bpe",
 ) -> DataFrame:
     """TOKEN-space loss-mask spans for SFT training (VERDICT r10 item
     2): the [token_start, token_end] interval each trainable turn's
@@ -2567,9 +2577,19 @@ def chat_token_spans(
     Returns one row per trainable non-NULL turn: (id_col, turn_idx,
     role, token_start, token_end, n_tokens), inclusive 1-based; a
     content with no alphanumeric tokens emits n_tokens=0 with
-    token_end = token_start - 1 (an honest empty interval)."""
+    token_end = token_start - 1 (an honest empty interval).
+
+    ``unit='word'`` measures spans in PLAIN tokenizer words (every
+    [a-z0-9]+ run = one token, ``merges`` ignored) — the unit
+    :func:`token_count` bills in, so word spans compose directly with
+    word-budget packing (pack_sequences).  The word path needs no
+    vocabulary join at all: it is one zero-shuffle projection."""
     from functools import reduce
 
+    if unit not in ("bpe", "word"):
+        raise ValueError(f"chat_token_spans: unknown unit {unit!r}")
+    if unit == "bpe" and merges is None:
+        raise ValueError("chat_token_spans: unit='bpe' needs a merge table")
     if not turns:
         raise ValueError("chat_token_spans: need at least one turn")
     if not any(role in train_roles for role, _ in turns):
@@ -2577,46 +2597,61 @@ def chat_token_spans(
             "chat_token_spans: no turn has a role in train_roles"
         )
     base = spread(df)
-    parts = []
-    for i, (role, colname) in enumerate(turns):
-        c = F.col(colname)
-        parts.append(
-            base.where(c.isNotNull()).select(
-                F.col(id_col).alias("__id"),
-                F.lit(i).alias("__ti"),
-                F.explode(tokenize(c)).alias("w"),
+    if unit == "word":
+        joined = base
+
+        def _nt(i: int, c):
+            return F.coalesce(F.size(tokenize(c)), F.lit(0))
+
+        header_n = [
+            _nwords_const_py(f"<|im_start|>{role}\n") for role, _ in turns
+        ]
+        footer_n = _nwords_const_py("<|im_end|>\n")
+    else:
+        parts = []
+        for i, (role, colname) in enumerate(turns):
+            c = F.col(colname)
+            parts.append(
+                base.where(c.isNotNull()).select(
+                    F.col(id_col).alias("__id"),
+                    F.lit(i).alias("__ti"),
+                    F.explode(tokenize(c)).alias("w"),
+                )
+            )
+        toks = reduce(lambda a, b: a.unionByName(b), parts)
+        vocab = bpe_encode_words(toks.select("w").distinct(), merges).select(
+            "w", "n_subtokens"
+        )
+        wide = (
+            toks.join(vocab, "w")
+            .groupBy("__id")
+            .agg(
+                *[
+                    F.sum(
+                        F.when(F.col("__ti") == i, F.col("n_subtokens"))
+                    ).alias(f"__nt{i}")
+                    for i in range(len(turns))
+                ]
             )
         )
-    toks = reduce(lambda a, b: a.unionByName(b), parts)
-    vocab = bpe_encode_words(toks.select("w").distinct(), merges).select(
-        "w", "n_subtokens"
-    )
-    wide = (
-        toks.join(vocab, "w")
-        .groupBy("__id")
-        .agg(
-            *[
-                F.sum(
-                    F.when(F.col("__ti") == i, F.col("n_subtokens"))
-                ).alias(f"__nt{i}")
-                for i in range(len(turns))
-            ]
-        )
-    )
-    joined = base.join(
-        wide, base[id_col] == wide["__id"], "left"
-    ).drop("__id")
+        joined = base.join(
+            wide, base[id_col] == wide["__id"], "left"
+        ).drop("__id")
 
-    header_n = [
-        _ntok_const_py(f"<|im_start|>{role}\n", merges) for role, _ in turns
-    ]
-    footer_n = _ntok_const_py("<|im_end|>\n", merges)
+        def _nt(i: int, c):
+            return F.coalesce(F.col(f"__nt{i}"), F.lit(0))
+
+        header_n = [
+            _ntok_const_py(f"<|im_start|>{role}\n", merges)
+            for role, _ in turns
+        ]
+        footer_n = _ntok_const_py("<|im_end|>\n", merges)
 
     offset = F.lit(0)
     rows = []
     for i, (role, colname) in enumerate(turns):
         c = F.col(colname)
-        nt = F.coalesce(F.col(f"__nt{i}"), F.lit(0))
+        nt = _nt(i, c)
         piece = F.when(
             c.isNotNull(), nt + F.lit(header_n[i] + footer_n)
         ).otherwise(F.lit(0))

@@ -396,3 +396,87 @@ def test_preference_plan_one_shuffle(spark):
     plan = executed_plan(dpo_pairs(df))
     assert plan.count("Exchange") == 1, plan
     assert "BatchEvalPython" not in plan and "Window" not in plan
+
+
+# --------------------------------------------------------------------- #
+# word-unit spans + packed-sequence positions (round 11)
+# --------------------------------------------------------------------- #
+
+
+def test_chat_token_spans_word_unit(spark):
+    """unit='word': every [a-z0-9]+ run is one token; header = 3 words,
+    footer = 2 — and the path is a pure projection (no join, no
+    shuffle beyond spread)."""
+    from kevinlang_spark.operators.text import chat_token_spans
+    from kevinlang_spark.plans.inspect import executed_plan
+
+    df = spark.createDataFrame(
+        [(1, "Hi there", "a bb ccc", "two words"),
+         (2, "Hi there", None, "three little words")],
+        "doc_id bigint, s string, u string, a string",
+    )
+    turns = [("system", "s"), ("user", "u"), ("assistant", "a")]
+    out = {
+        r["doc_id"]: r
+        for r in chat_token_spans(df, turns, unit="word").collect()
+    }
+    # doc 1: p0 = 3+2+2 = 7, p1 = 3+3+2 = 8; start = 7+8+3+1 = 19
+    assert (out[1]["token_start"], out[1]["token_end"],
+            out[1]["n_tokens"]) == (19, 20, 2)
+    # doc 2: user skipped -> start = 7+3+1 = 11, three tokens
+    assert (out[2]["token_start"], out[2]["token_end"],
+            out[2]["n_tokens"]) == (11, 13, 3)
+    plan = executed_plan(chat_token_spans(df, turns, unit="word"))
+    assert "Join" not in plan and "BatchEvalPython" not in plan
+    # bpe unit without merges must refuse
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="merge table"):
+        chat_token_spans(df, turns, unit="bpe")
+    with _pytest.raises(ValueError, match="unit"):
+        chat_token_spans(df, turns, unit="char")
+
+
+def test_pack_sequences_with_offsets_arithmetic(spark):
+    """Offsets replay the concat-and-split rule: stream_offset is the
+    running sum of earlier docs in the (source, shard) stream, seq_id
+    floors it by the budget, tok_offset is the remainder."""
+    from kevinlang_spark.operators.chunking import pack_sequences_with_offsets
+
+    rows = [(i, "s", 60) for i in range(0, 20, 4)]  # one shard, 5 docs
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_tokens int")
+    out = {
+        r["id"]: r
+        for r in pack_sequences_with_offsets(
+            df, max_tokens=100, n_shards=4
+        ).collect()
+    }
+    # all ids % 4 == 0 -> same shard; offsets 0,60,120,180,240
+    want = {0: (0, 0, 0), 4: (60, 0, 60), 8: (120, 1, 20),
+            12: (180, 1, 80), 16: (240, 2, 40)}
+    for i, (so, seq, off) in want.items():
+        r = out[i]
+        assert (r["stream_offset"], r["seq_id"], r["tok_offset"]) == (
+            so, seq, off), i
+
+
+def test_packed_spans_cross_boundary_detection(spark):
+    """A span whose start and end land in different sequences must
+    flag crosses=True — replayed end-to-end through the driver query
+    at sf0.001."""
+    out = q_entry_query("q_packed_spans", spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["pos_start"] <= 128 and 1 <= r["pos_end"] <= 128
+        if r["seq_start"] == r["seq_end"]:
+            assert not r["crosses"] and r["pos_start"] <= r["pos_end"]
+        else:
+            assert r["crosses"] and r["seq_end"] > r["seq_start"]
+    assert any(r["crosses"] for r in rows)  # 128-token budget guarantees some
+
+
+def q_entry_query(name, spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    return entrymod.queries()[name](spark, sf_dir)
