@@ -4117,6 +4117,47 @@ def q_fim_transform(spark, sf_dir):
     )
 
 
+def q_span_corruption(spark, sf_dir):
+    """T5-style span-corruption denoising (operators/text.py
+    span_corruption — Raffel et al. 2020 §3.3.4, UL2's R-denoiser):
+    two deterministic non-overlapping character spans per document
+    replace with <extra_id_k> sentinels, emitting the (inputs,
+    targets) pair an encoder-decoder trains on — the denoising
+    counterpart of the FIM family.  Span starts/lengths derive from
+    the 52-bit md5 bridge (first-half/second-half placement makes
+    non-overlap structural); short/NULL docs pass through
+    uncorrupted.  Zero shuffle, zero Python — a map-only rewrite; the
+    oracle replays placement and both reassemblies byte-for-byte."""
+    from kevinlang_spark.operators.text import span_corruption
+
+    return span_corruption(_t(spark, sf_dir, "documents"))
+
+
+def q_packing_report(spark, sf_dir):
+    """Packing-efficiency report (operators/text.py packing_report):
+    per (source, shard) stream — sequences produced by concat-and-
+    split at a 128-token budget, tail-sequence fill, and what
+    pad-per-doc / truncate-at-budget would have wasted instead; the
+    closed-form census a pipeline owner reads before buying compute.
+    ONE map-side-combinable aggregation: every output derives from the
+    stream's token total and per-doc counts — no window, no
+    per-sequence explode, the 100 TB report shape.  The oracle replays
+    the integer math exactly; tail_fill_ratio ships as the raw dyadic
+    double (total/2^k can sit on a half-way decimal where the two
+    engines' ROUND disagree)."""
+    from kevinlang_spark.functions.textexpr import token_count
+    from kevinlang_spark.operators.text import packing_report
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+        )
+    )
+    return packing_report(docs, max_tokens=128)
+
+
 def q_packed_spans(spark, sf_dir):
     """Packed-sequence loss-mask positions — the LAST coordinate
     transform before the collator: render the 3-turn ChatML
@@ -7040,6 +7081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dpo_pairs": q_dpo_pairs,
         "q_best_of_n": q_best_of_n,
         "q_packed_spans": q_packed_spans,
+        "q_span_corruption": q_span_corruption,
+        "q_packing_report": q_packing_report,
         "q_chat_multiturn": q_chat_multiturn,
         "q_chat_multiturn_spans": q_chat_multiturn_spans,
         "q_fim_spm": q_fim_spm,
@@ -9946,6 +9989,50 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN a IS NULL THEN 0 ELSE 1 END) AS n_turns FROM c) "
             "SELECT doc_id, rendered, CAST(n_turns AS INT) AS n_turns, "
             "CAST(length(rendered) AS INT) AS n_chars FROM r"
+        ),
+        "q_span_corruption": (
+            "WITH c0 AS (SELECT doc_id, text AS t, length(text) AS n, "
+            "length(text) // 2 AS half, "
+            "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#sc1l'), 1, 13)) AS BIGINT) AS ha, "
+            "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#sc2l'), 1, 13)) AS BIGINT) AS hb, "
+            "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#sc1s'), 1, 13)) AS BIGINT) AS hc, "
+            "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#sc2s'), 1, 13)) AS BIGINT) AS hd "
+            "FROM documents), "
+            "c1 AS (SELECT *, (ha % 8) + 3 AS len1, (hb % 8) + 3 AS len2 "
+            "FROM c0), "
+            "c2 AS (SELECT *, hc % (half - len1 + 1) AS s1, "
+            "half + (hd % (n - half - len2 + 1)) AS s2 FROM c1), "
+            "c3 AS (SELECT doc_id, t, n, len1, len2, s1, s2, "
+            "(t IS NOT NULL AND n >= 20) AS ok FROM c2) "
+            "SELECT doc_id, ok AS corrupted, "
+            "CASE WHEN ok THEN "
+            "substr(t, 1, CAST(s1 AS INT)) || '<extra_id_0>' || "
+            "substr(t, CAST(s1 + len1 + 1 AS INT), CAST(s2 - s1 - len1 AS INT)) || "
+            "'<extra_id_1>' || "
+            "substr(t, CAST(s2 + len2 + 1 AS INT), CAST(n - s2 - len2 AS INT)) "
+            "ELSE t END AS inputs, "
+            "CASE WHEN ok THEN "
+            "'<extra_id_0>' || substr(t, CAST(s1 + 1 AS INT), CAST(len1 AS INT)) || "
+            "'<extra_id_1>' || substr(t, CAST(s2 + 1 AS INT), CAST(len2 AS INT)) || "
+            "'<extra_id_2>' END AS targets FROM c3"
+        ),
+        "q_packing_report": (
+            "WITH t AS (SELECT source, doc_id % 4 AS shard, "
+            "len(list_filter(string_split_regex(lower(text), "
+            "'[^a-z0-9]+'), e -> e <> '')) AS n "
+            "FROM documents WHERE text IS NOT NULL), "
+            "a AS (SELECT source, shard, "
+            "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n) AS BIGINT) AS total_tokens, "
+            "CAST(SUM(CASE WHEN n % 128 = 0 THEN 0 "
+            "ELSE 128 - n % 128 END) AS BIGINT) AS padded_waste_tokens, "
+            "CAST(SUM(CASE WHEN n > 128 THEN n - 128 ELSE 0 END) AS BIGINT) "
+            "AS truncated_tokens FROM t GROUP BY source, shard) "
+            "SELECT source, shard, n_docs, total_tokens, "
+            "CAST(CEIL(total_tokens / 128.0) AS BIGINT) AS n_sequences, "
+            "(total_tokens - (CAST(CEIL(total_tokens / 128.0) AS BIGINT) - 1) "
+            "* 128) / 128.0 AS tail_fill_ratio, "
+            "padded_waste_tokens, truncated_tokens FROM a"
         ),
         # word counts: header = 3 words (im, start, role), footer = 2
         # (im, end); prior is CAST to BIGINT — window SUM over BIGINT

@@ -2685,3 +2685,127 @@ def chat_token_spans(
             "s.n_tokens",
         )
     )
+
+
+def span_corruption(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 20,
+    sentinel: str = "<extra_id_{}>",
+) -> DataFrame:
+    """T5-style span-corruption denoising (Raffel et al. 2020, §3.1.4
+    and §3.3.4 of the T5 paper; the R-denoiser of UL2, Tay et al.
+    2022): replace two non-overlapping character spans with sentinel
+    tokens and emit the (inputs, targets) pair an encoder-decoder (or
+    prefix-LM) trains on —
+    ``inputs  = pre <extra_id_0> gap <extra_id_1> tail``
+    ``targets = <extra_id_0> span1 <extra_id_1> span2 <extra_id_2>``.
+
+    Span placement is DETERMINISTIC (the repo's no-rand() rule): both
+    starts and lengths derive from 52-bit md5 prefixes of ``id||tag``.
+    Non-overlap holds by construction: span1 lives in the first half
+    (start in [0, n/2 - len1]), span2 in the second (start in
+    [n/2, n - len2]); lengths are 3 + h % 8 chars, the T5 mean-span-3
+    regime.  Documents shorter than ``min_chars`` (or NULL) pass
+    through with corrupted = false and inputs = the original text,
+    targets NULL — quarantine by pass-through, the FIM convention.
+
+    Zero shuffle, zero Python: one scan-stage projection of
+    substr/concat.  Returns (id_col, corrupted, inputs, targets)."""
+    t = F.col(text_col)
+    sid = F.col(id_col).cast("string")
+
+    def h52(tag: str):
+        return F.conv(
+            F.substring(F.md5(F.concat(sid, F.lit(tag))), 1, 13), 16, 10
+        ).cast("bigint")
+
+    n = F.length(t)
+    half = F.floor(n / 2).cast("bigint")
+    len1 = (h52("#sc1l") % 8) + 3
+    len2 = (h52("#sc2l") % 8) + 3
+    s1 = h52("#sc1s") % (half - len1 + 1)  # 0-based start, first half
+    s2 = half + (h52("#sc2s") % (n - half - len2 + 1))  # second half
+    s0, s1_, s2_ = (
+        F.lit(sentinel.format(0)),
+        F.lit(sentinel.format(1)),
+        F.lit(sentinel.format(2)),
+    )
+    inputs = F.concat(
+        t.substr(F.lit(1), s1), s0,
+        t.substr(s1 + len1 + 1, s2 - s1 - len1), s1_,
+        t.substr(s2 + len2 + 1, n - s2 - len2),
+    )
+    targets = F.concat(
+        s0, t.substr(s1 + 1, len1), s1_, t.substr(s2 + 1, len2), s2_
+    )
+    ok = t.isNotNull() & (n >= min_chars)
+    return spread(df).select(
+        F.col(id_col),
+        ok.alias("corrupted"),
+        F.when(ok, inputs).otherwise(t).alias("inputs"),
+        F.when(ok, targets).alias("targets"),
+    )
+
+
+def packing_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    ntok_col: str = "n_tokens",
+    max_tokens: int = 512,
+    part_cols: "tuple[str, ...]" = ("source",),
+    n_shards: int = 4,
+) -> DataFrame:
+    """Packing-efficiency report per (part_cols, shard) stream: how
+    many training sequences concat-and-split packing produces, the
+    fill ratio of the LAST (ragged) sequence, and what plain
+    one-doc-per-sequence padding would have wasted instead — the
+    numbers a pipeline owner reads before buying compute.  Exact
+    integer math: total tokens T → ceil(T / max) sequences, tail fill
+    = T - (ceil-1)·max; pad-per-doc waste = Σ (max - n_tok mod max
+    complement) for the truncate-or-pad baseline (docs longer than
+    ``max_tokens`` count their overflow as truncation loss).
+
+    ONE keyed aggregation (map-side combinable sums) — no window, no
+    per-sequence explode: every output is a closed form of the
+    stream's token total and per-doc counts.  Returns (*part_cols,
+    shard, n_docs, total_tokens, n_sequences, tail_fill_ratio,
+    padded_waste_tokens, truncated_tokens)."""
+    ntok = F.col(ntok_col).cast("bigint")
+    base = df.select(
+        *[F.col(c) for c in part_cols],
+        (F.col(id_col) % n_shards).alias("shard"),
+        ntok.alias("n"),
+    )
+    agg = base.groupBy(*part_cols, "shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").alias("total_tokens"),
+        # pad waste: short docs pad up to the budget; long docs fill
+        # floor(n/max) full sequences then pad the remainder
+        F.sum(
+            F.when(
+                F.col("n") % max_tokens == 0, F.lit(0)
+            ).otherwise(max_tokens - F.col("n") % max_tokens)
+        ).alias("padded_waste_tokens"),
+        F.sum(
+            F.when(F.col("n") > max_tokens, F.col("n") - max_tokens)
+            .otherwise(F.lit(0))
+        ).alias("truncated_tokens"),
+    )
+    n_seq = F.ceil(F.col("total_tokens") / F.lit(max_tokens)).cast("bigint")
+    tail = F.col("total_tokens") - (n_seq - 1) * max_tokens
+    return agg.select(
+        *part_cols,
+        "shard",
+        "n_docs",
+        "total_tokens",
+        n_seq.alias("n_sequences"),
+        # raw double, NOT rounded: total/2^k is exactly dyadic, and a
+        # dyadic value can sit exactly on a half-way decimal boundary
+        # where Spark and DuckDB round differently (verify-skill rule);
+        # the checker rounds both sides identically in Python
+        (tail / F.lit(float(max_tokens))).alias("tail_fill_ratio"),
+        "padded_waste_tokens",
+        "truncated_tokens",
+    )

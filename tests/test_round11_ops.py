@@ -480,3 +480,70 @@ def q_entry_query(name, spark, sf_dir):
     import __spark_entry__ as entrymod
 
     return entrymod.queries()[name](spark, sf_dir)
+
+
+# --------------------------------------------------------------------- #
+# span corruption + packing report (round 11)
+# --------------------------------------------------------------------- #
+
+
+def test_span_corruption_reconstructs(spark):
+    """inputs and targets must jointly reconstruct the original text:
+    splicing the target spans back into the sentinel holes gives the
+    document back byte-for-byte."""
+    from kevinlang_spark.operators.text import span_corruption
+
+    rows = [(i, f"doc {i} " + "abcdefghij" * (3 + i % 5)) for i in range(40)]
+    rows += [(100, "too short"), (101, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in span_corruption(df).collect()}
+    orig = dict(rows)
+    n_ok = 0
+    for d, r in out.items():
+        if not r["corrupted"]:
+            assert r["inputs"] == orig[d] and r["targets"] is None
+            continue
+        n_ok += 1
+        pre, rest = r["inputs"].split("<extra_id_0>", 1)
+        gap, tail = rest.split("<extra_id_1>", 1)
+        tg = r["targets"]
+        assert tg.startswith("<extra_id_0>") and tg.endswith("<extra_id_2>")
+        body = tg[len("<extra_id_0>"):-len("<extra_id_2>")]
+        sp1, sp2 = body.split("<extra_id_1>", 1)
+        assert 3 <= len(sp1) <= 10 and 3 <= len(sp2) <= 10
+        assert pre + sp1 + gap + sp2 + tail == orig[d], d
+    assert n_ok == 40
+    assert not out[100]["corrupted"] and not out[101]["corrupted"]
+
+
+def test_span_corruption_plan_scan_stage(spark):
+    from kevinlang_spark.operators.text import span_corruption
+    from kevinlang_spark.plans.inspect import executed_plan
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.lit("some body text that is long enough here").alias("text"),
+    )
+    plan = executed_plan(span_corruption(df))
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange") <= 1  # at most spread()
+
+
+def test_packing_report_math(spark):
+    from kevinlang_spark.operators.text import packing_report
+
+    rows = [
+        # one stream (source 's', shard 0): 100 + 300 + 50 = 450 tokens
+        (0, "s", 100), (4, "s", 300), (8, "s", 50),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_tokens int")
+    out = packing_report(df, max_tokens=128).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_docs"] == 3 and r["total_tokens"] == 450
+    assert r["n_sequences"] == 4  # ceil(450/128)
+    assert r["tail_fill_ratio"] == (450 - 3 * 128) / 128.0
+    # pad waste: 100->28, 300->300%128=44 -> 128-44=84, 50->78 = 190
+    assert r["padded_waste_tokens"] == 28 + 84 + 78
+    # truncation: only the 300-token doc loses 172
+    assert r["truncated_tokens"] == 172
