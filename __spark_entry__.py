@@ -4117,6 +4117,22 @@ def q_fim_transform(spark, sf_dir):
     )
 
 
+def q_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility per source (text.py bpe_fertility): train
+    the 8-merge BPE table on the corpus, then per source — BPE tokens
+    per word and chars per token, the tokenizer-efficiency numbers a
+    mixing recipe reads before fixing sampling weights (fertility
+    varies 2-4x across languages/domains and the budget bills in
+    tokens).  Vocabulary-scale encode + one word-keyed join + one
+    group agg; the oracle retrains the merges and replays the census
+    closed-form."""
+    from kevinlang_spark.operators.text import bpe_fertility, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=8)
+    return bpe_fertility(docs, merges)
+
+
 def q_span_corruption(spark, sf_dir):
     """T5-style span-corruption denoising (operators/text.py
     span_corruption — Raffel et al. 2020 §3.3.4, UL2's R-denoiser):
@@ -7083,6 +7099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_packed_spans": q_packed_spans,
         "q_span_corruption": q_span_corruption,
         "q_packing_report": q_packing_report,
+        "q_tokenizer_fertility": q_tokenizer_fertility,
         "q_chat_multiturn": q_chat_multiturn,
         "q_chat_multiturn_spans": q_chat_multiturn_spans,
         "q_fim_spm": q_fim_spm,
@@ -8482,6 +8499,22 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_train": _bpe_oracle_sql(n_merges=8),
         "q_bpe_encode": _bpe_oracle_sql(n_merges=8, encode=True),
         "q_chat_token_spans": _chat_token_spans_oracle_sql(n_merges=8),
+        "q_tokenizer_fertility": (
+            _bpe_rounds_sql(8)
+            + ", vocab AS (SELECT w, len(string_split(toks, ' ')) AS ns "
+            "FROM w8), "
+            "dt AS (SELECT source, "
+            "unnest(list_filter(string_split_regex(lower(text), "
+            "'[^a-z0-9]+'), x -> x <> '')) AS w "
+            "FROM documents WHERE text IS NOT NULL), "
+            "a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words, "
+            "CAST(SUM(ns) AS BIGINT) AS n_bpe_tokens, "
+            "CAST(SUM(length(w)) AS BIGINT) AS n_chars "
+            "FROM dt JOIN vocab USING (w) GROUP BY source) "
+            "SELECT source, n_words, n_bpe_tokens, n_chars, "
+            "n_bpe_tokens / n_words AS fertility, "
+            "n_chars / n_bpe_tokens AS chars_per_token FROM a"
+        ),
         "q_truncation_recall": _truncation_oracle_sql(dims=(16, 32), n_probes=4, k=10),
         "q_jl_distortion": _jl_oracle_sql(out_dim=16, seed=11, n_sample=16, dim=64),
         "q_class_weights": (

@@ -2809,3 +2809,49 @@ def packing_report(
         "padded_waste_tokens",
         "truncated_tokens",
     )
+
+
+def bpe_fertility(
+    df: DataFrame,
+    merges: "list[tuple[int, str, str, int]]",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Tokenizer FERTILITY per corpus slice — BPE tokens per word and
+    characters per token under a trained merge table, the standard
+    tokenizer-efficiency metric (how many tokens a tokenizer spends
+    per unit of text varies 2-4x across languages/domains, and the
+    training budget bills in tokens).  A data-mixing recipe reads this
+    per source before fixing sampling weights.
+
+    Same vocabulary-scale shape as :func:`bpe_token_counts`: one
+    corpus explode, the merge fold runs once per DISTINCT word, one
+    word-keyed join, one group aggregation.  Ratios ship as raw
+    doubles (identical FP ops on both engines; the checker rounds both
+    sides identically).
+
+    Returns (group_col, n_words, n_bpe_tokens, n_chars, fertility,
+    chars_per_token)."""
+    toks = spread(df.where(F.col(text_col).isNotNull())).select(
+        F.col(group_col), F.explode(tokenize(F.col(text_col))).alias("w")
+    )
+    vocab = bpe_encode_words(toks.select("w").distinct(), merges).select(
+        "w", "n_subtokens"
+    )
+    agg = (
+        toks.join(vocab, "w")
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_subtokens").cast("bigint").alias("n_bpe_tokens"),
+            F.sum(F.length("w")).cast("bigint").alias("n_chars"),
+        )
+    )
+    return agg.select(
+        group_col,
+        "n_words",
+        "n_bpe_tokens",
+        "n_chars",
+        (F.col("n_bpe_tokens") / F.col("n_words")).alias("fertility"),
+        (F.col("n_chars") / F.col("n_bpe_tokens")).alias("chars_per_token"),
+    )

@@ -547,3 +547,22 @@ def test_packing_report_math(spark):
     assert r["padded_waste_tokens"] == 28 + 84 + 78
     # truncation: only the 300-token doc loses 172
     assert r["truncated_tokens"] == 172
+
+
+def test_bpe_fertility_closed_form(spark):
+    """Fertility replays word-by-word: with merge (a,n) applied twice
+    in 'banana' (b a n a n a -> b an an a = 4 subtokens)."""
+    from kevinlang_spark.operators.text import bpe_fertility
+
+    df = spark.createDataFrame(
+        [(1, "banana banana cab", "s1"), (2, "cab", "s2"), (3, None, "s2")],
+        "doc_id bigint, text string, source string",
+    )
+    merges = [(1, "a", "n", 4)]
+    out = {r["source"]: r for r in bpe_fertility(df, merges).collect()}
+    # s1: banana = 4 subtokens x2, cab = 3 -> 11 tokens / 3 words
+    r = out["s1"]
+    assert (r["n_words"], r["n_bpe_tokens"], r["n_chars"]) == (3, 11, 15)
+    assert r["fertility"] == 11 / 3 and r["chars_per_token"] == 15 / 11
+    # s2: one word (NULL doc dropped)
+    assert out["s2"]["n_words"] == 1 and out["s2"]["n_bpe_tokens"] == 3
