@@ -61,6 +61,16 @@ HEADLINE = [
     "q_chat_template",
     "q_chat_loss_spans",
     "q_chat_token_spans",
+    "q_chat_multiturn",
+    "q_chat_multiturn_spans",
+    "q_fim_spm",
+    "q_fim_context",
+    "q_span_corruption",
+    "q_dpo_pairs",
+    "q_best_of_n",
+    "q_packed_spans",
+    "q_packing_report",
+    "q_tokenizer_fertility",
     "q_curation_chunks",
     "q_tfidf_top_terms",
     "q_upsert",
