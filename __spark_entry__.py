@@ -4117,6 +4117,20 @@ def q_fim_transform(spark, sf_dir):
     )
 
 
+def q_interleaved_media(spark, sf_dir):
+    """Interleaved image-text sample assembly (multimodal.py
+    interleave_media_slots — the MMC4/OBELICS record shape a
+    multimodal trainer consumes): 1-3 deterministic image slots per
+    document at md5-derived character positions, each referencing a
+    media id in a shared 500-image corpus.  One map-side posexplode —
+    zero shuffle, zero Python; the downstream media join is an
+    ordinary key join.  The oracle replays slot counts, positions, and
+    references closed-form."""
+    from kevinlang_spark.operators.multimodal import interleave_media_slots
+
+    return interleave_media_slots(_t(spark, sf_dir, "documents"))
+
+
 def q_tokenizer_fertility(spark, sf_dir):
     """Tokenizer fertility per source (text.py bpe_fertility): train
     the 8-merge BPE table on the corpus, then per source — BPE tokens
@@ -7100,6 +7114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_corruption": q_span_corruption,
         "q_packing_report": q_packing_report,
         "q_tokenizer_fertility": q_tokenizer_fertility,
+        "q_interleaved_media": q_interleaved_media,
         "q_chat_multiturn": q_chat_multiturn,
         "q_chat_multiturn_spans": q_chat_multiturn_spans,
         "q_fim_spm": q_fim_spm,
@@ -10022,6 +10037,18 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN a IS NULL THEN 0 ELSE 1 END) AS n_turns FROM c) "
             "SELECT doc_id, rendered, CAST(n_turns AS INT) AS n_turns, "
             "CAST(length(rendered) AS INT) AS n_chars FROM r"
+        ),
+        "q_interleaved_media": (
+            "WITH base AS (SELECT doc_id, length(text) AS n, "
+            "CAST(doc_id % 3 + 1 AS INT) AS n_slots FROM documents "
+            "WHERE text IS NOT NULL AND length(text) >= 40), "
+            "s AS (SELECT doc_id, n, n_slots, "
+            "unnest(range(0, n_slots)) AS slot FROM base) "
+            "SELECT doc_id, CAST(slot AS INT) AS slot, "
+            "CAST(CAST(CONCAT('0x', substr(md5(doc_id || '#img' || slot), "
+            "1, 13)) AS BIGINT) % (n + 1) AS INT) AS char_pos, "
+            "CAST((doc_id * 3 + slot) % 500 AS BIGINT) AS media_id, "
+            "n_slots FROM s"
         ),
         "q_span_corruption": (
             "WITH c0 AS (SELECT doc_id, text AS t, length(text) AS n, "

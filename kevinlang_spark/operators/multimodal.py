@@ -1396,3 +1396,60 @@ def extract_audio_fingerprint(media_df: DataFrame) -> DataFrame:
             )
 
     return media_df.mapInPandas(batches, schema="doc_id bigint, ahash bigint")
+
+
+def interleave_media_slots(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus_size: int = 500,
+    max_slots: int = 3,
+    min_chars: int = 40,
+) -> DataFrame:
+    """Interleaved image-text sample assembly (the MMC4 / OBELICS
+    document shape — Zhu et al. 2023, arXiv:2304.06939; Laurençon et
+    al. 2023): each document gets 1..max_slots IMAGE SLOTS at
+    deterministic character positions, each referencing a media id in
+    a shared image corpus — the record layout a multimodal trainer
+    consumes (text with <image> markers + a parallel media reference
+    list).  Documents shorter than ``min_chars`` (or NULL) yield no
+    slots.
+
+    Positions and references derive from the 52-bit md5 bridge (the
+    repo's no-rand() rule): slot count = 1 + id % max_slots, position
+    j = h52(id#img{j}) % (n+1) (a cut point in [0, n]), media ref =
+    (id * max_slots + j) % corpus_size.  One map-side posexplode —
+    zero shuffle, zero Python; the downstream join to the media table
+    is an ordinary key join on media_id.
+
+    Returns one row per slot: (id_col, slot, char_pos, media_id,
+    n_slots)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    t = F.col(text_col)
+    n = F.length(t)
+    n_slots = (F.col(id_col) % max_slots + 1).cast("int")
+    base = df.where(t.isNotNull() & (n >= min_chars)).select(
+        F.col(id_col),
+        n.alias("__n"),
+        n_slots.alias("n_slots"),
+        F.posexplode(F.sequence(F.lit(0), n_slots - 1)).alias(
+            "slot", "__j"
+        ),
+    )
+    sid = F.concat(
+        F.col(id_col).cast("string"), F.lit("#img"),
+        F.col("slot").cast("string"),
+    )
+    pos = (
+        F.conv(F.substring(F.md5(sid), 1, 13), 16, 10).cast("bigint")
+        % (F.col("__n") + 1)
+    )
+    media = (F.col(id_col) * max_slots + F.col("slot")) % corpus_size
+    return base.select(
+        id_col,
+        "slot",
+        pos.cast("int").alias("char_pos"),
+        media.cast("bigint").alias("media_id"),
+        "n_slots",
+    )

@@ -566,3 +566,32 @@ def test_bpe_fertility_closed_form(spark):
     assert r["fertility"] == 11 / 3 and r["chars_per_token"] == 15 / 11
     # s2: one word (NULL doc dropped)
     assert out["s2"]["n_words"] == 1 and out["s2"]["n_bpe_tokens"] == 3
+
+
+def test_interleave_media_slots_deterministic(spark):
+    """Slot counts, positions, and media refs replay the hash rule;
+    short/NULL docs yield no slots; positions stay in [0, n]."""
+    import hashlib
+
+    from kevinlang_spark.operators.multimodal import interleave_media_slots
+
+    body = "x" * 100
+    df = spark.createDataFrame(
+        [(0, body), (1, body), (2, body), (5, body),
+         (7, "short"), (8, None)],
+        "doc_id bigint, text string",
+    )
+    rows = interleave_media_slots(df, corpus_size=50).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {0, 1, 2, 5}
+    for d, rs in by_doc.items():
+        assert len(rs) == d % 3 + 1 == rs[0]["n_slots"]
+        for r in sorted(rs, key=lambda r: r["slot"]):
+            h = int(
+                hashlib.md5(f"{d}#img{r['slot']}".encode()).hexdigest()[:13],
+                16,
+            )
+            assert r["char_pos"] == h % 101
+            assert r["media_id"] == (d * 3 + r["slot"]) % 50
