@@ -114,6 +114,13 @@ def main() -> None:
     )
     n_headline = sum(1 for n in headline if n in names)
     synced = re.sub(r"\d+(?= headline)", str(n_headline), synced)
+    n_tests = 0
+    tests_dir = os.path.join(ROOT, "tests")
+    for f in os.listdir(tests_dir):
+        if f.startswith("test_") and f.endswith(".py"):
+            with open(os.path.join(tests_dir, f)) as fh:
+                n_tests += len(re.findall(r"^def test_", fh.read(), re.M))
+    synced = re.sub(r"\d+(?= tests\))", str(n_tests), synced)
     if synced != readme:
         with open(readme_path, "w") as fh:
             fh.write(synced)
