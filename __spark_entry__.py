@@ -4117,6 +4117,24 @@ def q_fim_transform(spark, sf_dir):
     )
 
 
+def q_bitext_mine(spark, sf_dir):
+    """Margin-based bitext mining (similarity.py bitext_mine — the
+    LASER/CCMatrix parallel-data recipe): odd-id embeddings play the
+    source language (8 bounded probes), even-id the target pool; each
+    probe's best target is accepted only when cos(best) stands out
+    from the mean of its 8-NN — the hubness-robust margin criterion.
+    knn_join's broadcast-probe scan + ONE keyed agg; similarities
+    quantize to 1e-6 integers so the margin is exact int arithmetic on
+    both engines.  The oracle replays scoring, ranking, and the margin
+    ratio closed-form."""
+    from kevinlang_spark.operators.similarity import bitext_mine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    targets = emb.where(F.col("vec_id") % 2 == 0)
+    probes = emb.where((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 16))
+    return bitext_mine(targets, probes, k=8, threshold=1.02)
+
+
 def q_interleaved_media(spark, sf_dir):
     """Interleaved image-text sample assembly (multimodal.py
     interleave_media_slots — the MMC4/OBELICS record shape a
@@ -7115,6 +7133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_packing_report": q_packing_report,
         "q_tokenizer_fertility": q_tokenizer_fertility,
         "q_interleaved_media": q_interleaved_media,
+        "q_bitext_mine": q_bitext_mine,
         "q_chat_multiturn": q_chat_multiturn,
         "q_chat_multiturn_spans": q_chat_multiturn_spans,
         "q_fim_spm": q_fim_spm,
@@ -10037,6 +10056,30 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN a IS NULL THEN 0 ELSE 1 END) AS n_turns FROM c) "
             "SELECT doc_id, rendered, CAST(n_turns AS INT) AS n_turns, "
             "CAST(length(rendered) AS INT) AS n_chars FROM r"
+        ),
+        "q_bitext_mine": (
+            "WITH nn AS (SELECT * FROM ("
+            "SELECT q.vec_id AS qid, e.vec_id AS vid, "
+            "ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "CAST(q.embedding AS DOUBLE[])), 6) AS sim, "
+            "ROW_NUMBER() OVER (PARTITION BY q.vec_id "
+            "ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "CAST(q.embedding AS DOUBLE[])) DESC, "
+            "e.vec_id) AS rank "
+            "FROM (SELECT vec_id, embedding FROM embeddings "
+            "WHERE vec_id % 2 = 0) e, "
+            "(SELECT vec_id, embedding FROM embeddings "
+            "WHERE vec_id % 2 = 1 AND vec_id < 16) q) WHERE rank <= 8), "
+            "nq AS (SELECT qid, vid, sim, rank, "
+            "CAST(ROUND(sim * 1000000) AS BIGINT) AS sq FROM nn), "
+            "a AS (SELECT qid, "
+            "MAX(CASE WHEN rank = 1 THEN vid END) AS best_id, "
+            "CAST(MAX(CASE WHEN rank = 1 THEN sq END) AS BIGINT) AS bq, "
+            "CAST(SUM(sq) AS BIGINT) AS sumq, "
+            "CAST(COUNT(*) AS BIGINT) AS n_topk FROM nq GROUP BY qid) "
+            "SELECT qid, best_id, bq AS best_sim_micros, n_topk, "
+            "(bq * n_topk) / sumq AS margin, "
+            "(bq * n_topk) / sumq > 1.02 AS accepted FROM a"
         ),
         "q_interleaved_media": (
             "WITH base AS (SELECT doc_id, length(text) AS n, "

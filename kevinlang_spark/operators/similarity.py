@@ -1586,3 +1586,61 @@ def _lloyd_train_multi(
                 float(r[f"c{i}"]) for i in range(dsubs[t])
             ]
     return all_books
+
+
+def bitext_mine(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 8,
+    threshold: float = 1.05,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "vec_id",
+    q_vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based parallel-corpus mining (Artetxe & Schwenk 2019,
+    arXiv:1811.01136 — the LASER/CCMatrix recipe behind large-scale MT
+    training data): for every query (source-language) vector, the best
+    target candidate is accepted only when its similarity STANDS OUT
+    from the query's neighborhood — margin = cos(best) / mean(cos of
+    the k nearest) — which kills the hubness false positives a plain
+    cosine threshold lets through.
+
+    Built on :func:`knn_join` (broadcast probe set, map-side codegen
+    scoring, per-query ranking) plus ONE more keyed aggregation.
+    Cross-engine exactness: similarities quantize to 1e-6 integers
+    before the margin ratio, so the mean is integer arithmetic and the
+    margin is a single exact int division — no float-sum-order drift.
+
+    Returns (qid, best_id, best_sim_micros, n_topk, margin, accepted)."""
+    nn = knn_join(
+        df, queries, k=k, vec_col=vec_col, id_col=id_col,
+        q_id_col=q_id_col, q_vec_col=q_vec_col,
+    )
+    simq = F.round(F.col("sim") * 1_000_000).cast("bigint")
+    agg = (
+        nn.select("qid", F.col(id_col), F.col("sim"), simq.alias("__sq"),
+                  "rank")
+        .groupBy("qid")
+        .agg(
+            F.max(F.when(F.col("rank") == 1, F.col(id_col))).alias(
+                "best_id"
+            ),
+            F.max(F.when(F.col("rank") == 1, F.col("__sq"))).alias("__bq"),
+            F.sum("__sq").alias("__sumq"),
+            F.count("*").alias("n_topk"),
+        )
+    )
+    margin = (F.col("__bq") * F.col("n_topk")) / F.col("__sumq")
+    return agg.select(
+        "qid",
+        "best_id",
+        # exact 1e-6-quantized integer, not a rounded double: ROUND(x, 6)
+        # on a raw cosine can land on a half-way decimal where the two
+        # engines' rounding rules diverge (verify-skill rule); the
+        # micro-unit integer is the safe cross-engine carrier
+        F.col("__bq").alias("best_sim_micros"),
+        "n_topk",
+        margin.alias("margin"),
+        (margin > threshold).alias("accepted"),
+    )

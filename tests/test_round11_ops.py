@@ -595,3 +595,33 @@ def test_interleave_media_slots_deterministic(spark):
             )
             assert r["char_pos"] == h % 101
             assert r["media_id"] == (d * 3 + r["slot"]) % 50
+
+
+def test_bitext_mine_margin_math(spark):
+    """Hand-built vectors: probe q is near target 100 and far from the
+    rest -> high margin accepted; probe q2 sits equidistant from
+    everything -> margin ~1, rejected."""
+    from kevinlang_spark.operators.similarity import bitext_mine
+
+    targets = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]),
+         (102, [0.0, 1.0, 0.0]),
+         (104, [0.0, 0.9, 0.1]),
+         (106, [0.1, 0.9, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    probes = spark.createDataFrame(
+        [(1, [0.99, 0.1, 0.0]),   # hugs target 100
+         (3, [0.5, 0.5, 0.35])],  # generic hub direction
+        "vec_id bigint, embedding array<float>",
+    )
+    out = {
+        r["qid"]: r for r in bitext_mine(targets, probes, k=4,
+                                         threshold=1.2).collect()
+    }
+    assert out[1]["best_id"] == 100 and out[1]["accepted"]
+    assert out[1]["margin"] > 1.2 and out[1]["n_topk"] == 4
+    assert not out[3]["accepted"] and out[3]["margin"] < 1.2
+    # best_sim is carried as exact 1e-6 integer micros
+    assert isinstance(out[1]["best_sim_micros"], int)
+    assert 0 < out[1]["best_sim_micros"] <= 1_000_000
