@@ -121,6 +121,7 @@ def main() -> None:
             with open(os.path.join(tests_dir, f)) as fh:
                 n_tests += len(re.findall(r"^def test_", fh.read(), re.M))
     synced = re.sub(r"\d+(?= tests\))", str(n_tests), synced)
+    synced = re.sub(r"\d+(?= pytest tests)", str(n_tests), synced)
     if synced != readme:
         with open(readme_path, "w") as fh:
             fh.write(synced)
