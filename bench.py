@@ -71,6 +71,8 @@ HEADLINE = [
     "q_packed_spans",
     "q_packing_report",
     "q_tokenizer_fertility",
+    "q_interleaved_media",
+    "q_bitext_mine",
     "q_curation_chunks",
     "q_tfidf_top_terms",
     "q_upsert",
