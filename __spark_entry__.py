@@ -4380,6 +4380,34 @@ _MULTITURN_TURNS = [
 ]
 
 
+def q_reward_agreement(spark, sf_dir):
+    """Reward-model agreement QC (operators/preference.py
+    reward_agreement): Kendall tau-a between two deterministic scorers
+    over each prompt's four candidates, plus the concordant /
+    discordant / tied census — the gate before trusting an RM ensemble
+    to label DPO data.  One prompt-keyed aggregation; the O(n²) pair
+    walk runs in-row over the bounded candidate set (no self-join
+    fan-out).  The oracle replays every pair sign via a cand_i <
+    cand_j self-join."""
+    from kevinlang_spark.operators.preference import reward_agreement
+
+    cands = _preference_candidates(spark, sf_dir)
+    sid2 = F.concat(
+        F.col("prompt_id").cast("string"), F.lit("#"),
+        F.col("cand_id").cast("string"), F.lit("#rw2"),
+    )
+    scored = cands.select(
+        "prompt_id",
+        "cand_id",
+        F.col("reward").alias("reward_a"),
+        (
+            F.conv(F.substring(F.md5(sid2), 1, 13), 16, 10).cast("bigint")
+            % 1000
+        ).alias("reward_b"),
+    )
+    return reward_agreement(scored)
+
+
 def q_chat_multiturn(spark, sf_dir):
     """Llama-3 multi-turn SFT rendering (VERDICT r10 item 6; text.py
     render_chat fmt='llama3'): five variable-role turns — system, two
@@ -7134,6 +7162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tokenizer_fertility": q_tokenizer_fertility,
         "q_interleaved_media": q_interleaved_media,
         "q_bitext_mine": q_bitext_mine,
+        "q_reward_agreement": q_reward_agreement,
         "q_chat_multiturn": q_chat_multiturn,
         "q_chat_multiturn_spans": q_chat_multiturn_spans,
         "q_fim_spm": q_fim_spm,
@@ -10189,6 +10218,33 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT * FROM ranked WHERE rhi = 1) h "
             "JOIN (SELECT * FROM ranked WHERE rlo = 1) l "
             "USING (prompt_id) WHERE h.reward - l.reward > 0"
+        ),
+        "q_reward_agreement": (
+            _PREFERENCE_CAND_SQL.replace(
+                "FROM documents, generate_series(0, 3) s(g))",
+                "FROM documents, generate_series(0, 3) s(g)), "
+                "scored AS (SELECT prompt_id, cand_id, reward AS a, "
+                "CAST(CONCAT('0x', substr(md5(prompt_id || '#' || cand_id "
+                "|| '#rw2'), 1, 13)) AS BIGINT) % 1000 AS b FROM cand "
+                "WHERE cand_id IS NOT NULL), "
+                "pairs AS (SELECT x.prompt_id, "
+                "SIGN(x.a - y.a) * SIGN(x.b - y.b) AS s "
+                "FROM scored x JOIN scored y "
+                "ON x.prompt_id = y.prompt_id AND y.cand_id > x.cand_id), "
+                "n AS (SELECT prompt_id, CAST(COUNT(*) AS BIGINT) "
+                "AS n_cands FROM scored GROUP BY prompt_id)",
+            )
+            + " SELECT p.prompt_id, n.n_cands, "
+            "CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS INT) "
+            "AS concordant, "
+            "CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS INT) "
+            "AS discordant, "
+            "CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS INT) AS tied, "
+            "(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) - "
+            "SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END)) * 2.0 "
+            "/ (n.n_cands * (n.n_cands - 1)) AS tau_a "
+            "FROM pairs p JOIN n USING (prompt_id) "
+            "GROUP BY p.prompt_id, n.n_cands HAVING n.n_cands >= 2"
         ),
         "q_best_of_n": (
             _PREFERENCE_CAND_SQL + ", "

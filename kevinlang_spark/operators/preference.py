@@ -113,3 +113,73 @@ def best_of_n(
             F.round("mean_reward", 6).alias("mean_reward"),
         )
     )
+
+
+def reward_agreement(
+    df: DataFrame,
+    prompt_col: str = "prompt_id",
+    cand_col: str = "cand_id",
+    reward_a: str = "reward_a",
+    reward_b: str = "reward_b",
+) -> DataFrame:
+    """Pairwise agreement between two reward models per prompt —
+    Kendall's tau-a over the candidate set, plus the concordant /
+    discordant / tied pair census.  The QC gate before trusting an RM
+    (or an RM ensemble) to label preference data: prompts where two
+    scorers invert each other's ranking are exactly the pairs DPO
+    should not train on.
+
+    Shape: ONE prompt-keyed aggregation collects the (cand, a, b)
+    structs, then the O(n²) pair walk runs IN-ROW with higher-order
+    functions — n is the samples-per-prompt constant (4-16), so the
+    per-row work is bounded and there is no second shuffle and no
+    self-join fan-out.  The pair-sign array is materialized in its own
+    projection before the three counts read it (the CollapseProject
+    re-inline trap).
+
+    Returns (prompt_col, n_cands, concordant, discordant, tied,
+    tau_a); prompts with fewer than 2 scored candidates are dropped;
+    tau_a = 2(C - D) / (n(n-1))."""
+    ok = df.where(
+        F.col(reward_a).isNotNull()
+        & F.col(reward_b).isNotNull()
+        & F.col(cand_col).isNotNull()
+    )
+    g = ok.groupBy(prompt_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col(cand_col).alias("c"),
+                F.col(reward_a).alias("a"),
+                F.col(reward_b).alias("b"),
+            )
+        ).alias("xs"),
+        F.count("*").alias("n_cands"),
+    )
+    xs = F.col("xs")
+    signs = F.flatten(
+        F.transform(
+            xs,
+            lambda x: F.transform(
+                F.filter(xs, lambda y: y["c"] > x["c"]),
+                lambda y: (
+                    F.signum(x["a"] - y["a"]) * F.signum(x["b"] - y["b"])
+                ).cast("int"),
+            ),
+        )
+    )
+    staged = g.where(F.col("n_cands") >= 2).select(
+        prompt_col, "n_cands", signs.alias("__ps")
+    )
+    ps = F.col("__ps")
+    c = F.size(F.filter(ps, lambda s: s == 1))
+    d = F.size(F.filter(ps, lambda s: s == -1))
+    t = F.size(F.filter(ps, lambda s: s == 0))
+    n = F.col("n_cands")
+    return staged.select(
+        prompt_col,
+        "n_cands",
+        c.alias("concordant"),
+        d.alias("discordant"),
+        t.alias("tied"),
+        ((c - d) * 2.0 / (n * (n - 1))).alias("tau_a"),
+    )

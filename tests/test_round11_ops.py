@@ -625,3 +625,30 @@ def test_bitext_mine_margin_math(spark):
     # best_sim is carried as exact 1e-6 integer micros
     assert isinstance(out[1]["best_sim_micros"], int)
     assert 0 < out[1]["best_sim_micros"] <= 1_000_000
+
+
+def test_reward_agreement_kendall(spark):
+    """Hand-checkable tau: prompt 1 perfectly concordant (tau 1),
+    prompt 2 perfectly inverted (tau -1), prompt 3 mixed with a tie;
+    singleton prompts drop."""
+    from kevinlang_spark.operators.preference import reward_agreement
+
+    rows = [
+        (1, 0, 10, 1), (1, 1, 20, 2), (1, 2, 30, 3),
+        (2, 0, 10, 3), (2, 1, 20, 2), (2, 2, 30, 1),
+        (3, 0, 10, 5), (3, 1, 20, 5), (3, 2, 5, 9),
+        (4, 0, 1, 1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "prompt_id bigint, cand_id bigint, reward_a bigint, reward_b bigint",
+    )
+    out = {r["prompt_id"]: r for r in reward_agreement(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["tau_a"] == 1.0 and out[1]["concordant"] == 3
+    assert out[2]["tau_a"] == -1.0 and out[2]["discordant"] == 3
+    # prompt 3 pairs (0,1): a up, b tied -> 0; (0,2): a down, b up -> -1;
+    # (1,2): a down, b up -> -1  => C=0 D=2 T=1, tau = -4/6
+    r3 = out[3]
+    assert (r3["concordant"], r3["discordant"], r3["tied"]) == (0, 2, 1)
+    assert abs(r3["tau_a"] - (-2 * 2.0 / 6)) < 1e-12
