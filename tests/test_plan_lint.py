@@ -44,6 +44,8 @@ BNLJ_OK = {
     "q_rank_overlap": 64,  # 10-row broadcast self-join rank (top-k lists)
     "q_rank_fusion": 64,  # 20-row broadcast self-join rank (RRF input lists)
     "q_knn_join": 64,  # broadcast k-probe set
+    "q_bitext_mine": 64,  # broadcast 8-row source-probe set (knn_join shape;
+    # the margin agg downstream is an ordinary keyed aggregation)
     "q_truncation_recall": 64,  # broadcast 4-row probe set (knn_join shape), per-dim rankings
     "q_jl_distortion": 64,  # 16-row broadcast sample self-join (bounded pair audit)
     "q_hard_negatives": 64,  # broadcast 8-row anchor probe set (knn_join shape;
