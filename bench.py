@@ -73,6 +73,7 @@ HEADLINE = [
     "q_tokenizer_fertility",
     "q_interleaved_media",
     "q_bitext_mine",
+    "q_reward_agreement",
     "q_curation_chunks",
     "q_tfidf_top_terms",
     "q_upsert",
