@@ -4181,6 +4181,26 @@ def q_span_corruption(spark, sf_dir):
     return span_corruption(_t(spark, sf_dir, "documents"))
 
 
+def q_length_buckets(spark, sf_dir):
+    """Length-bucketed batch planning (text.py length_bucket_batches):
+    power-of-two length buckets over word-token counts, per-bucket
+    batch sizes under a 4096-token budget, and the bucket-ceiling
+    padding census — the dynamic-batching report that replaces
+    global-max padding (30-60% compute waste on variable-length
+    corpora).  One scan-stage bucket expression + one
+    map-side-combinable agg; the oracle replays the log2 bucket edges
+    (IEEE-exact at powers of two) and the integer batch math."""
+    from kevinlang_spark.functions.textexpr import token_count
+    from kevinlang_spark.operators.text import length_bucket_batches
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(token_count(F.col("text")).alias("n_tokens"))
+    )
+    return length_bucket_batches(docs, token_budget=4096)
+
+
 def q_packing_report(spark, sf_dir):
     """Packing-efficiency report (operators/text.py packing_report):
     per (source, shard) stream — sequences produced by concat-and-
@@ -7163,6 +7183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_interleaved_media": q_interleaved_media,
         "q_bitext_mine": q_bitext_mine,
         "q_reward_agreement": q_reward_agreement,
+        "q_length_buckets": q_length_buckets,
         "q_chat_multiturn": q_chat_multiturn,
         "q_chat_multiturn_spans": q_chat_multiturn_spans,
         "q_fim_spm": q_fim_spm,
@@ -10147,6 +10168,22 @@ def oracle_sql() -> dict[str, str]:
             "'<extra_id_0>' || substr(t, CAST(s1 + 1 AS INT), CAST(len1 AS INT)) || "
             "'<extra_id_1>' || substr(t, CAST(s2 + 1 AS INT), CAST(len2 AS INT)) || "
             "'<extra_id_2>' END AS targets FROM c3"
+        ),
+        "q_length_buckets": (
+            "WITH t AS (SELECT len(list_filter(string_split_regex("
+            "lower(text), '[^a-z0-9]+'), e -> e <> '')) AS n "
+            "FROM documents WHERE text IS NOT NULL), "
+            "b AS (SELECT GREATEST(CAST(CEIL(LOG2(n)) AS INT), 0) "
+            "AS bucket, n FROM t WHERE n >= 1), "
+            "a AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n) AS BIGINT) AS total_tokens FROM b GROUP BY bucket), "
+            "m AS (SELECT *, CAST(POWER(2, bucket) AS BIGINT) AS max_len, "
+            "GREATEST(CAST(FLOOR(4096.0 / POWER(2, bucket)) AS BIGINT), 1) "
+            "AS batch_size FROM a) "
+            "SELECT bucket, max_len, n_docs, total_tokens, batch_size, "
+            "CAST(CEIL(CAST(n_docs AS DOUBLE) / batch_size) AS BIGINT) "
+            "AS n_batches, "
+            "n_docs * max_len - total_tokens AS pad_waste_tokens FROM m"
         ),
         "q_packing_report": (
             "WITH t AS (SELECT source, doc_id % 4 AS shard, "

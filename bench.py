@@ -74,6 +74,7 @@ HEADLINE = [
     "q_interleaved_media",
     "q_bitext_mine",
     "q_reward_agreement",
+    "q_length_buckets",
     "q_curation_chunks",
     "q_tfidf_top_terms",
     "q_upsert",

@@ -2855,3 +2855,53 @@ def bpe_fertility(
         (F.col("n_bpe_tokens") / F.col("n_words")).alias("fertility"),
         (F.col("n_chars") / F.col("n_bpe_tokens")).alias("chars_per_token"),
     )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    ntok_col: str = "n_tokens",
+    token_budget: int = 4096,
+) -> DataFrame:
+    """Length-bucketed batch planning — the dynamic-batching census a
+    trainer uses instead of fixed batch sizes: documents group into
+    power-of-two length buckets (bucket = ceil(log2(n)), padding only
+    up to the bucket ceiling instead of a global max), each bucket
+    batches ``token_budget // ceiling`` sequences, and the report says
+    how many batches and how much bucket-ceiling padding each bucket
+    costs.  Variable-length corpora waste 30-60% of compute under
+    global-max padding; this is the standard fix.
+
+    ONE map-side-combinable aggregation — bucket assignment is a
+    scan-stage expression (log2 of powers of two is IEEE-exact, so the
+    bucket edges replay identically cross-engine).  Docs with
+    n_tokens < 1 are dropped (nothing to batch).
+
+    Returns (bucket, max_len, n_docs, total_tokens, batch_size,
+    n_batches, pad_waste_tokens)."""
+    n = F.col(ntok_col).cast("bigint")
+    bucket = F.greatest(
+        F.ceil(F.log2(n)).cast("int"), F.lit(0)
+    )
+    base = df.where(n >= 1).select(n.alias("__n"), bucket.alias("bucket"))
+    max_len = F.pow(F.lit(2.0), F.col("bucket")).cast("bigint")
+    agg = base.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__n").alias("total_tokens"),
+    )
+    # explicit floor (not a bare cast): Spark's double->bigint cast
+    # truncates while DuckDB's ROUNDS — floor on both sides is the
+    # engine-portable form
+    bs = F.greatest(
+        F.floor(F.lit(token_budget) / max_len).cast("bigint"), F.lit(1)
+    )
+    return agg.select(
+        "bucket",
+        max_len.alias("max_len"),
+        "n_docs",
+        "total_tokens",
+        bs.alias("batch_size"),
+        F.ceil(F.col("n_docs") / bs).cast("bigint").alias("n_batches"),
+        (F.col("n_docs") * max_len - F.col("total_tokens")).alias(
+            "pad_waste_tokens"
+        ),
+    )

@@ -652,3 +652,24 @@ def test_reward_agreement_kendall(spark):
     r3 = out[3]
     assert (r3["concordant"], r3["discordant"], r3["tied"]) == (0, 2, 1)
     assert abs(r3["tau_a"] - (-2 * 2.0 / 6)) < 1e-12
+
+
+def test_length_bucket_batches_math(spark):
+    from kevinlang_spark.operators.text import length_bucket_batches
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (3,), (4,), (100,), (120,), (0,)], "n_tokens int"
+    )
+    out = {r["bucket"]: r for r in length_bucket_batches(
+        df, token_budget=256).collect()}
+    # n=1 -> bucket 0; n=2 -> bucket 1; n=3,4 -> bucket 2; 100,120 -> 7
+    assert set(out) == {0, 1, 2, 7}
+    b2 = out[2]
+    assert (b2["max_len"], b2["n_docs"], b2["total_tokens"]) == (4, 2, 7)
+    assert b2["batch_size"] == 64 and b2["n_batches"] == 1
+    assert b2["pad_waste_tokens"] == 2 * 4 - 7
+    b7 = out[7]
+    assert b7["max_len"] == 128 and b7["batch_size"] == 2
+    assert b7["pad_waste_tokens"] == 2 * 128 - 220
+    # zero-token docs dropped
+    assert sum(r["n_docs"] for r in out.values()) == 6
