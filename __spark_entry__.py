@@ -4181,6 +4181,55 @@ def q_span_corruption(spark, sf_dir):
     return span_corruption(_t(spark, sf_dir, "documents"))
 
 
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch shuffle keys (sampling.py
+    epoch_shuffle_keys): the data-loader permutation for 3-epoch
+    training as a property of (document, epoch) — md5-derived keys
+    reproduce the same order on any cluster size or restart, and each
+    epoch's order is independent, which rand(seed+epoch) pipelines
+    lose when partitioning changes.  One map-side posexplode, zero
+    shuffle; closed-form oracle."""
+    from kevinlang_spark.operators.sampling import epoch_shuffle_keys
+
+    return epoch_shuffle_keys(
+        _t(spark, sf_dir, "documents").select("doc_id"), n_epochs=3
+    )
+
+
+def q_retention_curve(spark, sf_dir):
+    """Quality-vs-quantity retention curve (text.py
+    quality_retention_curve): rank documents by a deterministic
+    quality score, cut rank space into 10 equal-population bins, and
+    report each bin's document count, token mass, and cumulative token
+    budget — the keep-top-X% decision table.  The equidepth shape: the
+    corpus collapses to the bounded per-score grid before any
+    cumulative walk, ties resolve by integer rank math identically on
+    both engines, and the 1-row total broadcasts (whitelisted scalar
+    BNLJ)."""
+    from kevinlang_spark.functions.textexpr import token_count
+    from kevinlang_spark.operators.text import quality_retention_curve
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("doc_id").cast("string"),
+                                       F.lit("#q"))),
+                        1, 13,
+                    ),
+                    16, 10,
+                ).cast("bigint")
+                % 10000
+            ).alias("score"),
+            token_count(F.col("text")).alias("n_tokens"),
+        )
+    )
+    return quality_retention_curve(docs, n_bins=10)
+
+
 def q_length_buckets(spark, sf_dir):
     """Length-bucketed batch planning (text.py length_bucket_batches):
     power-of-two length buckets over word-token counts, per-bucket
@@ -7184,6 +7233,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bitext_mine": q_bitext_mine,
         "q_reward_agreement": q_reward_agreement,
         "q_length_buckets": q_length_buckets,
+        "q_epoch_shuffle": q_epoch_shuffle,
+        "q_retention_curve": q_retention_curve,
         "q_chat_multiturn": q_chat_multiturn,
         "q_chat_multiturn_spans": q_chat_multiturn_spans,
         "q_fim_spm": q_fim_spm,
@@ -10168,6 +10219,35 @@ def oracle_sql() -> dict[str, str]:
             "'<extra_id_0>' || substr(t, CAST(s1 + 1 AS INT), CAST(len1 AS INT)) || "
             "'<extra_id_1>' || substr(t, CAST(s2 + 1 AS INT), CAST(len2 AS INT)) || "
             "'<extra_id_2>' END AS targets FROM c3"
+        ),
+        "q_epoch_shuffle": (
+            "WITH e AS (SELECT doc_id, unnest(range(0, 3)) AS epoch "
+            "FROM documents) "
+            "SELECT doc_id, CAST(epoch AS INT) AS epoch, "
+            "CAST(CONCAT('0x', substr(md5(doc_id || '#ep' || epoch), "
+            "1, 13)) AS BIGINT) AS shuffle_key FROM e"
+        ),
+        "q_retention_curve": (
+            "WITH s AS (SELECT "
+            "CAST(CONCAT('0x', substr(md5(doc_id || '#q'), 1, 13)) "
+            "AS BIGINT) % 10000 AS sc, "
+            "len(list_filter(string_split_regex(lower(text), "
+            "'[^a-z0-9]+'), e -> e <> '')) AS n "
+            "FROM documents WHERE text IS NOT NULL), "
+            "g AS (SELECT sc, CAST(COUNT(*) AS BIGINT) AS nd, "
+            "CAST(SUM(n) AS BIGINT) AS nt FROM s GROUP BY sc), "
+            "c AS (SELECT sc, nd, nt, "
+            "CAST(SUM(nd) OVER (ORDER BY sc DESC ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW) - nd AS BIGINT) AS bf FROM g), "
+            "tot AS (SELECT CAST(SUM(nd) AS BIGINT) AS N FROM g), "
+            "b AS (SELECT CAST(FLOOR(bf * 10 / N) AS BIGINT) AS bin, "
+            "nd, nt FROM c, tot), "
+            "a AS (SELECT bin, CAST(SUM(nd) AS BIGINT) AS n_docs, "
+            "CAST(SUM(nt) AS BIGINT) AS total_tokens FROM b GROUP BY bin) "
+            "SELECT bin, n_docs, total_tokens, "
+            "CAST(SUM(total_tokens) OVER (ORDER BY bin ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+            "AS cum_tokens FROM a"
         ),
         "q_length_buckets": (
             "WITH t AS (SELECT len(list_filter(string_split_regex("

@@ -75,6 +75,8 @@ HEADLINE = [
     "q_bitext_mine",
     "q_reward_agreement",
     "q_length_buckets",
+    "q_epoch_shuffle",
+    "q_retention_curve",
     "q_curation_chunks",
     "q_tfidf_top_terms",
     "q_upsert",

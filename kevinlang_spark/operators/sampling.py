@@ -300,3 +300,35 @@ def class_balanced_weights(
             ).alias("weight"),
         )
     )
+
+
+def epoch_shuffle_keys(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_epochs: int = 3,
+) -> DataFrame:
+    """Deterministic per-epoch shuffle order — the data-loader
+    permutation for multi-epoch training, as a PROPERTY of (document,
+    epoch) rather than of the job that shuffled: shuffle_key =
+    52-bit md5 of ``id || '#ep' || epoch``.  Sorting a shard by
+    (epoch, shuffle_key, id) reproduces the same global order on any
+    cluster size, any engine, any restart — and each epoch's order is
+    independent of every other's, which is the property naive
+    ``rand(seed+epoch)`` pipelines silently lose when partitioning
+    changes.
+
+    One map-side posexplode over the epoch sequence; zero shuffle (the
+    SORT is the consumer's job, bounded per shard exactly like
+    pack_sequences).  Returns (id_col, epoch, shuffle_key)."""
+    if n_epochs < 1:
+        raise ValueError("epoch_shuffle_keys: n_epochs must be >= 1")
+    base = df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(n_epochs - 1))).alias("epoch"),
+    )
+    sid = F.concat(
+        F.col(id_col).cast("string"), F.lit("#ep"),
+        F.col("epoch").cast("string"),
+    )
+    key = F.conv(F.substring(F.md5(sid), 1, 13), 16, 10).cast("bigint")
+    return base.select(id_col, "epoch", key.alias("shuffle_key"))

@@ -2905,3 +2905,68 @@ def length_bucket_batches(
             "pad_waste_tokens"
         ),
     )
+
+
+def quality_retention_curve(
+    df: DataFrame,
+    score_col: str = "score",
+    ntok_col: str = "n_tokens",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Quality-vs-quantity retention curve — for "keep the top X% by
+    quality score" decisions: documents rank by (score desc), rank
+    space cuts into ``n_bins`` equal-population bins, and each bin
+    reports its document count, token mass, and the CUMULATIVE token
+    mass down to it (the token budget you keep at each retention
+    cut).  The report a curation owner reads next to the classifier's
+    calibration before fixing the threshold.
+
+    Scale shape (the equidepth pattern): the corpus first collapses to
+    the per-SCORE grid (one keyed agg; the grid is bounded by the
+    score's precision, not the corpus), the cumulative walk runs over
+    that bounded grid, and a score-group's bin is decided by its first
+    rank — floor(cum_docs_before * n_bins / N), all integer math, so
+    ties never straddle engines differently.  No per-document global
+    sort anywhere.
+
+    Returns (bin, n_docs, total_tokens, cum_tokens), bin 0 = best."""
+    from pyspark.sql import Window
+
+    g = (
+        df.where(F.col(score_col).isNotNull())
+        .groupBy(F.col(score_col).alias("s"))
+        .agg(
+            F.count("*").alias("nd"),
+            F.sum(F.col(ntok_col).cast("bigint")).alias("nt"),
+        )
+    )
+    # bounded-grid cumulative walk (score grid, not corpus rows)
+    w = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = g.select(
+        "s", "nd", "nt",
+        (F.sum("nd").over(w) - F.col("nd")).alias("before"),
+    )
+    total = cum.agg(
+        F.sum("nd").alias("N")
+    )
+    binned = cum.join(F.broadcast(total)).select(
+        (F.col("before") * n_bins / F.col("N"))
+        .cast("bigint")
+        .alias("bin"),
+        "nd",
+        "nt",
+    )
+    agg = binned.groupBy("bin").agg(
+        F.sum("nd").alias("n_docs"), F.sum("nt").alias("total_tokens")
+    )
+    w2 = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return agg.select(
+        "bin",
+        "n_docs",
+        "total_tokens",
+        F.sum("total_tokens").over(w2).alias("cum_tokens"),
+    )

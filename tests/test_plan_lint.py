@@ -38,6 +38,7 @@ BNLJ_OK = {
     "q_chi_square": 16,  # 1-row grand-total + bounded contingency margins
     "q_emb_neardup_brute": 512,  # broadcast bounded probe subset
     "q_equidepth": 4,  # broadcast exact boundary row
+    "q_retention_curve": 4,  # broadcast 1-row doc-count total (equidepth shape)
     "q_join_estimate": 4,  # 1-row × 1-row sketch crossJoin (scalar algebra)
     "q_lr_eval": 4,  # 1-row confusion × 1-row rank-sum crossJoin (scalar algebra)
     "q_intrinsic_dim": 256,  # broadcast bounded probe subset (TwoNN)

@@ -673,3 +673,53 @@ def test_length_bucket_batches_math(spark):
     assert b7["pad_waste_tokens"] == 2 * 128 - 220
     # zero-token docs dropped
     assert sum(r["n_docs"] for r in out.values()) == 6
+
+
+def test_epoch_shuffle_keys_properties(spark):
+    """Each epoch's permutation is independent and replayable: keys
+    match the hashlib replay; the same id gets different keys across
+    epochs; n_epochs guard."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from kevinlang_spark.operators.sampling import epoch_shuffle_keys
+
+    df = spark.range(20).select(F.col("id").alias("doc_id"))
+    rows = epoch_shuffle_keys(df, n_epochs=2).collect()
+    assert len(rows) == 40
+    for r in rows:
+        h = int(
+            hashlib.md5(f"{r['doc_id']}#ep{r['epoch']}".encode())
+            .hexdigest()[:13], 16,
+        )
+        assert r["shuffle_key"] == h
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["doc_id"], set()).add(r["shuffle_key"])
+    assert all(len(v) == 2 for v in by_id.values())
+    with _pytest.raises(ValueError, match="n_epochs"):
+        epoch_shuffle_keys(df, n_epochs=0)
+
+
+def test_quality_retention_curve_math(spark):
+    """20 docs, distinct scores, 4 bins -> 5 docs per bin; cumulative
+    token mass is the running sum from the best bin down."""
+    from kevinlang_spark.operators.text import quality_retention_curve
+
+    rows = [(i, 100 - i, 10 + i) for i in range(20)]  # score desc = id asc
+    df = spark.createDataFrame(rows, "doc_id bigint, score int, n_tokens int")
+    out = sorted(
+        quality_retention_curve(df, n_bins=4).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert [r["bin"] for r in out] == [0, 1, 2, 3]
+    assert all(r["n_docs"] == 5 for r in out)
+    # bin 0 holds the 5 best scores = ids 0..4 -> tokens 10+11+..+14
+    assert out[0]["total_tokens"] == sum(10 + i for i in range(5))
+    assert out[-1]["cum_tokens"] == sum(10 + i for i in range(20))
+    # tied scores never straddle bins: one score with mass 8 of 10 docs
+    rows2 = [(i, 1 if i < 8 else 0, 5) for i in range(10)]
+    df2 = spark.createDataFrame(rows2, "doc_id bigint, score int, n_tokens int")
+    out2 = {r["bin"]: r for r in quality_retention_curve(df2, n_bins=5).collect()}
+    assert out2[0]["n_docs"] == 8 and out2[4]["n_docs"] == 2
