@@ -147,3 +147,88 @@ def test_chat_word_spans_slice_rendered_tokens(spark, contents):
         assert body is not None
         got = stream[r["token_start"] - 1 : r["token_end"]]
         assert got == words(body), (r["turn_idx"], got)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    cands=st.lists(
+        st.tuples(
+            st.integers(0, 3),       # prompt
+            st.integers(0, 30),      # cand
+            st.integers(-5, 5),      # reward a (narrow -> ties likely)
+            st.integers(-5, 5),      # reward b
+        ),
+        min_size=2, max_size=20, unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+def test_reward_agreement_matches_brute_force(spark, cands):
+    from kevinlang_spark.operators.preference import reward_agreement
+
+    df = spark.createDataFrame(
+        cands,
+        "prompt_id bigint, cand_id bigint, reward_a bigint, reward_b bigint",
+    )
+    got = {
+        r["prompt_id"]: (r["concordant"], r["discordant"], r["tied"],
+                         r["tau_a"])
+        for r in reward_agreement(df).collect()
+    }
+    by_p: dict = {}
+    for p, c, a, b in cands:
+        by_p.setdefault(p, []).append((c, a, b))
+    want = {}
+    for p, xs in by_p.items():
+        if len(xs) < 2:
+            continue
+        C = D = T = 0
+        for i in range(len(xs)):
+            for j in range(len(xs)):
+                if xs[j][0] > xs[i][0]:
+                    s = ((xs[i][1] > xs[j][1]) - (xs[i][1] < xs[j][1])) * (
+                        (xs[i][2] > xs[j][2]) - (xs[i][2] < xs[j][2]))
+                    C += s == 1
+                    D += s == -1
+                    T += s == 0
+        n = len(xs)
+        want[p] = (C, D, T, (C - D) * 2.0 / (n * (n - 1)))
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 100), st.integers(1, 50)),
+        min_size=1, max_size=30,
+    ),
+)
+def test_retention_curve_matches_brute_force(spark, docs):
+    from kevinlang_spark.operators.text import quality_retention_curve
+
+    n_bins = 4
+    df = spark.createDataFrame(docs, "score int, n_tokens int")
+    got = {
+        r["bin"]: (r["n_docs"], r["total_tokens"], r["cum_tokens"])
+        for r in quality_retention_curve(df, n_bins=n_bins).collect()
+    }
+    # brute force: group by score, walk desc, bin by first rank
+    from collections import defaultdict
+
+    g = defaultdict(lambda: [0, 0])
+    for s, n in docs:
+        g[s][0] += 1
+        g[s][1] += n
+    N = len(docs)
+    want_bins = defaultdict(lambda: [0, 0])
+    before = 0
+    for s in sorted(g, reverse=True):
+        nd, nt = g[s]
+        b = before * n_bins // N
+        want_bins[b][0] += nd
+        want_bins[b][1] += nt
+        before += nd
+    want, cum = {}, 0
+    for b in sorted(want_bins):
+        nd, nt = want_bins[b]
+        cum += nt
+        want[b] = (nd, nt, cum)
+    assert got == want
