@@ -4751,6 +4751,48 @@ def q_chat_token_spans(spark, sf_dir):
     )
 
 
+#: the SHIPPED tokenizer for q_chat_token_spans_static — a fixed merge
+#: table, the production contrast to q_chat_token_spans' in-query train
+_STATIC_MERGES = [
+    (1, "t", "h", 0), (2, "th", "e", 0), (3, "a", "n", 0),
+    (4, "an", "d", 0), (5, "i", "n", 0), (6, "e", "r", 0),
+]
+
+
+def q_chat_token_spans_static(spark, sf_dir):
+    """Token-space loss masks under a SHIPPED merge table (the
+    production path SCALE.md r11 prices): same conversation fixture
+    and span algebra as q_chat_token_spans, but the tokenizer is a
+    fixed 6-merge table applied at vocabulary scale with NO in-query
+    training — the sub-second apply shape a real SFT pipeline runs
+    (train once, ship the table, tokenize forever).  The oracle
+    inlines the same literal rewrites, so it is as cheap as the
+    query."""
+    from kevinlang_spark.operators.text import chat_token_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    t = F.col("text")
+    convo = docs.select(
+        "doc_id",
+        F.lit("You are a concise assistant.").alias("sys"),
+        t.alias("user_msg"),
+        F.when(
+            d % 4 != 3,
+            F.concat(
+                F.lit("Summary "), d.cast("string"), F.lit(": "),
+                t.substr(1, 80),
+            ),
+        ).alias("assistant_msg"),
+    )
+    return chat_token_spans(
+        convo,
+        [("system", "sys"), ("user", "user_msg"),
+         ("assistant", "assistant_msg")],
+        _STATIC_MERGES,
+    )
+
+
 def q_salted_agg(spark, sf_dir):
     """Skew-safe two-stage aggregation (salt fans each hot key over 16
     reducers, then merges ≤16 partial rows per key).  Result is identical
@@ -7235,6 +7277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_length_buckets": q_length_buckets,
         "q_epoch_shuffle": q_epoch_shuffle,
         "q_retention_curve": q_retention_curve,
+        "q_chat_token_spans_static": q_chat_token_spans_static,
         "q_chat_multiturn": q_chat_multiturn,
         "q_chat_multiturn_spans": q_chat_multiturn_spans,
         "q_fim_spm": q_fim_spm,
@@ -8447,7 +8490,10 @@ def _fim_oracle_sql(
     )
 
 
-def _chat_token_spans_oracle_sql(n_merges: int = 8) -> str:
+def _chat_token_spans_oracle_sql(
+    n_merges: int = 8,
+    merges_literal: "list[tuple[str, str]] | None" = None,
+) -> str:
     """Exact DuckDB replica of q_chat_token_spans: train the merge
     table (:func:`_bpe_rounds_sql`), re-apply the SAME merge rounds to
     the chat-span encode word set (content words of all three turns
@@ -8458,10 +8504,21 @@ def _chat_token_spans_oracle_sql(n_merges: int = 8) -> str:
     word→n_subtokens sums).  Piece additivity holds because every
     ChatML boundary is non-alphanumeric, so no [a-z0-9]+ word run spans
     a piece edge — the same invariant text.py chat_token_spans leans
-    on."""
-    sql = _bpe_rounds_sql(n_merges)
+    on.
+
+    With ``merges_literal`` (the q_chat_token_spans_static /
+    SHIPPED-tokenizer path) the training chain is skipped entirely and
+    each rewrite round inlines its literal ``' a  b '`` pattern —
+    the oracle is then as cheap as the query."""
+    if merges_literal is not None:
+        sql = (
+            "WITH convo AS (SELECT doc_id, "
+            "'You are a concise assistant.' AS s, "
+        )
+    else:
+        sql = _bpe_rounds_sql(n_merges)
+        sql += ", convo AS (SELECT doc_id, 'You are a concise assistant.' AS s, "
     sql += (
-        ", convo AS (SELECT doc_id, 'You are a concise assistant.' AS s, "
         "text AS u, CASE WHEN doc_id % 4 <> 3 THEN "
         "'Summary ' || doc_id || ': ' || substr(text, 1, 80) END AS a "
         "FROM documents), "
@@ -8481,15 +8538,27 @@ def _chat_token_spans_oracle_sql(n_merges: int = 8) -> str:
         "SELECT unnest(['im', 'start', 'end', 'system', 'user', "
         "'assistant']) AS w)))"
     )
-    for r in range(1, n_merges + 1):
-        sql += (
-            f", ew{r} AS MATERIALIZED (SELECT w, "
-            + _bpe_merge_rewrite_sql(r)
-            + f" AS toks FROM ew{r - 1})"
-        )
+    if merges_literal is not None:
+        n_rounds = len(merges_literal)
+        for r, (a, b) in enumerate(merges_literal, start=1):
+            sql += (
+                f", ew{r} AS MATERIALIZED (SELECT w, "
+                "trim(regexp_replace("
+                "replace(' ' || replace(toks, ' ', '  ') || ' ', "
+                f"' {a}  {b} ', ' {a}{b} '), "
+                f"' +', ' ', 'g')) AS toks FROM ew{r - 1})"
+            )
+    else:
+        n_rounds = n_merges
+        for r in range(1, n_merges + 1):
+            sql += (
+                f", ew{r} AS MATERIALIZED (SELECT w, "
+                + _bpe_merge_rewrite_sql(r)
+                + f" AS toks FROM ew{r - 1})"
+            )
     sql += (
         f", vocab AS MATERIALIZED (SELECT w, "
-        f"len(string_split(toks, ' ')) AS n FROM ew{n_merges}), "
+        f"len(string_split(toks, ' ')) AS n FROM ew{n_rounds}), "
         "hv AS (SELECT "
         "(SELECT n FROM vocab WHERE w = 'im') AS n_im, "
         "(SELECT n FROM vocab WHERE w = 'start') AS n_st, "
@@ -8634,6 +8703,9 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_train": _bpe_oracle_sql(n_merges=8),
         "q_bpe_encode": _bpe_oracle_sql(n_merges=8, encode=True),
         "q_chat_token_spans": _chat_token_spans_oracle_sql(n_merges=8),
+        "q_chat_token_spans_static": _chat_token_spans_oracle_sql(
+            merges_literal=[(a, b) for _, a, b, _ in _STATIC_MERGES]
+        ),
         "q_tokenizer_fertility": (
             _bpe_rounds_sql(8)
             + ", vocab AS (SELECT w, len(string_split(toks, ' ')) AS ns "

@@ -61,6 +61,7 @@ HEADLINE = [
     "q_chat_template",
     "q_chat_loss_spans",
     "q_chat_token_spans",
+    "q_chat_token_spans_static",
     "q_chat_multiturn",
     "q_chat_multiturn_spans",
     "q_fim_spm",
