@@ -11,16 +11,21 @@ desired order and rewrites the dict block in ``__spark_entry__.py``:
    REGRESSION window (VERDICT r5 item 5, ranking fixed per VERDICT r8
    item 1).  Order within the regression window:
 
-   a. queries named in ``scripts/window_priority.txt`` — the builder's
+   a. age backstop FIRST (VERDICT r9 item 1, hardened per VERDICT r11
+      item 1): queries whose last driver-green row would age past the
+      staleness bound if skipped this round, stalest first.  The
+      backstop now outranks pending/new queries and the priority file —
+      r11 proved that new queries can otherwise displace the backstop
+      (18 TPC-H/window rows hit staleness 7).  A new query skipped for
+      a round still has its local-gate green row; a backstop query
+      skipped past the bound has NO fresh hard signal.  The bound is
+      ``max(6, ceil(N/50))`` — the information-theoretic floor for the
+      current registry size, not a frozen constant;
+   b. queries named in ``scripts/window_priority.txt`` — the builder's
       per-round channel for "this operator's code changed this round /
       has only one driver row; re-verify it" (the VERIFIED.md policy's
       "any query whose operator changed that round" clause, which the
       ledger alone cannot detect), in file order;
-   b. age backstop (VERDICT r9 item 1): queries whose last driver-green
-      row would age past ``MAX_STALENESS_ROUNDS`` (= 6 = ceil(261/50),
-      the information-theoretic floor) if skipped this round, stalest
-      first — guarantees calm families can't starve behind the risky
-      tier; warns if pending+priority+overdue overflow the 50 slots;
    c. risky families (iterative graph loops, streaming drains, ANN/LSH
       and dedup families, per ``RISK_PREFIXES``) ordered by LAST
       driver-green round ascending (stalest first), then risk rank;
@@ -105,12 +110,18 @@ def _risk_rank(name: str) -> int:
     return len(RISK_PREFIXES)
 
 
-#: hard age bound (VERDICT r9 item 1): no query's last driver-green row
-#: may age past this many rounds.  The floor for N queries / 50 slots is
-#: ceil(N/50) (261 → 6); queries at or past the bound jump the risk
-#: ranking entirely, stalest first, so calm families can't starve
-#: behind a large risky tier.
-MAX_STALENESS_ROUNDS = 6
+#: hard age bound floor (VERDICT r9 item 1): no query's last
+#: driver-green row may age past this many rounds.  The true bound for
+#: N queries / 50 slots is max(MIN_STALENESS_ROUNDS, ceil(N/50)) —
+#: recomputed per registry size by :func:`staleness_bound` (VERDICT r11
+#: item 1: 288/50 made the frozen 6 unattainable).  Queries at or past
+#: the bound take the FIRST window slots, ahead of pending and priority.
+MIN_STALENESS_ROUNDS = 6
+
+
+def staleness_bound(n_queries: int) -> int:
+    """Age bound for the current registry: max(6, ceil(N/50))."""
+    return max(MIN_STALENESS_ROUNDS, -(-n_queries // 50))
 
 
 def desired_order(
@@ -131,20 +142,24 @@ def desired_order(
             (stale(n) for n in names if n in last_green), default=0
         ) + 1
     rest = [n for n in names if n not in seen]
-    # age backstop: anything that would exceed MAX_STALENESS_ROUNDS if
-    # skipped this round gets a slot ahead of the risk ranking
+    # age backstop: anything that would exceed the staleness bound if
+    # skipped this round takes the FIRST slots — ahead of pending and
+    # priority, which cannot displace it (VERDICT r11 item 1)
+    bound = staleness_bound(len(names))
     overdue = sorted(
-        (
-            n for n in rest
-            if next_round - stale(n) >= MAX_STALENESS_ROUNDS
-        ),
+        (n for n in rest if next_round - stale(n) >= bound),
         key=lambda n: (stale(n), _risk_rank(n), n),
     )
-    if len(pending) + len(prio) + len(overdue) > 50:
+    if len(overdue) > 50:
         print(
-            f"WARNING: backstop overflow — {len(pending)} pending + "
-            f"{len(prio)} priority + {len(overdue)} overdue > 50 slots; "
-            "stalest overdue queries may exceed the age bound"
+            f"WARNING: backstop overflow — {len(overdue)} overdue > 50 "
+            "slots; stalest overdue queries may exceed the age bound"
+        )
+    elif len(pending) + len(prio) + len(overdue) > 50:
+        print(
+            f"NOTE: {len(pending)} pending + {len(prio)} priority + "
+            f"{len(overdue)} overdue > 50 slots; overdue is served "
+            "first, trailing pending/priority wait a round"
         )
     seen |= set(overdue)
     rest = [n for n in rest if n not in seen]
@@ -156,7 +171,7 @@ def desired_order(
         (n for n in rest if _risk_rank(n) >= len(RISK_PREFIXES)),
         key=lambda n: (stale(n), n),
     )
-    return pending + prio + overdue + risky + calm
+    return overdue + pending + prio + risky + calm
 
 
 def main() -> None:

@@ -70,13 +70,14 @@ def main() -> None:
         "Window policy once every query has a driver-green row (reached end of",
         "r8, per VERDICT r5 item 5): the first 50 slots become a REGRESSION",
         "window. Ranking (scripts/rotate_window.py, VERDICT r8 item 1):",
-        "pending (new) queries first; then queries whose operator changed this",
-        "round, named in scripts/window_priority.txt (the builder's per-round",
-        "channel for 'code is new, re-verify'); then the AGE BACKSTOP",
-        "(VERDICT r9 item 1): any query whose last driver row would age past",
-        "MAX_STALENESS_ROUNDS = 6 rounds (= ceil(261/50), the floor for 261",
-        "queries over a 50-slot window) jumps the risk ranking, stalest",
-        "first; then risky families (iterative graph loops, streaming drains,",
+        "the AGE BACKSTOP FIRST (VERDICT r9 item 1, hardened per VERDICT r11",
+        "item 1): any query whose last driver row would age past the bound",
+        "max(6, ceil(N/50)) takes the first slots, stalest first — new and",
+        "priority queries can NOT displace it; then pending (new) queries;",
+        "then queries whose operator changed this round, named in",
+        "scripts/window_priority.txt (the builder's per-round channel for",
+        "'code is new, re-verify'); then risky families (iterative graph",
+        "loops, streaming drains,",
         "ANN/LSH/dedup — RISK_PREFIXES) ordered stalest-last-driver-row",
         "first; then everything else, stalest first.  `staleness` below =",
         f"rounds since the last driver row, relative to the latest graded",
@@ -91,11 +92,12 @@ def main() -> None:
         for n in names
     ]
     max_age = max((a for n in names if (a := age(n)) is not None), default=0)
+    bound = max(6, -(-len(names) // 50))  # keep in sync with rotate_window.staleness_bound
     lines += [
         "",
         f"Totals: {len(names) - pend} driver-verified, {pend} pending "
         f"({min(50, pend)} queued in this round's window); max staleness "
-        f"{max_age} rounds (bound: 6).",
+        f"{max_age} rounds (bound: {bound}).",
     ]
     with open(os.path.join(ROOT, "VERIFIED.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")

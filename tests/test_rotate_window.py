@@ -100,6 +100,24 @@ def test_age_backstop_orders_overdue_stalest_first():
     assert order == ["q_b", "q_a", "q_c"]
 
 
+def test_backstop_outranks_pending_and_priority():
+    # VERDICT r11 item 1: new queries consumed backstop slots and 18
+    # rows aged past the bound.  Overdue must now take the FIRST slots.
+    names = ["q_new", "q_changed", "q_old", "q_fresh"]
+    last = {"q_changed": "r09", "q_old": "r03", "q_fresh": "r09"}
+    order = rw.desired_order(
+        names, last_green=last, priority=["q_changed"], next_round=10
+    )
+    assert order == ["q_old", "q_new", "q_changed", "q_fresh"]
+
+
+def test_staleness_bound_scales_with_registry_size():
+    assert rw.staleness_bound(261) == 6
+    assert rw.staleness_bound(300) == 6
+    assert rw.staleness_bound(301) == 7
+    assert rw.staleness_bound(10) == 6  # floor
+
+
 def test_backstop_not_triggered_inside_bound():
     names = ["q_select", "q_pagerank"]
     last = {"q_select": "r05", "q_pagerank": "r08"}
