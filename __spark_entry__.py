@@ -4237,8 +4237,9 @@ def q_length_buckets(spark, sf_dir):
     padding census — the dynamic-batching report that replaces
     global-max padding (30-60% compute waste on variable-length
     corpora).  One scan-stage bucket expression + one
-    map-side-combinable agg; the oracle replays the log2 bucket edges
-    (IEEE-exact at powers of two) and the integer batch math."""
+    map-side-combinable agg; the oracle replays the integer bit-length
+    bucket edges (ceil(log2(n)) = length(bin(n-1)) — no float log2,
+    ADVICE r11) and the integer batch math."""
     from kevinlang_spark.functions.textexpr import token_count
     from kevinlang_spark.operators.text import length_bucket_batches
 
@@ -10325,7 +10326,8 @@ def oracle_sql() -> dict[str, str]:
             "WITH t AS (SELECT len(list_filter(string_split_regex("
             "lower(text), '[^a-z0-9]+'), e -> e <> '')) AS n "
             "FROM documents WHERE text IS NOT NULL), "
-            "b AS (SELECT GREATEST(CAST(CEIL(LOG2(n)) AS INT), 0) "
+            "b AS (SELECT CAST(CASE WHEN n <= 1 THEN 0 "
+            "ELSE length(bin(n - 1)) END AS INT) "
             "AS bucket, n FROM t WHERE n >= 1), "
             "a AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs, "
             "CAST(SUM(n) AS BIGINT) AS total_tokens FROM b GROUP BY bucket), "

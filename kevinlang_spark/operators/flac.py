@@ -471,33 +471,37 @@ def _read_subframe(br: _BitReader, bs: int, bits: int) -> list[int]:
             # reconstruction = k cumulative sums seeded by the warmup's
             # difference table — exact int64 arithmetic, vectorized,
             # instead of a per-sample Python predictor loop.  The int64
-            # fast path is guarded (ADVICE r10): Rice escape codes
-            # admit ~2^55 residual magnitudes, and a cumsum over a
-            # block of those can wrap int64 mid-reconstruction — real
-            # FLAC never needs intermediates anywhere near that (a
-            # b-bit signal's k-th differences fit in b+k bits), so a
-            # stream whose worst-case partial-sum bound approaches
-            # 2^62 is corrupt and quarantines as ValueError like every
-            # other corrupt-stream path (an exact scalar fallback
-            # would only defer the failure: np.array(..., int64)
-            # overflows downstream as OverflowError, killing the
-            # task instead of quarantining the row).
-            res_bound = max((abs(int(v)) for v in res), default=0)
-            seed_bound = max((abs(int(v)) for v in x), default=0)
-            risk = res_bound
-            for _ in range(order):
-                risk = (seed_bound << order) + risk * max(len(res), 1)
-            if risk >= 2**62:
-                raise ValueError(
-                    "corrupt FLAC FIXED residuals: magnitude would "
-                    "overflow 64-bit reconstruction"
-                )
+            # fast path is guarded PER INTEGRATION STAGE (ADVICE r10,
+            # loosened per ADVICE r11: an up-front res_bound*len^order
+            # bound overestimates the true intermediates — which equal
+            # the signal's lower-order differences, ~2^(b+k) — by
+            # len^order, quarantining valid blocks with one transient
+            # residual).  Before each cumsum the worst |partial sum| is
+            # bounded by |seed| + max|cur| * len using the ACTUAL stage
+            # values; if even that trips, reconstruct the stage with
+            # exact Python ints and quarantine only when the true
+            # values overflow the int64 carrier (keeping 2^62 headroom
+            # for the later stereo-decorrelation adds).
             cur = np.asarray(res, dtype=np.int64)
             diffs = [np.asarray(x, dtype=np.int64)]
             for _ in range(1, order):
                 diffs.append(np.diff(diffs[-1]))
             for j in range(order - 1, -1, -1):
-                cur = int(diffs[j][-1]) + np.cumsum(cur)
+                seed = int(diffs[j][-1])
+                peak = int(np.abs(cur).max(initial=0))
+                if abs(seed) + peak * max(len(res), 1) < 2**62:
+                    cur = seed + np.cumsum(cur)
+                else:
+                    acc, vals = seed, []
+                    for v in cur.tolist():
+                        acc += int(v)
+                        if not -(2**62) < acc < 2**62:
+                            raise ValueError(
+                                "corrupt FLAC FIXED residuals: magnitude"
+                                " would overflow 64-bit reconstruction"
+                            )
+                        vals.append(acc)
+                    cur = np.array(vals, dtype=np.int64)
             x = x + cur.tolist()
     elif t >= 32:  # LPC order 1-32
         order = t - 31

@@ -137,6 +137,13 @@ def reward_agreement(
     projection before the three counts read it (the CollapseProject
     re-inline trap).
 
+    Pairs form by ARRAY POSITION over the deterministically sorted
+    (cand, a, b) structs — not by ``y.c > x.c`` id inequality, which
+    silently dropped pairs involving duplicate cand_id values while
+    tau_a still divided by n(n-1), deflating tau (ADVICE r11).  With
+    position pairing C + D + T == n(n-1)/2 holds for every input, and
+    for unique cand_ids the census is unchanged.
+
     Returns (prompt_col, n_cands, concordant, discordant, tied,
     tau_a); prompts with fewer than 2 scored candidates are dropped;
     tau_a = 2(C - D) / (n(n-1))."""
@@ -155,12 +162,12 @@ def reward_agreement(
         ).alias("xs"),
         F.count("*").alias("n_cands"),
     )
-    xs = F.col("xs")
+    xs = F.array_sort(F.col("xs"))
     signs = F.flatten(
         F.transform(
             xs,
-            lambda x: F.transform(
-                F.filter(xs, lambda y: y["c"] > x["c"]),
+            lambda x, i: F.transform(
+                F.slice(xs, i + 2, F.greatest(F.size(xs) - i - 1, F.lit(0))),
                 lambda y: (
                     F.signum(x["a"] - y["a"]) * F.signum(x["b"] - y["b"])
                 ).cast("int"),

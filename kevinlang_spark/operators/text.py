@@ -2713,6 +2713,14 @@ def span_corruption(
 
     Zero shuffle, zero Python: one scan-stage projection of
     substr/concat.  Returns (id_col, corrupted, inputs, targets)."""
+    # the non-overlap construction needs each half to hold a max-length
+    # span (3 + 7 chars): with min_chars < 20 the modulus half - len1 + 1
+    # can be <= 0, silently yielding null/overlapping spans (ADVICE r11)
+    if min_chars < 20:
+        raise ValueError(
+            "span_corruption needs min_chars >= 20 (2 x the 10-char max "
+            f"span) for the non-overlap construction; got {min_chars}"
+        )
     t = F.col(text_col)
     sid = F.col(id_col).cast("string")
 
@@ -2872,16 +2880,20 @@ def length_bucket_batches(
     global-max padding; this is the standard fix.
 
     ONE map-side-combinable aggregation — bucket assignment is a
-    scan-stage expression (log2 of powers of two is IEEE-exact, so the
-    bucket edges replay identically cross-engine).  Docs with
-    n_tokens < 1 are dropped (nothing to batch).
+    scan-stage expression in INTEGER math: ceil(log2(n)) =
+    bit_length(n-1) = length(bin(n-1)) for n >= 2 (ADVICE r11: Spark's
+    LOG2 is ln(x)/ln(2), which returns 29.000000000000004 at n = 2^29,
+    so a float ceil over-buckets exact powers of two >= 2^29 while
+    DuckDB's true log2 does not — integer bit-length replays
+    identically on both engines at every n).  Docs with n_tokens < 1
+    are dropped (nothing to batch).
 
     Returns (bucket, max_len, n_docs, total_tokens, batch_size,
     n_batches, pad_waste_tokens)."""
     n = F.col(ntok_col).cast("bigint")
-    bucket = F.greatest(
-        F.ceil(F.log2(n)).cast("int"), F.lit(0)
-    )
+    bucket = F.when(n <= 1, F.lit(0)).otherwise(
+        F.length(F.bin(n - 1))
+    ).cast("int")
     base = df.where(n >= 1).select(n.alias("__n"), bucket.alias("bucket"))
     max_len = F.pow(F.lit(2.0), F.col("bucket")).cast("bigint")
     agg = base.groupBy("bucket").agg(

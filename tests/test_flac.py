@@ -190,6 +190,62 @@ def test_fixed_order4_and_partition_order():
     assert s[:, 0].tolist() == x
 
 
+def test_fixed_order4_big_block_transient_residuals_decode():
+    """ADVICE r11: the up-front overflow guard bounded risk as
+    res_bound*len^order, so a VALID 16-bit order-4 block of 4096
+    samples with transient ~2^19 residuals (4th differences of full-
+    scale noise) hit risk ≈ 2^67 and was quarantined.  The per-stage
+    guard must decode it exactly (true intermediates are the signal's
+    lower-order differences, far below int64)."""
+    bs = 4096
+    rng = np.random.RandomState(23)
+    x = list(rng.randint(-32768, 32768, bs))
+    coef = [4, -6, 4, -1]
+    res = [
+        x[n] - sum(c * x[n - 1 - j] for j, c in enumerate(coef))
+        for n in range(4, bs)
+    ]
+    assert max(abs(r) for r in res) >= 2**18  # the ADVICE regime
+
+    def ws(fw):
+        fw.write(0, 1)
+        fw.write(0b001000 | 4, 6)  # FIXED order 4
+        fw.write(0, 1)
+        for v in x[:4]:
+            fw.write(int(v) & 0xFFFF, 16)
+        _write_rice_residual(fw, res, k=14, part_order=0, order=4, bs=bs)
+
+    _, _, s = flac_samples(_stream(bs, 1, 0b0000, ws))
+    assert s[:, 0].tolist() == x
+
+
+def test_fixed_order4_true_overflow_still_quarantines():
+    """The exact-int fallback still quarantines residuals whose TRUE
+    reconstruction exceeds the int64 carrier (corrupt stream), instead
+    of wrapping or killing the task."""
+    bs = 4096
+    huge = 2**29 - 1  # max positive 30-bit raw residual
+    res = [huge] * (bs - 4)
+    # true order-4 integral ≈ huge * bs^4 / 24 ≈ 2^72 — past int64
+
+    def ws(fw):
+        fw.write(0, 1)
+        fw.write(0b001000 | 4, 6)  # FIXED order 4
+        fw.write(0, 1)
+        for _ in range(4):
+            fw.write(0, 16)
+        # method-1 escape partition: raw 30-bit residuals
+        fw.write(0b01, 2)
+        fw.write(0, 4)  # partition order 0
+        fw.write(31, 5)  # escape
+        fw.write(30, 5)  # raw bit width
+        for r in res:
+            fw.write(r, 30)
+
+    with pytest.raises(ValueError, match="overflow 64-bit"):
+        flac_samples(_stream(bs, 1, 0b0000, ws))
+
+
 def test_lpc_subframe():
     bs = 12
     x = [10, 20]

@@ -516,6 +516,19 @@ def test_span_corruption_reconstructs(spark):
     assert not out[100]["corrupted"] and not out[101]["corrupted"]
 
 
+def test_span_corruption_rejects_small_min_chars(spark):
+    """ADVICE r11: min_chars < 20 makes half - len1 + 1 nonpositive
+    (modulo by <= 0 → null/overlapping spans); the guard raises at
+    entry instead of silently corrupting."""
+    import pytest as _pytest
+
+    from kevinlang_spark.operators.text import span_corruption
+
+    df = spark.createDataFrame([(1, "x" * 19)], "doc_id bigint, text string")
+    with _pytest.raises(ValueError, match="min_chars >= 20"):
+        span_corruption(df, min_chars=19)
+
+
 def test_span_corruption_plan_scan_stage(spark):
     from kevinlang_spark.operators.text import span_corruption
     from kevinlang_spark.plans.inspect import executed_plan
@@ -654,6 +667,31 @@ def test_reward_agreement_kendall(spark):
     assert abs(r3["tau_a"] - (-2 * 2.0 / 6)) < 1e-12
 
 
+def test_reward_agreement_duplicate_cand_ids_keep_full_census(spark):
+    """ADVICE r11: id-inequality pairing dropped pairs between
+    duplicate cand_id values while tau_a still divided by n(n-1).
+    Position pairing over the sorted structs keeps C + D + T ==
+    n(n-1)/2 for every input."""
+    from kevinlang_spark.operators.preference import reward_agreement
+
+    rows = [  # prompt 1: THREE candidates all sharing cand_id 0
+        (1, 0, 10, 1), (1, 0, 20, 2), (1, 0, 30, 3),
+        (2, 5, 1, 2), (2, 5, 3, 1),  # one duplicate pair, inverted
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "prompt_id bigint, cand_id bigint, reward_a bigint, reward_b bigint",
+    )
+    out = {r["prompt_id"]: r for r in reward_agreement(df).collect()}
+    r1 = out[1]
+    assert r1["n_cands"] == 3
+    assert (r1["concordant"], r1["discordant"], r1["tied"]) == (3, 0, 0)
+    assert r1["tau_a"] == 1.0
+    r2 = out[2]
+    assert (r2["concordant"], r2["discordant"], r2["tied"]) == (0, 1, 0)
+    assert r2["tau_a"] == -1.0
+
+
 def test_length_bucket_batches_math(spark):
     from kevinlang_spark.operators.text import length_bucket_batches
 
@@ -673,6 +711,22 @@ def test_length_bucket_batches_math(spark):
     assert b7["pad_waste_tokens"] == 2 * 128 - 220
     # zero-token docs dropped
     assert sum(r["n_docs"] for r in out.values()) == 6
+
+
+def test_length_bucket_integer_log2_at_large_powers_of_two(spark):
+    """ADVICE r11: float LOG2(2^29) = 29.000000000000004 in Spark, so a
+    float-ceil bucket put 2^29 into bucket 30.  The integer bit-length
+    bucket must keep every exact power of two n = 2^k in bucket k."""
+    from kevinlang_spark.operators.text import length_bucket_batches
+
+    df = spark.createDataFrame(
+        [(2**29,), (2**29 + 1,), (2**31,), (2**39,)], "n_tokens bigint"
+    )
+    out = {r["bucket"]: r for r in length_bucket_batches(
+        df, token_budget=4096).collect()}
+    assert set(out) == {29, 30, 31, 39}
+    assert out[29]["max_len"] == 2**29 and out[29]["n_docs"] == 1
+    assert out[30]["n_docs"] == 1  # 2^29 + 1 genuinely needs bucket 30
 
 
 def test_epoch_shuffle_keys_properties(spark):
