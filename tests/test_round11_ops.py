@@ -777,3 +777,28 @@ def test_quality_retention_curve_math(spark):
     df2 = spark.createDataFrame(rows2, "doc_id bigint, score int, n_tokens int")
     out2 = {r["bin"]: r for r in quality_retention_curve(df2, n_bins=5).collect()}
     assert out2[0]["n_docs"] == 8 and out2[4]["n_docs"] == 2
+
+
+def test_quality_retention_curve_quantizes_continuous_scores(spark):
+    """VERDICT r11: a raw continuous double score must NOT degenerate
+    the grid to one cell per document — the default quantize buckets
+    scores to 1e-4 cells, so near-identical doubles merge while
+    well-separated ones keep their order."""
+    import pytest as _pytest
+
+    from kevinlang_spark.operators.text import quality_retention_curve
+
+    rows = [  # two clusters of scores inside one 1e-4 cell each
+        (1, 0.500000, 10), (2, 0.50000004, 20),
+        (3, 0.100000, 1), (4, 0.10000002, 2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, score double, n_tokens int")
+    out = {r["bin"]: r for r in quality_retention_curve(df, n_bins=2).collect()}
+    # each cluster is ONE grid cell; ties-never-straddle keeps them whole
+    assert out[0]["n_docs"] == 2 and out[0]["total_tokens"] == 30
+    assert out[1]["n_docs"] == 2 and out[1]["total_tokens"] == 3
+    # quantize=None reverts to raw grouping (caller owns the bound)
+    raw = quality_retention_curve(df, n_bins=2, quantize=None).collect()
+    assert sum(r["n_docs"] for r in raw) == 4
+    with _pytest.raises(ValueError, match="quantize"):
+        quality_retention_curve(df, quantize=0)
