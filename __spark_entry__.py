@@ -6988,6 +6988,30 @@ def q_bpe_train(spark, sf_dir):
     return bpe_merges_df(_t(spark, sf_dir, "documents"), n_merges=8)
 
 
+def q_bpe_train_vocab(spark, sf_dir):
+    """Production-vocab BPE training (text.py bpe_train_local, VERDICT
+    r11 item 2): the corpus-scale wordcount is the one distributed
+    shuffle (100 TB collapses to its ~10⁷ distinct words), then the
+    1000-merge training loop runs locally over the collected (word,
+    freq) table with a lazy-deletion max-heap and incremental
+    pair-count deltas — seconds of CPU instead of 1000
+    driver-sequential Spark jobs.  Semantics are byte-identical to the
+    distributed trainer (pytest parity-gates the first 8 merges, which
+    ARE oracled via q_bpe_train); the training corpus unions
+    documents.text with customer names so the digit-rich vocabulary
+    genuinely supports >= 1000 merges.  No oracle_sql: a 1000-round
+    argmax loop is not SQL-expressible (the 8-round oracle unroll is
+    already ~the practical limit); the driver records the rows-only
+    check and tests/test_bpe_vocab.py carries the correctness gate."""
+    from kevinlang_spark.operators.text import bpe_merges_local_df
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("text")
+    )
+    return bpe_merges_local_df(docs.union(cust), n_merges=1000)
+
+
 def q_bpe_encode(spark, sf_dir):
     """Tokenize the corpus with a TRAINED BPE vocabulary (text.py
     bpe_token_counts): train 8 merges, encode the DISTINCT-word table
@@ -7474,6 +7498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_benford": q_benford,
         "q_bpe_encode": q_bpe_encode,
         "q_bpe_train": q_bpe_train,
+        "q_bpe_train_vocab": q_bpe_train_vocab,
         "q_class_weights": q_class_weights,
         "q_corr_matrix": q_corr_matrix,
         "q_dp_counts": q_dp_counts,

@@ -180,6 +180,7 @@ HEADLINE = [
     "q_webdataset",
     "q_webdataset_pipeline",
     "q_bpe_train",
+    "q_bpe_train_vocab",
     "q_bpe_encode",
     "q_hard_negatives",
     "q_truncation_recall",

@@ -1509,6 +1509,132 @@ def bpe_merges_df(
     )
 
 
+def bpe_train_local(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 32_000,
+    max_vocab_rows: int = 20_000_000,
+) -> "list[tuple[int, str, str, int]]":
+    """Production-vocab BPE training (VERDICT r11 item 2): identical
+    semantics to :func:`bpe_train` — same (count desc, tok_a, tok_b)
+    tie-breaks, same overlapping adjacent-pair statistics, same
+    left-to-right non-overlapping merge application — but the merge
+    loop runs LOCALLY over the collected (word, freq) vocabulary table
+    with incremental pair-count maintenance, so a 32k–100k-merge
+    vocabulary costs seconds of CPU instead of 32k driver-sequential
+    Spark jobs (days of scheduler latency at ~0.3s/job).
+
+    This is the standard production shape (Sennrich et al. 2016's
+    reference ``learn_bpe`` trains exactly this way): the CORPUS-scale
+    work — the wordcount that collapses 100 TB to its ~10⁷ distinct
+    words — is the one distributed shuffle; the training loop is
+    vocab-scale and latency-bound, so it belongs on one node.  The
+    learned merge table then ships back into the cluster like
+    ``chat_token_spans_static`` consumes one.  ``max_vocab_rows``
+    guards the collect: a vocab table larger than that raises instead
+    of silently OOMing the driver (raise the cap or pre-prune rare
+    words with a frequency floor).
+
+    Incremental maintenance per merge: a lazy max-heap of
+    (-count, a, b) entries (stale entries re-validated against the
+    live pair-count dict on pop — the textbook lazy-deletion heap), a
+    pair→word-ids index so only words CONTAINING the argmax pair are
+    rewritten, and delta updates that subtract the rewritten word's
+    old adjacent pairs and add its new ones.  Early-stops when no
+    adjacent pair remains.  Returns ``[(rank, tok_a, tok_b,
+    pair_count), …]`` — byte-identical to :func:`bpe_train` for the
+    same corpus and merge count (pytest parity-gates the first rounds;
+    tests/test_bpe_vocab.py)."""
+    import heapq
+
+    vocab_rows = (
+        spread(df.where(F.col(text_col).isNotNull()))
+        .select(F.explode(tokenize(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .limit(max_vocab_rows + 1)
+        .collect()
+    )
+    if len(vocab_rows) > max_vocab_rows:
+        raise ValueError(
+            f"bpe_train_local: vocabulary exceeds max_vocab_rows="
+            f"{max_vocab_rows}; raise the cap or prune rare words first"
+        )
+
+    words: "list[list[str]]" = [list(r["w"]) for r in vocab_rows]
+    freqs: "list[int]" = [int(r["freq"]) for r in vocab_rows]
+    counts: "dict[tuple[str, str], int]" = {}
+    where: "dict[tuple[str, str], set[int]]" = {}
+    for wi, seq in enumerate(words):
+        f = freqs[wi]
+        for i in range(len(seq) - 1):
+            p = (seq[i], seq[i + 1])
+            counts[p] = counts.get(p, 0) + f
+            where.setdefault(p, set()).add(wi)
+    heap = [(-n, a, b) for (a, b), n in counts.items()]
+    heapq.heapify(heap)
+
+    merges: "list[tuple[int, str, str, int]]" = []
+    rank = 0
+    while rank < n_merges and heap:
+        negn, a, b = heapq.heappop(heap)
+        live = counts.get((a, b), 0)
+        if live <= 0:
+            continue
+        if -negn != live:  # stale heap entry — re-queue the live count
+            heapq.heappush(heap, (-live, a, b))
+            continue
+        rank += 1
+        merges.append((rank, a, b, live))
+        ab = a + b
+        for wi in sorted(where.pop((a, b), ())):
+            seq = words[wi]
+            f = freqs[wi]
+            # the index may hold stale members; the delta update below
+            # is a no-op for them, but skip the rewrite cost
+            if not any(
+                seq[i] == a and seq[i + 1] == b for i in range(len(seq) - 1)
+            ):
+                continue
+            for i in range(len(seq) - 1):
+                p = (seq[i], seq[i + 1])
+                counts[p] -= f
+            new: "list[str]" = []
+            i = 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    new.append(ab)
+                    i += 2
+                else:
+                    new.append(seq[i])
+                    i += 1
+            words[wi] = new
+            for i in range(len(new) - 1):
+                p = (new[i], new[i + 1])
+                n2 = counts.get(p, 0) + f
+                counts[p] = n2
+                where.setdefault(p, set()).add(wi)
+                heapq.heappush(heap, (-n2, p[0], p[1]))
+        counts.pop((a, b), None)
+    return merges
+
+
+def bpe_merges_local_df(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 32_000,
+    max_vocab_rows: int = 20_000_000,
+) -> DataFrame:
+    """``bpe_train_local`` as a DataFrame of (merge_rank, tok_a, tok_b,
+    pair_count) — the shippable merge table for production vocab
+    sizes."""
+    spark = df.sparkSession
+    rows = bpe_train_local(df, text_col, n_merges, max_vocab_rows)
+    return spark.createDataFrame(
+        rows, "merge_rank int, tok_a string, tok_b string, pair_count bigint"
+    )
+
+
 def source_kl_divergence(
     df: DataFrame,
     text_col: str = "text",

@@ -1,0 +1,120 @@
+"""Production-vocab local BPE trainer (text.py bpe_train_local,
+VERDICT r11 item 2): parity with the distributed trainer, the
+incremental pair-count bookkeeping vs a brute-force recount reference,
+merge-count invariants, and the driver-query wiring."""
+
+from __future__ import annotations
+
+import pytest
+
+from kevinlang_spark.operators.text import (
+    bpe_merges_local_df,
+    bpe_train,
+    bpe_train_local,
+)
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog 00912 00913",
+    "pack my box with five dozen liquor jugs 00914 00915 00912",
+    "the five boxing wizards jump quickly 00913 00912",
+    "sphinx of black quartz judge my vow the the the",
+]
+
+
+def _corpus_df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id bigint, text string"
+    )
+
+
+def _brute_force(df, n_merges):
+    """Independent reference: full recount of overlapping adjacent
+    pairs every round — no heap, no index, no deltas."""
+    rows = (
+        df.selectExpr(
+            "explode(filter(split(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '')) AS w"
+        )
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    vocab = {tuple(r["w"]): int(r["count"]) for r in rows}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts: dict = {}
+        for seq, f in vocab.items():
+            for i in range(len(seq) - 1):
+                p = (seq[i], seq[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, n))
+        new_vocab: dict = {}
+        for seq, f in vocab.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_local_trainer_matches_distributed_first_rounds(spark):
+    """The first 8 merges (the oracle-covered regime of q_bpe_train)
+    must be byte-identical between the two trainers — same argmax pair,
+    same tie-breaks, same pair counts."""
+    df = _corpus_df(spark)
+    assert bpe_train_local(df, n_merges=8) == bpe_train(df, n_merges=8)
+
+
+def test_local_trainer_matches_brute_force_to_exhaustion(spark):
+    """The lazy-heap + delta-update bookkeeping must agree with a full
+    per-round recount all the way to pair exhaustion."""
+    df = _corpus_df(spark)
+    got = bpe_train_local(df, n_merges=10_000)
+    want = _brute_force(df, 10_000)
+    assert got == want
+    assert len(got) < 10_000  # genuinely exhausted, loop terminated
+
+
+def test_merge_counts_never_increase(spark):
+    """Max-pair count is non-increasing over rounds: a merge-created
+    pair occurs at most once per occurrence of the merged token, so no
+    later argmax can exceed an earlier one."""
+    got = bpe_train_local(_corpus_df(spark), n_merges=10_000)
+    assert all(got[i][3] >= got[i + 1][3] for i in range(len(got) - 1))
+    assert all(got[i][0] == i + 1 for i in range(len(got)))  # dense ranks
+
+
+def test_vocab_cap_guard(spark):
+    with pytest.raises(ValueError, match="max_vocab_rows"):
+        bpe_train_local(_corpus_df(spark), n_merges=4, max_vocab_rows=3)
+
+
+def test_merges_local_df_schema(spark):
+    out = bpe_merges_local_df(_corpus_df(spark), n_merges=5)
+    assert [f.name for f in out.schema.fields] == [
+        "merge_rank", "tok_a", "tok_b", "pair_count",
+    ]
+    assert out.count() == 5
+
+
+def test_q_bpe_train_vocab_reaches_production_merge_counts(spark, sf_dir):
+    """The registered driver query must deliver >= 100 merges even at
+    the smallest test scale (sf0.001; the driver's sf0.01 run exceeds
+    1000) with dense ranks and non-increasing counts."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["q_bpe_train_vocab"](spark, sf_dir).collect()
+    assert len(rows) >= 100
+    ranks = [r["merge_rank"] for r in rows]
+    assert ranks == list(range(1, len(rows) + 1))
+    counts = [r["pair_count"] for r in rows]
+    assert all(counts[i] >= counts[i + 1] for i in range(len(counts) - 1))
