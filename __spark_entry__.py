@@ -4478,6 +4478,58 @@ def q_reward_agreement(spark, sf_dir):
     return reward_agreement(scored)
 
 
+def q_bt_strength(spark, sf_dir):
+    """Per-prompt Bradley-Terry strengths (operators/preference.py
+    bt_strength — Hunter 2004's MM fixed point, VERDICT r11 item 5):
+    pairwise comparisons derive closed-form from the deterministic
+    md5-bridge rewards (all 6 candidate pairs per prompt, higher
+    reward wins, ties skipped — a map-only posexplode, no self-join),
+    then two MM iterations with the alpha=0.5 pseudo-match prior fit
+    each candidate's strength IN-ROW over the bounded candidate set.
+    Every in-row fold runs over deterministically sorted arrays so the
+    float arithmetic replays in the same order — the oracle reproduces
+    the strengths bit-for-bit."""
+    from kevinlang_spark.operators.preference import bt_strength
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def rw(k):
+        sid = F.concat(
+            F.col("prompt_id").cast("string"), F.lit("#"),
+            k.cast("string"), F.lit("#rw"),
+        )
+        return (
+            F.conv(F.substring(F.md5(sid), 1, 13), 16, 10).cast("bigint")
+            % 1000
+        )
+
+    ij = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("bigint").alias("i"),
+                F.lit(j).cast("bigint").alias("j"),
+            )
+            for i in range(4)
+            for j in range(4)
+            if i < j
+        ]
+    )
+    base = docs.select(
+        F.col("doc_id").alias("prompt_id"), F.explode(ij).alias("p")
+    )
+    ri, rj = rw(F.col("p.i")), rw(F.col("p.j"))
+    comps = base.where(ri != rj).select(
+        "prompt_id",
+        F.when(ri > rj, F.col("p.i")).otherwise(F.col("p.j")).alias(
+            "winner"
+        ),
+        F.when(ri > rj, F.col("p.j")).otherwise(F.col("p.i")).alias(
+            "loser"
+        ),
+    )
+    return bt_strength(comps, n_iters=2, alpha=0.5)
+
+
 def q_chat_multiturn(spark, sf_dir):
     """Llama-3 multi-turn SFT rendering (VERDICT r10 item 6; text.py
     render_chat fmt='llama3'): five variable-role turns — system, two
@@ -7299,6 +7351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_interleaved_media": q_interleaved_media,
         "q_bitext_mine": q_bitext_mine,
         "q_reward_agreement": q_reward_agreement,
+        "q_bt_strength": q_bt_strength,
         "q_length_buckets": q_length_buckets,
         "q_epoch_shuffle": q_epoch_shuffle,
         "q_retention_curve": q_retention_curve,
@@ -10461,6 +10514,66 @@ def oracle_sql() -> dict[str, str]:
             "/ (n.n_cands * (n.n_cands - 1)) AS tau_a "
             "FROM pairs p JOIN n USING (prompt_id) "
             "GROUP BY p.prompt_id, n.n_cands HAVING n.n_cands >= 2"
+        ),
+        # BT strengths: same left-fold order as the Spark in-row MM
+        # rounds (list_reduce over list_prepend(0.0, ...) == aggregate
+        # with 0.0 init), same normalization parenthesization
+        # x * (n / sum) — the strengths must replay bit-for-bit
+        "q_bt_strength": (
+            "WITH cand AS (SELECT doc_id AS prompt_id, s.g AS cand_id, "
+            "CAST(CONCAT('0x', substr(md5(doc_id || '#' || s.g || '#rw'), "
+            "1, 13)) AS BIGINT) % 1000 AS reward "
+            "FROM documents, generate_series(0, 3) s(g)), "
+            "comp AS (SELECT x.prompt_id, "
+            "CASE WHEN x.reward > y.reward THEN x.cand_id ELSE y.cand_id "
+            "END AS winner, "
+            "CASE WHEN x.reward > y.reward THEN y.cand_id ELSE x.cand_id "
+            "END AS loser "
+            "FROM cand x JOIN cand y ON x.prompt_id = y.prompt_id "
+            "AND y.cand_id > x.cand_id WHERE x.reward <> y.reward), "
+            "g AS (SELECT prompt_id, list(struct_pack(w := winner, "
+            "l := loser) ORDER BY winner, loser) AS pairs "
+            "FROM comp GROUP BY prompt_id), "
+            "c0 AS (SELECT prompt_id, pairs, list_sort(list_distinct("
+            "list_concat(list_transform(pairs, p -> p.w), "
+            "list_transform(pairs, p -> p.l)))) AS cands FROM g), "
+            "i0 AS (SELECT *, list_transform(cands, x -> 1.0) AS ps "
+            "FROM c0), "
+            "i1r AS (SELECT prompt_id, pairs, cands, "
+            "list_transform(cands, cc -> "
+            "(len(list_filter(pairs, p -> p.w = cc)) + 0.5) / "
+            "(list_reduce(list_prepend(0.0, list_transform("
+            "list_filter(pairs, p -> p.w = cc OR p.l = cc), "
+            "p -> 1.0 / (ps[list_position(cands, cc)] + "
+            "ps[list_position(cands, CASE WHEN p.w = cc THEN p.l "
+            "ELSE p.w END)]))), (a, b) -> a + b) "
+            "+ 1.0 / (ps[list_position(cands, cc)] + 1.0))) AS raw "
+            "FROM i0), "
+            "i1 AS (SELECT prompt_id, pairs, cands, "
+            "list_transform(raw, x -> x * (len(cands) / "
+            "list_reduce(list_prepend(0.0, raw), (a, b) -> a + b))) "
+            "AS ps FROM i1r), "
+            "i2r AS (SELECT prompt_id, pairs, cands, "
+            "list_transform(cands, cc -> "
+            "(len(list_filter(pairs, p -> p.w = cc)) + 0.5) / "
+            "(list_reduce(list_prepend(0.0, list_transform("
+            "list_filter(pairs, p -> p.w = cc OR p.l = cc), "
+            "p -> 1.0 / (ps[list_position(cands, cc)] + "
+            "ps[list_position(cands, CASE WHEN p.w = cc THEN p.l "
+            "ELSE p.w END)]))), (a, b) -> a + b) "
+            "+ 1.0 / (ps[list_position(cands, cc)] + 1.0))) AS raw "
+            "FROM i1), "
+            "i2 AS (SELECT prompt_id, pairs, cands, "
+            "list_transform(raw, x -> x * (len(cands) / "
+            "list_reduce(list_prepend(0.0, raw), (a, b) -> a + b))) "
+            "AS ps FROM i2r) "
+            "SELECT prompt_id, unnest(cands) AS cand_id, "
+            "unnest(list_transform(cands, cc -> CAST(len(list_filter("
+            "pairs, p -> p.w = cc OR p.l = cc)) AS INT))) "
+            "AS n_comparisons, "
+            "unnest(list_transform(cands, cc -> CAST(len(list_filter("
+            "pairs, p -> p.w = cc)) AS INT))) AS wins, "
+            "unnest(ps) AS strength FROM i2"
         ),
         "q_best_of_n": (
             _PREFERENCE_CAND_SQL + ", "

@@ -1,0 +1,130 @@
+"""Round-12 operators: Bradley-Terry strength fitting."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+
+def _bt_brute(comps, n_iters=2, alpha=0.5):
+    """Independent reference: plain-Python MM rounds with the same
+    sorted-order folds."""
+    from collections import defaultdict
+
+    by_p = defaultdict(list)
+    for p, w, l in comps:
+        if w is not None and l is not None and w != l:
+            by_p[p].append((w, l))
+    out = {}
+    for p, pairs in by_p.items():
+        pairs = sorted(pairs)
+        cands = sorted({w for w, _ in pairs} | {l for _, l in pairs})
+        ps = {c: 1.0 for c in cands}
+        for _ in range(n_iters):
+            raw = {}
+            for c in cands:
+                wins = sum(1 for w, _ in pairs if w == c)
+                den = 0.0
+                for w, l in pairs:
+                    if w == c or l == c:
+                        other = l if w == c else w
+                        den = den + 1.0 / (ps[c] + ps[other])
+                den = den + 2.0 * alpha / (ps[c] + 1.0)
+                raw[c] = (wins + alpha) / den
+            s = 0.0
+            for c in cands:
+                s = s + raw[c]
+            norm = len(cands) / s
+            ps = {c: raw[c] * norm for c in cands}
+        for c in cands:
+            out[(p, c)] = (
+                sum(1 for w, l in pairs if c in (w, l)),
+                sum(1 for w, _ in pairs if w == c),
+                ps[c],
+            )
+    return out
+
+
+def test_bt_strength_hand_math(spark):
+    """One prompt, a beats b: first MM round from p=1 gives
+    (1.5, 0.5); second gives the 1.5909/0.4091 normalized pair —
+    checked against the closed-form recurrence by hand."""
+    from kevinlang_spark.operators.preference import bt_strength
+
+    df = spark.createDataFrame(
+        [(2, "x", "y")], "prompt_id bigint, winner string, loser string"
+    )
+    out = {r["cand_id"]: r for r in bt_strength(df).collect()}
+    assert out["x"]["wins"] == 1 and out["y"]["wins"] == 0
+    assert out["x"]["n_comparisons"] == 1 and out["y"]["n_comparisons"] == 1
+    assert abs(out["x"]["strength"] - 35.0 / 22) < 1e-12
+    assert abs(out["y"]["strength"] - 9.0 / 22) < 1e-12
+    # strengths mean-normalize to n_cands
+    assert abs(out["x"]["strength"] + out["y"]["strength"] - 2.0) < 1e-12
+
+
+def test_bt_strength_orders_by_dominance(spark):
+    """A transitive tournament a > b > c must fit strictly decreasing
+    strengths; self-comparisons and NULLs drop."""
+    from kevinlang_spark.operators.preference import bt_strength
+
+    rows = [
+        (1, "a", "b"), (1, "a", "c"), (1, "b", "c"), (1, "a", "b"),
+        (1, "a", "a"), (1, None, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "prompt_id bigint, winner string, loser string"
+    )
+    out = {r["cand_id"]: r for r in bt_strength(df).collect()}
+    assert set(out) == {"a", "b", "c"}
+    assert out["a"]["strength"] > out["b"]["strength"] > out["c"]["strength"]
+    assert out["a"]["wins"] == 3 and out["c"]["wins"] == 0
+    assert out["a"]["n_comparisons"] == 3 and out["c"]["n_comparisons"] == 2
+    want = _bt_brute([(p, w, l) for p, w, l in rows])
+    for c, r in out.items():
+        bw = want[(1, c)]
+        assert (r["n_comparisons"], r["wins"]) == bw[:2]
+        assert r["strength"] == pytest.approx(bw[2], abs=1e-12)
+
+
+def test_bt_strength_n_iters_guard(spark):
+    from kevinlang_spark.operators.preference import bt_strength
+
+    df = spark.createDataFrame(
+        [(1, "a", "b")], "prompt_id bigint, winner string, loser string"
+    )
+    with pytest.raises(ValueError, match="n_iters"):
+        bt_strength(df, n_iters=0)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    comps=st.lists(
+        st.tuples(
+            st.integers(0, 2),   # prompt
+            st.integers(0, 5),   # winner
+            st.integers(0, 5),   # loser
+        ),
+        min_size=1, max_size=24,
+    ),
+)
+def test_bt_strength_matches_brute_force(spark, comps):
+    from kevinlang_spark.operators.preference import bt_strength
+
+    df = spark.createDataFrame(
+        comps, "prompt_id bigint, winner bigint, loser bigint"
+    )
+    got = {
+        (r["prompt_id"], r["cand_id"]): (
+            r["n_comparisons"], r["wins"], r["strength"]
+        )
+        for r in bt_strength(df).collect()
+    }
+    want = _bt_brute(comps)
+    assert set(got) == set(want)
+    for k, (nc, w, s) in want.items():
+        assert got[k][:2] == (nc, w)
+        assert got[k][2] == pytest.approx(s, abs=1e-12)
