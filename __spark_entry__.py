@@ -4149,6 +4149,66 @@ def q_interleaved_media(spark, sf_dir):
     return interleave_media_slots(_t(spark, sf_dir, "documents"))
 
 
+def q_interleaved_assign(spark, sf_dir):
+    """Similarity-ASSIGNED interleaved media (multimodal.py
+    interleave_media_assign — the actual MMC4 recipe, arXiv:2304.06939
+    §2.2, VERDICT r11 item 4): each document's 1-3 image slots get a
+    context embedding (md5-bridged row of the shared embeddings
+    table), its 6 candidate media get theirs, and greedy maximal
+    matching in similarity order assigns each slot a UNIQUE media.
+    One co-keyed equi-join + one doc-keyed agg with the in-row greedy
+    fold; sims quantized to 1e-6 integer micros before ordering so
+    the greedy order replays identically cross-engine.  The oracle
+    unrolls the greedy rounds (3 suffice: n_slots <= 3) as windowed
+    argmax + conflict-exclusion CTEs."""
+    from kevinlang_spark.operators.multimodal import (
+        interleave_media_assign,
+        interleave_media_slots,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    raw_slots = interleave_media_slots(docs)
+    svid = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit("#sv"),
+                        F.col("slot").cast("string"),
+                    )
+                ),
+                1, 13,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % 500
+    )
+    slots = (
+        raw_slots.select("doc_id", "slot", svid.alias("vec_id"))
+        .join(emb, "vec_id")
+        .select("doc_id", "slot", F.col("embedding").alias("slot_vec"))
+    )
+    cand = docs.where(
+        F.col("text").isNotNull() & (F.length("text") >= 40)
+    ).select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(j) for j in range(6)])).alias("j"),
+    )
+    media = (
+        cand.select(
+            "doc_id",
+            ((F.col("doc_id") * 7 + F.col("j") * 13) % 500).alias(
+                "media_id"
+            ),
+        )
+        .distinct()
+        .join(emb.withColumnRenamed("vec_id", "media_id"), "media_id")
+        .select("doc_id", "media_id", F.col("embedding").alias("media_vec"))
+    )
+    return interleave_media_assign(slots, media)
+
+
 def q_tokenizer_fertility(spark, sf_dir):
     """Tokenizer fertility per source (text.py bpe_fertility): train
     the 8-merge BPE table on the corpus, then per source — BPE tokens
@@ -7349,6 +7409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_packing_report": q_packing_report,
         "q_tokenizer_fertility": q_tokenizer_fertility,
         "q_interleaved_media": q_interleaved_media,
+        "q_interleaved_assign": q_interleaved_assign,
         "q_bitext_mine": q_bitext_mine,
         "q_reward_agreement": q_reward_agreement,
         "q_bt_strength": q_bt_strength,
@@ -10344,6 +10405,54 @@ def oracle_sql() -> dict[str, str]:
             "1, 13)) AS BIGINT) % (n + 1) AS INT) AS char_pos, "
             "CAST((doc_id * 3 + slot) % 500 AS BIGINT) AS media_id, "
             "n_slots FROM s"
+        ),
+        # greedy unique assignment unrolled as 3 windowed-argmax rounds
+        # (n_slots <= 3): round r picks the per-doc best remaining pair
+        # by (sim_micros desc, slot, media) after excluding every slot
+        # and media already taken — identical to the in-row greedy fold
+        "q_interleaved_assign": (
+            "WITH base AS (SELECT doc_id, "
+            "CAST(doc_id % 3 + 1 AS INT) AS n_slots FROM documents "
+            "WHERE text IS NOT NULL AND length(text) >= 40), "
+            "s0 AS (SELECT doc_id, CAST(unnest(range(0, n_slots)) AS INT) "
+            "AS slot FROM base), "
+            "s AS (SELECT s0.doc_id, s0.slot, "
+            "CAST(e.embedding AS DOUBLE[]) AS sv FROM s0 "
+            "JOIN embeddings e ON e.vec_id = "
+            "CAST(CONCAT('0x', substr(md5(s0.doc_id || '#sv' || s0.slot), "
+            "1, 13)) AS BIGINT) % 500), "
+            "m0 AS (SELECT DISTINCT b.doc_id, "
+            "(b.doc_id * 7 + j.g * 13) % 500 AS media_id "
+            "FROM base b, generate_series(0, 5) j(g)), "
+            "m AS (SELECT m0.doc_id, m0.media_id, "
+            "CAST(e.embedding AS DOUBLE[]) AS mv "
+            "FROM m0 JOIN embeddings e ON e.vec_id = m0.media_id), "
+            "p AS (SELECT s.doc_id, s.slot, m.media_id, "
+            "CAST(ROUND(list_cosine_similarity(sv, mv) * 1000000) "
+            "AS BIGINT) AS sq FROM s JOIN m ON s.doc_id = m.doc_id), "
+            "r1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+            "ORDER BY sq DESC, slot, media_id) AS rn FROM p), "
+            "a1 AS (SELECT doc_id, slot, media_id, sq FROM r1 "
+            "WHERE rn = 1), "
+            "p2 AS (SELECT p.doc_id, p.slot, p.media_id, p.sq FROM p "
+            "JOIN a1 USING (doc_id) "
+            "WHERE p.slot <> a1.slot AND p.media_id <> a1.media_id), "
+            "r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+            "ORDER BY sq DESC, slot, media_id) AS rn FROM p2), "
+            "a2 AS (SELECT doc_id, slot, media_id, sq FROM r2 "
+            "WHERE rn = 1), "
+            "p3 AS (SELECT p2.doc_id, p2.slot, p2.media_id, p2.sq FROM p2 "
+            "JOIN a2 USING (doc_id) "
+            "WHERE p2.slot <> a2.slot AND p2.media_id <> a2.media_id), "
+            "r3 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+            "ORDER BY sq DESC, slot, media_id) AS rn FROM p3), "
+            "a3 AS (SELECT doc_id, slot, media_id, sq FROM r3 "
+            "WHERE rn = 1) "
+            "SELECT doc_id, slot, media_id, sq AS sim_micros, "
+            "CAST(pick AS INT) AS pick_order FROM ("
+            "SELECT *, 1 AS pick FROM a1 UNION ALL "
+            "SELECT *, 2 AS pick FROM a2 UNION ALL "
+            "SELECT *, 3 AS pick FROM a3)"
         ),
         "q_span_corruption": (
             "WITH c0 AS (SELECT doc_id, text AS t, length(text) AS n, "

@@ -73,8 +73,10 @@ HEADLINE = [
     "q_packing_report",
     "q_tokenizer_fertility",
     "q_interleaved_media",
+    "q_interleaved_assign",
     "q_bitext_mine",
     "q_reward_agreement",
+    "q_bt_strength",
     "q_length_buckets",
     "q_epoch_shuffle",
     "q_retention_curve",

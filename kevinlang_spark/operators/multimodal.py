@@ -1453,3 +1453,123 @@ def interleave_media_slots(
         media.cast("bigint").alias("media_id"),
         "n_slots",
     )
+
+
+def interleave_media_assign(
+    slots: DataFrame,
+    media: DataFrame,
+    id_col: str = "doc_id",
+    slot_col: str = "slot",
+    slot_vec: str = "slot_vec",
+    media_id: str = "media_id",
+    media_vec: str = "media_vec",
+) -> DataFrame:
+    """Similarity-ASSIGNED interleaved media (VERDICT r11 item 4 — the
+    actual MMC4 recipe, Zhu et al. 2023 arXiv:2304.06939 §2.2):
+    instead of deterministic slot references, each document's image
+    slots are matched to its candidate media by CLIP-style embedding
+    similarity under a UNIQUENESS constraint (each media used at most
+    once per document) — greedy maximal matching in global similarity
+    order, the standard linear-assignment approximation.
+
+    Inputs: ``slots`` = (id, slot, slot_vec) — one row per image slot
+    with the slot's context embedding; ``media`` = (id, media_id,
+    media_vec) — the document's bounded candidate media set (MMC4
+    docs carry the handful of images scraped with the page, not the
+    corpus).
+
+    Shape: ONE co-keyed equi-join on the document id (both sides
+    shuffle on the same key — co-partitioned, no broadcast needed, no
+    all-pairs), similarity as a scan-stage codegen expression
+    quantized to 1e-6 integer micros (the bitext_mine lesson: raw
+    double ROUND can land on half-way decimals where engines'
+    rounding rules split), then ONE doc-keyed aggregation whose
+    greedy matching runs IN-ROW as a fold over the (sim desc, slot,
+    media) sorted pair array — per-row work is |slots| x |media|,
+    bounded by construction like reward_agreement's candidate set.
+    Zero-norm vectors yield NULL similarity and the pair drops.
+
+    Returns (id_col, slot, media_id, sim_micros, pick_order) — one
+    row per ASSIGNED slot (slots beyond the candidate count stay
+    unassigned), pick_order = 1-based greedy pick rank within the
+    document."""
+    from kevinlang_spark.functions.vectors import cosine_similarity
+
+    s = slots.select(
+        F.col(id_col).alias("__id"),
+        F.col(slot_col).cast("int").alias("__slot"),
+        F.col(slot_vec).cast("array<double>").alias("__sv"),
+    )
+    m = media.select(
+        F.col(id_col).alias("__id"),
+        F.col(media_id).cast("bigint").alias("__mid"),
+        F.col(media_vec).cast("array<double>").alias("__mv"),
+    )
+    sim = cosine_similarity(F.col("__sv"), F.col("__mv"))
+    pairs = (
+        s.join(m, "__id")
+        .select(
+            "__id",
+            "__slot",
+            "__mid",
+            F.round(sim * 1_000_000).cast("bigint").alias("__sq"),
+        )
+        .where(F.col("__sq").isNotNull())
+    )
+    g = pairs.groupBy("__id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("__sq")).alias("ns"),
+                    F.col("__slot").alias("s"),
+                    F.col("__mid").alias("m"),
+                )
+            )
+        ).alias("ps")
+    )
+    acc0 = F.named_struct(
+        F.lit("out"),
+        F.array().cast("array<struct<s:int,m:bigint,ns:bigint>>"),
+        F.lit("us"),
+        F.array().cast("array<int>"),
+        F.lit("um"),
+        F.array().cast("array<bigint>"),
+    )
+    picked = F.aggregate(
+        F.col("ps"),
+        acc0,
+        lambda acc, p: F.when(
+            F.array_contains(acc["us"], p["s"])
+            | F.array_contains(acc["um"], p["m"]),
+            acc,
+        ).otherwise(
+            F.named_struct(
+                F.lit("out"),
+                F.concat(
+                    acc["out"],
+                    F.array(
+                        F.struct(
+                            p["s"].alias("s"),
+                            p["m"].alias("m"),
+                            p["ns"].alias("ns"),
+                        )
+                    ),
+                ),
+                F.lit("us"),
+                F.concat(acc["us"], F.array(p["s"])),
+                F.lit("um"),
+                F.concat(acc["um"], F.array(p["m"])),
+            )
+        ),
+    )["out"]
+    staged = g.select("__id", picked.alias("__picked"))
+    return staged.select(
+        F.col("__id").alias(id_col),
+        F.posexplode(F.col("__picked")).alias("__k", "e"),
+    ).select(
+        id_col,
+        F.col("e.s").alias(slot_col),
+        F.col("e.m").alias(media_id),
+        (-F.col("e.ns")).alias("sim_micros"),
+        (F.col("__k") + 1).alias("pick_order"),
+    )

@@ -1,4 +1,5 @@
-"""Round-12 operators: Bradley-Terry strength fitting."""
+"""Round-12 operators: Bradley-Terry strength fitting and
+similarity-assigned interleaved media."""
 
 from __future__ import annotations
 
@@ -128,3 +129,61 @@ def test_bt_strength_matches_brute_force(spark, comps):
     for k, (nc, w, s) in want.items():
         assert got[k][:2] == (nc, w)
         assert got[k][2] == pytest.approx(s, abs=1e-12)
+
+
+def test_interleave_media_assign_greedy_unique(spark):
+    """Greedy maximal matching: best pair first, conflicts excluded,
+    each media used at most once, unassignable slots (zero-norm vec or
+    fewer media than slots) dropped."""
+    from kevinlang_spark.operators.multimodal import interleave_media_assign
+
+    slots = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0]), (1, 1, [0.0, 1.0]),
+            (2, 0, [1.0, 1.0]), (2, 1, [0.0, 0.0]),  # zero-norm slot
+        ],
+        "doc_id bigint, slot int, slot_vec array<double>",
+    )
+    media = spark.createDataFrame(
+        [
+            (1, 10, [1.0, 0.1]), (1, 11, [0.1, 1.0]), (1, 12, [0.9, 0.2]),
+            (2, 20, [1.0, 1.0]),
+        ],
+        "doc_id bigint, media_id bigint, media_vec array<double>",
+    )
+    rows = interleave_media_assign(slots, media).collect()
+    got = {(r["doc_id"], r["slot"]): r for r in rows}
+    assert set(got) == {(1, 0), (1, 1), (2, 0)}  # zero-norm slot dropped
+    assert got[(1, 0)]["media_id"] == 10  # best cosine for slot 0
+    assert got[(1, 1)]["media_id"] == 11  # 10 is taken; 11 beats 12
+    assert got[(2, 0)]["media_id"] == 20
+    assert got[(2, 0)]["sim_micros"] == 1_000_000
+    # media uniqueness within a doc
+    per_doc: dict = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["media_id"])
+    assert all(len(v) == len(set(v)) for v in per_doc.values())
+    # pick_order follows similarity rank
+    assert got[(1, 0)]["pick_order"] == 1 and got[(1, 1)]["pick_order"] == 2
+
+
+def test_interleave_media_assign_contention(spark):
+    """Two slots both preferring the same media: the higher-similarity
+    slot wins it, the other takes its second choice — the MMC4 unique-
+    assignment property a per-slot argmax would violate."""
+    from kevinlang_spark.operators.multimodal import interleave_media_assign
+
+    slots = spark.createDataFrame(
+        [(7, 0, [1.0, 0.0]), (7, 1, [0.96, 0.28])],
+        "doc_id bigint, slot int, slot_vec array<double>",
+    )
+    media = spark.createDataFrame(
+        [(7, 1, [1.0, 0.0]), (7, 2, [0.8, 0.6])],
+        "doc_id bigint, media_id bigint, media_vec array<double>",
+    )
+    got = {
+        r["slot"]: r["media_id"]
+        for r in interleave_media_assign(slots, media).collect()
+    }
+    # both slots' best is media 1 (sim 1.0 vs 0.96); slot 0 wins it
+    assert got == {0: 1, 1: 2}
