@@ -4209,6 +4209,85 @@ def q_interleaved_assign(spark, sf_dir):
     return interleave_media_assign(slots, media)
 
 
+def q_fleiss_kappa(spark, sf_dir):
+    """Inter-annotator agreement per source (quality.py fleiss_kappa —
+    Fleiss 1971): three deterministic md5-bridge raters assign each
+    document one of four nominal categories; kappa per source is the
+    QC gate before trusting LLM-judge/human labels as training signal.
+    Three map-side-combinable keyed aggs; P̄ stays integer until one
+    division, P̄e folds in-row over the sorted bounded category
+    marginals — no float-sum-order drift anywhere.  The oracle replays
+    the votes and both statistics closed-form."""
+    from kevinlang_spark.operators.quality import fleiss_kappa
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("rater_id"),
+    )
+    cat = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit("#rt"),
+                        F.col("rater_id").cast("string"),
+                    )
+                ),
+                1, 13,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % 4
+    )
+    rated = base.select(
+        "source", "doc_id", "rater_id", cat.alias("category")
+    )
+    return fleiss_kappa(rated, n_raters=3)
+
+
+def q_bt_leaderboard(spark, sf_dir):
+    """Arena-style global Bradley-Terry leaderboard (preference.py
+    bt_strength with ONE group — the Chatbot-Arena shape): battles
+    between 12 synthetic models derive closed-form from the md5
+    bridge (one per document, winner by bridge parity), and the MM
+    fixed point fits all model strengths in-row over the bounded
+    model census.  The single-group collect is bounded by the battle
+    count per group at sf scale and by the model-pair matrix in
+    production (pre-aggregate battles to (winner, loser, n) counts
+    first when battles outgrow the row — here the raw battle list is
+    the honest bounded input).  Oracle = the per-prompt BT oracle with
+    a constant group."""
+    from kevinlang_spark.operators.preference import bt_strength
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def h(tag):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(tag))),
+                1, 13,
+            ),
+            16, 10,
+        ).cast("bigint")
+
+    ma = h("#ma") % 12
+    mb_raw = h("#mb") % 11
+    mb = F.when(mb_raw >= ma, mb_raw + 1).otherwise(mb_raw)  # mb != ma
+    a_wins = h("#mw") % 2 == 0
+    battles = docs.select(
+        F.lit(0).cast("bigint").alias("board"),
+        F.when(a_wins, ma).otherwise(mb).alias("winner"),
+        F.when(a_wins, mb).otherwise(ma).alias("loser"),
+    )
+    return (
+        bt_strength(battles, prompt_col="board", n_iters=2, alpha=0.5)
+        .withColumnRenamed("cand_id", "model_id")
+        .drop("board")
+    )
+
+
 def q_tokenizer_fertility(spark, sf_dir):
     """Tokenizer fertility per source (text.py bpe_fertility): train
     the 8-merge BPE table on the corpus, then per source — BPE tokens
@@ -4432,6 +4511,54 @@ def _preference_candidates(spark, sf_dir):
             F.col("text").substr(k * 10 + 1, F.lit(40)),
         ).alias("response"),
         reward.alias("reward"),
+    )
+
+
+def _bt_mm_sql(comp_cte: str, group: str, final: str) -> str:
+    """DuckDB replica of preference.bt_strength's two unrolled MM
+    rounds over a (group, winner, loser) comparison CTE: same sorted
+    pair/candidate arrays, same left folds (list_reduce over
+    list_prepend(0.0, ...) == Spark aggregate with a 0.0 init), same
+    x * (n / sum) normalization parenthesization — strengths replay
+    bit-for-bit.  ``final`` is the tail SELECT with a ``{census}``
+    placeholder for the shared n_comparisons/wins/strength columns."""
+    mm_round = (
+        "list_transform(cands, cc -> "
+        "(len(list_filter(pairs, p -> p.w = cc)) + 0.5) / "
+        "(list_reduce(list_prepend(0.0, list_transform("
+        "list_filter(pairs, p -> p.w = cc OR p.l = cc), "
+        "p -> 1.0 / (ps[list_position(cands, cc)] + "
+        "ps[list_position(cands, CASE WHEN p.w = cc THEN p.l "
+        "ELSE p.w END)]))), (a, b) -> a + b) "
+        "+ 1.0 / (ps[list_position(cands, cc)] + 1.0))) AS raw"
+    )
+    norm = (
+        "list_transform(raw, x -> x * (len(cands) / "
+        "list_reduce(list_prepend(0.0, raw), (a, b) -> a + b))) AS ps"
+    )
+    census = (
+        "unnest(list_transform(cands, cc -> CAST(len(list_filter("
+        "pairs, p -> p.w = cc OR p.l = cc)) AS INT))) AS n_comparisons, "
+        "unnest(list_transform(cands, cc -> CAST(len(list_filter("
+        "pairs, p -> p.w = cc)) AS INT))) AS wins, "
+        "unnest(ps) AS strength"
+    )
+    keep = f"{group}, pairs, cands"
+    return (
+        f"{comp_cte}, "
+        f"g AS (SELECT {group}, list(struct_pack(w := winner, "
+        f"l := loser) ORDER BY winner, loser) AS pairs "
+        f"FROM comp GROUP BY {group}), "
+        f"c0 AS (SELECT {group}, pairs, list_sort(list_distinct("
+        "list_concat(list_transform(pairs, p -> p.w), "
+        "list_transform(pairs, p -> p.l)))) AS cands FROM g), "
+        "i0 AS (SELECT *, list_transform(cands, x -> 1.0) AS ps "
+        "FROM c0), "
+        f"i1r AS (SELECT {keep}, {mm_round} FROM i0), "
+        f"i1 AS (SELECT {keep}, {norm} FROM i1r), "
+        f"i2r AS (SELECT {keep}, {mm_round} FROM i1), "
+        f"i2 AS (SELECT {keep}, {norm} FROM i2r) "
+        + final.format(census=census)
     )
 
 
@@ -7413,6 +7540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bitext_mine": q_bitext_mine,
         "q_reward_agreement": q_reward_agreement,
         "q_bt_strength": q_bt_strength,
+        "q_bt_leaderboard": q_bt_leaderboard,
+        "q_fleiss_kappa": q_fleiss_kappa,
         "q_length_buckets": q_length_buckets,
         "q_epoch_shuffle": q_epoch_shuffle,
         "q_retention_curve": q_retention_curve,
@@ -10628,7 +10757,7 @@ def oracle_sql() -> dict[str, str]:
         # rounds (list_reduce over list_prepend(0.0, ...) == aggregate
         # with 0.0 init), same normalization parenthesization
         # x * (n / sum) — the strengths must replay bit-for-bit
-        "q_bt_strength": (
+        "q_bt_strength": _bt_mm_sql(
             "WITH cand AS (SELECT doc_id AS prompt_id, s.g AS cand_id, "
             "CAST(CONCAT('0x', substr(md5(doc_id || '#' || s.g || '#rw'), "
             "1, 13)) AS BIGINT) % 1000 AS reward "
@@ -10639,50 +10768,64 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN x.reward > y.reward THEN y.cand_id ELSE x.cand_id "
             "END AS loser "
             "FROM cand x JOIN cand y ON x.prompt_id = y.prompt_id "
-            "AND y.cand_id > x.cand_id WHERE x.reward <> y.reward), "
-            "g AS (SELECT prompt_id, list(struct_pack(w := winner, "
-            "l := loser) ORDER BY winner, loser) AS pairs "
-            "FROM comp GROUP BY prompt_id), "
-            "c0 AS (SELECT prompt_id, pairs, list_sort(list_distinct("
-            "list_concat(list_transform(pairs, p -> p.w), "
-            "list_transform(pairs, p -> p.l)))) AS cands FROM g), "
-            "i0 AS (SELECT *, list_transform(cands, x -> 1.0) AS ps "
-            "FROM c0), "
-            "i1r AS (SELECT prompt_id, pairs, cands, "
-            "list_transform(cands, cc -> "
-            "(len(list_filter(pairs, p -> p.w = cc)) + 0.5) / "
-            "(list_reduce(list_prepend(0.0, list_transform("
-            "list_filter(pairs, p -> p.w = cc OR p.l = cc), "
-            "p -> 1.0 / (ps[list_position(cands, cc)] + "
-            "ps[list_position(cands, CASE WHEN p.w = cc THEN p.l "
-            "ELSE p.w END)]))), (a, b) -> a + b) "
-            "+ 1.0 / (ps[list_position(cands, cc)] + 1.0))) AS raw "
-            "FROM i0), "
-            "i1 AS (SELECT prompt_id, pairs, cands, "
-            "list_transform(raw, x -> x * (len(cands) / "
-            "list_reduce(list_prepend(0.0, raw), (a, b) -> a + b))) "
-            "AS ps FROM i1r), "
-            "i2r AS (SELECT prompt_id, pairs, cands, "
-            "list_transform(cands, cc -> "
-            "(len(list_filter(pairs, p -> p.w = cc)) + 0.5) / "
-            "(list_reduce(list_prepend(0.0, list_transform("
-            "list_filter(pairs, p -> p.w = cc OR p.l = cc), "
-            "p -> 1.0 / (ps[list_position(cands, cc)] + "
-            "ps[list_position(cands, CASE WHEN p.w = cc THEN p.l "
-            "ELSE p.w END)]))), (a, b) -> a + b) "
-            "+ 1.0 / (ps[list_position(cands, cc)] + 1.0))) AS raw "
-            "FROM i1), "
-            "i2 AS (SELECT prompt_id, pairs, cands, "
-            "list_transform(raw, x -> x * (len(cands) / "
-            "list_reduce(list_prepend(0.0, raw), (a, b) -> a + b))) "
-            "AS ps FROM i2r) "
-            "SELECT prompt_id, unnest(cands) AS cand_id, "
-            "unnest(list_transform(cands, cc -> CAST(len(list_filter("
-            "pairs, p -> p.w = cc OR p.l = cc)) AS INT))) "
-            "AS n_comparisons, "
-            "unnest(list_transform(cands, cc -> CAST(len(list_filter("
-            "pairs, p -> p.w = cc)) AS INT))) AS wins, "
-            "unnest(ps) AS strength FROM i2"
+            "AND y.cand_id > x.cand_id WHERE x.reward <> y.reward)",
+            group="prompt_id",
+            final=(
+                "SELECT prompt_id, unnest(cands) AS cand_id, "
+                "{census} FROM i2"
+            ),
+        ),
+        # Fleiss kappa: P-bar stays integer until one division; P-e
+        # folds over the sorted category marginals with the same left
+        # fold as Spark's in-row aggregate
+        "q_fleiss_kappa": (
+            "WITH v AS (SELECT source, doc_id, s.g AS rater_id, "
+            "CAST(CONCAT('0x', substr(md5(doc_id || '#rt' || s.g), "
+            "1, 13)) AS BIGINT) % 4 AS category "
+            "FROM documents, generate_series(0, 2) s(g)), "
+            "ic AS (SELECT source, doc_id, category, "
+            "CAST(COUNT(*) AS BIGINT) AS nij "
+            "FROM v GROUP BY source, doc_id, category), "
+            "it AS (SELECT source, doc_id, "
+            "CAST(SUM(nij) AS BIGINT) AS n, "
+            "CAST(SUM(nij * nij) AS BIGINT) AS s2 "
+            "FROM ic GROUP BY source, doc_id), "
+            "kept AS (SELECT source, doc_id, s2 FROM it WHERE n = 3), "
+            "cc AS (SELECT source, list_sort(list(cj)) AS cjs FROM ("
+            "SELECT ic.source, ic.category, "
+            "CAST(SUM(ic.nij) AS BIGINT) AS cj "
+            "FROM ic JOIN kept USING (source, doc_id) "
+            "GROUP BY ic.source, ic.category) GROUP BY source), "
+            "ga AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_items, "
+            "CAST(SUM(s2 - 3) AS BIGINT) AS sum_s2n "
+            "FROM kept GROUP BY source), "
+            "st AS (SELECT ga.source, n_items, "
+            "CAST(0 AS BIGINT) AS n_items_dropped, "
+            "sum_s2n / (n_items * 3 * 2) AS p_bar, "
+            "list_reduce(list_prepend(0.0, list_transform(cjs, "
+            "c -> (c / (n_items * 3)) * (c / (n_items * 3)))), "
+            "(a, b) -> a + b) AS p_e "
+            "FROM ga JOIN cc ON ga.source = cc.source) "
+            "SELECT source, n_items, n_items_dropped, p_bar, p_e, "
+            "(p_bar - p_e) / (1.0 - p_e) AS kappa FROM st"
+        ),
+        "q_bt_leaderboard": _bt_mm_sql(
+            "WITH comp AS (SELECT CAST(0 AS BIGINT) AS board, "
+            "CASE WHEN hw % 2 = 0 THEN ma ELSE mb END AS winner, "
+            "CASE WHEN hw % 2 = 0 THEN mb ELSE ma END AS loser "
+            "FROM (SELECT ma, "
+            "CASE WHEN mbr >= ma THEN mbr + 1 ELSE mbr END AS mb, hw "
+            "FROM (SELECT "
+            "CAST(CONCAT('0x', substr(md5(doc_id || '#ma'), 1, 13)) "
+            "AS BIGINT) % 12 AS ma, "
+            "CAST(CONCAT('0x', substr(md5(doc_id || '#mb'), 1, 13)) "
+            "AS BIGINT) % 11 AS mbr, "
+            "CAST(CONCAT('0x', substr(md5(doc_id || '#mw'), 1, 13)) "
+            "AS BIGINT) AS hw FROM documents) t0) t1)",
+            group="board",
+            final=(
+                "SELECT unnest(cands) AS model_id, {census} FROM i2"
+            ),
         ),
         "q_best_of_n": (
             _PREFERENCE_CAND_SQL + ", "

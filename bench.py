@@ -77,6 +77,8 @@ HEADLINE = [
     "q_bitext_mine",
     "q_reward_agreement",
     "q_bt_strength",
+    "q_bt_leaderboard",
+    "q_fleiss_kappa",
     "q_length_buckets",
     "q_epoch_shuffle",
     "q_retention_curve",

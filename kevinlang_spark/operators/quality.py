@@ -230,3 +230,114 @@ def fd_violations(
         F.max("nv").cast("bigint").alias("max_variants"),
         (F.count_if(F.col("nv") > 1) == 0).alias("holds"),
     )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    group_col: str = "source",
+    item_col: str = "doc_id",
+    rater_col: str = "rater_id",
+    cat_col: str = "category",
+    n_raters: int = 3,
+) -> DataFrame:
+    """Inter-annotator agreement per group — Fleiss' kappa (Fleiss
+    1971, "Measuring nominal scale agreement among many raters"): the
+    QC gate before trusting LLM-judge or human labels enough to train
+    on them.  Items are rated by exactly ``n_raters`` raters into
+    nominal categories; kappa = (P̄ − P̄e) / (1 − P̄e), where P̄ is the
+    mean per-item pairwise agreement and P̄e the chance agreement from
+    the category marginals.
+
+    Classic Fleiss assumes a CONSTANT rater count: items whose
+    deduplicated rater count differs from ``n_raters`` are dropped and
+    reported (n_items_dropped).  Duplicate (item, rater) votes keep
+    the MIN category (deterministic dedup).
+
+    Cross-engine exactness: P̄ stays INTEGER until one final division
+    — Σᵢ(Σⱼ nᵢⱼ² − n) is exact int64 (nᵢⱼ ≤ n_raters, the per-item sum
+    is bounded; the corpus sum fits 2^63 to ~10¹⁷ items), so no
+    float-sum-order drift over items.  P̄e folds over the per-group
+    category marginals IN-ROW over a sorted bounded array (categories
+    are a nominal handful), the reward_agreement discipline.
+
+    Scale shape: three keyed aggregations (votes → per-item-category
+    counts → per-item stats → per-group rollup), all map-side
+    combinable; the category-marginal collect is bounded by the
+    category alphabet, never the corpus.
+
+    Returns (group_col, n_items, n_items_dropped, p_bar, p_e,
+    kappa)."""
+    if n_raters < 2:
+        raise ValueError(f"n_raters must be >= 2, got {n_raters}")
+    votes = (
+        df.where(
+            F.col(item_col).isNotNull()
+            & F.col(rater_col).isNotNull()
+            & F.col(cat_col).isNotNull()
+        )
+        .groupBy(group_col, item_col, rater_col)
+        .agg(F.min(cat_col).alias("__cat"))
+    )
+    item_cat = votes.groupBy(group_col, item_col, "__cat").agg(
+        F.count("*").alias("__nij")
+    )
+    item = item_cat.groupBy(group_col, item_col).agg(
+        F.sum("__nij").alias("__n"),
+        F.sum(F.col("__nij") * F.col("__nij")).alias("__s2"),
+    )
+    kept = item.where(F.col("__n") == n_raters).select(
+        group_col, item_col, "__s2"
+    )
+    dropped = (
+        item.where(F.col("__n") != n_raters)
+        .groupBy(group_col)
+        .agg(F.count("*").alias("n_items_dropped"))
+    )
+    # category marginals over KEPT items only (bounded alphabet)
+    cat_counts = (
+        item_cat.join(kept.select(group_col, item_col), [group_col, item_col])
+        .groupBy(group_col, "__cat")
+        .agg(F.sum("__nij").alias("__cj"))
+        .groupBy(group_col)
+        .agg(
+            F.array_sort(F.collect_list(F.col("__cj"))).alias("__cjs")
+        )
+    )
+    g = kept.groupBy(group_col).agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("__s2") - n_raters).alias("__sum_s2n"),
+    )
+    joined = (
+        g.join(cat_counts, group_col)
+        .join(dropped, group_col, "left")
+        .withColumn(
+            "n_items_dropped",
+            F.coalesce(F.col("n_items_dropped"), F.lit(0)).cast("bigint"),
+        )
+    )
+    nn = F.col("n_items") * n_raters  # total votes, exact int
+    p_bar = F.col("__sum_s2n") / (
+        F.col("n_items") * n_raters * (n_raters - 1)
+    )
+    p_e = F.aggregate(
+        F.col("__cjs"),
+        F.lit(0.0),
+        lambda acc, c: acc + (c / nn) * (c / nn),
+    )
+    staged = joined.select(
+        group_col,
+        "n_items",
+        "n_items_dropped",
+        p_bar.alias("p_bar"),
+        p_e.alias("p_e"),
+    )
+    return staged.select(
+        group_col,
+        "n_items",
+        "n_items_dropped",
+        "p_bar",
+        "p_e",
+        (
+            (F.col("p_bar") - F.col("p_e")) / (F.lit(1.0) - F.col("p_e"))
+        ).alias("kappa"),
+    )

@@ -187,3 +187,59 @@ def test_interleave_media_assign_contention(spark):
     }
     # both slots' best is media 1 (sim 1.0 vs 0.96); slot 0 wins it
     assert got == {0: 1, 1: 2}
+
+
+FLEISS_WIKI = [  # Fleiss 1971 worked example: 10 subjects x 14 raters x 5 cats
+    [0, 0, 0, 0, 14],
+    [0, 2, 6, 4, 2],
+    [0, 0, 3, 5, 6],
+    [0, 3, 9, 2, 0],
+    [2, 2, 8, 1, 1],
+    [7, 7, 0, 0, 0],
+    [3, 2, 6, 3, 0],
+    [2, 5, 3, 2, 2],
+    [6, 5, 2, 1, 0],
+    [0, 2, 2, 3, 7],
+]
+
+
+def test_fleiss_kappa_published_example(spark):
+    """The Fleiss 1971 worked example: P-bar 0.378, P-e 0.213,
+    kappa 0.210 (3 d.p.)."""
+    from kevinlang_spark.operators.quality import fleiss_kappa
+
+    rows = []
+    for item, counts in enumerate(FLEISS_WIKI):
+        rater = 0
+        for cat, c in enumerate(counts):
+            for _ in range(c):
+                rows.append(("s", item, rater, cat))
+                rater += 1
+    df = spark.createDataFrame(
+        rows, "source string, doc_id bigint, rater_id int, category int"
+    )
+    r = fleiss_kappa(df, n_raters=14).collect()[0]
+    assert r["n_items"] == 10 and r["n_items_dropped"] == 0
+    assert round(r["p_bar"], 3) == 0.378
+    assert round(r["p_e"], 3) == 0.213
+    assert round(r["kappa"], 3) == 0.210
+
+
+def test_fleiss_kappa_edges(spark):
+    """Perfect agreement -> kappa 1; items with the wrong rater count
+    drop and are reported; duplicate (item, rater) votes dedupe to the
+    min category; n_raters guard."""
+    from kevinlang_spark.operators.quality import fleiss_kappa
+
+    rows = [("s", i, r, "A" if i < 3 else "B") for i in range(6)
+            for r in range(3)]
+    rows += [("s", 99, 0, "A"), ("s", 99, 1, "B")]  # 2 raters -> dropped
+    rows += [("s", 0, 0, "B")]  # duplicate vote, min("A","B") = "A" kept
+    df = spark.createDataFrame(
+        rows, "source string, doc_id bigint, rater_id int, category string"
+    )
+    r = fleiss_kappa(df, n_raters=3).collect()[0]
+    assert r["n_items"] == 6 and r["n_items_dropped"] == 1
+    assert r["kappa"] == 1.0
+    with pytest.raises(ValueError, match="n_raters"):
+        fleiss_kappa(df, n_raters=1)
