@@ -4261,6 +4261,20 @@ def q_bt_leaderboard(spark, sf_dir):
     a constant group."""
     from kevinlang_spark.operators.preference import bt_strength
 
+    return (
+        bt_strength(
+            _arena_battles(spark, sf_dir), prompt_col="board",
+            n_iters=2, alpha=0.5,
+        )
+        .withColumnRenamed("cand_id", "model_id")
+        .drop("board")
+    )
+
+
+def _arena_battles(spark, sf_dir):
+    """Shared synthetic arena fixture: one battle per document between
+    12 models, pairing and winner from the md5 bridge (closed-form in
+    SQL)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
 
     def h(tag):
@@ -4276,16 +4290,66 @@ def q_bt_leaderboard(spark, sf_dir):
     mb_raw = h("#mb") % 11
     mb = F.when(mb_raw >= ma, mb_raw + 1).otherwise(mb_raw)  # mb != ma
     a_wins = h("#mw") % 2 == 0
-    battles = docs.select(
+    return docs.select(
         F.lit(0).cast("bigint").alias("board"),
         F.when(a_wins, ma).otherwise(mb).alias("winner"),
         F.when(a_wins, mb).otherwise(ma).alias("loser"),
     )
-    return (
-        bt_strength(battles, prompt_col="board", n_iters=2, alpha=0.5)
-        .withColumnRenamed("cand_id", "model_id")
-        .drop("board")
+
+
+def q_winrate_matrix(spark, sf_dir):
+    """Pairwise win-rate matrix with Wilson 95% intervals
+    (preference.py winrate_matrix — the dashboard table next to the
+    BT leaderboard): canonicalized model pairs over the same synthetic
+    arena battles, one map-side-combinable keyed agg, every statistic
+    a fixed-parenthesization closed form of (wins, n) so both engines
+    replay the same IEEE ops."""
+    from kevinlang_spark.operators.preference import winrate_matrix
+
+    return winrate_matrix(_arena_battles(spark, sf_dir))
+
+
+def q_chat_trees(spark, sf_dir):
+    """Conversation-tree flattening (text.py conversation_paths — the
+    OASST/ShareGPT message-tree shape, arXiv:2304.07327): each
+    document becomes a 7-message tree whose parent pointers derive
+    from the md5 bridge (parent of message k is among messages < k, so
+    the synthesis is always a rooted tree), and every leaf emits its
+    root-to-leaf linearized thread.  One conversation-keyed agg; the
+    upward walks run in-row over the bounded message set.  The oracle
+    walks DOWN from the roots with a recursive CTE and anti-joins to
+    the leaf set — same paths, independently derived."""
+    from kevinlang_spark.operators.text import conversation_paths
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("k")
+    base = docs.select(
+        F.col("doc_id").alias("conv_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
     )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("conv_id").cast("string"), F.lit("#p"),
+                    k.cast("string"),
+                )
+            ),
+            1, 13,
+        ),
+        16, 10,
+    ).cast("bigint")
+    parent = F.when(k == 0, F.lit(None).cast("bigint")).otherwise(
+        h % F.greatest(k.cast("bigint"), F.lit(1))
+    )
+    role = F.when(k % 2 == 0, F.lit("user")).otherwise(F.lit("assistant"))
+    msgs = base.select(
+        "conv_id",
+        k.cast("bigint").alias("msg_id"),
+        parent.alias("parent_id"),
+        role.alias("role"),
+    )
+    return conversation_paths(msgs, max_depth=8)
 
 
 def q_tokenizer_fertility(spark, sf_dir):
@@ -7542,6 +7606,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bt_strength": q_bt_strength,
         "q_bt_leaderboard": q_bt_leaderboard,
         "q_fleiss_kappa": q_fleiss_kappa,
+        "q_chat_trees": q_chat_trees,
+        "q_winrate_matrix": q_winrate_matrix,
         "q_length_buckets": q_length_buckets,
         "q_epoch_shuffle": q_epoch_shuffle,
         "q_retention_curve": q_retention_curve,
@@ -10774,6 +10840,65 @@ def oracle_sql() -> dict[str, str]:
                 "SELECT prompt_id, unnest(cands) AS cand_id, "
                 "{census} FROM i2"
             ),
+        ),
+        # Wilson intervals: identical parenthesization to the Spark
+        # expressions (z2/(2.0*n), z*sqrt(p*(1.0-p)/n + z2/(4.0*n*n))
+        # / denom) so the doubles replay bit-for-bit
+        "q_winrate_matrix": (
+            "WITH comp AS (SELECT CAST(0 AS BIGINT) AS board, "
+            "CASE WHEN hw % 2 = 0 THEN ma ELSE mb END AS winner, "
+            "CASE WHEN hw % 2 = 0 THEN mb ELSE ma END AS loser "
+            "FROM (SELECT ma, "
+            "CASE WHEN mbr >= ma THEN mbr + 1 ELSE mbr END AS mb, hw "
+            "FROM (SELECT "
+            "CAST(CONCAT('0x', substr(md5(doc_id || '#ma'), 1, 13)) "
+            "AS BIGINT) % 12 AS ma, "
+            "CAST(CONCAT('0x', substr(md5(doc_id || '#mb'), 1, 13)) "
+            "AS BIGINT) % 11 AS mbr, "
+            "CAST(CONCAT('0x', substr(md5(doc_id || '#mw'), 1, 13)) "
+            "AS BIGINT) AS hw FROM documents) t0) t1), "
+            "g AS (SELECT board, LEAST(winner, loser) AS model_a, "
+            "GREATEST(winner, loser) AS model_b, "
+            "CAST(COUNT(*) AS BIGINT) AS n_battles, "
+            "CAST(COUNT(*) FILTER (WHERE winner < loser) AS BIGINT) "
+            "AS wins_a FROM comp "
+            "GROUP BY board, LEAST(winner, loser), "
+            "GREATEST(winner, loser)), "
+            "st AS (SELECT *, wins_a / n_battles AS p, "
+            "CAST(n_battles AS DOUBLE) AS nd, 1.96 * 1.96 AS z2 FROM g), "
+            "st2 AS (SELECT *, 1.0 + z2 / nd AS denom FROM st) "
+            "SELECT board, model_a, model_b, n_battles, wins_a, "
+            "p AS win_rate, "
+            "(p + z2 / (2.0 * nd)) / denom - "
+            "1.96 * sqrt(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd)) "
+            "/ denom AS wilson_lo, "
+            "(p + z2 / (2.0 * nd)) / denom + "
+            "1.96 * sqrt(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd)) "
+            "/ denom AS wilson_hi FROM st2"
+        ),
+        # conversation trees: the oracle grows paths DOWN from the
+        # roots with a recursive CTE (independent derivation of the
+        # same root->leaf threads) and anti-joins to the leaf set
+        "q_chat_trees": (
+            "WITH RECURSIVE m AS (SELECT doc_id AS conv_id, "
+            "CAST(s.g AS BIGINT) AS msg_id, "
+            "CASE WHEN s.g = 0 THEN NULL ELSE "
+            "CAST(CONCAT('0x', substr(md5(doc_id || '#p' || s.g), 1, 13)) "
+            "AS BIGINT) % s.g END AS parent_id, "
+            "CASE WHEN s.g % 2 = 0 THEN 'user' ELSE 'assistant' END "
+            "AS role FROM documents, generate_series(0, 6) s(g)), "
+            "paths AS ("
+            "SELECT conv_id, msg_id, CAST(msg_id AS VARCHAR) AS path, "
+            "role AS roles, 1 AS depth FROM m WHERE parent_id IS NULL "
+            "UNION ALL "
+            "SELECT c.conv_id, c.msg_id, "
+            "p.path || '>' || c.msg_id, p.roles || '>' || c.role, "
+            "p.depth + 1 FROM m c JOIN paths p "
+            "ON c.conv_id = p.conv_id AND c.parent_id = p.msg_id) "
+            "SELECT conv_id, msg_id AS leaf_id, CAST(depth AS INT) "
+            "AS depth, path, roles, TRUE AS is_complete FROM paths t "
+            "WHERE NOT EXISTS (SELECT 1 FROM m x WHERE "
+            "x.conv_id = t.conv_id AND x.parent_id = t.msg_id)"
         ),
         # Fleiss kappa: P-bar stays integer until one division; P-e
         # folds over the sorted category marginals with the same left

@@ -79,6 +79,8 @@ HEADLINE = [
     "q_bt_strength",
     "q_bt_leaderboard",
     "q_fleiss_kappa",
+    "q_winrate_matrix",
+    "q_chat_trees",
     "q_length_buckets",
     "q_epoch_shuffle",
     "q_retention_curve",

@@ -324,3 +324,57 @@ def bt_strength(
         ),
         F.col("e.p").alias("strength"),
     )
+
+
+def winrate_matrix(
+    df: DataFrame,
+    prompt_col: str = "board",
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    z: float = 1.96,
+) -> DataFrame:
+    """Pairwise win-rate matrix with Wilson score intervals — the
+    model-vs-model table an eval dashboard shows next to the BT
+    leaderboard: per (group, model pair) the battle count, the
+    lower-id model's wins, its win rate, and the Wilson 95% interval
+    (Wilson 1927; the interval of record for small-n binomial rates —
+    a plain normal interval is garbage at the 5-battle counts real
+    eval sets have).
+
+    ONE keyed aggregation over canonicalized pairs (model_a =
+    least(winner, loser)) — map-side combinable counts, every derived
+    statistic a closed form of (wins, n) with FIXED parenthesization
+    so both engines replay the same IEEE ops.
+
+    Returns (prompt_col, model_a, model_b, n_battles, wins_a,
+    win_rate, wilson_lo, wilson_hi)."""
+    w, l = F.col(winner_col), F.col(loser_col)
+    ok = df.where(w.isNotNull() & l.isNotNull() & (w != l))
+    a = F.least(w, l)
+    b = F.greatest(w, l)
+    g = ok.groupBy(
+        prompt_col, a.alias("model_a"), b.alias("model_b")
+    ).agg(
+        F.count("*").alias("n_battles"),
+        F.count_if(w == F.least(w, l)).alias("wins_a"),
+    )
+    n = F.col("n_battles").cast("double")
+    p = F.col("wins_a") / F.col("n_battles")
+    z2 = F.lit(float(z)) * F.lit(float(z))
+    denom = F.lit(1.0) + z2 / n
+    center = (p + z2 / (F.lit(2.0) * n)) / denom
+    half = (
+        F.lit(float(z))
+        * F.sqrt(p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n))
+        / denom
+    )
+    return g.select(
+        prompt_col,
+        "model_a",
+        "model_b",
+        "n_battles",
+        "wins_a",
+        p.alias("win_rate"),
+        (center - half).alias("wilson_lo"),
+        (center + half).alias("wilson_hi"),
+    )

@@ -3128,3 +3128,107 @@ def quality_retention_curve(
         "total_tokens",
         F.sum("total_tokens").over(w2).alias("cum_tokens"),
     )
+
+
+def conversation_paths(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    msg_col: str = "msg_id",
+    parent_col: str = "parent_id",
+    role_col: str = "role",
+    max_depth: int = 64,
+) -> DataFrame:
+    """Conversation-tree flattening (the OASST / ShareGPT data shape —
+    Köpf et al. 2023, arXiv:2304.07327: crowd-sourced chat data arrives
+    as MESSAGE TREES where each prompt has several replies, and SFT
+    consumes root-to-leaf PATHS as linear conversations): for every
+    leaf message, walk the parent pointers up to the root and emit the
+    linearized thread.
+
+    Shape: ONE conversation-keyed aggregation collects the (msg,
+    parent, role) structs, then every leaf's upward walk runs IN-ROW
+    as a fold over ``sequence(1, max_depth)`` — conversations are
+    bounded (OASST trees: tens of messages), so per-row work is
+    O(leaves × depth × msgs) on a small constant, with no iterative
+    joins and no driver loop.  A walk that hasn't reached a root
+    within ``max_depth`` hops (cycle, orphaned parent, or truncated
+    export) reports is_complete = false instead of looping or
+    erroring — quarantine by annotation, the FIM convention.  A pure
+    cycle with no leaf (every message is some message's parent) emits
+    no rows at all: there is no leaf to anchor a thread.
+
+    Returns (conv_col, leaf_id, depth, path, roles, is_complete):
+    path/roles are the root→leaf message ids / roles joined by '>'
+    (strings, so the driver hash sees a stable scalar encoding);
+    depth = messages on the path."""
+    if max_depth < 1:
+        raise ValueError(f"max_depth must be >= 1, got {max_depth}")
+    msgs = df.where(
+        F.col(msg_col).isNotNull()
+    ).groupBy(conv_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(msg_col).cast("bigint").alias("id"),
+                    F.col(parent_col).cast("bigint").alias("pid"),
+                    F.col(role_col).cast("string").alias("role"),
+                )
+            )
+        ).alias("ms")
+    )
+    ms = F.col("ms")
+    # root parents are NULL: strip them before the containment test or
+    # array_contains returns NULL (three-valued logic) and every
+    # candidate leaf silently drops
+    parent_ids = F.filter(
+        F.transform(ms, lambda m: m["pid"]), lambda p: p.isNotNull()
+    )
+    leaves = F.filter(
+        ms, lambda m: ~F.array_contains(parent_ids, m["id"])
+    )
+    staged = msgs.select(conv_col, "ms", leaves.alias("__leaves"))
+
+    def walk(leaf):
+        """Fold max_depth steps: prepend the parent of the chain head
+        until a root (pid NULL) or a dangling/cyclic pointer."""
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(max_depth)),
+            F.array(leaf),
+            lambda chain, _i: F.when(
+                F.element_at(chain, 1)["pid"].isNull(), chain
+            ).otherwise(
+                F.concat(
+                    F.slice(
+                        F.filter(
+                            F.col("ms"),
+                            lambda m: m["id"]
+                            == F.element_at(chain, 1)["pid"],
+                        ),
+                        1,
+                        1,
+                    ),
+                    chain,
+                )
+            ),
+        )
+
+    out = staged.select(
+        conv_col, "ms", F.explode("__leaves").alias("leaf")
+    ).select(
+        conv_col,
+        F.col("leaf.id").alias("leaf_id"),
+        walk(F.col("leaf")).alias("__chain"),
+    )
+    chain = F.col("__chain")
+    return out.select(
+        conv_col,
+        "leaf_id",
+        F.size(chain).alias("depth"),
+        F.array_join(
+            F.transform(chain, lambda m: m["id"].cast("string")), ">"
+        ).alias("path"),
+        F.array_join(
+            F.transform(chain, lambda m: m["role"]), ">"
+        ).alias("roles"),
+        F.element_at(chain, 1)["pid"].isNull().alias("is_complete"),
+    )

@@ -243,3 +243,72 @@ def test_fleiss_kappa_edges(spark):
     assert r["kappa"] == 1.0
     with pytest.raises(ValueError, match="n_raters"):
         fleiss_kappa(df, n_raters=1)
+
+
+def test_conversation_paths_tree_walks(spark):
+    """Root-to-leaf linearization over a branching tree; orphaned
+    parents flag is_complete=false; pure cycles emit no rows; depth
+    guard raises."""
+    from kevinlang_spark.operators.text import conversation_paths
+
+    rows = [
+        (1, 1, None, "user"), (1, 2, 1, "assistant"),
+        (1, 3, 1, "assistant"), (1, 4, 2, "user"),
+        (2, 10, 99, "user"),            # orphaned parent
+        (3, 20, 21, "u"), (3, 21, 20, "a"),  # pure 2-cycle: no leaf
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id bigint, msg_id bigint, parent_id bigint, role string"
+    )
+    got = {
+        (r["conv_id"], r["leaf_id"]): r
+        for r in conversation_paths(df, max_depth=8).collect()
+    }
+    assert set(got) == {(1, 3), (1, 4), (2, 10)}
+    assert got[(1, 4)]["path"] == "1>2>4"
+    assert got[(1, 4)]["roles"] == "user>assistant>user"
+    assert got[(1, 4)]["depth"] == 3 and got[(1, 4)]["is_complete"]
+    assert got[(1, 3)]["path"] == "1>3" and got[(1, 3)]["depth"] == 2
+    assert not got[(2, 10)]["is_complete"] and got[(2, 10)]["depth"] == 1
+    with pytest.raises(ValueError, match="max_depth"):
+        conversation_paths(df, max_depth=0)
+
+
+def test_conversation_paths_depth_cap_marks_incomplete(spark):
+    """A chain longer than max_depth stops walking and reports
+    is_complete=false with the truncated (partial) path."""
+    from kevinlang_spark.operators.text import conversation_paths
+
+    chain = [(9, 0, None, "user")] + [
+        (9, i, i - 1, "assistant") for i in range(1, 6)
+    ]
+    df = spark.createDataFrame(
+        chain, "conv_id bigint, msg_id bigint, parent_id bigint, role string"
+    )
+    full = conversation_paths(df, max_depth=8).collect()[0]
+    assert full["depth"] == 6 and full["is_complete"]
+    capped = conversation_paths(df, max_depth=3).collect()[0]
+    assert capped["depth"] == 4  # leaf + 3 hops
+    assert not capped["is_complete"]
+    assert capped["path"] == "2>3>4>5"
+
+
+def test_winrate_matrix_wilson(spark):
+    """7/10 wins: the textbook Wilson 95% interval (0.3968, 0.8922);
+    canonicalization puts the lower id in model_a regardless of who
+    won; self-battles and NULLs drop."""
+    from kevinlang_spark.operators.preference import winrate_matrix
+
+    rows = [(0, 1, 2)] * 7 + [(0, 2, 1)] * 3 + [(0, 5, 5), (0, None, 1)]
+    df = spark.createDataFrame(
+        rows, "board bigint, winner bigint, loser bigint"
+    )
+    out = winrate_matrix(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["model_a"], r["model_b"]) == (1, 2)
+    assert (r["n_battles"], r["wins_a"]) == (10, 7)
+    assert r["win_rate"] == 0.7
+    assert round(r["wilson_lo"], 4) == 0.3968
+    assert round(r["wilson_hi"], 4) == 0.8922
+    assert r["wilson_lo"] < r["win_rate"] < r["wilson_hi"]
