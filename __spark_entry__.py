@@ -7315,6 +7315,28 @@ def q_bpe_train_vocab(spark, sf_dir):
     return bpe_merges_local_df(docs.union(cust), n_merges=1000)
 
 
+def q_bpe_vocab_sweep(spark, sf_dir):
+    """Vocabulary-size sweep (text.py bpe_vocab_sweep): corpus token
+    totals / fertility / chars-per-token at four candidate vocab
+    sizes from ONE local training pass — the trainer's vocab state
+    after k merges IS the encoding under the first k merges, so the
+    sweep adds an on_merge hook, not re-encodes.  Same corpus as
+    q_bpe_train_vocab; checkpoints past pair exhaustion report the
+    saturated state with their effective merge count (fertility
+    exactly 1.0 at saturation).  No oracle_sql (iterative argmax, the
+    q_bpe_train_vocab class); tests pin the census against the
+    encode-path numbers."""
+    from kevinlang_spark.operators.text import bpe_vocab_sweep
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("text")
+    )
+    return bpe_vocab_sweep(
+        docs.union(cust), checkpoints=(64, 256, 1024, 4096)
+    )
+
+
 def q_bpe_encode(spark, sf_dir):
     """Tokenize the corpus with a TRAINED BPE vocabulary (text.py
     bpe_token_counts): train 8 merges, encode the DISTINCT-word table
@@ -7808,6 +7830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_encode": q_bpe_encode,
         "q_bpe_train": q_bpe_train,
         "q_bpe_train_vocab": q_bpe_train_vocab,
+        "q_bpe_vocab_sweep": q_bpe_vocab_sweep,
         "q_class_weights": q_class_weights,
         "q_corr_matrix": q_corr_matrix,
         "q_dp_counts": q_dp_counts,

@@ -187,6 +187,7 @@ HEADLINE = [
     "q_webdataset_pipeline",
     "q_bpe_train",
     "q_bpe_train_vocab",
+    "q_bpe_vocab_sweep",
     "q_bpe_encode",
     "q_hard_negatives",
     "q_truncation_recall",

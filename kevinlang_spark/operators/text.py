@@ -1545,8 +1545,16 @@ def bpe_train_local(
     pair_count), …]`` — byte-identical to :func:`bpe_train` for the
     same corpus and merge count (pytest parity-gates the first rounds;
     tests/test_bpe_vocab.py)."""
-    import heapq
+    words, freqs = _bpe_collect_vocab(df, text_col, max_vocab_rows)
+    return _bpe_train_core(words, freqs, n_merges)
 
+
+def _bpe_collect_vocab(
+    df: DataFrame, text_col: str, max_vocab_rows: int
+) -> "tuple[list[list[str]], list[int]]":
+    """The one distributed step of local BPE training: corpus →
+    (word, freq) vocab table, collected under the ``max_vocab_rows``
+    guard."""
     vocab_rows = (
         spread(df.where(F.col(text_col).isNotNull()))
         .select(F.explode(tokenize(F.col(text_col))).alias("w"))
@@ -1560,9 +1568,26 @@ def bpe_train_local(
             f"bpe_train_local: vocabulary exceeds max_vocab_rows="
             f"{max_vocab_rows}; raise the cap or prune rare words first"
         )
+    return (
+        [list(r["w"]) for r in vocab_rows],
+        [int(r["freq"]) for r in vocab_rows],
+    )
 
-    words: "list[list[str]]" = [list(r["w"]) for r in vocab_rows]
-    freqs: "list[int]" = [int(r["freq"]) for r in vocab_rows]
+
+def _bpe_train_core(
+    words: "list[list[str]]",
+    freqs: "list[int]",
+    n_merges: int,
+    on_merge=None,
+) -> "list[tuple[int, str, str, int]]":
+    """The local merge loop (see :func:`bpe_train_local` for the
+    algorithm notes).  ``on_merge(rank, total_tokens)`` is called after
+    each merge with the freq-weighted corpus token count — the hook
+    :func:`bpe_vocab_sweep` uses to read the encoding state at vocab
+    checkpoints for free (the vocab state after k merges IS the
+    encoding under the first k merges)."""
+    import heapq
+
     counts: "dict[tuple[str, str], int]" = {}
     where: "dict[tuple[str, str], set[int]]" = {}
     for wi, seq in enumerate(words):
@@ -1573,6 +1598,7 @@ def bpe_train_local(
             where.setdefault(p, set()).add(wi)
     heap = [(-n, a, b) for (a, b), n in counts.items()]
     heapq.heapify(heap)
+    total_tokens = sum(len(seq) * f for seq, f in zip(words, freqs))
 
     merges: "list[tuple[int, str, str, int]]" = []
     rank = 0
@@ -1609,6 +1635,7 @@ def bpe_train_local(
                     new.append(seq[i])
                     i += 1
             words[wi] = new
+            total_tokens -= (len(seq) - len(new)) * f
             for i in range(len(new) - 1):
                 p = (new[i], new[i + 1])
                 n2 = counts.get(p, 0) + f
@@ -1616,6 +1643,8 @@ def bpe_train_local(
                 where.setdefault(p, set()).add(wi)
                 heapq.heappush(heap, (-n2, p[0], p[1]))
         counts.pop((a, b), None)
+        if on_merge is not None:
+            on_merge(rank, total_tokens)
     return merges
 
 
@@ -1632,6 +1661,71 @@ def bpe_merges_local_df(
     rows = bpe_train_local(df, text_col, n_merges, max_vocab_rows)
     return spark.createDataFrame(
         rows, "merge_rank int, tok_a string, tok_b string, pair_count bigint"
+    )
+
+
+def bpe_vocab_sweep(
+    df: DataFrame,
+    text_col: str = "text",
+    checkpoints: "tuple[int, ...]" = (64, 256, 1024, 4096),
+    max_vocab_rows: int = 20_000_000,
+) -> DataFrame:
+    """Vocabulary-size sweep — the choose-your-vocab report a
+    tokenizer owner reads before committing to a merge count: corpus
+    token totals, fertility (tokens/word), and compression
+    (chars/token) at each candidate vocab size, from ONE training run.
+
+    The trick: after k merges the trainer's vocab state IS the
+    encoding of the corpus under the first k merges (BPE encoding
+    replays the training trajectory), so the sweep costs one
+    ``_bpe_train_core`` pass to max(checkpoints) with an ``on_merge``
+    hook — no re-encoding per candidate size, no extra Spark jobs
+    beyond the single wordcount shuffle.  A checkpoint past pair
+    exhaustion reports the exhausted state with its EFFECTIVE merge
+    count, so the caller sees the vocab saturated rather than a
+    fabricated larger vocabulary.
+
+    Returns (n_merges, n_merges_effective, total_tokens, fertility,
+    chars_per_token) with a row for 0 (character-level baseline) and
+    each checkpoint."""
+    if not checkpoints or any(c < 1 for c in checkpoints):
+        raise ValueError(f"checkpoints must be >= 1, got {checkpoints}")
+    spark = df.sparkSession
+    words, freqs = _bpe_collect_vocab(df, text_col, max_vocab_rows)
+    n_words = sum(freqs)
+    n_chars = sum(len(seq) * f for seq, f in zip(words, freqs))
+    cps = sorted(set(int(c) for c in checkpoints))
+    state: "dict[int, int]" = {}  # rank -> total_tokens at rank
+    last: "list[tuple[int, int]]" = [(0, n_chars)]
+
+    def on_merge(rank: int, total: int) -> None:
+        last[0] = (rank, total)
+        if rank in want:
+            state[rank] = total
+
+    want = set(cps)
+    _bpe_train_core(words, freqs, max(cps), on_merge=on_merge)
+    rows = []
+    for req in [0] + cps:
+        if req == 0:
+            eff, total = 0, n_chars
+        elif req in state:
+            eff, total = req, state[req]
+        else:  # exhausted before this checkpoint
+            eff, total = last[0]
+        rows.append(
+            (
+                req,
+                eff,
+                total,
+                total / n_words if n_words else None,
+                n_chars / total if total else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "n_merges int, n_merges_effective int, total_tokens bigint, "
+        "fertility double, chars_per_token double",
     )
 
 

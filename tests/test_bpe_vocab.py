@@ -118,3 +118,41 @@ def test_q_bpe_train_vocab_reaches_production_merge_counts(spark, sf_dir):
     assert ranks == list(range(1, len(rows) + 1))
     counts = [r["pair_count"] for r in rows]
     assert all(counts[i] >= counts[i + 1] for i in range(len(counts) - 1))
+
+
+def test_vocab_sweep_matches_encode_state(spark):
+    """The sweep's token total at checkpoint k must equal encoding the
+    corpus with the first k merges (the trajectory-replay property),
+    fertility 1.0 exactly at saturation, monotone totals, and the
+    char-level row at n_merges=0."""
+    from kevinlang_spark.operators.text import (
+        bpe_encode_words,
+        bpe_train_local,
+        bpe_vocab_sweep,
+    )
+
+    df = _corpus_df(spark)
+    out = {r["n_merges"]: r for r in bpe_vocab_sweep(
+        df, checkpoints=(4, 16, 10_000)).collect()}
+    assert set(out) == {0, 4, 16, 10_000}
+    totals = [out[k]["total_tokens"] for k in (0, 4, 16, 10_000)]
+    assert totals == sorted(totals, reverse=True)
+    assert out[10_000]["fertility"] == 1.0  # saturated: 1 token per word
+    assert out[10_000]["n_merges_effective"] < 10_000
+    assert out[0]["chars_per_token"] == 1.0
+    # independent replay: encode distinct words with the first 4 merges
+    merges = bpe_train_local(df, n_merges=4)
+    words = df.selectExpr(
+        "explode(filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w"
+    ).groupBy("w").count()
+    enc = bpe_encode_words(words.select("w"), merges)
+    joined = enc.join(words, "w")
+    want = sum(
+        r["n_subtokens"] * r["count"] for r in joined.collect()
+    )
+    assert out[4]["total_tokens"] == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="checkpoints"):
+        bpe_vocab_sweep(df, checkpoints=())
