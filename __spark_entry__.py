@@ -4292,9 +4292,25 @@ def _arena_battles(spark, sf_dir):
     a_wins = h("#mw") % 2 == 0
     return docs.select(
         F.lit(0).cast("bigint").alias("board"),
+        F.col("doc_id").alias("battle_id"),
         F.when(a_wins, ma).otherwise(mb).alias("winner"),
         F.when(a_wins, mb).otherwise(ma).alias("loser"),
     )
+
+
+def q_bt_bootstrap(spark, sf_dir):
+    """Poisson-bootstrap confidence intervals for the BT leaderboard
+    (preference.py bt_bootstrap — the Chatbot-Arena error bars):
+    battles enter each of 20 replicates with a DETERMINISTIC
+    Poisson(1) weight (md5 uniform → inverse CDF, identical decimal
+    thresholds in the oracle), each replicate refits BT in-row keyed
+    by replicate id, and the per-model CI is rank-indexed over the
+    sorted replicate strengths — explicit FLOOR/CEIL rank math, no
+    float percentile.  The oracle nests the shared _bt_mm_sql rounds
+    inside the replicate expansion and replays the rank picks."""
+    from kevinlang_spark.operators.preference import bt_bootstrap
+
+    return bt_bootstrap(_arena_battles(spark, sf_dir), n_replicates=20)
 
 
 def q_winrate_matrix(spark, sf_dir):
@@ -4576,6 +4592,18 @@ def _preference_candidates(spark, sf_dir):
         ).alias("response"),
         reward.alias("reward"),
     )
+
+
+def _poisson1_case_sql() -> str:
+    """CASE chain for the deterministic Poisson(1) inverse CDF —
+    generated from the SAME constants the Spark operator uses
+    (preference.POISSON1_CDF), so no transcription can drift."""
+    from kevinlang_spark.operators.preference import POISSON1_CDF
+
+    whens = " ".join(
+        f"WHEN u < {v!r} THEN {k}" for k, v in enumerate(POISSON1_CDF)
+    )
+    return f"CASE {whens} ELSE {len(POISSON1_CDF)} END"
 
 
 def _bt_mm_sql(comp_cte: str, group: str, final: str) -> str:
@@ -7630,6 +7658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fleiss_kappa": q_fleiss_kappa,
         "q_chat_trees": q_chat_trees,
         "q_winrate_matrix": q_winrate_matrix,
+        "q_bt_bootstrap": q_bt_bootstrap,
         "q_length_buckets": q_length_buckets,
         "q_epoch_shuffle": q_epoch_shuffle,
         "q_retention_curve": q_retention_curve,
@@ -10863,6 +10892,52 @@ def oracle_sql() -> dict[str, str]:
                 "SELECT prompt_id, unnest(cands) AS cand_id, "
                 "{census} FROM i2"
             ),
+        ),
+        # bootstrap CIs: the MM rounds nest inside the replicate
+        # expansion (a CTE body may carry its own WITH chain); weights
+        # from the generated Poisson CASE over the shared constants;
+        # rank picks with explicit FLOOR/CEIL
+        "q_bt_bootstrap": (
+            "WITH fits AS ("
+            + _bt_mm_sql(
+                "WITH battles AS (SELECT doc_id AS battle_id, "
+                "CASE WHEN hw % 2 = 0 THEN ma ELSE mb END AS winner, "
+                "CASE WHEN hw % 2 = 0 THEN mb ELSE ma END AS loser "
+                "FROM (SELECT doc_id, ma, "
+                "CASE WHEN mbr >= ma THEN mbr + 1 ELSE mbr END AS mb, hw "
+                "FROM (SELECT doc_id, "
+                "CAST(CONCAT('0x', substr(md5(doc_id || '#ma'), 1, 13)) "
+                "AS BIGINT) % 12 AS ma, "
+                "CAST(CONCAT('0x', substr(md5(doc_id || '#mb'), 1, 13)) "
+                "AS BIGINT) % 11 AS mbr, "
+                "CAST(CONCAT('0x', substr(md5(doc_id || '#mw'), 1, 13)) "
+                "AS BIGINT) AS hw FROM documents) t0) t1), "
+                "reps AS (SELECT battles.*, r.g AS rep FROM battles, "
+                "generate_series(1, 20) r(g)), "
+                "wts AS (SELECT rep, winner, loser, "
+                + _poisson1_case_sql()
+                + " AS wt FROM (SELECT *, "
+                "CAST(CONCAT('0x', substr(md5(battle_id || '#bs' || rep), "
+                "1, 13)) AS BIGINT) / 4503599627370496.0 AS u "
+                "FROM reps) t2), "
+                "comp AS (SELECT rep, winner, loser, "
+                "unnest(range(1, wt + 1)) AS c FROM wts)",
+                group="rep",
+                final=(
+                    "SELECT rep, unnest(cands) AS model_id, "
+                    "unnest(ps) AS strength FROM i2"
+                ),
+            )
+            + "), pm AS (SELECT model_id, "
+            "list(strength ORDER BY strength) AS ss FROM fits "
+            "GROUP BY model_id) "
+            "SELECT model_id, CAST(len(ss) AS BIGINT) AS n_present, "
+            "ss[CAST(1 + FLOOR(len(ss) * 25 / 1000) AS INT)] "
+            "AS strength_lo, "
+            "ss[CAST(1 + FLOOR(len(ss) * 500 / 1000) AS INT)] "
+            "AS strength_median, "
+            "ss[CAST(CEIL(len(ss) * 975 / 1000) AS INT)] "
+            "AS strength_hi FROM pm"
         ),
         # Wilson intervals: identical parenthesization to the Spark
         # expressions (z2/(2.0*n), z*sqrt(p*(1.0-p)/n + z2/(4.0*n*n))

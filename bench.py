@@ -80,6 +80,7 @@ HEADLINE = [
     "q_bt_leaderboard",
     "q_fleiss_kappa",
     "q_winrate_matrix",
+    "q_bt_bootstrap",
     "q_chat_trees",
     "q_length_buckets",
     "q_epoch_shuffle",

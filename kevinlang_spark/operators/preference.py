@@ -378,3 +378,113 @@ def winrate_matrix(
         (center - half).alias("wilson_lo"),
         (center + half).alias("wilson_hi"),
     )
+
+
+#: Poisson(1) inverse-CDF thresholds (e^-1 · Σ 1/i!), capped at 8 —
+#: the deterministic replacement for random bootstrap weights: a
+#: 52-bit md5 uniform u maps to the smallest k with CDF(k) > u.  The
+#: same decimal literals appear in the DuckDB oracle, so the weights
+#: replay bit-identically.
+POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+)
+
+
+def bt_bootstrap(
+    df: DataFrame,
+    battle_col: str = "battle_id",
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    n_replicates: int = 20,
+    n_iters: int = 2,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Bootstrap confidence intervals for the BT leaderboard — the
+    error bars arena-style leaderboards ship next to the point
+    strengths (Chatbot Arena resamples battles and refits BT per
+    replicate).  This is the POISSON bootstrap (Chamandy et al. 2012,
+    "Estimating uncertainty for massive data streams" — the standard
+    at-scale form: each battle enters replicate b with weight ~
+    Poisson(1), so resampling never needs a global draw), made
+    DETERMINISTIC via the md5 bridge: u = h52(battle#bs{b})/2^52 →
+    inverse CDF → weight.  Re-runs, repartitions, and both engines
+    produce identical replicates.
+
+    Shape: battles fan out n_replicates × weight copies (weight
+    averages 1, so the expansion is ~n_replicates×, a bounded
+    constant), each replicate fits via :func:`bt_strength`'s in-row MM
+    rounds keyed by replicate id, and the per-model CI collapses the
+    n_replicates strengths IN-ROW over a sorted bounded array —
+    rank-indexed quantiles (floor-rank, integer math), no
+    interpolation, so there is no float percentile to diverge.
+
+    Returns (model_id, n_present, strength_lo, strength_median,
+    strength_hi): lo/hi are the 2.5/97.5 percentile ranks over the
+    replicates the model appeared in (a model absent from a replicate
+    — every battle weighted 0 — contributes no sample)."""
+    if n_replicates < 2:
+        raise ValueError(
+            f"n_replicates must be >= 2, got {n_replicates}"
+        )
+    reps = df.select(
+        F.col(battle_col).alias("__bid"),
+        F.col(winner_col).alias("__w"),
+        F.col(loser_col).alias("__l"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(int(n_replicates)))
+        ).alias("rep"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("__bid").cast("string"), F.lit("#bs"),
+                        F.col("rep").cast("string"),
+                    )
+                ),
+                1, 13,
+            ),
+            16, 10,
+        ).cast("bigint")
+        / F.lit(4503599627370496.0)  # 2^52
+    )
+    w = F.lit(len(POISSON1_CDF))
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    expanded = (
+        reps.select("rep", "__w", "__l", w.alias("__wt"))
+        .where(F.col("__wt") > 0)
+        .select(
+            "rep", "__w", "__l",
+            F.explode(F.sequence(F.lit(1), F.col("__wt"))).alias("__c"),
+        )
+    )
+    fits = bt_strength(
+        expanded, prompt_col="rep", winner_col="__w", loser_col="__l",
+        n_iters=n_iters, alpha=alpha,
+    )
+    per_model = fits.groupBy(F.col("cand_id").alias("model_id")).agg(
+        F.array_sort(F.collect_list("strength")).alias("__ss")
+    )
+    ss = F.col("__ss")
+    m = F.size(ss).cast("bigint")
+    # explicit FLOOR/CEIL, never a bare double->int cast: Spark's cast
+    # truncates where DuckDB's rounds (the r11 length_buckets rule)
+    lo_i = (F.lit(1) + F.floor(m * 25 / F.lit(1000))).cast("int")
+    med_i = (F.lit(1) + F.floor(m * 500 / F.lit(1000))).cast("int")
+    hi_i = F.ceil(m * 975 / F.lit(1000)).cast("int")
+    return per_model.select(
+        "model_id",
+        m.alias("n_present"),
+        F.element_at(ss, lo_i).alias("strength_lo"),
+        F.element_at(ss, med_i).alias("strength_median"),
+        F.element_at(ss, hi_i).alias("strength_hi"),
+    )

@@ -312,3 +312,53 @@ def test_winrate_matrix_wilson(spark):
     assert round(r["wilson_lo"], 4) == 0.3968
     assert round(r["wilson_hi"], 4) == 0.8922
     assert r["wilson_lo"] < r["win_rate"] < r["wilson_hi"]
+
+
+def test_bt_bootstrap_intervals(spark):
+    """CIs bracket the dominant model above the dominated one; the
+    deterministic weights make re-runs identical; replicate guard."""
+    from kevinlang_spark.operators.preference import bt_bootstrap
+
+    rows = [(i, 1 if i % 3 else 2, 2 if i % 3 else 1) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "battle_id bigint, winner bigint, loser bigint"
+    )
+    out = {r["model_id"]: r for r in bt_bootstrap(df, n_replicates=10).collect()}
+    assert set(out) == {1, 2}
+    r1, r2 = out[1], out[2]
+    assert r1["n_present"] == 10 and r2["n_present"] == 10
+    assert r1["strength_lo"] <= r1["strength_median"] <= r1["strength_hi"]
+    assert r1["strength_lo"] > r2["strength_hi"]  # 2:1 dominance separates
+    again = {r["model_id"]: r for r in bt_bootstrap(df, n_replicates=10).collect()}
+    assert again[1] == r1 and again[2] == r2  # deterministic replicates
+    with pytest.raises(ValueError, match="n_replicates"):
+        bt_bootstrap(df, n_replicates=1)
+
+
+def test_bt_bootstrap_poisson_weights_are_calibrated(spark):
+    """The md5-uniform inverse-CDF weights are Poisson(1)-shaped:
+    mean ~1 and ~36.8% zeros over a large deterministic sample."""
+    from pyspark.sql import functions as F
+
+    from kevinlang_spark.operators.preference import POISSON1_CDF
+
+    n = 20_000
+    df = spark.range(n)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("id").cast("string"), F.lit("#bs1"))),
+                1, 13,
+            ),
+            16, 10,
+        ).cast("bigint")
+        / F.lit(4503599627370496.0)
+    )
+    w = F.lit(len(POISSON1_CDF))
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    stats = df.select(w.alias("w")).agg(
+        F.avg("w").alias("mean"), F.count_if(F.col("w") == 0).alias("z")
+    ).collect()[0]
+    assert abs(stats["mean"] - 1.0) < 0.03
+    assert abs(stats["z"] / n - 0.3679) < 0.01
