@@ -260,10 +260,15 @@ def fleiss_kappa(
     category marginals IN-ROW over a sorted bounded array (categories
     are a nominal handful), the reward_agreement discipline.
 
-    Scale shape: three keyed aggregations (votes → per-item-category
-    counts → per-item stats → per-group rollup), all map-side
-    combinable; the category-marginal collect is bounded by the
-    category alphabet, never the corpus.
+    Scale shape: ONE corpus-scale aggregation chain (votes →
+    per-item-category counts → per-item stats carrying the bounded
+    per-item category array), lazily checkpointed so its four
+    consumers (kept stats, dropped census, category marginals, group
+    rollup) share ONE materialization instead of re-scanning the
+    corpus per branch — the first cut of this operator read the
+    parquet scan 4× (zero ReusedExchange: column pruning makes the
+    branch subtrees non-identical, so Spark cannot dedupe them).
+    Everything downstream of the checkpoint is item- or group-scale.
 
     Returns (group_col, n_items, n_items_dropped, p_bar, p_e,
     kappa)."""
@@ -281,27 +286,34 @@ def fleiss_kappa(
     item_cat = votes.groupBy(group_col, item_col, "__cat").agg(
         F.count("*").alias("__nij")
     )
-    item = item_cat.groupBy(group_col, item_col).agg(
-        F.sum("__nij").alias("__n"),
-        F.sum(F.col("__nij") * F.col("__nij")).alias("__s2"),
+    item = (
+        item_cat.groupBy(group_col, item_col)
+        .agg(
+            F.sum("__nij").alias("__n"),
+            F.sum(F.col("__nij") * F.col("__nij")).alias("__s2"),
+            F.collect_list(
+                F.struct(
+                    F.col("__cat").alias("c"), F.col("__nij").alias("k")
+                )
+            ).alias("__cks"),
+        )
+        .localCheckpoint(eager=False)
     )
-    kept = item.where(F.col("__n") == n_raters).select(
-        group_col, item_col, "__s2"
-    )
+    kept = item.where(F.col("__n") == n_raters)
     dropped = (
         item.where(F.col("__n") != n_raters)
         .groupBy(group_col)
         .agg(F.count("*").alias("n_items_dropped"))
     )
-    # category marginals over KEPT items only (bounded alphabet)
+    # category marginals over KEPT items only (bounded alphabet) —
+    # the per-item category counts ride the checkpointed frame, so no
+    # join back to item_cat and no corpus re-scan
     cat_counts = (
-        item_cat.join(kept.select(group_col, item_col), [group_col, item_col])
-        .groupBy(group_col, "__cat")
-        .agg(F.sum("__nij").alias("__cj"))
+        kept.select(group_col, F.explode("__cks").alias("e"))
+        .groupBy(group_col, F.col("e.c").alias("__c"))
+        .agg(F.sum("e.k").alias("__cj"))
         .groupBy(group_col)
-        .agg(
-            F.array_sort(F.collect_list(F.col("__cj"))).alias("__cjs")
-        )
+        .agg(F.array_sort(F.collect_list(F.col("__cj"))).alias("__cjs"))
     )
     g = kept.groupBy(group_col).agg(
         F.count("*").alias("n_items"),
