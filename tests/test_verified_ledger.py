@@ -54,17 +54,39 @@ def test_ledger_rounds_are_real():
         ), f"{q}: CORRECTNESS_{rnd}.json row is not all-green"
 
 
-def test_pending_queries_fill_the_driver_window():
-    ledger = _ledger()
+def test_registry_order_matches_rotation_policy():
+    """The queries() dict order IS the driver window; its first 50
+    slots must match scripts/rotate_window.py's desired order — since
+    VERDICT r11 item 1 that means the AGE BACKSTOP leads (overdue
+    queries take the first slots; pending/new queries follow and can
+    no longer displace them)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "rotate_window", str(ROOT / "scripts" / "rotate_window.py")
+    )
+    rw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rw)
+    spec2 = importlib.util.spec_from_file_location(
+        "update_verified", str(ROOT / "scripts" / "update_verified.py")
+    )
+    uv = importlib.util.module_from_spec(spec2)
+    cwd = os.getcwd()
+    os.chdir(ROOT)
+    try:
+        spec2.loader.exec_module(uv)
+        _, last_green, _ = uv.green_history()
+    finally:
+        os.chdir(cwd)
+    latest = max((int(r[1:]) for r in last_green.values()), default=0)
     names = _query_names()
-    pending = [n for n in names if ledger.get(n) == "pending"]
-    if not pending:
-        return  # rotation complete
-    window = names[: min(50, len(pending))]
-    stale = [n for n in window if ledger.get(n) != "pending"]
-    assert not stale, (
-        "already-verified queries occupy driver window slots while "
-        f"{len(pending)} are still pending: {stale}"
+    order = rw.desired_order(
+        names, last_green, rw._priority(latest)
+    )
+    assert names[:50] == order[:50], (
+        "registry order is stale — run scripts/rotate_window.py --apply "
+        "(and scripts/update_verified.py) before closing the round"
     )
 
 
