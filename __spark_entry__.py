@@ -4325,6 +4325,89 @@ def q_winrate_matrix(spark, sf_dir):
     return winrate_matrix(_arena_battles(spark, sf_dir))
 
 
+def q_pass_at_k(spark, sf_dir):
+    """Unbiased pass@k (evals.py pass_at_k — the HumanEval estimator,
+    Chen et al. 2021 eq. 1): ten md5-bridge samples per document-task
+    with per-task correctness rates of 10-40%, scored at k=1 and k=5
+    per source.  The binomial ratio is an in-row left-fold product
+    (identical IEEE order both engines) and per-task values quantize
+    to integer micros before the group average, so the rollup is an
+    exact integer SUM.  One task-keyed agg + a metadata-sized
+    rollup."""
+    from kevinlang_spark.operators.evals import pass_at_k
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    base = docs.select(
+        "doc_id", "source",
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("i"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit("#ev"),
+                    F.col("i").cast("string"),
+                )
+            ),
+            1, 13,
+        ),
+        16, 10,
+    ).cast("bigint")
+    samples = base.select(
+        "source", "doc_id",
+        (h % 10 < F.lit(1) + F.col("doc_id") % 4).alias("correct"),
+    )
+    return pass_at_k(
+        samples, group_col="source", task_col="doc_id",
+        correct_col="correct", ks=(1, 5),
+    )
+
+
+def q_majority_vote(spark, sf_dir):
+    """Self-consistency / majority-vote accuracy (evals.py
+    majority_vote — Wang et al. 2022): five md5-bridge sampled answers
+    per document-task over a 3-symbol answer space, modal answer vs a
+    per-task reference, rolled up per source with the mean vote share
+    (floor-quantized to micros before averaging — the exact-integer
+    rollup discipline)."""
+    from kevinlang_spark.operators.evals import majority_vote
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def h(tag):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                       tag)), 1, 13),
+            16, 10,
+        ).cast("bigint")
+
+    base = docs.select(
+        "doc_id", "source",
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("i"),
+    )
+    hi = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit("#an"),
+                    F.col("i").cast("string"),
+                )
+            ),
+            1, 13,
+        ),
+        16, 10,
+    ).cast("bigint")
+    samples = base.select(
+        "source", "doc_id",
+        (hi % 3).alias("answer"),
+        (h(F.lit("#ref")) % 3).alias("reference"),
+    )
+    return majority_vote(
+        samples, group_col="source", task_col="doc_id",
+        answer_col="answer", ref_col="reference",
+    )
+
+
 def q_chat_trees(spark, sf_dir):
     """Conversation-tree flattening (text.py conversation_paths — the
     OASST/ShareGPT message-tree shape, arXiv:2304.07327): each
@@ -7746,8 +7829,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chat_trees": q_chat_trees,
         "q_winrate_matrix": q_winrate_matrix,
         "q_bt_bootstrap": q_bt_bootstrap,
+        "q_pass_at_k": q_pass_at_k,
+        "q_majority_vote": q_majority_vote,
         "q_bpe_train_vocab": q_bpe_train_vocab,
         "q_bpe_vocab_sweep": q_bpe_vocab_sweep,
+        "q_media_ingest": q_media_ingest,
+        "q_audio_neardup": q_audio_neardup,
+        "q_length_buckets": q_length_buckets,
+        "q_span_corruption": q_span_corruption,
+        "q_reward_agreement": q_reward_agreement,
+        "q_retention_curve": q_retention_curve,
         "q_triangles": q_triangles,
         "q_ann_ivfpq": q_ann_ivfpq,
         "q_ann_pq": q_ann_pq,
@@ -7894,7 +7985,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_agg_global": q_agg_global,
         "q_agg_stats": q_agg_stats,
         "q_append": q_append,
-        "q_audio_neardup": q_audio_neardup,
         "q_best_of_n": q_best_of_n,
         "q_bitext_mine": q_bitext_mine,
         "q_cast_pivot": q_cast_pivot,
@@ -7916,21 +8006,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_pipeline": q_image_pipeline,
         "q_interleaved_media": q_interleaved_media,
         "q_langid": q_langid,
-        "q_length_buckets": q_length_buckets,
-        "q_media_ingest": q_media_ingest,
         "q_melt": q_melt,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_packed_spans": q_packed_spans,
         "q_packing_report": q_packing_report,
         "q_pos_join": q_pos_join,
-        "q_retention_curve": q_retention_curve,
         "q_revenue_by_nation": q_revenue_by_nation,
-        "q_reward_agreement": q_reward_agreement,
         "q_robots_filter": q_robots_filter,
         "q_select": q_select,
         "q_slice": q_slice,
         "q_sort_take": q_sort_take,
-        "q_span_corruption": q_span_corruption,
         "q_text_stats": q_text_stats,
         "q_tokenizer_fertility": q_tokenizer_fertility,
         "q_tokens_by_source": q_tokens_by_source,
@@ -10892,6 +10977,56 @@ def oracle_sql() -> dict[str, str]:
                 "SELECT prompt_id, unnest(cands) AS cand_id, "
                 "{census} FROM i2"
             ),
+        ),
+        # pass@k: the binomial ratio folds left with identical IEEE
+        # order; per-task micros make the group SUM exact integers
+        "q_pass_at_k": (
+            "WITH s AS (SELECT source, doc_id, "
+            "CASE WHEN CAST(CONCAT('0x', substr(md5(doc_id || '#ev' "
+            "|| g.g), 1, 13)) AS BIGINT) % 10 < 1 + doc_id % 4 "
+            "THEN 1 ELSE 0 END AS ok "
+            "FROM documents, generate_series(0, 9) g(g)), "
+            "t AS (SELECT source, doc_id, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(ok) AS BIGINT) AS c FROM s GROUP BY source, doc_id), "
+            "p AS (SELECT source, k, CASE WHEN n < k THEN NULL "
+            "WHEN n - c < k THEN 1000000 "
+            "ELSE CAST(ROUND((1.0 - list_reduce(list_prepend(1.0, "
+            "list_transform(range(0, k), j -> ((n - c - j) / (n - j)))), "
+            "(a, b) -> a * b)) * 1000000) AS BIGINT) END AS pkq "
+            "FROM t, (SELECT unnest([1, 5]) AS k) ks) "
+            "SELECT source, CAST(k AS INT) AS k, "
+            "CAST(COUNT(*) AS BIGINT) AS n_tasks, "
+            "CAST(SUM(pkq) AS BIGINT) / (COUNT(*) * 1000000) "
+            "AS mean_pass_at_k FROM p WHERE pkq IS NOT NULL "
+            "GROUP BY source, k"
+        ),
+        # majority vote: modal answer via max-count + min-answer
+        # tie-break; vote shares floor-quantized before the rollup
+        "q_majority_vote": (
+            "WITH s AS (SELECT source, doc_id, "
+            "CAST(CONCAT('0x', substr(md5(doc_id || '#an' || g.g), 1, "
+            "13)) AS BIGINT) % 3 AS answer, "
+            "CAST(CONCAT('0x', substr(md5(doc_id || '#ref'), 1, 13)) "
+            "AS BIGINT) % 3 AS reference "
+            "FROM documents, generate_series(0, 4) g(g)), "
+            "v AS (SELECT source, doc_id, answer, "
+            "CAST(COUNT(*) AS BIGINT) AS nv, MAX(reference) AS ref "
+            "FROM s GROUP BY source, doc_id, answer), "
+            "mx AS (SELECT source, doc_id, MAX(nv) AS maxv, "
+            "CAST(SUM(nv) AS BIGINT) AS nn, MAX(ref) AS ref2 "
+            "FROM v GROUP BY source, doc_id), "
+            "modal AS (SELECT v.source, v.doc_id, MIN(v.answer) AS m, "
+            "MAX(mx.maxv) AS mv, MAX(mx.nn) AS nn, MAX(mx.ref2) AS r "
+            "FROM v JOIN mx ON v.source = mx.source "
+            "AND v.doc_id = mx.doc_id AND v.nv = mx.maxv "
+            "GROUP BY v.source, v.doc_id) "
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tasks, "
+            "CAST(COUNT(*) FILTER (WHERE m = r) AS BIGINT) AS n_correct, "
+            "CAST(COUNT(*) FILTER (WHERE m = r) AS BIGINT) / COUNT(*) "
+            "AS accuracy, "
+            "CAST(SUM(CAST(FLOOR(mv * 1000000 / nn) AS BIGINT)) "
+            "AS BIGINT) / (COUNT(*) * 1000000) AS mean_vote_share "
+            "FROM modal GROUP BY source"
         ),
         # bootstrap CIs: the MM rounds nest inside the replicate
         # expansion (a CTE body may carry its own WITH chain); weights

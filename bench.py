@@ -81,6 +81,8 @@ HEADLINE = [
     "q_fleiss_kappa",
     "q_winrate_matrix",
     "q_bt_bootstrap",
+    "q_pass_at_k",
+    "q_majority_vote",
     "q_chat_trees",
     "q_length_buckets",
     "q_epoch_shuffle",

@@ -362,3 +362,47 @@ def test_bt_bootstrap_poisson_weights_are_calibrated(spark):
     ).collect()[0]
     assert abs(stats["mean"] - 1.0) < 0.03
     assert abs(stats["z"] / n - 0.3679) < 0.01
+
+
+def test_pass_at_k_matches_comb_formula(spark):
+    """Exact HumanEval formula per task: 1 - C(n-c,k)/C(n,k); n < k
+    excluded; n-c < k saturates at 1.0; ks guard."""
+    from math import comb
+
+    from kevinlang_spark.operators.evals import pass_at_k
+
+    rows = [("s", t, i < c) for t, c in enumerate((2, 0, 10))
+            for i in range(10)]
+    rows += [("s", 99, True), ("s", 99, False)]  # n=2 task
+    df = spark.createDataFrame(rows, "suite string, task_id bigint, correct boolean")
+    out = {r["k"]: r for r in pass_at_k(df, ks=(1, 5)).collect()}
+    want1 = (sum(1 - comb(10 - c, 1) / comb(10, 1) for c in (2, 0, 10))
+             + (1 - comb(1, 1) / comb(2, 1))) / 4
+    assert out[1]["n_tasks"] == 4
+    assert out[1]["mean_pass_at_k"] == pytest.approx(want1, abs=1e-6)
+    want5 = sum(1 - comb(10 - c, 5) / comb(10, 5) for c in (2, 0, 10)) / 3
+    assert out[5]["n_tasks"] == 3  # the n=2 task is excluded at k=5
+    assert out[5]["mean_pass_at_k"] == pytest.approx(want5, abs=1e-6)
+    with pytest.raises(ValueError, match="ks"):
+        pass_at_k(df, ks=())
+
+
+def test_majority_vote_accuracy(spark):
+    """Modal answer with min-answer tie-break vs reference; vote share
+    averaged over tasks."""
+    from kevinlang_spark.operators.evals import majority_vote
+
+    rows = [
+        ("s", 0, "A", "A"), ("s", 0, "A", "A"), ("s", 0, "B", "A"),
+        ("s", 1, "X", "Y"), ("s", 1, "X", "Y"), ("s", 1, "Y", "Y"),
+        ("s", 2, "P", "P"), ("s", 2, "Q", "P"),  # tie -> min("P","Q")=P
+    ]
+    df = spark.createDataFrame(
+        rows, "suite string, task_id bigint, answer string, reference string"
+    )
+    r = majority_vote(df).collect()[0]
+    assert r["n_tasks"] == 3 and r["n_correct"] == 2
+    assert r["accuracy"] == pytest.approx(2 / 3, abs=1e-12)
+    assert r["mean_vote_share"] == pytest.approx(
+        (2 / 3 + 2 / 3 + 1 / 2) / 3, abs=1e-5
+    )
