@@ -4451,6 +4451,49 @@ def q_chat_trees(spark, sf_dir):
     return conversation_paths(msgs, max_depth=8)
 
 
+def q_chat_tree_render(spark, sf_dir):
+    """Tree-flattening WITH ChatML rendering (conversation_paths
+    text_col path): the q_chat_trees message trees carry md5-positioned
+    document substrings as message content, and every root-to-leaf
+    thread renders to the exact ChatML training string (render_chat's
+    grammar byte-for-byte; NULL-content messages skip in the rendering
+    but keep their place on the path).  The oracle's recursive CTE
+    accumulates the rendered string alongside the path."""
+    from kevinlang_spark.operators.text import conversation_paths
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    k = F.col("k")
+    base = docs.select(
+        F.col("doc_id").alias("conv_id"),
+        "text",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("conv_id").cast("string"), F.lit("#p"),
+                    k.cast("string"),
+                )
+            ),
+            1, 13,
+        ),
+        16, 10,
+    ).cast("bigint")
+    parent = F.when(k == 0, F.lit(None).cast("bigint")).otherwise(
+        h % F.greatest(k.cast("bigint"), F.lit(1))
+    )
+    role = F.when(k % 2 == 0, F.lit("user")).otherwise(F.lit("assistant"))
+    msgs = base.select(
+        "conv_id",
+        k.cast("bigint").alias("msg_id"),
+        parent.alias("parent_id"),
+        role.alias("role"),
+        F.col("text").substr(k * 7 + 1, F.lit(24)).alias("content"),
+    )
+    return conversation_paths(msgs, max_depth=8, text_col="content")
+
+
 def q_tokenizer_fertility(spark, sf_dir):
     """Tokenizer fertility per source (text.py bpe_fertility): train
     the 8-merge BPE table on the corpus, then per source — BPE tokens
@@ -7827,6 +7870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bt_leaderboard": q_bt_leaderboard,
         "q_fleiss_kappa": q_fleiss_kappa,
         "q_chat_trees": q_chat_trees,
+        "q_chat_tree_render": q_chat_tree_render,
         "q_winrate_matrix": q_winrate_matrix,
         "q_bt_bootstrap": q_bt_bootstrap,
         "q_pass_at_k": q_pass_at_k,
@@ -11130,6 +11174,37 @@ def oracle_sql() -> dict[str, str]:
             "ON c.conv_id = p.conv_id AND c.parent_id = p.msg_id) "
             "SELECT conv_id, msg_id AS leaf_id, CAST(depth AS INT) "
             "AS depth, path, roles, TRUE AS is_complete FROM paths t "
+            "WHERE NOT EXISTS (SELECT 1 FROM m x WHERE "
+            "x.conv_id = t.conv_id AND x.parent_id = t.msg_id)"
+        ),
+        # rendered tree threads: the recursive CTE accumulates the
+        # ChatML string alongside the path (chr(10) = the literal \n)
+        "q_chat_tree_render": (
+            "WITH RECURSIVE m AS (SELECT doc_id AS conv_id, "
+            "CAST(s.g AS BIGINT) AS msg_id, "
+            "CASE WHEN s.g = 0 THEN NULL ELSE "
+            "CAST(CONCAT('0x', substr(md5(doc_id || '#p' || s.g), 1, 13)) "
+            "AS BIGINT) % s.g END AS parent_id, "
+            "CASE WHEN s.g % 2 = 0 THEN 'user' ELSE 'assistant' END "
+            "AS role, substr(text, CAST(s.g * 7 + 1 AS INT), 24) AS t "
+            "FROM documents, generate_series(0, 6) s(g)), "
+            "paths AS ("
+            "SELECT conv_id, msg_id, CAST(msg_id AS VARCHAR) AS path, "
+            "role AS roles, 1 AS depth, "
+            "CASE WHEN t IS NULL THEN '' ELSE '<|im_start|>' || role "
+            "|| chr(10) || t || '<|im_end|>' || chr(10) END AS rendered "
+            "FROM m WHERE parent_id IS NULL "
+            "UNION ALL "
+            "SELECT c.conv_id, c.msg_id, "
+            "p.path || '>' || c.msg_id, p.roles || '>' || c.role, "
+            "p.depth + 1, p.rendered || "
+            "CASE WHEN c.t IS NULL THEN '' ELSE '<|im_start|>' || c.role "
+            "|| chr(10) || c.t || '<|im_end|>' || chr(10) END "
+            "FROM m c JOIN paths p "
+            "ON c.conv_id = p.conv_id AND c.parent_id = p.msg_id) "
+            "SELECT conv_id, msg_id AS leaf_id, CAST(depth AS INT) "
+            "AS depth, path, roles, TRUE AS is_complete, rendered "
+            "FROM paths t "
             "WHERE NOT EXISTS (SELECT 1 FROM m x WHERE "
             "x.conv_id = t.conv_id AND x.parent_id = t.msg_id)"
         ),

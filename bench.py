@@ -84,6 +84,7 @@ HEADLINE = [
     "q_pass_at_k",
     "q_majority_vote",
     "q_chat_trees",
+    "q_chat_tree_render",
     "q_length_buckets",
     "q_epoch_shuffle",
     "q_retention_curve",

@@ -3231,6 +3231,7 @@ def conversation_paths(
     parent_col: str = "parent_id",
     role_col: str = "role",
     max_depth: int = 64,
+    text_col: "str | None" = None,
 ) -> DataFrame:
     """Conversation-tree flattening (the OASST / ShareGPT data shape —
     Köpf et al. 2023, arXiv:2304.07327: crowd-sourced chat data arrives
@@ -3254,7 +3255,11 @@ def conversation_paths(
     Returns (conv_col, leaf_id, depth, path, roles, is_complete):
     path/roles are the root→leaf message ids / roles joined by '>'
     (strings, so the driver hash sees a stable scalar encoding);
-    depth = messages on the path."""
+    depth = messages on the path.  With ``text_col`` set, a
+    ``rendered`` column adds the ChatML linearization of the thread
+    (byte-identical grammar to :func:`render_chat` fmt='chatml');
+    NULL-content messages are skipped in the rendering — the
+    render_chat convention — but keep their place on the path."""
     if max_depth < 1:
         raise ValueError(f"max_depth must be >= 1, got {max_depth}")
     msgs = df.where(
@@ -3266,6 +3271,11 @@ def conversation_paths(
                     F.col(msg_col).cast("bigint").alias("id"),
                     F.col(parent_col).cast("bigint").alias("pid"),
                     F.col(role_col).cast("string").alias("role"),
+                    *(
+                        [F.col(text_col).cast("string").alias("t")]
+                        if text_col is not None
+                        else []
+                    ),
                 )
             )
         ).alias("ms")
@@ -3314,9 +3324,9 @@ def conversation_paths(
         walk(F.col("leaf")).alias("__chain"),
     )
     chain = F.col("__chain")
-    return out.select(
+    cols = [
         conv_col,
-        "leaf_id",
+        F.col("leaf_id"),
         F.size(chain).alias("depth"),
         F.array_join(
             F.transform(chain, lambda m: m["id"].cast("string")), ">"
@@ -3325,4 +3335,19 @@ def conversation_paths(
             F.transform(chain, lambda m: m["role"]), ">"
         ).alias("roles"),
         F.element_at(chain, 1)["pid"].isNull().alias("is_complete"),
-    )
+    ]
+    if text_col is not None:
+        cols.append(
+            F.aggregate(
+                chain,
+                F.lit(""),
+                lambda acc, m: F.when(m["t"].isNull(), acc).otherwise(
+                    F.concat(
+                        acc,
+                        F.lit("<|im_start|>"), m["role"], F.lit("\n"),
+                        m["t"], F.lit("<|im_end|>\n"),
+                    )
+                ),
+            ).alias("rendered")
+        )
+    return out.select(*cols)

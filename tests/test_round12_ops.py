@@ -406,3 +406,31 @@ def test_majority_vote_accuracy(spark):
     assert r["mean_vote_share"] == pytest.approx(
         (2 / 3 + 2 / 3 + 1 / 2) / 3, abs=1e-5
     )
+
+
+def test_conversation_paths_renders_chatml(spark):
+    """text_col adds the ChatML linearization: render_chat's grammar
+    byte-for-byte, NULL-content turns skipped but kept on the path."""
+    from kevinlang_spark.operators.text import conversation_paths
+
+    rows = [
+        (1, 1, None, "user", "hi"),
+        (1, 2, 1, "assistant", "hello"),
+        (1, 3, 2, "user", None),
+        (1, 4, 3, "assistant", "bye"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id bigint, msg_id bigint, parent_id bigint, "
+        "role string, text string",
+    )
+    r = conversation_paths(df, max_depth=8, text_col="text").collect()[0]
+    assert r["path"] == "1>2>3>4"  # NULL-content msg stays on the path
+    assert r["rendered"] == (
+        "<|im_start|>user\nhi<|im_end|>\n"
+        "<|im_start|>assistant\nhello<|im_end|>\n"
+        "<|im_start|>assistant\nbye<|im_end|>\n"
+    )
+    # without text_col the column is absent (schema unchanged for old callers)
+    cols = conversation_paths(df, max_depth=8).columns
+    assert "rendered" not in cols
