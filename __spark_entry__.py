@@ -6624,6 +6624,44 @@ def q_mahalanobis(spark, sf_dir):
     )
 
 
+def q_asof_directions(spark, sf_dir):
+    """Forward and nearest as-of joins (joins.py asof_join direction
+    param — the pandas merge_asof family; backward is q_temporal_join's
+    territory): each purchase event matches the next / the closest
+    click of the same user, ties to backward per the pandas
+    convention.  Same union+window single-shuffle shape; `nearest`
+    evaluates both scans over one partitioning.  The oracle derives
+    the matches independently with LATERAL min-distance subqueries."""
+    from kevinlang_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    ts_l = F.col("ts").cast("timestamp").cast("long")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", ts_l.alias("ts")
+    )
+    right = (
+        ev.where(F.col("event_type") == "click")
+        .select("user_id", ts_l.alias("ts"), "value")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    outs = []
+    for d in ("forward", "nearest"):
+        outs.append(
+            asof_join(
+                left, right, on="user_id", right_cols=["ts", "value"],
+                direction=d,
+            ).select(
+                F.lit(d).alias("direction"),
+                "user_id",
+                "ts",
+                F.col("ts_right").alias("matched_ts"),
+                F.col("value").alias("matched_value"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
 def q_temporal_join(spark, sf_dir):
     """Point-in-time SCD2 enrichment (leakage-safe feature-store join):
     per-order version history from ship dates, each receipt event
@@ -7971,6 +8009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_kl": q_source_kl,
         "q_survival": q_survival,
         "q_temporal_join": q_temporal_join,
+        "q_asof_directions": q_asof_directions,
         "q_top_tokens_per_source": q_top_tokens_per_source,
         "q_truncation_recall": q_truncation_recall,
         "q_vocab_coverage": q_vocab_coverage,
@@ -12336,6 +12375,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT grp AS l_returnflag, li_id, x AS l_quantity, "
             "y AS l_extendedprice, ROUND(d2, 4) AS d2 "
             "FROM d WHERE ROUND(d2, 4) > 5.0"
+        ),
+        # forward/nearest as-of: LATERAL min-distance subqueries — an
+        # independent derivation of the union+window scans' matches;
+        # the right side is deduped per (user, ts) so no tie rule on
+        # equal-timestamp right rows is ever exercised
+        "q_asof_directions": (
+            "WITH l AS (SELECT user_id, "
+            "CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts "
+            "FROM events WHERE event_type = 'purchase'), "
+            "r AS (SELECT user_id, "
+            "CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts, "
+            "MAX(value) AS value FROM events WHERE event_type = 'click' "
+            "GROUP BY user_id, CAST(FLOOR(epoch(ts)) AS BIGINT)) "
+            "SELECT 'forward' AS direction, l.user_id, l.ts, "
+            "f.rts AS matched_ts, f.rv AS matched_value FROM l "
+            "LEFT JOIN LATERAL (SELECT r.ts AS rts, r.value AS rv FROM r "
+            "WHERE r.user_id = l.user_id AND r.ts >= l.ts "
+            "ORDER BY r.ts LIMIT 1) f ON TRUE "
+            "UNION ALL "
+            "SELECT 'nearest' AS direction, l.user_id, l.ts, "
+            "n.rts AS matched_ts, n.rv AS matched_value FROM l "
+            "LEFT JOIN LATERAL (SELECT r.ts AS rts, r.value AS rv FROM r "
+            "WHERE r.user_id = l.user_id "
+            "ORDER BY CASE WHEN r.ts >= l.ts THEN r.ts - l.ts "
+            "ELSE l.ts - r.ts END ASC, "
+            "CASE WHEN r.ts <= l.ts THEN 0 ELSE 1 END ASC "
+            "LIMIT 1) n ON TRUE"
         ),
         "q_temporal_join": (
             "WITH ch AS (SELECT l_orderkey AS k, "

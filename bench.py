@@ -105,6 +105,7 @@ HEADLINE = [
     "q_window_dedup",
     "q_hll_rollup",
     "q_temporal_join",
+    "q_asof_directions",
     "q_resample_lerp",
     "q_mahalanobis",
     "q_kll_rollup",

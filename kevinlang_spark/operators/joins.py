@@ -29,16 +29,28 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the right row with the greatest
-    ``right_ts <= left_ts`` within the same ``on`` key (backward as-of;
-    DuckDB ``ASOF JOIN`` semantics).
+    """For each left row, attach one right row within the same ``on``
+    key by timestamp proximity — the pandas ``merge_asof`` direction
+    family:
+
+    - ``backward`` (default): greatest ``right_ts <= left_ts`` (DuckDB
+      ``ASOF JOIN`` semantics);
+    - ``forward``: smallest ``right_ts >= left_ts``;
+    - ``nearest``: whichever of the two is closer in absolute time,
+      ties to the BACKWARD match (the pandas convention).
 
     Implementation: tag and union both sides, then one window per key
     ordered by (ts, side) carrying ``last(right_value, ignoreNulls)`` —
-    a single hash-partition shuffle on the key, sorted within partitions.
-    No per-key collect, no range explosion; skewed keys are split by AQE.
+    a single hash-partition shuffle on the key, sorted within
+    partitions.  ``forward`` is the mirror image (descending scan);
+    ``nearest`` evaluates both windows over the SAME partitioning (one
+    exchange, two in-partition sorts) and picks per row.  No per-key
+    collect, no range explosion; skewed keys are split by AQE.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
     if not right_cols:
@@ -48,13 +60,18 @@ def asof_join(
         right_cols = [right_ts]
     out_names = {c: f"{c}{suffix}" if c in left.columns else c for c in right_cols}
 
+    # the carried struct leads with the matched right timestamp so
+    # `nearest` can compare distances; it is stripped on output.  The
+    # leading field is constant among equal-(key, ts) right rows, so
+    # the deterministic struct tie-break is unchanged.
+    rv_fields = lambda: [F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols]]  # noqa: E731
     l = left.select(
         F.lit(1).alias("__side"),
         F.col(on).alias("__key"),
         F.col(left_ts).alias("__ts"),
         F.struct(*left.columns).alias("__lrow"),
         F.lit(None).cast(
-            right.select(F.struct(*right_cols).alias("s")).schema["s"].dataType
+            right.select(F.struct(*rv_fields()).alias("s")).schema["s"].dataType
         ).alias("__rval"),
     )
     r = right.select(
@@ -64,27 +81,53 @@ def asof_join(
         F.lit(None).cast(
             left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
         ).alias("__lrow"),
-        F.struct(*right_cols).alias("__rval"),
+        F.struct(*rv_fields()).alias("__rval"),
     )
     # right rows sort before left rows at equal ts (__side 0 < 1) so an
-    # exactly-simultaneous right row IS visible to the left row (<=);
+    # exactly-simultaneous right row IS visible to the left row (<= / >=);
     # __rval as the final key makes ties among equal-(key, ts) right rows
     # deterministic (struct ordering) instead of partition-layout-dependent
-    w = (
-        Window.partitionBy("__key")
-        .orderBy(
-            F.col("__ts").asc(),
-            F.col("__side").asc(),
-            F.col("__rval").asc_nulls_first(),
+    def scan(desc: bool):
+        ts = F.col("__ts").desc() if desc else F.col("__ts").asc()
+        return (
+            Window.partitionBy("__key")
+            .orderBy(ts, F.col("__side").asc(), F.col("__rval").asc_nulls_first())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    unioned = l.unionByName(r).withColumn(
-        "__rlast", F.last("__rval", ignorenulls=True).over(w)
-    )
+
+    unioned = l.unionByName(r)
+    if direction == "backward":
+        unioned = unioned.withColumn(
+            "__pick", F.last("__rval", ignorenulls=True).over(scan(False))
+        )
+    elif direction == "forward":
+        unioned = unioned.withColumn(
+            "__pick", F.last("__rval", ignorenulls=True).over(scan(True))
+        )
+    else:
+        unioned = (
+            unioned.withColumn(
+                "__b", F.last("__rval", ignorenulls=True).over(scan(False))
+            )
+            .withColumn(
+                "__f", F.last("__rval", ignorenulls=True).over(scan(True))
+            )
+            .withColumn(
+                "__pick",
+                F.when(F.col("__b").isNull(), F.col("__f"))
+                .when(F.col("__f").isNull(), F.col("__b"))
+                .when(
+                    # ties to backward: strictly-closer forward required
+                    (F.col("__f")["__rts"] - F.col("__ts"))
+                    < (F.col("__ts") - F.col("__b")["__rts"]),
+                    F.col("__f"),
+                )
+                .otherwise(F.col("__b")),
+            )
+        )
     out = unioned.where(F.col("__side") == 1).select(
         *[F.col("__lrow")[c].alias(c) for c in left.columns],
-        *[F.col("__rlast")[c].alias(out_names[c]) for c in right_cols],
+        *[F.col("__pick")[c].alias(out_names[c]) for c in right_cols],
     )
     return out
 

@@ -434,3 +434,63 @@ def test_conversation_paths_renders_chatml(spark):
     # without text_col the column is absent (schema unchanged for old callers)
     cols = conversation_paths(df, max_depth=8).columns
     assert "rendered" not in cols
+
+
+def test_asof_join_directions(spark):
+    """merge_asof family: forward = smallest right_ts >= left_ts,
+    nearest = closer side with ties to backward; inclusive equality on
+    both sides; numeric and timestamp ts both work."""
+    from kevinlang_spark.operators.joins import asof_join
+
+    trades = spark.createDataFrame(
+        [("a", 10), ("a", 25), ("a", 35), ("b", 5)],
+        "sym string, ts bigint",
+    )
+    quotes = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 20, 2.0), ("a", 40, 3.0), ("b", 9, 9.0)],
+        "sym string, ts bigint, bid double",
+    )
+    back = {
+        (r["sym"], r["ts"]): r["bid"]
+        for r in asof_join(trades, quotes, on="sym",
+                           right_cols=["bid"]).collect()
+    }
+    assert back == {("a", 10): 1.0, ("a", 25): 2.0, ("a", 35): 2.0,
+                    ("b", 5): None}
+    fwd = {
+        (r["sym"], r["ts"]): r["bid"]
+        for r in asof_join(trades, quotes, on="sym", right_cols=["bid"],
+                           direction="forward").collect()
+    }
+    assert fwd == {("a", 10): 1.0, ("a", 25): 3.0, ("a", 35): 3.0,
+                   ("b", 5): 9.0}
+    near = {
+        (r["sym"], r["ts"]): r["bid"]
+        for r in asof_join(trades, quotes, on="sym", right_cols=["bid"],
+                           direction="nearest").collect()
+    }
+    # ts=25 is 5 from quote@20 and 15 from quote@40 -> backward;
+    # ts=35 is 15 from quote@20 and 5 from quote@40 -> forward;
+    # equidistant would tie to backward (pandas convention)
+    assert near == {("a", 10): 1.0, ("a", 25): 2.0, ("a", 35): 3.0,
+                    ("b", 5): 9.0}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(trades, quotes, on="sym", direction="sideways")
+
+
+def test_asof_nearest_tie_goes_backward_and_timestamps_work(spark):
+    from datetime import datetime
+
+    from kevinlang_spark.operators.joins import asof_join
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame([("k", t(30))], "k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("k", t(20), "early"), ("k", t(40), "late")],
+        "k string, ts timestamp, v string",
+    )
+    r = asof_join(left, right, on="k", right_cols=["v"],
+                  direction="nearest").collect()[0]
+    assert r["v"] == "early"  # exact tie -> backward
