@@ -6624,6 +6624,44 @@ def q_mahalanobis(spark, sf_dir):
     )
 
 
+def q_bfd_packing(spark, sf_dir):
+    """Best-fit-decreasing whole-document packing plan (chunking.py
+    bfd_packing_plan): per (source, md5-bridge shard) stream, the BFD
+    bin census under a 128-token capacity vs the ceil(total/cap) lower
+    bound — the padding bill of a no-split packing policy.  The BFD
+    state is the sorted bin-load multiset, so the in-row fold replays
+    engine-independently; the oracle re-runs the same decreasing-order
+    placement as a recursive CTE (list_filter-based — this DuckDB's
+    list_transform is unreliable inside recursion)."""
+    from kevinlang_spark.functions.textexpr import token_count
+    from kevinlang_spark.operators.chunking import bfd_packing_plan
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"),
+                               F.lit("#pk"))),
+                1, 13,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % 2
+    )
+    base = docs.select(
+        "source",
+        "doc_id",
+        shard.alias("pk_shard"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    return bfd_packing_plan(
+        base, max_tokens=128, shard_col="pk_shard",
+        part_cols=("source",),
+    )
+
+
 def q_asof_directions(spark, sf_dir):
     """Forward and nearest as-of joins (joins.py asof_join direction
     param — the pandas merge_asof family; backward is q_temporal_join's
@@ -8010,6 +8048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_survival": q_survival,
         "q_temporal_join": q_temporal_join,
         "q_asof_directions": q_asof_directions,
+        "q_bfd_packing": q_bfd_packing,
         "q_top_tokens_per_source": q_top_tokens_per_source,
         "q_truncation_recall": q_truncation_recall,
         "q_vocab_coverage": q_vocab_coverage,
@@ -12375,6 +12414,47 @@ def oracle_sql() -> dict[str, str]:
             "SELECT grp AS l_returnflag, li_id, x AS l_quantity, "
             "y AS l_extendedprice, ROUND(d2, 4) AS d2 "
             "FROM d WHERE ROUND(d2, 4) > 5.0"
+        ),
+        # BFD packing: the same decreasing-order best-fit placement as
+        # a recursive CTE over per-stream rank; loads are a sorted
+        # multiset so the two engines' states are canonical and equal
+        "q_bfd_packing": (
+            "WITH RECURSIVE t0 AS (SELECT source, "
+            "CAST(CONCAT('0x', substr(md5(doc_id || '#pk'), 1, 13)) "
+            "AS BIGINT) % 2 AS shard, doc_id, "
+            "LEAST(len(list_filter(string_split_regex(lower(text), "
+            "'[^a-z0-9]+'), e -> e <> '')), 128) AS n "
+            "FROM documents WHERE text IS NOT NULL), "
+            "d AS (SELECT source, shard, n, ROW_NUMBER() OVER ("
+            "PARTITION BY source, shard ORDER BY n DESC, doc_id) AS rn "
+            "FROM t0 WHERE n > 0), "
+            "st AS (SELECT source, shard, 0 AS rn, "
+            "CAST([] AS BIGINT[]) AS loads "
+            "FROM (SELECT DISTINCT source, shard FROM d) "
+            "UNION ALL "
+            "SELECT d.source, d.shard, CAST(d.rn AS INT), "
+            "CASE WHEN len(list_filter(st.loads, b -> b + d.n <= 128)) "
+            "= 0 THEN list_sort(list_append(st.loads, d.n)) "
+            "ELSE list_sort(list_append(list_concat("
+            "st.loads[1:list_position(st.loads, list_max(list_filter("
+            "st.loads, b -> b + d.n <= 128))) - 1], "
+            "st.loads[list_position(st.loads, list_max(list_filter("
+            "st.loads, b -> b + d.n <= 128))) + 1:len(st.loads)]), "
+            "list_max(list_filter(st.loads, b -> b + d.n <= 128)) + d.n)) "
+            "END "
+            "FROM st JOIN d ON d.source = st.source "
+            "AND d.shard = st.shard AND d.rn = st.rn + 1), "
+            "fin AS (SELECT source, shard, loads FROM st "
+            "QUALIFY rn = MAX(rn) OVER (PARTITION BY source, shard)), "
+            "agg AS (SELECT source, shard, CAST(COUNT(*) AS BIGINT) "
+            "AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens "
+            "FROM d GROUP BY source, shard) "
+            "SELECT agg.source, agg.shard, n_docs, total_tokens, "
+            "CAST(len(loads) AS BIGINT) AS n_bins_bfd, "
+            "CAST(CEIL(total_tokens / 128.0) AS BIGINT) AS n_bins_lb, "
+            "total_tokens / (CAST(len(loads) AS BIGINT) * 128) "
+            "AS utilization FROM agg JOIN fin "
+            "ON agg.source = fin.source AND agg.shard = fin.shard"
         ),
         # forward/nearest as-of: LATERAL min-distance subqueries — an
         # independent derivation of the union+window scans' matches;

@@ -71,6 +71,7 @@ HEADLINE = [
     "q_best_of_n",
     "q_packed_spans",
     "q_packing_report",
+    "q_bfd_packing",
     "q_tokenizer_fertility",
     "q_interleaved_media",
     "q_interleaved_assign",

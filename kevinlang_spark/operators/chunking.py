@@ -211,3 +211,101 @@ def pack_sequences_with_offsets(
         seq.alias("seq_id"),
         (F.col("stream_offset") - seq * max_tokens).alias("tok_offset"),
     )
+
+
+def bfd_packing_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    ntok_col: str = "n_tokens",
+    max_tokens: int = 2048,
+    n_shards: int = 8,
+    part_cols: "tuple[str, ...]" = ("source",),
+    shard_col: "str | None" = None,
+) -> DataFrame:
+    """Best-fit-decreasing sequence packing plan — the whole-document
+    packing strategy next to concat-and-split (:func:`pack_sequences`):
+    documents keep their boundaries (no mid-document splits, the
+    instruction-tuning requirement) and pack whole into fixed-capacity
+    training sequences.  BFD shares FFD's 11/9·OPT + 6/9 worst-case
+    guarantee (Johnson 1974; Dósa 2007) and is the better fit for a
+    declarative engine: its state is the bin-load MULTISET (each doc
+    goes to the FULLEST bin that still fits), which canonicalizes as a
+    sorted array — no bin-creation order to carry, so the fold replays
+    identically on any engine.  The report says how many sequences BFD
+    needs per stream vs the ceil(total/capacity) lower bound, and the
+    utilization — the padding bill a no-split policy pays.
+
+    Scale shape: documents hash into ``n_shards`` streams per
+    ``part_cols`` group (deterministic xxhash64 bucket by default;
+    pass ``shard_col`` for a caller-computed shard — e.g. an
+    oracle-replayable md5 bucket), each stream's length multiset
+    collects ONCE (sorted desc in-row), and the BFD fold runs as a
+    Catalyst ``aggregate`` whose accumulator is the sorted bin-load
+    array — per-stream work is O(docs·bins), bounded by the shard,
+    zero Python.  Docs longer than ``max_tokens`` clamp to the
+    capacity (solo full bins — :func:`packing_report`'s truncation
+    accounting).
+
+    Returns (*part_cols, shard, n_docs, total_tokens, n_bins_bfd,
+    n_bins_lb, utilization)."""
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    cap = F.lit(int(max_tokens)).cast("bigint")
+    n = F.least(F.col(ntok_col).cast("bigint"), cap)
+    shard = (
+        F.col(shard_col).cast("bigint")
+        if shard_col is not None
+        else F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    )
+    base = df.where(
+        F.col(ntok_col).isNotNull() & (F.col(ntok_col) > 0)
+    ).select(
+        *[F.col(c) for c in part_cols],
+        shard.alias("shard"),
+        n.alias("__n"),
+    )
+    g = base.groupBy(*part_cols, "shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__n").alias("total_tokens"),
+        F.reverse(F.array_sort(F.collect_list("__n"))).alias("__lens"),
+    )
+
+    def step(acc, x):
+        cand = F.filter(acc, lambda b: (b + x) <= cap)
+        best = F.array_max(cand)
+        pos = F.array_position(acc, best).cast("int")
+        removed = F.concat(
+            F.slice(acc, 1, pos - 1),
+            F.slice(
+                acc, pos + 1, F.greatest(F.size(acc) - pos, F.lit(0))
+            ),
+        )
+        return F.when(
+            F.size(cand) == 0,
+            F.array_sort(F.concat(acc, F.array(x))),
+        ).otherwise(
+            F.array_sort(F.concat(removed, F.array(best + x)))
+        )
+
+    loads = F.aggregate(
+        F.col("__lens"), F.array().cast("array<bigint>"), step
+    )
+    staged = g.select(
+        *part_cols, "shard", "n_docs", "total_tokens",
+        F.size(loads).alias("n_bins_bfd"),
+    )
+    lb = F.ceil(F.col("total_tokens") / max_tokens).cast("bigint")
+    return staged.select(
+        *part_cols,
+        "shard",
+        "n_docs",
+        "total_tokens",
+        F.col("n_bins_bfd").cast("bigint").alias("n_bins_bfd"),
+        lb.alias("n_bins_lb"),
+        (
+            F.col("total_tokens")
+            / (F.col("n_bins_bfd") * F.lit(int(max_tokens)))
+        ).alias("utilization"),
+    )

@@ -494,3 +494,51 @@ def test_asof_nearest_tie_goes_backward_and_timestamps_work(spark):
     r = asof_join(left, right, on="k", right_cols=["v"],
                   direction="nearest").collect()[0]
     assert r["v"] == "early"  # exact tie -> backward
+
+
+def test_bfd_packing_plan_math(spark):
+    """Hand-traced BFD: lens [5,4,3,3,2,2,2] cap 8 packs into exactly
+    3 bins (loads 6/7/8); clamping, guards, and the lower bound."""
+    from kevinlang_spark.operators.chunking import bfd_packing_plan
+
+    rows = [("s", i, n) for i, n in enumerate([5, 4, 3, 3, 2, 2, 2])]
+    df = spark.createDataFrame(rows, "source string, doc_id bigint, n_tokens int")
+    r = bfd_packing_plan(df, max_tokens=8, n_shards=1).collect()[0]
+    assert (r["n_docs"], r["total_tokens"]) == (7, 21)
+    assert r["n_bins_bfd"] == 3 and r["n_bins_lb"] == 3
+    assert r["utilization"] == pytest.approx(21 / 24, abs=1e-12)
+    # an over-long doc clamps to the capacity (its own full bin)
+    rows2 = [("s", 0, 100), ("s", 1, 3)]
+    r2 = bfd_packing_plan(
+        spark.createDataFrame(rows2, "source string, doc_id bigint, n_tokens int"),
+        max_tokens=8, n_shards=1,
+    ).collect()[0]
+    assert r2["total_tokens"] == 11 and r2["n_bins_bfd"] == 2
+    with pytest.raises(ValueError, match="max_tokens"):
+        bfd_packing_plan(df, max_tokens=0)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    lens=st.lists(st.integers(1, 9), min_size=1, max_size=24),
+)
+def test_bfd_matches_brute_force(spark, lens):
+    """The in-row fold equals a plain-Python best-fit-decreasing over
+    the same sorted multiset."""
+    from kevinlang_spark.operators.chunking import bfd_packing_plan
+
+    cap = 10
+    rows = [("s", i, n) for i, n in enumerate(lens)]
+    df = spark.createDataFrame(rows, "source string, doc_id bigint, n_tokens int")
+    r = bfd_packing_plan(df, max_tokens=cap, n_shards=1).collect()[0]
+    bins: list = []
+    for n in sorted(lens, reverse=True):
+        cand = [b for b in bins if b + n <= cap]
+        if not cand:
+            bins.append(n)
+        else:
+            best = max(cand)
+            bins.remove(best)
+            bins.append(best + n)
+    assert r["n_bins_bfd"] == len(bins)
+    assert r["total_tokens"] == sum(lens)
