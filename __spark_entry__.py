@@ -4935,6 +4935,34 @@ def q_bt_strength(spark, sf_dir):
     return bt_strength(comps, n_iters=2, alpha=0.5)
 
 
+def q_grpo_advantages(spark, sf_dir):
+    """Group-relative advantages (operators/preference.py
+    grpo_advantages — GRPO's per-prompt z-score, DeepSeekMath
+    arXiv:2402.03300 §4.1, plus RLOO's leave-one-out baseline,
+    arXiv:2402.14740): four deterministic integer rewards per prompt
+    normalize in ONE prompt-keyed shuffle via unordered window
+    aggregates; the sufficient statistics are exact integer sums so
+    both engines derive every double with identical IEEE ops."""
+    from kevinlang_spark.operators.preference import grpo_advantages
+
+    return grpo_advantages(_preference_candidates(spark, sf_dir))
+
+
+def q_reward_length_bias(spark, sf_dir):
+    """Reward-length bias QC (operators/preference.py
+    reward_length_bias — verbosity reward hacking, arXiv:2310.03716):
+    per source slice (prompt_id % 8), Pearson r and OLS slope of
+    reward on response char length from ONE aggregation of
+    BIGINT-exact sufficient statistics; closed forms in double with
+    fixed parenthesization replay across engines."""
+    from kevinlang_spark.operators.preference import reward_length_bias
+
+    cands = _preference_candidates(spark, sf_dir).select(
+        (F.col("prompt_id") % 8).alias("source"), "response", "reward"
+    )
+    return reward_length_bias(cands)
+
+
 def q_chat_multiturn(spark, sf_dir):
     """Llama-3 multi-turn SFT rendering (VERDICT r10 item 6; text.py
     render_chat fmt='llama3'): five variable-role turns — system, two
@@ -7943,6 +7971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winsorize": q_winsorize,
         "q_interleaved_assign": q_interleaved_assign,
         "q_bt_strength": q_bt_strength,
+        "q_grpo_advantages": q_grpo_advantages,
+        "q_reward_length_bias": q_reward_length_bias,
         "q_bt_leaderboard": q_bt_leaderboard,
         "q_fleiss_kappa": q_fleiss_kappa,
         "q_chat_trees": q_chat_trees,
@@ -11099,6 +11129,60 @@ def oracle_sql() -> dict[str, str]:
                 "SELECT prompt_id, unnest(cands) AS cand_id, "
                 "{census} FROM i2"
             ),
+        ),
+        # GRPO/RLOO advantages: the window sufficient statistics are
+        # exact integer sums (DuckDB's HUGEINT SUM equals Spark's
+        # BIGINT SUM in value); every double derives with the SAME
+        # parenthesization — mean = s/n once, var = (q*n - s*s)/(n*n),
+        # adv = (r - mean)/std — so the floats replay bit-for-bit
+        "q_grpo_advantages": (
+            _PREFERENCE_CAND_SQL
+            + ", w AS (SELECT prompt_id, cand_id, reward, "
+            "COUNT(*) OVER (PARTITION BY prompt_id) AS n, "
+            "SUM(reward) OVER (PARTITION BY prompt_id) AS s, "
+            "SUM(reward * reward) OVER (PARTITION BY prompt_id) AS q "
+            "FROM cand WHERE reward IS NOT NULL "
+            "AND cand_id IS NOT NULL), "
+            "st AS (SELECT prompt_id, cand_id, reward, n, s, "
+            "s / n AS mean_reward, "
+            "sqrt(CAST(q * n - s * s AS DOUBLE) / (n * n)) "
+            "AS std_reward FROM w) "
+            "SELECT prompt_id, cand_id, reward, "
+            "CAST(n AS BIGINT) AS n_candidates, mean_reward, std_reward, "
+            "CASE WHEN std_reward > 0 THEN "
+            "(CAST(reward AS DOUBLE) - mean_reward) / std_reward "
+            "ELSE 0.0 END AS advantage, "
+            "CASE WHEN n >= 2 THEN CAST(reward AS DOUBLE) - "
+            "CAST(s - reward AS DOUBLE) / (n - 1) END AS advantage_loo "
+            "FROM st"
+        ),
+        # reward-length bias: BIGINT-exact (n, Σx, Σy, Σxy, Σx², Σy²),
+        # then closed forms in double with products taken AFTER the
+        # cast (overflow-safe at corpus scale) in the same order
+        "q_reward_length_bias": (
+            _PREFERENCE_CAND_SQL
+            + ", a AS (SELECT prompt_id % 8 AS source, "
+            "CAST(length(response) AS BIGINT) AS x, reward AS y "
+            "FROM cand WHERE response IS NOT NULL "
+            "AND reward IS NOT NULL), "
+            "g AS (SELECT source, COUNT(*) AS n_samples, "
+            "SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, "
+            "SUM(x * x) AS sxx, SUM(y * y) AS syy "
+            "FROM a GROUP BY source), "
+            "d AS (SELECT source, n_samples, "
+            "CAST(n_samples AS DOUBLE) AS n, CAST(sx AS DOUBLE) AS dx, "
+            "CAST(sy AS DOUBLE) AS dy, CAST(sxy AS DOUBLE) AS dxy, "
+            "CAST(sxx AS DOUBLE) AS dxx, CAST(syy AS DOUBLE) AS dyy "
+            "FROM g), "
+            "e AS (SELECT source, n_samples, n, dx, dy, "
+            "n * dxy - dx * dy AS cov_n, n * dxx - dx * dx AS vx_n, "
+            "n * dyy - dy * dy AS vy_n FROM d) "
+            "SELECT source, CAST(n_samples AS BIGINT) AS n_samples, "
+            "dx / n AS mean_len, dy / n AS mean_reward, "
+            "CASE WHEN vx_n > 0 AND vy_n > 0 THEN "
+            "cov_n / (sqrt(vx_n) * sqrt(vy_n)) END AS pearson_r, "
+            "CASE WHEN vx_n > 0 THEN cov_n / vx_n END AS ols_slope "
+            "FROM e"
         ),
         # pass@k: the binomial ratio folds left with identical IEEE
         # order; per-task micros make the group SUM exact integers

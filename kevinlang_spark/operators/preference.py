@@ -192,6 +192,140 @@ def reward_agreement(
     )
 
 
+def grpo_advantages(
+    df: DataFrame,
+    prompt_col: str = "prompt_id",
+    cand_col: str = "cand_id",
+    reward_col: str = "reward",
+) -> DataFrame:
+    """Group-relative advantages — the normalization step of GRPO
+    (Shao et al. 2024, DeepSeekMath, arXiv:2402.03300 §4.1) and the
+    leave-one-out baseline of RLOO (Ahmadian et al. 2024,
+    arXiv:2402.14740): per prompt group of n sampled responses,
+
+        advantage_i     = (r_i - mean(r)) / std_pop(r)   (GRPO)
+        advantage_loo_i = r_i - mean(r_{j != i})          (RLOO)
+
+    with advantage = 0.0 when the group's rewards are constant (the
+    zero-std guard every GRPO implementation carries) and
+    advantage_loo NULL for singleton groups (no other sample to
+    baseline against).
+
+    Shape: ONE hash shuffle on the prompt key — unordered window
+    aggregates (count / sum / sum-of-squares over the whole partition
+    frame) attach the group's sufficient statistics to every candidate
+    row without a join or a collect.  The statistics are INTEGER sums
+    (exact in any accumulation order — the determinism contract
+    assumes an integral reward, which the md5-bridge fixtures
+    guarantee), and every derived double is computed with FIXED
+    parenthesization from those exact sums:
+
+        var = (q*n - s*s) / (n*n),  adv = (r - s/n) / sqrt(var)
+
+    so both engines replay identical IEEE ops.
+
+    Returns (prompt_col, cand_col, reward_col, n_candidates,
+    mean_reward, std_reward, advantage, advantage_loo)."""
+    from pyspark.sql import Window
+
+    r = F.col(reward_col)
+    clean = df.where(r.isNotNull() & F.col(cand_col).isNotNull())
+    w = Window.partitionBy(prompt_col)
+    n = F.count("*").over(w)
+    s = F.sum(r).over(w)
+    q = F.sum(r * r).over(w)
+    staged = clean.select(
+        prompt_col,
+        cand_col,
+        reward_col,
+        n.alias("n_candidates"),
+        s.alias("__s"),
+        q.alias("__q"),
+    )
+    n_, s_, q_ = F.col("n_candidates"), F.col("__s"), F.col("__q")
+    mean = s_ / n_
+    var = (q_ * n_ - s_ * s_).cast("double") / (n_ * n_)
+    std = F.sqrt(var)
+    rd = F.col(reward_col).cast("double")
+    return staged.select(
+        prompt_col,
+        cand_col,
+        reward_col,
+        "n_candidates",
+        mean.alias("mean_reward"),
+        std.alias("std_reward"),
+        F.when(std > 0, (rd - mean) / std)
+        .otherwise(F.lit(0.0))
+        .alias("advantage"),
+        F.when(
+            n_ >= 2, rd - (s_ - F.col(reward_col)).cast("double") / (n_ - 1)
+        ).alias("advantage_loo"),
+    )
+
+
+def reward_length_bias(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "response",
+    reward_col: str = "reward",
+) -> DataFrame:
+    """Reward-model length-bias diagnostic: per corpus slice, the
+    Pearson correlation and OLS slope between response LENGTH and
+    reward.  Length bias is the best-documented reward-hacking mode
+    (Singhal et al. 2023, "A Long Way to Go", arXiv:2310.03716) — a
+    verbosity-loving RM silently turns best-of-n and DPO selection
+    into "pick the longest", so the QC table reads this per source
+    before trusting any selection the RM drives.
+
+    ONE aggregation of mergeable sufficient statistics (n, Σx, Σy,
+    Σxy, Σx², Σy² — x = char length, y = reward; all BIGINT-exact for
+    integral rewards, so accumulation order cannot matter), then the
+    closed forms compute in DOUBLE with fixed parenthesization —
+    products are taken after the cast so corpus-scale sums cannot
+    overflow 64-bit intermediates:
+
+        r     = (n·Σxy − Σx·Σy) / (sqrt(n·Σxx − Σx²)·sqrt(n·Σyy − Σy²))
+        slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²)
+
+    Zero-variance slices (all-equal lengths or rewards) yield NULL r /
+    slope rather than a division blow-up.
+
+    Returns (group_col, n_samples, mean_len, mean_reward, pearson_r,
+    ols_slope)."""
+    x = F.length(F.col(text_col)).cast("bigint")
+    y = F.col(reward_col)
+    clean = df.where(
+        F.col(text_col).isNotNull() & y.isNotNull()
+    )
+    g = clean.groupBy(group_col).agg(
+        F.count("*").alias("n_samples"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+    )
+    n = F.col("n_samples").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    vx_n = n * sxx - sx * sx
+    vy_n = n * syy - sy * sy
+    return g.select(
+        group_col,
+        "n_samples",
+        (sx / n).alias("mean_len"),
+        (sy / n).alias("mean_reward"),
+        F.when(
+            (vx_n > 0) & (vy_n > 0), cov_n / (F.sqrt(vx_n) * F.sqrt(vy_n))
+        ).alias("pearson_r"),
+        F.when(vx_n > 0, cov_n / vx_n).alias("ols_slope"),
+    )
+
+
 def bt_strength(
     df: DataFrame,
     prompt_col: str = "prompt_id",
