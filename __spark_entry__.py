@@ -4963,6 +4963,78 @@ def q_reward_length_bias(spark, sf_dir):
     return reward_length_bias(cands)
 
 
+def _powerlaw_docs(spark, sf_dir):
+    """Shared fixture for the corpus power-law diagnostics: the babel
+    corpus has a ~31-word vocabulary (every doc samples the same
+    marker set), which makes both fits degenerate — so each doc
+    appends five id-derived tokens (one unique 'u{id}', four modular
+    'r/s/t/v' tokens at geometric frequencies) to mint vocabulary
+    growth and a skewed frequency spectrum.  Pure string algebra,
+    replayed verbatim by the oracle CTE."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    enriched = F.concat(
+        F.col("text"),
+        F.lit(" u"), d.cast("string"),
+        F.lit(" r"), (d % 2).cast("string"),
+        F.lit(" s"), (d % 4).cast("string"),
+        F.lit(" t"), (d % 8).cast("string"),
+        F.lit(" v"), (d % 16).cast("string"),
+    )
+    return docs.where(d.isNotNull()).select(
+        "doc_id", enriched.alias("text")
+    )
+
+
+_POWERLAW_DOCS_SQL = (
+    "WITH pl AS (SELECT doc_id, text || ' u' || doc_id "
+    "|| ' r' || (doc_id % 2) || ' s' || (doc_id % 4) "
+    "|| ' t' || (doc_id % 8) || ' v' || (doc_id % 16) AS text "
+    "FROM documents WHERE doc_id IS NOT NULL)"
+)
+
+#: shared DuckDB OLS folds over a `pts` list<struct(x,y)> column in CTE
+#: `st`: left folds seeded 0.0 (== Spark aggregate init), fixed
+#: parenthesization for slope/intercept/r².
+_POWERLAW_OLS_SQL = (
+    ", f AS (SELECT *, CAST(len(pts) AS DOUBLE) AS n, "
+    "list_reduce(list_prepend(0.0, list_transform(pts, p -> p.x)), "
+    "(a, b) -> a + b) AS sx, "
+    "list_reduce(list_prepend(0.0, list_transform(pts, p -> p.y)), "
+    "(a, b) -> a + b) AS sy, "
+    "list_reduce(list_prepend(0.0, list_transform(pts, "
+    "p -> p.x * p.y)), (a, b) -> a + b) AS sxy, "
+    "list_reduce(list_prepend(0.0, list_transform(pts, "
+    "p -> p.x * p.x)), (a, b) -> a + b) AS sxx, "
+    "list_reduce(list_prepend(0.0, list_transform(pts, "
+    "p -> p.y * p.y)), (a, b) -> a + b) AS syy FROM st), "
+    "o AS (SELECT *, n * sxy - sx * sy AS cov_n, "
+    "n * sxx - sx * sx AS vx_n, n * syy - sy * sy AS vy_n FROM f)"
+)
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Zipf's-law corpus diagnostic (operators/text.py zipf_fit): OLS
+    slope/r² of log-frequency on log-rank over the top-500 words.
+    Scale shape: wordcount shuffle → TakeOrderedAndProject top-k (per-
+    partition heaps, never a full vocab sort) → one-row in-row fit;
+    the oracle replays rank assignment and the sorted left folds."""
+    from kevinlang_spark.operators.text import zipf_fit
+
+    return zipf_fit(_powerlaw_docs(spark, sf_dir))
+
+
+def q_heaps_fit(spark, sf_dir):
+    """Heaps'-law vocabulary-growth diagnostic (operators/text.py
+    heaps_fit): V(n) ≈ K·n^β fit over 32 id-range checkpoints — per-
+    word first-occurrence min-agg + integer bucket math against the
+    broadcast 1-row id bounds, cumulative curve and OLS in-row over
+    the bounded bucket array.  No global ordered walk anywhere."""
+    from kevinlang_spark.operators.text import heaps_fit
+
+    return heaps_fit(_powerlaw_docs(spark, sf_dir))
+
+
 def q_chat_multiturn(spark, sf_dir):
     """Llama-3 multi-turn SFT rendering (VERDICT r10 item 6; text.py
     render_chat fmt='llama3'): five variable-role turns — system, two
@@ -7973,6 +8045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bt_strength": q_bt_strength,
         "q_grpo_advantages": q_grpo_advantages,
         "q_reward_length_bias": q_reward_length_bias,
+        "q_zipf_fit": q_zipf_fit,
+        "q_heaps_fit": q_heaps_fit,
         "q_bt_leaderboard": q_bt_leaderboard,
         "q_fleiss_kappa": q_fleiss_kappa,
         "q_chat_trees": q_chat_trees,
@@ -11183,6 +11257,81 @@ def oracle_sql() -> dict[str, str]:
             "cov_n / (sqrt(vx_n) * sqrt(vy_n)) END AS pearson_r, "
             "CASE WHEN vx_n > 0 THEN cov_n / vx_n END AS ols_slope "
             "FROM e"
+        ),
+        # Zipf fit: wordcount → top-500 by (freq DESC, w) — the SAME
+        # total order Spark's TakeOrderedAndProject uses — then ln()
+        # points in rank order and the shared left-fold OLS closed
+        # forms; intercept inlines slope with Spark's parenthesization
+        "q_zipf_fit": (
+            _POWERLAW_DOCS_SQL
+            + ", toks AS (SELECT unnest(list_filter(string_split_regex("
+            "lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w "
+            "FROM pl WHERE text IS NOT NULL), "
+            "wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq "
+            "FROM toks GROUP BY w), "
+            "tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total_tokens, "
+            "CAST(COUNT(*) AS BIGINT) AS vocab_size FROM wc), "
+            "top AS (SELECT w, freq FROM wc "
+            "ORDER BY freq DESC, w LIMIT 500), "
+            "rk AS (SELECT freq, row_number() OVER "
+            "(ORDER BY freq DESC, w) AS rn FROM top), "
+            "st AS (SELECT list(struct_pack("
+            "x := ln(CAST(rn AS DOUBLE)), "
+            "y := ln(CAST(freq AS DOUBLE))) ORDER BY rn) AS pts FROM rk)"
+            + _POWERLAW_OLS_SQL
+            + " SELECT total_tokens, vocab_size, "
+            "CAST(len(pts) AS BIGINT) AS n_top, "
+            "CASE WHEN vx_n > 0 THEN cov_n / vx_n END AS zipf_slope, "
+            "CASE WHEN vx_n > 0 THEN "
+            "(sy - (cov_n / vx_n) * sx) / n END AS zipf_intercept, "
+            "CASE WHEN vx_n > 0 AND vy_n > 0 THEN "
+            "(cov_n * cov_n) / (vx_n * vy_n) END AS zipf_r2 "
+            "FROM tot, o"
+        ),
+        # Heaps fit: per-word first-occurrence min-agg, integer //
+        # bucket math against the (lo, hi) bounds, in-row cumulative
+        # slice-folds (BIGINT-exact) and the shared OLS tail
+        "q_heaps_fit": (
+            _POWERLAW_DOCS_SQL
+            + ", docs AS (SELECT doc_id AS id, list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '') AS ws FROM pl WHERE text IS NOT NULL), "
+            "nt AS (SELECT id, CAST(len(ws) AS BIGINT) AS n_tok "
+            "FROM docs), "
+            "bounds AS (SELECT MIN(id) AS lo, MAX(id) AS hi FROM nt), "
+            "tb AS (SELECT ((id - lo) * 32) // (hi - lo + 1) AS b, "
+            "SUM(n_tok) AS t FROM nt, bounds GROUP BY 1), "
+            "fo AS (SELECT w, MIN(id) AS fd FROM "
+            "(SELECT id, unnest(ws) AS w FROM docs) s GROUP BY w), "
+            "vb AS (SELECT ((fd - lo) * 32) // (hi - lo + 1) AS b, "
+            "CAST(COUNT(*) AS BIGINT) AS v FROM fo, bounds GROUP BY 1), "
+            "j AS (SELECT COALESCE(tb.b, vb.b) AS b, "
+            "CAST(COALESCE(t, 0) AS BIGINT) AS t, "
+            "CAST(COALESCE(v, 0) AS BIGINT) AS v "
+            "FROM tb FULL JOIN vb ON tb.b = vb.b), "
+            "arr AS (SELECT list(struct_pack(b := b, t := t, v := v) "
+            "ORDER BY b) AS a FROM j), "
+            "cm AS (SELECT list_transform(a, (e, i) -> struct_pack("
+            "ct := list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(a[1:i], p -> p.t)), (x, y) -> x + y), "
+            "cv := list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(a[1:i], p -> p.v)), (x, y) -> x + y))) "
+            "AS cums FROM arr), "
+            "st AS (SELECT cums[-1].ct AS total_tokens, "
+            "cums[-1].cv AS vocab_size, "
+            "list_transform(list_filter(cums, "
+            "c -> c.ct > 0 AND c.cv > 0), c -> struct_pack("
+            "x := ln(CAST(c.ct AS DOUBLE)), "
+            "y := ln(CAST(c.cv AS DOUBLE)))) AS pts FROM cm)"
+            + _POWERLAW_OLS_SQL
+            + " SELECT total_tokens, vocab_size, "
+            "CAST(len(pts) AS BIGINT) AS n_points, "
+            "CASE WHEN vx_n > 0 THEN cov_n / vx_n END AS heaps_beta, "
+            "CASE WHEN vx_n > 0 THEN exp("
+            "(sy - (cov_n / vx_n) * sx) / n) END AS heaps_k, "
+            "CASE WHEN vx_n > 0 AND vy_n > 0 THEN "
+            "(cov_n * cov_n) / (vx_n * vy_n) END AS heaps_r2 "
+            "FROM o"
         ),
         # pass@k: the binomial ratio folds left with identical IEEE
         # order; per-task micros make the group SUM exact integers

@@ -3351,3 +3351,194 @@ def conversation_paths(
             ).alias("rendered")
         )
     return out.select(*cols)
+
+
+def _powerlaw_ols(pts: Column) -> "dict[str, Column]":
+    """Closed-form OLS over an array<struct<x double, y double>> column
+    — five LEFT folds in array order (deterministic accumulation:
+    callers sort the points), then slope / intercept / r² with FIXED
+    parenthesization so both engines replay identical IEEE ops.
+    Degenerate inputs (n < 2 or zero x-variance) yield NULL fits; zero
+    y-variance yields NULL r² (a flat line has no explained variance
+    to ratio)."""
+
+    def fold(f):
+        return F.aggregate(pts, F.lit(0.0), lambda acc, p: acc + f(p))
+
+    n = F.size(pts).cast("double")
+    sx = fold(lambda p: p["x"])
+    sy = fold(lambda p: p["y"])
+    sxy = fold(lambda p: p["x"] * p["y"])
+    sxx = fold(lambda p: p["x"] * p["x"])
+    syy = fold(lambda p: p["y"] * p["y"])
+    cov_n = n * sxy - sx * sy
+    vx_n = n * sxx - sx * sx
+    vy_n = n * syy - sy * sy
+    slope = F.when(vx_n > 0, cov_n / vx_n)
+    return {
+        "n": F.size(pts).cast("bigint"),
+        "slope": slope,
+        "intercept": F.when(vx_n > 0, (sy - slope * sx) / n),
+        "r2": F.when(
+            (vx_n > 0) & (vy_n > 0), (cov_n * cov_n) / (vx_n * vy_n)
+        ),
+    }
+
+
+def zipf_fit(
+    df: DataFrame, text_col: str = "text", top_k: int = 500
+) -> DataFrame:
+    """Zipf's-law fit over the corpus word-frequency spectrum — the
+    power-law slope of log(freq) on log(rank) across the ``top_k``
+    most frequent words (Zipf 1949; natural corpora run slope ≈ −1).
+    The standard corpus-health diagnostic: a slope far from −1 or a
+    low r² flags templated / machine-generated / deduplication-damaged
+    text before it poisons a training mix (Kudugunta et al. 2023's
+    MADLAD-400 audit reads exactly this spectrum per language).
+
+    Shape: one corpus explode → word-keyed count (the wordcount
+    shuffle), then ``orderBy(freq desc, word).limit(k)`` — which Spark
+    executes as TakeOrderedAndProject: each partition keeps its own
+    top-k and the driver merges k-sized heaps, so the global sort is
+    O(partitions × k), never a full vocab sort.  The k survivors
+    collapse to ONE row where rank assignment and the OLS fit run
+    IN-ROW over the sorted bounded array (left folds, fixed
+    parenthesization — the DuckDB oracle replays bit-for-bit); corpus
+    totals ride the reviewed 1-row scalar crossJoin.
+
+    Returns ONE row: (total_tokens, vocab_size, n_top, zipf_slope,
+    zipf_intercept, zipf_r2)."""
+    toks = spread(df.where(F.col(text_col).isNotNull())).select(
+        F.explode(tokenize(F.col(text_col))).alias("w")
+    )
+    wc = toks.groupBy("w").agg(F.count("*").cast("bigint").alias("freq"))
+    tot = wc.agg(
+        F.sum("freq").cast("bigint").alias("total_tokens"),
+        F.count("*").cast("bigint").alias("vocab_size"),
+    )
+    top = wc.orderBy(F.desc("freq"), F.asc("w")).limit(top_k)
+    arr = top.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct((-F.col("freq")).alias("nf"), F.col("w").alias("w"))
+            )
+        ).alias("a")
+    )
+    # rank i+1 in sorted (freq desc, word asc) order; materialize the
+    # points array in its own projection (interpreted-lambda rule)
+    staged = arr.select(
+        F.transform(
+            F.col("a"),
+            lambda e, i: F.struct(
+                F.log((i + 1).cast("double")).alias("x"),
+                F.log((-e["nf"]).cast("double")).alias("y"),
+            ),
+        ).alias("pts")
+    )
+    ols = _powerlaw_ols(F.col("pts"))
+    fit = staged.select(
+        ols["n"].alias("n_top"),
+        ols["slope"].alias("zipf_slope"),
+        ols["intercept"].alias("zipf_intercept"),
+        ols["r2"].alias("zipf_r2"),
+    )
+    return tot.crossJoin(fit).select(
+        "total_tokens", "vocab_size", "n_top",
+        "zipf_slope", "zipf_intercept", "zipf_r2",
+    )
+
+
+def heaps_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth — V(n) ≈ K·n^β over the
+    corpus read in ``id_col`` order (Heaps 1978; English corpora run
+    β ≈ 0.4–0.6).  The companion diagnostic to :func:`zipf_fit`: a β
+    collapsing toward 0 means the tail of the corpus adds no new
+    vocabulary (crawl exhaustion / duplication), β near 1 flags
+    id-like token noise minting unbounded vocabulary.
+
+    Shape: the growth curve is sampled at ``n_buckets`` checkpoints of
+    the id range, so NOTHING here is a global ordered walk: per-doc
+    token counts and per-word FIRST-occurrence ids (one wordcount-style
+    min-agg) each bucket by integer math against the broadcast 1-row
+    (min, max) id bounds — the reviewed scalar-crossJoin pattern — and
+    collapse to ≤ n_buckets rows.  The cumulative curve and the
+    log-log OLS fit then run IN-ROW over the sorted bounded bucket
+    array (O(n_buckets²) slice-folds on ONE row), deterministic
+    accumulation order, DuckDB-replayable bit-for-bit.
+
+    Returns ONE row: (total_tokens, vocab_size, n_points, heaps_beta,
+    heaps_k, heaps_r2); heaps_k = exp(intercept)."""
+    docs = spread(
+        df.where(F.col(text_col).isNotNull() & F.col(id_col).isNotNull())
+    ).select(F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("ws"))
+    nt = docs.select("id", F.size("ws").cast("bigint").alias("n_tok"))
+    bounds = nt.agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+    fo = (
+        docs.select("id", F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.min("id").alias("fd"))
+    )
+    # integer bucket math (div floors like DuckDB // on nonnegative ids)
+    tbucket = F.expr(f"((id - lo) * {int(n_buckets)}) div (hi - lo + 1)")
+    vbucket = F.expr(f"((fd - lo) * {int(n_buckets)}) div (hi - lo + 1)")
+    tb = (
+        nt.crossJoin(bounds)
+        .groupBy(tbucket.alias("b"))
+        .agg(F.sum("n_tok").alias("t"))
+    )
+    vb = (
+        fo.crossJoin(bounds)
+        .groupBy(vbucket.alias("b"))
+        .agg(F.count("*").cast("bigint").alias("v"))
+    )
+    j = tb.join(vb, "b", "full_outer").select(
+        "b",
+        F.coalesce(F.col("t"), F.lit(0).cast("bigint")).alias("t"),
+        F.coalesce(F.col("v"), F.lit(0).cast("bigint")).alias("v"),
+    )
+    arr = j.agg(
+        F.array_sort(F.collect_list(F.struct("b", "t", "v"))).alias("a")
+    )
+    a = F.col("a")
+    cums = F.transform(
+        a,
+        lambda e, i: F.struct(
+            F.aggregate(
+                F.slice(a, F.lit(1), i + 1),
+                F.lit(0).cast("bigint"),
+                lambda acc, p: acc + p["t"],
+            ).alias("ct"),
+            F.aggregate(
+                F.slice(a, F.lit(1), i + 1),
+                F.lit(0).cast("bigint"),
+                lambda acc, p: acc + p["v"],
+            ).alias("cv"),
+        ),
+    )
+    staged = arr.select(cums.alias("cums"))
+    pts = F.transform(
+        F.filter(F.col("cums"), lambda c: (c["ct"] > 0) & (c["cv"] > 0)),
+        lambda c: F.struct(
+            F.log(c["ct"].cast("double")).alias("x"),
+            F.log(c["cv"].cast("double")).alias("y"),
+        ),
+    )
+    staged2 = staged.select(
+        F.element_at(F.col("cums"), -1)["ct"].alias("total_tokens"),
+        F.element_at(F.col("cums"), -1)["cv"].alias("vocab_size"),
+        pts.alias("pts"),
+    )
+    ols = _powerlaw_ols(F.col("pts"))
+    return staged2.select(
+        "total_tokens",
+        "vocab_size",
+        ols["n"].alias("n_points"),
+        ols["slope"].alias("heaps_beta"),
+        F.exp(ols["intercept"]).alias("heaps_k"),
+        ols["r2"].alias("heaps_r2"),
+    )

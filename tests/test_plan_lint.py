@@ -63,6 +63,8 @@ BNLJ_OK = {
     "q_token_pmi": 4,  # broadcast 1-row corpus-size aggregate (PMI denominator)
     "q_tpch_q11": 4,  # broadcast 1-row value-threshold aggregate
     "q_tpch_q22": 4,  # broadcast 1-row average-balance aggregate
+    "q_zipf_fit": 4,  # 1-row corpus totals × 1-row in-row OLS fit crossJoin
+    "q_heaps_fit": 4,  # broadcast 1-row (lo, hi) id-bounds aggregate
 }
 
 

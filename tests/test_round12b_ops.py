@@ -127,3 +127,135 @@ class TestRewardLengthBias:
         (r2,) = reward_length_bias(df2).collect()
         assert r2["pearson_r"] is None
         assert r2["ols_slope"] == pytest.approx(0.0)
+
+
+def _brute_ols(pts):
+    """Reference OLS with the same left-fold accumulation order."""
+    n = float(len(pts))
+    sx = sy = sxy = sxx = syy = 0.0
+    for x, y in pts:
+        sx += x
+        sy += y
+        sxy += x * y
+        sxx += x * x
+        syy += y * y
+    cov_n = n * sxy - sx * sy
+    vx_n = n * sxx - sx * sx
+    vy_n = n * syy - sy * sy
+    slope = cov_n / vx_n if vx_n > 0 else None
+    inter = (sy - slope * sx) / n if slope is not None else None
+    r2 = (
+        (cov_n * cov_n) / (vx_n * vy_n)
+        if vx_n > 0 and vy_n > 0
+        else None
+    )
+    return slope, inter, r2
+
+
+class TestZipfFit:
+    def test_exact_power_law_recovered(self, spark):
+        from kevinlang_spark.operators.text import zipf_fit
+
+        # freq(rank) = 2^(10-rank): ln f = 10 ln 2 - ln 2 * ... not a
+        # power law in rank; instead construct freq = C / rank exactly:
+        # rank 1..4 with freqs 12, 6, 4, 3 = 12/rank
+        words = {"aa": 12, "bb": 6, "cc": 4, "dd": 3}
+        rows = [
+            (i, w) for i, (w, f) in enumerate(words.items())
+            for _ in range(f)
+        ]
+        df = spark.createDataFrame(
+            [(i, " ".join(w for _ in range(1)),) for i, w in rows],
+            "doc_id long, text string",
+        )
+        (r,) = zipf_fit(df, top_k=10).collect()
+        assert r["total_tokens"] == 25
+        assert r["vocab_size"] == 4
+        assert r["n_top"] == 4
+        assert r["zipf_slope"] == pytest.approx(-1.0)
+        assert r["zipf_r2"] == pytest.approx(1.0)
+
+    def test_matches_brute_ols(self, spark):
+        from kevinlang_spark.operators.text import zipf_fit
+
+        corpus = ["the cat sat", "the cat ran", "the dog sat on the mat"]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(corpus)],
+            "doc_id long, text string",
+        )
+        (r,) = zipf_fit(df).collect()
+        from collections import Counter
+
+        wc = Counter(w for t in corpus for w in t.split())
+        ranked = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))
+        pts = [
+            (math.log(i + 1), math.log(f))
+            for i, (_, f) in enumerate(ranked)
+        ]
+        slope, inter, r2 = _brute_ols(pts)
+        assert r["zipf_slope"] == pytest.approx(slope)
+        assert r["zipf_intercept"] == pytest.approx(inter)
+        assert r["zipf_r2"] == pytest.approx(r2)
+
+    def test_degenerate_single_word(self, spark):
+        from kevinlang_spark.operators.text import zipf_fit
+
+        df = spark.createDataFrame(
+            [(1, "same same same")], "doc_id long, text string"
+        )
+        (r,) = zipf_fit(df).collect()
+        assert r["vocab_size"] == 1
+        assert r["zipf_slope"] is None  # single point: no x-variance
+        assert r["zipf_r2"] is None
+
+
+class TestHeapsFit:
+    def test_matches_brute_curve(self, spark):
+        from kevinlang_spark.operators.text import heaps_fit
+
+        corpus = [
+            (i, " ".join(f"w{j}" for j in range(0, i + 1)))
+            for i in range(16)
+        ]
+        df = spark.createDataFrame(corpus, "doc_id long, text string")
+        (r,) = heaps_fit(df, n_buckets=8).collect()
+        # brute: bucket by ((id - 0) * 8) // 16
+        from collections import defaultdict
+
+        toks = defaultdict(int)
+        first = {}
+        for i, t in corpus:
+            ws = t.split()
+            toks[(i * 8) // 16] += len(ws)
+            for w in ws:
+                if w not in first:
+                    first[w] = (i * 8) // 16
+        newv = defaultdict(int)
+        for w, b in first.items():
+            newv[b] += 1
+        ct = cv = 0
+        pts = []
+        for b in range(8):
+            ct += toks[b]
+            cv += newv[b]
+            if ct > 0 and cv > 0:
+                pts.append((math.log(ct), math.log(cv)))
+        slope, inter, r2 = _brute_ols(pts)
+        assert r["total_tokens"] == sum(toks.values())
+        assert r["vocab_size"] == len(first)
+        assert r["n_points"] == len(pts)
+        assert r["heaps_beta"] == pytest.approx(slope)
+        assert r["heaps_k"] == pytest.approx(math.exp(inter))
+        assert r["heaps_r2"] == pytest.approx(r2)
+
+    def test_linear_vocab_growth_beta_near_one(self, spark):
+        from kevinlang_spark.operators.text import heaps_fit
+
+        # every doc contributes exactly 4 brand-new words: V(n) = n
+        corpus = [
+            (i, " ".join(f"u{i}x{j}" for j in range(4))) for i in range(32)
+        ]
+        df = spark.createDataFrame(corpus, "doc_id long, text string")
+        (r,) = heaps_fit(df, n_buckets=8).collect()
+        assert r["heaps_beta"] == pytest.approx(1.0)
+        assert r["heaps_r2"] == pytest.approx(1.0)
