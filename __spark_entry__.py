@@ -5035,6 +5035,86 @@ def q_heaps_fit(spark, sf_dir):
     return heaps_fit(_powerlaw_docs(spark, sf_dir))
 
 
+#: script-census fixture snippets: (condition kind, value, snippet).
+#: The corpus is pure ASCII even for lang='zh' rows, so each rule
+#: appends a typed-script snippet; ONE table drives both the Spark
+#: fixture and the oracle CTE (no transcription drift).  Snippets must
+#: not contain single quotes (they embed in SQL literals).
+_SCRIPT_SNIPPETS = [
+    ("lang", "zh", " 数据处理引擎与查询计划"),
+    ("lang", "de", " müßig für größere Bäche"),
+    ("lang", "fr", " déjà été créé à côté"),
+    ("lang", "es", " mañana el niño será"),
+    ("mod7", 0, " Привет мир данных"),
+    ("mod11", 3, " αβγ δέλτα σύστημα"),
+    ("mod13", 5, " مرحبا بالعالم"),
+]
+
+
+def _script_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    d = F.col("doc_id")
+    ext = F.col("text")
+    for kind, val, snip in _SCRIPT_SNIPPETS:
+        if kind == "lang":
+            cond = F.col("lang") == val
+        else:
+            cond = d % int(kind[3:]) == val
+        ext = F.when(cond, F.concat(ext, F.lit(snip))).otherwise(ext)
+    return docs.where(d.isNotNull()).select(
+        "doc_id", ext.alias("text"), "lang"
+    )
+
+
+def _script_census_sql() -> str:
+    """Oracle for q_script_census, generated from the SAME
+    _SCRIPT_SNIPPETS table and text.SCRIPT_CLASSES patterns the Spark
+    side uses."""
+    from kevinlang_spark.operators.text import SCRIPT_CLASSES
+
+    append = ""
+    for kind, val, snip in _SCRIPT_SNIPPETS:
+        if kind == "lang":
+            cond = f"lang = '{val}'"
+        else:
+            cond = f"doc_id % {int(kind[3:])} = {val}"
+        append += f" || CASE WHEN {cond} THEN '{snip}' ELSE '' END"
+    counts = ", ".join(
+        f"CAST(SUM(length(text) - length(regexp_replace(text, "
+        f"'{pat}', '', 'g'))) AS BIGINT) AS {name}"
+        for name, pat in SCRIPT_CLASSES
+    )
+    covered = " + ".join(name for name, _ in SCRIPT_CLASSES)
+    names = ", ".join(name for name, _ in SCRIPT_CLASSES)
+    return (
+        f"WITH sd AS (SELECT doc_id, text{append} AS text, lang "
+        "FROM documents WHERE doc_id IS NOT NULL), "
+        "g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(length(text)) AS BIGINT) AS n_chars, "
+        f"{counts} FROM sd WHERE text IS NOT NULL GROUP BY lang), "
+        f"o AS (SELECT lang, n_docs, n_chars, {names}, "
+        f"n_chars - ({covered}) AS other FROM g) "
+        f"SELECT lang, n_docs, n_chars, {names}, other, "
+        "CASE WHEN n_chars > 0 THEN latin / n_chars END AS frac_latin, "
+        "CASE WHEN n_chars > 0 THEN cjk / n_chars END AS frac_cjk, "
+        "CASE WHEN n_chars > 0 THEN other / n_chars END AS frac_other "
+        "FROM o"
+    )
+
+
+def q_script_census(spark, sf_dir):
+    """Unicode script census (operators/text.py script_census —
+    MADLAD-400-style curation audit): per lang slice, char counts per
+    script class (Latin / digits / whitespace / Latin-ext / CJK /
+    Cyrillic / Greek / Arabic) plus the uncovered remainder and
+    Latin/CJK/other fractions.  One scan-stage regex pass per class,
+    ONE keyed aggregation of BIGINT-exact sums — zero extra shuffle;
+    the shared pattern table keeps both engines on the same regexes."""
+    from kevinlang_spark.operators.text import script_census
+
+    return script_census(_script_docs(spark, sf_dir))
+
+
 def q_chat_multiturn(spark, sf_dir):
     """Llama-3 multi-turn SFT rendering (VERDICT r10 item 6; text.py
     render_chat fmt='llama3'): five variable-role turns — system, two
@@ -8047,6 +8127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_reward_length_bias": q_reward_length_bias,
         "q_zipf_fit": q_zipf_fit,
         "q_heaps_fit": q_heaps_fit,
+        "q_script_census": q_script_census,
         "q_bt_leaderboard": q_bt_leaderboard,
         "q_fleiss_kappa": q_fleiss_kappa,
         "q_chat_trees": q_chat_trees,
@@ -11333,6 +11414,9 @@ def oracle_sql() -> dict[str, str]:
             "(cov_n * cov_n) / (vx_n * vy_n) END AS heaps_r2 "
             "FROM o"
         ),
+        # script census: same regex classes (shared literal-range
+        # table), same integer sums, fractions as one division
+        "q_script_census": _script_census_sql(),
         # pass@k: the binomial ratio folds left with identical IEEE
         # order; per-task micros make the group SUM exact integers
         "q_pass_at_k": (

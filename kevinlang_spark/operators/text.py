@@ -3542,3 +3542,76 @@ def heaps_fit(
         F.exp(ols["intercept"]).alias("heaps_k"),
         ols["r2"].alias("heaps_r2"),
     )
+
+
+#: Unicode script classes for :func:`script_census` — (name, regex
+#: character class).  Each class is a literal codepoint range written
+#: with the ACTUAL characters (not engine-specific \u escapes), so the
+#: same pattern string drives both Spark's Java regex and the DuckDB
+#: oracle's RE2 — no transcription between syntaxes can drift.
+SCRIPT_CLASSES: "list[tuple[str, str]]" = [
+    ("latin", "[A-Za-z]"),
+    ("digit", "[0-9]"),
+    ("space", "[ \t\n\r]"),
+    ("latin_ext", "[À-ɏ]"),
+    ("cjk", "[一-鿿]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("greek", "[Ͱ-Ͽ]"),
+    ("arabic", "[؀-ۿ]"),
+]
+
+
+def script_census(
+    df: DataFrame, text_col: str = "text", group_col: str = "lang"
+) -> DataFrame:
+    """Unicode script mix per corpus slice — the curation census every
+    multilingual pipeline reads before fixing language weights
+    (MADLAD-400's audit, arXiv:2309.04662 §2, found whole "languages"
+    that were one script of noise): per group, total chars and the
+    char count in each of :data:`SCRIPT_CLASSES` (Latin, digits,
+    whitespace, Latin-extended, CJK, Cyrillic, Greek, Arabic) plus the
+    uncovered remainder, with Latin/CJK/other fractions.
+
+    Per-doc counting is ``length(t) - length(regexp_replace(t, class,
+    ''))`` — one scan-stage regex pass per class, zero shuffle; the
+    group census is ONE aggregation of BIGINT-exact sums, and every
+    fraction derives from those sums with one division.  Codepoint
+    counting is identical on both engines (Spark ``length`` and DuckDB
+    ``length`` both count codepoints).
+
+    Returns (group_col, n_docs, n_chars, <one count per class>, other,
+    frac_latin, frac_cjk, frac_other)."""
+    t = F.col(text_col)
+    clean = df.where(t.isNotNull())
+    counts = [
+        (
+            F.length(t) - F.length(F.regexp_replace(t, pat, ""))
+        ).cast("bigint").alias(name)
+        for name, pat in SCRIPT_CLASSES
+    ]
+    staged = clean.select(
+        F.col(group_col), F.length(t).cast("bigint").alias("__nc"), *counts
+    )
+    aggs = [F.sum(name).alias(name) for name, _ in SCRIPT_CLASSES]
+    g = staged.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__nc").alias("n_chars"),
+        *aggs,
+    )
+    covered = None
+    for name, _ in SCRIPT_CLASSES:
+        covered = F.col(name) if covered is None else covered + F.col(name)
+    nc = F.col("n_chars")
+    out = g.select(
+        group_col,
+        "n_docs",
+        "n_chars",
+        *[name for name, _ in SCRIPT_CLASSES],
+        (nc - covered).alias("other"),
+    )
+    return out.select(
+        "*",
+        F.when(nc > 0, F.col("latin") / nc).alias("frac_latin"),
+        F.when(nc > 0, F.col("cjk") / nc).alias("frac_cjk"),
+        F.when(nc > 0, F.col("other") / nc).alias("frac_other"),
+    )

@@ -259,3 +259,56 @@ class TestHeapsFit:
         (r,) = heaps_fit(df, n_buckets=8).collect()
         assert r["heaps_beta"] == pytest.approx(1.0)
         assert r["heaps_r2"] == pytest.approx(1.0)
+
+
+class TestScriptCensus:
+    def test_mixed_script_counts(self, spark):
+        from kevinlang_spark.operators.text import script_census
+
+        rows = [
+            ("a", "hello 世界 мир αβ 123"),
+            ("a", "naïve café"),
+            ("b", "مرحبا"),
+        ]
+        df = spark.createDataFrame(rows, "lang string, text string")
+        out = {r["lang"]: r for r in script_census(df).collect()}
+        a = out["a"]
+        # doc1: latin 5, cjk 2, cyrillic 3, greek 2, digit 3, space 4
+        # doc2: latin 8 (n-a-v-e-c-a-f (e is latin_ext? é yes)) ->
+        #   "naïve café": n,a,v,e + c,a,f = 7 latin; ï, é latin_ext=2;
+        #   space 1
+        assert a["n_docs"] == 2
+        assert a["cjk"] == 2
+        assert a["cyrillic"] == 3
+        assert a["greek"] == 2
+        assert a["digit"] == 3
+        assert a["latin"] == 5 + 7
+        assert a["latin_ext"] == 2
+        assert a["space"] == 4 + 1
+        assert a["other"] == 0
+        assert a["frac_cjk"] == pytest.approx(2 / a["n_chars"])
+        b = out["b"]
+        assert b["arabic"] == 5
+        assert b["latin"] == 0
+        assert b["frac_latin"] == 0.0
+
+    def test_other_catches_uncovered(self, spark):
+        from kevinlang_spark.operators.text import script_census
+
+        df = spark.createDataFrame(
+            [("x", "a,b;c!")], "lang string, text string"
+        )
+        (r,) = script_census(df).collect()
+        assert r["latin"] == 3
+        assert r["other"] == 3  # , ; ! are uncovered punctuation
+        assert r["frac_other"] == pytest.approx(0.5)
+
+    def test_empty_text_zero_chars(self, spark):
+        from kevinlang_spark.operators.text import script_census
+
+        df = spark.createDataFrame(
+            [("x", "")], "lang string, text string"
+        )
+        (r,) = script_census(df).collect()
+        assert r["n_chars"] == 0
+        assert r["frac_latin"] is None
