@@ -6654,6 +6654,62 @@ def q_k_anonymity(spark, sf_dir):
     )
 
 
+def _privacy_binned(spark, sf_dir):
+    """Shared privacy-tier fixture: customer quasi-identifiers with
+    the account balance binned to 11 fixed-width buckets (the ordered
+    sensitive attribute t-closeness needs; bounds cover TPC-H's
+    [-999.99, 9999.99] spec range)."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor((F.col("c_acctbal") + 1000.0) / 1100.0)
+        .cast("bigint")
+        .alias("bal_bin"),
+    )
+
+
+_PRIVACY_BIN_SQL = (
+    "WITH b AS (SELECT c_nationkey, c_mktsegment, "
+    "CAST(FLOOR((c_acctbal + 1000.0) / 1100.0) AS BIGINT) AS v "
+    "FROM customer)"
+)
+
+
+def q_l_diversity(spark, sf_dir):
+    """l-diversity audit (operators/quality.py l_diversity —
+    Machanavajjhala et al. 2007): distinct + entropy diversity of the
+    binned account balance within (nation, segment) quasi-groups,
+    rolled to one risk row.  Two keyed shuffles over one scan; group
+    entropy folds in-row over the value-sorted census so MIN over
+    groups compares identical doubles on both engines."""
+    from kevinlang_spark.operators.quality import l_diversity
+
+    return l_diversity(
+        _privacy_binned(spark, sf_dir),
+        ["c_nationkey", "c_mktsegment"],
+        "bal_bin",
+        l=3,
+    )
+
+
+def q_t_closeness(spark, sf_dir):
+    """t-closeness audit (operators/quality.py t_closeness — Li et
+    al. 2007): per (nation, segment) group, ordered-EMD between the
+    group's balance-bin distribution and the global one.  The EMD sum
+    is integer-exact (|cumc·G − cumg·n| in BIGINT) with ONE final
+    double division, so no float accumulation order exists to
+    diverge; the 11-bin domain collapses to one row and broadcasts
+    (reviewed bounded BNLJ)."""
+    from kevinlang_spark.operators.quality import t_closeness
+
+    return t_closeness(
+        _privacy_binned(spark, sf_dir),
+        ["c_nationkey", "c_mktsegment"],
+        "bal_bin",
+    )
+
+
 def q_cusum(spark, sf_dir):
     """Two-sided CUSUM change-point screen per user series, expressed as
     cumulative-sum windows (no stateful recurrence) — one key shuffle.
@@ -8191,6 +8247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_group_ols": q_group_ols,
         "q_interval_overlap": q_interval_overlap,
         "q_k_anonymity": q_k_anonymity,
+        "q_l_diversity": q_l_diversity,
+        "q_t_closeness": q_t_closeness,
         "q_keyfilter_join": q_keyfilter_join,
         "q_line_dedup": q_line_dedup,
         "q_mad_outliers": q_mad_outliers,
@@ -11417,6 +11475,63 @@ def oracle_sql() -> dict[str, str]:
         # script census: same regex classes (shared literal-range
         # table), same integer sums, fractions as one division
         "q_script_census": _script_census_sql(),
+        # l-diversity: same two-level census; entropy folds over the
+        # value-ordered list with Spark's 0.0 - fold form; MIN of
+        # identical doubles is order-insensitive
+        "q_l_diversity": (
+            _PRIVACY_BIN_SQL
+            + ", gv AS (SELECT c_nationkey, c_mktsegment, v, "
+            "CAST(COUNT(*) AS BIGINT) AS c FROM b "
+            "WHERE v IS NOT NULL GROUP BY 1, 2, 3), "
+            "per AS (SELECT c_nationkey, c_mktsegment, "
+            "CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(c) AS BIGINT) AS n, "
+            "list(struct_pack(v := v, c := c) ORDER BY v, c) AS vc "
+            "FROM gv GROUP BY 1, 2), "
+            "e AS (SELECT nd, n, 0.0 - list_reduce(list_prepend(0.0, "
+            "list_transform(vc, p -> (p.c / n) * ln(p.c / n))), "
+            "(a, b) -> a + b) AS ent FROM per) "
+            "SELECT CAST(3 AS BIGINT) AS l, MIN(nd) AS l_diversity, "
+            "CAST(COUNT(*) AS BIGINT) AS n_groups, "
+            "CAST(COUNT(*) FILTER (WHERE nd < 3) AS BIGINT) "
+            "AS n_risky_groups, "
+            "CAST(SUM(n) AS BIGINT) AS n_rows, "
+            "CAST(SUM(CASE WHEN nd < 3 THEN n ELSE 0 END) AS BIGINT) "
+            "AS n_risky_rows, "
+            "ROUND(SUM(CASE WHEN nd < 3 THEN n ELSE 0 END) / SUM(n), 6) "
+            "AS risk_rate, MIN(ent) AS min_entropy FROM e"
+        ),
+        # t-closeness: the EMD numerator is a BIGINT sum of
+        # |cumc*G - cumg*n| terms — exact in any aggregation order —
+        # and only the final division is floating point
+        "q_t_closeness": (
+            _PRIVACY_BIN_SQL
+            + ", f AS (SELECT * FROM b WHERE v IS NOT NULL), "
+            "gv AS (SELECT c_nationkey, c_mktsegment, v, "
+            "CAST(COUNT(*) AS BIGINT) AS c FROM f GROUP BY 1, 2, 3), "
+            "dom AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS g "
+            "FROM f GROUP BY v), "
+            "dc AS (SELECT v, CAST(SUM(g) OVER (ORDER BY v) AS BIGINT) "
+            "AS cumg FROM dom), "
+            "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m, "
+            "CAST(SUM(g) AS BIGINT) AS gt FROM dom), "
+            "grp AS (SELECT c_nationkey, c_mktsegment, "
+            "CAST(SUM(c) AS BIGINT) AS n FROM gv GROUP BY 1, 2), "
+            "fl AS (SELECT grp.c_nationkey, grp.c_mktsegment, grp.n, "
+            "tot.m, tot.gt, dc.v, dc.cumg, COALESCE(gv.c, 0) AS c "
+            "FROM grp CROSS JOIN dc CROSS JOIN tot "
+            "LEFT JOIN gv ON gv.c_nationkey = grp.c_nationkey "
+            "AND gv.c_mktsegment = grp.c_mktsegment AND gv.v = dc.v), "
+            "t AS (SELECT c_nationkey, c_mktsegment, n, m, gt, "
+            "CASE WHEN c > 0 THEN 1 ELSE 0 END AS present, "
+            "ABS(SUM(c) OVER (PARTITION BY c_nationkey, c_mktsegment "
+            "ORDER BY v) * gt - cumg * n) AS term FROM fl) "
+            "SELECT c_nationkey, c_mktsegment, "
+            "CAST(MAX(n) AS BIGINT) AS n, "
+            "CAST(SUM(present) AS BIGINT) AS n_distinct, "
+            "CASE WHEN MAX(m) >= 2 THEN CAST(SUM(term) AS DOUBLE) / "
+            "(CAST(MAX(n) AS DOUBLE) * MAX(gt) * (MAX(m) - 1)) "
+            "ELSE 0.0 END AS emd FROM t GROUP BY 1, 2"
+        ),
         # pass@k: the binomial ratio folds left with identical IEEE
         # order; per-task micros make the group SUM exact integers
         "q_pass_at_k": (

@@ -353,3 +353,197 @@ def fleiss_kappa(
             (F.col("p_bar") - F.col("p_e")) / (F.lit(1.0) - F.col("p_e"))
         ).alias("kappa"),
     )
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: "list[str]",
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007, "l-diversity:
+    Privacy beyond k-anonymity") — the attribute-disclosure companion
+    to :func:`k_anonymity`: a k-anonymous group whose sensitive
+    attribute is CONSTANT still leaks it, so each quasi-identifier
+    group must carry at least ``l`` distinct sensitive values
+    (distinct l-diversity); the entropy variant additionally requires
+    group entropy ≥ ln(l).
+
+    Shape: one shuffle on (quasi, sensitive) for the value census,
+    one on quasi for the per-group roll-up — the raw table is scanned
+    once.  Group entropy folds IN-ROW over the value-sorted (value,
+    count) array (bounded by the sensitive domain — bin continuous
+    attributes first), with fixed parenthesization, so the doubles
+    replay across engines; MIN over groups is order-insensitive.
+
+    Returns ONE row: (l, l_diversity = min distinct sensitive values
+    per group, n_groups, n_risky_groups, n_rows, n_risky_rows,
+    risk_rate, min_entropy); the dataset is l-diverse iff
+    ``l_diversity >= l``, entropy-l-diverse iff ``min_entropy >=
+    ln(l)``."""
+    if l < 1:
+        raise ValueError(f"l must be >= 1 (got {l})")
+    v = F.col(sensitive_col)
+    gv = (
+        df.where(v.isNotNull())
+        .groupBy(*quasi_cols, sensitive_col)
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    per = gv.groupBy(*quasi_cols).agg(
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.sum("c").alias("n"),
+        F.array_sort(
+            F.collect_list(F.struct(v.alias("v"), F.col("c").alias("c")))
+        ).alias("vc"),
+    )
+    # entropy = -Σ (c/n) ln(c/n), folded in sensitive-value order;
+    # written 0.0 - fold so a constant group yields +0.0, not -0.0
+    # (a -0.0/-0.0 split across engines re-orders the row sort)
+    ent = F.lit(0.0) - F.aggregate(
+        F.col("vc"),
+        F.lit(0.0),
+        lambda acc, p: acc
+        + (p["c"] / F.col("n")) * F.log(p["c"] / F.col("n")),
+    )
+    staged = per.select(*quasi_cols, "n_distinct", "n", ent.alias("ent"))
+    risky = F.col("n_distinct") < l
+    return staged.agg(
+        F.lit(l).cast("bigint").alias("l"),
+        F.min("n_distinct").alias("l_diversity"),
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.count_if(risky).cast("bigint").alias("n_risky_groups"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.sum(F.when(risky, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_risky_rows"),
+        F.round(
+            F.sum(F.when(risky, F.col("n")).otherwise(0)) / F.sum("n"), 6
+        ).alias("risk_rate"),
+        F.min("ent").alias("min_entropy"),
+    )
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: "list[str]",
+    sensitive_col: str,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) for an
+    ORDERED sensitive attribute: per quasi-identifier group, the Earth
+    Mover's Distance between the group's sensitive-value distribution
+    and the global one, with unit ground distance between adjacent
+    categories — EMD = Σᵢ |cumP(i) − cumQ(i)| / (m−1) over the m
+    global categories.  A group whose EMD exceeds the chosen t leaks
+    the sensitive attribute even if it is k-anonymous AND l-diverse
+    (the skewness attack).
+
+    Everything is INTEGER-EXACT until one final division: with group
+    size n, global size G, and integer cumulative counts cumc/cumg,
+
+        |cumP − cumQ| = |cumc·G − cumg·n| / (n·G)
+
+    so the per-group sum accumulates BIGINT terms (order-insensitive,
+    engine-independent) and EMD = sum / (n·G·(m−1)) computes as one
+    double expression.  (The bigint products bound the scale: n·G must
+    stay under 2^63 — bin and/or sample first above ~10^9 rows.)
+
+    Shape: value census on (quasi, sensitive), bounded-domain census
+    on sensitive (collected to ONE row, cumulated in-row, re-exploded
+    — the sensitive domain must be bounded, bin first), a broadcast
+    domain join to materialize absent categories, one partitioned
+    cumulative window, one final group roll-up.
+
+    Returns per group: (quasi_cols..., n, n_distinct, emd)."""
+    from pyspark.sql import Window
+
+    v = F.col(sensitive_col)
+    base = df.where(v.isNotNull()).select(*quasi_cols, sensitive_col)
+    gv = base.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    dom = base.groupBy(sensitive_col).agg(
+        F.count("*").cast("bigint").alias("g")
+    )
+    # bounded domain → ONE row; in-row cumulative + totals; re-explode
+    dom_arr = dom.agg(
+        F.array_sort(
+            F.collect_list(F.struct(v.alias("v"), F.col("g").alias("g")))
+        ).alias("a")
+    )
+    a = F.col("a")
+    dom_cum = dom_arr.select(
+        F.size(a).cast("bigint").alias("m"),
+        F.aggregate(
+            a, F.lit(0).cast("bigint"), lambda acc, p: acc + p["g"]
+        ).alias("G"),
+        F.explode(
+            F.transform(
+                a,
+                lambda e, i: F.struct(
+                    e["v"].alias("v"),
+                    F.aggregate(
+                        F.slice(a, F.lit(1), i + 1),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, p: acc + p["g"],
+                    ).alias("cumg"),
+                ),
+            )
+        ).alias("d"),
+    ).select("m", "G", F.col("d.v").alias("v"), F.col("d.cumg").alias("cumg"))
+    groups = gv.groupBy(*quasi_cols).agg(F.sum("c").alias("n"))
+    # every group × every domain category (absent → c = 0)
+    full = (
+        groups.crossJoin(F.broadcast(dom_cum))
+        .join(
+            gv.withColumnRenamed(sensitive_col, "v"),
+            [*quasi_cols, "v"],
+            "left",
+        )
+        .select(
+            *quasi_cols,
+            "n",
+            "m",
+            "G",
+            "v",
+            "cumg",
+            F.coalesce(F.col("c"), F.lit(0).cast("bigint")).alias("c"),
+        )
+    )
+    wcum = Window.partitionBy(*quasi_cols).orderBy("v")
+    terms = full.select(
+        *quasi_cols,
+        "n",
+        "m",
+        "G",
+        (F.col("c") > 0).cast("int").alias("present"),
+        F.abs(
+            F.sum("c").over(wcum) * F.col("G")
+            - F.col("cumg") * F.col("n")
+        ).alias("term"),
+    )
+    return (
+        terms.groupBy(*quasi_cols)
+        .agg(
+            F.max("n").alias("n"),
+            F.sum("present").cast("bigint").alias("n_distinct"),
+            F.max("m").alias("__m"),
+            F.max("G").alias("__G"),
+            F.sum("term").alias("__s"),
+        )
+        .select(
+            *quasi_cols,
+            "n",
+            "n_distinct",
+            F.when(
+                F.col("__m") >= 2,
+                F.col("__s").cast("double")
+                / (
+                    F.col("n").cast("double")
+                    * F.col("__G")
+                    * (F.col("__m") - 1)
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("emd"),
+        )
+    )

@@ -65,6 +65,7 @@ BNLJ_OK = {
     "q_tpch_q22": 4,  # broadcast 1-row average-balance aggregate
     "q_zipf_fit": 4,  # 1-row corpus totals × 1-row in-row OLS fit crossJoin
     "q_heaps_fit": 4,  # broadcast 1-row (lo, hi) id-bounds aggregate
+    "q_t_closeness": 16,  # broadcast 11-bin cumulated sensitive domain
 }
 
 

@@ -312,3 +312,92 @@ class TestScriptCensus:
         (r,) = script_census(df).collect()
         assert r["n_chars"] == 0
         assert r["frac_latin"] is None
+
+
+class TestLDiversity:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "q string, s string")
+
+    def test_summary_counts(self, spark):
+        from kevinlang_spark.operators.quality import l_diversity
+
+        rows = (
+            [("a", "x"), ("a", "y"), ("a", "z")]
+            + [("b", "x"), ("b", "x"), ("b", "y")]
+            + [("c", "x"), ("c", "x")]
+        )
+        (r,) = l_diversity(self._df(spark, rows), ["q"], "s", l=3).collect()
+        assert r["l_diversity"] == 1  # group c has one distinct value
+        assert r["n_groups"] == 3
+        assert r["n_risky_groups"] == 2  # b (2 distinct), c (1)
+        assert r["n_rows"] == 8
+        assert r["n_risky_rows"] == 5
+        assert r["min_entropy"] == pytest.approx(0.0)
+        assert math.copysign(1.0, r["min_entropy"]) == 1.0  # +0.0, not -0.0
+
+    def test_entropy_uniform_group(self, spark):
+        from kevinlang_spark.operators.quality import l_diversity
+
+        rows = [("a", v) for v in "wxyz"]
+        (r,) = l_diversity(self._df(spark, rows), ["q"], "s", l=2).collect()
+        assert r["l_diversity"] == 4
+        assert r["n_risky_groups"] == 0
+        assert r["min_entropy"] == pytest.approx(math.log(4))
+
+    def test_invalid_l(self, spark):
+        from kevinlang_spark.operators.quality import l_diversity
+
+        with pytest.raises(ValueError):
+            l_diversity(self._df(spark, [("a", "x")]), ["q"], "s", l=0)
+
+
+class TestTCloseness:
+    def test_identical_distribution_zero_emd(self, spark):
+        from kevinlang_spark.operators.quality import t_closeness
+
+        # both groups have the same 50/50 split -> EMD 0 for each
+        rows = [("a", 1), ("a", 2), ("b", 1), ("b", 2)]
+        df = spark.createDataFrame(rows, "q string, s long")
+        out = {r["q"]: r for r in t_closeness(df, ["q"], "s").collect()}
+        assert out["a"]["emd"] == pytest.approx(0.0)
+        assert out["b"]["emd"] == pytest.approx(0.0)
+
+    def test_brute_force_emd(self, spark):
+        from kevinlang_spark.operators.quality import t_closeness
+
+        rows = (
+            [("a", 0)] * 3 + [("a", 1)] * 1
+            + [("b", 1)] * 2 + [("b", 2)] * 2
+            + [("c", 0)] * 1 + [("c", 2)] * 3
+        )
+        df = spark.createDataFrame(rows, "q string, s long")
+        out = {r["q"]: r for r in t_closeness(df, ["q"], "s").collect()}
+        # brute EMD per group over global dist of {0: 4, 1: 3, 2: 5}/12
+        from collections import Counter
+
+        glob = Counter(s for _, s in rows)
+        dom = sorted(glob)
+        G = sum(glob.values())
+        by_g = {}
+        for q, s in rows:
+            by_g.setdefault(q, Counter())[s] += 1
+        for q, cnt in by_g.items():
+            n = sum(cnt.values())
+            cp = cq = 0.0
+            emd = 0.0
+            for v in dom:
+                cp += cnt.get(v, 0) / n
+                cq += glob[v] / G
+                emd += abs(cp - cq)
+            emd /= len(dom) - 1
+            assert out[q]["emd"] == pytest.approx(emd), q
+            assert out[q]["n"] == n
+            assert out[q]["n_distinct"] == len(cnt)
+
+    def test_single_category_domain(self, spark):
+        from kevinlang_spark.operators.quality import t_closeness
+
+        rows = [("a", 5), ("b", 5)]
+        df = spark.createDataFrame(rows, "q string, s long")
+        for r in t_closeness(df, ["q"], "s").collect():
+            assert r["emd"] == 0.0  # m = 1: no distance to move
