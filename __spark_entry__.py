@@ -6388,6 +6388,19 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_prototypicality(spark, sf_dir):
+    """D4-style SSL-prototype scoring (operators/similarity.py
+    prototypicality — arXiv:2308.12284): per sign-bucket cluster, each
+    embedding's cosine to the cluster centroid, rank, and the top-1/4
+    most-prototypical flag a D4 pruning pass drops.  Centroids come
+    from BIGINT-exact sums of 1e-6-quantized components (one narrow
+    (bucket, dim) shuffle, map-side combined); the cosine rounds to 6
+    before ranking with an id tie-break so the trajectory replays."""
+    from kevinlang_spark.operators.similarity import prototypicality
+
+    return prototypicality(_t(spark, sf_dir, "embeddings"), bits=8)
+
+
 def q_markov_attribution(spark, sf_dir):
     """Markov removal-effect attribution (events.py
     markov_attribution): journeys → transition table (one user-keyed
@@ -8135,6 +8148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder_keys": q_zorder_keys,
         "q_ann_probe_pruned": q_ann_probe_pruned,
         "q_semantic_dedup": q_semantic_dedup,
+        "q_prototypicality": q_prototypicality,
         "q_theta_overlap": q_theta_overlap,
         "q_cms_tokens": q_cms_tokens,
         "q_approx_distinct": q_approx_distinct,
@@ -12234,6 +12248,36 @@ def oracle_sql() -> dict[str, str]:
             "AS is_dup "
             "FROM b JOIN r ON b.bucket = r.bucket "
             "JOIN b rb ON rb.vec_id = r.rep_id"
+        ),
+        # prototypicality: centroid from BIGINT-exact quantized sums,
+        # list_cosine_similarity over DOUBLE[] == the Spark fold, rank
+        # on the ROUNDED score with id tie-break (k-center rule)
+        "q_prototypicality": (
+            "WITH b AS (SELECT vec_id AS id, "
+            "list_aggregate(list_transform(embedding[1:8], "
+            "x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), "
+            "'string_agg', '') AS bucket, "
+            "list_transform(embedding, x -> CAST(FLOOR("
+            "CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv "
+            "FROM embeddings WHERE embedding IS NOT NULL), "
+            "e AS (SELECT bucket, i AS pos, qv[i] AS val "
+            "FROM b, unnest(range(1, len(qv) + 1)) t(i)), "
+            "d AS (SELECT bucket, pos, CAST(SUM(val) AS BIGINT) AS s, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2), "
+            "c0 AS (SELECT bucket, MAX(n) AS n_bucket, "
+            "list(struct_pack(pos := pos, s := s) ORDER BY pos) "
+            "AS ps FROM d GROUP BY bucket), "
+            "c AS (SELECT bucket, n_bucket, "
+            "list_transform(ps, p -> p.s / n_bucket) AS cent "
+            "FROM c0), "
+            "sc AS (SELECT b.id, b.bucket, c.n_bucket, "
+            "ROUND(list_cosine_similarity(CAST(b.qv AS DOUBLE[]), "
+            "c.cent), 6) AS proto_score FROM b JOIN c USING (bucket)), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY bucket "
+            "ORDER BY proto_score DESC, id) AS proto_rank FROM sc) "
+            "SELECT id, bucket, n_bucket, proto_score, proto_rank, "
+            "proto_rank <= (n_bucket * 1 + 4 - 1) // 4 AS is_prototype "
+            "FROM r"
         ),
         "q_assoc_rules": (
             "WITH items AS (SELECT DISTINCT l_orderkey AS basket, "

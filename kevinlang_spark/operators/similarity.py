@@ -1644,3 +1644,97 @@ def bitext_mine(
         margin.alias("margin"),
         (margin > threshold).alias("accepted"),
     )
+
+
+def prototypicality(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+    keep_num: int = 1,
+    keep_den: int = 4,
+) -> DataFrame:
+    """SSL-prototype scoring — the second stage of the D4 recipe
+    (Tirumala et al. 2023, arXiv:2308.12284: SemDeDup, then drop the
+    most PROTOTYPICAL points, the ones nearest their cluster
+    centroid, because they carry the least marginal information):
+    per sign-bucket cluster, each member's cosine similarity to the
+    cluster centroid, its rank (1 = most prototypical), and the
+    ``keep_num/keep_den`` top-fraction flag a D4 pruning pass drops.
+
+    Determinism: components quantize to round-half-up 1e-6 integers
+    FIRST, so per-(bucket, dim) centroid sums are BIGINT-exact in any
+    accumulation order and each centroid component is one division;
+    the cosine folds in index order and ROUNDS to 6 before ranking
+    with an id tie-break (the k-center rule), so the rank trajectory
+    replays across engines.  The prototype cut uses pure integer math:
+    rank <= (n*keep_num + keep_den - 1) div keep_den = ceil(n*frac).
+
+    Shape: scan-stage quantize + bucket, one narrow (bucket, dim,
+    val) shuffle for centroid sums (map-side combined scalars, never
+    whole vectors), centroid table (≤ 2^bits rows) broadcast-joined
+    back, one bucket-keyed window for the rank.  At 100 TB raise
+    ``bits`` so buckets stay bounded, exactly like
+    :func:`semantic_dedup`.
+
+    Returns (id, bucket, n_bucket, proto_score, proto_rank,
+    is_prototype)."""
+    from pyspark.sql import Window
+
+    from kevinlang_spark.functions.vectors import cosine_similarity
+
+    if keep_num < 0 or keep_den < 1:
+        raise ValueError(
+            f"invalid keep fraction {keep_num}/{keep_den}"
+        )
+    v = F.col(vec_col)
+    base = df.where(v.isNotNull()).select(
+        F.col(id_col).alias("id"),
+        sign_bucket(v, bits).alias("bucket"),
+        F.transform(
+            v,
+            lambda x: F.floor(
+                x.cast("double") * F.lit(1000000.0) + F.lit(0.5)
+            ).cast("bigint"),
+        ).alias("qv"),
+    )
+    exploded = base.select(
+        "bucket", F.posexplode(F.col("qv")).alias("pos", "val")
+    )
+    per_dim = exploded.groupBy("bucket", "pos").agg(
+        F.sum("val").alias("s"), F.count("*").alias("n")
+    )
+    cent0 = per_dim.groupBy("bucket").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("__ps"),
+        F.max("n").alias("n_bucket"),
+    )
+    cent = cent0.select(
+        "bucket",
+        "n_bucket",
+        F.transform(
+            F.col("__ps"), lambda p: p["s"] / F.col("n_bucket")
+        ).alias("cent"),
+    )
+    scored = base.join(F.broadcast(cent), "bucket").select(
+        "id",
+        "bucket",
+        "n_bucket",
+        F.round(
+            cosine_similarity(F.col("qv"), F.col("cent")), 6
+        ).alias("proto_score"),
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.desc("proto_score"), F.asc("id")
+    )
+    ranked = scored.select(
+        "id", "bucket", "n_bucket", "proto_score",
+        F.row_number().over(w).alias("proto_rank"),
+    )
+    cut = F.expr(
+        f"(n_bucket * {int(keep_num)} + {int(keep_den)} - 1) "
+        f"div {int(keep_den)}"
+    )
+    return ranked.select(
+        "id", "bucket", "n_bucket", "proto_score", "proto_rank",
+        (F.col("proto_rank") <= cut).alias("is_prototype"),
+    )

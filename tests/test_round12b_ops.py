@@ -401,3 +401,58 @@ class TestTCloseness:
         df = spark.createDataFrame(rows, "q string, s long")
         for r in t_closeness(df, ["q"], "s").collect():
             assert r["emd"] == 0.0  # m = 1: no distance to move
+
+
+class TestPrototypicality:
+    def _df(self, spark, vecs):
+        return spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+
+    def test_centroid_nearest_ranks_first(self, spark):
+        from kevinlang_spark.operators.similarity import prototypicality
+
+        # one bucket (all positive first dims); v2 is the centroid-most
+        vecs = [
+            [1.0, 0.0, 0.0, 0.0],
+            [0.0, 1.0, 0.0, 0.0],
+            [0.5, 0.5, 0.0, 0.0],
+        ]
+        out = prototypicality(
+            self._df(spark, vecs), bits=2, keep_num=1, keep_den=3
+        ).collect()
+        by_id = {r["id"]: r for r in out}
+        assert by_id[2]["proto_rank"] == 1
+        assert by_id[2]["is_prototype"]
+        assert not by_id[0]["is_prototype"]
+        assert all(r["n_bucket"] == 3 for r in out)
+
+    def test_keep_fraction_integer_cut(self, spark):
+        from kevinlang_spark.operators.similarity import prototypicality
+
+        vecs = [[1.0, float(i) / 10.0] for i in range(8)]
+        out = prototypicality(
+            self._df(spark, vecs), bits=1, keep_num=1, keep_den=4
+        ).collect()
+        # ceil(8/4) = 2 prototypes
+        assert sum(r["is_prototype"] for r in out) == 2
+
+    def test_separate_buckets_independent(self, spark):
+        from kevinlang_spark.operators.similarity import prototypicality
+
+        vecs = [[1.0, 1.0], [1.0, 0.5], [-1.0, 1.0], [-1.0, 0.5]]
+        out = prototypicality(self._df(spark, vecs), bits=1).collect()
+        buckets = {r["bucket"] for r in out}
+        assert buckets == {"1", "0"}
+        for b in buckets:
+            ranks = sorted(
+                r["proto_rank"] for r in out if r["bucket"] == b
+            )
+            assert ranks == [1, 2]
+
+    def test_invalid_fraction(self, spark):
+        from kevinlang_spark.operators.similarity import prototypicality
+
+        with pytest.raises(ValueError):
+            prototypicality(self._df(spark, [[1.0]]), keep_den=0)
