@@ -6401,6 +6401,31 @@ def q_prototypicality(spark, sf_dir):
     return prototypicality(_t(spark, sf_dir, "embeddings"), bits=8)
 
 
+def q_unimax_weights(spark, sf_dir):
+    """UniMax epoch-capped sampling allocation (operators/sampling.py
+    unimax_weights — arXiv:2304.09151): per-source token census, then
+    the closed-form waterfill (integer breakpoint count, one double
+    division per row) allocates half the total token budget with at
+    most 2 epochs per source.  Windows run over the handful of source
+    rows only — the corpus is scanned once for the census."""
+    from kevinlang_spark.functions.textexpr import tokenize
+    from kevinlang_spark.operators.sampling import unimax_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    cnt = (
+        docs.where(F.col("text").isNotNull())
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(tokenize(F.col("text"))))
+            .cast("bigint")
+            .alias("n_tokens")
+        )
+    )
+    return unimax_weights(
+        cnt, epoch_cap=2, budget_num=1, budget_den=2
+    )
+
+
 def q_markov_attribution(spark, sf_dir):
     """Markov removal-effect attribution (events.py
     markov_attribution): journeys → transition table (one user-keyed
@@ -8149,6 +8174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_probe_pruned": q_ann_probe_pruned,
         "q_semantic_dedup": q_semantic_dedup,
         "q_prototypicality": q_prototypicality,
+        "q_unimax_weights": q_unimax_weights,
         "q_theta_overlap": q_theta_overlap,
         "q_cms_tokens": q_cms_tokens,
         "q_approx_distinct": q_approx_distinct,
@@ -12278,6 +12304,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id, bucket, n_bucket, proto_score, proto_rank, "
             "proto_rank <= (n_bucket * 1 + 4 - 1) // 4 AS is_prototype "
             "FROM r"
+        ),
+        # UniMax: every breakpoint comparison and prefix sum is BIGINT
+        # math; alloc/weight/epochs are the only doubles (one division
+        # each with identical operands on both engines)
+        "q_unimax_weights": (
+            "WITH c AS (SELECT source, CAST(SUM(len(list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> ''))) AS BIGINT) AS n FROM documents "
+            "WHERE text IS NOT NULL GROUP BY source), "
+            "s AS (SELECT source, n, "
+            "CAST(COUNT(*) OVER () AS BIGINT) AS L, "
+            "CAST(SUM(n) OVER () AS BIGINT) AS T, "
+            "row_number() OVER (ORDER BY n, source) AS i, "
+            "CAST(COALESCE(SUM(n) OVER (ORDER BY n, source "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS BIGINT) AS pre FROM c WHERE n > 0), "
+            "m AS (SELECT source, n, L, (T * 1) // 2 AS B, "
+            "(2 * n * (L - i + 1) <= (T * 1) // 2 - 2 * pre) "
+            "AS capped FROM s), "
+            "r AS (SELECT *, CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 "
+            "END) OVER () AS BIGINT) AS k, "
+            "CAST(SUM(CASE WHEN capped THEN n ELSE 0 END) OVER () "
+            "AS BIGINT) AS S FROM m), "
+            "f AS (SELECT source, n, capped, B, "
+            "CASE WHEN capped THEN CAST(2 * n AS DOUBLE) "
+            "ELSE CAST(B - 2 * S AS DOUBLE) / (L - k) END AS alloc "
+            "FROM r) "
+            "SELECT source, n AS n_tokens, capped, alloc, "
+            "alloc / B AS weight, alloc / n AS epochs FROM f"
         ),
         "q_assoc_rules": (
             "WITH items AS (SELECT DISTINCT l_orderkey AS basket, "

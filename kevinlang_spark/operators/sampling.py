@@ -332,3 +332,108 @@ def epoch_shuffle_keys(
     )
     key = F.conv(F.substring(F.md5(sid), 1, 13), 16, 10).cast("bigint")
     return base.select(id_col, "epoch", key.alias("shuffle_key"))
+
+
+def unimax_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    tokens_col: str = "n_tokens",
+    epoch_cap: int = 2,
+    budget_num: int = 1,
+    budget_den: int = 2,
+) -> DataFrame:
+    """UniMax corpus-sampling allocation (Chung et al. 2023,
+    arXiv:2304.09151): distribute a token budget B = total ·
+    budget_num/budget_den across groups as UNIFORMLY as possible
+    subject to an ``epoch_cap`` on repetition — no group contributes
+    more than ``epoch_cap`` epochs of its own tokens.  The published
+    algorithm is a greedy ascending waterfill; this implementation
+    uses its closed form, which needs NO sequential fold: with groups
+    sorted by token count ascending, the cap binds for a prefix and
+    every remaining group receives the same fair share
+
+        alloc_i = E·n_i                         for i ≤ k*
+        alloc_i = (B − E·Σ_{j≤k*} n_j)/(L − k*)  for i > k*
+
+    where k* = #{i : E·n_i·(L−i+1) ≤ B − E·prefix_i} (monotone, so a
+    count suffices).  Every comparison and prefix sum is INTEGER
+    arithmetic — the only doubles are the final per-row divisions —
+    so both engines replay exactly.
+
+    Shape: expects the per-group token census (one row per group —
+    build it with one corpus aggregation), then windows over the
+    HANDFUL of group rows (the :func:`mixture_weights` deliberate
+    tiny-frame pattern) — the corpus itself is never re-scanned or
+    sorted.
+
+    Returns (group_col, n_tokens, capped, alloc, weight, epochs)."""
+    if epoch_cap < 1:
+        raise ValueError(f"epoch_cap must be >= 1 (got {epoch_cap})")
+    if budget_num < 0 or budget_den < 1:
+        raise ValueError(
+            f"invalid budget fraction {budget_num}/{budget_den}"
+        )
+    from pyspark.sql import Window
+
+    n = F.col(tokens_col)
+    counts = df.where(n.isNotNull() & (n > 0)).select(
+        F.col(group_col), n.cast("bigint").alias("n")
+    )
+    # group-count rows only: deliberate tiny-frame global windows
+    w_all = Window.partitionBy()
+    w_ord = Window.partitionBy().orderBy("n", group_col)
+    w_pre = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    e = F.lit(int(epoch_cap)).cast("bigint")
+    staged = counts.select(
+        group_col,
+        "n",
+        F.count("*").over(w_all).alias("L"),
+        F.sum("n").over(w_all).alias("T"),
+        F.row_number().over(w_ord).alias("i"),
+        F.coalesce(F.sum("n").over(w_pre), F.lit(0).cast("bigint")).alias(
+            "pre"
+        ),
+    ).select(
+        group_col,
+        "n",
+        "L",
+        "i",
+        "pre",
+        # integer floor division (div == DuckDB // on nonnegatives)
+        F.expr(
+            f"(T * {int(budget_num)}) div {int(budget_den)}"
+        ).alias("B"),
+    )
+    capped = (
+        e * F.col("n") * (F.col("L") - F.col("i") + 1)
+        <= F.col("B") - e * F.col("pre")
+    )
+    marked = staged.select(
+        group_col, "n", "L", "B", capped.alias("capped")
+    )
+    rolled = marked.select(
+        group_col,
+        "n",
+        "L",
+        "B",
+        "capped",
+        F.sum(F.col("capped").cast("bigint")).over(w_all).alias("k"),
+        F.sum(F.when(F.col("capped"), F.col("n")).otherwise(0))
+        .over(w_all)
+        .alias("S"),
+    )
+    alloc = F.when(
+        F.col("capped"), (e * F.col("n")).cast("double")
+    ).otherwise(
+        (F.col("B") - e * F.col("S")).cast("double")
+        / (F.col("L") - F.col("k"))
+    )
+    out = rolled.select(
+        group_col,
+        F.col("n").alias(tokens_col),
+        "capped",
+        alloc.alias("alloc"),
+        (alloc / F.col("B")).alias("weight"),
+        (alloc / F.col("n")).alias("epochs"),
+    )
+    return out

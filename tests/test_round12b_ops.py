@@ -456,3 +456,75 @@ class TestPrototypicality:
 
         with pytest.raises(ValueError):
             prototypicality(self._df(spark, [[1.0]]), keep_den=0)
+
+
+class TestUnimaxWeights:
+    def _run(self, spark, rows, **kw):
+        df = spark.createDataFrame(rows, "source string, n_tokens long")
+        from kevinlang_spark.operators.sampling import unimax_weights
+
+        return {
+            r["source"]: r for r in unimax_weights(df, **kw).collect()
+        }
+
+    def test_matches_greedy_waterfill(self, spark):
+        rows = [("a", 10), ("b", 100), ("c", 1000), ("d", 10000)]
+        out = self._run(
+            spark, rows, epoch_cap=2, budget_num=1, budget_den=2
+        )
+        # greedy reference
+        total = sum(n for _, n in rows)
+        B = total // 2
+        rem, langs = float(B), sorted(rows, key=lambda r: (r[1], r[0]))
+        allocs = {}
+        for idx, (g, n) in enumerate(langs):
+            fair = rem / (len(langs) - idx)
+            a = min(fair, 2.0 * n)
+            allocs[g] = a
+            rem -= a
+        for g, a in allocs.items():
+            assert out[g]["alloc"] == pytest.approx(a), g
+            assert out[g]["weight"] == pytest.approx(a / B)
+            assert out[g]["epochs"] == pytest.approx(
+                a / dict(rows)[g]
+            )
+
+    def test_budget_exceeds_caps(self, spark):
+        # budget = total * 3 with cap 2: everyone capped at 2 epochs
+        rows = [("a", 10), ("b", 20)]
+        out = self._run(
+            spark, rows, epoch_cap=2, budget_num=3, budget_den=1
+        )
+        assert all(r["capped"] for r in out.values())
+        assert out["a"]["epochs"] == pytest.approx(2.0)
+        assert out["b"]["epochs"] == pytest.approx(2.0)
+
+    def test_uniform_when_no_cap_binds(self, spark):
+        # equal-size groups, budget = half: fair share below cap
+        rows = [("a", 100), ("b", 100), ("c", 100), ("d", 100)]
+        out = self._run(
+            spark, rows, epoch_cap=5, budget_num=1, budget_den=2
+        )
+        for r in out.values():
+            assert not r["capped"]
+            assert r["alloc"] == pytest.approx(200 / 4)
+
+    def test_weights_sum_to_one_when_budget_binds(self, spark):
+        rows = [("a", 7), ("b", 31), ("c", 997), ("d", 6007)]
+        out = self._run(
+            spark, rows, epoch_cap=3, budget_num=2, budget_den=3
+        )
+        assert sum(r["weight"] for r in out.values()) == pytest.approx(
+            1.0
+        )
+
+    def test_invalid_params(self, spark):
+        from kevinlang_spark.operators.sampling import unimax_weights
+
+        df = spark.createDataFrame(
+            [("a", 1)], "source string, n_tokens long"
+        )
+        with pytest.raises(ValueError):
+            unimax_weights(df, epoch_cap=0)
+        with pytest.raises(ValueError):
+            unimax_weights(df, budget_den=0)
