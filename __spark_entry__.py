@@ -6170,6 +6170,34 @@ def q_triangles(spark, sf_dir):
     return tri.agg(F.count("*").alias("n_triangles"))
 
 
+def q_clustering_coef(spark, sf_dir):
+    """Per-node local clustering coefficient (operators/graph.py
+    clustering_coefficient — Watts & Strogatz 1998) on the folded
+    order→part graph: the q_triangles wedge-join enumeration exploded
+    to triangle corners, joined to the degree census; integer counts,
+    one exact division per node."""
+    from kevinlang_spark.operators.graph import clustering_coefficient
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 500).alias("src"),
+        (F.col("l_partkey") % 500).alias("dst"),
+    )
+    return clustering_coefficient(edges)
+
+
+def q_benford_audit(spark, sf_dir):
+    """Benford first-digit audit (operators/stats.py benford_audit —
+    Nigrini 1996 forensic screen) over lineitem extended prices:
+    integer-cent conversion, first digit from the integer's decimal
+    rendering (engine-identical), 9-row census with in-row Benford
+    expectations and chi-square fold in digit order.  TPC-H prices
+    are near-uniform, so the audit correctly reports a violation."""
+    from kevinlang_spark.operators.stats import benford_audit
+
+    return benford_audit(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
 def q_incremental_agg(spark, sf_dir):
     """Incremental materialized-view refresh: per-customer order stats
     maintained as mergeable state — history state + delta state folded
@@ -8241,6 +8269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_reward_agreement": q_reward_agreement,
         "q_retention_curve": q_retention_curve,
         "q_triangles": q_triangles,
+        "q_clustering_coef": q_clustering_coef,
+        "q_benford_audit": q_benford_audit,
         "q_ann_ivfpq": q_ann_ivfpq,
         "q_ann_pq": q_ann_pq,
         "q_dedup_longest": q_dedup_longest,
@@ -12333,6 +12363,60 @@ def oracle_sql() -> dict[str, str]:
             "FROM r) "
             "SELECT source, n AS n_tokens, capped, alloc, "
             "alloc / B AS weight, alloc / n AS epochs FROM f"
+        ),
+        # clustering coefficient: same canonical wedge joins as
+        # q_triangles, corners exploded, integer counts, one division
+        "q_clustering_coef": (
+            "WITH e AS (SELECT DISTINCT LEAST(u, v) AS a, "
+            "GREATEST(u, v) AS b FROM (SELECT l_orderkey % 500 AS u, "
+            "l_partkey % 500 AS v FROM lineitem) "
+            "WHERE u IS NOT NULL AND v IS NOT NULL AND u <> v), "
+            "deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree "
+            "FROM (SELECT a AS node FROM e "
+            "UNION ALL SELECT b FROM e) GROUP BY node), "
+            "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+            "FROM e e1 JOIN e e2 ON e1.b = e2.a "
+            "JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b), "
+            "corners AS (SELECT unnest([x, y, z]) AS node FROM tri), "
+            "tc AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles "
+            "FROM corners GROUP BY node) "
+            "SELECT deg.node, degree, "
+            "CAST(COALESCE(triangles, 0) AS BIGINT) AS triangles, "
+            "CASE WHEN degree >= 2 THEN "
+            "CAST(2 * COALESCE(triangles, 0) AS DOUBLE) / "
+            "(degree * (degree - 1)) ELSE 0.0 END AS clustering_coef "
+            "FROM deg LEFT JOIN tc ON deg.node = tc.node"
+        ),
+        # Benford: integer-cent first digits, in-row expectations and
+        # the chi-square fold in digit order (log10 parity verified)
+        "q_benford_audit": (
+            "WITH b AS (SELECT CAST(FLOOR(ABS(l_extendedprice) * 100 "
+            "+ 0.5) AS BIGINT) AS n FROM lineitem "
+            "WHERE l_extendedprice IS NOT NULL), "
+            "c AS (SELECT CAST(substr(CAST(n AS VARCHAR), 1, 1) AS INT) "
+            "AS digit, CAST(COUNT(*) AS BIGINT) AS obs FROM b "
+            "WHERE n > 0 GROUP BY 1), "
+            "o AS (SELECT list(struct_pack(digit := digit, obs := obs) "
+            "ORDER BY digit) AS a FROM c), "
+            "s AS (SELECT a, list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(a, x -> x.obs)), (p, q) -> p + q) AS N "
+            "FROM o), "
+            "rws AS (SELECT N, list_transform(range(1, 10), "
+            "d -> struct_pack(digit := d, "
+            "n_obs := COALESCE(list_filter(a, x -> x.digit = d)[1].obs, "
+            "0), p := log10(1.0 + 1.0 / d), "
+            "ex := N * log10(1.0 + 1.0 / d))) AS rr FROM s), "
+            "t AS (SELECT N, rr, list_reduce(list_prepend(0.0, "
+            "list_transform(rr, r -> (CAST(r.n_obs AS DOUBLE) - r.ex) * "
+            "(CAST(r.n_obs AS DOUBLE) - r.ex) / r.ex)), "
+            "(p, q) -> p + q) AS chi2_total FROM rws), "
+            "u AS (SELECT N, chi2_total, unnest(rr) AS r FROM t) "
+            "SELECT CAST(r.digit AS INT) AS digit, "
+            "CAST(r.n_obs AS BIGINT) AS n_obs, r.n_obs / N AS frac, "
+            "r.p AS benford_p, r.n_obs / N - r.p AS deviation, "
+            "(CAST(r.n_obs AS DOUBLE) - r.ex) * "
+            "(CAST(r.n_obs AS DOUBLE) - r.ex) / r.ex AS chi2_contrib, "
+            "chi2_total, N AS n_total FROM u"
         ),
         "q_assoc_rules": (
             "WITH items AS (SELECT DISTINCT l_orderkey AS basket, "

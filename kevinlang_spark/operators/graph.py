@@ -610,3 +610,80 @@ def harmonic_centrality(
             F.round(F.sum(1.0 / F.col("dist")), 6).alias("score"),
         )
     )
+
+
+def clustering_coefficient(
+    df: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node local clustering coefficient — triangles(v) /
+    (deg(v) choose 2), the classic cohesion score (Watts & Strogatz
+    1998) next to the global triangle count: bot/spam subgraphs show
+    near-zero clustering, tight communities near one.
+
+    Shape: edges canonicalize once (least/greatest + distinct,
+    checkpointed — three join legs read them), triangles enumerate via
+    the same wedge-build + closing-edge hash equi-joins as the global
+    count (each triangle once, a<b<c), then EXPLODE to its three
+    corners for a per-node count joined to the degree census.  All
+    counts are integers; the coefficient is the single division
+    ``2·t / (d·(d−1))``, so both engines replay it exactly.
+
+    Returns (node, degree, triangles, clustering_coef); isolated and
+    degree-1 nodes report coefficient 0.0."""
+    e = (
+        df.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(
+            F.col("u").isNotNull()
+            & F.col("v").isNotNull()
+            & (F.col("u") != F.col("v"))
+        )
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+        # three join legs + the degree census read e: materialize once
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    wedges = e1.join(e2, F.col("e1.b") == F.col("e2.a")).select(
+        F.col("e1.a").alias("x"),
+        F.col("e1.b").alias("y"),
+        F.col("e2.b").alias("z"),
+    )
+    tri = wedges.join(
+        e3,
+        (F.col("x") == F.col("e3.a")) & (F.col("z") == F.col("e3.b")),
+    ).select("x", "y", "z")
+    corners = tri.select(
+        F.explode(F.array("x", "y", "z")).alias("node")
+    )
+    tcount = corners.groupBy("node").agg(
+        F.count("*").cast("bigint").alias("triangles")
+    )
+    d = F.col("degree")
+    t = F.col("triangles")
+    return (
+        deg.join(tcount, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(t, F.lit(0).cast("bigint")).alias("triangles"),
+        )
+        .select(
+            "node",
+            "degree",
+            "triangles",
+            F.when(
+                d >= 2,
+                (F.lit(2) * t).cast("double") / (d * (d - 1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coef"),
+        )
+    )

@@ -537,3 +537,106 @@ def reciprocal_rank_fusion(
         F.count("*").cast("int").alias("n_lists"),
         F.round(F.sum("__w"), 6).alias("rrf"),
     ).select(F.col("__id").alias(id_col), "n_lists", "rrf")
+
+
+def benford_audit(
+    df: DataFrame, value_col: str, scale: int = 100
+) -> DataFrame:
+    """Benford's-law first-digit audit (Benford 1938; the standard
+    fabricated-data screen in accounting/quality forensics — Nigrini
+    1996): the distribution of the first significant digit of a
+    naturally-occurring numeric column against the Benford expectation
+    p(d) = log10(1 + 1/d), with per-digit deviation and chi-square
+    contribution plus the total statistic.
+
+    Determinism: values convert to integer units FIRST
+    (floor(|x|·scale + 0.5) — exact for fixed-decimal money columns),
+    and the first digit is the first character of the INTEGER's
+    decimal rendering, which both engines produce identically (no
+    float formatting, no log10-of-value flooring ambiguity).  The
+    9-digit census collapses to ONE row; fractions, expectations, and
+    the chi-square fold all run in-row over digit order 1..9, so
+    every double replays.
+
+    Shape: one scan-stage projection + one 9-group aggregation — the
+    audit itself is O(1) after the census.  Returns 9 rows: (digit,
+    n_obs, frac, benford_p, deviation, chi2_contrib, chi2_total,
+    n_total)."""
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1 (got {scale})")
+    v = F.col(value_col)
+    n = F.floor(F.abs(v) * F.lit(int(scale)) + F.lit(0.5)).cast("bigint")
+    base = (
+        df.where(v.isNotNull())
+        .select(n.alias("n"))
+        .where(F.col("n") > 0)
+    )
+    digit = F.substring(F.col("n").cast("string"), 1, 1).cast("int")
+    census = (
+        base.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("obs"))
+    )
+    one = census.agg(
+        F.array_sort(
+            F.collect_list(F.struct("digit", "obs"))
+        ).alias("a")
+    )
+    a = F.col("a")
+    staged = one.select(
+        "a",
+        F.aggregate(
+            a, F.lit(0).cast("bigint"), lambda acc, x: acc + x["obs"]
+        ).alias("N"),
+    )
+    nn = F.col("N")
+
+    def obs_of(d):
+        # try_element_at: a digit absent from the census yields an
+        # empty filter result, and ANSI element_at throws on index 1
+        return F.coalesce(
+            F.try_element_at(
+                F.filter(a, lambda x: x["digit"] == d), F.lit(1)
+            )["obs"],
+            F.lit(0).cast("bigint"),
+        )
+
+    rows = F.transform(
+        F.sequence(F.lit(1), F.lit(9)),
+        lambda d: F.struct(
+            d.alias("digit"),
+            obs_of(d).alias("n_obs"),
+            F.log10(F.lit(1.0) + F.lit(1.0) / d).alias("p"),
+            (nn * F.log10(F.lit(1.0) + F.lit(1.0) / d)).alias("exp"),
+        ),
+    )
+    staged2 = staged.select("N", rows.alias("rows"))
+    chi2 = F.aggregate(
+        F.col("rows"),
+        F.lit(0.0),
+        lambda acc, r: acc
+        + (r["n_obs"].cast("double") - r["exp"])
+        * (r["n_obs"].cast("double") - r["exp"])
+        / r["exp"],
+    )
+    staged3 = staged2.select(
+        "N", "rows", chi2.alias("chi2_total")
+    )
+    ex = staged3.select(
+        "N", "chi2_total", F.explode(F.col("rows")).alias("r")
+    )
+    r = F.col("r")
+    return ex.select(
+        r["digit"].alias("digit"),
+        r["n_obs"].alias("n_obs"),
+        (r["n_obs"] / nn).alias("frac"),
+        r["p"].alias("benford_p"),
+        (r["n_obs"] / nn - r["p"]).alias("deviation"),
+        (
+            (r["n_obs"].cast("double") - r["exp"])
+            * (r["n_obs"].cast("double") - r["exp"])
+            / r["exp"]
+        ).alias("chi2_contrib"),
+        "chi2_total",
+        nn.alias("n_total"),
+    )

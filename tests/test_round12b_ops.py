@@ -528,3 +528,94 @@ class TestUnimaxWeights:
             unimax_weights(df, epoch_cap=0)
         with pytest.raises(ValueError):
             unimax_weights(df, budget_den=0)
+
+
+class TestClusteringCoefficient:
+    def test_triangle_plus_tail(self, spark):
+        from kevinlang_spark.operators.graph import clustering_coefficient
+
+        # triangle 1-2-3 plus pendant 3-4
+        edges = [(1, 2), (2, 3), (1, 3), (3, 4)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        out = {r["node"]: r for r in clustering_coefficient(df).collect()}
+        assert out[1]["clustering_coef"] == pytest.approx(1.0)
+        assert out[2]["clustering_coef"] == pytest.approx(1.0)
+        # node 3: degree 3, 1 triangle -> 2*1/(3*2) = 1/3
+        assert out[3]["degree"] == 3
+        assert out[3]["clustering_coef"] == pytest.approx(1 / 3)
+        assert out[4]["degree"] == 1
+        assert out[4]["clustering_coef"] == 0.0
+
+    def test_duplicate_and_reversed_edges_canonicalize(self, spark):
+        from kevinlang_spark.operators.graph import clustering_coefficient
+
+        edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (1, 1)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        out = {r["node"]: r for r in clustering_coefficient(df).collect()}
+        assert all(r["triangles"] == 1 for r in out.values())
+        assert all(
+            r["clustering_coef"] == pytest.approx(1.0)
+            for r in out.values()
+        )
+
+    def test_square_no_triangles(self, spark):
+        from kevinlang_spark.operators.graph import clustering_coefficient
+
+        edges = [(1, 2), (2, 3), (3, 4), (1, 4)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        for r in clustering_coefficient(df).collect():
+            assert r["triangles"] == 0
+            assert r["clustering_coef"] == 0.0
+
+
+class TestBenfordAudit:
+    def test_benford_perfect_sample(self, spark):
+        from kevinlang_spark.operators.stats import benford_audit
+
+        # construct counts proportional to Benford: 30,18,12,10,8,7,6,5,4
+        counts = [30, 18, 12, 10, 8, 7, 6, 5, 4]
+        rows = [
+            (float(d + 1) * 10,)
+            for d, c in enumerate(counts)
+            for _ in range(c)
+        ]
+        df = spark.createDataFrame(rows, "v double")
+        out = {r["digit"]: r for r in benford_audit(df, "v").collect()}
+        assert len(out) == 9
+        assert out[1]["n_obs"] == 30
+        assert out[1]["frac"] == pytest.approx(0.3)
+        assert out[9]["n_obs"] == 4
+        # near-Benford: every digit's deviation small
+        assert all(abs(r["deviation"]) < 0.01 for r in out.values())
+        assert out[1]["chi2_total"] < 1.0
+        assert out[1]["n_total"] == 100
+
+    def test_missing_digits_report_zero(self, spark):
+        from kevinlang_spark.operators.stats import benford_audit
+
+        df = spark.createDataFrame([(1.0,), (1.5,)], "v double")
+        out = {r["digit"]: r for r in benford_audit(df, "v").collect()}
+        assert out[1]["n_obs"] == 2
+        for d in range(2, 10):
+            assert out[d]["n_obs"] == 0
+            assert out[d]["chi2_contrib"] == pytest.approx(
+                2 * math.log10(1 + 1 / d)
+            )
+
+    def test_scale_and_sign(self, spark):
+        from kevinlang_spark.operators.stats import benford_audit
+
+        # -0.07 at scale 100 -> 7; 0.001 at scale 100 -> 0 (dropped)
+        df = spark.createDataFrame(
+            [(-0.07,), (0.001,)], "v double"
+        )
+        out = {r["digit"]: r for r in benford_audit(df, "v").collect()}
+        assert out[7]["n_obs"] == 1
+        assert out[7]["n_total"] == 1
+
+    def test_invalid_scale(self, spark):
+        from kevinlang_spark.operators.stats import benford_audit
+
+        df = spark.createDataFrame([(1.0,)], "v double")
+        with pytest.raises(ValueError):
+            benford_audit(df, "v", scale=0)
