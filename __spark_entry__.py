@@ -900,6 +900,32 @@ def q_window_rank(spark, sf_dir):
     )
 
 
+def q_window_dist(spark, sf_dir):
+    """Distribution-ranking windows — ntile(4), percent_rank, cume_dist
+    per order priority over total price (deterministic total order via
+    the orderkey tie-break).  Completes the ranking-window family next
+    to row_number (q_window_rank) and lag (q_window_lag); all three
+    distribution functions ride ONE partitioned sort, and both engines
+    define them identically (ANSI): ntile = balanced buckets,
+    percent_rank = (rank-1)/(n-1), cume_dist = rank_hi/n."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+    )
+
+
 def q_window_lag(spark, sf_dir):
     """Per-customer order-to-order price delta (analytic window)."""
     from pyspark.sql import Window
@@ -5115,6 +5141,50 @@ def q_script_census(spark, sf_dir):
     return script_census(_script_docs(spark, sf_dir))
 
 
+def _mt_pairs(spark, sf_dir):
+    """Shared MT-metric fixture: candidate = 300-char prefix of the
+    doc plus a unique noise token, reference = the full doc — partial
+    n-gram overlap with a sub-1 brevity ratio, so ROUGE/BLEU exercise
+    clipping AND the brevity penalty."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 300),
+            F.lit(" zz"),
+            F.col("doc_id").cast("string"),
+        ).alias("candidate"),
+        F.col("text").alias("reference"),
+    )
+
+
+_MT_PAIRS_SQL = (
+    "WITH mt AS (SELECT doc_id, substr(text, 1, 300) || ' zz' || doc_id "
+    "AS candidate, text AS reference FROM documents "
+    "WHERE text IS NOT NULL)"
+)
+
+
+def q_rouge_n(spark, sf_dir):
+    """ROUGE-2 per pair (operators/text.py rouge_n — Lin 2004):
+    clipped bigram overlap with precision/recall/F1 from two
+    (id, gram)-keyed wordcount shuffles and one join; integer sums,
+    three final divisions."""
+    from kevinlang_spark.operators.text import rouge_n
+
+    return rouge_n(_mt_pairs(spark, sf_dir), n=2)
+
+
+def q_corpus_bleu(spark, sf_dir):
+    """Corpus BLEU-2 (operators/text.py corpus_bleu — Papineni et al.
+    2002): corpus-aggregated clipped precisions + brevity penalty
+    assembled from six exact integers with a fixed ln/exp sequence;
+    the 1-row stat frames ride reviewed scalar crossJoins."""
+    from kevinlang_spark.operators.text import corpus_bleu
+
+    return corpus_bleu(_mt_pairs(spark, sf_dir), max_n=2)
+
+
 def q_chat_multiturn(spark, sf_dir):
     """Llama-3 multi-turn SFT rendering (VERDICT r10 item 6; text.py
     render_chat fmt='llama3'): five variable-role turns — system, two
@@ -8164,6 +8234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q9": q_tpch_q9,
         "q_window_lag": q_window_lag,
         "q_window_rank": q_window_rank,
+        "q_window_dist": q_window_dist,
         "q_link_prediction": q_link_prediction,
         "q_ann_ivf": q_ann_ivf,
         "q_ann_lsh_indexed": q_ann_lsh_indexed,
@@ -8251,6 +8322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_reward_length_bias": q_reward_length_bias,
         "q_zipf_fit": q_zipf_fit,
         "q_heaps_fit": q_heaps_fit,
+        "q_rouge_n": q_rouge_n,
+        "q_corpus_bleu": q_corpus_bleu,
         "q_script_census": q_script_census,
         "q_bt_leaderboard": q_bt_leaderboard,
         "q_fleiss_kappa": q_fleiss_kappa,
@@ -12417,6 +12490,101 @@ def oracle_sql() -> dict[str, str]:
             "(CAST(r.n_obs AS DOUBLE) - r.ex) * "
             "(CAST(r.n_obs AS DOUBLE) - r.ex) / r.ex AS chi2_contrib, "
             "chi2_total, N AS n_total FROM u"
+        ),
+        # distribution windows: ANSI-identical definitions; the
+        # orderkey tie-break makes the total order (and thus ntile
+        # bucket boundaries) deterministic
+        "q_window_dist": (
+            "SELECT o_orderpriority, o_orderkey, o_totalprice, "
+            "CAST(ntile(4) OVER w AS INT) AS quartile, "
+            "percent_rank() OVER w AS pct_rank, "
+            "cume_dist() OVER w AS cume FROM orders "
+            "WINDOW w AS (PARTITION BY o_orderpriority "
+            "ORDER BY o_totalprice ASC, o_orderkey ASC)"
+        ),
+        # ROUGE-2: clipped bigram overlap, integer sums, the same
+        # three guarded divisions with Spark's parenthesization
+        "q_rouge_n": (
+            _MT_PAIRS_SQL
+            + ", c AS (SELECT doc_id AS id, list_filter("
+            "string_split_regex(lower(candidate), '[^a-z0-9]+'), "
+            "x -> x <> '') AS t FROM mt), "
+            "r0 AS (SELECT doc_id AS id, list_filter("
+            "string_split_regex(lower(reference), '[^a-z0-9]+'), "
+            "x -> x <> '') AS t FROM mt), "
+            "cg AS (SELECT id, unnest(list_transform(range(1, len(t)), "
+            "i -> t[i] || ' ' || t[i + 1])) AS g FROM c), "
+            "rg AS (SELECT id, unnest(list_transform(range(1, len(t)), "
+            "i -> t[i] || ' ' || t[i + 1])) AS g FROM r0), "
+            "cc AS (SELECT id, g, CAST(COUNT(*) AS BIGINT) AS cc "
+            "FROM cg GROUP BY 1, 2), "
+            "rc AS (SELECT id, g, CAST(COUNT(*) AS BIGINT) AS rc "
+            "FROM rg GROUP BY 1, 2), "
+            "ov AS (SELECT id, CAST(SUM(LEAST(cc, rc)) AS BIGINT) "
+            "AS overlap FROM cc JOIN rc USING (id, g) GROUP BY id), "
+            "ct AS (SELECT id, CAST(SUM(cc) AS BIGINT) AS cand_ngrams "
+            "FROM cc GROUP BY id), "
+            "rt AS (SELECT id, CAST(SUM(rc) AS BIGINT) AS ref_ngrams "
+            "FROM rc GROUP BY id), "
+            "ids AS (SELECT DISTINCT doc_id AS id FROM mt), "
+            "j AS (SELECT ids.id, COALESCE(cand_ngrams, 0) "
+            "AS cand_ngrams, COALESCE(ref_ngrams, 0) AS ref_ngrams, "
+            "COALESCE(overlap, 0) AS overlap FROM ids "
+            "LEFT JOIN ct USING (id) LEFT JOIN rt USING (id) "
+            "LEFT JOIN ov USING (id)) "
+            "SELECT id AS doc_id, cand_ngrams, ref_ngrams, overlap, "
+            "CASE WHEN cand_ngrams > 0 THEN overlap / cand_ngrams END "
+            "AS precision, "
+            "CASE WHEN ref_ngrams > 0 THEN overlap / ref_ngrams END "
+            "AS recall, "
+            "CASE WHEN cand_ngrams > 0 AND ref_ngrams > 0 AND "
+            "overlap > 0 THEN 2.0 * (overlap / cand_ngrams) * "
+            "(overlap / ref_ngrams) / (overlap / cand_ngrams + "
+            "overlap / ref_ngrams) END AS f1 FROM j"
+        ),
+        # corpus BLEU-2: six exact integers -> fixed ln/exp sequence;
+        # any zero precision routes to bleu = 0.0 (no smoothing)
+        "q_corpus_bleu": (
+            _MT_PAIRS_SQL
+            + ", c AS (SELECT doc_id AS id, list_filter("
+            "string_split_regex(lower(candidate), '[^a-z0-9]+'), "
+            "x -> x <> '') AS t FROM mt), "
+            "r0 AS (SELECT doc_id AS id, list_filter("
+            "string_split_regex(lower(reference), '[^a-z0-9]+'), "
+            "x -> x <> '') AS t FROM mt), "
+            "lens AS (SELECT CAST(SUM(lc) AS BIGINT) AS cand_len, "
+            "CAST(SUM(lr) AS BIGINT) AS ref_len FROM "
+            "(SELECT c.id, len(c.t) AS lc, len(r0.t) AS lr "
+            "FROM c JOIN r0 ON c.id = r0.id)), "
+            "c1 AS (SELECT id, g, CAST(COUNT(*) AS BIGINT) AS cc FROM "
+            "(SELECT id, unnest(t) AS g FROM c) GROUP BY 1, 2), "
+            "r1 AS (SELECT id, g, CAST(COUNT(*) AS BIGINT) AS rc FROM "
+            "(SELECT id, unnest(t) AS g FROM r0) GROUP BY 1, 2), "
+            "m1t AS (SELECT CAST(COALESCE(SUM(LEAST(cc, rc)), 0) "
+            "AS BIGINT) AS m1 FROM c1 JOIN r1 USING (id, g)), "
+            "t1t AS (SELECT CAST(COALESCE(SUM(cc), 0) AS BIGINT) AS t1 "
+            "FROM c1), "
+            "c2 AS (SELECT id, g, CAST(COUNT(*) AS BIGINT) AS cc FROM "
+            "(SELECT id, unnest(list_transform(range(1, len(t)), "
+            "i -> t[i] || ' ' || t[i + 1])) AS g FROM c) GROUP BY 1, 2), "
+            "r2 AS (SELECT id, g, CAST(COUNT(*) AS BIGINT) AS rc FROM "
+            "(SELECT id, unnest(list_transform(range(1, len(t)), "
+            "i -> t[i] || ' ' || t[i + 1])) AS g FROM r0) GROUP BY 1, 2), "
+            "m2t AS (SELECT CAST(COALESCE(SUM(LEAST(cc, rc)), 0) "
+            "AS BIGINT) AS m2 FROM c2 JOIN r2 USING (id, g)), "
+            "t2t AS (SELECT CAST(COALESCE(SUM(cc), 0) AS BIGINT) AS t2 "
+            "FROM c2), "
+            "f AS (SELECT cand_len, ref_len, m1, t1, m2, t2, "
+            "CASE WHEN cand_len >= ref_len THEN 1.0 ELSE "
+            "exp(1.0 - CAST(ref_len AS DOUBLE) / "
+            "CAST(cand_len AS DOUBLE)) END AS bp "
+            "FROM lens, m1t, t1t, m2t, t2t) "
+            "SELECT cand_len, ref_len, bp, "
+            "CASE WHEN t1 > 0 THEN m1 / t1 END AS p1, "
+            "CASE WHEN t2 > 0 THEN m2 / t2 END AS p2, "
+            "CASE WHEN m1 = 0 OR t1 = 0 OR m2 = 0 OR t2 = 0 THEN 0.0 "
+            "ELSE bp * exp((ln(m1 / t1) + ln(m2 / t2)) / 2.0) END "
+            "AS bleu FROM f"
         ),
         "q_assoc_rules": (
             "WITH items AS (SELECT DISTINCT l_orderkey AS basket, "

@@ -3615,3 +3615,207 @@ def script_census(
         F.when(nc > 0, F.col("cjk") / nc).alias("frac_cjk"),
         F.when(nc > 0, F.col("other") / nc).alias("frac_other"),
     )
+
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams; documents shorter than n words yield
+    an EMPTY array (standard MT-metric convention: no n-gram, no
+    contribution to either numerator or denominator).  The sequence is
+    guarded — Spark's sequence(1, 0) would count DOWN, not return
+    empty."""
+    if n == 1:
+        return toks
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def rouge_n(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    cand_col: str = "candidate",
+    ref_col: str = "reference",
+    n: int = 2,
+) -> DataFrame:
+    """ROUGE-n per (candidate, reference) pair (Lin 2004): clipped
+    n-gram overlap with precision, recall, and F1 — the standard
+    summarization/eval-tier metric next to pass@k and win rates.
+
+    Shape: each side explodes to (id, gram) counts — two wordcount
+    shuffles keyed by (id, gram) — joined once; per-pair totals and
+    the clipped overlap are INTEGER sums (min of counts), so the only
+    doubles are the three final divisions.  Scales like any wordcount:
+    no per-pair state beyond the keyed aggregations.
+
+    Returns (id_col, cand_ngrams, ref_ngrams, overlap, precision,
+    recall, f1); pairs where either side has no n-gram report 0
+    totals and NULL ratios."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1 (got {n}")
+    base = df.where(
+        F.col(cand_col).isNotNull() & F.col(ref_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("id"),
+        _word_ngrams(tokenize(F.col(cand_col)), n).alias("cg"),
+        _word_ngrams(tokenize(F.col(ref_col)), n).alias("rg"),
+    )
+    cc = (
+        base.select("id", F.explode("cg").alias("g"))
+        .groupBy("id", "g")
+        .agg(F.count("*").cast("bigint").alias("cc"))
+    )
+    rc = (
+        base.select("id", F.explode("rg").alias("g"))
+        .groupBy("id", "g")
+        .agg(F.count("*").cast("bigint").alias("rc"))
+    )
+    ov = (
+        cc.join(rc, ["id", "g"])
+        .groupBy("id")
+        .agg(
+            F.sum(F.least(F.col("cc"), F.col("rc"))).alias("overlap")
+        )
+    )
+    ctot = cc.groupBy("id").agg(F.sum("cc").alias("cand_ngrams"))
+    rtot = rc.groupBy("id").agg(F.sum("rc").alias("ref_ngrams"))
+    z = F.lit(0).cast("bigint")
+    joined = (
+        base.select("id")
+        .distinct()
+        .join(ctot, "id", "left")
+        .join(rtot, "id", "left")
+        .join(ov, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("cand_ngrams"), z).alias("cand_ngrams"),
+            F.coalesce(F.col("ref_ngrams"), z).alias("ref_ngrams"),
+            F.coalesce(F.col("overlap"), z).alias("overlap"),
+        )
+    )
+    o = F.col("overlap")
+    p = F.when(F.col("cand_ngrams") > 0, o / F.col("cand_ngrams"))
+    r = F.when(F.col("ref_ngrams") > 0, o / F.col("ref_ngrams"))
+    return joined.select(
+        F.col("id").alias(id_col),
+        "cand_ngrams",
+        "ref_ngrams",
+        "overlap",
+        p.alias("precision"),
+        r.alias("recall"),
+        F.when(
+            (F.col("cand_ngrams") > 0)
+            & (F.col("ref_ngrams") > 0)
+            & (o > 0),
+            F.lit(2.0)
+            * (o / F.col("cand_ngrams"))
+            * (o / F.col("ref_ngrams"))
+            / (o / F.col("cand_ngrams") + o / F.col("ref_ngrams")),
+        ).alias("f1"),
+    )
+
+
+def corpus_bleu(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    cand_col: str = "candidate",
+    ref_col: str = "reference",
+    max_n: int = 2,
+) -> DataFrame:
+    """Corpus-level BLEU (Papineni et al. 2002) up to ``max_n``-grams:
+    modified (clipped) n-gram precisions aggregated over the WHOLE
+    corpus — Σ clipped matches / Σ candidate n-grams, the corpus
+    definition, not an average of sentence scores — with the brevity
+    penalty exp(1 − ref_len/cand_len) for short candidates and
+    uniform 1/max_n weights.
+
+    Every numerator and denominator is an integer sum; the score
+    assembles from ≤ 2·max_n + 2 exact integers with a fixed sequence
+    of ln/exp/division ops, so both engines replay it bit-for-bit.
+    Any zero precision yields bleu = 0.0 (no smoothing), the
+    reference behavior.
+
+    Returns ONE row: (cand_len, ref_len, bp, p1..p{max_n}, bleu)."""
+    if max_n < 1:
+        raise ValueError(f"max_n must be >= 1 (got {max_n})")
+    base = df.where(
+        F.col(cand_col).isNotNull() & F.col(ref_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("id"),
+        tokenize(F.col(cand_col)).alias("ct"),
+        tokenize(F.col(ref_col)).alias("rt"),
+    )
+    lens = base.agg(
+        F.sum(F.size("ct")).cast("bigint").alias("cand_len"),
+        F.sum(F.size("rt")).cast("bigint").alias("ref_len"),
+    )
+    stats = []
+    for n in range(1, max_n + 1):
+        grams = base.select(
+            "id",
+            _word_ngrams(F.col("ct"), n).alias("cg"),
+            _word_ngrams(F.col("rt"), n).alias("rg"),
+        )
+        cc = (
+            grams.select("id", F.explode("cg").alias("g"))
+            .groupBy("id", "g")
+            .agg(F.count("*").cast("bigint").alias("cc"))
+        )
+        rc = (
+            grams.select("id", F.explode("rg").alias("g"))
+            .groupBy("id", "g")
+            .agg(F.count("*").cast("bigint").alias("rc"))
+        )
+        m = (
+            cc.join(rc, ["id", "g"])
+            .agg(
+                F.coalesce(
+                    F.sum(F.least(F.col("cc"), F.col("rc"))),
+                    F.lit(0).cast("bigint"),
+                ).alias(f"m{n}")
+            )
+        )
+        t = cc.agg(
+            F.coalesce(F.sum("cc"), F.lit(0).cast("bigint")).alias(
+                f"t{n}"
+            )
+        )
+        stats.append(m.crossJoin(t))
+    out = lens
+    for s in stats:
+        out = out.crossJoin(s)
+    cl = F.col("cand_len").cast("double")
+    rl = F.col("ref_len").cast("double")
+    bp = F.when(
+        F.col("cand_len") >= F.col("ref_len"), F.lit(1.0)
+    ).otherwise(F.exp(F.lit(1.0) - rl / cl))
+    # ANSI division-by-zero guard: p_n is NULL when no candidate
+    # n-gram exists; any_zero routes those to bleu = 0.0
+    ps = [
+        F.when(
+            F.col(f"t{n}") > 0, F.col(f"m{n}") / F.col(f"t{n}")
+        )
+        for n in range(1, max_n + 1)
+    ]
+    log_sum = None
+    for p in ps:
+        term = F.log(p)
+        log_sum = term if log_sum is None else log_sum + term
+    any_zero = None
+    for n in range(1, max_n + 1):
+        cond = (F.col(f"m{n}") == 0) | (F.col(f"t{n}") == 0)
+        any_zero = cond if any_zero is None else any_zero | cond
+    bleu = F.when(any_zero, F.lit(0.0)).otherwise(
+        bp * F.exp(log_sum / F.lit(float(max_n)))
+    )
+    cols = [
+        "cand_len",
+        "ref_len",
+        bp.alias("bp"),
+        *[p.alias(f"p{n}") for n, p in enumerate(ps, start=1)],
+        bleu.alias("bleu"),
+    ]
+    return out.select(*cols)

@@ -619,3 +619,90 @@ class TestBenfordAudit:
         df = spark.createDataFrame([(1.0,)], "v double")
         with pytest.raises(ValueError):
             benford_audit(df, "v", scale=0)
+
+
+class TestRougeN:
+    def _pairs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, candidate string, reference string"
+        )
+
+    def test_identical_texts_perfect(self, spark):
+        from kevinlang_spark.operators.text import rouge_n
+
+        df = self._pairs(spark, [(1, "the cat sat here", "the cat sat here")])
+        (r,) = rouge_n(df, n=2).collect()
+        assert r["cand_ngrams"] == r["ref_ngrams"] == r["overlap"] == 3
+        assert r["precision"] == r["recall"] == r["f1"] == 1.0
+
+    def test_clipping_limits_repeats(self, spark):
+        from kevinlang_spark.operators.text import rouge_n
+
+        # candidate repeats "a a" bigram 3x; reference has it once
+        df = self._pairs(spark, [(1, "a a a a", "a a b")])
+        (r,) = rouge_n(df, n=2).collect()
+        assert r["cand_ngrams"] == 3
+        assert r["ref_ngrams"] == 2
+        assert r["overlap"] == 1  # min(3, 1)
+        assert r["precision"] == pytest.approx(1 / 3)
+        assert r["recall"] == pytest.approx(1 / 2)
+
+    def test_short_side_yields_nulls(self, spark):
+        from kevinlang_spark.operators.text import rouge_n
+
+        df = self._pairs(spark, [(1, "word", "the cat sat")])
+        (r,) = rouge_n(df, n=2).collect()
+        assert r["cand_ngrams"] == 0
+        assert r["precision"] is None
+        assert r["f1"] is None
+
+
+class TestCorpusBleu:
+    def _pairs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, candidate string, reference string"
+        )
+
+    def test_identical_corpus_bleu_one(self, spark):
+        from kevinlang_spark.operators.text import corpus_bleu
+
+        rows = [(1, "the cat sat", "the cat sat"), (2, "a b c d", "a b c d")]
+        (r,) = corpus_bleu(self._pairs(spark, rows), max_n=2).collect()
+        assert r["bp"] == 1.0
+        assert r["p1"] == 1.0
+        assert r["p2"] == 1.0
+        assert r["bleu"] == pytest.approx(1.0)
+
+    def test_matches_reference_formula(self, spark):
+        from kevinlang_spark.operators.text import corpus_bleu
+
+        rows = [
+            (1, "the the the cat", "the cat sat on the mat"),
+            (2, "a b c", "a b c d e"),
+        ]
+        (r,) = corpus_bleu(self._pairs(spark, rows), max_n=2).collect()
+        # by hand: cand1 unigrams {the:3, cat:1} ref1 {the:2, cat:1,...}
+        # clipped: min(3,2) + min(1,1) = 3; cand2: a,b,c all match = 3
+        # m1 = 6, t1 = 7
+        # bigrams cand1: {the the:2, the cat:1}; ref1 has "the cat"? no:
+        # "the cat" not in ref1 ("the mat","the cat"? ref1 = the cat sat
+        # on the mat -> bigrams: the cat, cat sat, sat on, on the,
+        # the mat -> "the cat" present once. m: the the: 0, the cat: 1
+        # cand2 bigrams a b, b c both in ref2. m2 = 3, t2 = 3 + 2 = 5
+        m1, t1, m2, t2 = 6, 7, 3, 5
+        c_len, r_len = 7, 11
+        bp = math.exp(1 - r_len / c_len)
+        want = bp * math.exp(
+            (math.log(m1 / t1) + math.log(m2 / t2)) / 2.0
+        )
+        assert r["cand_len"] == c_len and r["ref_len"] == r_len
+        assert r["p1"] == pytest.approx(m1 / t1)
+        assert r["p2"] == pytest.approx(m2 / t2)
+        assert r["bleu"] == pytest.approx(want)
+
+    def test_zero_overlap_bleu_zero(self, spark):
+        from kevinlang_spark.operators.text import corpus_bleu
+
+        rows = [(1, "x y z", "a b c")]
+        (r,) = corpus_bleu(self._pairs(spark, rows), max_n=2).collect()
+        assert r["bleu"] == 0.0
