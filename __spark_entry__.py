@@ -6268,6 +6268,38 @@ def q_benford_audit(spark, sf_dir):
     return benford_audit(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
 
 
+def q_calibration_audit(spark, sf_dir):
+    """Classifier calibration audit (operators/stats.py
+    calibration_audit — ECE + Brier): a deterministically CALIBRATED
+    fixture (label = Bernoulli(p) via an independent md5 draw) binned
+    to 10 reliability buckets.  The probability quantizes to 1e-3
+    units so Brier and the weighted-ECE numerator are BIGINT sums —
+    order-free — with one final division each; small ECE on this
+    fixture is the expected (calibrated) outcome."""
+    from kevinlang_spark.operators.stats import calibration_audit
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def h(tag):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("doc_id").cast("string"), F.lit(tag))
+                ),
+                1, 13,
+            ),
+            16, 10,
+        ).cast("bigint")
+
+    scored = docs.select(
+        ((h("#cal") % 1001) / 1000.0).alias("prob"),
+        ((h("#lab") % 1000) < (h("#cal") % 1001)).cast("int").alias(
+            "label"
+        ),
+    )
+    return calibration_audit(scored)
+
+
 def q_incremental_agg(spark, sf_dir):
     """Incremental materialized-view refresh: per-customer order stats
     maintained as mergeable state — history state + delta state folded
@@ -8344,6 +8376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_triangles": q_triangles,
         "q_clustering_coef": q_clustering_coef,
         "q_benford_audit": q_benford_audit,
+        "q_calibration_audit": q_calibration_audit,
         "q_ann_ivfpq": q_ann_ivfpq,
         "q_ann_pq": q_ann_pq,
         "q_dedup_longest": q_dedup_longest,
@@ -12585,6 +12618,43 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN m1 = 0 OR t1 = 0 OR m2 = 0 OR t2 = 0 THEN 0.0 "
             "ELSE bp * exp((ln(m1 / t1) + ln(m2 / t2)) / 2.0) END "
             "AS bleu FROM f"
+        ),
+        # calibration: quantized-integer Brier/ECE sums (order-free),
+        # bin census collected in bin order, same final divisions
+        "q_calibration_audit": (
+            "WITH d AS (SELECT "
+            "CAST(CONCAT('0x', substr(md5(doc_id || '#cal'), 1, 13)) "
+            "AS BIGINT) % 1001 AS c1001, "
+            "CAST(CONCAT('0x', substr(md5(doc_id || '#lab'), 1, 13)) "
+            "AS BIGINT) % 1000 AS lv FROM documents), "
+            "q AS (SELECT CAST(FLOOR((c1001 / 1000.0) * 1000 + 0.5) "
+            "AS BIGINT) AS pm, "
+            "CASE WHEN lv < c1001 THEN CAST(1 AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END AS y FROM d), "
+            "c AS (SELECT LEAST((pm * 10) // 1000, 9) AS bin, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(pm) AS BIGINT) AS sp, "
+            "CAST(SUM(y) AS BIGINT) AS sy, "
+            "CAST(SUM((pm - y * 1000) * (pm - y * 1000)) AS BIGINT) "
+            "AS sq FROM q GROUP BY 1), "
+            "o AS (SELECT list(struct_pack(bin := bin, n := n, "
+            "sp := sp, sy := sy, sq := sq) ORDER BY bin) AS a FROM c), "
+            "s AS (SELECT a, "
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(a, x -> x.n)), (p, q) -> p + q) AS N, "
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(a, x -> x.sq)), (p, q) -> p + q) AS SQ, "
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(a, x -> ABS(x.sy * 1000 - x.sp))), "
+            "(p, q) -> p + q) AS ED FROM o), "
+            "u AS (SELECT N, "
+            "CAST(SQ AS DOUBLE) / (N * 1000 * 1000) AS brier, "
+            "CAST(ED AS DOUBLE) / (N * 1000) AS ece, "
+            "unnest(a) AS r FROM s) "
+            "SELECT r.bin AS bin, r.n AS n_obs, "
+            "r.sp / (r.n * 1000) AS mean_prob, r.sy / r.n AS frac_pos, "
+            "CAST(r.sy * 1000 - r.sp AS DOUBLE) / (r.n * 1000) AS gap, "
+            "ece, brier, N AS n_total FROM u"
         ),
         "q_assoc_rules": (
             "WITH items AS (SELECT DISTINCT l_orderkey AS basket, "

@@ -640,3 +640,104 @@ def benford_audit(
         "chi2_total",
         nn.alias("n_total"),
     )
+
+
+def calibration_audit(
+    df: DataFrame,
+    prob_col: str = "prob",
+    label_col: str = "label",
+    n_bins: int = 10,
+    prob_scale: int = 1000,
+) -> DataFrame:
+    """Probability-calibration audit — reliability bins, expected
+    calibration error, and the Brier score (Naeini et al. 2015 for
+    ECE; Brier 1950): the QC gate on any quality/toxicity classifier
+    whose scores feed threshold decisions, where a mis-calibrated 0.9
+    silently shifts the retention budget.
+
+    Everything is INTEGER-EXACT until the final divisions: the
+    probability quantizes to ``prob_scale`` units (floor(p·s + 0.5)),
+    so per-row Brier contributions ``(pm − y·s)²`` and the weighted
+    ECE numerator ``Σ_b |Σy·s − Σpm|`` are BIGINT sums in any
+    accumulation order:
+
+        brier = Σ(pm − y·s)² / (N·s²)
+        ece   = Σ_b |Σ_b y·s − Σ_b pm| / (N·s)
+
+    (the n_b/N weighting cancels into the numerator).
+
+    Shape: one scan-stage quantize + bin, one ≤ n_bins-group census
+    collected to ONE row (the Benford pattern), totals folded in bin
+    order, re-exploded.  Returns one row per OBSERVED bin: (bin,
+    n_obs, mean_prob, frac_pos, gap, ece, brier, n_total)."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1 (got {n_bins})")
+    if prob_scale < 1:
+        raise ValueError(f"prob_scale must be >= 1 (got {prob_scale})")
+    s = int(prob_scale)
+    p = F.col(prob_col)
+    y = F.col(label_col).cast("bigint")
+    pm = F.floor(p * F.lit(s) + F.lit(0.5)).cast("bigint")
+    base = df.where(p.isNotNull() & y.isNotNull()).select(
+        pm.alias("pm"), y.alias("y")
+    )
+    bin_ = F.least(
+        F.expr(f"(pm * {int(n_bins)}) div {s}"),
+        F.lit(int(n_bins) - 1).cast("bigint"),
+    )
+    census = (
+        base.select(bin_.alias("bin"), "pm", "y")
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("pm").alias("sp"),
+            F.sum("y").alias("sy"),
+            F.sum(
+                (F.col("pm") - F.col("y") * F.lit(s))
+                * (F.col("pm") - F.col("y") * F.lit(s))
+            ).alias("sq"),
+        )
+    )
+    one = census.agg(
+        F.array_sort(
+            F.collect_list(F.struct("bin", "n", "sp", "sy", "sq"))
+        ).alias("a")
+    )
+    a = F.col("a")
+
+    def fold(f):
+        return F.aggregate(
+            a, F.lit(0).cast("bigint"), lambda acc, x: acc + f(x)
+        )
+
+    staged = one.select(
+        "a",
+        fold(lambda x: x["n"]).alias("N"),
+        fold(lambda x: x["sq"]).alias("SQ"),
+        fold(
+            lambda x: F.abs(x["sy"] * F.lit(s) - x["sp"])
+        ).alias("ED"),
+    )
+    nn = F.col("N")
+    ex = staged.select(
+        "N",
+        (F.col("SQ").cast("double") / (nn * F.lit(s) * F.lit(s))).alias(
+            "brier"
+        ),
+        (F.col("ED").cast("double") / (nn * F.lit(s))).alias("ece"),
+        F.explode(a).alias("r"),
+    )
+    r = F.col("r")
+    return ex.select(
+        r["bin"].alias("bin"),
+        r["n"].alias("n_obs"),
+        (r["sp"] / (r["n"] * F.lit(s))).alias("mean_prob"),
+        (r["sy"] / r["n"]).alias("frac_pos"),
+        (
+            (r["sy"] * F.lit(s) - r["sp"]).cast("double")
+            / (r["n"] * F.lit(s))
+        ).alias("gap"),
+        "ece",
+        "brier",
+        nn.alias("n_total"),
+    )

@@ -706,3 +706,66 @@ class TestCorpusBleu:
         rows = [(1, "x y z", "a b c")]
         (r,) = corpus_bleu(self._pairs(spark, rows), max_n=2).collect()
         assert r["bleu"] == 0.0
+
+
+class TestCalibrationAudit:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "prob double, label int")
+
+    def test_perfectly_calibrated_bins(self, spark):
+        from kevinlang_spark.operators.stats import calibration_audit
+
+        # bin [0.2, 0.3): 10 rows at p=0.25, exactly 2.5 avg -> use 4
+        # rows at p=0.25 with 1 positive -> frac 0.25 == conf
+        rows = [(0.25, 1)] + [(0.25, 0)] * 3 + [(0.75, 1)] * 3 + [
+            (0.75, 0)
+        ]
+        out = {
+            r["bin"]: r
+            for r in calibration_audit(self._df(spark, rows)).collect()
+        }
+        assert out[2]["n_obs"] == 4
+        assert out[2]["mean_prob"] == pytest.approx(0.25)
+        assert out[2]["frac_pos"] == pytest.approx(0.25)
+        assert out[2]["gap"] == pytest.approx(0.0)
+        assert out[7]["frac_pos"] == pytest.approx(0.75)
+        assert out[2]["ece"] == pytest.approx(0.0)
+        # brier = mean of p(1-p)-style squared errors:
+        # (0.25-1)^2 + 3*(0.25)^2 + 3*(0.75-1)^2 + 0.75^2 over 8
+        want_brier = (
+            0.75**2 + 3 * 0.25**2 + 3 * 0.25**2 + 0.75**2
+        ) / 8
+        assert out[2]["brier"] == pytest.approx(want_brier)
+
+    def test_miscalibrated_gap_and_ece(self, spark):
+        from kevinlang_spark.operators.stats import calibration_audit
+
+        # all predictions 0.9 but only half positive
+        rows = [(0.9, 1)] * 2 + [(0.9, 0)] * 2
+        (r,) = {
+            x["bin"]: x
+            for x in calibration_audit(self._df(spark, rows)).collect()
+        }.values()
+        assert r["bin"] == 9
+        assert r["gap"] == pytest.approx(0.5 - 0.9)
+        assert r["ece"] == pytest.approx(0.4)
+
+    def test_edge_prob_one_lands_in_last_bin(self, spark):
+        from kevinlang_spark.operators.stats import calibration_audit
+
+        rows = [(1.0, 1), (0.0, 0)]
+        out = {
+            r["bin"]: r
+            for r in calibration_audit(self._df(spark, rows)).collect()
+        }
+        assert set(out) == {0, 9}
+        assert out[9]["gap"] == pytest.approx(0.0)
+
+    def test_invalid_params(self, spark):
+        from kevinlang_spark.operators.stats import calibration_audit
+
+        df = self._df(spark, [(0.5, 1)])
+        with pytest.raises(ValueError):
+            calibration_audit(df, n_bins=0)
+        with pytest.raises(ValueError):
+            calibration_audit(df, prob_scale=0)
