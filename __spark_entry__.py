@@ -6300,6 +6300,34 @@ def q_calibration_audit(spark, sf_dir):
     return calibration_audit(scored)
 
 
+def q_spearman_corr(spark, sf_dir):
+    """Per-group Spearman rank correlation (operators/stats.py
+    spearman_corr): doubled average-rank integers make every
+    sufficient statistic a BIGINT sum, so the tie-handled rho replays
+    exactly; two partitioned rank windows + one keyed aggregation."""
+    from kevinlang_spark.operators.stats import spearman_corr
+
+    li = _t(spark, sf_dir, "lineitem")
+    return spearman_corr(li, "l_returnflag", "l_quantity", "l_extendedprice")
+
+
+def q_neyman_allocation(spark, sf_dir):
+    """Neyman-optimal stratified allocation (operators/sampling.py
+    neyman_allocation — Neyman 1934): labeling budget of 1000 across
+    market segments by N_h·S_h, with cent-quantized balances so the
+    per-stratum moments are integer-exact and the normalizer folds
+    in-row over the bounded stratum array."""
+    from kevinlang_spark.operators.sampling import neyman_allocation
+
+    return neyman_allocation(
+        _t(spark, sf_dir, "customer"),
+        "c_mktsegment",
+        "c_acctbal",
+        sample_size=1000,
+        value_scale=100,
+    )
+
+
 def q_incremental_agg(spark, sf_dir):
     """Incremental materialized-view refresh: per-customer order stats
     maintained as mergeable state — history state + delta state folded
@@ -8377,6 +8405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_clustering_coef": q_clustering_coef,
         "q_benford_audit": q_benford_audit,
         "q_calibration_audit": q_calibration_audit,
+        "q_spearman_corr": q_spearman_corr,
+        "q_neyman_allocation": q_neyman_allocation,
         "q_ann_ivfpq": q_ann_ivfpq,
         "q_ann_pq": q_ann_pq,
         "q_dedup_longest": q_dedup_longest,
@@ -12655,6 +12685,62 @@ def oracle_sql() -> dict[str, str]:
             "r.sp / (r.n * 1000) AS mean_prob, r.sy / r.n AS frac_pos, "
             "CAST(r.sy * 1000 - r.sp AS DOUBLE) / (r.n * 1000) AS gap, "
             "ece, brier, N AS n_total FROM u"
+        ),
+        # Spearman: doubled average ranks are integers (2*rank_lo +
+        # ties - 1), BIGINT sums, one closed form
+        "q_spearman_corr": (
+            "WITH b AS (SELECT l_returnflag AS g, l_quantity AS x, "
+            "l_extendedprice AS y FROM lineitem "
+            "WHERE l_quantity IS NOT NULL "
+            "AND l_extendedprice IS NOT NULL), "
+            "r AS (SELECT g, CAST(2 * rank() OVER (PARTITION BY g "
+            "ORDER BY x) + COUNT(*) OVER (PARTITION BY g, x) - 1 "
+            "AS BIGINT) AS rx, "
+            "CAST(2 * rank() OVER (PARTITION BY g ORDER BY y) + "
+            "COUNT(*) OVER (PARTITION BY g, y) - 1 AS BIGINT) AS ry "
+            "FROM b), "
+            "a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(rx) AS BIGINT) AS sx, "
+            "CAST(SUM(ry) AS BIGINT) AS sy, "
+            "CAST(SUM(rx * ry) AS BIGINT) AS sxy, "
+            "CAST(SUM(rx * rx) AS BIGINT) AS sxx, "
+            "CAST(SUM(ry * ry) AS BIGINT) AS syy FROM r GROUP BY g), "
+            "d AS (SELECT g, n, CAST(n AS DOUBLE) AS dn, "
+            "CAST(sx AS DOUBLE) AS dx, CAST(sy AS DOUBLE) AS dy, "
+            "CAST(sxy AS DOUBLE) AS dxy, CAST(sxx AS DOUBLE) AS dxx, "
+            "CAST(syy AS DOUBLE) AS dyy FROM a), "
+            "e AS (SELECT g, n, dn * dxy - dx * dy AS cov_n, "
+            "dn * dxx - dx * dx AS vx_n, dn * dyy - dy * dy AS vy_n "
+            "FROM d) "
+            "SELECT g AS l_returnflag, n, "
+            "CASE WHEN vx_n > 0 AND vy_n > 0 THEN "
+            "cov_n / (sqrt(vx_n) * sqrt(vy_n)) END AS spearman_rho "
+            "FROM e"
+        ),
+        # Neyman: cent-quantized integer moments, in-row normalizer
+        # fold in stratum order, floor(x + 0.5) integer allocations
+        "q_neyman_allocation": (
+            "WITH b AS (SELECT c_mktsegment AS g, "
+            "CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS q "
+            "FROM customer WHERE c_acctbal IS NOT NULL), "
+            "p AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS np, "
+            "CAST(SUM(q) AS BIGINT) AS s, "
+            "CAST(SUM(q * q) AS BIGINT) AS qq FROM b GROUP BY g), "
+            "sdt AS (SELECT g, np, "
+            "sqrt(CAST(qq * np - s * s AS DOUBLE) / (np * np)) / 100.0 "
+            "AS sd FROM p), "
+            "o AS (SELECT list(struct_pack(g := g, np := np, sd := sd) "
+            "ORDER BY g) AS a FROM sdt), "
+            "s2 AS (SELECT a, list_reduce(list_prepend(0.0, "
+            "list_transform(a, x -> x.np * x.sd)), (p, q) -> p + q) "
+            "AS tot FROM o), "
+            "u AS (SELECT tot, unnest(a) AS r FROM s2), "
+            "v AS (SELECT r.g AS g, r.np AS np, r.sd AS sd, "
+            "CASE WHEN tot > 0 THEN r.np * r.sd / tot ELSE 0.0 END "
+            "AS w FROM u) "
+            "SELECT g AS c_mktsegment, np AS n_pop, sd AS stratum_sd, "
+            "w AS weight, w * 1000.0 AS alloc_frac, "
+            "CAST(FLOOR(w * 1000.0 + 0.5) AS BIGINT) AS alloc FROM v"
         ),
         "q_assoc_rules": (
             "WITH items AS (SELECT DISTINCT l_orderkey AS basket, "

@@ -437,3 +437,82 @@ def unimax_weights(
         (alloc / F.col("n")).alias("epochs"),
     )
     return out
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    sample_size: int,
+    value_scale: int = 100,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (Neyman 1934): for
+    a fixed total sample size n, allocate n_h ∝ N_h·S_h — stratum
+    population times stratum standard deviation — which minimizes the
+    variance of the stratified mean estimator.  The planning step
+    before any stratified corpus audit or labeling budget.
+
+    Determinism: values quantize to ``value_scale`` integer units
+    first, so each stratum's (n, Σv, Σv²) are BIGINT-exact in any
+    order; S_h = sqrt((q·n − s²)/n²) is a fixed expression of those
+    integers, and the normalizer Σ N_h·S_h folds IN-ROW over the
+    stratum-sorted array (bounded strata, the t-closeness domain
+    pattern).  Integer allocations use floor(x + 0.5) — engine-
+    identical — and may differ from ``sample_size`` by the rounding
+    remainder (documented survey-sampling behavior).
+
+    Returns (stratum_col, n_pop, stratum_sd, weight, alloc_frac,
+    alloc)."""
+    if sample_size < 1:
+        raise ValueError(f"sample_size must be >= 1 (got {sample_size})")
+    if value_scale < 1:
+        raise ValueError(f"value_scale must be >= 1 (got {value_scale})")
+    s = int(value_scale)
+    v = F.col(value_col)
+    q = F.floor(v * F.lit(s) + F.lit(0.5)).cast("bigint")
+    base = df.where(v.isNotNull()).select(
+        F.col(stratum_col), q.alias("__q")
+    )
+    per = base.groupBy(stratum_col).agg(
+        F.count("*").cast("bigint").alias("n_pop"),
+        F.sum("__q").alias("__s"),
+        F.sum(F.col("__q") * F.col("__q")).alias("__qq"),
+    )
+    nh = F.col("n_pop")
+    var = (F.col("__qq") * nh - F.col("__s") * F.col("__s")).cast(
+        "double"
+    ) / (nh * nh)
+    sd = F.sqrt(var) / F.lit(float(s))
+    scored = per.select(
+        stratum_col, "n_pop", sd.alias("stratum_sd")
+    )
+    one = scored.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(stratum_col).alias("g"),
+                    F.col("n_pop").alias("np"),
+                    F.col("stratum_sd").alias("sd"),
+                )
+            )
+        ).alias("a")
+    )
+    a = F.col("a")
+    tot = F.aggregate(
+        a, F.lit(0.0), lambda acc, x: acc + x["np"] * x["sd"]
+    )
+    staged = one.select("a", tot.alias("__tot"))
+    ex = staged.select("__tot", F.explode(a).alias("r"))
+    r = F.col("r")
+    w = F.when(
+        F.col("__tot") > 0, r["np"] * r["sd"] / F.col("__tot")
+    ).otherwise(F.lit(0.0))
+    frac = w * F.lit(float(sample_size))
+    return ex.select(
+        r["g"].alias(stratum_col),
+        r["np"].alias("n_pop"),
+        r["sd"].alias("stratum_sd"),
+        w.alias("weight"),
+        frac.alias("alloc_frac"),
+        F.floor(frac + F.lit(0.5)).cast("bigint").alias("alloc"),
+    )

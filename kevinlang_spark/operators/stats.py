@@ -741,3 +741,74 @@ def calibration_audit(
         "brier",
         nn.alias("n_total"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Spearman rank correlation with average-rank tie
+    handling — the robust companion to the ``regr_``-based Pearson
+    (:func:`group_ols`): monotone-but-nonlinear relations score 1.0,
+    single outliers can't dominate.
+
+    Exactness: the average rank of a tied run is rank_lo +
+    (ties−1)/2, so DOUBLED ranks ``2·rank_lo + ties − 1`` are
+    INTEGERS (the factor 2 cancels in the correlation), and every
+    sufficient statistic is a BIGINT sum — accumulation order can't
+    matter; the closed form computes in double with fixed
+    parenthesization.  (Bigint headroom bounds the scale: Σ(2r)² ≈
+    4n³ must stay under 2^63 — fine to ~750M rows per group; beyond
+    that, pre-bucket the values.)
+
+    Shape: two partitioned rank windows (one sort per axis) + the
+    tie-run counts as unordered (group, value) windows, then ONE
+    keyed aggregation.  Returns (group_col, n, spearman_rho); groups
+    with zero variance on either axis yield NULL."""
+    from pyspark.sql import Window
+
+    x, y = F.col(x_col), F.col(y_col)
+    base = df.where(x.isNotNull() & y.isNotNull()).select(
+        F.col(group_col), x.alias("__x"), y.alias("__y")
+    )
+    wx = Window.partitionBy(group_col).orderBy("__x")
+    wy = Window.partitionBy(group_col).orderBy("__y")
+    tx = Window.partitionBy(group_col, "__x")
+    ty = Window.partitionBy(group_col, "__y")
+    ranked = base.select(
+        group_col,
+        (
+            F.lit(2) * F.rank().over(wx) + F.count("*").over(tx) - 1
+        ).cast("bigint").alias("rx"),
+        (
+            F.lit(2) * F.rank().over(wy) + F.count("*").over(ty) - 1
+        ).cast("bigint").alias("ry"),
+    )
+    rx, ry = F.col("rx"), F.col("ry")
+    g = ranked.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.sum(rx).alias("__sx"),
+        F.sum(ry).alias("__sy"),
+        F.sum(rx * ry).alias("__sxy"),
+        F.sum(rx * rx).alias("__sxx"),
+        F.sum(ry * ry).alias("__syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    vx_n = n * sxx - sx * sx
+    vy_n = n * syy - sy * sy
+    return g.select(
+        group_col,
+        "n",
+        F.when(
+            (vx_n > 0) & (vy_n > 0),
+            cov_n / (F.sqrt(vx_n) * F.sqrt(vy_n)),
+        ).alias("spearman_rho"),
+    )

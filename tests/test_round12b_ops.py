@@ -769,3 +769,102 @@ class TestCalibrationAudit:
             calibration_audit(df, n_bins=0)
         with pytest.raises(ValueError):
             calibration_audit(df, prob_scale=0)
+
+
+class TestSpearmanCorr:
+    def _df(self, spark, xs, ys):
+        return spark.createDataFrame(
+            [("g", float(x), float(y)) for x, y in zip(xs, ys)],
+            "g string, x double, y double",
+        )
+
+    def test_monotone_nonlinear_is_one(self, spark):
+        from kevinlang_spark.operators.stats import spearman_corr
+
+        xs = [1, 2, 3, 4, 5]
+        ys = [x**3 for x in xs]  # monotone, nonlinear
+        (r,) = spearman_corr(self._df(spark, xs, ys), "g", "x", "y").collect()
+        assert r["spearman_rho"] == pytest.approx(1.0)
+
+    def test_matches_scipy_free_reference(self, spark):
+        from kevinlang_spark.operators.stats import spearman_corr
+
+        xs = [3, 1, 4, 1, 5, 9, 2, 6]
+        ys = [2, 7, 1, 8, 2, 8, 1, 8]
+        (r,) = spearman_corr(self._df(spark, xs, ys), "g", "x", "y").collect()
+
+        def avg_ranks(vals):
+            s = sorted(vals)
+            return [
+                (s.index(v) + 1 + len(s) - s[::-1].index(v)) / 2
+                for v in vals
+            ]
+
+        rho = statistics.correlation(avg_ranks(xs), avg_ranks(ys))
+        assert r["spearman_rho"] == pytest.approx(rho)
+
+    def test_anticorrelated(self, spark):
+        from kevinlang_spark.operators.stats import spearman_corr
+
+        xs = [1, 2, 3, 4]
+        ys = [9, 7, 5, 3]
+        (r,) = spearman_corr(self._df(spark, xs, ys), "g", "x", "y").collect()
+        assert r["spearman_rho"] == pytest.approx(-1.0)
+
+    def test_constant_axis_null(self, spark):
+        from kevinlang_spark.operators.stats import spearman_corr
+
+        (r,) = spearman_corr(
+            self._df(spark, [1, 2, 3], [5, 5, 5]), "g", "x", "y"
+        ).collect()
+        assert r["spearman_rho"] is None
+
+
+class TestNeymanAllocation:
+    def test_allocation_proportional_to_n_times_sd(self, spark):
+        from kevinlang_spark.operators.sampling import neyman_allocation
+
+        # stratum a: 4 rows spread wide; stratum b: 4 rows, no spread
+        rows = [("a", 0.0), ("a", 10.0), ("a", 0.0), ("a", 10.0)] + [
+            ("b", 5.0)
+        ] * 4
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = {
+            r["g"]: r
+            for r in neyman_allocation(df, "g", "v", 100).collect()
+        }
+        # S_a = 5, S_b = 0 -> everything goes to a
+        assert out["a"]["stratum_sd"] == pytest.approx(5.0)
+        assert out["b"]["stratum_sd"] == pytest.approx(0.0)
+        assert out["a"]["weight"] == pytest.approx(1.0)
+        assert out["a"]["alloc"] == 100
+        assert out["b"]["alloc"] == 0
+
+    def test_equal_strata_split_evenly(self, spark):
+        from kevinlang_spark.operators.sampling import neyman_allocation
+
+        rows = [(g, float(v)) for g in "ab" for v in (0, 10)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = {
+            r["g"]: r
+            for r in neyman_allocation(df, "g", "v", 10).collect()
+        }
+        assert out["a"]["alloc"] == out["b"]["alloc"] == 5
+
+    def test_all_constant_zero_weights(self, spark):
+        from kevinlang_spark.operators.sampling import neyman_allocation
+
+        rows = [("a", 1.0), ("b", 2.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        for r in neyman_allocation(df, "g", "v", 10).collect():
+            assert r["weight"] == 0.0
+            assert r["alloc"] == 0
+
+    def test_invalid_params(self, spark):
+        from kevinlang_spark.operators.sampling import neyman_allocation
+
+        df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+        with pytest.raises(ValueError):
+            neyman_allocation(df, "g", "v", 0)
+        with pytest.raises(ValueError):
+            neyman_allocation(df, "g", "v", 10, value_scale=0)
