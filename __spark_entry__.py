@@ -6546,6 +6546,63 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+
+def _kmeans_sql(k: int, n_iters: int) -> str:
+    """DuckDB replica of similarity.kmeans_fit: same smallest-id
+    seeds, same rounded-distance argmin with index tie-break (struct
+    list_sort == Spark array_min), same BIGINT per-(cluster, dim)
+    centroid sums.  Every round CTE is MATERIALIZED (the unrolled-
+    iteration rule — DuckDB re-inlines CTEs referenced twice)."""
+
+    def assign(r, csrc):
+        return (
+            f"a{r} AS MATERIALIZED (SELECT id, qv, best.d AS dq, "
+            "best.i AS cluster FROM (SELECT id, qv, "
+            "list_sort(list_transform(cs, c -> struct_pack("
+            "d := round(list_reduce(list_prepend(0.0, "
+            "list_transform(range(1, len(qv) + 1), "
+            "j -> (qv[j] - c.cent[j]) * (qv[j] - c.cent[j]))), "
+            "(x, y) -> x + y), 6), i := c.idx)))[1] AS best "
+            f"FROM b, {csrc}))"
+        )
+
+    parts = [
+        "WITH b AS MATERIALIZED (SELECT vec_id AS id, "
+        "list_transform(embedding, x -> CAST(FLOOR("
+        "CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv "
+        "FROM embeddings WHERE embedding IS NOT NULL)",
+        "c0 AS MATERIALIZED (SELECT list(struct_pack("
+        "idx := CAST(rn - 1 AS INT), cent := cd) ORDER BY rn) AS cs "
+        "FROM (SELECT row_number() OVER (ORDER BY id) AS rn, "
+        "list_transform(qv, x -> CAST(x AS DOUBLE)) AS cd "
+        f"FROM (SELECT id, qv FROM b ORDER BY id LIMIT {k})))",
+    ]
+    for r in range(1, n_iters):
+        parts.append(assign(r, f"c{r - 1}"))
+        parts.append(
+            f"u{r} AS MATERIALIZED (SELECT cluster, j AS pos, "
+            f"CAST(SUM(qv[j]) AS BIGINT) AS s, "
+            f"CAST(COUNT(*) AS BIGINT) AS n FROM a{r}, "
+            "unnest(range(1, len(qv) + 1)) t(j) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"p{r} AS (SELECT cluster, list(struct_pack(pos := pos, "
+            f"s := s) ORDER BY pos) AS ps, MAX(n) AS n FROM u{r} "
+            "GROUP BY cluster)"
+        )
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT list(struct_pack("
+            "idx := cluster, cent := list_transform(ps, p -> p.s / n)) "
+            f"ORDER BY cluster) AS cs FROM p{r})"
+        )
+    parts.append(assign(n_iters, f"c{n_iters - 1}"))
+    return (
+        ", ".join(parts)
+        + f" SELECT id, cluster, round(dq / 1000000000000.0, 6) "
+        f"AS dist FROM a{n_iters}"
+    )
+
+
 def q_prototypicality(spark, sf_dir):
     """D4-style SSL-prototype scoring (operators/similarity.py
     prototypicality — arXiv:2308.12284): per sign-bucket cluster, each
@@ -6582,6 +6639,16 @@ def q_unimax_weights(spark, sf_dir):
     return unimax_weights(
         cnt, epoch_cap=2, budget_num=1, budget_den=2
     )
+
+
+def q_kmeans_fit(spark, sf_dir):
+    """Deterministic Lloyd k-means (operators/similarity.py
+    kmeans_fit): smallest-id seeds, 2 rounds of rounded-distance
+    argmin (index tie-break) + BIGINT-exact centroid updates; the
+    oracle replays the full trajectory with MATERIALIZED round CTEs."""
+    from kevinlang_spark.operators.similarity import kmeans_fit
+
+    return kmeans_fit(_t(spark, sf_dir, "embeddings"), k=4, n_iters=2)
 
 
 def q_markov_attribution(spark, sf_dir):
@@ -8334,6 +8401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_dedup": q_semantic_dedup,
         "q_prototypicality": q_prototypicality,
         "q_unimax_weights": q_unimax_weights,
+        "q_kmeans_fit": q_kmeans_fit,
         "q_theta_overlap": q_theta_overlap,
         "q_cms_tokens": q_cms_tokens,
         "q_approx_distinct": q_approx_distinct,
@@ -12742,6 +12810,9 @@ def oracle_sql() -> dict[str, str]:
             "w AS weight, w * 1000.0 AS alloc_frac, "
             "CAST(FLOOR(w * 1000.0 + 0.5) AS BIGINT) AS alloc FROM v"
         ),
+        # k-means: full-trajectory replay (seeds, rounded argmin with
+        # index tie-break, integer centroid sums), MATERIALIZED rounds
+        "q_kmeans_fit": _kmeans_sql(k=4, n_iters=2),
         "q_assoc_rules": (
             "WITH items AS (SELECT DISTINCT l_orderkey AS basket, "
             "l_suppkey AS item FROM lineitem), "

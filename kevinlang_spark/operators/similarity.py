@@ -1738,3 +1738,135 @@ def prototypicality(
         "id", "bucket", "n_bucket", "proto_score", "proto_rank",
         (F.col("proto_rank") <= cut).alias("is_prototype"),
     )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    n_iters: int = 2,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over an embedding column — the
+    true-centroid clustering the D4/SemDeDup recipes assume upstream
+    (sign buckets approximate it; this is the real fixed-iteration
+    fit).  Initialization is the k smallest-id vectors (engine-
+    reproducible, no RNG); each of the ``n_iters`` rounds assigns
+    every vector to its nearest centroid (squared L2 in quantized
+    units, ROUNDED before the argmin with a cluster-index tie-break —
+    the k-center determinism rule) and recomputes centroids from
+    BIGINT-exact per-(cluster, dim) sums of the 1e-6-quantized
+    components, so the whole trajectory replays bit-for-bit on both
+    engines.  Clusters that lose all members drop out (standard Lloyd
+    behavior on fixed seeds).
+
+    Shape per round: the ≤ k-row centroid table collapses to ONE row
+    and broadcasts (reviewed scalar BNLJ); assignment is an in-row
+    O(k·dim) fold in the scan stage; the update is one narrow
+    (cluster, dim) integer-sum shuffle — map-side combined scalars,
+    never whole vectors.  Rounds localCheckpoint to truncate lineage
+    (the pagerank rule).
+
+    Returns (id, cluster, dist) after the final assignment, dist in
+    original (unquantized) squared-L2 units rounded to 6."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    if n_iters < 1:
+        raise ValueError(f"n_iters must be >= 1 (got {n_iters})")
+    v = F.col(vec_col)
+    base = (
+        df.where(v.isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                v,
+                lambda x: F.floor(
+                    x.cast("double") * F.lit(1000000.0) + F.lit(0.5)
+                ).cast("bigint"),
+            ).alias("qv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    seeds = base.orderBy("id").limit(int(k))
+    cents = seeds.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("id", "qv"))
+            ),
+            lambda s, i: F.struct(
+                i.alias("idx"),
+                F.transform(
+                    s["qv"], lambda x: x.cast("double")
+                ).alias("cent"),
+            ),
+        ).alias("cs")
+    )
+
+    def assign(frame):
+        """frame(id, qv) × 1-row cents → (id, qv, cluster, dist)."""
+        joined = frame.crossJoin(F.broadcast(cents))
+        qv = F.col("qv")
+        scored = F.transform(
+            F.col("cs"),
+            lambda c: F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            qv,
+                            c["cent"],
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    6,
+                ).alias("d"),
+                c["idx"].alias("i"),
+            ),
+        )
+        staged = joined.select("id", "qv", scored.alias("__sc"))
+        best = F.array_min(F.col("__sc"))
+        return staged.select(
+            "id",
+            "qv",
+            best["i"].alias("cluster"),
+            best["d"].alias("__dq"),
+        )
+
+    for _ in range(int(n_iters) - 1):
+        assigned = assign(base)
+        per_dim = (
+            assigned.select(
+                "cluster", F.posexplode(F.col("qv")).alias("pos", "val")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+        )
+        percl = per_dim.groupBy("cluster").agg(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))).alias(
+                "__ps"
+            ),
+            F.max("n").alias("__n"),
+        )
+        newc = percl.select(
+            "cluster",
+            F.transform(
+                F.col("__ps"), lambda p: p["s"] / F.col("__n")
+            ).alias("cent"),
+        )
+        cents = newc.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("cluster").alias("idx"),
+                        F.col("cent").alias("cent"),
+                    )
+                )
+            ).alias("cs")
+        )
+    final = assign(base)
+    return final.select(
+        "id",
+        "cluster",
+        F.round(F.col("__dq") / F.lit(1e12), 6).alias("dist"),
+    )

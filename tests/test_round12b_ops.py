@@ -868,3 +868,80 @@ class TestNeymanAllocation:
             neyman_allocation(df, "g", "v", 0)
         with pytest.raises(ValueError):
             neyman_allocation(df, "g", "v", 10, value_scale=0)
+
+
+class TestKmeansFit:
+    def _df(self, spark, vecs):
+        return spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+
+    def test_two_obvious_clusters(self, spark):
+        from kevinlang_spark.operators.similarity import kmeans_fit
+
+        # ids 0 and 1 seed one blob each (seeds = k smallest ids)
+        vecs = (
+            [[0.0, 0.1], [5.0, 5.1], [0.1, 0.0], [0.05, 0.05]]
+            + [[5.1, 5.0], [5.05, 5.05]]
+        )
+        out = {r["id"]: r for r in kmeans_fit(
+            self._df(spark, vecs), k=2, n_iters=3
+        ).collect()}
+        low = {out[i]["cluster"] for i in (0, 2, 3)}
+        high = {out[i]["cluster"] for i in (1, 4, 5)}
+        assert len(low) == 1 and len(high) == 1 and low != high
+
+    def test_matches_brute_lloyd(self, spark):
+        from kevinlang_spark.operators.similarity import kmeans_fit
+
+        vecs = [
+            [0.3, 0.9], [0.1, 0.2], [0.8, 0.1], [0.9, 0.95],
+            [0.45, 0.5], [0.2, 0.85],
+        ]
+        out = {r["id"]: r["cluster"] for r in kmeans_fit(
+            self._df(spark, vecs), k=2, n_iters=2
+        ).collect()}
+
+        # brute replay with the same quantize/round/tie rules
+        q = [[round(x * 1e6 + 0.5 - ((x * 1e6 + 0.5) % 1)) for x in v]
+             for v in vecs]
+        q = [[int(x * 1e6 + 0.5) for x in v] for v in vecs]
+        cents = [[float(c) for c in q[0]], [float(c) for c in q[1]]]
+
+        def assign(cents):
+            res = {}
+            for i, vec in enumerate(q):
+                ds = []
+                for ci, c in enumerate(cents):
+                    d = 0.0
+                    for a, b in zip(vec, c):
+                        d += (a - b) * (a - b)
+                    ds.append((round(d, 6), ci))
+                res[i] = min(ds)[1]
+            return res
+
+        a1 = assign(cents)
+        # update
+        import collections
+
+        sums = collections.defaultdict(lambda: [0, [0] * 2])
+        for i, c in a1.items():
+            sums[c][0] += 1
+            for j, x in enumerate(q[i]):
+                sums[c][1][j] += x
+        new = {
+            c: [s / n for s in sv] for c, (n, sv) in sums.items()
+        }
+        cents2 = [new[c] for c in sorted(new)]
+        a2 = assign(cents2)
+        assert out == a2
+
+    def test_invalid_params(self, spark):
+        from kevinlang_spark.operators.similarity import kmeans_fit
+
+        df = self._df(spark, [[1.0]])
+        with pytest.raises(ValueError):
+            kmeans_fit(df, k=0)
+        with pytest.raises(ValueError):
+            kmeans_fit(df, n_iters=0)
