@@ -6328,6 +6328,38 @@ def q_neyman_allocation(spark, sf_dir):
     )
 
 
+def q_ranking_metrics(spark, sf_dir):
+    """Per-query NDCG@5 / MRR / AP (operators/stats.py
+    ranking_metrics): eight md5-graded candidates per query, every
+    metric folded in-row over the rank-sorted bounded list — fixed
+    float order, replayed by the oracle's ordered list folds."""
+    from kevinlang_spark.operators.stats import ranking_metrics
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    ranked = docs.select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(F.sequence(F.lit(1), F.lit(8))).alias("rank"),
+    )
+    rel = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("query_id").cast("string"), F.lit("#"),
+                        F.col("rank").cast("string"), F.lit("#rel"),
+                    )
+                ),
+                1, 13,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % 4
+    )
+    return ranking_metrics(
+        ranked.select("query_id", "rank", rel.alias("rel")), k=5
+    )
+
+
 def q_incremental_agg(spark, sf_dir):
     """Incremental materialized-view refresh: per-customer order stats
     maintained as mergeable state — history state + delta state folded
@@ -8475,6 +8507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_calibration_audit": q_calibration_audit,
         "q_spearman_corr": q_spearman_corr,
         "q_neyman_allocation": q_neyman_allocation,
+        "q_ranking_metrics": q_ranking_metrics,
         "q_ann_ivfpq": q_ann_ivfpq,
         "q_ann_pq": q_ann_pq,
         "q_dedup_longest": q_dedup_longest,
@@ -12813,6 +12846,39 @@ def oracle_sql() -> dict[str, str]:
         # k-means: full-trajectory replay (seeds, rounded argmin with
         # index tie-break, integer centroid sums), MATERIALIZED rounds
         "q_kmeans_fit": _kmeans_sql(k=4, n_iters=2),
+        # ranking metrics: ordered list folds (rank order / ideal
+        # order / hit order), log2 parity, same guarded divisions
+        "q_ranking_metrics": (
+            "WITH c AS (SELECT doc_id AS query_id, g.g AS rank, "
+            "CAST(CONCAT('0x', substr(md5(doc_id || '#' || g.g "
+            "|| '#rel'), 1, 13)) AS BIGINT) % 4 AS rel "
+            "FROM documents, generate_series(1, 8) g(g)), "
+            "g2 AS (SELECT query_id, list(struct_pack(rk := rank, "
+            "rel := rel) ORDER BY rank, rel) AS a, "
+            "CAST(COUNT(*) AS BIGINT) AS n_cands FROM c "
+            "GROUP BY query_id), "
+            "m AS (SELECT query_id, n_cands, "
+            "CAST(len(list_filter(a, x -> x.rel > 0)) AS BIGINT) "
+            "AS n_rel, "
+            "list_reduce(list_prepend(0.0, list_transform("
+            "list_filter(a, x -> x.rk <= 5), "
+            "x -> CAST(x.rel AS DOUBLE) / "
+            "log2(CAST(x.rk AS DOUBLE) + 1))), (p, q) -> p + q) "
+            "AS dcg, "
+            "list_reduce(list_prepend(0.0, list_transform("
+            "list_reverse(list_sort(list_transform(a, "
+            "x -> x.rel)))[1:5], (rel, i) -> CAST(rel AS DOUBLE) / "
+            "log2(CAST(i AS DOUBLE) + 1))), (p, q) -> p + q) AS idcg, "
+            "1.0 / list_filter(a, x -> x.rel > 0)[1].rk AS mrr, "
+            "list_reduce(list_prepend(0.0, list_transform("
+            "list_filter(a, x -> x.rel > 0), "
+            "(x, j) -> CAST(j AS DOUBLE) / CAST(x.rk AS DOUBLE))), "
+            "(p, q) -> p + q) AS aps FROM g2) "
+            "SELECT query_id, n_cands, n_rel, dcg, idcg, "
+            "CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END AS ndcg, "
+            "mrr, CASE WHEN n_rel > 0 THEN aps / n_rel END AS ap "
+            "FROM m"
+        ),
         "q_assoc_rules": (
             "WITH items AS (SELECT DISTINCT l_orderkey AS basket, "
             "l_suppkey AS item FROM lineitem), "

@@ -812,3 +812,106 @@ def spearman_corr(
             cov_n / (F.sqrt(vx_n) * F.sqrt(vy_n)),
         ).alias("spearman_rho"),
     )
+
+
+def ranking_metrics(
+    df: DataFrame,
+    query_col: str = "query_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    k: int = 10,
+) -> DataFrame:
+    """Per-query ranking metrics — NDCG@k (Järvelin & Kekäläinen
+    2002), MRR, and (binary) average precision — the retrieval-eval
+    table next to rank-biased overlap and RRF:
+
+        DCG@k  = Σ_{i≤k} rel_i / log2(i + 1)     (rank order)
+        IDCG@k = the same sum over rels sorted descending
+        MRR    = 1 / first rank with rel > 0
+        AP     = mean over relevant hits of precision@hit
+
+    Shape: ONE query-keyed aggregation collects the (rank, rel)
+    structs; every metric folds IN-ROW over the rank-sorted bounded
+    array (candidate lists are small constants), so the float
+    accumulation order is fixed and both engines replay it.  Returns
+    (query_col, n_cands, n_rel, dcg, idcg, ndcg, mrr, ap); queries
+    with no relevant candidate report ndcg 0.0 and NULL mrr/ap."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    r = F.col(rank_col)
+    base = df.where(
+        r.isNotNull() & F.col(rel_col).isNotNull() & (r >= 1)
+    )
+    g = base.groupBy(query_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(r.alias("rk"), F.col(rel_col).alias("rel"))
+            )
+        ).alias("a"),
+        F.count("*").alias("n_cands"),
+    )
+    a = F.col("a")
+    topk = F.filter(a, lambda x: x["rk"] <= k)
+    dcg = F.aggregate(
+        topk,
+        F.lit(0.0),
+        lambda acc, x: acc
+        + x["rel"].cast("double") / F.log2(x["rk"].cast("double") + 1),
+    )
+    # ideal: rels sorted DESCENDING, positions 1..k
+    rels_desc = F.reverse(
+        F.array_sort(F.transform(a, lambda x: x["rel"]))
+    )
+    ideal_k = F.slice(rels_desc, 1, k)
+    idcg = F.aggregate(
+        F.zip_with(
+            ideal_k,
+            F.sequence(F.lit(1), F.size(ideal_k)),
+            lambda rel, i: F.struct(
+                rel.alias("rel"), i.alias("i")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + x["rel"].cast("double") / F.log2(x["i"].cast("double") + 1),
+    )
+    first_hit = F.try_element_at(
+        F.filter(a, lambda x: x["rel"] > 0), F.lit(1)
+    )["rk"]
+    n_rel = F.size(F.filter(a, lambda x: x["rel"] > 0)).cast("bigint")
+    # AP: the j-th relevant candidate (rank order) contributes
+    # precision@hit = j / rank_j — a flat fold over the FILTERED
+    # relevant list, no stateful accumulator needed
+    hits = F.filter(a, lambda x: x["rel"] > 0)
+    ap_sum = F.aggregate(
+        F.transform(
+            hits,
+            lambda x, j: (j + 1).cast("double")
+            / x["rk"].cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    staged = g.select(
+        query_col,
+        "n_cands",
+        n_rel.alias("n_rel"),
+        dcg.alias("dcg"),
+        idcg.alias("idcg"),
+        first_hit.alias("__fh"),
+        ap_sum.alias("__aps"),
+    )
+    return staged.select(
+        query_col,
+        "n_cands",
+        "n_rel",
+        "dcg",
+        "idcg",
+        F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg"))
+        .otherwise(F.lit(0.0))
+        .alias("ndcg"),
+        (F.lit(1.0) / F.col("__fh")).alias("mrr"),
+        F.when(
+            F.col("n_rel") > 0, F.col("__aps") / F.col("n_rel")
+        ).alias("ap"),
+    )

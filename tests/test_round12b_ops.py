@@ -945,3 +945,54 @@ class TestKmeansFit:
             kmeans_fit(df, k=0)
         with pytest.raises(ValueError):
             kmeans_fit(df, n_iters=0)
+
+
+class TestRankingMetrics:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "query_id long, rank long, rel long"
+        )
+
+    def test_hand_computed_metrics(self, spark):
+        from kevinlang_spark.operators.stats import ranking_metrics
+
+        rows = [(1, 1, 3), (1, 2, 0), (1, 3, 1), (1, 4, 0)]
+        (r,) = ranking_metrics(self._df(spark, rows), k=3).collect()
+        assert r["dcg"] == pytest.approx(3 / 1 + 1 / math.log2(4))
+        assert r["idcg"] == pytest.approx(3 / 1 + 1 / math.log2(3))
+        assert r["ndcg"] == pytest.approx(r["dcg"] / r["idcg"])
+        assert r["mrr"] == 1.0
+        assert r["ap"] == pytest.approx((1 / 1 + 2 / 3) / 2)
+        assert r["n_rel"] == 2
+
+    def test_perfect_ranking_ndcg_one(self, spark):
+        from kevinlang_spark.operators.stats import ranking_metrics
+
+        rows = [(1, i, 5 - i) for i in range(1, 5)]  # rel desc in rank
+        (r,) = ranking_metrics(self._df(spark, rows), k=4).collect()
+        assert r["ndcg"] == pytest.approx(1.0)
+
+    def test_no_relevant_candidates(self, spark):
+        from kevinlang_spark.operators.stats import ranking_metrics
+
+        rows = [(1, 1, 0), (1, 2, 0)]
+        (r,) = ranking_metrics(self._df(spark, rows), k=5).collect()
+        assert r["ndcg"] == 0.0
+        assert r["mrr"] is None
+        assert r["ap"] is None
+
+    def test_late_first_hit_mrr(self, spark):
+        from kevinlang_spark.operators.stats import ranking_metrics
+
+        rows = [(1, 1, 0), (1, 2, 0), (1, 3, 2)]
+        (r,) = ranking_metrics(self._df(spark, rows), k=2).collect()
+        assert r["mrr"] == pytest.approx(1 / 3)
+        # dcg@2 is 0 but idcg@2 > 0 (ideal puts rel 2 first)
+        assert r["dcg"] == 0.0
+        assert r["ndcg"] == 0.0
+
+    def test_invalid_k(self, spark):
+        from kevinlang_spark.operators.stats import ranking_metrics
+
+        with pytest.raises(ValueError):
+            ranking_metrics(self._df(spark, [(1, 1, 1)]), k=0)
