@@ -254,6 +254,28 @@ HEADLINE = [
     "q_crawl_pagerank",
     "q_mime_sniff",
     "q_robots_filter",
+    # round-12 second wave: RLHF advantages, corpus power laws, script
+    # census, privacy audits, D4 prototypes, UniMax, MT/ranking/
+    # calibration eval metrics, k-means, graph cohesion
+    "q_grpo_advantages",
+    "q_reward_length_bias",
+    "q_zipf_fit",
+    "q_heaps_fit",
+    "q_script_census",
+    "q_l_diversity",
+    "q_t_closeness",
+    "q_prototypicality",
+    "q_unimax_weights",
+    "q_clustering_coef",
+    "q_benford_audit",
+    "q_calibration_audit",
+    "q_window_dist",
+    "q_rouge_n",
+    "q_corpus_bleu",
+    "q_spearman_corr",
+    "q_neyman_allocation",
+    "q_kmeans_fit",
+    "q_ranking_metrics",
 ]
 
 
