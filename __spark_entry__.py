@@ -8393,7 +8393,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q9": q_tpch_q9,
         "q_window_lag": q_window_lag,
         "q_window_rank": q_window_rank,
-        "q_window_dist": q_window_dist,
         "q_link_prediction": q_link_prediction,
         "q_ann_ivf": q_ann_ivf,
         "q_ann_lsh_indexed": q_ann_lsh_indexed,
@@ -8429,13 +8428,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_trigram_search": q_trigram_search,
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_zorder_keys": q_zorder_keys,
-        "q_ann_probe_pruned": q_ann_probe_pruned,
-        "q_semantic_dedup": q_semantic_dedup,
+        "q_window_dist": q_window_dist,
         "q_prototypicality": q_prototypicality,
         "q_unimax_weights": q_unimax_weights,
         "q_kmeans_fit": q_kmeans_fit,
+        "q_interleaved_assign": q_interleaved_assign,
+        "q_bt_strength": q_bt_strength,
+        "q_grpo_advantages": q_grpo_advantages,
+        "q_reward_length_bias": q_reward_length_bias,
+        "q_zipf_fit": q_zipf_fit,
+        "q_heaps_fit": q_heaps_fit,
+        "q_rouge_n": q_rouge_n,
+        "q_corpus_bleu": q_corpus_bleu,
+        "q_script_census": q_script_census,
+        "q_bt_leaderboard": q_bt_leaderboard,
+        "q_fleiss_kappa": q_fleiss_kappa,
+        "q_chat_trees": q_chat_trees,
+        "q_chat_tree_render": q_chat_tree_render,
+        "q_winrate_matrix": q_winrate_matrix,
+        "q_bt_bootstrap": q_bt_bootstrap,
+        "q_pass_at_k": q_pass_at_k,
+        "q_majority_vote": q_majority_vote,
+        "q_bpe_train_vocab": q_bpe_train_vocab,
+        "q_bpe_vocab_sweep": q_bpe_vocab_sweep,
+        "q_clustering_coef": q_clustering_coef,
+        "q_benford_audit": q_benford_audit,
+        "q_calibration_audit": q_calibration_audit,
+        "q_spearman_corr": q_spearman_corr,
+        "q_neyman_allocation": q_neyman_allocation,
+        "q_ranking_metrics": q_ranking_metrics,
+        "q_l_diversity": q_l_diversity,
+        "q_t_closeness": q_t_closeness,
+        "q_asof_directions": q_asof_directions,
+        "q_bfd_packing": q_bfd_packing,
+        "q_media_ingest": q_media_ingest,
+        "q_audio_neardup": q_audio_neardup,
+        "q_length_buckets": q_length_buckets,
+        "q_span_corruption": q_span_corruption,
+        "q_reward_agreement": q_reward_agreement,
+        "q_retention_curve": q_retention_curve,
+        "q_ann_probe_pruned": q_ann_probe_pruned,
+        "q_semantic_dedup": q_semantic_dedup,
         "q_theta_overlap": q_theta_overlap,
         "q_cms_tokens": q_cms_tokens,
+        "q_triangles": q_triangles,
+        "q_ann_ivfpq": q_ann_ivfpq,
+        "q_ann_pq": q_ann_pq,
+        "q_dedup_longest": q_dedup_longest,
+        "q_hybrid_retrieval": q_hybrid_retrieval,
+        "q_bm25_search": q_bm25_search,
+        "q_lpa_communities": q_lpa_communities,
+        "q_pagerank": q_pagerank,
+        "q_hits": q_hits,
+        "q_kcore": q_kcore,
+        "q_wl_refinement": q_wl_refinement,
+        "q_shortest_paths": q_shortest_paths,
+        "q_harmonic_centrality": q_harmonic_centrality,
+        "q_stream_dedup": q_stream_dedup,
+        "q_stream_hourly": q_stream_hourly,
+        "q_stream_join": q_stream_join,
+        "q_stream_sessions": q_stream_sessions,
+        "q_stream_shards": q_stream_shards,
+        "q_stream_sliding": q_stream_sliding,
+        "q_stream_stateful": q_stream_stateful,
+        "q_stream_warc": q_stream_warc,
+        "q_ann_index_refresh": q_ann_index_refresh,
+        "q_ann_index_staleness": q_ann_index_staleness,
+        "q_ann_ivfpq_indexed": q_ann_ivfpq_indexed,
+        "q_ann_pq_indexed": q_ann_pq_indexed,
+        "q_record_linkage": q_record_linkage,
+        "q_neardup_components": q_neardup_components,
+        "q_stream_neardup": q_stream_neardup,
+        "q_ann_lsh": q_ann_lsh,
+        "q_minhash_pairs": q_minhash_pairs,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_knn_cosine": q_knn_cosine,
+        "q_dedup_exact": q_dedup_exact,
+        "q_dedup_rate": q_dedup_rate,
+        "q_dedup_representatives": q_dedup_representatives,
         "q_approx_distinct": q_approx_distinct,
         "q_approx_quantile": q_approx_quantile,
         "q_budget_sample": q_budget_sample,
@@ -8476,72 +8546,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_validate": q_validate,
         "q_weighted_sample": q_weighted_sample,
         "q_winsorize": q_winsorize,
-        "q_interleaved_assign": q_interleaved_assign,
-        "q_bt_strength": q_bt_strength,
-        "q_grpo_advantages": q_grpo_advantages,
-        "q_reward_length_bias": q_reward_length_bias,
-        "q_zipf_fit": q_zipf_fit,
-        "q_heaps_fit": q_heaps_fit,
-        "q_rouge_n": q_rouge_n,
-        "q_corpus_bleu": q_corpus_bleu,
-        "q_script_census": q_script_census,
-        "q_bt_leaderboard": q_bt_leaderboard,
-        "q_fleiss_kappa": q_fleiss_kappa,
-        "q_chat_trees": q_chat_trees,
-        "q_chat_tree_render": q_chat_tree_render,
-        "q_winrate_matrix": q_winrate_matrix,
-        "q_bt_bootstrap": q_bt_bootstrap,
-        "q_pass_at_k": q_pass_at_k,
-        "q_majority_vote": q_majority_vote,
-        "q_bpe_train_vocab": q_bpe_train_vocab,
-        "q_bpe_vocab_sweep": q_bpe_vocab_sweep,
-        "q_media_ingest": q_media_ingest,
-        "q_audio_neardup": q_audio_neardup,
-        "q_length_buckets": q_length_buckets,
-        "q_span_corruption": q_span_corruption,
-        "q_reward_agreement": q_reward_agreement,
-        "q_retention_curve": q_retention_curve,
-        "q_triangles": q_triangles,
-        "q_clustering_coef": q_clustering_coef,
-        "q_benford_audit": q_benford_audit,
-        "q_calibration_audit": q_calibration_audit,
-        "q_spearman_corr": q_spearman_corr,
-        "q_neyman_allocation": q_neyman_allocation,
-        "q_ranking_metrics": q_ranking_metrics,
-        "q_ann_ivfpq": q_ann_ivfpq,
-        "q_ann_pq": q_ann_pq,
-        "q_dedup_longest": q_dedup_longest,
-        "q_hybrid_retrieval": q_hybrid_retrieval,
-        "q_bm25_search": q_bm25_search,
-        "q_lpa_communities": q_lpa_communities,
-        "q_pagerank": q_pagerank,
-        "q_hits": q_hits,
-        "q_kcore": q_kcore,
-        "q_wl_refinement": q_wl_refinement,
-        "q_shortest_paths": q_shortest_paths,
-        "q_harmonic_centrality": q_harmonic_centrality,
-        "q_stream_dedup": q_stream_dedup,
-        "q_stream_hourly": q_stream_hourly,
-        "q_stream_join": q_stream_join,
-        "q_stream_sessions": q_stream_sessions,
-        "q_stream_shards": q_stream_shards,
-        "q_stream_sliding": q_stream_sliding,
-        "q_stream_stateful": q_stream_stateful,
-        "q_stream_warc": q_stream_warc,
-        "q_ann_index_refresh": q_ann_index_refresh,
-        "q_ann_index_staleness": q_ann_index_staleness,
-        "q_ann_ivfpq_indexed": q_ann_ivfpq_indexed,
-        "q_ann_pq_indexed": q_ann_pq_indexed,
-        "q_record_linkage": q_record_linkage,
-        "q_neardup_components": q_neardup_components,
-        "q_stream_neardup": q_stream_neardup,
-        "q_ann_lsh": q_ann_lsh,
-        "q_minhash_pairs": q_minhash_pairs,
-        "q_simhash_pairs": q_simhash_pairs,
-        "q_knn_cosine": q_knn_cosine,
-        "q_dedup_exact": q_dedup_exact,
-        "q_dedup_rate": q_dedup_rate,
-        "q_dedup_representatives": q_dedup_representatives,
         "q_assoc_rules": q_assoc_rules,
         "q_boilerplate": q_boilerplate,
         "q_bootstrap_mean": q_bootstrap_mean,
@@ -8554,8 +8558,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_group_ols": q_group_ols,
         "q_interval_overlap": q_interval_overlap,
         "q_k_anonymity": q_k_anonymity,
-        "q_l_diversity": q_l_diversity,
-        "q_t_closeness": q_t_closeness,
         "q_keyfilter_join": q_keyfilter_join,
         "q_line_dedup": q_line_dedup,
         "q_mad_outliers": q_mad_outliers,
@@ -8597,8 +8599,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_kl": q_source_kl,
         "q_survival": q_survival,
         "q_temporal_join": q_temporal_join,
-        "q_asof_directions": q_asof_directions,
-        "q_bfd_packing": q_bfd_packing,
         "q_top_tokens_per_source": q_top_tokens_per_source,
         "q_truncation_recall": q_truncation_recall,
         "q_vocab_coverage": q_vocab_coverage,
