@@ -457,7 +457,12 @@ def t_closeness(
     from pyspark.sql import Window
 
     v = F.col(sensitive_col)
-    base = df.where(v.isNotNull()).select(*quasi_cols, sensitive_col)
+    base = (
+        df.where(v.isNotNull())
+        .select(*quasi_cols, sensitive_col)
+        # feeds the group census AND the domain census pre-shuffle
+        .localCheckpoint(eager=True)
+    )
     gv = base.groupBy(*quasi_cols, sensitive_col).agg(
         F.count("*").cast("bigint").alias("c")
     )

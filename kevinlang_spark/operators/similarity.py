@@ -1697,7 +1697,7 @@ def prototypicality(
                 x.cast("double") * F.lit(1000000.0) + F.lit(0.5)
             ).cast("bigint"),
         ).alias("qv"),
-    )
+    ).localCheckpoint(eager=True)  # feeds centroid sums AND the score join
     exploded = base.select(
         "bucket", F.posexplode(F.col("qv")).alias("pos", "val")
     )

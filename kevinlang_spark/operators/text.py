@@ -3473,9 +3473,20 @@ def heaps_fit(
 
     Returns ONE row: (total_tokens, vocab_size, n_points, heaps_beta,
     heaps_k, heaps_r2); heaps_k = exp(intercept)."""
-    docs = spread(
-        df.where(F.col(text_col).isNotNull() & F.col(id_col).isNotNull())
-    ).select(F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("ws"))
+    docs = (
+        spread(
+            df.where(
+                F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+            )
+        )
+        .select(
+            F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("ws")
+        )
+        # two consumers (token counts + first occurrences) diverge in
+        # the scan stage — materialize once or the regex tokenize runs
+        # per leg (the loop-invariant rule)
+        .localCheckpoint(eager=True)
+    )
     nt = docs.select("id", F.size("ws").cast("bigint").alias("n_tok"))
     bounds = nt.agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
     fo = (
@@ -3656,12 +3667,18 @@ def rouge_n(
     totals and NULL ratios."""
     if n < 1:
         raise ValueError(f"n must be >= 1 (got {n}")
-    base = df.where(
-        F.col(cand_col).isNotNull() & F.col(ref_col).isNotNull()
-    ).select(
-        F.col(id_col).alias("id"),
-        _word_ngrams(tokenize(F.col(cand_col)), n).alias("cg"),
-        _word_ngrams(tokenize(F.col(ref_col)), n).alias("rg"),
+    base = (
+        df.where(
+            F.col(cand_col).isNotNull() & F.col(ref_col).isNotNull()
+        )
+        .select(
+            F.col(id_col).alias("id"),
+            _word_ngrams(tokenize(F.col(cand_col)), n).alias("cg"),
+            _word_ngrams(tokenize(F.col(ref_col)), n).alias("rg"),
+        )
+        # three consumers (cand counts, ref counts, id spine) diverge
+        # pre-shuffle — materialize the gram arrays once
+        .localCheckpoint(eager=True)
     )
     cc = (
         base.select("id", F.explode("cg").alias("g"))
@@ -3741,12 +3758,17 @@ def corpus_bleu(
     Returns ONE row: (cand_len, ref_len, bp, p1..p{max_n}, bleu)."""
     if max_n < 1:
         raise ValueError(f"max_n must be >= 1 (got {max_n})")
-    base = df.where(
-        F.col(cand_col).isNotNull() & F.col(ref_col).isNotNull()
-    ).select(
-        F.col(id_col).alias("id"),
-        tokenize(F.col(cand_col)).alias("ct"),
-        tokenize(F.col(ref_col)).alias("rt"),
+    base = (
+        df.where(
+            F.col(cand_col).isNotNull() & F.col(ref_col).isNotNull()
+        )
+        .select(
+            F.col(id_col).alias("id"),
+            tokenize(F.col(cand_col)).alias("ct"),
+            tokenize(F.col(ref_col)).alias("rt"),
+        )
+        # 2·max_n + 1 consumer legs diverge pre-shuffle — tokenize once
+        .localCheckpoint(eager=True)
     )
     lens = base.agg(
         F.sum(F.size("ct")).cast("bigint").alias("cand_len"),
