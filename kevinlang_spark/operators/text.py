@@ -3668,8 +3668,10 @@ def rouge_n(
     if n < 1:
         raise ValueError(f"n must be >= 1 (got {n}")
     base = (
-        df.where(
-            F.col(cand_col).isNotNull() & F.col(ref_col).isNotNull()
+        spread(
+            df.where(
+                F.col(cand_col).isNotNull() & F.col(ref_col).isNotNull()
+            )
         )
         .select(
             F.col(id_col).alias("id"),
@@ -3690,22 +3692,28 @@ def rouge_n(
         .groupBy("id", "g")
         .agg(F.count("*").cast("bigint").alias("rc"))
     )
-    ov = (
-        cc.join(rc, ["id", "g"])
+    z = F.lit(0).cast("bigint")
+    # ONE full-outer gram join + ONE (id)-keyed agg replaces the
+    # 3-agg / 4-join assembly (grams present on one side only
+    # contribute 0 to the clipped min); the id spine re-joins only
+    # the rare pairs where BOTH sides have zero n-grams
+    merged = (
+        cc.join(rc, ["id", "g"], "full_outer")
         .groupBy("id")
         .agg(
-            F.sum(F.least(F.col("cc"), F.col("rc"))).alias("overlap")
+            F.sum(F.coalesce(F.col("cc"), z)).alias("cand_ngrams"),
+            F.sum(F.coalesce(F.col("rc"), z)).alias("ref_ngrams"),
+            F.sum(
+                F.least(
+                    F.coalesce(F.col("cc"), z), F.coalesce(F.col("rc"), z)
+                )
+            ).alias("overlap"),
         )
     )
-    ctot = cc.groupBy("id").agg(F.sum("cc").alias("cand_ngrams"))
-    rtot = rc.groupBy("id").agg(F.sum("rc").alias("ref_ngrams"))
-    z = F.lit(0).cast("bigint")
     joined = (
         base.select("id")
         .distinct()
-        .join(ctot, "id", "left")
-        .join(rtot, "id", "left")
-        .join(ov, "id", "left")
+        .join(merged, "id", "left")
         .select(
             "id",
             F.coalesce(F.col("cand_ngrams"), z).alias("cand_ngrams"),
@@ -3759,8 +3767,10 @@ def corpus_bleu(
     if max_n < 1:
         raise ValueError(f"max_n must be >= 1 (got {max_n})")
     base = (
-        df.where(
-            F.col(cand_col).isNotNull() & F.col(ref_col).isNotNull()
+        spread(
+            df.where(
+                F.col(cand_col).isNotNull() & F.col(ref_col).isNotNull()
+            )
         )
         .select(
             F.col(id_col).alias("id"),
