@@ -6360,6 +6360,67 @@ def q_ranking_metrics(spark, sf_dir):
     )
 
 
+def _ab_units(spark, sf_dir):
+    """Shared experiment fixture: per user, Y = purchase value,
+    X = view value (the pre-metric proxy), arm by user-id parity."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("value")
+                ).otherwise(0.0)
+            ).alias("y"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "view", F.col("value")
+                ).otherwise(0.0)
+            ).alias("x"),
+        )
+        .select(
+            F.when(F.col("user_id") % 2 == 0, "control")
+            .otherwise("treat")
+            .alias("arm"),
+            "y",
+            "x",
+        )
+    )
+
+
+_AB_UNITS_SQL = (
+    "WITH u AS (SELECT user_id, "
+    "SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) "
+    "AS y, "
+    "SUM(CASE WHEN event_type = 'view' THEN value ELSE 0.0 END) AS x "
+    "FROM events GROUP BY user_id), "
+    "units AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'control' "
+    "ELSE 'treat' END AS arm, y, x FROM u)"
+)
+
+
+def q_cuped_ab(spark, sf_dir):
+    """CUPED-adjusted A/B readout (operators/experiments.py
+    cuped_ab_test — Deng et al. 2013): cent-quantized per-unit (Y, X)
+    so every sufficient statistic is a BIGINT sum; the adjusted-arm
+    variance expands algebraically (var − 2θcov + θ²var_x), so no
+    per-unit double is ever summed.  One arm-keyed agg + the 2-row
+    census collapsed in-row."""
+    from kevinlang_spark.operators.experiments import cuped_ab_test
+
+    return cuped_ab_test(_ab_units(spark, sf_dir))
+
+
+def q_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch gate (operators/experiments.py
+    srm_check — Fabijan et al. 2019): chi-square of observed arm
+    counts vs the designed 50/50 split; integer census, in-row fold
+    in arm order."""
+    from kevinlang_spark.operators.experiments import srm_check
+
+    return srm_check(_ab_units(spark, sf_dir))
+
+
 def q_incremental_agg(spark, sf_dir):
     """Incremental materialized-view refresh: per-customer order stats
     maintained as mergeable state — history state + delta state folded
@@ -8457,6 +8518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_spearman_corr": q_spearman_corr,
         "q_neyman_allocation": q_neyman_allocation,
         "q_ranking_metrics": q_ranking_metrics,
+        "q_cuped_ab": q_cuped_ab,
+        "q_srm_check": q_srm_check,
         "q_l_diversity": q_l_diversity,
         "q_t_closeness": q_t_closeness,
         "q_asof_directions": q_asof_directions,
@@ -12878,6 +12941,99 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END AS ndcg, "
             "mrr, CASE WHEN n_rel > 0 THEN aps / n_rel END AS ap "
             "FROM m"
+        ),
+        # CUPED: BIGINT sufficient statistics, algebraic adjusted
+        # variance (no per-unit double sums), same parenthesization
+        "q_cuped_ab": (
+            _AB_UNITS_SQL
+            + ", q AS (SELECT arm, "
+            "CAST(FLOOR(y * 100 + 0.5) AS BIGINT) AS qy, "
+            "CAST(FLOOR(x * 100 + 0.5) AS BIGINT) AS qx FROM units "
+            "WHERE y IS NOT NULL AND x IS NOT NULL "
+            "AND arm IS NOT NULL), "
+            "p AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(qy) AS BIGINT) AS sy, "
+            "CAST(SUM(qx) AS BIGINT) AS sx, "
+            "CAST(SUM(qy * qy) AS BIGINT) AS syy, "
+            "CAST(SUM(qx * qx) AS BIGINT) AS sxx, "
+            "CAST(SUM(qx * qy) AS BIGINT) AS sxy FROM q GROUP BY arm), "
+            "o AS (SELECT list(struct_pack(arm := arm, n := n, "
+            "sy := sy, sx := sx, syy := syy, sxx := sxx, sxy := sxy) "
+            "ORDER BY arm) AS a FROM p), "
+            "t AS (SELECT a, "
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(a, r -> r.n)), (p, q) -> p + q) AS N, "
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(a, r -> r.sx)), (p, q) -> p + q) AS gsx, "
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(a, r -> r.sy)), (p, q) -> p + q) AS gsy, "
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(a, r -> r.sxx)), (p, q) -> p + q) AS gsxx, "
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(a, r -> r.sxy)), (p, q) -> p + q) AS gsxy "
+            "FROM o), "
+            "t2 AS (SELECT a, CASE WHEN "
+            "CAST(gsxx * N - gsx * gsx AS DOUBLE) > 0 THEN "
+            "CAST(gsxy * N - gsx * gsy AS DOUBLE) / "
+            "CAST(gsxx * N - gsx * gsx AS DOUBLE) ELSE 0.0 END AS th, "
+            "gsx / N AS mx FROM t), "
+            "rws AS (SELECT th, list_transform(a, r -> struct_pack("
+            "arm := r.arm, n_units := r.n, "
+            "my := r.sy / r.n, "
+            "mya := r.sy / r.n - th * (r.sx / r.n - mx), "
+            "vy := CAST(r.syy * r.n - r.sy * r.sy AS DOUBLE) / "
+            "(r.n * r.n), "
+            "vya := CAST(r.syy * r.n - r.sy * r.sy AS DOUBLE) / "
+            "(r.n * r.n) - 2.0 * th * "
+            "(CAST(r.sxy * r.n - r.sx * r.sy AS DOUBLE) / (r.n * r.n)) "
+            "+ th * th * "
+            "(CAST(r.sxx * r.n - r.sx * r.sx AS DOUBLE) / (r.n * r.n))"
+            ")) AS rr FROM t2), "
+            "f AS (SELECT th, rr, rr[1] AS r1, rr[2] AS r2, "
+            "len(rr) = 2 AS two FROM rws), "
+            "g AS (SELECT th, rr, "
+            "CASE WHEN two THEN r2.mya - r1.mya END AS lift, "
+            "CASE WHEN two AND r2.vy / r2.n_units + r1.vy / r1.n_units > 0 THEN (r2.my - r1.my) / "
+            "sqrt(r2.vy / r2.n_units + r1.vy / r1.n_units) END AS zr, "
+            "CASE WHEN two AND r2.vya / r2.n_units + r1.vya / r1.n_units > 0 THEN (r2.mya - r1.mya) / "
+            "sqrt(r2.vya / r2.n_units + r1.vya / r1.n_units) END AS za, "
+            "CASE WHEN two AND r1.vy > 0 AND r2.vy > 0 THEN "
+            "1.0 - (r1.vya + r2.vya) / (r1.vy + r2.vy) END AS vred "
+            "FROM f), "
+            "e AS (SELECT th, lift, zr, za, vred, unnest(rr) AS r "
+            "FROM g) "
+            "SELECT r.arm AS arm, r.n_units AS n_units, "
+            "r.my / 100.0 AS mean_y, r.mya / 100.0 AS mean_y_adj, "
+            "r.vy / (100.0 * 100.0) AS var_y, "
+            "r.vya / (100.0 * 100.0) AS var_y_adj, "
+            "th AS theta, vred AS var_reduction, "
+            "lift / 100.0 AS lift_adj, zr AS z_raw, za AS z_adj FROM e"
+        ),
+        # SRM: integer census, uniform design fractions, chi2 folds
+        # in arm order
+        "q_srm_check": (
+            _AB_UNITS_SQL
+            + ", c AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM units WHERE arm IS NOT NULL GROUP BY arm), "
+            "o AS (SELECT list(struct_pack(arm := arm, n := n) "
+            "ORDER BY arm) AS a FROM c), "
+            "t AS (SELECT a, "
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(a, r -> r.n)), (p, q) -> p + q) AS N "
+            "FROM o), "
+            "rws AS (SELECT N, list_transform(a, r -> struct_pack("
+            "arm := r.arm, n_obs := r.n, ef := 1.0 / len(a), "
+            "en := N * (1.0 / len(a)))) AS rr FROM t), "
+            "t2 AS (SELECT N, rr, list_reduce(list_prepend(0.0, "
+            "list_transform(rr, r -> (CAST(r.n_obs AS DOUBLE) - r.en) "
+            "* (CAST(r.n_obs AS DOUBLE) - r.en) / r.en)), "
+            "(p, q) -> p + q) AS chi2_total FROM rws), "
+            "e AS (SELECT N, chi2_total, unnest(rr) AS r FROM t2) "
+            "SELECT r.arm AS arm, r.n_obs AS n_obs, "
+            "r.ef AS expected_frac, r.en AS expected_n, "
+            "(CAST(r.n_obs AS DOUBLE) - r.en) * "
+            "(CAST(r.n_obs AS DOUBLE) - r.en) / r.en AS chi2_contrib, "
+            "chi2_total, N AS n_total FROM e"
         ),
         "q_assoc_rules": (
             "WITH items AS (SELECT DISTINCT l_orderkey AS basket, "

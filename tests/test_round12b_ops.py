@@ -996,3 +996,93 @@ class TestRankingMetrics:
 
         with pytest.raises(ValueError):
             ranking_metrics(self._df(spark, [(1, 1, 1)]), k=0)
+
+
+class TestCupedAbTest:
+    def _units(self, spark, rows):
+        return spark.createDataFrame(rows, "arm string, y double, x double")
+
+    def test_perfect_covariate_kills_variance(self, spark):
+        from kevinlang_spark.operators.experiments import cuped_ab_test
+
+        # y = x exactly: theta = 1, adjusted variance ~ 0
+        rows = [("control", float(v), float(v)) for v in (10, 20, 30)] + [
+            ("treat", float(v) + 5, float(v)) for v in (10, 20, 30)
+        ]
+        out = {r["arm"]: r for r in cuped_ab_test(self._units(spark, rows)).collect()}
+        assert out["treat"]["theta"] == pytest.approx(1.0)
+        assert out["treat"]["var_y_adj"] == pytest.approx(0.0, abs=1e-9)
+        assert out["treat"]["lift_adj"] == pytest.approx(5.0)
+        assert out["treat"]["var_reduction"] == pytest.approx(1.0)
+        assert out["treat"]["z_adj"] is None  # zero SE guard
+
+    def test_useless_covariate_changes_nothing(self, spark):
+        from kevinlang_spark.operators.experiments import cuped_ab_test
+
+        rows = [("control", 10.0, 7.0), ("control", 20.0, 7.0),
+                ("treat", 15.0, 7.0), ("treat", 25.0, 7.0)]
+        out = {r["arm"]: r for r in cuped_ab_test(self._units(spark, rows)).collect()}
+        # constant x: theta guard -> 0, adjusted == raw
+        assert out["treat"]["theta"] == 0.0
+        assert out["treat"]["mean_y_adj"] == out["treat"]["mean_y"]
+        assert out["treat"]["z_adj"] == out["treat"]["z_raw"]
+
+    def test_statistics_match_brute(self, spark):
+        from kevinlang_spark.operators.experiments import cuped_ab_test
+
+        import random
+
+        rng = random.Random(7)
+        rows = []
+        for i in range(40):
+            x = round(rng.uniform(0, 100), 2)
+            noise = round(rng.uniform(-10, 10), 2)
+            arm = "treat" if i % 2 else "control"
+            y = round(0.8 * x + noise + (5 if arm == "treat" else 0), 2)
+            rows.append((arm, y, x))
+        out = {r["arm"]: r for r in cuped_ab_test(self._units(spark, rows)).collect()}
+        # brute on quantized cents
+        q = [(a, int(y * 100 + 0.5), int(x * 100 + 0.5)) for a, y, x in rows]
+        N = len(q)
+        gsx = sum(x for _, _, x in q)
+        gsy = sum(y for _, y, _ in q)
+        gsxx = sum(x * x for _, _, x in q)
+        gsxy = sum(x * y for _, y, x in q)
+        th = (gsxy * N - gsx * gsy) / (gsxx * N - gsx * gsx)
+        assert out["treat"]["theta"] == pytest.approx(th)
+        # adjusted variance must shrink for a strong covariate
+        assert out["treat"]["var_y_adj"] < out["treat"]["var_y"]
+        assert out["control"]["var_reduction"] > 0.5
+        assert abs(out["treat"]["z_adj"]) > abs(out["treat"]["z_raw"])
+
+
+class TestSrmCheck:
+    def test_balanced_split_small_chi2(self, spark):
+        from kevinlang_spark.operators.experiments import srm_check
+
+        rows = [("a",)] * 500 + [("b",)] * 500
+        df = spark.createDataFrame(rows, "arm string")
+        out = {r["arm"]: r for r in srm_check(df).collect()}
+        assert out["a"]["chi2_total"] == 0.0
+        assert out["a"]["expected_n"] == 500.0
+
+    def test_mismatch_flags_large_chi2(self, spark):
+        from kevinlang_spark.operators.experiments import srm_check
+
+        rows = [("a",)] * 600 + [("b",)] * 400
+        df = spark.createDataFrame(rows, "arm string")
+        out = {r["arm"]: r for r in srm_check(df).collect()}
+        # chi2 = (600-500)^2/500 * 2 = 40
+        assert out["a"]["chi2_total"] == pytest.approx(40.0)
+
+    def test_designed_ratios(self, spark):
+        from kevinlang_spark.operators.experiments import srm_check
+
+        rows = [("a",)] * 90 + [("b",)] * 10
+        df = spark.createDataFrame(rows, "arm string")
+        out = {
+            r["arm"]: r
+            for r in srm_check(df, expected={"a": 0.9, "b": 0.1}).collect()
+        }
+        assert out["a"]["expected_n"] == pytest.approx(90.0)
+        assert out["a"]["chi2_total"] == pytest.approx(0.0)
