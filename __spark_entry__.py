@@ -6421,6 +6421,19 @@ def q_srm_check(spark, sf_dir):
     return srm_check(_ab_units(spark, sf_dir))
 
 
+def q_ratio_metric(spark, sf_dir):
+    """Delta-method ratio-metric test (operators/experiments.py
+    ratio_metric_test — Deng et al. 2018): purchase-per-view ratio per
+    arm with the correlation-aware SE; BIGINT moments, fixed-form
+    doubles, NULL z on degenerate arms."""
+    from kevinlang_spark.operators.experiments import ratio_metric_test
+
+    units = _ab_units(spark, sf_dir).select(
+        "arm", F.col("y").alias("num"), F.col("x").alias("den")
+    )
+    return ratio_metric_test(units)
+
+
 def q_incremental_agg(spark, sf_dir):
     """Incremental materialized-view refresh: per-customer order stats
     maintained as mergeable state — history state + delta state folded
@@ -8520,6 +8533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ranking_metrics": q_ranking_metrics,
         "q_cuped_ab": q_cuped_ab,
         "q_srm_check": q_srm_check,
+        "q_ratio_metric": q_ratio_metric,
         "q_l_diversity": q_l_diversity,
         "q_t_closeness": q_t_closeness,
         "q_asof_directions": q_asof_directions,
@@ -13034,6 +13048,46 @@ def oracle_sql() -> dict[str, str]:
             "(CAST(r.n_obs AS DOUBLE) - r.en) * "
             "(CAST(r.n_obs AS DOUBLE) - r.en) / r.en AS chi2_contrib, "
             "chi2_total, N AS n_total FROM e"
+        ),
+        # delta-method ratio metric: BIGINT moments, same fixed forms
+        "q_ratio_metric": (
+            _AB_UNITS_SQL
+            + ", q AS (SELECT arm, "
+            "CAST(FLOOR(y * 100 + 0.5) AS BIGINT) AS qn, "
+            "CAST(FLOOR(x * 100 + 0.5) AS BIGINT) AS qd FROM units "
+            "WHERE y IS NOT NULL AND x IS NOT NULL "
+            "AND arm IS NOT NULL), "
+            "p AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(qn) AS BIGINT) AS sn, "
+            "CAST(SUM(qd) AS BIGINT) AS sd, "
+            "CAST(SUM(qn * qn) AS BIGINT) AS snn, "
+            "CAST(SUM(qd * qd) AS BIGINT) AS sdd, "
+            "CAST(SUM(qn * qd) AS BIGINT) AS snd FROM q GROUP BY arm), "
+            "o AS (SELECT list(struct_pack(arm := arm, n := n, "
+            "sn := sn, sd := sd, snn := snn, sdd := sdd, snd := snd) "
+            "ORDER BY arm) AS a FROM p), "
+            "rws AS (SELECT list_transform(a, r -> struct_pack("
+            "arm := r.arm, n_units := r.n, "
+            "ratio := CASE WHEN r.sd > 0 THEN r.sn / r.sd END, "
+            "se := sqrt(CASE WHEN r.sd > 0 THEN "
+            "(CAST(r.snn * r.n - r.sn * r.sn AS DOUBLE) / (r.n * r.n) "
+            "- 2.0 * (CASE WHEN r.sd > 0 THEN r.sn / r.sd END) * "
+            "(CAST(r.snd * r.n - r.sn * r.sd AS DOUBLE) / (r.n * r.n)) "
+            "+ (CASE WHEN r.sd > 0 THEN r.sn / r.sd END) * "
+            "(CASE WHEN r.sd > 0 THEN r.sn / r.sd END) * "
+            "(CAST(r.sdd * r.n - r.sd * r.sd AS DOUBLE) / (r.n * r.n))"
+            ") / (r.n * ((r.sd / r.n) * (r.sd / r.n))) END))) AS rr "
+            "FROM o), "
+            "f AS (SELECT rr, rr[1] AS r1, rr[2] AS r2, "
+            "len(rr) = 2 AS two FROM rws), "
+            "g AS (SELECT rr, CASE WHEN two AND r1.ratio IS NOT NULL "
+            "AND r2.ratio IS NOT NULL AND "
+            "r1.se * r1.se + r2.se * r2.se > 0 THEN "
+            "(r2.ratio - r1.ratio) / "
+            "sqrt(r1.se * r1.se + r2.se * r2.se) END AS z FROM f), "
+            "e AS (SELECT z, unnest(rr) AS r FROM g) "
+            "SELECT r.arm AS arm, r.n_units AS n_units, "
+            "r.ratio AS ratio, r.se AS se, z FROM e"
         ),
         "q_assoc_rules": (
             "WITH items AS (SELECT DISTINCT l_orderkey AS basket, "

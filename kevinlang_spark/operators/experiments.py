@@ -262,3 +262,103 @@ def srm_check(
         "chi2_total",
         F.col("N").alias("n_total"),
     )
+
+
+def ratio_metric_test(
+    df: DataFrame,
+    arm_col: str = "arm",
+    num_col: str = "num",
+    den_col: str = "den",
+    value_scale: int = 100,
+) -> DataFrame:
+    """Two-arm test for a RATIO metric (CTR, revenue-per-session,
+    tokens-per-doc): the arm-level metric is R = ΣN/ΣD — not the mean
+    of per-unit ratios — and its standard error comes from the delta
+    method (Deng, Knoblich & Lu 2018, "Applying the Delta method in
+    metric analytics"):
+
+        var(R̂) = (var(n) − 2R·cov(n, d) + R²·var(d)) / (n_units·d̄²)
+
+    Naively treating the ratio as a mean understates the variance
+    whenever numerator and denominator correlate (they always do).
+
+    Same exactness contract as :func:`cuped_ab_test`: per-unit values
+    quantize to integers, every moment is a BIGINT sum, and R / SE /
+    z derive with fixed parenthesization.  Returns one row per arm:
+    (arm_col, n_units, ratio, se, z) — z is treatment-minus-control
+    over pooled SEs, repeated on both rows, NULL unless exactly two
+    arms with positive denominators."""
+    if value_scale < 1:
+        raise ValueError(f"value_scale must be >= 1 (got {value_scale})")
+    s = int(value_scale)
+    qn = F.floor(F.col(num_col) * F.lit(s) + F.lit(0.5)).cast("bigint")
+    qd = F.floor(F.col(den_col) * F.lit(s) + F.lit(0.5)).cast("bigint")
+    base = df.where(
+        F.col(num_col).isNotNull()
+        & F.col(den_col).isNotNull()
+        & F.col(arm_col).isNotNull()
+    ).select(F.col(arm_col).alias("arm"), qn.alias("qn"), qd.alias("qd"))
+    per = base.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("qn").alias("sn"),
+        F.sum("qd").alias("sd"),
+        F.sum(F.col("qn") * F.col("qn")).alias("snn"),
+        F.sum(F.col("qd") * F.col("qd")).alias("sdd"),
+        F.sum(F.col("qn") * F.col("qd")).alias("snd"),
+    )
+    one = per.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("arm", "n", "sn", "sd", "snn", "sdd", "snd")
+            )
+        ).alias("a")
+    )
+    a = F.col("a")
+
+    def arm_row(r):
+        n = r["n"]
+        ratio = F.when(r["sd"] > 0, r["sn"] / r["sd"])
+        md = r["sd"] / n
+        vn = (r["snn"] * n - r["sn"] * r["sn"]).cast("double") / (n * n)
+        vd = (r["sdd"] * n - r["sd"] * r["sd"]).cast("double") / (n * n)
+        cov = (r["snd"] * n - r["sn"] * r["sd"]).cast("double") / (
+            n * n
+        )
+        var_r = F.when(
+            r["sd"] > 0,
+            (
+                vn
+                - F.lit(2.0) * ratio * cov
+                + ratio * ratio * vd
+            )
+            / (n * (md * md)),
+        )
+        return F.struct(
+            r["arm"].alias("arm"),
+            n.alias("n_units"),
+            ratio.alias("ratio"),
+            F.sqrt(var_r).alias("se"),
+        )
+
+    rows = F.transform(a, arm_row)
+    staged = one.select(rows.alias("rows"))
+    r1 = F.element_at(F.col("rows"), 1)
+    r2 = F.element_at(F.col("rows"), 2)
+    two = F.size(F.col("rows")) == 2
+    denom = r1["se"] * r1["se"] + r2["se"] * r2["se"]
+    zz = F.when(
+        two & r1["ratio"].isNotNull() & r2["ratio"].isNotNull()
+        & (denom > 0),
+        (r2["ratio"] - r1["ratio"]) / F.sqrt(denom),
+    )
+    ex = staged.select(
+        zz.alias("__z"), F.explode(F.col("rows")).alias("r")
+    )
+    r = F.col("r")
+    return ex.select(
+        r["arm"].alias(arm_col),
+        r["n_units"].alias("n_units"),
+        r["ratio"].alias("ratio"),
+        r["se"].alias("se"),
+        F.col("__z").alias("z"),
+    )

@@ -1086,3 +1086,53 @@ class TestSrmCheck:
         }
         assert out["a"]["expected_n"] == pytest.approx(90.0)
         assert out["a"]["chi2_total"] == pytest.approx(0.0)
+
+
+class TestRatioMetricTest:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "arm string, num double, den double")
+
+    def test_ratio_is_sum_over_sum(self, spark):
+        from kevinlang_spark.operators.experiments import ratio_metric_test
+
+        rows = [("a", 1.0, 10.0), ("a", 3.0, 10.0),
+                ("b", 4.0, 10.0), ("b", 4.0, 30.0)]
+        out = {r["arm"]: r for r in ratio_metric_test(self._df(spark, rows)).collect()}
+        assert out["a"]["ratio"] == pytest.approx(4 / 20)
+        assert out["b"]["ratio"] == pytest.approx(8 / 40)
+        # identical ratios -> z == 0
+        assert out["a"]["z"] == pytest.approx(0.0)
+
+    def test_matches_brute_delta_method(self, spark):
+        from kevinlang_spark.operators.experiments import ratio_metric_test
+
+        import random
+
+        rng = random.Random(3)
+        rows = []
+        for i in range(60):
+            d = round(rng.uniform(5, 50), 2)
+            nmr = round(d * rng.uniform(0.1, 0.3), 2)
+            rows.append(("t" if i % 2 else "c", nmr, d))
+        out = {r["arm"]: r for r in ratio_metric_test(self._df(spark, rows)).collect()}
+        for arm in ("c", "t"):
+            q = [(int(n * 100 + 0.5), int(d * 100 + 0.5))
+                 for a, n, d in rows if a == arm]
+            cnt = len(q)
+            sn = sum(n for n, _ in q); sd = sum(d for _, d in q)
+            vn = (sum(n * n for n, _ in q) * cnt - sn * sn) / (cnt * cnt)
+            vd = (sum(d * d for _, d in q) * cnt - sd * sd) / (cnt * cnt)
+            cov = (sum(n * d for n, d in q) * cnt - sn * sd) / (cnt * cnt)
+            R = sn / sd
+            md = sd / cnt
+            var_r = (vn - 2 * R * cov + R * R * vd) / (cnt * (md * md))
+            assert out[arm]["ratio"] == pytest.approx(R)
+            assert out[arm]["se"] == pytest.approx(math.sqrt(var_r))
+
+    def test_zero_denominator_arm_null(self, spark):
+        from kevinlang_spark.operators.experiments import ratio_metric_test
+
+        rows = [("a", 1.0, 0.0), ("b", 2.0, 5.0)]
+        out = {r["arm"]: r for r in ratio_metric_test(self._df(spark, rows)).collect()}
+        assert out["a"]["ratio"] is None
+        assert out["a"]["z"] is None
