@@ -276,6 +276,9 @@ HEADLINE = [
     "q_neyman_allocation",
     "q_kmeans_fit",
     "q_ranking_metrics",
+    "q_cuped_ab",
+    "q_srm_check",
+    "q_ratio_metric",
 ]
 
 
