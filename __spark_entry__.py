@@ -6709,6 +6709,42 @@ def _kmeans_sql(k: int, n_iters: int) -> str:
     )
 
 
+
+def _geohash_sql(lat: str, lon: str, precision: int) -> str:
+    """DuckDB expression replicating spatial.geohash's closed-form bit
+    interleave (same quantize, clamp, shifts, and base32 slicing)."""
+    total = 5 * precision
+    n_lon = (total + 1) // 2
+    n_lat = total // 2
+    qlon = (
+        f"LEAST(CAST(FLOOR(({lon} + 180.0) / 360.0 * "
+        f"{float(1 << n_lon)}) AS BIGINT), {(1 << n_lon) - 1})"
+    )
+    qlat = (
+        f"LEAST(CAST(FLOOR(({lat} + 90.0) / 180.0 * "
+        f"{float(1 << n_lat)}) AS BIGINT), {(1 << n_lat) - 1})"
+    )
+    parts = []
+    for j in range(n_lon):
+        parts.append(
+            f"(((ql_on >> {n_lon - 1 - j}) & 1) << {total - 1 - 2 * j})"
+        )
+    for j in range(n_lat):
+        parts.append(
+            f"(((ql_at >> {n_lat - 1 - j}) & 1) << {total - 2 - 2 * j})"
+        )
+    code = " | ".join(parts)
+    chars = " || ".join(
+        "substr('0123456789bcdefghjkmnpqrstuvwxyz', "
+        f"CAST(((code >> {5 * (precision - 1 - i)}) & 31) + 1 AS INT), 1)"
+        for i in range(precision)
+    )
+    return (
+        f"(SELECT {chars} FROM (SELECT ({code}) AS code FROM "
+        f"(SELECT {qlon} AS ql_on, {qlat} AS ql_at)))"
+    )
+
+
 def q_prototypicality(spark, sf_dir):
     """D4-style SSL-prototype scoring (operators/similarity.py
     prototypicality — arXiv:2308.12284): per sign-bucket cluster, each
@@ -6755,6 +6791,36 @@ def q_kmeans_fit(spark, sf_dir):
     from kevinlang_spark.operators.similarity import kmeans_fit
 
     return kmeans_fit(_t(spark, sf_dir, "embeddings"), k=4, n_iters=2)
+
+
+def q_geohash_census(spark, sf_dir):
+    """Geohash spatial density census (operators/spatial.py geohash /
+    geohash_census): md5-synthesized coordinates bucketed at precision
+    2 (32x32 cells); the encode is a closed-form bit interleave
+    (verified against the canonical u4pruydqqvj test vector), means
+    from 1e-6-quantized integer sums."""
+    from kevinlang_spark.operators.spatial import geohash_census
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+
+    def h(tag):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_id").cast("string"), F.lit(tag)
+                    )
+                ),
+                1, 13,
+            ),
+            16, 10,
+        ).cast("bigint")
+
+    pts = ev.select(
+        ((h("#lat") % 180000000) / 1000000.0 - 90.0).alias("lat"),
+        ((h("#lon") % 360000000) / 1000000.0 - 180.0).alias("lon"),
+    )
+    return geohash_census(pts, "lat", "lon", precision=2)
 
 
 def q_markov_attribution(spark, sf_dir):
@@ -8534,6 +8600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cuped_ab": q_cuped_ab,
         "q_srm_check": q_srm_check,
         "q_ratio_metric": q_ratio_metric,
+        "q_geohash_census": q_geohash_census,
         "q_l_diversity": q_l_diversity,
         "q_t_closeness": q_t_closeness,
         "q_asof_directions": q_asof_directions,
@@ -13088,6 +13155,29 @@ def oracle_sql() -> dict[str, str]:
             "e AS (SELECT z, unnest(rr) AS r FROM g) "
             "SELECT r.arm AS arm, r.n_units AS n_units, "
             "r.ratio AS ratio, r.se AS se, z FROM e"
+        ),
+        # geohash census: same closed-form bit interleave (scalar
+        # subquery per row), integer mean sums
+        "q_geohash_census": (
+            "WITH pts AS (SELECT "
+            "(CAST(CONCAT('0x', substr(md5(event_id || '#lat'), 1, 13)) "
+            "AS BIGINT) % 180000000) / 1000000.0 - 90.0 AS lat, "
+            "(CAST(CONCAT('0x', substr(md5(event_id || '#lon'), 1, 13)) "
+            "AS BIGINT) % 360000000) / 1000000.0 - 180.0 AS lon "
+            "FROM events), "
+            "b AS (SELECT "
+            + _geohash_sql("lat", "lon", 2)
+            + " AS cell, "
+            "CAST(FLOOR(lat * 1000000.0 + 0.5) AS BIGINT) AS qlat, "
+            "CAST(FLOOR(lon * 1000000.0 + 0.5) AS BIGINT) AS qlon "
+            "FROM pts WHERE lat IS NOT NULL AND lon IS NOT NULL "
+            "AND lat >= -90 AND lat <= 90 "
+            "AND lon >= -180 AND lon <= 180) "
+            "SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_points, "
+            "CAST(SUM(qlat) AS BIGINT) / (COUNT(*) * 1000000.0) "
+            "AS mean_lat, "
+            "CAST(SUM(qlon) AS BIGINT) / (COUNT(*) * 1000000.0) "
+            "AS mean_lon FROM b GROUP BY cell"
         ),
         "q_assoc_rules": (
             "WITH items AS (SELECT DISTINCT l_orderkey AS basket, "

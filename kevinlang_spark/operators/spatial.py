@@ -135,3 +135,108 @@ def radius_join_pairs(
         )
         .distinct()
     )
+
+
+#: geohash base32 alphabet (Niemeyer 2008 — 'a', 'i', 'l', 'o' omitted)
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash(lat: Column, lon: Column, precision: int = 6) -> Column:
+    """Standard geohash string of a (lat, lon) point — the textual
+    spatial key next to :func:`morton_key`: shared prefixes mean
+    shared cells, so a prefix `groupBy` buckets points hierarchically
+    and an equality join on a prefix is proximity blocking.
+
+    Closed form, no per-bit bisection loop: a geohash's bit string IS
+    the bit-interleaving (lon first) of the quantized cell indices
+
+        qlon = floor((lon + 180)/360 · 2^ceil(5p/2)),
+        qlat = floor((lat +  90)/180 · 2^floor(5p/2)),
+
+    so the code builds with shift/or interleaving (morton with the
+    axes swapped) and slices 5 bits per character — all BIGINT
+    expressions, bit-for-bit reproducible in any engine.  Points on
+    the +180°/+90° edge clamp into the last cell.
+
+    Returns a length-``precision`` lowercase base32 string."""
+    if not 1 <= precision <= 12:
+        raise ValueError(f"precision must be in [1, 12] (got {precision})")
+    total = 5 * precision
+    n_lon = (total + 1) // 2
+    n_lat = total // 2
+    qlon = F.least(
+        F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << n_lon))),
+        F.lit((1 << n_lon) - 1),
+    ).cast("bigint")
+    qlat = F.least(
+        F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << n_lat))),
+        F.lit((1 << n_lat) - 1),
+    ).cast("bigint")
+    one = F.lit(1).cast("bigint")
+    code = F.lit(0).cast("bigint")
+    # geohash bit k (MSB first) alternates lon, lat: lon bit j sits at
+    # code position total-1-2j, lat bit j at total-2-2j (from the top)
+    for j in range(n_lon):
+        bit = F.shiftrightunsigned(qlon, n_lon - 1 - j).bitwiseAND(one)
+        code = code.bitwiseOR(F.shiftleft(bit, total - 1 - 2 * j))
+    for j in range(n_lat):
+        bit = F.shiftrightunsigned(qlat, n_lat - 1 - j).bitwiseAND(one)
+        code = code.bitwiseOR(F.shiftleft(bit, total - 2 - 2 * j))
+    chars = [
+        F.substring(
+            F.lit(GEOHASH32),
+            (
+                F.shiftrightunsigned(code, 5 * (precision - 1 - i))
+                .bitwiseAND(F.lit(31).cast("bigint"))
+                + 1
+            ).cast("int"),
+            1,
+        )
+        for i in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_census(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    precision: int = 4,
+) -> DataFrame:
+    """Spatial density census: points bucketed by geohash cell at
+    ``precision`` — the aggregation every map tile / hot-spot report
+    starts from.  One scan-stage encode + one keyed count; returns
+    (cell, n_points, mean_lat, mean_lon) with the means derived from
+    1e-6-quantized integer sums (exact in any order)."""
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    base = df.where(
+        lat.isNotNull()
+        & lon.isNotNull()
+        & (lat >= -90)
+        & (lat <= 90)
+        & (lon >= -180)
+        & (lon <= 180)
+    ).select(
+        geohash(lat, lon, precision).alias("cell"),
+        F.floor(lat * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("qlat"),
+        F.floor(lon * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("qlon"),
+    )
+    g = base.groupBy("cell").agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.sum("qlat").alias("__slat"),
+        F.sum("qlon").alias("__slon"),
+    )
+    return g.select(
+        "cell",
+        "n_points",
+        (F.col("__slat") / (F.col("n_points") * F.lit(1000000.0))).alias(
+            "mean_lat"
+        ),
+        (F.col("__slon") / (F.col("n_points") * F.lit(1000000.0))).alias(
+            "mean_lon"
+        ),
+    )

@@ -1136,3 +1136,73 @@ class TestRatioMetricTest:
         out = {r["arm"]: r for r in ratio_metric_test(self._df(spark, rows)).collect()}
         assert out["a"]["ratio"] is None
         assert out["a"]["z"] is None
+
+
+class TestGeohash:
+    def test_canonical_vectors(self, spark):
+        from kevinlang_spark.operators.spatial import geohash
+
+        rows = [
+            (57.64911, 10.40744, "u4pruydqqvj"),
+            (42.6, -5.6, "ezs42e44yx9"),
+            (-25.382708, -49.265506, "6gkzwgjzn82"),
+            (0.0, 0.0, "s0000000000"),
+        ]
+        df = spark.createDataFrame(
+            [(la, lo) for la, lo, _ in rows], "lat double, lon double"
+        )
+        got = [
+            r[0]
+            for r in df.select(
+                geohash(F.col("lat"), F.col("lon"), 11)
+            ).collect()
+        ]
+        assert got == [g for _, _, g in rows]
+
+    def test_prefix_property(self, spark):
+        from kevinlang_spark.operators.spatial import geohash
+
+        df = spark.createDataFrame(
+            [(57.64911, 10.40744)], "lat double, lon double"
+        )
+        (r,) = df.select(
+            geohash(F.col("lat"), F.col("lon"), 4).alias("g4"),
+            geohash(F.col("lat"), F.col("lon"), 8).alias("g8"),
+        ).collect()
+        assert r["g8"].startswith(r["g4"])
+
+    def test_edge_clamp(self, spark):
+        from kevinlang_spark.operators.spatial import geohash
+
+        df = spark.createDataFrame(
+            [(90.0, 180.0), (-90.0, -180.0)], "lat double, lon double"
+        )
+        got = [
+            r[0]
+            for r in df.select(
+                geohash(F.col("lat"), F.col("lon"), 3)
+            ).collect()
+        ]
+        assert got[0] == "zzz"
+        assert got[1] == "000"
+
+    def test_invalid_precision(self, spark):
+        from kevinlang_spark.operators.spatial import geohash
+
+        with pytest.raises(ValueError):
+            geohash(F.lit(0.0), F.lit(0.0), 0)
+
+    def test_census_counts_and_means(self, spark):
+        from kevinlang_spark.operators.spatial import geohash_census
+
+        rows = [(10.001, 20.001), (10.002, 20.003), (-40.0, -110.0)]
+        df = spark.createDataFrame(rows, "lat double, lon double")
+        out = {
+            r["cell"]: r
+            for r in geohash_census(df, "lat", "lon", 4).collect()
+        }
+        big = [c for c, r in out.items() if r["n_points"] == 2]
+        assert len(big) == 1
+        r = out[big[0]]
+        assert r["mean_lat"] == pytest.approx(10.0015)
+        assert r["mean_lon"] == pytest.approx(20.002)
