@@ -279,6 +279,7 @@ HEADLINE = [
     "q_cuped_ab",
     "q_srm_check",
     "q_ratio_metric",
+    "q_geohash_census",
 ]
 
 
