@@ -12740,10 +12740,11 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS S FROM m), "
             "f AS (SELECT source, n, capped, B, "
             "CASE WHEN capped THEN CAST(2 * n AS DOUBLE) "
-            "ELSE CAST(B - 2 * S AS DOUBLE) / (L - k) END AS alloc "
+            "ELSE CAST(B - 2 * S AS DOUBLE) / GREATEST(L - k, 1) END AS alloc "
             "FROM r) "
             "SELECT source, n AS n_tokens, capped, alloc, "
-            "alloc / B AS weight, alloc / n AS epochs FROM f"
+            "CASE WHEN B > 0 THEN alloc / B ELSE 0.0 END AS weight, "
+            "alloc / n AS epochs FROM f"
         ),
         # clustering coefficient: same canonical wedge joins as
         # q_triangles, corners exploded, integer counts, one division

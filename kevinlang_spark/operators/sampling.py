@@ -422,18 +422,24 @@ def unimax_weights(
         .over(w_all)
         .alias("S"),
     )
+    # greatest(..., 1): when EVERY group is capped (k == L) the
+    # uncapped branch is unreachable, but ANSI Spark can still
+    # evaluate the division speculatively — keep the divisor positive
     alloc = F.when(
         F.col("capped"), (e * F.col("n")).cast("double")
     ).otherwise(
         (F.col("B") - e * F.col("S")).cast("double")
-        / (F.col("L") - F.col("k"))
+        / F.greatest(F.col("L") - F.col("k"), F.lit(1).cast("bigint"))
     )
     out = rolled.select(
         group_col,
         F.col("n").alias(tokens_col),
         "capped",
         alloc.alias("alloc"),
-        (alloc / F.col("B")).alias("weight"),
+        # a budget that floors to 0 tokens allocates nothing: weight 0
+        F.when(F.col("B") > 0, alloc / F.col("B"))
+        .otherwise(F.lit(0.0))
+        .alias("weight"),
         (alloc / F.col("n")).alias("epochs"),
     )
     return out

@@ -156,7 +156,12 @@ def geohash(lat: Column, lon: Column, precision: int = 6) -> Column:
     so the code builds with shift/or interleaving (morton with the
     axes swapped) and slices 5 bits per character — all BIGINT
     expressions, bit-for-bit reproducible in any engine.  Points on
-    the +180°/+90° edge clamp into the last cell.
+    the +180°/+90° edge clamp into the last cell.  Boundary
+    semantics follow THIS closed form: a coordinate within one ulp of
+    a cell edge (e.g. -1e-45) can land one cell away from the
+    textbook bisection encoder, because (lon + 180)/360 absorbs the
+    sub-epsilon offset — both engines share the closed form, so the
+    cross-engine contract is unaffected.
 
     Returns a length-``precision`` lowercase base32 string."""
     if not 1 <= precision <= 12:
