@@ -120,6 +120,78 @@ def test_q_bpe_train_vocab_reaches_production_merge_counts(spark, sf_dir):
     assert all(counts[i] >= counts[i + 1] for i in range(len(counts) - 1))
 
 
+def _brute_force_core(words, freqs, n_merges):
+    """Pure-Python per-round full recount over explicit (words, freqs)
+    state — the reference for _bpe_train_core's heap bookkeeping."""
+    vocab: dict = {}
+    for seq, f in zip(words, freqs):
+        vocab[tuple(seq)] = vocab.get(tuple(seq), 0) + f
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts: dict = {}
+        for seq, f in vocab.items():
+            for i in range(len(seq) - 1):
+                p = (seq[i], seq[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, n))
+        new_vocab: dict = {}
+        for seq, f in vocab.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_heap_discipline_stale_entry_stress():
+    """r12 optimization: _bpe_train_core discards stale heap entries on
+    pop (one fresh entry per changed pair per merge) instead of
+    re-queueing.  This stresses exactly the hazardous trajectories:
+    pair counts that DECREASE (stale overestimates in the heap), then
+    REBOUND to a previously-pushed value (duplicate equal-value
+    entries), under heavy tie-breaking — and demands byte-parity with
+    a full per-round recount."""
+    from kevinlang_spark.operators.text import _bpe_train_core
+
+    # 'aba' chains make (a,b)/(b,a) counts interleave and rebound as
+    # merges rewrite them; the rotated suffixes force ties broken by
+    # (tok_a, tok_b) order; freqs are primes so no accidental equality.
+    base = ["ababab", "bababa", "aabb", "bbaa", "abba", "baab"]
+    words = [list(w * (i % 3 + 1)) for i, w in enumerate(base * 4)]
+    freqs = [f for f in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37,
+                         41, 43, 47, 53, 59, 61, 67, 71, 73, 79, 83, 89)]
+    import copy
+
+    got_words = copy.deepcopy(words)
+    got = _bpe_train_core(got_words, list(freqs), 50)
+    want = _brute_force_core(words, freqs, 50)
+    assert got == want
+    # the rewritten word states must match a fresh left-to-right replay
+    # of the merge list (training state == encoding, the sweep property)
+    for seq0, seq1 in zip(words, got_words):
+        cur = list(seq0)
+        for _, a, b, _n in got:
+            out, i = [], 0
+            while i < len(cur):
+                if i + 1 < len(cur) and cur[i] == a and cur[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(cur[i])
+                    i += 1
+            cur = out
+        assert cur == seq1
+
+
 def test_vocab_sweep_matches_encode_state(spark):
     """The sweep's token total at checkpoint k must equal encoding the
     corpus with the first k merges (the trajectory-replay property),
