@@ -746,6 +746,39 @@ def _sqdist_to_lit(sub: Column, cent: list[float]) -> Column:
     )
 
 
+def _lloyd_seeds(
+    df: DataFrame, vec_col: str, id_col: str, k: int, caller: str
+) -> "tuple[list, int]":
+    """ONE collect serving both the seed rows AND the dimensionality
+    probe of a Lloyd trainer (r12 optimization round): the old shape
+    paid a separate ``first()`` job for dim plus one seed collect per
+    quantizer spec — pure driver-job latency, since the seed vectors
+    already carry the dimensionality.  Returns ([(id, vec), …] for ids
+    < k ordered, dim).  Error messages and their precedence replicate
+    the old probes exactly (the pathological no-non-empty-seed path
+    falls back to the old ``first()`` probe, costing a job only where
+    the old code did too)."""
+    seeds = (
+        df.where(F.col(id_col) < k)
+        .orderBy(id_col)
+        .select(
+            F.col(id_col).alias("i"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .collect()
+    )
+    dim = next(
+        (len(r["v"]) for r in seeds if r["v"] is not None and len(r["v"]) > 0),
+        None,
+    )
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).where(F.col("d") > 0).first()
+        if first is None:
+            raise ValueError(f"{caller}: no non-empty vectors")
+        dim = first["d"]
+    return seeds, dim
+
+
 def pq_train(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -773,20 +806,11 @@ def pq_train(
     warehouse scale the training scan runs on a sample; the full-table
     pass is only the final encode (see ``pq_encode``).
     """
-    first = df.select(F.size(vec_col).alias("d")).where(F.col("d") > 0).first()
-    if first is None:
-        raise ValueError("pq_train: no non-empty vectors")
-    dim = first["d"]
+    seeds, dim = _lloyd_seeds(df, vec_col, id_col, k, "pq_train")
     if dim % m != 0:
         raise ValueError(f"pq_train: dim {dim} not divisible by m {m}")
     dsub = dim // m
 
-    seeds = (
-        df.where(F.col(id_col) < k)
-        .orderBy(id_col)
-        .select(F.col(vec_col).cast("array<double>").alias("v"))
-        .collect()
-    )
     if len(seeds) < k:
         raise ValueError(f"pq_train: need {k} seed rows with {id_col} < {k}")
     books = [
@@ -1496,10 +1520,12 @@ def _lloyd_train_multi(
     table passes for ALL quantizers instead of Σ m_t · iters).  This is
     how IVF-PQ trains its coarse quantizer (m=1) and its code books
     (m≥2) off the same scans."""
-    first = df.select(F.size(vec_col).alias("d")).where(F.col("d") > 0).first()
-    if first is None:
-        raise ValueError("_lloyd_train_multi: no non-empty vectors")
-    dim = first["d"]
+    # ONE seed collect covers every spec (r12: ids < max k, sliced per
+    # spec) and doubles as the dim probe — the old shape paid 1 first()
+    # + len(specs) collects of the SAME rows, pure driver-job latency
+    seeds_all, dim = _lloyd_seeds(
+        df, vec_col, id_col, max(k for _, k in specs), "_lloyd_train_multi"
+    )
     all_books: list[list[list[list[float]]]] = []
     dsubs: list[int] = []
     for m, k in specs:
@@ -1507,12 +1533,7 @@ def _lloyd_train_multi(
             raise ValueError(f"_lloyd_train_multi: dim {dim} not divisible by {m}")
         dsub = dim // m
         dsubs.append(dsub)
-        seeds = (
-            df.where(F.col(id_col) < k)
-            .orderBy(id_col)
-            .select(F.col(vec_col).cast("array<double>").alias("v"))
-            .collect()
-        )
+        seeds = [r for r in seeds_all if r["i"] < k]
         if len(seeds) < k:
             raise ValueError(
                 f"_lloyd_train_multi: need {k} seed rows with {id_col} < {k}"
