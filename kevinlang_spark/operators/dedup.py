@@ -863,6 +863,11 @@ def neardup_components(
                     F.col("c.comp"), F.coalesce(F.col("p.nc"), F.col("c.comp"))
                 ).alias("comp"),
             )
+            # EAGER, deliberately (r12 A/B): folding this job into the
+            # convergence-sum collect (eager=False) dropped 6 jobs but
+            # ran 4.2 s → 7.2 s on q_semantic_clusters — the lazy
+            # LogicalRDD loses size statistics, so the next round's
+            # propagation join falls off broadcast.  Measured, reverted.
             .localCheckpoint(eager=True)
         )
         # convergence check via the label-sum invariant: labels only ever

@@ -69,7 +69,9 @@ def pagerank(
         .distinct()
         .join(deg, F.col("node") == F.col("src"), "left")
         .select("node", "deg")
-        .localCheckpoint(eager=True)
+        # LAZY checkpoint: the count() below materializes it (r12) —
+        # the loop's consumers all run after this synchronous count
+        .localCheckpoint(eager=False)
     )
     n_nodes = nodes.count()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
@@ -167,14 +169,19 @@ def kcore(
             keep.select(F.col("u").alias("v")), "v", "left_semi"
         )
         if i + 1 < rounds:
+            # EAGER checkpoint, deliberately (r12 A/B): folding this job
+            # into the early-exit count() (eager=False) cut 2 jobs but
+            # cost 3.5 s → 4.4 s — a lazily-checkpointed LogicalRDD scan
+            # carries no size statistics, so the next peel's semi joins
+            # lose their broadcast and fall back to shuffled joins (no
+            # exchange below the join means AQE cannot re-plan it
+            # either).  Measured and reverted.
             alive = alive.localCheckpoint(eager=True)
             # fixed-point early exit: peeling is monotone, so a round
             # that removes no edge means every later round is a no-op —
             # the result is IDENTICAL to running all `rounds` (the
             # unrolled oracle still matches), we just skip the dead
-            # jobs.  The count is near-free: alive was just
-            # materialized.  Measured sf0.1: ~2x faster (graphs
-            # stabilize in 2-3 peels).
+            # jobs.  The count is near-free: alive was just materialized.
             n = alive.count()
             if n == prev_edges:
                 break
@@ -259,7 +266,13 @@ def label_propagation(
             F.max(F.struct(F.col("c"), (-F.col("l")).alias("nl"))).alias("m")
         ).select(F.col("n").alias("node"), (-F.col("m.nl")).alias("label"))
         if (i + 1) % checkpoint_every == 0 and i + 1 < rounds:
-            labels = labels.localCheckpoint(eager=True)
+            # LAZY checkpoint (r12): each round consumes the previous
+            # labels exactly ONCE (the docstring's chain property), so
+            # there is no fan-out to race — the checkpoint still
+            # truncates the logical plan immediately, and the blocks
+            # materialize inside the one consuming job instead of as a
+            # separate per-cadence driver job.
+            labels = labels.localCheckpoint(eager=False)
     return labels
 
 
@@ -301,7 +314,8 @@ def hits(
         e_src.select(F.col("src").alias("node"))
         .union(e_src.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        # LAZY checkpoint: the count() below materializes it (r12)
+        .localCheckpoint(eager=False)
     )
     n_nodes = nodes.count()
     scores = nodes.select(
@@ -532,6 +546,10 @@ def shortest_paths(
             .agg(F.min("dist").alias("dist"))
         )
         if i + 1 < rounds:
+            # EAGER, deliberately (r12 A/B, see kcore): a lazy checkpoint
+            # here strips the size stats the next round's relaxation join
+            # plans its broadcast from — measured 2× slower on the
+            # harmonic sibling, reverted.
             dist = dist.localCheckpoint(eager=True)
             if weight is None:
                 # unweighted early exit: a node's dist is final the round
@@ -594,6 +612,11 @@ def harmonic_centrality(
             .agg(F.min("dist").alias("dist"))
         )
         if i + 1 < rounds:
+            # EAGER, deliberately (r12 A/B): lazy (eager=False) cut 3
+            # jobs but ran 6.2 s → 13.5 s — the lazily-checkpointed
+            # distance table loses its size statistics and the per-round
+            # relaxation join falls off broadcast (no exchange below the
+            # join, so AQE cannot rescue it).  Measured and reverted.
             dist = dist.localCheckpoint(eager=True)
             # hop distances are final on first reach (see shortest_paths):
             # stable (s, node) count == fixed point, result identical to
