@@ -602,16 +602,32 @@ def harmonic_centrality(
         [(s, s, 0.0) for s in sources], "s bigint, node bigint, dist double"
     )
     prev_n = None
-    for i in range(rounds):
-        relaxed = dist.join(sym, dist["node"] == sym["u"]).select(
-            "s", F.col("v").alias("node"), (F.col("dist") + 1.0).alias("dist")
-        )
-        dist = (
-            dist.unionByName(relaxed)
-            .groupBy("s", "node")
-            .agg(F.min("dist").alias("dist"))
-        )
-        if i + 1 < rounds:
+    done = 0
+    # TWO relaxations per materialization (r12 A/B: 8.4 s → 6.4 s,
+    # 23 → 19 jobs at sf0.1, outputs identical): hop relaxation is
+    # monotone — rows only ever ADD, distances are final on first reach
+    # — so the states visited are the same whether we check the fixed
+    # point every round or every second round; a stable (s, node) count
+    # across a double-step still proves the fixed point (any change
+    # strictly grows the count).  The depth-2 un-materialized plan keeps
+    # its broadcast: estimates propagate from the eager checkpoint one
+    # join+agg deep.  kcore and neardup_components measured SLOWER under
+    # the same batching (their loops early-exit in 2-3 rounds, so the
+    # second step of each pair is wasted work) — harmonic runs its full
+    # bounded rounds, so batching only deletes driver jobs.
+    while done < rounds:
+        steps = min(2, rounds - done)
+        for _ in range(steps):
+            relaxed = dist.join(sym, dist["node"] == sym["u"]).select(
+                "s", F.col("v").alias("node"), (F.col("dist") + 1.0).alias("dist")
+            )
+            dist = (
+                dist.unionByName(relaxed)
+                .groupBy("s", "node")
+                .agg(F.min("dist").alias("dist"))
+            )
+            done += 1
+        if done < rounds:
             # EAGER, deliberately (r12 A/B): lazy (eager=False) cut 3
             # jobs but ran 6.2 s → 13.5 s — the lazily-checkpointed
             # distance table loses its size statistics and the per-round
