@@ -39,6 +39,73 @@ def _cov_partials_schema() -> T.StructType:
     )
 
 
+def _cov_rows_one_pass(df: DataFrame, vec_col: str, dim: int) -> "list[list[float]]":
+    """Covariance matrix collected in ONE corpus pass (r12 optimization
+    round): the mapInPandas partials emit the per-dim sums and the row
+    count alongside the outer-product partials (tagged ``i = -1`` rows),
+    so the mean never needs :func:`covariance_matrix`'s second full scan
+    of the vector column.  The d² + d + 1 combined rows shuffle with
+    map-side combine exactly like before; the n/mu/cov assembly runs
+    driver-side with the IDENTICAL IEEE op order the Catalyst expression
+    used (``sxx/n − mu_i·mu_j`` with ``mu_k = s_k/n``).  Returns the d×d
+    cov matrix, or ``None`` when no row carries a ``dim``-dim vector
+    (callers keep their existing empty-input errors)."""
+    import numpy as np
+
+    clean = df.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    ).select(F.col(vec_col).cast("array<double>").alias("v"))
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = np.zeros((dim, dim), dtype=np.float64)
+        s = np.zeros(dim, dtype=np.float64)
+        n = 0
+        for b in batches:
+            if not len(b):
+                continue
+            x = np.stack(b["v"].to_numpy())  # (n, d) float64
+            acc += x.T @ x
+            s += x.sum(axis=0)
+            n += len(x)
+        if n:
+            ii, jj = np.meshgrid(range(dim), range(dim), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate(
+                        [ii.ravel(), np.full(dim + 1, -1, dtype=np.int64)]
+                    ),
+                    "j": np.concatenate(
+                        [jj.ravel(), np.arange(dim), [-1]]
+                    ),
+                    "sxx": np.concatenate([acc.ravel(), s, [float(n)]]),
+                }
+            )
+
+    rows = (
+        clean.mapInPandas(partials, schema=_cov_partials_schema())
+        .groupBy("i", "j")
+        .agg(F.sum("sxx").alias("sxx"))
+        .collect()
+    )
+    if not rows:
+        return None
+    n = 0.0
+    s = [0.0] * dim
+    sxx = [[0.0] * dim for _ in range(dim)]
+    for r in rows:
+        if r["i"] == -1:
+            if r["j"] == -1:
+                n = r["sxx"]
+            else:
+                s[r["j"]] = r["sxx"]
+        else:
+            sxx[r["i"]][r["j"]] = r["sxx"]
+    mu = [sk / n for sk in s]
+    return [
+        [sxx[i][j] / n - mu[i] * mu[j] for j in range(dim)] for i in range(dim)
+    ]
+
+
 def covariance_matrix(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     """Population covariance of a fixed-``dim`` vector column as a
     (i, j, cov) DataFrame — one corpus pass, (batches × d²) shuffle
@@ -105,12 +172,11 @@ def pca_top_component(
     anisotropy diagnostic for embedding spaces)."""
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1 (got {iterations})")
-    rows = covariance_matrix(df, vec_col, dim).collect()
-    if not rows:
+    # one-pass covariance (r12): sums + count ride the same partials,
+    # deleting the second full scan the old covariance_matrix collect paid
+    cov = _cov_rows_one_pass(df, vec_col, dim)
+    if cov is None:
         raise ValueError(f"pca_top_component: no rows with {dim}-dim vectors")
-    cov = [[0.0] * dim for _ in range(dim)]
-    for r in rows:
-        cov[r["i"]][r["j"]] = r["cov"]
 
     v = [1.0 / math.sqrt(dim)] * dim
     for _ in range(iterations):
@@ -167,12 +233,10 @@ def pca_top_components(
         )
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1 (got {iterations})")
-    rows = covariance_matrix(df, vec_col, dim).collect()
-    if not rows:
+    # one-pass covariance (r12): see pca_top_component
+    cov = _cov_rows_one_pass(df, vec_col, dim)
+    if cov is None:
         raise ValueError(f"pca_top_components: no rows with {dim}-dim vectors")
-    cov = [[0.0] * dim for _ in range(dim)]
-    for r in rows:
-        cov[r["i"]][r["j"]] = r["cov"]
     trace = sum(cov[i][i] for i in range(dim))
 
     out_rows = []
