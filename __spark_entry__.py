@@ -7672,9 +7672,16 @@ def q_rank_overlap(spark, sf_dir):
         # rank the 10-row top-k via a tiny broadcast self-join count
         # (1 + rows strictly ahead) instead of a global row_number
         # window — same result, no unpartitioned-window in the plan
-        t = emb.select("vec_id", score.alias("__s")).orderBy(
-            F.col("__s").desc(), F.col("vec_id").asc()
-        ).limit(10)
+        t = (
+            emb.select("vec_id", score.alias("__s"))
+            .orderBy(F.col("__s").desc(), F.col("vec_id").asc())
+            .limit(10)
+            # materialize the 10-row cut ONCE (r12 optimization round):
+            # the x/y self-join consumes t twice — unmaterialized, the
+            # corpus scan + TakeOrdered ran per consumer (SCALE.md
+            # multi-consumer rule)
+            .localCheckpoint(eager=True)
+        )
         x, y = t.alias("x"), t.alias("y")
         ahead = (F.col("y.__s") > F.col("x.__s")) | (
             (F.col("y.__s") == F.col("x.__s"))
@@ -8006,9 +8013,16 @@ def q_rank_fusion(spark, sf_dir):
     q = _query_lit(_query_vec(spark, sf_dir))
 
     def topk(score, k=20):
-        t = emb.select("vec_id", score.alias("__s")).orderBy(
-            F.col("__s").desc(), F.col("vec_id").asc()
-        ).limit(k)
+        t = (
+            emb.select("vec_id", score.alias("__s"))
+            .orderBy(F.col("__s").desc(), F.col("vec_id").asc())
+            .limit(k)
+            # materialize the k-row cut ONCE (r12 optimization round):
+            # the x/y self-join below consumes t twice, and an
+            # unmaterialized t re-runs the corpus scan + TakeOrdered per
+            # consumer — the multi-consumer scan-stage rule (SCALE.md)
+            .localCheckpoint(eager=True)
+        )
         x, y = t.alias("x"), t.alias("y")
         ahead = (F.col("y.__s") > F.col("x.__s")) | (
             (F.col("y.__s") == F.col("x.__s"))
@@ -8076,11 +8090,18 @@ def q_hybrid_retrieval(spark, sf_dir):
             .agg((F.count("y.id") + 1).cast("int").alias("rank"))
         )
 
+    # materialize both 20-row cuts ONCE (r12 optimization round):
+    # rank20's x/y self-join consumes each frame twice, and an
+    # unmaterialized frame re-runs the whole corpus-scale BM25 / cosine
+    # pipeline per consumer — the plan carried 20 parquet scans; with
+    # the two eager checkpoints the rankings compute once each (the
+    # multi-consumer scan-stage rule, SCALE.md)
     lex = (
         bm25_scores(docs, _BM25_TERMS)
         .orderBy(F.col("bm25").desc(), F.col("id").asc())
         .limit(20)
         .select("id", "bm25")
+        .localCheckpoint(eager=True)
     )
     q = _query_lit(_query_vec(spark, sf_dir, vec_id=1))
     dense = (
@@ -8090,6 +8111,7 @@ def q_hybrid_retrieval(spark, sf_dir):
         )
         .orderBy(F.col("sim").desc(), F.col("id").asc())
         .limit(20)
+        .localCheckpoint(eager=True)
     )
     fused = reciprocal_rank_fusion(
         [rank20(lex, "bm25"), rank20(dense, "sim")], "id"

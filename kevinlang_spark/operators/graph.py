@@ -463,38 +463,53 @@ def wl_refinement(
         F.count("*").alias("label")
     )
     for i in range(rounds):
+        # One join + ONE aggregation per round (r12 optimization round):
+        # the node's own label rides into the neighbor-signature groupBy
+        # as a tagged union row instead of joining back afterward — the
+        # old labels⋈sig join (a third node-keyed exchange per round) is
+        # gone.  collect_list skips the NULLs the tag filters produce,
+        # and every labels node has ≥1 neighbor by construction (labels
+        # derives from sym), so the output node set is identical to the
+        # old inner join's; the hash input (own label, sorted neighbor
+        # multiset) is unchanged int/string math — byte-identical labels.
         nbr = sym.join(labels, sym["v"] == labels["node"]).select(
-            F.col("u").alias("n"), F.col("label").alias("l")
+            F.col("u").alias("n"),
+            F.col("label").alias("l"),
+            F.lit(False).alias("own"),
         )
-        sig = nbr.groupBy("n").agg(
+        own = labels.select(
+            F.col("node").alias("n"), F.col("label").alias("l"),
+            F.lit(True).alias("own"),
+        )
+        sig = nbr.unionByName(own).groupBy("n").agg(
+            F.max(F.when(F.col("own"), F.col("l"))).alias("__self"),
             F.concat_ws(
                 ",",
                 F.transform(
-                    F.array_sort(F.collect_list("l")),
+                    F.array_sort(
+                        F.collect_list(F.when(~F.col("own"), F.col("l")))
+                    ),
                     lambda x: x.cast("string"),
                 ),
-            ).alias("sig")
+            ).alias("sig"),
         )
-        labels = (
-            labels.join(sig, labels["node"] == sig["n"])
-            .select(
-                "node",
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat_ws(
-                                "|", F.col("label").cast("string"), F.col("sig")
-                            )
-                        ),
-                        1,
-                        13,
+        labels = sig.select(
+            F.col("n").alias("node"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.col("__self").cast("string"), F.col("sig")
+                        )
                     ),
-                    16,
-                    10,
-                )
-                .cast("bigint")
-                .alias("label"),
+                    1,
+                    13,
+                ),
+                16,
+                10,
             )
+            .cast("bigint")
+            .alias("label"),
         )
         if i + 1 < rounds:
             labels = labels.localCheckpoint(eager=True)

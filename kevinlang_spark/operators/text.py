@@ -161,50 +161,56 @@ def winnow_fingerprints(
     aggregate them for per-doc summaries."""
     if k < 1 or window < 1:
         raise ValueError(f"k and window must be >= 1 (got k={k}, window={window})")
-    # materialize intermediates as columns so the regexp normalization and
-    # the hash array are computed ONCE per row, not once per gram/window
-    # (CollapseProject keeps non-cheap expressions un-inlined)
+    import hashlib
+
+    import pandas as pd
+
+    from pyspark.sql.functions import PandasUDFType
+
+    # materialize the regexp normalization as a column so it is computed
+    # ONCE per row (CollapseProject keeps non-cheap expressions un-inlined)
     norm = df.select(
         F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("__norm")
     ).select("id", "__norm", (F.length("__norm") - k + 1).alias("__m"))
 
-    def gram_hash(i):
-        # md5-prefix 52-bit hash: exactly representable, DuckDB-replicable
-        return F.conv(
-            F.substring(F.md5(F.col("__norm").substr(i, F.lit(k))), 1, 13), 16, 10
-        ).cast("bigint")
+    # The gram hashing + window minima + distinct run inside ONE
+    # Arrow-vectorized pandas UDF (r12 optimization round): the previous
+    # all-Catalyst shape — transform(sequence(1,m), md5-prefix) feeding a
+    # zip_with/least chain — executed the per-gram md5+conv+substring
+    # through the expression INTERPRETER (higher-order lambdas never
+    # compile), paying interpreter dispatch per gram.  The Python loop
+    # replays the exact semantics: codepoint slicing (== substr), UTF-8
+    # md5 (== md5), 13-hex prefix → int (== conv 16→10, 52 bits exact),
+    # min over each length-`window` slice with short tails truncating
+    # (== the zip_with null-pad that least() skips, so m < window yields
+    # the min over all m grams), then sorted(set(...)) == array_sort ∘
+    # array_distinct.  Outputs byte-identical; the plan swaps an
+    # interpreted projection for one ArrowEvalPython node (guide §4.2).
+    @F.pandas_udf("array<bigint>", PandasUDFType.SCALAR)
+    def _fps(norms):
+        out = []
+        for t in norms:
+            if t is None:  # unreachable behind the __m >= 1 filter
+                out.append(None)
+                continue
+            m = len(t) - k + 1
+            hs = [
+                int(
+                    hashlib.md5(t[i : i + k].encode("utf-8")).hexdigest()[:13],
+                    16,
+                )
+                for i in range(m)
+            ]
+            n_windows = max(m - window + 1, 1)
+            out.append(
+                sorted({min(hs[j : j + window]) for j in range(n_windows)})
+            )
+        return pd.Series(out, dtype=object)
 
-    hashed = norm.where(F.col("__m") >= 1).select(
-        "id",
-        "__m",
-        F.transform(F.sequence(F.lit(1), F.col("__m")), gram_hash).alias("__h"),
-    )
-    # Window minima as a zip_with chain of `window` shifted slices:
-    # min over [j, j+w) == least(h[j], h[j+1], …, h[j+w-1]) elementwise.
-    # CRITICAL for cost: this references __h `window` times, so
-    # CollapseProject CANNOT inline the md5 transform into the consumer
-    # (multi-use non-cheap exprs stay materialized) — the hash array is
-    # computed once per row, O(m) md5.  The single-transform alternative
-    # (transform(seq, j -> array_min(slice(__h, j, w)))) references __h
-    # exactly once, gets inlined, and re-evaluates the WHOLE m-element
-    # md5 array per window position: O(m²) md5 per document (measured:
-    # a 300-char doc paid ~80k md5 calls; whole-table bench pass went
-    # from minutes to sub-second after this rewrite).  When m < window
-    # the shifted slices run short/empty and zip_with null-pads, which
-    # least() skips — yielding min over all m grams, same as the
-    # reference semantics.
-    n_windows = F.greatest(F.col("__m") - window + 1, F.lit(1))
-    mins = F.slice(F.col("__h"), 1, n_windows)
-    for i in range(1, window):
-        mins = F.zip_with(
-            mins,
-            F.slice(F.col("__h"), F.lit(1 + i), n_windows),
-            lambda a, b: F.least(a, b),
-        )
-    return hashed.select(
+    return norm.where(F.col("__m") >= 1).select(
         "id",
         F.col("__m").cast("bigint").alias("n_grams"),
-        F.array_sort(F.array_distinct(mins)).alias("fps"),
+        _fps(F.col("__norm")).alias("fps"),
     )
 
 
@@ -1444,23 +1450,62 @@ def bpe_encode_words(
     corpus is tokenized by encoding its ~10⁷ DISTINCT words once and
     joining the word→n_subtokens map back to the corpus (see
     :func:`bpe_token_counts`) — the fold never runs per occurrence.
-    Checkpointed per merge like training: the fold lambda nests per
-    round, so an uncheckpointed expression tree would double every
-    merge.  LAZILY checkpointed (r9): the whole merge chain
-    materializes stage-by-stage inside the one downstream action
-    instead of as a job per merge (consumers are sequential)."""
-    out = words.select(
+
+    All merges apply inside ONE Arrow-vectorized pandas UDF per
+    distinct word (r12 optimization round): the previous shape was
+    ``len(merges)`` CHAINED interpreted ``F.aggregate`` folds (one
+    projection + lazy checkpoint per merge — higher-order lambdas
+    never compile, so every merge was a full pass through the
+    expression interpreter).  The Python loop replays the Catalyst
+    semantics exactly — the seed string replicates
+    ``trim(regexp_replace(w, '(.)', '$1 '))`` including the Java-regex
+    line-terminator skip and the space-only trim, each merge is the
+    same left-to-right non-overlapping scan :func:`bpe_encode_word_py`
+    pytest-parity-gates against the old fold, and ``n_subtokens``
+    still derives from the identical ``size(split(...))`` expression —
+    so outputs are byte-identical while the 8-stage interpreted chain
+    collapses to one ArrowEvalPython projection (the plan-lint-allowed
+    node; guide §4.2)."""
+    import pandas as pd
+
+    from pyspark.sql.functions import PandasUDFType
+
+    ms = [(a, b) for _, a, b, _ in sorted(merges)]
+
+    # explicit SCALAR functionType: this module runs under
+    # `from __future__ import annotations` (string hints don't resolve)
+    @F.pandas_udf("string", PandasUDFType.SCALAR)
+    def _encode_subtoks(ws):
+        out = []
+        for w in ws:
+            if w is None:
+                out.append(None)
+                continue
+            # literal replay of trim(regexp_replace(w, '(.)', '$1 ')):
+            # '.' skips line terminators (they glue to the next char's
+            # token), trim strips 0x20 only
+            s = "".join(
+                c if c in "\n\r\x85\u2028\u2029" else c + " " for c in w
+            ).strip(" ")
+            seq = s.split(" ")
+            for a, b in ms:
+                merged: "list[str]" = []
+                for tok in seq:
+                    if merged and merged[-1] == a and tok == b:
+                        merged[-1] = a + b
+                    else:
+                        merged.append(tok)
+                seq = merged
+            out.append(" ".join(seq))
+        return pd.Series(out, dtype=object)
+
+    return words.select(
         F.col(word_col).alias("w"),
-        F.trim(F.regexp_replace(F.col(word_col), "(.)", "$1 ")).alias("toks"),
-    ).localCheckpoint(eager=False)
-    for _, a, b, _ in sorted(merges):
-        out = out.select("w", _apply_merge(a, b).alias("toks")).localCheckpoint(
-            eager=False
-        )
-    return out.select(
+        _encode_subtoks(F.col(word_col)).alias("subtokens"),
+    ).select(
         "w",
-        F.col("toks").alias("subtokens"),
-        F.size(F.split(F.col("toks"), " ")).alias("n_subtokens"),
+        "subtokens",
+        F.size(F.split(F.col("subtokens"), " ")).alias("n_subtokens"),
     )
 
 
