@@ -54,13 +54,6 @@ def cooccurrence_pairs(
     ``min_support``.
     """
     items = basket_items(df, basket_col, item_col, max_basket_size)
-    return _pairs_from_items(items, min_support)
-
-
-def _pairs_from_items(items: DataFrame, min_support: int) -> DataFrame:
-    """Canonical pair counts from an already-built (basket, item) table —
-    shared by :func:`cooccurrence_pairs` and :func:`association_rules`
-    (which materializes ``items`` once for its several consumers)."""
     a = items.alias("a")
     b = items.alias("b")
     pairs = a.join(
@@ -89,17 +82,10 @@ def association_rules(
     emitted.  Returns (antecedent, consequent, pair_support, confidence,
     lift) with ratios rounded to 6.
     """
-    # Materialize the deduped (basket, item) table ONCE (r12 optimization
-    # round): it feeds the pair self-join (twice), item supports, and the
-    # basket count — unmaterialized, the scan + distinct shuffle re-ran
-    # per consumer (the SCALE.md multi-consumer rule; same policy as the
-    # image-pipeline sig frame).  The support-filtered pair table is
-    # likewise consumed twice (both rule directions) and is
-    # vocabulary²-bounded, so it materializes too.
-    items = basket_items(df, basket_col, item_col, max_basket_size).localCheckpoint(
-        eager=True
+    items = basket_items(df, basket_col, item_col, max_basket_size)
+    pairs = cooccurrence_pairs(
+        df, basket_col, item_col, min_support, max_basket_size
     )
-    pairs = _pairs_from_items(items, min_support).localCheckpoint(eager=True)
     both = pairs.select(
         F.col("item_a").alias("antecedent"),
         F.col("item_b").alias("consequent"),

@@ -97,29 +97,24 @@ def radius_join_pairs(
         "left_semi",
     ).localCheckpoint(eager=True)
 
-    # The 3×3 probe duplication is ONE explode of a 9-element offset
-    # array (r12 optimization round): the previous shape unioned 9
-    # shifted projections, reading the materialized base 9 times (10
-    # RDD scans in the plan); the generator emits the identical row set
-    # in a single pass — downstream join + distinct are order-blind, so
-    # the result is unchanged.  lon shifts wrap mod n so cell n-1 and
-    # cell 0 are adjacent — the antimeridian seam disappears.
-    offsets = F.array(
-        *[
-            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
-        ]
-    )
-    neighbors = base.select(
-        "id", "lat", "lon", "cx", "cy", F.explode(offsets).alias("__o")
-    ).select(
-        "id",
-        "lat",
-        "lon",
-        F.pmod(F.col("cx") + F.col("__o.dx"), F.lit(n_lon_cells)).alias("cx"),
-        (F.col("cy") + F.col("__o.dy")).alias("cy"),
-    )
+    probe = base
+    shifted = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            shifted.append(
+                probe.select(
+                    "id",
+                    "lat",
+                    "lon",
+                    # lon shifts wrap mod n so cell n-1 and cell 0 are
+                    # adjacent — the antimeridian seam disappears
+                    F.pmod(F.col("cx") + dx, F.lit(n_lon_cells)).alias("cx"),
+                    (F.col("cy") + dy).alias("cy"),
+                )
+            )
+    neighbors = shifted[0]
+    for s in shifted[1:]:
+        neighbors = neighbors.unionByName(s)
 
     a, b = base.alias("a"), neighbors.alias("b")
     dist = haversine_km(
