@@ -848,21 +848,22 @@ def neardup_components(
     )
     prev_sum = None
     for _ in range(max_iter):
-        prop = (
+        # ONE join + ONE keyed min per round (r12 optimization round —
+        # the shortest_paths/harmonic union-relax shape): the node's own
+        # label rides into the min aggregation as union rows instead of
+        # left-joining the propagated minima back onto cur.  Exact
+        # equivalence: min(own ∪ neighbor labels) == least(own,
+        # min(neighbors)), the edge table is symmetric so cur's node set
+        # is preserved, and integer min exposes no float order — labels
+        # are byte-identical.  Deletes the second per-round join (and
+        # its exchange) from the loop.
+        new = (
             e.alias("e")
             .join(cur.alias("l"), F.col("e.d") == F.col("l.id"))
-            .groupBy(F.col("e.s").alias("id"))
-            .agg(F.min("l.comp").alias("nc"))
-        )
-        new = (
-            cur.alias("c")
-            .join(prop.alias("p"), "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("c.comp"), F.coalesce(F.col("p.nc"), F.col("c.comp"))
-                ).alias("comp"),
-            )
+            .select(F.col("e.s").alias("id"), F.col("l.comp").alias("comp"))
+            .unionByName(cur)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
             # EAGER, deliberately (r12 A/B): folding this job into the
             # convergence-sum collect (eager=False) dropped 6 jobs but
             # ran 4.2 s → 7.2 s on q_semantic_clusters — the lazy
