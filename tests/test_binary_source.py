@@ -123,3 +123,24 @@ def test_sniff_media_type_branches(spark):
         .toString()
     )
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_tiny_file_scan_coalesces_to_size_derived_tasks(
+    spark, tmp_path_factory
+):
+    """r12 optimization: a directory of KB-scale files must not fan out
+    into one near-empty task per openCostInBytes-padded file — the scan
+    coalesces DOWN to max(defaultParallelism, bytes/maxPartitionBytes),
+    with the row set (ids, payloads, routing) unchanged."""
+    d = tmp_path_factory.mktemp("tiny_corpus")
+    for i in range(120):
+        (d / f"{i}.bmp").write_bytes(make_bmp(3, 2, rgb=(i % 255, 1, 2)))
+    df = read_media_dir(spark, str(d))
+    nparts = df.rdd.getNumPartitions()
+    assert nparts <= max(spark.sparkContext.defaultParallelism, 1)
+    rows = {
+        (r["doc_id"], r["media_type"], r["n_bytes"])
+        for r in df.select("doc_id", "media_type", "n_bytes").collect()
+    }
+    assert len(rows) == 120
+    assert all(mt == "image" for _, mt, _ in rows)

@@ -228,3 +228,31 @@ def test_vocab_sweep_matches_encode_state(spark):
 
     with _pytest.raises(ValueError, match="checkpoints"):
         bpe_vocab_sweep(df, checkpoints=())
+
+
+def test_arrow_encode_matches_python_replay_on_edge_words(spark):
+    """r12 optimization: bpe_encode_words' Arrow UDF must replay the old
+    Catalyst fold exactly — including the regexp '(.)' seed quirks (line
+    terminators glue to the following char's token; trim strips spaces
+    only) and the left-to-right non-overlapping merge scan — so its
+    subtokens equal bpe_encode_word_py for plain words, and n_subtokens
+    always equals the split-on-space count of the subtoken string."""
+    from kevinlang_spark.operators.text import (
+        bpe_encode_word_py,
+        bpe_encode_words,
+    )
+
+    merges = [
+        (1, "l", "l", 9),
+        (2, "ll", "o", 7),
+        (3, "h", "e", 5),
+        (4, "a", "b", 3),
+    ]
+    words = ["hello", "llll", "lllll", "ababab", "x", "he", "", "llo"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    out = {r["w"]: r for r in bpe_encode_words(df, merges).collect()}
+    for w in words:
+        want = bpe_encode_word_py(w, merges)
+        got = out[w]["subtokens"].split(" ")
+        assert got == (want if want else [""]), (w, got, want)
+        assert out[w]["n_subtokens"] == len(out[w]["subtokens"].split(" "))
