@@ -8547,59 +8547,53 @@ def q_pipeline_resume(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "q_tpch_q15": q_tpch_q15,
-        "q_tpch_q16": q_tpch_q16,
-        "q_tpch_q17": q_tpch_q17,
-        "q_tpch_q18": q_tpch_q18,
-        "q_tpch_q19": q_tpch_q19,
-        "q_tpch_q2": q_tpch_q2,
-        "q_tpch_q20": q_tpch_q20,
-        "q_tpch_q21": q_tpch_q21,
-        "q_tpch_q22": q_tpch_q22,
-        "q_tpch_q3": q_tpch_q3,
-        "q_tpch_q4": q_tpch_q4,
-        "q_tpch_q5": q_tpch_q5,
-        "q_tpch_q6": q_tpch_q6,
-        "q_tpch_q7": q_tpch_q7,
-        "q_tpch_q8": q_tpch_q8,
-        "q_tpch_q9": q_tpch_q9,
-        "q_window_lag": q_window_lag,
-        "q_window_rank": q_window_rank,
-        "q_link_prediction": q_link_prediction,
-        "q_ann_ivf": q_ann_ivf,
-        "q_ann_lsh_indexed": q_ann_lsh_indexed,
-        "q_semantic_clusters": q_semantic_clusters,
-        "q_knn_join": q_knn_join,
-        "q_kcenter_sample": q_kcenter_sample,
-        "q_intrinsic_dim": q_intrinsic_dim,
-        "q_hll_rollup": q_hll_rollup,
-        "q_kll_rollup": q_kll_rollup,
-        "q_bloom_filter": q_bloom_filter,
-        "q_radius_join": q_radius_join,
-        "q_acf": q_acf,
-        "q_corpus_report": q_corpus_report,
-        "q_cube_revenue": q_cube_revenue,
-        "q_curation_chunks": q_curation_chunks,
-        "q_dsir_weights": q_dsir_weights,
-        "q_fd_check": q_fd_check,
-        "q_feature_hash": q_feature_hash,
-        "q_fingerprint_clusters": q_fingerprint_clusters,
-        "q_frequent_sequences": q_frequent_sequences,
-        "q_leakage_split": q_leakage_split,
-        "q_markov_attribution": q_markov_attribution,
-        "q_media_decode": q_media_decode,
-        "q_pca_components": q_pca_components,
-        "q_pca_scores": q_pca_scores,
-        "q_pca_top_component": q_pca_top_component,
-        "q_rank_fusion": q_rank_fusion,
-        "q_rollup_revenue": q_rollup_revenue,
-        "q_sorted_neighborhood": q_sorted_neighborhood,
-        "q_sparse_cosine": q_sparse_cosine,
-        "q_tfidf_top_terms": q_tfidf_top_terms,
-        "q_token_pmi": q_token_pmi,
         "q_trigram_search": q_trigram_search,
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_zorder_keys": q_zorder_keys,
+        "q_ann_probe_pruned": q_ann_probe_pruned,
+        "q_semantic_dedup": q_semantic_dedup,
+        "q_theta_overlap": q_theta_overlap,
+        "q_cms_tokens": q_cms_tokens,
+        "q_approx_distinct": q_approx_distinct,
+        "q_approx_quantile": q_approx_quantile,
+        "q_budget_sample": q_budget_sample,
+        "q_chunk_tokens": q_chunk_tokens,
+        "q_clean_lines": q_clean_lines,
+        "q_click_attribution": q_click_attribution,
+        "q_containment": q_containment,
+        "q_contamination": q_contamination,
+        "q_cube": q_cube,
+        "q_equidepth": q_equidepth,
+        "q_events_sliding": q_events_sliding,
+        "q_funnel": q_funnel,
+        "q_fuzzy_join": q_fuzzy_join,
+        "q_hash_split": q_hash_split,
+        "q_heavy_hitters": q_heavy_hitters,
+        "q_histogram": q_histogram,
+        "q_inverted_index": q_inverted_index,
+        "q_join_estimate": q_join_estimate,
+        "q_lm_score": q_lm_score,
+        "q_merge_intervals": q_merge_intervals,
+        "q_novelty": q_novelty,
+        "q_pack_sequences": q_pack_sequences,
+        "q_profile": q_profile,
+        "q_redact_pii": q_redact_pii,
+        "q_repetition_stats": q_repetition_stats,
+        "q_resample_ffill": q_resample_ffill,
+        "q_retention": q_retention,
+        "q_rolling": q_rolling,
+        "q_salted_agg": q_salted_agg,
+        "q_salted_join": q_salted_join,
+        "q_scd2": q_scd2,
+        "q_source_overlap": q_source_overlap,
+        "q_stratified_sample": q_stratified_sample,
+        "q_token_estimate": q_token_estimate,
+        "q_transitions": q_transitions,
+        "q_twap": q_twap,
+        "q_upsert": q_upsert,
+        "q_validate": q_validate,
+        "q_weighted_sample": q_weighted_sample,
+        "q_winsorize": q_winsorize,
         "q_window_dist": q_window_dist,
         "q_prototypicality": q_prototypicality,
         "q_unimax_weights": q_unimax_weights,
@@ -8643,10 +8637,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_corruption": q_span_corruption,
         "q_reward_agreement": q_reward_agreement,
         "q_retention_curve": q_retention_curve,
-        "q_ann_probe_pruned": q_ann_probe_pruned,
-        "q_semantic_dedup": q_semantic_dedup,
-        "q_theta_overlap": q_theta_overlap,
-        "q_cms_tokens": q_cms_tokens,
         "q_triangles": q_triangles,
         "q_ann_ivfpq": q_ann_ivfpq,
         "q_ann_pq": q_ann_pq,
@@ -8682,46 +8672,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_rate": q_dedup_rate,
         "q_dedup_representatives": q_dedup_representatives,
-        "q_approx_distinct": q_approx_distinct,
-        "q_approx_quantile": q_approx_quantile,
-        "q_budget_sample": q_budget_sample,
-        "q_chunk_tokens": q_chunk_tokens,
-        "q_clean_lines": q_clean_lines,
-        "q_click_attribution": q_click_attribution,
-        "q_containment": q_containment,
-        "q_contamination": q_contamination,
-        "q_cube": q_cube,
-        "q_equidepth": q_equidepth,
-        "q_events_sliding": q_events_sliding,
-        "q_funnel": q_funnel,
-        "q_fuzzy_join": q_fuzzy_join,
-        "q_hash_split": q_hash_split,
-        "q_heavy_hitters": q_heavy_hitters,
-        "q_histogram": q_histogram,
-        "q_inverted_index": q_inverted_index,
-        "q_join_estimate": q_join_estimate,
-        "q_lm_score": q_lm_score,
-        "q_merge_intervals": q_merge_intervals,
-        "q_novelty": q_novelty,
-        "q_pack_sequences": q_pack_sequences,
-        "q_profile": q_profile,
-        "q_redact_pii": q_redact_pii,
-        "q_repetition_stats": q_repetition_stats,
-        "q_resample_ffill": q_resample_ffill,
-        "q_retention": q_retention,
-        "q_rolling": q_rolling,
-        "q_salted_agg": q_salted_agg,
-        "q_salted_join": q_salted_join,
-        "q_scd2": q_scd2,
-        "q_source_overlap": q_source_overlap,
-        "q_stratified_sample": q_stratified_sample,
-        "q_token_estimate": q_token_estimate,
-        "q_transitions": q_transitions,
-        "q_twap": q_twap,
-        "q_upsert": q_upsert,
-        "q_validate": q_validate,
-        "q_weighted_sample": q_weighted_sample,
-        "q_winsorize": q_winsorize,
+        "q_link_prediction": q_link_prediction,
+        "q_ann_ivf": q_ann_ivf,
+        "q_ann_lsh_indexed": q_ann_lsh_indexed,
+        "q_semantic_clusters": q_semantic_clusters,
+        "q_knn_join": q_knn_join,
+        "q_kcenter_sample": q_kcenter_sample,
+        "q_intrinsic_dim": q_intrinsic_dim,
+        "q_hll_rollup": q_hll_rollup,
+        "q_kll_rollup": q_kll_rollup,
+        "q_bloom_filter": q_bloom_filter,
+        "q_radius_join": q_radius_join,
         "q_assoc_rules": q_assoc_rules,
         "q_boilerplate": q_boilerplate,
         "q_bootstrap_mean": q_bootstrap_mean,
@@ -8872,6 +8833,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q12": q_tpch_q12,
         "q_tpch_q13": q_tpch_q13,
         "q_tpch_q14": q_tpch_q14,
+        "q_acf": q_acf,
+        "q_corpus_report": q_corpus_report,
+        "q_cube_revenue": q_cube_revenue,
+        "q_curation_chunks": q_curation_chunks,
+        "q_dsir_weights": q_dsir_weights,
+        "q_fd_check": q_fd_check,
+        "q_feature_hash": q_feature_hash,
+        "q_fingerprint_clusters": q_fingerprint_clusters,
+        "q_frequent_sequences": q_frequent_sequences,
+        "q_leakage_split": q_leakage_split,
+        "q_markov_attribution": q_markov_attribution,
+        "q_media_decode": q_media_decode,
+        "q_pca_components": q_pca_components,
+        "q_pca_scores": q_pca_scores,
+        "q_pca_top_component": q_pca_top_component,
+        "q_rank_fusion": q_rank_fusion,
+        "q_rollup_revenue": q_rollup_revenue,
+        "q_sorted_neighborhood": q_sorted_neighborhood,
+        "q_sparse_cosine": q_sparse_cosine,
+        "q_tfidf_top_terms": q_tfidf_top_terms,
+        "q_token_pmi": q_token_pmi,
+        "q_tpch_q15": q_tpch_q15,
+        "q_tpch_q16": q_tpch_q16,
+        "q_tpch_q17": q_tpch_q17,
+        "q_tpch_q18": q_tpch_q18,
+        "q_tpch_q19": q_tpch_q19,
+        "q_tpch_q2": q_tpch_q2,
+        "q_tpch_q20": q_tpch_q20,
+        "q_tpch_q21": q_tpch_q21,
+        "q_tpch_q22": q_tpch_q22,
+        "q_tpch_q3": q_tpch_q3,
+        "q_tpch_q4": q_tpch_q4,
+        "q_tpch_q5": q_tpch_q5,
+        "q_tpch_q6": q_tpch_q6,
+        "q_tpch_q7": q_tpch_q7,
+        "q_tpch_q8": q_tpch_q8,
+        "q_tpch_q9": q_tpch_q9,
+        "q_window_lag": q_window_lag,
+        "q_window_rank": q_window_rank,
     }
 
 
