@@ -1897,32 +1897,40 @@ _LR_DIM, _LR_N, _LR_STEPS, _LR_RATE = 64, 3, 6, 2.0
 
 #: in-process memo of the trained model per sf_dir — training is
 #: DETERMINISTIC (bit-identical retrains, test_lr_classifier), so
-#: q_lr_score / q_lr_eval reuse q_lr_train's weights instead of paying
-#: the 6-step GD again: the build-once/apply-many production shape (the
-#: persisted-ANN-index argument).  Process-lifetime only, so code
-#: changes can never serve a stale model.
+#: q_lr_score / q_lr_eval reuse the TRAIN query's weights instead of
+#: paying the 6-step GD again: the build-once/apply-many production
+#: shape (the persisted-ANN-index argument).  q_lr_train itself NEVER
+#: reads the memo (VERDICT r12 item 1): the train query retrains on
+#: every call, so its bench time measures a cold 6-step GD, not a memo
+#: hit.  Process-lifetime only, so code changes can never serve a
+#: stale model.
 _LR_MEMO: dict = {}
 
 
-def _lr_pieces(spark, sf_dir, need_feat: bool = True):
+def _lr_pieces(spark, sf_dir, need_feat: bool = True, retrain: bool = False):
     """Shared train path of q_lr_train / q_lr_score / q_lr_eval:
     hashed-trigram design matrix (label = the distillation target 'text
-    mentions spark'), checkpointed once, then 6 batch-GD steps (memoized
-    per process — see _LR_MEMO).  ``need_feat=False`` (q_lr_train, whose
-    output is the weights alone) skips the matrix build entirely on a
-    memo hit — otherwise the memo hit would still pay the explode +
-    count shuffle it never reads."""
+    mentions spark'), checkpointed once, then 6 batch-GD steps.
+    ``retrain=True`` (q_lr_train) always pays the full GD and refreshes
+    the memo the apply-side queries read; ``need_feat=False`` (again
+    q_lr_train, whose output is the weights alone) skips returning the
+    matrix the caller never reads."""
     from kevinlang_spark.operators.text import lr_gram_features, lr_train
     from kevinlang_spark.operators.util import spread
 
     def build_feat():
         docs = spread(_t(spark, sf_dir, "documents"))
+        # pre-partition the design matrix on the per-document key the
+        # trainer/scorer aggregate and join by (r13, guide §2.4): the
+        # per-step (id, y) logit agg and the probs⋈feat join then run
+        # exchange-free off the checkpoint — only the dim+1-row slot
+        # agg still shuffles (map-side combined)
         return docs, lr_gram_features(
             docs, F.col("text").contains("spark"), dim=_LR_DIM, n=_LR_N
-        ).localCheckpoint(eager=True)
+        ).repartition(F.col("id")).localCheckpoint(eager=True)
 
     feat = None
-    if sf_dir not in _LR_MEMO:
+    if retrain or sf_dir not in _LR_MEMO:
         docs, feat = build_feat()
         _LR_MEMO[sf_dir] = lr_train(
             feat,
@@ -1949,8 +1957,12 @@ def q_lr_train(spark, sf_dir):
     residual moment) + a dim+1-row collect; the driver holds the model.
     Reaches 0.908 train accuracy vs the 0.77 majority baseline at
     sf0.01.  Output is the final weight vector; the oracle replays the
-    whole trajectory as an unrolled MATERIALIZED CTE chain."""
-    _, model, _, _ = _lr_pieces(spark, sf_dir, need_feat=False)
+    whole trajectory as an unrolled MATERIALIZED CTE chain.  Retrains
+    on EVERY call (``retrain=True`` — VERDICT r12 item 1): the bench
+    number is always a cold 6-step GD, never a memo hit; only the
+    apply-side q_lr_score / q_lr_eval reuse the refreshed memo (the
+    build-once/apply-many shape)."""
+    _, model, _, _ = _lr_pieces(spark, sf_dir, need_feat=False, retrain=True)
     return spark.createDataFrame(
         [(j, model[j]) for j in range(_LR_DIM + 1)], "slot int, weight double"
     )

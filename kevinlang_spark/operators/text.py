@@ -3728,70 +3728,59 @@ def rouge_n(
     n-gram overlap with precision, recall, and F1 — the standard
     summarization/eval-tier metric next to pass@k and win rates.
 
-    Shape: each side explodes to (id, gram) counts — two wordcount
-    shuffles keyed by (id, gram) — joined once; per-pair totals and
-    the clipped overlap are INTEGER sums (min of counts), so the only
-    doubles are the three final divisions.  Scales like any wordcount:
-    no per-pair state beyond the keyed aggregations.
+    Shape (r13): both sides explode in ONE tagged pass to a single
+    (id, gram)-keyed count carrying per-side sums, then one (id)-keyed
+    agg — 2 Exchanges total, one scan; per-pair totals and the clipped
+    overlap are INTEGER sums (min of counts), so the only doubles are
+    the three final divisions.  Scales like any wordcount: no per-pair
+    state beyond the keyed aggregations.
 
     Returns (id_col, cand_ngrams, ref_ngrams, overlap, precision,
     recall, f1); pairs where either side has no n-gram report 0
     totals and NULL ratios."""
     if n < 1:
         raise ValueError(f"n must be >= 1 (got {n}")
-    base = (
-        spread(
-            df.where(
-                F.col(cand_col).isNotNull() & F.col(ref_col).isNotNull()
+    base = spread(
+        df.where(F.col(cand_col).isNotNull() & F.col(ref_col).isNotNull())
+    ).select(
+        F.col(id_col).alias("id"),
+        _word_ngrams(tokenize(F.col(cand_col)), n).alias("cg"),
+        _word_ngrams(tokenize(F.col(ref_col)), n).alias("rg"),
+    )
+    # ONE tagged-union explode + two keyed aggs replaces the r12 shape
+    # (2 per-side gram aggs + full-outer join + id-spine left join — 4
+    # Exchanges, an eager checkpoint, 3 scans): every gram lands as a
+    # struct tagged with per-side increments, plus ONE null-gram spine
+    # entry per pair so pairs where BOTH sides have zero n-grams still
+    # reach the per-id agg (their zero sums replay the old coalesced
+    # spine join exactly).  Clipping is unchanged: a gram on one side
+    # only sums 0 on the other, so least(cc, rc) = 0 — identical to
+    # the inner contribution of the old full-outer join.  All three
+    # per-id totals stay INTEGER sums — byte-identical output.
+    one, zero = F.lit(1), F.lit(0)
+    entry = lambda g, c, r: F.struct(  # noqa: E731
+        g.alias("g"), c.alias("c"), r.alias("r")
+    )
+    tagged = base.select(
+        "id",
+        F.explode(
+            F.concat(
+                F.transform(F.col("cg"), lambda g: entry(g, one, zero)),
+                F.transform(F.col("rg"), lambda g: entry(g, zero, one)),
+                F.array(
+                    entry(F.lit(None).cast("string"), zero, zero)
+                ),
             )
-        )
-        .select(
-            F.col(id_col).alias("id"),
-            _word_ngrams(tokenize(F.col(cand_col)), n).alias("cg"),
-            _word_ngrams(tokenize(F.col(ref_col)), n).alias("rg"),
-        )
-        # three consumers (cand counts, ref counts, id spine) diverge
-        # pre-shuffle — materialize the gram arrays once
-        .localCheckpoint(eager=True)
+        ).alias("e"),
     )
-    cc = (
-        base.select("id", F.explode("cg").alias("g"))
-        .groupBy("id", "g")
-        .agg(F.count("*").cast("bigint").alias("cc"))
+    per_gram = tagged.groupBy("id", F.col("e.g").alias("g")).agg(
+        F.sum(F.col("e.c")).cast("bigint").alias("cc"),
+        F.sum(F.col("e.r")).cast("bigint").alias("rc"),
     )
-    rc = (
-        base.select("id", F.explode("rg").alias("g"))
-        .groupBy("id", "g")
-        .agg(F.count("*").cast("bigint").alias("rc"))
-    )
-    z = F.lit(0).cast("bigint")
-    # ONE full-outer gram join + ONE (id)-keyed agg replaces the
-    # 3-agg / 4-join assembly (grams present on one side only
-    # contribute 0 to the clipped min); the id spine re-joins only
-    # the rare pairs where BOTH sides have zero n-grams
-    merged = (
-        cc.join(rc, ["id", "g"], "full_outer")
-        .groupBy("id")
-        .agg(
-            F.sum(F.coalesce(F.col("cc"), z)).alias("cand_ngrams"),
-            F.sum(F.coalesce(F.col("rc"), z)).alias("ref_ngrams"),
-            F.sum(
-                F.least(
-                    F.coalesce(F.col("cc"), z), F.coalesce(F.col("rc"), z)
-                )
-            ).alias("overlap"),
-        )
-    )
-    joined = (
-        base.select("id")
-        .distinct()
-        .join(merged, "id", "left")
-        .select(
-            "id",
-            F.coalesce(F.col("cand_ngrams"), z).alias("cand_ngrams"),
-            F.coalesce(F.col("ref_ngrams"), z).alias("ref_ngrams"),
-            F.coalesce(F.col("overlap"), z).alias("overlap"),
-        )
+    joined = per_gram.groupBy("id").agg(
+        F.sum("cc").alias("cand_ngrams"),
+        F.sum("rc").alias("ref_ngrams"),
+        F.sum(F.least(F.col("cc"), F.col("rc"))).alias("overlap"),
     )
     o = F.col("overlap")
     p = F.when(F.col("cand_ngrams") > 0, o / F.col("cand_ngrams"))
@@ -3838,59 +3827,73 @@ def corpus_bleu(
     Returns ONE row: (cand_len, ref_len, bp, p1..p{max_n}, bleu)."""
     if max_n < 1:
         raise ValueError(f"max_n must be >= 1 (got {max_n})")
-    base = (
-        spread(
-            df.where(
-                F.col(cand_col).isNotNull() & F.col(ref_col).isNotNull()
-            )
-        )
-        .select(
-            F.col(id_col).alias("id"),
-            tokenize(F.col(cand_col)).alias("ct"),
-            tokenize(F.col(ref_col)).alias("rt"),
-        )
-        # 2·max_n + 1 consumer legs diverge pre-shuffle — tokenize once
-        .localCheckpoint(eager=True)
+    base = spread(
+        df.where(F.col(cand_col).isNotNull() & F.col(ref_col).isNotNull())
+    ).select(
+        F.col(id_col).alias("id"),
+        tokenize(F.col(cand_col)).alias("ct"),
+        tokenize(F.col(ref_col)).alias("rt"),
     )
-    lens = base.agg(
-        F.sum(F.size("ct")).cast("bigint").alias("cand_len"),
-        F.sum(F.size("rt")).cast("bigint").alias("ref_len"),
+    # ONE tagged-union explode + ONE (order, id, gram)-keyed agg + ONE
+    # global agg replaces the r12 shape (a lens agg + per-order cc/rc
+    # aggs + per-order clip joins, all crossJoined — 2·max_n + 1 scans
+    # of an eager checkpoint and 2·max_n + 1 single-row BNLJ broadcasts;
+    # 21 Spark jobs at max_n=2).  Every n-gram of every order lands as
+    # ONE struct row tagged (n, side-increments); clipping is the same
+    # per-(n, id, gram) least(cc, rc) — a gram absent on one side sums
+    # 0 there, so least = 0, identical to the old INNER-join clip.
+    # cand_len/ref_len fall out of the same pass: Σ size(tokens) IS the
+    # unigram count per side (t1 / Σrc@n=1).  A per-pair spine entry
+    # (n=0) preserves the old NULL lens on an EMPTY pair set while
+    # zero-token pairs still report 0 — byte-identical in every case.
+    # All sums are INTEGER; the ln/exp/division assembly is untouched.
+    one, zero = F.lit(1), F.lit(0)
+    entry = lambda n, g, c, r: F.struct(  # noqa: E731
+        n.alias("n"), g.alias("g"), c.alias("c"), r.alias("r")
     )
-    stats = []
+    legs = [F.array(entry(zero, F.lit(None).cast("string"), zero, zero))]
     for n in range(1, max_n + 1):
-        grams = base.select(
-            "id",
-            _word_ngrams(F.col("ct"), n).alias("cg"),
-            _word_ngrams(F.col("rt"), n).alias("rg"),
-        )
-        cc = (
-            grams.select("id", F.explode("cg").alias("g"))
-            .groupBy("id", "g")
-            .agg(F.count("*").cast("bigint").alias("cc"))
-        )
-        rc = (
-            grams.select("id", F.explode("rg").alias("g"))
-            .groupBy("id", "g")
-            .agg(F.count("*").cast("bigint").alias("rc"))
-        )
-        m = (
-            cc.join(rc, ["id", "g"])
-            .agg(
-                F.coalesce(
-                    F.sum(F.least(F.col("cc"), F.col("rc"))),
-                    F.lit(0).cast("bigint"),
-                ).alias(f"m{n}")
+        nn = F.lit(n)
+        legs.append(
+            F.transform(
+                _word_ngrams(F.col("ct"), n), lambda g: entry(nn, g, one, zero)
             )
         )
-        t = cc.agg(
-            F.coalesce(F.sum("cc"), F.lit(0).cast("bigint")).alias(
-                f"t{n}"
+        legs.append(
+            F.transform(
+                _word_ngrams(F.col("rt"), n), lambda g: entry(nn, g, zero, one)
             )
         )
-        stats.append(m.crossJoin(t))
-    out = lens
-    for s in stats:
-        out = out.crossJoin(s)
+    tagged = base.select("id", F.explode(F.concat(*legs)).alias("e"))
+    per_gram = tagged.groupBy(
+        F.col("e.n").alias("n"), "id", F.col("e.g").alias("g")
+    ).agg(
+        F.sum(F.col("e.c")).cast("bigint").alias("cc"),
+        F.sum(F.col("e.r")).cast("bigint").alias("rc"),
+    )
+    z = F.lit(0).cast("bigint")
+    aggs = [F.count(F.when(F.col("n") == 0, True)).alias("_np")]
+    for n in range(1, max_n + 1):
+        tag = F.col("n") == n
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(tag, F.least(F.col("cc"), F.col("rc")))), z
+            ).alias(f"m{n}")
+        )
+        aggs.append(F.coalesce(F.sum(F.when(tag, F.col("cc"))), z).alias(f"t{n}"))
+    aggs.append(F.sum(F.when(F.col("n") == 1, F.col("cc"))).alias("_clen"))
+    aggs.append(F.sum(F.when(F.col("n") == 1, F.col("rc"))).alias("_rlen"))
+    out = per_gram.agg(*aggs).select(
+        "*",
+        # lens replay the old F.sum semantics: NULL on an empty pair
+        # set, 0 when pairs exist but hold no tokens
+        F.when(F.col("_np") > 0, F.coalesce(F.col("_clen"), z)).alias(
+            "cand_len"
+        ),
+        F.when(F.col("_np") > 0, F.coalesce(F.col("_rlen"), z)).alias(
+            "ref_len"
+        ),
+    )
     cl = F.col("cand_len").cast("double")
     rl = F.col("ref_len").cast("double")
     bp = F.when(

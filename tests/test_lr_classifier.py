@@ -102,3 +102,33 @@ def test_classifier_eval_metrics(spark, sf_dir):
     assert 0.8 < r["auc"] <= 1.0
     assert 0 < r["prec"] <= 1.0 and 0 < r["rec"] <= 1.0
     assert abs(r["f1"] - 2 * r["prec"] * r["rec"] / (r["prec"] + r["rec"])) < 1e-12
+
+
+def test_q_lr_train_retrains_every_call(spark, sf_dir, monkeypatch):
+    """VERDICT r12 item 1: the TRAIN query must pay its own GD on every
+    call — a memo hit on the timed path would make the bench measure a
+    dict lookup, not training.  Apply-side queries may reuse the memo
+    (build-once/apply-many), but q_lr_train itself never does."""
+    import __spark_entry__ as entrymod
+    from kevinlang_spark.operators import text as text_mod
+
+    calls = {"n": 0}
+    real = text_mod.lr_train
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(text_mod, "lr_train", counting)
+    entrymod._LR_MEMO.clear()
+    w1 = entrymod.q_lr_train(spark, sf_dir).collect()
+    assert calls["n"] == 1
+    # memo now populated — a second TRAIN call must still retrain
+    w2 = entrymod.q_lr_train(spark, sf_dir).collect()
+    assert calls["n"] == 2
+    assert sorted(map(tuple, w1)) == sorted(map(tuple, w2))  # deterministic GD
+    # apply side reuses the refreshed memo: no third training run
+    entrymod.q_lr_score(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    assert calls["n"] == 2

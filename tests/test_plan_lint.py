@@ -66,7 +66,6 @@ BNLJ_OK = {
     "q_zipf_fit": 4,  # 1-row corpus totals × 1-row in-row OLS fit crossJoin
     "q_heaps_fit": 4,  # broadcast 1-row (lo, hi) id-bounds aggregate
     "q_t_closeness": 16,  # broadcast 11-bin cumulated sensitive domain
-    "q_corpus_bleu": 4,  # four 1-row n-gram stat aggregates crossJoined
     "q_kmeans_fit": 4,  # broadcast 1-row collapsed centroid table per round
 }
 
